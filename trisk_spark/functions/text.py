@@ -1,0 +1,181 @@
+"""Text analysis over the ``documents`` table: token counting, quality
+scoring, language ID, fingerprinting. All pure DataFrame expressions
+(JVM-side, whole-stage codegen — no Python in the hot path), each with
+an exact DuckDB oracle.
+
+At 100 TB these are embarrassingly parallel scans: no shuffle at all
+except where grouped output is requested.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from trisk_spark.catalog import table
+from trisk_spark.registry import register
+
+# ------------------------------------------------------- token count --
+
+TOKEN_COUNT_SQL = """
+SELECT
+  doc_id,
+  CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS INT) AS n_tokens,
+  CAST(length(text) AS BIGINT) AS n_chars_actual
+FROM documents
+"""
+
+
+@register("token_count", oracle=TOKEN_COUNT_SQL)
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token count + char count per document (map-only)."""
+    docs = table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda w: w != "")
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.length("text").cast("bigint").alias("n_chars_actual"),
+    )
+
+
+# ----------------------------------------------------- quality score --
+
+_STOPWORDS = ("the", "a", "of", "and")
+_SW_SQL = "('" + "', '".join(_STOPWORDS) + "')"
+
+QUALITY_SCORE_SQL = f"""
+SELECT
+  doc_id,
+  n_tokens,
+  CAST(ROUND(avg_word_len, 4) AS DOUBLE) AS avg_word_len,
+  CAST(ROUND(stopword_ratio, 4) AS DOUBLE) AS stopword_ratio,
+  CAST(ROUND(0.5 * LEAST(n_tokens / 64.0, 1.0)
+       + 0.3 * (1.0 - stopword_ratio)
+       + 0.2 * LEAST(avg_word_len / 8.0, 1.0), 4) AS DOUBLE) AS quality_score
+FROM (
+  SELECT
+    doc_id,
+    CAST(len(ws) AS BIGINT) AS n_tokens,
+    CAST(length(text) - len(ws) + 1 AS DOUBLE) / len(ws) AS avg_word_len,
+    CAST(len(list_filter(ws, w -> w IN {_SW_SQL})) AS DOUBLE) / len(ws) AS stopword_ratio
+  FROM (SELECT doc_id, text, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+        FROM documents)
+)
+"""
+
+
+@register("quality_score", oracle=QUALITY_SCORE_SQL)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document quality: token count, mean word length,
+    stopword ratio, combined score in [0,1] (map-only, no shuffle)."""
+    docs = table(spark, sf_dir, "documents")
+    ws = F.filter(F.split("text", " "), lambda w: w != "")
+    d = docs.select(
+        "doc_id",
+        F.size(ws).cast("bigint").alias("n_tokens"),
+        (
+            (F.length("text") - F.size(ws) + 1).cast("double") / F.size(ws)
+        ).alias("avg_word_len"),
+        (
+            F.size(F.filter(ws, lambda w: w.isin(*_STOPWORDS))).cast("double")
+            / F.size(ws)
+        ).alias("stopword_ratio"),
+    )
+    score = (
+        0.5 * F.least(F.col("n_tokens") / 64.0, F.lit(1.0))
+        + 0.3 * (1.0 - F.col("stopword_ratio"))
+        + 0.2 * F.least(F.col("avg_word_len") / 8.0, F.lit(1.0))
+    )
+    return d.select(
+        "doc_id",
+        "n_tokens",
+        F.round("avg_word_len", 4).alias("avg_word_len"),
+        F.round("stopword_ratio", 4).alias("stopword_ratio"),
+        F.round(score, 4).alias("quality_score"),
+    )
+
+
+# ---------------------------------------------------------- lang id --
+
+_MARKERS = {
+    "en": ("the", "a", "of", "and", "is"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "les", "et", "est"),
+}
+
+
+def _hits_sql(lang: str) -> str:
+    inlist = "('" + "', '".join(_MARKERS[lang]) + "')"
+    return f"len(list_filter(string_split(text, ' '), w -> w IN {inlist}))"
+
+
+LANG_ID_SQL = f"""
+SELECT doc_id, lang AS labeled_lang,
+  CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits > 0 THEN 'en'
+       WHEN de_hits >= fr_hits AND de_hits > 0 THEN 'de'
+       WHEN fr_hits > 0 THEN 'fr'
+       ELSE 'unknown' END AS predicted_lang
+FROM (
+  SELECT doc_id, lang,
+    {_hits_sql('en')} AS en_hits,
+    {_hits_sql('de')} AS de_hits,
+    {_hits_sql('fr')} AS fr_hits
+  FROM documents
+)
+"""
+
+
+@register("lang_id", oracle=LANG_ID_SQL)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID (n-gram-heuristic family, map-only).
+    The labeled `lang` column rides along for downstream evaluation."""
+    docs = table(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+
+    def hits(lang: str):
+        return F.size(F.filter(ws, lambda w: w.isin(*_MARKERS[lang])))
+
+    d = docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        hits("en").alias("en_hits"),
+        hits("de").alias("de_hits"),
+        hits("fr").alias("fr_hits"),
+    )
+    pred = (
+        F.when(
+            (F.col("en_hits") >= F.col("de_hits"))
+            & (F.col("en_hits") >= F.col("fr_hits"))
+            & (F.col("en_hits") > 0),
+            "en",
+        )
+        .when((F.col("de_hits") >= F.col("fr_hits")) & (F.col("de_hits") > 0), "de")
+        .when(F.col("fr_hits") > 0, "fr")
+        .otherwise("unknown")
+    )
+    return d.select("doc_id", "labeled_lang", pred.alias("predicted_lang"))
+
+
+# ----------------------------------------------------- fingerprinting --
+
+DOC_FINGERPRINT_SQL = """
+SELECT
+  doc_id,
+  md5(lower(text)) AS content_md5,
+  md5(array_to_string(list_sort(list_distinct(
+        list_filter(string_split(lower(text), ' '), w -> w <> ''))), ' ')) AS bag_md5
+FROM documents
+"""
+
+
+@register("doc_fingerprint", oracle=DOC_FINGERPRINT_SQL)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two deterministic fingerprints per doc: exact-content md5 and an
+    order-insensitive bag-of-words md5 (word-reorder-invariant dedup
+    key). Map-only, JVM-side."""
+    docs = table(spark, sf_dir, "documents")
+    ws = F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
+    return docs.select(
+        "doc_id",
+        F.md5(F.lower("text")).alias("content_md5"),
+        F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(ws)))).alias("bag_md5"),
+    )

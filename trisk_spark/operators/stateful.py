@@ -1,0 +1,210 @@
+"""Custom stateful operators — the reference's heart (SURVEY.md §2B SE,
+Q3-emit-once, SD): semantics Spark's built-in operators can't express,
+implemented as Arrow-batched ``applyInPandas`` over a keyed group, with
+the fold order fixed by an explicit ``seq`` column.
+
+Scale notes: ``applyInPandas`` keeps the data partitioned by key — each
+group is processed on its executor, nothing is collected to the driver.
+The per-key fold is O(n log n) in orders per key (heap-based books);
+with sec_code cardinality ≈ 50-5000 and AQE skew handling the shuffle is
+balanced. At 100 TB one would bound per-key history (the streaming
+variant in trisk_spark.streaming.state holds only open books, not
+history).
+
+These register ``oracle=None`` (not SQL-expressible); correctness is a
+pure-Python replay-fold oracle in tests/test_stateful.py.
+"""
+
+from __future__ import annotations
+
+import heapq
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from trisk_spark.catalog import table
+from trisk_spark.registry import register
+from trisk_spark.sources.stock import stock_orders
+
+TRADE_SCHEMA = StructType(
+    [
+        StructField("sec_code", StringType()),
+        StructField("buy_no", LongType()),
+        StructField("sell_no", LongType()),
+        StructField("trade_price", LongType()),
+        StructField("trade_vol", LongType()),
+        StructField("match_seq", LongType()),
+    ]
+)
+
+
+def match_orders(rows: Iterator[dict]) -> Iterator[dict]:
+    """Pure-Python order-book fold for ONE sec_code, in seq order.
+
+    Semantics per StatefulStockExchange.java:125-215 /
+    InAppStatefulStockExchange.java:76-122:
+      * rows with tran_maint_code in {'D','X',''} are dropped (cancels;
+        :37-39, :131-133);
+      * buy order: match against sell book while best sell price <=
+        buy price; sell order: match against buy book while best buy
+        price >= sell price;
+      * partial fills leave the residual volume on the larger side
+        (:226-244); full fills remove both;
+      * trade executes at the resting order's price.
+
+    Matching priority is price-time (best price, then lowest seq) — the
+    reference iterates a Java HashMap whose order is unspecified; we fix
+    the deterministic, economically-standard order and document the
+    divergence.
+    """
+    buy_book: list = []  # (-price, seq, [vol, order_no])
+    sell_book: list = []  # (price, seq, [vol, order_no])
+    for r in rows:
+        code = r["tran_maint_code"]
+        if code in ("D", "X", ""):
+            continue
+        price, vol, seq, no = (
+            int(r["price_cents"]),
+            int(r["order_vol"]),
+            int(r["seq"]),
+            int(r["order_no"]),
+        )
+        if r["trade_dir"] == "B":
+            while vol > 0 and sell_book and sell_book[0][0] <= price:
+                s_price, s_seq, s_rest = sell_book[0]
+                traded = min(vol, s_rest[0])
+                yield {
+                    "sec_code": r["sec_code"],
+                    "buy_no": no,
+                    "sell_no": s_rest[1],
+                    "trade_price": s_price,
+                    "trade_vol": traded,
+                    "match_seq": seq,
+                }
+                vol -= traded
+                s_rest[0] -= traded
+                if s_rest[0] == 0:
+                    heapq.heappop(sell_book)
+            if vol > 0:
+                heapq.heappush(buy_book, (-price, seq, [vol, no]))
+        else:
+            while vol > 0 and buy_book and -buy_book[0][0] >= price:
+                b_neg_price, b_seq, b_rest = buy_book[0]
+                traded = min(vol, b_rest[0])
+                yield {
+                    "sec_code": r["sec_code"],
+                    "buy_no": b_rest[1],
+                    "sell_no": no,
+                    "trade_price": -b_neg_price,
+                    "trade_vol": traded,
+                    "match_seq": seq,
+                }
+                vol -= traded
+                b_rest[0] -= traded
+                if b_rest[0] == 0:
+                    heapq.heappop(buy_book)
+            if vol > 0:
+                heapq.heappush(sell_book, (price, seq, [vol, no]))
+
+
+def _match_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.sort_values("seq")
+    out = list(match_orders(pdf.to_dict("records")))
+    if not out:
+        return pd.DataFrame(
+            {f.name: pd.Series(dtype="object") for f in TRADE_SCHEMA}
+        ).astype({"buy_no": "int64", "sell_no": "int64", "trade_price": "int64",
+                  "trade_vol": "int64", "match_seq": "int64", "sec_code": "str"})
+    return pd.DataFrame(out)
+
+
+@register("stock_matchmaker", oracle=None)
+def stock_matchmaker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SE matchmaker (flagship): per-sec_code order books with
+    price-time priority matching and partial fills.
+
+    Plan: one shuffle on sec_code, then Arrow-batched per-group fold —
+    the batch image of the keyed MapState operator
+    (StatefulStockExchange.java:104-121). Streaming variant:
+    trisk_spark.streaming.state.matchmaker_stream.
+    """
+    orders = stock_orders(table(spark, sf_dir, "events"))
+    return orders.groupBy("sec_code").applyInPandas(_match_group, TRADE_SCHEMA)
+
+
+# ------------------------------------------------ Q3 emit-once join --
+
+EMIT_ONCE_SCHEMA = StructType(
+    [
+        StructField("seller", LongType()),
+        StructField("auction_id", LongType()),
+        StructField("emit_seq", LongType()),
+    ]
+)
+
+
+def _emit_once_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Replay the asymmetric incremental join of Query3.java:99-155 for
+    one seller key: person stored forever; an auction arriving after its
+    person emits immediately; auctions arriving before buffer and flush
+    exactly once when the person arrives."""
+    pdf = pdf.sort_values("seq")
+    person_seen = False
+    buffered: list[tuple[int, int]] = []
+    out = []
+    for r in pdf.itertuples(index=False):
+        if r.side == "P":
+            if not person_seen:
+                person_seen = True
+                for auction_id, _ in buffered:
+                    out.append((r.key, auction_id, r.seq))
+                buffered.clear()
+        else:
+            if person_seen:
+                out.append((r.key, r.auction_id, r.seq))
+            else:
+                buffered.append((r.auction_id, r.seq))
+    return pd.DataFrame(out, columns=["seller", "auction_id", "emit_seq"]).astype(
+        "int64"
+    )
+
+
+@register("q3_emit_once_join", oracle=None)
+def q3_emit_once_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nexmark Q3's true streaming semantics: emit-once incremental join
+    (Query3.java:99-155) replayed in batch as a tagged-union fold.
+
+    Built as: tag person/auction rows, union, shuffle once on the join
+    key, per-key ordered fold in applyInPandas. The SQL-joinable image
+    of Q3 is `nexmark_q3`; this operator checks the *emit* semantics
+    (each auction emitted at most once, at the right point in the
+    sequence).
+    """
+    ev = table(spark, sf_dir, "events")
+    # Tagged union: persons = first signup per user (tag P, seq = event_id
+    # of that signup); auctions = view/click events in category 4 (tag A).
+    persons = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy(F.col("user_id").alias("key"))
+        .agg(F.min("event_id").alias("seq"))
+        .select("key", F.lit("P").alias("side"), F.lit(None).cast("long").alias("auction_id"), "seq")
+    )
+    aucts = (
+        ev.where(F.col("event_type").isin("view", "click"))
+        .where(F.col("event_id") % 10 == 4)
+        .select(
+            F.col("user_id").alias("key"),
+            F.lit("A").alias("side"),
+            F.col("event_id").alias("auction_id"),
+            F.col("event_id").alias("seq"),
+        )
+    )
+    tagged = persons.unionByName(aucts)
+    return tagged.groupBy("key").applyInPandas(_emit_once_group, EMIT_ONCE_SCHEMA)
