@@ -1,0 +1,76 @@
+#!/usr/bin/env python3
+"""Benchmark: run headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Each query is materialized through the noop sink so every output column
+is computed (a bare count() would let Catalyst prune the projections
+we're trying to measure).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from trisk_spark.registry import load_all
+from trisk_spark.session import get_spark
+
+#: Representative mix: scans, broadcast joins, shuffles, windows,
+#: window functions, Arrow-batched stateful, dedup/similarity.
+HEADLINE = [
+    "nexmark_q1",
+    "nexmark_q2",
+    "nexmark_q5",
+    "nexmark_q8",
+    "nexmark_q11",
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "keyed_agg",
+    "wordcount",
+    "stock_matchmaker",
+    "dedup_minhash_lsh",
+    "ngram_jaccard",
+    "knn_bruteforce",
+    "fraud_alerts",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    spark = get_spark("trisk-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = load_all()
+
+    # Warm up the JVM + parquet footers once (not timed): tiny query.
+    queries["tpch_q1"].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        queries[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
