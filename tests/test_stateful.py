@@ -1,0 +1,128 @@
+"""Replay-fold oracles for the stateful operators (SURVEY.md §5: "pure-
+Python folds over the ordered input, compared row-for-row").
+
+The oracle implementations here are deliberately *structurally
+different* from the engine's (list-scan vs heap; dict-vs-buffer) so a
+shared bug can't self-confirm.
+"""
+
+from __future__ import annotations
+
+import duckdb
+
+from trisk_spark.registry import load_all
+
+from .conftest import SF_DIR
+
+QUERIES = load_all()
+
+
+def _stock_orders_rows(sf_dir: str):
+    """Derive the stock-order stream exactly as sources/stock.py does,
+    independently via DuckDB."""
+    con = duckdb.connect()
+    return con.execute(
+        f"""
+        SELECT event_id AS order_no,
+               'SEC' || CAST(user_id % 50 AS VARCHAR) AS sec_code,
+               CASE WHEN event_id % 2 = 0 THEN 'B' ELSE 'S' END AS trade_dir,
+               CAST(ROUND(value * 100) AS BIGINT) AS price_cents,
+               (event_id % 10 + 1) * 100 AS order_vol,
+               CASE WHEN event_id % 20 = 19 THEN 'D' ELSE 'A' END AS tran_maint_code,
+               event_id AS seq
+        FROM read_parquet('{sf_dir}/events.parquet')
+        ORDER BY event_id
+        """
+    ).fetchall()
+
+
+def _oracle_match(rows):
+    """List-scan order matching: same semantics as the engine's heap
+    implementation, different data structure."""
+    books: dict[str, dict[str, list]] = {}
+    trades = []
+    for order_no, sec, side, price, vol, code, seq in rows:
+        if code in ("D", "X", ""):
+            continue
+        b = books.setdefault(sec, {"B": [], "S": []})
+        if side == "B":
+            # match against sells: lowest price first, then lowest seq
+            while vol > 0:
+                cands = [o for o in b["S"] if o[0] <= price]
+                if not cands:
+                    break
+                best = min(cands, key=lambda o: (o[0], o[1]))
+                t = min(vol, best[2])
+                trades.append((sec, order_no, best[3], best[0], t, seq))
+                vol -= t
+                best[2] -= t
+                if best[2] == 0:
+                    b["S"].remove(best)
+            if vol > 0:
+                b["B"].append([price, seq, vol, order_no])
+        else:
+            while vol > 0:
+                cands = [o for o in b["B"] if o[0] >= price]
+                if not cands:
+                    break
+                best = min(cands, key=lambda o: (-o[0], o[1]))
+                t = min(vol, best[2])
+                trades.append((sec, best[3], order_no, best[0], t, seq))
+                vol -= t
+                best[2] -= t
+                if best[2] == 0:
+                    b["B"].remove(best)
+            if vol > 0:
+                b["S"].append([price, seq, vol, order_no])
+    return sorted(trades)
+
+
+def test_matchmaker_matches_replay_oracle(spark):
+    engine = sorted(
+        tuple(r)
+        for r in QUERIES["stock_matchmaker"].fn(spark, SF_DIR).collect()
+    )
+    oracle = _oracle_match(_stock_orders_rows(SF_DIR))
+    assert len(engine) == len(oracle)
+    assert engine == oracle
+
+
+def test_matchmaker_invariants(spark):
+    rows = QUERIES["stock_matchmaker"].fn(spark, SF_DIR).collect()
+    assert rows, "expected trades at sf0.001"
+    for r in rows:
+        assert r.trade_vol > 0
+        assert r.buy_no != r.sell_no
+        # buy orders are even event_ids, sells odd (derivation rule)
+        assert r.buy_no % 2 == 0 and r.sell_no % 2 == 1
+    # volume conservation per order: traded ≤ order volume
+    import collections
+
+    traded = collections.Counter()
+    for r in rows:
+        traded[r.buy_no] += r.trade_vol
+        traded[r.sell_no] += r.trade_vol
+    for order_no, vol in traded.items():
+        assert vol <= (order_no % 10 + 1) * 100, f"order {order_no} overfilled"
+
+
+def test_emit_once_join(spark):
+    """Every auction appears at most once; auctions of sellers with no
+    signup never appear; emit order respects the fold."""
+    out = QUERIES["q3_emit_once_join"].fn(spark, SF_DIR).collect()
+    auction_ids = [r.auction_id for r in out]
+    assert len(auction_ids) == len(set(auction_ids)), "auction emitted twice"
+
+    # independent recompute via DuckDB
+    con = duckdb.connect()
+    expected = con.execute(
+        f"""
+        WITH p AS (SELECT user_id, MIN(event_id) AS pseq
+                   FROM read_parquet('{SF_DIR}/events.parquet')
+                   WHERE event_type = 'signup' GROUP BY user_id),
+        a AS (SELECT user_id, event_id FROM read_parquet('{SF_DIR}/events.parquet')
+              WHERE event_type IN ('view','click') AND event_id % 10 = 4)
+        SELECT a.event_id FROM a JOIN p ON a.user_id = p.user_id
+        """
+    ).fetchall()
+    assert sorted(auction_ids) == sorted(e[0] for e in expected)
