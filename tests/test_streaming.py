@@ -1,0 +1,183 @@
+"""Stream ≡ batch equivalence on bounded replay (SURVEY.md §5 "Our
+plan"): run each streaming query over a chunked file-replay of the same
+table and compare the final emitted state with the batch operator."""
+
+from __future__ import annotations
+
+import pytest
+
+from trisk_spark.registry import load_all
+from trisk_spark.sources.stock import stock_orders
+from trisk_spark.streaming import queries as sq
+from trisk_spark.streaming import state as st
+from trisk_spark.streaming.sources import checkpoint_dir, replay_stream
+
+from .conftest import SF_DIR
+
+QUERIES = load_all()
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _final(emitted, key_cols):
+    return sorted(tuple(r) for r in sq.final_state(emitted, key_cols))
+
+
+@pytest.fixture(scope="module")
+def events_stream(spark):
+    return lambda: replay_stream(spark, SF_DIR, "events", n_chunks=6)
+
+
+def test_q1_stream_equals_batch(spark, events_stream):
+    emitted = sq.run_bounded(
+        sq.q1_stream(events_stream()), checkpoint_dir("q1"), mode="append"
+    )
+    batch = _rows(QUERIES["nexmark_q1"].fn(spark, SF_DIR))
+    assert sorted(tuple(r) for _, r in emitted) == batch
+
+
+def test_q2_stream_equals_batch(spark, events_stream):
+    emitted = sq.run_bounded(
+        sq.q2_stream(events_stream()), checkpoint_dir("q2"), mode="append"
+    )
+    batch = _rows(QUERIES["nexmark_q2"].fn(spark, SF_DIR))
+    assert sorted(tuple(r) for _, r in emitted) == batch
+
+
+def test_q5_stream_counts_equal_batch(spark, events_stream):
+    """Update-mode windowed counts: final value per (window, auction)
+    must equal the batch sliding-window counts (pre-max step of Q5)."""
+    emitted = sq.run_bounded(
+        sq.q5_stream(events_stream()), checkpoint_dir("q5"), mode="update"
+    )
+    final = _final(emitted, ["window_start", "auction"])
+    from pyspark.sql import functions as F
+
+    from trisk_spark.catalog import table
+    from trisk_spark.sources.nexmark import bids
+
+    b = bids(table(spark, SF_DIR, "events"))
+    batch = _rows(
+        b.groupBy(F.window("date_time", "2 days", "1 day").alias("w"), "auction")
+        .agg(F.count("*").alias("bid_count"))
+        .select(F.col("w.start").alias("window_start"), "auction", "bid_count")
+    )
+    assert final == batch
+
+
+def test_q11_stream_sessions_equal_batch(spark, events_stream):
+    """Session windows stream only in append mode: a session emits when
+    the watermark passes its end. On bounded replay every emitted
+    session must match the batch result exactly; only tail sessions
+    (end+gap beyond the final watermark) may legitimately still be
+    open — they must be the *only* ones missing."""
+    emitted = sq.run_bounded(
+        sq.q11_stream(events_stream(), watermark="0 seconds"),
+        checkpoint_dir("q11"),
+        mode="append",
+    )
+    got = {(r.bidder, r.session_start): r.bid_count for _, r in emitted}
+    batch = _rows(QUERIES["nexmark_q11"].fn(spark, SF_DIR))
+    assert len(got) == len([0 for _, r in emitted]), "duplicate session emission"
+    batch_map = {(b, s): c for b, s, c in batch}
+    # every emitted session is exactly right
+    for k, v in got.items():
+        assert batch_map.get(k) == v, (k, v, batch_map.get(k))
+    # missing sessions are only near the end of the stream
+    from trisk_spark.catalog import table as _t
+
+    max_ts = _t(spark, SF_DIR, "events").agg({"ts": "max"}).collect()[0][0]
+    import datetime
+
+    for k in set(batch_map) - set(got):
+        assert k[1] >= max_ts - datetime.timedelta(hours=2), (
+            f"non-tail session missing: {k}"
+        )
+    assert len(got) >= 0.9 * len(batch_map)
+
+
+def test_wordcount_stream_running_counts(spark):
+    docs = replay_stream(spark, SF_DIR, "documents", n_chunks=4, order_col="doc_id")
+    emitted = sq.run_bounded(
+        sq.wordcount_stream(docs), checkpoint_dir("wc"), mode="update"
+    )
+    final = _final(emitted, ["word"])
+    batch = _rows(QUERIES["wordcount"].fn(spark, SF_DIR))
+    assert final == batch
+
+
+# ------------------------- custom stateful (transformWithState) ------
+
+
+def test_matchmaker_stream_equals_batch(spark, events_stream):
+    st.stateful_session_confs(spark)
+    orders = stock_orders(events_stream())
+    emitted = sq.run_bounded(
+        st.matchmaker_stream(orders), checkpoint_dir("mm"), mode="append"
+    )
+    stream_trades = sorted(tuple(r) for _, r in emitted)
+    batch_trades = _rows(QUERIES["stock_matchmaker"].fn(spark, SF_DIR))
+    assert stream_trades == batch_trades
+
+
+def test_running_wordcount_tws(spark):
+    st.stateful_session_confs(spark)
+    from pyspark.sql import functions as F
+
+    docs = replay_stream(spark, SF_DIR, "documents", n_chunks=4, order_col="doc_id")
+    words = docs.select(F.explode(F.split("text", " ")).alias("word")).where(
+        F.col("word") != ""
+    )
+    emitted = sq.run_bounded(
+        st.running_wordcount_stream(words), checkpoint_dir("rwc"), mode="update"
+    )
+    final = _final(emitted, ["word"])
+    batch = _rows(QUERIES["wordcount"].fn(spark, SF_DIR))
+    assert final == batch
+    # running counts must be monotonically increasing per word
+    import collections
+
+    seen = collections.defaultdict(int)
+    for batch_id, row in emitted:
+        assert row.cnt >= seen[row.word], f"non-monotonic count for {row.word}"
+        seen[row.word] = row.cnt
+
+
+def test_emit_once_join_stream(spark, events_stream):
+    st.stateful_session_confs(spark)
+    from pyspark.sql import functions as F
+
+    ev = events_stream()
+    persons = ev.where(F.col("event_type") == "signup").select(
+        F.col("user_id").alias("key"),
+        F.lit("P").alias("side"),
+        F.lit(None).cast("long").alias("auction_id"),
+        F.col("event_id").alias("seq"),
+    )
+    aucts = (
+        ev.where(F.col("event_type").isin("view", "click"))
+        .where(F.col("event_id") % 10 == 4)
+        .select(
+            F.col("user_id").alias("key"),
+            F.lit("A").alias("side"),
+            F.col("event_id").alias("auction_id"),
+            F.col("event_id").alias("seq"),
+        )
+    )
+    emitted = sq.run_bounded(
+        st.emit_once_join_stream(persons.unionByName(aucts)),
+        checkpoint_dir("eoj"),
+        mode="append",
+    )
+    stream_ids = sorted(r.auction_id for _, r in emitted)
+    assert len(stream_ids) == len(set(stream_ids)), "emitted twice"
+    # Batch emit-once fold uses first-signup as the person seq; the
+    # stream sees every signup, so person arrival can only be earlier →
+    # stream emits a superset... no: person presence is identical
+    # (seen-flag), so the emitted auction set must match exactly.
+    batch_ids = sorted(
+        r.auction_id for r in QUERIES["q3_emit_once_join"].fn(spark, SF_DIR).collect()
+    )
+    assert stream_ids == batch_ids

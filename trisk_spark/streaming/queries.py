@@ -1,0 +1,157 @@
+"""Streaming forms of the §2B queries: the same DataFrame expressions
+as trisk_spark.operators, applied to a streaming input with watermarks.
+
+Output-mode mapping (SURVEY.md §7 step 3):
+  * stateless map/filter (Q1, Q2)      → append
+  * windowed aggs (Q5, tumbling, Q11)  → update (emit running results,
+    like the reference's per-record window state) or append after
+    watermark close
+  * running keyed aggs (WC, reduce)    → update (ReducingState emits on
+    every update — StatefulWordCount.java:102-135)
+  * windowed stream-stream join (Q8)   → append with two-sided watermark
+
+Each function takes the *stream* DataFrame (same schema as the batch
+derived view) so stream≡batch equivalence is testable by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from trisk_spark.sources.nexmark import auctions, bids, persons
+
+
+def q1_stream(events: DataFrame) -> DataFrame:
+    """Nexmark Q1 streaming: stateless currency conversion (append)."""
+    return bids(events).select(
+        "auction",
+        F.floor(F.col("price") * F.expr("CAST(0.82 AS DECIMAL(3,2))"))
+        .cast("bigint")
+        .alias("price_eur"),
+        "bidder",
+        "date_time",
+    )
+
+
+def q2_stream(events: DataFrame) -> DataFrame:
+    """Nexmark Q2 streaming: stateless selection (append)."""
+    b = bids(events)
+    return b.where((F.col("auction") % 13 == 0) | (F.col("auction") % 17 == 0)).select(
+        "auction", "price"
+    )
+
+
+def q5_stream(events: DataFrame, watermark: str = "1 day") -> DataFrame:
+    """Nexmark Q5 streaming: sliding-window bid counts per auction
+    (update mode → running counts; the hot-items max is a second
+    aggregation done per-batch via foreachBatch, mirroring the
+    reference's two-operator pipeline Query5.java:76-87)."""
+    b = bids(events).withWatermark("date_time", watermark)
+    return (
+        b.groupBy(
+            F.window("date_time", "2 days", "1 day").alias("w"),
+            "auction",
+        )
+        .agg(F.count("*").alias("bid_count"))
+        .select(F.col("w.start").alias("window_start"), "auction", "bid_count")
+    )
+
+
+def q8_stream(events: DataFrame, watermark: str = "1 day") -> DataFrame:
+    """Nexmark Q8 streaming: tumbling-window stream-stream equi-join of
+    new persons and their auctions (append; both sides watermarked —
+    Spark's state cleanup needs the join window bound)."""
+    ev = events.withWatermark("ts", watermark)
+    a = auctions(ev).select(
+        "seller", F.date_trunc("day", "date_time").alias("window_start")
+    )
+    # Streaming persons: signup events (no global MIN aggregation in the
+    # stream path — first-signup dedup is the emit-once state op).
+    p = (
+        ev.where(F.col("event_type") == "signup")
+        .select(
+            F.col("user_id").alias("id"),
+            F.concat(F.lit("name_"), F.col("user_id").cast("string")).alias("name"),
+            F.date_trunc("day", "ts").alias("p_window"),
+        )
+        .dropDuplicatesWithinWatermark(["id", "p_window"])
+    )
+    return (
+        a.join(
+            p,
+            (F.col("seller") == F.col("id"))
+            & (F.col("window_start") == F.col("p_window")),
+        )
+        .select("id", "name", "window_start")
+    )
+
+
+def q11_stream(events: DataFrame, watermark: str = "1 day") -> DataFrame:
+    """Nexmark Q11 streaming: session windows per bidder, gap 1 hour
+    (update mode; Query11.java:72-80)."""
+    b = bids(events).withWatermark("date_time", watermark)
+    return (
+        b.groupBy(F.session_window("date_time", "1 hour").alias("w"), "bidder")
+        .agg(F.count("*").alias("bid_count"))
+        .select("bidder", F.col("w.start").alias("session_start"), "bid_count")
+    )
+
+
+def wordcount_stream(docs: DataFrame) -> DataFrame:
+    """Running word count (update mode): the streaming image of
+    StatefulWordCount's ReducingState (emit per update)."""
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def tumbling_agg_stream(events: DataFrame, watermark: str = "1 day") -> DataFrame:
+    """Tumbling-window count+sum per event_type (update mode)."""
+    ev = events.withWatermark("ts", watermark)
+    return (
+        ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n", "total_value"
+        )
+    )
+
+
+def run_bounded(stream_df: DataFrame, checkpoint: str, mode: str = "update"):
+    """Run a bounded streaming query to completion (availableNow) into
+    an in-memory collector via foreachBatch; returns all emitted rows
+    (with batch id) — the harness for stream≡batch tests."""
+    emitted: list = []
+
+    def collect(batch_df: DataFrame, batch_id: int) -> None:
+        for row in batch_df.collect():
+            emitted.append((batch_id, row))
+
+    q = (
+        stream_df.writeStream.outputMode(mode)
+        .foreachBatch(collect)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return emitted
+
+
+def final_state(emitted, key_cols: list[str]):
+    """Reduce an update-mode emission log to the final value per key —
+    comparable 1:1 with the batch result."""
+    latest: dict = {}
+    for batch_id, row in emitted:
+        d = row.asDict()
+        key = tuple(d[k] for k in key_cols)
+        latest[key] = (batch_id, row)
+    return [row for _, row in latest.values()]

@@ -1,0 +1,245 @@
+"""Custom keyed-state streaming operators — the engine's mapping of the
+reference's state primitives (SURVEY.md §2A "Stateful processing"):
+
+  ValueState/ReducingState → per-key state tuple field
+  MapState (order books)   → array<struct> state fields (the book)
+  buffered ListState       → array<struct> state field
+
+Primary implementation: ``applyInPandasWithState`` (GroupState) — the
+Spark 3.4+ Arrow-batched keyed-state API. Spark 4's successor,
+``transformWithStateInPandas`` (StatefulProcessor), is the preferred
+API at scale (RocksDB-backed value/list/map state, timers, TTL) but its
+Python protocol needs ``google.protobuf``, absent from this container —
+the TWS variants live in ``state_tws.py`` behind an import guard and
+are drop-in replacements where protobuf exists.
+
+All processors are deterministic given per-key seq order; bounded-replay
+equivalence against the batch operators is tested in
+tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    ArrayType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from trisk_spark.operators.stateful import TRADE_SCHEMA
+
+_BOOK_ENTRY = StructType(
+    [
+        StructField("price", LongType()),
+        StructField("seq", LongType()),
+        StructField("vol", LongType()),
+        StructField("order_no", LongType()),
+    ]
+)
+
+#: Matchmaker state: both books as arrays of (price, seq, vol, order_no).
+MATCH_STATE = StructType(
+    [
+        StructField("buys", ArrayType(_BOOK_ENTRY)),
+        StructField("sells", ArrayType(_BOOK_ENTRY)),
+    ]
+)
+
+
+def _replay_into_books(sec_code, records, buy_book, sell_book, trades):
+    """Order-matching fold with pre-seeded heaps (StatefulStockExchange
+    .java:125-215 semantics; see operators/stateful.py for the rules).
+    Mutates the heaps; appends emitted trades. Returns book rows for
+    state write-back."""
+    import heapq
+
+    for r in records:
+        if r["tran_maint_code"] in ("D", "X", ""):
+            continue
+        price, vol, seq, no = (
+            int(r["price_cents"]),
+            int(r["order_vol"]),
+            int(r["seq"]),
+            int(r["order_no"]),
+        )
+        if r["trade_dir"] == "B":
+            while vol > 0 and sell_book and sell_book[0][0] <= price:
+                s_price, s_seq, s_rest = sell_book[0]
+                t = min(vol, s_rest[0])
+                trades.append(
+                    dict(
+                        sec_code=sec_code, buy_no=no, sell_no=s_rest[1],
+                        trade_price=s_price, trade_vol=t, match_seq=seq,
+                    )
+                )
+                vol -= t
+                s_rest[0] -= t
+                if s_rest[0] == 0:
+                    heapq.heappop(sell_book)
+            if vol > 0:
+                heapq.heappush(buy_book, (-price, seq, [vol, no]))
+        else:
+            while vol > 0 and buy_book and -buy_book[0][0] >= price:
+                b_neg, b_seq, b_rest = buy_book[0]
+                t = min(vol, b_rest[0])
+                trades.append(
+                    dict(
+                        sec_code=sec_code, buy_no=b_rest[1], sell_no=no,
+                        trade_price=-b_neg, trade_vol=t, match_seq=seq,
+                    )
+                )
+                vol -= t
+                b_rest[0] -= t
+                if b_rest[0] == 0:
+                    heapq.heappop(buy_book)
+            if vol > 0:
+                heapq.heappush(sell_book, (price, seq, [vol, no]))
+    buys_out = [(-np, s, r[0], r[1]) for np, s, r in buy_book]
+    sells_out = [(p, s, r[0], r[1]) for p, s, r in sell_book]
+    return buys_out, sells_out
+
+
+def _matchmaker_fn(
+    key, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    import heapq
+
+    if state.exists:
+        buys, sells = state.get
+    else:
+        buys, sells = [], []
+    buy_book = [(-p, s, [v, n]) for p, s, v, n in (tuple(r) for r in buys or [])]
+    sell_book = [(p, s, [v, n]) for p, s, v, n in (tuple(r) for r in sells or [])]
+    heapq.heapify(buy_book)
+    heapq.heapify(sell_book)
+
+    batch = pd.concat(list(pdfs)).sort_values("seq")
+    trades: list[dict] = []
+    b_out, s_out = _replay_into_books(
+        key[0], batch.to_dict("records"), buy_book, sell_book, trades
+    )
+    state.update((b_out, s_out))
+    if trades:
+        yield pd.DataFrame(trades)
+
+
+def matchmaker_stream(orders: DataFrame) -> DataFrame:
+    """Streaming order-book matchmaker over a stock-order stream
+    (schema from sources/stock.py): persistent per-sec_code books,
+    price-time priority, partial fills; emits trades append-only."""
+    return orders.groupBy("sec_code").applyInPandasWithState(
+        _matchmaker_fn,
+        outputStructType=TRADE_SCHEMA,
+        stateStructType=MATCH_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ------------------------------------------------ running word count --
+
+_WC_OUT = StructType(
+    [StructField("word", StringType()), StructField("cnt", LongType())]
+)
+_WC_STATE = StructType([StructField("cnt", LongType())])
+
+
+def _running_count_fn(
+    key, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    n = sum(len(p) for p in pdfs)
+    total = (state.get[0] if state.exists else 0) + n
+    state.update((total,))
+    yield pd.DataFrame({"word": [key[0]], "cnt": [total]})
+
+
+def running_wordcount_stream(words: DataFrame) -> DataFrame:
+    """ReducingState word count (StatefulWordCount.java:102-135): one
+    counter per word, emit the running total on every update."""
+    return words.groupBy("word").applyInPandasWithState(
+        _running_count_fn,
+        outputStructType=_WC_OUT,
+        stateStructType=_WC_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ------------------------------------------------- emit-once join ----
+
+_EMIT_OUT = StructType(
+    [
+        StructField("seller", LongType()),
+        StructField("auction_id", LongType()),
+        StructField("emit_seq", LongType()),
+    ]
+)
+_BUF_ENTRY = StructType(
+    [StructField("auction_id", LongType()), StructField("seq", LongType())]
+)
+_EMIT_STATE = StructType(
+    [
+        StructField("seen", LongType()),
+        StructField("buf", ArrayType(_BUF_ENTRY)),
+    ]
+)
+
+
+def _emit_once_fn(
+    key, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Nexmark Q3's incremental join (Query3.java:99-155): person stored
+    forever (seen flag); auctions before the person buffer and flush
+    exactly once on person arrival; auctions after emit immediately."""
+    if state.exists:
+        seen, buf = state.get
+        seen = bool(seen)
+        buf = [tuple(b) for b in (buf or [])]
+    else:
+        seen, buf = False, []
+    out: list[tuple[int, int, int]] = []
+    seller = key[0]
+    batch = pd.concat(list(pdfs)).sort_values("seq")
+    for r in batch.itertuples(index=False):
+        if r.side == "P":
+            if not seen:
+                seen = True
+                out.extend((seller, a, int(r.seq)) for a, _ in buf)
+                buf = []
+        else:
+            if seen:
+                out.append((seller, int(r.auction_id), int(r.seq)))
+            else:
+                buf.append((int(r.auction_id), int(r.seq)))
+    state.update((1 if seen else 0, buf))
+    if out:
+        yield pd.DataFrame(out, columns=["seller", "auction_id", "emit_seq"])
+
+
+def emit_once_join_stream(tagged: DataFrame) -> DataFrame:
+    """`tagged`: streaming DF (key, side, auction_id, seq) — the
+    union-tagged two-input stream (ConnectedStreams/CoFlatMap
+    equivalent, SURVEY §2A 'connect')."""
+    return tagged.groupBy("key").applyInPandasWithState(
+        _emit_once_fn,
+        outputStructType=_EMIT_OUT,
+        stateStructType=_EMIT_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def stateful_session_confs(spark) -> None:
+    """RocksDB state store: required by transformWithState, beneficial
+    for large keyed state with applyInPandasWithState too."""
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
