@@ -187,6 +187,150 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # in the same order as Spark's concat_ws — both use h_{4b}..h_{4b+3}; the
 # SQL uses CONCAT(h0, '|', h1, ...) to match concat_ws('|', ...).
 
+# ------------------------------------------------------- SimHash ----
+
+SIMHASH_BITS = 60  # 15 md5 hex chars → fits signed BIGINT
+SIMHASH_BANDS = 4
+BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS
+HAMMING_MAX = 4  # template-generated corpus: fingerprints correlate heavily
+
+
+def _simhash_digit_sql(d: int) -> str:
+    return f"strpos('0123456789abcdef', substr(h, {d + 1}, 1)) - 1"
+
+
+def _simhash_bitsum_sql(j: int) -> str:
+    d, shift = j // 4, 3 - (j % 4)
+    return f"SUM(2 * ((d{d} >> {shift}) & 1) - 1) AS s{j}"
+
+
+_SIMHASH_FP_SQL = " + ".join(
+    f"(CASE WHEN s{j} >= 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+    for j in range(SIMHASH_BITS)
+)
+
+SIMHASH_FP_SQL = f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+                                 w -> w <> '')) AS tok
+  FROM documents
+),
+hx AS (SELECT doc_id, substr(md5(tok), 1, {SIMHASH_BITS // 4}) AS h FROM toks),
+digits AS (
+  SELECT doc_id,
+    {", ".join(f"{_simhash_digit_sql(d)} AS d{d}" for d in range(SIMHASH_BITS // 4))}
+  FROM hx
+),
+bitsums AS (
+  SELECT doc_id, {", ".join(_simhash_bitsum_sql(j) for j in range(SIMHASH_BITS))}
+  FROM digits GROUP BY doc_id
+)
+SELECT doc_id, {_SIMHASH_FP_SQL} AS fp FROM bitsums
+"""
+
+SIMHASH_PAIRS_SQL = f"""
+WITH fps AS ({SIMHASH_FP_SQL}),
+bands AS (
+  SELECT doc_id, fp,
+    {", ".join(f"(fp >> {BAND_BITS * b}) & {(1 << BAND_BITS) - 1} AS band{b}"
+               for b in range(SIMHASH_BANDS))}
+  FROM fps
+),
+cand AS (
+  {" UNION ".join(
+    f"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.fp AS fa, b.fp AS fb "
+    f"FROM bands a JOIN bands b ON a.band{b} = b.band{b} AND a.doc_id < b.doc_id"
+    for b in range(SIMHASH_BANDS)
+  )}
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(fa, fb)) <= {HAMMING_MAX}
+"""
+
+
+def simhash_fingerprints(docs: DataFrame) -> DataFrame:
+    """60-bit SimHash per doc: each distinct token votes ±1 per bit
+    (bit j of md5(token)); fingerprint bit = sign of the vote sum.
+    One explode + one grouped aggregate (60 map-side-combined SUMs) —
+    the same shuffle shape as a word count, so it scales like one."""
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(
+            F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
+        )).alias("tok"),
+    )
+    h = F.substring(F.md5("tok"), 1, SIMHASH_BITS // 4)
+    digits = toks.select(
+        "doc_id",
+        *[
+            (F.conv(F.substring(h, d + 1, 1), 16, 10).cast("int")).alias(f"d{d}")
+            for d in range(SIMHASH_BITS // 4)
+        ],
+    )
+    bitsums = digits.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.shiftright(F.col(f"d{j // 4}"), 3 - (j % 4)).bitwiseAND(F.lit(1))
+                * 2
+                - 1
+            ).alias(f"s{j}")
+            for j in range(SIMHASH_BITS)
+        ]
+    )
+    fp = F.lit(0).cast("bigint")
+    for j in range(SIMHASH_BITS):
+        fp = fp + F.when(
+            F.col(f"s{j}") >= 0, F.lit(1 << j).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
+    return bitsums.select("doc_id", fp.alias("fp"))
+
+
+@register("dedup_simhash", oracle=SIMHASH_PAIRS_SQL)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 60-bit fingerprints, 4 bands of 15 bits
+    for candidate blocking, Hamming-distance verify (≤ HAMMING_MAX).
+
+    Plan: fingerprinting is one shuffle (8-byte keys); the candidate
+    join shuffles 15-bit band values, never text; verification is a
+    codegen'd bit_count on the pair — the Manku-et-al. design with the
+    permuted-table sweep replaced by band blocking.
+    """
+    docs = table(spark, sf_dir, "documents")
+    fps = simhash_fingerprints(docs)
+    bands = fps.select(
+        "doc_id",
+        "fp",
+        *[
+            F.shiftright(F.col("fp"), BAND_BITS * b)
+            .bitwiseAND(F.lit((1 << BAND_BITS) - 1))
+            .alias(f"band{b}")
+            for b in range(SIMHASH_BANDS)
+        ],
+    )
+    cand = None
+    for b in range(SIMHASH_BANDS):
+        a = bands.select(
+            F.col("doc_id").alias("doc_a"), F.col("fp").alias("fa"),
+            F.col(f"band{b}").alias("bh"),
+        )
+        c = bands.select(
+            F.col("doc_id").alias("doc_b"), F.col("fp").alias("fb"),
+            F.col(f"band{b}").alias("bh"),
+        )
+        pairs = (
+            a.join(c, "bh")
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b", "fa", "fb")
+        )
+        cand = pairs if cand is None else cand.unionByName(pairs)
+    ham = F.bit_count(F.col("fa").bitwiseXOR(F.col("fb")))
+    return (
+        cand.distinct()
+        .where(ham <= HAMMING_MAX)
+        .select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
+    )
+
+
 # ------------------------------------------------- n-gram Jaccard ----
 
 JACCARD_THRESHOLD = 0.5

@@ -116,6 +116,57 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------- embedding-cosine near-dup -----
+
+NEAR_DUP_COS = 0.30  # corpus is near-orthogonal random; 0.30 isolates the tail
+
+COSINE_NEAR_DUP_SQL = f"""
+WITH sc AS (
+  SELECT vec_id, {_SCALED_SQL.format(col="embedding")} AS vec FROM embeddings
+),
+n AS (
+  SELECT vec_id, vec, {_DOT_SQL.format(a="vec", b="vec")} AS norm FROM sc
+),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+    CAST({_DOT_SQL.format(a="a.vec", b="b.vec")} AS DOUBLE)
+      / (SQRT(CAST(a.norm AS DOUBLE)) * SQRT(CAST(b.norm AS DOUBLE))) AS cos
+  FROM n a JOIN n b ON a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, CAST(ROUND(cos, 6) AS DOUBLE) AS cosine_sim
+FROM pairs WHERE cos >= {NEAR_DUP_COS}
+"""
+
+
+@register("cosine_near_dup", oracle=COSINE_NEAR_DUP_SQL)
+def cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: all pairs with cosine ≥
+    threshold. Exact all-pairs baseline (the corollary of
+    knn_bruteforce); at 100 TB one blocks first — LSH sign-bit bands
+    exactly as dedup_minhash_lsh's band join, or cluster-partitioned
+    storage so the pair join is partition-local — and keeps this scoring
+    expression as the verify stage on candidates only."""
+    emb = table(spark, sf_dir, "embeddings")
+    n = _with_norm(emb, "vec_id", "n")
+    a = n.select(
+        F.col("n_id").alias("vec_a"), F.col("n_vec").alias("va"),
+        F.col("n_norm").alias("na"),
+    )
+    b = n.select(
+        F.col("n_id").alias("vec_b"), F.col("n_vec").alias("vb"),
+        F.col("n_norm").alias("nb"),
+    )
+    cos = _dot(F.col("va"), F.col("vb")).cast("double") / (
+        F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
+    )
+    return (
+        a.crossJoin(b)
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .where(cos >= NEAR_DUP_COS)
+        .select("vec_a", "vec_b", F.round(cos, 6).alias("cosine_sim"))
+    )
+
+
 # -------------------------------------------- LSH-bucketed ANN -------
 
 N_SIGN_BITS = 4  # bucket = sign bits of the first 4 dimensions
@@ -203,6 +254,146 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window
 
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), "neighbor_id")
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+    )
+
+
+# ------------------------------------------------------ IVF ANN ------
+
+CENT_MOD = 25  # centroid seeds: every 25th vec_id (deterministic "k-means init")
+N_PROBE_LISTS = 3
+
+
+def _ivf_parts_sql() -> str:
+    """Shared CTE prefix: scaled vectors + norms, centroids, list assignment."""
+    return f"""
+sc AS (
+  SELECT vec_id, {_SCALED_SQL.format(col="embedding")} AS vec FROM embeddings
+),
+n AS (
+  SELECT vec_id, vec, {_DOT_SQL.format(a="vec", b="vec")} AS norm FROM sc
+),
+cents AS (
+  SELECT vec_id AS c_id, vec AS c_vec, norm AS c_norm FROM n
+  WHERE vec_id % {CENT_MOD} = 0
+),
+assign AS (
+  SELECT vec_id, vec, norm, c_id AS list_id FROM (
+    SELECT n.vec_id, n.vec, n.norm, cents.c_id,
+      ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+        CAST({_DOT_SQL.format(a="n.vec", b="c_vec")} AS DOUBLE)
+          / (SQRT(CAST(n.norm AS DOUBLE)) * SQRT(CAST(c_norm AS DOUBLE))) DESC,
+        cents.c_id) AS rn
+    FROM n CROSS JOIN cents
+  ) WHERE rn = 1
+)"""
+
+
+ANN_IVF_SQL = f"""
+WITH {_ivf_parts_sql()},
+q AS (SELECT vec_id AS query_id, vec AS qvec, norm AS qnorm FROM n
+      WHERE vec_id < {N_PROBES}),
+qlists AS (
+  SELECT query_id, qvec, qnorm, c_id AS list_id FROM (
+    SELECT q.query_id, q.qvec, q.qnorm, cents.c_id,
+      ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+        CAST({_DOT_SQL.format(a="qvec", b="c_vec")} AS DOUBLE)
+          / (SQRT(CAST(qnorm AS DOUBLE)) * SQRT(CAST(c_norm AS DOUBLE))) DESC,
+        cents.c_id) AS rn
+    FROM q CROSS JOIN cents
+  ) WHERE rn <= {N_PROBE_LISTS}
+),
+pairs AS (
+  SELECT ql.query_id, a.vec_id AS neighbor_id,
+    CAST(ROUND(CAST({_DOT_SQL.format(a="qvec", b="a.vec")} AS DOUBLE)
+         / (SQRT(CAST(qnorm AS DOUBLE)) * SQRT(CAST(a.norm AS DOUBLE))), 6) AS DOUBLE) AS cosine_sim
+  FROM qlists ql JOIN assign a ON ql.list_id = a.list_id
+  WHERE ql.query_id <> a.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine_sim,
+    ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cosine_sim DESC, neighbor_id) AS rank
+  FROM pairs
+)
+SELECT query_id, neighbor_id, cosine_sim, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+def _nearest_cents(side: DataFrame, cents: DataFrame, id_col: str, keep: int) -> DataFrame:
+    """Rank centroids by cosine for each row of `side`; keep top `keep`."""
+    from pyspark.sql import Window
+
+    cos = _dot(F.col("vec"), F.col("c_vec")).cast("double") / (
+        F.sqrt(F.col("norm").cast("double")) * F.sqrt(F.col("c_norm").cast("double"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("c_cos"), "c_id")
+    return (
+        side.crossJoin(F.broadcast(cents))
+        .withColumn("c_cos", cos)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= keep)
+        .drop("c_vec", "c_norm", "c_cos", "rn")
+        .withColumnRenamed("c_id", "list_id")
+    )
+
+
+@register("ann_ivf", oracle=ANN_IVF_SQL)
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: corpus coarse-quantized to deterministic centroid
+    lists (nearest of the every-CENT_MOD-th vectors); each probe scans
+    only its N_PROBE_LISTS nearest lists.
+
+    Plan: centroids are tiny and broadcast twice (assignment +
+    query-routing) — no shuffle touches the corpus except the final
+    list-id equi-join. At 100 TB the assignment is a write-time step
+    (store embeddings partitioned by list_id) and the probe becomes a
+    partition-pruned scan of nprobe/nlist of the data; centroids come
+    from a real k-means sample instead of the modulo seed.
+
+    Reference has no ANN operator — beyond-reference mandate
+    (training-data pipeline ops).
+    """
+    from pyspark.sql import Window
+
+    emb = table(spark, sf_dir, "embeddings")
+    n = emb.select(
+        "vec_id", _scaled(F.col("embedding")).alias("vec")
+    ).withColumn("norm", _dot(F.col("vec"), F.col("vec")))
+    cents = (
+        n.where(F.col("vec_id") % CENT_MOD == 0)
+        .select(
+            F.col("vec_id").alias("c_id"), F.col("vec").alias("c_vec"),
+            F.col("norm").alias("c_norm"),
+        )
+    )
+    assign = _nearest_cents(n, cents, "vec_id", 1)
+    q = n.where(F.col("vec_id") < N_PROBES)
+    qlists = _nearest_cents(q, cents, "vec_id", N_PROBE_LISTS).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec"),
+        F.col("norm").alias("qnorm"), "list_id",
+    )
+    pairs = (
+        F.broadcast(qlists)
+        .join(assign, "list_id")
+        .where(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                _dot(F.col("qvec"), F.col("vec")).cast("double")
+                / (
+                    F.sqrt(F.col("qnorm").cast("double"))
+                    * F.sqrt(F.col("norm").cast("double"))
+                ),
+                6,
+            ).alias("cosine_sim"),
+        )
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), "neighbor_id")
     return (
         pairs.withColumn("rank", F.row_number().over(w))
