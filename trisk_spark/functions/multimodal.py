@@ -1,0 +1,261 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` columns
+with typed metadata, plus decode / feature-extract / resize /
+frame-sample over ``mapInPandas``.
+
+The container ships no media libs and the testdata has no real media, so
+the *bytes* are synthesized deterministically from ``documents.text``
+(UTF-8 encode — pure ASCII, so byte offsets == char offsets and DuckDB
+can oracle byte-slicing with VARCHAR substr). The decode step is
+STUBBED: ``_decode_image`` tries PIL and falls back to a deterministic
+fake canvas. Everything Spark-side — binary schema, Arrow batch shape,
+mapInPandas signatures, partitioning — is real and is what would run
+unchanged on real media at 100 TB.
+
+Scale design: media ops are embarrassingly parallel map-side work (no
+shuffle at all — mapInPandas over the scan); the only knob that matters
+at 100 TB is input split size (`spark.sql.files.maxPartitionBytes`) so
+one Arrow batch of blobs fits executor memory, and keeping the blob
+column OUT of any shuffle key. Metadata aggregations shuffle only
+(type, bigint) pairs, never bytes.
+
+Reference has no media path at all (text/Kafka only —
+SURVEY.md §2A sources); this module is the beyond-reference
+training-data-pipeline mandate.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from trisk_spark.catalog import table
+from trisk_spark.registry import register
+
+FRAME_BYTES = 16      # "video" frame size in bytes
+FRAME_STRIDE = 4      # sample every 4th frame
+N_HIST_BINS = 8       # byte-histogram feature bins
+FAKE_W, FAKE_H = 16, 12   # fake decoded canvas (w, h)
+OUT_W, OUT_H = 4, 3       # resize target
+
+
+def media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived media view: documents.text → binary blob + typed metadata.
+    media_type cycles image/audio/video by doc_id; width/height are
+    deterministic metadata (the fake "container header")."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.encode("text", "UTF-8").alias("blob"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("media_type"),
+        (32 + (F.col("doc_id") % 8) * 16).cast("int").alias("width"),
+        (32 + (F.col("doc_id") % 5) * 16).cast("int").alias("height"),
+    )
+
+
+_MEDIA_SQL = """
+SELECT doc_id, encode(text) AS blob,
+  (['image', 'audio', 'video'])[CAST(doc_id % 3 AS INT) + 1] AS media_type,
+  CAST(32 + (doc_id % 8) * 16 AS INT) AS width,
+  CAST(32 + (doc_id % 5) * 16 AS INT) AS height
+FROM documents
+"""
+
+# ------------------------------------------------- metadata rollup ---
+
+MEDIA_METADATA_SQL = f"""
+WITH m AS ({_MEDIA_SQL})
+SELECT media_type, COUNT(*) AS n_assets,
+  SUM(octet_length(blob)) AS total_bytes,
+  MAX(octet_length(blob)) AS max_bytes,
+  SUM(CAST(width AS BIGINT) * height) AS total_pixels
+FROM m GROUP BY media_type
+"""
+
+
+@register("media_metadata", oracle=MEDIA_METADATA_SQL)
+def media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed-metadata rollup per media_type. The blob column never
+    enters the shuffle — octet_length is computed at the scan and only
+    (type, bigint) rows move."""
+    m = media(spark, sf_dir)
+    nb = F.expr("octet_length(blob)")
+    return m.groupBy("media_type").agg(
+        F.count("*").alias("n_assets"),
+        F.sum(nb).alias("total_bytes"),
+        F.max(nb).alias("max_bytes"),
+        F.sum(F.col("width").cast("bigint") * F.col("height")).alias("total_pixels"),
+    )
+
+
+# --------------------------------------------------- frame sampling --
+
+_FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_md5", StringType()),
+    ]
+)
+
+
+def _sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: slice each blob into FRAME_BYTES frames, keep
+    every FRAME_STRIDE-th, emit md5 per kept frame."""
+    for pdf in batches:
+        out: dict[str, list] = {"doc_id": [], "frame_idx": [], "frame_md5": []}
+        for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+            data = bytes(blob)
+            for idx in range(0, len(data) // FRAME_BYTES, FRAME_STRIDE):
+                frame = data[idx * FRAME_BYTES:(idx + 1) * FRAME_BYTES]
+                out["doc_id"].append(doc_id)
+                out["frame_idx"].append(idx)
+                out["frame_md5"].append(hashlib.md5(frame).hexdigest())
+        yield pd.DataFrame(out)
+
+
+MEDIA_FRAME_SAMPLE_SQL = f"""
+WITH m AS ({_MEDIA_SQL}),
+v AS (SELECT doc_id, text FROM documents JOIN m USING (doc_id)
+      WHERE media_type = 'video'),
+idx AS (
+  SELECT doc_id, text,
+    unnest(range(0, length(text) // {FRAME_BYTES}, {FRAME_STRIDE})) AS fi
+  FROM v
+)
+SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+  md5(substr(text, CAST(fi * {FRAME_BYTES} + 1 AS INT), {FRAME_BYTES})) AS frame_md5
+FROM idx
+"""
+
+
+@register("media_frame_sample", oracle=MEDIA_FRAME_SAMPLE_SQL)
+def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over video blobs: every FRAME_STRIDE-th
+    FRAME_BYTES-slice, hashed. Arrow-batched mapInPandas directly over
+    the scan — zero shuffle; the oracle slices the same bytes as VARCHAR
+    (corpus is ASCII so char == byte offsets)."""
+    v = media(spark, sf_dir).where(F.col("media_type") == "video").select(
+        "doc_id", "blob"
+    )
+    return v.mapInPandas(_sample_frames, _FRAME_SCHEMA)
+
+
+# ---------------------------------------- byte-histogram features ----
+
+_FEAT_SCHEMA = StructType(
+    [StructField("doc_id", LongType()), StructField("n_bytes", LongType())]
+    + [StructField(f"bin{i}", LongType()) for i in range(N_HIST_BINS)]
+)
+
+
+def _byte_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Feature extraction kernel: 8-bin byte histogram per blob
+    (numpy over the Arrow batch — the shape real image featurizers
+    have: bytes in, fixed-width numeric vector out)."""
+    import numpy as np
+
+    for pdf in batches:
+        rows = []
+        for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+            arr = np.frombuffer(bytes(blob), dtype=np.uint8)
+            hist = np.bincount(arr >> 5, minlength=N_HIST_BINS)
+            rows.append([doc_id, len(arr), *hist.tolist()])
+        yield pd.DataFrame(rows, columns=[f.name for f in _FEAT_SCHEMA.fields])
+
+
+def byte_features_py(text: str) -> list[int]:
+    """Pure-Python oracle for tests: same 8-bin histogram."""
+    data = text.encode()
+    hist = [0] * N_HIST_BINS
+    for b in data:
+        hist[b >> 5] += 1
+    return [len(data), *hist]
+
+
+@register("media_byte_features", oracle=None)
+def media_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched feature extraction (8-bin byte histogram) over all
+    media blobs. oracle=None: histogram-over-blob isn't expressible in
+    DuckDB SQL (no blob unnest); tests/test_multimodal.py holds the
+    pure-Python fold oracle. Zero-shuffle map work."""
+    m = media(spark, sf_dir).select("doc_id", "blob")
+    return m.mapInPandas(_byte_features, _FEAT_SCHEMA)
+
+
+# ------------------------------------------------ decode + resize ----
+
+
+def _decode_image(blob: bytes, width: int, height: int):
+    """Decode stub. Real path would be PIL; the container has no media
+    libs, so fall back to a DETERMINISTIC FAKE canvas: blob bytes tiled
+    row-major onto a FAKE_W×FAKE_H grid. The resize math downstream is
+    real and runs on whatever this returns."""
+    import numpy as np
+
+    try:  # pragma: no cover - PIL absent in this container
+        import io
+
+        from PIL import Image  # noqa: F401
+
+        return np.asarray(Image.open(io.BytesIO(blob)).convert("L"))
+    except Exception:
+        tiled = np.resize(np.frombuffer(blob, dtype=np.uint8), FAKE_W * FAKE_H)
+        return tiled.reshape(FAKE_H, FAKE_W)
+
+
+_RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("out_w", IntegerType()),
+        StructField("out_h", IntegerType()),
+        StructField("pixels", BinaryType()),
+    ]
+)
+
+
+def _resize_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Decode (stubbed) then nearest-neighbor resize to OUT_W×OUT_H."""
+    import numpy as np
+
+    for pdf in batches:
+        out: dict[str, list] = {"doc_id": [], "out_w": [], "out_h": [], "pixels": []}
+        for doc_id, blob, w, h in zip(
+            pdf["doc_id"], pdf["blob"], pdf["width"], pdf["height"]
+        ):
+            img = _decode_image(bytes(blob), int(w), int(h))
+            ys = (np.arange(OUT_H) * img.shape[0]) // OUT_H
+            xs = (np.arange(OUT_W) * img.shape[1]) // OUT_W
+            resized = img[np.ix_(ys, xs)].astype(np.uint8)
+            out["doc_id"].append(doc_id)
+            out["out_w"].append(OUT_W)
+            out["out_h"].append(OUT_H)
+            out["pixels"].append(resized.tobytes())
+        yield pd.DataFrame(out)
+
+
+@register("media_decode_resize", oracle=None)
+def media_decode_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode (stubbed — see _decode_image) + nearest-neighbor resize of
+    image blobs. oracle=None (binary out); tests replay the same kernel
+    in pure Python/numpy. Zero-shuffle map work; at 100 TB this is the
+    canonical 'GPU-adjacent preprocessing' stage — batch size bounded by
+    maxPartitionBytes, pixels never shuffled."""
+    m = media(spark, sf_dir).where(F.col("media_type") == "image").select(
+        "doc_id", "blob", "width", "height"
+    )
+    return m.mapInPandas(_resize_kernel, _RESIZE_SCHEMA)

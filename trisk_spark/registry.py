@@ -67,5 +67,6 @@ def load_all() -> dict[str, QueryDef]:
     import trisk_spark.functions.text  # noqa: F401
     import trisk_spark.functions.dedup  # noqa: F401
     import trisk_spark.functions.similarity  # noqa: F401
+    import trisk_spark.functions.multimodal  # noqa: F401
 
     return REGISTRY
