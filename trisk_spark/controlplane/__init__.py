@@ -1,0 +1,46 @@
+"""Control plane: the Spark-native image of Trisk's StreamManager
+(SURVEY.md §2C).
+
+The reference's contribution is a task-centric abstraction of a running
+job ("Trisk" = TriskImpl.java) plus three live-reconfiguration
+primitives — redistribute workload, redeploy, change-of-logic — applied
+via a pause-at-barrier / migrate / resume protocol
+(ReconfigurationCoordinator.java).
+
+Spark's micro-batch model gives the barrier for free: every batch
+boundary is a consistent quiesce point. The mapping (SURVEY.md §3.2):
+
+| Trisk primitive            | here                                     |
+|----------------------------|------------------------------------------|
+| assignWorkload (key remap) | shuffle-partition change + state re-shard |
+|                            | via checkpointed-source replay            |
+| assignExecutionLogic       | rules re-read per micro-batch (no restart)|
+|                            | or stop→rebuild→resume for real UDF swaps |
+| assignResources (placement)| documented no-op (Spark scheduler's job)  |
+| StreamSwitch auto-scaler   | StreamingQueryListener + DS2-style policy |
+"""
+
+from trisk_spark.controlplane.plan import ExecutionPlan, OperatorDesc, round_robin
+from trisk_spark.controlplane.managed import ManagedQuery, RulesManagedQuery, StagedReplay
+from trisk_spark.controlplane.metrics import ProgressMonitor, StreamSwitchPolicy
+from trisk_spark.controlplane.controllers import (
+    DummyController,
+    PerformanceEvaluator,
+    StockController,
+    run_scripted,
+)
+
+__all__ = [
+    "ExecutionPlan",
+    "OperatorDesc",
+    "round_robin",
+    "ManagedQuery",
+    "RulesManagedQuery",
+    "StagedReplay",
+    "ProgressMonitor",
+    "StreamSwitchPolicy",
+    "DummyController",
+    "PerformanceEvaluator",
+    "StockController",
+    "run_scripted",
+]
