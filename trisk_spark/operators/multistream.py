@@ -1,0 +1,220 @@
+"""Multi-stream / keyed-window operators from SURVEY.md §2A that the
+earlier modules don't cover as standalone queries:
+
+  * intervalJoin (KeyedStream.java:415,543) — keyed time-bounded join;
+  * minBy/maxBy (KeyedStream.java:850,875) — running per-key argmin/max;
+  * coGroup (CoGroupedStreams.java:287) — two-input grouped apply,
+    outer-capable, realized with Spark's native cogroup+applyInPandas;
+  * countWindow (KeyedStream.java:643,653) — per-key fixed-count
+    windows (no native Spark equivalent → rank arithmetic in batch,
+    counter state in streaming).
+
+All on the ``events`` table: clicks joined/cogrouped with purchases.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+from trisk_spark.catalog import table
+from trisk_spark.registry import register
+
+# ---------------------------------------------------- interval join --
+
+INTERVAL_JOIN_SQL = """
+SELECT a.event_id AS click_id, b.event_id AS purchase_id, a.user_id,
+  CAST(date_diff('second', a.ts, b.ts) AS BIGINT) AS gap_s
+FROM (SELECT * FROM events WHERE event_type = 'click') a
+JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+  ON a.user_id = b.user_id
+ AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+"""
+
+
+@register("interval_join", oracle=INTERVAL_JOIN_SQL)
+def interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed time-bounded join: each click matched to the same user's
+    purchases within [ts, ts+1h] — the reference's intervalJoin with
+    bounds (0, +1 hour).
+
+    Plan: equi-key on user_id (one shuffle per side, co-partitioned
+    sort-merge join) with the time bound as a residual range predicate —
+    exactly what Spark's streaming interval join does with watermarks;
+    at scale the range residual keeps state bounded, and neither side is
+    broadcast because both are event-scale."""
+    ev = table(spark, sf_dir, "events")
+    a = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("a_ts")
+    )
+    b = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("b_user"),
+        F.col("ts").alias("b_ts"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("user_id") == F.col("b_user"))
+            & (F.col("b_ts") >= F.col("a_ts"))
+            & (F.col("b_ts") <= F.col("a_ts") + F.expr("INTERVAL 1 HOUR")),
+        )
+        .select(
+            "click_id",
+            "purchase_id",
+            "user_id",
+            (F.unix_timestamp("b_ts") - F.unix_timestamp("a_ts")).alias("gap_s"),
+        )
+    )
+
+
+# ------------------------------------------------------ minBy/maxBy --
+
+# Deterministic argmin/argmax: lexicographic (value, event_id) order on
+# both engines (max_by/arg_max are tie-nondeterministic — SURVEY §5 rule).
+MINBY_MAXBY_SQL = """
+WITH ranked AS (
+  SELECT event_type, event_id, value,
+    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value ASC,  event_id ASC) AS rn_min,
+    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value DESC, event_id ASC) AS rn_max
+  FROM events
+)
+SELECT event_type,
+  MIN(CASE WHEN rn_min = 1 THEN event_id END) AS min_event_id,
+  CAST(ROUND(MIN(CASE WHEN rn_min = 1 THEN value END), 6) AS DOUBLE) AS min_value,
+  MIN(CASE WHEN rn_max = 1 THEN event_id END) AS max_event_id,
+  CAST(ROUND(MIN(CASE WHEN rn_max = 1 THEN value END), 6) AS DOUBLE) AS max_value
+FROM ranked GROUP BY event_type
+"""
+
+
+@register("minby_maxby", oracle=MINBY_MAXBY_SQL)
+def minby_maxby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key argmin/argmax record selection (KeyedStream.minBy/maxBy,
+    used as running aggregates in the reference; here the batch fixpoint).
+
+    Plan: single shuffle on event_type; struct MIN/MAX gives the argmin
+    with a deterministic (value, id) tie-break and full map-side partial
+    aggregation — no window sort, no second shuffle."""
+    ev = table(spark, sf_dir, "events")
+    vmin = F.min(F.struct(F.col("value"), F.col("event_id"))).alias("lo")
+    vmax = F.max(
+        F.struct(F.col("value"), (-F.col("event_id")).alias("neg_id"))
+    ).alias("hi")
+    return (
+        ev.groupBy("event_type")
+        .agg(vmin, vmax)
+        .select(
+            "event_type",
+            F.col("lo.event_id").alias("min_event_id"),
+            F.round(F.col("lo.value"), 6).alias("min_value"),
+            (-F.col("hi.neg_id")).alias("max_event_id"),
+            F.round(F.col("hi.value"), 6).alias("max_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------- coGroup --
+
+_COGROUP_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_clicks", LongType()),
+        StructField("n_purchases", LongType()),
+    ]
+)
+
+
+def _cogroup_fn(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+    """Full-outer grouped apply: both sides of one key arrive together
+    (empty frame when a side has no rows — the outer-join capability
+    CoGroupedStreams documents)."""
+    uid = left["user_id"].iloc[0] if len(left) else right["user_id"].iloc[0]
+    return pd.DataFrame(
+        {"user_id": [uid], "n_clicks": [len(left)], "n_purchases": [len(right)]}
+    )
+
+
+COGROUP_SQL = """
+WITH c AS (SELECT user_id, COUNT(*) AS n_clicks FROM events
+           WHERE event_type = 'click' GROUP BY user_id),
+p AS (SELECT user_id, COUNT(*) AS n_purchases FROM events
+      WHERE event_type = 'purchase' GROUP BY user_id)
+SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+  COALESCE(n_clicks, 0) AS n_clicks,
+  COALESCE(n_purchases, 0) AS n_purchases
+FROM c FULL OUTER JOIN p ON c.user_id = p.user_id
+"""
+
+
+@register("cogroup_apply", oracle=COGROUP_SQL)
+def cogroup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-input grouped apply via Spark's native cogroup — the
+    reference's coGroup().where().equalTo().apply(), outer-capable.
+
+    Plan: both sides shuffle once on user_id, co-partitioned; the Arrow
+    batch per key carries both sides. At 100 TB: this exact op with a
+    cheap per-key fn should be the DataFrame full-outer join (the oracle
+    SQL *is* the fast plan) — cogroup is the escape hatch for arbitrary
+    per-key two-input logic, kept here to pin the API's semantics."""
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "event_id")
+    purch = ev.where(F.col("event_type") == "purchase").select("user_id", "event_id")
+    return (
+        clicks.groupBy("user_id")
+        .cogroup(purch.groupBy("user_id"))
+        .applyInPandas(_cogroup_fn, _COGROUP_SCHEMA)
+    )
+
+
+# ------------------------------------------------------ countWindow --
+
+COUNT_WINDOW_N = 5
+
+COUNT_WINDOW_SQL = f"""
+WITH seq AS (
+  SELECT user_id, value,
+    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS seq
+  FROM events
+),
+w AS (SELECT user_id, seq // {COUNT_WINDOW_N} AS win, value FROM seq)
+SELECT user_id, CAST(win AS BIGINT) AS win, COUNT(*) AS n,
+  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value
+FROM w GROUP BY user_id, win
+HAVING COUNT(*) = {COUNT_WINDOW_N}
+"""
+
+
+@register("count_window", oracle=COUNT_WINDOW_SQL)
+def count_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key count windows of {COUNT_WINDOW_N} events in (ts, id)
+    order, emitting only complete windows — KeyedStream.countWindow's
+    trigger-at-N semantics (the streaming form is counter state in
+    streaming/state.py's pattern).
+
+    Plan: one shuffle on user_id; the rank is a per-partition sort
+    within the window operator (no global sort); the aggregate reuses
+    the same partitioning — Spark plans both stages in one exchange."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "user_id",
+            "value",
+            ((F.row_number().over(w) - 1) / COUNT_WINDOW_N).cast("bigint").alias("win"),
+        )
+        .groupBy("user_id", "win")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .where(F.col("n") == COUNT_WINDOW_N)
+    )
