@@ -36,8 +36,14 @@ HEADLINE = [
     "wordcount",
     "stock_matchmaker",
     "dedup_minhash_lsh",
+    "dedup_simhash",
     "ngram_jaccard",
     "knn_bruteforce",
+    "ann_ivf",
+    "cosine_near_dup",
+    "interval_join",
+    "count_window",
+    "media_frame_sample",
     "fraud_alerts",
 ]
 

@@ -87,17 +87,19 @@ FROM (SELECT doc_id, list_filter(string_split(lower(text), ' '), w -> w <> '') A
 """
 
 
-def shingles(docs: DataFrame) -> DataFrame:
-    """Distinct k-word shingles per doc (Spark mirror of SHINGLES_SQL)."""
+def shingles(docs: DataFrame, distinct: bool = True) -> DataFrame:
+    """k-word shingles per doc (Spark mirror of SHINGLES_SQL).
+
+    ``distinct=False`` skips the dedup shuffle for consumers whose
+    aggregate is duplicate-insensitive (MIN for minhash) — same result,
+    one less exchange."""
     ws = F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
     sh = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(ws) - (SHINGLE_K - 1), F.lit(0))),
         lambda i: F.concat_ws(" ", F.slice(ws, i, SHINGLE_K)),
     )
-    return (
-        docs.select("doc_id", F.explode(sh).alias("shingle"))
-        .distinct()
-    )
+    out = docs.select("doc_id", F.explode(sh).alias("shingle"))
+    return out.distinct() if distinct else out
 
 
 # --------------------------------------------------- MinHash + LSH ---
@@ -145,7 +147,8 @@ SELECT DISTINCT doc_a, doc_b FROM cand
 
 
 def minhash_signatures(docs: DataFrame) -> DataFrame:
-    sh = shingles(docs)
+    # MIN is duplicate-insensitive → no distinct pass over the shingles.
+    sh = shingles(docs, distinct=False)
     return sh.groupBy("doc_id").agg(
         *[_perm_hash(i).alias(f"h{i}") for i in range(N_PERMS)]
     )
@@ -161,26 +164,46 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = table(spark, sf_dir, "documents")
     sig = minhash_signatures(docs)
+    # Long form: one (doc_id, band_idx, band_hash) row per band, ONE
+    # self-join on (band_idx, hash). Both join sides are identical
+    # subplans, so ReuseExchange computes the signature pipeline once
+    # (the wide form ran it 2 x N_BANDS times).
     bands = sig.select(
         "doc_id",
-        *[
-            F.md5(
-                F.concat_ws(
-                    "|", *[f"h{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
-                )
-            ).alias(f"band{b}")
-            for b in range(N_BANDS)
-        ],
-    )
-    cand = None
-    for b in range(N_BANDS):
-        a = bands.select(F.col("doc_id").alias("doc_a"), F.col(f"band{b}").alias("bh"))
-        c = bands.select(F.col("doc_id").alias("doc_b"), F.col(f"band{b}").alias("bh"))
-        pairs = a.join(c, "bh").where(F.col("doc_a") < F.col("doc_b")).select(
-            "doc_a", "doc_b"
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                *[
+                                    f"h{b * ROWS_PER_BAND + r}"
+                                    for r in range(ROWS_PER_BAND)
+                                ],
+                            )
+                        ).alias("bh"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_idx", "band.bh")
+    # Alias self-join: both sides are the SAME plan subtree, so the
+    # exchange (and the whole signature pipeline under it) is computed
+    # once and reused for the other side.
+    return (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        cand = pairs if cand is None else cand.unionByName(pairs)
-    return cand.distinct()
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
 
 
 # NOTE: DuckDB's md5(CONCAT(...)) of band member hashes must concatenate
@@ -297,35 +320,42 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = table(spark, sf_dir, "documents")
     fps = simhash_fingerprints(docs)
+    # Long form (see dedup_minhash_lsh): one self-join on (band_idx,
+    # band value) instead of one join per band → ReuseExchange computes
+    # the fingerprint pipeline once.
     bands = fps.select(
         "doc_id",
         "fp",
-        *[
-            F.shiftright(F.col("fp"), BAND_BITS * b)
-            .bitwiseAND(F.lit((1 << BAND_BITS) - 1))
-            .alias(f"band{b}")
-            for b in range(SIMHASH_BANDS)
-        ],
-    )
-    cand = None
-    for b in range(SIMHASH_BANDS):
-        a = bands.select(
-            F.col("doc_id").alias("doc_a"), F.col("fp").alias("fa"),
-            F.col(f"band{b}").alias("bh"),
-        )
-        c = bands.select(
-            F.col("doc_id").alias("doc_b"), F.col("fp").alias("fb"),
-            F.col(f"band{b}").alias("bh"),
-        )
-        pairs = (
-            a.join(c, "bh")
-            .where(F.col("doc_a") < F.col("doc_b"))
-            .select("doc_a", "doc_b", "fa", "fb")
-        )
-        cand = pairs if cand is None else cand.unionByName(pairs)
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.shiftright(F.col("fp"), BAND_BITS * b)
+                        .bitwiseAND(F.lit((1 << BAND_BITS) - 1))
+                        .alias("bv"),
+                    )
+                    for b in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "fp", "band.band_idx", "band.bv")
     ham = F.bit_count(F.col("fa").bitwiseXOR(F.col("fb")))
     return (
-        cand.distinct()
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.fp").alias("fa"),
+            F.col("b.fp").alias("fb"),
+        )
+        .distinct()
         .where(ham <= HAMMING_MAX)
         .select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
     )
