@@ -1,0 +1,153 @@
+"""Queryable state, streaming count windows, side outputs, late-data
+capture — the §2A rows beyond the core streaming suite."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from trisk_spark.catalog import table
+from trisk_spark.operators.multistream import COUNT_WINDOW_N as BATCH_N
+from trisk_spark.operators.multistream import count_window as count_window_batch
+from trisk_spark.streaming.queryable import lookup_key, read_keyed_state
+from trisk_spark.streaming.sinks import side_output_fanout, with_late_data_capture
+from trisk_spark.streaming.sources import checkpoint_dir, replay_stream
+from trisk_spark.streaming.state import COUNT_WINDOW_N, count_window_stream
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_count_window_stream_equals_batch(spark):
+    assert COUNT_WINDOW_N == BATCH_N  # same trigger size both forms
+    stream = replay_stream(spark, SF, "events", n_chunks=6)
+    out = count_window_stream(stream.select("user_id", "ts", "event_id", "value"))
+    emitted = []
+
+    def collect(bdf, bid):
+        emitted.extend(bdf.collect())
+
+    q = (
+        out.writeStream.outputMode("append")
+        .foreachBatch(collect)
+        .option("checkpointLocation", checkpoint_dir("cw"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {(r.user_id, r.win): (r.n, r.total_cents) for r in emitted}
+    assert len(got) == len(emitted), "window fired twice"
+
+    want = {
+        (r.user_id, r.win): (r.n, int(round(r.total_value * 100)))
+        for r in count_window_batch(spark, SF).collect()
+    }
+    assert got == want
+    assert want, "no complete windows in fixture — vacuous"
+
+
+def test_queryable_state_reads_running_counts(spark):
+    stream = replay_stream(spark, SF, "events", n_chunks=2)
+    agg = stream.groupBy("event_type").agg(F.count("*").alias("cnt"))
+    ckpt = checkpoint_dir("qs")
+    q = (
+        agg.writeStream.outputMode("update")
+        .format("noop")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    state = read_keyed_state(spark, ckpt)
+    # value struct holds the aggregation BUFFER with internal field
+    # names (e.g. `count`), not output aliases — read positionally.
+    got = {r["key"]["event_type"]: r["value"][0] for r in state.collect()}
+    want = {
+        r.event_type: r.cnt
+        for r in table(spark, SF, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    assert got == want
+
+    k = next(iter(want))
+    point = lookup_key(spark, ckpt, "event_type", k).collect()
+    assert len(point) == 1 and point[0][1] == want[k]
+
+
+def test_side_output_fanout_routes_and_main(spark):
+    stream = replay_stream(spark, SF, "events", n_chunks=2)
+    buckets: dict[str, list] = {}
+
+    def sink(tag, bdf, bid):
+        buckets.setdefault(tag, []).extend(r.event_id for r in bdf.collect())
+
+    q = side_output_fanout(
+        stream,
+        {
+            "clicks": F.col("event_type") == "click",
+            "purchases": F.col("event_type") == "purchase",
+        },
+        sink,
+        checkpoint_dir("fanout"),
+    ).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    ev = table(spark, SF, "events")
+    by_type = {
+        t: sorted(
+            r.event_id for r in ev.where(F.col("event_type") == t).collect()
+        )
+        for t in ("click", "purchase")
+    }
+    assert sorted(buckets["clicks"]) == by_type["click"]
+    assert sorted(buckets["purchases"]) == by_type["purchase"]
+    n_total = ev.count()
+    assert len(buckets["main"]) == n_total - len(by_type["click"]) - len(
+        by_type["purchase"]
+    )
+
+
+def test_late_data_capture_dead_letters_out_of_order_rows(spark):
+    # Craft a stream with one late chunk: order events descending so
+    # later files carry older timestamps than the watermark.
+    ev = table(spark, SF, "events").orderBy(F.desc("ts")).limit(200)
+    import tempfile, os, time
+
+    out_dir = tempfile.mkdtemp(prefix="late-src-")
+    ev.withColumn("inv", -F.col("event_id")).orderBy(F.desc("ts")).coalesce(
+        1
+    ).write.mode("overwrite").parquet(out_dir)
+    # split manually: chunk1 = newest half, chunk2 = oldest half (late)
+    df = spark.read.parquet(out_dir)
+    newest = df.orderBy(F.desc("ts")).limit(100)
+    oldest = df.orderBy(F.asc("ts")).limit(100)
+    src = tempfile.mkdtemp(prefix="late-live-")
+    newest.coalesce(1).write.mode("append").parquet(src)
+    time.sleep(0.01)
+    for f in os.listdir(src):
+        if f.startswith("part-"):
+            os.utime(os.path.join(src, f), times=(time.time() - 100, time.time() - 100))
+    oldest.coalesce(1).write.mode("append").parquet(src)
+
+    late_rows: list = []
+
+    def on_late(bdf, bid):
+        late_rows.extend(bdf.collect())
+
+    stream = (
+        spark.readStream.schema(df.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = with_late_data_capture(
+        stream, "ts", "1 hour", on_late, checkpoint_dir("late")
+    ).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    assert late_rows, "no late rows captured — fixture did not produce lateness"
+    # every captured row is genuinely > 1h older than the max seen first
+    max_ts = newest.agg(F.max("ts")).collect()[0][0]
+    import datetime
+
+    for r in late_rows:
+        assert r.ts < max_ts - datetime.timedelta(hours=1)

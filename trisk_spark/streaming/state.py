@@ -243,3 +243,61 @@ def stateful_session_confs(spark) -> None:
         "spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     )
+
+
+# ---------------------------------------------- count windows --------
+
+_CW_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("win", LongType()),
+        StructField("n", LongType()),
+        StructField("total_cents", LongType()),
+    ]
+)
+# (next window index, events so far in it, value sum so far in cents)
+_CW_STATE = StructType(
+    [
+        StructField("win", LongType()),
+        StructField("n", LongType()),
+        StructField("sum_cents", LongType()),
+    ]
+)
+
+COUNT_WINDOW_N = 5
+
+
+def _count_window_fn(
+    key, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Count-window with a fire-at-N trigger (KeyedStream.countWindow
+    + Query11's MaxLogEventsTrigger, Query11.java:93-144): buffer per
+    key, emit one aggregate row the moment the window has N events;
+    the partial window stays in state (never emitted — PURGE on fire).
+    Values are summed in integer cents so replay order can't change
+    the float result."""
+    win, n, s = state.get if state.exists else (0, 0, 0)
+    out: list[tuple[int, int, int, int]] = []
+    batch = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+    for cents in (batch["value"] * 100).round().astype("int64"):
+        n += 1
+        s += int(cents)
+        if n == COUNT_WINDOW_N:
+            out.append((key[0], win, n, s))
+            win, n, s = win + 1, 0, 0
+    state.update((win, n, s))
+    if out:
+        yield pd.DataFrame(out, columns=["user_id", "win", "n", "total_cents"])
+
+
+def count_window_stream(events: DataFrame) -> DataFrame:
+    """Per-key count windows over an events stream; fires exactly when
+    the N-th event arrives (count trigger), append output. Batch
+    equivalent: operators/multistream.count_window."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _count_window_fn,
+        outputStructType=_CW_OUT,
+        stateStructType=_CW_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
