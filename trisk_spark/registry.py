@@ -65,6 +65,7 @@ def load_all() -> dict[str, QueryDef]:
     import trisk_spark.operators.stateful  # noqa: F401
     import trisk_spark.operators.fraud  # noqa: F401
     import trisk_spark.operators.multistream  # noqa: F401
+    import trisk_spark.operators.async_io  # noqa: F401
     import trisk_spark.functions.text  # noqa: F401
     import trisk_spark.functions.dedup  # noqa: F401
     import trisk_spark.functions.similarity  # noqa: F401
