@@ -151,3 +151,34 @@ def test_late_data_capture_dead_letters_out_of_order_rows(spark):
 
     for r in late_rows:
         assert r.ts < max_ts - datetime.timedelta(hours=1)
+
+
+def test_sliding_count_window_stream_equals_batch(spark):
+    from trisk_spark.operators.multistream import sliding_count_window
+    from trisk_spark.streaming.state import sliding_count_avg_stream
+
+    stream = replay_stream(spark, SF, "events", n_chunks=5)
+    out = sliding_count_avg_stream(
+        stream.select("user_id", "ts", "event_id", "value")
+    )
+    emitted = []
+
+    def collect(bdf, bid):
+        emitted.extend(bdf.collect())
+
+    q = (
+        out.writeStream.outputMode("append")
+        .foreachBatch(collect)
+        .option("checkpointLocation", checkpoint_dir("slide"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {(r.user_id, r.event_id): r.avg_last_5 for r in emitted}
+    assert len(got) == len(emitted), "duplicate per-event emission"
+
+    want = {
+        (r.user_id, r.event_id): r.avg_last_5
+        for r in sliding_count_window(spark, SF).collect()
+    }
+    assert got == want

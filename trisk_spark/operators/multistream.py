@@ -218,3 +218,46 @@ def count_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n") == COUNT_WINDOW_N)
     )
+
+
+# ------------------------------------------- evictor (last-N) window --
+
+EVICT_N = 5  # CountEvictor size: keep the last 5 elements per key
+
+SLIDING_COUNT_WINDOW_SQL = f"""
+SELECT user_id, event_id,
+  CAST(ROUND(CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS DOUBLE)
+       / COUNT(*) OVER w / 100, 4) AS DOUBLE) AS avg_last_{EVICT_N}
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN {EVICT_N - 1} PRECEDING AND CURRENT ROW)
+"""
+
+
+@register("sliding_count_window", oracle=SLIDING_COUNT_WINDOW_SQL)
+def sliding_count_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-evictor window: per key, on every event, aggregate over the
+    last EVICT_N elements — countWindow(size, slide=1) with a
+    CountEvictor (api/windowing/evictors/CountEvictor; SURVEY §2A
+    'Evictors'). Values summed in integer cents so frame order can't
+    change the float result; streaming form:
+    streaming/state.sliding_count_avg_stream (list-state ring buffer).
+
+    Plan: one shuffle on user_id + an in-partition running frame — no
+    self-join, no second exchange."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(EVICT_N - 1), 0)
+    )
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(
+            F.sum(cents).over(w).cast("double") / F.count("*").over(w) / 100, 4
+        ).alias(f"avg_last_{EVICT_N}"),
+    )

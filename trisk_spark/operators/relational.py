@@ -310,3 +310,92 @@ def tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("w.start").alias("window_start"), "event_type", "n", "total_value"
         )
     )
+
+
+# ------------------------------------------- semi / anti joins -------
+# The reference has NO semi/anti join (SURVEY §2A "Not present" row) —
+# Spark superset, pinned here so the capability is tested.
+
+SEMI_JOIN_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_discount > 0.06
+  )
+GROUP BY o_orderpriority
+"""
+
+
+@register("semi_join_orders", oracle=SEMI_JOIN_SQL)
+def semi_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shaped LEFT SEMI join (EXISTS): priorities of orders
+    having at least one deeply-discounted line.
+
+    Plan: the discount filter pushes into the lineitem scan; the semi
+    join dedups matches engine-side (no distinct materialization) and
+    only orders columns survive; one final single-column shuffle for
+    the count."""
+    orders = table(spark, sf_dir, "orders")
+    disc = table(spark, sf_dir, "lineitem").where(F.col("l_discount") > 0.06)
+    return (
+        orders.join(disc, orders.o_orderkey == disc.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+CUSTOMERS_NO_ORDERS_SQL = """
+SELECT c_nationkey, COUNT(*) AS n_customers
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_nationkey
+"""
+
+
+@register("customers_without_orders", oracle=CUSTOMERS_NO_ORDERS_SQL)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join (NOT EXISTS): customers that never ordered,
+    counted per nation. Anti join streams the probe side; only the
+    custkey column of orders is read (column pruning through the anti
+    join)."""
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+TPCH_Q6_SQL = """
+SELECT CAST(SUM(l_extendedprice * l_discount) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= DATE '1994-01-01' AND l_shipdate < DATE '1995-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@register("tpch_q6", oracle=TPCH_Q6_SQL)
+def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 forecasting revenue: the canonical pushdown probe —
+    every predicate reaches the parquet scan (PushedFilters), only
+    3 columns are read, and the single global aggregate needs a
+    one-row shuffle. DECIMAL multiply keeps Spark and DuckDB
+    bit-identical (both compute exact decimal then cast)."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1994-01-01"))
+            & (F.col("l_shipdate") < F.lit("1995-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(F.col("l_extendedprice") * F.col("l_discount"))
+            .cast("double")
+            .alias("revenue")
+        )
+    )

@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     ArrayType,
+    DoubleType,
     LongType,
     StringType,
     StructField,
@@ -298,6 +299,53 @@ def count_window_stream(events: DataFrame) -> DataFrame:
         _count_window_fn,
         outputStructType=_CW_OUT,
         stateStructType=_CW_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ------------------------------------- evictor (last-N) sliding avg --
+
+EVICT_N = 5
+
+_SLIDE_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_id", LongType()),
+        StructField("avg_last_5", DoubleType()),
+    ]
+)
+_SLIDE_STATE = StructType([StructField("ring", ArrayType(LongType()))])
+
+
+def _sliding_count_fn(
+    key, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """CountEvictor ring buffer: keep the last EVICT_N-1 values in list
+    state; each arriving event emits the aggregate over itself plus the
+    retained window, then evicts the oldest (SURVEY §2A 'Evictors' —
+    emulated in a state op, the documented divergence closed)."""
+    ring = list(state.get[0] or []) if state.exists else []
+    out: list[tuple[int, int, float]] = []
+    batch = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+    for eid, cents in zip(
+        batch["event_id"], (batch["value"] * 100).round().astype("int64")
+    ):
+        ring.append(int(cents))
+        if len(ring) > EVICT_N:
+            ring.pop(0)  # the evictor
+        out.append((key[0], int(eid), round(sum(ring) / len(ring) / 100, 4)))
+    state.update((ring[-(EVICT_N - 1):] if EVICT_N > 1 else [],))
+    yield pd.DataFrame(out, columns=["user_id", "event_id", "avg_last_5"])
+
+
+def sliding_count_avg_stream(events: DataFrame) -> DataFrame:
+    """Streaming count-evictor window; batch equivalent:
+    operators/multistream.sliding_count_window."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _sliding_count_fn,
+        outputStructType=_SLIDE_OUT,
+        stateStructType=_SLIDE_STATE,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
