@@ -126,3 +126,34 @@ def test_emit_once_join(spark):
         """
     ).fetchall()
     assert sorted(auction_ids) == sorted(e[0] for e in expected)
+
+
+def test_delta_trigger_matches_replay_fold(spark):
+    """Independent oracle: itertools.groupby fold over DuckDB-ordered
+    rows (engine uses a pandas per-key walk)."""
+    from itertools import groupby
+
+    from trisk_spark.operators.multistream import DELTA_THRESHOLD
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT user_id, event_id, CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM read_parquet('{SF_DIR}/events.parquet')
+        ORDER BY user_id, ts, event_id
+        """
+    ).fetchall()
+    thresh = int(round(DELTA_THRESHOLD * 100))
+    want = set()
+    for uid, grp in groupby(rows, key=lambda r: r[0]):
+        last = None
+        for _, eid, cents in grp:
+            if last is None or abs(cents - last) > thresh:
+                want.add((uid, eid))
+                last = cents
+    got = {
+        (r.user_id, r.event_id)
+        for r in QUERIES["delta_trigger"].fn(spark, SF_DIR).collect()
+    }
+    assert got == want
+    assert len(want) < len(rows), "trigger never suppressed — vacuous"

@@ -182,3 +182,30 @@ def test_sliding_count_window_stream_equals_batch(spark):
         for r in sliding_count_window(spark, SF).collect()
     }
     assert got == want
+
+
+def test_delta_trigger_stream_equals_batch(spark):
+    from trisk_spark.operators.multistream import delta_trigger
+    from trisk_spark.streaming.state import delta_trigger_stream
+
+    stream = replay_stream(spark, SF, "events", n_chunks=5)
+    out = delta_trigger_stream(stream.select("user_id", "ts", "event_id", "value"))
+    emitted = []
+
+    def collect(bdf, bid):
+        emitted.extend(bdf.collect())
+
+    q = (
+        out.writeStream.outputMode("append")
+        .foreachBatch(collect)
+        .option("checkpointLocation", checkpoint_dir("delta"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {(r.user_id, r.event_id) for r in emitted}
+    assert len(got) == len(emitted), "duplicate firing"
+    want = {
+        (r.user_id, r.event_id) for r in delta_trigger(spark, SF).collect()
+    }
+    assert got == want

@@ -261,3 +261,92 @@ def sliding_count_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(cents).over(w).cast("double") / F.count("*").over(w) / 100, 4
         ).alias(f"avg_last_{EVICT_N}"),
     )
+
+
+# ------------------------------------------- evictor (time) window --
+
+TIME_EVICTOR_SQL = """
+SELECT user_id, event_id, COUNT(*) OVER w AS n_last_hour,
+  CAST(ROUND(CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS DOUBLE)
+       / 100, 2) AS DOUBLE) AS sum_last_hour
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+"""
+
+
+@register("time_evictor_window", oracle=TIME_EVICTOR_SQL)
+def time_evictor_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TimeEvictor (api/windowing/evictors/TimeEvictor; SURVEY §2A
+    'Evictors'): per key, on every event, aggregate over elements whose
+    timestamp falls in the trailing hour. Batch image = a RANGE frame
+    keyed on event time; ts ties are peer rows in the frame on both
+    engines, and integer-cent summation makes the result frame-order
+    independent.
+
+    Plan: one shuffle on user_id + an in-partition sort; the running
+    range frame is a single pass — no self-join on the time bound."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.count("*").over(w).alias("n_last_hour"),
+        F.round(F.sum(cents).over(w).cast("double") / 100, 2).alias(
+            "sum_last_hour"
+        ),
+    )
+
+
+# ------------------------------------------------------ delta trigger --
+
+DELTA_THRESHOLD = 30.0  # fire when |value - last_fired_value| > threshold
+
+_DELTA_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_id", LongType()),
+    ]
+)
+
+
+def _delta_trigger_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+    """DeltaTrigger replay (api/windowing/triggers/DeltaTrigger; SURVEY
+    §2A 'Triggers'): walk the key's events in (ts, event_id) order and
+    fire whenever the value deviates from the last *fired* value by more
+    than DELTA_THRESHOLD; the first element always fires. Inherently
+    sequential per key → Arrow-batched grouped apply; streaming twin
+    keeps last_fired in value state (streaming/state.delta_trigger_stream)."""
+    pdf = pdf.sort_values(["ts", "event_id"])
+    thresh_cents = int(round(DELTA_THRESHOLD * 100))
+    fired: list[int] = []
+    last: int | None = None  # integer cents: exact, stream-state safe
+    for eid, cents in zip(
+        pdf["event_id"], (pdf["value"] * 100).round().astype("int64")
+    ):
+        if last is None or abs(int(cents) - last) > thresh_cents:
+            fired.append(int(eid))
+            last = int(cents)
+    uid = int(pdf["user_id"].iloc[0])
+    return pd.DataFrame({"user_id": [uid] * len(fired), "event_id": fired})
+
+
+@register("delta_trigger", oracle=None)
+def delta_trigger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-trigger firings per key (no SQL oracle — the fire decision
+    depends on the previous *emitted* row, a sequential fold; verified
+    by the pure-Python replay oracle in tests/test_stateful.py and the
+    stream≡batch test in tests/test_streaming_extras.py).
+
+    Plan: one shuffle on user_id; per-key Python walk over an Arrow
+    batch — at 100 TB keys are independent, so this parallelizes to
+    however many cores hold the shuffle output."""
+    ev = table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    return ev.groupBy("user_id").applyInPandas(_delta_trigger_fn, _DELTA_SCHEMA)

@@ -369,9 +369,9 @@ def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 TPCH_Q6_SQL = """
-SELECT CAST(SUM(l_extendedprice * l_discount) AS DOUBLE) AS revenue
+SELECT CAST(ROUND(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
 FROM lineitem
-WHERE l_shipdate >= DATE '1994-01-01' AND l_shipdate < DATE '1995-01-01'
+WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
   AND l_discount BETWEEN 0.05 AND 0.07
   AND l_quantity < 24
 """
@@ -382,20 +382,282 @@ def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 forecasting revenue: the canonical pushdown probe —
     every predicate reaches the parquet scan (PushedFilters), only
     3 columns are read, and the single global aggregate needs a
-    one-row shuffle. DECIMAL multiply keeps Spark and DuckDB
-    bit-identical (both compute exact decimal then cast)."""
+    one-row shuffle. The product is cast to DECIMAL before summing so
+    the result is order-insensitive on both engines (testdata dates
+    span 1995–2001, so the 1996 year filter is selective, not empty)."""
     li = table(spark, sf_dir, "lineitem")
+    return li.where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(
+            F.sum(
+                (F.col("l_extendedprice") * F.col("l_discount")).cast(
+                    "decimal(18,6)"
+                )
+            ),
+            2,
+        )
+        .cast("double")
+        .alias("revenue")
+    )
+
+
+# ------------------------------------------- deeper TPC-H coverage --
+# (adapted to the driver's reduced schemas: no partsupp table, no
+# shipmode/commitdate columns — queries needing those are out of scope)
+
+TPCH_Q7_SQL = f"""
+SELECT supp_nation, cust_nation, l_year,
+  CAST(ROUND(SUM(volume), 2) AS DOUBLE) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         EXTRACT(year FROM l.l_shipdate) AS l_year,
+         {_REVENUE.replace('l_', 'l.l_')} AS volume
+  FROM supplier s
+  JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+  JOIN orders o   ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+  JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+)
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+@register("tpch_q7", oracle=TPCH_Q7_SQL)
+def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 volume shipping: bilateral trade revenue by year between
+    two nations (testdata names: NATION_1/NATION_2). Plan: both nation joins and supplier/customer broadcast
+    (dims are 1/10th lineitem); the disjunctive nation pair filter prunes
+    before the big lineitem⋈orders shuffle; 3-key final agg is tiny."""
+    sf = lambda n: table(spark, sf_dir, n)  # noqa: E731
+    n1 = sf("nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = sf("nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
     return (
-        li.where(
-            (F.col("l_shipdate") >= F.lit("1994-01-01"))
-            & (F.col("l_shipdate") < F.lit("1995-01-01"))
-            & (F.col("l_discount") >= 0.05)
-            & (F.col("l_discount") <= 0.07)
-            & (F.col("l_quantity") < 24)
+        sf("lineitem")
+        .join(sf("orders"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(sf("supplier")), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(sf("customer")), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .where(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
         )
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(F.round(F.sum(revenue), 2).cast("double").alias("revenue"))
+    )
+
+
+TPCH_Q10_SQL = f"""
+SELECT c.c_custkey, c.c_name,
+  CAST(ROUND(SUM({_REVENUE.replace('l_', 'l.l_')}), 2) AS DOUBLE) AS revenue,
+  CAST(c.c_acctbal AS DOUBLE) AS c_acctbal, n.n_name AS nation
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderdate >= DATE '1996-01-01' AND o.o_orderdate < DATE '1996-04-01'
+  AND l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+ORDER BY revenue DESC, c.c_custkey
+LIMIT 20
+"""
+
+
+@register("tpch_q10", oracle=TPCH_Q10_SQL)
+def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 returned-item reporting: top-20 customers by lost
+    revenue on returned items in one quarter. Plan: date filter pushes
+    into the orders scan and returnflag into lineitem before their
+    shuffle join; customer+nation broadcast onto the aggregate's output
+    side; top-k via TakeOrderedAndProject (no global sort)."""
+    sfn = lambda n: table(spark, sf_dir, n)  # noqa: E731
+    o = sfn("orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01"))
+    )
+    li = sfn("lineitem").where(F.col("l_returnflag") == "R")
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(sfn("customer")), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(sfn("nation")), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            "c_custkey",
+            "c_name",
+            F.col("c_acctbal").cast("double").alias("c_acctbal"),
+            F.col("n_name").alias("nation"),
+        )
+        .agg(F.round(F.sum(revenue), 2).cast("double").alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "nation")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+TPCH_Q14_SQL = f"""
+SELECT CAST(ROUND(
+    100.00 * CAST(SUM(CASE WHEN p.p_type LIKE 'PROMO%%'
+                           THEN {_REVENUE.replace('l_', 'l.l_')} ELSE 0 END) AS DOUBLE)
+           / CAST(SUM({_REVENUE.replace('l_', 'l.l_')}) AS DOUBLE), 4) AS DOUBLE)
+  AS promo_revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= DATE '1996-01-01' AND l.l_shipdate < DATE '1996-02-01'
+"""
+
+
+@register("tpch_q14", oracle=TPCH_Q14_SQL)
+def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 promotion effect: percent of one month's revenue from
+    PROMO parts — conditional aggregation through a join. Plan: the
+    month filter pushes into the lineitem scan, part broadcasts, and the
+    single global agg combines both sums in one pass (no second scan)."""
+    li = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-02-01"))
+    )
+    p = table(spark, sf_dir, "part")
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    promo = F.when(F.col("p_type").like("PROMO%"), revenue).otherwise(
+        F.lit(0).cast("decimal(18,6)")
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .agg(
-            F.sum(F.col("l_extendedprice") * F.col("l_discount"))
-            .cast("double")
-            .alias("revenue")
+            F.round(
+                100.0 * F.sum(promo).cast("double") / F.sum(revenue).cast("double"),
+                4,
+            ).alias("promo_revenue")
         )
+    )
+
+
+TPCH_Q18_SQL = """
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+  CAST(o.o_totalprice AS DOUBLE) AS o_totalprice,
+  CAST(ROUND(SUM(CAST(l.l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_qty
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 150
+)
+GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+"""
+
+
+@register("tpch_q18", oracle=TPCH_Q18_SQL)
+def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 large-volume customers: orders whose total quantity
+    exceeds a threshold (HAVING subquery → aggregate-then-semi-join).
+    Plan: the qualifying-orderkey aggregate reuses lineitem's orderkey
+    shuffle; its tiny output broadcasts as the semi-join side, so
+    lineitem is scanned twice but shuffled on one key only."""
+    li = table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("q"))
+        .where(F.col("q") > 150)
+        .select("l_orderkey")
+    )
+    o = table(spark, sf_dir, "orders").join(
+        F.broadcast(big.withColumnRenamed("l_orderkey", "bk")),
+        F.col("o_orderkey") == F.col("bk"),
+        "left_semi",
+    )
+    c = table(spark, sf_dir, "customer")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        )
+        .agg(dsum(F.col("l_quantity")).alias("total_qty"))
+    )
+
+
+# --------------------------------- decimal accumulators (Megaphone) --
+
+DECIMAL_ACCUMULATORS_SQL = """
+SELECT event_type,
+  COUNT(*) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS total,
+  CAST(MIN(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS min_amount,
+  CAST(MAX(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS max_amount,
+  CAST(ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 4)
+       AS DOUBLE) AS avg_amount
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("decimal_accumulators", oracle=DECIMAL_ACCUMULATORS_SQL)
+def decimal_accumulators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Megaphone accumulator library — BigDecimalCounter /
+    BigDecimalMinimum / BigDecimalMaximum / average (reference
+    examples/.../megaphone/dynamicrules/accumulators/*.java, SURVEY §2A
+    'Accumulator library') — as exact DECIMAL aggregates per rule key.
+    The DECIMAL results are returned unrounded (exact arbitrary-order
+    arithmetic, the whole point of BigDecimal accumulators).
+    Plan: partial agg map-side, one shuffle on the group key."""
+    ev = table(spark, sf_dir, "events")
+    d = F.col("value").cast("decimal(18,4)")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(d).cast("decimal(18,4)").alias("total"),
+        F.min(d).alias("min_amount"),
+        F.max(d).alias("max_amount"),
+        F.round(F.sum(d).cast("double") / F.count("*"), 4).alias("avg_amount"),
+    )
+
+
+# --------------------------------- AllWindowedStream (non-keyed) --
+
+ALL_WINDOW_AGG_SQL = """
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+  COUNT(*) AS n,
+  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value
+FROM events
+GROUP BY CAST(date_trunc('hour', ts) AS TIMESTAMP)
+"""
+
+
+@register("all_window_agg", oracle=ALL_WINDOW_AGG_SQL)
+def all_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AllWindowedStream (DataStream.java:787-860): non-keyed tumbling
+    window over the whole stream. Flink runs this at parallelism 1; in
+    Spark the window-start IS the grouping key, so partial aggregation
+    stays fully parallel and only the per-window partials shuffle —
+    strictly better than the reference's single-task bottleneck at
+    100 TB."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"), dsum(F.col("value")).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "n", "total_value")
     )

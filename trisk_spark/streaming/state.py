@@ -349,3 +349,52 @@ def sliding_count_avg_stream(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ------------------------------------------------------ delta trigger --
+
+DELTA_THRESHOLD = 30.0
+
+_DELTA_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_id", LongType()),
+    ]
+)
+# last fired value in integer hundredths so state round-trips exactly
+_DELTA_STATE = StructType([StructField("last_cents", LongType())])
+
+
+def _delta_trigger_stream_fn(
+    key, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """DeltaTrigger as keyed value state: fire when |value - last fired|
+    exceeds the threshold; first element per key always fires. Batch
+    twin: operators/multistream._delta_trigger_fn (same fold)."""
+    last: int | None = state.get[0] if state.exists else None
+    batch = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+    thresh_cents = int(round(DELTA_THRESHOLD * 100))
+    fired: list[int] = []
+    for eid, cents in zip(
+        batch["event_id"], (batch["value"] * 100).round().astype("int64")
+    ):
+        if last is None or abs(int(cents) - last) > thresh_cents:
+            fired.append(int(eid))
+            last = int(cents)
+    if last is not None:
+        state.update((last,))
+    yield pd.DataFrame(
+        {"user_id": [key[0]] * len(fired), "event_id": fired}
+    )
+
+
+def delta_trigger_stream(events: DataFrame) -> DataFrame:
+    """Streaming delta trigger; batch equivalent:
+    operators/multistream.delta_trigger."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _delta_trigger_stream_fn,
+        outputStructType=_DELTA_OUT,
+        stateStructType=_DELTA_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
