@@ -108,32 +108,41 @@ N_PERMS = 12
 N_BANDS = 3
 ROWS_PER_BAND = N_PERMS // N_BANDS
 
+# One md5 per shingle, parsed to a 60-bit int; the N_PERMS "permutations"
+# are integer universal hashes h_i(x) = (a_i*x + b_i) mod p over the
+# Mersenne prime p = 2^31-1 (a_i, b_i < p and x reduced mod p first, so
+# a_i*x fits a signed 64-bit without overflow on either engine). This
+# replaces N_PERMS md5 calls per shingle with one — the hash is the hot
+# loop at 100 TB.
+MERSENNE = 2_147_483_647
+PERM_A = [(2_654_435_761 * (i + 1)) % MERSENNE or 1 for i in range(N_PERMS)]
+PERM_B = [(40_503 * (i + 1) + 7) % MERSENNE for i in range(N_PERMS)]
 
-def _perm_hash_sql(i: int) -> str:
-    return f"MIN(md5(CONCAT('{i}|', shingle)))"
-
-
-def _perm_hash(i: int) -> Column:
-    return F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle"))))
-
-
-_SIG_COLS_SQL = ",\n  ".join(f"{_perm_hash_sql(i)} AS h{i}" for i in range(N_PERMS))
+_XM_SQL = (
+    f"CAST(CONCAT('0x', substr(md5(shingle), 1, 15)) AS BIGINT) % {MERSENNE}"
+)
+_SIG_COLS_SQL = ",\n  ".join(
+    f"MIN(({PERM_A[i]} * xm + {PERM_B[i]}) % {MERSENNE}) AS h{i}"
+    for i in range(N_PERMS)
+)
 _BAND_COLS_SQL = ",\n  ".join(
-    "md5(CONCAT("
+    "CONCAT("
     + ", '|', ".join(f"h{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND))
-    + f")) AS band{b}"
+    + f") AS band{b}"
     for b in range(N_BANDS)
 )
 
 MINHASH_SIGNATURES_SQL = f"""
-WITH sh AS ({SHINGLES_SQL})
+WITH sh AS ({SHINGLES_SQL}),
+xs AS (SELECT doc_id, {_XM_SQL} AS xm FROM sh)
 SELECT doc_id, {_SIG_COLS_SQL}
-FROM sh GROUP BY doc_id
+FROM xs GROUP BY doc_id
 """
 
 MINHASH_LSH_PAIRS_SQL = f"""
 WITH sh AS ({SHINGLES_SQL}),
-sig AS (SELECT doc_id, {_SIG_COLS_SQL} FROM sh GROUP BY doc_id),
+xs AS (SELECT doc_id, {_XM_SQL} AS xm FROM sh),
+sig AS (SELECT doc_id, {_SIG_COLS_SQL} FROM xs GROUP BY doc_id),
 bands AS (SELECT doc_id, {_BAND_COLS_SQL} FROM sig),
 cand AS (
   {" UNION ALL ".join(
@@ -149,18 +158,27 @@ SELECT DISTINCT doc_a, doc_b FROM cand
 def minhash_signatures(docs: DataFrame) -> DataFrame:
     # MIN is duplicate-insensitive → no distinct pass over the shingles.
     sh = shingles(docs, distinct=False)
-    return sh.groupBy("doc_id").agg(
-        *[_perm_hash(i).alias(f"h{i}") for i in range(N_PERMS)]
+    xm = (
+        F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("bigint")
+        % MERSENNE
+    ).alias("xm")
+    xs = sh.select("doc_id", xm)
+    return xs.groupBy("doc_id").agg(
+        *[
+            F.min((PERM_A[i] * F.col("xm") + PERM_B[i]) % MERSENNE).alias(f"h{i}")
+            for i in range(N_PERMS)
+        ]
     )
 
 
 @register("dedup_minhash_lsh", oracle=MINHASH_LSH_PAIRS_SQL)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup candidate pairs: 5-word shingles → 12 md5
-    min-hashes → 3 bands of 4 → same-bucket join.
+    """MinHash+LSH near-dup candidate pairs: 5-word shingles → one md5
+    → 12 integer min-hashes (universal hashing mod 2^31-1) → 3 bands of
+    4 → same-bucket join.
 
     Plan: shingle explode + one grouped aggregate for signatures; the
-    candidate join shuffles 3 band-hash columns, never document text.
+    candidate join shuffles 3 band-key columns, never document text.
     """
     docs = table(spark, sf_dir, "documents")
     sig = minhash_signatures(docs)
@@ -175,14 +193,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(b).alias("band_idx"),
-                        F.md5(
-                            F.concat_ws(
-                                "|",
-                                *[
-                                    f"h{b * ROWS_PER_BAND + r}"
-                                    for r in range(ROWS_PER_BAND)
-                                ],
-                            )
+                        F.concat_ws(
+                            "|",
+                            *[
+                                F.col(f"h{b * ROWS_PER_BAND + r}").cast("string")
+                                for r in range(ROWS_PER_BAND)
+                            ],
                         ).alias("bh"),
                     )
                     for b in range(N_BANDS)
@@ -206,9 +222,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# NOTE: DuckDB's md5(CONCAT(...)) of band member hashes must concatenate
-# in the same order as Spark's concat_ws — both use h_{4b}..h_{4b+3}; the
-# SQL uses CONCAT(h0, '|', h1, ...) to match concat_ws('|', ...).
+# NOTE: DuckDB's CONCAT(...) of band member hashes must concatenate in
+# the same order as Spark's concat_ws — both use h_{4b}..h_{4b+3} with a
+# '|' separator (integers render identically as strings on both engines).
 
 # ------------------------------------------------------- SimHash ----
 
@@ -218,17 +234,32 @@ BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS
 HAMMING_MAX = 4  # template-generated corpus: fingerprints correlate heavily
 
 
-def _simhash_digit_sql(d: int) -> str:
-    return f"strpos('0123456789abcdef', substr(h, {d + 1}, 1)) - 1"
+# Bit-vote counters are PACKED: 5 per bigint in 12-bit fields, so the
+# grouped aggregate keeps 12 SUM buffers instead of 60 (5× narrower
+# shuffle rows and far smaller generated code — the 60-column variant
+# spent more time in codegen than in data). 12-bit fields cap the
+# distinct-token count per doc at 4095 without overflow; docs beyond
+# that should be truncated upstream (simhash saturates long before).
+FIELD_BITS = 12
+FIELDS_PER_PACK = 5
+N_PACKS = SIMHASH_BITS // FIELDS_PER_PACK  # 12
 
 
-def _simhash_bitsum_sql(j: int) -> str:
-    d, shift = j // 4, 3 - (j % 4)
-    return f"SUM(2 * ((d{d} >> {shift}) & 1) - 1) AS s{j}"
+def _pack_term_sql(p: int) -> str:
+    return " + ".join(
+        f"(((x >> {p * FIELDS_PER_PACK + f}) & 1) * {1 << (FIELD_BITS * f)})"
+        for f in range(FIELDS_PER_PACK)
+    )
 
 
+def _cnt_sql(j: int) -> str:
+    p, f = divmod(j, FIELDS_PER_PACK)
+    return f"((p{p} >> {FIELD_BITS * f}) & {(1 << FIELD_BITS) - 1})"
+
+
+# fingerprint bit j = (vote sum >= 0) = (2*cnt_j >= n_tokens)
 _SIMHASH_FP_SQL = " + ".join(
-    f"(CASE WHEN s{j} >= 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+    f"(CASE WHEN 2 * {_cnt_sql(j)} >= n THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
     for j in range(SIMHASH_BITS)
 )
 
@@ -238,17 +269,15 @@ WITH toks AS (
                                  w -> w <> '')) AS tok
   FROM documents
 ),
-hx AS (SELECT doc_id, substr(md5(tok), 1, {SIMHASH_BITS // 4}) AS h FROM toks),
-digits AS (
-  SELECT doc_id,
-    {", ".join(f"{_simhash_digit_sql(d)} AS d{d}" for d in range(SIMHASH_BITS // 4))}
-  FROM hx
-),
-bitsums AS (
-  SELECT doc_id, {", ".join(_simhash_bitsum_sql(j) for j in range(SIMHASH_BITS))}
-  FROM digits GROUP BY doc_id
+hx AS (SELECT doc_id,
+         CAST(CONCAT('0x', substr(md5(tok), 1, {SIMHASH_BITS // 4})) AS BIGINT) AS x
+       FROM toks),
+packs AS (
+  SELECT doc_id, COUNT(*) AS n,
+    {", ".join(f"SUM({_pack_term_sql(p)}) AS p{p}" for p in range(N_PACKS))}
+  FROM hx GROUP BY doc_id
 )
-SELECT doc_id, {_SIMHASH_FP_SQL} AS fp FROM bitsums
+SELECT doc_id, {_SIMHASH_FP_SQL} AS fp FROM packs
 """
 
 SIMHASH_PAIRS_SQL = f"""
@@ -273,39 +302,48 @@ FROM cand WHERE bit_count(xor(fa, fb)) <= {HAMMING_MAX}
 
 def simhash_fingerprints(docs: DataFrame) -> DataFrame:
     """60-bit SimHash per doc: each distinct token votes ±1 per bit
-    (bit j of md5(token)); fingerprint bit = sign of the vote sum.
-    One explode + one grouped aggregate (60 map-side-combined SUMs) —
-    the same shuffle shape as a word count, so it scales like one."""
+    (bit j of the 60-bit int parsed from md5(token)'s hex prefix — one
+    parse, 60 shift/and ops, no per-digit string work); fingerprint bit
+    = sign of the vote sum. One explode + one grouped aggregate (60
+    map-side-combined SUMs) — the same shuffle shape as a word count,
+    so it scales like one."""
     toks = docs.select(
         "doc_id",
         F.explode(F.array_distinct(
             F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
         )).alias("tok"),
     )
-    h = F.substring(F.md5("tok"), 1, SIMHASH_BITS // 4)
-    digits = toks.select(
-        "doc_id",
-        *[
-            (F.conv(F.substring(h, d + 1, 1), 16, 10).cast("int")).alias(f"d{d}")
-            for d in range(SIMHASH_BITS // 4)
-        ],
+    x = F.conv(
+        F.substring(F.md5("tok"), 1, SIMHASH_BITS // 4), 16, 10
+    ).cast("bigint")
+    hx = toks.select("doc_id", x.alias("x"))
+
+    def pack_term(p: int):
+        t = F.lit(0).cast("bigint")
+        for f in range(FIELDS_PER_PACK):
+            j = p * FIELDS_PER_PACK + f
+            t = t + F.shiftright(F.col("x"), j).bitwiseAND(F.lit(1)) * (
+                1 << (FIELD_BITS * f)
+            )
+        return t
+
+    packs = hx.groupBy("doc_id").agg(
+        F.count("*").alias("n"),
+        *[F.sum(pack_term(p)).alias(f"p{p}") for p in range(N_PACKS)],
     )
-    bitsums = digits.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.shiftright(F.col(f"d{j // 4}"), 3 - (j % 4)).bitwiseAND(F.lit(1))
-                * 2
-                - 1
-            ).alias(f"s{j}")
-            for j in range(SIMHASH_BITS)
-        ]
-    )
+
+    def cnt(j: int):
+        p, f = divmod(j, FIELDS_PER_PACK)
+        return F.shiftright(F.col(f"p{p}"), FIELD_BITS * f).bitwiseAND(
+            F.lit((1 << FIELD_BITS) - 1)
+        )
+
     fp = F.lit(0).cast("bigint")
     for j in range(SIMHASH_BITS):
         fp = fp + F.when(
-            F.col(f"s{j}") >= 0, F.lit(1 << j).cast("bigint")
+            2 * cnt(j) >= F.col("n"), F.lit(1 << j).cast("bigint")
         ).otherwise(F.lit(0).cast("bigint"))
-    return bitsums.select("doc_id", fp.alias("fp"))
+    return packs.select("doc_id", fp.alias("fp"))
 
 
 @register("dedup_simhash", oracle=SIMHASH_PAIRS_SQL)
