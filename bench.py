@@ -32,10 +32,14 @@ HEADLINE = [
     "tpch_q1",
     "tpch_q3",
     "tpch_q5",
+    "tpch_q10",
+    "tpch_q18",
     "keyed_agg",
+    "time_evictor_window",
     "wordcount",
     "stock_matchmaker",
     "dedup_minhash_lsh",
+    "dedup_clusters",
     "dedup_simhash",
     "ngram_jaccard",
     "knn_bruteforce",

@@ -209,3 +209,54 @@ def test_delta_trigger_stream_equals_batch(spark):
         (r.user_id, r.event_id) for r in delta_trigger(spark, SF).collect()
     }
     assert got == want
+
+
+def test_partitioning_operators(spark):
+    """Physical-distribution family: co-location, partition counts, and
+    key-group stability (SURVEY §2A keying/partitioning rows)."""
+    from trisk_spark.operators.partitioning import (
+        MAX_PARALLELISM,
+        global_one,
+        key_by,
+        key_group,
+        partition_custom,
+        rebalance,
+        rescale,
+    )
+
+    ev = table(spark, SF, "events")
+
+    # keyBy: equal keys land in the same partition
+    keyed = key_by(ev, "user_id", n=8)
+    assert keyed.rdd.getNumPartitions() == 8
+    multi = (
+        keyed.select("user_id", F.spark_partition_id().alias("pid"))
+        .groupBy("user_id")
+        .agg(F.countDistinct("pid").alias("np"))
+        .where(F.col("np") > 1)
+        .count()
+    )
+    assert multi == 0, "keyBy split a key across partitions"
+
+    # partitionCustom: user expression controls grouping
+    pc = partition_custom(ev, F.col("user_id") % 4, 4)
+    assert pc.rdd.getNumPartitions() == 4
+    split = (
+        pc.select((F.col("user_id") % 4).alias("g"), F.spark_partition_id().alias("pid"))
+        .groupBy("g")
+        .agg(F.countDistinct("pid").alias("np"))
+        .where(F.col("np") > 1)
+        .count()
+    )
+    assert split == 0, "partitionCustom split a group across partitions"
+
+    # rebalance/rescale/global: partition counts
+    assert rebalance(ev, 16).rdd.getNumPartitions() == 16
+    assert rescale(ev.repartition(8), 2).rdd.getNumPartitions() == 2
+    assert global_one(ev).rdd.getNumPartitions() == 1
+
+    # key groups: stable, in range, deterministic across evaluations
+    kg = ev.select(key_group(F.col("user_id")).alias("g")).agg(
+        F.min("g").alias("lo"), F.max("g").alias("hi")
+    ).collect()[0]
+    assert 0 <= kg.lo and kg.hi < MAX_PARALLELISM

@@ -451,3 +451,78 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(jac >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
     )
+
+
+# ------------------------------- duplicate clusters (iterate() image) --
+
+MAX_CC_ITERS = 25  # safety bound; label propagation needs ≤ diameter
+
+DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE cand AS ({MINHASH_LSH_PAIRS_SQL}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM cand
+  UNION
+  SELECT doc_b, doc_a FROM cand
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+)
+SELECT a AS doc_id, LEAST(a, MIN(b)) AS component FROM reach GROUP BY a
+"""
+
+
+@register("dedup_clusters", oracle=DEDUP_CLUSTERS_SQL)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate clusters: connected components over the MinHash
+    LSH candidate graph via min-label propagation to fixpoint — the
+    batch image of the reference's ``iterate()`` (DataStream.java:534;
+    SURVEY §2A 'iterate' → driver-side loop). component = smallest
+    doc_id in the cluster (the canonical keeper).
+
+    Plan: each round is one join + one grouped MIN on the edge list
+    (never the documents); ``localCheckpoint`` truncates lineage so
+    round N doesn't replay rounds 1..N-1. Rounds = component diameter —
+    near-dup clusters are shallow; at 100 TB the edge list still fits
+    the same loop (alternate large-star/small-star if diameters grow).
+    The oracle is the transitive closure as a recursive CTE."""
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    edges = (
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
+        )
+        .localCheckpoint()  # materialize: the loop re-reads this every round
+    )
+    labels = (
+        edges.select("a").distinct().select(
+            F.col("a").alias("doc_id"), F.col("a").alias("component")
+        )
+    ).localCheckpoint()
+    for _ in range(MAX_CC_ITERS):
+        neigh = (
+            edges.join(labels, edges.b == labels.doc_id)
+            .groupBy("a")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neigh, labels.doc_id == neigh.a, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_min", "component")
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

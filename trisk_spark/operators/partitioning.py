@@ -1,0 +1,69 @@
+"""Physical distribution operators — the reference's keyBy /
+partitionCustom / broadcast / shuffle / rebalance / rescale / forward /
+global family (DataStream.java:293-502; SURVEY §2A 'Keying /
+partitioning').
+
+In Spark these are not logical operators but exchange strategies; this
+module pins each one to its Spark-native form so the capability is
+explicit and testable:
+
+| Reference                     | Here                                   |
+|-------------------------------|----------------------------------------|
+| keyBy(selector)               | ``key_by`` → hash repartition on expr  |
+| partitionCustom(partitioner)  | ``partition_custom`` → repartition on a user expression (Spark owns the hash; arbitrary target-partition functions are not exposed — documented divergence) |
+| broadcast()                   | ``F.broadcast`` join hint              |
+| shuffle()/rebalance()         | ``rebalance`` → round-robin repartition|
+| rescale()                     | ``rescale`` → coalesce (no shuffle)    |
+| global()                      | ``global_one`` → repartition(1)        |
+| forward()                     | the default (no exchange)              |
+
+Key groups: the reference hashes keys into 128 key groups
+(KeyGroupRangeAssignment.java:31,48); our controlplane/plan.py keeps the
+same 128-group model for reconfiguration bookkeeping, and ``key_group``
+exposes the assignment as a column for tests and state re-sharding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+#: The reference's DEFAULT_LOWER_BOUND_MAX_PARALLELISM (1 << 7).
+MAX_PARALLELISM = 128
+
+
+def key_by(df: DataFrame, *cols: str | Column, n: int | None = None) -> DataFrame:
+    """keyBy: hash-partition rows so equal keys are co-located.
+    ``n=None`` lets AQE/session config pick the partition count."""
+    return df.repartition(n, *cols) if n else df.repartition(*cols)
+
+
+def partition_custom(df: DataFrame, expr: Column, n: int) -> DataFrame:
+    """partitionCustom: distribute by an arbitrary user expression.
+    Spark hashes the expression's value — the user controls *grouping*
+    (which rows travel together) but not the physical partition index;
+    index-level placement is the scheduler's job (same stance as
+    assignResources in controlplane/managed.py)."""
+    return df.repartition(n, expr)
+
+
+def key_group(key: Column) -> Column:
+    """The reference's key→key-group assignment shape: a stable hash
+    into MAX_PARALLELISM groups (non-negative)."""
+    return F.pmod(F.hash(key), F.lit(MAX_PARALLELISM))
+
+
+def rebalance(df: DataFrame, n: int) -> DataFrame:
+    """shuffle()/rebalance(): round-robin redistribute to n partitions —
+    breaks skew at the cost of one full exchange."""
+    return df.repartition(n)
+
+
+def rescale(df: DataFrame, n: int) -> DataFrame:
+    """rescale(): reduce partition count without a shuffle (each output
+    partition absorbs whole input partitions — Spark's coalesce)."""
+    return df.coalesce(n)
+
+
+def global_one(df: DataFrame) -> DataFrame:
+    """global(): send everything to a single partition."""
+    return df.repartition(1)
