@@ -260,3 +260,102 @@ def test_partitioning_operators(spark):
         F.min("g").alias("lo"), F.max("g").alias("hi")
     ).collect()[0]
     assert 0 <= kg.lo and kg.hi < MAX_PARALLELISM
+
+
+def test_inactivity_sessions_fire_on_timer(spark, tmp_path):
+    """Timers (SURVEY §2A): per-key processing-time timer closes idle
+    sessions. A sentinel final batch guarantees every real key's timer
+    fires, so conservation must be exact: each user's events are
+    counted exactly once across their emitted sessions."""
+    import os
+    import time
+
+    import duckdb
+
+    from trisk_spark.streaming.state import inactivity_sessions_stream
+
+    con = duckdb.connect()
+    want = {
+        u: (n, c)
+        for u, n, c in con.execute(
+            f"""SELECT user_id, COUNT(*),
+                   SUM(CAST(ROUND(value * 100) AS BIGINT))
+               FROM read_parquet('{SF}/events.parquet') GROUP BY user_id"""
+        ).fetchall()
+    }
+    rows = con.execute(
+        f"""SELECT user_id, value FROM read_parquet('{SF}/events.parquet')
+            ORDER BY ts, event_id"""
+    ).fetchall()
+
+    import pandas as pd_
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = str(tmp_path / "chunks")
+    os.makedirs(src)
+    n_chunks = 4
+    per = (len(rows) + n_chunks - 1) // n_chunks
+    t0 = int(time.time())
+    for i in range(n_chunks):
+        chunk = rows[i * per : (i + 1) * per]
+        tbl = pa.Table.from_pandas(
+            pd_.DataFrame(chunk, columns=["user_id", "value"]),
+            schema=pa.schema([("user_id", pa.int64()), ("value", pa.float64())]),
+        )
+        p = os.path.join(src, f"chunk-{i}.parquet")
+        pq.write_table(tbl, p)
+        os.utime(p, times=(t0 + i * 10, t0 + i * 10))
+    # sentinel batch: one event for a user id outside the real range —
+    # processed last, so every real key is idle and its timer fires
+    sent = pa.Table.from_pandas(
+        pd_.DataFrame({"user_id": [-1], "value": [0.0]}),
+        schema=pa.schema([("user_id", pa.int64()), ("value", pa.float64())]),
+    )
+    sp = os.path.join(src, "zz-sentinel.parquet")
+    pq.write_table(sent, sp)
+    os.utime(sp, times=(t0 + n_chunks * 10, t0 + n_chunks * 10))
+
+    stream = (
+        spark.readStream.schema("user_id BIGINT, value DOUBLE")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    emitted = []
+
+    def collect(bdf, bid):
+        emitted.extend(bdf.collect())
+
+    # A query with processing-time timers is unbounded by design (it
+    # must keep running empty batches so idle keys can fire), so poll
+    # until every real user's sessions have closed, then stop.
+    q = (
+        inactivity_sessions_stream(stream)
+        .writeStream.outputMode("append")
+        .foreachBatch(collect)
+        .option("checkpointLocation", checkpoint_dir("inact"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    deadline = time.time() + 240
+    while time.time() < deadline:
+        closed = {r.user_id for r in emitted}
+        closed.discard(-1)
+        if closed == set(want):
+            break
+        if not q.isActive:
+            break
+        time.sleep(1)
+    q.stop()
+
+    got: dict[int, list] = {}
+    for r in emitted:
+        assert r.closed_by_timeout == "timeout"
+        got.setdefault(r.user_id, []).append((r.n_events, r.total_cents))
+    got.pop(-1, None)  # sentinel user may or may not have flushed
+    assert got, "no timers fired — vacuous"
+    for u, sessions in got.items():
+        n = sum(s[0] for s in sessions)
+        cents = sum(s[1] for s in sessions)
+        assert (n, cents) == want[u], f"user {u}: conservation violated"
+    assert set(got) == set(want), "some users never closed a session"

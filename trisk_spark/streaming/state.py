@@ -398,3 +398,62 @@ def delta_trigger_stream(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ------------------------------------- timers: inactivity sessions --
+
+_SESS_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_cents", LongType()),
+        StructField("closed_by_timeout", StringType()),
+    ]
+)
+_SESS_STATE = StructType(
+    [StructField("n", LongType()), StructField("cents", LongType())]
+)
+
+IDLE_TIMEOUT_MS = 1  # fire on the first batch after the key goes idle
+
+
+def _inactivity_fn(
+    key, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """KeyedProcessFunction with a processing-time timer
+    (KeyedProcessFunction.java:52 Context.timerService(); SURVEY §2A
+    'Timers'): each record (re)arms a per-key timer; when the timer
+    fires with no new records, the buffered session is emitted and
+    state cleared. GroupState's timeout callback IS the timer — the
+    fn is invoked with hasTimedOut and an empty batch."""
+    if state.hasTimedOut:
+        n, cents = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_cents": [cents],
+                "closed_by_timeout": ["timeout"],
+            }
+        )
+        return
+    n, cents = state.get if state.exists else (0, 0)
+    for pdf in pdfs:
+        n += len(pdf)
+        cents += int((pdf["value"] * 100).round().astype("int64").sum())
+    state.update((n, cents))
+    state.setTimeoutDuration(IDLE_TIMEOUT_MS)  # re-arm the timer
+    return
+    yield  # generator marker: the data path emits nothing
+
+
+def inactivity_sessions_stream(events: DataFrame) -> DataFrame:
+    """Per-key inactivity sessions closed by processing-time timers."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _inactivity_fn,
+        outputStructType=_SESS_OUT,
+        stateStructType=_SESS_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
