@@ -1,0 +1,117 @@
+"""Physical-plan shape assertions: the properties that make these
+queries scale are pinned here, not just claimed in docstrings.
+
+Static plans are checked with `.explain("formatted")`; runtime
+properties (exchange reuse, codegen, AQE) are checked on the executed
+plan after an action. Size-based auto-broadcast is disabled inside
+these tests so what we assert is the *policy* (explicit broadcast
+hints, shuffle joins for fact tables) — at 100 TB the size heuristic
+won't save a bad plan.
+"""
+
+from __future__ import annotations
+
+import io
+from contextlib import contextmanager, redirect_stdout
+
+import pytest
+
+from trisk_spark.registry import load_all
+
+from .conftest import SF_DIR
+
+QUERIES = load_all()
+
+
+@contextmanager
+def no_auto_broadcast(spark):
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
+
+
+def static_plan(spark, name: str) -> str:
+    df = QUERIES[name].fn(spark, SF_DIR)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def executed_plan(spark, name: str) -> str:
+    # collect() (not a sink write) so THIS DataFrame's AQE plan is the
+    # one finalized — a write clones the query execution
+    df = QUERIES[name].fn(spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # AQE appends the pre-adaptive plan under "== Initial Plan ==";
+    # keep only the final plan so node counts aren't doubled
+    return plan.split("== Initial Plan ==")[0]
+
+
+def test_tpch_q6_pushdown_and_pruning(spark):
+    plan = static_plan(spark, "tpch_q6")
+    assert "PushedFilters" in plan
+    # every predicate column reaches the scan
+    pushed = plan[plan.index("PushedFilters") :].splitlines()[0]
+    for c in ("l_shipdate", "l_discount", "l_quantity"):
+        assert c in pushed, f"{c} not pushed to parquet scan"
+    # column pruning: the scan reads only what the query needs
+    read = plan[plan.index("ReadSchema") :].splitlines()[0]
+    assert "l_extendedprice" in read
+    assert "l_orderkey" not in read, "scan reads columns the query never uses"
+
+
+def test_dimension_joins_are_broadcast_by_hint(spark):
+    # with size-based auto-broadcast OFF, only the explicit hints keep
+    # the dimension joins broadcast — the policy that survives 100 TB
+    with no_auto_broadcast(spark):
+        for name in ("tpch_q5", "tpch_q10", "tpch_q3"):
+            plan = static_plan(spark, name)
+            assert "BroadcastHashJoin" in plan, f"{name}: dim join not broadcast"
+
+
+def test_big_join_is_not_broadcast(spark):
+    # lineitem⋈orders must stay a shuffle join — broadcasting a fact
+    # table would OOM at 100 TB
+    with no_auto_broadcast(spark):
+        plan = static_plan(spark, "tpch_q5")
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_lsh_signature_pipeline_runs_once(spark):
+    # candidate generation is in-bucket pair explosion, not a self-join:
+    # exactly one exchange over doc_id-grouped signatures may exist (a
+    # self-join would plan two — exchange reuse does not fire across
+    # AQE stages, we measured it)
+    plan = executed_plan(spark, "dedup_minhash_lsh")
+    assert plan.count("hashpartitioning(doc_id") == 1, (
+        "signature pipeline computed more than once"
+    )
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_aggregates_have_map_side_partials(spark):
+    # partial_* functions before the exchange: the shuffle carries one
+    # row per (partition, key), not one per input row
+    for name in ("tpch_q1", "keyed_agg", "wordcount"):
+        plan = static_plan(spark, name)
+        assert "partial_" in plan, f"{name}: no map-side partial aggregation"
+
+
+def test_relational_path_is_codegen(spark):
+    # executed-plan strings mark codegen stages with "*(n)"
+    for name in ("tpch_q1", "nexmark_q1", "nexmark_q2"):
+        plan = executed_plan(spark, name)
+        assert "*(" in plan, f"{name}: hot path fell out of codegen"
+
+
+def test_map_only_queries_have_no_exchange(spark):
+    # Q1/Q2 are pure map/filter — any Exchange here is a planning bug
+    for name in ("nexmark_q1", "nexmark_q2"):
+        plan = static_plan(spark, name)
+        assert "Exchange" not in plan, f"{name}: map-only query shuffles"

@@ -175,17 +175,18 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidate pairs: 5-word shingles → one md5
     → 12 integer min-hashes (universal hashing mod 2^31-1) → 3 bands of
-    4 → same-bucket join.
+    4 → in-bucket pair generation.
 
-    Plan: shingle explode + one grouped aggregate for signatures; the
-    candidate join shuffles 3 band-key columns, never document text.
-    """
+    Plan: shingle explode + one grouped aggregate for signatures, then
+    ONE shuffle on (band_idx, band_key) that groups each LSH bucket and
+    emits its member pairs directly — no self-join, so the signature
+    pipeline runs exactly once (a self-join would compute it for both
+    sides: exchange reuse does not fire across AQE stages). The bucket
+    collect is bounded by LSH design (hot buckets = near-identical
+    docs; cap bucket size upstream if a degenerate corpus produces
+    mega-buckets). Shuffled payload is 8-byte doc_ids, never text."""
     docs = table(spark, sf_dir, "documents")
     sig = minhash_signatures(docs)
-    # Long form: one (doc_id, band_idx, band_hash) row per band, ONE
-    # self-join on (band_idx, hash). Both join sides are identical
-    # subplans, so ReuseExchange computes the signature pipeline once
-    # (the wide form ran it 2 x N_BANDS times).
     bands = sig.select(
         "doc_id",
         F.explode(
@@ -206,18 +207,24 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band"),
     ).select("doc_id", "band.band_idx", "band.bh")
-    # Alias self-join: both sides are the SAME plan subtree, so the
-    # exchange (and the whole signature pipeline under it) is computed
-    # once and reused for the other side.
-    return (
-        bands.alias("a")
-        .join(
-            bands.alias("b"),
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    buckets = (
+        bands.groupBy("band_idx", "bh")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .where(F.size("ids") > 1)
+    )
+    # all (i < j) pairs within each bucket, generated engine-side
+    pairs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+    return (
+        buckets.select(F.explode(pairs).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
 
@@ -358,9 +365,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = table(spark, sf_dir, "documents")
     fps = simhash_fingerprints(docs)
-    # Long form (see dedup_minhash_lsh): one self-join on (band_idx,
-    # band value) instead of one join per band → ReuseExchange computes
-    # the fingerprint pipeline once.
+    # In-bucket pair generation (see dedup_minhash_lsh): one shuffle on
+    # the band value, fingerprint pipeline computed exactly once, no
+    # self-join. Members carry (doc_id, fp) so the Hamming verify runs
+    # on the exploded pairs without a join back.
     bands = fps.select(
         "doc_id",
         "fp",
@@ -378,21 +386,33 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band"),
     ).select("doc_id", "fp", "band.band_idx", "band.bv")
+    buckets = (
+        bands.groupBy("band_idx", "bv")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("doc_id", "fp"))
+            ).alias("ms")
+        )
+        .where(F.size("ms") > 1)
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("ms"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
+                lambda y: F.struct(
+                    x.getField("doc_id").alias("doc_a"),
+                    y.getField("doc_id").alias("doc_b"),
+                    x.getField("fp").alias("fa"),
+                    y.getField("fp").alias("fb"),
+                ),
+            ),
+        )
+    )
     ham = F.bit_count(F.col("fa").bitwiseXOR(F.col("fb")))
     return (
-        bands.alias("a")
-        .join(
-            bands.alias("b"),
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.bv") == F.col("b.bv"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.fp").alias("fa"),
-            F.col("b.fp").alias("fb"),
-        )
+        buckets.select(F.explode(pairs).alias("p"))
+        .select("p.doc_a", "p.doc_b", "p.fa", "p.fb")
         .distinct()
         .where(ham <= HAMMING_MAX)
         .select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
