@@ -395,27 +395,33 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.size("ms") > 1)
     )
+    # Hamming distance is computed INSIDE the pair lambda and filtered
+    # before explode/distinct: failing pairs never leave the bucket row,
+    # and the distinct dedups 3 narrow columns instead of pairs carrying
+    # two 8-byte fingerprints (on a correlated corpus candidate pairs
+    # outnumber survivors, so the filter placement is the data win).
     pairs = F.flatten(
         F.transform(
             F.col("ms"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
-                lambda y: F.struct(
-                    x.getField("doc_id").alias("doc_a"),
-                    y.getField("doc_id").alias("doc_b"),
-                    x.getField("fp").alias("fa"),
-                    y.getField("fp").alias("fb"),
+            lambda x, i: F.filter(
+                F.transform(
+                    F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
+                    lambda y: F.struct(
+                        x.getField("doc_id").alias("doc_a"),
+                        y.getField("doc_id").alias("doc_b"),
+                        F.bit_count(
+                            x.getField("fp").bitwiseXOR(y.getField("fp"))
+                        ).cast("int").alias("hamming"),
+                    ),
                 ),
+                lambda p: p.getField("hamming") <= HAMMING_MAX,
             ),
         )
     )
-    ham = F.bit_count(F.col("fa").bitwiseXOR(F.col("fb")))
     return (
         buckets.select(F.explode(pairs).alias("p"))
-        .select("p.doc_a", "p.doc_b", "p.fa", "p.fb")
+        .select("p.doc_a", "p.doc_b", "p.hamming")
         .distinct()
-        .where(ham <= HAMMING_MAX)
-        .select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
     )
 
 
