@@ -6,11 +6,13 @@ functions agree bit-for-bit).
 Scale design (100 TB corpora):
   * exact/bag dedup: one shuffle on the content hash — the canonical
     map-side-combine groupBy.
-  * MinHash+LSH: per-doc signature is a single grouped aggregate over
-    exploded shingles (no perm-row explosion: P min-aggregates per
-    shingle row); candidate generation is a self-join on (band,
-    band_hash) buckets — at scale, bucket sizes are bounded (hot-bucket
-    cap) so the join can't quadratically blow up.
+  * MinHash+LSH: shingles are 31-bit ints (one md5 per word + an
+    arithmetic combine — no shingle strings ever built); the per-doc
+    signature is a single grouped aggregate over exploded shingle ids
+    (no perm-row explosion: P min-aggregates per shingle row);
+    candidate generation groups (band, band_hash) buckets and emits
+    member pairs — bucket sizes are bounded (hot-bucket cap) so pair
+    counts can't quadratically blow up.
   * Jaccard verify runs only on candidate pairs, never all pairs.
 """
 
@@ -77,28 +79,74 @@ def dedup_bag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SHINGLE_K = 5  # words per shingle
 
-# DuckDB: distinct k-shingles per doc.
+# Shingles are identified by 31-bit integers, never strings: each word
+# is md5-hashed once (60-bit hex prefix → bigint, reduced mod the
+# Mersenne prime), and a shingle's id is a base-SHINGLE_C polynomial of
+# its K word hashes — so building a shingle is 5 array lookups and a
+# few int ops instead of a ~30-byte concat + md5 per position. Both
+# engines share md5, and the polynomial is unrolled identically, so
+# DuckDB agrees bit-for-bit. Overflow-safe: acc < 2^31, C < 2^20 →
+# acc*C + wh < 2^52 fits signed 64-bit on both engines.
+SHINGLE_C = 1_000_003
+MERSENNE = 2_147_483_647
+
+_WORDS_SQL = "list_filter(string_split(lower(text), ' '), w -> w <> '')"
+_WH_SQL = (
+    f"list_transform({_WORDS_SQL}, "
+    f"w -> CAST(CONCAT('0x', substr(md5(w), 1, 15)) AS BIGINT) % {MERSENNE})"
+)
+
+
+def _poly_sql(elem: str) -> str:
+    """Unrolled ((wh1*C + wh2) % M)*C + wh3 ... over ``elem(j)`` terms."""
+    acc = elem.format(j=0)
+    for k in range(1, SHINGLE_K):
+        acc = f"(({acc}) * {SHINGLE_C} + {elem.format(j=k)}) % {MERSENNE}"
+    return acc
+
+
+# DuckDB: distinct shingle ids per doc (1-based list indexing).
 SHINGLES_SQL = f"""
 SELECT DISTINCT doc_id,
-  unnest(list_transform(range(1, greatest(len(ws) - {SHINGLE_K - 1}, 0) + 1),
-         i -> array_to_string(list_slice(ws, i, i + {SHINGLE_K - 1}), ' '))) AS shingle
-FROM (SELECT doc_id, list_filter(string_split(lower(text), ' '), w -> w <> '') AS ws
-      FROM documents)
+  unnest(list_transform(range(1, greatest(len(whs) - {SHINGLE_K - 1}, 0) + 1),
+         i -> {_poly_sql("whs[i + {j}]")})) AS shingle
+FROM (SELECT doc_id, {_WH_SQL} AS whs FROM documents)
 """
 
 
 def shingles(docs: DataFrame, distinct: bool = True) -> DataFrame:
-    """k-word shingles per doc (Spark mirror of SHINGLES_SQL).
+    """Integer shingle ids per doc (Spark mirror of SHINGLES_SQL).
 
     ``distinct=False`` skips the dedup shuffle for consumers whose
     aggregate is duplicate-insensitive (MIN for minhash) — same result,
     one less exchange."""
     ws = F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
-    sh = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(ws) - (SHINGLE_K - 1), F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(ws, i, SHINGLE_K)),
+    whs = F.transform(
+        ws,
+        lambda w: F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("bigint")
+        % MERSENNE,
     )
-    out = docs.select("doc_id", F.explode(sh).alias("shingle"))
+    # The word-hash array MUST be materialized in its own projection:
+    # inlined, every element_at(whs, ...) re-evaluates the whole
+    # list_transform (one md5 per word PER REFERENCE → O(K·n²) md5
+    # calls per doc). As a standalone alias referenced K times,
+    # CollapseProject keeps the boundary and it's hashed once per row.
+    base = docs.select("doc_id", whs.alias("whs"))
+    wcol = F.col("whs")
+
+    def poly(i: Column) -> Column:
+        acc = F.element_at(wcol, i)
+        for k in range(1, SHINGLE_K):
+            acc = (acc * SHINGLE_C + F.element_at(wcol, i + k)) % MERSENNE
+        return acc
+
+    sh = F.transform(
+        F.sequence(
+            F.lit(1), F.greatest(F.size(wcol) - (SHINGLE_K - 1), F.lit(0))
+        ),
+        poly,
+    )
+    out = base.select("doc_id", F.explode(sh).alias("shingle"))
     return out.distinct() if distinct else out
 
 
@@ -108,19 +156,16 @@ N_PERMS = 12
 N_BANDS = 3
 ROWS_PER_BAND = N_PERMS // N_BANDS
 
-# One md5 per shingle, parsed to a 60-bit int; the N_PERMS "permutations"
-# are integer universal hashes h_i(x) = (a_i*x + b_i) mod p over the
-# Mersenne prime p = 2^31-1 (a_i, b_i < p and x reduced mod p first, so
-# a_i*x fits a signed 64-bit without overflow on either engine). This
-# replaces N_PERMS md5 calls per shingle with one — the hash is the hot
-# loop at 100 TB.
-MERSENNE = 2_147_483_647
+# The N_PERMS "permutations" are integer universal hashes
+# h_i(x) = (a_i*x + b_i) mod p over the Mersenne prime p = 2^31-1
+# (a_i, b_i < p and x < p already — shingle ids are reduced mod p — so
+# a_i*x fits a signed 64-bit without overflow on either engine). Zero
+# string hashing here: the only md5 in the pipeline is one per word,
+# inside shingling — the hash is the hot loop at 100 TB.
 PERM_A = [(2_654_435_761 * (i + 1)) % MERSENNE or 1 for i in range(N_PERMS)]
 PERM_B = [(40_503 * (i + 1) + 7) % MERSENNE for i in range(N_PERMS)]
 
-_XM_SQL = (
-    f"CAST(CONCAT('0x', substr(md5(shingle), 1, 15)) AS BIGINT) % {MERSENNE}"
-)
+_XM_SQL = "shingle"
 _SIG_COLS_SQL = ",\n  ".join(
     f"MIN(({PERM_A[i]} * xm + {PERM_B[i]}) % {MERSENNE}) AS h{i}"
     for i in range(N_PERMS)
@@ -158,11 +203,7 @@ SELECT DISTINCT doc_a, doc_b FROM cand
 def minhash_signatures(docs: DataFrame) -> DataFrame:
     # MIN is duplicate-insensitive → no distinct pass over the shingles.
     sh = shingles(docs, distinct=False)
-    xm = (
-        F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("bigint")
-        % MERSENNE
-    ).alias("xm")
-    xs = sh.select("doc_id", xm)
+    xs = sh.select("doc_id", F.col("shingle").alias("xm"))
     return xs.groupBy("doc_id").agg(
         *[
             F.min((PERM_A[i] * F.col("xm") + PERM_B[i]) % MERSENNE).alias(f"h{i}")
@@ -173,9 +214,10 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
 
 @register("dedup_minhash_lsh", oracle=MINHASH_LSH_PAIRS_SQL)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup candidate pairs: 5-word shingles → one md5
-    → 12 integer min-hashes (universal hashing mod 2^31-1) → 3 bands of
-    4 → in-bucket pair generation.
+    """MinHash+LSH near-dup candidate pairs: 5-word integer shingle ids
+    (one md5 per word + polynomial combine) → 12 integer min-hashes
+    (universal hashing mod 2^31-1) → 3 bands of 4 → in-bucket pair
+    generation.
 
     Plan: shingle explode + one grouped aggregate for signatures, then
     ONE shuffle on (band_idx, band_key) that groups each LSH bucket and
@@ -451,9 +493,10 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard similarity for pairs sharing ≥1 shingle,
     thresholded at 0.5.
 
-    Plan: shared-shingle self-join (bounded: shingle doc-frequency is
-    low; at scale, drop hot shingles first — the standard stopword-
-    shingle cut), then two broadcast joins against per-doc sizes.
+    Plan: shared-shingle self-join on 8-byte integer shingle ids (never
+    shingle text; bounded: shingle doc-frequency is low, and at scale,
+    drop hot shingles first — the standard stopword-shingle cut), then
+    two broadcast joins against per-doc sizes.
     """
     docs = table(spark, sf_dir, "documents")
     sh = shingles(docs)
