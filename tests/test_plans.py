@@ -110,6 +110,29 @@ def test_relational_path_is_codegen(spark):
         assert "*(" in plan, f"{name}: hot path fell out of codegen"
 
 
+def test_lsh_buckets_are_capped_on_degenerate_corpus(spark):
+    # a corpus of N identical docs lands in ONE bucket per band; the
+    # row_number cap must bound pair output at C(CAP, 2) instead of
+    # C(N, 2) — the property that saves a 100 TB run from a mega-bucket
+    from trisk_spark.functions.dedup import (
+        BUCKET_CAP,
+        minhash_lsh_pairs,
+        simhash_pairs,
+    )
+
+    n = BUCKET_CAP + 100
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta eta theta") for i in range(n)],
+        "doc_id long, text string",
+    )
+    cap_pairs = BUCKET_CAP * (BUCKET_CAP - 1) // 2
+    assert minhash_lsh_pairs(docs).count() == cap_pairs
+    assert simhash_pairs(docs).count() == cap_pairs
+    # truncation is deterministic: the CAP smallest doc_ids survive
+    kept = minhash_lsh_pairs(docs).agg({"doc_b": "max"}).collect()[0][0]
+    assert kept == BUCKET_CAP - 1
+
+
 def test_map_only_queries_have_no_exchange(spark):
     # Q1/Q2 are pure map/filter — any Exchange here is a planning bug
     for name in ("nexmark_q1", "nexmark_q2"):

@@ -18,7 +18,7 @@ Scale design (100 TB corpora):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
 from trisk_spark.catalog import table
 from trisk_spark.registry import register
@@ -156,6 +156,16 @@ N_PERMS = 12
 N_BANDS = 3
 ROWS_PER_BAND = N_PERMS // N_BANDS
 
+# Hot-bucket cap: an LSH bucket keeps only its BUCKET_CAP smallest
+# doc_ids (deterministic — row_number ordered by doc_id on both
+# engines). A degenerate corpus (thousands of byte-identical docs) maps
+# to ONE bucket; uncapped, the in-bucket pair generation is quadratic in
+# that bucket and a single row holds the whole membership. Capped, the
+# worst bucket emits ≤ CAP·(CAP-1)/2 pairs and the collected array is
+# ≤ CAP elements — identical docs beyond the cap are caught by
+# dedup_exact anyway, which is the cheap path for byte-duplicates.
+BUCKET_CAP = 256
+
 # The N_PERMS "permutations" are integer universal hashes
 # h_i(x) = (a_i*x + b_i) mod p over the Mersenne prime p = 2^31-1
 # (a_i, b_i < p and x < p already — shingle ids are reduced mod p — so
@@ -184,14 +194,25 @@ SELECT doc_id, {_SIG_COLS_SQL}
 FROM xs GROUP BY doc_id
 """
 
+_CAPPED_SQL = ",\n".join(
+    f"""capped{b} AS (
+  SELECT doc_id, band{b} FROM (
+    SELECT doc_id, band{b},
+      row_number() OVER (PARTITION BY band{b} ORDER BY doc_id) AS rn
+    FROM bands)
+  WHERE rn <= {{cap}})"""
+    for b in range(N_BANDS)
+)
+
 MINHASH_LSH_PAIRS_SQL = f"""
 WITH sh AS ({SHINGLES_SQL}),
 xs AS (SELECT doc_id, {_XM_SQL} AS xm FROM sh),
 sig AS (SELECT doc_id, {_SIG_COLS_SQL} FROM xs GROUP BY doc_id),
 bands AS (SELECT doc_id, {_BAND_COLS_SQL} FROM sig),
+{_CAPPED_SQL.format(cap=BUCKET_CAP)},
 cand AS (
   {" UNION ALL ".join(
-    f"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a JOIN bands b "
+    f"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM capped{b} a JOIN capped{b} b "
     f"ON a.band{b} = b.band{b} AND a.doc_id < b.doc_id"
     for b in range(N_BANDS)
   )}
@@ -223,11 +244,19 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONE shuffle on (band_idx, band_key) that groups each LSH bucket and
     emits its member pairs directly — no self-join, so the signature
     pipeline runs exactly once (a self-join would compute it for both
-    sides: exchange reuse does not fire across AQE stages). The bucket
-    collect is bounded by LSH design (hot buckets = near-identical
-    docs; cap bucket size upstream if a degenerate corpus produces
-    mega-buckets). Shuffled payload is 8-byte doc_ids, never text."""
-    docs = table(spark, sf_dir, "documents")
+    sides: exchange reuse does not fire across AQE stages). Bucket
+    membership is HARD-CAPPED at BUCKET_CAP via a row_number window
+    BEFORE the collect (same exchange — the window and the groupBy share
+    the partitioning), so neither the collected array nor the pair
+    explosion can exceed the cap on a degenerate mega-bucket corpus;
+    truncation keeps the CAP smallest doc_ids, mirrored exactly in the
+    oracle SQL. Shuffled payload is 8-byte doc_ids, never text."""
+    return minhash_lsh_pairs(table(spark, sf_dir, "documents"))
+
+
+def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
+    """Core MinHash+LSH candidate-pair pipeline over any (doc_id, text)
+    DataFrame — see dedup_minhash_lsh for the plan discussion."""
     sig = minhash_signatures(docs)
     bands = sig.select(
         "doc_id",
@@ -249,8 +278,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band"),
     ).select("doc_id", "band.band_idx", "band.bh")
+    w = Window.partitionBy("band_idx", "bh").orderBy("doc_id")
+    capped = bands.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= BUCKET_CAP
+    )
     buckets = (
-        bands.groupBy("band_idx", "bh")
+        capped.groupBy("band_idx", "bh")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
         .where(F.size("ids") > 1)
     )
@@ -287,11 +320,14 @@ HAMMING_MAX = 4  # template-generated corpus: fingerprints correlate heavily
 # grouped aggregate keeps 12 SUM buffers instead of 60 (5× narrower
 # shuffle rows and far smaller generated code — the 60-column variant
 # spent more time in codegen than in data). 12-bit fields cap the
-# distinct-token count per doc at 4095 without overflow; docs beyond
-# that should be truncated upstream (simhash saturates long before).
+# distinct-token count per doc at 4095 without overflow; the bound is
+# ENFORCED: both engines sort the distinct-token list and slice it to
+# MAX_TOKENS before voting (deterministic, identical on both sides —
+# simhash saturates long before 4095 tokens anyway).
 FIELD_BITS = 12
 FIELDS_PER_PACK = 5
 N_PACKS = SIMHASH_BITS // FIELDS_PER_PACK  # 12
+MAX_TOKENS = (1 << FIELD_BITS) - 1  # 4095
 
 
 def _pack_term_sql(p: int) -> str:
@@ -314,8 +350,10 @@ _SIMHASH_FP_SQL = " + ".join(
 
 SIMHASH_FP_SQL = f"""
 WITH toks AS (
-  SELECT DISTINCT doc_id, unnest(list_filter(string_split(lower(text), ' '),
-                                 w -> w <> '')) AS tok
+  SELECT doc_id,
+    unnest(list_slice(list_sort(list_distinct(
+      list_filter(string_split(lower(text), ' '), w -> w <> ''))),
+      1, {MAX_TOKENS})) AS tok
   FROM documents
 ),
 hx AS (SELECT doc_id,
@@ -337,10 +375,20 @@ bands AS (
                for b in range(SIMHASH_BANDS))}
   FROM fps
 ),
+{",".join(
+  f'''scapped{b} AS (
+  SELECT doc_id, fp, band{b} FROM (
+    SELECT doc_id, fp, band{b},
+      row_number() OVER (PARTITION BY band{b} ORDER BY doc_id) AS rn
+    FROM bands)
+  WHERE rn <= {BUCKET_CAP})'''
+  for b in range(SIMHASH_BANDS)
+)},
 cand AS (
   {" UNION ".join(
     f"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.fp AS fa, b.fp AS fb "
-    f"FROM bands a JOIN bands b ON a.band{b} = b.band{b} AND a.doc_id < b.doc_id"
+    f"FROM scapped{b} a JOIN scapped{b} b "
+    f"ON a.band{b} = b.band{b} AND a.doc_id < b.doc_id"
     for b in range(SIMHASH_BANDS)
   )}
 )
@@ -356,11 +404,20 @@ def simhash_fingerprints(docs: DataFrame) -> DataFrame:
     = sign of the vote sum. One explode + one grouped aggregate (60
     map-side-combined SUMs) — the same shuffle shape as a word count,
     so it scales like one."""
+    # Sorted-distinct token list sliced to MAX_TOKENS: enforces the
+    # packed-counter bound (12-bit fields overflow silently past 4095
+    # votes) deterministically and identically to the oracle SQL.
     toks = docs.select(
         "doc_id",
-        F.explode(F.array_distinct(
-            F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
-        )).alias("tok"),
+        F.explode(
+            F.slice(
+                F.array_sort(F.array_distinct(
+                    F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
+                )),
+                1,
+                MAX_TOKENS,
+            )
+        ).alias("tok"),
     )
     x = F.conv(
         F.substring(F.md5("tok"), 1, SIMHASH_BITS // 4), 16, 10
@@ -405,7 +462,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     codegen'd bit_count on the pair — the Manku-et-al. design with the
     permuted-table sweep replaced by band blocking.
     """
-    docs = table(spark, sf_dir, "documents")
+    return simhash_pairs(table(spark, sf_dir, "documents"))
+
+
+def simhash_pairs(docs: DataFrame) -> DataFrame:
+    """Core SimHash near-dup pipeline over any (doc_id, text) DataFrame
+    — see dedup_simhash for the plan discussion."""
     fps = simhash_fingerprints(docs)
     # In-bucket pair generation (see dedup_minhash_lsh): one shuffle on
     # the band value, fingerprint pipeline computed exactly once, no
@@ -428,8 +490,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band"),
     ).select("doc_id", "fp", "band.band_idx", "band.bv")
+    # Hot-bucket cap (see dedup_minhash_lsh): row_number window bounds
+    # membership BEFORE the collect — same exchange, bounded array.
+    w = Window.partitionBy("band_idx", "bv").orderBy("doc_id")
+    capped = bands.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= BUCKET_CAP
+    )
     buckets = (
-        bands.groupBy("band_idx", "bv")
+        capped.groupBy("band_idx", "bv")
         .agg(
             F.sort_array(
                 F.collect_list(F.struct("doc_id", "fp"))

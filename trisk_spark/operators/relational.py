@@ -606,9 +606,9 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
 DECIMAL_ACCUMULATORS_SQL = """
 SELECT event_type,
   COUNT(*) AS n,
-  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS total,
-  CAST(MIN(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS min_amount,
-  CAST(MAX(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS max_amount,
+  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE) AS total,
+  CAST(MIN(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS min_amount,
+  CAST(MAX(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS max_amount,
   CAST(ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 4)
        AS DOUBLE) AS avg_amount
 FROM events
@@ -622,16 +622,18 @@ def decimal_accumulators(spark: SparkSession, sf_dir: str) -> DataFrame:
     BigDecimalMinimum / BigDecimalMaximum / average (reference
     examples/.../megaphone/dynamicrules/accumulators/*.java, SURVEY §2A
     'Accumulator library') — as exact DECIMAL aggregates per rule key.
-    The DECIMAL results are returned unrounded (exact arbitrary-order
-    arithmetic, the whole point of BigDecimal accumulators).
+    Accumulation is exact DECIMAL (arbitrary-order arithmetic, the whole
+    point of BigDecimal accumulators); the emitted columns are rounded
+    and cast to DOUBLE per the registry parity convention, because the
+    driver's value-hash canonicalizes raw DECIMAL differently per engine.
     Plan: partial agg map-side, one shuffle on the group key."""
     ev = table(spark, sf_dir, "events")
     d = F.col("value").cast("decimal(18,4)")
     return ev.groupBy("event_type").agg(
         F.count("*").alias("n"),
-        F.sum(d).cast("decimal(18,4)").alias("total"),
-        F.min(d).alias("min_amount"),
-        F.max(d).alias("max_amount"),
+        F.round(F.sum(d), 4).cast("double").alias("total"),
+        F.min(d).cast("double").alias("min_amount"),
+        F.max(d).cast("double").alias("max_amount"),
         F.round(F.sum(d).cast("double") / F.count("*"), 4).alias("avg_amount"),
     )
 

@@ -58,7 +58,13 @@ def register(name: str, oracle: str | None = None):
 
 
 def load_all() -> dict[str, QueryDef]:
-    """Import every operator module so all queries self-register."""
+    """Import every operator module so all queries self-register.
+
+    Order matters for the correctness driver: cheap, previously-dropped
+    modules (multimodal — absent from CORRECTNESS_r01 because the run
+    truncated) register BEFORE the expensive dedup/similarity blocks so a
+    budget-limited driver run records them first.
+    """
     import trisk_spark.operators.nexmark  # noqa: F401
     import trisk_spark.operators.relational  # noqa: F401
     import trisk_spark.operators.wordcount  # noqa: F401
@@ -67,8 +73,8 @@ def load_all() -> dict[str, QueryDef]:
     import trisk_spark.operators.multistream  # noqa: F401
     import trisk_spark.operators.async_io  # noqa: F401
     import trisk_spark.functions.text  # noqa: F401
+    import trisk_spark.functions.multimodal  # noqa: F401
     import trisk_spark.functions.dedup  # noqa: F401
     import trisk_spark.functions.similarity  # noqa: F401
-    import trisk_spark.functions.multimodal  # noqa: F401
 
     return REGISTRY
