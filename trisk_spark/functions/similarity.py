@@ -169,18 +169,19 @@ def _gemm_block_pairs(batches):
         yield pd.DataFrame(out)
 
 
-@register("cosine_near_dup", oracle=COSINE_NEAR_DUP_SQL)
-def cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs: all pairs with cosine ≥
-    threshold, computed as blocked matrix multiplication — vectors are
-    grouped into BLOCK_SIZE blocks, block pairs (a ≤ b) fan out, and an
-    Arrow-batched numpy GEMM scores each block pair (the vectorized-
-    Pandas-UDF path: ~100× the per-pair higher-order-function plan).
+@register("cosine_near_dup_exact", oracle=COSINE_NEAR_DUP_SQL)
+def cosine_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT embedding-cosine near-duplicate pairs: all pairs with
+    cosine ≥ threshold, computed as blocked matrix multiplication —
+    vectors are grouped into BLOCK_SIZE blocks, block pairs (a ≤ b) fan
+    out, and an Arrow-batched numpy GEMM scores each block pair (the
+    vectorized-Pandas-UDF path: ~100× the per-pair higher-order-function
+    plan).
 
-    Scale: O((n/B)²) block-pair rows of ~B·dim·8 bytes each — the
-    canonical blocked all-pairs design; at 100 TB one adds LSH/cluster
-    blocking in front (as dedup_minhash_lsh) so only candidate block
-    pairs are scored, keeping this kernel as the verify stage."""
+    Scale: O((n/B)²) block-pair rows — exact threshold-join over all
+    pairs is inherently quadratic, so this is the small-corpus /
+    verify-stage baseline; ``cosine_near_dup`` is the LSH-blocked scale
+    path that avoids the quadratic join."""
     from pyspark.sql.types import (
         ArrayType,
         DoubleType,
@@ -220,6 +221,164 @@ def cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return pairs.select("ids_a", "ids_b", "vecs_a", "vecs_b").mapInPandas(
         _gemm_block_pairs, schema
+    )
+
+
+# ----------------------------- LSH-blocked cosine near-dup (scale) ---
+
+# Sign-random-projection banding: 8 bands × 8 sign bits over disjoint
+# dimension groups (64-d vectors → every dim used once). Two vectors are
+# candidates iff their sign bits agree on ALL bits of SOME band — the
+# same band-OR structure as dedup_minhash_lsh. Per-band collision
+# probability for angle θ is (1 − θ/π)^BAND_DIMS, so recall is tuned for
+# the near-dup regime: at cos ≥ 0.9 (θ ≈ 26°) recall ≈ 1−(1−0.29)^8 ≈
+# 0.94, while unrelated near-orthogonal pairs (θ ≈ 90°, p ≈ 2^-8 per
+# band) almost never collide — candidate volume ~n²/256 per band on
+# random data, and each bucket is GEMM-verified exactly. Buckets are
+# hard-capped (VEC_BUCKET_CAP smallest vec_ids, row_number window before
+# the collect) so a degenerate corpus cannot build an unbounded bucket.
+COS_NB_BANDS = 8
+COS_BAND_DIMS = 8
+VEC_BUCKET_CAP = 1024
+
+_COS_BAND_SQL = [
+    " + ".join(
+        f"(CASE WHEN vec[{b * COS_BAND_DIMS + i + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(COS_BAND_DIMS)
+    )
+    for b in range(COS_NB_BANDS)
+]
+
+COSINE_LSH_NEAR_DUP_SQL = f"""
+WITH sc AS (
+  SELECT vec_id, {_SCALED_SQL.format(col="embedding")} AS vec FROM embeddings
+),
+n AS (
+  SELECT vec_id, vec, {_DOT_SQL.format(a="vec", b="vec")} AS norm FROM sc
+),
+bands AS (
+  SELECT vec_id, vec, norm,
+    {", ".join(f"{_COS_BAND_SQL[b]} AS band{b}" for b in range(COS_NB_BANDS))}
+  FROM n
+),
+{",".join(
+  f'''vcapped{b} AS (
+  SELECT vec_id, vec, norm, band{b} FROM (
+    SELECT vec_id, vec, norm, band{b},
+      row_number() OVER (PARTITION BY band{b} ORDER BY vec_id) AS rn
+    FROM bands)
+  WHERE rn <= {VEC_BUCKET_CAP})'''
+  for b in range(COS_NB_BANDS)
+)},
+cand AS (
+  {" UNION ALL ".join(
+    f"SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
+    f"CAST({_DOT_SQL.format(a='a.vec', b='b.vec')} AS DOUBLE)"
+    f" / (SQRT(CAST(a.norm AS DOUBLE)) * SQRT(CAST(b.norm AS DOUBLE))) AS cos "
+    f"FROM vcapped{b} a JOIN vcapped{b} b "
+    f"ON a.band{b} = b.band{b} AND a.vec_id < b.vec_id"
+    for b in range(COS_NB_BANDS)
+  )}
+)
+SELECT DISTINCT vec_a, vec_b, CAST(ROUND(cos, 6) AS DOUBLE) AS cosine_sim
+FROM cand WHERE cos >= {NEAR_DUP_COS}
+"""
+
+
+def _gemm_bucket_pairs(batches):
+    """mapInPandas kernel: each input row is ONE LSH bucket (ids, vecs,
+    norms); a numpy GEMM scores all in-bucket pairs i<j, threshold
+    applied in-kernel. Same exact-integer float64 argument as
+    _gemm_block_pairs."""
+    import numpy as np
+    import pandas as pd
+
+    for pdf in batches:
+        out = {"vec_a": [], "vec_b": [], "cosine_sim": []}
+        for _, row in pdf.iterrows():
+            ids = np.asarray(row["ids"], dtype=np.int64)
+            v = np.array([np.asarray(x, dtype=np.float64) for x in row["vecs"]])
+            nrm = np.sqrt(np.asarray(row["norms"], dtype=np.float64))
+            cos = (v @ v.T) / np.outer(nrm, nrm)
+            ia, ib = np.nonzero((cos >= NEAR_DUP_COS) & (ids[:, None] < ids[None, :]))
+            out["vec_a"].extend(ids[ia].tolist())
+            out["vec_b"].extend(ids[ib].tolist())
+            out["cosine_sim"].extend(np.round(cos[ia, ib], 6).tolist())
+        yield pd.DataFrame(out)
+
+
+@register("cosine_near_dup", oracle=COSINE_LSH_NEAR_DUP_SQL)
+def cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-blocked embedding-cosine near-dup pairs — the 100 TB path.
+
+    Sign-random-projection bands (COS_NB_BANDS × COS_BAND_DIMS sign
+    bits over disjoint dims) generate candidate buckets; each bucket is
+    scored by an exact in-bucket numpy GEMM (the verify stage), so the
+    plan contains NO all-pairs join — one shuffle on (band, value),
+    in-bucket pair generation, distinct. Semantics: pairs agreeing on at
+    least one full band with cosine ≥ threshold; the oracle mirrors the
+    banding exactly (deterministic sign bits of the scaled vectors).
+    Recall math in the constants comment; ``cosine_near_dup_exact`` is
+    the all-pairs baseline."""
+    from pyspark.sql import Window
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    n = emb.select(
+        "vec_id", _scaled(F.col("embedding")).alias("vec")
+    ).withColumn("norm", _dot(F.col("vec"), F.col("vec")))
+
+    def band_val(b: int) -> Column:
+        out = F.lit(0)
+        for i in range(COS_BAND_DIMS):
+            out = out + F.when(
+                F.element_at(F.col("vec"), b * COS_BAND_DIMS + i + 1) >= 0,
+                F.lit(1 << i),
+            ).otherwise(0)
+        return out
+
+    bands = n.select(
+        "vec_id",
+        "vec",
+        "norm",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band_idx"), band_val(b).alias("bv"))
+                    for b in range(COS_NB_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("vec_id", "vec", "norm", "band.band_idx", "band.bv")
+    w = Window.partitionBy("band_idx", "bv").orderBy("vec_id")
+    capped = bands.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= VEC_BUCKET_CAP
+    )
+    buckets = (
+        capped.groupBy("band_idx", "bv")
+        .agg(
+            F.collect_list("vec_id").alias("ids"),
+            F.collect_list("vec").alias("vecs"),
+            F.collect_list("norm").alias("norms"),
+        )
+        .where(F.size("ids") > 1)
+    )
+    schema = StructType(
+        [
+            StructField("vec_a", LongType()),
+            StructField("vec_b", LongType()),
+            StructField("cosine_sim", DoubleType()),
+        ]
+    )
+    return (
+        buckets.select("ids", "vecs", "norms")
+        .mapInPandas(_gemm_bucket_pairs, schema)
+        .distinct()
     )
 
 
