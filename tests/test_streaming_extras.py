@@ -262,6 +262,251 @@ def test_partitioning_operators(spark):
     assert 0 <= kg.lo and kg.hi < MAX_PARALLELISM
 
 
+def _write_chunks(tmp_path, name, schema, chunks):
+    """Write one parquet file per chunk with strictly increasing mtimes
+    so a maxFilesPerTrigger=1 stream replays them in order."""
+    import os
+    import time
+
+    import pandas as pd_
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = str(tmp_path / name)
+    os.makedirs(src)
+    t0 = int(time.time())
+    for i, rows in enumerate(chunks):
+        tbl = pa.Table.from_pandas(
+            pd_.DataFrame(rows, columns=[f[0] for f in schema]),
+            schema=pa.schema(schema),
+        )
+        p = os.path.join(src, f"chunk-{i:03d}.parquet")
+        pq.write_table(tbl, p)
+        os.utime(p, times=(t0 + i * 10, t0 + i * 10))
+    return src
+
+
+def test_event_time_timers_close_sessions(spark, tmp_path):
+    """Event-time timers (KeyedProcessFunction.registerEventTimeTimer):
+    sessions close when the WATERMARK passes last_event+gap — driven
+    entirely by event time, so the expected output is a deterministic
+    pure-Python sessionization fold."""
+    import datetime
+    from collections import Counter
+
+    import pyarrow as pa
+
+    from trisk_spark.streaming.state import (
+        SESSION_GAP_MS,
+        event_time_sessions_stream,
+    )
+
+    base = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    rows = []
+    eid = 0
+    for u in (1, 2):
+        for s in range(3):  # 3 sessions per user, 2h apart (> 30min gap)
+            for i in range(3):
+                ts = base + datetime.timedelta(hours=2 * s, minutes=5 * i + u)
+                rows.append((ts, eid, u, float(u * 10 + s + i)))
+                eid += 1
+    rows.sort(key=lambda r: r[0])
+    third = (len(rows) + 2) // 3
+    chunks = [rows[:third], rows[third : 2 * third], rows[2 * third :]]
+    # two far-future sentinels: the first pushes the watermark past every
+    # session end; the second triggers the batch in which timers fire
+    far = base + datetime.timedelta(days=1)
+    chunks.append([(far, 999, -1, 0.0)])
+    chunks.append([(far + datetime.timedelta(minutes=1), 1000, -1, 0.0)])
+
+    schema = [
+        ("ts", pa.timestamp("us")),
+        ("event_id", pa.int64()),
+        ("user_id", pa.int64()),
+        ("value", pa.float64()),
+    ]
+    src = _write_chunks(tmp_path, "etsess", schema, chunks)
+
+    stream = (
+        spark.readStream.schema(
+            "ts TIMESTAMP, event_id BIGINT, user_id BIGINT, value DOUBLE"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    emitted = []
+    q = (
+        event_time_sessions_stream(stream)
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda bdf, bid: emitted.extend(bdf.collect()))
+        .option("checkpointLocation", checkpoint_dir("etsess"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    # a timeoutConf query can stay alive on empty batches: poll until
+    # all 6 real sessions have closed, then stop
+    import time
+
+    deadline = time.time() + 180
+    while time.time() < deadline:
+        if sum(1 for r in emitted if r.user_id != -1) >= 6 or not q.isActive:
+            break
+        time.sleep(0.5)
+    q.stop()
+
+    # expected: per-user sessionization fold with the same gap
+    want: Counter = Counter()
+    by_user: dict[int, list] = {}
+    for ts, eid_, u, v in rows:
+        by_user.setdefault(u, []).append((ts, eid_, v))
+    for u, evs in by_user.items():
+        evs.sort()
+        n, cents, last = 0, 0, None
+        for ts, _, v in evs:
+            ms = int(ts.timestamp() * 1000)
+            if last is not None and ms - last > SESSION_GAP_MS:
+                want[(u, n, cents, last + SESSION_GAP_MS)] += 1
+                n, cents = 0, 0
+            n += 1
+            cents += int(round(v * 100))
+            last = ms
+        want[(u, n, cents, last + SESSION_GAP_MS)] += 1
+
+    got = Counter(
+        (r.user_id, r.n_events, r.total_cents, r.session_end_ms)
+        for r in emitted
+        if r.user_id != -1
+    )
+    assert got == want
+    # 6 sessions total; the final session of each user can ONLY close
+    # via the event-time timer (no later events exist for it)
+    assert sum(want.values()) == 6
+
+
+def test_state_ttl_expires_idle_wordcount_keys(spark, tmp_path):
+    """State TTL (StateTtlConfig): a counter idle past the TTL restarts
+    from zero on next access."""
+    import datetime
+
+    import pyarrow as pa
+
+    from trisk_spark.streaming.state import ttl_running_wordcount_stream
+
+    base = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    m = datetime.timedelta(minutes=1)
+    chunks = [
+        [("a", base), ("b", base), ("a", base + m)],
+        # b stays within TTL (30 min); a returns after 3h → expired
+        [("b", base + 30 * m), ("a", base + 180 * m)],
+    ]
+    schema = [("word", pa.string()), ("ts", pa.timestamp("us"))]
+    src = _write_chunks(tmp_path, "ttlwc", schema, chunks)
+
+    stream = (
+        spark.readStream.schema("word STRING, ts TIMESTAMP")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    batches: list[dict] = []
+
+    def collect(bdf, bid):
+        batches.append({r.word: r.cnt for r in bdf.collect()})
+
+    q = (
+        ttl_running_wordcount_stream(stream, ttl_ms=3_600_000)
+        .writeStream.outputMode("update")
+        .foreachBatch(collect)
+        .option("checkpointLocation", checkpoint_dir("ttlwc"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    nonempty = [b for b in batches if b]
+    assert nonempty == [
+        {"a": 2, "b": 1},  # batch 1: both fresh
+        {"a": 1, "b": 2},  # batch 2: a EXPIRED and restarted; b continued
+    ]
+
+
+def test_matchmaker_state_ttl_evicts_idle_books(spark, tmp_path):
+    """State TTL on the matchmaker: a resting order book idle past the
+    TTL is evicted, so a later matching order finds no counterparty.
+    The control run (no TTL) on the same input produces the trade."""
+    import pyarrow as pa
+
+    from trisk_spark.streaming.state import matchmaker_stream
+
+    cols = [
+        ("sec_code", pa.string()),
+        ("trade_dir", pa.string()),
+        ("price_cents", pa.int64()),
+        ("order_vol", pa.int64()),
+        ("tran_maint_code", pa.string()),
+        ("order_no", pa.int64()),
+        ("seq", pa.int64()),
+    ]
+    chunks = [
+        [("SEC1", "B", 1000, 100, "A", 2, 2)],  # buy rests in the book
+        [("SEC99", "B", 500, 100, "A", 3, 3)],  # unrelated batch → SEC1 idle, TTL fires
+        [("SEC1", "S", 1000, 100, "A", 4, 4)],  # would match the buy if alive
+    ]
+    schema_ddl = (
+        "sec_code STRING, trade_dir STRING, price_cents BIGINT, order_vol BIGINT,"
+        " tran_maint_code STRING, order_no BIGINT, seq BIGINT"
+    )
+
+    def run(ttl):
+        import time
+
+        src = _write_chunks(
+            tmp_path, f"mmttl-{ttl}", cols, chunks
+        )
+        stream = (
+            spark.readStream.schema(schema_ddl)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        trades = []
+        seen_rows = {"n": 0}
+
+        def collect(bdf, bid):
+            trades.extend(bdf.collect())
+
+        q = (
+            matchmaker_stream(stream, state_ttl_ms=ttl)
+            .writeStream.outputMode("append")
+            .foreachBatch(collect)
+            .option("checkpointLocation", checkpoint_dir(f"mmttl{ttl}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        if ttl is None:
+            # no timers → availableNow terminates normally
+            q.awaitTermination()
+        else:
+            # processing-time timers keep the query alive on empty
+            # batches (same as test_inactivity_sessions_fire_on_timer):
+            # poll until all 3 input rows are processed, then stop
+            deadline = time.time() + 180
+            while time.time() < deadline:
+                seen_rows["n"] = sum(
+                    int(p["numInputRows"]) for p in q.recentProgress
+                )
+                if seen_rows["n"] >= 3 or not q.isActive:
+                    break
+                time.sleep(0.5)
+            time.sleep(2)  # let the final batch's sink complete
+            q.stop()
+            assert seen_rows["n"] >= 3, "stream never drained all chunks"
+        return trades
+
+    with_ttl = run(1)  # 1 ms: the book is always expired by the next batch
+    assert with_ttl == [], "TTL did not evict the resting book"
+    control = run(None)
+    assert len(control) == 1 and control[0].buy_no == 2 and control[0].sell_no == 4
+
+
 def test_inactivity_sessions_fire_on_timer(spark, tmp_path):
     """Timers (SURVEY §2A): per-key processing-time timer closes idle
     sessions. A sentinel final batch guarantees every real key's timer

@@ -350,3 +350,197 @@ def delta_trigger(spark: SparkSession, sf_dir: str) -> DataFrame:
     however many cores hold the shuffle output."""
     ev = table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
     return ev.groupBy("user_id").applyInPandas(_delta_trigger_fn, _DELTA_SCHEMA)
+
+
+# ------------------------------------------------------ delta evictor --
+
+DELTA_EVICT_THRESHOLD = 30.0  # evict when |value - last_value| >= threshold
+
+DELTA_EVICTOR_SQL = f"""
+WITH seq AS (
+  SELECT user_id,
+    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS s,
+    CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+w AS (
+  SELECT user_id, s // {COUNT_WINDOW_N} AS win, s, cents,
+    last_value(cents) OVER (PARTITION BY user_id, s // {COUNT_WINDOW_N}
+      ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND UNBOUNDED FOLLOWING) AS last_cents,
+    COUNT(*) OVER (PARTITION BY user_id, s // {COUNT_WINDOW_N}) AS wn
+  FROM seq
+)
+SELECT user_id, CAST(win AS BIGINT) AS win, COUNT(*) AS n_kept,
+  CAST(ROUND(CAST(SUM(cents) AS DOUBLE) / 100, 2) AS DOUBLE) AS total_kept
+FROM w
+WHERE wn = {COUNT_WINDOW_N}
+  AND ABS(cents - last_cents) < {int(round(DELTA_EVICT_THRESHOLD * 100))}
+GROUP BY user_id, win
+"""
+
+
+@register("delta_evictor_window", oracle=DELTA_EVICTOR_SQL)
+def delta_evictor_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DeltaEvictor (api/windowing/evictors/DeltaEvictor.java; SURVEY
+    §2A 'Evictors' — completes the Count/Time/Delta trio): before a
+    count window of {COUNT_WINDOW_N} fires, evict every element whose
+    delta from the window's LAST element reaches the threshold, then
+    aggregate the survivors. Deltas are exact integer cents.
+
+    Plan: one shuffle on user_id; the window id, the per-window last
+    value, and the final aggregate all reuse that partitioning
+    (user_id ⊂ every later grouping key) — no second exchange."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    wseq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        (F.row_number().over(wseq) - 1).alias("s"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    ).withColumn("win", (F.col("s") / COUNT_WINDOW_N).cast("bigint"))
+    wfull = (
+        Window.partitionBy("user_id", "win")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    wcnt = Window.partitionBy("user_id", "win")
+    thresh_cents = int(round(DELTA_EVICT_THRESHOLD * 100))
+    return (
+        seq.withColumn("last_cents", F.last("cents").over(wfull))
+        .withColumn("wn", F.count("*").over(wcnt))
+        .where(
+            (F.col("wn") == COUNT_WINDOW_N)
+            & (F.abs(F.col("cents") - F.col("last_cents")) < thresh_cents)
+        )
+        .groupBy("user_id", "win")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.round(F.sum("cents").cast("double") / 100, 2).alias("total_kept"),
+        )
+    )
+
+
+# ------------------------------------- continuous event-time trigger --
+
+CONT_FIRE_MS = 900_000  # ContinuousEventTimeTrigger interval: 15 min
+WIN_MS = 3_600_000  # tumbling window: 1 h
+
+CONTINUOUS_TRIGGER_SQL = f"""
+WITH e AS (
+  SELECT user_id, epoch_ms(ts) AS ms,
+    epoch_ms(ts) // {WIN_MS} * {WIN_MS} AS w0,
+    CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+firsts AS (
+  SELECT user_id, w0, MIN(ms) AS first_ms FROM e GROUP BY user_id, w0
+),
+fires AS (
+  SELECT user_id, w0,
+    unnest(range((first_ms // {CONT_FIRE_MS} + 1) * {CONT_FIRE_MS},
+                 w0 + {WIN_MS} + 1, {CONT_FIRE_MS})) AS fire_ms
+  FROM firsts
+)
+SELECT f.user_id, f.w0 AS window_start_ms, f.fire_ms,
+  COUNT(*) AS n,
+  CAST(ROUND(CAST(SUM(e.cents) AS DOUBLE) / 100, 2) AS DOUBLE) AS total
+FROM fires f JOIN e ON f.user_id = e.user_id AND f.w0 = e.w0
+WHERE e.ms < f.fire_ms
+GROUP BY f.user_id, f.w0, f.fire_ms
+"""
+
+
+@register("continuous_trigger", oracle=CONTINUOUS_TRIGGER_SQL)
+def continuous_trigger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ContinuousEventTimeTrigger (api/windowing/triggers/
+    ContinuousEventTimeTrigger.java; SURVEY §2A 'Triggers'): a tumbling
+    1 h window fires EARLY every 15 min of event time — each fire emits
+    the running aggregate of elements seen before the fire timestamp;
+    the fire at window end is the ON_TIME result. Batch image: fire
+    times are the interval boundaries from the first element to window
+    end, exactly the timers the Flink trigger registers.
+
+    Plan: one shuffle on user_id+window for the firsts aggregate, fires
+    exploded from a 4-element sequence, then a co-partitioned join back
+    to the window's elements (both sides clustered on (user_id, w0)) and
+    a final aggregate on the same keys — the join adds no exchange
+    beyond the two aggregate shuffles."""
+    ev = table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        F.unix_millis("ts").alias("ms"),
+        (F.unix_millis("ts") / WIN_MS).cast("bigint").alias("wi"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    ).withColumn("w0", F.col("wi") * WIN_MS).drop("wi")
+    firsts = e.groupBy("user_id", "w0").agg(F.min("ms").alias("first_ms"))
+    fires = firsts.select(
+        "user_id",
+        "w0",
+        F.explode(
+            F.sequence(
+                ((F.col("first_ms") / CONT_FIRE_MS).cast("bigint") + 1)
+                * CONT_FIRE_MS,
+                F.col("w0") + WIN_MS,
+                F.lit(CONT_FIRE_MS),
+            )
+        ).alias("fire_ms"),
+    )
+    return (
+        fires.join(e, ["user_id", "w0"])
+        .where(F.col("ms") < F.col("fire_ms"))
+        .groupBy("user_id", F.col("w0").alias("window_start_ms"), "fire_ms")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("cents").cast("double") / 100, 2).alias("total"),
+        )
+    )
+
+
+# -------------------------------------------------- purging trigger --
+
+PURGING_TRIGGER_SQL = f"""
+WITH e AS (
+  SELECT user_id, epoch_ms(ts) AS ms,
+    epoch_ms(ts) // {WIN_MS} * {WIN_MS} AS w0,
+    (epoch_ms(ts) // {CONT_FIRE_MS} + 1) * {CONT_FIRE_MS} AS fire_ms,
+    CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT user_id, w0 AS window_start_ms, fire_ms,
+  COUNT(*) AS n,
+  CAST(ROUND(CAST(SUM(cents) AS DOUBLE) / 100, 2) AS DOUBLE) AS total
+FROM e GROUP BY user_id, w0, fire_ms
+"""
+
+
+@register("purging_trigger", oracle=PURGING_TRIGGER_SQL)
+def purging_trigger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PurgingTrigger.of(ContinuousEventTimeTrigger) (api/windowing/
+    triggers/PurgingTrigger.java): every 15-min fire PURGES the window
+    state, so each fire emits only the elements that arrived since the
+    previous fire (panes, not running totals). Batch image: each
+    element belongs to exactly one pane — the first fire boundary after
+    its timestamp — so the whole operator is ONE grouped aggregate.
+
+    Plan: single shuffle on (user_id, window, pane); purge semantics
+    turn the trigger into a plain partitionable groupBy — strictly
+    cheaper than the non-purging variant at any scale."""
+    ev = table(spark, sf_dir, "events")
+    ms = F.unix_millis("ts")
+    return (
+        ev.select(
+            "user_id",
+            ((ms / WIN_MS).cast("bigint") * WIN_MS).alias("window_start_ms"),
+            (((ms / CONT_FIRE_MS).cast("bigint") + 1) * CONT_FIRE_MS).alias(
+                "fire_ms"
+            ),
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("user_id", "window_start_ms", "fire_ms")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("cents").cast("double") / 100, 2).alias("total"),
+        )
+    )

@@ -113,21 +113,48 @@ def with_late_data_capture(
     ``on_late(late_df, batch_id)`` and yields nothing for on-time rows —
     compose by running the main windowed query separately with the same
     watermark (Spark evaluates watermarks identically for both runs of
-    the deterministic source)."""
-    wm = {"current": None}
+    the deterministic source).
+
+    The threshold is tracked batch-to-batch like the engine's own
+    watermark (max event time seen minus delay) and PERSISTED next to
+    the checkpoint (atomic rename), so a restarted query resumes with
+    the last threshold instead of re-classifying everything as on-time.
+    Caveat: this mirrors, not reads, the main query's engine watermark —
+    both are max(ts)-delay over the same deterministic source, but an
+    engine that delays watermark updates by a batch can momentarily
+    diverge; rows near the boundary may be captured here yet still
+    accepted by the main query (safe direction: dead-letter, not drop)."""
+    import datetime
+    import json
+    import os
+
+    wm_path = os.path.join(checkpoint, "late-capture-watermark.json")
+    wm: dict = {"current": None}
+    if os.path.exists(wm_path):
+        with open(wm_path) as f:
+            raw = json.load(f).get("watermark")
+        if raw:
+            wm["current"] = datetime.datetime.fromisoformat(raw)
 
     def split(batch_df: DataFrame, batch_id: int) -> None:
         threshold = wm["current"]
-        if threshold is not None:
-            late = batch_df.where(F.col(ts_col) < F.lit(threshold))
-            on_late(late, batch_id)
-        mx = batch_df.agg(F.max(ts_col)).collect()[0][0]
+        batch_df.persist()
+        try:
+            if threshold is not None:
+                late = batch_df.where(F.col(ts_col) < F.lit(threshold))
+                on_late(late, batch_id)
+            mx = batch_df.agg(F.max(ts_col)).collect()[0][0]
+        finally:
+            batch_df.unpersist()
         if mx is not None:
-            new_wm = mx - __import__("datetime").timedelta(
-                seconds=_interval_seconds(delay)
-            )
+            new_wm = mx - datetime.timedelta(seconds=_interval_seconds(delay))
             if threshold is None or new_wm > threshold:
                 wm["current"] = new_wm
+                tmp = wm_path + ".tmp"
+                os.makedirs(checkpoint, exist_ok=True)
+                with open(tmp, "w") as f:
+                    json.dump({"watermark": new_wm.isoformat()}, f)
+                os.replace(tmp, wm_path)
 
     return (
         events.writeStream.outputMode("append")

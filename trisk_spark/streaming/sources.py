@@ -79,6 +79,19 @@ def synthesized_bids(spark: SparkSession, rows_per_second: int = 10_000) -> Data
     )
 
 
+def socket_text_stream(spark: SparkSession, host: str, port: int) -> DataFrame:
+    """socketTextStream (StreamExecutionEnvironment.java:1312): one
+    ``value: string`` column per line. Like the reference, a debugging
+    source — not replayable, so no exactly-once (Spark marks the socket
+    source unreliable for production the same way)."""
+    return (
+        spark.readStream.format("socket")
+        .option("host", host)
+        .option("port", port)
+        .load()
+    )
+
+
 def kafka_stream(
     spark: SparkSession,
     brokers: str,

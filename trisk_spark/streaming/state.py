@@ -131,16 +131,46 @@ def _matchmaker_fn(
         yield pd.DataFrame(trades)
 
 
-def matchmaker_stream(orders: DataFrame) -> DataFrame:
+def _matchmaker_ttl_fn(ttl_ms: int):
+    """Wrap the matchmaker with state TTL (StateTtlConfig.java
+    equivalent): any key idle for ttl_ms has its books EVICTED — the
+    timeout callback removes state instead of emitting. Each data batch
+    re-arms the clock (OnCreateAndWrite update semantics)."""
+
+    def fn(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()  # TTL expiry: drop the books
+            return
+            yield  # generator marker
+        yield from _matchmaker_fn(key, pdfs, state)
+        state.setTimeoutDuration(ttl_ms)
+
+    return fn
+
+
+def matchmaker_stream(orders: DataFrame, state_ttl_ms: int | None = None) -> DataFrame:
     """Streaming order-book matchmaker over a stock-order stream
     (schema from sources/stock.py): persistent per-sec_code books,
-    price-time priority, partial fills; emits trades append-only."""
+    price-time priority, partial fills; emits trades append-only.
+
+    ``state_ttl_ms`` enables state TTL (reference
+    flink-core/.../state/StateTtlConfig.java; SURVEY §2A 'state TTL'):
+    books for keys idle longer than the TTL are evicted — without it,
+    inactive securities would pin their open books forever."""
+    if state_ttl_ms is None:
+        return orders.groupBy("sec_code").applyInPandasWithState(
+            _matchmaker_fn,
+            outputStructType=TRADE_SCHEMA,
+            stateStructType=MATCH_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
     return orders.groupBy("sec_code").applyInPandasWithState(
-        _matchmaker_fn,
+        _matchmaker_ttl_fn(state_ttl_ms),
         outputStructType=TRADE_SCHEMA,
         stateStructType=MATCH_STATE,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
 
 
@@ -456,4 +486,141 @@ def inactivity_sessions_stream(events: DataFrame) -> DataFrame:
         stateStructType=_SESS_STATE,
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+# --------------------------------- event-time timers: sessions ------
+
+SESSION_GAP_MS = 30 * 60 * 1000  # 30-minute session gap
+
+_ET_SESS_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_cents", LongType()),
+        StructField("session_end_ms", LongType()),
+    ]
+)
+# (n, cents, last event-time ms) of the one open session per key
+_ET_SESS_STATE = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("cents", LongType()),
+        StructField("last_ms", LongType()),
+    ]
+)
+
+
+def _event_session_fn(
+    key, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-key EVENT-TIME timer (KeyedProcessFunction.java:52
+    ``Context.timerService().registerEventTimeTimer``; SURVEY §2A
+    'Timers'): each record extends the open session and (re)arms a
+    timer at last_event_ts + gap; when the WATERMARK passes the timer
+    (GroupStateTimeout.EventTimeTimeout — no wall clock involved), the
+    session closes and is emitted. An event arriving after an in-data
+    gap (before the watermark caught up) closes the previous session
+    inline — exactly Flink's timer-based session windows. Fully
+    deterministic under replay: everything is driven by event time."""
+    gap = SESSION_GAP_MS
+    if state.hasTimedOut:
+        n, cents, last = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_cents": [cents],
+                "session_end_ms": [last + gap],
+            }
+        )
+        return
+    n, cents, last = state.get if state.exists else (0, 0, None)
+    out: list[tuple[int, int, int, int]] = []
+    batch = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+    ms = (batch["ts"].astype("int64") // 1_000_000).tolist()
+    csum = (batch["value"] * 100).round().astype("int64").tolist()
+    for t, c in zip(ms, csum):
+        if last is not None and t - last > gap:
+            out.append((key[0], n, cents, last + gap))  # in-data gap close
+            n, cents = 0, 0
+        n += 1
+        cents += int(c)
+        last = t
+    state.update((n, cents, last))
+    # Arm the event-time timer at session end; Spark requires it to be
+    # beyond the current watermark — push to wm+1 when the watermark
+    # already passed (the close then fires on the next microbatch).
+    wm = state.getCurrentWatermarkMs()
+    state.setTimeoutTimestamp(max(last + gap, wm + 1))
+    if out:
+        yield pd.DataFrame(
+            out, columns=["user_id", "n_events", "total_cents", "session_end_ms"]
+        )
+
+
+def event_time_sessions_stream(
+    events: DataFrame, watermark_delay: str = "10 minutes"
+) -> DataFrame:
+    """Event-time session windows closed by per-key event-time timers —
+    the watermark, not the wall clock, drives the callbacks. Input needs
+    ``ts`` (timestamp), ``event_id``, ``user_id``, ``value``."""
+    return (
+        events.withWatermark("ts", watermark_delay)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _event_session_fn,
+            outputStructType=_ET_SESS_OUT,
+            stateStructType=_ET_SESS_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+# --------------------------------------- state TTL (event-time) -----
+
+_TTL_WC_OUT = StructType(
+    [
+        StructField("word", StringType()),
+        StructField("cnt", LongType()),
+    ]
+)
+_TTL_WC_STATE = StructType(
+    [StructField("cnt", LongType()), StructField("last_ms", LongType())]
+)
+
+
+def ttl_wordcount_fn(ttl_ms: int):
+    """Running word count whose counter EXPIRES if the key is idle for
+    ttl_ms of EVENT time (StateTtlConfig with OnCreateAndWrite update
+    semantics, mapped to event time so replays are deterministic): on
+    access, state older than the TTL is treated as absent and the count
+    restarts from zero."""
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        cnt, last = state.get if state.exists else (0, None)
+        batch = pd.concat(list(pdfs)).sort_values("ts")
+        ms = (batch["ts"].astype("int64") // 1_000_000).tolist()
+        for t in ms:
+            if last is not None and t - last > ttl_ms:
+                cnt = 0  # TTL expiry: previous state invisible
+            cnt += 1
+            last = t
+        state.update((cnt, last))
+        yield pd.DataFrame({"word": [key[0]], "cnt": [cnt]})
+
+    return fn
+
+
+def ttl_running_wordcount_stream(words: DataFrame, ttl_ms: int) -> DataFrame:
+    """ReducingState word count + state TTL: counts restart when a key
+    is idle beyond the TTL. Input needs ``word`` and ``ts``."""
+    return words.groupBy("word").applyInPandasWithState(
+        ttl_wordcount_fn(ttl_ms),
+        outputStructType=_TTL_WC_OUT,
+        stateStructType=_TTL_WC_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
