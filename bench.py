@@ -69,17 +69,28 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    # Per-query ratios vs the recorded round-1 numbers (BASELINE_QUERIES
+    # .json) so regressions are attributable to a query, not a total.
+    base_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BASELINE_QUERIES.json"
     )
+    if os.path.exists(base_path):
+        with open(base_path) as f:
+            base = json.load(f)
+        if base.get("sf") == out["sf"]:
+            out["vs_recorded"] = {
+                n: round(t / base["queries"][n], 2)
+                for n, t in timings.items()
+                if base["queries"].get(n)
+            }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -203,6 +203,101 @@ def test_streamswitch_policy(durations, parallelism, expect):
         assert got is not None and got < parallelism
 
 
+def test_state_size_sweep_invariant_results_and_timing(spark):
+    """SD microbench (StatefulDemoLongRun.java:54-160): per-key payload
+    state swept over sizes; results must be payload-invariant and every
+    run must record the rescale's timing entry (BASELINE.md 'per-key
+    state size sweep' row)."""
+    from trisk_spark.controlplane import state_size_sweep
+
+    sizes = (1024, 100 * 1024)  # 1 KiB and 100 KiB bracket the sweep
+    records = state_size_sweep(spark, SF, sizes=sizes, n_chunks=4)
+
+    events = table(spark, SF, "events")
+    want = {
+        r.user_id: r.cnt
+        for r in events.groupBy("user_id").agg(F.count("*").alias("cnt")).collect()
+    }
+    for rec in records:
+        assert rec["final_counts"] == want, (
+            f"{rec['per_key_bytes']}B payload changed results"
+        )
+        # exactly one rescale, state re-sharded, timing fields recorded
+        assert len(rec["reconfig_log"]) == 1
+        entry = rec["reconfig_log"][0]
+        assert entry["state_replayed"]
+        assert {"sync_s", "update_s", "kinds"} <= set(entry)
+        assert rec["drive_s"] > 0
+    assert [r["per_key_bytes"] for r in records] == list(sizes)
+
+
+def test_dynamic_controller_submission_over_http(spark):
+    """StreamManager.registerNewController (REST + in-memory compile,
+    StreamManager.java:1037-1059 / ByteClassLoader.java:111-124): submit
+    controller SOURCE over HTTP, resolve it from the registry, and drive
+    a real managed query with it."""
+    import json
+    import urllib.request
+
+    from trisk_spark.controlplane import get_controller, serve_submissions
+
+    srv = serve_submissions()
+    port = srv.server_address[1]
+    try:
+        source = (
+            "from trisk_spark.controlplane.plan import round_robin\n"
+            "class SubmittedRescale:\n"
+            "    def on_stage(self, stage, plan, op):\n"
+            "        if stage == 1:\n"
+            "            p = plan.operators[op].parallelism\n"
+            "            plan.assign_workload(op, round_robin(p + 2))\n"
+            "            return True\n"
+            "        return False\n"
+        )
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/controllers",
+            data=json.dumps(
+                {"name": "sub-rescale", "source": source,
+                 "class_name": "SubmittedRescale"}
+            ).encode(),
+            method="POST",
+        )
+        with urllib.request.urlopen(req) as resp:
+            assert json.load(resp)["registered"] == "sub-rescale"
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/controllers"
+        ) as resp:
+            assert "sub-rescale" in json.load(resp)["controllers"]
+
+        ctl = get_controller("sub-rescale")
+        events = table(spark, SF, "events")
+        staged = StagedReplay(events, "ts", n_chunks=4)
+
+        def build(sp, plan):
+            return (
+                staged.stream(sp)
+                .groupBy("event_type")
+                .agg(F.count("*").alias("cnt"))
+            )
+
+        mq = ManagedQuery(spark, "sub-ctl", build, stateful=True, parallelism=2)
+        run_scripted(mq, staged, ctl, chunks_per_stage=2)
+        assert mq.plan.operators["main"].parallelism == 4  # 2 + 2
+        assert len(mq.reconfig_log) == 1
+        want = {
+            r.event_type: r.cnt
+            for r in events.groupBy("event_type")
+            .agg(F.count("*").alias("cnt"))
+            .collect()
+        }
+        latest = {}
+        for _inc, _bid, row in mq.emitted:
+            latest[row.event_type] = row.cnt
+        assert latest == want
+    finally:
+        srv.shutdown()
+
+
 def test_progress_monitor_attaches(spark):
     mon = ProgressMonitor()
     spark.streams.addListener(mon)

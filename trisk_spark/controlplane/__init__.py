@@ -29,6 +29,17 @@ from trisk_spark.controlplane.controllers import (
     StockController,
     run_scripted,
 )
+from trisk_spark.controlplane.microbench import (
+    RescaleOnce,
+    payload_state_stream,
+    state_size_sweep,
+)
+from trisk_spark.controlplane.submission import (
+    get_controller,
+    list_controllers,
+    serve_submissions,
+    submit_controller,
+)
 
 __all__ = [
     "ExecutionPlan",
@@ -43,4 +54,11 @@ __all__ = [
     "PerformanceEvaluator",
     "StockController",
     "run_scripted",
+    "RescaleOnce",
+    "payload_state_stream",
+    "state_size_sweep",
+    "submit_controller",
+    "get_controller",
+    "list_controllers",
+    "serve_submissions",
 ]
