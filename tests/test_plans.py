@@ -133,6 +133,22 @@ def test_lsh_buckets_are_capped_on_degenerate_corpus(spark):
     assert kept == BUCKET_CAP - 1
 
 
+def test_hot_shingle_cut_bounds_jaccard_fanout(spark):
+    # a boilerplate phrase shared by every doc must NOT fan out into
+    # C(N,2) join rows: its shingles exceed SHINGLE_DF_CAP and are cut,
+    # while genuinely-rare shared shingles still pair
+    from trisk_spark.functions.dedup import SHINGLE_DF_CAP, jaccard_pairs
+
+    n = SHINGLE_DF_CAP + 36
+    common = "the quick brown fox jumps"  # 5 words → 1 hot shingle/doc
+    rows = [(i, f"{common} filler{i}") for i in range(n)]
+    # two docs sharing a RARE 5-word phrase → one surviving pair
+    rows += [(n, "rare alpha beta gamma delta"), (n + 1, "rare alpha beta gamma delta")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = jaccard_pairs(docs).collect()
+    assert [(r.doc_a, r.doc_b, r.jaccard) for r in got] == [(n, n + 1, 1.0)]
+
+
 def test_map_only_queries_have_no_exchange(spark):
     # Q1/Q2 are pure map/filter — any Exchange here is a planning bug
     for name in ("nexmark_q1", "nexmark_q2"):

@@ -539,8 +539,23 @@ def simhash_pairs(docs: DataFrame) -> DataFrame:
 
 JACCARD_THRESHOLD = 0.5
 
+# Hot-shingle cut: shingles appearing in more than SHINGLE_DF_CAP
+# documents are dropped before the shared-shingle self-join (the
+# standard stopword-shingle cut). A shingle with document frequency d
+# fans out into d·(d-1)/2 join rows — one boilerplate phrase shared by
+# a million docs would otherwise produce 5·10^11 rows. Jaccard is then
+# computed over the filtered shingle universe on BOTH engines (sizes
+# and intersections consistently exclude hot shingles).
+SHINGLE_DF_CAP = 64
+
 NGRAM_JACCARD_SQL = f"""
-WITH sh AS ({SHINGLES_SQL}),
+WITH sh0 AS ({SHINGLES_SQL}),
+sh AS (
+  SELECT doc_id, shingle FROM (
+    SELECT doc_id, shingle, COUNT(*) OVER (PARTITION BY shingle) AS df
+    FROM sh0)
+  WHERE df <= {SHINGLE_DF_CAP}
+),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
@@ -558,16 +573,34 @@ WHERE CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared) >= {JACCARD_THRESHOLD}
 
 @register("ngram_jaccard", oracle=NGRAM_JACCARD_SQL)
 def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard similarity for pairs sharing ≥1 shingle,
-    thresholded at 0.5.
+    """Exact n-gram Jaccard similarity for pairs sharing ≥1 rare
+    shingle, thresholded at 0.5.
 
-    Plan: shared-shingle self-join on 8-byte integer shingle ids (never
-    shingle text; bounded: shingle doc-frequency is low, and at scale,
-    drop hot shingles first — the standard stopword-shingle cut), then
-    two broadcast joins against per-doc sizes.
-    """
-    docs = table(spark, sf_dir, "documents")
-    sh = shingles(docs)
+    Plan: doc-frequency computed as a window count on the SAME shingle
+    exchange the self-join needs (no extra shuffle, no broadcast-size
+    assumption on the hot set); hot shingles (df > SHINGLE_DF_CAP) are
+    cut before the join, bounding per-shingle fan-out at CAP²/2; then
+    the shared-shingle self-join on 8-byte integer ids and two broadcast
+    joins against per-doc sizes."""
+    return jaccard_pairs(table(spark, sf_dir, "documents"))
+
+
+def jaccard_pairs(docs: DataFrame) -> DataFrame:
+    """Core n-gram Jaccard pipeline over any (doc_id, text) DataFrame —
+    see ngram_jaccard for the plan discussion."""
+    sh0 = shingles(docs)
+    wdf = Window.partitionBy("shingle")
+    # localCheckpoint materializes the filtered shingle set ONCE: the
+    # self-join consumes it twice, and without the barrier each side
+    # would recompute the whole shingle+window pipeline (exchange reuse
+    # does not fire across AQE stages). 16 bytes/row — at any scale the
+    # materialization is far cheaper than the second computation.
+    sh = (
+        sh0.withColumn("df", F.count("*").over(wdf))
+        .where(F.col("df") <= SHINGLE_DF_CAP)
+        .drop("df")
+        .localCheckpoint()
+    )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")

@@ -153,11 +153,13 @@ def _gemm_block_pairs(batches):
 
     for pdf in batches:
         out = {"vec_a": [], "vec_b": [], "cosine_sim": []}
-        for _, row in pdf.iterrows():
-            ids_a = np.asarray(row["ids_a"], dtype=np.int64)
-            ids_b = np.asarray(row["ids_b"], dtype=np.int64)
-            va = np.array([np.asarray(v, dtype=np.float64) for v in row["vecs_a"]])
-            vb = np.array([np.asarray(v, dtype=np.float64) for v in row["vecs_b"]])
+        for raw_a, raw_b, vl_a, vl_b in zip(
+            pdf["ids_a"], pdf["ids_b"], pdf["vecs_a"], pdf["vecs_b"]
+        ):
+            ids_a = np.asarray(raw_a, dtype=np.int64)
+            ids_b = np.asarray(raw_b, dtype=np.int64)
+            va = np.stack([np.asarray(v, dtype=np.float64) for v in vl_a])
+            vb = np.stack([np.asarray(v, dtype=np.float64) for v in vl_b])
             dots = va @ vb.T
             na = np.sqrt((va * va).sum(axis=1))
             nb = np.sqrt((vb * vb).sum(axis=1))
@@ -286,19 +288,20 @@ FROM cand WHERE cos >= {NEAR_DUP_COS}
 
 
 def _gemm_bucket_pairs(batches):
-    """mapInPandas kernel: each input row is ONE LSH bucket (ids, vecs,
-    norms); a numpy GEMM scores all in-bucket pairs i<j, threshold
-    applied in-kernel. Same exact-integer float64 argument as
-    _gemm_block_pairs."""
+    """mapInPandas kernel: each input row is ONE LSH bucket (ids, vecs);
+    a numpy GEMM scores all in-bucket pairs i<j, threshold applied
+    in-kernel. Norms are recomputed from the integer vectors (cheaper
+    than shipping a third nested array through the shuffle). Same
+    exact-integer float64 argument as _gemm_block_pairs."""
     import numpy as np
     import pandas as pd
 
     for pdf in batches:
         out = {"vec_a": [], "vec_b": [], "cosine_sim": []}
-        for _, row in pdf.iterrows():
-            ids = np.asarray(row["ids"], dtype=np.int64)
-            v = np.array([np.asarray(x, dtype=np.float64) for x in row["vecs"]])
-            nrm = np.sqrt(np.asarray(row["norms"], dtype=np.float64))
+        for raw_ids, raw_vecs in zip(pdf["ids"], pdf["vecs"]):
+            ids = np.asarray(raw_ids, dtype=np.int64)
+            v = np.stack([np.asarray(x, dtype=np.float64) for x in raw_vecs])
+            nrm = np.sqrt((v * v).sum(axis=1))
             cos = (v @ v.T) / np.outer(nrm, nrm)
             ia, ib = np.nonzero((cos >= NEAR_DUP_COS) & (ids[:, None] < ids[None, :]))
             out["vec_a"].extend(ids[ia].tolist())
@@ -329,9 +332,7 @@ def cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = table(spark, sf_dir, "embeddings")
-    n = emb.select(
-        "vec_id", _scaled(F.col("embedding")).alias("vec")
-    ).withColumn("norm", _dot(F.col("vec"), F.col("vec")))
+    n = emb.select("vec_id", _scaled(F.col("embedding")).alias("vec"))
 
     def band_val(b: int) -> Column:
         out = F.lit(0)
@@ -345,7 +346,6 @@ def cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = n.select(
         "vec_id",
         "vec",
-        "norm",
         F.explode(
             F.array(
                 *[
@@ -354,7 +354,7 @@ def cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("band"),
-    ).select("vec_id", "vec", "norm", "band.band_idx", "band.bv")
+    ).select("vec_id", "vec", "band.band_idx", "band.bv")
     w = Window.partitionBy("band_idx", "bv").orderBy("vec_id")
     capped = bands.withColumn("rn", F.row_number().over(w)).where(
         F.col("rn") <= VEC_BUCKET_CAP
@@ -364,7 +364,6 @@ def cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.collect_list("vec_id").alias("ids"),
             F.collect_list("vec").alias("vecs"),
-            F.collect_list("norm").alias("norms"),
         )
         .where(F.size("ids") > 1)
     )
@@ -376,7 +375,7 @@ def cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return (
-        buckets.select("ids", "vecs", "norms")
+        buckets.select("ids", "vecs")
         .mapInPandas(_gemm_bucket_pairs, schema)
         .distinct()
     )
