@@ -211,6 +211,121 @@ def test_delta_trigger_stream_equals_batch(spark):
     assert got == want
 
 
+def test_delta_evictor_stream_equals_batch(spark):
+    from trisk_spark.operators.multistream import delta_evictor_window
+    from trisk_spark.streaming.state import delta_evictor_stream
+
+    stream = replay_stream(spark, SF, "events", n_chunks=5)
+    out = delta_evictor_stream(stream.select("user_id", "ts", "event_id", "value"))
+    emitted = []
+    q = (
+        out.writeStream.outputMode("append")
+        .foreachBatch(lambda bdf, bid: emitted.extend(bdf.collect()))
+        .option("checkpointLocation", checkpoint_dir("de"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {(r.user_id, r.win): (r.n_kept, r.total_kept) for r in emitted}
+    assert len(got) == len(emitted), "window fired twice"
+    want = {
+        (r.user_id, r.win): (r.n_kept, r.total_kept)
+        for r in delta_evictor_window(spark, SF).collect()
+    }
+    assert got == want
+    assert want, "no complete windows — vacuous"
+
+
+def test_purging_trigger_stream_equals_batch(spark):
+    from trisk_spark.operators.multistream import purging_trigger
+    from trisk_spark.streaming.queries import (
+        final_state,
+        purging_trigger_stream,
+        run_bounded,
+    )
+
+    stream = replay_stream(spark, SF, "events", n_chunks=4)
+    emitted = run_bounded(
+        purging_trigger_stream(stream), checkpoint_dir("pt"), mode="update"
+    )
+    final = final_state(emitted, ["user_id", "window_start_ms", "fire_ms"])
+    got = {
+        (r.user_id, r.window_start_ms, r.fire_ms): (r.n, r.total) for r in final
+    }
+    want = {
+        (r.user_id, r.window_start_ms, r.fire_ms): (r.n, r.total)
+        for r in purging_trigger(spark, SF).collect()
+    }
+    assert got == want
+
+
+def test_continuous_trigger_stream_equals_batch(spark, tmp_path):
+    """The watermark-driven early-fire op must emit exactly the batch
+    image's fire rows: every 15-min boundary from the first element to
+    window end, with cumulative aggregates."""
+    import time
+    from collections import Counter
+
+    import pyarrow as pa
+
+    from trisk_spark.operators.multistream import continuous_trigger
+    from trisk_spark.streaming.state import continuous_trigger_stream
+
+    rows = [
+        (r.ts, r.user_id, r.value)
+        for r in table(spark, SF, "events")
+        .select("ts", "user_id", "value")
+        .orderBy("ts")
+        .collect()
+    ]
+    n_chunks = 4
+    per = (len(rows) + n_chunks - 1) // n_chunks
+    chunks = [rows[i * per : (i + 1) * per] for i in range(n_chunks)]
+    import datetime
+
+    far = rows[-1][0] + datetime.timedelta(days=2)
+    chunks.append([(far, -1, 0.0)])
+    chunks.append([(far + datetime.timedelta(minutes=1), -1, 0.0)])
+    schema = [
+        ("ts", pa.timestamp("us")),
+        ("user_id", pa.int64()),
+        ("value", pa.float64()),
+    ]
+    src = _write_chunks(tmp_path, "ctstream", schema, chunks)
+
+    stream = (
+        spark.readStream.schema("ts TIMESTAMP, user_id BIGINT, value DOUBLE")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    emitted = []
+    q = (
+        continuous_trigger_stream(stream)
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda bdf, bid: emitted.extend(bdf.collect()))
+        .option("checkpointLocation", checkpoint_dir("ctstream"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    want = Counter(
+        (r.user_id, r.window_start_ms, r.fire_ms, r.n, r.total)
+        for r in continuous_trigger(spark, SF).collect()
+    )
+    deadline = time.time() + 180
+    while time.time() < deadline:
+        got_n = sum(1 for r in emitted if r.user_id != -1)
+        if got_n >= sum(want.values()) or not q.isActive:
+            break
+        time.sleep(0.5)
+    q.stop()
+    got = Counter(
+        (r.user_id, r.window_start_ms, r.fire_ms, r.n, r.total)
+        for r in emitted
+        if r.user_id != -1
+    )
+    assert got == want
+
+
 def test_partitioning_operators(spark):
     """Physical-distribution family: co-location, partition counts, and
     key-group stability (SURVEY §2A keying/partitioning rows)."""

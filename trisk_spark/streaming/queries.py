@@ -125,6 +125,40 @@ def tumbling_agg_stream(events: DataFrame, watermark: str = "1 day") -> DataFram
     )
 
 
+def purging_trigger_stream(events: DataFrame, watermark: str = "1 day") -> DataFrame:
+    """PurgingTrigger.of(ContinuousEventTimeTrigger) as a NATIVE
+    Structured Streaming windowed aggregate: purge-on-fire means each
+    pane is independent, so the 15-min fire panes of a 1-h window are
+    exactly a 15-min tumbling window keyed by user, annotated with the
+    parent window start. Batch equivalent:
+    operators/multistream.purging_trigger."""
+    from trisk_spark.operators.multistream import WIN_MS
+
+    ev = events.withWatermark("ts", watermark)
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    return (
+        ev.groupBy(F.window("ts", "15 minutes").alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(cents).cast("double") / 100, 2).alias("total"),
+        )
+        .select(
+            "user_id",
+            (F.unix_millis(F.col("w.start")) / WIN_MS).cast("bigint").alias("wi"),
+            F.unix_millis(F.col("w.end")).alias("fire_ms"),
+            "n",
+            "total",
+        )
+        .select(
+            "user_id",
+            (F.col("wi") * WIN_MS).alias("window_start_ms"),
+            "fire_ms",
+            "n",
+            "total",
+        )
+    )
+
+
 def run_bounded(stream_df: DataFrame, checkpoint: str, mode: str = "update"):
     """Run a bounded streaming query to completion (availableNow) into
     an in-memory collector via foreachBatch; returns all emitted rows

@@ -579,6 +579,211 @@ def event_time_sessions_stream(
     )
 
 
+# ----------------------------------- delta evictor (count window) ---
+
+_DE_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("win", LongType()),
+        StructField("n_kept", LongType()),
+        StructField("total_kept", DoubleType()),
+    ]
+)
+# (next window index, buffered cents of the partial window)
+_DE_STATE = StructType(
+    [
+        StructField("win", LongType()),
+        StructField("buf", ArrayType(LongType())),
+    ]
+)
+
+
+def _delta_evictor_fn(
+    key, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """DeltaEvictor on count windows (evictors/DeltaEvictor.java):
+    buffer N elements per key; at fire, evict every element whose
+    integer-cent delta from the window's LAST element reaches the
+    threshold, emit the survivors' aggregate, purge. Batch twin:
+    operators/multistream.delta_evictor_window (same fold)."""
+    from trisk_spark.operators.multistream import (
+        COUNT_WINDOW_N,
+        DELTA_EVICT_THRESHOLD,
+    )
+
+    thresh = int(round(DELTA_EVICT_THRESHOLD * 100))
+    win, buf = (state.get[0], list(state.get[1] or [])) if state.exists else (0, [])
+    out: list[tuple[int, int, int, float]] = []
+    batch = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+    for cents in (batch["value"] * 100).round().astype("int64"):
+        buf.append(int(cents))
+        if len(buf) == COUNT_WINDOW_N:
+            last = buf[-1]
+            kept = [c for c in buf if abs(c - last) < thresh]
+            out.append(
+                (key[0], win, len(kept), round(sum(kept) / 100, 2))
+            )
+            win, buf = win + 1, []
+    state.update((win, buf))
+    if out:
+        yield pd.DataFrame(out, columns=["user_id", "win", "n_kept", "total_kept"])
+
+
+def delta_evictor_stream(events: DataFrame) -> DataFrame:
+    """Streaming DeltaEvictor count window; batch equivalent:
+    operators/multistream.delta_evictor_window."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _delta_evictor_fn,
+        outputStructType=_DE_OUT,
+        stateStructType=_DE_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# --------------------------- continuous event-time trigger (stream) --
+
+_CT_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("window_start_ms", LongType()),
+        StructField("fire_ms", LongType()),
+        StructField("n", LongType()),
+        StructField("total", DoubleType()),
+    ]
+)
+_CT_WIN = StructType(
+    [
+        StructField("w0", LongType()),
+        StructField("last_fired", LongType()),  # 0 = nothing fired yet
+        StructField("first_ms", LongType()),
+    ]
+)
+_CT_PANE = StructType(
+    [
+        StructField("w0", LongType()),
+        StructField("fire", LongType()),  # pane's fire boundary (pane end)
+        StructField("n", LongType()),
+        StructField("cents", LongType()),
+    ]
+)
+_CT_STATE = StructType(
+    [
+        StructField("wins", ArrayType(_CT_WIN)),
+        StructField("panes", ArrayType(_CT_PANE)),
+    ]
+)
+
+
+def _ct_fire_due(wins, panes, wm):
+    """Fire every pending boundary ≤ wm across all open windows; returns
+    (rows, surviving wins, surviving panes). Pure — shared by the data
+    and timeout paths."""
+    from trisk_spark.operators.multistream import CONT_FIRE_MS, WIN_MS
+
+    rows = []
+    new_wins = []
+    done_w0 = set()
+    for w0, last_fired, first_ms in wins:
+        b = (
+            last_fired + CONT_FIRE_MS
+            if last_fired
+            else (first_ms // CONT_FIRE_MS + 1) * CONT_FIRE_MS
+        )
+        while b <= min(wm, w0 + WIN_MS):
+            n = sum(p[2] for p in panes if p[0] == w0 and p[1] <= b)
+            cents = sum(p[3] for p in panes if p[0] == w0 and p[1] <= b)
+            rows.append((w0, b, n, cents))
+            last_fired = b
+            b += CONT_FIRE_MS
+        if last_fired >= w0 + WIN_MS:
+            done_w0.add(w0)  # window complete: final fire emitted
+        else:
+            new_wins.append((w0, last_fired, first_ms))
+    new_panes = [p for p in panes if p[0] not in done_w0]
+    return rows, new_wins, new_panes
+
+
+def _continuous_trigger_fn(
+    key, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """ContinuousEventTimeTrigger as an event-time-timer state op
+    (triggers/ContinuousEventTimeTrigger.java:52 registers a timer every
+    interval; the WATERMARK fires it): per-pane partial aggregates
+    accumulate in state; each watermark advance fires all due
+    boundaries with the cumulative aggregate of panes before them —
+    identical semantics to the batch image
+    (operators/multistream.continuous_trigger), proven by the
+    stream≡batch test."""
+    from trisk_spark.operators.multistream import CONT_FIRE_MS, WIN_MS
+
+    if state.exists:
+        wins = [tuple(w) for w in (state.get[0] or [])]
+        panes = [tuple(p) for p in (state.get[1] or [])]
+    else:
+        wins, panes = [], []
+
+    if not state.hasTimedOut:
+        batch = pd.concat(list(pdfs))
+        ms_list = (batch["ts"].astype("int64") // 1_000_000).tolist()
+        cents_list = (batch["value"] * 100).round().astype("int64").tolist()
+        pane_map = {(p[0], p[1]): [p[2], p[3]] for p in panes}
+        win_map = {w[0]: [w[1], w[2]] for w in wins}
+        for t, c in zip(ms_list, cents_list):
+            w0 = t // WIN_MS * WIN_MS
+            fire = (t // CONT_FIRE_MS + 1) * CONT_FIRE_MS
+            agg = pane_map.setdefault((w0, fire), [0, 0])
+            agg[0] += 1
+            agg[1] += int(c)
+            if w0 not in win_map:
+                win_map[w0] = [0, t]
+            elif t < win_map[w0][1]:
+                win_map[w0][1] = t
+        wins = [(w0, lf, fm) for w0, (lf, fm) in win_map.items()]
+        panes = [(w0, f, n, c) for (w0, f), (n, c) in pane_map.items()]
+
+    wm = state.getCurrentWatermarkMs()
+    rows, wins, panes = _ct_fire_due(wins, panes, wm)
+    if wins:
+        state.update((wins, panes))
+        # next pending boundary; Spark needs a timestamp beyond the wm
+        nxt = min(
+            (
+                (lf + CONT_FIRE_MS)
+                if lf
+                else (fm // CONT_FIRE_MS + 1) * CONT_FIRE_MS
+            )
+            for _w0, lf, fm in wins
+        )
+        state.setTimeoutTimestamp(max(nxt, wm + 1))
+    else:
+        state.remove()
+    if rows:
+        yield pd.DataFrame(
+            [(key[0], w0, b, n, round(c / 100, 2)) for w0, b, n, c in rows],
+            columns=["user_id", "window_start_ms", "fire_ms", "n", "total"],
+        )
+
+
+def continuous_trigger_stream(
+    events: DataFrame, watermark_delay: str = "1 minute"
+) -> DataFrame:
+    """Streaming ContinuousEventTimeTrigger; batch equivalent:
+    operators/multistream.continuous_trigger. Input needs ``ts``,
+    ``user_id``, ``value``."""
+    return (
+        events.withWatermark("ts", watermark_delay)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _continuous_trigger_fn,
+            outputStructType=_CT_OUT,
+            stateStructType=_CT_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 # --------------------------------------- state TTL (event-time) -----
 
 _TTL_WC_OUT = StructType(
