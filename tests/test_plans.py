@@ -133,6 +133,30 @@ def test_lsh_buckets_are_capped_on_degenerate_corpus(spark):
     assert kept == BUCKET_CAP - 1
 
 
+def test_purging_trigger_is_single_exchange(spark):
+    # purge-on-fire turns the trigger into one partitionable groupBy —
+    # the plan must contain exactly one exchange (formatted explain
+    # prints each node twice: tree line + "(n) Exchange" detail header)
+    import re
+
+    plan = static_plan(spark, "purging_trigger")
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
+
+
+def test_new_window_ops_have_map_side_partials(spark):
+    for name in ("purging_trigger", "repetition_ratio", "ngram_counts"):
+        plan = static_plan(spark, name)
+        assert "partial_" in plan, f"{name}: no map-side partial aggregation"
+
+
+def test_ngram_counts_uses_topk_not_global_sort(spark):
+    # ORDER BY + LIMIT must plan as TakeOrderedAndProject, not a full
+    # global Sort — the difference between a bounded heap and an
+    # all-data sort at corpus scale
+    plan = static_plan(spark, "ngram_counts")
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_hot_shingle_cut_bounds_jaccard_fanout(spark):
     # a boilerplate phrase shared by every doc must NOT fan out into
     # C(N,2) join rows: its shingles exceed SHINGLE_DF_CAP and are cut,

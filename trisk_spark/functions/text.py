@@ -179,3 +179,85 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.lower("text")).alias("content_md5"),
         F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(ws)))).alias("bag_md5"),
     )
+
+
+# ------------------------------------------- corpus n-gram frequency --
+
+TOP_NGRAMS_K = 100
+
+def _ngram_counts_sql() -> str:
+    from trisk_spark.functions.dedup import SHINGLES_SQL
+
+    return f"""
+WITH sh AS ({SHINGLES_SQL}),
+freq AS (SELECT shingle, COUNT(*) AS cnt FROM sh GROUP BY shingle)
+SELECT shingle, cnt FROM freq
+ORDER BY cnt DESC, shingle ASC LIMIT {TOP_NGRAMS_K}
+"""
+
+
+def _register_ngram_counts() -> None:
+    from trisk_spark.functions.dedup import shingles
+
+    @register("ngram_counts", oracle=_ngram_counts_sql())
+    def ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Corpus-level n-gram frequency: the top-K 5-gram shingles by
+        occurrence count — the standard boilerplate / contamination
+        probe over a training corpus (hot n-grams betray templates and
+        benchmark leakage). Deterministic order: (cnt DESC, shingle).
+
+        Plan: one shuffle on the integer shingle id with map-side
+        partial counts, then Spark's TakeOrdered top-K — no global
+        sort; at 100 TB the heavy-hitter set this surfaces is exactly
+        what ngram_jaccard's hot-shingle cut consumes."""
+        docs = table(spark, sf_dir, "documents")
+        sh = shingles(docs, distinct=False)
+        return (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("shingle"))
+            .limit(TOP_NGRAMS_K)
+        )
+
+
+_register_ngram_counts()
+
+
+# --------------------------------------------- repetition ratio ------
+
+def _repetition_ratio_sql() -> str:
+    from trisk_spark.functions.dedup import SHINGLES_SQL
+
+    return f"""
+WITH sh AS ({SHINGLES_SQL})
+SELECT doc_id,
+  COUNT(*) AS n_ngrams,
+  CAST(ROUND(1.0 - CAST(COUNT(DISTINCT shingle) AS DOUBLE) / COUNT(*), 4)
+       AS DOUBLE) AS repetition_ratio
+FROM sh GROUP BY doc_id
+"""
+
+
+def _register_repetition_ratio() -> None:
+    from trisk_spark.functions.dedup import shingles
+
+    @register("repetition_ratio", oracle=_repetition_ratio_sql())
+    def repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Within-document repetition: fraction of duplicate 5-gram
+        shingles (1 - distinct/total) — the Gopher-style quality rule
+        that flags boilerplate-heavy or looping documents for removal
+        before training.
+
+        Plan: one shuffle on doc_id; count + count-distinct in a single
+        grouped aggregate over integer shingle ids."""
+        docs = table(spark, sf_dir, "documents")
+        sh = shingles(docs, distinct=False)
+        return sh.groupBy("doc_id").agg(
+            F.count("*").alias("n_ngrams"),
+            F.round(
+                1.0 - F.countDistinct("shingle").cast("double") / F.count("*"), 4
+            ).alias("repetition_ratio"),
+        )
+
+
+_register_repetition_ratio()
