@@ -365,6 +365,20 @@ def test_partitioning_operators(spark):
     )
     assert split == 0, "partitionCustom split a group across partitions"
 
+    # partitionCustom (index-exact): row r lands in partition pid(r)
+    from trisk_spark.operators.partitioning import partition_custom_exact
+
+    pce = partition_custom_exact(ev, F.col("user_id") % 4, 4)
+    assert pce.rdd.getNumPartitions() == 4
+    wrong = (
+        pce.select((F.col("user_id") % 4).alias("want"),
+                   F.spark_partition_id().alias("got"))
+        .where(F.col("want") != F.col("got"))
+        .count()
+    )
+    assert wrong == 0, "partition index diverged from the partitioner fn"
+    assert pce.columns == ev.columns
+
     # rebalance/rescale/global: partition counts
     assert rebalance(ev, 16).rdd.getNumPartitions() == 16
     assert rescale(ev.repartition(8), 2).rdd.getNumPartitions() == 2

@@ -10,7 +10,7 @@ explicit and testable:
 | Reference                     | Here                                   |
 |-------------------------------|----------------------------------------|
 | keyBy(selector)               | ``key_by`` → hash repartition on expr  |
-| partitionCustom(partitioner)  | ``partition_custom`` → repartition on a user expression (Spark owns the hash; arbitrary target-partition functions are not exposed — documented divergence) |
+| partitionCustom(partitioner)  | ``partition_custom`` → repartition on a user expression (Catalyst owns the hash); ``partition_custom_exact`` → index-exact placement via an identity-partitioned exchange (the full reference contract) |
 | broadcast()                   | ``F.broadcast`` join hint              |
 | shuffle()/rebalance()         | ``rebalance`` → round-robin repartition|
 | rescale()                     | ``rescale`` → coalesce (no shuffle)    |
@@ -42,8 +42,33 @@ def partition_custom(df: DataFrame, expr: Column, n: int) -> DataFrame:
     Spark hashes the expression's value — the user controls *grouping*
     (which rows travel together) but not the physical partition index;
     index-level placement is the scheduler's job (same stance as
-    assignResources in controlplane/managed.py)."""
+    assignResources in controlplane/managed.py). For index-exact
+    placement use ``partition_custom_exact``."""
     return df.repartition(n, expr)
+
+
+def partition_custom_exact(df: DataFrame, pid: Column, n: int) -> DataFrame:
+    """partitionCustom with INDEX-exact semantics (DataStream.java:352:
+    the Partitioner returns the physical partition number): ``pid`` must
+    evaluate to an int in [0, n); row r lands in partition pid(r),
+    byte-for-byte the reference contract.
+
+    This is the one family member that needs the RDD escape hatch —
+    DataFrame repartition always interposes Spark's hash. The rows take
+    one exchange with an identity partitioner; schema is preserved.
+    Use only when the partition INDEX carries meaning (e.g. mirroring
+    the reference's key-group→task deal); otherwise ``partition_custom``
+    keeps the plan in Catalyst."""
+    pid_col = "__trisk_pid"
+    tagged = df.withColumn(pid_col, pid.cast("int"))
+    schema = df.schema
+    shuffled = (
+        tagged.rdd.map(lambda r: (r[pid_col], r))
+        .partitionBy(n, lambda k: int(k))
+        .map(lambda kv: kv[1])
+    )
+    out = df.sparkSession.createDataFrame(shuffled, tagged.schema)
+    return out.drop(pid_col) if schema != tagged.schema else out
 
 
 def key_group(key: Column) -> Column:
