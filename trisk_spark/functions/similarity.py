@@ -613,3 +613,54 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= TOP_K)
     )
+
+
+# ----------------------------------------- kNN label vote (weak label) --
+
+KNN_LABEL_VOTE_SQL = f"""
+WITH ranked AS ({KNN_BRUTE_SQL}),
+votes AS (
+  SELECT r.query_id, CAST(e.label AS BIGINT) AS label, COUNT(*) AS n_votes
+  FROM ranked r JOIN embeddings e ON r.neighbor_id = e.vec_id
+  GROUP BY r.query_id, e.label
+)
+SELECT query_id,
+  -MAX({{'v': n_votes, 'nl': -label}}).nl AS predicted_label,
+  MAX({{'v': n_votes, 'nl': -label}}).v AS n_votes
+FROM votes GROUP BY query_id
+"""
+
+
+@register("knn_label_vote", oracle=KNN_LABEL_VOTE_SQL)
+def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weak labeling by kNN majority vote: each probe takes the modal
+    label of its top-k cosine neighbors (ties break to the smallest
+    label — struct MAX on (votes, -label), deterministic on both
+    engines). The standard label-propagation primitive for bootstrapping
+    training labels from a small seed set.
+
+    Plan: the ranked top-k from knn_bruteforce (broadcast probes, one
+    corpus scan), a label join on vec_id, and two tiny grouped
+    aggregates — label assignment adds no extra corpus pass."""
+    ranked = knn_bruteforce(spark, sf_dir)
+    emb = table(spark, sf_dir, "embeddings")
+    labels = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").cast("bigint")
+    )
+    votes = (
+        ranked.join(F.broadcast(labels), "neighbor_id")
+        .groupBy("query_id", "label")
+        .agg(F.count("*").alias("n_votes"))
+    )
+    w = F.max(
+        F.struct(F.col("n_votes").alias("v"), (-F.col("label")).alias("nl"))
+    ).alias("w")
+    return (
+        votes.groupBy("query_id")
+        .agg(w)
+        .select(
+            "query_id",
+            (-F.col("w.nl")).alias("predicted_label"),
+            F.col("w.v").alias("n_votes"),
+        )
+    )

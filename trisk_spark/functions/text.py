@@ -261,3 +261,38 @@ def _register_repetition_ratio() -> None:
 
 
 _register_repetition_ratio()
+
+
+# ------------------------------------------- per-source curation ----
+
+SOURCE_QUALITY_SQL = """
+SELECT source,
+  COUNT(*) AS n_docs,
+  CAST(ROUND(AVG(CAST(n_chars AS DOUBLE)), 2) AS DOUBLE) AS avg_chars,
+  COUNT(DISTINCT lang) AS n_langs,
+  CAST(ROUND(1.0 - CAST(COUNT(DISTINCT md5(text)) AS DOUBLE) / COUNT(*), 4)
+       AS DOUBLE) AS dup_rate
+FROM documents
+GROUP BY source
+"""
+
+
+@register("source_quality_rollup", oracle=SOURCE_QUALITY_SQL)
+def source_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source curation dashboard: document count, mean length,
+    language spread, and exact-duplicate rate — the first query any
+    corpus curator runs to decide which sources to keep, downsample, or
+    drop.
+
+    Plan: one shuffle on source; the dup rate rides the same grouped
+    aggregate as a COUNT DISTINCT over 32-byte content hashes (hash
+    first — the shuffle never moves document text)."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg(F.col("n_chars").cast("double")), 2).alias("avg_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.round(
+            1.0 - F.countDistinct(F.md5("text")).cast("double") / F.count("*"), 4
+        ).alias("dup_rate"),
+    )

@@ -663,3 +663,36 @@ def all_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"), dsum(F.col("value")).alias("total_value"))
         .select(F.col("w.start").alias("window_start"), "n", "total_value")
     )
+
+
+# --------------------------------------- JSON props extraction ------
+
+PROPS_ROLLUP_SQL = """
+SELECT event_type,
+  COUNT(*) AS n,
+  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_total,
+  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
+  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("props_rollup", oracle=PROPS_ROLLUP_SQL)
+def props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar functions over the events payload (the reference's
+    scalar-fn surface includes JSON field access — SURVEY §2A 'scalar
+    fns'): extract props.k and aggregate per event type. get_json_object
+    is JVM-side; the JSON is parsed once per row inside codegen, and at
+    100 TB one would promote hot JSON fields to columns at ingest —
+    this query is the probe that finds them.
+
+    Plan: map-side JSON extraction, one shuffle on event_type."""
+    ev = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(k).alias("k_total"),
+        F.min(k).alias("k_min"),
+        F.max(k).alias("k_max"),
+    )
