@@ -696,3 +696,51 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         if changed == 0:
             break
     return labels
+
+
+# ------------------------------------------- decontamination --------
+
+# Stand-in benchmark set: the first DECONTAM_BENCH_MAX_ID documents.
+# In production this is the eval-suite text; the operator's shape is
+# identical.
+DECONTAM_BENCH_MAX_ID = 50
+
+DECONTAMINATE_SQL = f"""
+WITH sh AS ({SHINGLES_SQL}),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < {DECONTAM_BENCH_MAX_ID}),
+hits AS (
+  SELECT s.doc_id, COUNT(*) AS n_shared
+  FROM sh s JOIN bench b ON s.shingle = b.shingle
+  WHERE s.doc_id >= {DECONTAM_BENCH_MAX_ID}
+  GROUP BY s.doc_id
+)
+SELECT doc_id, n_shared FROM hits
+"""
+
+
+@register("decontaminate_flags", oracle=DECONTAMINATE_SQL)
+def decontaminate_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data decontamination: flag every corpus document that
+    shares at least one n-gram shingle with the benchmark set, with the
+    shared-shingle count as evidence strength — the standard
+    eval-overlap scrub run before training.
+
+    Plan: the benchmark's distinct shingle set is tiny by definition
+    (eval suites are MBs, the corpus is TBs) and BROADCASTS into a
+    semi-join-shaped hash join against the corpus shingles — the corpus
+    is scanned once and shuffles only the surviving (doc_id) hits for
+    the per-doc count. The shared shingle pipeline is materialized once
+    (localCheckpoint) since both sides derive from it."""
+    docs = table(spark, sf_dir, "documents")
+    sh = shingles(docs).localCheckpoint()
+    bench = (
+        sh.where(F.col("doc_id") < DECONTAM_BENCH_MAX_ID)
+        .select("shingle")
+        .distinct()
+    )
+    return (
+        sh.where(F.col("doc_id") >= DECONTAM_BENCH_MAX_ID)
+        .join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
