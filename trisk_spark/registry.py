@@ -57,14 +57,38 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
-def load_all() -> dict[str, QueryDef]:
-    """Import every operator module so all queries self-register.
+# The correctness driver records a bounded number of entries per run
+# (CORRECTNESS_r01 held exactly 50 of 54 registered queries, cut at a
+# module boundary), so REGISTRATION ORDER IS COVERAGE PRIORITY: every
+# query that is the sole evidence for a SURVEY §2A/§2B row or an
+# LLM-pipeline operator must precede the redundant relational-superset
+# extras below. Queries listed here are deliberately LAST — each one's
+# capability is already evidenced by an earlier query or a plan test,
+# and ALL queries regardless of position stay oracle-gated by
+# tests/test_oracle_parity.py.
+DEPRIORITIZED = [
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q7",
+    "tpch_q10",
+    "tpch_q14",
+    "top_orders_per_customer",
+    "revenue_rollup",
+    "semi_join_orders",
+    "customers_without_orders",
+    "cosine_near_dup_exact",
+    "props_rollup",
+    "source_quality_rollup",
+    "ngram_counts",
+]
 
-    Order matters for the correctness driver: cheap, previously-dropped
-    modules (multimodal — absent from CORRECTNESS_r01 because the run
-    truncated) register BEFORE the expensive dedup/similarity blocks so a
-    budget-limited driver run records them first.
-    """
+
+def load_all() -> dict[str, QueryDef]:
+    """Import every operator module so all queries self-register, then
+    order the registry: §2-row-bearing queries first (cheap,
+    previously-truncated multimodal before the expensive
+    dedup/similarity blocks), DEPRIORITIZED extras last."""
     import trisk_spark.operators.nexmark  # noqa: F401
     import trisk_spark.operators.relational  # noqa: F401
     import trisk_spark.operators.wordcount  # noqa: F401
@@ -77,4 +101,7 @@ def load_all() -> dict[str, QueryDef]:
     import trisk_spark.functions.dedup  # noqa: F401
     import trisk_spark.functions.similarity  # noqa: F401
 
-    return REGISTRY
+    tail = set(DEPRIORITIZED)
+    ordered = {n: q for n, q in REGISTRY.items() if n not in tail}
+    ordered.update({n: REGISTRY[n] for n in DEPRIORITIZED if n in REGISTRY})
+    return ordered
