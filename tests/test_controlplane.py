@@ -174,6 +174,29 @@ def test_plan_primitives_tags_and_diff():
     assert plan.diff(plan.copy()) == {}
 
 
+def test_affected_remap_bounds_blast_radius():
+    """trisk.reconfig.affected_tasks: a remap touching N tasks must
+    leave every other task's key groups untouched and still move state
+    (BASELINE.md 'affected tasks per reconfig' row, sweep 2→10)."""
+    from trisk_spark.controlplane import affected_remap
+
+    plan = ExecutionPlan.single("op", 10)
+    before = plan.operators["op"].key_groups
+    for n in (2, 4, 6, 8, 10):
+        dist = affected_remap(before, n)
+        moved = [t for t in before if sorted(before[t]) != sorted(dist[t])]
+        assert set(moved) <= set(sorted(before)[:n]), "blast radius exceeded"
+        assert moved, f"n={n}: nothing moved"
+        # the deal is still a partition of all 128 key groups
+        seen = sorted(kg for kgs in dist.values() for kg in kgs)
+        assert seen == list(range(128))
+        # and the diff engine classifies it as a state move, not a rescale
+        p2 = plan.copy()
+        p2.assign_workload("op", dist)
+        kinds = plan.diff(p2)["op"]
+        assert KEY_STATE_ALLOCATION in kinds and KEY_MAPPING not in kinds
+
+
 @pytest.mark.parametrize(
     "durations,parallelism,expect",
     [

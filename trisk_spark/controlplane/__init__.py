@@ -20,7 +20,12 @@ boundary is a consistent quiesce point. The mapping (SURVEY.md §3.2):
 | StreamSwitch auto-scaler   | StreamingQueryListener + DS2-style policy |
 """
 
-from trisk_spark.controlplane.plan import ExecutionPlan, OperatorDesc, round_robin
+from trisk_spark.controlplane.plan import (
+    ExecutionPlan,
+    OperatorDesc,
+    affected_remap,
+    round_robin,
+)
 from trisk_spark.controlplane.managed import ManagedQuery, RulesManagedQuery, StagedReplay
 from trisk_spark.controlplane.metrics import ProgressMonitor, StreamSwitchPolicy
 from trisk_spark.controlplane.controllers import (
@@ -45,6 +50,7 @@ __all__ = [
     "ExecutionPlan",
     "OperatorDesc",
     "round_robin",
+    "affected_remap",
     "ManagedQuery",
     "RulesManagedQuery",
     "StagedReplay",

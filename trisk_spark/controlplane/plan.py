@@ -45,6 +45,23 @@ def round_robin(n_tasks: int, max_parallelism: int = MAX_PARALLELISM) -> dict[in
     return dist
 
 
+def affected_remap(
+    current: dict[int, list[int]], n_affected: int
+) -> dict[int, list[int]]:
+    """Bounded-blast-radius remap: rotate key groups among only the
+    first ``n_affected`` tasks, leaving every other task's allocation
+    untouched — the reference's ``trisk.reconfig.affected_tasks`` knob
+    (readme config table; micro-bench sweeps 2→10 affected tasks). The
+    migration cost of the resulting plan is proportional to the state
+    held by the affected tasks, not the whole job."""
+    n_affected = min(n_affected, len(current))
+    tasks = sorted(current)[:n_affected]
+    dist = {t: sorted(kgs) for t, kgs in current.items()}
+    rotated = {tasks[i]: dist[tasks[(i + 1) % n_affected]] for i in range(n_affected)}
+    dist.update(rotated)
+    return dist
+
+
 @dataclass
 class OperatorDesc:
     """Per-operator slice of the plan (OperatorDescriptor.java:74-127)."""
