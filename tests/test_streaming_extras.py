@@ -76,6 +76,59 @@ def test_queryable_state_reads_running_counts(spark):
     assert len(point) == 1 and point[0][1] == want[k]
 
 
+def test_queryable_state_exposes_matchmaker_books(spark):
+    """asQueryableState over CUSTOM keyed state (not just engine aggs):
+    the matchmaker's order books read back from the checkpoint must
+    equal the pure-Python fold's books for every sec_code."""
+    from trisk_spark.sources.stock import stock_orders
+    from trisk_spark.streaming.queryable import lookup_key, read_keyed_state
+    from trisk_spark.streaming.state import _replay_into_books, matchmaker_stream
+
+    stream = replay_stream(spark, SF, "events", n_chunks=2)
+    orders = stock_orders(stream.select("event_id", "user_id", "ts", "value"))
+    ckpt = checkpoint_dir("qmm")
+    q = (
+        matchmaker_stream(orders)
+        .writeStream.outputMode("append")
+        .format("noop")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    # expected books: fold ALL orders per key in seq order from scratch
+    from trisk_spark.catalog import table as _table
+
+    batch_orders = (
+        stock_orders(_table(spark, SF, "events"))
+        .orderBy("seq")
+        .collect()
+    )
+    by_key: dict[str, list] = {}
+    for r in batch_orders:
+        by_key.setdefault(r.sec_code, []).append(r.asDict())
+    want: dict[str, tuple] = {}
+    for sec, records in by_key.items():
+        buys, sells = [], []
+        b_out, s_out = _replay_into_books(sec, records, buys, sells, [])
+        want[sec] = (sorted(b_out), sorted(s_out))
+
+    st = read_keyed_state(spark, ckpt)
+    got = {}
+    for row in st.collect():
+        v = row["value"]["groupState"]
+        got[row["key"]["sec_code"]] = (
+            sorted(tuple(b) for b in (v["buys"] or [])),
+            sorted(tuple(s) for s in (v["sells"] or [])),
+        )
+    assert got == want
+    # point lookup (getKvState equivalent) agrees with the scan
+    k = next(iter(want))
+    point = lookup_key(spark, ckpt, "sec_code", k).collect()
+    assert len(point) == 1
+
+
 def test_side_output_fanout_routes_and_main(spark):
     stream = replay_stream(spark, SF, "events", n_chunks=2)
     buckets: dict[str, list] = {}
@@ -391,9 +444,11 @@ def test_partitioning_operators(spark):
     assert 0 <= kg.lo and kg.hi < MAX_PARALLELISM
 
 
-def _write_chunks(tmp_path, name, schema, chunks):
+def _write_chunks(tmp_path, name, schema, chunks, start=0):
     """Write one parquet file per chunk with strictly increasing mtimes
-    so a maxFilesPerTrigger=1 stream replays them in order."""
+    so a maxFilesPerTrigger=1 stream replays them in order. ``start``
+    appends a later wave into an existing dir (mtimes continue after the
+    newest existing file)."""
     import os
     import time
 
@@ -402,39 +457,38 @@ def _write_chunks(tmp_path, name, schema, chunks):
     import pyarrow.parquet as pq
 
     src = str(tmp_path / name)
-    os.makedirs(src)
-    t0 = int(time.time())
+    os.makedirs(src, exist_ok=True)
+    existing = [
+        os.path.getmtime(os.path.join(src, f))
+        for f in os.listdir(src)
+        if f.endswith(".parquet")
+    ]
+    t0 = int(max(existing) + 10) if existing else int(time.time())
     for i, rows in enumerate(chunks):
         tbl = pa.Table.from_pandas(
             pd_.DataFrame(rows, columns=[f[0] for f in schema]),
             schema=pa.schema(schema),
         )
-        p = os.path.join(src, f"chunk-{i:03d}.parquet")
+        p = os.path.join(src, f"chunk-{start + i:03d}.parquet")
         pq.write_table(tbl, p)
         os.utime(p, times=(t0 + i * 10, t0 + i * 10))
     return src
 
 
-def test_event_time_timers_close_sessions(spark, tmp_path):
-    """Event-time timers (KeyedProcessFunction.registerEventTimeTimer):
-    sessions close when the WATERMARK passes last_event+gap — driven
-    entirely by event time, so the expected output is a deterministic
-    pure-Python sessionization fold."""
+def _session_corpus():
+    """Deterministic session-window corpus: 2 users × 3 sessions × 3
+    events, 2h between sessions, plus two far-future sentinel chunks
+    (first pushes the watermark past every session end; second triggers
+    the batch in which the timers fire). Returns (rows, chunks, schema)."""
     import datetime
-    from collections import Counter
 
     import pyarrow as pa
-
-    from trisk_spark.streaming.state import (
-        SESSION_GAP_MS,
-        event_time_sessions_stream,
-    )
 
     base = datetime.datetime(2024, 1, 1, 12, 0, 0)
     rows = []
     eid = 0
     for u in (1, 2):
-        for s in range(3):  # 3 sessions per user, 2h apart (> 30min gap)
+        for s in range(3):
             for i in range(3):
                 ts = base + datetime.timedelta(hours=2 * s, minutes=5 * i + u)
                 rows.append((ts, eid, u, float(u * 10 + s + i)))
@@ -442,18 +496,53 @@ def test_event_time_timers_close_sessions(spark, tmp_path):
     rows.sort(key=lambda r: r[0])
     third = (len(rows) + 2) // 3
     chunks = [rows[:third], rows[third : 2 * third], rows[2 * third :]]
-    # two far-future sentinels: the first pushes the watermark past every
-    # session end; the second triggers the batch in which timers fire
     far = base + datetime.timedelta(days=1)
     chunks.append([(far, 999, -1, 0.0)])
     chunks.append([(far + datetime.timedelta(minutes=1), 1000, -1, 0.0)])
-
     schema = [
         ("ts", pa.timestamp("us")),
         ("event_id", pa.int64()),
         ("user_id", pa.int64()),
         ("value", pa.float64()),
     ]
+    return rows, chunks, schema
+
+
+def _session_fold(rows):
+    """Pure-Python sessionization with SESSION_GAP_MS — the oracle."""
+    from collections import Counter
+
+    from trisk_spark.streaming.state import SESSION_GAP_MS
+
+    want: Counter = Counter()
+    by_user: dict[int, list] = {}
+    for ts, eid_, u, v in rows:
+        by_user.setdefault(u, []).append((ts, eid_, v))
+    for u, evs in by_user.items():
+        evs.sort()
+        n, cents, last = 0, 0, None
+        for ts, _, v in evs:
+            ms = int(ts.timestamp() * 1000)
+            if last is not None and ms - last > SESSION_GAP_MS:
+                want[(u, n, cents, last + SESSION_GAP_MS)] += 1
+                n, cents = 0, 0
+            n += 1
+            cents += int(round(v * 100))
+            last = ms
+        want[(u, n, cents, last + SESSION_GAP_MS)] += 1
+    return want
+
+
+def test_event_time_timers_close_sessions(spark, tmp_path):
+    """Event-time timers (KeyedProcessFunction.registerEventTimeTimer):
+    sessions close when the WATERMARK passes last_event+gap — driven
+    entirely by event time, so the expected output is a deterministic
+    pure-Python sessionization fold."""
+    from collections import Counter
+
+    from trisk_spark.streaming.state import event_time_sessions_stream
+
+    rows, chunks, schema = _session_corpus()
     src = _write_chunks(tmp_path, "etsess", schema, chunks)
 
     stream = (
@@ -483,24 +572,7 @@ def test_event_time_timers_close_sessions(spark, tmp_path):
         time.sleep(0.5)
     q.stop()
 
-    # expected: per-user sessionization fold with the same gap
-    want: Counter = Counter()
-    by_user: dict[int, list] = {}
-    for ts, eid_, u, v in rows:
-        by_user.setdefault(u, []).append((ts, eid_, v))
-    for u, evs in by_user.items():
-        evs.sort()
-        n, cents, last = 0, 0, None
-        for ts, _, v in evs:
-            ms = int(ts.timestamp() * 1000)
-            if last is not None and ms - last > SESSION_GAP_MS:
-                want[(u, n, cents, last + SESSION_GAP_MS)] += 1
-                n, cents = 0, 0
-            n += 1
-            cents += int(round(v * 100))
-            last = ms
-        want[(u, n, cents, last + SESSION_GAP_MS)] += 1
-
+    want = _session_fold(rows)
     got = Counter(
         (r.user_id, r.n_events, r.total_cents, r.session_end_ms)
         for r in emitted
@@ -510,6 +582,68 @@ def test_event_time_timers_close_sessions(spark, tmp_path):
     # 6 sessions total; the final session of each user can ONLY close
     # via the event-time timer (no later events exist for it)
     assert sum(want.values()) == 6
+
+
+def test_event_time_sessions_survive_restart(spark, tmp_path):
+    """Exactly-once across restart for a STATEFUL-WITH-TIMERS op: stop
+    the session query mid-stream, restart from the same checkpoint with
+    the remaining chunks — open sessions, armed timers, and the
+    watermark all resume, and the union of both runs' emissions equals
+    the sessionization fold exactly (no loss, no duplicates)."""
+    import time
+    from collections import Counter
+
+    from trisk_spark.streaming.state import event_time_sessions_stream
+
+    rows, chunks, schema = _session_corpus()
+    wave1, wave2 = chunks[:2], chunks[2:]
+    src = _write_chunks(tmp_path, "etrestart", schema, wave1)
+    ckpt = checkpoint_dir("etrestart")
+    wave1_rows = sum(len(c) for c in wave1)
+    emitted = []
+
+    def start():
+        stream = (
+            spark.readStream.schema(
+                "ts TIMESTAMP, event_id BIGINT, user_id BIGINT, value DOUBLE"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        return (
+            event_time_sessions_stream(stream)
+            .writeStream.outputMode("append")
+            .foreachBatch(lambda bdf, bid: emitted.extend(bdf.collect()))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = start()
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        seen = sum(int(p["numInputRows"]) for p in q.recentProgress)
+        if seen >= wave1_rows or not q.isActive:
+            break
+        time.sleep(0.5)
+    time.sleep(1)
+    q.stop()  # mid-stream: open sessions + armed timers in checkpoint
+
+    _write_chunks(tmp_path, "etrestart", schema, wave2, start=len(wave1))
+    q2 = start()
+    deadline = time.time() + 180
+    while time.time() < deadline:
+        if sum(1 for r in emitted if r.user_id != -1) >= 6 or not q2.isActive:
+            break
+        time.sleep(0.5)
+    q2.stop()
+
+    got = Counter(
+        (r.user_id, r.n_events, r.total_cents, r.session_end_ms)
+        for r in emitted
+        if r.user_id != -1
+    )
+    assert got == _session_fold(rows)
 
 
 def test_state_ttl_expires_idle_wordcount_keys(spark, tmp_path):
