@@ -264,6 +264,25 @@ def test_delta_trigger_stream_equals_batch(spark):
     assert got == want
 
 
+def test_dedup_exact_stream_equals_batch(spark):
+    """Streaming exact dedup: replayed in doc_id order, first-seen-wins
+    equals the batch keep-lowest-doc_id rule exactly."""
+    from trisk_spark.registry import load_all
+    from trisk_spark.streaming.queries import dedup_exact_stream, run_bounded
+
+    stream = replay_stream(spark, SF, "documents", n_chunks=4, order_col="doc_id")
+    emitted = run_bounded(
+        dedup_exact_stream(stream), checkpoint_dir("dedupex"), mode="append"
+    )
+    got = {r.content_hash: r.doc_id for _b, r in emitted}
+    assert len(got) == len(emitted), "a duplicate hash was emitted twice"
+    want = {
+        r.content_hash: r.keep_id
+        for r in load_all()["dedup_exact"].fn(spark, SF).collect()
+    }
+    assert got == want
+
+
 def test_delta_evictor_stream_equals_batch(spark):
     from trisk_spark.operators.multistream import delta_evictor_window
     from trisk_spark.streaming.state import delta_evictor_stream

@@ -125,6 +125,19 @@ def tumbling_agg_stream(events: DataFrame, watermark: str = "1 day") -> DataFram
     )
 
 
+def dedup_exact_stream(docs: DataFrame) -> DataFrame:
+    """Streaming exact dedup — the streaming member of the dedup family
+    (batch: functions/dedup.dedup_exact): first arrival of each content
+    hash passes, later copies are dropped by Spark's native
+    dropDuplicates state op. State is one 32-byte hash per distinct
+    document (the text itself never enters state); with a time bound,
+    ``dropDuplicatesWithinWatermark`` makes that state evictable — the
+    production shape for unbounded ingest."""
+    return docs.select(
+        "doc_id", F.md5("text").alias("content_hash")
+    ).dropDuplicates(["content_hash"])
+
+
 def purging_trigger_stream(events: DataFrame, watermark: str = "1 day") -> DataFrame:
     """PurgingTrigger.of(ContinuousEventTimeTrigger) as a NATIVE
     Structured Streaming windowed aggregate: purge-on-fire means each
