@@ -283,6 +283,34 @@ def test_dedup_exact_stream_equals_batch(spark):
     assert got == want
 
 
+def test_simhash_near_dup_stream_equals_batch(spark):
+    """Streaming near-dup detection: under doc_id-ordered replay the
+    emitted (doc_a, doc_b, hamming) set equals batch dedup_simhash."""
+    from trisk_spark.registry import load_all
+    from trisk_spark.streaming.state import simhash_near_dup_stream
+
+    stream = replay_stream(spark, SF, "documents", n_chunks=4, order_col="doc_id")
+    emitted = []
+    q = (
+        simhash_near_dup_stream(stream.select("doc_id", "text"))
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda bdf, bid: emitted.extend(bdf.collect()))
+        .option("checkpointLocation", checkpoint_dir("ndstream"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # a pair agreeing on k bands is emitted k times with identical
+    # payload (documented at-least-once) — compare as a SET
+    got = {(r.doc_a, r.doc_b, r.hamming) for r in emitted}
+    want = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in load_all()["dedup_simhash"].fn(spark, SF).collect()
+    }
+    assert got == want
+    assert want, "no near-dup pairs in fixture — vacuous"
+
+
 def test_delta_evictor_stream_equals_batch(spark):
     from trisk_spark.operators.multistream import delta_evictor_window
     from trisk_spark.streaming.state import delta_evictor_stream

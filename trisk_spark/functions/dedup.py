@@ -452,6 +452,68 @@ def simhash_fingerprints(docs: DataFrame) -> DataFrame:
     return packs.select("doc_id", fp.alias("fp"))
 
 
+def with_simhash_fp(df: DataFrame, text_col: str = "text", out: str = "fp") -> DataFrame:
+    """ROW-LOCAL 60-bit SimHash — bit-identical to
+    ``simhash_fingerprints`` but computed entirely inside each row
+    (array aggregates over the token list: no explode, no shuffle).
+    This is the form a STREAMING pipeline needs, where a per-doc
+    fingerprint must not cost a keyed exchange. Same MAX_TOKENS bound,
+    same md5 token hashes.
+
+    Staged projections on purpose: the token-hash array and the 12 pack
+    sums are materialized as their own aliases before being referenced
+    multiple times — inlined, every reference would re-run the whole
+    md5 transform (the Catalyst lambda re-evaluation trap documented at
+    ``shingles``)."""
+    toks = F.slice(
+        F.array_sort(F.array_distinct(F.filter(F.split(F.lower(text_col), " "),
+                                               lambda w: w != ""))),
+        1,
+        MAX_TOKENS,
+    )
+    hx = F.transform(
+        toks,
+        lambda w: F.conv(F.substring(F.md5(w), 1, SIMHASH_BITS // 4), 16, 10)
+        .cast("bigint"),
+    )
+    staged = df.select("*", hx.alias("__hx"))
+
+    def pack_sum(p: int) -> Column:
+        def term(x: Column) -> Column:
+            t = F.lit(0).cast("bigint")
+            for f in range(FIELDS_PER_PACK):
+                j = p * FIELDS_PER_PACK + f
+                t = t + F.shiftright(x, j).bitwiseAND(F.lit(1)) * (
+                    1 << (FIELD_BITS * f)
+                )
+            return t
+
+        return F.aggregate(
+            F.col("__hx"), F.lit(0).cast("bigint"), lambda acc, x: acc + term(x)
+        )
+
+    staged = staged.select(
+        "*",
+        F.size("__hx").alias("__n"),
+        *[pack_sum(p).alias(f"__p{p}") for p in range(N_PACKS)],
+    )
+
+    def cnt(j: int) -> Column:
+        p, f = divmod(j, FIELDS_PER_PACK)
+        return F.shiftright(F.col(f"__p{p}"), FIELD_BITS * f).bitwiseAND(
+            F.lit((1 << FIELD_BITS) - 1)
+        )
+
+    fp = F.lit(0).cast("bigint")
+    for j in range(SIMHASH_BITS):
+        fp = fp + F.when(
+            2 * cnt(j) >= F.col("__n"), F.lit(1 << j).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
+    return staged.select("*", fp.alias(out)).drop(
+        "__hx", "__n", *[f"__p{p}" for p in range(N_PACKS)]
+    )
+
+
 @register("dedup_simhash", oracle=SIMHASH_PAIRS_SQL)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: 60-bit fingerprints, 4 bands of 15 bits

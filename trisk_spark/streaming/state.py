@@ -784,6 +784,96 @@ def continuous_trigger_stream(
     )
 
 
+# --------------------------- streaming near-dup (simhash bands) -----
+
+_ND_OUT = StructType(
+    [
+        StructField("doc_a", LongType()),
+        StructField("doc_b", LongType()),
+        StructField("hamming", LongType()),
+    ]
+)
+_ND_MEMBER = StructType(
+    [StructField("doc_id", LongType()), StructField("fp", LongType())]
+)
+_ND_STATE = StructType([StructField("ms", ArrayType(_ND_MEMBER))])
+
+
+def _near_dup_fn(
+    key, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-LSH-bucket membership state: each arriving (doc_id, fp) is
+    Hamming-checked against the bucket's resident members, emits its
+    near-dup pairs, and joins the bucket — bounded at BUCKET_CAP exactly
+    like the batch op (a doc arriving at a full bucket neither pairs nor
+    joins: only capped members participate, matching the batch
+    truncation rule)."""
+    from trisk_spark.functions.dedup import BUCKET_CAP, HAMMING_MAX
+
+    ms = [tuple(m) for m in (state.get[0] or [])] if state.exists else []
+    out: list[tuple[int, int, int]] = []
+    batch = pd.concat(list(pdfs)).sort_values("doc_id")
+    for doc_id, fp in zip(batch["doc_id"], batch["fp"]):
+        if len(ms) >= BUCKET_CAP:
+            break  # bucket truncated: later docs are outside the deal
+        doc_id, fp = int(doc_id), int(fp)
+        for m_id, m_fp in ms:
+            h = bin(m_fp ^ fp).count("1")
+            if m_id < doc_id and h <= HAMMING_MAX:
+                out.append((m_id, doc_id, h))
+        ms.append((doc_id, fp))
+    state.update((ms,))
+    if out:
+        yield pd.DataFrame(out, columns=["doc_a", "doc_b", "hamming"])
+
+
+def simhash_near_dup_stream(docs: DataFrame) -> DataFrame:
+    """STREAMING near-duplicate detection — the streaming member of the
+    simhash family (batch: functions/dedup.dedup_simhash, same bands,
+    same Hamming bound, same bucket cap): fingerprints are computed
+    ROW-LOCALLY (with_simhash_fp — zero shuffle before keying), docs
+    fan out to their 4 band buckets, each bucket holds its member
+    fingerprints in keyed state, and new arrivals emit their near-dup
+    pairs immediately. A pair agreeing on several bands is emitted once
+    PER agreeing band with an identical payload (at-least-once; chaining
+    the engine's dropDuplicates behind applyInPandasWithState trips a
+    ColumnarBatchRow/UnsafeRow cast in Spark 4.1 — dedup downstream or
+    in the sink). Under doc_id-ordered replay the emitted pair SET
+    equals the batch operator exactly."""
+    from trisk_spark.functions.dedup import (
+        BAND_BITS,
+        SIMHASH_BANDS,
+        with_simhash_fp,
+    )
+    from pyspark.sql import functions as F
+
+    fps = with_simhash_fp(docs).select("doc_id", "fp")
+    bands = fps.select(
+        "doc_id",
+        "fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.shiftright(F.col("fp"), BAND_BITS * b)
+                        .bitwiseAND(F.lit((1 << BAND_BITS) - 1))
+                        .alias("bv"),
+                    )
+                    for b in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "fp", "band.band_idx", "band.bv")
+    return bands.groupBy("band_idx", "bv").applyInPandasWithState(
+        _near_dup_fn,
+        outputStructType=_ND_OUT,
+        stateStructType=_ND_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 # --------------------------------------- state TTL (event-time) -----
 
 _TTL_WC_OUT = StructType(
