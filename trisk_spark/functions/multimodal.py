@@ -80,9 +80,9 @@ FROM documents
 MEDIA_METADATA_SQL = f"""
 WITH m AS ({_MEDIA_SQL})
 SELECT media_type, COUNT(*) AS n_assets,
-  SUM(octet_length(blob)) AS total_bytes,
-  MAX(octet_length(blob)) AS max_bytes,
-  SUM(CAST(width AS BIGINT) * height) AS total_pixels
+  CAST(SUM(octet_length(blob)) AS BIGINT) AS total_bytes,
+  CAST(MAX(octet_length(blob)) AS BIGINT) AS max_bytes,
+  CAST(SUM(CAST(width AS BIGINT) * height) AS BIGINT) AS total_pixels
 FROM m GROUP BY media_type
 """
 
@@ -97,7 +97,7 @@ def media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.groupBy("media_type").agg(
         F.count("*").alias("n_assets"),
         F.sum(nb).alias("total_bytes"),
-        F.max(nb).alias("max_bytes"),
+        F.max(nb).cast("bigint").alias("max_bytes"),
         F.sum(F.col("width").cast("bigint") * F.col("height")).alias("total_pixels"),
     )
 

@@ -670,7 +670,7 @@ def all_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 PROPS_ROLLUP_SQL = """
 SELECT event_type,
   COUNT(*) AS n,
-  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_total,
+  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_total,
   MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
   MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
 FROM events
