@@ -44,7 +44,7 @@ HEADLINE = [
     "ngram_jaccard",
     "knn_bruteforce",
     "ann_ivf",
-    "cosine_near_dup",
+    "cosine_near_dup_lsh",
     "interval_join",
     "count_window",
     "media_frame_sample",

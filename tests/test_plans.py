@@ -173,6 +173,65 @@ def test_hot_shingle_cut_bounds_jaccard_fanout(spark):
     assert [(r.doc_a, r.doc_b, r.jaccard) for r in got] == [(n, n + 1, 1.0)]
 
 
+def test_ann_ivf_assignment_is_map_side(spark):
+    # fixed-K centroids ship as ONE broadcast array row, so list
+    # assignment is a map-side array argmax: the whole plan must hold
+    # exactly one Window and one shuffle Exchange — both belonging to
+    # the final per-query top-k rank, none to assignment (the r2 design
+    # ranked centroids through a per-vector row_number window: O(n·K)
+    # rows sorted through a vec_id exchange — a 100 TB scale-killer)
+    import re
+
+    with no_auto_broadcast(spark):
+        plan = static_plan(spark, "ann_ivf")
+    assert len(re.findall(r"^\(\d+\) Window$", plan, re.M)) == 1, (
+        "assignment fell back to a per-vector window"
+    )
+    assert len(re.findall(r"^\(\d+\) Exchange$", plan, re.M)) == 1, (
+        "assignment shuffles the corpus"
+    )
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_knn_label_vote_broadcasts_probe_side(spark):
+    # the label table is corpus-sized: it must never sit under a
+    # BroadcastExchange (driver OOM at 100 TB) — only the 50-row ranked
+    # probe set may broadcast
+    import re
+
+    with no_auto_broadcast(spark):
+        plan = static_plan(spark, "knn_label_vote")
+    assert "BroadcastHashJoin" in plan
+    for m in re.finditer(r"^\(\d+\) BroadcastExchange\n((?:.+\n)+?)\n", plan, re.M):
+        assert "label#" not in m.group(1), (
+            "corpus-sized label table is being broadcast"
+        )
+
+
+def test_cosine_lsh_adaptive_cap(spark):
+    # common case (no bucket over cap): the plan must NOT contain a
+    # Window — the cap is a no-op slice inside the bucket aggregate;
+    # degenerate case (one mega-bucket): pairs bounded at C(cap, 2) and
+    # truncation keeps the cap smallest vec_ids, same rows the oracle's
+    # row_number cap would keep
+    import re
+
+    from trisk_spark.functions.similarity import cosine_lsh_pairs
+
+    plan = static_plan(spark, "cosine_near_dup_lsh")
+    assert not re.findall(r"^\(\d+\) Window$", plan, re.M), (
+        "common path pays the window sort"
+    )
+    cap, n = 16, 40
+    vec = [1.0] * 64
+    emb = spark.createDataFrame(
+        [(i, vec) for i in range(n)], "vec_id long, embedding array<float>"
+    )
+    pairs = cosine_lsh_pairs(emb, cap=cap)
+    assert pairs.count() == cap * (cap - 1) // 2
+    assert pairs.agg({"vec_b": "max"}).collect()[0][0] == cap - 1
+
+
 def test_map_only_queries_have_no_exchange(spark):
     # Q1/Q2 are pure map/filter — any Exchange here is a planning bug
     for name in ("nexmark_q1", "nexmark_q2"):

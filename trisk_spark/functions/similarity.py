@@ -182,8 +182,8 @@ def cosine_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: O((n/B)²) block-pair rows — exact threshold-join over all
     pairs is inherently quadratic, so this is the small-corpus /
-    verify-stage baseline; ``cosine_near_dup`` is the LSH-blocked scale
-    path that avoids the quadratic join."""
+    verify-stage baseline; ``cosine_near_dup_lsh`` is the LSH-blocked
+    scale path that avoids the quadratic join."""
     from pyspark.sql.types import (
         ArrayType,
         DoubleType,
@@ -310,8 +310,8 @@ def _gemm_bucket_pairs(batches):
         yield pd.DataFrame(out)
 
 
-@register("cosine_near_dup", oracle=COSINE_LSH_NEAR_DUP_SQL)
-def cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+@register("cosine_near_dup_lsh", oracle=COSINE_LSH_NEAR_DUP_SQL)
+def cosine_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-blocked embedding-cosine near-dup pairs — the 100 TB path.
 
     Sign-random-projection bands (COS_NB_BANDS × COS_BAND_DIMS sign
@@ -322,7 +322,27 @@ def cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     least one full band with cosine ≥ threshold; the oracle mirrors the
     banding exactly (deterministic sign bits of the scaled vectors).
     Recall math in the constants comment; ``cosine_near_dup_exact`` is
-    the all-pairs baseline."""
+    the all-pairs baseline. (Named *_lsh since round 3 — the approximate
+    and exact semantics carry distinct names so neither is mistaken for
+    the other.)
+
+    Bucket cap, adaptively: a pre-count over the (band, bv) key space
+    (≤ COS_NB_BANDS·2^COS_BAND_DIMS = 2048 groups — one cheap scalar
+    action, vec column pruned from its scan) picks the plan. Common
+    case (no bucket over VEC_BUCKET_CAP): cap via
+    slice(array_sort(collect_list)) — no Window, no extra Sort, the cap
+    is a no-op slice. Degenerate corpus: row_number window keeps the
+    VEC_BUCKET_CAP smallest vec_ids with sort-spill memory bounds.
+    Both paths keep exactly the same rows, matching the oracle's
+    per-band row_number cap."""
+    emb = table(spark, sf_dir, "embeddings")
+    return cosine_lsh_pairs(emb)
+
+
+def cosine_lsh_pairs(emb: DataFrame, cap: int = VEC_BUCKET_CAP) -> DataFrame:
+    """SRP-LSH near-dup pairs over a (vec_id, embedding) DataFrame —
+    see ``cosine_near_dup_lsh`` for semantics and the adaptive-cap
+    design. Exposed for tests (synthetic degenerate corpora)."""
     from pyspark.sql import Window
     from pyspark.sql.types import (
         DoubleType,
@@ -331,7 +351,6 @@ def cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         StructType,
     )
 
-    emb = table(spark, sf_dir, "embeddings")
     n = emb.select("vec_id", _scaled(F.col("embedding")).alias("vec"))
 
     def band_val(b: int) -> Column:
@@ -355,18 +374,37 @@ def cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band"),
     ).select("vec_id", "vec", "band.band_idx", "band.bv")
-    w = Window.partitionBy("band_idx", "bv").orderBy("vec_id")
-    capped = bands.withColumn("rn", F.row_number().over(w)).where(
-        F.col("rn") <= VEC_BUCKET_CAP
+    max_bucket = (
+        bands.groupBy("band_idx", "bv")
+        .agg(F.count("*").alias("bn"))
+        .agg(F.max("bn"))
+        .first()[0]
     )
-    buckets = (
-        capped.groupBy("band_idx", "bv")
-        .agg(
-            F.collect_list("vec_id").alias("ids"),
-            F.collect_list("vec").alias("vecs"),
+    if max_bucket is not None and max_bucket > cap:
+        w = Window.partitionBy("band_idx", "bv").orderBy("vec_id")
+        capped = bands.withColumn("rn", F.row_number().over(w)).where(
+            F.col("rn") <= cap
         )
-        .where(F.size("ids") > 1)
-    )
+        buckets = (
+            capped.groupBy("band_idx", "bv")
+            .agg(
+                F.collect_list("vec_id").alias("ids"),
+                F.collect_list("vec").alias("vecs"),
+            )
+            .where(F.size("ids") > 1)
+        )
+    else:
+        buckets = (
+            bands.groupBy("band_idx", "bv")
+            .agg(
+                F.slice(
+                    F.array_sort(F.collect_list(F.struct("vec_id", "vec"))),
+                    1, cap,
+                ).alias("s")
+            )
+            .where(F.size("s") > 1)
+            .select(F.col("s.vec_id").alias("ids"), F.col("s.vec").alias("vecs"))
+        )
     schema = StructType(
         [
             StructField("vec_a", LongType()),
@@ -477,12 +515,13 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------------ IVF ANN ------
 
-CENT_MOD = 25  # centroid seeds: every 25th vec_id (deterministic "k-means init")
+N_CENTROIDS = 64   # fixed K — independent of corpus size
 N_PROBE_LISTS = 3
 
 
 def _ivf_parts_sql() -> str:
-    """Shared CTE prefix: scaled vectors + norms, centroids, list assignment."""
+    """Shared CTE prefix: scaled vectors + norms, fixed-K centroids,
+    argmax list assignment (struct MAX — no per-vector window)."""
     return f"""
 sc AS (
   SELECT vec_id, {_SCALED_SQL.format(col="embedding")} AS vec FROM embeddings
@@ -492,17 +531,15 @@ n AS (
 ),
 cents AS (
   SELECT vec_id AS c_id, vec AS c_vec, norm AS c_norm FROM n
-  WHERE vec_id % {CENT_MOD} = 0
+  ORDER BY vec_id LIMIT {N_CENTROIDS}
 ),
 assign AS (
-  SELECT vec_id, vec, norm, c_id AS list_id FROM (
-    SELECT n.vec_id, n.vec, n.norm, cents.c_id,
-      ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
-        CAST({_DOT_SQL.format(a="n.vec", b="c_vec")} AS DOUBLE)
-          / (SQRT(CAST(n.norm AS DOUBLE)) * SQRT(CAST(c_norm AS DOUBLE))) DESC,
-        cents.c_id) AS rn
-    FROM n CROSS JOIN cents
-  ) WHERE rn = 1
+  SELECT n.vec_id, n.vec, n.norm,
+    -MAX({{'cos': CAST({_DOT_SQL.format(a="n.vec", b="c_vec")} AS DOUBLE)
+          / (SQRT(CAST(n.norm AS DOUBLE)) * SQRT(CAST(c_norm AS DOUBLE))),
+         'nc': -c_id}}).nc AS list_id
+  FROM n CROSS JOIN cents
+  GROUP BY n.vec_id, n.vec, n.norm
 )"""
 
 
@@ -538,36 +575,40 @@ FROM ranked WHERE rank <= {TOP_K}
 """
 
 
-def _nearest_cents(side: DataFrame, cents: DataFrame, id_col: str, keep: int) -> DataFrame:
-    """Rank centroids by cosine for each row of `side`; keep top `keep`."""
-    from pyspark.sql import Window
+def _cent_cos(c: Column) -> Column:
+    """Cosine between the row's `vec`/`norm` and one centroid struct."""
+    return _dot(F.col("vec"), c["c_vec"]).cast("double") / (
+        F.sqrt(F.col("norm").cast("double")) * F.sqrt(c["c_norm"].cast("double"))
+    )
 
-    cos = _dot(F.col("vec"), F.col("c_vec")).cast("double") / (
-        F.sqrt(F.col("norm").cast("double")) * F.sqrt(F.col("c_norm").cast("double"))
+
+def _with_cent_array(side: DataFrame, cents: DataFrame) -> DataFrame:
+    """Attach the full centroid set to every row as ONE array column:
+    centroids are collapsed to a single-row array-of-structs and
+    broadcast, so nearest-centroid selection is a pure map-side
+    higher-order-function — NO shuffle, NO window, O(rows × K)."""
+    cents_arr = cents.agg(
+        F.array_sort(
+            F.collect_list(F.struct("c_id", "c_vec", "c_norm"))
+        ).alias("cents")
     )
-    w = Window.partitionBy(id_col).orderBy(F.desc("c_cos"), "c_id")
-    return (
-        side.crossJoin(F.broadcast(cents))
-        .withColumn("c_cos", cos)
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= keep)
-        .drop("c_vec", "c_norm", "c_cos", "rn")
-        .withColumnRenamed("c_id", "list_id")
-    )
+    return side.crossJoin(F.broadcast(cents_arr))
 
 
 @register("ann_ivf", oracle=ANN_IVF_SQL)
 def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: corpus coarse-quantized to deterministic centroid
-    lists (nearest of the every-CENT_MOD-th vectors); each probe scans
-    only its N_PROBE_LISTS nearest lists.
+    """IVF-style ANN: corpus coarse-quantized to a FIXED number of
+    centroid lists (N_CENTROIDS smallest vec_ids — the deterministic
+    stand-in for a write-time k-means sample); each probe scans only its
+    N_PROBE_LISTS nearest lists.
 
-    Plan: centroids are tiny and broadcast twice (assignment +
-    query-routing) — no shuffle touches the corpus except the final
-    list-id equi-join. At 100 TB the assignment is a write-time step
-    (store embeddings partitioned by list_id) and the probe becomes a
-    partition-pruned scan of nprobe/nlist of the data; centroids come
-    from a real k-means sample instead of the modulo seed.
+    Plan: the K centroids are collapsed into a single broadcast array
+    row, so list assignment is a map-side array argmax — O(n·K) work,
+    zero shuffle, zero window (the only Window in the whole plan is the
+    final per-query top-k rank). At 100 TB the assignment is a
+    write-time step (store embeddings partitioned by list_id) and the
+    probe becomes a partition-pruned scan of nprobe/nlist of the data;
+    K stays fixed as the corpus grows.
 
     Reference has no ANN operator — beyond-reference mandate
     (training-data pipeline ops).
@@ -578,18 +619,44 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = emb.select(
         "vec_id", _scaled(F.col("embedding")).alias("vec")
     ).withColumn("norm", _dot(F.col("vec"), F.col("vec")))
-    cents = (
-        n.where(F.col("vec_id") % CENT_MOD == 0)
-        .select(
-            F.col("vec_id").alias("c_id"), F.col("vec").alias("c_vec"),
-            F.col("norm").alias("c_norm"),
-        )
+    cents = n.orderBy("vec_id").limit(N_CENTROIDS).select(
+        F.col("vec_id").alias("c_id"), F.col("vec").alias("c_vec"),
+        F.col("norm").alias("c_norm"),
     )
-    assign = _nearest_cents(n, cents, "vec_id", 1)
+    # argmax by (cos, -c_id): struct max is lexicographic, ties break to
+    # the smallest centroid id — mirrored by the oracle's struct MAX.
+    assign = _with_cent_array(n, cents).select(
+        "vec_id", "vec", "norm",
+        F.array_max(
+            F.transform(
+                "cents",
+                lambda c: F.struct(
+                    _cent_cos(c).alias("cos"), (-c["c_id"]).alias("nc")
+                ),
+            )
+        ).alias("best"),
+    ).select("vec_id", "vec", "norm", (-F.col("best.nc")).alias("list_id"))
+    # Query routing: same array, sorted by (-cos, c_id), keep the top
+    # N_PROBE_LISTS — still map-side (5 probe rows).
     q = n.where(F.col("vec_id") < N_PROBES)
-    qlists = _nearest_cents(q, cents, "vec_id", N_PROBE_LISTS).select(
+    qtop = _with_cent_array(q, cents).select(
         F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec"),
-        F.col("norm").alias("qnorm"), "list_id",
+        F.col("norm").alias("qnorm"),
+        F.slice(
+            F.array_sort(
+                F.transform(
+                    "cents",
+                    lambda c: F.struct(
+                        (-_cent_cos(c)).alias("neg_cos"), c["c_id"].alias("c_id")
+                    ),
+                )
+            ),
+            1, N_PROBE_LISTS,
+        ).alias("top"),
+    )
+    qlists = qtop.select(
+        "query_id", "qvec", "qnorm",
+        F.explode(F.col("top.c_id")).alias("list_id"),
     )
     pairs = (
         F.broadcast(qlists)
@@ -641,14 +708,18 @@ def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: the ranked top-k from knn_bruteforce (broadcast probes, one
     corpus scan), a label join on vec_id, and two tiny grouped
-    aggregates — label assignment adds no extra corpus pass."""
+    aggregates — label assignment adds no extra corpus pass. The
+    BROADCAST side is the N_PROBES×TOP_K ranked probe set (50 rows),
+    never the corpus-sized label table — at 100 TB the label table is
+    the corpus, and broadcasting it would OOM the driver; hashed on the
+    tiny side, the join instead prunes the corpus scan."""
     ranked = knn_bruteforce(spark, sf_dir)
     emb = table(spark, sf_dir, "embeddings")
     labels = emb.select(
         F.col("vec_id").alias("neighbor_id"), F.col("label").cast("bigint")
     )
     votes = (
-        ranked.join(F.broadcast(labels), "neighbor_id")
+        F.broadcast(ranked).join(labels, "neighbor_id")
         .groupBy("query_id", "label")
         .agg(F.count("*").alias("n_votes"))
     )
