@@ -21,6 +21,45 @@ def test_matches_duckdb(spark, duck, name):
     assert_matches_oracle(sdf, duck(SF_DIR), qd.oracle)
 
 
+def test_repeated_shingles_nonvacuous(spark, tmp_path):
+    """The sf* corpora happen to contain zero docs with repeated
+    5-grams, so ngram_counts / repetition_ratio parity there can't
+    distinguish occurrence counts from document frequency. This fixture
+    corpus has real repetition: parity must hold AND the metrics must be
+    visibly non-zero (a vacuous oracle fails here)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    looping = " ".join(["spam ham eggs foo bar"] * 8)  # 5-gram loop x8
+    docs = {
+        "doc_id": [1, 2, 3],
+        "text": [
+            looping,
+            "the quick brown fox jumps over the lazy dog today",
+            looping + " trailing unique words here now",
+        ],
+        "lang": ["en"] * 3,
+        "source": ["fixture"] * 3,
+        "n_chars": [len(looping), 49, len(looping) + 32],
+    }
+    pq.write_table(pa.table(docs), tmp_path / "documents.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    for name in ("ngram_counts", "repetition_ratio"):
+        qd = QUERIES[name]
+        assert_matches_oracle(qd.fn(spark, str(tmp_path)), con, qd.oracle)
+    rep = {
+        r["doc_id"]: r["repetition_ratio"]
+        for r in QUERIES["repetition_ratio"].fn(spark, str(tmp_path)).collect()
+    }
+    assert rep[1] > 0.8 and rep[3] > 0.5 and rep[2] == 0.0
+    top = QUERIES["ngram_counts"].fn(spark, str(tmp_path)).first()
+    assert top["cnt"] > 1  # occurrence count, not document frequency
+
+
 @pytest.mark.parametrize("name", NO_ORACLE)
 def test_runs_and_stable_schema(spark, name):
     """Oracle-less (stateful emit-semantics) queries: must run and

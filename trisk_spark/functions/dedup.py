@@ -105,12 +105,20 @@ def _poly_sql(elem: str) -> str:
     return acc
 
 
-# DuckDB: distinct shingle ids per doc (1-based list indexing).
-SHINGLES_SQL = f"""
-SELECT DISTINCT doc_id,
+# DuckDB: raw shingle occurrences per doc (1-based list indexing) —
+# one row PER POSITION, duplicates preserved. Duplicate-sensitive
+# consumers (ngram_counts, repetition_ratio) build on this.
+SHINGLES_RAW_SQL = f"""
+SELECT doc_id,
   unnest(list_transform(range(1, greatest(len(whs) - {SHINGLE_K - 1}, 0) + 1),
          i -> {_poly_sql("whs[i + {j}]")})) AS shingle
 FROM (SELECT doc_id, {_WH_SQL} AS whs FROM documents)
+"""
+
+# Distinct (doc_id, shingle) set — for set-semantics consumers
+# (Jaccard, LSH membership, decontamination overlap).
+SHINGLES_SQL = f"""
+SELECT DISTINCT doc_id, shingle FROM ({SHINGLES_RAW_SQL})
 """
 
 

@@ -186,10 +186,14 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 TOP_NGRAMS_K = 100
 
 def _ngram_counts_sql() -> str:
-    from trisk_spark.functions.dedup import SHINGLES_SQL
+    # RAW shingles (duplicates preserved): COUNT(*) is duplicate-
+    # sensitive, so the oracle must count every occurrence exactly like
+    # the Spark side's shingles(distinct=False) — the distinct CTE
+    # would silently compute document frequency instead.
+    from trisk_spark.functions.dedup import SHINGLES_RAW_SQL
 
     return f"""
-WITH sh AS ({SHINGLES_SQL}),
+WITH sh AS ({SHINGLES_RAW_SQL}),
 freq AS (SELECT shingle, COUNT(*) AS cnt FROM sh GROUP BY shingle)
 SELECT shingle, cnt FROM freq
 ORDER BY cnt DESC, shingle ASC LIMIT {TOP_NGRAMS_K}
@@ -226,10 +230,13 @@ _register_ngram_counts()
 # --------------------------------------------- repetition ratio ------
 
 def _repetition_ratio_sql() -> str:
-    from trisk_spark.functions.dedup import SHINGLES_SQL
+    # RAW shingles: the ratio is 1 - distinct/total, so the oracle must
+    # see raw occurrences — over the distinct CTE, COUNT(*) ==
+    # COUNT(DISTINCT shingle) and the metric is identically 0.
+    from trisk_spark.functions.dedup import SHINGLES_RAW_SQL
 
     return f"""
-WITH sh AS ({SHINGLES_SQL})
+WITH sh AS ({SHINGLES_RAW_SQL})
 SELECT doc_id,
   COUNT(*) AS n_ngrams,
   CAST(ROUND(1.0 - CAST(COUNT(DISTINCT shingle) AS DOUBLE) / COUNT(*), 4)
