@@ -27,6 +27,18 @@ TABLES = [
 ]
 
 
+def _normalize_timestamps(df: DataFrame) -> DataFrame:
+    """Cast any TIMESTAMP_NTZ column to plain TIMESTAMP. The session
+    time zone is pinned UTC (session.RUNTIME_CONFS), so naive-as-UTC
+    values are preserved bit-for-bit and DuckDB oracle parity holds.
+    Casts on top of a scan stay inside the same projection, so column
+    pruning / predicate pushdown still reach the parquet reader."""
+    ntz = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    if ntz:
+        df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz})
+    return df
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one base table. Column pruning + predicate pushdown reach the
     parquet scan because we return the raw reader output (no caching,
@@ -38,7 +50,7 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # TIMESTAMP(NANOS) read via nanosAsLong → truncate to micros,
         # matching DuckDB's ns→µs read-time truncation.
         df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
-    return df
+    return _normalize_timestamps(df)
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

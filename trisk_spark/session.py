@@ -38,6 +38,14 @@ RUNTIME_CONFS: dict[str, str] = {
     # natively; read as long and convert in catalog.table (DuckDB
     # truncates ns→µs on read, we mirror that exactly).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # The driver's parquet writes timestamps with isAdjustedToUTC=false;
+    # Spark 4 infers those as TIMESTAMP_NTZ, which breaks unix_millis()
+    # and withWatermark() (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE). Read
+    # them as plain TIMESTAMP instead — value-preserving because the
+    # session time zone is pinned UTC above and the DuckDB oracle also
+    # treats naive timestamps as UTC. catalog.table() additionally casts
+    # any residual NTZ column for sessions where this conf can't be set.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
 }
 
 

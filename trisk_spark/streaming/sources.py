@@ -55,11 +55,17 @@ def replay_stream(
         path = os.path.join(out_dir, fname)
         os.utime(path, times=(now + i * 10, now + i * 10))
     schema = spark.read.parquet(out_dir).schema
-    return (
+    stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", files_per_trigger)
         .parquet(out_dir)
     )
+    # Guard against TIMESTAMP_NTZ inference on the re-read (driver
+    # environments differ): withWatermark() requires plain TIMESTAMP.
+    # Session TZ is pinned UTC, so the cast is value-preserving.
+    from trisk_spark.catalog import _normalize_timestamps
+
+    return _normalize_timestamps(stream)
 
 
 def synthesized_bids(spark: SparkSession, rows_per_second: int = 10_000) -> DataFrame:
