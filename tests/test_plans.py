@@ -209,11 +209,11 @@ def test_knn_label_vote_broadcasts_probe_side(spark):
 
 
 def test_cosine_lsh_adaptive_cap(spark):
-    # common case (no bucket over cap): the plan must NOT contain a
-    # Window — the cap is a no-op slice inside the bucket aggregate;
-    # degenerate case (one mega-bucket): pairs bounded at C(cap, 2) and
-    # truncation keeps the cap smallest vec_ids, same rows the oracle's
-    # row_number cap would keep
+    # default path: the plan must NOT contain a Window (the cap is a
+    # slice inside the bucket aggregate) and — since round 5 — no
+    # driver-side pre-count job either; degenerate corpus (one
+    # mega-bucket): BOTH paths bound pairs at C(cap, 2) and keep the
+    # cap smallest vec_ids, same rows the oracle's row_number cap keeps
     import re
 
     from trisk_spark.functions.similarity import cosine_lsh_pairs
@@ -227,9 +227,36 @@ def test_cosine_lsh_adaptive_cap(spark):
     emb = spark.createDataFrame(
         [(i, vec) for i in range(n)], "vec_id long, embedding array<float>"
     )
-    pairs = cosine_lsh_pairs(emb, cap=cap)
-    assert pairs.count() == cap * (cap - 1) // 2
-    assert pairs.agg({"vec_b": "max"}).collect()[0][0] == cap - 1
+    for degenerate in (False, True):
+        pairs = cosine_lsh_pairs(emb, cap=cap, expect_degenerate=degenerate)
+        assert pairs.count() == cap * (cap - 1) // 2
+        assert pairs.agg({"vec_b": "max"}).collect()[0][0] == cap - 1
+
+
+def test_cosine_lsh_builds_plan_without_running_a_job(spark):
+    # regression for the round-4 perf bug: building the query plan must
+    # not trigger a Spark job (the old adaptive cap ran a max-bucket
+    # count — a full scan+banding — before the real query)
+    from trisk_spark.catalog import table
+
+    sc = spark.sparkContext
+    sc.setJobGroup("lsh-plan-build", "plan build only")
+    try:
+        # baseline: loading the table alone may run a parquet
+        # footer/schema-inference job — that is reader overhead, not
+        # the query; the assertion is that building the FULL query adds
+        # no jobs beyond it
+        table(spark, SF_DIR, "embeddings")
+        baseline = len(sc.statusTracker().getJobIdsForGroup("lsh-plan-build") or [])
+        QUERIES["cosine_near_dup_lsh"].fn(spark, SF_DIR)
+        jobs = sc.statusTracker().getJobIdsForGroup("lsh-plan-build") or []
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    # the query's own table() runs the same single reader job as the
+    # baseline; the old pre-count added a scan+aggregate job on top
+    # (extra == 2). Allow exactly the reader job, nothing else.
+    extra = len(jobs) - baseline
+    assert extra <= baseline, f"plan build ran {extra} extra job(s): {jobs}"
 
 
 def test_map_only_queries_have_no_exchange(spark):

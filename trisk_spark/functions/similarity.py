@@ -326,23 +326,38 @@ def cosine_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     and exact semantics carry distinct names so neither is mistaken for
     the other.)
 
-    Bucket cap, adaptively: a pre-count over the (band, bv) key space
-    (≤ COS_NB_BANDS·2^COS_BAND_DIMS = 2048 groups — one cheap scalar
-    action, vec column pruned from its scan) picks the plan. Common
-    case (no bucket over VEC_BUCKET_CAP): cap via
-    slice(array_sort(collect_list)) — no Window, no extra Sort, the cap
-    is a no-op slice. Degenerate corpus: row_number window keeps the
-    VEC_BUCKET_CAP smallest vec_ids with sort-spill memory bounds.
-    Both paths keep exactly the same rows, matching the oracle's
-    per-band row_number cap."""
+    Bucket cap: slice(array_sort(collect_list)) keeps the
+    VEC_BUCKET_CAP smallest vec_ids per bucket — no Window, no extra
+    Sort, no pre-count action. (Round 4 ran a driver-side max-bucket
+    pre-count to choose between this and a row_number window; that was
+    a second full scan+banding job in the hot path and pushed the bench
+    to 2.31× recorded. The two plans keep exactly the same rows, so the
+    choice is now an explicit ``expect_degenerate`` flag for corpora
+    where a mega-bucket would blow the collect_list buffer — see
+    ``cosine_lsh_pairs``.) Both paths match the oracle's per-band
+    row_number cap."""
     emb = table(spark, sf_dir, "embeddings")
     return cosine_lsh_pairs(emb)
 
 
-def cosine_lsh_pairs(emb: DataFrame, cap: int = VEC_BUCKET_CAP) -> DataFrame:
+def cosine_lsh_pairs(
+    emb: DataFrame,
+    cap: int = VEC_BUCKET_CAP,
+    expect_degenerate: bool = False,
+) -> DataFrame:
     """SRP-LSH near-dup pairs over a (vec_id, embedding) DataFrame —
-    see ``cosine_near_dup_lsh`` for semantics and the adaptive-cap
-    design. Exposed for tests (synthetic degenerate corpora)."""
+    see ``cosine_near_dup_lsh`` for semantics. Exposed for tests
+    (synthetic degenerate corpora).
+
+    ``expect_degenerate=False`` (default): cap buckets with
+    slice(array_sort(collect_list)) — single shuffle, no Window. The
+    collect_list buffers a whole bucket before the slice, so on a
+    corpus KNOWN to contain mega-buckets (≫cap identical embeddings —
+    e.g. zero-vector spam at 100 TB) pass ``expect_degenerate=True``
+    to cap via a row_number window BEFORE the aggregate: the window
+    sort spills to disk instead of buffering the bucket in one
+    aggregation buffer. Both paths keep exactly the cap smallest
+    vec_ids per bucket — identical output rows."""
     from pyspark.sql import Window
     from pyspark.sql.types import (
         DoubleType,
@@ -374,13 +389,7 @@ def cosine_lsh_pairs(emb: DataFrame, cap: int = VEC_BUCKET_CAP) -> DataFrame:
             )
         ).alias("band"),
     ).select("vec_id", "vec", "band.band_idx", "band.bv")
-    max_bucket = (
-        bands.groupBy("band_idx", "bv")
-        .agg(F.count("*").alias("bn"))
-        .agg(F.max("bn"))
-        .first()[0]
-    )
-    if max_bucket is not None and max_bucket > cap:
+    if expect_degenerate:
         w = Window.partitionBy("band_idx", "bv").orderBy("vec_id")
         capped = bands.withColumn("rn", F.row_number().over(w)).where(
             F.col("rn") <= cap
