@@ -187,12 +187,33 @@ def byte_features_py(text: str) -> list[int]:
     return [len(data), *hist]
 
 
-@register("media_byte_features", oracle=None)
+BYTE_FEATURES_SQL = (
+    """
+WITH b AS (
+  SELECT doc_id, ascii(unnest(string_split(text, ''))) >> 5 AS bin
+  FROM documents
+)
+SELECT d.doc_id,
+  CAST(octet_length(encode(d.text)) AS BIGINT) AS n_bytes,
+  """
+    + ",\n  ".join(
+        f"CAST(COUNT(CASE WHEN b.bin = {i} THEN 1 END) AS BIGINT) AS bin{i}"
+        for i in range(N_HIST_BINS)
+    )
+    + """
+FROM documents d LEFT JOIN b USING (doc_id)
+GROUP BY d.doc_id, d.text
+"""
+)
+
+
+@register("media_byte_features", oracle=BYTE_FEATURES_SQL)
 def media_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched feature extraction (8-bin byte histogram) over all
-    media blobs. oracle=None: histogram-over-blob isn't expressible in
-    DuckDB SQL (no blob unnest); tests/test_multimodal.py holds the
-    pure-Python fold oracle. Zero-shuffle map work."""
+    media blobs. The corpus is ASCII, so the oracle histograms the text
+    per character (ascii(char) >> 5) — byte-identical to the blob path;
+    tests/test_multimodal.py additionally holds the pure-Python fold
+    oracle. Zero-shuffle map work."""
     m = media(spark, sf_dir).select("doc_id", "blob")
     return m.mapInPandas(_byte_features, _FEAT_SCHEMA)
 

@@ -338,12 +338,36 @@ def _delta_trigger_fn(pdf: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame({"user_id": [uid] * len(fired), "event_id": fired})
 
 
-@register("delta_trigger", oracle=None)
+DELTA_TRIGGER_SQL = f"""
+WITH RECURSIVE seq AS (
+  SELECT user_id, event_id,
+    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+    CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+walk AS (
+  SELECT user_id, rn, event_id, cents AS anchor, TRUE AS fired
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.user_id, s.rn, s.event_id,
+    CASE WHEN ABS(s.cents - w.anchor) > {int(round(DELTA_THRESHOLD * 100))}
+         THEN s.cents ELSE w.anchor END,
+    ABS(s.cents - w.anchor) > {int(round(DELTA_THRESHOLD * 100))}
+  FROM walk w JOIN seq s ON s.user_id = w.user_id AND s.rn = w.rn + 1
+)
+SELECT user_id, event_id FROM walk WHERE fired
+"""
+
+
+@register("delta_trigger", oracle=DELTA_TRIGGER_SQL)
 def delta_trigger(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Delta-trigger firings per key (no SQL oracle — the fire decision
-    depends on the previous *emitted* row, a sequential fold; verified
-    by the pure-Python replay oracle in tests/test_stateful.py and the
-    stream≡batch test in tests/test_streaming_extras.py).
+    """Delta-trigger firings per key. The fire decision depends on the
+    previous *emitted* row — a sequential fold — so the SQL oracle is a
+    recursive CTE walking each key in (ts, event_id) order, carrying
+    the last-fired value as the recursion's running anchor (one
+    iteration per per-key row index; fine at oracle scale). Also
+    verified by the pure-Python replay oracle in tests/test_stateful.py
+    and the stream≡batch test in tests/test_streaming_extras.py.
 
     Plan: one shuffle on user_id; per-key Python walk over an Arrow
     batch — at 100 TB keys are independent, so this parallelizes to
