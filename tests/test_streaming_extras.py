@@ -914,3 +914,30 @@ def test_inactivity_sessions_fire_on_timer(spark, tmp_path):
         cents = sum(s[1] for s in sessions)
         assert (n, cents) == want[u], f"user {u}: conservation violated"
     assert set(got) == set(want), "some users never closed a session"
+
+
+def test_partition_custom_exact_contract(spark):
+    """Index-exact partitionCustom enforces the reference Partitioner
+    contract (DataStream.java:352): pid must be an int in [0, n).
+    NULL and out-of-range indexes raise a clear error instead of
+    silently wrapping modulo-n or dying as int(None) in the worker."""
+    from trisk_spark.operators.partitioning import partition_custom_exact
+
+    df = spark.range(10).toDF("id")
+
+    # out-of-range: ids run to 9, n=4 — must refuse, not wrap % 4
+    with pytest.raises(Exception, match="outside"):
+        partition_custom_exact(df, F.col("id"), 4).count()
+
+    # NULL pid — must name the contract, not crash as int(None)
+    null_pid = F.when(F.col("id") < 5, F.col("id") % 4)
+    with pytest.raises(Exception, match="NULL"):
+        partition_custom_exact(df, null_pid, 4).count()
+
+    # degenerate partition count is a driver-side error
+    with pytest.raises(ValueError, match="positive"):
+        partition_custom_exact(df, F.col("id"), 0)
+
+    # the valid path is unchanged
+    ok = partition_custom_exact(df, (F.col("id") % 4).cast("int"), 4)
+    assert ok.count() == 10

@@ -58,13 +58,38 @@ def partition_custom_exact(df: DataFrame, pid: Column, n: int) -> DataFrame:
     one exchange with an identity partitioner; schema is preserved.
     Use only when the partition INDEX carries meaning (e.g. mirroring
     the reference's key-group→task deal); otherwise ``partition_custom``
-    keeps the plan in Catalyst."""
+    keeps the plan in Catalyst.
+
+    Contract enforcement (matching the reference, which throws when a
+    Partitioner returns an index outside the task range): a NULL pid or
+    a pid outside [0, n) raises ValueError inside the partition
+    function. Without this, RDD.partitionBy's ``% n`` would silently
+    wrap out-of-range indexes and NULL would die as an opaque
+    ``int(None)`` TypeError deep in the worker."""
+    if n <= 0:
+        raise ValueError(f"partition_custom_exact: n must be positive, got {n}")
     pid_col = "__trisk_pid"
     tagged = df.withColumn(pid_col, pid.cast("int"))
     schema = df.schema
+
+    def _exact_index(k):
+        if k is None:
+            raise ValueError(
+                "partition_custom_exact: partitioner returned NULL "
+                "(reference Partitioner contract: an int in [0, n))"
+            )
+        k = int(k)
+        if not 0 <= k < n:
+            raise ValueError(
+                f"partition_custom_exact: partition index {k} outside "
+                f"[0, {n}) (reference Partitioner contract — refusing "
+                "to wrap modulo-n)"
+            )
+        return k
+
     shuffled = (
         tagged.rdd.map(lambda r: (r[pid_col], r))
-        .partitionBy(n, lambda k: int(k))
+        .partitionBy(n, _exact_index)
         .map(lambda kv: kv[1])
     )
     out = df.sparkSession.createDataFrame(shuffled, tagged.schema)
