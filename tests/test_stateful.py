@@ -157,3 +157,42 @@ def test_delta_trigger_matches_replay_fold(spark):
     }
     assert got == want
     assert len(want) < len(rows), "trigger never suppressed — vacuous"
+
+
+def test_matchmaker_hot_key_is_chunked(spark):
+    """Bounded-memory property: one hot sec_code at ~10x the others must
+    stream through the mapInPandas kernel in MULTIPLE Arrow batches
+    (books carried across chunk boundaries), and the result must equal
+    the single-pass pure-Python fold. maxRecordsPerBatch is forced tiny
+    so the hot key cannot fit one batch — if the kernel ever regresses
+    to whole-group materialization this test stops exercising the
+    carry-over path and the value compare breaks."""
+    from trisk_spark.operators.stateful import TRADE_SCHEMA, _match_partition
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "64")
+    try:
+        n_hot, n_cold = 1000, 100
+        rows = []
+        for i in range(n_hot + n_cold):
+            sec = "HOT" if i < n_hot else f"C{i % 7}"
+            rows.append((i, sec, "B" if i % 2 == 0 else "S",
+                         1000 + (i * 37) % 200, (i % 10 + 1) * 100,
+                         "D" if i % 20 == 19 else "A", i))
+        df = spark.createDataFrame(
+            rows,
+            "order_no long, sec_code string, trade_dir string, "
+            "price_cents long, order_vol long, tran_maint_code string, seq long",
+        )
+        part = df.repartition("sec_code").sortWithinPartitions("sec_code", "seq")
+        engine = sorted(
+            tuple(r) for r in part.mapInPandas(_match_partition, TRADE_SCHEMA).collect()
+        )
+        oracle = _oracle_match(
+            [(r[0], r[1], r[2], r[3], r[4], r[5], r[6]) for r in sorted(rows)]
+        )
+        assert engine, "hot-key corpus produced no trades — vacuous"
+        assert engine == oracle
+    finally:
+        spark.conf.set(key, old)

@@ -45,8 +45,16 @@ TRADE_SCHEMA = StructType(
 )
 
 
-def match_orders(rows: Iterator[dict]) -> Iterator[dict]:
+def match_orders(
+    rows: Iterator[dict],
+    buy_book: list | None = None,
+    sell_book: list | None = None,
+) -> Iterator[dict]:
     """Pure-Python order-book fold for ONE sec_code, in seq order.
+    Pass ``buy_book``/``sell_book`` to carry open books across chunks
+    of the same key (the bounded-memory batch path and the streaming
+    state operator both do); with the defaults the fold is
+    self-contained.
 
     Semantics per StatefulStockExchange.java:125-215 /
     InAppStatefulStockExchange.java:76-122:
@@ -64,8 +72,10 @@ def match_orders(rows: Iterator[dict]) -> Iterator[dict]:
     the deterministic, economically-standard order and document the
     divergence.
     """
-    buy_book: list = []  # (-price, seq, [vol, order_no])
-    sell_book: list = []  # (price, seq, [vol, order_no])
+    if buy_book is None:
+        buy_book = []  # (-price, seq, [vol, order_no])
+    if sell_book is None:
+        sell_book = []  # (price, seq, [vol, order_no])
     for r in rows:
         code = r["tran_maint_code"]
         if code in ("D", "X", ""):
@@ -114,15 +124,35 @@ def match_orders(rows: Iterator[dict]) -> Iterator[dict]:
                 heapq.heappush(sell_book, (price, seq, [vol, no]))
 
 
-def _match_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    pdf = pdf.sort_values("seq")
-    out = list(match_orders(pdf.to_dict("records")))
-    if not out:
-        return pd.DataFrame(
-            {f.name: pd.Series(dtype="object") for f in TRADE_SCHEMA}
-        ).astype({"buy_no": "int64", "sell_no": "int64", "trade_price": "int64",
-                  "trade_vol": "int64", "match_seq": "int64", "sec_code": "str"})
-    return pd.DataFrame(out)
+_EMPTY_TRADES = {
+    "sec_code": "str", "buy_no": "int64", "sell_no": "int64",
+    "trade_price": "int64", "trade_vol": "int64", "match_seq": "int64",
+}
+
+
+def _match_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Bounded-memory matchmaker kernel: the partition arrives sorted by
+    (sec_code, seq) with every sec_code's rows contiguous (hash
+    repartition on sec_code), so open books carry across Arrow batch
+    boundaries and reset on key change. Peak memory is O(one Arrow
+    batch + open books), NOT O(hottest key's full order history) — the
+    pre-r5 applyInPandas variant materialized the whole group."""
+    key = None
+    buy_book: list = []
+    sell_book: list = []
+    for pdf in batches:
+        out: list[dict] = []
+        for r in pdf.to_dict("records"):
+            if r["sec_code"] != key:
+                key = r["sec_code"]
+                buy_book, sell_book = [], []
+            out.extend(match_orders([r], buy_book, sell_book))
+        if out:
+            yield pd.DataFrame(out)
+        else:
+            yield pd.DataFrame(
+                {c: pd.Series(dtype=t) for c, t in _EMPTY_TRADES.items()}
+            )
 
 
 @register("stock_matchmaker", oracle=None)
@@ -130,13 +160,20 @@ def stock_matchmaker(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SE matchmaker (flagship): per-sec_code order books with
     price-time priority matching and partial fills.
 
-    Plan: one shuffle on sec_code, then Arrow-batched per-group fold —
+    Plan: one shuffle on sec_code (hash repartition — all rows of a key
+    land in one partition), a spillable sortWithinPartitions on
+    (sec_code, seq) (no second exchange), then an Arrow-batched
+    mapInPandas fold that streams batches through per-key open books —
     the batch image of the keyed MapState operator
-    (StatefulStockExchange.java:104-121). Streaming variant:
+    (StatefulStockExchange.java:104-121). A hot sec_code at any skew
+    costs sort spill, not executor OOM: the Python worker never holds
+    more than one Arrow batch (spark.sql.execution.arrow.
+    maxRecordsPerBatch) plus the open-book residue. Streaming variant:
     trisk_spark.streaming.state.matchmaker_stream.
     """
     orders = stock_orders(table(spark, sf_dir, "events"))
-    return orders.groupBy("sec_code").applyInPandas(_match_group, TRADE_SCHEMA)
+    part = orders.repartition("sec_code").sortWithinPartitions("sec_code", "seq")
+    return part.mapInPandas(_match_partition, TRADE_SCHEMA)
 
 
 # ------------------------------------------------ Q3 emit-once join --
