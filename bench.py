@@ -41,6 +41,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_clusters",
     "dedup_simhash",
+    "dedup_substring",
     "ngram_jaccard",
     "knn_bruteforce",
     "ann_ivf",

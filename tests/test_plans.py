@@ -264,3 +264,59 @@ def test_map_only_queries_have_no_exchange(spark):
     for name in ("nexmark_q1", "nexmark_q2"):
         plan = static_plan(spark, name)
         assert "Exchange" not in plan, f"{name}: map-only query shuffles"
+
+
+def test_substring_dedup_plan_is_bucketed_jvm_side(spark):
+    # winnowed fingerprint selection must be pure map-side JVM array
+    # algebra (no Python eval, no per-position explode-then-Window for
+    # selection) and the whole query must shuffle exactly twice: once
+    # on fingerprint (bucket + cap share that exchange), once on the
+    # (doc_a, doc_b) pair aggregate. No global sort anywhere.
+    import re
+
+    plan = static_plan(spark, "dedup_substring")
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 2
+    for marker in ("ArrowEvalPython", "BatchEvalPython", "FlatMapsInPandas",
+                   "TakeOrderedAndProject"):
+        assert marker not in plan
+    # any Sort must be partition-local (rangepartitioning would show a
+    # third exchange; global sort args end with ", true")
+    for m in re.finditer(r"^\(\d+\) Sort.*\nArguments: (.+)$", plan, re.M):
+        assert ", true," not in m.group(1), "global sort in dedup plan"
+
+
+def test_substring_dedup_winnowing_guarantee(spark, tmp_path):
+    # docs sharing a verbatim run >= K+W-1 chars at DIFFERENT offsets
+    # must pair regardless of alignment (the winnowing property);
+    # unrelated docs must not pair; Spark must match the DuckDB oracle
+    # on the same fixture corpus
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tests.conftest import assert_matches_oracle
+
+    shared = "the same forty character run appears here"  # 41 chars
+    texts = [
+        shared + " tail alpha words one two three",
+        "prefix padding differs " + shared + " suffix beta",
+        "completely unrelated filler content nothing in common at all",
+    ]
+    docs = {
+        "doc_id": [1, 2, 3],
+        "text": texts,
+        "lang": ["en"] * 3,
+        "source": ["fixture"] * 3,
+        "n_chars": [len(t) for t in texts],
+    }
+    pq.write_table(pa.table(docs), tmp_path / "documents.parquet")
+    qd = QUERIES["dedup_substring"]
+    rows = {(r.doc_a, r.doc_b): r.n_shared_fps
+            for r in qd.fn(spark, str(tmp_path)).collect()}
+    assert (1, 2) in rows and rows[(1, 2)] >= 1
+    assert not any(3 in p for p in rows), "unrelated doc paired"
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    assert_matches_oracle(qd.fn(spark, str(tmp_path)), con, qd.oracle)

@@ -814,3 +814,122 @@ def decontaminate_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_shared"))
     )
+
+
+# --------------------------------- exact substring dedup (winnowing) --
+
+# Exact substring dedup, the one standard LLM-pipeline dedup mode not
+# covered above: find document pairs sharing a VERBATIM character run
+# (suffix-array substring dedup a la "Deduplicating Training Data Makes
+# Language Models Better", Lee et al. 2022 — done here with winnowed
+# k-gram fingerprints, Schleimer et al. 2003, because fingerprint
+# buckets shard over a cluster while one global suffix array does not).
+#
+# Guarantee (standard winnowing bound): any shared substring of length
+# >= SUBSTR_K + SUBSTR_W - 1 chars shares at least one selected
+# fingerprint regardless of alignment; shorter shared runs down to
+# SUBSTR_K chars are detected opportunistically. A shared fingerprint
+# IS a shared SUBSTR_K-char substring (md5 of the gram), so there is no
+# verify stage and no false positives beyond md5 collisions.
+SUBSTR_K = 25   # fingerprint gram length (chars)
+SUBSTR_W = 10   # winnow window (grams); guarantee threshold = K+W-1 = 34
+
+_WINNOW_EXPR = f"""
+CASE WHEN length(text) >= {SUBSTR_K + SUBSTR_W - 1} THEN
+  flatten(transform(
+    array(transform(sequence(1, length(text) - {SUBSTR_K} + 1),
+                    i -> md5(substring(text, i, {SUBSTR_K})))),
+    gs -> array_distinct(transform(
+            sequence(1, size(gs) - {SUBSTR_W} + 1),
+            p -> array_min(slice(gs, p, {SUBSTR_W}))))
+  ))
+ELSE array() END
+"""
+
+SUBSTR_DEDUP_SQL = f"""
+WITH pos AS (
+  SELECT doc_id, text,
+    unnest(range(1, length(text) - {SUBSTR_K} + 2)) AS i
+  FROM documents WHERE length(text) >= {SUBSTR_K + SUBSTR_W - 1}
+),
+grams AS (
+  SELECT doc_id, i, md5(substr(text, CAST(i AS INT), {SUBSTR_K})) AS h
+  FROM pos
+),
+winf AS (
+  SELECT doc_id,
+    MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                 ROWS BETWEEN CURRENT ROW AND {SUBSTR_W - 1} FOLLOWING) AS fp,
+    COUNT(*) OVER (PARTITION BY doc_id ORDER BY i
+                 ROWS BETWEEN CURRENT ROW AND {SUBSTR_W - 1} FOLLOWING) AS wn
+  FROM grams
+),
+fps AS (SELECT DISTINCT doc_id, fp FROM winf WHERE wn = {SUBSTR_W}),
+capped AS (
+  SELECT fp, doc_id FROM (
+    SELECT fp, doc_id,
+      row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+    FROM fps)
+  WHERE rn <= {BUCKET_CAP}
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM capped a JOIN capped b ON a.fp = b.fp AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, COUNT(*) AS n_shared_fps
+FROM pairs GROUP BY doc_a, doc_b
+"""
+
+
+@register("dedup_substring", oracle=SUBSTR_DEDUP_SQL)
+def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedup via winnowed k-gram fingerprints — doc
+    pairs sharing verbatim >= {K+W-1}-char runs, with the count of
+    shared selected fingerprints as the overlap weight.
+
+    Plan: fingerprint selection is ENTIRELY map-side JVM array algebra
+    (gram hashes + sliding array_min inside one projection — the
+    1-element-array/transform wrapper is a let-binding so the gram
+    array is built once per row, not once per window; no per-position
+    explode, no Window operator, no Python). Then ONE shuffle on the
+    fingerprint groups buckets (row_number-capped at BUCKET_CAP like
+    every dedup bucket here), member pairs are emitted engine-side from
+    the sorted bucket array, and a final narrow shuffle on (doc_a,
+    doc_b) counts shared fingerprints. Shuffled payload is 32-byte
+    fingerprints + 8-byte ids — document text never leaves the scan
+    stage. At 100 TB: fingerprints/doc ~ len/W, buckets shard by
+    fingerprint across the cluster, and the cap bounds the degenerate
+    boilerplate-fingerprint bucket exactly like dedup_minhash_lsh."""
+    return substring_pairs(table(spark, sf_dir, "documents"))
+
+
+def substring_pairs(docs: DataFrame, cap: int = BUCKET_CAP) -> DataFrame:
+    """Core winnowed-fingerprint pair pipeline over any (doc_id, text)
+    DataFrame — see dedup_substring for semantics and plan."""
+    fps = docs.select(
+        "doc_id", F.explode(F.expr(_WINNOW_EXPR)).alias("fp")
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    capped = fps.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= cap
+    )
+    buckets = (
+        capped.groupBy("fp")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .where(F.size("ids") > 1)
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+    return (
+        buckets.select(F.explode(pairs).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared_fps"))
+    )

@@ -98,6 +98,12 @@ DEPRIORITIZED = [
     "props_rollup",
     "source_quality_rollup",
     "ngram_counts",
+    # r5 adds dedup_substring (65 registered, window 50) — one more
+    # redundant-capability query sits out so the new sole-evidence op
+    # gets a driver row. time_evictor_window is green r1-r4 and its
+    # SURVEY evictor row keeps two in-window witnesses
+    # (delta_evictor_window, sliding_count_window).
+    "time_evictor_window",
 ]
 
 
