@@ -213,7 +213,23 @@ def _emit_once_group(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-@register("q3_emit_once_join", oracle=None)
+EMIT_ONCE_SQL = """
+WITH p AS (
+  SELECT user_id AS key, MIN(event_id) AS pseq
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+a AS (
+  SELECT user_id AS key, event_id AS auction_id, event_id AS seq
+  FROM events
+  WHERE event_type IN ('view','click') AND event_id % 10 = 4
+)
+SELECT a.key AS seller, a.auction_id,
+       CASE WHEN a.seq > p.pseq THEN a.seq ELSE p.pseq END AS emit_seq
+FROM a JOIN p USING (key)
+"""
+
+
+@register("q3_emit_once_join", oracle=EMIT_ONCE_SQL)
 def q3_emit_once_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nexmark Q3's true streaming semantics: emit-once incremental join
     (Query3.java:99-155) replayed in batch as a tagged-union fold.
@@ -223,6 +239,14 @@ def q3_emit_once_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     of Q3 is `nexmark_q3`; this operator checks the *emit* semantics
     (each auction emitted at most once, at the right point in the
     sequence).
+
+    Oracle: because the derivation keeps exactly ONE person row per key
+    (first signup), the fold's emit rule has a closed form — an auction
+    emits iff its key has a person, at emit_seq = max(auction seq,
+    first-person seq) — which the SQL states directly. The engine runs
+    the general sequential fold (the structural difference is what
+    keeps the oracle from self-confirming); the replay-fold pytest
+    covers multi-person sequences the corpus derivation can't produce.
     """
     ev = table(spark, sf_dir, "events")
     # Tagged union: persons = first signup per user (tag P, seq = event_id
