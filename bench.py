@@ -47,6 +47,7 @@ HEADLINE = [
     "ann_ivf",
     "cosine_near_dup_lsh",
     "interval_join",
+    "asof_join",
     "count_window",
     "media_frame_sample",
     "fraud_alerts",

@@ -320,3 +320,30 @@ def test_substring_dedup_winnowing_guarantee(spark, tmp_path):
         f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
     )
     assert_matches_oracle(qd.fn(spark, str(tmp_path)), con, qd.oracle)
+
+
+def test_asof_join_is_linear_not_range_explode(spark):
+    # the as-of join must be the union+running-last shape: one exchange
+    # on user_id feeding one Window — NOT a range join (which fans out
+    # to a row per probe x earlier-quote before picking the max) and
+    # not a second shuffle. The quote-dedup aggregate shares the
+    # user_id exchange via the union.
+    import re
+
+    plan = static_plan(spark, "asof_join")
+    assert "Join" not in plan, "asof regressed to a join"
+    assert len(re.findall(r"^\(\d+\) Window$", plan, re.M)) == 1
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1, (
+        "asof must shuffle exactly once, on user_id"
+    )
+    for m in re.finditer(r"Arguments: hashpartitioning\(([^,]+),", plan):
+        assert m.group(1).startswith("user_id"), m.group(0)
+
+
+def test_train_split_is_map_only(spark):
+    # split assignment must never shuffle: pure projection over the scan
+    plan = static_plan(spark, "train_split")
+    assert "Exchange" not in plan, "hash split plan shuffles"
+    # and the rollup moves only (source, split) aggregate rows
+    plan2 = static_plan(spark, "split_rollup")
+    assert "partial_" in plan2, "split rollup lost map-side combine"

@@ -568,3 +568,81 @@ def purging_trigger(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("cents").cast("double") / 100, 2).alias("total"),
         )
     )
+
+
+# --------------------------------------------------------- as-of join --
+
+ASOF_JOIN_SQL = """
+WITH q AS (
+  SELECT user_id, ts, event_id AS quote_id, value AS quote_value
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                     ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'purchase')
+  WHERE rn = 1
+),
+p AS (
+  SELECT event_id AS click_id, user_id, ts FROM events
+  WHERE event_type = 'click'
+)
+SELECT p.click_id, p.user_id, q.quote_id, q.quote_value
+FROM p ASOF LEFT JOIN q
+  ON p.user_id = q.user_id AND p.ts >= q.ts
+"""
+
+
+@register("asof_join", oracle=ASOF_JOIN_SQL)
+def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click picks up the user's most recent purchase
+    at-or-before its timestamp (left semantics — clicks with no prior
+    purchase keep NULLs). The classic time-series point-in-time join;
+    the oracle is DuckDB's native ASOF LEFT JOIN.
+
+    Spark has no asof operator, and the naive range join explodes to
+    one row per (probe, every-earlier-quote) before picking the max.
+    Spark-first image: tag quotes and probes, union them, exactly ONE
+    shuffle on user_id with a partition-local sort on (ts, side,
+    quote_id), and a running last(quote, ignorenulls) window — linear
+    in rows, state is one quote per key, the same shape the 100 TB
+    path wants (and the same trick the streaming side gets for free
+    from ordered state). Ties: side=0 sorts quotes before probes at
+    equal ts ("at or before"), and quote_id asc within equal ts makes
+    `last` pick the largest event_id — the same row ASOF's per-(user,
+    ts) dedup keeps, with no pre-dedup aggregate (which would cost a
+    second exchange on (user_id, ts)).
+    """
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    quotes = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("side"),
+        F.col("event_id").alias("quote_id"),
+        F.col("value").alias("quote_value"),
+        F.lit(None).cast("long").alias("click_id"),
+    )
+    probes = ev.where(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("side"),
+        F.lit(None).cast("long").alias("quote_id"),
+        F.lit(None).cast("double").alias("quote_value"),
+        F.col("event_id").alias("click_id"),
+    )
+    u = quotes.unionByName(probes)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side", "quote_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        u.withColumn("m_quote_id", F.last("quote_id", ignorenulls=True).over(w))
+        .withColumn("m_quote_value", F.last("quote_value", ignorenulls=True).over(w))
+        .where(F.col("side") == 1)
+        .select(
+            "click_id",
+            "user_id",
+            F.col("m_quote_id").alias("quote_id"),
+            F.col("m_quote_value").alias("quote_value"),
+        )
+    )

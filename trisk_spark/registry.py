@@ -81,29 +81,26 @@ DEPRIORITIZED = [
     "revenue_rollup",
     "semi_join_orders",
     "customers_without_orders",
-    # ROTATION POLICY for the last 4 tail slots: two sets alternate so
-    # no query that is the SOLE evidence for a SURVEY §2 row ever goes
-    # more than 2 rounds without a driver hash-green row.
-    #   set A: tpch_q18, keyed_running_reduce, sliding_count_window,
-    #          all_window_agg          (sat out r3+r4 — IN WINDOW for r5)
-    #   set B: cosine_near_dup_exact, props_rollup,
-    #          source_quality_rollup, ngram_counts
-    #          (green r3+r4 — sit out r5, rotate back in r6)
-    # Every query in both sets has adjacent in-window evidence for its
-    # SURVEY row (tpch_q1, keyed_agg/minby_maxby, count_window,
-    # tumbling_window_agg; cosine_near_dup_lsh, repetition_ratio,
-    # ngram_jaccard, media_metadata), so sitting out never leaves a row
-    # unevidenced in the current window.
-    "cosine_near_dup_exact",
-    "props_rollup",
-    "source_quality_rollup",
-    "ngram_counts",
-    # r5 adds dedup_substring (65 registered, window 50) — one more
-    # redundant-capability query sits out so the new sole-evidence op
-    # gets a driver row. time_evictor_window is green r1-r4 and its
-    # SURVEY evictor row keeps two in-window witnesses
-    # (delta_evictor_window, sliding_count_window).
-    "time_evictor_window",
+    # ROTATION POLICY for the remaining tail slots (window = 50, so
+    # len(registry) - 50 queries sit out each round): membership
+    # alternates round-by-round so that (a) a query that is the SOLE
+    # evidence for a SURVEY §2 row never sits out two consecutive
+    # rounds, and (b) every query sitting out has an in-window witness
+    # for each of its SURVEY rows. Rotated IN for r5 after sitting out
+    # r3+r4: tpch_q18, keyed_running_reduce, sliding_count_window,
+    # all_window_agg. Sitting out r5 (all hash-green r3+r4, rotate back
+    # r6) with their in-window witnesses:
+    "cosine_near_dup_exact",   # cosine_near_dup_lsh
+    "props_rollup",            # scalar-fn rows: nexmark/stock/fraud views
+    "source_quality_rollup",   # quality_score + lang_id
+    "ngram_counts",            # ngram_jaccard + repetition_ratio
+    # r5 also adds dedup_substring, asof_join, train_split and
+    # split_rollup (68 registered) — four more redundant-capability
+    # queries sit out so the new sole-evidence ops get driver rows:
+    "time_evictor_window",     # evictors: delta_evictor_window + sliding_count_window
+    "minby_maxby",             # sum/min/max/minBy/maxBy row: keyed_agg
+    "count_window",            # count windows row: sliding_count_window
+    "tpch_q1",                 # relational agg pipeline: tpch_q18 (in r5)
 ]
 
 
@@ -123,6 +120,7 @@ def load_all() -> dict[str, QueryDef]:
     import trisk_spark.functions.multimodal  # noqa: F401
     import trisk_spark.functions.dedup  # noqa: F401
     import trisk_spark.functions.similarity  # noqa: F401
+    import trisk_spark.functions.sampling  # noqa: F401
 
     tail = set(DEPRIORITIZED)
     ordered = {n: q for n, q in REGISTRY.items() if n not in tail}
