@@ -941,3 +941,35 @@ def test_partition_custom_exact_contract(spark):
     # the valid path is unchanged
     ok = partition_custom_exact(df, (F.col("id") % 4).cast("int"), 4)
     assert ok.count() == 10
+
+
+def test_asof_stream_equals_batch(spark):
+    """Streaming as-of (one-quote ValueState) must emit exactly the
+    batch running-last window's rows — including NULL quotes for clicks
+    with no prior purchase."""
+    from trisk_spark.operators.multistream import asof_join
+    from trisk_spark.streaming.state import asof_stream
+
+    stream = replay_stream(spark, SF, "events", n_chunks=5)
+    out = asof_stream(stream)
+    emitted = []
+
+    def collect(bdf, bid):
+        emitted.extend(bdf.collect())
+
+    q = (
+        out.writeStream.outputMode("append")
+        .foreachBatch(collect)
+        .option("checkpointLocation", checkpoint_dir("asof"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {(r.click_id, r.user_id, r.quote_id, r.quote_value) for r in emitted}
+    assert len(got) == len(emitted), "duplicate emit"
+    want = {
+        (r.click_id, r.user_id, r.quote_id, r.quote_value)
+        for r in asof_join(spark, SF).collect()
+    }
+    assert got == want
+    assert any(r[2] is None for r in want), "fixture has no NULL-quote clicks"

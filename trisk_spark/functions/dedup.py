@@ -829,8 +829,12 @@ def decontaminate_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 # >= SUBSTR_K + SUBSTR_W - 1 chars shares at least one selected
 # fingerprint regardless of alignment; shorter shared runs down to
 # SUBSTR_K chars are detected opportunistically. A shared fingerprint
-# IS a shared SUBSTR_K-char substring (md5 of the gram), so there is no
-# verify stage and no false positives beyond md5 collisions.
+# IS a shared SUBSTR_K-char substring (60-bit md5 prefix of the gram —
+# the same engine-identical int idiom as the shingle word hashes), so
+# there is no verify stage; false-positive odds are the 60-bit birthday
+# bound. Int fingerprints (not 32-char md5 strings) keep the winnow's
+# sliding-min comparing longs and the shuffle key at 8 bytes — the
+# difference between moving ~1x and ~4x the corpus bytes at 100 TB.
 SUBSTR_K = 25   # fingerprint gram length (chars)
 SUBSTR_W = 10   # winnow window (grams); guarantee threshold = K+W-1 = 34
 
@@ -838,7 +842,8 @@ _WINNOW_EXPR = f"""
 CASE WHEN length(text) >= {SUBSTR_K + SUBSTR_W - 1} THEN
   flatten(transform(
     array(transform(sequence(1, length(text) - {SUBSTR_K} + 1),
-                    i -> md5(substring(text, i, {SUBSTR_K})))),
+      i -> cast(conv(substring(md5(substring(text, i, {SUBSTR_K})), 1, 15),
+                     16, 10) AS bigint))),
     gs -> array_distinct(transform(
             sequence(1, size(gs) - {SUBSTR_W} + 1),
             p -> array_min(slice(gs, p, {SUBSTR_W}))))
@@ -853,7 +858,10 @@ WITH pos AS (
   FROM documents WHERE length(text) >= {SUBSTR_K + SUBSTR_W - 1}
 ),
 grams AS (
-  SELECT doc_id, i, md5(substr(text, CAST(i AS INT), {SUBSTR_K})) AS h
+  SELECT doc_id, i,
+    CAST(CONCAT('0x',
+      substr(md5(substr(text, CAST(i AS INT), {SUBSTR_K})), 1, 15))
+      AS BIGINT) AS h
   FROM pos
 ),
 winf AS (

@@ -23,7 +23,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     ArrayType,
@@ -917,5 +917,82 @@ def ttl_running_wordcount_stream(words: DataFrame, ttl_ms: int) -> DataFrame:
         outputStructType=_TTL_WC_OUT,
         stateStructType=_TTL_WC_STATE,
         outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ------------------------------------------------- as-of join stream --
+
+_ASOF_OUT = StructType(
+    [
+        StructField("click_id", LongType()),
+        StructField("user_id", LongType()),
+        StructField("quote_id", LongType()),
+        StructField("quote_value", DoubleType()),
+    ]
+)
+# last quote per key: (event-time ms, event_id, value)
+_ASOF_STATE = StructType(
+    [
+        StructField("ms", LongType()),
+        StructField("quote_id", LongType()),
+        StructField("quote_value", DoubleType()),
+    ]
+)
+
+
+def _asof_fn(
+    key, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """As-of join as keyed ValueState: quotes overwrite the last-quote
+    state (greater (ts, event_id) wins — the batch twin's tie rule);
+    probes emit with whatever quote the state holds. In-order replay
+    makes this exactly the batch running-last window
+    (operators/multistream.asof_join)."""
+    if state.exists:
+        q_ms, q_id, q_val = state.get
+    else:
+        q_ms, q_id, q_val = None, None, None
+    batch = pd.concat(list(pdfs)).sort_values(["ms", "side", "event_id"])
+    out: dict[str, list] = {
+        "click_id": [], "user_id": [], "quote_id": [], "quote_value": []
+    }
+    for side, eid, ms, val in zip(
+        batch["side"], batch["event_id"], batch["ms"], batch["value"]
+    ):
+        if side == 0:
+            if q_ms is None or (int(ms), int(eid)) > (q_ms, q_id):
+                q_ms, q_id, q_val = int(ms), int(eid), float(val)
+        else:
+            out["click_id"].append(int(eid))
+            out["user_id"].append(int(key[0]))
+            out["quote_id"].append(q_id)
+            out["quote_value"].append(q_val)
+    if q_ms is not None:
+        state.update((q_ms, q_id, q_val))
+    yield pd.DataFrame(out)
+
+
+def asof_stream(events: DataFrame) -> DataFrame:
+    """Streaming as-of join over the tagged click/purchase stream;
+    batch equivalent: operators/multistream.asof_join. State is ONE
+    quote per key — the bounded-state shape the batch docstring
+    promises the streaming side."""
+    tagged = events.where(
+        F.col("event_type").isin("purchase", "click")
+    ).select(
+        "user_id",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ms"),
+        F.when(F.col("event_type") == "purchase", F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("side"),
+        "event_id",
+        "value",
+    )
+    return tagged.groupBy("user_id").applyInPandasWithState(
+        _asof_fn,
+        outputStructType=_ASOF_OUT,
+        stateStructType=_ASOF_STATE,
+        outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
