@@ -196,3 +196,27 @@ def test_matchmaker_hot_key_is_chunked(spark):
         assert engine == oracle
     finally:
         spark.conf.set(key, old)
+
+
+def test_emit_once_fold_handles_multi_person_sequences(spark):
+    """The corpus derivation keeps one person per key (which is what
+    makes the closed-form SQL oracle valid); the fold itself must also
+    handle the general reference sequence — repeated person rows where
+    only the FIRST flushes the buffer and later ones are ignored."""
+    import pandas as pd
+
+    from trisk_spark.operators.stateful import _emit_once_group
+
+    rows = pd.DataFrame(
+        {
+            "key": [7] * 6,
+            "side": ["A", "P", "A", "P", "A", "P"],
+            "auction_id": [100, None, 101, None, 102, None],
+            "seq": [1, 2, 3, 4, 5, 6],
+        }
+    )
+    out = _emit_once_group(rows)
+    got = sorted(zip(out["auction_id"], out["emit_seq"]))
+    # auction 100 buffered until first person (seq 2); 101/102 emit
+    # immediately; persons at seq 4 and 6 must NOT re-flush anything
+    assert got == [(100, 2), (101, 3), (102, 5)]

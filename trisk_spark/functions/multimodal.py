@@ -188,10 +188,13 @@ def byte_features_py(text: str) -> list[int]:
 
 
 BYTE_FEATURES_SQL = (
+    # length(text) > 0 guard: DuckDB string_split('', '') yields ['']
+    # and ascii('') is 0, which would count a phantom bin0 byte for an
+    # empty document; the LEFT JOIN already zero-fills empty docs.
     """
 WITH b AS (
   SELECT doc_id, ascii(unnest(string_split(text, ''))) >> 5 AS bin
-  FROM documents
+  FROM documents WHERE length(text) > 0
 )
 SELECT d.doc_id,
   CAST(octet_length(encode(d.text)) AS BIGINT) AS n_bytes,

@@ -335,9 +335,18 @@ def cosine_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     choice is now an explicit ``expect_degenerate`` flag for corpora
     where a mega-bucket would blow the collect_list buffer — see
     ``cosine_lsh_pairs``.) Both paths match the oracle's per-band
-    row_number cap."""
+    row_number cap. Production wiring for the degenerate path: set
+    ``spark.trisk.cosineLsh.expectDegenerate=true`` on the session (a
+    conf, not a pre-count — the decision is the operator's caller's,
+    who knows the corpus)."""
     emb = table(spark, sf_dir, "embeddings")
-    return cosine_lsh_pairs(emb)
+    degenerate = (
+        str(
+            spark.conf.get("spark.trisk.cosineLsh.expectDegenerate", "false")
+        ).lower()
+        == "true"
+    )
+    return cosine_lsh_pairs(emb, expect_degenerate=degenerate)
 
 
 def cosine_lsh_pairs(

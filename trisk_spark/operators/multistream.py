@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import LongType, StructField, StructType
 
 from trisk_spark.catalog import table
+from trisk_spark.numeric import cents as _cents
 from trisk_spark.registry import register
 
 # ---------------------------------------------------- interval join --
@@ -329,7 +330,7 @@ def _delta_trigger_fn(pdf: pd.DataFrame) -> pd.DataFrame:
     fired: list[int] = []
     last: int | None = None  # integer cents: exact, stream-state safe
     for eid, cents in zip(
-        pdf["event_id"], (pdf["value"] * 100).round().astype("int64")
+        pdf["event_id"], _cents(pdf["value"])
     ):
         if last is None or abs(int(cents) - last) > thresh_cents:
             fired.append(int(eid))
@@ -635,14 +636,17 @@ def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", "side", "quote_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # ONE last() over a struct set only on quote rows: two independent
+    # last(col, ignorenulls) calls could pick quote_id and quote_value
+    # from DIFFERENT rows when a quote's value is NULL (chimera row).
+    q = F.when(F.col("side") == 0, F.struct("quote_id", "quote_value"))
     return (
-        u.withColumn("m_quote_id", F.last("quote_id", ignorenulls=True).over(w))
-        .withColumn("m_quote_value", F.last("quote_value", ignorenulls=True).over(w))
+        u.withColumn("m", F.last(q, ignorenulls=True).over(w))
         .where(F.col("side") == 1)
         .select(
             "click_id",
             "user_id",
-            F.col("m_quote_id").alias("quote_id"),
-            F.col("m_quote_value").alias("quote_value"),
+            F.col("m.quote_id").alias("quote_id"),
+            F.col("m.quote_value").alias("quote_value"),
         )
     )

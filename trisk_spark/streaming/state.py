@@ -34,6 +34,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from trisk_spark.numeric import cents as _cents
 from trisk_spark.operators.stateful import TRADE_SCHEMA
 
 _BOOK_ENTRY = StructType(
@@ -310,7 +311,7 @@ def _count_window_fn(
     win, n, s = state.get if state.exists else (0, 0, 0)
     out: list[tuple[int, int, int, int]] = []
     batch = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
-    for cents in (batch["value"] * 100).round().astype("int64"):
+    for cents in _cents(batch["value"]):
         n += 1
         s += int(cents)
         if n == COUNT_WINDOW_N:
@@ -359,7 +360,7 @@ def _sliding_count_fn(
     out: list[tuple[int, int, float]] = []
     batch = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
     for eid, cents in zip(
-        batch["event_id"], (batch["value"] * 100).round().astype("int64")
+        batch["event_id"], _cents(batch["value"])
     ):
         ring.append(int(cents))
         if len(ring) > EVICT_N:
@@ -406,7 +407,7 @@ def _delta_trigger_stream_fn(
     thresh_cents = int(round(DELTA_THRESHOLD * 100))
     fired: list[int] = []
     for eid, cents in zip(
-        batch["event_id"], (batch["value"] * 100).round().astype("int64")
+        batch["event_id"], _cents(batch["value"])
     ):
         if last is None or abs(int(cents) - last) > thresh_cents:
             fired.append(int(eid))
@@ -471,7 +472,7 @@ def _inactivity_fn(
     n, cents = state.get if state.exists else (0, 0)
     for pdf in pdfs:
         n += len(pdf)
-        cents += int((pdf["value"] * 100).round().astype("int64").sum())
+        cents += int(_cents(pdf["value"]).sum())
     state.update((n, cents))
     state.setTimeoutDuration(IDLE_TIMEOUT_MS)  # re-arm the timer
     return
@@ -540,7 +541,7 @@ def _event_session_fn(
     out: list[tuple[int, int, int, int]] = []
     batch = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
     ms = (batch["ts"].astype("int64") // 1_000_000).tolist()
-    csum = (batch["value"] * 100).round().astype("int64").tolist()
+    csum = _cents(batch["value"]).tolist()
     for t, c in zip(ms, csum):
         if last is not None and t - last > gap:
             out.append((key[0], n, cents, last + gap))  # in-data gap close
@@ -615,7 +616,7 @@ def _delta_evictor_fn(
     win, buf = (state.get[0], list(state.get[1] or [])) if state.exists else (0, [])
     out: list[tuple[int, int, int, float]] = []
     batch = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
-    for cents in (batch["value"] * 100).round().astype("int64"):
+    for cents in _cents(batch["value"]):
         buf.append(int(cents))
         if len(buf) == COUNT_WINDOW_N:
             last = buf[-1]
@@ -726,7 +727,7 @@ def _continuous_trigger_fn(
     if not state.hasTimedOut:
         batch = pd.concat(list(pdfs))
         ms_list = (batch["ts"].astype("int64") // 1_000_000).tolist()
-        cents_list = (batch["value"] * 100).round().astype("int64").tolist()
+        cents_list = _cents(batch["value"]).tolist()
         pane_map = {(p[0], p[1]): [p[2], p[3]] for p in panes}
         win_map = {w[0]: [w[1], w[2]] for w in wins}
         for t, c in zip(ms_list, cents_list):
@@ -962,7 +963,10 @@ def _asof_fn(
     ):
         if side == 0:
             if q_ms is None or (int(ms), int(eid)) > (q_ms, q_id):
-                q_ms, q_id, q_val = int(ms), int(eid), float(val)
+                # NULL-valued quotes still become the latest quote
+                # (matching ASOF semantics) — carry None, don't crash
+                q_ms, q_id = int(ms), int(eid)
+                q_val = None if pd.isna(val) else float(val)
         else:
             out["click_id"].append(int(eid))
             out["user_id"].append(int(key[0]))
