@@ -1,0 +1,122 @@
+"""Property-based tests (hypothesis) for the invariants that have an
+independent oracle implementation: randomized inputs probe the corners
+the fixed corpora never reach. No SparkSession needed — these exercise
+the pure-Python kernels and the DuckDB oracle SQL directly, so they run
+in seconds and can afford many examples.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+from hypothesis import given, settings, strategies as st
+
+# --------------------------------------------------- cents rounding --
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.one_of(
+        st.decimals(
+            min_value="-1000", max_value="1000", places=3, allow_nan=False
+        ).map(float),
+        # exact half-cent grid — the divergence zone for banker's rounding
+        st.integers(min_value=-200_000, max_value=200_000).map(lambda k: k / 200),
+    )
+)
+def test_cents_matches_duckdb_round(v):
+    from trisk_spark.numeric import cents
+
+    got = int(cents(pd.Series([v])).iloc[0])
+    want = duckdb.sql(f"SELECT CAST(ROUND(CAST({v!r} AS DOUBLE) * 100) AS BIGINT)").fetchone()[0]
+    assert got == want, (v, got, want)
+
+
+# ---------------------------------------------- order-book matching --
+
+_order = st.tuples(
+    st.integers(0, 49),                 # order_no/seq source (made unique below)
+    st.sampled_from(["S0", "S1"]),      # sec_code
+    st.sampled_from(["B", "S"]),        # direction
+    st.integers(95, 105),               # price_cents (narrow → many crosses)
+    st.integers(1, 5).map(lambda v: v * 100),   # volume
+    st.sampled_from(["A", "A", "A", "D"]),      # occasional cancel
+)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(_order, min_size=1, max_size=40))
+def test_match_orders_equals_list_scan_oracle(raw):
+    """Engine heap fold vs the structurally different list-scan oracle
+    (tests/test_stateful._oracle_match) on random order streams —
+    partial fills, cancels, price ties, and multi-key interleaving."""
+    from trisk_spark.operators.stateful import match_orders
+
+    from .test_stateful import _oracle_match
+
+    rows = [
+        {
+            "order_no": i,
+            "sec_code": sec,
+            "trade_dir": d,
+            "price_cents": p,
+            "order_vol": v,
+            "tran_maint_code": code,
+            "seq": i,
+        }
+        for i, (_, sec, d, p, v, code) in enumerate(raw)
+    ]
+    # engine folds per key in seq order (the shuffle guarantees this)
+    engine = []
+    for sec in sorted({r["sec_code"] for r in rows}):
+        engine.extend(
+            (t["sec_code"], t["buy_no"], t["sell_no"], t["trade_price"],
+             t["trade_vol"], t["match_seq"])
+            for t in match_orders([r for r in rows if r["sec_code"] == sec])
+        )
+    oracle = _oracle_match(
+        [
+            (r["order_no"], r["sec_code"], r["trade_dir"], r["price_cents"],
+             r["order_vol"], r["tran_maint_code"], r["seq"])
+            for r in rows
+        ]
+    )
+    assert sorted(engine) == oracle
+
+
+# ------------------------------------------- winnowing guarantee ----
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.integers(0, 40),     # offset of the shared run in doc A
+    st.integers(0, 40),     # offset in doc B
+    st.integers(0, 2**31),  # filler seed
+)
+def test_winnowing_guarantee_randomized(off_a, off_b, seed):
+    """Any two docs sharing a verbatim run >= SUBSTR_K+SUBSTR_W-1 chars
+    MUST pair regardless of alignment/filler — checked through the
+    DuckDB oracle SQL, which tests/test_plans proved equal to the Spark
+    plan. Fillers are distinct alphabets so no accidental shared gram
+    can mask a missed guarantee pair."""
+    import random
+
+    from trisk_spark.functions.dedup import SUBSTR_DEDUP_SQL, SUBSTR_K, SUBSTR_W
+
+    rng = random.Random(seed)
+    shared = "".join(rng.choice("abcdefgh") for _ in range(SUBSTR_K + SUBSTR_W - 1))
+    filler_a = "".join(rng.choice("ijklmnop") for _ in range(100))
+    filler_b = "".join(rng.choice("qrstuvwx") for _ in range(100))
+    text_a = filler_a[:off_a] + shared + filler_a[off_a:]
+    text_b = filler_b[:off_b] + shared + filler_b[off_b:]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        "(1, ?), (2, ?)) AS t(doc_id, text)",
+        [text_a, text_b],
+    )
+    pairs = con.execute(SUBSTR_DEDUP_SQL).fetchall()
+    assert any(p[0] == 1 and p[1] == 2 for p in pairs), (
+        f"guaranteed {SUBSTR_K + SUBSTR_W - 1}-char run missed at "
+        f"offsets ({off_a}, {off_b})"
+    )
