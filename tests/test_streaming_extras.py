@@ -973,3 +973,46 @@ def test_asof_stream_equals_batch(spark):
     }
     assert got == want
     assert any(r[2] is None for r in want), "fixture has no NULL-quote clicks"
+
+
+def test_socket_text_stream_receives_lines(spark):
+    """socketTextStream end-to-end against an in-process localhost
+    server — the §2A socket-source row, previously assumed untestable
+    in this environment. Spark's socket source is built in (no external
+    connector), so a threaded sender exercises the real read path."""
+    import socket
+    import threading
+    import time
+
+    from trisk_spark.streaming.sources import socket_text_stream
+
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    port = srv.getsockname()[1]
+    srv.listen(1)
+    sent = [f"line-{i}" for i in range(20)]
+
+    def serve():
+        conn, _ = srv.accept()
+        for s in sent:
+            conn.sendall((s + "\n").encode())
+        time.sleep(10)  # keep the pipe open until the query drains it
+        conn.close()
+
+    threading.Thread(target=serve, daemon=True).start()
+    got: list[str] = []
+    q = (
+        socket_text_stream(spark, "127.0.0.1", port)
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda bdf, bid: got.extend(r.value for r in bdf.collect()))
+        .start()
+    )
+    try:
+        deadline = time.time() + 45
+        while time.time() < deadline and len(got) < len(sent):
+            time.sleep(0.5)
+    finally:
+        q.stop()
+        srv.close()
+    assert sorted(got) == sorted(sent)
