@@ -114,8 +114,9 @@ def test_asof_stream_null_value_quote(spark, tmp_path):
 
 
 def test_media_byte_features_empty_document(spark, tmp_path):
-    # DuckDB string_split('','') yields [''] with ascii 0 — without the
-    # length guard the oracle counts a phantom bin0 byte for empty text
+    # empty text must histogram to all zeros on both engines (the first
+    # oracle counted a phantom bin0 byte via string_split('','')→[''];
+    # the hex-slice oracle's range(1,1) yields no rows by construction)
     docs = {
         "doc_id": [1, 2],
         "text": ["", "abc"],
@@ -150,3 +151,48 @@ def test_cosine_lsh_degenerate_conf_reaches_production_path(spark):
         )
     finally:
         spark.conf.set(key, "false")
+
+
+def test_media_byte_features_non_ascii_bytes(spark, tmp_path):
+    # the byte histogram is over UTF-8 BYTES; a per-char ascii() oracle
+    # would count codepoints instead. 'héllo…' has 2- and 3-byte chars.
+    texts = ["héllo…", "", "plain ascii"]
+    docs = {
+        "doc_id": [1, 2, 3],
+        "text": texts,
+        "lang": ["xx"] * 3,
+        "source": ["fixture"] * 3,
+        "n_chars": [len(t) for t in texts],
+    }
+    pq.write_table(pa.table(docs), tmp_path / "documents.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    qd = QUERIES["media_byte_features"]
+    rows = {r.doc_id: r for r in qd.fn(spark, str(tmp_path)).collect()}
+    assert rows[1].n_bytes == len(texts[0].encode())  # 9 bytes, 7 chars
+    assert rows[1].bin7 > 0, "multibyte continuation bytes not counted"
+    assert_matches_oracle(qd.fn(spark, str(tmp_path)), con, qd.oracle)
+
+
+def test_media_frame_oracle_ascii_boundary(spark):
+    """MEDIA_FRAME_SAMPLE_SQL's oracle slices text as VARCHAR, which is
+    byte-exact ONLY for pure-ASCII corpora (DuckDB v1.0.0 has no
+    md5(BLOB), so a byte-exact frame-hash oracle is inexpressible). If
+    this guard ever fails, the driver corpus grew non-ASCII text: move
+    media_frame_sample to a rows-only oracle or redefine frame_md5 as
+    md5-of-hex on both engines before trusting its parity row."""
+    from trisk_spark.catalog import table as _table
+
+    from pyspark.sql import functions as F
+
+    non_ascii = (
+        _table(spark, SF_DIR := "/root/testdata/sf0.01", "documents")
+        .where(F.octet_length("text") != F.length("text"))
+        .count()
+    )
+    assert non_ascii == 0, (
+        "documents corpus is no longer pure ASCII — media_frame_sample's "
+        "char-sliced oracle is now unsound; see this test's docstring"
+    )

@@ -188,13 +188,23 @@ def byte_features_py(text: str) -> list[int]:
 
 
 BYTE_FEATURES_SQL = (
-    # length(text) > 0 guard: DuckDB string_split('', '') yields ['']
-    # and ascii('') is 0, which would count a phantom bin0 byte for an
-    # empty document; the LEFT JOIN already zero-fills empty docs.
+    # BYTE-exact under any encoding: slice the blob's hex string two
+    # chars per byte (DuckDB v1.0.0 has no BLOB substring, but hex()
+    # round-trips every byte). A per-char ascii() oracle would return
+    # CODEPOINTS and diverge from the engine's UTF-8 byte histogram the
+    # moment the driver corpus grows a non-ASCII character — the same
+    # environment-drift class as the round-4 TIMESTAMP_NTZ break.
+    # Empty docs: range(1, 1) yields no rows; the LEFT JOIN zero-fills.
     """
-WITH b AS (
-  SELECT doc_id, ascii(unnest(string_split(text, ''))) >> 5 AS bin
-  FROM documents WHERE length(text) > 0
+WITH h AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+    unnest(range(1, octet_length(encode(text)) + 1)) AS i
+  FROM documents
+),
+b AS (
+  SELECT doc_id,
+    CAST(CONCAT('0x', substr(hx, CAST(i * 2 - 1 AS INT), 2)) AS INT) >> 5 AS bin
+  FROM h
 )
 SELECT d.doc_id,
   CAST(octet_length(encode(d.text)) AS BIGINT) AS n_bytes,
