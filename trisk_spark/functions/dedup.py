@@ -43,12 +43,17 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# NULL/empty alignment: DuckDB array_to_string([]) is NULL while Spark
+# concat_ws([]) is '' — coalesce the empty bag to '' so word-less docs
+# hash like Spark; NULL text stays NULL on both engines (outer CASE).
 DEDUP_BAG_SQL = """
 SELECT bag_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
 FROM (
   SELECT doc_id,
-    md5(array_to_string(list_sort(list_distinct(
-      list_filter(string_split(lower(text), ' '), w -> w <> ''))), ' ')) AS bag_hash
+    CASE WHEN text IS NOT NULL THEN
+      md5(coalesce(array_to_string(list_sort(list_distinct(
+        list_filter(string_split(lower(text), ' '), w -> w <> ''))), ' '), ''))
+    END AS bag_hash
   FROM documents
 )
 GROUP BY bag_hash
@@ -62,13 +67,12 @@ def dedup_bag(spark: SparkSession, sf_dir: str) -> DataFrame:
     Catches shuffled near-copies exact md5 misses."""
     docs = table(spark, sf_dir, "documents")
     ws = F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
+    bag = F.when(
+        F.col("text").isNotNull(),
+        F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(ws)))),
+    )
     return (
-        docs.select(
-            "doc_id",
-            F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(ws)))).alias(
-                "bag_hash"
-            ),
-        )
+        docs.select("doc_id", bag.alias("bag_hash"))
         .groupBy("bag_hash")
         .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
         .where(F.col("n_copies") > 1)
@@ -148,12 +152,14 @@ def shingles(docs: DataFrame, distinct: bool = True) -> DataFrame:
             acc = (acc * SHINGLE_C + F.element_at(wcol, i + k)) % MERSENNE
         return acc
 
-    sh = F.transform(
-        F.sequence(
-            F.lit(1), F.greatest(F.size(wcol) - (SHINGLE_K - 1), F.lit(0))
-        ),
-        poly,
-    )
+    # when() guard, NOT greatest(…, 0): Spark's sequence(1, 0) is
+    # DESCENDING [1, 0], so a doc with < SHINGLE_K words (or NULL text,
+    # where size() is -1) would emit phantom NULL shingles that the
+    # oracle's range(1, 1) = [] never produces.
+    sh = F.when(
+        F.size(wcol) >= SHINGLE_K,
+        F.transform(F.sequence(F.lit(1), F.size(wcol) - (SHINGLE_K - 1)), poly),
+    ).otherwise(F.array().cast("array<bigint>"))
     out = base.select("doc_id", F.explode(sh).alias("shingle"))
     return out.distinct() if distinct else out
 

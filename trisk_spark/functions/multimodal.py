@@ -55,6 +55,9 @@ def media(spark: SparkSession, sf_dir: str) -> DataFrame:
     media_type cycles image/audio/video by doc_id; width/height are
     deterministic metadata (the fake "container header")."""
     docs = table(spark, sf_dir, "documents")
+    # NULL text ≠ a media asset: drop it here (both engines) so the
+    # byte kernels never see a NULL blob
+    docs = docs.where(F.col("text").isNotNull())
     return docs.select(
         "doc_id",
         F.encode("text", "UTF-8").alias("blob"),
@@ -72,7 +75,7 @@ SELECT doc_id, encode(text) AS blob,
   (['image', 'audio', 'video'])[CAST(doc_id % 3 AS INT) + 1] AS media_type,
   CAST(32 + (doc_id % 8) * 16 AS INT) AS width,
   CAST(32 + (doc_id % 5) * 16 AS INT) AS height
-FROM documents
+FROM documents WHERE text IS NOT NULL
 """
 
 # ------------------------------------------------- metadata rollup ---
@@ -199,7 +202,7 @@ BYTE_FEATURES_SQL = (
 WITH h AS (
   SELECT doc_id, hex(encode(text)) AS hx,
     unnest(range(1, octet_length(encode(text)) + 1)) AS i
-  FROM documents
+  FROM documents WHERE text IS NOT NULL
 ),
 b AS (
   SELECT doc_id,
@@ -214,7 +217,8 @@ SELECT d.doc_id,
         for i in range(N_HIST_BINS)
     )
     + """
-FROM documents d LEFT JOIN b USING (doc_id)
+FROM (SELECT * FROM documents WHERE text IS NOT NULL) d
+LEFT JOIN b USING (doc_id)
 GROUP BY d.doc_id, d.text
 """
 )

@@ -55,8 +55,10 @@ FROM (
   SELECT
     doc_id,
     CAST(len(ws) AS BIGINT) AS n_tokens,
-    CAST(length(text) - len(ws) + 1 AS DOUBLE) / len(ws) AS avg_word_len,
-    CAST(len(list_filter(ws, w -> w IN {_SW_SQL})) AS DOUBLE) / len(ws) AS stopword_ratio
+    CASE WHEN len(ws) > 0 THEN
+      CAST(length(text) - len(ws) + 1 AS DOUBLE) / len(ws) END AS avg_word_len,
+    CASE WHEN len(ws) > 0 THEN
+      CAST(len(list_filter(ws, w -> w IN {_SW_SQL})) AS DOUBLE) / len(ws) END AS stopword_ratio
   FROM (SELECT doc_id, text, list_filter(string_split(text, ' '), w -> w <> '') AS ws
         FROM documents)
 )
@@ -69,15 +71,20 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     stopword ratio, combined score in [0,1] (map-only, no shuffle)."""
     docs = table(spark, sf_dir, "documents")
     ws = F.filter(F.split("text", " "), lambda w: w != "")
+    # word-less docs (empty/whitespace/NULL text): metrics are NULL —
+    # guarded on both engines (under ANSI mode a bare /0 would throw)
+    has_words = F.size(ws) > 0
     d = docs.select(
         "doc_id",
         F.size(ws).cast("bigint").alias("n_tokens"),
-        (
-            (F.length("text") - F.size(ws) + 1).cast("double") / F.size(ws)
+        F.when(
+            has_words,
+            (F.length("text") - F.size(ws) + 1).cast("double") / F.size(ws),
         ).alias("avg_word_len"),
-        (
+        F.when(
+            has_words,
             F.size(F.filter(ws, lambda w: w.isin(*_STOPWORDS))).cast("double")
-            / F.size(ws)
+            / F.size(ws),
         ).alias("stopword_ratio"),
     )
     score = (
@@ -157,12 +164,16 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ----------------------------------------------------- fingerprinting --
 
+# DuckDB array_to_string([]) is NULL, Spark concat_ws([]) is '' —
+# coalesce so word-less docs agree; NULL text → NULL bag on both.
 DOC_FINGERPRINT_SQL = """
 SELECT
   doc_id,
   md5(lower(text)) AS content_md5,
-  md5(array_to_string(list_sort(list_distinct(
-        list_filter(string_split(lower(text), ' '), w -> w <> ''))), ' ')) AS bag_md5
+  CASE WHEN text IS NOT NULL THEN
+    md5(coalesce(array_to_string(list_sort(list_distinct(
+          list_filter(string_split(lower(text), ' '), w -> w <> ''))), ' '), ''))
+  END AS bag_md5
 FROM documents
 """
 
@@ -174,10 +185,16 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     key). Map-only, JVM-side."""
     docs = table(spark, sf_dir, "documents")
     ws = F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
+    # NULL text → NULL bag (concat_ws would silently fold NULL to ''
+    # and hash it, while the oracle's array_to_string(NULL) stays NULL)
+    bag = F.when(
+        F.col("text").isNotNull(),
+        F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(ws)))),
+    )
     return docs.select(
         "doc_id",
         F.md5(F.lower("text")).alias("content_md5"),
-        F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(ws)))).alias("bag_md5"),
+        bag.alias("bag_md5"),
     )
 
 
