@@ -77,12 +77,15 @@ def interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Deterministic argmin/argmax: lexicographic (value, event_id) order on
 # both engines (max_by/arg_max are tie-nondeterministic — SURVEY §5 rule).
+# NULL-valued events are excluded from argmin/argmax entirely (standard
+# aggregate null semantics; Spark's struct ordering would otherwise
+# sort them FIRST while DuckDB sorts them LAST).
 MINBY_MAXBY_SQL = """
 WITH ranked AS (
   SELECT event_type, event_id, value,
     ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value ASC,  event_id ASC) AS rn_min,
     ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value DESC, event_id ASC) AS rn_max
-  FROM events
+  FROM events WHERE value IS NOT NULL
 )
 SELECT event_type,
   MIN(CASE WHEN rn_min = 1 THEN event_id END) AS min_event_id,
@@ -101,7 +104,7 @@ def minby_maxby(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: single shuffle on event_type; struct MIN/MAX gives the argmin
     with a deterministic (value, id) tie-break and full map-side partial
     aggregation — no window sort, no second shuffle."""
-    ev = table(spark, sf_dir, "events")
+    ev = table(spark, sf_dir, "events").where(F.col("value").isNotNull())
     vmin = F.min(F.struct(F.col("value"), F.col("event_id"))).alias("lo")
     vmax = F.max(
         F.struct(F.col("value"), (-F.col("event_id")).alias("neg_id"))
@@ -180,7 +183,7 @@ COUNT_WINDOW_SQL = f"""
 WITH seq AS (
   SELECT user_id, value,
     ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS seq
-  FROM events
+  FROM events WHERE ts IS NOT NULL
 ),
 w AS (SELECT user_id, seq // {COUNT_WINDOW_N} AS win, value FROM seq)
 SELECT user_id, CAST(win AS BIGINT) AS win, COUNT(*) AS n,
@@ -202,7 +205,7 @@ def count_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same partitioning — Spark plans both stages in one exchange."""
     from pyspark.sql import Window
 
-    ev = table(spark, sf_dir, "events")
+    ev = table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return (
         ev.select(
@@ -229,7 +232,7 @@ SLIDING_COUNT_WINDOW_SQL = f"""
 SELECT user_id, event_id,
   CAST(ROUND(CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS DOUBLE)
        / COUNT(*) OVER w / 100, 4) AS DOUBLE) AS avg_last_{EVICT_N}
-FROM events
+FROM events WHERE ts IS NOT NULL
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN {EVICT_N - 1} PRECEDING AND CURRENT ROW)
 """
@@ -248,7 +251,7 @@ def sliding_count_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join, no second exchange."""
     from pyspark.sql import Window
 
-    ev = table(spark, sf_dir, "events")
+    ev = table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
@@ -270,7 +273,7 @@ TIME_EVICTOR_SQL = """
 SELECT user_id, event_id, COUNT(*) OVER w AS n_last_hour,
   CAST(ROUND(CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS DOUBLE)
        / 100, 2) AS DOUBLE) AS sum_last_hour
-FROM events
+FROM events WHERE ts IS NOT NULL
 WINDOW w AS (PARTITION BY user_id ORDER BY ts
              RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
 """
@@ -289,7 +292,7 @@ def time_evictor_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     range frame is a single pass — no self-join on the time bound."""
     from pyspark.sql import Window
 
-    ev = table(spark, sf_dir, "events")
+    ev = table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     w = (
         Window.partitionBy("user_id")
         .orderBy(F.unix_timestamp("ts"))
@@ -344,7 +347,7 @@ WITH RECURSIVE seq AS (
   SELECT user_id, event_id,
     ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
     CAST(ROUND(value * 100) AS BIGINT) AS cents
-  FROM events
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL AND user_id IS NOT NULL
 ),
 walk AS (
   SELECT user_id, rn, event_id, cents AS anchor, TRUE AS fired
@@ -373,7 +376,15 @@ def delta_trigger(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: one shuffle on user_id; per-key Python walk over an Arrow
     batch — at 100 TB keys are independent, so this parallelizes to
     however many cores hold the shuffle output."""
-    ev = table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    ev = (
+        table(spark, sf_dir, "events")
+        .where(
+            F.col("ts").isNotNull()
+            & F.col("value").isNotNull()
+            & F.col("user_id").isNotNull()
+        )
+        .select("user_id", "ts", "event_id", "value")
+    )
     return ev.groupBy("user_id").applyInPandas(_delta_trigger_fn, _DELTA_SCHEMA)
 
 
@@ -386,7 +397,7 @@ WITH seq AS (
   SELECT user_id,
     ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS s,
     CAST(ROUND(value * 100) AS BIGINT) AS cents
-  FROM events
+  FROM events WHERE ts IS NOT NULL
 ),
 w AS (
   SELECT user_id, s // {COUNT_WINDOW_N} AS win, s, cents,
@@ -418,7 +429,7 @@ def delta_evictor_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     (user_id ⊂ every later grouping key) — no second exchange."""
     from pyspark.sql import Window
 
-    ev = table(spark, sf_dir, "events")
+    ev = table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     wseq = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select(
         "user_id",

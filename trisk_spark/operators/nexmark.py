@@ -222,7 +222,7 @@ def nexmark_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------- Q11 --
 
 NEXMARK_Q11_SQL = f"""
-WITH bid AS ({BID_SQL}),
+WITH bid AS (SELECT * FROM ({BID_SQL}) WHERE date_time IS NOT NULL),
 flagged AS (
   SELECT bidder, date_time,
     CASE WHEN lag(date_time) OVER (PARTITION BY bidder ORDER BY date_time)
@@ -256,7 +256,8 @@ def nexmark_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: native session_window — one shuffle on bidder, sessions merged
     in the state-free batch path.
     """
-    b = _bids(spark, sf_dir)
+    # no event time → no session, on both engines
+    b = _bids(spark, sf_dir).where(F.col("date_time").isNotNull())
     return (
         b.groupBy(F.session_window("date_time", "1 hour").alias("w"), "bidder")
         .agg(F.count("*").alias("bid_count"))

@@ -168,6 +168,10 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------- keyed aggregates (§2A) --
 
+# argmin/argmax ignore NULL measurements (the CASE makes the aggregate
+# skip them, matching SQL MIN/MAX null semantics): without it Spark
+# sorts a NULL struct field FIRST and DuckDB LAST, so a NULL-valued
+# event silently flips which event_id wins.
 KEYED_AGG_SQL = """
 SELECT
   user_id,
@@ -175,8 +179,10 @@ SELECT
   CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value,
   CAST(MIN(value) AS DOUBLE) AS min_value,
   CAST(MAX(value) AS DOUBLE) AS max_value,
-  MAX({'v': value, 'e': event_id}).e AS max_value_event,
-  MIN({'v': value, 'e': event_id}).e AS min_value_event
+  MAX(CASE WHEN value IS NOT NULL THEN {'v': value, 'e': event_id} END).e
+    AS max_value_event,
+  MIN(CASE WHEN value IS NOT NULL THEN {'v': value, 'e': event_id} END).e
+    AS min_value_event
 FROM events
 GROUP BY user_id
 """
@@ -190,7 +196,11 @@ def keyed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministically by event_id (bare max_by is tie-nondeterministic).
     Plan: partial agg map-side, single shuffle on user_id."""
     ev = table(spark, sf_dir, "events")
-    ve = F.struct(F.col("value").alias("v"), F.col("event_id").alias("e"))
+    # NULL-valued events never win argmin/argmax (see KEYED_AGG_SQL)
+    ve = F.when(
+        F.col("value").isNotNull(),
+        F.struct(F.col("value").alias("v"), F.col("event_id").alias("e")),
+    )
     return ev.groupBy("user_id").agg(
         F.count("*").alias("n_events"),
         dsum(F.col("value")).alias("sum_value"),
@@ -206,9 +216,9 @@ SELECT
   user_id,
   event_id,
   CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4)))
-        OVER (PARTITION BY user_id ORDER BY ts
+        OVER (PARTITION BY user_id ORDER BY ts, event_id
               ROWS UNBOUNDED PRECEDING), 2) AS DOUBLE) AS running_total
-FROM events
+FROM events WHERE ts IS NOT NULL
 """
 
 
@@ -218,10 +228,10 @@ def keyed_running_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-key running reduce is the prefix aggregate in event-time order —
     every intermediate emission the streaming operator would produce.
     Plan: one shuffle + per-partition sort on (user_id, ts)."""
-    ev = table(spark, sf_dir, "events")
+    ev = table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts")
+        .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return ev.select(
@@ -286,13 +296,16 @@ def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -------------------------------------------------- event-time windows --
 
+# ts IS NOT NULL on both engines: an event without event time has no
+# window (Spark's window() drops it; an unfiltered oracle would emit a
+# phantom NULL-window group).
 TUMBLING_REVENUE_SQL = """
 SELECT
   CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
   event_type,
   COUNT(*) AS n,
   CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value
-FROM events
+FROM events WHERE ts IS NOT NULL
 GROUP BY CAST(date_trunc('day', ts) AS TIMESTAMP), event_type
 """
 
@@ -302,7 +315,7 @@ def tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling event-time window aggregate
     (TumblingEventTimeWindows.java:46, used Query8.java:114): daily
     count+sum per event_type. Plan: one shuffle, partial agg map-side."""
-    ev = table(spark, sf_dir, "events")
+    ev = table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     return (
         ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
         .agg(F.count("*").alias("n"), dsum(F.col("value")).alias("total_value"))
@@ -644,7 +657,7 @@ ALL_WINDOW_AGG_SQL = """
 SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
   COUNT(*) AS n,
   CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value
-FROM events
+FROM events WHERE ts IS NOT NULL
 GROUP BY CAST(date_trunc('hour', ts) AS TIMESTAMP)
 """
 
@@ -657,7 +670,7 @@ def all_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     stays fully parallel and only the per-window partials shuffle —
     strictly better than the reference's single-task bottleneck at
     100 TB."""
-    ev = table(spark, sf_dir, "events")
+    ev = table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     return (
         ev.groupBy(F.window("ts", "1 hour").alias("w"))
         .agg(F.count("*").alias("n"), dsum(F.col("value")).alias("total_value"))
