@@ -281,6 +281,16 @@ def hostile_events(tmp_path_factory):
         (103, _T0, 3, "purchase", None, "{}"),
         (104, _T0, 4, "view", 7.0, None),
         (105, _T0 + datetime.timedelta(minutes=2), 2, "view", 0.125, "{}"),
+        # round-6 asof/emit-once NULL-key shapes: a NULL-ts purchase must
+        # not become a matchable "earliest" quote (Spark sorts NULL ts
+        # FIRST in a running-last window), a NULL-ts click must not probe,
+        # and NULL-user purchase/signup/auction rows must not co-group
+        # with NULL-user clicks (SQL's joins never match NULL keys)
+        (106, None, 1, "purchase", 9.0, "{}"),
+        (107, None, 1, "click", 1.0, "{}"),
+        (108, _T0 + datetime.timedelta(minutes=1), None, "purchase", 9.0, "{}"),
+        (109, _T0, None, "signup", 0.0, "{}"),
+        (114, _T0 + datetime.timedelta(minutes=1), None, "view", 1.0, "{}"),
     ]
     tab = pa.table(
         {

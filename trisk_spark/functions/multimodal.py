@@ -227,8 +227,10 @@ GROUP BY d.doc_id, d.text
 @register("media_byte_features", oracle=BYTE_FEATURES_SQL)
 def media_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched feature extraction (8-bin byte histogram) over all
-    media blobs. The corpus is ASCII, so the oracle histograms the text
-    per character (ascii(char) >> 5) — byte-identical to the blob path;
+    media blobs. The oracle is byte-exact under ANY text encoding: it
+    hexes encode(text) and slices two hex chars per byte, so it
+    histograms UTF-8 BYTES (not codepoints) — identical to the engine's
+    blob path even if the corpus grows non-ASCII characters;
     tests/test_multimodal.py additionally holds the pure-Python fold
     oracle. Zero-shuffle map work."""
     m = media(spark, sf_dir).select("doc_id", "blob")

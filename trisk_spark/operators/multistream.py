@@ -145,9 +145,11 @@ def _cogroup_fn(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
 
 COGROUP_SQL = """
 WITH c AS (SELECT user_id, COUNT(*) AS n_clicks FROM events
-           WHERE event_type = 'click' GROUP BY user_id),
+           WHERE event_type = 'click' AND user_id IS NOT NULL
+           GROUP BY user_id),
 p AS (SELECT user_id, COUNT(*) AS n_purchases FROM events
-      WHERE event_type = 'purchase' GROUP BY user_id)
+      WHERE event_type = 'purchase' AND user_id IS NOT NULL
+      GROUP BY user_id)
 SELECT COALESCE(c.user_id, p.user_id) AS user_id,
   COALESCE(n_clicks, 0) AS n_clicks,
   COALESCE(n_purchases, 0) AS n_purchases
@@ -165,7 +167,10 @@ def cogroup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     cheap per-key fn should be the DataFrame full-outer join (the oracle
     SQL *is* the fast plan) — cogroup is the escape hatch for arbitrary
     per-key two-input logic, kept here to pin the API's semantics."""
-    ev = table(spark, sf_dir, "events")
+    # NULL hardening (matches the oracle CTEs): cogroup co-groups NULL
+    # keys into ONE Arrow batch, but SQL's FULL OUTER JOIN keeps the two
+    # NULL-key sides as separate never-matching rows.
+    ev = table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
     clicks = ev.where(F.col("event_type") == "click").select("user_id", "event_id")
     purch = ev.where(F.col("event_type") == "purchase").select("user_id", "event_id")
     return (
@@ -589,12 +594,15 @@ WITH q AS (
   SELECT user_id, ts, event_id AS quote_id, value AS quote_value
   FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, ts
                                      ORDER BY event_id DESC) AS rn
-        FROM events WHERE event_type = 'purchase')
+        FROM events
+        WHERE event_type = 'purchase'
+          AND ts IS NOT NULL AND user_id IS NOT NULL)
   WHERE rn = 1
 ),
 p AS (
   SELECT event_id AS click_id, user_id, ts FROM events
   WHERE event_type = 'click'
+    AND ts IS NOT NULL AND user_id IS NOT NULL
 )
 SELECT p.click_id, p.user_id, q.quote_id, q.quote_value
 FROM p ASOF LEFT JOIN q
@@ -624,7 +632,13 @@ def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    ev = table(spark, sf_dir, "events")
+    ev = table(spark, sf_dir, "events").where(
+        # NULL hardening (matches the oracle CTEs): a NULL ts would sort
+        # FIRST in the running-last window and become a matchable
+        # "earliest" quote, and Spark's window partitionBy groups NULL
+        # user_ids together — both diverge from SQL's NULL-never-matches.
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
     quotes = ev.where(F.col("event_type") == "purchase").select(
         "user_id",
         "ts",

@@ -216,12 +216,15 @@ def _emit_once_group(pdf: pd.DataFrame) -> pd.DataFrame:
 EMIT_ONCE_SQL = """
 WITH p AS (
   SELECT user_id AS key, MIN(event_id) AS pseq
-  FROM events WHERE event_type = 'signup' GROUP BY user_id
+  FROM events
+  WHERE event_type = 'signup' AND user_id IS NOT NULL
+  GROUP BY user_id
 ),
 a AS (
   SELECT user_id AS key, event_id AS auction_id, event_id AS seq
   FROM events
   WHERE event_type IN ('view','click') AND event_id % 10 = 4
+    AND user_id IS NOT NULL
 )
 SELECT a.key AS seller, a.auction_id,
        CASE WHEN a.seq > p.pseq THEN a.seq ELSE p.pseq END AS emit_seq
@@ -248,7 +251,10 @@ def q3_emit_once_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps the oracle from self-confirming); the replay-fold pytest
     covers multi-person sequences the corpus derivation can't produce.
     """
-    ev = table(spark, sf_dir, "events")
+    # NULL hardening (matches the oracle CTEs): Spark's groupBy co-groups
+    # NULL keys, so a NULL-user signup + NULL-user auction would emit a
+    # row that SQL's JOIN USING (key) never matches.
+    ev = table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
     # Tagged union: persons = first signup per user (tag P, seq = event_id
     # of that signup); auctions = view/click events in category 4 (tag A).
     persons = (

@@ -984,6 +984,12 @@ def asof_stream(events: DataFrame) -> DataFrame:
     promises the streaming side."""
     tagged = events.where(
         F.col("event_type").isin("purchase", "click")
+        # NULL hardening (mirrors the batch twin): a NULL ts would make
+        # unix_millis NULL and int(ms) raise in the kernel; a NULL
+        # user_id group would make int(key[0]) raise. SQL semantics
+        # drop both anyway (NULL never matches).
+        & F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
     ).select(
         "user_id",
         F.unix_millis(F.col("ts").cast("timestamp")).alias("ms"),
