@@ -319,3 +319,85 @@ def test_events_family_parity_on_hostile_corpus(spark, hostile_events, name):
         sdf.collect()  # kernels must at least not crash on hostile rows
         return
     assert_matches_oracle(sdf, con, qd.oracle)
+
+
+_SIM_FAMILY = [
+    "knn_bruteforce", "cosine_near_dup_exact", "cosine_near_dup_lsh",
+    "ann_lsh_bucketed", "ann_ivf", "knn_label_vote",
+]
+
+_DIM = 64
+
+
+@pytest.fixture(scope="module")
+def hostile_embeddings(tmp_path_factory):
+    """Embeddings with every schema-legal-but-degenerate shape the
+    driver corpus lacks: NULL embedding, zero vector, all-|x|<1e-6
+    vector (floors to a zero SCALED vector — zero norm after scaling
+    even though the raw floats are nonzero), wrong-length vector, empty
+    vector, NULL element, NULL vec_id, NULL label. Each was a latent
+    engine-vs-oracle divergence: DuckDB's list_sum skips NULL-padded
+    products where Spark's aggregate() propagates NULL, and 0/0 cosines
+    rank as NULL rows in top-k windows."""
+    import random
+
+    rng = random.Random(42)
+    ids: list[int | None] = []
+    vecs: list[list[float | None] | None] = []
+    labels: list[int | None] = []
+
+    def add(i, v, lab):
+        ids.append(i)
+        vecs.append(v)
+        labels.append(lab)
+
+    for i in range(44):
+        add(i, [rng.uniform(-0.3, 0.3) for _ in range(_DIM)], i % 5)
+    # planted near-dup pair (cosine ~1) to put rows over NEAR_DUP_COS
+    base = vecs[40]
+    vecs[41] = [x + rng.uniform(-0.005, 0.005) for x in base]
+    add(100, None, 1)                               # NULL embedding
+    add(101, [0.0] * _DIM, 2)                       # zero vector
+    add(102, [1e-9] * _DIM, 3)                      # sub-scale -> zero norm
+    add(103, [0.1] * (_DIM // 2), 4)                # wrong length
+    add(104, [], 0)                                 # empty vector
+    add(105, [0.1] * 10 + [None] + [0.1] * (_DIM - 11), 1)  # NULL element
+    add(None, [0.2] * _DIM, 2)                      # NULL vec_id
+    add(106, [rng.uniform(-0.3, 0.3) for _ in range(_DIM)], None)  # NULL label
+
+    tmp = tmp_path_factory.mktemp("hostile-emb")
+    tab = pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+            "label": pa.array(labels, pa.int32()),
+        }
+    )
+    pq.write_table(tab, tmp / "embeddings.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{tmp}/embeddings.parquet')"
+    )
+    return str(tmp), con
+
+
+@pytest.mark.parametrize("name", _SIM_FAMILY)
+def test_similarity_family_parity_on_hostile_corpus(
+    spark, hostile_embeddings, name
+):
+    sf_dir, con = hostile_embeddings
+    qd = QUERIES[name]
+    assert_matches_oracle(qd.fn(spark, sf_dir), con, qd.oracle)
+
+
+def test_hostile_embeddings_still_produce_results(spark, hostile_embeddings):
+    # the validity gate must drop ONLY the 7 degenerate rows — the 45
+    # valid vectors still rank, pair, and vote
+    sf_dir, _ = hostile_embeddings
+    knn = QUERIES["knn_bruteforce"].fn(spark, sf_dir).collect()
+    assert {r.query_id for r in knn} == set(range(5))
+    assert all(len([r for r in knn if r.query_id == q]) == 10 for q in range(5))
+    pairs = QUERIES["cosine_near_dup_exact"].fn(spark, sf_dir).collect()
+    assert any({r.vec_a, r.vec_b} == {40, 41} for r in pairs), (
+        "planted near-dup pair must survive the validity gate"
+    )

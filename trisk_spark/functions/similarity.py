@@ -25,10 +25,36 @@ from trisk_spark.registry import register
 N_PROBES = 5  # query set: vec_id < N_PROBES
 TOP_K = 10
 SCALE = 1_000_000
+DIM = 64  # embeddings table dimensionality (TESTDATA.md)
 
 # Scaled-integer vector: floor(x * 1e6) per element.
 _SCALED_SQL = "list_transform({col}, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
 _DOT_SQL = "list_sum(list_transform(list_zip({a}, {b}), s -> s[1] * s[2]))"
+
+# Validity gate, identical on both engines: schema-legal-but-degenerate
+# embeddings (NULL vector, wrong dimensionality, NULL element, NULL
+# vec_id) are excluded up front. Without the gate the engines DIVERGE:
+# DuckDB's list_sum skips the NULLs that list_zip pads onto a
+# short vector while Spark's aggregate() propagates them, and NULL
+# cosine rows rank nondeterministically in top-k windows. Zero-SCALED-
+# norm vectors (zero vector, or all |x| < 1e-6 flooring to zeros) are
+# additionally dropped where each op computes norms — 0/0 cosine is
+# NULL on both engines but would otherwise occupy top-k rank slots.
+_VALID_EMB_SQL = f"""(SELECT * FROM embeddings
+  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+    AND len(embedding) = {DIM}
+    AND len(list_filter(embedding, x -> x IS NULL)) = 0)"""
+
+
+def _valid_embeddings(emb: DataFrame) -> DataFrame:
+    """Engine half of the validity gate — mirrors ``_VALID_EMB_SQL``."""
+    e = F.col("embedding")
+    return emb.where(
+        F.col("vec_id").isNotNull()
+        & e.isNotNull()
+        & (F.size(e) == DIM)
+        & ~F.exists(e, lambda x: x.isNull())
+    )
 
 
 def _scaled(col: Column) -> Column:
@@ -51,10 +77,13 @@ def _with_norm(df: DataFrame, id_col: str, prefix: str) -> DataFrame:
 
 KNN_BRUTE_SQL = f"""
 WITH sc AS (
-  SELECT vec_id, {_SCALED_SQL.format(col="embedding")} AS vec FROM embeddings
+  SELECT vec_id, {_SCALED_SQL.format(col="embedding")} AS vec
+  FROM {_VALID_EMB_SQL} embeddings
 ),
 n AS (
-  SELECT vec_id, vec, {_DOT_SQL.format(a="vec", b="vec")} AS norm FROM sc
+  SELECT * FROM (
+    SELECT vec_id, vec, {_DOT_SQL.format(a="vec", b="vec")} AS norm FROM sc
+  ) WHERE norm > 0
 ),
 q AS (SELECT vec_id AS query_id, vec AS qvec, norm AS qnorm FROM n WHERE vec_id < {N_PROBES}),
 pairs AS (
@@ -80,8 +109,8 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-k for a probe set against the whole corpus.
     Plan: probe side broadcast (tiny), corpus scanned once; dot product
     is a codegen'd higher-order function; rank prunes to k per query."""
-    emb = table(spark, sf_dir, "embeddings")
-    n = _with_norm(emb, "vec_id", "n")
+    emb = _valid_embeddings(table(spark, sf_dir, "embeddings"))
+    n = _with_norm(emb, "vec_id", "n").where(F.col("n_norm") > 0)
     q = (
         n.where(F.col("n_id") < N_PROBES)
         .select(
@@ -122,10 +151,13 @@ NEAR_DUP_COS = 0.30  # corpus is near-orthogonal random; 0.30 isolates the tail
 
 COSINE_NEAR_DUP_SQL = f"""
 WITH sc AS (
-  SELECT vec_id, {_SCALED_SQL.format(col="embedding")} AS vec FROM embeddings
+  SELECT vec_id, {_SCALED_SQL.format(col="embedding")} AS vec
+  FROM {_VALID_EMB_SQL} embeddings
 ),
 n AS (
-  SELECT vec_id, vec, {_DOT_SQL.format(a="vec", b="vec")} AS norm FROM sc
+  SELECT * FROM (
+    SELECT vec_id, vec, {_DOT_SQL.format(a="vec", b="vec")} AS norm FROM sc
+  ) WHERE norm > 0
 ),
 pairs AS (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -192,12 +224,15 @@ def cosine_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         StructType,
     )
 
-    emb = table(spark, sf_dir, "embeddings")
+    emb = _valid_embeddings(table(spark, sf_dir, "embeddings"))
+    sc = emb.select(
+        "vec_id", _scaled(F.col("embedding")).alias("vec")
+    ).where(_dot(F.col("vec"), F.col("vec")) > 0)
     blocks = (
-        emb.select(
+        sc.select(
             (F.col("vec_id") / BLOCK_SIZE).cast("bigint").alias("block"),
             "vec_id",
-            _scaled(F.col("embedding")).alias("vec"),
+            "vec",
         )
         .groupBy("block")
         .agg(
@@ -253,10 +288,13 @@ _COS_BAND_SQL = [
 
 COSINE_LSH_NEAR_DUP_SQL = f"""
 WITH sc AS (
-  SELECT vec_id, {_SCALED_SQL.format(col="embedding")} AS vec FROM embeddings
+  SELECT vec_id, {_SCALED_SQL.format(col="embedding")} AS vec
+  FROM {_VALID_EMB_SQL} embeddings
 ),
 n AS (
-  SELECT vec_id, vec, {_DOT_SQL.format(a="vec", b="vec")} AS norm FROM sc
+  SELECT * FROM (
+    SELECT vec_id, vec, {_DOT_SQL.format(a="vec", b="vec")} AS norm FROM sc
+  ) WHERE norm > 0
 ),
 bands AS (
   SELECT vec_id, vec, norm,
@@ -375,7 +413,11 @@ def cosine_lsh_pairs(
         StructType,
     )
 
-    n = emb.select("vec_id", _scaled(F.col("embedding")).alias("vec"))
+    n = (
+        _valid_embeddings(emb)
+        .select("vec_id", _scaled(F.col("embedding")).alias("vec"))
+        .where(_dot(F.col("vec"), F.col("vec")) > 0)
+    )
 
     def band_val(b: int) -> Column:
         out = F.lit(0)
@@ -460,10 +502,13 @@ ANN_LSH_SQL = f"""
 WITH sc AS (
   SELECT vec_id, {_SCALED_SQL.format(col="embedding")} AS vec,
          {_BUCKET_SQL.format(col="embedding")} AS bucket
-  FROM embeddings
+  FROM {_VALID_EMB_SQL} embeddings
 ),
 n AS (
-  SELECT vec_id, vec, bucket, {_DOT_SQL.format(a="vec", b="vec")} AS norm FROM sc
+  SELECT * FROM (
+    SELECT vec_id, vec, bucket, {_DOT_SQL.format(a="vec", b="vec")} AS norm
+    FROM sc
+  ) WHERE norm > 0
 ),
 q AS (SELECT vec_id AS query_id, vec AS qvec, bucket AS qbucket, norm AS qnorm
       FROM n WHERE vec_id < {N_PROBES}),
@@ -492,13 +537,15 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall traded for a 2^bits candidate reduction. Plan: equi-join on
     bucket id instead of a cross join; at scale, bucket becomes a
     partition column → partition-pruned probes."""
-    emb = table(spark, sf_dir, "embeddings")
+    emb = _valid_embeddings(table(spark, sf_dir, "embeddings"))
     sc = emb.select(
         "vec_id",
         _scaled(F.col("embedding")).alias("vec"),
         _bucket(F.col("embedding")).alias("bucket"),
     )
-    n = sc.withColumn("norm", _dot(F.col("vec"), F.col("vec")))
+    n = sc.withColumn("norm", _dot(F.col("vec"), F.col("vec"))).where(
+        F.col("norm") > 0
+    )
     q = n.where(F.col("vec_id") < N_PROBES).select(
         F.col("vec_id").alias("query_id"),
         F.col("vec").alias("qvec"),
@@ -542,10 +589,13 @@ def _ivf_parts_sql() -> str:
     argmax list assignment (struct MAX — no per-vector window)."""
     return f"""
 sc AS (
-  SELECT vec_id, {_SCALED_SQL.format(col="embedding")} AS vec FROM embeddings
+  SELECT vec_id, {_SCALED_SQL.format(col="embedding")} AS vec
+  FROM {_VALID_EMB_SQL} embeddings
 ),
 n AS (
-  SELECT vec_id, vec, {_DOT_SQL.format(a="vec", b="vec")} AS norm FROM sc
+  SELECT * FROM (
+    SELECT vec_id, vec, {_DOT_SQL.format(a="vec", b="vec")} AS norm FROM sc
+  ) WHERE norm > 0
 ),
 cents AS (
   SELECT vec_id AS c_id, vec AS c_vec, norm AS c_norm FROM n
@@ -633,10 +683,12 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    emb = table(spark, sf_dir, "embeddings")
-    n = emb.select(
-        "vec_id", _scaled(F.col("embedding")).alias("vec")
-    ).withColumn("norm", _dot(F.col("vec"), F.col("vec")))
+    emb = _valid_embeddings(table(spark, sf_dir, "embeddings"))
+    n = (
+        emb.select("vec_id", _scaled(F.col("embedding")).alias("vec"))
+        .withColumn("norm", _dot(F.col("vec"), F.col("vec")))
+        .where(F.col("norm") > 0)
+    )
     cents = n.orderBy("vec_id").limit(N_CENTROIDS).select(
         F.col("vec_id").alias("c_id"), F.col("vec").alias("c_vec"),
         F.col("norm").alias("c_norm"),
@@ -707,6 +759,7 @@ WITH ranked AS ({KNN_BRUTE_SQL}),
 votes AS (
   SELECT r.query_id, CAST(e.label AS BIGINT) AS label, COUNT(*) AS n_votes
   FROM ranked r JOIN embeddings e ON r.neighbor_id = e.vec_id
+  WHERE e.label IS NOT NULL
   GROUP BY r.query_id, e.label
 )
 SELECT query_id,
@@ -733,7 +786,10 @@ def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiny side, the join instead prunes the corpus scan."""
     ranked = knn_bruteforce(spark, sf_dir)
     emb = table(spark, sf_dir, "embeddings")
-    labels = emb.select(
+    # unlabeled neighbors don't vote (matches the oracle's IS NOT NULL;
+    # Spark's groupBy would otherwise co-group a NULL-label bloc whose
+    # struct-max comparison against real labels is engine-dependent)
+    labels = emb.where(F.col("label").isNotNull()).select(
         F.col("vec_id").alias("neighbor_id"), F.col("label").cast("bigint")
     )
     votes = (
