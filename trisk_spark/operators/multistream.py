@@ -136,10 +136,14 @@ _COGROUP_SCHEMA = StructType(
 def _cogroup_fn(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
     """Full-outer grouped apply: both sides of one key arrive together
     (empty frame when a side has no rows — the outer-join capability
-    CoGroupedStreams documents)."""
+    CoGroupedStreams documents). Each side is pre-aggregated to at most
+    ONE row per key before the cogroup, so the Arrow batch per group is
+    ≤ 2 rows regardless of key skew."""
     uid = left["user_id"].iloc[0] if len(left) else right["user_id"].iloc[0]
+    n_clicks = int(left["n"].sum()) if len(left) else 0
+    n_purch = int(right["n"].sum()) if len(right) else 0
     return pd.DataFrame(
-        {"user_id": [uid], "n_clicks": [len(left)], "n_purchases": [len(right)]}
+        {"user_id": [uid], "n_clicks": [n_clicks], "n_purchases": [n_purch]}
     )
 
 
@@ -162,17 +166,30 @@ def cogroup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-input grouped apply via Spark's native cogroup — the
     reference's coGroup().where().equalTo().apply(), outer-capable.
 
-    Plan: both sides shuffle once on user_id, co-partitioned; the Arrow
-    batch per key carries both sides. At 100 TB: this exact op with a
-    cheap per-key fn should be the DataFrame full-outer join (the oracle
-    SQL *is* the fast plan) — cogroup is the escape hatch for arbitrary
-    per-key two-input logic, kept here to pin the API's semantics."""
+    Plan: each side is pre-aggregated to one row per key (map-side
+    partial combine in the JVM), THEN cogrouped — both sides shuffle
+    once on user_id, co-partitioned, and the Arrow batch per group is
+    ≤ 2 rows, so a hot key cannot blow a Python worker (the pre-r6
+    variant shipped every raw event of the key into pandas). At 100 TB:
+    this exact op with a cheap per-key fn should be the DataFrame
+    full-outer join (the oracle SQL *is* the fast plan) — cogroup is
+    the escape hatch for arbitrary per-key two-input logic, kept here
+    to pin the API's semantics; pre-reducing each side before the
+    cogroup is the standard bound for reducible per-key logic."""
     # NULL hardening (matches the oracle CTEs): cogroup co-groups NULL
     # keys into ONE Arrow batch, but SQL's FULL OUTER JOIN keeps the two
     # NULL-key sides as separate never-matching rows.
     ev = table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
-    clicks = ev.where(F.col("event_type") == "click").select("user_id", "event_id")
-    purch = ev.where(F.col("event_type") == "purchase").select("user_id", "event_id")
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+    )
+    purch = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+    )
     return (
         clicks.groupBy("user_id")
         .cogroup(purch.groupBy("user_id"))
@@ -326,25 +343,43 @@ _DELTA_SCHEMA = StructType(
 )
 
 
-def _delta_trigger_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+def _delta_trigger_partition(
+    batches: "Iterator[pd.DataFrame]",
+) -> "Iterator[pd.DataFrame]":
     """DeltaTrigger replay (api/windowing/triggers/DeltaTrigger; SURVEY
-    §2A 'Triggers'): walk the key's events in (ts, event_id) order and
+    §2A 'Triggers'): walk each key's events in (ts, event_id) order and
     fire whenever the value deviates from the last *fired* value by more
     than DELTA_THRESHOLD; the first element always fires. Inherently
-    sequential per key → Arrow-batched grouped apply; streaming twin
-    keeps last_fired in value state (streaming/state.delta_trigger_stream)."""
-    pdf = pdf.sort_values(["ts", "event_id"])
+    sequential per key; streaming twin keeps last_fired in value state
+    (streaming/state.delta_trigger_stream).
+
+    Bounded-memory kernel (the stock_matchmaker pattern): the partition
+    arrives sorted by (user_id, ts, event_id) with each key contiguous,
+    so last_fired carries across Arrow batch boundaries and resets on
+    key change. Peak memory is O(one Arrow batch), NOT O(hottest key's
+    full event history)."""
     thresh_cents = int(round(DELTA_THRESHOLD * 100))
-    fired: list[int] = []
+    key = None
     last: int | None = None  # integer cents: exact, stream-state safe
-    for eid, cents in zip(
-        pdf["event_id"], _cents(pdf["value"])
-    ):
-        if last is None or abs(int(cents) - last) > thresh_cents:
-            fired.append(int(eid))
-            last = int(cents)
-    uid = int(pdf["user_id"].iloc[0])
-    return pd.DataFrame({"user_id": [uid] * len(fired), "event_id": fired})
+    for pdf in batches:
+        out_uid: list[int] = []
+        out_eid: list[int] = []
+        for uid, eid, cents in zip(
+            pdf["user_id"], pdf["event_id"], _cents(pdf["value"])
+        ):
+            if uid != key:
+                key = uid
+                last = None
+            if last is None or abs(int(cents) - last) > thresh_cents:
+                out_uid.append(int(uid))
+                out_eid.append(int(eid))
+                last = int(cents)
+        yield pd.DataFrame(
+            {
+                "user_id": pd.Series(out_uid, dtype="int64"),
+                "event_id": pd.Series(out_eid, dtype="int64"),
+            }
+        )
 
 
 DELTA_TRIGGER_SQL = f"""
@@ -378,9 +413,12 @@ def delta_trigger(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified by the pure-Python replay oracle in tests/test_stateful.py
     and the stream≡batch test in tests/test_streaming_extras.py.
 
-    Plan: one shuffle on user_id; per-key Python walk over an Arrow
-    batch — at 100 TB keys are independent, so this parallelizes to
-    however many cores hold the shuffle output."""
+    Plan: one shuffle on user_id (hash repartition), a spillable
+    sortWithinPartitions on (user_id, ts, event_id) — no second
+    exchange — then an Arrow-batched mapInPandas fold that streams
+    batches through a per-key last-fired register. A hot user_id at any
+    skew costs sort spill, not executor OOM (the pre-r6 applyInPandas
+    variant materialized the hottest key's whole history in pandas)."""
     ev = (
         table(spark, sf_dir, "events")
         .where(
@@ -390,7 +428,10 @@ def delta_trigger(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("user_id", "ts", "event_id", "value")
     )
-    return ev.groupBy("user_id").applyInPandas(_delta_trigger_fn, _DELTA_SCHEMA)
+    part = ev.repartition("user_id").sortWithinPartitions(
+        "user_id", "ts", "event_id"
+    )
+    return part.mapInPandas(_delta_trigger_partition, _DELTA_SCHEMA)
 
 
 # ------------------------------------------------------ delta evictor --

@@ -213,6 +213,47 @@ def _emit_once_group(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def _emit_once_partition(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Bounded-memory emit-once kernel (the stock_matchmaker pattern):
+    the partition arrives sorted by (key, seq) with each key contiguous,
+    so (person_seen, buffered-auctions) carries across Arrow batch
+    boundaries and resets on key change. Peak memory is O(one Arrow
+    batch + one key's PRE-PERSON auction buffer) — the buffer is the
+    semantics' inherent state (auctions that must wait for their
+    person), not the key's full history; once the person arrives the
+    key streams with O(1) state. Same fold as ``_emit_once_group``
+    (the pytest replay oracle runs both against each other)."""
+    key = None
+    person_seen = False
+    pseq = 0
+    buffered: list[int] = []
+    for pdf in batches:
+        out: list[tuple[int, int, int]] = []
+        for k, side, aid, seq in zip(
+            pdf["key"], pdf["side"], pdf["auction_id"], pdf["seq"]
+        ):
+            if k != key:
+                key = k
+                person_seen = False
+                buffered = []
+            if side == "P":
+                if not person_seen:
+                    person_seen = True
+                    pseq = int(seq)
+                    out.extend((int(k), a, pseq) for a in buffered)
+                    buffered = []
+            else:
+                if person_seen:
+                    out.append((int(k), int(aid), int(seq)))
+                else:
+                    buffered.append(int(aid))
+        yield pd.DataFrame(
+            out, columns=["seller", "auction_id", "emit_seq"]
+        ).astype("int64")
+
+
 EMIT_ONCE_SQL = """
 WITH p AS (
   SELECT user_id AS key, MIN(event_id) AS pseq
@@ -238,7 +279,8 @@ def q3_emit_once_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Query3.java:99-155) replayed in batch as a tagged-union fold.
 
     Built as: tag person/auction rows, union, shuffle once on the join
-    key, per-key ordered fold in applyInPandas. The SQL-joinable image
+    key, partition-local sort, streaming ordered fold in mapInPandas
+    (bounded memory — see ``_emit_once_partition``). The SQL-joinable image
     of Q3 is `nexmark_q3`; this operator checks the *emit* semantics
     (each auction emitted at most once, at the right point in the
     sequence).
@@ -274,4 +316,9 @@ def q3_emit_once_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     tagged = persons.unionByName(aucts)
-    return tagged.groupBy("key").applyInPandas(_emit_once_group, EMIT_ONCE_SCHEMA)
+    # Bounded-memory fold (stock_matchmaker pattern): one shuffle on
+    # key, spillable partition-local sort on (key, seq), streaming
+    # mapInPandas — a hot seller costs sort spill, not a whole-group
+    # pandas materialization.
+    part = tagged.repartition("key").sortWithinPartitions("key", "seq")
+    return part.mapInPandas(_emit_once_partition, EMIT_ONCE_SCHEMA)

@@ -401,7 +401,7 @@ def _delta_trigger_stream_fn(
 ) -> Iterator[pd.DataFrame]:
     """DeltaTrigger as keyed value state: fire when |value - last fired|
     exceeds the threshold; first element per key always fires. Batch
-    twin: operators/multistream._delta_trigger_fn (same fold)."""
+    twin: operators/multistream._delta_trigger_partition (same fold)."""
     last: int | None = state.get[0] if state.exists else None
     batch = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
     thresh_cents = int(round(DELTA_THRESHOLD * 100))
