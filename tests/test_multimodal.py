@@ -45,21 +45,72 @@ def test_frame_sample_matches_python_fold(spark):
     assert want, "no video frames in fixture — test is vacuous"
 
 
-def test_decode_resize_deterministic_and_shaped(spark):
+def _ref_pgm(arr, comment: str | None = None) -> bytes:
+    """Independent reference P5 encoder (pure Python, no numpy math
+    shared with the decoder under test)."""
+    h = len(arr)
+    w = len(arr[0])
+    hdr = "P5\n"
+    if comment is not None:
+        hdr += f"# {comment}\n"
+    hdr += f"{w} {h}\n255\n"
+    return hdr.encode() + bytes(v for row in arr for v in row)
+
+
+def test_pgm_decoder_pixel_exact():
+    import numpy as np
+
+    arr = [[(3 * x + 7 * y) % 256 for x in range(9)] for y in range(5)]
+    for comment in (None, "created by a real tool"):
+        img = mm.decode_pgm(_ref_pgm(arr, comment))
+        assert img is not None and img.shape == (5, 9)
+        assert np.array_equal(img, np.array(arr, dtype=np.uint8))
+    # trailing junk after the payload is tolerated (spec: readers take
+    # exactly w*h bytes)
+    assert np.array_equal(
+        mm.decode_pgm(_ref_pgm(arr) + b"junk"), np.array(arr, dtype=np.uint8)
+    )
+
+
+def test_pgm_decoder_rejects_invalid():
+    arr = [[1, 2], [3, 4]]
+    good = _ref_pgm(arr)
+    assert mm.decode_pgm(b"P6" + good[2:]) is None          # wrong magic
+    assert mm.decode_pgm(good[:-1]) is None                 # short payload
+    assert mm.decode_pgm(b"P5\n2 2\n65535\n" + good[-4:]) is None  # 16-bit
+    assert mm.decode_pgm(b"not an image at all") is None
+    # non-PGM bytes take the documented canvas fallback, not a crash
+    img = mm._decode_image(b"not an image at all", 0, 0)
+    assert img.shape == (mm.FAKE_H, mm.FAKE_W)
+
+
+def test_decode_resize_deterministic_and_pixel_exact(spark):
     df = mm.media_decode_resize(spark, SF)
     rows1 = {r.doc_id: bytes(r.pixels) for r in df.collect()}
     rows2 = {r.doc_id: bytes(r.pixels) for r in df.collect()}
     assert rows1 == rows2, "resize kernel not deterministic"
     assert rows1, "no image rows"
     assert all(len(p) == mm.OUT_W * mm.OUT_H for p in rows1.values())
-    # replay one doc through the kernel's math
-    import numpy as np
-
-    doc_id, text = next((d, t) for d, t in _docs() if d % 3 == 0)
-    img = mm._decode_image(text.encode(), 0, 0)
-    ys = (np.arange(mm.OUT_H) * img.shape[0]) // mm.OUT_H
-    xs = (np.arange(mm.OUT_W) * img.shape[1]) // mm.OUT_W
-    assert rows1[doc_id] == img[np.ix_(ys, xs)].astype(np.uint8).tobytes()
+    # full pure-Python replay: rebuild every image doc's PGM container
+    # from the raw text, decode with the INDEPENDENT reference layout,
+    # resize with plain integer math — must be pixel-exact for ALL rows
+    want = {}
+    for doc_id, text in _docs():
+        if doc_id % 3 != 0:  # image = doc_id % 3 == 0
+            continue
+        data = text.encode()
+        w = 32 + (doc_id % 8) * 16
+        h = len(data) // w
+        if h < 1:
+            continue
+        rows = [list(data[y * w:(y + 1) * w]) for y in range(h)]
+        px = bytes(
+            rows[(y * h) // mm.OUT_H][(x * w) // mm.OUT_W]
+            for y in range(mm.OUT_H)
+            for x in range(mm.OUT_W)
+        )
+        want[doc_id] = px
+    assert rows1 == want
 
 
 def test_media_view_blob_roundtrip(spark):

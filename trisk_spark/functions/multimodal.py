@@ -5,11 +5,14 @@ frame-sample over ``mapInPandas``.
 The container ships no media libs and the testdata has no real media, so
 the *bytes* are synthesized deterministically from ``documents.text``
 (UTF-8 encode — pure ASCII, so byte offsets == char offsets and DuckDB
-can oracle byte-slicing with VARCHAR substr). The decode step is
-STUBBED: ``_decode_image`` tries PIL and falls back to a deterministic
-fake canvas. Everything Spark-side — binary schema, Arrow batch shape,
-mapInPandas signatures, partitioning — is real and is what would run
-unchanged on real media at 100 TB.
+can oracle byte-slicing with VARCHAR substr). The decode step is REAL:
+image blobs are wrapped into valid P5 PGM containers by JVM binary
+expressions and ``decode_pgm`` is a genuine spec-conforming Netpbm
+parser (it decodes any 8-bit P5 file, pytest-pinned pixel-exact against
+an independent encoder); only non-PGM bytes fall back to a
+deterministic canvas. Everything Spark-side — binary schema, Arrow
+batch shape, mapInPandas signatures, partitioning — is real and is what
+would run unchanged on real media at 100 TB.
 
 Scale design: media ops are embarrassingly parallel map-side work (no
 shuffle at all — mapInPandas over the scan); the only knob that matters
@@ -240,22 +243,65 @@ def media_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------ decode + resize ----
 
 
-def _decode_image(blob: bytes, width: int, height: int):
-    """Decode stub. Real path would be PIL; the container has no media
-    libs, so fall back to a DETERMINISTIC FAKE canvas: blob bytes tiled
-    row-major onto a FAKE_W×FAKE_H grid. The resize math downstream is
-    real and runs on whatever this returns."""
+def decode_pgm(data: bytes):
+    """REAL P5 (binary, 8-bit) PGM decoder — no media libs needed. Per
+    the Netpbm spec: magic ``P5``, then three ASCII integers (width,
+    height, maxval) separated by whitespace, with ``#``-to-end-of-line
+    comments allowed anywhere in the header, then exactly ONE
+    whitespace byte, then ``width*height`` raw pixel bytes. Returns an
+    (h, w) uint8 array, or None if the bytes are not a valid 8-bit P5
+    (caller decides the fallback). Decodes any conforming P5 file, not
+    just this corpus's containers — pixel-exactness is pinned by
+    tests/test_multimodal.py against an independent reference encoder."""
     import numpy as np
 
-    try:  # pragma: no cover - PIL absent in this container
-        import io
+    if not data.startswith(b"P5"):
+        return None
+    pos = 2
+    fields: list[int] = []
+    while len(fields) < 3 and pos < len(data):
+        c = data[pos : pos + 1]
+        if c in (b" ", b"\t", b"\r", b"\n"):
+            pos += 1
+        elif c == b"#":
+            nl = data.find(b"\n", pos)
+            if nl < 0:
+                return None
+            pos = nl + 1
+        elif c.isdigit():
+            end = pos
+            while end < len(data) and data[end : end + 1].isdigit():
+                end += 1
+            fields.append(int(data[pos:end]))
+            pos = end
+        else:
+            return None
+    if len(fields) < 3:
+        return None
+    if data[pos : pos + 1] not in (b" ", b"\t", b"\r", b"\n"):
+        return None
+    pos += 1
+    w, h, maxval = fields
+    if w <= 0 or h <= 0 or maxval != 255:  # 8-bit only (maxval>255 is 16-bit)
+        return None
+    payload = data[pos : pos + w * h]
+    if len(payload) < w * h:
+        return None
+    return np.frombuffer(payload, dtype=np.uint8).reshape(h, w)
 
-        from PIL import Image  # noqa: F401
 
-        return np.asarray(Image.open(io.BytesIO(blob)).convert("L"))
-    except Exception:
-        tiled = np.resize(np.frombuffer(blob, dtype=np.uint8), FAKE_W * FAKE_H)
-        return tiled.reshape(FAKE_H, FAKE_W)
+def _decode_image(blob: bytes, width: int, height: int):
+    """Decode: REAL PGM parse first (``decode_pgm``); only bytes that
+    are not a valid P5 container fall back to the deterministic canvas
+    (blob bytes tiled row-major onto FAKE_W×FAKE_H) so an unknown
+    format degrades predictably instead of crashing the executor."""
+    import numpy as np
+
+    img = decode_pgm(bytes(blob))
+    if img is not None:
+        return img
+    tiled = np.resize(np.frombuffer(blob, dtype=np.uint8), FAKE_W * FAKE_H)
+    return tiled.reshape(FAKE_H, FAKE_W)
 
 
 _RESIZE_SCHEMA = StructType(
@@ -269,15 +315,14 @@ _RESIZE_SCHEMA = StructType(
 
 
 def _resize_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Decode (stubbed) then nearest-neighbor resize to OUT_W×OUT_H."""
+    """Decode (real PGM parse; canvas fallback for non-PGM bytes) then
+    nearest-neighbor resize to OUT_W×OUT_H."""
     import numpy as np
 
     for pdf in batches:
         out: dict[str, list] = {"doc_id": [], "out_w": [], "out_h": [], "pixels": []}
-        for doc_id, blob, w, h in zip(
-            pdf["doc_id"], pdf["blob"], pdf["width"], pdf["height"]
-        ):
-            img = _decode_image(bytes(blob), int(w), int(h))
+        for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+            img = _decode_image(bytes(blob), 0, 0)
             ys = (np.arange(OUT_H) * img.shape[0]) // OUT_H
             xs = (np.arange(OUT_W) * img.shape[1]) // OUT_W
             resized = img[np.ix_(ys, xs)].astype(np.uint8)
@@ -290,12 +335,40 @@ def _resize_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 @register("media_decode_resize", oracle=None)
 def media_decode_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode (stubbed — see _decode_image) + nearest-neighbor resize of
-    image blobs. oracle=None (binary out); tests replay the same kernel
-    in pure Python/numpy. Zero-shuffle map work; at 100 TB this is the
-    canonical 'GPU-adjacent preprocessing' stage — batch size bounded by
+    """REAL decode + nearest-neighbor resize of image blobs.
+
+    The corpus has no binary media (documents.text is the payload
+    source), so the image container is synthesized IN THE PLAN as a
+    valid P5 PGM file — header from the metadata width and the
+    payload-derived height, raw pixel bytes from the blob — all in JVM
+    binary expressions (octet_length / substring / concat are
+    byte-exact on BinaryType). The Python kernel then runs a genuine
+    spec-conforming PGM parser (``decode_pgm``: magic, comment-tolerant
+    header, maxval check, exact payload slice) — the same kernel
+    decodes any real 8-bit P5 file; pixel-exactness is pytest-pinned
+    against an independent reference encoder. Documents shorter than
+    one pixel row (octet_length < width) carry no image and are
+    filtered.
+
+    oracle=None (binary out); tests replay decode+resize in pure
+    Python. Zero-shuffle map work; at 100 TB this is the canonical
+    'GPU-adjacent preprocessing' stage — batch size bounded by
     maxPartitionBytes, pixels never shuffled."""
-    m = media(spark, sf_dir).where(F.col("media_type") == "image").select(
-        "doc_id", "blob", "width", "height"
+    m = media(spark, sf_dir).where(F.col("media_type") == "image")
+    m = m.withColumn(
+        "img_h", (F.expr("octet_length(blob)") / F.col("width")).cast("int")
+    ).where(F.col("img_h") >= 1)
+    header = F.encode(
+        F.concat(
+            F.lit("P5\n"),
+            F.col("width").cast("string"),
+            F.lit(" "),
+            F.col("img_h").cast("string"),
+            F.lit("\n255\n"),
+        ),
+        "UTF-8",
     )
-    return m.mapInPandas(_resize_kernel, _RESIZE_SCHEMA)
+    pgm = F.concat(header, F.expr("substring(blob, 1, width * img_h)"))
+    return m.select("doc_id", pgm.alias("blob")).mapInPandas(
+        _resize_kernel, _RESIZE_SCHEMA
+    )
