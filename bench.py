@@ -51,6 +51,8 @@ HEADLINE = [
     "count_window",
     "media_frame_sample",
     "fraud_alerts",
+    "pii_redact",
+    "url_normalize",
 ]
 
 

@@ -205,6 +205,7 @@ _TEXT_FAMILY = [
     "media_byte_features", "media_metadata", "dedup_substring",
     "train_split", "split_rollup", "source_quality_rollup",
     "decontaminate_flags", "media_frame_sample",
+    "pii_redact", "url_normalize",
 ]
 
 
@@ -219,7 +220,7 @@ def hostile_docs(tmp_path_factory):
     media kernels."""
     tmp = tmp_path_factory.mktemp("hostile-docs")
     docs = {
-        "doc_id": [1, 2, 3, 4, 5, 6],
+        "doc_id": [1, 2, 3, 4, 5, 6, 7, 8],
         "text": [
             "alpha beta gamma delta epsilon words here now",
             None,
@@ -227,10 +228,19 @@ def hostile_docs(tmp_path_factory):
             "",
             "two words",
             "   ",
+            # natural PII in the text body (not just the derived
+            # contact line) — exercises every redaction pattern plus
+            # the SSN-before-phone ordering on an SSN-shaped id, and a
+            # messy URL for url_normalize's text-independence check
+            "mail a.b-c%d@Sub.Example.ORG or 555-1234 ssn 123-45-6789 "
+            "host 192.168.0.1 see HTTPS://WWW.Foo.COM:443/A/?ref=x#f",
+            # NULL lang + NULL source: url_normalize's coalesce paths,
+            # source_quality_rollup's NULL group
+            "plain words only",
         ],
-        "lang": ["en"] * 6,
-        "source": ["f"] * 6,
-        "n_chars": [45, 0, 45, 0, 9, 3],
+        "lang": ["en"] * 6 + [None, None],
+        "source": ["f"] * 6 + ["g", None],
+        "n_chars": [45, 0, 45, 0, 9, 3, 103, 16],
     }
     pq.write_table(pa.table(docs), tmp / "documents.parquet")
     con = duckdb.connect()

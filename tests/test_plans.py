@@ -260,8 +260,9 @@ def test_cosine_lsh_builds_plan_without_running_a_job(spark):
 
 
 def test_map_only_queries_have_no_exchange(spark):
-    # Q1/Q2 are pure map/filter — any Exchange here is a planning bug
-    for name in ("nexmark_q1", "nexmark_q2"):
+    # Q1/Q2 are pure map/filter, and the PII/URL curation ops are pure
+    # regex projections — any Exchange here is a planning bug
+    for name in ("nexmark_q1", "nexmark_q2", "pii_redact", "url_normalize"):
         plan = static_plan(spark, name)
         assert "Exchange" not in plan, f"{name}: map-only query shuffles"
 

@@ -320,3 +320,170 @@ def source_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             1.0 - F.countDistinct(F.md5("text")).cast("double") / F.count("*"), 4
         ).alias("dup_rate"),
     )
+
+
+# ---------------------------------------- PII redaction (curation) ----
+
+# Training-data cleaning step: scrub emails / phone numbers / IPv4
+# addresses / SSN-shaped ids before a corpus ships. The synthetic
+# documents corpus contains no natural PII, so the query derives a
+# deterministic contact line per document from (doc_id) — both engines
+# derive the identical string, which gives the redaction regexes real
+# matches to find (same derived-view pattern as the nexmark family).
+#
+# Regex dialect note: the patterns below use only \d, \b, character
+# classes, and bounded repetition — semantics identical between Java
+# regex (Spark) and RE2 (DuckDB); no lookaround (RE2 has none).
+# The four patterns are constructed mutually non-overlapping, so the
+# per-pattern counts are computed on the raw string while the
+# redactions apply sequentially.
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_SSN = r"\b\d{3}-\d{2}-\d{4}\b"
+_PII_PHONE = r"\b\d{3}-\d{4}\b"
+_PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+PII_REDACT_SQL = f"""
+WITH aug AS (
+  SELECT doc_id,
+    coalesce(text, '') || ' contact user' || CAST(doc_id AS VARCHAR)
+      || '@mail.example.com tel 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      || ' ip 10.' || CAST(doc_id % 256 AS VARCHAR)
+      || '.' || CAST((doc_id // 7) % 256 AS VARCHAR)
+      || '.' || CAST((doc_id // 13) % 256 AS VARCHAR)
+      || ' ssn ' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+      || '-' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+      || '-' || lpad(CAST((doc_id // 3) % 10000 AS VARCHAR), 4, '0') AS t
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(t, '{_PII_EMAIL}')) AS INT) AS n_emails,
+  CAST(len(regexp_extract_all(t, '{_PII_SSN}')) AS INT) AS n_ssns,
+  CAST(len(regexp_extract_all(t, '{_PII_PHONE}')) AS INT) AS n_phones,
+  CAST(len(regexp_extract_all(t, '{_PII_IP}')) AS INT) AS n_ips,
+  regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+    '{_PII_EMAIL}', '<EMAIL>', 'g'),
+    '{_PII_SSN}', '<SSN>', 'g'),
+    '{_PII_PHONE}', '<PHONE>', 'g'),
+    '{_PII_IP}', '<IP>', 'g') AS redacted
+FROM aug
+"""
+
+
+@register("pii_redact", oracle=PII_REDACT_SQL)
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub: count + redact emails, SSN-shaped ids, phone
+    numbers, and IPv4 addresses per document. Map-only JVM regexes
+    (whole-stage codegen, zero shuffle) — at 100 TB this is an
+    embarrassingly parallel scan, the cheapest possible shape.
+
+    Redaction order (email -> ssn -> phone -> ip) prevents the phone
+    pattern from eating SSN tails; counts run on the raw string since
+    the patterns cannot overlap by construction."""
+    docs = table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    aug = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit(" contact user"), s(did), F.lit("@mail.example.com tel 555-"),
+        F.lpad(s(did % 10000), 4, "0"),
+        F.lit(" ip 10."), s(did % 256),
+        F.lit("."), s(F.expr("(doc_id DIV 7) % 256")),
+        F.lit("."), s(F.expr("(doc_id DIV 13) % 256")),
+        F.lit(" ssn "), F.lpad(s(did % 1000), 3, "0"),
+        F.lit("-"), F.lpad(s(did % 100), 2, "0"),
+        F.lit("-"), F.lpad(s(F.expr("(doc_id DIV 3) % 10000")), 4, "0"),
+    )
+    red = aug
+    for pat, tag in (
+        (_PII_EMAIL, "<EMAIL>"),
+        (_PII_SSN, "<SSN>"),
+        (_PII_PHONE, "<PHONE>"),
+        (_PII_IP, "<IP>"),
+    ):
+        red = F.regexp_replace(red, pat, tag)
+    return docs.select(
+        "doc_id",
+        F.regexp_count(aug, F.lit(_PII_EMAIL)).cast("int").alias("n_emails"),
+        F.regexp_count(aug, F.lit(_PII_SSN)).cast("int").alias("n_ssns"),
+        F.regexp_count(aug, F.lit(_PII_PHONE)).cast("int").alias("n_phones"),
+        F.regexp_count(aug, F.lit(_PII_IP)).cast("int").alias("n_ips"),
+        red.alias("redacted"),
+    )
+
+
+# ------------------------------------- URL normalization (curation) ----
+
+# Canonicalize document URLs before dedup / per-domain rollups: strip
+# fragments, lowercase scheme+host, drop "www.", drop default ports,
+# remove tracking params (utm_*, ref), trim dangling separators. The
+# corpus has no URL column, so the query derives a deterministically
+# messy URL per document from (doc_id, source, lang) — identical on
+# both engines — then normalizes it. Map-only; no lookaround regexes
+# (RE2-safe); replacement backrefs are $1 in Spark vs \\1 in DuckDB.
+
+URL_NORMALIZE_SQL = r"""
+WITH raw AS (
+  SELECT doc_id,
+    'HTTPS://WWW.' || upper(coalesce(source, 'unknown'))
+      || '.Example.COM:443/Docs/' || CAST(doc_id AS VARCHAR)
+      || '/index.html?utm_source=feed&ref=' || coalesce(lang, 'xx')
+      || '&id=' || CAST(doc_id AS VARCHAR)
+      || '&utm_campaign=Q' || CAST(doc_id % 4 + 1 AS VARCHAR)
+      || '#section-' || CAST(doc_id % 7 AS VARCHAR) AS url_raw
+  FROM documents
+),
+s1 AS (SELECT doc_id, url_raw,
+         regexp_replace(url_raw, '#.*$', '') AS u FROM raw),
+s2 AS (SELECT doc_id, url_raw,
+         lower(regexp_extract(u, '^[^/]*//[^/]*'))
+           || substr(u, length(regexp_extract(u, '^[^/]*//[^/]*')) + 1) AS u
+       FROM s1),
+s3 AS (SELECT doc_id, url_raw,
+         regexp_replace(regexp_replace(u, '^(https?://)www\.', '\1'),
+                        '^(https://[^/:]*):443(/|\?|$)', '\1\2') AS u
+       FROM s2),
+s4 AS (SELECT doc_id, url_raw,
+         regexp_replace(regexp_replace(regexp_replace(u,
+           '(utm_[a-z]+|ref)=[^&]*&', '', 'g'),
+           '[?&](utm_[a-z]+|ref)=[^&]*$', '', 'g'),
+           '\?$', '') AS u
+       FROM s3)
+SELECT doc_id, url_raw, u AS url_norm,
+  regexp_extract(u, '^[a-z]+://([^/:?#]+)', 1) AS url_host
+FROM s4
+"""
+
+
+@register("url_normalize", oracle=URL_NORMALIZE_SQL)
+def url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization: fragment strip, scheme+host lowercase
+    (path case preserved per RFC 3986), www-strip, default-port strip,
+    tracking-param removal (utm_*, ref), dangling-separator cleanup.
+    Map-only JVM regexes, zero shuffle — scan-shaped at any scale."""
+    docs = table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    raw = F.concat(
+        F.lit("HTTPS://WWW."), F.upper(F.coalesce(F.col("source"), F.lit("unknown"))),
+        F.lit(".Example.COM:443/Docs/"), s(did),
+        F.lit("/index.html?utm_source=feed&ref="),
+        F.coalesce(F.col("lang"), F.lit("xx")),
+        F.lit("&id="), s(did),
+        F.lit("&utm_campaign=Q"), s(did % 4 + 1),
+        F.lit("#section-"), s(did % 7),
+    )
+    u = F.regexp_replace(raw, r"#.*$", "")
+    head = F.regexp_extract(u, r"^[^/]*//[^/]*", 0)
+    u = F.concat(F.lower(head), F.substring(u, F.length(head) + 1, F.lit(2**31 - 1)))
+    u = F.regexp_replace(u, r"^(https?://)www\.", r"$1")
+    u = F.regexp_replace(u, r"^(https://[^/:]*):443(/|\?|$)", r"$1$2")
+    u = F.regexp_replace(u, r"(utm_[a-z]+|ref)=[^&]*&", "")
+    u = F.regexp_replace(u, r"[?&](utm_[a-z]+|ref)=[^&]*$", "")
+    u = F.regexp_replace(u, r"\?$", "")
+    return docs.select(
+        "doc_id",
+        raw.alias("url_raw"),
+        u.alias("url_norm"),
+        F.regexp_extract(u, r"^[a-z]+://([^/:?#]+)", 1).alias("url_host"),
+    )

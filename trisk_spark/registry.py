@@ -66,41 +66,40 @@ def register(name: str, oracle: str | None = None):
 # capability is already evidenced by an earlier query or a plan test,
 # and ALL queries regardless of position stay oracle-gated by
 # tests/test_oracle_parity.py.
+# ROTATION POLICY (window = 50, so len(registry) - 50 queries sit out
+# each round): membership alternates round-by-round so that (a) no
+# oracle-bearing query's last driver-green row is ever more than one
+# round old when it rotates back, and (b) every query sitting out has
+# an in-window witness for each of its SURVEY §2 rows. ALL queries
+# regardless of position stay oracle-gated by
+# tests/test_oracle_parity.py every round.
+#
+# r6 window: ALL 18 r5-sitters rotate back in (incl. the 10 TPC-H/
+# relational extras whose last driver row was r1 — freshness debt paid
+# this round), plus the two new r6 text ops (pii_redact,
+# url_normalize: new sole evidence, must be in-window). Sitting out r6
+# (every one hash-green in r5, witness noted):
 DEPRIORITIZED = [
-    # r1-green TPC-H/relational extras (each has >=1 driver hash-green
-    # row in CORRECTNESS_r01, and each one's capability is a strict
-    # subset of in-window queries — tpch_q1's agg pipeline, the join
-    # family in nexmark_q3/q8, semi/anti in fraud/decontaminate):
-    "tpch_q3",
-    "tpch_q5",
-    "tpch_q6",
-    "tpch_q7",
-    "tpch_q10",
-    "tpch_q14",
-    "top_orders_per_customer",
-    "revenue_rollup",
-    "semi_join_orders",
-    "customers_without_orders",
-    # ROTATION POLICY for the remaining tail slots (window = 50, so
-    # len(registry) - 50 queries sit out each round): membership
-    # alternates round-by-round so that (a) a query that is the SOLE
-    # evidence for a SURVEY §2 row never sits out two consecutive
-    # rounds, and (b) every query sitting out has an in-window witness
-    # for each of its SURVEY rows. Rotated IN for r5 after sitting out
-    # r3+r4: tpch_q18, keyed_running_reduce, sliding_count_window,
-    # all_window_agg. Sitting out r5 (all hash-green r3+r4, rotate back
-    # r6) with their in-window witnesses:
-    "cosine_near_dup_exact",   # cosine_near_dup_lsh
-    "props_rollup",            # scalar-fn rows: nexmark/stock/fraud views
-    "source_quality_rollup",   # quality_score + lang_id
-    "ngram_counts",            # ngram_jaccard + repetition_ratio
-    # r5 also adds dedup_substring, asof_join, train_split and
-    # split_rollup (68 registered) — four more redundant-capability
-    # queries sit out so the new sole-evidence ops get driver rows:
-    "time_evictor_window",     # evictors: delta_evictor_window + sliding_count_window
-    "minby_maxby",             # sum/min/max/minBy/maxBy row: keyed_agg
-    "count_window",            # count windows row: sliding_count_window
-    "tpch_q1",                 # relational agg pipeline: tpch_q18 (in r5)
+    "tpch_q18",              # relational agg+join: tpch_q1/q3/q10 (in)
+    "nexmark_q1",            # map + scalar fns: token_count, props_rollup
+    "nexmark_q2",            # filter: tpch_q6, fraud_alerts
+    "nexmark_q8",            # windowed equi-join: interval_join, nexmark_q11
+    "keyed_running_reduce",  # keyed reduce: keyed_agg, minby_maxby
+    "all_window_agg",        # non-keyed window: tumbling_window_agg
+    "wordcount",             # flatMap/explode: wordcount_two_input, ngram_counts
+    "sliding_count_window",  # count windows: count_window
+    "delta_evictor_window",  # evictors: time_evictor_window
+    "continuous_trigger",    # triggers: delta_trigger, purging_trigger
+    "dedup_bag",             # dedup family: dedup_exact (same shuffle shape)
+    "ngram_jaccard",         # shingle similarity: ngram_counts, dedup_minhash_lsh
+    "repetition_ratio",      # text stats: source_quality_rollup, ngram_counts
+    "doc_fingerprint",       # fingerprinting: dedup_substring, dedup_exact
+    "knn_bruteforce",        # brute-force cosine: cosine_near_dup_exact, knn_label_vote
+    "ann_lsh_bucketed",      # ANN: ann_ivf, cosine_near_dup_lsh
+    "train_split",           # md5-bucket split: split_rollup (same kernel)
+    "media_frame_sample",    # multimodal map-side: media_metadata/byte_features/decode
+    "quality_score",         # composed inside source_quality_rollup
+    "lang_id",               # composed inside source_quality_rollup
 ]
 
 
