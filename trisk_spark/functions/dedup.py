@@ -844,16 +844,25 @@ def decontaminate_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 SUBSTR_K = 25   # fingerprint gram length (chars)
 SUBSTR_W = 10   # winnow window (grams); guarantee threshold = K+W-1 = 34
 
+# The hex->bigint conv runs AFTER winnow selection (n/W selected
+# fingerprints, not n gram positions): md5 emits fixed-length lowercase
+# hex, so lexicographic array_min == numeric min and the selected set is
+# unchanged — measured 3.75s -> 3.07s on the sf0.1 fingerprint stage.
+# (A polynomial rolling hash was prototyped and is SLOWER here: Spark
+# evaluates higher-order lambdas interpreted, so 25 modular
+# multiply-adds per position lose to one JVM md5 call — 4.8s single /
+# 9.4s double 31-bit vs 3.75s md5. md5-per-gram is the cross-engine
+# floor for the hash itself; see PERF_NOTES.md.)
 _WINNOW_EXPR = f"""
 CASE WHEN length(text) >= {SUBSTR_K + SUBSTR_W - 1} THEN
-  flatten(transform(
-    array(transform(sequence(1, length(text) - {SUBSTR_K} + 1),
-      i -> cast(conv(substring(md5(substring(text, i, {SUBSTR_K})), 1, 15),
-                     16, 10) AS bigint))),
-    gs -> array_distinct(transform(
-            sequence(1, size(gs) - {SUBSTR_W} + 1),
-            p -> array_min(slice(gs, p, {SUBSTR_W}))))
-  ))
+  transform(
+    flatten(transform(
+      array(transform(sequence(1, length(text) - {SUBSTR_K} + 1),
+        i -> substring(md5(substring(text, i, {SUBSTR_K})), 1, 15))),
+      gs -> array_distinct(transform(
+              sequence(1, size(gs) - {SUBSTR_W} + 1),
+              p -> array_min(slice(gs, p, {SUBSTR_W})))))),
+    s -> cast(conv(s, 16, 10) AS bigint))
 ELSE array() END
 """
 
