@@ -205,7 +205,8 @@ _TEXT_FAMILY = [
     "media_byte_features", "media_metadata", "dedup_substring",
     "train_split", "split_rollup", "source_quality_rollup",
     "decontaminate_flags", "media_frame_sample",
-    "pii_redact", "url_normalize",
+    "pii_redact", "url_normalize", "wordcount", "wordcount_two_input",
+    "dedup_clusters",
 ]
 
 
@@ -411,3 +412,89 @@ def test_hostile_embeddings_still_produce_results(spark, hostile_embeddings):
     assert any({r.vec_a, r.vec_b} == {40, 41} for r in pairs), (
         "planted near-dup pair must survive the validity gate"
     )
+
+
+# ------------------------------------------ hostile relational corpus --
+
+_RELATIONAL_FAMILY = [
+    "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q7", "tpch_q10",
+    "tpch_q14", "tpch_q18", "top_orders_per_customer", "revenue_rollup",
+    "semi_join_orders", "customers_without_orders",
+]
+
+
+@pytest.fixture(scope="module")
+def hostile_relational(tmp_path_factory):
+    """The real sf0.001 TPC-H tables plus schema-legal hostile rows the
+    generated corpora never contain: NULL join keys (o_custkey,
+    l_orderkey, c_custkey), NULL dates, NULL measures, NULL group-by
+    columns (l_returnflag/l_linestatus for the ROLLUP NULL-vs-subtotal
+    ambiguity, o_orderpriority, c_nationkey), price ties inside one
+    customer's top-3 window, dangling foreign keys both directions, and
+    a NULL p_type against Q14's LIKE. Every relational-family query must
+    agree with DuckDB on this corpus — the r4 breakage class (NULL
+    probing) applied to the join/agg family."""
+    import shutil
+
+    tmp = tmp_path_factory.mktemp("hostile-rel")
+    src = "/root/testdata/sf0.001"
+    for t in ("region", "nation", "supplier", "part", "customer",
+              "orders", "lineitem", "events", "documents", "embeddings"):
+        shutil.copy(f"{src}/{t}.parquet", tmp / f"{t}.parquet")
+
+    def _append(name, rows):
+        path = tmp / f"{name}.parquet"
+        tab = pq.read_table(path)
+        extra = pa.table(
+            {c: pa.array([r[i] for r in rows], tab.schema.field(c).type)
+             for i, c in enumerate(tab.schema.names)}
+        )
+        pq.write_table(pa.concat_tables([tab, extra]), path)
+
+    d = datetime.datetime(1996, 6, 1)
+    # orders: (o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+    #          o_orderdate, o_orderpriority)
+    _append("orders", [
+        (900001, None, "O", 111.11, d, "1-URGENT"),      # NULL custkey
+        (900002, 1, None, None, None, None),             # NULL everything else
+        (None, 2, "F", 222.22, d, "2-HIGH"),             # NULL orderkey
+        (900004, 3, "O", 5555.55, d, "3-MEDIUM"),        # tie pair a
+        (900005, 3, "O", 5555.55, d, "3-MEDIUM"),        # tie pair b
+        (900006, 999999, "O", 333.33, d, "4-NOT SPEC"),  # dangling custkey
+    ])
+    # lineitem: (l_orderkey, l_partkey, l_suppkey, l_linenumber,
+    #            l_quantity, l_extendedprice, l_discount, l_tax,
+    #            l_returnflag, l_linestatus, l_shipdate)
+    _append("lineitem", [
+        (None, 1, 1, 1, 5.0, 1000.0, 0.06, 0.02, "N", "O", d),   # NULL orderkey
+        (900001, 1, 1, 1, None, None, None, None, None, None, None),  # NULL msrs
+        (900002, None, None, 2, 10.0, 2000.0, 0.07, 0.03, None, None, d),
+        (999990, 2, 2, 1, 3.0, 500.0, 0.05, 0.01, "R", "F", d),  # dangling order
+        (900004, 2, 2, 1, 0.0, 0.0, 0.0, 0.0, "A", "F", d),      # zero measures
+    ])
+    # customer: (c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment)
+    _append("customer", [
+        (None, "cust-null-key", 1, 100.0, "BUILDING"),   # NULL custkey
+        (880001, "cust-null-rest", None, None, None),    # NULL nation/bal/seg
+        (880002, "cust-no-orders", 2, 50.0, "MACHINERY"),
+    ])
+    _append("supplier", [(None, "supp-null-key", None, None)])
+    _append("part", [(770001, "part-null-type", "Brand#00", None, None, None)])
+    _append("nation", [(None, "NULLLAND", None)])
+
+    con = duckdb.connect()
+    for t in ("region", "nation", "supplier", "part", "customer",
+              "orders", "lineitem"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{tmp}/{t}.parquet')"
+        )
+    return str(tmp), con
+
+
+@pytest.mark.parametrize("name", _RELATIONAL_FAMILY)
+def test_relational_family_parity_on_hostile_corpus(
+    spark, hostile_relational, name
+):
+    sf_dir, con = hostile_relational
+    qd = QUERIES[name]
+    assert_matches_oracle(qd.fn(spark, sf_dir), con, qd.oracle)
