@@ -106,3 +106,63 @@ def split_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("bigint").alias("total_chars"),
         )
     )
+
+
+# ------------------------------------------------- sequence packing --
+
+#: token capacity of one packed training sequence
+PACK_CAPACITY = 2048
+
+SEQUENCE_PACK_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, source,
+    CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT)
+      AS n_tokens
+  FROM documents
+),
+run AS (
+  SELECT doc_id, source, n_tokens,
+    SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                        ROWS UNBOUNDED PRECEDING) - n_tokens AS start_off
+  FROM toks
+)
+SELECT doc_id, source, n_tokens,
+  CAST(start_off // {PACK_CAPACITY} AS BIGINT) AS seq_id,
+  CAST(start_off % {PACK_CAPACITY} AS BIGINT) AS seq_offset
+FROM run
+"""
+
+
+@register("sequence_pack", oracle=SEQUENCE_PACK_SQL)
+def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous sequence packing for pretraining batches: documents
+    are concatenated in stable doc_id order within each source shard
+    and chopped into PACK_CAPACITY-token sequences; each document gets
+    the (seq_id, seq_offset) where its tokens start. Deterministic —
+    re-runs and backfills produce identical packing, like train_split.
+
+    Plan: one shuffle on source, then a per-shard running sum (window
+    over a spillable sort). Packing is per-shard by construction — a
+    GLOBAL running sum would serialize the corpus through one
+    partition; partitioning by the shard key is both the scale story
+    (shards pack independently on different executors) and what real
+    pipelines do (pack within a shard so readers stream one file).
+    Skewed shards cost a spilled sort, never an OOM."""
+    docs = table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    toks = F.size(F.filter(F.split("text", " "), lambda w: w != "")).cast("bigint")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = docs.select("doc_id", "source", toks.alias("n_tokens"))
+    start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("start_off")
+    return d.select("doc_id", "source", "n_tokens", start).select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.expr(f"start_off DIV {PACK_CAPACITY}").alias("seq_id"),
+        (F.col("start_off") % PACK_CAPACITY).cast("bigint").alias("seq_offset"),
+    )

@@ -487,3 +487,38 @@ def url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         u.alias("url_norm"),
         F.regexp_extract(u, r"^[a-z]+://([^/:?#]+)", 1).alias("url_host"),
     )
+
+
+# -------------------------------------- per-source length percentiles --
+
+LENGTH_PERCENTILES_SQL = """
+SELECT source,
+  COUNT(*) AS n_docs,
+  CAST(ROUND(quantile_cont(CAST(n_chars AS DOUBLE), 0.5), 2) AS DOUBLE) AS p50_chars,
+  CAST(ROUND(quantile_cont(CAST(n_chars AS DOUBLE), 0.9), 2) AS DOUBLE) AS p90_chars,
+  CAST(ROUND(quantile_cont(CAST(n_chars AS DOUBLE), 0.99), 2) AS DOUBLE) AS p99_chars
+FROM documents
+GROUP BY source
+"""
+
+
+@register("length_percentiles", oracle=LENGTH_PERCENTILES_SQL)
+def length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document-length distribution (p50/p90/p99) — the
+    curation signal behind length-based filtering thresholds.
+
+    Exact percentiles (Spark ``percentile`` == DuckDB ``quantile_cont``,
+    both linear-interpolating) so the oracle matches bit-for-bit after
+    rounding. Plan: one shuffle on source. At 100 TB exact per-group
+    percentiles buffer each group's values — swap in
+    ``percentile_approx`` (t-digest, mergeable map-side) when groups
+    outgrow executor memory; the sketch has no exact SQL oracle, which
+    is why the registered query keeps the exact form."""
+    docs = table(spark, sf_dir, "documents")
+    v = F.col("n_chars").cast("double")
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.percentile(v, 0.5), 2).alias("p50_chars"),
+        F.round(F.percentile(v, 0.9), 2).alias("p90_chars"),
+        F.round(F.percentile(v, 0.99), 2).alias("p99_chars"),
+    )

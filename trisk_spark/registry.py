@@ -100,6 +100,10 @@ DEPRIORITIZED = [
     "media_frame_sample",    # multimodal map-side: media_metadata/byte_features/decode
     "quality_score",         # composed inside source_quality_rollup
     "lang_id",               # composed inside source_quality_rollup
+    # two more r5-green sitters so the new r6 ops (pii_redact,
+    # url_normalize, sequence_pack, length_percentiles) get driver rows:
+    "media_metadata",        # map-side multimodal: media_byte_features/decode
+    "decontaminate_flags",   # broadcast semi-join: fraud_alerts; shingles: dedup_minhash_lsh
 ]
 
 
