@@ -53,6 +53,8 @@ HEADLINE = [
     "fraud_alerts",
     "pii_redact",
     "url_normalize",
+    "sequence_pack",
+    "length_percentiles",
 ]
 
 

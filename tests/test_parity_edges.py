@@ -206,7 +206,7 @@ _TEXT_FAMILY = [
     "train_split", "split_rollup", "source_quality_rollup",
     "decontaminate_flags", "media_frame_sample",
     "pii_redact", "url_normalize", "wordcount", "wordcount_two_input",
-    "dedup_clusters",
+    "dedup_clusters", "sequence_pack", "length_percentiles",
 ]
 
 

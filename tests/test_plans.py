@@ -348,3 +348,22 @@ def test_train_split_is_map_only(spark):
     # and the rollup moves only (source, split) aggregate rows
     plan2 = static_plan(spark, "split_rollup")
     assert "partial_" in plan2, "split rollup lost map-side combine"
+
+
+def test_sequence_pack_is_single_shard_shuffle(spark):
+    # packing must shuffle ONCE on the shard key (source) and run the
+    # running sum as a per-shard window — a global window (one
+    # partition) would serialize the corpus
+    import re
+    plan = static_plan(spark, "sequence_pack")
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1, plan
+    assert "SinglePartition" not in plan, "global window: corpus serialized"
+
+
+def test_length_percentiles_is_single_exchange_partial_agg(spark):
+    # exact percentiles: one shuffle on source with map-side partial
+    # aggregation (percentile buffers merge map-side)
+    import re
+    plan = static_plan(spark, "length_percentiles")
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1, plan
+    assert "partial_percentile" in plan or "Partial" in plan, plan

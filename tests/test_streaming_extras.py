@@ -1016,3 +1016,30 @@ def test_socket_text_stream_receives_lines(spark):
         q.stop()
         srv.close()
     assert sorted(got) == sorted(sent)
+
+
+def test_pii_scrub_stream_equals_batch(spark):
+    """The PII scrub is pure column expressions, so the identical code
+    path runs under Structured Streaming: replaying the documents
+    corpus through pii_scrub must emit exactly the batch query's rows
+    (the streaming member of the r6 curation family)."""
+    from trisk_spark.functions.text import pii_scrub
+    from trisk_spark.registry import load_all
+
+    stream = replay_stream(spark, SF, "documents", n_chunks=4, order_col="doc_id")
+    emitted = []
+    q = (
+        pii_scrub(stream.select("doc_id", "text"))
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda bdf, bid: emitted.extend(bdf.collect()))
+        .option("checkpointLocation", checkpoint_dir("piistream"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r.doc_id: (r.n_emails, r.n_ssns, r.n_phones, r.n_ips, r.redacted)
+           for r in emitted}
+    want = {r.doc_id: (r.n_emails, r.n_ssns, r.n_phones, r.n_ips, r.redacted)
+            for r in load_all()["pii_redact"].fn(spark, SF).collect()}
+    assert got == want
+    assert len(got) == len(emitted), "a doc_id emitted twice"

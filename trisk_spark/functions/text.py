@@ -380,7 +380,13 @@ def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     Redaction order (email -> ssn -> phone -> ip) prevents the phone
     pattern from eating SSN tails; counts run on the raw string since
     the patterns cannot overlap by construction."""
-    docs = table(spark, sf_dir, "documents")
+    return pii_scrub(table(spark, sf_dir, "documents"))
+
+
+def pii_scrub(docs: DataFrame) -> DataFrame:
+    """Core PII scrub over any (doc_id, text) DataFrame — batch or
+    streaming (pure column expressions, so the same plan runs under
+    Structured Streaming unchanged; see streaming test)."""
     did = F.col("doc_id")
     s = lambda c: c.cast("string")  # noqa: E731
     aug = F.concat(
