@@ -55,6 +55,8 @@ HEADLINE = [
     "url_normalize",
     "sequence_pack",
     "length_percentiles",
+    "doc_chunk",
+    "source_cap_sample",
 ]
 
 

@@ -260,9 +260,12 @@ def test_cosine_lsh_builds_plan_without_running_a_job(spark):
 
 
 def test_map_only_queries_have_no_exchange(spark):
-    # Q1/Q2 are pure map/filter, and the PII/URL curation ops are pure
-    # regex projections — any Exchange here is a planning bug
-    for name in ("nexmark_q1", "nexmark_q2", "pii_redact", "url_normalize"):
+    # Q1/Q2 are pure map/filter, the PII/URL curation ops are pure
+    # regex projections, and chunking is tokenize+explode+slice in one
+    # stage — any Exchange here is a planning bug
+    for name in (
+        "nexmark_q1", "nexmark_q2", "pii_redact", "url_normalize", "doc_chunk"
+    ):
         plan = static_plan(spark, name)
         assert "Exchange" not in plan, f"{name}: map-only query shuffles"
 
@@ -367,3 +370,12 @@ def test_length_percentiles_is_single_exchange_partial_agg(spark):
     plan = static_plan(spark, "length_percentiles")
     assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1, plan
     assert "partial_percentile" in plan or "Partial" in plan, plan
+
+
+def test_source_cap_sample_is_single_exchange_rank_prune(spark):
+    # one shuffle on source; the rank filter must sit directly on the
+    # window (pruned before anything downstream)
+    import re
+    plan = static_plan(spark, "source_cap_sample")
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1, plan
+    assert "SinglePartition" not in plan

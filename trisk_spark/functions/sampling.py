@@ -166,3 +166,44 @@ def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"start_off DIV {PACK_CAPACITY}").alias("seq_id"),
         (F.col("start_off") % PACK_CAPACITY).cast("bigint").alias("seq_offset"),
     )
+
+
+# ------------------------------------- per-source downsample cap ----
+
+#: deterministic per-source document cap
+SOURCE_CAP = 50
+
+SOURCE_CAP_SQL = f"""
+SELECT doc_id, source, CAST(rn AS BIGINT) AS rn
+FROM (
+  SELECT doc_id, source,
+    row_number() OVER (PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents
+)
+WHERE rn <= {SOURCE_CAP}
+"""
+
+
+@register("source_cap_sample", oracle=SOURCE_CAP_SQL)
+def source_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source downsampling: keep at most SOURCE_CAP
+    documents per source, chosen by md5(doc_id) order — the standard
+    fix for overrepresented sources, reproducible across re-runs and
+    backfills (no RNG, like train_split).
+
+    Plan: one shuffle on source, per-source rank with a spillable
+    sort, rank prunes immediately — at 100 TB only the md5 order key
+    and ids move, and a pathological mega-source costs a spilled sort,
+    never memory."""
+    docs = table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.select("doc_id", "source")
+        .withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rn") <= SOURCE_CAP)
+    )

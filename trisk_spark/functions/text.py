@@ -528,3 +528,72 @@ def length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile(v, 0.9), 2).alias("p90_chars"),
         F.round(F.percentile(v, 0.99), 2).alias("p99_chars"),
     )
+
+
+# ----------------------------------------------- document chunking ----
+
+#: chunk size and stride in whitespace tokens (overlap = CHUNK - STRIDE)
+CHUNK_TOKENS = 512
+CHUNK_STRIDE = 384
+
+DOC_CHUNK_SQL = f"""
+WITH w AS (
+  SELECT doc_id,
+    list_filter(string_split(text, ' '), x -> x <> '') AS ws
+  FROM documents
+),
+n AS (SELECT doc_id, ws, len(ws) AS nt FROM w WHERE len(ws) > 0),
+idx AS (
+  SELECT doc_id, ws, nt,
+    unnest(range(0, 1 + CASE WHEN nt > {CHUNK_TOKENS}
+      THEN (nt - {CHUNK_TOKENS} + {CHUNK_STRIDE} - 1) // {CHUNK_STRIDE}
+      ELSE 0 END)) AS ci
+  FROM n
+)
+SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
+  CAST(ci * {CHUNK_STRIDE} + 1 AS BIGINT) AS tok_start,
+  CAST(least(nt - ci * {CHUNK_STRIDE}, {CHUNK_TOKENS}) AS BIGINT)
+    AS n_chunk_tokens,
+  array_to_string(list_slice(ws, CAST(ci * {CHUNK_STRIDE} + 1 AS INT),
+    CAST(least(nt, ci * {CHUNK_STRIDE} + {CHUNK_TOKENS}) AS INT)), ' ')
+    AS chunk_text
+FROM idx
+"""
+
+
+@register("doc_chunk", oracle=DOC_CHUNK_SQL)
+def doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking for embedding/RAG pipelines: each
+    document becomes overlapping CHUNK_TOKENS-token chunks advancing by
+    CHUNK_STRIDE tokens (last chunk keeps the tail, word-less docs emit
+    nothing). Map-side: tokenize once per row, explode the chunk-index
+    range, slice the token array — no shuffle, no Python; at 100 TB the
+    output feeds a partitioned writer or the embedding stage directly."""
+    docs = table(spark, sf_dir, "documents")
+    ws = F.filter(F.split("text", " "), lambda w: w != "")
+    d = docs.select("doc_id", ws.alias("ws")).where(F.size("ws") > 0)
+    d = d.withColumn("nt", F.size("ws").cast("bigint"))
+    n_extra = F.when(
+        F.col("nt") > CHUNK_TOKENS,
+        F.expr(f"(nt - {CHUNK_TOKENS} + {CHUNK_STRIDE} - 1) DIV {CHUNK_STRIDE}"),
+    ).otherwise(F.lit(0))
+    d = d.withColumn("ci", F.explode(F.sequence(F.lit(0), n_extra.cast("int"))))
+    start = (F.col("ci").cast("bigint") * CHUNK_STRIDE).alias("s0")
+    d = d.withColumn("s0", start)
+    return d.select(
+        "doc_id",
+        F.col("ci").cast("bigint").alias("chunk_idx"),
+        (F.col("s0") + 1).alias("tok_start"),
+        F.least(F.col("nt") - F.col("s0"), F.lit(CHUNK_TOKENS).cast("bigint"))
+        .alias("n_chunk_tokens"),
+        F.concat_ws(
+            " ",
+            F.slice(
+                F.col("ws"),
+                (F.col("s0") + 1).cast("int"),
+                F.least(
+                    F.col("nt") - F.col("s0"), F.lit(CHUNK_TOKENS).cast("bigint")
+                ).cast("int"),
+            ),
+        ).alias("chunk_text"),
+    )

@@ -104,6 +104,9 @@ DEPRIORITIZED = [
     # url_normalize, sequence_pack, length_percentiles) get driver rows:
     "media_metadata",        # map-side multimodal: media_byte_features/decode
     "decontaminate_flags",   # broadcast semi-join: fraud_alerts; shingles: dedup_minhash_lsh
+    # and two more for doc_chunk + source_cap_sample:
+    "token_count",           # same tokenizer expr inside sequence_pack/doc_chunk
+    "nexmark_q3",            # SURVEY §2B Q3 row: q3_emit_once_join (in)
 ]
 
 
