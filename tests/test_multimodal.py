@@ -80,7 +80,7 @@ def test_pgm_decoder_rejects_invalid():
     assert mm.decode_pgm(b"P5\n2 2\n65535\n" + good[-4:]) is None  # 16-bit
     assert mm.decode_pgm(b"not an image at all") is None
     # non-PGM bytes take the documented canvas fallback, not a crash
-    img = mm._decode_image(b"not an image at all", 0, 0)
+    img = mm._decode_image(b"not an image at all")
     assert img.shape == (mm.FAKE_H, mm.FAKE_W)
 
 

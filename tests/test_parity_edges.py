@@ -499,3 +499,40 @@ def test_relational_family_parity_on_hostile_corpus(
     sf_dir, con = hostile_relational
     qd = QUERIES[name]
     assert_matches_oracle(qd.fn(spark, sf_dir), con, qd.oracle)
+
+
+def test_normalize_url_preserves_non_tracking_params(spark):
+    # r6 review finds: an unanchored '(utm_|ref)=' regex ate 'href='
+    # suffixes and fused adjacent keys; consecutive tracking params
+    # must also vanish in one pass (replaceAll resumes after a match)
+    from pyspark.sql import functions as F
+
+    from trisk_spark.functions.text import normalize_url_col
+
+    cases = [
+        ("https://x.org/p?href=foo&a=1", "https://x.org/p?href=foo&a=1"),
+        ("https://x.org/p?pref=1&xref=2", "https://x.org/p?pref=1&xref=2"),
+        ("https://x.org/p?utm_a=1&utm_b=2&utm_c=3", "https://x.org/p"),
+        ("https://x.org/p?utm_a=1&id=5&ref=x&z=2", "https://x.org/p?id=5&z=2"),
+        ("https://x.org/p?ref=only", "https://x.org/p"),
+        ("HTTP://WWW.Foo.COM:80/A?ref=x#f", "http://foo.com/A"),
+        ("https://a.b:443/", "https://a.b/"),
+    ]
+    df = spark.createDataFrame(cases, "raw string, want string").select(
+        "want", normalize_url_col(F.col("raw")).alias("got")
+    )
+    for r in df.collect():
+        assert r.got == r.want, f"{r.got!r} != {r.want!r}"
+
+
+def test_decode_pgm_accepts_any_8bit_maxval():
+    # spec-conforming P5 with maxval < 255 is still one byte per pixel
+    import numpy as np
+
+    from trisk_spark.functions.multimodal import decode_pgm
+
+    img = decode_pgm(b"P5\n2 2\n100\n" + bytes([0, 50, 99, 100]))
+    assert img is not None and img.shape == (2, 2)
+    assert img.tolist() == [[0, 50], [99, 100]]
+    assert decode_pgm(b"P5\n2 2\n256\n" + bytes(8)) is None  # 16-bit
+    assert decode_pgm(b"P5\n2 2\n0\n" + bytes(4)) is None

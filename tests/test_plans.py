@@ -390,7 +390,6 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
     from trisk_spark.catalog import table as _table
     from trisk_spark.sources.bucketing import bucketed, write_bucketed
 
-    old_wh = spark.conf.get("spark.sql.warehouse.dir", None)
     docs = _table(spark, SF_DIR, "documents").select("doc_id", "source", "n_chars")
     emb = _table(spark, SF_DIR, "embeddings").select("vec_id")
     write_bucketed(docs, "bt_docs", "doc_id", 8, sort_by="doc_id")
@@ -457,6 +456,10 @@ def test_aqe_splits_skewed_join_partitions(spark):
             "AQE did not split the skewed partition:\n" + plan[:2000]
         )
     finally:
+        # conf.get(k, None) is None for never-set keys: unset those so
+        # the aggressive thresholds don't leak into the shared session
         for k, v in old.items():
             if v is not None:
                 spark.conf.set(k, v)
+            else:
+                spark.conf.unset(k)

@@ -200,12 +200,19 @@ def test_matchmaker_hot_key_is_chunked(spark):
 
 def test_emit_once_fold_handles_multi_person_sequences(spark):
     """The corpus derivation keeps one person per key (which is what
-    makes the closed-form SQL oracle valid); the fold itself must also
-    handle the general reference sequence — repeated person rows where
-    only the FIRST flushes the buffer and later ones are ignored."""
+    makes the closed-form SQL oracle valid); the folds must also handle
+    the general reference sequence — repeated person rows where only
+    the FIRST flushes the buffer and later ones are ignored. Both
+    kernels run: the reference per-group fold AND the production
+    bounded-memory partition kernel (which ships in the registered
+    query), the latter across a mid-key Arrow-batch split and a key
+    boundary to exercise its carry/reset state."""
     import pandas as pd
 
-    from trisk_spark.operators.stateful import _emit_once_group
+    from trisk_spark.operators.stateful import (
+        _emit_once_group,
+        _emit_once_partition,
+    )
 
     rows = pd.DataFrame(
         {
@@ -215,8 +222,24 @@ def test_emit_once_fold_handles_multi_person_sequences(spark):
             "seq": [1, 2, 3, 4, 5, 6],
         }
     )
+    want = [(100, 2), (101, 3), (102, 5)]
     out = _emit_once_group(rows)
-    got = sorted(zip(out["auction_id"], out["emit_seq"]))
-    # auction 100 buffered until first person (seq 2); 101/102 emit
-    # immediately; persons at seq 4 and 6 must NOT re-flush anything
-    assert got == [(100, 2), (101, 3), (102, 5)]
+    assert sorted(zip(out["auction_id"], out["emit_seq"])) == want
+
+    # second key whose auctions all precede its person — flushed at the
+    # person row even though the key starts mid-stream
+    rows2 = pd.DataFrame(
+        {
+            "key": [9] * 3,
+            "side": ["A", "A", "P"],
+            "auction_id": [200, 201, None],
+            "seq": [1, 2, 3],
+        }
+    )
+    part = pd.concat([rows, rows2], ignore_index=True)
+    # split mid-key-7 AND mid-key-9: state must carry across batches
+    batches = [part.iloc[:3], part.iloc[3:8], part.iloc[8:]]
+    got = pd.concat(list(_emit_once_partition(iter(batches))), ignore_index=True)
+    got_pairs = sorted(zip(got["seller"], got["auction_id"], got["emit_seq"]))
+    assert got_pairs == [(7, 100, 2), (7, 101, 3), (7, 102, 5),
+                         (9, 200, 3), (9, 201, 3)]

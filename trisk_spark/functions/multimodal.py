@@ -282,7 +282,9 @@ def decode_pgm(data: bytes):
         return None
     pos += 1
     w, h, maxval = fields
-    if w <= 0 or h <= 0 or maxval != 255:  # 8-bit only (maxval>255 is 16-bit)
+    # 8-bit P5: one byte/pixel for ANY maxval in [1, 255]; maxval >= 256
+    # means two bytes/pixel (16-bit), which this decoder does not handle
+    if w <= 0 or h <= 0 or not 1 <= maxval <= 255:
         return None
     payload = data[pos : pos + w * h]
     if len(payload) < w * h:
@@ -290,7 +292,7 @@ def decode_pgm(data: bytes):
     return np.frombuffer(payload, dtype=np.uint8).reshape(h, w)
 
 
-def _decode_image(blob: bytes, width: int, height: int):
+def _decode_image(blob: bytes):
     """Decode: REAL PGM parse first (``decode_pgm``); only bytes that
     are not a valid P5 container fall back to the deterministic canvas
     (blob bytes tiled row-major onto FAKE_W×FAKE_H) so an unknown
@@ -322,7 +324,7 @@ def _resize_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         out: dict[str, list] = {"doc_id": [], "out_w": [], "out_h": [], "pixels": []}
         for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
-            img = _decode_image(bytes(blob), 0, 0)
+            img = _decode_image(bytes(blob))
             ys = (np.arange(OUT_H) * img.shape[0]) // OUT_H
             xs = (np.arange(OUT_W) * img.shape[1]) // OUT_W
             resized = img[np.ix_(ys, xs)].astype(np.uint8)

@@ -46,13 +46,15 @@ _VALID_EMB_SQL = f"""(SELECT * FROM embeddings
     AND len(list_filter(embedding, x -> x IS NULL)) = 0)"""
 
 
-def _valid_embeddings(emb: DataFrame) -> DataFrame:
-    """Engine half of the validity gate — mirrors ``_VALID_EMB_SQL``."""
+def _valid_embeddings(emb: DataFrame, dim: int = DIM) -> DataFrame:
+    """Engine half of the validity gate — mirrors ``_VALID_EMB_SQL``.
+    ``dim`` is the expected vector length (default: this corpus's 64);
+    reusable helpers taking arbitrary corpora thread their own."""
     e = F.col("embedding")
     return emb.where(
         F.col("vec_id").isNotNull()
         & e.isNotNull()
-        & (F.size(e) == DIM)
+        & (F.size(e) == dim)
         & ~F.exists(e, lambda x: x.isNull())
     )
 
@@ -391,6 +393,7 @@ def cosine_lsh_pairs(
     emb: DataFrame,
     cap: int = VEC_BUCKET_CAP,
     expect_degenerate: bool = False,
+    dim: int = DIM,
 ) -> DataFrame:
     """SRP-LSH near-dup pairs over a (vec_id, embedding) DataFrame —
     see ``cosine_near_dup_lsh`` for semantics. Exposed for tests
@@ -414,7 +417,7 @@ def cosine_lsh_pairs(
     )
 
     n = (
-        _valid_embeddings(emb)
+        _valid_embeddings(emb, dim=dim)
         .select("vec_id", _scaled(F.col("embedding")).alias("vec"))
         .where(_dot(F.col("vec"), F.col("vec")) > 0)
     )

@@ -334,9 +334,11 @@ def source_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Regex dialect note: the patterns below use only \d, \b, character
 # classes, and bounded repetition — semantics identical between Java
 # regex (Spark) and RE2 (DuckDB); no lookaround (RE2 has none).
-# The four patterns are constructed mutually non-overlapping, so the
-# per-pattern counts are computed on the raw string while the
-# redactions apply sequentially.
+# Each count runs on the PREVIOUS redaction stage's output (email count
+# on raw, ssn count after email redaction, ...) so counts always equal
+# the number of tags that stage inserts — a phone-shaped email local
+# part ('555-1234@spam.example') is consumed by the email stage and
+# never double-counted as a phone.
 
 _PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 _PII_SSN = r"\b\d{3}-\d{2}-\d{4}\b"
@@ -355,18 +357,29 @@ WITH aug AS (
       || '-' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
       || '-' || lpad(CAST((doc_id // 3) % 10000 AS VARCHAR), 4, '0') AS t
   FROM documents
+),
+stages AS (
+  SELECT doc_id, t,
+    regexp_replace(t, '{_PII_EMAIL}', '<EMAIL>', 'g') AS t1
+  FROM aug
+),
+stages2 AS (
+  SELECT doc_id, t, t1,
+    regexp_replace(t1, '{_PII_SSN}', '<SSN>', 'g') AS t2
+  FROM stages
+),
+stages3 AS (
+  SELECT doc_id, t, t1, t2,
+    regexp_replace(t2, '{_PII_PHONE}', '<PHONE>', 'g') AS t3
+  FROM stages2
 )
 SELECT doc_id,
   CAST(len(regexp_extract_all(t, '{_PII_EMAIL}')) AS INT) AS n_emails,
-  CAST(len(regexp_extract_all(t, '{_PII_SSN}')) AS INT) AS n_ssns,
-  CAST(len(regexp_extract_all(t, '{_PII_PHONE}')) AS INT) AS n_phones,
-  CAST(len(regexp_extract_all(t, '{_PII_IP}')) AS INT) AS n_ips,
-  regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
-    '{_PII_EMAIL}', '<EMAIL>', 'g'),
-    '{_PII_SSN}', '<SSN>', 'g'),
-    '{_PII_PHONE}', '<PHONE>', 'g'),
-    '{_PII_IP}', '<IP>', 'g') AS redacted
-FROM aug
+  CAST(len(regexp_extract_all(t1, '{_PII_SSN}')) AS INT) AS n_ssns,
+  CAST(len(regexp_extract_all(t2, '{_PII_PHONE}')) AS INT) AS n_phones,
+  CAST(len(regexp_extract_all(t3, '{_PII_IP}')) AS INT) AS n_ips,
+  regexp_replace(t3, '{_PII_IP}', '<IP>', 'g') AS redacted
+FROM stages3
 """
 
 
@@ -378,8 +391,9 @@ def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     embarrassingly parallel scan, the cheapest possible shape.
 
     Redaction order (email -> ssn -> phone -> ip) prevents the phone
-    pattern from eating SSN tails; counts run on the raw string since
-    the patterns cannot overlap by construction."""
+    pattern from eating SSN tails; each stage's count runs on the
+    previous stage's output so counts equal inserted tags even when
+    patterns overlap in raw text."""
     return pii_scrub(table(spark, sf_dir, "documents"))
 
 
@@ -400,20 +414,19 @@ def pii_scrub(docs: DataFrame) -> DataFrame:
         F.lit("-"), F.lpad(s(did % 100), 2, "0"),
         F.lit("-"), F.lpad(s(F.expr("(doc_id DIV 3) % 10000")), 4, "0"),
     )
-    red = aug
-    for pat, tag in (
-        (_PII_EMAIL, "<EMAIL>"),
-        (_PII_SSN, "<SSN>"),
-        (_PII_PHONE, "<PHONE>"),
-        (_PII_IP, "<IP>"),
-    ):
-        red = F.regexp_replace(red, pat, tag)
+    # each stage's count runs on the previous stage's OUTPUT so counts
+    # equal inserted tags even when patterns overlap in raw text (an
+    # email with a phone-shaped local part is only an email)
+    t1 = F.regexp_replace(aug, _PII_EMAIL, "<EMAIL>")
+    t2 = F.regexp_replace(t1, _PII_SSN, "<SSN>")
+    t3 = F.regexp_replace(t2, _PII_PHONE, "<PHONE>")
+    red = F.regexp_replace(t3, _PII_IP, "<IP>")
     return docs.select(
         "doc_id",
         F.regexp_count(aug, F.lit(_PII_EMAIL)).cast("int").alias("n_emails"),
-        F.regexp_count(aug, F.lit(_PII_SSN)).cast("int").alias("n_ssns"),
-        F.regexp_count(aug, F.lit(_PII_PHONE)).cast("int").alias("n_phones"),
-        F.regexp_count(aug, F.lit(_PII_IP)).cast("int").alias("n_ips"),
+        F.regexp_count(t1, F.lit(_PII_SSN)).cast("int").alias("n_ssns"),
+        F.regexp_count(t2, F.lit(_PII_PHONE)).cast("int").alias("n_phones"),
+        F.regexp_count(t3, F.lit(_PII_IP)).cast("int").alias("n_ips"),
         red.alias("redacted"),
     )
 
@@ -451,7 +464,7 @@ s3 AS (SELECT doc_id, url_raw,
        FROM s2),
 s4 AS (SELECT doc_id, url_raw,
          regexp_replace(regexp_replace(regexp_replace(u,
-           '(utm_[a-z]+|ref)=[^&]*&', '', 'g'),
+           '([?&])((utm_[a-z]+|ref)=[^&]*&)+', '\1', 'g'),
            '[?&](utm_[a-z]+|ref)=[^&]*$', '', 'g'),
            '\?$', '') AS u
        FROM s3)
@@ -479,20 +492,31 @@ def url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("&utm_campaign=Q"), s(did % 4 + 1),
         F.lit("#section-"), s(did % 7),
     )
-    u = F.regexp_replace(raw, r"#.*$", "")
-    head = F.regexp_extract(u, r"^[^/]*//[^/]*", 0)
-    u = F.concat(F.lower(head), F.substring(u, F.length(head) + 1, F.lit(2**31 - 1)))
-    u = F.regexp_replace(u, r"^(https?://)www\.", r"$1")
-    u = F.regexp_replace(u, r"^(https://[^/:]*):443(/|\?|$)", r"$1$2")
-    u = F.regexp_replace(u, r"(utm_[a-z]+|ref)=[^&]*&", "")
-    u = F.regexp_replace(u, r"[?&](utm_[a-z]+|ref)=[^&]*$", "")
-    u = F.regexp_replace(u, r"\?$", "")
+    u = normalize_url_col(raw)
     return docs.select(
         "doc_id",
         raw.alias("url_raw"),
         u.alias("url_norm"),
         F.regexp_extract(u, r"^[a-z]+://([^/:?#]+)", 1).alias("url_host"),
     )
+
+
+def normalize_url_col(raw):
+    """The normalization chain as a reusable Column transform (unit-
+    tested on crafted URLs the corpus derivation can't produce)."""
+    u = F.regexp_replace(raw, r"#.*$", "")
+    head = F.regexp_extract(u, r"^[^/]*//[^/]*", 0)
+    u = F.concat(F.lower(head), F.substring(u, F.length(head) + 1, F.lit(2**31 - 1)))
+    u = F.regexp_replace(u, r"^(https?://)www\.", r"$1")
+    u = F.regexp_replace(u, r"^(https://[^/:]*):443(/|\?|$)", r"$1$2")
+    u = F.regexp_replace(u, r"^(http://[^/:]*):80(/|\?|$)", r"$1$2")
+    # anchored to a [?&] boundary so 'href='/'pref=' never match, and
+    # matching a RUN of tracking params so consecutive ones go in one
+    # replacement (replaceAll resumes after the match, so an unanchored
+    # per-param regex would skip the param right after a removed one)
+    u = F.regexp_replace(u, r"([?&])((utm_[a-z]+|ref)=[^&]*&)+", r"$1")
+    u = F.regexp_replace(u, r"[?&](utm_[a-z]+|ref)=[^&]*$", "")
+    return F.regexp_replace(u, r"\?$", "")
 
 
 # -------------------------------------- per-source length percentiles --
