@@ -120,3 +120,83 @@ def test_winnowing_guarantee_randomized(off_a, off_b, seed):
         f"guaranteed {SUBSTR_K + SUBSTR_W - 1}-char run missed at "
         f"offsets ({off_a}, {off_b})"
     )
+
+
+# ------------------------------------------- chunking and packing ---
+
+_doc_text = st.lists(
+    st.sampled_from(["alpha", "beta", "gg", "", " "]), min_size=0, max_size=40
+).map(" ".join)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(_doc_text, min_size=1, max_size=8))
+def test_doc_chunk_oracle_covers_every_token_exactly(texts):
+    """The DuckDB oracle (the contract both engines hash-match) must
+    chunk so that token positions [1, nt] are covered, chunk sizes stay
+    within CHUNK_TOKENS, stride-aligned prefixes reconstruct the doc,
+    and chunk_text re-tokenizes to exactly its slice."""
+    from trisk_spark.functions.text import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+        DOC_CHUNK_SQL,
+    )
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    for i, t in enumerate(texts):
+        con.execute("INSERT INTO documents VALUES (?, ?)", [i, t])
+    rows = con.execute(DOC_CHUNK_SQL).fetchall()
+    by_doc: dict[int, list] = {}
+    for doc_id, ci, start, n, chunk_text in rows:
+        by_doc.setdefault(doc_id, []).append((ci, start, n, chunk_text))
+    for i, t in enumerate(texts):
+        words = [w for w in t.split(" ") if w != ""]
+        chunks = sorted(by_doc.get(i, []))
+        if not words:
+            assert chunks == []
+            continue
+        nt = len(words)
+        assert [c[0] for c in chunks] == list(range(len(chunks)))
+        covered = set()
+        for ci, start, n, chunk_text in chunks:
+            assert start == ci * CHUNK_STRIDE + 1
+            assert 1 <= n <= CHUNK_TOKENS
+            assert chunk_text.split(" ") == words[start - 1 : start - 1 + n]
+            covered.update(range(start, start + n))
+        assert covered == set(range(1, nt + 1)), "token coverage hole"
+        # last chunk must reach the end; a further chunk would be empty
+        last_start = chunks[-1][1]
+        assert last_start <= nt
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["s0", "s1", "s2"]), _doc_text),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_sequence_pack_oracle_matches_running_fold(rows):
+    """Packing invariants on the oracle: per-source offsets follow the
+    running token sum in doc_id order, seq_offset < capacity, and the
+    total token count is conserved (no token lost or duplicated)."""
+    from trisk_spark.functions.sampling import PACK_CAPACITY, SEQUENCE_PACK_SQL
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, source VARCHAR, text VARCHAR)")
+    for i, (src, t) in enumerate(rows):
+        con.execute("INSERT INTO documents VALUES (?, ?, ?)", [i, src, t])
+    got = con.execute(
+        SEQUENCE_PACK_SQL + " ORDER BY source, doc_id"
+    ).fetchall()
+    run: dict[str, int] = {}
+    for doc_id, source, n_tokens, seq_id, seq_offset in got:
+        words = [w for w in rows[doc_id][1].split(" ") if w != ""]
+        assert n_tokens == len(words)
+        start = run.get(source, 0)
+        assert seq_id == start // PACK_CAPACITY
+        assert seq_offset == start % PACK_CAPACITY
+        run[source] = start + n_tokens
+    assert len(got) == len(rows), "a document vanished from the packing"
