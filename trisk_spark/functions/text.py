@@ -397,10 +397,12 @@ def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pii_scrub(table(spark, sf_dir, "documents"))
 
 
-def pii_scrub(docs: DataFrame) -> DataFrame:
+def pii_scrub(docs: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
     """Core PII scrub over any (doc_id, text) DataFrame — batch or
     streaming (pure column expressions, so the same plan runs under
-    Structured Streaming unchanged; see streaming test)."""
+    Structured Streaming unchanged; see streaming test). ``keep`` names
+    pass-through columns to retain (e.g. a partition key for the
+    output writer)."""
     did = F.col("doc_id")
     s = lambda c: c.cast("string")  # noqa: E731
     aug = F.concat(
@@ -423,6 +425,7 @@ def pii_scrub(docs: DataFrame) -> DataFrame:
     red = F.regexp_replace(t3, _PII_IP, "<IP>")
     return docs.select(
         "doc_id",
+        *keep,
         F.regexp_count(aug, F.lit(_PII_EMAIL)).cast("int").alias("n_emails"),
         F.regexp_count(t1, F.lit(_PII_SSN)).cast("int").alias("n_ssns"),
         F.regexp_count(t2, F.lit(_PII_PHONE)).cast("int").alias("n_phones"),

@@ -37,15 +37,30 @@ def to_console(df: DataFrame, checkpoint: str, mode: str = "append"):
     )
 
 
-def to_files(df: DataFrame, path: str, checkpoint: str, fmt: str = "parquet"):
+def to_files(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    fmt: str = "parquet",
+    partition_by: str | None = None,
+):
     """writeAsText/writeAsCsv (DataStream.java:1071,1117), generalized
-    to columnar formats (append-only by Spark's file-sink contract)."""
-    return (
+    to columnar formats (append-only by Spark's file-sink contract).
+
+    ``partition_by`` writes hive-style directories (e.g. source= or
+    split=) — the 100 TB output layout for curated corpora: readers
+    partition-prune, and the file sink's manifest (_spark_metadata +
+    the checkpoint) makes restarts exactly-once — a resumed query never
+    re-commits a batch's files (pytest-pinned restart test)."""
+    w = (
         df.writeStream.outputMode("append")
         .format(fmt)
         .option("path", path)
         .option("checkpointLocation", checkpoint)
     )
+    if partition_by is not None:
+        w = w.partitionBy(partition_by)
+    return w
 
 
 def to_kafka(df: DataFrame, brokers: str, topic: str, checkpoint: str):
