@@ -57,6 +57,7 @@ HEADLINE = [
     "length_percentiles",
     "doc_chunk",
     "source_cap_sample",
+    "ivf_refine",
 ]
 
 

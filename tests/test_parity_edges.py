@@ -335,7 +335,7 @@ def test_events_family_parity_on_hostile_corpus(spark, hostile_events, name):
 
 _SIM_FAMILY = [
     "knn_bruteforce", "cosine_near_dup_exact", "cosine_near_dup_lsh",
-    "ann_lsh_bucketed", "ann_ivf", "knn_label_vote",
+    "ann_lsh_bucketed", "ann_ivf", "knn_label_vote", "ivf_refine",
 ]
 
 _DIM = 64

@@ -812,3 +812,94 @@ def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("w.v").alias("n_votes"),
         )
     )
+
+
+# ------------------------------------------- IVF centroid refinement --
+
+IVF_REFINE_SQL = f"""
+WITH {_ivf_parts_sql()},
+dims AS (
+  SELECT list_id, pos, SUM(vec[pos]) AS s, COUNT(*) AS c
+  FROM (SELECT list_id, vec, unnest(range(1, len(vec) + 1)) AS pos
+        FROM assign)
+  GROUP BY list_id, pos
+),
+sums AS (
+  SELECT list_id, list(s ORDER BY pos) AS sumvec, MAX(c) AS n_members
+  FROM dims GROUP BY list_id
+)
+SELECT s.list_id, CAST(s.n_members AS BIGINT) AS n_members,
+  CAST(ROUND(CAST({_DOT_SQL.format(a="sumvec", b="c_vec")} AS DOUBLE)
+    / (SQRT(CAST({_DOT_SQL.format(a="sumvec", b="sumvec")} AS DOUBLE))
+       * SQRT(CAST(c_norm AS DOUBLE))), 6) AS DOUBLE) AS centroid_cos
+FROM sums s JOIN cents ON c_id = s.list_id
+"""
+
+
+@register("ivf_refine", oracle=IVF_REFINE_SQL)
+def ivf_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd (k-means) refinement step over the IVF lists — the
+    batch image of the reference's iterative ``iterate()`` pattern
+    applied to index maintenance: re-assign every vector to its nearest
+    centroid (the same map-side broadcast argmax as ``ann_ivf``), then
+    report each list's membership count and how far its mean has
+    drifted from the current centroid (cosine between the member-sum
+    vector and the centroid — the member MEAN has the same direction,
+    so no division by count is needed and the arithmetic stays exact
+    integers until the final rounded division).
+
+    Plan: assignment is map-side (zero shuffle, broadcast centroid
+    array); the elementwise member-sum runs as posexplode ->
+    (list_id, pos) partial-aggregated SUM — after map-side combine the
+    shuffle moves at most K x DIM = 4096 rows per partition regardless
+    of corpus size; rebuild-and-join against the K-row centroid table
+    is broadcast. Centroid drift (1 - centroid_cos) is the signal a
+    100 TB pipeline uses to decide when the write-time index needs
+    re-clustering."""
+    emb = _valid_embeddings(table(spark, sf_dir, "embeddings"))
+    n = (
+        emb.select("vec_id", _scaled(F.col("embedding")).alias("vec"))
+        .withColumn("norm", _dot(F.col("vec"), F.col("vec")))
+        .where(F.col("norm") > 0)
+    )
+    cents = n.orderBy("vec_id").limit(N_CENTROIDS).select(
+        F.col("vec_id").alias("c_id"), F.col("vec").alias("c_vec"),
+        F.col("norm").alias("c_norm"),
+    )
+    assign = _with_cent_array(n, cents).select(
+        "vec_id", "vec",
+        (-F.array_max(
+            F.transform(
+                "cents",
+                lambda c: F.struct(
+                    _cent_cos(c).alias("cos"), (-c["c_id"]).alias("nc")
+                ),
+            )
+        )["nc"]).alias("list_id"),
+    )
+    dims = (
+        assign.select("list_id", F.posexplode("vec").alias("pos", "x"))
+        .groupBy("list_id", "pos")
+        .agg(F.sum("x").alias("s"), F.count("*").alias("c"))
+    )
+    sums = dims.groupBy("list_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "s"))), lambda p: p["s"]
+        ).alias("sumvec"),
+        F.max("c").cast("bigint").alias("n_members"),
+    )
+    return (
+        sums.join(F.broadcast(cents), sums.list_id == cents.c_id)
+        .select(
+            "list_id",
+            "n_members",
+            F.round(
+                _dot(F.col("sumvec"), F.col("c_vec")).cast("double")
+                / (
+                    F.sqrt(_dot(F.col("sumvec"), F.col("sumvec")).cast("double"))
+                    * F.sqrt(F.col("c_norm").cast("double"))
+                ),
+                6,
+            ).alias("centroid_cos"),
+        )
+    )

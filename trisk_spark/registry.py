@@ -104,9 +104,10 @@ DEPRIORITIZED = [
     # url_normalize, sequence_pack, length_percentiles) get driver rows:
     "media_metadata",        # map-side multimodal: media_byte_features/decode
     "decontaminate_flags",   # broadcast semi-join: fraud_alerts; shingles: dedup_minhash_lsh
-    # and two more for doc_chunk + source_cap_sample:
+    # and three more for doc_chunk + source_cap_sample + ivf_refine:
     "token_count",           # same tokenizer expr inside sequence_pack/doc_chunk
     "nexmark_q3",            # SURVEY §2B Q3 row: q3_emit_once_join (in)
+    "purging_trigger",       # trigger family: delta_trigger (in)
 ]
 
 
