@@ -463,3 +463,16 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 spark.conf.set(k, v)
             else:
                 spark.conf.unset(k)
+
+
+def test_ivf_refine_is_bounded_partial_agg(spark):
+    # assignment must stay map-side (zero Window); the only shuffles
+    # are the two partial-aggregated groupBys ((list_id, pos) sums and
+    # the per-list rebuild) whose post-combine payload is bounded by
+    # K x DIM rows per partition; centroids ship by broadcast
+    import re
+    plan = static_plan(spark, "ivf_refine")
+    assert len(re.findall(r"^\(\d+\) Window$", plan, re.M)) == 0, plan
+    assert len(re.findall(r"^\(\d+\) Exchange$", plan, re.M)) == 2, plan
+    assert "partial_" in plan, "member sums lack map-side combine"
+    assert "BroadcastExchange" in plan
