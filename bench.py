@@ -58,6 +58,7 @@ HEADLINE = [
     "doc_chunk",
     "source_cap_sample",
     "ivf_refine",
+    "curation_manifest",
 ]
 
 

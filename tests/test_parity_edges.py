@@ -207,7 +207,7 @@ _TEXT_FAMILY = [
     "decontaminate_flags", "media_frame_sample",
     "pii_redact", "url_normalize", "wordcount", "wordcount_two_input",
     "dedup_clusters", "sequence_pack", "length_percentiles",
-    "doc_chunk", "source_cap_sample",
+    "doc_chunk", "source_cap_sample", "curation_manifest",
 ]
 
 

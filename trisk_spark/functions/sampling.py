@@ -207,3 +207,97 @@ def source_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w).cast("bigint"))
         .where(F.col("rn") <= SOURCE_CAP)
     )
+
+
+# ------------------------------------------- curation manifest ------
+
+#: manifest gates: minimum combined quality score and token floor
+MANIFEST_MIN_QUALITY = 0.5
+MANIFEST_MIN_TOKENS = 5
+
+
+def _curation_manifest_sql() -> str:
+    from trisk_spark.functions.text import _SW_SQL
+
+    return f"""
+WITH base AS (
+  SELECT doc_id, source, text,
+    list_filter(string_split(text, ' '), w -> w <> '') AS ws
+  FROM documents WHERE text IS NOT NULL
+),
+scored AS (
+  SELECT doc_id, source,
+    md5(lower(text)) AS content_md5,
+    CAST(len(ws) AS BIGINT) AS n_tokens,
+    CASE WHEN {_BUCKET_SQL} < {TRAIN_PCT} THEN 'train'
+         WHEN {_BUCKET_SQL} < {VAL_PCT} THEN 'val'
+         ELSE 'test' END AS split,
+    0.5 * LEAST(len(ws) / 64.0, 1.0)
+      + 0.3 * (1.0 - CAST(len(list_filter(ws, w -> w IN {_SW_SQL})) AS DOUBLE) / len(ws))
+      + 0.2 * LEAST((CAST(length(text) - len(ws) + 1 AS DOUBLE) / len(ws)) / 8.0, 1.0)
+      AS q
+  FROM base WHERE len(ws) >= {MANIFEST_MIN_TOKENS}
+),
+kept AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY content_md5 ORDER BY doc_id)
+    AS dup_rank
+  FROM scored WHERE q >= {MANIFEST_MIN_QUALITY}
+)
+SELECT doc_id, source, split, n_tokens,
+  CAST(ROUND(q, 4) AS DOUBLE) AS quality
+FROM kept WHERE dup_rank = 1
+"""
+
+
+def _register_curation_manifest() -> None:
+    @register("curation_manifest", oracle=_curation_manifest_sql())
+    def curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The end-to-end curation story in ONE query: quality gate
+        (combined score + token floor), exact dedup (keep the smallest
+        doc_id per lowercase content hash), and stable split assignment
+        — the manifest a training run consumes.
+
+        Plan: scoring, hashing, and split assignment are all map-side
+        expressions over one scan; the ONLY shuffle is the 32-byte
+        content-hash dedup rank (document text never moves). Both
+        filters run before the exchange, so it carries only surviving
+        rows — at 100 TB this is the one-pass replacement for a
+        three-job pipeline."""
+        from pyspark.sql import Window
+
+        from trisk_spark.functions.text import quality_expr
+
+        docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+        ws = F.filter(F.split("text", " "), lambda w: w != "")
+        d = docs.select(
+            "doc_id",
+            "source",
+            F.md5(F.lower("text")).alias("content_md5"),
+            F.size(ws).cast("bigint").alias("n_tokens"),
+            _split_col().alias("split"),
+            quality_expr(F.col("text")).alias("q"),
+        ).where(
+            (F.col("n_tokens") >= MANIFEST_MIN_TOKENS)
+            & (F.col("q") >= MANIFEST_MIN_QUALITY)
+        )
+        w = Window.partitionBy("content_md5").orderBy("doc_id")
+        return (
+            d.withColumn("dup_rank", F.row_number().over(w))
+            .where(F.col("dup_rank") == 1)
+            .select(
+                "doc_id", "source", "split", "n_tokens",
+                F.round("q", 4).alias("quality"),
+            )
+        )
+
+
+def _split_col() -> Column:
+    b = _bucket(F.col("doc_id"))
+    return (
+        F.when(b < TRAIN_PCT, F.lit("train"))
+        .when(b < VAL_PCT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
+_register_curation_manifest()

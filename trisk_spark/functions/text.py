@@ -624,3 +624,20 @@ def doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("chunk_text"),
     )
+
+
+def quality_expr(text_col):
+    """The combined quality score as a single reusable Column (same
+    formula as quality_score, unrounded): 0.5*token-count saturation +
+    0.3*(1 - stopword ratio) + 0.2*word-length saturation. NULL for
+    word-less docs (guarded — under ANSI a bare /0 would throw)."""
+    ws = F.filter(F.split(text_col, " "), lambda w: w != "")
+    nt = F.size(ws)
+    awl = (F.length(text_col) - nt + 1).cast("double") / nt
+    swr = F.size(F.filter(ws, lambda w: w.isin(*_STOPWORDS))).cast("double") / nt
+    return F.when(
+        nt > 0,
+        0.5 * F.least(nt / 64.0, F.lit(1.0))
+        + 0.3 * (1.0 - swr)
+        + 0.2 * F.least(awl / 8.0, F.lit(1.0)),
+    )

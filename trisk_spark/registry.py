@@ -108,6 +108,8 @@ DEPRIORITIZED = [
     "token_count",           # same tokenizer expr inside sequence_pack/doc_chunk
     "nexmark_q3",            # SURVEY §2B Q3 row: q3_emit_once_join (in)
     "purging_trigger",       # trigger family: delta_trigger (in)
+    # and one for curation_manifest:
+    "tumbling_window_agg",   # event-time windows: time_evictor_window, nexmark_q5 (in)
 ]
 
 
