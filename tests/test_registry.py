@@ -1,0 +1,42 @@
+"""Registry invariants: the driver records the FIRST 50 entries of
+load_all(), so ordering bugs silently drop coverage. These tests make
+the contract loud."""
+
+from __future__ import annotations
+
+from trisk_spark.registry import DEPRIORITIZED, load_all
+
+WINDOW = 50
+
+
+def test_window_is_exactly_fifty():
+    # adding a query without adding a sitter pushes the last in-window
+    # query out silently — fail loudly instead
+    names = list(load_all())
+    assert len(names) - len(DEPRIORITIZED) == WINDOW, (
+        f"{len(names)} registered - {len(DEPRIORITIZED)} sitters != {WINDOW}: "
+        "rotate one more redundant query into DEPRIORITIZED (with a "
+        "witness comment) or remove one"
+    )
+
+
+def test_deprioritized_names_exist_and_sit_last():
+    reg = load_all()
+    names = list(reg)
+    for n in DEPRIORITIZED:
+        assert n in reg, f"DEPRIORITIZED references unknown query {n!r}"
+    assert names[-len(DEPRIORITIZED):] == [
+        n for n in DEPRIORITIZED if n in reg
+    ], "sitters are not ordered last — the driver window would eat them"
+
+
+def test_every_sitter_is_oracle_gated():
+    # a query may only sit out if pytest still gates it: it must carry
+    # a DuckDB oracle (test_oracle_parity covers every oracle-bearing
+    # query each run)
+    reg = load_all()
+    for n in DEPRIORITIZED:
+        assert reg[n].oracle is not None, (
+            f"{n} sits out of the driver window AND has no oracle — "
+            "it would be completely unverified"
+        )
