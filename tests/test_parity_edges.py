@@ -222,7 +222,6 @@ def hostile_docs(tmp_path_factory):
     media kernels."""
     tmp = tmp_path_factory.mktemp("hostile-docs")
     docs = {
-        "doc_id": [1, 2, 3, 4, 5, 6, 7, 8],
         "text": [
             "alpha beta gamma delta epsilon words here now",
             None,
@@ -239,10 +238,16 @@ def hostile_docs(tmp_path_factory):
             # NULL lang + NULL source: url_normalize's coalesce paths,
             # source_quality_rollup's NULL group
             "plain words only",
+            # NULL doc_id: Spark windows order NULL keys FIRST, DuckDB
+            # LAST — any doc_id-ordered window op (sequence_pack,
+            # source_cap_sample) diverges unless NULL ids are excluded
+            # on both engines
+            "null id words here",
         ],
-        "lang": ["en"] * 6 + [None, None],
-        "source": ["f"] * 6 + ["g", None],
-        "n_chars": [45, 0, 45, 0, 9, 3, 103, 16],
+        "doc_id": [1, 2, 3, 4, 5, 6, 7, 8, None],
+        "lang": ["en"] * 6 + [None, None, "en"],
+        "source": ["f"] * 6 + ["g", None, "f"],
+        "n_chars": [45, 0, 45, 0, 9, 3, 103, 16, 19],
     }
     pq.write_table(pa.table(docs), tmp / "documents.parquet")
     con = duckdb.connect()

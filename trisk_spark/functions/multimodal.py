@@ -58,9 +58,12 @@ def media(spark: SparkSession, sf_dir: str) -> DataFrame:
     media_type cycles image/audio/video by doc_id; width/height are
     deterministic metadata (the fake "container header")."""
     docs = table(spark, sf_dir, "documents")
-    # NULL text ≠ a media asset: drop it here (both engines) so the
-    # byte kernels never see a NULL blob
-    docs = docs.where(F.col("text").isNotNull())
+    # NULL text ≠ a media asset, and NULL doc_id ≠ an asset id: drop
+    # both here (both engines) so the byte kernels never see a NULL
+    # blob and the per-id media_type/width/height derivations never
+    # hit NULL arithmetic (DuckDB CONCAT swallows NULLs; list[NULL]
+    # and element_at NULL agree today but are fragile)
+    docs = docs.where(F.col("text").isNotNull() & F.col("doc_id").isNotNull())
     return docs.select(
         "doc_id",
         F.encode("text", "UTF-8").alias("blob"),
@@ -78,7 +81,7 @@ SELECT doc_id, encode(text) AS blob,
   (['image', 'audio', 'video'])[CAST(doc_id % 3 AS INT) + 1] AS media_type,
   CAST(32 + (doc_id % 8) * 16 AS INT) AS width,
   CAST(32 + (doc_id % 5) * 16 AS INT) AS height
-FROM documents WHERE text IS NOT NULL
+FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL
 """
 
 # ------------------------------------------------- metadata rollup ---
@@ -205,7 +208,7 @@ BYTE_FEATURES_SQL = (
 WITH h AS (
   SELECT doc_id, hex(encode(text)) AS hx,
     unnest(range(1, octet_length(encode(text)) + 1)) AS i
-  FROM documents WHERE text IS NOT NULL
+  FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL
 ),
 b AS (
   SELECT doc_id,
@@ -220,7 +223,8 @@ SELECT d.doc_id,
         for i in range(N_HIST_BINS)
     )
     + """
-FROM (SELECT * FROM documents WHERE text IS NOT NULL) d
+FROM (SELECT * FROM documents
+      WHERE text IS NOT NULL AND doc_id IS NOT NULL) d
 LEFT JOIN b USING (doc_id)
 GROUP BY d.doc_id, d.text
 """

@@ -45,7 +45,7 @@ SELECT doc_id,
   CASE WHEN {_BUCKET_SQL} < {TRAIN_PCT} THEN 'train'
        WHEN {_BUCKET_SQL} < {VAL_PCT} THEN 'val'
        ELSE 'test' END AS split
-FROM documents
+FROM documents WHERE doc_id IS NOT NULL
 """
 
 
@@ -57,7 +57,9 @@ def train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     (rand() would re-split on every retry/backfill; hashing the id is
     the reproducible-pipeline standard). At 100 TB the split column is
     what a writer would partition output by."""
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents").where(
+        F.col("doc_id").isNotNull()
+    )
     b = _bucket(F.col("doc_id"))
     return docs.select(
         "doc_id",
@@ -74,7 +76,7 @@ WITH s AS (
     CASE WHEN {_BUCKET_SQL} < {TRAIN_PCT} THEN 'train'
          WHEN {_BUCKET_SQL} < {VAL_PCT} THEN 'val'
          ELSE 'test' END AS split
-  FROM documents
+  FROM documents WHERE doc_id IS NOT NULL
 )
 SELECT source, split, COUNT(*) AS n_docs,
   CAST(SUM(n_chars) AS BIGINT) AS total_chars
@@ -90,7 +92,9 @@ def split_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: the split expression stays map-side; ONE shuffle moves only
     (source, split, partial counts) rows with map-side combine."""
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents").where(
+        F.col("doc_id").isNotNull()
+    )
     b = _bucket(F.col("doc_id"))
     split = (
         F.when(b < TRAIN_PCT, F.lit("train"))
@@ -118,7 +122,7 @@ WITH toks AS (
   SELECT doc_id, source,
     CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT)
       AS n_tokens
-  FROM documents
+  FROM documents WHERE doc_id IS NOT NULL
 ),
 run AS (
   SELECT doc_id, source, n_tokens,
@@ -148,7 +152,9 @@ def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     (shards pack independently on different executors) and what real
     pipelines do (pack within a shard so readers stream one file).
     Skewed shards cost a spilled sort, never an OOM."""
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents").where(
+        F.col("doc_id").isNotNull()
+    )
     from pyspark.sql import Window
 
     toks = F.size(F.filter(F.split("text", " "), lambda w: w != "")).cast("bigint")
@@ -179,7 +185,7 @@ FROM (
   SELECT doc_id, source,
     row_number() OVER (PARTITION BY source
                        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
-  FROM documents
+  FROM documents WHERE doc_id IS NOT NULL
 )
 WHERE rn <= {SOURCE_CAP}
 """
@@ -196,7 +202,9 @@ def source_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort, rank prunes immediately — at 100 TB only the md5 order key
     and ids move, and a pathological mega-source costs a spilled sort,
     never memory."""
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents").where(
+        F.col("doc_id").isNotNull()
+    )
     from pyspark.sql import Window
 
     w = Window.partitionBy("source").orderBy(
@@ -223,7 +231,7 @@ def _curation_manifest_sql() -> str:
 WITH base AS (
   SELECT doc_id, source, text,
     list_filter(string_split(text, ' '), w -> w <> '') AS ws
-  FROM documents WHERE text IS NOT NULL
+  FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL
 ),
 scored AS (
   SELECT doc_id, source,
@@ -267,7 +275,9 @@ def _register_curation_manifest() -> None:
 
         from trisk_spark.functions.text import quality_expr
 
-        docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+        docs = table(spark, sf_dir, "documents").where(
+            F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+        )
         ws = F.filter(F.split("text", " "), lambda w: w != "")
         d = docs.select(
             "doc_id",
