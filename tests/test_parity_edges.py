@@ -247,7 +247,7 @@ def hostile_docs(tmp_path_factory):
         "doc_id": [1, 2, 3, 4, 5, 6, 7, 8, None],
         "lang": ["en"] * 6 + [None, None, "en"],
         "source": ["f"] * 6 + ["g", None, "f"],
-        "n_chars": [45, 0, 45, 0, 9, 3, 103, 16, 19],
+        "n_chars": [45, 0, 45, 0, 9, 3, 103, 16, 18],
     }
     pq.write_table(pa.table(docs), tmp / "documents.parquet")
     con = duckdb.connect()

@@ -16,9 +16,10 @@ functions/dedup.py and functions/multimodal.py.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
 from trisk_spark.catalog import table
+from trisk_spark.functions.text import _SW_SQL, quality_expr
 from trisk_spark.registry import register
 
 #: split thresholds over a 0-99 hash bucket: [0,80) train, [80,90) val,
@@ -30,6 +31,11 @@ _BUCKET_SQL = (
     "AS BIGINT) % 100"
 )
 
+#: the split CASE, shared verbatim by every oracle that assigns splits
+_SPLIT_CASE_SQL = f"""CASE WHEN {_BUCKET_SQL} < {TRAIN_PCT} THEN 'train'
+       WHEN {_BUCKET_SQL} < {VAL_PCT} THEN 'val'
+       ELSE 'test' END"""
+
 
 def _bucket(doc_id: Column) -> Column:
     """0-99 bucket from the first 60 bits of md5(doc_id) — identical
@@ -40,11 +46,29 @@ def _bucket(doc_id: Column) -> Column:
     )
 
 
+def _split_col() -> Column:
+    """The engine half of ``_SPLIT_CASE_SQL`` — the ONE place the
+    bucket->label mapping lives (train_split, split_rollup, and
+    curation_manifest all use it, so a threshold change cannot
+    desynchronize them)."""
+    b = _bucket(F.col("doc_id"))
+    return (
+        F.when(b < TRAIN_PCT, F.lit("train"))
+        .when(b < VAL_PCT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with the doc_id validity gate every id-keyed op needs
+    (NULL ids break DuckDB's NULL-swallowing CONCAT and order
+    differently in windows — see tests/test_parity_edges.py)."""
+    return table(spark, sf_dir, "documents").where(F.col("doc_id").isNotNull())
+
+
 TRAIN_SPLIT_SQL = f"""
 SELECT doc_id,
-  CASE WHEN {_BUCKET_SQL} < {TRAIN_PCT} THEN 'train'
-       WHEN {_BUCKET_SQL} < {VAL_PCT} THEN 'val'
-       ELSE 'test' END AS split
+  {_SPLIT_CASE_SQL} AS split
 FROM documents WHERE doc_id IS NOT NULL
 """
 
@@ -57,25 +81,13 @@ def train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     (rand() would re-split on every retry/backfill; hashing the id is
     the reproducible-pipeline standard). At 100 TB the split column is
     what a writer would partition output by."""
-    docs = table(spark, sf_dir, "documents").where(
-        F.col("doc_id").isNotNull()
-    )
-    b = _bucket(F.col("doc_id"))
-    return docs.select(
-        "doc_id",
-        F.when(b < TRAIN_PCT, F.lit("train"))
-        .when(b < VAL_PCT, F.lit("val"))
-        .otherwise(F.lit("test"))
-        .alias("split"),
-    )
+    return _docs(spark, sf_dir).select("doc_id", _split_col().alias("split"))
 
 
 SPLIT_ROLLUP_SQL = f"""
 WITH s AS (
   SELECT source, n_chars,
-    CASE WHEN {_BUCKET_SQL} < {TRAIN_PCT} THEN 'train'
-         WHEN {_BUCKET_SQL} < {VAL_PCT} THEN 'val'
-         ELSE 'test' END AS split
+    {_SPLIT_CASE_SQL} AS split
   FROM documents WHERE doc_id IS NOT NULL
 )
 SELECT source, split, COUNT(*) AS n_docs,
@@ -92,18 +104,9 @@ def split_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: the split expression stays map-side; ONE shuffle moves only
     (source, split, partial counts) rows with map-side combine."""
-    docs = table(spark, sf_dir, "documents").where(
-        F.col("doc_id").isNotNull()
-    )
-    b = _bucket(F.col("doc_id"))
-    split = (
-        F.when(b < TRAIN_PCT, F.lit("train"))
-        .when(b < VAL_PCT, F.lit("val"))
-        .otherwise(F.lit("test"))
-        .alias("split")
-    )
     return (
-        docs.select("source", "n_chars", split)
+        _docs(spark, sf_dir)
+        .select("source", "n_chars", _split_col().alias("split"))
         .groupBy("source", "split")
         .agg(
             F.count("*").alias("n_docs"),
@@ -152,18 +155,13 @@ def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     (shards pack independently on different executors) and what real
     pipelines do (pack within a shard so readers stream one file).
     Skewed shards cost a spilled sort, never an OOM."""
-    docs = table(spark, sf_dir, "documents").where(
-        F.col("doc_id").isNotNull()
-    )
-    from pyspark.sql import Window
-
     toks = F.size(F.filter(F.split("text", " "), lambda w: w != "")).cast("bigint")
     w = (
         Window.partitionBy("source")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    d = docs.select("doc_id", "source", toks.alias("n_tokens"))
+    d = _docs(spark, sf_dir).select("doc_id", "source", toks.alias("n_tokens"))
     start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("start_off")
     return d.select("doc_id", "source", "n_tokens", start).select(
         "doc_id",
@@ -202,16 +200,12 @@ def source_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort, rank prunes immediately — at 100 TB only the md5 order key
     and ids move, and a pathological mega-source costs a spilled sort,
     never memory."""
-    docs = table(spark, sf_dir, "documents").where(
-        F.col("doc_id").isNotNull()
-    )
-    from pyspark.sql import Window
-
     w = Window.partitionBy("source").orderBy(
         F.md5(F.col("doc_id").cast("string")), "doc_id"
     )
     return (
-        docs.select("doc_id", "source")
+        _docs(spark, sf_dir)
+        .select("doc_id", "source")
         .withColumn("rn", F.row_number().over(w).cast("bigint"))
         .where(F.col("rn") <= SOURCE_CAP)
     )
@@ -223,11 +217,7 @@ def source_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 MANIFEST_MIN_QUALITY = 0.5
 MANIFEST_MIN_TOKENS = 5
 
-
-def _curation_manifest_sql() -> str:
-    from trisk_spark.functions.text import _SW_SQL
-
-    return f"""
+CURATION_MANIFEST_SQL = f"""
 WITH base AS (
   SELECT doc_id, source, text,
     list_filter(string_split(text, ' '), w -> w <> '') AS ws
@@ -237,9 +227,7 @@ scored AS (
   SELECT doc_id, source,
     md5(lower(text)) AS content_md5,
     CAST(len(ws) AS BIGINT) AS n_tokens,
-    CASE WHEN {_BUCKET_SQL} < {TRAIN_PCT} THEN 'train'
-         WHEN {_BUCKET_SQL} < {VAL_PCT} THEN 'val'
-         ELSE 'test' END AS split,
+    {_SPLIT_CASE_SQL} AS split,
     0.5 * LEAST(len(ws) / 64.0, 1.0)
       + 0.3 * (1.0 - CAST(len(list_filter(ws, w -> w IN {_SW_SQL})) AS DOUBLE) / len(ws))
       + 0.2 * LEAST((CAST(length(text) - len(ws) + 1 AS DOUBLE) / len(ws)) / 8.0, 1.0)
@@ -257,57 +245,40 @@ FROM kept WHERE dup_rank = 1
 """
 
 
-def _register_curation_manifest() -> None:
-    @register("curation_manifest", oracle=_curation_manifest_sql())
-    def curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
-        """The end-to-end curation story in ONE query: quality gate
-        (combined score + token floor), exact dedup (keep the smallest
-        doc_id per lowercase content hash), and stable split assignment
-        — the manifest a training run consumes.
+@register("curation_manifest", oracle=CURATION_MANIFEST_SQL)
+def curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end curation story in ONE query: quality gate
+    (combined score + token floor), exact dedup (keep the smallest
+    doc_id per lowercase content hash), and stable split assignment
+    — the manifest a training run consumes. The score is the shared
+    ``quality_expr`` and the split the shared ``_split_col``, so the
+    manifest can never drift from quality_score / train_split.
 
-        Plan: scoring, hashing, and split assignment are all map-side
-        expressions over one scan; the ONLY shuffle is the 32-byte
-        content-hash dedup rank (document text never moves). Both
-        filters run before the exchange, so it carries only surviving
-        rows — at 100 TB this is the one-pass replacement for a
-        three-job pipeline."""
-        from pyspark.sql import Window
-
-        from trisk_spark.functions.text import quality_expr
-
-        docs = table(spark, sf_dir, "documents").where(
-            F.col("doc_id").isNotNull() & F.col("text").isNotNull()
-        )
-        ws = F.filter(F.split("text", " "), lambda w: w != "")
-        d = docs.select(
-            "doc_id",
-            "source",
-            F.md5(F.lower("text")).alias("content_md5"),
-            F.size(ws).cast("bigint").alias("n_tokens"),
-            _split_col().alias("split"),
-            quality_expr(F.col("text")).alias("q"),
-        ).where(
-            (F.col("n_tokens") >= MANIFEST_MIN_TOKENS)
-            & (F.col("q") >= MANIFEST_MIN_QUALITY)
-        )
-        w = Window.partitionBy("content_md5").orderBy("doc_id")
-        return (
-            d.withColumn("dup_rank", F.row_number().over(w))
-            .where(F.col("dup_rank") == 1)
-            .select(
-                "doc_id", "source", "split", "n_tokens",
-                F.round("q", 4).alias("quality"),
-            )
-        )
-
-
-def _split_col() -> Column:
-    b = _bucket(F.col("doc_id"))
-    return (
-        F.when(b < TRAIN_PCT, F.lit("train"))
-        .when(b < VAL_PCT, F.lit("val"))
-        .otherwise(F.lit("test"))
+    Plan: scoring, hashing, and split assignment are all map-side
+    expressions over one scan; the ONLY shuffle is the 32-byte
+    content-hash dedup rank (document text never moves). Both
+    filters run before the exchange, so it carries only surviving
+    rows — at 100 TB this is the one-pass replacement for a
+    three-job pipeline."""
+    docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    ws = F.filter(F.split("text", " "), lambda w: w != "")
+    d = docs.select(
+        "doc_id",
+        "source",
+        F.md5(F.lower("text")).alias("content_md5"),
+        F.size(ws).cast("bigint").alias("n_tokens"),
+        _split_col().alias("split"),
+        quality_expr(F.col("text")).alias("q"),
+    ).where(
+        (F.col("n_tokens") >= MANIFEST_MIN_TOKENS)
+        & (F.col("q") >= MANIFEST_MIN_QUALITY)
     )
-
-
-_register_curation_manifest()
+    w = Window.partitionBy("content_md5").orderBy("doc_id")
+    return (
+        d.withColumn("dup_rank", F.row_number().over(w))
+        .where(F.col("dup_rank") == 1)
+        .select(
+            "doc_id", "source", "split", "n_tokens",
+            F.round("q", 4).alias("quality"),
+        )
+    )

@@ -827,12 +827,27 @@ dims AS (
 sums AS (
   SELECT list_id, list(s ORDER BY pos) AS sumvec, MAX(c) AS n_members
   FROM dims GROUP BY list_id
+),
+-- cosine on the IEEE-exact MEAN, not the raw sum: a hot list's
+-- sum-vector dot can overflow BIGINT (Spark wraps silently, DuckDB
+-- promotes — silent divergence), while mean elements stay bounded by
+-- the scaled-component range. s/M is one correctly-rounded double op
+-- and the dot is an explicit LEFT FOLD (list_reduce here, aggregate
+-- on the engine) so both engines round identically.
+means AS (
+  SELECT list_id, n_members,
+    list_transform(sumvec, s -> CAST(s AS DOUBLE) / n_members) AS meanvec
+  FROM sums
 )
-SELECT s.list_id, CAST(s.n_members AS BIGINT) AS n_members,
-  CAST(ROUND(CAST({_DOT_SQL.format(a="sumvec", b="c_vec")} AS DOUBLE)
-    / (SQRT(CAST({_DOT_SQL.format(a="sumvec", b="sumvec")} AS DOUBLE))
+SELECT m.list_id, CAST(m.n_members AS BIGINT) AS n_members,
+  CAST(ROUND(
+    list_reduce(list_transform(list_zip(meanvec, c_vec), s -> s[1] * s[2]),
+                (acc, x) -> acc + x)
+    / (SQRT(list_reduce(list_transform(list_zip(meanvec, meanvec),
+                                       s -> s[1] * s[2]),
+                        (acc, x) -> acc + x))
        * SQRT(CAST(c_norm AS DOUBLE))), 6) AS DOUBLE) AS centroid_cos
-FROM sums s JOIN cents ON c_id = s.list_id
+FROM means m JOIN cents ON c_id = m.list_id
 """
 
 
@@ -843,10 +858,12 @@ def ivf_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     applied to index maintenance: re-assign every vector to its nearest
     centroid (the same map-side broadcast argmax as ``ann_ivf``), then
     report each list's membership count and how far its mean has
-    drifted from the current centroid (cosine between the member-sum
-    vector and the centroid — the member MEAN has the same direction,
-    so no division by count is needed and the arithmetic stays exact
-    integers until the final rounded division).
+    drifted from the current centroid (cosine between the member MEAN
+    and the centroid). Member sums are exact BIGINTs; the cosine runs
+    on the IEEE-exact mean (one correctly-rounded s/M per element) with
+    explicit left-fold dots, identical on both engines and bounded for
+    any list size — a raw sum-vector BIGINT dot would overflow on a
+    hot list (Spark wraps silently, DuckDB promotes to HUGEINT).
 
     Plan: assignment is map-side (zero shuffle, broadcast centroid
     array); the elementwise member-sum runs as posexplode ->
@@ -888,15 +905,34 @@ def ivf_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sumvec"),
         F.max("c").cast("bigint").alias("n_members"),
     )
+    # cosine on the IEEE-exact mean (each element one correctly-rounded
+    # s/M), dots as explicit left folds — bounded regardless of list
+    # size, bit-identical to the oracle's list_reduce (see IVF_REFINE_SQL
+    # comment; a raw sum-vector BIGINT dot overflows on hot lists)
+    means = sums.select(
+        "list_id",
+        "n_members",
+        F.transform(
+            "sumvec", lambda s: s.cast("double") / F.col("n_members")
+        ).alias("meanvec"),
+    )
+
+    def dotd(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
     return (
-        sums.join(F.broadcast(cents), sums.list_id == cents.c_id)
+        means.join(F.broadcast(cents), means.list_id == cents.c_id)
         .select(
             "list_id",
             "n_members",
             F.round(
-                _dot(F.col("sumvec"), F.col("c_vec")).cast("double")
+                dotd(F.col("meanvec"), F.col("c_vec"))
                 / (
-                    F.sqrt(_dot(F.col("sumvec"), F.col("sumvec")).cast("double"))
+                    F.sqrt(dotd(F.col("meanvec"), F.col("meanvec")))
                     * F.sqrt(F.col("c_norm").cast("double"))
                 ),
                 6,

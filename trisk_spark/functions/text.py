@@ -72,32 +72,29 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     ws = F.filter(F.split("text", " "), lambda w: w != "")
     # word-less docs (empty/whitespace/NULL text): metrics are NULL —
-    # guarded on both engines (under ANSI mode a bare /0 would throw)
+    # guarded on both engines (under ANSI mode a bare /0 would throw).
+    # The combined score is the SHARED quality_expr (also the gate in
+    # curation_manifest) so the published score cannot drift from it.
     has_words = F.size(ws) > 0
-    d = docs.select(
+    return docs.select(
         "doc_id",
         F.size(ws).cast("bigint").alias("n_tokens"),
-        F.when(
-            has_words,
-            (F.length("text") - F.size(ws) + 1).cast("double") / F.size(ws),
+        F.round(
+            F.when(
+                has_words,
+                (F.length("text") - F.size(ws) + 1).cast("double") / F.size(ws),
+            ),
+            4,
         ).alias("avg_word_len"),
-        F.when(
-            has_words,
-            F.size(F.filter(ws, lambda w: w.isin(*_STOPWORDS))).cast("double")
-            / F.size(ws),
+        F.round(
+            F.when(
+                has_words,
+                F.size(F.filter(ws, lambda w: w.isin(*_STOPWORDS))).cast("double")
+                / F.size(ws),
+            ),
+            4,
         ).alias("stopword_ratio"),
-    )
-    score = (
-        0.5 * F.least(F.col("n_tokens") / 64.0, F.lit(1.0))
-        + 0.3 * (1.0 - F.col("stopword_ratio"))
-        + 0.2 * F.least(F.col("avg_word_len") / 8.0, F.lit(1.0))
-    )
-    return d.select(
-        "doc_id",
-        "n_tokens",
-        F.round("avg_word_len", 4).alias("avg_word_len"),
-        F.round("stopword_ratio", 4).alias("stopword_ratio"),
-        F.round(score, 4).alias("quality_score"),
+        F.round(quality_expr(F.col("text")), 4).alias("quality_score"),
     )
 
 

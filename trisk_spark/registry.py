@@ -85,11 +85,11 @@ DEPRIORITIZED = [
     "nexmark_q2",            # filter: tpch_q6, fraud_alerts
     "nexmark_q8",            # windowed equi-join: interval_join, nexmark_q11
     "keyed_running_reduce",  # keyed reduce: keyed_agg, minby_maxby
-    "all_window_agg",        # non-keyed window: tumbling_window_agg
+    "dedup_exact",           # exact dedup: curation_manifest (keep-lowest) + source_quality_rollup dup_rate
     "wordcount",             # flatMap/explode: wordcount_two_input, ngram_counts
     "sliding_count_window",  # count windows: count_window
     "delta_evictor_window",  # evictors: time_evictor_window
-    "continuous_trigger",    # triggers: delta_trigger, purging_trigger
+    "continuous_trigger",    # triggers: delta_trigger (purging sits out too)
     "dedup_bag",             # dedup family: dedup_exact (same shuffle shape)
     "ngram_jaccard",         # shingle similarity: ngram_counts, dedup_minhash_lsh
     "repetition_ratio",      # text stats: source_quality_rollup, ngram_counts
@@ -108,8 +108,9 @@ DEPRIORITIZED = [
     "token_count",           # same tokenizer expr inside sequence_pack/doc_chunk
     "nexmark_q3",            # SURVEY §2B Q3 row: q3_emit_once_join (in)
     "purging_trigger",       # trigger family: delta_trigger (in)
-    # and one for curation_manifest:
-    "tumbling_window_agg",   # event-time windows: time_evictor_window, nexmark_q5 (in)
+    # and one for curation_manifest (all_window_agg rotated back IN as
+    # the non-keyed-window witness once tumbling_window_agg sat):
+    "tumbling_window_agg",   # event-time windows: all_window_agg, nexmark_q5 (in)
 ]
 
 
