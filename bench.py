@@ -59,6 +59,7 @@ HEADLINE = [
     "source_cap_sample",
     "ivf_refine",
     "curation_manifest",
+    "bpe_token_estimate",
 ]
 
 

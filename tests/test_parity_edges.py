@@ -208,6 +208,7 @@ _TEXT_FAMILY = [
     "pii_redact", "url_normalize", "wordcount", "wordcount_two_input",
     "dedup_clusters", "sequence_pack", "length_percentiles",
     "doc_chunk", "source_cap_sample", "curation_manifest",
+    "bpe_token_estimate",
 ]
 
 

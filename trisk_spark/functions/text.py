@@ -638,3 +638,46 @@ def quality_expr(text_col):
         + 0.3 * (1.0 - swr)
         + 0.2 * F.least(awl / 8.0, F.lit(1.0)),
     )
+
+
+# --------------------------------------- BPE-ish token estimation ----
+
+# GPT-2-style pre-tokenizer pattern, restricted to the RE2∩Java dialect
+# (ASCII classes, ordered alternation, no lookaround, no unicode
+# property classes): contractions, space-prefixed letter runs, digit
+# runs, punctuation runs, whitespace runs. Counts are leftmost-first
+# non-overlapping on both engines.
+_BPE_PAT = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+|\s+"
+_BPE_PAT_SQL = _BPE_PAT.replace("'", "''")
+
+BPE_TOKEN_SQL = f"""
+SELECT doc_id,
+  CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT)
+    AS n_ws_tokens,
+  CAST(len(regexp_extract_all(text, '{_BPE_PAT_SQL}')) AS BIGINT)
+    AS n_bpe_tokens,
+  CASE WHEN len(list_filter(string_split(text, ' '), w -> w <> '')) > 0 THEN
+    CAST(ROUND(CAST(len(regexp_extract_all(text, '{_BPE_PAT_SQL}')) AS DOUBLE)
+      / len(list_filter(string_split(text, ' '), w -> w <> '')), 4) AS DOUBLE)
+  END AS bpe_per_word
+FROM documents
+"""
+
+
+@register("bpe_token_estimate", oracle=BPE_TOKEN_SQL)
+def bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subword token-count estimate per document: a GPT-2-style
+    pre-tokenizer regex (contractions / letter runs / digit runs /
+    punctuation runs) counted alongside the whitespace count, plus the
+    tokens-per-word ratio — the number a training-cost or packing
+    estimate actually needs (whitespace counts undercount code and
+    punctuation-heavy text badly). Map-only JVM regex, zero shuffle."""
+    docs = table(spark, sf_dir, "documents")
+    ws = F.size(F.filter(F.split("text", " "), lambda w: w != ""))
+    bpe = F.regexp_count(F.col("text"), F.lit(_BPE_PAT))
+    return docs.select(
+        "doc_id",
+        ws.cast("bigint").alias("n_ws_tokens"),
+        bpe.cast("bigint").alias("n_bpe_tokens"),
+        F.when(ws > 0, F.round(bpe.cast("double") / ws, 4)).alias("bpe_per_word"),
+    )

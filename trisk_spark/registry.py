@@ -111,6 +111,8 @@ DEPRIORITIZED = [
     # and one for curation_manifest (all_window_agg rotated back IN as
     # the non-keyed-window witness once tumbling_window_agg sat):
     "tumbling_window_agg",   # event-time windows: all_window_agg, nexmark_q5 (in)
+    # and one for bpe_token_estimate:
+    "keyed_agg",             # keyed aggs: minby_maxby (in); r5 drift closed in PERF_NOTES
 ]
 
 
