@@ -23,7 +23,8 @@ _T0 = datetime.datetime(2024, 1, 1)
 
 
 def _write_events(tmp_path, rows):
-    """rows: (event_id, minutes_offset, user_id, event_type, value)."""
+    """rows: (event_id, minutes_offset, user_id, event_type, value
+    [, props])."""
     tab = pa.table(
         {
             "event_id": pa.array([r[0] for r in rows], pa.int64()),
@@ -34,7 +35,9 @@ def _write_events(tmp_path, rows):
             "user_id": pa.array([r[2] for r in rows], pa.int64()),
             "event_type": pa.array([r[3] for r in rows], pa.string()),
             "value": pa.array([r[4] for r in rows], pa.float64()),
-            "props": pa.array(["{}"] * len(rows), pa.string()),
+            "props": pa.array(
+                [r[5] if len(r) > 5 else "{}" for r in rows], pa.string()
+            ),
         }
     )
     pq.write_table(tab, tmp_path / "events.parquet")
@@ -542,3 +545,29 @@ def test_decode_pgm_accepts_any_8bit_maxval():
     assert img.tolist() == [[0, 50], [99, 100]]
     assert decode_pgm(b"P5\n2 2\n256\n" + bytes(8)) is None  # 16-bit
     assert decode_pgm(b"P5\n2 2\n0\n" + bytes(4)) is None
+
+
+def test_props_rollup_hostile_json_payloads(spark, tmp_path):
+    # schema-legal-but-hostile props: malformed JSON ERRORS DuckDB's
+    # json_extract_string while Spark NULLs; a float/non-numeric k
+    # ROUNDS or ERRORS under DuckDB's CAST while Spark NULLs — both
+    # engines must gate identically (json_valid + integral regex)
+    rows = [
+        (1, 0, 7, "view", 1.0, '{"k": 7}'),
+        (2, 1, 7, "view", 1.0, "{bad json"),
+        (3, 2, 7, "view", 1.0, None),
+        (4, 3, 7, "view", 1.0, '{"k": 2.9}'),
+        (5, 4, 8, "click", 1.0, '{"k": "notnum"}'),
+        (6, 5, 8, "click", 1.0, '{"k": null}'),
+        (7, 6, 8, "click", 1.0, "[]"),
+        (8, 7, 8, "click", 1.0, '{"k": -12}'),
+        (9, 8, 9, "buy", 1.0, '"str"'),
+    ]
+    con = _write_events(tmp_path, rows)
+    qd = QUERIES["props_rollup"]
+    out = {r.event_type: (r.n, r.k_total, r.k_min, r.k_max)
+           for r in qd.fn(spark, str(tmp_path)).collect()}
+    assert out["view"] == (4, 7, 7, 7), "only the integral k may count"
+    assert out["click"] == (4, -12, -12, -12)
+    assert out["buy"] == (1, None, None, None)
+    assert_matches_oracle(qd.fn(spark, str(tmp_path)), con, qd.oracle)

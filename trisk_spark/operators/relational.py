@@ -680,13 +680,31 @@ def all_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------- JSON props extraction ------
 
+# Hostile-props hardening: a malformed payload ERRORS DuckDB's
+# json_extract_string but NULLs Spark's get_json_object, and a float
+# or non-numeric k ROUNDS/ERRORS under DuckDB's CAST but NULLs under
+# Spark's — so both engines gate on json_valid + an integral-string
+# regex before casting. Anything that is not a well-formed object with
+# an integral k contributes NULL.
 PROPS_ROLLUP_SQL = """
+WITH kv AS (
+  SELECT event_type,
+    CASE WHEN json_valid(props)
+         THEN json_extract_string(props, '$.k') END AS ks
+  FROM events
+),
+ki AS (
+  SELECT event_type,
+    CASE WHEN regexp_matches(ks, '^-?[0-9]+$')
+         THEN CAST(ks AS BIGINT) END AS k
+  FROM kv
+)
 SELECT event_type,
   COUNT(*) AS n,
-  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_total,
-  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
-  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
-FROM events
+  CAST(SUM(k) AS BIGINT) AS k_total,
+  MIN(k) AS k_min,
+  MAX(k) AS k_max
+FROM ki
 GROUP BY event_type
 """
 
@@ -702,7 +720,11 @@ def props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: map-side JSON extraction, one shuffle on event_type."""
     ev = table(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("bigint")
+    # integral-string gate before the cast — see PROPS_ROLLUP_SQL
+    # comment (keeps both engines NULL on malformed/float/non-numeric
+    # payloads, and keeps the cast ANSI-safe)
+    ks = F.get_json_object("props", "$.k")
+    k = F.when(ks.rlike(r"^-?[0-9]+$"), ks.cast("bigint"))
     return ev.groupBy("event_type").agg(
         F.count("*").alias("n"),
         F.sum(k).alias("k_total"),
