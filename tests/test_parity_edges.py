@@ -312,6 +312,16 @@ def hostile_events(tmp_path_factory):
         (108, _T0 + datetime.timedelta(minutes=1), None, "purchase", 9.0, "{}"),
         (109, _T0, None, "signup", 0.0, "{}"),
         (114, _T0 + datetime.timedelta(minutes=1), None, "view", 1.0, "{}"),
+        # round-6: NEGATIVE user_id / value — user_id % 10 + 1 hits 0,
+        # where Spark's element_at ERRORS (ANSI "indices start at 1")
+        # but DuckDB's list[0] quietly returns NULL; negative values
+        # probe sign-sensitive rounding and running aggregates
+        (115, _T0 + datetime.timedelta(minutes=3), -1, "view", -2.5, "{}"),
+        (116, _T0 + datetime.timedelta(minutes=4), -11, "click", -0.125, "{}"),
+        # negative-user signup/purchase: reaches the person-view state
+        # derivation (element_at on user_id % 10 + 1) and the matchmaker
+        (117, _T0 + datetime.timedelta(minutes=5), -1, "signup", 1.0, "{}"),
+        (118, _T0 + datetime.timedelta(minutes=6), -11, "purchase", 3.0, "{}"),
     ]
     tab = pa.table(
         {

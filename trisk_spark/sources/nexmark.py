@@ -73,10 +73,14 @@ def auctions(events: DataFrame) -> DataFrame:
 
 _STATES = ["OR", "ID", "CA", "WA", "NY", "TX", "FL", "AZ", "MA", "GA"]
 
+# non-negative modulus on both engines: a negative user_id makes
+# `user_id % 10 + 1` hit index 0, where Spark's element_at ERRORS
+# (ANSI: indices start at 1) while a CASE..ELSE quietly picked the
+# last state; NULL user_id yields NULL state on both (no ELSE arm)
 _STATE_CASE_SQL = (
-    "CASE user_id % 10 "
-    + " ".join(f"WHEN {i} THEN '{s}'" for i, s in enumerate(_STATES[:-1]))
-    + f" ELSE '{_STATES[-1]}' END"
+    "CASE ((user_id % 10) + 10) % 10 "
+    + " ".join(f"WHEN {i} THEN '{s}'" for i, s in enumerate(_STATES))
+    + " END"
 )
 
 PERSON_SQL = f"""
@@ -93,7 +97,12 @@ GROUP BY user_id
 
 
 def persons(events: DataFrame) -> DataFrame:
-    state = F.element_at(F.array(*[F.lit(s) for s in _STATES]), (F.col("user_id") % 10 + 1).cast("int"))
+    # pmod keeps the index in [1, 10] for negative ids — mirrors
+    # _STATE_CASE_SQL's double-modulus (see comment there)
+    state = F.element_at(
+        F.array(*[F.lit(s) for s in _STATES]),
+        (F.pmod(F.col("user_id"), 10) + 1).cast("int"),
+    )
     return (
         events.where(F.col("event_type") == "signup")
         .groupBy("user_id")
