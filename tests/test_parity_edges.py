@@ -247,11 +247,15 @@ def hostile_docs(tmp_path_factory):
             # source_cap_sample) diverges unless NULL ids are excluded
             # on both engines
             "null id words here",
+            # NEGATIVE doc_id: % 3 + 1 hits array index 0 in the media
+            # view (ANSI element_at throws; DuckDB indexes from the
+            # END) — the person-state crash class on the documents side
+            "negative id words",
         ],
-        "doc_id": [1, 2, 3, 4, 5, 6, 7, 8, None],
-        "lang": ["en"] * 6 + [None, None, "en"],
-        "source": ["f"] * 6 + ["g", None, "f"],
-        "n_chars": [45, 0, 45, 0, 9, 3, 103, 16, 18],
+        "doc_id": [1, 2, 3, 4, 5, 6, 7, 8, None, -6],
+        "lang": ["en"] * 6 + [None, None, "en", "en"],
+        "source": ["f"] * 6 + ["g", None, "f", "f"],
+        "n_chars": [45, 0, 45, 0, 9, 3, 103, 16, 18, 18],
     }
     pq.write_table(pa.table(docs), tmp / "documents.parquet")
     con = duckdb.connect()

@@ -67,9 +67,11 @@ def media(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         F.encode("text", "UTF-8").alias("blob"),
+        # pmod: a negative doc_id would drive % 3 + 1 to index 0 where
+        # ANSI element_at throws (same class as the person-state fix)
         F.element_at(
             F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-            (F.col("doc_id") % 3 + 1).cast("int"),
+            (F.pmod(F.col("doc_id"), 3) + 1).cast("int"),
         ).alias("media_type"),
         (32 + (F.col("doc_id") % 8) * 16).cast("int").alias("width"),
         (32 + (F.col("doc_id") % 5) * 16).cast("int").alias("height"),
@@ -78,7 +80,7 @@ def media(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MEDIA_SQL = """
 SELECT doc_id, encode(text) AS blob,
-  (['image', 'audio', 'video'])[CAST(doc_id % 3 AS INT) + 1] AS media_type,
+  (['image', 'audio', 'video'])[CAST(((doc_id % 3) + 3) % 3 AS INT) + 1] AS media_type,
   CAST(32 + (doc_id % 8) * 16 AS INT) AS width,
   CAST(32 + (doc_id % 5) * 16 AS INT) AS height
 FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL
