@@ -399,6 +399,8 @@ def hostile_embeddings(tmp_path_factory):
     add(105, [0.1] * 10 + [None] + [0.1] * (_DIM - 11), 1)  # NULL element
     add(None, [0.2] * _DIM, 2)                      # NULL vec_id
     add(106, [rng.uniform(-0.3, 0.3) for _ in range(_DIM)], None)  # NULL label
+    # negative vec_id (r6): rank/probe/centroid orderings must agree
+    add(-7, [rng.uniform(-0.3, 0.3) for _ in range(_DIM)], 3)
 
     tmp = tmp_path_factory.mktemp("hostile-emb")
     tab = pa.table(
@@ -426,12 +428,16 @@ def test_similarity_family_parity_on_hostile_corpus(
 
 
 def test_hostile_embeddings_still_produce_results(spark, hostile_embeddings):
-    # the validity gate must drop ONLY the 7 degenerate rows — the 45
-    # valid vectors still rank, pair, and vote
+    # the validity gate must drop ONLY the 7 degenerate rows — the 46
+    # valid vectors (incl. the negative-id one, which is also a probe
+    # since -7 < N_PROBES) still rank, pair, and vote
     sf_dir, _ = hostile_embeddings
     knn = QUERIES["knn_bruteforce"].fn(spark, sf_dir).collect()
-    assert {r.query_id for r in knn} == set(range(5))
-    assert all(len([r for r in knn if r.query_id == q]) == 10 for q in range(5))
+    assert {r.query_id for r in knn} == set(range(5)) | {-7}
+    assert all(
+        len([r for r in knn if r.query_id == q]) == 10
+        for q in list(range(5)) + [-7]
+    )
     pairs = QUERIES["cosine_near_dup_exact"].fn(spark, sf_dir).collect()
     assert any({r.vec_a, r.vec_b} == {40, 41} for r in pairs), (
         "planted near-dup pair must survive the validity gate"
@@ -485,6 +491,7 @@ def hostile_relational(tmp_path_factory):
         (900004, 3, "O", 5555.55, d, "3-MEDIUM"),        # tie pair a
         (900005, 3, "O", 5555.55, d, "3-MEDIUM"),        # tie pair b
         (900006, 999999, "O", 333.33, d, "4-NOT SPEC"),  # dangling custkey
+        (-900007, -5, "O", -44.44, d, "5-LOW"),          # negative keys/price
     ])
     # lineitem: (l_orderkey, l_partkey, l_suppkey, l_linenumber,
     #            l_quantity, l_extendedprice, l_discount, l_tax,
@@ -495,6 +502,8 @@ def hostile_relational(tmp_path_factory):
         (900002, None, None, 2, 10.0, 2000.0, 0.07, 0.03, None, None, d),
         (999990, 2, 2, 1, 3.0, 500.0, 0.05, 0.01, "R", "F", d),  # dangling order
         (900004, 2, 2, 1, 0.0, 0.0, 0.0, 0.0, "A", "F", d),      # zero measures
+        # negative quantity/price/discount (returns/credits shapes)
+        (-900007, 2, 2, 1, -3.0, -500.0, -0.05, 0.01, "R", "F", d),
     ])
     # customer: (c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment)
     _append("customer", [
