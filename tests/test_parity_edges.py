@@ -594,3 +594,24 @@ def test_props_rollup_hostile_json_payloads(spark, tmp_path):
     assert out["click"] == (4, -12, -12, -12)
     assert out["buy"] == (1, None, None, None)
     assert_matches_oracle(qd.fn(spark, str(tmp_path)), con, qd.oracle)
+
+
+def test_bid_price_nan_inf_values(spark, tmp_path):
+    # a NaN or Infinity measurement must become a NULL price, not an
+    # ANSI cast error (CAST(NaN AS BIGINT) hard-fails BOTH engines);
+    # NaN/Inf stay raw in `value`-aggregating queries, which both
+    # engines propagate identically — only the cents casts need guards
+    rows = [
+        (1, 0, 7, "view", 1.25),
+        (2, 1, 7, "view", float("nan")),
+        (3, 2, 7, "view", float("inf")),
+        (4, 3, 7, "view", float("-inf")),
+        (5, 4, 8, "view", None),
+    ]
+    con = _write_events(tmp_path, rows)
+    for name in ("nexmark_q1", "nexmark_q2"):
+        qd = QUERIES[name]
+        assert_matches_oracle(qd.fn(spark, str(tmp_path)), con, qd.oracle)
+    q1 = {r.auction: r.price_eur
+          for r in QUERIES["nexmark_q1"].fn(spark, str(tmp_path)).collect()}
+    assert q1[2] is None and q1[3] is None and q1[4] is None

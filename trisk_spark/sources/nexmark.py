@@ -30,7 +30,8 @@ BID_SQL = """
 SELECT
   event_id % 251                   AS auction,
   user_id                          AS bidder,
-  CAST(ROUND(value * 100) AS BIGINT) AS price,
+  CASE WHEN isnan(value) OR isinf(value) THEN NULL
+       ELSE CAST(ROUND(value * 100) AS BIGINT) END AS price,
   ts                               AS date_time,
   props                            AS extra
 FROM events
@@ -38,10 +39,18 @@ FROM events
 
 
 def bids(events: DataFrame) -> DataFrame:
+    # non-finite measurements are NULL prices: CAST(NaN/Inf AS BIGINT)
+    # is a hard runtime error on BOTH engines under ANSI — a poisoned
+    # sensor value must not kill the query
+    v = F.col("value")
+    price = F.when(
+        ~F.isnan(v) & (v != float("inf")) & (v != float("-inf")),
+        F.round(v * 100).cast("bigint"),
+    )
     return events.select(
         (F.col("event_id") % 251).alias("auction"),
         F.col("user_id").alias("bidder"),
-        F.round(F.col("value") * 100).cast("bigint").alias("price"),
+        price.alias("price"),
         F.col("ts").alias("date_time"),
         F.col("props").alias("extra"),
     )
