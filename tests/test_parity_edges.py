@@ -615,3 +615,35 @@ def test_bid_price_nan_inf_values(spark, tmp_path):
     q1 = {r.auction: r.price_eur
           for r in QUERIES["nexmark_q1"].fn(spark, str(tmp_path)).collect()}
     assert q1[2] is None and q1[3] is None and q1[4] is None
+
+
+def test_substring_dedup_caps_fingerprints_on_huge_documents(spark, tmp_path):
+    # a multi-MB document must cost O(SUBSTR_MAX_CHARS) fingerprint
+    # memory, not O(len): only the first cap-window is fingerprinted
+    # (identical on both engines), so a duplicate run INSIDE the cap
+    # still pairs while one starting beyond it is (documented) missed
+    from trisk_spark.functions.dedup import SUBSTR_MAX_CHARS
+
+    shared = "the very same forty-plus character duplicated run " * 2
+    big_a = shared + "a" * (SUBSTR_MAX_CHARS * 2)
+    big_b = shared + "b" * (SUBSTR_MAX_CHARS * 2)
+    # duplicate run hidden BEYOND the cap in otherwise-unique prefixes
+    tail_a = "x" * SUBSTR_MAX_CHARS + " zz " + shared
+    tail_b = "y" * SUBSTR_MAX_CHARS + " qq " + shared
+    docs = {
+        "doc_id": [1, 2, 3, 4],
+        "text": [big_a, big_b, tail_a, tail_b],
+        "lang": ["en"] * 4,
+        "source": ["f"] * 4,
+        "n_chars": [len(big_a), len(big_b), len(tail_a), len(tail_b)],
+    }
+    pq.write_table(pa.table(docs), tmp_path / "documents.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    qd = QUERIES["dedup_substring"]
+    got = {(r.doc_a, r.doc_b) for r in qd.fn(spark, str(tmp_path)).collect()}
+    assert (1, 2) in got, "in-cap duplicate run must still pair"
+    assert (3, 4) not in got, "beyond-cap run should be (documented) missed"
+    assert_matches_oracle(qd.fn(spark, str(tmp_path)), con, qd.oracle)

@@ -843,6 +843,15 @@ def decontaminate_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 # difference between moving ~1x and ~4x the corpus bytes at 100 TB.
 SUBSTR_K = 25   # fingerprint gram length (chars)
 SUBSTR_W = 10   # winnow window (grams); guarantee threshold = K+W-1 = 34
+# Per-document fingerprint bound: the winnow materializes one gram-hash
+# array per row, so an UNCAPPED expression allocates O(len(text))
+# 15-char strings in a single JVM row — a 10 MB document would cost
+# ~600 MB and a 100 MB one would OOM the executor. Only the first
+# SUBSTR_MAX_CHARS are fingerprinted (identical cap in the oracle);
+# verbatim runs that START beyond the cap are not detected — the
+# standard boilerplate-dedup tradeoff, documented, and far above any
+# driver corpus length (max ~1.5k chars).
+SUBSTR_MAX_CHARS = 65536
 
 # The hex->bigint conv runs AFTER winnow selection (n/W selected
 # fingerprints, not n gram positions): md5 emits fixed-length lowercase
@@ -857,7 +866,7 @@ _WINNOW_EXPR = f"""
 CASE WHEN length(text) >= {SUBSTR_K + SUBSTR_W - 1} THEN
   transform(
     flatten(transform(
-      array(transform(sequence(1, length(text) - {SUBSTR_K} + 1),
+      array(transform(sequence(1, least(length(text), {SUBSTR_MAX_CHARS}) - {SUBSTR_K} + 1),
         i -> substring(md5(substring(text, i, {SUBSTR_K})), 1, 15))),
       gs -> array_distinct(transform(
               sequence(1, size(gs) - {SUBSTR_W} + 1),
@@ -869,7 +878,7 @@ ELSE array() END
 SUBSTR_DEDUP_SQL = f"""
 WITH pos AS (
   SELECT doc_id, text,
-    unnest(range(1, length(text) - {SUBSTR_K} + 2)) AS i
+    unnest(range(1, least(length(text), {SUBSTR_MAX_CHARS}) - {SUBSTR_K} + 2)) AS i
   FROM documents WHERE length(text) >= {SUBSTR_K + SUBSTR_W - 1}
 ),
 grams AS (
