@@ -255,7 +255,7 @@ def hostile_docs(tmp_path_factory):
         "doc_id": [1, 2, 3, 4, 5, 6, 7, 8, None, -6],
         "lang": ["en"] * 6 + [None, None, "en", "en"],
         "source": ["f"] * 6 + ["g", None, "f", "f"],
-        "n_chars": [45, 0, 45, 0, 9, 3, 103, 16, 18, 18],
+        "n_chars": [45, 0, 45, 0, 9, 3, 103, 16, 18, 17],
     }
     pq.write_table(pa.table(docs), tmp / "documents.parquet")
     con = duckdb.connect()
@@ -585,6 +585,15 @@ def test_props_rollup_hostile_json_payloads(spark, tmp_path):
         (7, 6, 8, "click", 1.0, "[]"),
         (8, 7, 8, "click", 1.0, '{"k": -12}'),
         (9, 8, 9, "buy", 1.0, '"str"'),
+        # shapes where the two JSON PARSERS disagree (lenient Spark vs
+        # strict DuckDB) — the regex extraction must treat identically:
+        (10, 9, 9, "buy", 1.0, "{'k': 7}"),          # single quotes
+        (11, 10, 9, "buy", 1.0, '{"k": 7} trailing'),  # trailing garbage
+        (12, 11, 9, "buy", 1.0, '{"k": 7,}'),        # trailing comma
+        (13, 12, 9, "buy", 1.0, '{"k": 7\n}'),       # newline after digits
+        # 20-digit integral k: passes a naive integral regex but the
+        # ANSI cast hard-fails BOTH engines — digits are bounded at 18
+        (14, 13, 9, "buy", 1.0, '{"k": 99999999999999999999}'),
     ]
     con = _write_events(tmp_path, rows)
     qd = QUERIES["props_rollup"]
@@ -592,7 +601,10 @@ def test_props_rollup_hostile_json_payloads(spark, tmp_path):
            for r in qd.fn(spark, str(tmp_path)).collect()}
     assert out["view"] == (4, 7, 7, 7), "only the integral k may count"
     assert out["click"] == (4, -12, -12, -12)
-    assert out["buy"] == (1, None, None, None)
+    # regex extraction: rows 10-13 all carry a plainly-integral "k"->7
+    # (the single-quoted payload has no \"k\" so it does NOT match);
+    # the 20-digit row is out of bounds -> NULL
+    assert out["buy"] == (6, 21, 7, 7)
     assert_matches_oracle(qd.fn(spark, str(tmp_path)), con, qd.oracle)
 
 
@@ -607,6 +619,9 @@ def test_bid_price_nan_inf_values(spark, tmp_path):
         (3, 2, 7, "view", float("inf")),
         (4, 3, 7, "view", float("-inf")),
         (5, 4, 8, "view", None),
+        # finite but huge: *100 overflows BIGINT — the ANSI cast would
+        # hard-fail both engines without the magnitude bound
+        (6, 5, 8, "view", 1.0e18),
     ]
     con = _write_events(tmp_path, rows)
     for name in ("nexmark_q1", "nexmark_q2"):
@@ -614,7 +629,7 @@ def test_bid_price_nan_inf_values(spark, tmp_path):
         assert_matches_oracle(qd.fn(spark, str(tmp_path)), con, qd.oracle)
     q1 = {r.auction: r.price_eur
           for r in QUERIES["nexmark_q1"].fn(spark, str(tmp_path)).collect()}
-    assert q1[2] is None and q1[3] is None and q1[4] is None
+    assert all(q1[a] is None for a in (2, 3, 4, 6))
 
 
 def test_substring_dedup_caps_fingerprints_on_huge_documents(spark, tmp_path):

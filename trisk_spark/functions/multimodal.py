@@ -73,16 +73,19 @@ def media(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
             (F.pmod(F.col("doc_id"), 3) + 1).cast("int"),
         ).alias("media_type"),
-        (32 + (F.col("doc_id") % 8) * 16).cast("int").alias("width"),
-        (32 + (F.col("doc_id") % 5) * 16).cast("int").alias("height"),
+        # pmod here too: signed % on a negative doc_id yields width 0
+        # (doc_id = -18: -2*16+32) and ANSI then dies on blob/width in
+        # the resize, or negative widths poisoning total_pixels
+        (32 + F.pmod(F.col("doc_id"), 8) * 16).cast("int").alias("width"),
+        (32 + F.pmod(F.col("doc_id"), 5) * 16).cast("int").alias("height"),
     )
 
 
 _MEDIA_SQL = """
 SELECT doc_id, encode(text) AS blob,
   (['image', 'audio', 'video'])[CAST(((doc_id % 3) + 3) % 3 AS INT) + 1] AS media_type,
-  CAST(32 + (doc_id % 8) * 16 AS INT) AS width,
-  CAST(32 + (doc_id % 5) * 16 AS INT) AS height
+  CAST(32 + ((doc_id % 8) + 8) % 8 * 16 AS INT) AS width,
+  CAST(32 + ((doc_id % 5) + 5) % 5 * 16 AS INT) AS height
 FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL
 """
 

@@ -646,8 +646,14 @@ def quality_expr(text_col):
 # (ASCII classes, ordered alternation, no lookaround, no unicode
 # property classes): contractions, space-prefixed letter runs, digit
 # runs, punctuation runs, whitespace runs. Counts are leftmost-first
-# non-overlapping on both engines.
-_BPE_PAT = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+|\s+"
+# non-overlapping on both engines. Whitespace is an EXPLICIT class —
+# shorthand \s itself is dialect-split (Java's includes \x0B, RE2's
+# does not), which would shift counts on vertical-tab text.
+_BPE_WS = r" \t\n\r\f"
+_BPE_PAT = (
+    r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+"
+    rf"| ?[^A-Za-z0-9{_BPE_WS}']+|[{_BPE_WS}]+"
+)
 _BPE_PAT_SQL = _BPE_PAT.replace("'", "''")
 
 BPE_TOKEN_SQL = f"""

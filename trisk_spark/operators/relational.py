@@ -680,51 +680,58 @@ def all_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------- JSON props extraction ------
 
-# Hostile-props hardening: a malformed payload ERRORS DuckDB's
-# json_extract_string but NULLs Spark's get_json_object, and a float
-# or non-numeric k ROUNDS/ERRORS under DuckDB's CAST but NULLs under
-# Spark's — so both engines gate on json_valid + an integral-string
-# regex before casting. Anything that is not a well-formed object with
-# an integral k contributes NULL.
-PROPS_ROLLUP_SQL = """
+# Hostile-props hardening, round 2. Parser-based extraction is NOT
+# oracle-verifiable on hostile input: Spark's get_json_object is
+# LENIENT (accepts single quotes, trailing garbage; rejects trailing
+# commas) where DuckDB's json parser is strict the OTHER way — the two
+# parsers disagree on several malformed shapes, and an unbounded
+# integral k still hard-kills the ANSI cast on both engines. So the
+# field is pulled with ONE dialect-identical regex on both engines:
+# explicit whitespace class (Java \\s includes \\x0B, RE2's does not),
+# digits bounded at 18 (inside int64), no JSON parser in the path. A
+# payload that does not carry a plainly-integral "k" contributes NULL.
+# At 100 TB the real answer is promoting hot fields to columns at
+# ingest — this regex IS that promotion expressed as a query.
+# trailing [^0-9.] stops a float k ("k": 2.9) from truncating to its
+# integer prefix; a plain $ would re-open the Java-$-before-newline gap
+_PROPS_K_RE = '"k"[ \\t\\n\\r]*:[ \\t\\n\\r]*(-?[0-9]{1,18})[^0-9.]'
+
+PROPS_ROLLUP_SQL = f"""
 WITH kv AS (
   SELECT event_type,
-    CASE WHEN json_valid(props)
-         THEN json_extract_string(props, '$.k') END AS ks
+    CASE WHEN regexp_extract(props, '{_PROPS_K_RE}', 1) <> ''
+         THEN CAST(regexp_extract(props, '{_PROPS_K_RE}', 1) AS BIGINT)
+    END AS k
   FROM events
-),
-ki AS (
-  SELECT event_type,
-    CASE WHEN regexp_matches(ks, '^-?[0-9]+$')
-         THEN CAST(ks AS BIGINT) END AS k
-  FROM kv
 )
 SELECT event_type,
   COUNT(*) AS n,
   CAST(SUM(k) AS BIGINT) AS k_total,
   MIN(k) AS k_min,
   MAX(k) AS k_max
-FROM ki
+FROM kv
 GROUP BY event_type
 """
 
 
 @register("props_rollup", oracle=PROPS_ROLLUP_SQL)
 def props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSON scalar functions over the events payload (the reference's
-    scalar-fn surface includes JSON field access — SURVEY §2A 'scalar
-    fns'): extract props.k and aggregate per event type. get_json_object
-    is JVM-side; the JSON is parsed once per row inside codegen, and at
-    100 TB one would promote hot JSON fields to columns at ingest —
-    this query is the probe that finds them.
+    """JSON-payload field access over events (the reference's scalar-fn
+    surface includes JSON field access — SURVEY §2A 'scalar fns'):
+    extract props.k and aggregate per event type. Extraction is a
+    bounded dialect-identical regex rather than a JSON parser — Spark's
+    lenient get_json_object and DuckDB's strict parser disagree on
+    several malformed shapes (see PROPS_ROLLUP_SQL comment), and at
+    100 TB one promotes hot JSON fields to typed columns at ingest
+    anyway; this regex IS that promotion expressed as a query.
 
-    Plan: map-side JSON extraction, one shuffle on event_type."""
+    Plan: map-side field extraction, one shuffle on event_type."""
     ev = table(spark, sf_dir, "events")
-    # integral-string gate before the cast — see PROPS_ROLLUP_SQL
-    # comment (keeps both engines NULL on malformed/float/non-numeric
-    # payloads, and keeps the cast ANSI-safe)
-    ks = F.get_json_object("props", "$.k")
-    k = F.when(ks.rlike(r"^-?[0-9]+$"), ks.cast("bigint"))
+    # dialect-identical regex extraction on both engines — see
+    # PROPS_ROLLUP_SQL comment (JSON parsers disagree on hostile
+    # payloads; bounded digits keep the cast ANSI-safe)
+    ks = F.regexp_extract("props", _PROPS_K_RE, 1)
+    k = F.when(ks != "", ks.cast("bigint"))
     return ev.groupBy("event_type").agg(
         F.count("*").alias("n"),
         F.sum(k).alias("k_total"),

@@ -24,14 +24,17 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from trisk_spark.numeric import FINITE_CENTS_SQL, finite_cents_col
+
+_CENTS = FINITE_CENTS_SQL.format(v="value")
+
 # ---------------------------------------------------------------- bid --
 
-BID_SQL = """
+BID_SQL = f"""
 SELECT
   event_id % 251                   AS auction,
   user_id                          AS bidder,
-  CASE WHEN isnan(value) OR isinf(value) THEN NULL
-       ELSE CAST(ROUND(value * 100) AS BIGINT) END AS price,
+  {_CENTS} AS price,
   ts                               AS date_time,
   props                            AS extra
 FROM events
@@ -39,18 +42,14 @@ FROM events
 
 
 def bids(events: DataFrame) -> DataFrame:
-    # non-finite measurements are NULL prices: CAST(NaN/Inf AS BIGINT)
-    # is a hard runtime error on BOTH engines under ANSI — a poisoned
-    # sensor value must not kill the query
-    v = F.col("value")
-    price = F.when(
-        ~F.isnan(v) & (v != float("inf")) & (v != float("-inf")),
-        F.round(v * 100).cast("bigint"),
-    )
+    # non-finite or out-of-range measurements are NULL prices: the ANSI
+    # cast is a hard runtime error on BOTH engines for NaN/Inf AND for
+    # finite-but-huge values — one poisoned sensor value must not kill
+    # the query (shared guard: trisk_spark.numeric.finite_cents_col)
     return events.select(
         (F.col("event_id") % 251).alias("auction"),
         F.col("user_id").alias("bidder"),
-        price.alias("price"),
+        finite_cents_col(F.col("value")).alias("price"),
         F.col("ts").alias("date_time"),
         F.col("props").alias("extra"),
     )

@@ -19,13 +19,16 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-STOCK_ORDER_SQL = """
+from trisk_spark.numeric import FINITE_CENTS_SQL, finite_cents_col
+
+_CENTS = FINITE_CENTS_SQL.format(v="value")
+
+STOCK_ORDER_SQL = f"""
 SELECT
   event_id                                    AS order_no,
   CONCAT('SEC', CAST(user_id % 50 AS VARCHAR)) AS sec_code,
   CASE WHEN event_id % 2 = 0 THEN 'B' ELSE 'S' END AS trade_dir,
-  CASE WHEN isnan(value) OR isinf(value) THEN NULL
-       ELSE CAST(ROUND(value * 100) AS BIGINT) END AS price_cents,
+  {_CENTS}                                    AS price_cents,
   (event_id % 10 + 1) * 100                   AS order_vol,
   CASE WHEN event_id % 20 = 19 THEN 'D' ELSE 'A' END AS tran_maint_code,
   ts                                          AS event_ts,
@@ -41,14 +44,8 @@ def stock_orders(events: DataFrame) -> DataFrame:
             "sec_code"
         ),
         F.when(F.col("event_id") % 2 == 0, "B").otherwise("S").alias("trade_dir"),
-        # non-finite -> NULL: ANSI CAST(NaN/Inf AS BIGINT) is a hard
-        # error on both engines (see sources/nexmark.bids)
-        F.when(
-            ~F.isnan(F.col("value"))
-            & (F.col("value") != float("inf"))
-            & (F.col("value") != float("-inf")),
-            F.round(F.col("value") * 100).cast("bigint"),
-        ).alias("price_cents"),
+        # non-finite/out-of-range -> NULL (shared ANSI-safe guard)
+        finite_cents_col(F.col("value")).alias("price_cents"),
         ((F.col("event_id") % 10 + 1) * 100).alias("order_vol"),
         F.when(F.col("event_id") % 20 == 19, "D").otherwise("A").alias(
             "tran_maint_code"
