@@ -200,3 +200,35 @@ def test_sequence_pack_oracle_matches_running_fold(rows):
         assert seq_offset == start % PACK_CAPACITY
         run[source] = start + n_tokens
     assert len(got) == len(rows), "a document vanished from the packing"
+
+
+# ------------------------------------------------ PII count staging ---
+
+_pii_text = st.lists(
+    st.sampled_from([
+        "word", "x.y@z.example.com", "555-1234", "123-45-6789",
+        "10.0.0.1", "555-1234@spam.example.net", "9.9.9.9.9", "-", ".",
+    ]),
+    min_size=0, max_size=12,
+).map(" ".join)
+
+
+@settings(max_examples=80, deadline=None)
+@given(_pii_text)
+def test_pii_counts_equal_inserted_tags(text):
+    """The staged counts (each pattern counted on the PREVIOUS
+    redaction stage's output) must equal the number of tags actually
+    present in the redacted string — including overlap shapes like a
+    phone-shaped email local part, which is an email and only an
+    email. Runs the ORACLE (the contract both engines hash-match)."""
+    from trisk_spark.functions.text import PII_REDACT_SQL
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.execute("INSERT INTO documents VALUES (1, ?)", [text])
+    row = con.execute(PII_REDACT_SQL).fetchone()
+    doc_id, n_em, n_ssn, n_ph, n_ip, red = row
+    assert n_em == red.count("<EMAIL>")
+    assert n_ssn == red.count("<SSN>")
+    assert n_ph == red.count("<PHONE>")
+    assert n_ip == red.count("<IP>")
