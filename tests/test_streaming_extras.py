@@ -1096,3 +1096,28 @@ def test_curated_parquet_sink_is_exactly_once_on_restart(spark, tmp_path):
     # hive-style partition dirs exist → readers can partition-prune
     import os
     assert any(d.startswith("source=") for d in os.listdir(out))
+
+
+def test_sequence_pack_stream_equals_batch(spark):
+    """Streaming packing: under doc_id-ordered replay, every document's
+    (seq_id, seq_offset) equals the batch running-sum window."""
+    from trisk_spark.registry import load_all
+    from trisk_spark.streaming.state import sequence_pack_stream
+
+    stream = replay_stream(spark, SF, "documents", n_chunks=4, order_col="doc_id")
+    emitted = []
+    q = (
+        sequence_pack_stream(stream.select("doc_id", "source", "text"))
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda bdf, bid: emitted.extend(bdf.collect()))
+        .option("checkpointLocation", checkpoint_dir("packstream"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r.doc_id: (r.source, r.n_tokens, r.seq_id, r.seq_offset)
+           for r in emitted}
+    want = {r.doc_id: (r.source, r.n_tokens, r.seq_id, r.seq_offset)
+            for r in load_all()["sequence_pack"].fn(spark, SF).collect()}
+    assert got == want
+    assert len(got) == len(emitted), "a doc_id emitted twice"

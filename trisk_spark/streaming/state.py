@@ -1006,3 +1006,71 @@ def asof_stream(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --------------------------------- streaming sequence packing -------
+
+_PACK_OUT = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("source", StringType()),
+        StructField("n_tokens", LongType()),
+        StructField("seq_id", LongType()),
+        StructField("seq_offset", LongType()),
+    ]
+)
+# running token offset per source shard
+_PACK_STATE = StructType([StructField("off", LongType())])
+
+
+def _pack_fn(
+    key, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-source running token offset as keyed ValueState: each doc is
+    appended at the current offset, gets (offset // capacity,
+    offset % capacity), and advances the offset. Under doc_id-ordered
+    replay this equals the batch running-sum window exactly
+    (functions/sampling.sequence_pack); state is ONE bigint per
+    shard."""
+    from trisk_spark.functions.sampling import PACK_CAPACITY
+
+    off = int(state.get[0]) if state.exists else 0
+    src = key[0]
+    for pdf in pdfs:
+        pdf = pdf.sort_values("doc_id")
+        out = {"doc_id": [], "source": [], "n_tokens": [],
+               "seq_id": [], "seq_offset": []}
+        for doc_id, nt in zip(pdf["doc_id"], pdf["n_tokens"]):
+            nt = int(nt)
+            out["doc_id"].append(int(doc_id))
+            out["source"].append(src)
+            out["n_tokens"].append(nt)
+            out["seq_id"].append(off // PACK_CAPACITY)
+            out["seq_offset"].append(off % PACK_CAPACITY)
+            off += nt
+        yield pd.DataFrame(out)
+    state.update((off,))
+
+
+def sequence_pack_stream(docs: DataFrame) -> DataFrame:
+    """STREAMING sequence packing — the ingest-time image of
+    functions/sampling.sequence_pack: as documents arrive, each source
+    shard's running token offset lives in keyed state, so packing
+    assignments stream out without re-reading the corpus. NULL doc_id
+    rows are dropped like the batch twin; token counting is the same
+    JVM expression so the kernel only folds integers."""
+    from pyspark.sql import functions as F
+
+    toks = F.size(F.filter(F.split("text", " "), lambda w: w != "")).cast(
+        "bigint"
+    )
+    d = docs.where(F.col("doc_id").isNotNull()).select(
+        "doc_id", "source", toks.alias("n_tokens")
+    )
+    return d.groupBy("source").applyInPandasWithState(
+        _pack_fn,
+        outputStructType=_PACK_OUT,
+        stateStructType=_PACK_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
