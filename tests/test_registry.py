@@ -46,10 +46,15 @@ def test_readme_op_table_names_are_registered():
     # the README's Beyond-reference table is the judge's coverage
     # crosswalk — every `query_name` it cites must actually exist
     import re
+    from pathlib import Path
 
     reg = load_all()
-    text = open("README.md").read()
+    readme = Path(__file__).resolve().parent.parent / "README.md"
+    text = readme.read_text()
     # backticked identifiers in the Beyond-reference section
+    assert "### Beyond-reference" in text and "## Running" in text, (
+        "README section markers moved — update this test's split anchors"
+    )
     section = text.split("### Beyond-reference")[1].split("## Running")[0]
     cited = set(re.findall(r"`([a-z0-9_]+)`", section))
     known_non_queries = {

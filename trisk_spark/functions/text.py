@@ -399,7 +399,11 @@ def pii_scrub(docs: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
     streaming (pure column expressions, so the same plan runs under
     Structured Streaming unchanged; see streaming test). ``keep`` names
     pass-through columns to retain (e.g. a partition key for the
-    output writer)."""
+    output writer); names already produced by the scrub (doc_id,
+    n_emails, n_ssns, n_phones, n_ips, redacted) are filtered out so a
+    caller passing keep=("doc_id",) cannot create duplicate columns."""
+    _OUT = {"doc_id", "n_emails", "n_ssns", "n_phones", "n_ips", "redacted"}
+    keep = tuple(c for c in keep if c not in _OUT)
     did = F.col("doc_id")
     s = lambda c: c.cast("string")  # noqa: E731
     aug = F.concat(

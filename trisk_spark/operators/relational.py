@@ -693,7 +693,13 @@ def all_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # At 100 TB the real answer is promoting hot fields to columns at
 # ingest — this regex IS that promotion expressed as a query.
 # trailing [^0-9.] stops a float k ("k": 2.9) from truncating to its
-# integer prefix; a plain $ would re-open the Java-$-before-newline gap
+# integer prefix; a plain $ would re-open the Java-$-before-newline gap.
+# Known false-positive class: the regex matches the LEFTMOST '"k":<int>'
+# anywhere in the payload, so a k-shaped substring embedded inside a
+# JSON *string value* (e.g. {"note": "\"k\": 55", "k": 7}) extracts the
+# embedded 55, not the real field. Both engines run the identical regex
+# so parity holds; if semantic accuracy on such payloads mattered, the
+# ingest-time column promotion (or a strict json_valid gate) is the fix.
 _PROPS_K_RE = '"k"[ \\t\\n\\r]*:[ \\t\\n\\r]*(-?[0-9]{1,18})[^0-9.]'
 
 PROPS_ROLLUP_SQL = f"""

@@ -1036,19 +1036,23 @@ def _pack_fn(
 
     off = int(state.get[0]) if state.exists else 0
     src = key[0]
-    for pdf in pdfs:
-        pdf = pdf.sort_values("doc_id")
-        out = {"doc_id": [], "source": [], "n_tokens": [],
-               "seq_id": [], "seq_offset": []}
-        for doc_id, nt in zip(pdf["doc_id"], pdf["n_tokens"]):
-            nt = int(nt)
-            out["doc_id"].append(int(doc_id))
-            out["source"].append(src)
-            out["n_tokens"].append(nt)
-            out["seq_id"].append(off // PACK_CAPACITY)
-            out["seq_offset"].append(off % PACK_CAPACITY)
-            off += nt
-        yield pd.DataFrame(out)
+    # Concat every Arrow chunk of the micro-batch and sort ONCE by
+    # doc_id (house pattern — a per-chunk sort would let out-of-order
+    # doc_ids split across chunks diverge from the batch running-sum
+    # window even though the disorder is intra-batch recoverable).
+    # Cross-batch order still requires doc_id-ordered replay (docstring).
+    pdf = pd.concat(list(pdfs)).sort_values("doc_id")
+    out = {"doc_id": [], "source": [], "n_tokens": [],
+           "seq_id": [], "seq_offset": []}
+    for doc_id, nt in zip(pdf["doc_id"], pdf["n_tokens"]):
+        nt = int(nt)
+        out["doc_id"].append(int(doc_id))
+        out["source"].append(src)
+        out["n_tokens"].append(nt)
+        out["seq_id"].append(off // PACK_CAPACITY)
+        out["seq_offset"].append(off % PACK_CAPACITY)
+        off += nt
+    yield pd.DataFrame(out)
     state.update((off,))
 
 
