@@ -60,6 +60,9 @@ HEADLINE = [
     "ivf_refine",
     "curation_manifest",
     "bpe_token_estimate",
+    "media_decode_checksum",
+    "ivf_refine_iters",
+    "bigram_lm_score",
 ]
 
 

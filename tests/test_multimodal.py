@@ -77,16 +77,46 @@ def test_pgm_decoder_rejects_invalid():
     good = _ref_pgm(arr)
     assert mm.decode_pgm(b"P6" + good[2:]) is None          # wrong magic
     assert mm.decode_pgm(good[:-1]) is None                 # short payload
-    assert mm.decode_pgm(b"P5\n2 2\n65535\n" + good[-4:]) is None  # 16-bit
+    # 16-bit header with only 4 payload bytes (needs 2*2*2=8): short
+    assert mm.decode_pgm(b"P5\n2 2\n65535\n" + good[-4:]) is None
+    assert mm.decode_pgm(b"P5\n2 2\n70000\n" + bytes(8)) is None  # maxval>16bit
     assert mm.decode_pgm(b"not an image at all") is None
-    # non-PGM bytes take the documented canvas fallback, not a crash
-    img = mm._decode_image(b"not an image at all")
-    assert img.shape == (mm.FAKE_H, mm.FAKE_W)
+    # non-PGM bytes take the documented canvas fallback, flagged not-ok
+    img, ok = mm._decode_image(b"not an image at all")
+    assert img.shape == (mm.FAKE_H, mm.FAKE_W) and ok is False
+
+
+def test_pgm_decoder_16bit():
+    import numpy as np
+
+    # two-byte big-endian samples, maxval 65535: value v scales to
+    # floor(v * 255 / 65535)
+    vals = [[0, 257, 65535], [1000, 32768, 50000]]
+    payload = b"".join(
+        v.to_bytes(2, "big") for row in vals for v in row
+    )
+    img = mm.decode_pgm(b"P5\n# 16-bit\n3 2\n65535\n" + payload)
+    want = np.array(
+        [[(v * 255) // 65535 for v in row] for row in vals], dtype=np.uint8
+    )
+    assert img is not None and img.dtype == np.uint8
+    assert np.array_equal(img, want)
+    # a non-65535 wide maxval scales by that maxval
+    img2 = mm.decode_pgm(b"P5\n1 1\n1000\n" + (500).to_bytes(2, "big"))
+    assert img2 is not None and img2[0, 0] == (500 * 255) // 1000
+    # real decode path reports decoded_ok
+    _, ok = mm._decode_image(b"P5\n1 1\n1000\n" + (500).to_bytes(2, "big"))
+    assert ok is True
 
 
 def test_decode_resize_deterministic_and_pixel_exact(spark):
     df = mm.media_decode_resize(spark, SF)
-    rows1 = {r.doc_id: bytes(r.pixels) for r in df.collect()}
+    collected = df.collect()
+    assert all(r.decoded_ok for r in collected), (
+        "synthesized PGM containers must take the real decode path, "
+        "never the canvas fallback"
+    )
+    rows1 = {r.doc_id: bytes(r.pixels) for r in collected}
     rows2 = {r.doc_id: bytes(r.pixels) for r in df.collect()}
     assert rows1 == rows2, "resize kernel not deterministic"
     assert rows1, "no image rows"

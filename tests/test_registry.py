@@ -33,13 +33,23 @@ def test_deprioritized_names_exist_and_sit_last():
 def test_every_sitter_is_oracle_gated():
     # a query may only sit out if pytest still gates it: it must carry
     # a DuckDB oracle (test_oracle_parity covers every oracle-bearing
-    # query each run)
+    # query each run) — or name an in-window, oracle-bearing witness
+    # that drives the same kernel (NO_ORACLE_SITTER_WITNESS)
+    from trisk_spark.registry import NO_ORACLE_SITTER_WITNESS
+
     reg = load_all()
+    in_window = set(list(reg)[:WINDOW])
     for n in DEPRIORITIZED:
-        assert reg[n].oracle is not None, (
-            f"{n} sits out of the driver window AND has no oracle — "
-            "it would be completely unverified"
-        )
+        if reg[n].oracle is None:
+            w = NO_ORACLE_SITTER_WITNESS.get(n)
+            assert w is not None, (
+                f"{n} sits out of the driver window AND has no oracle — "
+                "it would be completely unverified"
+            )
+            assert w in in_window and reg[w].oracle is not None, (
+                f"{n}'s no-oracle witness {w!r} must be in-window with "
+                "an oracle"
+            )
 
 
 def test_readme_op_table_names_are_registered():
@@ -61,7 +71,7 @@ def test_readme_op_table_names_are_registered():
         # streaming twins and conf knobs the table legitimately cites
         "pii_scrub", "asof_stream", "simhash_near_dup_stream",
         "dedup_exact_stream", "expect_degenerate",
-        "sequence_pack_stream",
+        "sequence_pack_stream", "decoded_ok", "ivf_refine_iterative",
     }
     missing = {
         c for c in cited

@@ -36,6 +36,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import (
     BinaryType,
+    BooleanType,
     IntegerType,
     LongType,
     StringType,
@@ -253,15 +254,19 @@ def media_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def decode_pgm(data: bytes):
-    """REAL P5 (binary, 8-bit) PGM decoder — no media libs needed. Per
-    the Netpbm spec: magic ``P5``, then three ASCII integers (width,
+    """REAL P5 (binary) PGM decoder — no media libs needed. Per the
+    Netpbm spec: magic ``P5``, then three ASCII integers (width,
     height, maxval) separated by whitespace, with ``#``-to-end-of-line
     comments allowed anywhere in the header, then exactly ONE
-    whitespace byte, then ``width*height`` raw pixel bytes. Returns an
-    (h, w) uint8 array, or None if the bytes are not a valid 8-bit P5
+    whitespace byte, then the raw samples: one byte per pixel for
+    maxval ≤ 255, two bytes (big-endian, MSB first per spec) for
+    maxval 256–65535. 16-bit samples are scaled to 8-bit as
+    ``floor(sample * 255 / maxval)`` so the return type is always an
+    (h, w) uint8 array; returns None if the bytes are not a valid P5
     (caller decides the fallback). Decodes any conforming P5 file, not
     just this corpus's containers — pixel-exactness is pinned by
-    tests/test_multimodal.py against an independent reference encoder."""
+    tests/test_multimodal.py against an independent reference encoder
+    (8- and 16-bit fixtures)."""
     import numpy as np
 
     if not data.startswith(b"P5"):
@@ -291,28 +296,38 @@ def decode_pgm(data: bytes):
         return None
     pos += 1
     w, h, maxval = fields
-    # 8-bit P5: one byte/pixel for ANY maxval in [1, 255]; maxval >= 256
-    # means two bytes/pixel (16-bit), which this decoder does not handle
-    if w <= 0 or h <= 0 or not 1 <= maxval <= 255:
+    if w <= 0 or h <= 0 or not 1 <= maxval <= 65535:
         return None
-    payload = data[pos : pos + w * h]
-    if len(payload) < w * h:
+    # one byte/sample for maxval in [1, 255]; two bytes (big-endian)
+    # for [256, 65535] — previously the 16-bit case returned None and
+    # the caller tiled the raw bytes onto a fake canvas, silently
+    # producing plausible-looking wrong pixels for a real 16-bit file
+    bpp = 1 if maxval <= 255 else 2
+    n = w * h * bpp
+    payload = data[pos : pos + n]
+    if len(payload) < n:
         return None
-    return np.frombuffer(payload, dtype=np.uint8).reshape(h, w)
+    if bpp == 1:
+        return np.frombuffer(payload, dtype=np.uint8).reshape(h, w)
+    raw = np.frombuffer(payload, dtype=">u2").astype(np.uint32)
+    return ((raw * 255) // maxval).astype(np.uint8).reshape(h, w)
 
 
 def _decode_image(blob: bytes):
     """Decode: REAL PGM parse first (``decode_pgm``); only bytes that
     are not a valid P5 container fall back to the deterministic canvas
     (blob bytes tiled row-major onto FAKE_W×FAKE_H) so an unknown
-    format degrades predictably instead of crashing the executor."""
+    format degrades predictably instead of crashing the executor.
+    Returns ``(img, decoded_ok)`` — the boolean surfaces the fallback
+    to the caller so canvas pixels can never masquerade as a real
+    decode downstream."""
     import numpy as np
 
     img = decode_pgm(bytes(blob))
     if img is not None:
-        return img
+        return img, True
     tiled = np.resize(np.frombuffer(blob, dtype=np.uint8), FAKE_W * FAKE_H)
-    return tiled.reshape(FAKE_H, FAKE_W)
+    return tiled.reshape(FAKE_H, FAKE_W), False
 
 
 _RESIZE_SCHEMA = StructType(
@@ -321,19 +336,24 @@ _RESIZE_SCHEMA = StructType(
         StructField("out_w", IntegerType()),
         StructField("out_h", IntegerType()),
         StructField("pixels", BinaryType()),
+        StructField("decoded_ok", BooleanType()),
     ]
 )
 
 
 def _resize_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Decode (real PGM parse; canvas fallback for non-PGM bytes) then
-    nearest-neighbor resize to OUT_W×OUT_H."""
+    """Decode (real PGM parse; canvas fallback for non-PGM bytes,
+    flagged decoded_ok=false) then nearest-neighbor resize to
+    OUT_W×OUT_H."""
     import numpy as np
 
     for pdf in batches:
-        out: dict[str, list] = {"doc_id": [], "out_w": [], "out_h": [], "pixels": []}
+        out: dict[str, list] = {
+            "doc_id": [], "out_w": [], "out_h": [], "pixels": [],
+            "decoded_ok": [],
+        }
         for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
-            img = _decode_image(bytes(blob))
+            img, ok = _decode_image(bytes(blob))
             ys = (np.arange(OUT_H) * img.shape[0]) // OUT_H
             xs = (np.arange(OUT_W) * img.shape[1]) // OUT_W
             resized = img[np.ix_(ys, xs)].astype(np.uint8)
@@ -341,6 +361,7 @@ def _resize_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             out["out_w"].append(OUT_W)
             out["out_h"].append(OUT_H)
             out["pixels"].append(resized.tobytes())
+            out["decoded_ok"].append(ok)
         yield pd.DataFrame(out)
 
 
@@ -382,4 +403,54 @@ def media_decode_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     pgm = F.concat(header, F.expr("substring(blob, 1, width * img_h)"))
     return m.select("doc_id", pgm.alias("blob")).mapInPandas(
         _resize_kernel, _RESIZE_SCHEMA
+    )
+
+
+# ------------------------------------- decode + resize, checksummed --
+
+# SQL mirror of the decode→NN-resize path: the synthesized PGM's pixel
+# payload is the first width*img_h bytes of the text (ASCII corpus, so
+# char offsets == byte offsets — same contract MEDIA_FRAME_SAMPLE_SQL
+# uses), and nearest-neighbor gather is plain integer indexing: output
+# pixel (i, j) = payload[((i*img_h)//OUT_H)*width + (j*width)//OUT_W]
+# — the indices mirror _resize_kernel's (np.arange(OUT)*dim)//OUT.
+# md5 over the concatenated pixel chars equals the engine's
+# md5(pixels): pixel bytes are text bytes (< 0x80), so the VARCHAR's
+# UTF-8 encoding is the identical byte string.
+_PX_GATHER = ", ".join(
+    f"substr(text, CAST((({i} * img_h) // {OUT_H}) * width"
+    f" + (({j} * width) // {OUT_W}) + 1 AS INT), 1)"
+    for i in range(OUT_H)
+    for j in range(OUT_W)
+)
+
+MEDIA_DECODE_CHECKSUM_SQL = f"""
+WITH m AS ({_MEDIA_SQL}),
+img AS (
+  SELECT m.doc_id, d.text, m.width,
+    CAST(octet_length(encode(d.text)) // m.width AS INT) AS img_h
+  FROM m JOIN documents d USING (doc_id)
+  WHERE m.media_type = 'image'
+)
+SELECT doc_id,
+  CAST({OUT_W} AS INT) AS out_w,
+  CAST({OUT_H} AS INT) AS out_h,
+  md5(concat({_PX_GATHER})) AS pix_md5
+FROM img WHERE img_h >= 1
+"""
+
+
+@register("media_decode_checksum", oracle=MEDIA_DECODE_CHECKSUM_SQL)
+def media_decode_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``media_decode_resize`` with the pixel buffer checksummed so the
+    full decode→resize path gets a DuckDB value-hash gate (the binary
+    ``pixels`` column itself is not oracle-comparable): emit
+    (doc_id, out_w, out_h, md5(pixels)). The oracle re-derives every
+    output pixel by SQL byte-gather over the same synthesized payload,
+    so a single wrong pixel anywhere in the decoder, header parse, or
+    NN index math flips the hash. Same zero-shuffle map-only plan as
+    the parent — the md5 is one extra JVM expression."""
+    df = media_decode_resize(spark, sf_dir)
+    return df.select(
+        "doc_id", "out_w", "out_h", F.md5("pixels").alias("pix_md5")
     )

@@ -939,3 +939,235 @@ def ivf_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("centroid_cos"),
         )
     )
+
+
+# ------------------------------- IVF refinement to convergence (r7) --
+
+REFINE_ITERS = 3  # fixed Lloyd steps for the registered query (oracle-able)
+
+
+def _dotd(a: Column, b: Column) -> Column:
+    """Left-fold DOUBLE dot product — same rounding order as the
+    oracle's ``list_reduce`` (0.0 + x1 == x1 exactly in IEEE, so the
+    two folds agree bit-for-bit)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def _cent_cos_d(c: Column) -> Column:
+    """Cosine between the row's bigint ``vec``/``norm`` and one DOUBLE
+    centroid struct (centroids are mean vectors after the first Lloyd
+    step, so the whole iteration runs on double centroids)."""
+    return _dotd(F.col("vec"), c["c_vec"]) / (
+        F.sqrt(F.col("norm").cast("double")) * F.sqrt(c["c_norm"])
+    )
+
+
+def _ivf_assign_d(n: DataFrame, cents: DataFrame) -> DataFrame:
+    """Map-side argmax assignment against DOUBLE centroids: broadcast
+    single-row centroid array, zero shuffle, zero window; ties break to
+    the smallest c_id (struct max on (cos, -c_id))."""
+    return _with_cent_array(n, cents).select(
+        "vec_id", "vec",
+        (-F.array_max(
+            F.transform(
+                "cents",
+                lambda c: F.struct(
+                    _cent_cos_d(c).alias("cos"), (-c["c_id"]).alias("nc")
+                ),
+            )
+        )["nc"]).alias("list_id"),
+    )
+
+
+def _list_means(assign: DataFrame) -> DataFrame:
+    """Per-list member mean + norm: posexplode → partial-agg SUM/COUNT
+    (map-side combine — after it at most K×DIM rows shuffle per
+    partition regardless of corpus size), then the IEEE-exact mean
+    (one correctly-rounded s/M per element) and its left-fold norm."""
+    dims = (
+        assign.select("list_id", F.posexplode("vec").alias("pos", "x"))
+        .groupBy("list_id", "pos")
+        .agg(F.sum("x").alias("s"), F.count("*").alias("c"))
+    )
+    sums = dims.groupBy("list_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "s"))), lambda p: p["s"]
+        ).alias("sumvec"),
+        F.max("c").cast("bigint").alias("n_members"),
+    )
+    means = sums.select(
+        "list_id", "n_members",
+        F.transform(
+            "sumvec", lambda s: s.cast("double") / F.col("n_members")
+        ).alias("meanvec"),
+    )
+    return means.withColumn("m_norm", _dotd(F.col("meanvec"), F.col("meanvec")))
+
+
+def ivf_refine_iterative(
+    spark: SparkSession,
+    sf_dir: str,
+    iters: int = REFINE_ITERS,
+    eps: float | None = None,
+) -> DataFrame:
+    """Lloyd (k-means) refinement iterated to convergence — the
+    driver-loop iteration image (same pattern as ``dedup_clusters``
+    label propagation; reference ``iterate()``:
+    flink-streaming-java DataStream.iterate): re-assign every vector to
+    its nearest centroid, replace each non-empty list's centroid with
+    its member mean, repeat until ``iters`` steps have run or (when
+    ``eps`` is given) no centroid moved more than ``eps`` in cosine
+    distance. Empty lists (and degenerate zero-norm means) keep their
+    previous centroid — standard Lloyd.
+
+    Scale design: per step, assignment is map-side against a broadcast
+    K-row centroid array (zero shuffle) and the mean rebuild is two
+    partial-agg shuffles of ≤ K×DIM rows per partition — the same
+    plan-pinned shape as one-step ``ivf_refine``, T times. Only the
+    K-row centroid table is localCheckpoint'd between steps (cuts the
+    lineage like ``dedup_clusters``); corpus vectors NEVER reach the
+    driver, and the eps check collects one scalar per step."""
+    emb = _valid_embeddings(table(spark, sf_dir, "embeddings"))
+    n = (
+        emb.select("vec_id", _scaled(F.col("embedding")).alias("vec"))
+        .withColumn("norm", _dot(F.col("vec"), F.col("vec")))
+        .where(F.col("norm") > 0)
+    )
+    cents = (
+        n.orderBy("vec_id").limit(N_CENTROIDS)
+        .select(
+            F.col("vec_id").alias("c_id"),
+            F.transform("vec", lambda x: x.cast("double")).alias("c_vec"),
+            F.col("norm").cast("double").alias("c_norm"),
+        )
+        .localCheckpoint()
+    )
+    assign = _ivf_assign_d(n, cents)
+    means = _list_means(assign)
+    for _t in range(1, iters):
+        # fold this step's means into the centroid table: non-empty,
+        # non-degenerate lists move to their member mean; others stay
+        upd = cents.join(means, cents.c_id == means.list_id, "left")
+        moved = F.when(
+            F.col("m_norm") > 0,
+            1
+            - _dotd(F.col("meanvec"), F.col("c_vec"))
+            / (F.sqrt(F.col("m_norm")) * F.sqrt(F.col("c_norm"))),
+        ).otherwise(F.lit(0.0))
+        new_cents = upd.select(
+            "c_id",
+            F.when(F.col("m_norm") > 0, F.col("meanvec"))
+            .otherwise(F.col("c_vec"))
+            .alias("c_vec"),
+            F.when(F.col("m_norm") > 0, F.col("m_norm"))
+            .otherwise(F.col("c_norm"))
+            .alias("c_norm"),
+            moved.alias("movement"),
+        ).localCheckpoint()
+        if eps is not None:
+            mv = new_cents.agg(F.max("movement").alias("m")).first()["m"]
+            if mv is not None and mv < eps:
+                break  # converged: report the state that proved it
+        cents = new_cents.drop("movement")
+        assign = _ivf_assign_d(n, cents)
+        means = _list_means(assign)
+    return (
+        means.join(F.broadcast(cents.select("c_id", "c_vec", "c_norm")),
+                   means.list_id == F.col("c_id"))
+        .select(
+            "list_id",
+            "n_members",
+            F.round(
+                _dotd(F.col("meanvec"), F.col("c_vec"))
+                / (F.sqrt(F.col("m_norm")) * F.sqrt(F.col("c_norm"))),
+                6,
+            ).alias("centroid_cos"),
+        )
+    )
+
+
+def _ivf_iter_sql(iters: int = REFINE_ITERS) -> str:
+    """Oracle for ``ivf_refine_iters``: the T-step Lloyd loop unrolled
+    into a WITH chain — per step, argmax assignment against the current
+    centroid CTE, exact BIGINT member sums, IEEE-exact means, and a
+    CASE-folded centroid update (empty/degenerate lists keep the old
+    centroid, mirroring the engine's F.when). All double dots are
+    explicit left folds so both engines round identically."""
+
+    def dot(a: str, b: str) -> str:
+        return (
+            f"list_reduce(list_transform(list_zip({a}, {b}),"
+            " s -> s[1] * s[2]), (acc, x) -> acc + x)"
+        )
+
+    parts = [
+        f"""sc AS (
+  SELECT vec_id, {_SCALED_SQL.format(col="embedding")} AS vec
+  FROM {_VALID_EMB_SQL} embeddings
+),
+n AS (
+  SELECT * FROM (
+    SELECT vec_id, vec, {_DOT_SQL.format(a="vec", b="vec")} AS norm FROM sc
+  ) WHERE norm > 0
+),
+cents1 AS (
+  SELECT c_id, list_transform(c_vec, x -> CAST(x AS DOUBLE)) AS c_vec,
+    CAST(c_norm AS DOUBLE) AS c_norm
+  FROM (SELECT vec_id AS c_id, vec AS c_vec, norm AS c_norm FROM n
+        ORDER BY vec_id LIMIT {N_CENTROIDS})
+)"""
+    ]
+    for t in range(1, iters + 1):
+        parts.append(f"""assign{t} AS (
+  SELECT n.vec_id, n.vec,
+    -MAX({{'cos': CAST({dot("n.vec", "c_vec")} AS DOUBLE)
+          / (SQRT(CAST(n.norm AS DOUBLE)) * SQRT(c_norm)),
+         'nc': -c_id}}).nc AS list_id
+  FROM n CROSS JOIN cents{t}
+  GROUP BY n.vec_id, n.vec, n.norm
+),
+dims{t} AS (
+  SELECT list_id, pos, SUM(vec[pos]) AS s, COUNT(*) AS c
+  FROM (SELECT list_id, vec, unnest(range(1, len(vec) + 1)) AS pos
+        FROM assign{t})
+  GROUP BY list_id, pos
+),
+sums{t} AS (
+  SELECT list_id, list(s ORDER BY pos) AS sumvec, MAX(c) AS n_members
+  FROM dims{t} GROUP BY list_id
+),
+means{t} AS (
+  SELECT list_id, n_members, meanvec,
+    CAST({dot("meanvec", "meanvec")} AS DOUBLE) AS m_norm
+  FROM (SELECT list_id, n_members,
+          list_transform(sumvec, s -> CAST(s AS DOUBLE) / n_members) AS meanvec
+        FROM sums{t})
+)""")
+        if t < iters:
+            parts.append(f"""cents{t + 1} AS (
+  SELECT c.c_id,
+    CASE WHEN m.m_norm > 0 THEN m.meanvec ELSE c.c_vec END AS c_vec,
+    CASE WHEN m.m_norm > 0 THEN m.m_norm ELSE c.c_norm END AS c_norm
+  FROM cents{t} c LEFT JOIN means{t} m ON m.list_id = c.c_id
+)""")
+    return (
+        "WITH " + ",\n".join(parts) + f"""
+SELECT m.list_id, CAST(m.n_members AS BIGINT) AS n_members,
+  CAST(ROUND(CAST({dot("meanvec", "c_vec")} AS DOUBLE)
+       / (SQRT(m_norm) * SQRT(c_norm)), 6) AS DOUBLE) AS centroid_cos
+FROM means{iters} m JOIN cents{iters} c ON c.c_id = m.list_id
+"""
+    )
+
+
+@register("ivf_refine_iters", oracle=_ivf_iter_sql())
+def ivf_refine_iters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ivf_refine`` iterated: REFINE_ITERS fixed Lloyd steps with the
+    centroid table handed from step to step (empty lists keep their
+    centroid). Fixed T keeps the query deterministic and the oracle
+    expressible (the T-step loop unrolls into one WITH chain); the
+    eps-early-exit variant is ``ivf_refine_iterative(eps=...)``,
+    pytest-pinned against this fixed-T image."""
+    return ivf_refine_iterative(spark, sf_dir, iters=REFINE_ITERS)

@@ -691,3 +691,148 @@ def bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         bpe.cast("bigint").alias("n_bpe_tokens"),
         F.when(ws > 0, F.round(bpe.cast("double") / ws, 4)).alias("bpe_per_word"),
     )
+
+
+# ------------------------------- bigram-LM quality scoring (curation) --
+
+# KenLM-lite quality filtering: score every document by its average
+# add-one-smoothed bigram log-probability under a reference language
+# model counted from a deterministic slice of the corpus itself
+# (doc_id % 10 == 0 — the stand-in for "the high-quality reference
+# corpus" a real pipeline trains its filter LM on). Standard curation
+# stage: low-scoring documents are gibberish / boilerplate candidates.
+#
+# Float determinism: each pair's logp is ln of an exactly-representable
+# rational of two BIGINT counts — both engines hand ln the identical
+# double (integer→double conversion and IEEE division are exact /
+# correctly rounded), so the only cross-engine risk is ln's final ulp
+# (neither Java's Math.log nor libm guarantees correct rounding). Each
+# logp is therefore ROUNDed to 6 decimals and summed as DECIMAL (exact,
+# order-free — the house float-agg pattern), which collapses a 1-ulp
+# wobble everywhere except the measure-zero case of a true value within
+# one ulp of a 0.5e-6 boundary.
+
+LM_REF_MOD = 10  # reference slice: doc_id % LM_REF_MOD == 0
+
+BIGRAM_LM_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(string_split(lower(coalesce(text, '')), ' '), w -> w <> '') AS t
+  FROM documents WHERE doc_id IS NOT NULL
+),
+bi AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks)
+),
+refbi AS (SELECT * FROM bi WHERE ((doc_id % {LM_REF_MOD}) + {LM_REF_MOD}) % {LM_REF_MOD} = 0),
+c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM refbi GROUP BY w1, w2),
+c1 AS (SELECT w1, COUNT(*) AS c1 FROM refbi GROUP BY w1),
+vocab AS (
+  SELECT COUNT(DISTINCT w) AS v FROM (
+    SELECT unnest(t) AS w FROM toks
+    WHERE ((doc_id % {LM_REF_MOD}) + {LM_REF_MOD}) % {LM_REF_MOD} = 0)
+),
+scored AS (
+  SELECT b.doc_id,
+    CAST(ROUND(LN(CAST(coalesce(c12.c12, 0) + 1 AS DOUBLE)
+                  / CAST(coalesce(c1.c1, 0) + vocab.v AS DOUBLE)), 6)
+         AS DECIMAL(18, 6)) AS logp
+  FROM bi b
+  LEFT JOIN c12 ON b.w1 = c12.w1 AND b.w2 = c12.w2
+  LEFT JOIN c1 ON b.w1 = c1.w1
+  CROSS JOIN vocab
+),
+agg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+    CAST(SUM(logp) * 1000000 AS BIGINT) AS mu
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams,
+  CAST((mu - (((mu % n_bigrams) + n_bigrams) % n_bigrams)) // n_bigrams
+       AS DOUBLE) / 1000000.0 AS lm_score
+FROM agg
+"""
+
+
+def _lm_tokens() -> "F.Column":
+    return F.filter(F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), " "),
+                    lambda w: w != "")
+
+
+def _lm_bigrams(docs: DataFrame) -> DataFrame:
+    """(doc_id, w1, w2) per adjacent token pair — map-side: the bigram
+    list is built inside the row by zipping the token array with its
+    own 1-shifted slice, then exploded; no join, no shuffle."""
+    t = _lm_tokens()
+    pairs = F.zip_with(
+        F.expr("slice(t, 1, greatest(size(t) - 1, 0))"),
+        F.expr("slice(t, 2, greatest(size(t) - 1, 0))"),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    return (
+        docs.where(F.col("doc_id").isNotNull())
+        .select("doc_id", t.alias("t"))
+        .select("doc_id", F.explode(pairs).alias("p"))
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+
+
+@register("bigram_lm_score", oracle=BIGRAM_LM_SQL)
+def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality score per document: average add-one-smoothed
+    log-probability ln((C(w1,w2)+1) / (C(w1)+V)) over the document's
+    adjacent lowercased-token pairs, with counts from the reference
+    slice (doc_id % LM_REF_MOD == 0) and V = the reference vocabulary
+    size. Documents with fewer than two tokens carry no bigrams and are
+    absent (no score is not score 0).
+
+    Plan: bigram extraction is map-side (in-row zip + explode — no
+    self-join); the two LM count tables and the 1-row vocab count are
+    vocabulary-sized and BROADCAST to the scoring scan, so scoring
+    joins move no corpus text; the only corpus-sized shuffle is the
+    final per-doc partial-agg SUM/COUNT of (decimal, bigint). At 100 TB
+    the LM tables are built once from the reference slice and reused —
+    exactly how a KenLM-based filter deploys."""
+    docs = table(spark, sf_dir, "documents")
+    bi = _lm_bigrams(docs)
+    ref = bi.where(F.pmod(F.col("doc_id"), F.lit(LM_REF_MOD)) == 0)
+    c12 = ref.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    c1 = ref.groupBy("w1").agg(F.count("*").alias("c1"))
+    vocab = (
+        _lm_bigrams(docs)  # fresh lineage; only the ref slice is read
+        .where(F.pmod(F.col("doc_id"), F.lit(LM_REF_MOD)) == 0)
+        .select(F.explode(F.array("w1", "w2")).alias("w"))
+        .agg(F.countDistinct("w").alias("v"))
+    )
+    logp = F.round(
+        F.log(
+            (F.coalesce(F.col("c12"), F.lit(0)) + 1).cast("double")
+            / (F.coalesce(F.col("c1"), F.lit(0)) + F.col("v")).cast("double")
+        ),
+        6,
+    ).cast("decimal(18,6)")
+    scored = (
+        bi.join(F.broadcast(c12), ["w1", "w2"], "left")
+        .join(F.broadcast(c1), ["w1"], "left")
+        .crossJoin(F.broadcast(vocab))
+        .select("doc_id", logp.alias("logp"))
+    )
+    # Mean logp on the 1e-6 INTEGER grid: the decimal sum is exact, so
+    # mu = sum * 1e6 is an exact BIGINT; the mean is floored to the
+    # grid via portable floor-division (truncated % is sign-identical
+    # on both engines; mu - nonneg_remainder is exactly divisible, so
+    # the double division is exact). A plain ROUND(sum/n, 6) is NOT
+    # cross-engine safe here — decimal-grid sums divided by small n hit
+    # half-way doubles at real rates (sf0.01 doc 148: -126.297090/36 =
+    # -3.5082525 exactly; Spark rounded the double down, DuckDB up).
+    agg = scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        (F.sum("logp") * 1000000).cast("bigint").alias("mu"),
+    )
+    nb = F.col("n_bigrams")
+    r = ((F.col("mu") % nb) + nb) % nb
+    return agg.select(
+        "doc_id",
+        "n_bigrams",
+        (((F.col("mu") - r) / nb) / F.lit(1000000.0)).alias("lm_score"),
+    )

@@ -74,46 +74,50 @@ def register(name: str, oracle: str | None = None):
 # regardless of position stay oracle-gated by
 # tests/test_oracle_parity.py every round.
 #
-# r6 window: ALL 18 r5-sitters rotate back in (incl. the 10 TPC-H/
-# relational extras whose last driver row was r1 — freshness debt paid
-# this round), plus the two new r6 text ops (pii_redact,
-# url_normalize: new sole evidence, must be in-window). Sitting out r6
-# (every one hash-green in r5, witness noted):
+# r7 window: ALL 27 r6-sitters rotate back in (policy (a): nobody's
+# last driver-green row goes older than one round), plus the three new
+# r7 queries (media_decode_checksum, ivf_refine_iters, bigram_lm_score:
+# new sole evidence, must be in-window). Sitting out r7 — every one
+# hash-green in r6 (CORRECTNESS_r06), witness noted:
 DEPRIORITIZED = [
-    "tpch_q18",              # relational agg+join: tpch_q1/q3/q10 (in)
-    "nexmark_q1",            # map + scalar fns: token_count, props_rollup
-    "nexmark_q2",            # filter: tpch_q6, fraud_alerts
-    "nexmark_q8",            # windowed equi-join: interval_join, nexmark_q11
-    "keyed_running_reduce",  # keyed reduce: keyed_agg, minby_maxby
-    "dedup_exact",           # exact dedup: curation_manifest (keep-lowest) + source_quality_rollup dup_rate
-    "wordcount",             # flatMap/explode: wordcount_two_input, ngram_counts
-    "sliding_count_window",  # count windows: count_window
-    "delta_evictor_window",  # evictors: time_evictor_window
-    "continuous_trigger",    # triggers: delta_trigger (purging sits out too)
-    "dedup_bag",             # dedup family: dedup_exact (same shuffle shape)
-    "ngram_jaccard",         # shingle similarity: ngram_counts, dedup_minhash_lsh
-    "repetition_ratio",      # text stats: source_quality_rollup, ngram_counts
-    "doc_fingerprint",       # fingerprinting: dedup_substring, dedup_exact
-    "knn_bruteforce",        # brute-force cosine: cosine_near_dup_exact, knn_label_vote
-    "ann_lsh_bucketed",      # ANN: ann_ivf, cosine_near_dup_lsh
-    "train_split",           # md5-bucket split: split_rollup (same kernel)
-    "media_frame_sample",    # multimodal map-side: media_metadata/byte_features/decode
-    "quality_score",         # composed inside source_quality_rollup
-    "lang_id",               # composed inside source_quality_rollup
-    # two more r5-green sitters so the new r6 ops (pii_redact,
-    # url_normalize, sequence_pack, length_percentiles) get driver rows:
-    "media_metadata",        # map-side multimodal: media_byte_features/decode
-    "decontaminate_flags",   # broadcast semi-join: fraud_alerts; shingles: dedup_minhash_lsh
-    # and three more for doc_chunk + source_cap_sample + ivf_refine:
-    "token_count",           # same tokenizer expr inside sequence_pack/doc_chunk
-    "nexmark_q3",            # SURVEY §2B Q3 row: q3_emit_once_join (in)
-    "purging_trigger",       # trigger family: delta_trigger (in)
-    # and one for curation_manifest (all_window_agg rotated back IN as
-    # the non-keyed-window witness once tumbling_window_agg sat):
-    "tumbling_window_agg",   # event-time windows: all_window_agg, nexmark_q5 (in)
-    # and one for bpe_token_estimate:
-    "keyed_agg",             # keyed aggs: minby_maxby (in); r5 drift closed in PERF_NOTES
+    "tpch_q5",                 # multi-way join+agg: tpch_q3/q10/q18 (in)
+    "tpch_q6",                 # filter agg: nexmark_q2, tpch_q1 (in)
+    "tpch_q7",                 # multi-join: tpch_q3, tpch_q18 (in)
+    "tpch_q14",                # conditional agg: tpch_q1 + nexmark_q2 (in)
+    "top_orders_per_customer", # window rank: keyed_running_reduce, tpch_q18 (in)
+    "revenue_rollup",          # groupBy rollup: tpch_q1 (in)
+    "semi_join_orders",        # semi-join: decontaminate_flags (in)
+    "customers_without_orders",# anti-join: decontaminate_flags complement (in)
+    "props_rollup",            # scalar/JSON fns: nexmark_q1 (in)
+    "decimal_accumulators",    # decimal aggs: tpch_q1 (in)
+    "all_window_agg",          # non-keyed windows: tumbling_window_agg (in)
+    "count_window",            # count windows: sliding_count_window (in)
+    "time_evictor_window",     # evictors: delta_evictor_window (in)
+    "delta_trigger",           # triggers: continuous_trigger, purging_trigger (in)
+    "interval_join",           # time-bounded join: nexmark_q8 (in)
+    "minby_maxby",             # min/max/minBy/maxBy: keyed_agg (in)
+    "q3_emit_once_join",       # §2B Q3 row: nexmark_q3 (in); emit-once replay-fold pytest
+    "ngram_counts",            # n-gram top-k: ngram_jaccard, wordcount (in)
+    "source_quality_rollup",   # rollup of quality_score/lang_id/repetition_ratio (all in)
+    "cosine_near_dup_exact",   # brute-force cosine kernel: knn_bruteforce (in)
+    "knn_label_vote",          # broadcast probe voting: knn_bruteforce (in)
+    "ann_ivf",                 # IVF: ivf_refine_iters + ann_lsh_bucketed (in)
+    "split_rollup",            # md5-bucket split: train_split (in, same kernel)
+    "media_byte_features",     # multimodal map-side: media_metadata/frame_sample (in)
+    "media_decode_resize",     # NO_ORACLE_SITTER_WITNESS: media_decode_checksum (in)
+    "nexmark_q5",              # sliding windows: sliding_count_window, tumbling_window_agg (in)
+    "nexmark_q11",             # session windows: pytest + streaming twin (state.py)
+    "doc_chunk",               # chunking: token_count (in, same tokenizer) + chunk property test
+    "dedup_simhash",           # banded-hash dedup: dedup_minhash_lsh (in)
+    "cosine_near_dup_lsh",     # SRP-LSH: ann_lsh_bucketed (in)
 ]
+
+# A no-oracle query may sit out ONLY with a named in-window witness
+# that drives the same kernel through a hash-gated oracle.
+# media_decode_checksum IS media_decode_resize plus md5(pixels) — the
+# whole decode→resize path flows through its DuckDB value-hash gate,
+# while the pixel-exact pytest replay stays on the parent.
+NO_ORACLE_SITTER_WITNESS = {"media_decode_resize": "media_decode_checksum"}
 
 
 def load_all() -> dict[str, QueryDef]:
