@@ -211,7 +211,7 @@ _TEXT_FAMILY = [
     "pii_redact", "url_normalize", "wordcount", "wordcount_two_input",
     "dedup_clusters", "sequence_pack", "length_percentiles",
     "doc_chunk", "source_cap_sample", "curation_manifest",
-    "bpe_token_estimate",
+    "bpe_token_estimate", "bigram_lm_score", "media_decode_checksum",
 ]
 
 
@@ -251,11 +251,33 @@ def hostile_docs(tmp_path_factory):
             # view (ANSI element_at throws; DuckDB indexes from the
             # END) — the person-state crash class on the documents side
             "negative id words",
+            # r7 curation probes (VERDICT item 8):
+            # a MULTI-document NULL-source shard with PACK_CAPACITY-
+            # boundary documents — sequence_pack must group the NULL
+            # shard identically on both engines AND roll seq_id over
+            # exactly at the 2048-token boundary (doc 10 is exactly
+            # capacity-sized, doc 11 one over); source_cap_sample's
+            # md5-order rank runs inside the NULL shard too
+            " ".join(f"t{i}" for i in range(2048)),
+            " ".join(f"u{i}" for i in range(2049)),
+            # long enough for a real image row (doc_id 12 % 3 == 0,
+            # width 96, img_h 3) so media_decode_checksum's hostile
+            # path decodes real pixels, not an empty result
+            "abcdefgh " * 34,
+            # a source ('h') whose n_chars are ALL NULL: Spark
+            # percentile and DuckDB quantile_cont must both yield a
+            # NULL-percentile row, not drop the group
+            "all null chars one",
+            "all null chars two",
+            # partial-NULL n_chars inside source 'g'
+            "partial null chars",
         ],
-        "doc_id": [1, 2, 3, 4, 5, 6, 7, 8, None, -6],
-        "lang": ["en"] * 6 + [None, None, "en", "en"],
-        "source": ["f"] * 6 + ["g", None, "f", "f"],
-        "n_chars": [45, 0, 45, 0, 9, 3, 103, 16, 18, 17],
+        "doc_id": [1, 2, 3, 4, 5, 6, 7, 8, None, -6, 10, 11, 12, 13, 14, 15],
+        "lang": ["en"] * 6 + [None, None, "en", "en"] + ["en"] * 6,
+        "source": ["f"] * 6 + ["g", None, "f", "f"]
+        + [None, None, None, "h", "h", "g"],
+        "n_chars": [45, 0, 45, 0, 9, 3, 103, 16, 18, 17]
+        + [12000, 12010, 306, None, None, None],
     }
     pq.write_table(pa.table(docs), tmp / "documents.parquet")
     con = duckdb.connect()
@@ -359,6 +381,7 @@ def test_events_family_parity_on_hostile_corpus(spark, hostile_events, name):
 _SIM_FAMILY = [
     "knn_bruteforce", "cosine_near_dup_exact", "cosine_near_dup_lsh",
     "ann_lsh_bucketed", "ann_ivf", "knn_label_vote", "ivf_refine",
+    "ivf_refine_iters",
 ]
 
 _DIM = 64
@@ -566,7 +589,13 @@ def test_decode_pgm_accepts_any_8bit_maxval():
     img = decode_pgm(b"P5\n2 2\n100\n" + bytes([0, 50, 99, 100]))
     assert img is not None and img.shape == (2, 2)
     assert img.tolist() == [[0, 50], [99, 100]]
-    assert decode_pgm(b"P5\n2 2\n256\n" + bytes(8)) is None  # 16-bit
+    # maxval >= 256: two-byte big-endian samples, scaled by maxval
+    # (was a None -> silent canvas fallback before r7)
+    img16 = decode_pgm(b"P5\n2 2\n256\n" + bytes([0, 0, 1, 0, 0, 128, 1, 0]))
+    assert img16 is not None and img16.dtype == np.uint8
+    assert img16.tolist() == [
+        [0, (256 * 255) // 256], [(128 * 255) // 256, (256 * 255) // 256]
+    ]
     assert decode_pgm(b"P5\n2 2\n0\n" + bytes(4)) is None
 
 

@@ -476,3 +476,70 @@ def test_ivf_refine_is_bounded_partial_agg(spark):
     assert len(re.findall(r"^\(\d+\) Exchange$", plan, re.M)) == 2, plan
     assert "partial_" in plan, "member sums lack map-side combine"
     assert "BroadcastExchange" in plan
+
+
+def test_multi_row_group_file_fans_out_scan(spark, tmp_path):
+    # PERF_NOTES documents that the sf* fixtures' single-row-group
+    # parquet caps the document family at one scan task locally, and
+    # claims real multi-row-group corpora fan out with NO added
+    # exchange. Pin that claim: a single .parquet FILE with 8 row
+    # groups must feed >= 8 scan tasks that all do real work, and the
+    # map-side fingerprint/text stage over it must stay exchange-free.
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from trisk_spark.functions.dedup import _WINNOW_EXPR
+
+    import hashlib
+
+    n, per_group = 4000, 500  # 8 row groups in ONE file
+    docs = {
+        "doc_id": list(range(n)),
+        # md5-derived words: incompressible, so each row group's
+        # on-disk size stays well above the split size below
+        "text": [
+            " ".join(
+                hashlib.md5(f"{i}:{j}".encode()).hexdigest()[:8]
+                for j in range(40)
+            )
+            for i in range(n)
+        ],
+        "lang": ["en"] * n,
+        "source": ["fixture"] * n,
+        "n_chars": [200] * n,
+    }
+    pq.write_table(
+        pa.table(docs), tmp_path / "documents.parquet", row_group_size=per_group
+    )
+
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(8 * 1024))
+    try:
+        stage = (
+            spark.read.parquet(str(tmp_path / "documents.parquet"))
+            .select("doc_id", F.explode(F.expr(_WINNOW_EXPR)).alias("fp"))
+        )
+        per_part = (
+            stage.groupBy(F.spark_partition_id().alias("pid"))
+            .count()
+            .collect()
+        )
+        non_empty = [r for r in per_part if r["count"] > 0]
+        assert len(non_empty) == 8, (
+            f"expected one working scan task per row group, got "
+            f"{len(non_empty)}: {sorted((r.pid, r['count']) for r in per_part)}"
+        )
+        # and the fan-out came from the SCAN, not a repartition: the
+        # map stage (before the diagnostic groupBy) has no Exchange
+        import io
+        import re
+        from contextlib import redirect_stdout
+
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            stage.explain("formatted")
+        plan = buf.getvalue()
+        assert not re.findall(r"^\(\d+\) Exchange", plan, re.M), plan
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)

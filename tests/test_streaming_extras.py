@@ -1121,3 +1121,89 @@ def test_sequence_pack_stream_equals_batch(spark):
             for r in load_all()["sequence_pack"].fn(spark, SF).collect()}
     assert got == want
     assert len(got) == len(emitted), "a doc_id emitted twice"
+
+
+def test_streaming_curation_pipeline_mid_stream_restart(spark, tmp_path):
+    """VERDICT r6 item 4: the WHOLE curation chain as one streaming
+    query — quality gate → exact-dedup state → split assignment → PII
+    scrub → split-partitioned parquet sink — stopped MID-STREAM (half
+    the corpus ingested), restarted from the same checkpoint with the
+    second half arriving, and the final files must equal the batch
+    ``curation_manifest`` image joined with the batch redaction,
+    byte-equal per doc. Pins that the r6 pieces compose exactly-once:
+    the dedup state AND the file-sink manifest both resume."""
+    import pyarrow as pa
+
+    from trisk_spark.registry import load_all
+    from trisk_spark.streaming.queries import curated_stream
+    from trisk_spark.streaming.sinks import to_files
+
+    SF_LOCAL = SF
+    batch_docs = (
+        spark.read.parquet(f"{SF_LOCAL}/documents.parquet")
+        .orderBy("doc_id")
+        .collect()
+    )
+    schema = [
+        ("doc_id", pa.int64()),
+        ("text", pa.string()),
+        ("lang", pa.string()),
+        ("source", pa.string()),
+        ("n_chars", pa.int64()),
+    ]
+    rows = [
+        (r.doc_id, r.text, r.lang, r.source, r.n_chars) for r in batch_docs
+    ]
+    quarter = len(rows) // 4
+    wave1 = [rows[:quarter], rows[quarter : 2 * quarter]]
+    wave2 = [rows[2 * quarter : 3 * quarter], rows[3 * quarter :]]
+
+    src = _write_chunks(tmp_path, "curate-src", schema, wave1)
+    out = str(tmp_path / "curated-out")
+    ckpt = str(tmp_path / "curated-ckpt")
+    spark_schema = spark.read.parquet(f"{SF_LOCAL}/documents.parquet").schema
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(spark_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            to_files(curated_stream(stream), out, ckpt, partition_by="split")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()  # ingest wave 1, then the query STOPS mid-corpus
+    mid = spark.read.parquet(out).count()
+    _write_chunks(tmp_path, "curate-src", schema, wave2, start=len(wave1))
+    run_once()  # restart: same checkpoint, dedup state + sink resume
+
+    got_rows = spark.read.parquet(out).collect()
+    got = {
+        r.doc_id: (r.source, r.split, r.n_tokens, r.quality, r.redacted)
+        for r in got_rows
+    }
+    assert len(got) == len(got_rows), "restart re-committed a document"
+    assert mid < len(got_rows), "second wave never ingested"
+
+    manifest = {
+        r.doc_id: (r.source, r.split, r.n_tokens, r.quality)
+        for r in load_all()["curation_manifest"].fn(spark, SF_LOCAL).collect()
+    }
+    redacted = {
+        r.doc_id: r.redacted
+        for r in load_all()["pii_redact"].fn(spark, SF_LOCAL).collect()
+    }
+    want = {
+        doc_id: (*vals, redacted[doc_id]) for doc_id, vals in manifest.items()
+    }
+    assert got == want
+    # split-partitioned layout on disk → readers partition-prune
+    import os
+
+    assert sorted(
+        d.split("=")[1] for d in os.listdir(out) if d.startswith("split=")
+    ) == sorted({v[1] for v in got.values()})

@@ -741,6 +741,7 @@ scored AS (
   LEFT JOIN c12 ON b.w1 = c12.w1 AND b.w2 = c12.w2
   LEFT JOIN c1 ON b.w1 = c1.w1
   CROSS JOIN vocab
+  WHERE vocab.v > 0
 ),
 agg AS (
   SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
@@ -811,10 +812,14 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         6,
     ).cast("decimal(18,6)")
+    # v > 0 guard: with an empty reference slice there IS no LM —
+    # emit nothing rather than ln((c+1)/0) = ln(inf), which would
+    # crash the decimal cast on both engines
     scored = (
         bi.join(F.broadcast(c12), ["w1", "w2"], "left")
         .join(F.broadcast(c1), ["w1"], "left")
         .crossJoin(F.broadcast(vocab))
+        .where(F.col("v") > 0)
         .select("doc_id", logp.alias("logp"))
     )
     # Mean logp on the 1e-6 INTEGER grid: the decimal sum is exact, so

@@ -202,3 +202,51 @@ def final_state(emitted, key_cols: list[str]):
         key = tuple(d[k] for k in key_cols)
         latest[key] = (batch_id, row)
     return [row for _, row in latest.values()]
+
+
+def curated_stream(docs: DataFrame) -> DataFrame:
+    """The FULL curation chain as ONE streaming query — the ingest-time
+    image of ``functions/sampling.curation_manifest`` composed with the
+    PII scrub: quality gate (shared ``quality_expr`` + token floor) →
+    exact dedup (native ``dropDuplicates`` state on the 32-byte content
+    hash; first-seen ≡ the batch keep-lowest rank under doc_id-ordered
+    replay, as ``dedup_exact_stream`` pins) → stable split assignment
+    (shared ``_split_col``) → PII redaction, ready for a
+    split-partitioned parquet sink (``sinks.to_files``).
+
+    Every gate/score/split expression is THE shared batch expression,
+    so the streaming image cannot drift from the manifest; the only
+    state is one hash per distinct surviving document (text never
+    enters state). Restarting mid-stream resumes both the dedup state
+    and the file-sink manifest exactly-once (pytest-pinned)."""
+    from trisk_spark.functions.sampling import (
+        MANIFEST_MIN_QUALITY,
+        MANIFEST_MIN_TOKENS,
+        _split_col,
+    )
+    from trisk_spark.functions.text import pii_scrub, quality_expr
+
+    d = docs.where(F.col("text").isNotNull() & F.col("doc_id").isNotNull())
+    ws = F.filter(F.split("text", " "), lambda w: w != "")
+    gated = d.select(
+        "doc_id",
+        "source",
+        "text",
+        F.md5(F.lower("text")).alias("content_md5"),
+        F.size(ws).cast("bigint").alias("n_tokens"),
+        _split_col().alias("split"),
+        quality_expr(F.col("text")).alias("q"),
+    ).where(
+        (F.col("n_tokens") >= MANIFEST_MIN_TOKENS)
+        & (F.col("q") >= MANIFEST_MIN_QUALITY)
+    )
+    deduped = gated.dropDuplicates(["content_md5"])
+    out = pii_scrub(deduped, keep=("source", "split", "n_tokens", "q"))
+    return out.select(
+        "doc_id",
+        "source",
+        "split",
+        "n_tokens",
+        F.round("q", 4).alias("quality"),
+        "redacted",
+    )
