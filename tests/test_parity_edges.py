@@ -271,13 +271,18 @@ def hostile_docs(tmp_path_factory):
             "all null chars two",
             # partial-NULL n_chars inside source 'g'
             "partial null chars",
+            # single-token doc in bigram_lm_score's REFERENCE slice
+            # (doc_id % 10 == 0): no bigrams, but its token still
+            # belongs to the vocabulary — an engine counting distinct
+            # tokens over bigram members only would compute V one low
+            "solotoken",
         ],
-        "doc_id": [1, 2, 3, 4, 5, 6, 7, 8, None, -6, 10, 11, 12, 13, 14, 15],
-        "lang": ["en"] * 6 + [None, None, "en", "en"] + ["en"] * 6,
+        "doc_id": [1, 2, 3, 4, 5, 6, 7, 8, None, -6, 10, 11, 12, 13, 14, 15, 20],
+        "lang": ["en"] * 6 + [None, None, "en", "en"] + ["en"] * 7,
         "source": ["f"] * 6 + ["g", None, "f", "f"]
-        + [None, None, None, "h", "h", "g"],
+        + [None, None, None, "h", "h", "g", "f"],
         "n_chars": [45, 0, 45, 0, 9, 3, 103, 16, 18, 17]
-        + [12000, 12010, 306, None, None, None],
+        + [12000, 12010, 306, None, None, None, 9],
     }
     pq.write_table(pa.table(docs), tmp / "documents.parquet")
     con = duckdb.connect()

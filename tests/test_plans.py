@@ -264,10 +264,25 @@ def test_map_only_queries_have_no_exchange(spark):
     # regex projections, and chunking is tokenize+explode+slice in one
     # stage — any Exchange here is a planning bug
     for name in (
-        "nexmark_q1", "nexmark_q2", "pii_redact", "url_normalize", "doc_chunk"
+        "nexmark_q1", "nexmark_q2", "pii_redact", "url_normalize",
+        "doc_chunk", "media_decode_checksum",
     ):
         plan = static_plan(spark, name)
         assert "Exchange" not in plan, f"{name}: map-only query shuffles"
+
+
+def test_bigram_lm_scoring_joins_are_broadcast(spark):
+    # the scoring scan must take the LM tables by BROADCAST (a
+    # sort-merge join would shuffle every bigram of the corpus against
+    # the count tables); the per-doc aggregate must partial-agg
+    import re
+
+    with no_auto_broadcast(spark):
+        plan = static_plan(spark, "bigram_lm_score")
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row vocab cross join
+    assert "partial_count" in plan and "partial_sum" in plan, plan
 
 
 def test_substring_dedup_plan_is_bucketed_jvm_side(spark):

@@ -1207,3 +1207,30 @@ def test_streaming_curation_pipeline_mid_stream_restart(spark, tmp_path):
     assert sorted(
         d.split("=")[1] for d in os.listdir(out) if d.startswith("split=")
     ) == sorted({v[1] for v in got.values()})
+
+
+def test_bigram_lm_stream_equals_batch(spark):
+    """Streaming LM scoring: the broadcast-model mapInPandas kernel
+    must reproduce the batch bigram_lm_score exactly (same ln grid,
+    same integer-floor mean) for every replayed document."""
+    from trisk_spark.registry import load_all
+    from trisk_spark.streaming.queries import bigram_lm_stream
+
+    stream = replay_stream(spark, SF, "documents", n_chunks=4, order_col="doc_id")
+    emitted = []
+    q = (
+        bigram_lm_stream(stream, spark, SF)
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda bdf, bid: emitted.extend(bdf.collect()))
+        .option("checkpointLocation", checkpoint_dir("lmstream"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r.doc_id: (r.n_bigrams, r.lm_score) for r in emitted}
+    want = {
+        r.doc_id: (r.n_bigrams, r.lm_score)
+        for r in load_all()["bigram_lm_score"].fn(spark, SF).collect()
+    }
+    assert got == want
+    assert len(got) == len(emitted), "a doc_id emitted twice"

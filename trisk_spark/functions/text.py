@@ -798,11 +798,18 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     bi = _lm_bigrams(docs)
     ref = bi.where(F.pmod(F.col("doc_id"), F.lit(LM_REF_MOD)) == 0)
     c12 = ref.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
-    c1 = ref.groupBy("w1").agg(F.count("*").alias("c1"))
+    # C(w1) = sum over w2 of C(w1, w2): aggregate the (small) c12 table
+    # instead of re-scanning the corpus — one fewer scan, and its
+    # shuffle moves vocabulary-sized rows, not bigrams
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    # vocab counts distinct tokens at EVERY position (matching the
+    # oracle's unnest(t)) — counting over bigram members would drop the
+    # token of a single-token reference doc, a real divergence pinned
+    # by the hostile-corpus fixture's solo-token ref doc
     vocab = (
-        _lm_bigrams(docs)  # fresh lineage; only the ref slice is read
+        docs.where(F.col("doc_id").isNotNull())
         .where(F.pmod(F.col("doc_id"), F.lit(LM_REF_MOD)) == 0)
-        .select(F.explode(F.array("w1", "w2")).alias("w"))
+        .select(F.explode(_lm_tokens()).alias("w"))
         .agg(F.countDistinct("w").alias("v"))
     )
     logp = F.round(

@@ -250,3 +250,85 @@ def curated_stream(docs: DataFrame) -> DataFrame:
         F.round("q", 4).alias("quality"),
         "redacted",
     )
+
+
+def bigram_lm_stream(docs: DataFrame, spark, ref_sf_dir: str) -> DataFrame:
+    """Streaming bigram-LM scoring — the deployment shape of
+    ``functions/text.bigram_lm_score``: the LM count tables are built
+    ONCE from the reference slice (batch), shipped to every executor as
+    a SparkContext broadcast (the KenLM "model file on each worker"
+    pattern), and arriving documents are scored statelessly in an
+    Arrow-batched ``mapInPandas`` kernel — append mode, ZERO shuffle,
+    no state. The kernel reproduces the batch arithmetic exactly:
+    per-pair ln rounded to 6 decimals, summed in 1e-6 integer units,
+    mean floored on the grid (stream≡batch pytest-pinned).
+
+    At 100 TB the broadcast is vocabulary-bounded (counts, not corpus)
+    and scoring scales with the ingest scan alone."""
+    import math
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from trisk_spark.catalog import table
+    from trisk_spark.functions.text import LM_REF_MOD, _lm_bigrams, _lm_tokens
+
+    ref_docs = table(spark, ref_sf_dir, "documents").where(
+        F.col("doc_id").isNotNull()
+        & (F.pmod(F.col("doc_id"), F.lit(LM_REF_MOD)) == 0)
+    )
+    c12 = {
+        (r.w1, r.w2): r.c12
+        for r in _lm_bigrams(ref_docs)
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c12"))
+        .collect()
+    }
+    c1: dict = {}
+    for (w1, _w2), c in c12.items():
+        c1[w1] = c1.get(w1, 0) + c
+    v = (
+        ref_docs.select(F.explode(_lm_tokens()).alias("w"))
+        .agg(F.countDistinct("w").alias("v"))
+        .first()["v"]
+    )
+    model = spark.sparkContext.broadcast((c12, c1, int(v)))
+
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("n_bigrams", LongType()),
+            StructField("mu", LongType()),
+        ]
+    )
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bc12, bc1, bv = model.value
+        for pdf in batches:
+            out = {"doc_id": [], "n_bigrams": [], "mu": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if doc_id is None or pd.isna(doc_id) or bv <= 0:
+                    continue
+                toks = [w for w in (text or "").lower().split(" ") if w != ""]
+                if len(toks) < 2:
+                    continue
+                mu = 0
+                for a, b in zip(toks, toks[1:]):
+                    p = (bc12.get((a, b), 0) + 1) / (bc1.get(a, 0) + bv)
+                    # same grid as the batch decimal: ln rounded to 6
+                    # decimals, accumulated in exact 1e-6 integer units
+                    mu += int(round(round(math.log(p), 6) * 1_000_000))
+                out["doc_id"].append(int(doc_id))
+                out["n_bigrams"].append(len(toks) - 1)
+                out["mu"].append(mu)
+            yield pd.DataFrame(out)
+
+    scored = docs.select("doc_id", "text").mapInPandas(score, out_schema)
+    nb = F.col("n_bigrams")
+    r = ((F.col("mu") % nb) + nb) % nb
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        (((F.col("mu") - r) / nb) / F.lit(1000000.0)).alias("lm_score"),
+    )
