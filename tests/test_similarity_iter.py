@@ -55,10 +55,9 @@ def test_ivf_refine_iters_plan_is_stepwise_bounded(spark):
 
     plan = static_plan(spark, "ivf_refine_iters")
     assert len(re.findall(r"^\(\d+\) Window$", plan, re.M)) == 0, plan
-    # 3 = the two bounded partial-agg shuffles + one K-row (64-row)
-    # single-partition collapse of the checkpointed centroid table into
-    # its broadcast array (one-step ivf_refine avoids that third one
-    # only because its un-checkpointed LIMIT is already 1 partition)
-    assert len(re.findall(r"^\(\d+\) Exchange$", plan, re.M)) == 3, plan
+    # exactly the two bounded partial-agg shuffles; assignment is the
+    # Arrow GEMM kernel over the scan (driver-held centroid model — no
+    # centroid-array collapse exchange, no shuffle, no window)
+    assert len(re.findall(r"^\(\d+\) Exchange$", plan, re.M)) == 2, plan
     assert "partial_" in plan, "member sums lack map-side combine"
-    assert "BroadcastExchange" in plan
+    assert "BroadcastExchange" in plan  # final K-row centroid join

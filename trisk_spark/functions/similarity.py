@@ -666,6 +666,78 @@ def _with_cent_array(side: DataFrame, cents: DataFrame) -> DataFrame:
     return side.crossJoin(F.broadcast(cents_arr))
 
 
+def _assign_gemm(spark: SparkSession, n: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment as an Arrow-batched numpy kernel —
+    the vectorized replacement for the JVM array-argmax (which Catalyst
+    evaluates as INTERPRETED higher-order lambdas; PERF_NOTES r7
+    measured the GEMM kernel 6× faster on identical assignments). Still
+    map-side work over the scan: NO shuffle, NO window — the K-row
+    centroid table is collected once at plan build (the driver-held
+    model, same class as the dedup_clusters loop counters) and shipped
+    as a SparkContext broadcast.
+
+    Exactness contract with the SQL oracles:
+      * integer centroids (bigint c_vec): dots run in int64 matmul —
+        exact integer arithmetic with the SAME two's-complement wrap as
+        the JVM bigint fold, so cosines are bit-identical to
+        ``_cent_cos``;
+      * double centroids (Lloyd means): dots accumulate dimension-by-
+        dimension in index order (``acc += v_d * c_d``), the exact
+        left-fold rounding sequence of ``_dotd`` and the oracle's
+        ``list_reduce`` — a BLAS matmul would re-associate the sum and
+        could flip an argmax tie.
+    Ties break to the smallest c_id: centroids are ordered by c_id and
+    np.argmax takes the first maximum. Returns (vec_id, vec, norm,
+    list_id)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    rows = cents.orderBy("c_id").collect()
+    is_int = isinstance(cents.schema["c_vec"].dataType.elementType, LongType)
+    cmat = np.array([list(r.c_vec) for r in rows],
+                    dtype=np.int64 if is_int else np.float64)
+    cn = np.sqrt(np.array([float(r.c_norm) for r in rows], dtype=np.float64))
+    cids = np.array([r.c_id for r in rows], dtype=np.int64)
+    model = spark.sparkContext.broadcast((cmat, cn, cids, is_int))
+
+    out_schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("vec", ArrayType(LongType())),
+            StructField("norm", LongType()),
+            StructField("list_id", LongType()),
+        ]
+    )
+
+    def kern(batches):
+        cmat, cn, cids, is_int = model.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.array(list(pdf["vec"]), dtype=np.int64)
+            vn = np.sqrt(pdf["norm"].to_numpy(dtype=np.float64))
+            if is_int:
+                dots = (v @ cmat.T).astype(np.float64)
+            else:
+                vf = v.astype(np.float64)
+                dots = np.zeros((v.shape[0], cmat.shape[0]))
+                for d in range(cmat.shape[1]):  # left-fold over dims
+                    dots += vf[:, d, None] * cmat.T[None, d, :]
+            cos = dots / (vn[:, None] * cn[None, :])
+            best = np.argmax(cos, axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "vec": pdf["vec"],
+                    "norm": pdf["norm"].to_numpy(),
+                    "list_id": cids[best],
+                }
+            )
+
+    return n.mapInPandas(kern, out_schema)
+
+
 @register("ann_ivf", oracle=ANN_IVF_SQL)
 def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: corpus coarse-quantized to a FIXED number of
@@ -673,13 +745,16 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     stand-in for a write-time k-means sample); each probe scans only its
     N_PROBE_LISTS nearest lists.
 
-    Plan: the K centroids are collapsed into a single broadcast array
-    row, so list assignment is a map-side array argmax — O(n·K) work,
+    Plan: list assignment is the Arrow-batched numpy GEMM kernel
+    (``_assign_gemm``: K-row centroid model broadcast to executors,
+    exact-integer dots, argmax per batch row) — O(n·K) map-side work,
     zero shuffle, zero window (the only Window in the whole plan is the
-    final per-query top-k rank). At 100 TB the assignment is a
-    write-time step (store embeddings partitioned by list_id) and the
-    probe becomes a partition-pruned scan of nprobe/nlist of the data;
-    K stays fixed as the corpus grows.
+    final per-query top-k rank); r7 measured the kernel 6× faster than
+    the interpreted JVM array-argmax it replaced (PERF_NOTES). At
+    100 TB the assignment is a write-time step (store embeddings
+    partitioned by list_id) and the probe becomes a partition-pruned
+    scan of nprobe/nlist of the data; K stays fixed as the corpus
+    grows.
 
     Reference has no ANN operator — beyond-reference mandate
     (training-data pipeline ops).
@@ -696,19 +771,10 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("c_id"), F.col("vec").alias("c_vec"),
         F.col("norm").alias("c_norm"),
     )
-    # argmax by (cos, -c_id): struct max is lexicographic, ties break to
-    # the smallest centroid id — mirrored by the oracle's struct MAX.
-    assign = _with_cent_array(n, cents).select(
-        "vec_id", "vec", "norm",
-        F.array_max(
-            F.transform(
-                "cents",
-                lambda c: F.struct(
-                    _cent_cos(c).alias("cos"), (-c["c_id"]).alias("nc")
-                ),
-            )
-        ).alias("best"),
-    ).select("vec_id", "vec", "norm", (-F.col("best.nc")).alias("list_id"))
+    # argmax by (cos, smallest c_id) — the GEMM kernel computes the
+    # identical exact-integer cosines the oracle's struct MAX ranks
+    # (see _assign_gemm's exactness contract).
+    assign = _assign_gemm(spark, n, cents)
     # Query routing: same array, sorted by (-cos, c_id), keep the top
     # N_PROBE_LISTS — still map-side (5 probe rows).
     q = n.where(F.col("vec_id") < N_PROBES)
@@ -865,12 +931,12 @@ def ivf_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     any list size — a raw sum-vector BIGINT dot would overflow on a
     hot list (Spark wraps silently, DuckDB promotes to HUGEINT).
 
-    Plan: assignment is map-side (zero shuffle, broadcast centroid
-    array); the elementwise member-sum runs as posexplode ->
-    (list_id, pos) partial-aggregated SUM — after map-side combine the
-    shuffle moves at most K x DIM = 4096 rows per partition regardless
-    of corpus size; rebuild-and-join against the K-row centroid table
-    is broadcast. Centroid drift (1 - centroid_cos) is the signal a
+    Plan: assignment is the map-side Arrow GEMM kernel (zero shuffle,
+    broadcast centroid model — ``_assign_gemm``); the elementwise
+    member-sum runs as posexplode -> (list_id, pos) partial-aggregated
+    SUM — after map-side combine the shuffle moves at most
+    K x DIM = 4096 rows per partition regardless of corpus size;
+    rebuild-and-join against the K-row centroid table is broadcast. Centroid drift (1 - centroid_cos) is the signal a
     100 TB pipeline uses to decide when the write-time index needs
     re-clustering."""
     emb = _valid_embeddings(table(spark, sf_dir, "embeddings"))
@@ -883,17 +949,7 @@ def ivf_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("c_id"), F.col("vec").alias("c_vec"),
         F.col("norm").alias("c_norm"),
     )
-    assign = _with_cent_array(n, cents).select(
-        "vec_id", "vec",
-        (-F.array_max(
-            F.transform(
-                "cents",
-                lambda c: F.struct(
-                    _cent_cos(c).alias("cos"), (-c["c_id"]).alias("nc")
-                ),
-            )
-        )["nc"]).alias("list_id"),
-    )
+    assign = _assign_gemm(spark, n, cents).select("vec_id", "vec", "list_id")
     dims = (
         assign.select("list_id", F.posexplode("vec").alias("pos", "x"))
         .groupBy("list_id", "pos")
@@ -955,32 +1011,6 @@ def _dotd(a: Column, b: Column) -> Column:
     )
 
 
-def _cent_cos_d(c: Column) -> Column:
-    """Cosine between the row's bigint ``vec``/``norm`` and one DOUBLE
-    centroid struct (centroids are mean vectors after the first Lloyd
-    step, so the whole iteration runs on double centroids)."""
-    return _dotd(F.col("vec"), c["c_vec"]) / (
-        F.sqrt(F.col("norm").cast("double")) * F.sqrt(c["c_norm"])
-    )
-
-
-def _ivf_assign_d(n: DataFrame, cents: DataFrame) -> DataFrame:
-    """Map-side argmax assignment against DOUBLE centroids: broadcast
-    single-row centroid array, zero shuffle, zero window; ties break to
-    the smallest c_id (struct max on (cos, -c_id))."""
-    return _with_cent_array(n, cents).select(
-        "vec_id", "vec",
-        (-F.array_max(
-            F.transform(
-                "cents",
-                lambda c: F.struct(
-                    _cent_cos_d(c).alias("cos"), (-c["c_id"]).alias("nc")
-                ),
-            )
-        )["nc"]).alias("list_id"),
-    )
-
-
 def _list_means(assign: DataFrame) -> DataFrame:
     """Per-list member mean + norm: posexplode → partial-agg SUM/COUNT
     (map-side combine — after it at most K×DIM rows shuffle per
@@ -1022,9 +1052,11 @@ def ivf_refine_iterative(
     distance. Empty lists (and degenerate zero-norm means) keep their
     previous centroid — standard Lloyd.
 
-    Scale design: per step, assignment is map-side against a broadcast
-    K-row centroid array (zero shuffle) and the mean rebuild is two
-    partial-agg shuffles of ≤ K×DIM rows per partition — the same
+    Scale design: per step, assignment is the map-side Arrow GEMM
+    kernel against the broadcast K-row centroid model (zero shuffle;
+    left-fold dim accumulation for double centroids keeps it
+    bit-identical to the unrolled SQL oracle) and the mean rebuild is
+    two partial-agg shuffles of ≤ K×DIM rows per partition — the same
     plan-pinned shape as one-step ``ivf_refine``, T times. Only the
     K-row centroid table is localCheckpoint'd between steps (cuts the
     lineage like ``dedup_clusters``); corpus vectors NEVER reach the
@@ -1044,7 +1076,7 @@ def ivf_refine_iterative(
         )
         .localCheckpoint()
     )
-    assign = _ivf_assign_d(n, cents)
+    assign = _assign_gemm(spark, n, cents).select("vec_id", "vec", "list_id")
     means = _list_means(assign)
     for _t in range(1, iters):
         # fold this step's means into the centroid table: non-empty,
@@ -1071,7 +1103,7 @@ def ivf_refine_iterative(
             if mv is not None and mv < eps:
                 break  # converged: report the state that proved it
         cents = new_cents.drop("movement")
-        assign = _ivf_assign_d(n, cents)
+        assign = _assign_gemm(spark, n, cents).select("vec_id", "vec", "list_id")
         means = _list_means(assign)
     return (
         means.join(F.broadcast(cents.select("c_id", "c_vec", "c_norm")),
