@@ -109,37 +109,71 @@ FROM ranked WHERE rank <= {TOP_K}
 @register("knn_bruteforce", oracle=KNN_BRUTE_SQL)
 def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-k for a probe set against the whole corpus.
-    Plan: probe side broadcast (tiny), corpus scanned once; dot product
-    is a codegen'd higher-order function; rank prunes to k per query."""
+    Plan: the ≤N_PROBES probe vectors are driver-held and shipped as a
+    broadcast model; the corpus is scanned ONCE through an
+    Arrow-batched numpy kernel that scores every (probe, vector) pair
+    by exact int64 matmul (bit-identical to the oracle's BIGINT fold —
+    same contract as ``_assign_gemm``). Rounding stays JVM-side
+    (F.round on the raw cosine) so it is byte-identical to the SQL
+    ROUND; rank prunes to k per query. At 100 TB this is the
+    map-side-GEMM brute-force baseline every ANN variant is measured
+    against."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
     emb = _valid_embeddings(table(spark, sf_dir, "embeddings"))
     n = _with_norm(emb, "vec_id", "n").where(F.col("n_norm") > 0)
-    q = (
-        n.where(F.col("n_id") < N_PROBES)
-        .select(
-            F.col("n_id").alias("query_id"),
-            F.col("n_vec").alias("qvec"),
-            F.col("n_norm").alias("qnorm"),
-        )
+    probes = n.where(F.col("n_id") < N_PROBES).orderBy("n_id").collect()
+    out_schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField("neighbor_id", LongType()),
+            StructField("cos_raw", DoubleType()),
+        ]
     )
-    pairs = (
-        F.broadcast(q)
-        .crossJoin(n)
-        .where(F.col("query_id") != F.col("n_id"))
-        .select(
-            "query_id",
-            F.col("n_id").alias("neighbor_id"),
-            F.round(
-                _dot(F.col("qvec"), F.col("n_vec")).cast("double")
-                / (
-                    F.sqrt(F.col("qnorm").cast("double"))
-                    * F.sqrt(F.col("n_norm").cast("double"))
-                ),
-                6,
-            ).alias("cosine_sim"),
+    if not probes:
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine_sim double, rank int"
         )
-    )
-    from pyspark.sql import Window
+    qmat = np.array([list(r.n_vec) for r in probes], dtype=np.int64)
+    qn = np.sqrt(np.array([float(r.n_norm) for r in probes]))
+    qids = np.array([r.n_id for r in probes], dtype=np.int64)
+    model = spark.sparkContext.broadcast((qmat, qn, qids))
 
+    def score(batches):
+        qmat, qn, qids, = model.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.array(list(pdf["n_vec"]), dtype=np.int64)
+            vn = np.sqrt(pdf["n_norm"].to_numpy(dtype=np.float64))
+            nids = pdf["n_id"].to_numpy()
+            # exact int64 dots, then the same double ops in the same
+            # order as the JVM expression: dot / (sqrt(qn) * sqrt(vn))
+            cos = (qmat @ v.T).astype(np.float64) / (qn[:, None] * vn[None, :])
+            qi, ni = np.meshgrid(np.arange(len(qids)), np.arange(len(nids)),
+                                 indexing="ij")
+            keep = qids[qi.ravel()] != nids[ni.ravel()]
+            yield pd.DataFrame(
+                {
+                    "query_id": qids[qi.ravel()][keep],
+                    "neighbor_id": nids[ni.ravel()][keep],
+                    "cos_raw": cos.ravel()[keep],
+                }
+            )
+
+    pairs = n.mapInPandas(score, out_schema).select(
+        "query_id",
+        "neighbor_id",
+        F.round("cos_raw", 6).alias("cosine_sim"),
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), "neighbor_id")
     return (
         pairs.withColumn("rank", F.row_number().over(w))
