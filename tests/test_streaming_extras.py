@@ -1234,3 +1234,94 @@ def test_bigram_lm_stream_equals_batch(spark):
     }
     assert got == want
     assert len(got) == len(emitted), "a doc_id emitted twice"
+
+
+def test_curated_stream_on_hostile_docs(spark, tmp_path):
+    """The streaming curation chain on schema-legal-but-hostile rows
+    (NULL text / NULL doc_id / duplicate content / whitespace-only):
+    NULL keys dropped, the duplicate's LOWEST doc_id survives under
+    ordered replay (first-seen ≡ keep-lowest), and the surviving rows
+    equal the shared-expression batch image."""
+    import pyarrow as pa
+
+    from trisk_spark.streaming.queries import curated_stream
+
+    schema = [
+        ("doc_id", pa.int64()),
+        ("text", pa.string()),
+        ("lang", pa.string()),
+        ("source", pa.string()),
+        ("n_chars", pa.int64()),
+    ]
+    good = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    rows = [
+        (1, good, "en", "f", len(good)),
+        (2, None, "en", "f", 0),             # NULL text: dropped
+        (3, good, "en", "g", len(good)),     # duplicate of 1: deduped
+        (None, good, "en", "f", len(good)),  # NULL doc_id: dropped
+        (5, "   ", "en", "f", 3),            # word-less: token floor
+        (6, "two words", "en", "f", 9),      # under MANIFEST_MIN_TOKENS
+        (7, good + " omega extra words here", "en", None, 130),  # NULL source
+    ]
+    chunks = [rows[:4], rows[4:]]
+    src = _write_chunks(tmp_path, "hostile-curate", schema, chunks)
+    spark_schema = "doc_id long, text string, lang string, source string, n_chars long"
+
+    emitted = []
+    stream = (
+        spark.readStream.schema(spark_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        curated_stream(stream)
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda bdf, bid: emitted.extend(bdf.collect()))
+        .option("checkpointLocation", str(tmp_path / "hc-ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r.doc_id: (r.source, r.split, r.n_tokens) for r in emitted}
+    assert set(got) == {1, 7}, got  # dup keeps LOWEST id; gates drop the rest
+    assert got[7][0] is None  # NULL source passes through untouched
+    # and the streaming rows equal the batch composition of the same
+    # shared expressions over the same data
+    batch = spark.read.parquet(src)
+    from pyspark.sql import functions as F
+
+    from trisk_spark.functions.sampling import (
+        MANIFEST_MIN_QUALITY,
+        MANIFEST_MIN_TOKENS,
+        _split_col,
+    )
+    from trisk_spark.functions.text import quality_expr
+
+    ws = F.filter(F.split("text", " "), lambda w: w != "")
+    want_df = (
+        batch.where(F.col("text").isNotNull() & F.col("doc_id").isNotNull())
+        .select(
+            "doc_id", "source",
+            F.md5(F.lower("text")).alias("h"),
+            F.size(ws).cast("bigint").alias("n_tokens"),
+            _split_col().alias("split"),
+            quality_expr(F.col("text")).alias("q"),
+        )
+        .where(
+            (F.col("n_tokens") >= MANIFEST_MIN_TOKENS)
+            & (F.col("q") >= MANIFEST_MIN_QUALITY)
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("h").orderBy("doc_id")
+    want = {
+        r.doc_id: (r.source, r.split, r.n_tokens)
+        for r in want_df.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .collect()
+    }
+    assert got == want
