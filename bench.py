@@ -63,6 +63,8 @@ HEADLINE = [
     "media_decode_checksum",
     "ivf_refine_iters",
     "bigram_lm_score",
+    "keyword_extract",
+    "embed_quantize_int8",
 ]
 
 

@@ -1237,3 +1237,106 @@ def ivf_refine_iters(spark: SparkSession, sf_dir: str) -> DataFrame:
     eps-early-exit variant is ``ivf_refine_iterative(eps=...)``,
     pytest-pinned against this fixed-T image."""
     return ivf_refine_iterative(spark, sf_dir, iters=REFINE_ITERS)
+
+
+# ------------------------------- int8 embedding quantization (r7) ----
+
+# Symmetric per-vector int8 quantization — the storage/transport format
+# ANN indexes actually ship (4x smaller than float32, GEMM-able in
+# int8): scale = max|x|, q_i = clamp(floor(x_i * 127 / scale), -127,
+# 127). FLOOR, not ROUND: floor of a correctly-rounded double is
+# bit-deterministic on both engines (the same reason _scaled floors —
+# ROUND's half-way behavior on binary doubles is the one cross-engine
+# trap in this family). Reconstruction error is reported per vector as
+# a left-fold mean-squared error, the engine fold matching the
+# oracle's list_reduce ordering exactly.
+
+QUANT_BITS_MAX = 127
+
+EMBED_QUANTIZE_SQL = f"""
+WITH v AS (
+  SELECT vec_id,
+    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xs
+  FROM {_VALID_EMB_SQL} embeddings
+),
+s AS (
+  SELECT vec_id, xs,
+    list_max(list_transform(xs, x -> abs(x))) AS scale
+  FROM v
+),
+q AS (
+  SELECT vec_id, xs, scale,
+    CASE WHEN scale > 0 THEN
+      list_transform(xs, x -> CAST(LEAST(GREATEST(
+        FLOOR(x * {QUANT_BITS_MAX} / scale), -{QUANT_BITS_MAX}),
+        {QUANT_BITS_MAX}) AS BIGINT))
+    ELSE list_transform(xs, x -> CAST(0 AS BIGINT)) END AS qvec
+  FROM s
+)
+SELECT vec_id,
+  CAST(ROUND(scale, 6) AS DOUBLE) AS scale,
+  qvec,
+  CAST(FLOOR(
+    list_reduce(list_transform(list_zip(xs, qvec),
+      s -> (s[1] - s[2] * scale / {QUANT_BITS_MAX})
+           * (s[1] - s[2] * scale / {QUANT_BITS_MAX})),
+      (acc, x) -> acc + x) / len(xs) * 1e12) AS DOUBLE) / 1e12 AS recon_mse
+FROM q
+"""
+
+
+@register("embed_quantize_int8", oracle=EMBED_QUANTIZE_SQL)
+def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization of the embedding corpus
+    with per-vector reconstruction MSE — the write-time compression
+    step a 100 TB ANN store applies before index build (4× smaller,
+    int8-GEMM-able). Map-only: zero shuffle, every expression
+    deterministic cross-engine (FLOOR quantizer, left-fold MSE; see
+    module comment). Degenerate all-zero vectors quantize to zeros
+    with scale 0 instead of dividing by it."""
+    emb = _valid_embeddings(table(spark, sf_dir, "embeddings"))
+    xs = F.transform("embedding", lambda x: x.cast("double"))
+    v = emb.select("vec_id", xs.alias("xs"))
+    s = v.withColumn(
+        "scale", F.array_max(F.transform("xs", lambda x: F.abs(x)))
+    )
+    m = F.lit(QUANT_BITS_MAX)
+    q = s.withColumn(
+        "qvec",
+        F.when(
+            F.col("scale") > 0,
+            F.transform(
+                "xs",
+                lambda x: F.least(
+                    F.greatest(F.floor(x * m / F.col("scale")), -m), m
+                ).cast("bigint"),
+            ),
+        ).otherwise(F.transform("xs", lambda x: F.lit(0).cast("bigint"))),
+    )
+    err = F.aggregate(
+        F.zip_with(
+            "xs",
+            "qvec",
+            lambda x, qv: (x - qv * F.col("scale") / m)
+            * (x - qv * F.col("scale") / m),
+        ),
+        F.lit(0.0),
+        lambda acc, e: acc + e,
+    )
+    # FLOOR on the 1e-12 integer grid, not ROUND: both engines floor
+    # the identical double, whereas a scale-9 ROUND on ~1e-6 values
+    # hit cross-engine half-way artifacts on 12/500 corpus rows.
+    # Two-step projection on purpose: with `round(scale, 6) AS scale`
+    # in the SAME select, Spark's lateral-column-alias resolution
+    # rebinds the F.col("scale") inside `err` to the ROUNDED sibling
+    # alias — the MSE silently used the rounded scale and drifted from
+    # the oracle by ~1e-12 on most rows (debugged r7).
+    out = q.select(
+        "vec_id",
+        "scale",
+        "qvec",
+        (F.floor(err / F.size("xs") * 1e12) / 1e12).alias("recon_mse"),
+    )
+    return out.select(
+        "vec_id", F.round("scale", 6).alias("scale"), "qvec", "recon_mse"
+    )

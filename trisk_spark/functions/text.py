@@ -848,3 +848,88 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bigrams",
         (((F.col("mu") - r) / nb) / F.lit(1000000.0)).alias("lm_score"),
     )
+
+
+# ------------------------------ per-doc keyword extraction (r7) ------
+
+# Rare-token keyword extraction: score = tf * (N / df) — term frequency
+# times a LINEAR inverse document frequency. Deliberately ln-free: tf,
+# N, and df are exact integers, so every score is the correctly-rounded
+# double of an exact rational and the (score DESC, token ASC) ranking
+# is bit-deterministic on both engines; a classic ln(N/df) idf would
+# re-open the cross-engine last-ulp class bigram_lm_score documents
+# (and linear idf only sharpens the rare-token preference this stage
+# exists for). Top-KEYWORDS_K per document.
+
+KEYWORDS_K = 3
+
+KEYWORD_EXTRACT_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(
+    string_split(lower(coalesce(text, '')), ' '), w -> w <> '')) AS tok
+  FROM documents WHERE doc_id IS NOT NULL
+),
+tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok),
+df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tf),
+scored AS (
+  SELECT tf.doc_id, tf.tok AS token,
+    CAST(tf.tf AS BIGINT) AS tf, CAST(df.df AS BIGINT) AS df,
+    CAST(tf.tf AS DOUBLE) * n.n_docs / df.df AS score
+  FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, token, tf, df, score,
+    ROW_NUMBER() OVER (PARTITION BY doc_id
+                       ORDER BY score DESC, token) AS rank
+  FROM scored
+)
+SELECT doc_id, token, tf, df,
+  CAST(ROUND(score, 6) AS DOUBLE) AS score, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {KEYWORDS_K}
+"""
+
+
+@register("keyword_extract", oracle=KEYWORD_EXTRACT_SQL)
+def keyword_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-KEYWORDS_K keywords per document by tf × linear inverse
+    document frequency (see module comment for why the idf is ln-free).
+    The df table and the 1-row corpus count both DERIVE from the
+    (doc, token) tf aggregate — the corpus text is scanned and exploded
+    exactly once.
+
+    Plan: one corpus-sized shuffle (the (doc_id, token) partial-agg
+    count); df aggregates the much smaller tf table on token; the df
+    join is BROADCAST (vocabulary-sized); the final per-doc rank
+    re-uses the doc_id hash partitioning. At 100 TB the df/idf table is
+    a write-once broadcast asset, like the bigram LM."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.where(F.col("doc_id").isNotNull()).select(
+        "doc_id", F.explode(_lm_tokens()).alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    n = tf.agg(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            F.col("tok").alias("token"),
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("df").cast("bigint").alias("df"),
+            (F.col("tf").cast("double") * F.col("n_docs") / F.col("df"))
+            .alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "token")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= KEYWORDS_K)
+        .select(
+            "doc_id", "token", "tf", "df",
+            F.round("score", 6).alias("score"), "rank",
+        )
+    )

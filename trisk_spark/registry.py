@@ -110,6 +110,10 @@ DEPRIORITIZED = [
     "doc_chunk",               # chunking: token_count (in, same tokenizer) + chunk property test
     "dedup_simhash",           # banded-hash dedup: dedup_minhash_lsh (in)
     "cosine_near_dup_lsh",     # SRP-LSH: ann_lsh_bucketed (in)
+    # two r6-green sitters so the r7-new keyword_extract +
+    # embed_quantize_int8 get driver rows (window stays 50):
+    "bpe_token_estimate",      # token counting: token_count (in); tokenizer shared
+    "curation_manifest",       # composes quality_score/train_split/dedup_exact (in); r7 streaming e2e pytest
 ]
 
 # A no-oracle query may sit out ONLY with a named in-window witness
