@@ -265,10 +265,20 @@ def test_map_only_queries_have_no_exchange(spark):
     # stage — any Exchange here is a planning bug
     for name in (
         "nexmark_q1", "nexmark_q2", "pii_redact", "url_normalize",
-        "doc_chunk", "media_decode_checksum",
+        "doc_chunk", "media_decode_checksum", "embed_quantize_int8",
     ):
         plan = static_plan(spark, name)
         assert "Exchange" not in plan, f"{name}: map-only query shuffles"
+
+
+def test_keyword_extract_df_join_is_broadcast(spark):
+    # the vocabulary-sized df table must reach the scoring rows by
+    # broadcast; the (doc_id, token) count must partial-agg map-side
+    with no_auto_broadcast(spark):
+        plan = static_plan(spark, "keyword_extract")
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "partial_count" in plan, plan
 
 
 def test_bigram_lm_scoring_joins_are_broadcast(spark):

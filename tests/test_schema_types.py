@@ -36,6 +36,8 @@ _SPARK_CLASS = {
 def spark_class(simple: str) -> str:
     if simple.startswith("decimal"):
         return "decimal"
+    if simple.startswith("array<") and simple.endswith(">"):
+        return f"array<{spark_class(simple[6:-1])}>"
     return _SPARK_CLASS.get(simple, simple)
 
 
@@ -58,6 +60,8 @@ def duck_class(t: str) -> str:
         return "bool"
     if t == "BLOB":
         return "binary"
+    if t.endswith("[]"):
+        return f"array<{duck_class(t[:-2])}>"
     return t
 
 
