@@ -72,7 +72,7 @@ def test_readme_op_table_names_are_registered():
         "pii_scrub", "asof_stream", "simhash_near_dup_stream",
         "dedup_exact_stream", "expect_degenerate",
         "sequence_pack_stream", "decoded_ok", "ivf_refine_iterative",
-        "curated_stream", "bigram_lm_stream",
+        "curated_stream", "bigram_lm_stream", "quantize_int8",
     }
     missing = {
         c for c in cited

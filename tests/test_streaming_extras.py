@@ -1325,3 +1325,30 @@ def test_curated_stream_on_hostile_docs(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_embed_quantize_stream_equals_batch(spark):
+    """int8 quantization is pure column expressions, so the identical
+    plan runs under Structured Streaming — the similarity family's
+    stateless streaming member (same proof shape as pii_scrub)."""
+    from trisk_spark.functions.similarity import _valid_embeddings, quantize_int8
+    from trisk_spark.registry import load_all
+
+    stream = replay_stream(spark, SF, "embeddings", n_chunks=4, order_col="vec_id")
+    emitted = []
+    q = (
+        quantize_int8(_valid_embeddings(stream))
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda bdf, bid: emitted.extend(bdf.collect()))
+        .option("checkpointLocation", checkpoint_dir("quantstream"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r.vec_id: (r.scale, list(r.qvec), r.recon_mse) for r in emitted}
+    want = {
+        r.vec_id: (r.scale, list(r.qvec), r.recon_mse)
+        for r in load_all()["embed_quantize_int8"].fn(spark, SF).collect()
+    }
+    assert got == want
+    assert len(got) == len(emitted), "a vec_id emitted twice"

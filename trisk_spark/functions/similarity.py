@@ -1293,8 +1293,16 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     int8-GEMM-able). Map-only: zero shuffle, every expression
     deterministic cross-engine (FLOOR quantizer, left-fold MSE; see
     module comment). Degenerate all-zero vectors quantize to zeros
-    with scale 0 instead of dividing by it."""
-    emb = _valid_embeddings(table(spark, sf_dir, "embeddings"))
+    with scale 0 instead of dividing by it. The expression core is
+    ``quantize_int8`` — pure column expressions, so the identical plan
+    runs under Structured Streaming unchanged (stream≡batch
+    pytest-pinned, like ``pii_scrub``)."""
+    return quantize_int8(_valid_embeddings(table(spark, sf_dir, "embeddings")))
+
+
+def quantize_int8(emb: DataFrame) -> DataFrame:
+    """Core int8 quantizer over any validated (vec_id, embedding)
+    DataFrame — batch or streaming (stateless map)."""
     xs = F.transform("embedding", lambda x: x.cast("double"))
     v = emb.select("vec_id", xs.alias("xs"))
     s = v.withColumn(
