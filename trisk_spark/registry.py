@@ -75,10 +75,11 @@ def register(name: str, oracle: str | None = None):
 # tests/test_oracle_parity.py every round.
 #
 # r7 window: ALL 27 r6-sitters rotate back in (policy (a): nobody's
-# last driver-green row goes older than one round), plus the three new
-# r7 queries (media_decode_checksum, ivf_refine_iters, bigram_lm_score:
-# new sole evidence, must be in-window). Sitting out r7 — every one
-# hash-green in r6 (CORRECTNESS_r06), witness noted:
+# last driver-green row goes older than one round), plus the five new
+# r7 queries (media_decode_checksum, ivf_refine_iters, bigram_lm_score,
+# keyword_extract, embed_quantize_int8: new sole evidence, must be
+# in-window). Sitting out r7 — every one hash-green in r6
+# (CORRECTNESS_r06), witness noted:
 DEPRIORITIZED = [
     "tpch_q5",                 # multi-way join+agg: tpch_q3/q10/q18 (in)
     "tpch_q6",                 # filter agg: nexmark_q2, tpch_q1 (in)
