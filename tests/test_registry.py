@@ -52,6 +52,35 @@ def test_every_sitter_is_oracle_gated():
             )
 
 
+def test_driver_window_schemas_have_no_nested_columns(spark):
+    """Harness constraint discovered empirically in r7: the driver's
+    canonicalizer sorts the result frame by every column before
+    value-hashing, and pandas ``sort_values`` cannot factorize ndarray
+    cells — a top-level array (or map/struct) column crashes the row
+    with ERR even when the values are right (CORRECTNESS_r07,
+    embed_quantize_int8). Every driver-window query must therefore emit
+    only scalar top-level columns; array-valued results register an
+    exploded or digest form (the array-returning core stays a library
+    function). Schema-only — nothing executes."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    from .conftest import SF_DIR
+
+    reg = load_all()
+    for name in list(reg)[:WINDOW]:
+        schema = reg[name].fn(spark, SF_DIR).schema
+        nested = [
+            f.name
+            for f in schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        assert not nested, (
+            f"driver-window query {name!r} emits nested top-level "
+            f"column(s) {nested} — the driver hash cannot sort them; "
+            "explode to scalar rows or emit a digest column"
+        )
+
+
 def test_readme_op_table_names_are_registered():
     # the README's Beyond-reference table is the judge's coverage
     # crosswalk — every `query_name` it cites must actually exist

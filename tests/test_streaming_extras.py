@@ -1348,7 +1348,21 @@ def test_embed_quantize_stream_equals_batch(spark):
     got = {r.vec_id: (r.scale, list(r.qvec), r.recon_mse) for r in emitted}
     want = {
         r.vec_id: (r.scale, list(r.qvec), r.recon_mse)
-        for r in load_all()["embed_quantize_int8"].fn(spark, SF).collect()
+        for r in quantize_int8(
+            _valid_embeddings(table(spark, SF, "embeddings"))
+        ).collect()
     }
     assert got == want
     assert len(got) == len(emitted), "a vec_id emitted twice"
+    # the registered (driver-window) query is the same values exploded to
+    # scalar (vec_id, pos, q) rows — reassembling them must reproduce the
+    # library arrays exactly
+    reassembled: dict = {}
+    for r in sorted(
+        load_all()["embed_quantize_int8"].fn(spark, SF).collect(),
+        key=lambda r: (r.vec_id, r.pos),
+    ):
+        e = reassembled.setdefault(r.vec_id, (r.scale, [], r.recon_mse))
+        assert r.pos == len(e[1]) + 1, "pos must be dense and 1-based"
+        e[1].append(r.q)
+    assert reassembled == want

@@ -1272,16 +1272,22 @@ q AS (
         {QUANT_BITS_MAX}) AS BIGINT))
     ELSE list_transform(xs, x -> CAST(0 AS BIGINT)) END AS qvec
   FROM s
+),
+r AS (
+  SELECT vec_id,
+    CAST(ROUND(scale, 6) AS DOUBLE) AS scale,
+    qvec,
+    CAST(FLOOR(
+      list_reduce(list_transform(list_zip(xs, qvec),
+        s -> (s[1] - s[2] * scale / {QUANT_BITS_MAX})
+             * (s[1] - s[2] * scale / {QUANT_BITS_MAX})),
+        (acc, x) -> acc + x) / len(xs) * 1e12) AS DOUBLE) / 1e12 AS recon_mse
+  FROM q
 )
-SELECT vec_id,
-  CAST(ROUND(scale, 6) AS DOUBLE) AS scale,
-  qvec,
-  CAST(FLOOR(
-    list_reduce(list_transform(list_zip(xs, qvec),
-      s -> (s[1] - s[2] * scale / {QUANT_BITS_MAX})
-           * (s[1] - s[2] * scale / {QUANT_BITS_MAX})),
-      (acc, x) -> acc + x) / len(xs) * 1e12) AS DOUBLE) / 1e12 AS recon_mse
-FROM q
+SELECT vec_id, scale, CAST(pos AS INT) AS pos, qvec[pos] AS q, recon_mse
+FROM (SELECT vec_id, scale, qvec, recon_mse,
+        unnest(range(1, len(qvec) + 1)) AS pos
+      FROM r)
 """
 
 
@@ -1296,8 +1302,27 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     with scale 0 instead of dividing by it. The expression core is
     ``quantize_int8`` — pure column expressions, so the identical plan
     runs under Structured Streaming unchanged (stream≡batch
-    pytest-pinned, like ``pii_scrub``)."""
-    return quantize_int8(_valid_embeddings(table(spark, sf_dir, "embeddings")))
+    pytest-pinned, like ``pii_scrub``).
+
+    Registered form emits one row per (vec_id, pos) with the quantized
+    value ``q`` — the driver's canonicalizer sorts-then-hashes the
+    result frame and cannot factorize top-level array cells (empirical,
+    CORRECTNESS_r07 err), so every quantized value goes under the hash
+    as a scalar; ``pos`` is 1-based to mirror the oracle's
+    ``unnest(range(...))`` subscript. Library consumers (the int8-GEMM
+    path, ``ann_ivf_int8``) use the array-returning ``quantize_int8``
+    directly."""
+    out = quantize_int8(_valid_embeddings(table(spark, sf_dir, "embeddings")))
+    return out.select(
+        "vec_id", "scale", "recon_mse",
+        F.posexplode("qvec").alias("pos0", "q"),
+    ).select(
+        "vec_id",
+        "scale",
+        (F.col("pos0") + 1).cast("int").alias("pos"),
+        "q",
+        "recon_mse",
+    )
 
 
 def quantize_int8(emb: DataFrame) -> DataFrame:
