@@ -65,6 +65,7 @@ HEADLINE = [
     "bigram_lm_score",
     "keyword_extract",
     "embed_quantize_int8",
+    "ann_ivf_int8",
 ]
 
 

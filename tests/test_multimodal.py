@@ -155,3 +155,55 @@ def test_rows_only_queries_nonempty(spark, name):
 
     df = load_all()[name].fn(spark, SF)
     assert df.count() > 0
+
+
+def test_pgm_decoder_clamps_spec_invalid_16bit_samples():
+    # a sample GREATER than the declared maxval is spec-invalid; the
+    # scaled value must clamp to 255, not wrap mod 256 into a
+    # plausible-looking wrong pixel (ADVICE r7)
+    import struct
+
+    from trisk_spark.functions import multimodal as mm
+
+    # maxval 1000; samples: legal 1000 -> 255, illegal 2000 -> would
+    # scale to 510 (= 254 after a silent uint8 wrap) -> must clamp 255
+    payload = struct.pack(">2H", 1000, 2000)
+    img = mm.decode_pgm(b"P5\n2 1\n1000\n" + payload)
+    assert img is not None and img.tolist() == [[255, 255]]
+
+
+def test_decode_checksum_oracle_is_byte_exact_non_ascii(spark, tmp_path):
+    # the checksum oracle gathers pixel bytes via hex(encode(text)) —
+    # a char-offset substr would silently diverge on the first
+    # non-ASCII character (ADVICE r7); this fixture makes the payload
+    # genuinely multi-byte and requires exact parity
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from trisk_spark.registry import load_all
+
+    from .conftest import assert_matches_oracle
+
+    # media_type 'image' requires doc_id % 4 == 0 rows with enough text
+    texts = {
+        0: "héllo wörld ünïcode pixels " * 40,   # multi-byte UTF-8
+        4: "plain ascii pixel payload " * 40,
+        8: "ascii prefix then émojis 🙂🙃 " * 30,
+    }
+    docs = {
+        "doc_id": list(texts),
+        "text": [texts[k] for k in texts],
+        "lang": ["en"] * 3,
+        "source": ["fixture"] * 3,
+        "n_chars": [len(texts[k]) for k in texts],
+    }
+    pq.write_table(pa.table(docs), tmp_path / "documents.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    qd = load_all()["media_decode_checksum"]
+    sdf = qd.fn(spark, str(tmp_path))
+    assert sdf.count() > 0, "fixture produced no image rows"
+    assert_matches_oracle(sdf, con, qd.oracle)

@@ -310,7 +310,11 @@ def decode_pgm(data: bytes):
     if bpp == 1:
         return np.frombuffer(payload, dtype=np.uint8).reshape(h, w)
     raw = np.frombuffer(payload, dtype=">u2").astype(np.uint32)
-    return ((raw * 255) // maxval).astype(np.uint8).reshape(h, w)
+    # spec-invalid samples (> maxval) scale past 255; clamp rather than
+    # let the uint8 cast wrap mod 256 into plausible-looking wrong
+    # pixels — the same silent-corruption class the 16-bit path itself
+    # was added to fix
+    return np.minimum((raw * 255) // maxval, 255).astype(np.uint8).reshape(h, w)
 
 
 def _decode_image(blob: bytes):
@@ -409,17 +413,20 @@ def media_decode_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------- decode + resize, checksummed --
 
 # SQL mirror of the decode→NN-resize path: the synthesized PGM's pixel
-# payload is the first width*img_h bytes of the text (ASCII corpus, so
-# char offsets == byte offsets — same contract MEDIA_FRAME_SAMPLE_SQL
-# uses), and nearest-neighbor gather is plain integer indexing: output
-# pixel (i, j) = payload[((i*img_h)//OUT_H)*width + (j*width)//OUT_W]
-# — the indices mirror _resize_kernel's (np.arange(OUT)*dim)//OUT.
-# md5 over the concatenated pixel chars equals the engine's
-# md5(pixels): pixel bytes are text bytes (< 0x80), so the VARCHAR's
-# UTF-8 encoding is the identical byte string.
+# payload is the first width*img_h BYTES of the text, and
+# nearest-neighbor gather is plain integer indexing: output pixel
+# (i, j) = payload[((i*img_h)//OUT_H)*width + (j*width)//OUT_W] — the
+# indices mirror _resize_kernel's (np.arange(OUT)*dim)//OUT. Gathering
+# is BYTE-exact under any encoding (the BYTE_FEATURES_SQL pattern):
+# hex(encode(text)) is sliced two hex chars per byte — a VARCHAR
+# substr on the raw text would use CHAR offsets and silently flip the
+# hash on the first non-ASCII character. Both sides hash the HEX image
+# of the pixel buffer (hex chars are ASCII, so the VARCHAR md5 is
+# byte-identical to the engine's md5 over the same hex string; DuckDB's
+# md5 has no BLOB overload).
 _PX_GATHER = ", ".join(
-    f"substr(text, CAST((({i} * img_h) // {OUT_H}) * width"
-    f" + (({j} * width) // {OUT_W}) + 1 AS INT), 1)"
+    f"substr(hx, CAST(((({i} * img_h) // {OUT_H}) * width"
+    f" + (({j} * width) // {OUT_W})) * 2 + 1 AS INT), 2)"
     for i in range(OUT_H)
     for j in range(OUT_W)
 )
@@ -427,7 +434,7 @@ _PX_GATHER = ", ".join(
 MEDIA_DECODE_CHECKSUM_SQL = f"""
 WITH m AS ({_MEDIA_SQL}),
 img AS (
-  SELECT m.doc_id, d.text, m.width,
+  SELECT m.doc_id, hex(encode(d.text)) AS hx, m.width,
     CAST(octet_length(encode(d.text)) // m.width AS INT) AS img_h
   FROM m JOIN documents d USING (doc_id)
   WHERE m.media_type = 'image'
@@ -445,12 +452,14 @@ def media_decode_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``media_decode_resize`` with the pixel buffer checksummed so the
     full decode→resize path gets a DuckDB value-hash gate (the binary
     ``pixels`` column itself is not oracle-comparable): emit
-    (doc_id, out_w, out_h, md5(pixels)). The oracle re-derives every
-    output pixel by SQL byte-gather over the same synthesized payload,
-    so a single wrong pixel anywhere in the decoder, header parse, or
-    NN index math flips the hash. Same zero-shuffle map-only plan as
-    the parent — the md5 is one extra JVM expression."""
+    (doc_id, out_w, out_h, md5(hex(pixels))). The oracle re-derives
+    every output pixel by SQL hex-byte-gather over the same synthesized
+    payload (byte-exact under any text encoding — see
+    MEDIA_DECODE_CHECKSUM_SQL), so a single wrong pixel anywhere in the
+    decoder, header parse, or NN index math flips the hash. Same
+    zero-shuffle map-only plan as the parent — the md5 is two extra JVM
+    expressions."""
     df = media_decode_resize(spark, sf_dir)
     return df.select(
-        "doc_id", "out_w", "out_h", F.md5("pixels").alias("pix_md5")
+        "doc_id", "out_w", "out_h", F.md5(F.hex("pixels")).alias("pix_md5")
     )

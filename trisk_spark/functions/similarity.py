@@ -69,6 +69,22 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
+def _check_dot_bound(a_max: int, b_max: int, dim: int) -> None:
+    """Loud no-overflow precondition for the numpy int64 GEMM kernels:
+    |dot| ≤ dim·max|a|·max|b| must stay inside int64, because the three
+    engines DIVERGE past it — Spark 4's ANSI-mode bigint fold throws,
+    DuckDB's list_sum promotes to HUGEINT, and numpy would silently
+    wrap to a wrong cosine. Checked in exact Python integers per Arrow
+    batch (one O(n·d) abs-max scan, negligible vs the matmul); this
+    corpus's scaled-int bound is ~6e13, far inside 2^63."""
+    if dim * a_max * b_max >= 2**63:
+        raise OverflowError(
+            f"int64 GEMM dot bound exceeded: dim={dim} max|a|={a_max} "
+            f"max|b|={b_max} — quantize or rescale the vectors (the JVM "
+            "ANSI fold would throw here; numpy would silently wrap)"
+        )
+
+
 def _with_norm(df: DataFrame, id_col: str, prefix: str) -> DataFrame:
     sv = _scaled(F.col("embedding"))
     return df.select(
@@ -155,6 +171,11 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
             v = np.array(list(pdf["n_vec"]), dtype=np.int64)
             vn = np.sqrt(pdf["n_norm"].to_numpy(dtype=np.float64))
             nids = pdf["n_id"].to_numpy()
+            _check_dot_bound(
+                int(np.abs(qmat).max(initial=0)),
+                int(np.abs(v).max(initial=0)),
+                v.shape[1],
+            )
             # exact int64 dots, then the same double ops in the same
             # order as the JVM expression: dot / (sqrt(qn) * sqrt(vn))
             cos = (qmat @ v.T).astype(np.float64) / (qn[:, None] * vn[None, :])
@@ -712,9 +733,13 @@ def _assign_gemm(spark: SparkSession, n: DataFrame, cents: DataFrame) -> DataFra
 
     Exactness contract with the SQL oracles:
       * integer centroids (bigint c_vec): dots run in int64 matmul —
-        exact integer arithmetic with the SAME two's-complement wrap as
-        the JVM bigint fold, so cosines are bit-identical to
-        ``_cent_cos``;
+        exact integer arithmetic while every partial sum stays inside
+        int64. On an overflowing corpus the three engines DIVERGE
+        (Spark 4 runs ANSI mode and the JVM fold would THROW; DuckDB's
+        list_sum promotes to HUGEINT; numpy would silently wrap), so
+        the kernel asserts the no-overflow precondition loudly
+        (``_check_dot_bound``) instead of documenting a wrap that
+        Spark's ANSI fold does not actually share;
       * double centroids (Lloyd means): dots accumulate dimension-by-
         dimension in index order (``acc += v_d * c_d``), the exact
         left-fold rounding sequence of ``_dotd`` and the oracle's
@@ -752,6 +777,11 @@ def _assign_gemm(spark: SparkSession, n: DataFrame, cents: DataFrame) -> DataFra
             v = np.array(list(pdf["vec"]), dtype=np.int64)
             vn = np.sqrt(pdf["norm"].to_numpy(dtype=np.float64))
             if is_int:
+                _check_dot_bound(
+                    int(np.abs(v).max(initial=0)),
+                    int(np.abs(cmat).max(initial=0)),
+                    v.shape[1],
+                )
                 dots = (v @ cmat.T).astype(np.float64)
             else:
                 vf = v.astype(np.float64)
@@ -1372,4 +1402,337 @@ def quantize_int8(emb: DataFrame) -> DataFrame:
     )
     return out.select(
         "vec_id", F.round("scale", 6).alias("scale"), "qvec", "recon_mse"
+    )
+
+
+# --------------------------------------- int8-quantized IVF ANN (r8) --
+
+# ann_ivf over the int8-QUANTIZED corpus — the reason embed_quantize
+# exists in an ANN store: the index (centroids, assignments, candidate
+# scoring) runs entirely in the int8 domain (4× less data moved, int8
+# GEMM), and only the TOP_CAND survivors per query are re-ranked with
+# the exact scaled-int cosine. Cosine is scale-invariant, so quantized
+# vectors compare WITHOUT their scales: q_cos = qdot/(|qa||qb|) on raw
+# int8 codes approximates the true cosine to ~1/127 resolution — the
+# candidate cut absorbs the approximation, the re-rank removes it.
+#
+# Determinism: every quantized dot/norm is an exact int64 (≤ 64·127²
+# ≈ 1e6, trivially double-exact), so candidate ranking compares
+# identical doubles on both engines; ties break to the smallest
+# neighbor_id. The re-rank is knn_bruteforce's exact arithmetic.
+
+ANN_CAND_K = 30  # candidates per query surviving the int8 stage
+
+# Quantized corpus CTE: vec_id, qvec (int8 codes as BIGINTs), qnorm.
+_QUANT_CORPUS_SQL = f"""
+qv AS (
+  SELECT vec_id,
+    CASE WHEN scale > 0 THEN
+      list_transform(xs, x -> CAST(LEAST(GREATEST(
+        FLOOR(x * {QUANT_BITS_MAX} / scale), -{QUANT_BITS_MAX}),
+        {QUANT_BITS_MAX}) AS BIGINT))
+    ELSE list_transform(xs, x -> CAST(0 AS BIGINT)) END AS qvec
+  FROM (
+    SELECT vec_id, xs, list_max(list_transform(xs, x -> abs(x))) AS scale
+    FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xs
+          FROM {_VALID_EMB_SQL} embeddings)
+  )
+),
+qn AS (
+  SELECT * FROM (
+    SELECT vec_id, qvec, {_DOT_SQL.format(a="qvec", b="qvec")} AS qnorm FROM qv
+  ) WHERE qnorm > 0
+)"""
+
+ANN_IVF_INT8_SQL = f"""
+WITH {_QUANT_CORPUS_SQL},
+cents AS (
+  SELECT vec_id AS c_id, qvec AS c_vec, qnorm AS c_norm FROM qn
+  ORDER BY vec_id LIMIT {N_CENTROIDS}
+),
+assign AS (
+  SELECT qn.vec_id, qn.qvec, qn.qnorm,
+    -MAX({{'cos': CAST({_DOT_SQL.format(a="qn.qvec", b="c_vec")} AS DOUBLE)
+          / (SQRT(CAST(qn.qnorm AS DOUBLE)) * SQRT(CAST(c_norm AS DOUBLE))),
+         'nc': -c_id}}).nc AS list_id
+  FROM qn CROSS JOIN cents
+  GROUP BY qn.vec_id, qn.qvec, qn.qnorm
+),
+q AS (SELECT vec_id AS query_id, qvec AS p_qvec, qnorm AS p_qnorm FROM qn
+      WHERE vec_id < {N_PROBES}),
+qlists AS (
+  SELECT query_id, p_qvec, p_qnorm, c_id AS list_id FROM (
+    SELECT q.query_id, q.p_qvec, q.p_qnorm, cents.c_id,
+      ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+        CAST({_DOT_SQL.format(a="p_qvec", b="c_vec")} AS DOUBLE)
+          / (SQRT(CAST(p_qnorm AS DOUBLE)) * SQRT(CAST(c_norm AS DOUBLE))) DESC,
+        cents.c_id) AS rn
+    FROM q CROSS JOIN cents
+  ) WHERE rn <= {N_PROBE_LISTS}
+),
+cand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT ql.query_id, a.vec_id AS neighbor_id,
+      ROW_NUMBER() OVER (PARTITION BY ql.query_id ORDER BY
+        CAST({_DOT_SQL.format(a="p_qvec", b="a.qvec")} AS DOUBLE)
+          / (SQRT(CAST(p_qnorm AS DOUBLE)) * SQRT(CAST(a.qnorm AS DOUBLE))) DESC,
+        a.vec_id) AS crn
+    FROM qlists ql JOIN assign a ON ql.list_id = a.list_id
+    WHERE ql.query_id <> a.vec_id
+  ) WHERE crn <= {ANN_CAND_K}
+),
+exact AS (
+  SELECT * FROM (
+    SELECT vec_id, vec, {_DOT_SQL.format(a="vec", b="vec")} AS norm FROM (
+      SELECT vec_id, {_SCALED_SQL.format(col="embedding")} AS vec
+      FROM {_VALID_EMB_SQL} embeddings)
+  ) WHERE norm > 0
+),
+rerank AS (
+  SELECT c.query_id, c.neighbor_id,
+    CAST(ROUND(CAST({_DOT_SQL.format(a="p.vec", b="e.vec")} AS DOUBLE)
+         / (SQRT(CAST(p.norm AS DOUBLE)) * SQRT(CAST(e.norm AS DOUBLE))), 6)
+      AS DOUBLE) AS cosine_sim
+  FROM cand c
+  JOIN exact e ON c.neighbor_id = e.vec_id
+  JOIN exact p ON c.query_id = p.vec_id
+)
+SELECT query_id, neighbor_id, cosine_sim, CAST(rank AS INT) AS rank
+FROM (
+  SELECT query_id, neighbor_id, cosine_sim,
+    ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cosine_sim DESC, neighbor_id) AS rank
+  FROM rerank
+) WHERE rank <= {TOP_K}
+"""
+
+
+def _quantized_corpus(emb: DataFrame) -> DataFrame:
+    """(vec_id, qvec, qnorm) over the validated corpus — the int8 codes
+    from ``quantize_int8`` (Catalyst prunes the unused scale/recon_mse
+    branches) with their exact int64 norm; zero-code vectors dropped
+    like the exact path drops zero-norm ones."""
+    qv = quantize_int8(emb).select("vec_id", "qvec")
+    return qv.withColumn("qnorm", _dot(F.col("qvec"), F.col("qvec"))).where(
+        F.col("qnorm") > 0
+    )
+
+
+def _quantize_np(X):
+    """numpy image of the ``quantize_int8`` column expressions — the
+    SAME IEEE ops in the SAME order per element (x·127 then /scale,
+    floor, clamp), so codes are bit-identical to the JVM/DuckDB
+    evaluation: elementwise double multiply/divide are single
+    correctly-rounded operations in all three engines."""
+    import numpy as np
+
+    scale = np.abs(X).max(axis=1)
+    q = np.zeros(X.shape, dtype=np.int64)
+    nz = scale > 0
+    if nz.any():
+        qq = np.floor((X[nz] * QUANT_BITS_MAX) / scale[nz, None])
+        q[nz] = np.clip(qq, -QUANT_BITS_MAX, QUANT_BITS_MAX).astype(np.int64)
+    return q
+
+
+def _quantize_assign_gemm(
+    spark: SparkSession, emb: DataFrame, cmat, cn, cids
+) -> DataFrame:
+    """Fused quantize + nearest-centroid assignment kernel: raw
+    validated embeddings in, ``(vec_id, qvec, qnorm, list_id)`` out —
+    ONE Arrow-batched pass replacing the interpreted-lambda quantize
+    projection (~1.2 s/scan at sf0.1, PERF_NOTES r8) plus the separate
+    ``_assign_gemm`` pass. Same exactness contract as ``_assign_gemm``'s
+    integer path: ``_quantize_np`` codes are bit-identical to the SQL
+    quantizer, int64 matmul dots are exact, ties break to the smallest
+    c_id. Zero-code vectors (scale 0) are dropped in-kernel — the
+    ``qnorm > 0`` gate."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    model = spark.sparkContext.broadcast((cmat, cn, cids))
+    out_schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("qvec", ArrayType(LongType())),
+            StructField("qnorm", LongType()),
+            StructField("list_id", LongType()),
+        ]
+    )
+
+    def kern(batches):
+        cmat, cn, cids = model.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.array(list(pdf["embedding"]), dtype=np.float64)
+            q = _quantize_np(X)
+            qn = (q * q).sum(axis=1)
+            keep = qn > 0
+            if not keep.any():
+                continue
+            q, qn = q[keep], qn[keep]
+            # int8 codes: bound is dim·127² ≈ 1e6, trivially safe —
+            # kept for uniformity with the other GEMM kernels
+            _check_dot_bound(
+                int(np.abs(q).max(initial=0)),
+                int(np.abs(cmat).max(initial=0)),
+                q.shape[1],
+            )
+            dots = (q @ cmat.T).astype(np.float64)
+            cos = dots / (np.sqrt(qn.astype(np.float64))[:, None] * cn[None, :])
+            best = np.argmax(cos, axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy()[keep],
+                    "qvec": list(q),
+                    "qnorm": qn,
+                    "list_id": cids[best],
+                }
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(kern, out_schema)
+
+
+@register("ann_ivf_int8", oracle=ANN_IVF_INT8_SQL)
+def ann_ivf_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN over the int8-quantized corpus with exact re-rank — the
+    end-to-end consumer of ``embed_quantize_int8``: centroid
+    assignment, probe routing, and candidate scoring all run on int8
+    codes (the stored index format — 4× smaller, int8-GEMM-able), and
+    only ANN_CAND_K candidates per query are re-scored with the exact
+    scaled-int cosine for the final TOP_K.
+
+    Plan: quantization AND assignment are ONE fused Arrow-batched numpy
+    pass over the raw embedding scan (``_quantize_assign_gemm`` —
+    zero shuffle; int64 matmul on the codes is exact, so assignments
+    are bit-identical to the oracle's struct MAX; the interpreted
+    quantize lambdas cost ~1.2 s/scan at sf0.1, PERF_NOTES r8); the 64
+    centroids are quantized driver-side from their raw vectors by the
+    same ``_quantize_np`` kernel (driver-held model, K rows); the
+    candidate stage joins the broadcast 15-row probe routing against
+    the assigned corpus; the re-rank joins the ≤ N_PROBES×ANN_CAND_K
+    candidate set (broadcast, 150 rows) against the raw scan BEFORE
+    computing exact vectors, so the interpreted scaled-int fold runs on
+    150 rows, not the corpus — at 100 TB that second scan is a
+    point-fetch by vec_id against the embedding store, not a full pass,
+    and the int8 index is the only thing scanned wide. Recall vs the
+    exact ``knn_bruteforce`` is pytest-pinned
+    (tests/test_similarity_iter.py)."""
+    import numpy as np
+    from pyspark.sql import Window
+
+    emb = _valid_embeddings(table(spark, sf_dir, "embeddings"))
+    # centroid model: the N_CENTROIDS smallest-vec_id vectors with
+    # scale > 0 (⇔ qnorm > 0: the max-|x| element always quantizes to
+    # ±127 or ±126, never 0), quantized driver-side by the same numpy
+    # kernel — the scale filter is the only JVM lambda and runs under
+    # the pushed orderBy/limit
+    scale = F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double"))))
+    raw_cents = (
+        emb.where(scale > 0)
+        .orderBy("vec_id")
+        .limit(N_CENTROIDS)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    cq = _quantize_np(
+        np.array([list(r.embedding) for r in raw_cents], dtype=np.float64)
+    )
+    cnorm = (cq * cq).sum(axis=1)
+    cn = np.sqrt(cnorm.astype(np.float64))
+    cids = np.array([r.vec_id for r in raw_cents], dtype=np.int64)
+    assign = _quantize_assign_gemm(spark, emb, cq, cn, cids)
+    cents = spark.createDataFrame(
+        [
+            (int(c), [int(x) for x in v], int(n))
+            for c, v, n in zip(cids, cq, cnorm)
+        ],
+        "c_id long, c_vec array<long>, c_norm long",
+    )
+    # probe routing: identical map-side array-sort routing as ann_ivf,
+    # on the quantized probe vectors. vec_id < N_PROBES is applied to
+    # the RAW scan before quantizing (commutes with the oracle's CTE
+    # filter): Catalyst's collapsed filter orders the qnorm > 0 fold
+    # BEFORE the vec_id conjunct, so filtering afterwards would run the
+    # interpreted quantize corpus-wide (measured 1.5 s at sf0.1)
+    probes = _quantized_corpus(emb.where(F.col("vec_id") < N_PROBES)).select(
+        "vec_id", F.col("qvec").alias("vec"), F.col("qnorm").alias("norm")
+    )
+    qtop = _with_cent_array(probes, cents).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("p_qvec"),
+        F.col("norm").alias("p_qnorm"),
+        F.slice(
+            F.array_sort(
+                F.transform(
+                    "cents",
+                    lambda c: F.struct(
+                        (-_cent_cos(c)).alias("neg_cos"), c["c_id"].alias("c_id")
+                    ),
+                )
+            ),
+            1, N_PROBE_LISTS,
+        ).alias("top"),
+    )
+    qlists = qtop.select(
+        "query_id", "p_qvec", "p_qnorm",
+        F.explode(F.col("top.c_id")).alias("list_id"),
+    )
+    q_cos = _dot(F.col("p_qvec"), F.col("qvec")).cast("double") / (
+        F.sqrt(F.col("p_qnorm").cast("double"))
+        * F.sqrt(F.col("qnorm").cast("double"))
+    )
+    wc = Window.partitionBy("query_id").orderBy(F.desc("q_cos"), "neighbor_id")
+    cand = (
+        F.broadcast(qlists)
+        .join(assign, "list_id")
+        .where(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id", F.col("vec_id").alias("neighbor_id"),
+            q_cos.alias("q_cos"),
+        )
+        .withColumn("crn", F.row_number().over(wc))
+        .where(F.col("crn") <= ANN_CAND_K)
+        .select("query_id", "neighbor_id")
+    )
+    # join FIRST, compute the exact scaled-int vectors after: each join
+    # broadcasts the candidate-pair side (≤ N_PROBES×ANN_CAND_K rows)
+    # and prunes the raw corpus scan, so the interpreted scaled-int
+    # fold runs on the ≤150 surviving pair rows, never corpus-wide (the
+    # norm > 0 gates commute with the inner joins)
+    withe = (
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("e_emb"),
+        )
+        .join(F.broadcast(cand), "neighbor_id")
+    )
+    pairs = (
+        emb.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("p_emb"),
+        )
+        .join(F.broadcast(withe), "query_id")
+        .withColumn("e_vec", _scaled(F.col("e_emb")))
+        .withColumn("e_norm", _dot(F.col("e_vec"), F.col("e_vec")))
+        .withColumn("p_vec", _scaled(F.col("p_emb")))
+        .withColumn("p_norm", _dot(F.col("p_vec"), F.col("p_vec")))
+        .where((F.col("e_norm") > 0) & (F.col("p_norm") > 0))
+    )
+    rerank = pairs.select(
+        "query_id", "neighbor_id",
+        F.round(
+            _dot(F.col("p_vec"), F.col("e_vec")).cast("double")
+            / (
+                F.sqrt(F.col("p_norm").cast("double"))
+                * F.sqrt(F.col("e_norm").cast("double"))
+            ),
+            6,
+        ).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), "neighbor_id")
+    return (
+        rerank.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
     )

@@ -74,47 +74,48 @@ def register(name: str, oracle: str | None = None):
 # regardless of position stay oracle-gated by
 # tests/test_oracle_parity.py every round.
 #
-# r7 window: ALL 27 r6-sitters rotate back in (policy (a): nobody's
-# last driver-green row goes older than one round), plus the five new
-# r7 queries (media_decode_checksum, ivf_refine_iters, bigram_lm_score,
-# keyword_extract, embed_quantize_int8: new sole evidence, must be
-# in-window). Sitting out r7 — every one hash-green in r6
-# (CORRECTNESS_r06), witness noted:
+# r8 window: the 31 oracle-bearing r7 sitters rotate back in (policy
+# (a): nobody's last driver-green row goes older than one round);
+# media_decode_resize (no-oracle) keeps sitting on its hash-gated
+# checksum witness. Must-stays: embed_quantize_int8 (red in r7 — the
+# representation fix needs its first driver-green row), stock_matchmaker
+# (no oracle, no hash-gated witness → never sits), ann_ivf_int8 (new
+# r8, sole evidence). Sitting out r8 — every one hash-green in r7
+# (CORRECTNESS_r07), witness noted:
 DEPRIORITIZED = [
-    "tpch_q5",                 # multi-way join+agg: tpch_q3/q10/q18 (in)
-    "tpch_q6",                 # filter agg: nexmark_q2, tpch_q1 (in)
-    "tpch_q7",                 # multi-join: tpch_q3, tpch_q18 (in)
-    "tpch_q14",                # conditional agg: tpch_q1 + nexmark_q2 (in)
-    "top_orders_per_customer", # window rank: keyed_running_reduce, tpch_q18 (in)
-    "revenue_rollup",          # groupBy rollup: tpch_q1 (in)
-    "semi_join_orders",        # semi-join: decontaminate_flags (in)
-    "customers_without_orders",# anti-join: decontaminate_flags complement (in)
-    "props_rollup",            # scalar/JSON fns: nexmark_q1 (in)
-    "decimal_accumulators",    # decimal aggs: tpch_q1 (in)
-    "all_window_agg",          # non-keyed windows: tumbling_window_agg (in)
-    "count_window",            # count windows: sliding_count_window (in)
-    "time_evictor_window",     # evictors: delta_evictor_window (in)
-    "delta_trigger",           # triggers: continuous_trigger, purging_trigger (in)
-    "interval_join",           # time-bounded join: nexmark_q8 (in)
-    "minby_maxby",             # min/max/minBy/maxBy: keyed_agg (in)
-    "q3_emit_once_join",       # §2B Q3 row: nexmark_q3 (in); emit-once replay-fold pytest
-    "ngram_counts",            # n-gram top-k: ngram_jaccard, wordcount (in)
-    "source_quality_rollup",   # rollup of quality_score/lang_id/repetition_ratio (all in)
-    "cosine_near_dup_exact",   # brute-force cosine kernel: knn_bruteforce (in)
-    "knn_label_vote",          # broadcast probe voting: knn_bruteforce (in)
-    "ann_ivf",                 # IVF: ivf_refine_iters + ann_lsh_bucketed (in)
-    "split_rollup",            # md5-bucket split: train_split (in, same kernel)
-    "media_byte_features",     # multimodal map-side: media_metadata/frame_sample (in)
+    "nexmark_q1",              # §2B Q1 map: nexmark_q5 (in, bid parse) + props_rollup (scalar fns, in)
+    "nexmark_q2",              # §2B Q2 filter: tpch_q6 (in, filter agg)
+    "nexmark_q3",              # §2B Q3 SQL image: q3_emit_once_join (in, the Q3 emit semantics)
+    "nexmark_q8",              # §2B Q8 windowed equi-join: interval_join (in, time-bounded join)
+    "tpch_q1",                 # scan agg: revenue_rollup + decimal_accumulators (in)
+    "tpch_q3",                 # multi-join agg: tpch_q5, tpch_q7 (in)
+    "tpch_q10",                # multi-join agg: tpch_q5, tpch_q7 (in)
+    "tpch_q18",                # join + having: top_orders_per_customer (in, window rank + join)
+    "keyed_agg",               # sum/min/max/minBy/maxBy: minby_maxby (in)
+    "tumbling_window_agg",     # tumbling windows: all_window_agg + nexmark_q5 (in)
+    "wordcount",               # §2B WC: wordcount_two_input (in; same tokenize+count, superset)
+    "sliding_count_window",    # count windows + evictor: count_window (in) + nexmark_q5 (sliding, in)
+    "delta_evictor_window",    # evictors: time_evictor_window + delta_trigger (in)
+    "continuous_trigger",      # triggers: delta_trigger (in) + streaming twins (state.py)
+    "purging_trigger",         # triggers: delta_trigger (in) + purging stream twin (queries.py)
+    "token_count",             # tokenizer: bpe_token_estimate + doc_chunk (in; shared tokenizer)
+    "quality_score",           # quality expr: source_quality_rollup (in, composes it)
+    "lang_id",                 # lang expr: source_quality_rollup (in, composes it)
+    "doc_fingerprint",         # rolling hash: dedup_substring (in... staying) — winnowed k-gram hashing class
+    "dedup_exact",             # hash dedup: curation_manifest (in, composes exact dedup)
+    "dedup_bag",               # token-bag dedup: dedup_simhash (in, token-level near-dup)
+    "ngram_jaccard",           # shingle similarity: dedup_minhash_lsh (in-window anchor) + ngram_counts (in)
+    "decontaminate_flags",     # semi-join kernel: semi_join_orders (in)
+    "repetition_ratio",        # repetition expr: source_quality_rollup (in, composes it)
+    "pii_redact",              # PII regexes: curation_manifest (in, composes pii_scrub)
+    "url_normalize",           # scalar regex canonicalization: props_rollup (in, scalar/string fns)
+    "media_metadata",          # multimodal map-side: media_byte_features (in)
+    "media_frame_sample",      # multimodal map-side: media_byte_features (in)
+    "ann_lsh_bucketed",        # SRP-LSH: cosine_near_dup_lsh (in)
+    "ivf_refine",              # one Lloyd step: ann_ivf (in) + ivf_refine_iters (in-window anchor)
+    "train_split",             # md5-bucket split: split_rollup (in, same kernel)
+    "source_cap_sample",       # md5-order rank cap: split_rollup (in, md5-deterministic sampling family)
     "media_decode_resize",     # NO_ORACLE_SITTER_WITNESS: media_decode_checksum (in)
-    "nexmark_q5",              # sliding windows: sliding_count_window, tumbling_window_agg (in)
-    "nexmark_q11",             # session windows: pytest + streaming twin (state.py)
-    "doc_chunk",               # chunking: token_count (in, same tokenizer) + chunk property test
-    "dedup_simhash",           # banded-hash dedup: dedup_minhash_lsh (in)
-    "cosine_near_dup_lsh",     # SRP-LSH: ann_lsh_bucketed (in)
-    # two r6-green sitters so the r7-new keyword_extract +
-    # embed_quantize_int8 get driver rows (window stays 50):
-    "bpe_token_estimate",      # token counting: token_count (in); tokenizer shared
-    "curation_manifest",       # composes quality_score/train_split/dedup_exact (in); r7 streaming e2e pytest
 ]
 
 # A no-oracle query may sit out ONLY with a named in-window witness

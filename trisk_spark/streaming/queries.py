@@ -267,6 +267,7 @@ def bigram_lm_stream(docs: DataFrame, spark, ref_sf_dir: str) -> DataFrame:
     and scoring scales with the ingest scan alone."""
     import math
     from collections.abc import Iterator
+    from decimal import ROUND_HALF_UP, Decimal
 
     import pandas as pd
     from pyspark.sql.types import LongType, StructField, StructType
@@ -314,11 +315,18 @@ def bigram_lm_stream(docs: DataFrame, spark, ref_sf_dir: str) -> DataFrame:
                 if len(toks) < 2:
                     continue
                 mu = 0
+                q6 = Decimal("0.000001")
                 for a, b in zip(toks, toks[1:]):
                     p = (bc12.get((a, b), 0) + 1) / (bc1.get(a, 0) + bv)
                     # same grid as the batch decimal: ln rounded to 6
-                    # decimals, accumulated in exact 1e-6 integer units
-                    mu += int(round(round(math.log(p), 6) * 1_000_000))
+                    # decimals, accumulated in exact 1e-6 integer units.
+                    # Decimal(double) quantized ROUND_HALF_UP is Spark
+                    # F.round's exact semantics (BigDecimal HALF_UP on
+                    # the binary value); Python's round() is half-EVEN
+                    # and would diverge on a logp landing exactly on a
+                    # 0.5e-6 boundary
+                    logp6 = Decimal(math.log(p)).quantize(q6, ROUND_HALF_UP)
+                    mu += int(logp6.scaleb(6))
                 out["doc_id"].append(int(doc_id))
                 out["n_bigrams"].append(len(toks) - 1)
                 out["mu"].append(mu)
