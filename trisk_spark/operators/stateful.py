@@ -136,19 +136,84 @@ def _match_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     repartition on sec_code), so open books carry across Arrow batch
     boundaries and reset on key change. Peak memory is O(one Arrow
     batch + open books), NOT O(hottest key's full order history) — the
-    pre-r5 applyInPandas variant materialized the whole group."""
+    pre-r5 applyInPandas variant materialized the whole group.
+
+    The fold is ``match_orders``'s exact semantics INLINED columnar
+    (r8): cancels drop in one vectorized mask (they never touch books,
+    and a key whose rows are all cancels has empty books, so skipping
+    them cannot change a reset), rows stream through ``zip`` over the
+    column arrays instead of per-row dicts, and trades accumulate into
+    column lists — measured ≈3× on the per-order fold (PERF_NOTES r8),
+    buying the reference's 60k orders/s design point real margin under
+    suite load. Equivalence with ``match_orders`` is gated by the
+    replay-fold oracle (tests/test_stateful.py) and the hypothesis
+    property suite."""
     key = None
     buy_book: list = []
     sell_book: list = []
     for pdf in batches:
-        out: list[dict] = []
-        for r in pdf.to_dict("records"):
-            if r["sec_code"] != key:
-                key = r["sec_code"]
+        live = pdf[~pdf["tran_maint_code"].isin(("D", "X", ""))]
+        o_sec: list = []
+        o_bno: list = []
+        o_sno: list = []
+        o_price: list = []
+        o_vol: list = []
+        o_seq: list = []
+        for sec, price, vol, seq, no, tdir in zip(
+            live["sec_code"].to_numpy(),
+            live["price_cents"].to_numpy(),
+            live["order_vol"].to_numpy(),
+            live["seq"].to_numpy(),
+            live["order_no"].to_numpy(),
+            live["trade_dir"].to_numpy(),
+        ):
+            if sec != key:
+                key = sec
                 buy_book, sell_book = [], []
-            out.extend(match_orders([r], buy_book, sell_book))
-        if out:
-            yield pd.DataFrame(out)
+            price, vol, seq, no = int(price), int(vol), int(seq), int(no)
+            if tdir == "B":
+                while vol > 0 and sell_book and sell_book[0][0] <= price:
+                    s_price, _s_seq, s_rest = sell_book[0]
+                    t = s_rest[0] if s_rest[0] < vol else vol
+                    o_sec.append(sec)
+                    o_bno.append(no)
+                    o_sno.append(s_rest[1])
+                    o_price.append(s_price)
+                    o_vol.append(t)
+                    o_seq.append(seq)
+                    vol -= t
+                    s_rest[0] -= t
+                    if s_rest[0] == 0:
+                        heapq.heappop(sell_book)
+                if vol > 0:
+                    heapq.heappush(buy_book, (-price, seq, [vol, no]))
+            else:
+                while vol > 0 and buy_book and -buy_book[0][0] >= price:
+                    b_neg, _b_seq, b_rest = buy_book[0]
+                    t = b_rest[0] if b_rest[0] < vol else vol
+                    o_sec.append(sec)
+                    o_bno.append(b_rest[1])
+                    o_sno.append(no)
+                    o_price.append(-b_neg)
+                    o_vol.append(t)
+                    o_seq.append(seq)
+                    vol -= t
+                    b_rest[0] -= t
+                    if b_rest[0] == 0:
+                        heapq.heappop(buy_book)
+                if vol > 0:
+                    heapq.heappush(sell_book, (price, seq, [vol, no]))
+        if o_sec:
+            yield pd.DataFrame(
+                {
+                    "sec_code": o_sec,
+                    "buy_no": o_bno,
+                    "sell_no": o_sno,
+                    "trade_price": o_price,
+                    "trade_vol": o_vol,
+                    "match_seq": o_seq,
+                }
+            )
         else:
             yield pd.DataFrame(
                 {c: pd.Series(dtype=t) for c, t in _EMPTY_TRADES.items()}
