@@ -1366,3 +1366,80 @@ def test_embed_quantize_stream_equals_batch(spark):
         assert r.pos == len(e[1]) + 1, "pos must be dense and 1-based"
         e[1].append(r.q)
     assert reassembled == want
+
+
+def test_keyword_extract_stream_equals_batch(spark):
+    """Streaming keyword extraction: the broadcast df/N model kernel
+    must reproduce the batch keyword_extract exactly — same scores,
+    same (score DESC, token ASC) ranking, same 6-decimal JVM round —
+    for every replayed document (model built from the SAME corpus, so
+    every streamed token is in the df table and the inner-join
+    semantics are total)."""
+    from trisk_spark.registry import load_all
+    from trisk_spark.streaming.queries import keyword_extract_stream
+
+    stream = replay_stream(spark, SF, "documents", n_chunks=4, order_col="doc_id")
+    emitted = []
+    q = (
+        keyword_extract_stream(stream, spark, SF)
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda bdf, bid: emitted.extend(bdf.collect()))
+        .option("checkpointLocation", checkpoint_dir("kwstream"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {(r.doc_id, r.rank): (r.token, r.tf, r.df, r.score) for r in emitted}
+    want = {
+        (r.doc_id, r.rank): (r.token, r.tf, r.df, r.score)
+        for r in load_all()["keyword_extract"].fn(spark, SF).collect()
+    }
+    assert got == want
+    assert len(got) == len(emitted), "a (doc_id, rank) emitted twice"
+
+
+def test_ivf_assign_stream_equals_batch(spark):
+    """Streaming IVF assignment: each replayed embedding must land in
+    the SAME list the batch fused quantize+assign kernel puts it in
+    (broadcast centroid model from the same reference corpus)."""
+    import numpy as np
+
+    from trisk_spark.functions.similarity import (
+        N_CENTROIDS,
+        _quantize_assign_gemm,
+        _quantize_np,
+        _valid_embeddings,
+    )
+    from trisk_spark.streaming.queries import ivf_assign_stream
+
+    stream = replay_stream(spark, SF, "embeddings", n_chunks=4, order_col="vec_id")
+    emitted = []
+    q = (
+        ivf_assign_stream(stream, spark, SF)
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda bdf, bid: emitted.extend(bdf.collect()))
+        .option("checkpointLocation", checkpoint_dir("ivfassignstream"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r.vec_id: (r.qnorm, r.list_id) for r in emitted}
+
+    ref = _valid_embeddings(table(spark, SF, "embeddings"))
+    scale = F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double"))))
+    raw_cents = (
+        ref.where(scale > 0).orderBy("vec_id").limit(N_CENTROIDS)
+        .select("vec_id", "embedding").collect()
+    )
+    cq = _quantize_np(np.array([list(r.embedding) for r in raw_cents], dtype=np.float64))
+    cn = np.sqrt((cq * cq).sum(axis=1).astype(np.float64))
+    cids = np.array([r.vec_id for r in raw_cents], dtype=np.int64)
+    want = {
+        r.vec_id: (r.qnorm, r.list_id)
+        for r in _quantize_assign_gemm(spark, ref, cq, cn, cids)
+        .select("vec_id", "qnorm", "list_id")
+        .collect()
+    }
+    assert got == want
+    assert len(got) > 0
+    assert len(got) == len(emitted), "a vec_id emitted twice"

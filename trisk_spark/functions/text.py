@@ -778,8 +778,20 @@ def _lm_bigrams(docs: DataFrame) -> DataFrame:
     )
 
 
+# Broadcast-model ceiling for the LM tables: c12 has at most one row
+# per reference-slice bigram, so total reference TOKENS is a free upper
+# bound on the model row count (c12 rows ≤ bigrams < tokens; c1 rows ≤
+# c12 rows). 50M rows ≈ low-GB broadcast at ~30-60 B/row — past that
+# the model must ship as files (the KenLM deployment shape), not as an
+# in-plan broadcast, and the query fails LOUDLY instead of silently
+# building an over-broadcast plan.
+LM_MAX_MODEL_ROWS = 50_000_000
+
+
 @register("bigram_lm_score", oracle=BIGRAM_LM_SQL)
-def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+def bigram_lm_score(
+    spark: SparkSession, sf_dir: str, max_model_rows: int = LM_MAX_MODEL_ROWS
+) -> DataFrame:
     """Bigram-LM quality score per document: average add-one-smoothed
     log-probability ln((C(w1,w2)+1) / (C(w1)+V)) over the document's
     adjacent lowercased-token pairs, with counts from the reference
@@ -806,11 +818,33 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # oracle's unnest(t)) — counting over bigram members would drop the
     # token of a single-token reference doc, a real divergence pinned
     # by the hostile-corpus fixture's solo-token ref doc
+    # The vocab aggregate doubles as the MODEL-SIZE GUARD: n_tok (total
+    # reference tokens, free in the same scan) upper-bounds the c12/c1
+    # row counts, and assert_true fails the job JVM-side if it exceeds
+    # the broadcast ceiling — no extra scan, no driver round-trip (the
+    # filter sits on the 1-row aggregate, so it costs one evaluation)
     vocab = (
         docs.where(F.col("doc_id").isNotNull())
         .where(F.pmod(F.col("doc_id"), F.lit(LM_REF_MOD)) == 0)
         .select(F.explode(_lm_tokens()).alias("w"))
-        .agg(F.countDistinct("w").alias("v"))
+        .agg(F.countDistinct("w").alias("v"), F.count("*").alias("n_tok"))
+        .where(
+            F.assert_true(
+                F.col("n_tok") <= F.lit(max_model_rows),
+                F.concat(
+                    F.lit(
+                        "bigram LM model too large to broadcast: reference "
+                        "slice holds "
+                    ),
+                    F.col("n_tok").cast("string"),
+                    F.lit(
+                        f" tokens > ceiling {max_model_rows}; ship the LM "
+                        "counts as files instead of an in-plan broadcast"
+                    ),
+                ),
+            ).isNull()
+        )
+        .select("v")
     )
     logp = F.round(
         F.log(

@@ -45,9 +45,9 @@ def register(name: str, oracle: str | None = None):
     """Decorator: register a (spark, sf_dir) -> DataFrame query."""
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
-        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        def wrapped(spark: SparkSession, sf_dir: str, *a, **kw) -> DataFrame:
             prepare(spark)
-            return fn(spark, sf_dir)
+            return fn(spark, sf_dir, *a, **kw)
 
         wrapped.__name__ = fn.__name__
         wrapped.__doc__ = fn.__doc__

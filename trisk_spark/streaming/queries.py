@@ -273,7 +273,12 @@ def bigram_lm_stream(docs: DataFrame, spark, ref_sf_dir: str) -> DataFrame:
     from pyspark.sql.types import LongType, StructField, StructType
 
     from trisk_spark.catalog import table
-    from trisk_spark.functions.text import LM_REF_MOD, _lm_bigrams, _lm_tokens
+    from trisk_spark.functions.text import (
+        LM_MAX_MODEL_ROWS,
+        LM_REF_MOD,
+        _lm_bigrams,
+        _lm_tokens,
+    )
 
     ref_docs = table(spark, ref_sf_dir, "documents").where(
         F.col("doc_id").isNotNull()
@@ -286,6 +291,12 @@ def bigram_lm_stream(docs: DataFrame, spark, ref_sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("c12"))
         .collect()
     }
+    if len(c12) > LM_MAX_MODEL_ROWS:
+        raise ValueError(
+            f"bigram LM model too large to broadcast: {len(c12)} bigram "
+            f"rows > ceiling {LM_MAX_MODEL_ROWS}; ship the LM counts as "
+            "files instead of a driver-collected broadcast"
+        )
     c1: dict = {}
     for (w1, _w2), c in c12.items():
         c1[w1] = c1.get(w1, 0) + c
@@ -340,3 +351,144 @@ def bigram_lm_stream(docs: DataFrame, spark, ref_sf_dir: str) -> DataFrame:
         "n_bigrams",
         (((F.col("mu") - r) / nb) / F.lit(1000000.0)).alias("lm_score"),
     )
+
+
+def keyword_extract_stream(docs: DataFrame, spark, ref_sf_dir: str) -> DataFrame:
+    """Streaming keyword extraction — the deployment shape of
+    ``functions/text.keyword_extract`` via the broadcast-model pattern
+    the LM scorer established: the df table and corpus doc count N are
+    built ONCE from the reference corpus (batch — the write-once idf
+    asset) and shipped to executors as a SparkContext broadcast;
+    arriving documents get per-doc tf + top-K ranking statelessly in an
+    Arrow-batched ``mapInPandas`` kernel — append mode, ZERO shuffle,
+    no state.
+
+    The kernel reproduces the batch arithmetic exactly: score =
+    float(tf) · float(N) / float(df) (the same two correctly-rounded
+    double ops as the JVM ``tf.cast(double) * n_docs / df``), ranking
+    by (score DESC, token ASC) with Python's codepoint string order ==
+    Spark's UTF-8 binary order (UTF-8 preserves codepoint order), and
+    the 6-decimal ROUND applied JVM-side AFTER ranking, exactly like
+    the batch plan. Tokens absent from the reference df table are
+    skipped — the batch inner tf⋈df join's semantics
+    (stream≡batch pytest-pinned)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from trisk_spark.catalog import table
+    from trisk_spark.functions.text import KEYWORDS_K, _lm_tokens
+
+    ref_docs = table(spark, ref_sf_dir, "documents").where(
+        F.col("doc_id").isNotNull()
+    )
+    toks = ref_docs.select("doc_id", F.explode(_lm_tokens()).alias("tok"))
+    tf_ref = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    df_map = {
+        r.tok: r.df
+        for r in tf_ref.groupBy("tok").agg(F.count("*").alias("df")).collect()
+    }
+    n_docs = int(
+        tf_ref.agg(F.countDistinct("doc_id").alias("n")).first()["n"] or 0
+    )
+    model = spark.sparkContext.broadcast((df_map, n_docs))
+
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("token", StringType()),
+            StructField("tf", LongType()),
+            StructField("df", LongType()),
+            StructField("raw_score", DoubleType()),
+            StructField("rank", IntegerType()),
+        ]
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bdf, bn = model.value
+        for pdf in batches:
+            out = {
+                "doc_id": [], "token": [], "tf": [], "df": [],
+                "raw_score": [], "rank": [],
+            }
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if doc_id is None or pd.isna(doc_id) or bn <= 0:
+                    continue
+                counts: dict[str, int] = {}
+                for w in (text or "").lower().split(" "):
+                    if w != "":
+                        counts[w] = counts.get(w, 0) + 1
+                scored = [
+                    (float(tf) * float(bn) / float(bdf[tok]), tok, tf)
+                    for tok, tf in counts.items()
+                    if tok in bdf
+                ]
+                scored.sort(key=lambda s: (-s[0], s[1]))
+                for rank, (score, tok, tf) in enumerate(
+                    scored[:KEYWORDS_K], start=1
+                ):
+                    out["doc_id"].append(int(doc_id))
+                    out["token"].append(tok)
+                    out["tf"].append(tf)
+                    out["df"].append(int(bdf[tok]))
+                    out["raw_score"].append(score)
+                    out["rank"].append(rank)
+            yield pd.DataFrame(out)
+
+    scored = docs.select("doc_id", "text").mapInPandas(extract, out_schema)
+    return scored.select(
+        "doc_id", "token", "tf", "df",
+        F.round("raw_score", 6).alias("score"), "rank",
+    )
+
+
+def ivf_assign_stream(emb_stream: DataFrame, spark, ref_sf_dir: str) -> DataFrame:
+    """Streaming IVF list assignment — "index new embeddings as they
+    arrive": the centroid model is built ONCE from the reference corpus
+    (the same N_CENTROIDS smallest-vec_id int8-quantized vectors as
+    ``ann_ivf_int8``, quantized driver-side) and each arriving raw
+    embedding flows through the SAME fused quantize+assign Arrow GEMM
+    kernel (``_quantize_assign_gemm`` — stateless map work, so the
+    identical kernel runs under Structured Streaming unchanged).
+    Append mode, zero shuffle, zero state; emits
+    (vec_id, qnorm, list_id) — the index-partition routing a 100 TB
+    store uses to land each new vector in its list's partition
+    (stream≡batch pytest-pinned)."""
+    import numpy as np
+
+    from trisk_spark.catalog import table
+    from trisk_spark.functions.similarity import (
+        N_CENTROIDS,
+        _quantize_assign_gemm,
+        _quantize_np,
+        _valid_embeddings,
+    )
+
+    ref = _valid_embeddings(table(spark, ref_sf_dir, "embeddings"))
+    scale = F.array_max(
+        F.transform("embedding", lambda x: F.abs(x.cast("double")))
+    )
+    raw_cents = (
+        ref.where(scale > 0)
+        .orderBy("vec_id")
+        .limit(N_CENTROIDS)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    cq = _quantize_np(
+        np.array([list(r.embedding) for r in raw_cents], dtype=np.float64)
+    )
+    cn = np.sqrt((cq * cq).sum(axis=1).astype(np.float64))
+    cids = np.array([r.vec_id for r in raw_cents], dtype=np.int64)
+    assigned = _quantize_assign_gemm(
+        spark, _valid_embeddings(emb_stream), cq, cn, cids
+    )
+    return assigned.select("vec_id", "qnorm", "list_id")
