@@ -1321,6 +1321,60 @@ FROM (SELECT vec_id, scale, qvec, recon_mse,
 """
 
 
+def _quantize_explode_kernel(batches):
+    """numpy image of the full registered-query expression chain —
+    quantize + rounded scale + left-fold MSE + 1-based explode — one
+    Arrow pass, each step the SAME IEEE ops in the SAME order as the
+    JVM/DuckDB expressions:
+      * codes via ``_quantize_np`` (shared with the GEMM kernels);
+      * scale rounded to 6 decimals with Decimal ROUND_HALF_UP — the
+        exact semantics of F.round/BigDecimal.setScale on the binary
+        double value;
+      * error terms as x − (q·scale)/127 elementwise (scale 0 ⇒ q = 0
+        and x = 0, so the term is exactly 0 — no division by scale
+        here), squared, then accumulated dimension-by-dimension in
+        index order (acc += e_d), the exact left-fold rounding sequence
+        of the JVM aggregate and the oracle's list_reduce;
+      * MSE floored on the 1e-12 grid via (acc/dim·1e12) in the same
+        operation order."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+    import pandas as pd
+
+    six = Decimal("0.000001")
+    for pdf in batches:
+        if len(pdf) == 0:
+            continue
+        X = np.array(list(pdf["embedding"]), dtype=np.float64)
+        ids = pdf["vec_id"].to_numpy()
+        n, d = X.shape
+        scale = np.abs(X).max(axis=1)
+        Q = _quantize_np(X)
+        E = X - (Q * scale[:, None]) / QUANT_BITS_MAX
+        acc = np.zeros(n)
+        for j in range(d):  # left-fold over dims, like _assign_gemm
+            acc += E[:, j] * E[:, j]
+        mse = np.floor(acc / d * 1e12) / 1e12
+        rscale = np.array(
+            [float(Decimal(s).quantize(six, ROUND_HALF_UP)) for s in scale]
+        )
+        yield pd.DataFrame(
+            {
+                "vec_id": np.repeat(ids, d),
+                "scale": np.repeat(rscale, d),
+                "pos": np.tile(np.arange(1, d + 1, dtype=np.int32), n),
+                "q": Q.ravel(),
+                "recon_mse": np.repeat(mse, d),
+            }
+        )
+
+
+_QUANT_EXPLODE_SCHEMA = (
+    "vec_id long, scale double, pos int, q long, recon_mse double"
+)
+
+
 @register("embed_quantize_int8", oracle=EMBED_QUANTIZE_SQL)
 def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric per-vector int8 quantization of the embedding corpus
@@ -1341,17 +1395,20 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     as a scalar; ``pos`` is 1-based to mirror the oracle's
     ``unnest(range(...))`` subscript. Library consumers (the int8-GEMM
     path, ``ann_ivf_int8``) use the array-returning ``quantize_int8``
-    directly."""
-    out = quantize_int8(_valid_embeddings(table(spark, sf_dir, "embeddings")))
-    return out.select(
-        "vec_id", "scale", "recon_mse",
-        F.posexplode("qvec").alias("pos0", "q"),
-    ).select(
-        "vec_id",
-        "scale",
-        (F.col("pos0") + 1).cast("int").alias("pos"),
-        "q",
-        "recon_mse",
+    directly.
+
+    The registered form runs as ONE Arrow numpy pass
+    (``_quantize_explode_kernel``) instead of the interpreted-lambda
+    expression chain + posexplode (2.9× slower at sf0.1, PERF_NOTES
+    r8); the kernel reproduces every expression bit-for-bit — the
+    stream≡batch test reassembles this output against the JVM
+    ``quantize_int8`` arrays, so numpy≡JVM equality is pinned, and the
+    DuckDB oracle hashes every value. Finite floats assumed (this
+    corpus's contract; no engine's NaN ordering is exercised by any
+    fixture)."""
+    emb = _valid_embeddings(table(spark, sf_dir, "embeddings"))
+    return emb.select("vec_id", "embedding").mapInPandas(
+        _quantize_explode_kernel, _QUANT_EXPLODE_SCHEMA
     )
 
 
