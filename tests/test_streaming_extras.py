@@ -1443,3 +1443,83 @@ def test_ivf_assign_stream_equals_batch(spark):
     assert got == want
     assert len(got) > 0
     assert len(got) == len(emitted), "a vec_id emitted twice"
+
+
+def test_ivf_assign_stream_mid_stream_restart_exactly_once(spark, tmp_path):
+    """The index-ingest story end-to-end: the streaming IVF assignment
+    stopped MID-STREAM (half the corpus indexed), restarted from the
+    same checkpoint with the rest arriving, writing to a
+    list_id-partitioned parquet sink — the store layout a probe scans
+    partition-pruned. The final files must hold every valid vector
+    EXACTLY once, with the same assignment the batch kernel computes."""
+    import numpy as np
+    import pyarrow as pa
+
+    from trisk_spark.functions.similarity import (
+        N_CENTROIDS,
+        _quantize_assign_gemm,
+        _quantize_np,
+        _valid_embeddings,
+    )
+    from trisk_spark.streaming.queries import ivf_assign_stream
+    from trisk_spark.streaming.sinks import to_files
+
+    batch_emb = (
+        spark.read.parquet(f"{SF}/embeddings.parquet").orderBy("vec_id").collect()
+    )
+    schema = [
+        ("vec_id", pa.int64()),
+        ("embedding", pa.list_(pa.float32())),
+        ("label", pa.int32()),
+    ]
+    rows = [
+        (r.vec_id, list(r.embedding) if r.embedding is not None else None, r.label)
+        for r in batch_emb
+    ]
+    half = len(rows) // 2
+    src = _write_chunks(tmp_path, "ivf-src", schema, [rows[:half]])
+    out = str(tmp_path / "ivf-out")
+    ckpt = str(tmp_path / "ivf-ckpt")
+    spark_schema = spark.read.parquet(f"{SF}/embeddings.parquet").schema
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(spark_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            to_files(ivf_assign_stream(stream, spark, SF), out, ckpt,
+                     partition_by="list_id")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()  # wave 1 indexed, query stops
+    mid = spark.read.parquet(out).count()
+    assert 0 < mid < len(rows), "restart fixture did not split the corpus"
+    _write_chunks(tmp_path, "ivf-src", schema, [rows[half:]], start=1)
+    run_once()  # restart: same checkpoint — no re-emits, no gaps
+
+    got = {
+        r.vec_id: (r.qnorm, r.list_id)
+        for r in spark.read.parquet(out).collect()
+    }
+    ref = _valid_embeddings(table(spark, SF, "embeddings"))
+    scale = F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double"))))
+    raw_cents = (
+        ref.where(scale > 0).orderBy("vec_id").limit(N_CENTROIDS)
+        .select("vec_id", "embedding").collect()
+    )
+    cq = _quantize_np(np.array([list(r.embedding) for r in raw_cents], dtype=np.float64))
+    cn = np.sqrt((cq * cq).sum(axis=1).astype(np.float64))
+    cids = np.array([r.vec_id for r in raw_cents], dtype=np.int64)
+    want = {
+        r.vec_id: (r.qnorm, r.list_id)
+        for r in _quantize_assign_gemm(spark, ref, cq, cn, cids)
+        .select("vec_id", "qnorm", "list_id").collect()
+    }
+    assert got == want
+    n_files_rows = spark.read.parquet(out).count()
+    assert n_files_rows == len(want), "a vector indexed twice or dropped"
