@@ -140,3 +140,54 @@ def test_gemm_overflow_guard_fires_loudly(spark):
     )
     with pytest.raises(Exception, match="GEMM dot bound"):
         _assign_gemm(spark, n, cents).collect()
+
+
+def test_ivf_store_probe_equals_direct_query(spark, tmp_path):
+    # the persisted-index probe must reproduce the one-plan query
+    # row-for-row: same routing, same candidates, same exact re-rank
+    from trisk_spark.functions import ivf_store
+    from trisk_spark.registry import load_all
+
+    path = str(tmp_path / "ivf")
+    ivf_store.write_index(spark, SF_DIR, path)
+    got = sorted(
+        (r.query_id, r.rank, r.neighbor_id, r.cosine_sim)
+        for r in ivf_store.probe_index(spark, SF_DIR, path).collect()
+    )
+    want = sorted(
+        (r.query_id, r.rank, r.neighbor_id, r.cosine_sim)
+        for r in load_all()["ann_ivf_int8"].fn(spark, SF_DIR).collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_ivf_store_probe_scan_is_partition_pruned(spark, tmp_path):
+    # the probe must read ONLY the routed lists' partitions — the
+    # whole point of the list_id-partitioned layout: the index scan
+    # carries a list_id partition filter, and the pruned scan touches
+    # at most N_PROBES × N_PROBE_LISTS of the written partitions
+    import re
+
+    from trisk_spark.functions import ivf_store
+    from trisk_spark.functions.similarity import N_PROBE_LISTS, N_PROBES
+
+    path = str(tmp_path / "ivf")
+    ivf_store.write_index(spark, SF_DIR, path)
+    n_lists_written = (
+        spark.read.parquet(f"{path}/index").select("list_id").distinct().count()
+    )
+    probe = ivf_store.probe_index(spark, SF_DIR, path)
+    plan = probe._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    m = re.search(
+        r"PartitionFilters: \[list_id#\d+ (?:INSET|IN \(?)([\d, ]+)", plan
+    )
+    assert m, f"index scan lost its list_id partition filter:\n{plan}"
+    n_probed = len(m.group(1).split(","))
+    assert n_probed <= N_PROBES * N_PROBE_LISTS
+    assert n_probed < n_lists_written, (
+        "pruning is vacuous: the probe reads every written list"
+    )

@@ -1677,15 +1677,23 @@ def ann_ivf_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the int8 index is the only thing scanned wide. Recall vs the
     exact ``knn_bruteforce`` is pytest-pinned
     (tests/test_similarity_iter.py)."""
-    import numpy as np
-    from pyspark.sql import Window
-
     emb = _valid_embeddings(table(spark, sf_dir, "embeddings"))
-    # centroid model: the N_CENTROIDS smallest-vec_id vectors with
-    # scale > 0 (⇔ qnorm > 0: the max-|x| element always quantizes to
-    # ±127 or ±126, never 0), quantized driver-side by the same numpy
-    # kernel — the scale filter is the only JVM lambda and runs under
-    # the pushed orderBy/limit
+    cq, cn, cids, cents = _int8_centroid_model(spark, emb)
+    assign = _quantize_assign_gemm(spark, emb, cq, cn, cids)
+    qlists = _route_probes_int8(emb, cents)
+    return _int8_candidates_and_rerank(emb, qlists, assign)
+
+
+def _int8_centroid_model(spark: SparkSession, emb: DataFrame):
+    """The int8 IVF centroid model: the N_CENTROIDS smallest-vec_id
+    vectors with scale > 0 (⇔ qnorm > 0: the max-|x| element always
+    quantizes to ±127 or ±126, never 0), quantized DRIVER-side by the
+    same numpy kernel the corpus pass uses — the scale filter is the
+    only JVM lambda and runs under the pushed orderBy/limit. Returns
+    (cq, cn, cids, cents_df): the numpy model for the GEMM kernel and
+    its K-row DataFrame image for probe routing / persistence."""
+    import numpy as np
+
     scale = F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double"))))
     raw_cents = (
         emb.where(scale > 0)
@@ -1700,7 +1708,6 @@ def ann_ivf_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnorm = (cq * cq).sum(axis=1)
     cn = np.sqrt(cnorm.astype(np.float64))
     cids = np.array([r.vec_id for r in raw_cents], dtype=np.int64)
-    assign = _quantize_assign_gemm(spark, emb, cq, cn, cids)
     cents = spark.createDataFrame(
         [
             (int(c), [int(x) for x in v], int(n))
@@ -1708,12 +1715,17 @@ def ann_ivf_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "c_id long, c_vec array<long>, c_norm long",
     )
-    # probe routing: identical map-side array-sort routing as ann_ivf,
-    # on the quantized probe vectors. vec_id < N_PROBES is applied to
-    # the RAW scan before quantizing (commutes with the oracle's CTE
-    # filter): Catalyst's collapsed filter orders the qnorm > 0 fold
-    # BEFORE the vec_id conjunct, so filtering afterwards would run the
-    # interpreted quantize corpus-wide (measured 1.5 s at sf0.1)
+    return cq, cn, cids, cents
+
+
+def _route_probes_int8(emb: DataFrame, cents: DataFrame) -> DataFrame:
+    """Probe routing: the identical map-side array-sort routing as
+    ``ann_ivf``, on the quantized probe vectors — one exploded row per
+    (query, probed list). vec_id < N_PROBES is applied to the RAW scan
+    before quantizing (commutes with the oracle's CTE filter):
+    Catalyst's collapsed filter orders the qnorm > 0 fold BEFORE the
+    vec_id conjunct, so filtering afterwards would run the interpreted
+    quantize corpus-wide (measured 1.5 s at sf0.1)."""
     probes = _quantized_corpus(emb.where(F.col("vec_id") < N_PROBES)).select(
         "vec_id", F.col("qvec").alias("vec"), F.col("qnorm").alias("norm")
     )
@@ -1732,10 +1744,22 @@ def ann_ivf_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             1, N_PROBE_LISTS,
         ).alias("top"),
     )
-    qlists = qtop.select(
+    return qtop.select(
         "query_id", "p_qvec", "p_qnorm",
         F.explode(F.col("top.c_id")).alias("list_id"),
     )
+
+
+def _int8_candidates_and_rerank(
+    emb: DataFrame, qlists: DataFrame, assign: DataFrame
+) -> DataFrame:
+    """Candidate scoring in the int8 domain + exact re-rank — shared by
+    the direct ``ann_ivf_int8`` query and the persisted-index probe
+    (``functions/ivf_store.py``). ``assign`` is any (vec_id, qvec,
+    qnorm, list_id) relation: the fused kernel's output or a
+    partition-pruned read of the written index."""
+    from pyspark.sql import Window
+
     q_cos = _dot(F.col("p_qvec"), F.col("qvec")).cast("double") / (
         F.sqrt(F.col("p_qnorm").cast("double"))
         * F.sqrt(F.col("qnorm").cast("double"))
