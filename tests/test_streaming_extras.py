@@ -1448,19 +1448,20 @@ def test_ivf_assign_stream_equals_batch(spark):
 def test_ivf_assign_stream_mid_stream_restart_exactly_once(spark, tmp_path):
     """The index-ingest story end-to-end: the streaming IVF assignment
     stopped MID-STREAM (half the corpus indexed), restarted from the
-    same checkpoint with the rest arriving, writing to a
-    list_id-partitioned parquet sink — the store layout a probe scans
-    partition-pruned. The final files must hold every valid vector
-    EXACTLY once, with the same assignment the batch kernel computes."""
-    import numpy as np
+    same checkpoint with the rest arriving, writing the ivf_store
+    layout (list_id-partitioned index + centroid model). The store must
+    hold every valid vector EXACTLY once with the batch kernel's
+    assignment, and ``probe_index`` over the STREAM-BUILT store must
+    answer identically to the one-plan ``ann_ivf_int8`` query."""
     import pyarrow as pa
 
+    from trisk_spark.functions.ivf_store import probe_index
     from trisk_spark.functions.similarity import (
-        N_CENTROIDS,
+        _int8_centroid_model,
         _quantize_assign_gemm,
-        _quantize_np,
         _valid_embeddings,
     )
+    from trisk_spark.registry import load_all
     from trisk_spark.streaming.queries import ivf_assign_stream
     from trisk_spark.streaming.sinks import to_files
 
@@ -1478,7 +1479,8 @@ def test_ivf_assign_stream_mid_stream_restart_exactly_once(spark, tmp_path):
     ]
     half = len(rows) // 2
     src = _write_chunks(tmp_path, "ivf-src", schema, [rows[:half]])
-    out = str(tmp_path / "ivf-out")
+    store = str(tmp_path / "ivf-store")
+    out = f"{store}/index"
     ckpt = str(tmp_path / "ivf-ckpt")
     spark_schema = spark.read.parquet(f"{SF}/embeddings.parquet").schema
 
@@ -1507,19 +1509,26 @@ def test_ivf_assign_stream_mid_stream_restart_exactly_once(spark, tmp_path):
         for r in spark.read.parquet(out).collect()
     }
     ref = _valid_embeddings(table(spark, SF, "embeddings"))
-    scale = F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double"))))
-    raw_cents = (
-        ref.where(scale > 0).orderBy("vec_id").limit(N_CENTROIDS)
-        .select("vec_id", "embedding").collect()
-    )
-    cq = _quantize_np(np.array([list(r.embedding) for r in raw_cents], dtype=np.float64))
-    cn = np.sqrt((cq * cq).sum(axis=1).astype(np.float64))
-    cids = np.array([r.vec_id for r in raw_cents], dtype=np.int64)
+    cq, cn, cids, cents = _int8_centroid_model(spark, ref)
     want = {
         r.vec_id: (r.qnorm, r.list_id)
         for r in _quantize_assign_gemm(spark, ref, cq, cn, cids)
         .select("vec_id", "qnorm", "list_id").collect()
     }
     assert got == want
-    n_files_rows = spark.read.parquet(out).count()
-    assert n_files_rows == len(want), "a vector indexed twice or dropped"
+    assert spark.read.parquet(out).count() == len(want), (
+        "a vector indexed twice or dropped"
+    )
+    # the stream-built store IS the ivf_store layout: add the centroid
+    # model beside it and the persisted-index probe must reproduce the
+    # one-plan query row-for-row
+    cents.write.mode("overwrite").parquet(f"{store}/centroids")
+    probed = sorted(
+        (r.query_id, r.rank, r.neighbor_id, r.cosine_sim)
+        for r in probe_index(spark, SF, store).collect()
+    )
+    direct = sorted(
+        (r.query_id, r.rank, r.neighbor_id, r.cosine_sim)
+        for r in load_all()["ann_ivf_int8"].fn(spark, SF).collect()
+    )
+    assert probed == direct and len(probed) > 0

@@ -458,37 +458,19 @@ def ivf_assign_stream(emb_stream: DataFrame, spark, ref_sf_dir: str) -> DataFram
     embedding flows through the SAME fused quantize+assign Arrow GEMM
     kernel (``_quantize_assign_gemm`` — stateless map work, so the
     identical kernel runs under Structured Streaming unchanged).
-    Append mode, zero shuffle, zero state; emits
-    (vec_id, qnorm, list_id) — the index-partition routing a 100 TB
-    store uses to land each new vector in its list's partition
-    (stream≡batch pytest-pinned)."""
-    import numpy as np
-
+    Append mode, zero shuffle, zero state; emits the FULL index row
+    (vec_id, qvec, qnorm, list_id), so sinking this stream partitioned
+    by list_id IS an incremental write of the ``functions/ivf_store``
+    layout — a store built by streaming ingest answers ``probe_index``
+    identically to the batch-built one (stream≡batch +
+    probe-over-streamed-store pytest-pinned)."""
     from trisk_spark.catalog import table
     from trisk_spark.functions.similarity import (
-        N_CENTROIDS,
+        _int8_centroid_model,
         _quantize_assign_gemm,
-        _quantize_np,
         _valid_embeddings,
     )
 
     ref = _valid_embeddings(table(spark, ref_sf_dir, "embeddings"))
-    scale = F.array_max(
-        F.transform("embedding", lambda x: F.abs(x.cast("double")))
-    )
-    raw_cents = (
-        ref.where(scale > 0)
-        .orderBy("vec_id")
-        .limit(N_CENTROIDS)
-        .select("vec_id", "embedding")
-        .collect()
-    )
-    cq = _quantize_np(
-        np.array([list(r.embedding) for r in raw_cents], dtype=np.float64)
-    )
-    cn = np.sqrt((cq * cq).sum(axis=1).astype(np.float64))
-    cids = np.array([r.vec_id for r in raw_cents], dtype=np.int64)
-    assigned = _quantize_assign_gemm(
-        spark, _valid_embeddings(emb_stream), cq, cn, cids
-    )
-    return assigned.select("vec_id", "qnorm", "list_id")
+    cq, cn, cids, _cents = _int8_centroid_model(spark, ref)
+    return _quantize_assign_gemm(spark, _valid_embeddings(emb_stream), cq, cn, cids)
