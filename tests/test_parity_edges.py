@@ -387,7 +387,7 @@ def test_events_family_parity_on_hostile_corpus(spark, hostile_events, name):
 _SIM_FAMILY = [
     "knn_bruteforce", "cosine_near_dup_exact", "cosine_near_dup_lsh",
     "ann_lsh_bucketed", "ann_ivf", "knn_label_vote", "ivf_refine",
-    "ivf_refine_iters", "embed_quantize_int8",
+    "ivf_refine_iters", "embed_quantize_int8", "ann_ivf_int8",
 ]
 
 _DIM = 64
