@@ -66,6 +66,7 @@ HEADLINE = [
     "keyword_extract",
     "embed_quantize_int8",
     "ann_ivf_int8",
+    "source_mix_sample",
 ]
 
 

@@ -714,3 +714,52 @@ def test_bigram_lm_model_size_guard_fires(spark):
         bigram_lm_score(spark, SF_DIR, max_model_rows=3).collect()
     # default ceiling: untouched behavior
     assert bigram_lm_score(spark, SF_DIR).count() > 0
+
+
+def test_source_mix_sample_moves_toward_uniform_budget(spark, tmp_path):
+    # a corpus with one oversized source must downsample it toward the
+    # uniform token budget while undersized sources keep everything
+    # (rate exactly 1.0), and the keep decision must be reproducible
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from trisk_spark.registry import load_all
+
+    from .conftest import assert_matches_oracle
+
+    rows = []
+    for i in range(400):  # 'web' dominates: ~20 tokens per doc
+        rows.append((i, " ".join(f"w{i}x{j}" for j in range(20)), "web"))
+    for i in range(400, 420):  # small curated source
+        rows.append((i, " ".join(f"c{i}x{j}" for j in range(20)), "books"))
+    docs = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows]),
+            "lang": pa.array(["en"] * len(rows)),
+            "source": pa.array([r[2] for r in rows]),
+            "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(docs, tmp_path / "documents.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    qd = load_all()["source_mix_sample"]
+    assert_matches_oracle(qd.fn(spark, str(tmp_path)), con, qd.oracle)
+
+    out = {r.source: r for r in qd.fn(spark, str(tmp_path)).collect()}
+    # target = 8400/2 = 4200 tokens; web has 8000 -> rate 0.525
+    assert out["books"].rate == 1.0 and out["books"].n_kept == 20
+    assert 0.4 < out["web"].rate < 0.65
+    # the hash sample should land near rate * n_docs (ppm hashing is
+    # uniform-ish; wide tolerance, this is not a statistical test)
+    assert 120 <= out["web"].n_kept <= 300
+    assert out["web"].tokens_kept == out["web"].n_kept * 20
+    # deterministic: a second run keeps the identical sample
+    again = {r.source: r for r in qd.fn(spark, str(tmp_path)).collect()}
+    assert {s: (r.n_kept, r.tokens_kept) for s, r in out.items()} == {
+        s: (r.n_kept, r.tokens_kept) for s, r in again.items()
+    }

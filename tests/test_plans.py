@@ -568,3 +568,18 @@ def test_multi_row_group_file_fans_out_scan(spark, tmp_path):
         assert not re.findall(r"^\(\d+\) Exchange", plan, re.M), plan
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+
+def test_source_mix_keep_pass_broadcasts_rates(spark):
+    # the rates table must reach the keep scan by BROADCAST and the
+    # only hash shuffles are the two source-keyed partial aggs — a
+    # sort-merge join here would shuffle the corpus on source
+    import re
+
+    with no_auto_broadcast(spark):
+        plan = static_plan(spark, "source_mix_sample")
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "partial_count" in plan and "partial_sum" in plan, plan
+    shuffles = re.findall(r"Arguments: hashpartitioning\((\w+)#", plan)
+    assert shuffles and set(shuffles) == {"source"}, shuffles

@@ -282,3 +282,142 @@ def curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("q", 4).alias("quality"),
         )
     )
+
+
+# ------------------------------------------------ data mixing (r8) ---
+
+# Source-mix sampling — the "data mixing" stage of a training pipeline
+# (DoReMi/The-Pile-style source reweighting): compute each source's
+# token mass, derive the per-source sampling rate that moves the mix
+# toward a UNIFORM per-source token budget (rate_s = min(1, target /
+# tokens_s) with target = total_tokens / n_sources), and keep documents
+# by deterministic md5 hashing — no RNG, so a retry, backfill, or
+# re-run keeps exactly the same documents. Oversized sources are
+# downsampled toward the budget; undersized sources keep everything
+# (rate 1 — upsampling is a repeat-epoch decision, not a filter).
+#
+# Float determinism: token sums are exact BIGINTs; target and rate are
+# two correctly-rounded double divisions in the same order on both
+# engines; the keep test compares an exact integer ppm bucket against
+# rate·1e6 (one more identical double op) — bit-deterministic
+# everywhere, like the split kernel.
+
+MIX_PPM = 1_000_000
+
+_PPM_SQL = (
+    "CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+    f" % {MIX_PPM}"
+)
+
+SOURCE_MIX_SQL = f"""
+WITH d AS (
+  SELECT doc_id, source,
+    COALESCE(len(list_filter(string_split(text, ' '), w -> w <> '')), 0) AS n_tok,
+    {_PPM_SQL} AS ppm
+  FROM documents WHERE doc_id IS NOT NULL AND source IS NOT NULL
+),
+s AS (SELECT source, COUNT(*) AS n_docs, SUM(n_tok) AS tok FROM d GROUP BY source),
+t AS (SELECT CAST(SUM(tok) AS DOUBLE) / COUNT(*) AS target FROM s),
+r AS (
+  SELECT source, n_docs, tok,
+    CASE WHEN tok > 0 THEN LEAST(1.0, t.target / tok) ELSE 1.0 END AS rate
+  FROM s CROSS JOIN t
+),
+k AS (
+  SELECT d.source, COUNT(*) AS n_kept, SUM(d.n_tok) AS tokens_kept
+  FROM d JOIN r ON d.source = r.source
+  WHERE d.ppm < r.rate * {MIX_PPM}.0
+  GROUP BY d.source
+)
+SELECT r.source, CAST(r.n_docs AS BIGINT) AS n_docs,
+  CAST(r.tok AS BIGINT) AS total_tokens,
+  CAST(ROUND(r.rate, 6) AS DOUBLE) AS rate,
+  CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+  CAST(COALESCE(k.tokens_kept, 0) AS BIGINT) AS tokens_kept
+FROM r LEFT JOIN k ON r.source = k.source
+"""
+
+
+def source_mix_rates(docs: DataFrame) -> DataFrame:
+    """Per-source sampling rates toward the uniform token budget:
+    (source, n_docs, tok, rate). The rates table is source-cardinality
+    sized — the broadcast model of the mixing stage."""
+    ws = F.filter(F.split("text", " "), lambda w: w != "")
+    d = docs.select(
+        "source", F.coalesce(F.size(ws), F.lit(0)).cast("bigint").alias("n_tok")
+    )
+    s = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tok").alias("tok")
+    )
+    t = s.agg(
+        (F.sum("tok").cast("double") / F.count("*")).alias("target")
+    )
+    return s.crossJoin(F.broadcast(t)).select(
+        "source", "n_docs", "tok",
+        F.when(
+            F.col("tok") > 0,
+            F.least(F.lit(1.0), F.col("target") / F.col("tok")),
+        )
+        .otherwise(F.lit(1.0))
+        .alias("rate"),
+    )
+
+
+def mix_keep_col(rate: Column) -> Column:
+    """Deterministic keep test for a document under sampling ``rate``:
+    the 60-bit md5(doc_id) prefix reduced to an exact ppm bucket,
+    compared against rate·1e6 — the same no-RNG idiom as the split
+    kernel (``_bucket``), at 1e-6 granularity."""
+    ppm = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint") % MIX_PPM
+    )
+    return ppm < rate * float(MIX_PPM)
+
+
+@register("source_mix_sample", oracle=SOURCE_MIX_SQL)
+def source_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing rollup: per source, the token mass, the sampling
+    rate toward the uniform token budget, and the docs/tokens that the
+    deterministic hash sample actually keeps. The audit table a mixing
+    stage ships (did the sample land on the target mix?); the kept
+    documents themselves are ``docs.where(mix_keep_col(rate))`` after a
+    broadcast join of the rates — the same two-pass shape this query
+    verifies end-to-end.
+
+    Plan: pass 1 aggregates per-source token masses (map-side combine,
+    one tiny shuffle on source) and derives the source-cardinality
+    rates table; pass 2 re-scans the corpus with the rates BROADCAST
+    and the keep test as a map-side expression, aggregating the kept
+    mass per source. Nothing corpus-sized shuffles, no RNG anywhere —
+    at 100 TB the rates table is a write-once asset and the keep pass
+    fuses into the ingest scan."""
+    docs = _docs(spark, sf_dir).where(F.col("source").isNotNull())
+    r = source_mix_rates(docs)
+    ws = F.filter(F.split("text", " "), lambda w: w != "")
+    d = docs.select(
+        "doc_id", "source",
+        F.coalesce(F.size(ws), F.lit(0)).cast("bigint").alias("n_tok"),
+    )
+    k = (
+        d.join(F.broadcast(r.select("source", "rate")), "source")
+        .where(mix_keep_col(F.col("rate")))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.sum("n_tok").alias("tokens_kept"),
+        )
+    )
+    return (
+        r.join(F.broadcast(k), "source", "left")
+        .select(
+            "source",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("tok").cast("bigint").alias("total_tokens"),
+            F.round("rate", 6).alias("rate"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
+            F.coalesce(F.col("tokens_kept"), F.lit(0))
+            .cast("bigint")
+            .alias("tokens_kept"),
+        )
+    )

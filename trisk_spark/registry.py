@@ -116,6 +116,9 @@ DEPRIORITIZED = [
     "train_split",             # md5-bucket split: split_rollup (in, same kernel)
     "source_cap_sample",       # md5-order rank cap: split_rollup (in, md5-deterministic sampling family)
     "media_decode_resize",     # NO_ORACLE_SITTER_WITNESS: media_decode_checksum (in)
+    # one more r7-green sitter so the r8-new source_mix_sample gets a
+    # driver row (window stays 50):
+    "cogroup_apply",           # two-input Arrow batch: wordcount_two_input (in) + oracle pytest
 ]
 
 # A no-oracle query may sit out ONLY with a named in-window witness
