@@ -1532,3 +1532,37 @@ def test_ivf_assign_stream_mid_stream_restart_exactly_once(spark, tmp_path):
         for r in load_all()["ann_ivf_int8"].fn(spark, SF).collect()
     )
     assert probed == direct and len(probed) > 0
+
+
+def test_source_mix_stream_equals_batch(spark):
+    """Streaming mix filter: the kept-document set under the broadcast
+    rates model must equal the batch keep pass exactly (same md5 ppm
+    test, same rates — model built from the same corpus)."""
+    from trisk_spark.functions.sampling import _docs, mix_keep_col, source_mix_rates
+    from trisk_spark.streaming.queries import source_mix_stream
+
+    stream = replay_stream(spark, SF, "documents", n_chunks=4, order_col="doc_id")
+    emitted = []
+    q = (
+        source_mix_stream(stream, spark, SF)
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda bdf, bid: emitted.extend(bdf.collect()))
+        .option("checkpointLocation", checkpoint_dir("mixstream"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r.doc_id: (r.source, r.rate) for r in emitted}
+
+    ref = _docs(spark, SF).where(F.col("source").isNotNull())
+    rates = source_mix_rates(ref).select("source", "rate")
+    want = {
+        r.doc_id: (r.source, r.rate)
+        for r in ref.select("doc_id", "source")
+        .join(F.broadcast(rates), "source")
+        .where(mix_keep_col(F.col("rate")))
+        .select("doc_id", "source", F.round("rate", 6).alias("rate"))
+        .collect()
+    }
+    assert got == want and len(got) > 0
+    assert len(got) == len(emitted), "a doc_id emitted twice"

@@ -474,3 +474,33 @@ def ivf_assign_stream(emb_stream: DataFrame, spark, ref_sf_dir: str) -> DataFram
     ref = _valid_embeddings(table(spark, ref_sf_dir, "embeddings"))
     cq, cn, cids, _cents = _int8_centroid_model(spark, ref)
     return _quantize_assign_gemm(spark, _valid_embeddings(emb_stream), cq, cn, cids)
+
+
+def source_mix_stream(docs: DataFrame, spark, ref_sf_dir: str) -> DataFrame:
+    """Streaming data-mixing filter — the deployment shape of
+    ``functions/sampling.source_mix_sample``: the per-source rates are
+    computed ONCE from the reference corpus (the write-once mixing
+    model) and arriving documents pass or drop by the SAME
+    deterministic md5 ppm test, as a native stream-static broadcast
+    join + filter — append mode, zero state, zero shuffle on the
+    stream side. Emits (doc_id, source, rate) for kept documents;
+    sources unseen in the reference corpus have no rate and are
+    dropped (the batch inner-join semantics). Stream≡batch
+    pytest-pinned."""
+    from trisk_spark.catalog import table
+    from trisk_spark.functions.sampling import (
+        _docs,
+        mix_keep_col,
+        source_mix_rates,
+    )
+
+    ref = _docs(spark, ref_sf_dir).where(F.col("source").isNotNull())
+    rates = source_mix_rates(ref).select("source", "rate")
+    d = docs.where(
+        F.col("doc_id").isNotNull() & F.col("source").isNotNull()
+    ).select("doc_id", "source")
+    return (
+        d.join(F.broadcast(rates), "source")
+        .where(mix_keep_col(F.col("rate")))
+        .select("doc_id", "source", F.round("rate", 6).alias("rate"))
+    )
