@@ -67,6 +67,7 @@ HEADLINE = [
     "embed_quantize_int8",
     "ann_ivf_int8",
     "source_mix_sample",
+    "ts_subsequence_match",
 ]
 
 

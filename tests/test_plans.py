@@ -583,3 +583,20 @@ def test_source_mix_keep_pass_broadcasts_rates(spark):
     assert "partial_count" in plan and "partial_sum" in plan, plan
     shuffles = re.findall(r"Arguments: hashpartitioning\((\w+)#", plan)
     assert shuffles and set(shuffles) == {"source"}, shuffles
+
+
+def test_ts_subsequence_windows_shuffle_once_and_broadcast_probes(spark):
+    # window construction shuffles the corpus exactly once on user_id
+    # (frame sort is spillable, no per-user array collect); the probe
+    # set reaches candidates by broadcast; ranks are candidate-sized
+    import re
+
+    with no_auto_broadcast(spark):
+        plan = static_plan(spark, "ts_subsequence_match")
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan  # 3-row probe cross join
+    keys = re.findall(r"Arguments: hashpartitioning\((\w+)#", plan)
+    assert set(keys) <= {"user_id", "probe_user"}, keys
+    # corpus-keyed exchanges: one for the candidate window build, one
+    # for the pushdown-filtered probe branch (≤ N_TS_PROBES users)
+    assert keys.count("user_id") == 2, keys

@@ -1,0 +1,190 @@
+"""Time-series subsequence similarity search over the ``events`` value
+streams — the classic streaming-analytics primitive (UCR-style
+z-normalized subsequence matching; cf. "Time Series Similarity Search
+for Streaming Data in Distributed Systems", EDBT 2019) the reference's
+domain (market data streams) uses for pattern screening: find, for each
+probe window, the most similar windows in every OTHER user's series.
+
+Float-parity design (house patterns): window contents are exact cent
+integers (the ``numeric.cents`` idiom), window sums and sum-of-squares
+are exact BIGINT folds, and every double step (mean, variance, sd, the
+z-normalized squared distance) is the same sequence of correctly-rounded
+IEEE ops on both engines, with the distance accumulated as an explicit
+left fold (DuckDB's no-init ``list_reduce`` agrees with the engine's
+``aggregate(0.0, +)`` because 0.0 + x == x exactly). Constant windows
+(zero variance) are excluded on both sides — z-normalization is
+undefined there.
+
+Scale notes: windows come from ONE shuffle on user_id + a spillable
+frame sort (no per-user series array is ever materialized — a hot user
+costs sort spill, not memory); the probe set is bounded
+(N_TS_PROBES first windows) and broadcast, so candidate scoring is one
+map-side pass over the window stream — the brute-force baseline every
+indexed variant (PAA/SAX bucketing, the ANN-family pattern) is measured
+against. Reference has no time-series operator (beyond-reference
+mandate, SURVEY.md §7 step 7).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
+
+from trisk_spark.catalog import table
+from trisk_spark.registry import register
+
+TS_WINDOW = 16     # subsequence length (events per window)
+N_TS_PROBES = 3    # probe set: first full window of user_id < N_TS_PROBES
+TOP_TS_K = 5       # matches reported per probe
+
+TS_SUBSEQ_SQL = f"""
+WITH e AS (
+  SELECT user_id, event_id AS seq, CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events
+  WHERE user_id IS NOT NULL AND event_id IS NOT NULL AND value IS NOT NULL
+),
+win AS (
+  SELECT user_id, seq,
+    list(cents) OVER (PARTITION BY user_id ORDER BY seq
+                      ROWS BETWEEN CURRENT ROW AND {TS_WINDOW - 1} FOLLOWING)
+      AS w
+  FROM e
+),
+m AS (
+  SELECT user_id, seq, w,
+    CAST(list_sum(w) AS DOUBLE) / {TS_WINDOW} AS mu,
+    CAST(list_sum(list_transform(w, x -> x * x)) AS DOUBLE) / {TS_WINDOW} AS m2
+  FROM win WHERE len(w) = {TS_WINDOW}
+),
+nz AS (
+  SELECT user_id, seq, w, mu, SQRT(m2 - mu * mu) AS sd
+  FROM m WHERE m2 - mu * mu > 0
+),
+p AS (
+  SELECT user_id AS probe_user, seq AS probe_seq, w AS pw, mu AS pmu, sd AS psd
+  FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY seq) AS rn
+        FROM nz WHERE user_id < {N_TS_PROBES})
+  WHERE rn = 1
+),
+d AS (
+  SELECT p.probe_user, n.user_id AS match_user, n.seq AS match_seq,
+    list_reduce(list_transform(list_zip(pw, n.w),
+      s -> (((s[1] - pmu) / psd) - ((s[2] - n.mu) / n.sd))
+         * (((s[1] - pmu) / psd) - ((s[2] - n.mu) / n.sd))),
+      (acc, x) -> acc + x) AS dist2
+  FROM p CROSS JOIN nz n WHERE n.user_id <> p.probe_user
+)
+SELECT probe_user, match_user, match_seq,
+  CAST(ROUND(dist2, 6) AS DOUBLE) AS dist2, CAST(rank AS INT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY probe_user
+        ORDER BY dist2 ASC, match_user, match_seq) AS rank FROM d)
+WHERE rank <= {TOP_TS_K}
+"""
+
+
+def _fold_sum(col: Column) -> Column:
+    return F.aggregate(col, F.lit(0).cast("bigint"), lambda acc, v: acc + v)
+
+
+def ts_windows(events: DataFrame) -> DataFrame:
+    """Full z-normalizable sliding windows per user: (user_id, seq, w,
+    mu, sd) — one shuffle on user_id, a spillable frame sort, exact
+    integer sums, and the shared variance guard."""
+    e = events.where(
+        F.col("user_id").isNotNull()
+        & F.col("event_id").isNotNull()
+        & F.col("value").isNotNull()
+    ).select(
+        "user_id",
+        F.col("event_id").alias("seq"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    fr = (
+        Window.partitionBy("user_id")
+        .orderBy("seq")
+        .rowsBetween(Window.currentRow, TS_WINDOW - 1)
+    )
+    win = e.select(
+        "user_id", "seq", F.collect_list("cents").over(fr).alias("w")
+    ).where(F.size("w") == TS_WINDOW)
+    m = win.select(
+        "user_id", "seq", "w",
+        (_fold_sum(F.col("w")).cast("double") / TS_WINDOW).alias("mu"),
+        (
+            _fold_sum(F.transform("w", lambda x: x * x)).cast("double")
+            / TS_WINDOW
+        ).alias("m2"),
+    )
+    return (
+        m.where(F.col("m2") - F.col("mu") * F.col("mu") > 0)
+        .select(
+            "user_id", "seq", "w", "mu",
+            F.sqrt(F.col("m2") - F.col("mu") * F.col("mu")).alias("sd"),
+        )
+    )
+
+
+@register("ts_subsequence_match", oracle=TS_SUBSEQ_SQL)
+def ts_subsequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K z-normalized subsequence matches for each probe window
+    against every other user's series (self-matches excluded) — the
+    market-pattern screen ("which securities moved like this one?") a
+    streaming exchange runs over its value streams.
+
+    Plan: window construction is ONE shuffle on user_id with a
+    spillable frame sort (the probe branch re-derives its ≤N_TS_PROBES
+    users' windows from a pushdown-filtered scan); the 3-row probe set
+    is BROADCAST and candidate scoring is a single map-side pass over
+    the window stream; the only other shuffle is the per-probe rank of
+    candidate-sized rows. Brute-force over windows is the labeled
+    baseline — at scale the candidate set is cut by PAA/SAX bucketing
+    exactly like the ANN family's LSH/IVF variants."""
+    ev = table(spark, sf_dir, "events")
+    cand = ts_windows(ev)
+    # probe branch: filter BEFORE the window build so the frame sort
+    # runs on the probe users' rows only (the partition-keyed window
+    # commutes with a partition-key filter — the quantize-probe lesson)
+    pw = Window.partitionBy("user_id").orderBy("seq")
+    probes = (
+        ts_windows(ev.where(F.col("user_id") < N_TS_PROBES))
+        .withColumn("rn", F.row_number().over(pw))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("user_id").alias("probe_user"),
+            F.col("seq").alias("probe_seq"),
+            F.col("w").alias("pw"),
+            F.col("mu").alias("pmu"),
+            F.col("sd").alias("psd"),
+        )
+    )
+
+    def znd(x: Column, y: Column) -> Column:
+        e = (x - F.col("pmu")) / F.col("psd") - (y - F.col("mu")) / F.col("sd")
+        return e * e
+
+    dist2 = F.aggregate(
+        F.zip_with(F.col("pw"), F.col("w"), znd),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    d = (
+        F.broadcast(probes)
+        .crossJoin(cand)
+        .where(F.col("user_id") != F.col("probe_user"))
+        .select(
+            "probe_user",
+            F.col("user_id").alias("match_user"),
+            F.col("seq").alias("match_seq"),
+            dist2.alias("dist2"),
+        )
+    )
+    rw = Window.partitionBy("probe_user").orderBy(
+        F.asc("dist2"), "match_user", "match_seq"
+    )
+    return (
+        d.withColumn("rank", F.row_number().over(rw))
+        .where(F.col("rank") <= TOP_TS_K)
+        .select(
+            "probe_user", "match_user", "match_seq",
+            F.round("dist2", 6).alias("dist2"), "rank",
+        )
+    )

@@ -116,9 +116,10 @@ DEPRIORITIZED = [
     "train_split",             # md5-bucket split: split_rollup (in, same kernel)
     "source_cap_sample",       # md5-order rank cap: split_rollup (in, md5-deterministic sampling family)
     "media_decode_resize",     # NO_ORACLE_SITTER_WITNESS: media_decode_checksum (in)
-    # one more r7-green sitter so the r8-new source_mix_sample gets a
-    # driver row (window stays 50):
+    # two more r7-green sitters so the r8-new source_mix_sample and
+    # ts_subsequence_match get driver rows (window stays 50):
     "cogroup_apply",           # two-input Arrow batch: wordcount_two_input (in) + oracle pytest
+    "knn_bruteforce",          # exact-cosine kernel: knn_label_vote (in) EMBEDS its full pipeline+oracle; cosine_near_dup_exact (in, same kernel)
 ]
 
 # A no-oracle query may sit out ONLY with a named in-window witness
@@ -146,6 +147,7 @@ def load_all() -> dict[str, QueryDef]:
     import trisk_spark.functions.dedup  # noqa: F401
     import trisk_spark.functions.similarity  # noqa: F401
     import trisk_spark.functions.sampling  # noqa: F401
+    import trisk_spark.functions.timeseries  # noqa: F401
 
     tail = set(DEPRIORITIZED)
     ordered = {n: q for n, q in REGISTRY.items() if n not in tail}
