@@ -103,7 +103,8 @@ def test_readme_op_table_names_are_registered():
         "sequence_pack_stream", "decoded_ok", "ivf_refine_iterative",
         "curated_stream", "bigram_lm_stream", "quantize_int8",
         "keyword_extract_stream", "ivf_assign_stream",
-        "write_index", "probe_index", "source_mix_rates", "mix_keep_col", "source_mix_stream", "ts_windows",
+        "write_index", "probe_index", "source_mix_rates", "mix_keep_col", "source_mix_stream", "ts_windows", "ts_probes",
+        "ts_candidate_distances", "ts_pattern_alert_stream",
     }
     missing = {
         c for c in cited

@@ -1566,3 +1566,57 @@ def test_source_mix_stream_equals_batch(spark):
     }
     assert got == want and len(got) > 0
     assert len(got) == len(emitted), "a doc_id emitted twice"
+
+
+def test_ts_pattern_alert_stream_equals_batch(spark):
+    """Streaming pattern screen: per-user ring state + broadcast probe
+    model must emit EXACTLY the batch alert set — every candidate
+    window whose rounded z-normalized distance to a probe is at or
+    under the threshold, once each."""
+    from trisk_spark.functions.timeseries import (
+        ts_candidate_distances,
+        ts_probes,
+        ts_windows,
+    )
+    from trisk_spark.streaming.state import (
+        TS_ALERT_MAX_DIST2,
+        ts_pattern_alert_stream,
+    )
+
+    ev = table(spark, SF, "events")
+    probe_rows = [
+        (r.probe_user, r.pmu, r.psd, list(r.pw))
+        for r in ts_probes(ev).collect()
+    ]
+    assert probe_rows, "no probes in fixture — vacuous"
+
+    stream = replay_stream(spark, SF, "events", n_chunks=4)
+    emitted = []
+    q = (
+        ts_pattern_alert_stream(
+            stream.select("user_id", "event_id", "value"), probe_rows
+        )
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda bdf, bid: emitted.extend(bdf.collect()))
+        .option("checkpointLocation", checkpoint_dir("tsalert"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.probe_user, r.match_user, r.match_seq): r.dist2 for r in emitted
+    }
+    assert len(got) == len(emitted), "an alert emitted twice"
+
+    want = {
+        (r.probe_user, r.match_user, r.match_seq): r.dist2
+        for r in ts_candidate_distances(ts_windows(ev), ts_probes(ev))
+        .select(
+            "probe_user", "match_user", "match_seq",
+            F.round("dist2", 6).alias("dist2"),
+        )
+        .where(F.col("dist2") <= TS_ALERT_MAX_DIST2)
+        .collect()
+    }
+    assert got == want
+    assert len(got) > 0, "threshold produced no alerts — vacuous"

@@ -123,6 +123,57 @@ def ts_windows(events: DataFrame) -> DataFrame:
     )
 
 
+def ts_probes(events: DataFrame) -> DataFrame:
+    """The probe set: the FIRST full z-normalizable window of each user
+    with user_id < N_TS_PROBES — (probe_user, probe_seq, pw, pmu, psd).
+    The filter applies BEFORE the window build so the frame sort runs
+    on the probe users' rows only (the partition-keyed window commutes
+    with a partition-key filter — the quantize-probe lesson)."""
+    pw = Window.partitionBy("user_id").orderBy("seq")
+    return (
+        ts_windows(events.where(F.col("user_id") < N_TS_PROBES))
+        .withColumn("rn", F.row_number().over(pw))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("user_id").alias("probe_user"),
+            F.col("seq").alias("probe_seq"),
+            F.col("w").alias("pw"),
+            F.col("mu").alias("pmu"),
+            F.col("sd").alias("psd"),
+        )
+    )
+
+
+
+
+def ts_candidate_distances(cand: DataFrame, probes: DataFrame) -> DataFrame:
+    """Raw z-normalized squared distances of every candidate window to
+    every probe (self-user excluded) — the pre-rank stage shared by the
+    batch query and the streaming alert twin's batch image. Probes are
+    BROADCAST; scoring is one map-side pass over the window stream."""
+
+    def znd(x: Column, y: Column) -> Column:
+        e = (x - F.col("pmu")) / F.col("psd") - (y - F.col("mu")) / F.col("sd")
+        return e * e
+
+    dist2 = F.aggregate(
+        F.zip_with(F.col("pw"), F.col("w"), znd),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        F.broadcast(probes)
+        .crossJoin(cand)
+        .where(F.col("user_id") != F.col("probe_user"))
+        .select(
+            "probe_user",
+            F.col("user_id").alias("match_user"),
+            F.col("seq").alias("match_seq"),
+            dist2.alias("dist2"),
+        )
+    )
+
+
 @register("ts_subsequence_match", oracle=TS_SUBSEQ_SQL)
 def ts_subsequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-K z-normalized subsequence matches for each probe window
@@ -140,43 +191,9 @@ def ts_subsequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly like the ANN family's LSH/IVF variants."""
     ev = table(spark, sf_dir, "events")
     cand = ts_windows(ev)
-    # probe branch: filter BEFORE the window build so the frame sort
-    # runs on the probe users' rows only (the partition-keyed window
-    # commutes with a partition-key filter — the quantize-probe lesson)
-    pw = Window.partitionBy("user_id").orderBy("seq")
-    probes = (
-        ts_windows(ev.where(F.col("user_id") < N_TS_PROBES))
-        .withColumn("rn", F.row_number().over(pw))
-        .where(F.col("rn") == 1)
-        .select(
-            F.col("user_id").alias("probe_user"),
-            F.col("seq").alias("probe_seq"),
-            F.col("w").alias("pw"),
-            F.col("mu").alias("pmu"),
-            F.col("sd").alias("psd"),
-        )
-    )
+    probes = ts_probes(ev)
 
-    def znd(x: Column, y: Column) -> Column:
-        e = (x - F.col("pmu")) / F.col("psd") - (y - F.col("mu")) / F.col("sd")
-        return e * e
-
-    dist2 = F.aggregate(
-        F.zip_with(F.col("pw"), F.col("w"), znd),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    d = (
-        F.broadcast(probes)
-        .crossJoin(cand)
-        .where(F.col("user_id") != F.col("probe_user"))
-        .select(
-            "probe_user",
-            F.col("user_id").alias("match_user"),
-            F.col("seq").alias("match_seq"),
-            dist2.alias("dist2"),
-        )
-    )
+    d = ts_candidate_distances(cand, probes)
     rw = Window.partitionBy("probe_user").orderBy(
         F.asc("dist2"), "match_user", "match_seq"
     )

@@ -1078,3 +1078,109 @@ def sequence_pack_stream(docs: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ----------------------------- time-series pattern alerts (r8) -------
+
+#: alert when a window's z-normalized squared distance to any probe is
+#: at or under this (calibrated on the corpus: top matches land 5-12,
+#: uncorrelated windows ≈ 2·W = 32)
+TS_ALERT_MAX_DIST2 = 12.0
+
+_TS_RING_ENTRY = StructType(
+    [StructField("seq", LongType()), StructField("cents", LongType())]
+)
+_TS_STATE = StructType([StructField("ring", ArrayType(_TS_RING_ENTRY))])
+_TS_OUT = StructType(
+    [
+        StructField("probe_user", LongType()),
+        StructField("match_user", LongType()),
+        StructField("match_seq", LongType()),
+        StructField("dist2", DoubleType()),
+    ]
+)
+
+
+def ts_pattern_alert_fn(probes, max_dist2: float = TS_ALERT_MAX_DIST2):
+    """Build the keyed state function for streaming pattern alerts.
+    ``probes`` is the driver-held probe model: a list of
+    (probe_user, pmu, psd, pw_list) tuples (the ``ts_probes`` rows,
+    collected once — the broadcast-model pattern of the LM scorer).
+
+    State is a ring of the last TS_WINDOW (seq, cents) pairs per user
+    — the ListState evictor pattern (SURVEY §2A). Each arriving event
+    completes at most one new window; full windows are scored against
+    every probe with EXACTLY the batch arithmetic (exact int sums,
+    fixed-order double mean/sd, left-fold distance, Decimal
+    ROUND_HALF_UP like F.round) and windows at or under ``max_dist2``
+    emit an alert row."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from trisk_spark.functions.timeseries import TS_WINDOW
+
+    six = Decimal("0.000001")
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        ring: list = (
+            [tuple(r) for r in (state.get[0] or [])] if state.exists else []
+        )
+        batch = pd.concat(list(pdfs))
+        batch = batch[batch["value"].notna() & batch["event_id"].notna()]
+        batch = batch.sort_values("event_id")
+        out: list[tuple[int, int, int, float]] = []
+        user = key[0]
+        for seq, cents in zip(batch["event_id"], _cents(batch["value"])):
+            ring.append((int(seq), int(cents)))
+            if len(ring) > TS_WINDOW:
+                ring.pop(0)
+            if len(ring) < TS_WINDOW:
+                continue
+            vals = [c for _, c in ring]
+            s = sum(vals)
+            sq = sum(c * c for c in vals)
+            mu = float(s) / TS_WINDOW
+            m2 = float(sq) / TS_WINDOW
+            var = m2 - mu * mu
+            if var <= 0:
+                continue
+            sd = math.sqrt(var)
+            for probe_user, pmu, psd, pw_list in probes:
+                if probe_user == user:
+                    continue
+                acc = 0.0
+                for x, y in zip(pw_list, vals):
+                    e = (x - pmu) / psd - (y - mu) / sd
+                    acc += e * e
+                d6 = float(Decimal(acc).quantize(six, ROUND_HALF_UP))
+                if d6 <= max_dist2:
+                    out.append((int(probe_user), int(user), ring[0][0], d6))
+        state.update(([list(r) for r in ring],))
+        if out:
+            yield pd.DataFrame(
+                out, columns=["probe_user", "match_user", "match_seq", "dist2"]
+            )
+
+    return fn
+
+
+def ts_pattern_alert_stream(
+    events: DataFrame, probes, max_dist2: float = TS_ALERT_MAX_DIST2
+) -> DataFrame:
+    """Streaming z-normalized pattern screen over per-user value
+    streams — the alerting deployment of
+    ``functions/timeseries.ts_subsequence_match``: probe windows are a
+    write-once broadcast model; per-user ListState holds only the last
+    TS_WINDOW (seq, cents) pairs (bounded, evictor-style); every
+    completed window is scored with the exact batch arithmetic and
+    matches under the threshold emit append-only alerts
+    (stream≡batch pytest-pinned)."""
+    return events.where(F.col("user_id").isNotNull()).groupBy(
+        "user_id"
+    ).applyInPandasWithState(
+        ts_pattern_alert_fn(probes, max_dist2),
+        outputStructType=_TS_OUT,
+        stateStructType=_TS_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
