@@ -594,9 +594,40 @@ def test_ts_subsequence_windows_shuffle_once_and_broadcast_probes(spark):
     with no_auto_broadcast(spark):
         plan = static_plan(spark, "ts_subsequence_match")
     assert "SortMergeJoin" not in plan, plan
-    assert "BroadcastNestedLoopJoin" in plan, plan  # 3-row probe cross join
+    # scoring is the driver-held-model Arrow kernel: NO join at all —
+    # the plan's only corpus-keyed exchange feeds the frame-sort window
+    assert "Join" not in plan, plan
     keys = re.findall(r"Arguments: hashpartitioning\((\w+)#", plan)
     assert set(keys) <= {"user_id", "probe_user"}, keys
-    # corpus-keyed exchanges: one for the candidate window build, one
-    # for the pushdown-filtered probe branch (≤ N_TS_PROBES users)
-    assert keys.count("user_id") == 2, keys
+    assert keys.count("user_id") == 1, keys
+
+
+def test_ts_kernel_matches_expression_form(spark):
+    # the numpy scoring kernel must be bit-identical to the JVM
+    # expression form that the streaming twin's batch image uses —
+    # exact raw doubles, not just rounded values
+    from trisk_spark.catalog import table
+    from trisk_spark.functions.timeseries import (
+        _ts_raw_windows,
+        ts_candidate_distances,
+        ts_candidate_distances_gemm,
+        ts_probes,
+        ts_windows,
+    )
+
+    ev = table(spark, SF_DIR, "events")
+    probe_rows = [
+        (r.probe_user, r.pmu, r.psd, list(r.pw))
+        for r in ts_probes(ev).collect()
+    ]
+    kern = {
+        (r.probe_user, r.match_user, r.match_seq): r.dist2
+        for r in ts_candidate_distances_gemm(
+            spark, _ts_raw_windows(ev), probe_rows
+        ).collect()
+    }
+    expr = {
+        (r.probe_user, r.match_user, r.match_seq): r.dist2
+        for r in ts_candidate_distances(ts_windows(ev), ts_probes(ev)).collect()
+    }
+    assert kern == expr and len(kern) > 0

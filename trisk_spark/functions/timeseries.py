@@ -85,10 +85,10 @@ def _fold_sum(col: Column) -> Column:
     return F.aggregate(col, F.lit(0).cast("bigint"), lambda acc, v: acc + v)
 
 
-def ts_windows(events: DataFrame) -> DataFrame:
-    """Full z-normalizable sliding windows per user: (user_id, seq, w,
-    mu, sd) — one shuffle on user_id, a spillable frame sort, exact
-    integer sums, and the shared variance guard."""
+def _ts_raw_windows(events: DataFrame) -> DataFrame:
+    """Full sliding windows per user, stats not yet attached:
+    (user_id, seq, w) — one shuffle on user_id + a spillable frame
+    sort."""
     e = events.where(
         F.col("user_id").isNotNull()
         & F.col("event_id").isNotNull()
@@ -103,9 +103,17 @@ def ts_windows(events: DataFrame) -> DataFrame:
         .orderBy("seq")
         .rowsBetween(Window.currentRow, TS_WINDOW - 1)
     )
-    win = e.select(
+    return e.select(
         "user_id", "seq", F.collect_list("cents").over(fr).alias("w")
     ).where(F.size("w") == TS_WINDOW)
+
+
+def ts_windows(events: DataFrame) -> DataFrame:
+    """Full z-normalizable sliding windows per user: (user_id, seq, w,
+    mu, sd) — ``_ts_raw_windows`` plus exact integer sums and the
+    shared variance guard (JVM expression form; the registered query's
+    hot path computes the same stats inside the scoring kernel)."""
+    win = _ts_raw_windows(events)
     m = win.select(
         "user_id", "seq", "w",
         (_fold_sum(F.col("w")).cast("double") / TS_WINDOW).alias("mu"),
@@ -174,6 +182,88 @@ def ts_candidate_distances(cand: DataFrame, probes: DataFrame) -> DataFrame:
     )
 
 
+def ts_candidate_distances_gemm(
+    spark: SparkSession, raw_win: DataFrame, probe_rows
+) -> DataFrame:
+    """Arrow numpy image of stats + ``ts_candidate_distances`` in ONE
+    pass — the kernel treatment for the interpreted fold chain (the
+    window stats and 16-element distance folds are Catalyst-interpreted
+    HOFs; PERF_NOTES r8). ``probe_rows`` is the driver-held probe model
+    (probe_user, pmu, psd, pw list). Bit-exact with the expression
+    form (pytest-pinned): int64 axis sums are exact, mu/m2 are the
+    same single divisions, and the distance accumulates
+    dimension-by-dimension in index order — the exact left-fold
+    rounding sequence of the JVM aggregate and the oracle's
+    list_reduce."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    model = spark.sparkContext.broadcast(
+        [
+            (int(pu), float(pmu), float(psd), np.array(pw, dtype=np.int64))
+            for pu, pmu, psd, pw in probe_rows
+        ]
+    )
+    out_schema = StructType(
+        [
+            StructField("probe_user", LongType()),
+            StructField("match_user", LongType()),
+            StructField("match_seq", LongType()),
+            StructField("dist2", DoubleType()),
+        ]
+    )
+
+    def kern(batches):
+        probes = model.value
+        for pdf in batches:
+            if len(pdf) == 0 or not probes:
+                continue
+            W = np.array(list(pdf["w"]), dtype=np.int64)
+            users = pdf["user_id"].to_numpy()
+            seqs = pdf["seq"].to_numpy()
+            s = W.sum(axis=1)
+            sq = (W * W).sum(axis=1)
+            mu = s.astype(np.float64) / TS_WINDOW
+            m2 = sq.astype(np.float64) / TS_WINDOW
+            var = m2 - mu * mu
+            keep = var > 0
+            if not keep.any():
+                continue
+            X = W[keep].astype(np.float64)
+            mu, sd = mu[keep], np.sqrt(var[keep])
+            users, seqs = users[keep], seqs[keep]
+            frames = []
+            for pu, pmu, psd, pw in probes:
+                nonself = users != pu
+                if not nonself.any():
+                    continue
+                acc = np.zeros(X.shape[0])
+                for d in range(TS_WINDOW):  # left-fold over dims
+                    e = (pw[d] - pmu) / psd - (X[:, d] - mu) / sd
+                    acc += e * e
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "probe_user": np.full(int(nonself.sum()), pu,
+                                                  dtype=np.int64),
+                            "match_user": users[nonself],
+                            "match_seq": seqs[nonself],
+                            "dist2": acc[nonself],
+                        }
+                    )
+                )
+            if frames:
+                yield pd.concat(frames)
+
+    return raw_win.mapInPandas(kern, out_schema)
+
+
 @register("ts_subsequence_match", oracle=TS_SUBSEQ_SQL)
 def ts_subsequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-K z-normalized subsequence matches for each probe window
@@ -183,17 +273,22 @@ def ts_subsequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: window construction is ONE shuffle on user_id with a
     spillable frame sort (the probe branch re-derives its ≤N_TS_PROBES
-    users' windows from a pushdown-filtered scan); the 3-row probe set
-    is BROADCAST and candidate scoring is a single map-side pass over
-    the window stream; the only other shuffle is the per-probe rank of
-    candidate-sized rows. Brute-force over windows is the labeled
-    baseline — at scale the candidate set is cut by PAA/SAX bucketing
-    exactly like the ANN family's LSH/IVF variants."""
+    users' windows from a pushdown-filtered scan); the probe set is a
+    DRIVER-HELD model (≤N_TS_PROBES rows, the knn/centroid collect
+    class) and window stats + candidate scoring run as ONE Arrow numpy
+    pass over the window stream (``ts_candidate_distances_gemm`` —
+    bit-exact with the expression form, which the streaming twin's
+    batch image keeps and a pytest cross-checks); the only other
+    shuffle is the per-probe rank of candidate-sized rows. Brute-force
+    over windows is the labeled baseline — at scale the candidate set
+    is cut by PAA/SAX bucketing exactly like the ANN family's LSH/IVF
+    variants."""
     ev = table(spark, sf_dir, "events")
-    cand = ts_windows(ev)
-    probes = ts_probes(ev)
-
-    d = ts_candidate_distances(cand, probes)
+    probe_rows = [
+        (r.probe_user, r.pmu, r.psd, list(r.pw))
+        for r in ts_probes(ev).collect()
+    ]
+    d = ts_candidate_distances_gemm(spark, _ts_raw_windows(ev), probe_rows)
     rw = Window.partitionBy("probe_user").orderBy(
         F.asc("dist2"), "match_user", "match_seq"
     )
