@@ -68,6 +68,7 @@ HEADLINE = [
     "ann_ivf_int8",
     "source_mix_sample",
     "ts_subsequence_match",
+    "ts_subsequence_sax",
 ]
 
 

@@ -191,3 +191,34 @@ def test_ivf_store_probe_scan_is_partition_pruned(spark, tmp_path):
     assert n_probed < n_lists_written, (
         "pruning is vacuous: the probe reads every written list"
     )
+
+
+def test_ts_sax_recall_and_bucketed_plan(spark):
+    # the SAX variant must (a) find a meaningful share of the brute
+    # top-5 while scoring only same-word windows, and (b) plan the
+    # probe-candidate meet as an EQUI-join on the word, never a cross
+    # join
+    from trisk_spark.registry import load_all
+
+    from .test_plans import no_auto_broadcast, static_plan
+
+    reg = load_all()
+
+    def topk(name):
+        out: dict[int, set] = {}
+        for r in reg[name].fn(spark, SF_DIR).collect():
+            out.setdefault(r.probe_user, set()).add((r.match_user, r.match_seq))
+        return out
+
+    exact = topk("ts_subsequence_match")
+    sax = topk("ts_subsequence_sax")
+    hits = sum(len(sax.get(q, set()) & nb) for q, nb in exact.items())
+    recall = hits / sum(len(nb) for nb in exact.values())
+    assert recall >= 0.25, recall  # bucket pruning trades recall for ~256x
+    assert sax, "no SAX matches at all — vacuous buckets"
+
+    with no_auto_broadcast(spark):
+        plan = static_plan(spark, "ts_subsequence_sax")
+    assert "BroadcastNestedLoopJoin" not in plan, plan  # no cross join
+    assert "BroadcastHashJoin" in plan, plan            # word equi-join
+    assert "SortMergeJoin" not in plan, plan

@@ -300,3 +300,171 @@ def ts_subsequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("dist2", 6).alias("dist2"), "rank",
         )
     )
+
+
+# ------------------------------ SAX-bucketed subsequence search ------
+
+# The scale path for ts_subsequence_match, exactly the ANN family's
+# LSH/IVF pattern: windows are reduced to a SAX word (PAA segment means
+# z-normalized and quantized against the standard gaussian quartile
+# breakpoints ±0.6745), probes compare ONLY against windows sharing
+# their word — an equi-join over ~ALPHABET^SEGMENTS buckets instead of
+# a cross join — and survivors are re-ranked with the exact distance.
+# Every step is deterministic cross-engine: segment sums are exact
+# BIGINTs, the z-normalized PAA values are fixed-order double ops, and
+# symbol assignment is double comparisons against literal breakpoints.
+
+SAX_SEGMENTS = 4                       # PAA segments per window
+SAX_SEG_LEN = TS_WINDOW // SAX_SEGMENTS
+SAX_BREAKS = (-0.6745, 0.0, 0.6745)    # alphabet of 4, gaussian quartiles
+
+_SAX_WORD_SQL = " + ".join(
+    f"""(CASE
+    WHEN (CAST(list_sum(list_slice(w, {s * SAX_SEG_LEN + 1},
+                {(s + 1) * SAX_SEG_LEN})) AS DOUBLE) / {SAX_SEG_LEN} - mu) / sd
+         < {SAX_BREAKS[0]} THEN 0
+    WHEN (CAST(list_sum(list_slice(w, {s * SAX_SEG_LEN + 1},
+                {(s + 1) * SAX_SEG_LEN})) AS DOUBLE) / {SAX_SEG_LEN} - mu) / sd
+         < {SAX_BREAKS[1]} THEN 1
+    WHEN (CAST(list_sum(list_slice(w, {s * SAX_SEG_LEN + 1},
+                {(s + 1) * SAX_SEG_LEN})) AS DOUBLE) / {SAX_SEG_LEN} - mu) / sd
+         < {SAX_BREAKS[2]} THEN 2
+    ELSE 3 END) * {4 ** (SAX_SEGMENTS - 1 - s)}"""
+    for s in range(SAX_SEGMENTS)
+)
+
+TS_SAX_SQL = f"""
+WITH e AS (
+  SELECT user_id, event_id AS seq, CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events
+  WHERE user_id IS NOT NULL AND event_id IS NOT NULL AND value IS NOT NULL
+),
+win AS (
+  SELECT user_id, seq,
+    list(cents) OVER (PARTITION BY user_id ORDER BY seq
+                      ROWS BETWEEN CURRENT ROW AND {TS_WINDOW - 1} FOLLOWING)
+      AS w
+  FROM e
+),
+m AS (
+  SELECT user_id, seq, w,
+    CAST(list_sum(w) AS DOUBLE) / {TS_WINDOW} AS mu,
+    CAST(list_sum(list_transform(w, x -> x * x)) AS DOUBLE) / {TS_WINDOW} AS m2
+  FROM win WHERE len(w) = {TS_WINDOW}
+),
+nz AS (
+  SELECT user_id, seq, w, mu, SQRT(m2 - mu * mu) AS sd
+  FROM m WHERE m2 - mu * mu > 0
+),
+sx AS (SELECT *, {_SAX_WORD_SQL} AS word FROM nz),
+p AS (
+  SELECT user_id AS probe_user, seq AS probe_seq, w AS pw, mu AS pmu,
+         sd AS psd, word AS pword
+  FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY seq) AS rn
+        FROM sx WHERE user_id < {N_TS_PROBES})
+  WHERE rn = 1
+),
+d AS (
+  SELECT p.probe_user, n.user_id AS match_user, n.seq AS match_seq,
+    list_reduce(list_transform(list_zip(pw, n.w),
+      s -> (((s[1] - pmu) / psd) - ((s[2] - n.mu) / n.sd))
+         * (((s[1] - pmu) / psd) - ((s[2] - n.mu) / n.sd))),
+      (acc, x) -> acc + x) AS dist2
+  FROM p JOIN sx n ON p.pword = n.word
+  WHERE n.user_id <> p.probe_user
+)
+SELECT probe_user, match_user, match_seq,
+  CAST(ROUND(dist2, 6) AS DOUBLE) AS dist2, CAST(rank AS INT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY probe_user
+        ORDER BY dist2 ASC, match_user, match_seq) AS rank FROM d)
+WHERE rank <= {TOP_TS_K}
+"""
+
+
+def sax_word_col() -> Column:
+    """The window's SAX word as one integer — base-ALPHABET digits of
+    the z-normalized PAA symbols, mirroring ``_SAX_WORD_SQL`` exactly
+    (same segment sums, same division order, same breakpoint
+    comparisons)."""
+    word = F.lit(0)
+    for s in range(SAX_SEGMENTS):
+        seg = F.slice(F.col("w"), s * SAX_SEG_LEN + 1, SAX_SEG_LEN)
+        paa = (
+            F.aggregate(seg, F.lit(0).cast("bigint"), lambda a, v: a + v)
+            .cast("double")
+            / SAX_SEG_LEN
+        )
+        z = (paa - F.col("mu")) / F.col("sd")
+        sym = (
+            F.when(z < SAX_BREAKS[0], 0)
+            .when(z < SAX_BREAKS[1], 1)
+            .when(z < SAX_BREAKS[2], 2)
+            .otherwise(3)
+        )
+        word = word + sym * (4 ** (SAX_SEGMENTS - 1 - s))
+    return word
+
+
+@register("ts_subsequence_sax", oracle=TS_SAX_SQL)
+def ts_subsequence_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX-bucketed subsequence search — ``ts_subsequence_match``'s
+    scale path made real (the ann_lsh_bucketed analog): each window
+    reduces to a 4-symbol SAX word and probes score ONLY same-word
+    windows, cutting the candidate set by ~the bucket count
+    (4^4 = 256 words) before the exact re-rank; recall vs the brute
+    baseline is pytest-pinned.
+
+    Plan: the same single user_id shuffle builds windows; the SAX word
+    is a map-side expression; the ≤N_TS_PROBES probe rows BROADCAST
+    into an equi-join on word (never a cross join), and the rank is
+    candidate-sized. At 100 TB the word becomes a partition column of
+    the stored window index — probes then read only their word's
+    partition, the ivf_store pattern."""
+    ev = table(spark, sf_dir, "events")
+    sx = ts_windows(ev).withColumn("word", sax_word_col())
+    pw = Window.partitionBy("user_id").orderBy("seq")
+    probes = (
+        ts_windows(ev.where(F.col("user_id") < N_TS_PROBES))
+        .withColumn("word", sax_word_col())
+        .withColumn("rn", F.row_number().over(pw))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("user_id").alias("probe_user"),
+            F.col("w").alias("pw"),
+            F.col("mu").alias("pmu"),
+            F.col("sd").alias("psd"),
+            F.col("word").alias("pword"),
+        )
+    )
+
+    def znd(x: Column, y: Column) -> Column:
+        e = (x - F.col("pmu")) / F.col("psd") - (y - F.col("mu")) / F.col("sd")
+        return e * e
+
+    dist2 = F.aggregate(
+        F.zip_with(F.col("pw"), F.col("w"), znd),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    d = (
+        F.broadcast(probes)
+        .join(sx, F.col("pword") == F.col("word"))
+        .where(F.col("user_id") != F.col("probe_user"))
+        .select(
+            "probe_user",
+            F.col("user_id").alias("match_user"),
+            F.col("seq").alias("match_seq"),
+            dist2.alias("dist2"),
+        )
+    )
+    rw = Window.partitionBy("probe_user").orderBy(
+        F.asc("dist2"), "match_user", "match_seq"
+    )
+    return (
+        d.withColumn("rank", F.row_number().over(rw))
+        .where(F.col("rank") <= TOP_TS_K)
+        .select(
+            "probe_user", "match_user", "match_seq",
+            F.round("dist2", 6).alias("dist2"), "rank",
+        )
+    )

@@ -116,10 +116,12 @@ DEPRIORITIZED = [
     "train_split",             # md5-bucket split: split_rollup (in, same kernel)
     "source_cap_sample",       # md5-order rank cap: split_rollup (in, md5-deterministic sampling family)
     "media_decode_resize",     # NO_ORACLE_SITTER_WITNESS: media_decode_checksum (in)
-    # two more r7-green sitters so the r8-new source_mix_sample and
-    # ts_subsequence_match get driver rows (window stays 50):
+    # three more r7-green sitters so the r8-new source_mix_sample,
+    # ts_subsequence_match, and ts_subsequence_sax get driver rows
+    # (window stays 50):
     "cogroup_apply",           # two-input Arrow batch: wordcount_two_input (in) + oracle pytest
     "knn_bruteforce",          # exact-cosine kernel: knn_label_vote (in) EMBEDS its full pipeline+oracle; cosine_near_dup_exact (in, same kernel)
+    "dedup_clusters",          # iterate() row: ivf_refine_iters (in, same driver-loop localCheckpoint iteration); dedup_minhash_lsh (in) generates its input pairs; label-prop pytest
 ]
 
 # A no-oracle query may sit out ONLY with a named in-window witness
