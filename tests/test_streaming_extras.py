@@ -1620,3 +1620,50 @@ def test_ts_pattern_alert_stream_equals_batch(spark):
     }
     assert got == want
     assert len(got) > 0, "threshold produced no alerts — vacuous"
+
+
+def test_minhash_flag_stream_equals_batch(spark):
+    """Streaming ingest-dedup flag: the flagged-doc set must equal the
+    batch image (docs sharing any LSH band bucket with a different
+    doc), and the in-row signature kernel must equal the batch
+    explode+grouped-MIN signatures exactly."""
+    from trisk_spark.functions.dedup import (
+        minhash_bands,
+        minhash_signatures,
+        minhash_signatures_inrow,
+    )
+    from trisk_spark.streaming.queries import minhash_flag_stream
+
+    docs = table(spark, SF, "documents").where(F.col("doc_id").isNotNull())
+    # signature-form equivalence: array_min in-row ≡ exploded MIN
+    inrow = {tuple(r) for r in minhash_signatures_inrow(docs).collect()}
+    grouped = {tuple(r) for r in minhash_signatures(docs).collect()}
+    assert inrow == grouped and inrow
+
+    stream = replay_stream(spark, SF, "documents", n_chunks=4, order_col="doc_id")
+    emitted = []
+    q = (
+        minhash_flag_stream(stream, spark, SF)
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda bdf, bid: emitted.extend(bdf.collect()))
+        .option("checkpointLocation", checkpoint_dir("mhflag"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(r.doc_id for r in emitted)
+    assert len(got) == len(set(got)), "a doc flagged twice"
+
+    bands = minhash_bands(minhash_signatures_inrow(docs))
+    ref = bands.select(
+        F.col("doc_id").alias("ref_doc"), "band_idx", "bh"
+    )
+    want = sorted(
+        r.doc_id
+        for r in bands.join(ref, ["band_idx", "bh"])
+        .where(F.col("doc_id") != F.col("ref_doc"))
+        .select("doc_id")
+        .distinct()
+        .collect()
+    )
+    assert got == want and len(got) > 0

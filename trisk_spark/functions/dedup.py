@@ -965,3 +965,75 @@ def substring_pairs(docs: DataFrame, cap: int = BUCKET_CAP) -> DataFrame:
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_shared_fps"))
     )
+
+
+# --------------------------- in-row signatures / streaming flag ------
+
+
+def minhash_signatures_inrow(docs: DataFrame) -> DataFrame:
+    """MinHash signatures computed ENTIRELY in-row — zero shuffle: the
+    shingle array never explodes; each h_i is array_min over the
+    permuted shingles. Value-identical to ``minhash_signatures``'s
+    explode + grouped MIN (pytest-pinned: MIN over the exploded
+    multiset ≡ array_min over the array), but shuffle-free, so the
+    SAME expressions run under Structured Streaming — the signature
+    kernel of ``minhash_flag_stream``. Docs with no shingles (< K
+    words) carry no signature and are absent, like the grouped form."""
+    ws = F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
+    whs = F.transform(
+        ws,
+        lambda w: F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("bigint")
+        % MERSENNE,
+    )
+    base = docs.select("doc_id", whs.alias("whs"))
+    wcol = F.col("whs")
+
+    def poly(i: Column) -> Column:
+        acc = F.element_at(wcol, i)
+        for k in range(1, SHINGLE_K):
+            acc = (acc * SHINGLE_C + F.element_at(wcol, i + k)) % MERSENNE
+        return acc
+
+    sh = F.when(
+        F.size(wcol) >= SHINGLE_K,
+        F.transform(F.sequence(F.lit(1), F.size(wcol) - (SHINGLE_K - 1)), poly),
+    ).otherwise(F.array().cast("array<bigint>"))
+    sig = base.select("doc_id", sh.alias("sh")).where(F.size("sh") > 0)
+
+    def perm(i: int):
+        # one-arg closure: a two-arg lambda would make F.transform pass
+        # the element INDEX as the second argument, shadowing i
+        return lambda s: (PERM_A[i] * s + PERM_B[i]) % MERSENNE
+
+    return sig.select(
+        "doc_id",
+        *[
+            F.array_min(F.transform("sh", perm(i))).alias(f"h{i}")
+            for i in range(N_PERMS)
+        ],
+    )
+
+
+def minhash_bands(sig: DataFrame) -> DataFrame:
+    """(doc_id, band_idx, bh) rows from a signature frame — the shared
+    banding expression of the batch pipeline and the streaming flag."""
+    return sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.concat_ws(
+                            "|",
+                            *[
+                                F.col(f"h{b * ROWS_PER_BAND + r}").cast("string")
+                                for r in range(ROWS_PER_BAND)
+                            ],
+                        ).alias("bh"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_idx", "band.bh")

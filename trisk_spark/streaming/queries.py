@@ -504,3 +504,45 @@ def source_mix_stream(docs: DataFrame, spark, ref_sf_dir: str) -> DataFrame:
         .where(mix_keep_col(F.col("rate")))
         .select("doc_id", "source", F.round("rate", 6).alias("rate"))
     )
+
+
+def minhash_flag_stream(docs: DataFrame, spark, ref_sf_dir: str) -> DataFrame:
+    """Streaming ingest-dedup flag — "is this arriving document a
+    near-duplicate of anything already in the corpus?": the existing
+    corpus's LSH band index is built ONCE batch-side (the write-once
+    index asset; at 100 TB a bucketed table, here a static frame) and
+    each arriving document computes its MinHash signature ENTIRELY
+    in-row (``minhash_signatures_inrow`` — zero shuffle, so the exact
+    batch expressions run under Structured Streaming), bands it, and
+    meets the index in a stream-static equi-join on (band_idx, bh).
+    Any shared band with a DIFFERENT ref document flags the doc;
+    ``dropDuplicates`` on doc_id emits each flag once (the only state:
+    one doc_id per flagged doc). Append mode. Stream≡batch
+    pytest-pinned against the uncapped bucket-membership image."""
+    from trisk_spark.catalog import table
+    from trisk_spark.functions.dedup import (
+        minhash_bands,
+        minhash_signatures_inrow,
+    )
+
+    ref_docs = table(spark, ref_sf_dir, "documents").where(
+        F.col("doc_id").isNotNull()
+    )
+    # persist the index: a stream-static join re-evaluates the static
+    # side EVERY micro-batch — unpersisted, the whole corpus signature
+    # pipeline would rerun per trigger (measured 4× slower on a 4-chunk
+    # replay). In deployment this frame is the pre-built bucketed band
+    # table; persist() is its in-session stand-in.
+    ref_bands = (
+        minhash_bands(minhash_signatures_inrow(ref_docs))
+        .select(F.col("doc_id").alias("ref_doc"), "band_idx", "bh")
+        .persist()
+    )
+    d = docs.where(F.col("doc_id").isNotNull())
+    bands = minhash_bands(minhash_signatures_inrow(d))
+    return (
+        bands.join(ref_bands, ["band_idx", "bh"])
+        .where(F.col("doc_id") != F.col("ref_doc"))
+        .select("doc_id")
+        .dropDuplicates(["doc_id"])
+    )
