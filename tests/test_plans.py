@@ -631,3 +631,26 @@ def test_ts_kernel_matches_expression_form(spark):
         for r in ts_candidate_distances(ts_windows(ev), ts_probes(ev)).collect()
     }
     assert kern == expr and len(kern) > 0
+
+
+def test_ts_sax_kernel_matches_expression_form(spark):
+    # the SAX stats+word kernel must be bit-identical to the JVM
+    # expression form on every column (raw doubles included)
+    from trisk_spark.catalog import table
+    from trisk_spark.functions.timeseries import (
+        _ts_raw_windows,
+        sax_word_col,
+        ts_sax_windows_gemm,
+        ts_windows,
+    )
+
+    ev = table(spark, SF_DIR, "events")
+    kern = {
+        (r.user_id, r.seq): (tuple(r.w), r.mu, r.sd, r.word)
+        for r in ts_sax_windows_gemm(spark, _ts_raw_windows(ev)).collect()
+    }
+    expr = {
+        (r.user_id, r.seq): (tuple(r.w), r.mu, r.sd, r.word)
+        for r in ts_windows(ev).withColumn("word", sax_word_col()).collect()
+    }
+    assert kern == expr and len(kern) > 0

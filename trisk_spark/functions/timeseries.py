@@ -405,6 +405,91 @@ def sax_word_col() -> Column:
     return word
 
 
+def ts_sax_windows_gemm(
+    spark: SparkSession, raw_win: DataFrame, keep_words=None
+) -> DataFrame:
+    """Arrow numpy image of ``ts_windows`` + ``sax_word_col`` in ONE
+    pass — (user_id, seq, w, mu, sd, word). Bit-exact with the
+    expression form (pytest-pinned): int64 axis/segment sums are
+    exact, mean/variance are the same single divisions, and symbol
+    assignment is the same double comparisons against the literal
+    breakpoints.
+
+    ``keep_words`` (a set of word ids) makes the kernel emit ONLY
+    windows in those buckets — the in-kernel image of the store's
+    word-partition pruning. Without it, serializing every window's
+    ``w`` array back through Arrow costs more than the stats saved
+    (measured: 2.5 s for 100k windows at sf0.1, PERF_NOTES r8); with
+    the probe buckets it emits ~corpus/words rows."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("seq", LongType()),
+            StructField("w", ArrayType(LongType())),
+            StructField("mu", DoubleType()),
+            StructField("sd", DoubleType()),
+            StructField("word", LongType()),
+        ]
+    )
+
+    def kern(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            W = np.array(list(pdf["w"]), dtype=np.int64)
+            s = W.sum(axis=1)
+            sq = (W * W).sum(axis=1)
+            mu = s.astype(np.float64) / TS_WINDOW
+            m2 = sq.astype(np.float64) / TS_WINDOW
+            var = m2 - mu * mu
+            keep = var > 0
+            if not keep.any():
+                continue
+            W, mu = W[keep], mu[keep]
+            sd = np.sqrt(var[keep])
+            word = np.zeros(W.shape[0], dtype=np.int64)
+            for seg in range(SAX_SEGMENTS):
+                segsum = W[:, seg * SAX_SEG_LEN : (seg + 1) * SAX_SEG_LEN].sum(
+                    axis=1
+                )
+                z = (segsum.astype(np.float64) / SAX_SEG_LEN - mu) / sd
+                sym = np.full(z.shape, 3, dtype=np.int64)
+                sym[z < SAX_BREAKS[2]] = 2
+                sym[z < SAX_BREAKS[1]] = 1
+                sym[z < SAX_BREAKS[0]] = 0
+                word += sym * (4 ** (SAX_SEGMENTS - 1 - seg))
+            users = pdf["user_id"].to_numpy()[keep]
+            seqs = pdf["seq"].to_numpy()[keep]
+            if keep_words is not None:
+                bucket = np.isin(word, list(keep_words))
+                if not bucket.any():
+                    continue
+                W, mu, sd, word = W[bucket], mu[bucket], sd[bucket], word[bucket]
+                users, seqs = users[bucket], seqs[bucket]
+            yield pd.DataFrame(
+                {
+                    "user_id": users,
+                    "seq": seqs,
+                    "w": list(W),
+                    "mu": mu,
+                    "sd": sd,
+                    "word": word,
+                }
+            )
+
+    return raw_win.mapInPandas(kern, out_schema)
+
+
 @register("ts_subsequence_sax", oracle=TS_SAX_SQL)
 def ts_subsequence_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SAX-bucketed subsequence search — ``ts_subsequence_match``'s
@@ -414,16 +499,20 @@ def ts_subsequence_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
     (4^4 = 256 words) before the exact re-rank; recall vs the brute
     baseline is pytest-pinned.
 
-    Plan: the same single user_id shuffle builds windows; the SAX word
-    is a map-side expression; the ≤N_TS_PROBES probe rows BROADCAST
-    into an equi-join on word (never a cross join), and the rank is
-    candidate-sized. At 100 TB the word becomes a partition column of
-    the stored window index — probes then read only their word's
-    partition, the ivf_store pattern."""
+    Plan: the same single user_id shuffle builds windows; stats + SAX
+    word run as ONE Arrow numpy pass (``ts_sax_windows_gemm`` —
+    bit-exact with the expression form, pytest-pinned); the
+    ≤N_TS_PROBES probe rows BROADCAST into an equi-join on word (never
+    a cross join), and the rank is candidate-sized. At 100 TB the word
+    becomes a partition column of the stored window index — probes
+    then read only their word's partition, the ivf_store pattern."""
     ev = table(spark, sf_dir, "events")
-    sx = ts_windows(ev).withColumn("word", sax_word_col())
+    # probe rows are the driver-held model (≤N_TS_PROBES, the
+    # knn/centroid collect class): collected ONCE, their words steer
+    # the kernel's bucket mask, and the same rows re-enter the plan as
+    # a local relation for the equi-join
     pw = Window.partitionBy("user_id").orderBy("seq")
-    probes = (
+    probe_rows = (
         ts_windows(ev.where(F.col("user_id") < N_TS_PROBES))
         .withColumn("word", sax_word_col())
         .withColumn("rn", F.row_number().over(pw))
@@ -435,6 +524,18 @@ def ts_subsequence_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sd").alias("psd"),
             F.col("word").alias("pword"),
         )
+        .collect()
+    )
+    probes = spark.createDataFrame(
+        [
+            (int(r.probe_user), [int(x) for x in r.pw], float(r.pmu),
+             float(r.psd), int(r.pword))
+            for r in probe_rows
+        ],
+        "probe_user long, pw array<long>, pmu double, psd double, pword long",
+    )
+    sx = ts_sax_windows_gemm(
+        spark, _ts_raw_windows(ev), {int(r.pword) for r in probe_rows}
     )
 
     def znd(x: Column, y: Column) -> Column:
