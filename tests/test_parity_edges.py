@@ -212,7 +212,7 @@ _TEXT_FAMILY = [
     "dedup_clusters", "sequence_pack", "length_percentiles",
     "doc_chunk", "source_cap_sample", "curation_manifest",
     "bpe_token_estimate", "bigram_lm_score", "media_decode_checksum",
-    "keyword_extract",
+    "keyword_extract", "source_mix_sample",
 ]
 
 
