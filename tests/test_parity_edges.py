@@ -308,7 +308,7 @@ _EVENTS_FAMILY = [
     "time_evictor_window", "delta_trigger", "delta_evictor_window",
     "continuous_trigger", "purging_trigger", "async_enrich",
     "fraud_alerts", "q3_emit_once_join", "keyed_running_reduce",
-    "all_window_agg", "ts_subsequence_match",
+    "all_window_agg", "ts_subsequence_match", "ts_subsequence_sax",
 ]
 
 
