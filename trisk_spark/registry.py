@@ -79,8 +79,11 @@ def register(name: str, oracle: str | None = None):
 # media_decode_resize (no-oracle) keeps sitting on its hash-gated
 # checksum witness. Must-stays: embed_quantize_int8 (red in r7 — the
 # representation fix needs its first driver-green row), stock_matchmaker
-# (no oracle, no hash-gated witness → never sits), ann_ivf_int8 (new
-# r8, sole evidence). Sitting out r8 — every one hash-green in r7
+# (no oracle, no hash-gated witness → never sits), and the five r8-new
+# queries (ann_ivf_int8, source_mix_sample, ts_subsequence_match,
+# ts_subsequence_sax: new sole evidence, must be in-window; the fifth
+# new surface, ivf_store, is library+pytest — probe≡ann_ivf_int8
+# pinned). Sitting out r8 — every one hash-green in r7
 # (CORRECTNESS_r07), witness noted:
 DEPRIORITIZED = [
     "nexmark_q1",              # §2B Q1 map: nexmark_q5 (in, bid parse) + props_rollup (scalar fns, in)
@@ -101,7 +104,7 @@ DEPRIORITIZED = [
     "token_count",             # tokenizer: bpe_token_estimate + doc_chunk (in; shared tokenizer)
     "quality_score",           # quality expr: source_quality_rollup (in, composes it)
     "lang_id",                 # lang expr: source_quality_rollup (in, composes it)
-    "doc_fingerprint",         # rolling hash: dedup_substring (in... staying) — winnowed k-gram hashing class
+    "doc_fingerprint",         # rolling hash: dedup_substring (in; winnowed k-gram hashing, same rolling-hash class)
     "dedup_exact",             # hash dedup: curation_manifest (in, composes exact dedup)
     "dedup_bag",               # token-bag dedup: dedup_simhash (in, token-level near-dup)
     "ngram_jaccard",           # shingle similarity: dedup_minhash_lsh (in-window anchor) + ngram_counts (in)
