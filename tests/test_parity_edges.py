@@ -763,3 +763,34 @@ def test_source_mix_sample_moves_toward_uniform_budget(spark, tmp_path):
     assert {s: (r.n_kept, r.tokens_kept) for s, r in out.items()} == {
         s: (r.n_kept, r.tokens_kept) for s, r in again.items()
     }
+
+
+def test_ts_kernel_cents_overflow_guard_fires(spark):
+    # the numpy int64 sum-of-squares in the time-series kernels must
+    # fail LOUDLY past the int64 bound instead of silently wrapping
+    # (ADVICE r8: Spark's ANSI fold throws, DuckDB promotes to
+    # HUGEINT, numpy wraps — a silent three-engine divergence)
+    import numpy as np
+    import pytest as _pytest
+
+    from trisk_spark.functions.timeseries import (
+        TS_WINDOW,
+        _check_cents_bound,
+        ts_candidate_distances_gemm,
+        ts_sax_windows_gemm,
+    )
+
+    big = 10**9  # dim * big^2 = 1.6e19 > 2^63
+    _check_cents_bound(np.array([[1, -5, 7]], dtype=np.int64))  # fine
+    with _pytest.raises(OverflowError, match="bound exceeded"):
+        _check_cents_bound(np.array([[big]], dtype=np.int64))
+
+    raw = spark.createDataFrame(
+        [(1, 0, [big + i for i in range(TS_WINDOW)])],
+        "user_id long, seq long, w array<long>",
+    )
+    with _pytest.raises(Exception, match="bound exceeded"):
+        ts_sax_windows_gemm(spark, raw).collect()
+    probe = [(0, 0.0, 1.0, list(range(TS_WINDOW)))]
+    with _pytest.raises(Exception, match="bound exceeded"):
+        ts_candidate_distances_gemm(spark, raw, probe).collect()

@@ -222,3 +222,57 @@ def test_ts_sax_recall_and_bucketed_plan(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan  # no cross join
     assert "BroadcastHashJoin" in plan, plan            # word equi-join
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_sax_store_probe_equals_direct_query(spark, tmp_path):
+    # the persisted-window-index probe must reproduce the one-plan SAX
+    # query row-for-row: same probe derivation, same bucket candidates
+    # (parquet round-trips the int64 windows and double stats exactly),
+    # same exact-distance scoring and rank
+    from trisk_spark.functions import sax_store
+    from trisk_spark.registry import load_all
+
+    path = str(tmp_path / "sax")
+    sax_store.write_windows(spark, SF_DIR, path)
+    got = sorted(
+        (r.probe_user, r.rank, r.match_user, r.match_seq, r.dist2)
+        for r in sax_store.probe_store(spark, SF_DIR, path).collect()
+    )
+    want = sorted(
+        (r.probe_user, r.rank, r.match_user, r.match_seq, r.dist2)
+        for r in load_all()["ts_subsequence_sax"].fn(spark, SF_DIR).collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_sax_store_probe_scan_is_partition_pruned(spark, tmp_path):
+    # the probe must read ONLY its words' partitions — the structural
+    # 100 TB claim (probes read ~1/256th of the stored windows per
+    # distinct probe word): the windows scan carries a word partition
+    # filter bounded by the probe count, strictly under the written
+    # word count
+    import re
+
+    from trisk_spark.functions import sax_store
+    from trisk_spark.functions.timeseries import N_TS_PROBES
+
+    path = str(tmp_path / "sax")
+    sax_store.write_windows(spark, SF_DIR, path)
+    n_words_written = (
+        spark.read.parquet(f"{path}/windows").select("word").distinct().count()
+    )
+    probe = sax_store.probe_store(spark, SF_DIR, path)
+    plan = probe._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    m = re.search(
+        r"PartitionFilters: \[word#\d+ (?:INSET|IN \(?)([\d, ]+)", plan
+    )
+    assert m, f"windows scan lost its word partition filter:\n{plan}"
+    n_probed = len(m.group(1).split(","))
+    assert n_probed <= N_TS_PROBES
+    assert n_probed < n_words_written, (
+        "pruning is vacuous: the probe reads every written word"
+    )

@@ -1667,3 +1667,68 @@ def test_minhash_flag_stream_equals_batch(spark):
         .collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_stream_model_guards_fire_before_collect(spark):
+    """The broadcast-model ceilings on the two stream builders must
+    fail LOUDLY — and BEFORE .collect() materializes the model into
+    the driver (the guard rides a cheap pre-collect count aggregate,
+    the batch bigram_lm_score pattern). VERDICT r8 #4 + ADVICE r8."""
+    from trisk_spark.streaming.queries import (
+        bigram_lm_stream,
+        keyword_extract_stream,
+    )
+
+    stream = replay_stream(spark, SF, "documents", n_chunks=2, order_col="doc_id")
+    with pytest.raises(ValueError, match="model too large"):
+        bigram_lm_stream(stream, spark, SF, max_model_rows=3)
+    with pytest.raises(ValueError, match="model too large"):
+        keyword_extract_stream(stream, spark, SF, max_model_rows=3)
+
+
+def test_minhash_flag_stream_ttl_variant_and_index_handle(spark):
+    """The watermark-TTL variant (dropDuplicatesWithinWatermark) must
+    emit the same flagged-doc set as the unbounded-state default when
+    the TTL exceeds the run (no state evicted mid-run), and the
+    persisted band index must be handed back for caller-side
+    unpersist (ADVICE r8: session-lifetime cache leak)."""
+    from trisk_spark.functions.dedup import (
+        minhash_bands,
+        minhash_signatures_inrow,
+    )
+    from trisk_spark.streaming.queries import minhash_flag_stream
+
+    stream = replay_stream(spark, SF, "documents", n_chunks=4, order_col="doc_id")
+    handles: list = []
+    emitted = []
+    q = (
+        minhash_flag_stream(stream, spark, SF, dedup_ttl="1 hour",
+                            index_out=handles)
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda bdf, bid: emitted.extend(bdf.collect()))
+        .option("checkpointLocation", checkpoint_dir("mhflag_ttl"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(r.doc_id for r in emitted)
+    assert len(got) == len(set(got)), "a doc flagged twice within the TTL"
+
+    docs = table(spark, SF, "documents").where(F.col("doc_id").isNotNull())
+    bands = minhash_bands(minhash_signatures_inrow(docs))
+    ref = bands.select(F.col("doc_id").alias("ref_doc"), "band_idx", "bh")
+    want = sorted(
+        r.doc_id
+        for r in bands.join(ref, ["band_idx", "bh"])
+        .where(F.col("doc_id") != F.col("ref_doc"))
+        .select("doc_id")
+        .distinct()
+        .collect()
+    )
+    assert got == want and len(got) > 0
+
+    # the caller-side unpersist handle: exactly one persisted frame,
+    # cached now, uncached after release
+    assert len(handles) == 1 and handles[0].is_cached
+    handles[0].unpersist(blocking=True)
+    assert not handles[0].is_cached

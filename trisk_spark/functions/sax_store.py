@@ -1,0 +1,82 @@
+"""Persisted SAX window index: the write-time/store half of the
+time-series subsequence-search story that ``ts_subsequence_sax``
+executes in one plan — the exact analog of ``ivf_store`` for the ANN
+family (VERDICT r8 next-round #2).
+
+At 100 TB the window index is not rebuilt per probe — it is WRITTEN
+once (z-normalizable windows with their stats, partitioned by SAX
+word) and every probe reads ONLY its word's partitions:
+
+  * ``write_windows``: one user_id shuffle builds the sliding windows,
+    stats + SAX word run as ONE Arrow numpy pass
+    (``timeseries.ts_sax_windows_gemm`` — bit-exact with the JVM
+    expression form, pytest-pinned), sunk as parquet
+    ``partitionBy("word")``. The partition column IS the SAX bucket,
+    so the directory layout is an inverted file per word — at most
+    ALPHABET^SEGMENTS (= 256) partitions.
+  * ``probe_store``: derives the probe rows (driver-held, ≤n_probes —
+    the knn/centroid collect class), reads the index with a STATIC
+    ``word IN (...)`` partition filter — Spark prunes the non-probed
+    word directories at planning time (pinned: the scan's
+    PartitionFilters carry word and the probe reads ~1/256th of the
+    data per distinct probe word) — and finishes with the SAME
+    broadcast-equi-join scoring + top-K as ``ts_subsequence_sax``
+    (shared ``sax_score_topk``), so probe-over-store ≡ the one-plan
+    query row-for-row (pytest-pinned).
+
+The probe words cross the driver as ≤n_probes integers — a routing
+decision, the same driver-held-model class as the IVF routed lists;
+window rows never reach the driver.
+
+Reference: the reference has no time-series store (beyond-reference
+mandate, SURVEY.md §7 step 7); the layout follows the classic iSAX
+index design (one file per word) re-expressed as Spark partitioned
+parquet.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from trisk_spark.catalog import table
+from trisk_spark.functions.timeseries import (
+    N_TS_PROBES,
+    _ts_raw_windows,
+    sax_probe_rows,
+    sax_probes_df,
+    sax_score_topk,
+    ts_sax_windows_gemm,
+)
+
+
+def write_windows(spark: SparkSession, sf_dir: str, path: str) -> None:
+    """Build and persist the SAX window index for the events corpus at
+    ``sf_dir``: ``<path>/windows`` holds (user_id, seq, w, mu, sd)
+    parquet partitioned by word. One kernel pass over the window
+    stream; the partitioned write shuffles nothing (each task writes
+    its rows into per-word directories, bounded by the 256-word
+    alphabet)."""
+    ev = table(spark, sf_dir, "events")
+    sx = ts_sax_windows_gemm(spark, _ts_raw_windows(ev))
+    sx.write.mode("overwrite").partitionBy("word").parquet(f"{path}/windows")
+
+
+def probe_store(
+    spark: SparkSession,
+    sf_dir: str,
+    path: str,
+    n_probes: int = N_TS_PROBES,
+) -> DataFrame:
+    """Top-K subsequence search over the PERSISTED window index: derive
+    the probe set (user_id < ``n_probes`` from ``sf_dir``), statically
+    prune the index read to the probe words, and run the shared
+    broadcast-equi-join scoring. Returns the same (probe_user,
+    match_user, match_seq, dist2, rank) frame as
+    ``ts_subsequence_sax``."""
+    ev = table(spark, sf_dir, "events")
+    probe_rows = sax_probe_rows(ev, n_probes)
+    words = sorted({int(r.pword) for r in probe_rows})
+    sx = spark.read.parquet(f"{path}/windows").where(
+        F.col("word").isin(words)
+    )
+    return sax_score_topk(sax_probes_df(spark, probe_rows), sx)

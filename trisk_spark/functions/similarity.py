@@ -1327,9 +1327,11 @@ def _quantize_explode_kernel(batches):
     Arrow pass, each step the SAME IEEE ops in the SAME order as the
     JVM/DuckDB expressions:
       * codes via ``_quantize_np`` (shared with the GEMM kernels);
-      * scale rounded to 6 decimals with Decimal ROUND_HALF_UP — the
-        exact semantics of F.round/BigDecimal.setScale on the binary
-        double value;
+      * scale rounded to 6 decimals with Decimal(repr(x))
+        ROUND_HALF_UP — the exact semantics of F.round on doubles,
+        which goes through BigDecimal.valueOf, i.e. the SHORTEST
+        round-trip repr (what Python repr() also yields), not the
+        exact binary expansion;
       * error terms as x − (q·scale)/127 elementwise (scale 0 ⇒ q = 0
         and x = 0, so the term is exactly 0 — no division by scale
         here), squared, then accumulated dimension-by-dimension in
@@ -1357,7 +1359,10 @@ def _quantize_explode_kernel(batches):
             acc += E[:, j] * E[:, j]
         mse = np.floor(acc / d * 1e12) / 1e12
         rscale = np.array(
-            [float(Decimal(s).quantize(six, ROUND_HALF_UP)) for s in scale]
+            [
+                float(Decimal(repr(float(s))).quantize(six, ROUND_HALF_UP))
+                for s in scale
+            ]
         )
         yield pd.DataFrame(
             {

@@ -85,6 +85,25 @@ def _fold_sum(col: Column) -> Column:
     return F.aggregate(col, F.lit(0).cast("bigint"), lambda acc, v: acc + v)
 
 
+def _check_cents_bound(W) -> None:
+    """Loud no-overflow precondition for the numpy int64 window-stats
+    kernels, mirroring ``similarity._check_dot_bound``: the exact
+    sum-of-squares fold |Σ c²| ≤ dim·max|c|² must stay inside int64,
+    because the three engines DIVERGE past it — Spark 4's ANSI bigint
+    fold throws, DuckDB's list_sum promotes to HUGEINT, and numpy would
+    silently wrap and corrupt the pinned kernel≡expression equivalence.
+    Checked in exact Python ints per Arrow batch (one O(n·d) abs-max
+    scan, negligible vs the stats pass); cents ≳ 7.6e8 (a $7.6M tick)
+    would trip it."""
+    c_max = int(abs(W).max()) if W.size else 0
+    if TS_WINDOW * c_max * c_max >= 2**63:
+        raise OverflowError(
+            f"int64 window sum-of-squares bound exceeded: dim={TS_WINDOW} "
+            f"max|cents|={c_max} — rescale the series (the JVM ANSI fold "
+            "would throw here; numpy would silently wrap)"
+        )
+
+
 def _ts_raw_windows(events: DataFrame) -> DataFrame:
     """Full sliding windows per user, stats not yet attached:
     (user_id, seq, w) — one shuffle on user_id + a spillable frame
@@ -131,15 +150,15 @@ def ts_windows(events: DataFrame) -> DataFrame:
     )
 
 
-def ts_probes(events: DataFrame) -> DataFrame:
+def ts_probes(events: DataFrame, n_probes: int = N_TS_PROBES) -> DataFrame:
     """The probe set: the FIRST full z-normalizable window of each user
-    with user_id < N_TS_PROBES — (probe_user, probe_seq, pw, pmu, psd).
+    with user_id < ``n_probes`` — (probe_user, probe_seq, pw, pmu, psd).
     The filter applies BEFORE the window build so the frame sort runs
     on the probe users' rows only (the partition-keyed window commutes
     with a partition-key filter — the quantize-probe lesson)."""
     pw = Window.partitionBy("user_id").orderBy("seq")
     return (
-        ts_windows(events.where(F.col("user_id") < N_TS_PROBES))
+        ts_windows(events.where(F.col("user_id") < n_probes))
         .withColumn("rn", F.row_number().over(pw))
         .where(F.col("rn") == 1)
         .select(
@@ -225,6 +244,7 @@ def ts_candidate_distances_gemm(
             if len(pdf) == 0 or not probes:
                 continue
             W = np.array(list(pdf["w"]), dtype=np.int64)
+            _check_cents_bound(W)
             users = pdf["user_id"].to_numpy()
             seqs = pdf["seq"].to_numpy()
             s = W.sum(axis=1)
@@ -264,6 +284,38 @@ def ts_candidate_distances_gemm(
     return raw_win.mapInPandas(kern, out_schema)
 
 
+def _rank_topk(d: DataFrame) -> DataFrame:
+    """Shared tail of every subsequence-search variant: per-probe rank
+    of the candidate-sized distance frame, top TOP_TS_K, 6-decimal
+    rounded distance."""
+    rw = Window.partitionBy("probe_user").orderBy(
+        F.asc("dist2"), "match_user", "match_seq"
+    )
+    return (
+        d.withColumn("rank", F.row_number().over(rw))
+        .where(F.col("rank") <= TOP_TS_K)
+        .select(
+            "probe_user", "match_user", "match_seq",
+            F.round("dist2", 6).alias("dist2"), "rank",
+        )
+    )
+
+
+def ts_brute_topk(
+    spark: SparkSession, ev: DataFrame, n_probes: int = N_TS_PROBES
+) -> DataFrame:
+    """Library form of ``ts_subsequence_match`` with a parameterized
+    probe-batch size — the brute baseline every bucketed variant is
+    measured against (the SAX crossover measurement sweeps
+    ``n_probes`` here; PERF_NOTES r9)."""
+    probe_rows = [
+        (r.probe_user, r.pmu, r.psd, list(r.pw))
+        for r in ts_probes(ev, n_probes).collect()
+    ]
+    d = ts_candidate_distances_gemm(spark, _ts_raw_windows(ev), probe_rows)
+    return _rank_topk(d)
+
+
 @register("ts_subsequence_match", oracle=TS_SUBSEQ_SQL)
 def ts_subsequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-K z-normalized subsequence matches for each probe window
@@ -283,23 +335,7 @@ def ts_subsequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     over windows is the labeled baseline — at scale the candidate set
     is cut by PAA/SAX bucketing exactly like the ANN family's LSH/IVF
     variants."""
-    ev = table(spark, sf_dir, "events")
-    probe_rows = [
-        (r.probe_user, r.pmu, r.psd, list(r.pw))
-        for r in ts_probes(ev).collect()
-    ]
-    d = ts_candidate_distances_gemm(spark, _ts_raw_windows(ev), probe_rows)
-    rw = Window.partitionBy("probe_user").orderBy(
-        F.asc("dist2"), "match_user", "match_seq"
-    )
-    return (
-        d.withColumn("rank", F.row_number().over(rw))
-        .where(F.col("rank") <= TOP_TS_K)
-        .select(
-            "probe_user", "match_user", "match_seq",
-            F.round("dist2", 6).alias("dist2"), "rank",
-        )
-    )
+    return ts_brute_topk(spark, table(spark, sf_dir, "events"))
 
 
 # ------------------------------ SAX-bucketed subsequence search ------
@@ -447,6 +483,7 @@ def ts_sax_windows_gemm(
             if len(pdf) == 0:
                 continue
             W = np.array(list(pdf["w"]), dtype=np.int64)
+            _check_cents_bound(W)
             s = W.sum(axis=1)
             sq = (W * W).sum(axis=1)
             mu = s.astype(np.float64) / TS_WINDOW
@@ -490,30 +527,16 @@ def ts_sax_windows_gemm(
     return raw_win.mapInPandas(kern, out_schema)
 
 
-@register("ts_subsequence_sax", oracle=TS_SAX_SQL)
-def ts_subsequence_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SAX-bucketed subsequence search — ``ts_subsequence_match``'s
-    scale path made real (the ann_lsh_bucketed analog): each window
-    reduces to a 4-symbol SAX word and probes score ONLY same-word
-    windows, cutting the candidate set by ~the bucket count
-    (4^4 = 256 words) before the exact re-rank; recall vs the brute
-    baseline is pytest-pinned.
-
-    Plan: the same single user_id shuffle builds windows; stats + SAX
-    word run as ONE Arrow numpy pass (``ts_sax_windows_gemm`` —
-    bit-exact with the expression form, pytest-pinned); the
-    ≤N_TS_PROBES probe rows BROADCAST into an equi-join on word (never
-    a cross join), and the rank is candidate-sized. At 100 TB the word
-    becomes a partition column of the stored window index — probes
-    then read only their word's partition, the ivf_store pattern."""
-    ev = table(spark, sf_dir, "events")
-    # probe rows are the driver-held model (≤N_TS_PROBES, the
-    # knn/centroid collect class): collected ONCE, their words steer
-    # the kernel's bucket mask, and the same rows re-enter the plan as
-    # a local relation for the equi-join
+def sax_probe_rows(ev: DataFrame, n_probes: int = N_TS_PROBES) -> list:
+    """The SAX probe set as DRIVER-HELD rows (≤``n_probes``, the
+    knn/centroid collect class): each probe user's first full
+    z-normalizable window with its SAX word, via the JVM expression
+    form on a pushdown-filtered scan. Collected ONCE — the words steer
+    the kernel's bucket mask / the store's partition filter, and the
+    same rows re-enter the plan as a broadcast local relation."""
     pw = Window.partitionBy("user_id").orderBy("seq")
-    probe_rows = (
-        ts_windows(ev.where(F.col("user_id") < N_TS_PROBES))
+    return (
+        ts_windows(ev.where(F.col("user_id") < n_probes))
         .withColumn("word", sax_word_col())
         .withColumn("rn", F.row_number().over(pw))
         .where(F.col("rn") == 1)
@@ -526,7 +549,12 @@ def ts_subsequence_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .collect()
     )
-    probes = spark.createDataFrame(
+
+
+def sax_probes_df(spark: SparkSession, probe_rows) -> DataFrame:
+    """The driver-held probe rows re-entering the plan as a local
+    relation for the broadcast word equi-join."""
+    return spark.createDataFrame(
         [
             (int(r.probe_user), [int(x) for x in r.pw], float(r.pmu),
              float(r.psd), int(r.pword))
@@ -534,9 +562,13 @@ def ts_subsequence_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "probe_user long, pw array<long>, pmu double, psd double, pword long",
     )
-    sx = ts_sax_windows_gemm(
-        spark, _ts_raw_windows(ev), {int(r.pword) for r in probe_rows}
-    )
+
+
+def sax_score_topk(probes: DataFrame, sx: DataFrame) -> DataFrame:
+    """Shared scoring tail of the SAX variants (one-plan query AND
+    probe-over-store): BROADCAST probe rows equi-join candidate
+    windows on the SAX word (never a cross join), exact z-normalized
+    distance as the JVM left-fold expression, per-probe top-K."""
 
     def znd(x: Column, y: Column) -> Column:
         e = (x - F.col("pmu")) / F.col("psd") - (y - F.col("mu")) / F.col("sd")
@@ -558,14 +590,37 @@ def ts_subsequence_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist2.alias("dist2"),
         )
     )
-    rw = Window.partitionBy("probe_user").orderBy(
-        F.asc("dist2"), "match_user", "match_seq"
+    return _rank_topk(d)
+
+
+def ts_sax_topk(
+    spark: SparkSession, ev: DataFrame, n_probes: int = N_TS_PROBES
+) -> DataFrame:
+    """Library form of ``ts_subsequence_sax`` with a parameterized
+    probe-batch size — the bucketed path of the brute/SAX crossover
+    measurement (PERF_NOTES r9)."""
+    probe_rows = sax_probe_rows(ev, n_probes)
+    sx = ts_sax_windows_gemm(
+        spark, _ts_raw_windows(ev), {int(r.pword) for r in probe_rows}
     )
-    return (
-        d.withColumn("rank", F.row_number().over(rw))
-        .where(F.col("rank") <= TOP_TS_K)
-        .select(
-            "probe_user", "match_user", "match_seq",
-            F.round("dist2", 6).alias("dist2"), "rank",
-        )
-    )
+    return sax_score_topk(sax_probes_df(spark, probe_rows), sx)
+
+
+@register("ts_subsequence_sax", oracle=TS_SAX_SQL)
+def ts_subsequence_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX-bucketed subsequence search — ``ts_subsequence_match``'s
+    scale path made real (the ann_lsh_bucketed analog): each window
+    reduces to a 4-symbol SAX word and probes score ONLY same-word
+    windows, cutting the candidate set by ~the bucket count
+    (4^4 = 256 words) before the exact re-rank; recall vs the brute
+    baseline is pytest-pinned.
+
+    Plan: the same single user_id shuffle builds windows; stats + SAX
+    word run as ONE Arrow numpy pass (``ts_sax_windows_gemm`` —
+    bit-exact with the expression form, pytest-pinned); the
+    ≤N_TS_PROBES probe rows BROADCAST into an equi-join on word (never
+    a cross join), and the rank is candidate-sized. At 100 TB the word
+    IS a partition column of the stored window index
+    (``sax_store.write_windows``) — probes then read only their word's
+    partitions (PartitionFilters-pinned), the ivf_store pattern."""
+    return ts_sax_topk(spark, table(spark, sf_dir, "events"))

@@ -252,7 +252,12 @@ def curated_stream(docs: DataFrame) -> DataFrame:
     )
 
 
-def bigram_lm_stream(docs: DataFrame, spark, ref_sf_dir: str) -> DataFrame:
+def bigram_lm_stream(
+    docs: DataFrame,
+    spark,
+    ref_sf_dir: str,
+    max_model_rows: int | None = None,
+) -> DataFrame:
     """Streaming bigram-LM scoring — the deployment shape of
     ``functions/text.bigram_lm_score``: the LM count tables are built
     ONCE from the reference slice (batch), shipped to every executor as
@@ -284,6 +289,26 @@ def bigram_lm_stream(docs: DataFrame, spark, ref_sf_dir: str) -> DataFrame:
         F.col("doc_id").isNotNull()
         & (F.pmod(F.col("doc_id"), F.lit(LM_REF_MOD)) == 0)
     )
+    # the vocab aggregate runs FIRST and doubles as the model-size
+    # guard: n_tok (total reference tokens, free in the same scan)
+    # upper-bounds the c12 row count, so an over-ceiling model fails
+    # loudly BEFORE .collect() materializes it into the driver — the
+    # batch query's pre-collect pattern (text.py bigram_lm_score); a
+    # post-collect check would OOM the driver before raising
+    ceiling = LM_MAX_MODEL_ROWS if max_model_rows is None else max_model_rows
+    vstats = (
+        ref_docs.select(F.explode(_lm_tokens()).alias("w"))
+        .agg(F.countDistinct("w").alias("v"), F.count("*").alias("n_tok"))
+        .first()
+    )
+    if int(vstats["n_tok"] or 0) > ceiling:
+        raise ValueError(
+            f"bigram LM model too large to broadcast: up to "
+            f"{vstats['n_tok']} bigram rows > ceiling {ceiling}; "
+            "ship the LM counts as files instead of a driver-collected "
+            "broadcast"
+        )
+    v = vstats["v"]
     c12 = {
         (r.w1, r.w2): r.c12
         for r in _lm_bigrams(ref_docs)
@@ -291,20 +316,9 @@ def bigram_lm_stream(docs: DataFrame, spark, ref_sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("c12"))
         .collect()
     }
-    if len(c12) > LM_MAX_MODEL_ROWS:
-        raise ValueError(
-            f"bigram LM model too large to broadcast: {len(c12)} bigram "
-            f"rows > ceiling {LM_MAX_MODEL_ROWS}; ship the LM counts as "
-            "files instead of a driver-collected broadcast"
-        )
     c1: dict = {}
     for (w1, _w2), c in c12.items():
         c1[w1] = c1.get(w1, 0) + c
-    v = (
-        ref_docs.select(F.explode(_lm_tokens()).alias("w"))
-        .agg(F.countDistinct("w").alias("v"))
-        .first()["v"]
-    )
     model = spark.sparkContext.broadcast((c12, c1, int(v)))
 
     out_schema = StructType(
@@ -331,12 +345,19 @@ def bigram_lm_stream(docs: DataFrame, spark, ref_sf_dir: str) -> DataFrame:
                     p = (bc12.get((a, b), 0) + 1) / (bc1.get(a, 0) + bv)
                     # same grid as the batch decimal: ln rounded to 6
                     # decimals, accumulated in exact 1e-6 integer units.
-                    # Decimal(double) quantized ROUND_HALF_UP is Spark
-                    # F.round's exact semantics (BigDecimal HALF_UP on
-                    # the binary value); Python's round() is half-EVEN
-                    # and would diverge on a logp landing exactly on a
-                    # 0.5e-6 boundary
-                    logp6 = Decimal(math.log(p)).quantize(q6, ROUND_HALF_UP)
+                    # Decimal(repr(x)) quantized ROUND_HALF_UP is Spark
+                    # F.round's exact semantics: Round on doubles goes
+                    # through BigDecimal.valueOf, i.e. Double.toString's
+                    # SHORTEST round-trip repr — which Python's repr()
+                    # also produces — NOT the exact binary expansion
+                    # (Decimal(float) would diverge by 1e-6 when the
+                    # shortest repr lands on a 5 at the 7th decimal
+                    # while the binary value sits just below it).
+                    # Python's round() is half-EVEN and would also
+                    # diverge on exact 0.5e-6 boundaries.
+                    logp6 = Decimal(repr(math.log(p))).quantize(
+                        q6, ROUND_HALF_UP
+                    )
                     mu += int(logp6.scaleb(6))
                 out["doc_id"].append(int(doc_id))
                 out["n_bigrams"].append(len(toks) - 1)
@@ -353,7 +374,12 @@ def bigram_lm_stream(docs: DataFrame, spark, ref_sf_dir: str) -> DataFrame:
     )
 
 
-def keyword_extract_stream(docs: DataFrame, spark, ref_sf_dir: str) -> DataFrame:
+def keyword_extract_stream(
+    docs: DataFrame,
+    spark,
+    ref_sf_dir: str,
+    max_model_rows: int | None = None,
+) -> DataFrame:
     """Streaming keyword extraction — the deployment shape of
     ``functions/text.keyword_extract`` via the broadcast-model pattern
     the LM scorer established: the df table and corpus doc count N are
@@ -385,20 +411,38 @@ def keyword_extract_stream(docs: DataFrame, spark, ref_sf_dir: str) -> DataFrame
     )
 
     from trisk_spark.catalog import table
-    from trisk_spark.functions.text import KEYWORDS_K, _lm_tokens
+    from trisk_spark.functions.text import (
+        KEYWORDS_K,
+        LM_MAX_MODEL_ROWS,
+        _lm_tokens,
+    )
 
     ref_docs = table(spark, ref_sf_dir, "documents").where(
         F.col("doc_id").isNotNull()
     )
     toks = ref_docs.select("doc_id", F.explode(_lm_tokens()).alias("tok"))
+    # pre-collect model-size guard (the LM-stream pattern): total
+    # reference tokens upper-bound the df-table row count (df rows =
+    # distinct tokens ≤ tokens), and the same cheap aggregate yields
+    # n_docs — an over-ceiling vocabulary fails loudly BEFORE the
+    # .collect() materializes it into the driver
+    ceiling = LM_MAX_MODEL_ROWS if max_model_rows is None else max_model_rows
+    tstats = toks.agg(
+        F.countDistinct("doc_id").alias("n"), F.count("*").alias("n_tok")
+    ).first()
+    if int(tstats["n_tok"] or 0) > ceiling:
+        raise ValueError(
+            f"keyword df model too large to broadcast: up to "
+            f"{tstats['n_tok']} token rows > ceiling {ceiling}; "
+            "ship the df table as files instead of a driver-collected "
+            "broadcast"
+        )
+    n_docs = int(tstats["n"] or 0)
     tf_ref = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
     df_map = {
         r.tok: r.df
         for r in tf_ref.groupBy("tok").agg(F.count("*").alias("df")).collect()
     }
-    n_docs = int(
-        tf_ref.agg(F.countDistinct("doc_id").alias("n")).first()["n"] or 0
-    )
     model = spark.sparkContext.broadcast((df_map, n_docs))
 
     out_schema = StructType(
@@ -506,7 +550,13 @@ def source_mix_stream(docs: DataFrame, spark, ref_sf_dir: str) -> DataFrame:
     )
 
 
-def minhash_flag_stream(docs: DataFrame, spark, ref_sf_dir: str) -> DataFrame:
+def minhash_flag_stream(
+    docs: DataFrame,
+    spark,
+    ref_sf_dir: str,
+    dedup_ttl: str | None = None,
+    index_out: list | None = None,
+) -> DataFrame:
     """Streaming ingest-dedup flag — "is this arriving document a
     near-duplicate of anything already in the corpus?": the existing
     corpus's LSH band index is built ONCE batch-side (the write-once
@@ -517,8 +567,19 @@ def minhash_flag_stream(docs: DataFrame, spark, ref_sf_dir: str) -> DataFrame:
     meets the index in a stream-static equi-join on (band_idx, bh).
     Any shared band with a DIFFERENT ref document flags the doc;
     ``dropDuplicates`` on doc_id emits each flag once (the only state:
-    one doc_id per flagged doc). Append mode. Stream≡batch
-    pytest-pinned against the uncapped bucket-membership image."""
+    one doc_id per flagged doc — which grows without bound in the
+    default configuration; for long-running deployments pass
+    ``dedup_ttl`` (e.g. ``"10 minutes"``) and the query stamps a
+    processing-time ingest timestamp, watermarks it, and uses
+    ``dropDuplicatesWithinWatermark`` so flagged-doc state EXPIRES
+    after the TTL — the documented trade: a duplicate re-arriving
+    later than the TTL re-flags). Append mode. Stream≡batch
+    pytest-pinned against the uncapped bucket-membership image.
+
+    The persisted band index lives for the SparkSession unless the
+    caller takes ownership: pass ``index_out=[]`` and the persisted
+    frame is appended for caller-side ``unpersist()`` once the stream
+    stops."""
     from trisk_spark.catalog import table
     from trisk_spark.functions.dedup import (
         minhash_bands,
@@ -532,17 +593,27 @@ def minhash_flag_stream(docs: DataFrame, spark, ref_sf_dir: str) -> DataFrame:
     # side EVERY micro-batch — unpersisted, the whole corpus signature
     # pipeline would rerun per trigger (measured 4× slower on a 4-chunk
     # replay). In deployment this frame is the pre-built bucketed band
-    # table; persist() is its in-session stand-in.
+    # table; persist() is its in-session stand-in (session lifetime —
+    # see ``index_out`` above for caller-side release).
     ref_bands = (
         minhash_bands(minhash_signatures_inrow(ref_docs))
         .select(F.col("doc_id").alias("ref_doc"), "band_idx", "bh")
         .persist()
     )
+    if index_out is not None:
+        index_out.append(ref_bands)
     d = docs.where(F.col("doc_id").isNotNull())
     bands = minhash_bands(minhash_signatures_inrow(d))
-    return (
+    flagged = (
         bands.join(ref_bands, ["band_idx", "bh"])
         .where(F.col("doc_id") != F.col("ref_doc"))
         .select("doc_id")
-        .dropDuplicates(["doc_id"])
+    )
+    if dedup_ttl is None:
+        return flagged.dropDuplicates(["doc_id"])
+    return (
+        flagged.withColumn("ingest_ts", F.current_timestamp())
+        .withWatermark("ingest_ts", dedup_ttl)
+        .dropDuplicatesWithinWatermark(["doc_id"])
+        .select("doc_id")
     )

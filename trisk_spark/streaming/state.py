@@ -1111,8 +1111,8 @@ def ts_pattern_alert_fn(probes, max_dist2: float = TS_ALERT_MAX_DIST2):
     — the ListState evictor pattern (SURVEY §2A). Each arriving event
     completes at most one new window; full windows are scored against
     every probe with EXACTLY the batch arithmetic (exact int sums,
-    fixed-order double mean/sd, left-fold distance, Decimal
-    ROUND_HALF_UP like F.round) and windows at or under ``max_dist2``
+    fixed-order double mean/sd, left-fold distance, shortest-repr
+    Decimal ROUND_HALF_UP — F.round's BigDecimal.valueOf semantics) and windows at or under ``max_dist2``
     emit an alert row."""
     import math
     from decimal import ROUND_HALF_UP, Decimal
@@ -1152,7 +1152,7 @@ def ts_pattern_alert_fn(probes, max_dist2: float = TS_ALERT_MAX_DIST2):
                 for x, y in zip(pw_list, vals):
                     e = (x - pmu) / psd - (y - mu) / sd
                     acc += e * e
-                d6 = float(Decimal(acc).quantize(six, ROUND_HALF_UP))
+                d6 = float(Decimal(repr(acc)).quantize(six, ROUND_HALF_UP))
                 if d6 <= max_dist2:
                     out.append((int(probe_user), int(user), ring[0][0], d6))
         state.update(([list(r) for r in ring],))
