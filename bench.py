@@ -69,6 +69,10 @@ HEADLINE = [
     "source_mix_sample",
     "ts_subsequence_match",
     "ts_subsequence_sax",
+    # r9-new headline queries (baselines key from BENCH_r09 per the
+    # new-op policy):
+    "dedup_semantic",
+    "curation_manifest_semantic",
 ]
 
 

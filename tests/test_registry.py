@@ -105,7 +105,8 @@ def test_readme_op_table_names_are_registered():
         "keyword_extract_stream", "ivf_assign_stream",
         "write_index", "probe_index", "source_mix_rates", "mix_keep_col", "source_mix_stream", "ts_windows", "ts_probes",
         "ts_candidate_distances", "ts_pattern_alert_stream",
-        "minhash_flag_stream",
+        "minhash_flag_stream", "min_label_components",
+        "write_windows", "probe_store", "ts_brute_topk", "ts_sax_topk",
     }
     missing = {
         c for c in cited

@@ -1,0 +1,88 @@
+"""Semantic (SemDeDup-class) dedup: cluster semantics replayed against
+a pure-Python union-find, the manifest composition replayed from its
+halves, and the plan pinned bucketed (never all-pairs). DuckDB parity
+for both registered queries lives in test_oracle_parity."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from trisk_spark.catalog import table
+from trisk_spark.functions.similarity import cosine_lsh_pairs, dedup_semantic
+from trisk_spark.registry import load_all
+
+from .conftest import SF_DIR
+
+
+def _union_find_components(pairs: list[tuple[int, int]]) -> dict[int, int]:
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def test_dedup_semantic_matches_union_find_replay(spark):
+    # the min-label propagation must compute exactly the connected
+    # components a union-find over the SAME candidate pairs computes,
+    # with component = smallest member id
+    emb = table(spark, SF_DIR, "embeddings")
+    pairs = [
+        (int(r.vec_a), int(r.vec_b))
+        for r in cosine_lsh_pairs(emb).select("vec_a", "vec_b").collect()
+    ]
+    want = _union_find_components(pairs)
+    got = {
+        int(r.doc_id): int(r.component)
+        for r in dedup_semantic(spark, SF_DIR).collect()
+    }
+    assert got == want and len(got) > 0
+    # at least one nontrivial cluster, else the operator is vacuous here
+    assert any(c != d for d, c in got.items())
+
+
+def test_curation_manifest_semantic_is_manifest_minus_losers(spark):
+    # the composed manifest must equal the plain manifest minus every
+    # semantic-cluster loser (component != doc_id), no more, no less
+    reg = load_all()
+    manifest = {
+        int(r.doc_id): tuple(r)
+        for r in reg["curation_manifest"].fn(spark, SF_DIR).collect()
+    }
+    losers = {
+        int(r.doc_id)
+        for r in dedup_semantic(spark, SF_DIR).collect()
+        if r.component != r.doc_id
+    }
+    want = sorted(v for k, v in manifest.items() if k not in losers)
+    got = sorted(
+        tuple(r)
+        for r in reg["curation_manifest_semantic"].fn(spark, SF_DIR).collect()
+    )
+    assert got == want and len(got) > 0
+    assert len(got) < len(manifest), (
+        "no manifest row was semantically deduped — vacuous composition"
+    )
+
+
+def test_curation_manifest_semantic_plan_stays_bucketed(spark):
+    # never all-pairs: the embedding side must stay the bucketed LSH
+    # kernel and the manifest meet must be a hash anti-join — no
+    # nested-loop/cartesian anywhere even with auto-broadcast off
+    from .test_plans import no_auto_broadcast, static_plan
+
+    with no_auto_broadcast(spark):
+        plan = static_plan(spark, "curation_manifest_semantic")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "LeftAnti" in plan, plan

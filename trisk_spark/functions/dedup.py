@@ -719,25 +719,25 @@ SELECT a AS doc_id, LEAST(a, MIN(b)) AS component FROM reach GROUP BY a
 """
 
 
-@register("dedup_clusters", oracle=DEDUP_CLUSTERS_SQL)
-def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate clusters: connected components over the MinHash
-    LSH candidate graph via min-label propagation to fixpoint — the
-    batch image of the reference's ``iterate()`` (DataStream.java:534;
-    SURVEY §2A 'iterate' → driver-side loop). component = smallest
-    doc_id in the cluster (the canonical keeper).
+def min_label_components(
+    pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b"
+) -> DataFrame:
+    """Connected components over an undirected candidate-pair graph via
+    min-label propagation to fixpoint — the shared engine of
+    ``dedup_clusters`` (MinHash text pairs) and ``dedup_semantic``
+    (SRP-LSH embedding pairs); the batch image of the reference's
+    ``iterate()`` (DataStream.java:534). Returns (doc_id, component)
+    with component = smallest id in the cluster (the canonical keeper).
 
     Plan: each round is one join + one grouped MIN on the edge list
     (never the documents); ``localCheckpoint`` truncates lineage so
     round N doesn't replay rounds 1..N-1. Rounds = component diameter —
     near-dup clusters are shallow; at 100 TB the edge list still fits
-    the same loop (alternate large-star/small-star if diameters grow).
-    The oracle is the transitive closure as a recursive CTE."""
-    pairs = dedup_minhash_lsh(spark, sf_dir)
+    the same loop (alternate large-star/small-star if diameters grow)."""
     edges = (
-        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
         .unionByName(
-            pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
+            pairs.select(F.col(b_col).alias("a"), F.col(a_col).alias("b"))
         )
         .localCheckpoint()  # materialize: the loop re-reads this every round
     )
@@ -772,6 +772,16 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         if changed == 0:
             break
     return labels
+
+
+@register("dedup_clusters", oracle=DEDUP_CLUSTERS_SQL)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate clusters: connected components over the MinHash
+    LSH candidate graph via min-label propagation to fixpoint (shared
+    ``min_label_components`` — plan notes there). component = smallest
+    doc_id in the cluster (the canonical keeper). The oracle is the
+    transitive closure as a recursive CTE."""
+    return min_label_components(dedup_minhash_lsh(spark, sf_dir))
 
 
 # ------------------------------------------- decontamination --------

@@ -284,6 +284,73 @@ def curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------- semantic curation manifest (r9) ---------
+
+# curation_manifest + the SemDeDup stage: the exact-hash dedup catches
+# byte-identical documents, the semantic stage removes documents whose
+# EMBEDDINGS are transitively near-identical (dedup_semantic clusters;
+# keeper = smallest doc_id). The composed manifest is what a modern
+# LLM training run actually consumes — quality gate, exact dedup,
+# semantic dedup, stable split, one frame.
+
+def _manifest_semantic_sql() -> str:
+    from trisk_spark.functions.similarity import COSINE_LSH_NEAR_DUP_SQL
+
+    return f"""
+WITH RECURSIVE cand AS ({COSINE_LSH_NEAR_DUP_SQL}),
+edges AS (
+  SELECT vec_a AS a, vec_b AS b FROM cand
+  UNION
+  SELECT vec_b, vec_a FROM cand
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+clusters AS (
+  SELECT a AS doc_id, LEAST(a, MIN(b)) AS component FROM reach GROUP BY a
+),
+losers AS (SELECT doc_id FROM clusters WHERE component <> doc_id),
+manifest AS ({CURATION_MANIFEST_SQL})
+SELECT m.doc_id, m.source, m.split, m.n_tokens, m.quality
+FROM manifest m WHERE m.doc_id NOT IN (SELECT doc_id FROM losers)
+"""
+
+
+CURATION_MANIFEST_SEMANTIC_SQL = _manifest_semantic_sql()
+
+
+@register("curation_manifest_semantic", oracle=CURATION_MANIFEST_SEMANTIC_SQL)
+def curation_manifest_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full modern curation chain in one frame: the
+    ``curation_manifest`` gates (quality floor + token floor + exact
+    content-hash dedup + stable split) MINUS semantic near-duplicates —
+    every document that lost its ``dedup_semantic`` cluster (its
+    embedding sits transitively within NEAR_DUP_COS of a smaller
+    doc_id's). The keeper column semantics are deterministic: smallest
+    doc_id per semantic cluster survives, whether or not the keeper
+    itself passed the quality gate (a removed-keeper's dups stay
+    removed — documented, matches the oracle).
+
+    Plan: manifest side is the one-scan map-side pipeline with a
+    32-byte-hash dedup shuffle (see ``curation_manifest``); the
+    semantic side is bucketed SRP-LSH pairs + edge-list label
+    propagation (never all-pairs, ids only); they meet in a LEFT ANTI
+    join on doc_id — id-sized rows, AQE free to broadcast the loser
+    side when small. At 100 TB each half is its already-proven scale
+    path and the composition adds ONE id shuffle."""
+    from trisk_spark.functions.similarity import dedup_semantic
+
+    manifest = curation_manifest(spark, sf_dir)
+    losers = (
+        dedup_semantic(spark, sf_dir)
+        .where(F.col("component") != F.col("doc_id"))
+        .select("doc_id")
+    )
+    return manifest.join(losers, "doc_id", "left_anti")
+
+
 # ------------------------------------------------ data mixing (r8) ---
 
 # Source-mix sampling — the "data mixing" stage of a training pipeline

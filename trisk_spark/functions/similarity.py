@@ -537,6 +537,55 @@ def cosine_lsh_pairs(
     )
 
 
+# ------------------------------------- semantic dedup (SemDeDup) -----
+
+# Embedding-space near-duplicate CLUSTERS — the modern LLM-pipeline
+# dedup stage (SemDeDup, Abbas et al. 2023: cluster semantically-
+# near-identical documents by embedding similarity, keep one per
+# cluster): SRP-LSH candidate pairs (never all-pairs) → connected
+# components via min-label propagation → component = smallest doc_id,
+# the canonical keeper. vec_id IS the document id (embeddings is the
+# corpus's parallel embedding table).
+
+DEDUP_SEMANTIC_SQL = f"""
+WITH RECURSIVE cand AS ({COSINE_LSH_NEAR_DUP_SQL}),
+edges AS (
+  SELECT vec_a AS a, vec_b AS b FROM cand
+  UNION
+  SELECT vec_b, vec_a FROM cand
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+)
+SELECT a AS doc_id, LEAST(a, MIN(b)) AS component FROM reach GROUP BY a
+"""
+
+
+@register("dedup_semantic", oracle=DEDUP_SEMANTIC_SQL)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic near-duplicate clusters over the embedding table —
+    SemDeDup-class dedup: documents whose embeddings sit within
+    NEAR_DUP_COS of each other (transitively) form one cluster;
+    component = smallest doc_id, the keeper every downstream stage
+    (``curation_manifest_semantic``) retains.
+
+    Plan: candidate pairs come from the bucketed SRP-LSH kernel
+    (``cosine_lsh_pairs`` — one shuffle on (band, value), in-bucket
+    GEMM, NO all-pairs join), and components from the shared edge-list
+    min-label propagation (``dedup.min_label_components`` —
+    localCheckpoint per round, driver sees loop counters only). At
+    100 TB both halves are the already-proven scale paths; only ids
+    cross between them. Cluster semantics are replay-tested against a
+    pure-Python union-find in pytest."""
+    from trisk_spark.functions.dedup import min_label_components
+
+    emb = table(spark, sf_dir, "embeddings")
+    pairs = cosine_lsh_pairs(emb)
+    return min_label_components(pairs, a_col="vec_a", b_col="vec_b")
+
+
 # -------------------------------------------- LSH-bucketed ANN -------
 
 N_SIGN_BITS = 4  # bucket = sign bits of the first 4 dimensions

@@ -74,57 +74,64 @@ def register(name: str, oracle: str | None = None):
 # regardless of position stay oracle-gated by
 # tests/test_oracle_parity.py every round.
 #
-# r8 window: the 31 oracle-bearing r7 sitters rotate back in (policy
-# (a): nobody's last driver-green row goes older than one round);
-# media_decode_resize (no-oracle) keeps sitting on its hash-gated
-# checksum witness. Must-stays: embed_quantize_int8 (red in r7 — the
-# representation fix needs its first driver-green row), stock_matchmaker
-# (no oracle, no hash-gated witness → never sits), and the five r8-new
-# queries (ann_ivf_int8, source_mix_sample, ts_subsequence_match,
-# ts_subsequence_sax: new sole evidence, must be in-window; the fifth
-# new surface, ivf_store, is library+pytest — probe≡ann_ivf_int8
-# pinned). Sitting out r8 — every one hash-green in r7
-# (CORRECTNESS_r07), witness noted:
+# r9 window: the 36 r8 sitters rotate back in (policy (a): nobody's
+# last driver-green row goes older than one round), except
+# media_decode_resize (no-oracle) which keeps sitting on its hash-gated
+# checksum witness. Must-stays: stock_matchmaker (no oracle, no
+# hash-gated witness → never sits) and the two r9-new queries
+# (dedup_semantic, curation_manifest_semantic: new sole evidence, must
+# be in-window; the r9-new sax_store surface is library+pytest —
+# probe≡ts_subsequence_sax pinned). Twelve r8-greens also KEEP their
+# window seats because their in-window witnesses would be thin:
+# media_decode_checksum (the no-oracle sitter's witness), nexmark_q11
+# (only session-window query), wordcount_two_input (only
+# connect/CoFlatMap), async_enrich (only AsyncDataStream), fraud_alerts
+# (only BroadcastState), q3_emit_once_join (only emit-once semantics),
+# all_window_agg (only non-keyed window), asof_join (distinct
+# tagged-union kernel), sequence_pack (distinct packing kernel),
+# ann_ivf_int8 (int8 fused-kernel anchor; embed_quantize_int8's
+# witness), ts_subsequence_match + ts_subsequence_sax (the ts family).
+# Sitting out r9 — every one hash-green in r8 (CORRECTNESS_r08),
+# witness noted:
 DEPRIORITIZED = [
-    "nexmark_q1",              # §2B Q1 map: nexmark_q5 (in, bid parse) + props_rollup (scalar fns, in)
-    "nexmark_q2",              # §2B Q2 filter: tpch_q6 (in, filter agg)
-    "nexmark_q3",              # §2B Q3 SQL image: q3_emit_once_join (in, the Q3 emit semantics)
-    "nexmark_q8",              # §2B Q8 windowed equi-join: interval_join (in, time-bounded join)
-    "tpch_q1",                 # scan agg: revenue_rollup + decimal_accumulators (in)
-    "tpch_q3",                 # multi-join agg: tpch_q5, tpch_q7 (in)
-    "tpch_q10",                # multi-join agg: tpch_q5, tpch_q7 (in)
-    "tpch_q18",                # join + having: top_orders_per_customer (in, window rank + join)
-    "keyed_agg",               # sum/min/max/minBy/maxBy: minby_maxby (in)
-    "tumbling_window_agg",     # tumbling windows: all_window_agg + nexmark_q5 (in)
-    "wordcount",               # §2B WC: wordcount_two_input (in; same tokenize+count, superset)
-    "sliding_count_window",    # count windows + evictor: count_window (in) + nexmark_q5 (sliding, in)
-    "delta_evictor_window",    # evictors: time_evictor_window + delta_trigger (in)
-    "continuous_trigger",      # triggers: delta_trigger (in) + streaming twins (state.py)
-    "purging_trigger",         # triggers: delta_trigger (in) + purging stream twin (queries.py)
-    "token_count",             # tokenizer: bpe_token_estimate + doc_chunk (in; shared tokenizer)
-    "quality_score",           # quality expr: source_quality_rollup (in, composes it)
-    "lang_id",                 # lang expr: source_quality_rollup (in, composes it)
-    "doc_fingerprint",         # rolling hash: dedup_substring (in; winnowed k-gram hashing, same rolling-hash class)
-    "dedup_exact",             # hash dedup: curation_manifest (in, composes exact dedup)
-    "dedup_bag",               # token-bag dedup: dedup_simhash (in, token-level near-dup)
-    "ngram_jaccard",           # shingle similarity: dedup_minhash_lsh (in-window anchor) + ngram_counts (in)
-    "decontaminate_flags",     # semi-join kernel: semi_join_orders (in)
-    "repetition_ratio",        # repetition expr: source_quality_rollup (in, composes it)
-    "pii_redact",              # PII regexes: curation_manifest (in, composes pii_scrub)
-    "url_normalize",           # scalar regex canonicalization: props_rollup (in, scalar/string fns)
-    "media_metadata",          # multimodal map-side: media_byte_features (in)
-    "media_frame_sample",      # multimodal map-side: media_byte_features (in)
-    "ann_lsh_bucketed",        # SRP-LSH: cosine_near_dup_lsh (in)
-    "ivf_refine",              # one Lloyd step: ann_ivf (in) + ivf_refine_iters (in-window anchor)
-    "train_split",             # md5-bucket split: split_rollup (in, same kernel)
-    "source_cap_sample",       # md5-order rank cap: split_rollup (in, md5-deterministic sampling family)
+    "nexmark_q5",              # §2B Q5 sliding agg: sliding_count_window (in, sliding) + tumbling_window_agg (in)
+    "tpch_q5",                 # multi-join agg: tpch_q3, tpch_q10 (in)
+    "tpch_q6",                 # filter agg: nexmark_q2 (in, filter) + tpch_q1 (in, scan agg)
+    "tpch_q7",                 # multi-join agg: tpch_q3, tpch_q10 (in)
+    "tpch_q14",                # join + conditional agg: tpch_q3 (in)
+    "revenue_rollup",          # scan agg: tpch_q1 (in)
+    "props_rollup",            # scalar fns: token_count + url_normalize (in, scalar/string fns)
+    "source_quality_rollup",   # composes quality_score + lang_id + repetition_ratio (all in)
+    "ngram_counts",            # shingle counts: ngram_jaccard (in, same shingle kernel)
+    "semi_join_orders",        # semi-join kernel: decontaminate_flags (in, same kernel)
+    "split_rollup",            # md5-bucket rollup: train_split + source_cap_sample (in, same kernel)
+    "customers_without_orders",  # anti-join: curation_manifest_semantic (in, left-anti) + tpch family (in)
+    "top_orders_per_customer",   # window rank + join: tpch_q18 (in)
+    "keyed_running_reduce",    # KeyedStream.reduce: keyed_agg (in, keyed fold family)
+    "minby_maxby",             # minBy/maxBy: keyed_agg (in, same struct-MIN/MAX kernel)
+    "decimal_accumulators",    # BigDecimal accumulators: tpch_q1 (in, decimal scan agg)
+    "delta_trigger",           # triggers: continuous_trigger + purging_trigger (in)
+    "time_evictor_window",     # evictors: delta_evictor_window (in)
+    "count_window",            # count windows: sliding_count_window (in)
+    "interval_join",           # time-bounded join: nexmark_q8 (in, windowed equi-join)
+    "curation_manifest",       # curation_manifest_semantic (in) COMPOSES it wholesale
+    "dedup_minhash_lsh",       # dedup_clusters (in) composes its pair kernel; ngram_jaccard (in)
+    "dedup_simhash",           # token-level near-dup: dedup_bag (in)
+    "dedup_substring",         # rolling-hash winnowing: doc_fingerprint (in, same rolling-hash class)
+    "cosine_near_dup_exact",   # exact-cosine GEMM: knn_bruteforce (in, same kernel)
+    "cosine_near_dup_lsh",     # SRP-LSH pairs: dedup_semantic (in) COMPOSES cosine_lsh_pairs; ann_lsh_bucketed (in)
+    "ann_ivf",                 # centroid model + assign: ivf_refine (in, same kernel)
+    "ivf_refine_iters",        # iteration: ivf_refine (in, same step kernel) + dedup_clusters (in, driver-loop)
+    "knn_label_vote",          # knn_bruteforce (in) — label_vote EMBEDS its pipeline
+    "embed_quantize_int8",     # quantize kernel: ann_ivf_int8 (in, fused quantize+assign)
+    "source_mix_sample",       # md5-ppm sampling family: train_split + source_cap_sample (in)
+    "bigram_lm_score",         # shared _lm_tokens tokenizer: token_count (in); LM stream twin pytest
+    "keyword_extract",         # shared _lm_tokens tokenizer: token_count (in); stream twin pytest
+    "length_percentiles",      # doc-stats agg: quality_score (in, same stats family)
+    "doc_chunk",               # tokenizer: token_count (in, shared tokenizer)
+    "bpe_token_estimate",      # tokenizer: token_count (in, shared tokenizer)
+    "media_byte_features",     # multimodal map-side: media_metadata + media_frame_sample (in)
     "media_decode_resize",     # NO_ORACLE_SITTER_WITNESS: media_decode_checksum (in)
-    # three more r7-green sitters so the r8-new source_mix_sample,
-    # ts_subsequence_match, and ts_subsequence_sax get driver rows
-    # (window stays 50):
-    "cogroup_apply",           # two-input Arrow batch: wordcount_two_input (in) + oracle pytest
-    "knn_bruteforce",          # exact-cosine kernel: knn_label_vote (in) EMBEDS its full pipeline+oracle; cosine_near_dup_exact (in, same kernel)
-    "dedup_clusters",          # iterate() row: ivf_refine_iters (in, same driver-loop localCheckpoint iteration); dedup_minhash_lsh (in) generates its input pairs; label-prop pytest
 ]
 
 # A no-oracle query may sit out ONLY with a named in-window witness
