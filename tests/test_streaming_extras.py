@@ -1732,3 +1732,136 @@ def test_minhash_flag_stream_ttl_variant_and_index_handle(spark):
     assert len(handles) == 1 and handles[0].is_cached
     handles[0].unpersist(blocking=True)
     assert not handles[0].is_cached
+
+
+def test_probe_index_stream_equals_batch(spark, tmp_path):
+    """Streaming ANN probes over the persisted IVF index: arriving
+    probe vectors, replayed one-per-file across micro-batches, must
+    produce the UNION of exactly the batch ``probe_index`` rows — each
+    micro-batch routes against the stored centroids and reads the
+    index with its own partition-pruned filter (probe independence
+    makes the union ≡ the one-batch image)."""
+    import os
+    import time as _time
+
+    from trisk_spark.functions import ivf_store
+    from trisk_spark.functions.similarity import N_PROBES
+
+    path = str(tmp_path / "ivf")
+    ivf_store.write_index(spark, SF, path)
+
+    # one parquet file per probe vector, mtime-staggered so the file
+    # stream replays them in id order, 2 per micro-batch
+    probes_dir = str(tmp_path / "probes")
+    emb = table(spark, SF, "embeddings").where(F.col("vec_id") < N_PROBES)
+    rows = emb.collect()
+    assert len(rows) == N_PROBES
+    for i, r in enumerate(rows):
+        spark.createDataFrame(
+            [(r.vec_id, r.embedding)], "vec_id long, embedding array<float>"
+        ).coalesce(1).write.mode("append").parquet(probes_dir)
+    now = int(_time.time())
+    parts = sorted(
+        f for f in os.listdir(probes_dir)
+        if f.startswith("part-") and f.endswith(".parquet")
+    )
+    for i, fname in enumerate(parts):
+        os.utime(os.path.join(probes_dir, fname), times=(now + i, now + i))
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(probes_dir)
+    )
+
+    emitted = []
+    batches = []
+
+    def sink(bdf, bid):
+        got = bdf.collect()
+        if got:
+            batches.append(bid)
+        emitted.extend(got)
+
+    q = (
+        ivf_store.probe_index_stream(spark, stream, SF, path, sink)
+        .option("checkpointLocation", checkpoint_dir("ivfprobe"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(batches) >= 2, "probes all landed in one micro-batch — vacuous"
+
+    got = sorted(
+        (r.query_id, r.rank, r.neighbor_id, r.cosine_sim) for r in emitted
+    )
+    want = sorted(
+        (r.query_id, r.rank, r.neighbor_id, r.cosine_sim)
+        for r in ivf_store.probe_index(spark, SF, path).collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_probe_store_stream_equals_batch(spark, tmp_path):
+    """Streaming pattern probes over the persisted SAX window index:
+    arriving probe windows, replayed one-per-file across micro-batches,
+    must produce the UNION of exactly the batch ``probe_store`` rows —
+    each micro-batch attaches stats + SAX word with the batch
+    expressions and reads only its words' partitions."""
+    import os
+    import time as _time
+
+    from trisk_spark.catalog import table as _table
+    from trisk_spark.functions import sax_store
+    from trisk_spark.functions.timeseries import sax_probe_rows
+
+    path = str(tmp_path / "sax")
+    sax_store.write_windows(spark, SF, path)
+
+    probe_rows = sax_probe_rows(_table(spark, SF, "events"))
+    assert len(probe_rows) >= 2
+    probes_dir = str(tmp_path / "probes")
+    for r in probe_rows:
+        spark.createDataFrame(
+            [(int(r.probe_user), [int(x) for x in r.pw])],
+            "probe_user long, w array<long>",
+        ).coalesce(1).write.mode("append").parquet(probes_dir)
+    now = int(_time.time())
+    parts = sorted(
+        f for f in os.listdir(probes_dir)
+        if f.startswith("part-") and f.endswith(".parquet")
+    )
+    for i, fname in enumerate(parts):
+        os.utime(os.path.join(probes_dir, fname), times=(now + i, now + i))
+    stream = (
+        spark.readStream.schema("probe_user long, w array<long>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(probes_dir)
+    )
+
+    emitted = []
+    batches = []
+
+    def sink(bdf, bid):
+        got = bdf.collect()
+        if got:
+            batches.append(bid)
+        emitted.extend(got)
+
+    q = (
+        sax_store.probe_store_stream(spark, stream, path, sink)
+        .option("checkpointLocation", checkpoint_dir("saxprobe"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(batches) >= 2, "probes all landed in one micro-batch — vacuous"
+
+    got = sorted(
+        (r.probe_user, r.rank, r.match_user, r.match_seq, r.dist2)
+        for r in emitted
+    )
+    want = sorted(
+        (r.probe_user, r.rank, r.match_user, r.match_seq, r.dist2)
+        for r in sax_store.probe_store(spark, SF, path).collect()
+    )
+    assert got == want and len(got) > 0

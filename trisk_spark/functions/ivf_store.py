@@ -39,7 +39,7 @@ from trisk_spark.functions.similarity import (
     _int8_candidates_and_rerank,
     _int8_centroid_model,
     _quantize_assign_gemm,
-    _route_probes_int8,
+    _route_probe_frame,
     _valid_embeddings,
 )
 
@@ -60,6 +60,38 @@ def write_index(spark: SparkSession, sf_dir: str, path: str) -> None:
     cents.write.mode("overwrite").parquet(f"{path}/centroids")
 
 
+def probe_frame(
+    spark: SparkSession,
+    probe_emb: DataFrame,
+    corpus_emb: DataFrame,
+    path: str,
+) -> DataFrame:
+    """Top-K search over the PERSISTED index for an ARBITRARY
+    (vec_id, embedding) probe frame: route it against the stored
+    centroids, statically prune the index read to the routed lists
+    (the routed ids cross the driver as a handful of ints — the
+    routing-decision collect class), and run the shared int8-candidate
+    + exact-re-rank stages with ``corpus_emb`` supplying neighbor-side
+    raw embeddings and ``probe_emb`` the query side. The shared engine
+    of ``probe_index`` (batch query set) and ``probe_index_stream``
+    (per-micro-batch arriving probes)."""
+    probe_emb = _valid_embeddings(probe_emb)
+    cents = spark.read.parquet(f"{path}/centroids")
+    qlists = _route_probe_frame(probe_emb, cents)
+    routed = sorted(
+        {r.list_id for r in qlists.select("list_id").distinct().collect()}
+    )
+    index = spark.read.parquet(f"{path}/index").where(
+        # an empty probe batch (streaming) routes nowhere: read nothing
+        F.col("list_id").isin([int(x) for x in routed])
+        if routed
+        else F.lit(False)
+    )
+    return _int8_candidates_and_rerank(
+        corpus_emb, qlists, index, probe_emb=probe_emb
+    )
+
+
 def probe_index(spark: SparkSession, sf_dir: str, path: str) -> DataFrame:
     """Top-K search over the PERSISTED index: route the probe set
     (vec_id < N_PROBES from ``sf_dir``) against the stored centroids,
@@ -67,13 +99,41 @@ def probe_index(spark: SparkSession, sf_dir: str, path: str) -> DataFrame:
     shared int8-candidate + exact-re-rank stages. Returns the same
     (query_id, neighbor_id, cosine_sim, rank) frame as
     ``ann_ivf_int8``."""
+    from trisk_spark.functions.similarity import N_PROBES
+
     emb = _valid_embeddings(table(spark, sf_dir, "embeddings"))
-    cents = spark.read.parquet(f"{path}/centroids")
-    qlists = _route_probes_int8(emb, cents)
-    routed = sorted(
-        {r.list_id for r in qlists.select("list_id").distinct().collect()}
+    return probe_frame(
+        spark, emb.where(F.col("vec_id") < N_PROBES), emb, path
     )
-    index = spark.read.parquet(f"{path}/index").where(
-        F.col("list_id").isin([int(x) for x in routed])
-    )
-    return _int8_candidates_and_rerank(emb, qlists, index)
+
+
+def probe_index_stream(
+    spark: SparkSession,
+    probes_stream: DataFrame,
+    ref_sf_dir: str,
+    path: str,
+    sink,
+):
+    """Streaming probe path over the persisted index — "answer ANN
+    queries as they arrive": each micro-batch of probe vectors is
+    routed against the stored centroid model and the index is read
+    with that batch's OWN static ``list_id IN (...)`` partition filter
+    (``foreachBatch`` turns the micro-batch into a plain DataFrame, so
+    the per-batch pruned read is exactly ``probe_frame`` — the
+    stream-static pattern ``minhash_flag_stream`` established, plus
+    per-batch pruning, which a declarative stream-static join could
+    not express: the static side's partition filter must depend on the
+    arriving data). Probes are independent rows, so the union of
+    per-batch results equals the one-batch image (stream≡batch
+    pytest-pinned against ``probe_index``).
+
+    ``sink(result_df, batch_id)`` receives each batch's (query_id,
+    neighbor_id, cosine_sim, rank) frame. Returns the
+    ``DataStreamWriter`` ready to ``.start()`` (caller sets
+    checkpoint/trigger)."""
+    corpus = _valid_embeddings(table(spark, ref_sf_dir, "embeddings"))
+
+    def fb(batch_df: DataFrame, batch_id: int) -> None:
+        sink(probe_frame(spark, batch_df, corpus, path), batch_id)
+
+    return probes_stream.writeStream.outputMode("append").foreachBatch(fb)

@@ -42,9 +42,11 @@ from trisk_spark.catalog import table
 from trisk_spark.functions.timeseries import (
     N_TS_PROBES,
     _ts_raw_windows,
+    attach_window_stats,
     sax_probe_rows,
     sax_probes_df,
     sax_score_topk,
+    sax_word_col,
     ts_sax_windows_gemm,
 )
 
@@ -75,8 +77,58 @@ def probe_store(
     ``ts_subsequence_sax``."""
     ev = table(spark, sf_dir, "events")
     probe_rows = sax_probe_rows(ev, n_probes)
+    return _probe_rows_over_store(spark, probe_rows, path)
+
+
+def _probe_rows_over_store(spark: SparkSession, probe_rows, path: str):
+    """Shared tail of the batch and per-micro-batch store probes:
+    driver-held probe rows → static word partition filter → shared
+    broadcast-equi-join scoring."""
     words = sorted({int(r.pword) for r in probe_rows})
     sx = spark.read.parquet(f"{path}/windows").where(
-        F.col("word").isin(words)
+        # an empty probe batch (streaming) routes nowhere: read nothing
+        F.col("word").isin(words) if words else F.lit(False)
     )
     return sax_score_topk(sax_probes_df(spark, probe_rows), sx)
+
+
+def probe_store_stream(
+    spark: SparkSession,
+    probe_windows_stream: DataFrame,
+    path: str,
+    sink,
+):
+    """Streaming subsequence-pattern probes over the persisted window
+    index — "screen this just-observed pattern against the stored
+    corpus": each micro-batch of arriving probe windows
+    ((probe_user, w) cents arrays) gets its stats + SAX word attached
+    by the SAME JVM expressions as the batch build, and the store is
+    read with that batch's OWN static ``word IN (...)`` partition
+    filter (``foreachBatch`` — per-batch pruning that a declarative
+    stream-static join cannot express, the ``probe_index_stream``
+    pattern). Probes are independent rows, so the union of per-batch
+    results equals the one-batch image (stream≡batch pytest-pinned
+    against ``probe_store``).
+
+    ``sink(result_df, batch_id)`` receives each batch's (probe_user,
+    match_user, match_seq, dist2, rank) frame. Returns the
+    ``DataStreamWriter`` ready to ``.start()``."""
+
+    def fb(batch_df: DataFrame, batch_id: int) -> None:
+        probe_rows = (
+            attach_window_stats(batch_df.select("probe_user", "w"))
+            .withColumn("word", sax_word_col())
+            .select(
+                "probe_user",
+                F.col("w").alias("pw"),
+                F.col("mu").alias("pmu"),
+                F.col("sd").alias("psd"),
+                F.col("word").alias("pword"),
+            )
+            .collect()
+        )
+        sink(_probe_rows_over_store(spark, probe_rows, path), batch_id)
+
+    return probe_windows_stream.writeStream.outputMode("append").foreachBatch(
+        fb
+    )

@@ -1773,14 +1773,22 @@ def _int8_centroid_model(spark: SparkSession, emb: DataFrame):
 
 
 def _route_probes_int8(emb: DataFrame, cents: DataFrame) -> DataFrame:
-    """Probe routing: the identical map-side array-sort routing as
-    ``ann_ivf``, on the quantized probe vectors — one exploded row per
-    (query, probed list). vec_id < N_PROBES is applied to the RAW scan
-    before quantizing (commutes with the oracle's CTE filter):
-    Catalyst's collapsed filter orders the qnorm > 0 fold BEFORE the
-    vec_id conjunct, so filtering afterwards would run the interpreted
-    quantize corpus-wide (measured 1.5 s at sf0.1)."""
-    probes = _quantized_corpus(emb.where(F.col("vec_id") < N_PROBES)).select(
+    """Probe routing for the standard query set: vec_id < N_PROBES is
+    applied to the RAW scan before quantizing (commutes with the
+    oracle's CTE filter): Catalyst's collapsed filter orders the
+    qnorm > 0 fold BEFORE the vec_id conjunct, so filtering afterwards
+    would run the interpreted quantize corpus-wide (measured 1.5 s at
+    sf0.1)."""
+    return _route_probe_frame(emb.where(F.col("vec_id") < N_PROBES), cents)
+
+
+def _route_probe_frame(probe_emb: DataFrame, cents: DataFrame) -> DataFrame:
+    """Probe routing over an ARBITRARY (vec_id, embedding) probe frame
+    (a filtered query set, or a streaming micro-batch of arriving
+    probes): the identical map-side array-sort routing as ``ann_ivf``,
+    on the quantized probe vectors — one exploded row per (query,
+    probed list)."""
+    probes = _quantized_corpus(probe_emb).select(
         "vec_id", F.col("qvec").alias("vec"), F.col("qnorm").alias("norm")
     )
     qtop = _with_cent_array(probes, cents).select(
@@ -1805,13 +1813,20 @@ def _route_probes_int8(emb: DataFrame, cents: DataFrame) -> DataFrame:
 
 
 def _int8_candidates_and_rerank(
-    emb: DataFrame, qlists: DataFrame, assign: DataFrame
+    emb: DataFrame,
+    qlists: DataFrame,
+    assign: DataFrame,
+    probe_emb: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate scoring in the int8 domain + exact re-rank — shared by
     the direct ``ann_ivf_int8`` query and the persisted-index probe
-    (``functions/ivf_store.py``). ``assign`` is any (vec_id, qvec,
-    qnorm, list_id) relation: the fused kernel's output or a
-    partition-pruned read of the written index."""
+    (``functions/ivf_store.py``, batch AND per-micro-batch streaming).
+    ``assign`` is any (vec_id, qvec, qnorm, list_id) relation: the
+    fused kernel's output or a partition-pruned read of the written
+    index. ``probe_emb`` supplies the query-side raw embeddings for the
+    exact re-rank when the probes are NOT rows of ``emb`` (arriving
+    streaming probes); default is ``emb`` itself (the standard
+    query-set-within-corpus shape)."""
     from pyspark.sql import Window
 
     q_cos = _dot(F.col("p_qvec"), F.col("qvec")).cast("double") / (
@@ -1844,7 +1859,7 @@ def _int8_candidates_and_rerank(
         .join(F.broadcast(cand), "neighbor_id")
     )
     pairs = (
-        emb.select(
+        (probe_emb if probe_emb is not None else emb).select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("p_emb"),
         )

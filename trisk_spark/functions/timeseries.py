@@ -127,14 +127,14 @@ def _ts_raw_windows(events: DataFrame) -> DataFrame:
     ).where(F.size("w") == TS_WINDOW)
 
 
-def ts_windows(events: DataFrame) -> DataFrame:
-    """Full z-normalizable sliding windows per user: (user_id, seq, w,
-    mu, sd) — ``_ts_raw_windows`` plus exact integer sums and the
-    shared variance guard (JVM expression form; the registered query's
-    hot path computes the same stats inside the scoring kernel)."""
-    win = _ts_raw_windows(events)
+def attach_window_stats(win: DataFrame) -> DataFrame:
+    """Exact integer window sums → (…, w, mu, sd) with the shared
+    zero-variance guard, over ANY frame carrying a ``w`` cents array
+    (the batch window build, or a streaming micro-batch of arriving
+    probe windows) — JVM expression form; other columns pass through."""
+    rest = [c for c in win.columns if c != "w"]
     m = win.select(
-        "user_id", "seq", "w",
+        *rest, "w",
         (_fold_sum(F.col("w")).cast("double") / TS_WINDOW).alias("mu"),
         (
             _fold_sum(F.transform("w", lambda x: x * x)).cast("double")
@@ -144,10 +144,18 @@ def ts_windows(events: DataFrame) -> DataFrame:
     return (
         m.where(F.col("m2") - F.col("mu") * F.col("mu") > 0)
         .select(
-            "user_id", "seq", "w", "mu",
+            *rest, "w", "mu",
             F.sqrt(F.col("m2") - F.col("mu") * F.col("mu")).alias("sd"),
         )
     )
+
+
+def ts_windows(events: DataFrame) -> DataFrame:
+    """Full z-normalizable sliding windows per user: (user_id, seq, w,
+    mu, sd) — ``_ts_raw_windows`` plus ``attach_window_stats`` (the
+    registered query's hot path computes the same stats inside the
+    scoring kernel)."""
+    return attach_window_stats(_ts_raw_windows(events))
 
 
 def ts_probes(events: DataFrame, n_probes: int = N_TS_PROBES) -> DataFrame:
