@@ -1865,3 +1865,74 @@ def test_probe_store_stream_equals_batch(spark, tmp_path):
         for r in sax_store.probe_store(spark, SF, path).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_semantic_flag_stream_equals_batch(spark):
+    """Streaming semantic ingest-dedup flag: the flagged-vector set
+    must equal the uncapped batch image (vectors sharing any SRP band
+    with a DIFFERENT corpus vector at cosine >= NEAR_DUP_COS), and a
+    band collision below the cosine threshold must never flag."""
+    from trisk_spark.functions.similarity import (
+        NEAR_DUP_COS,
+        _dot,
+        _scaled,
+        _srp_bands,
+        _valid_embeddings,
+    )
+    from trisk_spark.streaming.queries import semantic_flag_stream
+
+    stream = replay_stream(spark, SF, "embeddings", n_chunks=4, order_col="vec_id")
+    handles: list = []
+    emitted = []
+    q = (
+        semantic_flag_stream(stream, spark, SF, index_out=handles)
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda bdf, bid: emitted.extend(bdf.collect()))
+        .option("checkpointLocation", checkpoint_dir("semflag"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(r.vec_id for r in emitted)
+    assert len(got) == len(set(got)), "a vector flagged twice"
+
+    n = (
+        _valid_embeddings(table(spark, SF, "embeddings"))
+        .select("vec_id", _scaled(F.col("embedding")).alias("vec"))
+        .withColumn("norm", _dot(F.col("vec"), F.col("vec")))
+        .where(F.col("norm") > 0)
+    )
+    a = _srp_bands(n.select("vec_id", "vec")).join(
+        n.select("vec_id", "norm"), "vec_id"
+    )
+    b = a.select(
+        F.col("vec_id").alias("ref_id"), F.col("vec").alias("ref_vec"),
+        F.col("norm").alias("ref_norm"), "band_idx", "bv",
+    )
+    cos = _dot(F.col("vec"), F.col("ref_vec")).cast("double") / (
+        F.sqrt(F.col("norm").cast("double"))
+        * F.sqrt(F.col("ref_norm").cast("double"))
+    )
+    want = sorted(
+        r.vec_id
+        for r in a.join(b, ["band_idx", "bv"])
+        .where((F.col("vec_id") != F.col("ref_id")) & (cos >= NEAR_DUP_COS))
+        .select("vec_id")
+        .distinct()
+        .collect()
+    )
+    assert got == want and len(got) > 0
+    # sanity: banding alone over-collides — the cosine verify must be
+    # doing real work (some band-sharing pair is below the threshold)
+    n_band_only = (
+        a.join(b, ["band_idx", "bv"])
+        .where(F.col("vec_id") != F.col("ref_id"))
+        .select("vec_id")
+        .distinct()
+        .count()
+    )
+    assert n_band_only > len(want), "cosine verify is vacuous here"
+
+    assert len(handles) == 1 and handles[0].is_cached
+    handles[0].unpersist(blocking=True)
+    assert not handles[0].is_cached

@@ -382,6 +382,40 @@ FROM cand WHERE cos >= {NEAR_DUP_COS}
 """
 
 
+def srp_band_val(vec_col: Column, b: int) -> Column:
+    """Band ``b``'s sign-bit value of a scaled-int vector — the exact
+    expression image of ``_COS_BAND_SQL[b]``, shared by the batch LSH
+    pair kernel and the streaming semantic-dup flag (which must band
+    arriving vectors with the SAME bits to meet the persisted index)."""
+    out = F.lit(0)
+    for i in range(COS_BAND_DIMS):
+        out = out + F.when(
+            F.element_at(vec_col, b * COS_BAND_DIMS + i + 1) >= 0,
+            F.lit(1 << i),
+        ).otherwise(0)
+    return out
+
+
+def _srp_bands(n: DataFrame) -> DataFrame:
+    """Explode a (vec_id, vec) frame to one row per SRP band:
+    (vec_id, vec, band_idx, bv) — map-side, in-row."""
+    return n.select(
+        "vec_id",
+        "vec",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        srp_band_val(F.col("vec"), b).alias("bv"),
+                    )
+                    for b in range(COS_NB_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("vec_id", "vec", "band.band_idx", "band.bv")
+
+
 def _gemm_bucket_pairs(batches):
     """mapInPandas kernel: each input row is ONE LSH bucket (ids, vecs);
     a numpy GEMM scores all in-bucket pairs i<j, threshold applied
@@ -476,28 +510,7 @@ def cosine_lsh_pairs(
         .select("vec_id", _scaled(F.col("embedding")).alias("vec"))
         .where(_dot(F.col("vec"), F.col("vec")) > 0)
     )
-
-    def band_val(b: int) -> Column:
-        out = F.lit(0)
-        for i in range(COS_BAND_DIMS):
-            out = out + F.when(
-                F.element_at(F.col("vec"), b * COS_BAND_DIMS + i + 1) >= 0,
-                F.lit(1 << i),
-            ).otherwise(0)
-        return out
-
-    bands = n.select(
-        "vec_id",
-        "vec",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("band_idx"), band_val(b).alias("bv"))
-                    for b in range(COS_NB_BANDS)
-                ]
-            )
-        ).alias("band"),
-    ).select("vec_id", "vec", "band.band_idx", "band.bv")
+    bands = _srp_bands(n)
     if expect_degenerate:
         w = Window.partitionBy("band_idx", "bv").orderBy("vec_id")
         capped = bands.withColumn("rn", F.row_number().over(w)).where(

@@ -617,3 +617,82 @@ def minhash_flag_stream(
         .dropDuplicatesWithinWatermark(["doc_id"])
         .select("doc_id")
     )
+
+
+def semantic_flag_stream(
+    emb_stream: DataFrame,
+    spark,
+    ref_sf_dir: str,
+    index_out: list | None = None,
+) -> DataFrame:
+    """Streaming SEMANTIC ingest-dedup flag — "is this arriving
+    document's embedding a near-duplicate of anything already in the
+    corpus?": the SRP-LSH analog of ``minhash_flag_stream``, completing
+    the semantic-dedup story (``dedup_semantic`` is the batch
+    clusterer; this is its ingest-time gate). The corpus's band index
+    is built ONCE batch-side (scaled-int vectors + their exact integer
+    norms, exploded to one row per band, bucket-capped to the
+    VEC_BUCKET_CAP smallest vec_ids exactly like the batch kernel so a
+    degenerate corpus cannot fan a micro-batch out unboundedly; at
+    100 TB a bucketed table, here a persisted frame — pass
+    ``index_out=[]`` to take ownership for unpersist). Each arriving
+    embedding is scaled, normed, and banded ENTIRELY in-row (the SAME
+    ``srp_band_val`` bits — zero shuffle), meets the index in a
+    stream-static equi-join on (band_idx, bv), and candidates are
+    VERIFIED in the join row: exact integer dot + the batch's
+    cosine ≥ NEAR_DUP_COS test — band collision alone never flags.
+    ``dropDuplicates`` on vec_id emits each flag once. Append mode.
+    Stream≡batch pytest-pinned against the uncapped band∩cosine
+    image."""
+    from trisk_spark.catalog import table
+    from trisk_spark.functions.similarity import (
+        NEAR_DUP_COS,
+        VEC_BUCKET_CAP,
+        _dot,
+        _scaled,
+        _srp_bands,
+        _valid_embeddings,
+    )
+    from pyspark.sql import Window
+
+    ref = (
+        _valid_embeddings(table(spark, ref_sf_dir, "embeddings"))
+        .select("vec_id", _scaled(F.col("embedding")).alias("vec"))
+        .where(_dot(F.col("vec"), F.col("vec")) > 0)
+    )
+    w = Window.partitionBy("band_idx", "bv").orderBy("vec_id")
+    ref_bands = (
+        _srp_bands(ref)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= VEC_BUCKET_CAP)
+        .select(
+            F.col("vec_id").alias("ref_id"),
+            F.col("vec").alias("ref_vec"),
+            _dot(F.col("vec"), F.col("vec")).alias("ref_norm"),
+            "band_idx",
+            "bv",
+        )
+        .persist()
+    )
+    if index_out is not None:
+        index_out.append(ref_bands)
+    arriving = (
+        _valid_embeddings(emb_stream)
+        .select("vec_id", _scaled(F.col("embedding")).alias("vec"))
+        .withColumn("norm", _dot(F.col("vec"), F.col("vec")))
+        .where(F.col("norm") > 0)
+    )
+    cos = _dot(F.col("vec"), F.col("ref_vec")).cast("double") / (
+        F.sqrt(F.col("norm").cast("double"))
+        * F.sqrt(F.col("ref_norm").cast("double"))
+    )
+    return (
+        _srp_bands(arriving.select("vec_id", "vec"))
+        .join(
+            arriving.select("vec_id", "norm"), "vec_id"
+        )
+        .join(ref_bands, ["band_idx", "bv"])
+        .where((F.col("vec_id") != F.col("ref_id")) & (cos >= NEAR_DUP_COS))
+        .select("vec_id")
+        .dropDuplicates(["vec_id"])
+    )
