@@ -86,3 +86,27 @@ def test_curation_manifest_semantic_plan_stays_bucketed(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "LeftAnti" in plan, plan
+
+
+def test_min_label_components_raises_on_capped_exit(spark, monkeypatch):
+    # an unconverged exit must raise, never return silently-wrong
+    # labels (the 100 TB correctness cliff: a chain longer than the
+    # round budget would mislabel clusters)
+    import pytest
+
+    from trisk_spark.functions import dedup
+
+    path_edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "doc_a long, doc_b long"
+    )
+    monkeypatch.setattr(dedup, "MAX_CC_ITERS", 1)
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.min_label_components(path_edges)
+    monkeypatch.undo()
+    # sanity: with the real budget the same graph converges to one
+    # cluster rooted at 0 in O(log diameter) pointer-jumped rounds
+    got = {
+        (r.doc_id, r.component)
+        for r in dedup.min_label_components(path_edges).collect()
+    }
+    assert got == {(i, 0) for i in range(9)}
