@@ -110,3 +110,37 @@ def test_min_label_components_raises_on_capped_exit(spark, monkeypatch):
         for r in dedup.min_label_components(path_edges).collect()
     }
     assert got == {(i, 0) for i in range(9)}
+
+
+def test_dedup_semantic_identical_corpus_single_cluster(spark, tmp_path):
+    # a spam-like corpus of identical embeddings is ONE semantic
+    # cluster rooted at the smallest doc_id — the bucket-capped pair
+    # kernel plus transitive closure must still connect everything
+    # (every vector shares every band), and nothing may go quadratic:
+    # pairs are bounded by C(cap, 2) per bucket
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from trisk_spark.registry import load_all
+
+    from .conftest import assert_matches_oracle
+
+    n = 120
+    vec = [0.25] * 64
+    tab = pa.table(
+        {
+            "vec_id": pa.array(list(range(n)), pa.int64()),
+            "embedding": pa.array([vec] * n, pa.list_(pa.float32())),
+            "label": pa.array([0] * n, pa.int32()),
+        }
+    )
+    pq.write_table(tab, tmp_path / "embeddings.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{tmp_path}/embeddings.parquet')"
+    )
+    qd = load_all()["dedup_semantic"]
+    got = {(r.doc_id, r.component) for r in qd.fn(spark, str(tmp_path)).collect()}
+    assert got == {(i, 0) for i in range(n)}
+    assert_matches_oracle(qd.fn(spark, str(tmp_path)), con, qd.oracle)
