@@ -73,6 +73,7 @@ HEADLINE = [
     # new-op policy):
     "dedup_semantic",
     "curation_manifest_semantic",
+    "ann_ivf_pq",
 ]
 
 
@@ -114,7 +115,23 @@ def main() -> None:
                 for n, t in timings.items()
                 if base["queries"].get(n)
             }
-    print(json.dumps(out))
+    line = json.dumps(out)
+    print(line)
+    # The driver's output capture keeps only the TAIL of the run and
+    # has clipped the head of this (long) line before (BENCH_r08
+    # "parsed: null"); persist the full JSON beside the repo so the
+    # numbers survive regardless of capture length.
+    try:
+        with open(
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "BENCH_LOCAL_LATEST.json",
+            ),
+            "w",
+        ) as f:
+            f.write(line + "\n")
+    except OSError:
+        pass  # read-only checkout: stdout already carried the result
 
 
 if __name__ == "__main__":

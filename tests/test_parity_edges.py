@@ -388,6 +388,7 @@ _SIM_FAMILY = [
     "knn_bruteforce", "cosine_near_dup_exact", "cosine_near_dup_lsh",
     "ann_lsh_bucketed", "ann_ivf", "knn_label_vote", "ivf_refine",
     "ivf_refine_iters", "embed_quantize_int8", "ann_ivf_int8",
+    "dedup_semantic", "pq_encode", "ann_ivf_pq",
 ]
 
 _DIM = 64
@@ -794,3 +795,26 @@ def test_ts_kernel_cents_overflow_guard_fires(spark):
     probe = [(0, 0.0, 1.0, list(range(TS_WINDOW)))]
     with _pytest.raises(Exception, match="bound exceeded"):
         ts_candidate_distances_gemm(spark, raw, probe).collect()
+
+
+def test_curation_manifest_semantic_parity_on_hostile_corpus(
+    spark, hostile_docs, hostile_embeddings, tmp_path
+):
+    # the composed manifest reads BOTH hostile tables at once: the
+    # documents side carries every text edge case, the embeddings side
+    # every degenerate vector (incl. the planted near-dup pair 40/41 —
+    # only doc 41 can lose a semantic cluster here, and only if doc 41
+    # exists in the manifest). Parity must hold on the union corpus.
+    import shutil
+
+    docs_dir, _ = hostile_docs
+    emb_dir, _ = hostile_embeddings
+    shutil.copy(f"{docs_dir}/documents.parquet", tmp_path / "documents.parquet")
+    shutil.copy(f"{emb_dir}/embeddings.parquet", tmp_path / "embeddings.parquet")
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{tmp_path}/{t}.parquet')"
+        )
+    qd = QUERIES["curation_manifest_semantic"]
+    assert_matches_oracle(qd.fn(spark, str(tmp_path)), con, qd.oracle)

@@ -1,0 +1,159 @@
+"""IVF-PQ: recall vs exact, plan shape, encode structure, degenerate
+corpora (DuckDB parity for both registered queries lives in
+test_oracle_parity; hostile-corpus parity in test_parity_edges)."""
+
+from __future__ import annotations
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq_
+import pytest
+
+from trisk_spark.functions import pq as pqm
+from trisk_spark.registry import load_all
+
+from .conftest import SF_DIR, assert_matches_oracle
+
+
+def _topk(spark, reg, name, sf=SF_DIR):
+    out: dict[int, set[int]] = {}
+    for r in reg[name].fn(spark, sf).collect():
+        out.setdefault(r.query_id, set()).add(r.neighbor_id)
+    return out
+
+
+def test_ann_ivf_pq_recall_vs_exact(spark):
+    # the 8-byte code index must earn its 32× compression: the ADC
+    # candidate cut + exact re-rank should hold recall@10 within a
+    # small margin of the int8 index (the IVF probe miss, not the PQ
+    # approximation, should dominate — at sf0.001 all three index
+    # variants measure identical 0.54), and never below a floor
+    reg = load_all()
+    exact = _topk(spark, reg, "knn_bruteforce")
+    ivf8 = _topk(spark, reg, "ann_ivf_int8")
+    ivfpq = _topk(spark, reg, "ann_ivf_pq")
+    assert set(ivfpq) == set(exact), "a probe lost all its results"
+
+    def recall(approx):
+        hits = sum(len(approx.get(q, set()) & nb) for q, nb in exact.items())
+        return hits / sum(len(nb) for nb in exact.values())
+
+    r8, rpq = recall(ivf8), recall(ivfpq)
+    assert rpq >= r8 - 0.15, (rpq, r8)
+    assert rpq >= 0.3, rpq
+
+
+def test_ann_ivf_pq_plan_shape(spark):
+    # identical scale shape to ann_ivf_int8: index build is the fused
+    # kernel over the scan (zero shuffle), every join broadcast (no
+    # SortMergeJoin), and the ONLY hash-partition shuffles are the two
+    # candidate-sized query_id window ranks; the third Exchange is the
+    # SinglePartition collapse of the 64-row routing relation
+    import re
+
+    from .test_plans import no_auto_broadcast, static_plan
+
+    with no_auto_broadcast(spark):
+        plan = static_plan(spark, "ann_ivf_pq")
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert plan.count("hashpartitioning(query_id") == 2, plan
+    assert len(re.findall(r"^\(\d+\) Exchange$", plan, re.M)) <= 3, plan
+
+
+def test_pq_encode_structure(spark):
+    # every valid vector encodes to exactly PQ_M codes, each within
+    # [0, PQ_KSUB) — and the encode is total over the valid corpus
+    # (same row universe as the int8 quantizer's qnorm>0 gate)
+    rows = load_all()["pq_encode"].fn(spark, SF_DIR).collect()
+    by_vec: dict[int, dict[int, int]] = {}
+    for r in rows:
+        by_vec.setdefault(r.vec_id, {})[r.subspace] = r.code
+    assert len(by_vec) > 0
+    for vid, codes in by_vec.items():
+        assert sorted(codes) == list(range(pqm.PQ_M)), (vid, codes)
+        assert all(0 <= c < pqm.PQ_KSUB for c in codes.values()), (vid, codes)
+
+
+def test_pq_identical_corpus_single_code_and_full_clique(spark, tmp_path):
+    # a corpus of identical vectors: every row must take codeword 0 in
+    # every subspace (the one distinct codeword, ties to the smallest
+    # id), ADC cosine is exactly 1, and the search returns each
+    # probe's TOP_K smallest-id neighbors at cosine 1 — both engines
+    n = 60
+    vec = [0.25] * 64
+    tab = pa.table(
+        {
+            "vec_id": pa.array(list(range(n)), pa.int64()),
+            "embedding": pa.array([vec] * n, pa.list_(pa.float32())),
+            "label": pa.array([0] * n, pa.int32()),
+        }
+    )
+    pq_.write_table(tab, tmp_path / "embeddings.parquet")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/embeddings.parquet')"
+    )
+    reg = load_all()
+    enc = reg["pq_encode"].fn(spark, str(tmp_path)).collect()
+    assert len(enc) == n * pqm.PQ_M
+    assert all(r.code == 0 for r in enc)
+    sdf = reg["ann_ivf_pq"].fn(spark, str(tmp_path))
+    got = {(r.query_id, r.rank, r.neighbor_id, r.cosine_sim)
+           for r in sdf.collect()}
+    from trisk_spark.functions.similarity import N_PROBES, TOP_K
+
+    want = {
+        (q, k + 1, [i for i in range(n) if i != q][k], 1.0)
+        for q in range(N_PROBES)
+        for k in range(TOP_K)
+    }
+    assert got == want
+    assert_matches_oracle(
+        reg["ann_ivf_pq"].fn(spark, str(tmp_path)), con,
+        reg["ann_ivf_pq"].oracle,
+    )
+
+
+def test_pq_codebook_shape_degrades_on_tiny_corpus():
+    # fewer than PQ_KSUB valid rows: the codebook keeps LIMIT
+    # semantics (ksub = corpus size), mirroring the oracle's
+    import numpy as np
+
+    cq = np.arange(5 * 64, dtype=np.int64).reshape(5, 64)
+    cb = pqm._pq_codebook(cq)
+    assert cb.shape == (pqm.PQ_M, 5, pqm.PQ_DSUB)
+    # subspace s, codeword w is row w's s-th subvector
+    assert (cb[2][3] == cq[3, 2 * pqm.PQ_DSUB:3 * pqm.PQ_DSUB]).all()
+
+
+def test_adc_equals_full_int8_dot_on_reconstructions(spark):
+    # ADC's lookup-table sum must equal the plain dot of the probe
+    # against the RECONSTRUCTED vector (concatenated codewords) — the
+    # defining identity of product quantization, checked on real data
+    import numpy as np
+
+    from trisk_spark.functions.similarity import (
+        _int8_centroid_model,
+        _valid_embeddings,
+    )
+    from trisk_spark.catalog import table
+
+    emb = _valid_embeddings(table(spark, SF_DIR, "embeddings"))
+    cq, cn, cids, cents = _int8_centroid_model(spark, emb)
+    cb = pqm._pq_codebook(cq)
+    codes, recon = pqm._pq_encode_np(cq, cb)  # encode the model rows
+    for i in range(cq.shape[0]):
+        rec = np.concatenate([cb[s][codes[i, s]] for s in range(pqm.PQ_M)])
+        assert (rec * rec).sum() == recon[i]
+        p = cq[(i + 1) % cq.shape[0]]
+        lut = sum(
+            int(cb[s][codes[i, s]] @ p[s * pqm.PQ_DSUB:(s + 1) * pqm.PQ_DSUB])
+            for s in range(pqm.PQ_M)
+        )
+        assert lut == int(rec @ p)
+    # the first PQ_KSUB rows ARE the codewords: they encode to
+    # themselves with zero reconstruction error
+    for w in range(min(pqm.PQ_KSUB, cq.shape[0])):
+        assert (codes[w] == w).all()

@@ -1,0 +1,422 @@
+"""Product quantization (PQ) over the embedding corpus, and the
+IVF-PQ ANN search built on it — the compressed-index format a 100 TB
+embedding store actually ships (FAISS ``IVF..,PQ8``: Jégou et al.,
+"Product Quantization for Nearest Neighbor Search", TPAMI 2011).
+
+Where ``embed_quantize_int8`` compresses 4× (float32 → int8 per
+element), PQ compresses each 64-d vector to **PQ_M = 8 bytes**: the
+vector splits into 8 contiguous 8-d subvectors, each encoded as the
+index of its nearest codeword in a per-subspace codebook. Search is
+**ADC** (asymmetric distance computation): each probe builds one
+PQ_M × PQ_KSUB lookup table of subvector dot products and scans codes
+with table gathers — at 100 TB the wide scan touches 8 bytes/vector
+instead of 256, a 32× read cut on top of IVF's partition pruning.
+
+Exactness/parity design (the ``ann_ivf_int8`` contract extended):
+  * everything runs in the int8-quantized domain (``_quantize_np``
+    codes), so every encode distance, codeword norm, reconstruction
+    norm, and ADC dot is an exact int64 well under 2^53 — identical
+    doubles on both engines; ties break to the smallest codeword /
+    neighbor id;
+  * the codebook is NOT trained by k-means here (iterative training
+    is ``ivf_refine``'s story): codewords for subspace s are the
+    s-th subvectors of the PQ_KSUB smallest-vec_id valid rows — the
+    same deterministic seeding rule as the IVF centroid model, and in
+    fact the FIRST PQ_KSUB rows OF that model, so one driver-side
+    collect serves both quantizers;
+  * the ADC candidate cut absorbs the PQ approximation and the shared
+    exact re-rank (``similarity._exact_rerank``) removes it from the
+    reported scores; recall vs ``knn_bruteforce`` is pytest-pinned.
+
+Scale notes (100 TB): the codebook is PQ_M·PQ_KSUB·PQ_DSUB ints — a
+driver-held write-once model (broadcast), never a shuffle side. The
+fused kernel quantizes, IVF-assigns, and PQ-encodes in ONE Arrow pass
+over the raw scan (zero shuffle). The ADC scan is the only wide read
+and moves codes + two int norms per row; the exact re-rank joins the
+≤ N_PROBES×ANN_CAND_K broadcast candidate pairs against the raw store
+BEFORE computing exact vectors (point-fetch, never corpus-wide). At
+real scale PQ_KSUB rises to 256 (a full byte per code) and the
+codebook comes from a sampled k-means fit — both are parameter
+changes, not plan changes.
+
+Reference: the reference engine has no ANN/PQ surface (beyond-reference
+mandate, SURVEY.md §7 step 7); the algorithm follows the public FAISS
+IVFPQ design re-expressed as Spark DataFrame ops + one Arrow kernel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from trisk_spark.catalog import table
+from trisk_spark.functions.similarity import (
+    ANN_CAND_K,
+    DIM,
+    N_PROBES,
+    _DOT_SQL,
+    _EXACT_CTE_SQL,
+    _INT8_MODEL_SQL,
+    _QUANT_CORPUS_SQL,
+    _RERANK_TAIL_SQL,
+    _check_dot_bound,
+    _exact_rerank,
+    _int8_centroid_model,
+    _quantize_np,
+    _route_probes_int8,
+    _valid_embeddings,
+)
+from trisk_spark.registry import register
+
+PQ_M = 8       # subspaces
+PQ_DSUB = DIM // PQ_M   # dims per subspace
+PQ_KSUB = 16   # codewords per subspace (256 at real scale: 1 byte/code)
+
+# ---------------------------------------------------------- oracles --
+
+# Codebook CTE: codeword cw_id (0-based rank of the PQ_KSUB
+# smallest-vec_id valid rows) × subspace s (0-based), cw_vec the s-th
+# 8-d int8 subvector, cw_norm its exact int norm. list_slice is
+# 1-based inclusive.
+_PQ_CB_SQL = f"""subs AS (SELECT unnest(generate_series(0, {PQ_M - 1})) AS s),
+cw AS (
+  SELECT qvec, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cw_id
+  FROM (SELECT * FROM qn ORDER BY vec_id LIMIT {PQ_KSUB})
+),
+cb AS (
+  SELECT subs.s, cw.cw_id,
+    list_slice(cw.qvec, subs.s * {PQ_DSUB} + 1,
+               subs.s * {PQ_DSUB} + {PQ_DSUB}) AS cw_vec
+  FROM cw CROSS JOIN subs
+),
+cbn AS (
+  SELECT s, cw_id, cw_vec,
+    {_DOT_SQL.format(a="cw_vec", b="cw_vec")} AS cw_norm
+  FROM cb
+)"""
+
+# Encode CTE: per (vector, subspace) the argmin-L2 codeword, ties to
+# the smallest cw_id. All distances exact int64.
+_PQ_ENC_SQL = f"""enc AS (
+  SELECT vec_id, s, code, cw_norm FROM (
+    SELECT t.vec_id, cbn.s, cbn.cw_id AS code, cbn.cw_norm,
+      ROW_NUMBER() OVER (PARTITION BY t.vec_id, cbn.s ORDER BY
+        list_sum(list_transform(
+          list_zip(list_slice(t.qvec, cbn.s * {PQ_DSUB} + 1,
+                              cbn.s * {PQ_DSUB} + {PQ_DSUB}), cbn.cw_vec),
+          p -> (p[1] - p[2]) * (p[1] - p[2]))) ASC,
+        cbn.cw_id ASC) AS rn
+    FROM qn t CROSS JOIN cbn
+  ) WHERE rn = 1
+)"""
+
+PQ_ENCODE_SQL = f"""
+WITH {_QUANT_CORPUS_SQL},
+{_PQ_CB_SQL},
+{_PQ_ENC_SQL}
+SELECT vec_id, CAST(s AS INT) AS subspace, CAST(code AS INT) AS code
+FROM enc
+"""
+
+ANN_IVF_PQ_SQL = f"""
+WITH {_QUANT_CORPUS_SQL},
+{_INT8_MODEL_SQL},
+{_PQ_CB_SQL},
+{_PQ_ENC_SQL},
+recon AS (
+  SELECT vec_id, SUM(cw_norm) AS recon_norm FROM enc GROUP BY vec_id
+),
+adc AS (
+  SELECT ql.query_id, a.vec_id AS neighbor_id,
+    SUM({_DOT_SQL.format(
+        a=f"list_slice(ql.p_qvec, e.s * {PQ_DSUB} + 1,"
+          f" e.s * {PQ_DSUB} + {PQ_DSUB})",
+        b="cbn.cw_vec")}) AS adc_dot
+  FROM qlists ql
+  JOIN assign a ON ql.list_id = a.list_id
+  JOIN enc e ON e.vec_id = a.vec_id
+  JOIN cbn ON cbn.s = e.s AND cbn.cw_id = e.code
+  WHERE ql.query_id <> a.vec_id
+  GROUP BY ql.query_id, a.vec_id
+),
+cand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT adc.query_id, adc.neighbor_id,
+      ROW_NUMBER() OVER (PARTITION BY adc.query_id ORDER BY
+        CAST(adc.adc_dot AS DOUBLE)
+          / (SQRT(CAST(q.p_qnorm AS DOUBLE))
+             * SQRT(CAST(r.recon_norm AS DOUBLE))) DESC,
+        adc.neighbor_id) AS crn
+    FROM adc
+    JOIN recon r ON r.vec_id = adc.neighbor_id
+    JOIN q ON q.query_id = adc.query_id
+    WHERE r.recon_norm > 0
+  ) WHERE crn <= {ANN_CAND_K}
+),
+{_EXACT_CTE_SQL},
+{_RERANK_TAIL_SQL}
+"""
+
+# ---------------------------------------------------- driver model --
+
+
+def _pq_codebook(cq):
+    """PQ codebook from the int8 centroid model's quantized rows: the
+    first PQ_KSUB rows (they are already vec_id-ordered) reshaped to
+    (PQ_M, ksub, PQ_DSUB) int64 — subspace-major, codeword id = row
+    rank. ``ksub`` degrades gracefully below PQ_KSUB on tiny corpora
+    (LIMIT semantics, same as the oracle's)."""
+    import numpy as np
+
+    k = min(PQ_KSUB, cq.shape[0])
+    return (
+        np.ascontiguousarray(cq[:k])
+        .reshape(k, PQ_M, PQ_DSUB)
+        .transpose(1, 0, 2)
+        .copy()
+    )
+
+
+# ------------------------------------------------------- kernels ----
+
+
+def _pq_encode_np(Q, cb):
+    """Encode quantized rows Q (n × DIM int64) against codebook cb
+    (PQ_M × ksub × PQ_DSUB): returns (codes n × PQ_M int64,
+    recon_norm n int64). Exact integer L2 per subspace; numpy argmin
+    returns the FIRST minimum — the oracle's ties-to-smallest-cw_id."""
+    import numpy as np
+
+    n = Q.shape[0]
+    codes = np.empty((n, PQ_M), dtype=np.int64)
+    recon = np.zeros(n, dtype=np.int64)
+    for s in range(PQ_M):
+        sub = Q[:, s * PQ_DSUB:(s + 1) * PQ_DSUB]
+        d = ((sub[:, None, :] - cb[s][None, :, :]) ** 2).sum(axis=2)
+        c = np.argmin(d, axis=1)
+        codes[:, s] = c
+        recon += (cb[s][c] ** 2).sum(axis=1)
+    return codes, recon
+
+
+def _quantize_assign_pq_gemm(
+    spark: SparkSession, emb: DataFrame, cq, cn, cids, cb
+) -> DataFrame:
+    """Fused quantize + IVF-assign + PQ-encode: raw validated
+    embeddings in, ``(vec_id, list_id, code_s..., recon_norm)`` out —
+    ONE Arrow pass over the scan (zero shuffle), extending
+    ``similarity._quantize_assign_gemm`` (same quantizer, same exact
+    int64 assignment arithmetic, same zero-code drop) with the PQ
+    encode gathers. The full int8 ``qvec`` never leaves the kernel —
+    the output row is the 8-byte PQ index row, the thing a 100 TB
+    store writes."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    model = spark.sparkContext.broadcast((cq, cn, cids, cb))
+    out_schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("list_id", LongType()),
+            StructField("codes", ArrayType(LongType())),
+            StructField("recon_norm", LongType()),
+        ]
+    )
+
+    def kern(batches):
+        cq, cn, cids, cb = model.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.array(list(pdf["embedding"]), dtype=np.float64)
+            q = _quantize_np(X)
+            qn = (q * q).sum(axis=1)
+            keep = qn > 0
+            if not keep.any():
+                continue
+            q, qn = q[keep], qn[keep]
+            _check_dot_bound(
+                int(np.abs(q).max(initial=0)),
+                int(np.abs(cq).max(initial=0)),
+                q.shape[1],
+            )
+            dots = (q @ cq.T).astype(np.float64)
+            cos = dots / (np.sqrt(qn.astype(np.float64))[:, None] * cn[None, :])
+            best = np.argmax(cos, axis=1)
+            codes, recon = _pq_encode_np(q, cb)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy()[keep],
+                    "list_id": cids[best],
+                    "codes": list(codes),
+                    "recon_norm": recon,
+                }
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(kern, out_schema)
+
+
+def _adc_score_gemm(spark: SparkSession, pairs: DataFrame, cb) -> DataFrame:
+    """ADC scoring over routed (probe, index-row) pairs: for each
+    probe in the batch build the PQ_M × ksub lookup table
+    T[s][w] = probe_sub_s · codeword_w once, then score every paired
+    row with PQ_M table gathers — the FAISS ADC scan. All values
+    exact int64 (bound ≤ DIM·127², the int8 kernels' envelope).
+    Input: (query_id, p_qvec, p_qnorm, vec_id, codes, recon_norm);
+    output adds adc_dot and drops the vectors."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    bc = spark.sparkContext.broadcast(cb)
+    out_schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField("neighbor_id", LongType()),
+            StructField("p_qnorm", LongType()),
+            StructField("recon_norm", LongType()),
+            StructField("adc_dot", LongType()),
+        ]
+    )
+
+    def kern(batches):
+        cb = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = []
+            for qid, g in pdf.groupby("query_id", sort=False):
+                p = np.array(g["p_qvec"].iloc[0], dtype=np.int64)
+                _check_dot_bound(
+                    int(np.abs(p).max(initial=0)),
+                    int(np.abs(cb).max(initial=0)),
+                    p.shape[0],
+                )
+                # T[s] = cb[s] @ p_sub_s : one (ksub,) table per subspace
+                T = [
+                    cb[s] @ p[s * PQ_DSUB:(s + 1) * PQ_DSUB]
+                    for s in range(PQ_M)
+                ]
+                C = np.array(list(g["codes"]), dtype=np.int64)
+                adc = np.zeros(len(g), dtype=np.int64)
+                for s in range(PQ_M):
+                    adc += T[s][C[:, s]]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": g["query_id"].to_numpy(),
+                            "neighbor_id": g["vec_id"].to_numpy(),
+                            "p_qnorm": g["p_qnorm"].to_numpy(),
+                            "recon_norm": g["recon_norm"].to_numpy(),
+                            "adc_dot": adc,
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    return pairs.mapInPandas(kern, out_schema)
+
+
+def _pq_model(spark: SparkSession, emb: DataFrame):
+    """One driver-side collect serves both quantizers: the int8
+    centroid model (IVF) and its first PQ_KSUB rows reshaped as the PQ
+    codebook."""
+    cq, cn, cids, cents = _int8_centroid_model(spark, emb)
+    return cq, cn, cids, cents, _pq_codebook(cq)
+
+
+def _adc_candidates(
+    spark: SparkSession,
+    qlists: DataFrame,
+    index: DataFrame,
+    cb,
+) -> DataFrame:
+    """Routed ADC scan → top ANN_CAND_K (query_id, neighbor_id)
+    candidates: broadcast the ≤ N_PROBES×N_PROBE_LISTS routing rows
+    against the index on list_id (at 100 TB: a partition-pruned read),
+    ADC-score the pairs in one Arrow pass, cut per query by approx
+    cosine with ties to the smallest neighbor."""
+    from pyspark.sql import Window
+
+    pairs = (
+        F.broadcast(qlists)
+        .join(index, "list_id")
+        .where(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id", "p_qvec", "p_qnorm",
+            "vec_id", "codes", "recon_norm",
+        )
+    )
+    scored = _adc_score_gemm(spark, pairs, cb).where(F.col("recon_norm") > 0)
+    adc_cos = F.col("adc_dot").cast("double") / (
+        F.sqrt(F.col("p_qnorm").cast("double"))
+        * F.sqrt(F.col("recon_norm").cast("double"))
+    )
+    wc = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_cos"), "neighbor_id"
+    )
+    return (
+        scored.select("query_id", "neighbor_id", adc_cos.alias("adc_cos"))
+        .withColumn("crn", F.row_number().over(wc))
+        .where(F.col("crn") <= ANN_CAND_K)
+        .select("query_id", "neighbor_id")
+    )
+
+
+# ---------------------------------------------------- registered ----
+
+
+@register("pq_encode", oracle=PQ_ENCODE_SQL)
+def pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantize the embedding corpus: each valid vector →
+    PQ_M codeword ids (8 bytes at real scale) against the
+    deterministic per-subspace codebook. Map-only: the codebook is a
+    driver-held model (PQ_KSUB rows of the existing centroid collect)
+    and the encode is one Arrow pass over the raw scan — zero shuffle.
+
+    Registered form emits one scalar row per (vec_id, subspace) so
+    every code goes under the driver hash (the array core feeds
+    ``ann_ivf_pq`` and the store writer)."""
+    emb = _valid_embeddings(table(spark, sf_dir, "embeddings"))
+    cq, cn, cids, cents, cb = _pq_model(spark, emb)
+    enc = _quantize_assign_pq_gemm(spark, emb, cq, cn, cids, cb)
+    return enc.select(
+        "vec_id",
+        F.posexplode("codes").alias("subspace", "code"),
+    ).select(
+        "vec_id",
+        F.col("subspace").cast("int").alias("subspace"),
+        F.col("code").cast("int").alias("code"),
+    )
+
+
+@register("ann_ivf_pq", oracle=ANN_IVF_PQ_SQL)
+def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN with exact re-rank — the compressed end of the ANN
+    family: ``ann_ivf_int8`` keeps full int8 vectors in the index
+    (64 B/vector); this keeps PQ codes (8 B/vector) and scores
+    candidates by ADC lookup tables, so the wide scan at 100 TB reads
+    32× less than float32 and 8× less than int8.
+
+    Plan: ONE fused Arrow pass quantizes, IVF-assigns, and PQ-encodes
+    the raw scan (zero shuffle; the int8 qvec dies inside the kernel);
+    probe routing is the shared ``_route_probes_int8`` (broadcast
+    centroid model, exploded routed lists); the ADC scan joins the
+    broadcast 15-row routing against the index and scores pairs with
+    per-probe lookup tables in one Arrow pass; the exact re-rank is
+    the shared ``_exact_rerank`` (broadcast ≤150 candidate pairs,
+    point-fetch against the raw store). Every approximate quantity is
+    an exact int64 → identical doubles both engines; ties to the
+    smallest id at every cut. Recall vs ``knn_bruteforce`` is
+    pytest-pinned (tests/test_similarity_iter.py)."""
+    emb = _valid_embeddings(table(spark, sf_dir, "embeddings"))
+    cq, cn, cids, cents, cb = _pq_model(spark, emb)
+    index = _quantize_assign_pq_gemm(spark, emb, cq, cn, cids, cb)
+    qlists = _route_probes_int8(emb, cents)
+    cand = _adc_candidates(spark, qlists, index, cb)
+    return _exact_rerank(emb, cand)

@@ -1568,9 +1568,11 @@ qn AS (
   ) WHERE qnorm > 0
 )"""
 
-ANN_IVF_INT8_SQL = f"""
-WITH {_QUANT_CORPUS_SQL},
-cents AS (
+# Shared oracle fragments (also composed by the IVF-PQ oracle in
+# functions/pq.py): the int8 centroid model + assignment + probe
+# routing CTEs, and the exact-re-rank tail every approximate index
+# finishes with.
+_INT8_MODEL_SQL = f"""cents AS (
   SELECT vec_id AS c_id, qvec AS c_vec, qnorm AS c_norm FROM qn
   ORDER BY vec_id LIMIT {N_CENTROIDS}
 ),
@@ -1593,26 +1595,17 @@ qlists AS (
         cents.c_id) AS rn
     FROM q CROSS JOIN cents
   ) WHERE rn <= {N_PROBE_LISTS}
-),
-cand AS (
-  SELECT query_id, neighbor_id FROM (
-    SELECT ql.query_id, a.vec_id AS neighbor_id,
-      ROW_NUMBER() OVER (PARTITION BY ql.query_id ORDER BY
-        CAST({_DOT_SQL.format(a="p_qvec", b="a.qvec")} AS DOUBLE)
-          / (SQRT(CAST(p_qnorm AS DOUBLE)) * SQRT(CAST(a.qnorm AS DOUBLE))) DESC,
-        a.vec_id) AS crn
-    FROM qlists ql JOIN assign a ON ql.list_id = a.list_id
-    WHERE ql.query_id <> a.vec_id
-  ) WHERE crn <= {ANN_CAND_K}
-),
-exact AS (
+)"""
+
+_EXACT_CTE_SQL = f"""exact AS (
   SELECT * FROM (
     SELECT vec_id, vec, {_DOT_SQL.format(a="vec", b="vec")} AS norm FROM (
       SELECT vec_id, {_SCALED_SQL.format(col="embedding")} AS vec
       FROM {_VALID_EMB_SQL} embeddings)
   ) WHERE norm > 0
-),
-rerank AS (
+)"""
+
+_RERANK_TAIL_SQL = f"""rerank AS (
   SELECT c.query_id, c.neighbor_id,
     CAST(ROUND(CAST({_DOT_SQL.format(a="p.vec", b="e.vec")} AS DOUBLE)
          / (SQRT(CAST(p.norm AS DOUBLE)) * SQRT(CAST(e.norm AS DOUBLE))), 6)
@@ -1627,7 +1620,24 @@ FROM (
     ROW_NUMBER() OVER (PARTITION BY query_id
                        ORDER BY cosine_sim DESC, neighbor_id) AS rank
   FROM rerank
-) WHERE rank <= {TOP_K}
+) WHERE rank <= {TOP_K}"""
+
+ANN_IVF_INT8_SQL = f"""
+WITH {_QUANT_CORPUS_SQL},
+{_INT8_MODEL_SQL},
+cand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT ql.query_id, a.vec_id AS neighbor_id,
+      ROW_NUMBER() OVER (PARTITION BY ql.query_id ORDER BY
+        CAST({_DOT_SQL.format(a="p_qvec", b="a.qvec")} AS DOUBLE)
+          / (SQRT(CAST(p_qnorm AS DOUBLE)) * SQRT(CAST(a.qnorm AS DOUBLE))) DESC,
+        a.vec_id) AS crn
+    FROM qlists ql JOIN assign a ON ql.list_id = a.list_id
+    WHERE ql.query_id <> a.vec_id
+  ) WHERE crn <= {ANN_CAND_K}
+),
+{_EXACT_CTE_SQL},
+{_RERANK_TAIL_SQL}
 """
 
 
@@ -1859,6 +1869,21 @@ def _int8_candidates_and_rerank(
         .where(F.col("crn") <= ANN_CAND_K)
         .select("query_id", "neighbor_id")
     )
+    return _exact_rerank(emb, cand, probe_emb)
+
+
+def _exact_rerank(
+    emb: DataFrame,
+    cand: DataFrame,
+    probe_emb: DataFrame | None = None,
+) -> DataFrame:
+    """Exact scaled-int cosine re-rank of a (query_id, neighbor_id)
+    candidate set → the final TOP_K — the shared tail of every
+    approximate-index path (int8 IVF, IVF-PQ ADC, persisted-store
+    probes). ``cand`` is ≤ N_PROBES×ANN_CAND_K rows by construction
+    and is broadcast; see the join-order comment below."""
+    from pyspark.sql import Window
+
     # join FIRST, compute the exact scaled-int vectors after: each join
     # broadcasts the candidate-pair side (≤ N_PROBES×ANN_CAND_K rows)
     # and prunes the raw corpus scan, so the interpreted scaled-int

@@ -89,8 +89,11 @@ def register(name: str, oracle: str | None = None):
 # (only BroadcastState), q3_emit_once_join (only emit-once semantics),
 # all_window_agg (only non-keyed window), asof_join (distinct
 # tagged-union kernel), sequence_pack (distinct packing kernel),
-# ann_ivf_int8 (int8 fused-kernel anchor; embed_quantize_int8's
-# witness), ts_subsequence_match + ts_subsequence_sax (the ts family).
+# ts_subsequence_sax (the ts family's seat). Mid-r9 the two PQ queries
+# (pq_encode, ann_ivf_pq: new sole evidence, must be in-window) took
+# the seats of ann_ivf_int8 and ts_subsequence_match — both r8-green,
+# both with strong in-window witnesses (see their DEPRIORITIZED
+# lines), both rotating back r10.
 # Sitting out r9 — every one hash-green in r8 (CORRECTNESS_r08),
 # witness noted:
 DEPRIORITIZED = [
@@ -121,9 +124,11 @@ DEPRIORITIZED = [
     "cosine_near_dup_exact",   # exact-cosine GEMM: knn_bruteforce (in, same kernel)
     "cosine_near_dup_lsh",     # SRP-LSH pairs: dedup_semantic (in) COMPOSES cosine_lsh_pairs; ann_lsh_bucketed (in)
     "ann_ivf",                 # centroid model + assign: ivf_refine (in, same kernel)
+    "ann_ivf_int8",            # r9-green seats yield to the two r9-new PQ queries: ann_ivf_pq (in) COMPOSES its entire pipeline — same _int8_centroid_model, same fused quantize+assign arithmetic, same _route_probes_int8 routing, same _exact_rerank tail (pq.py imports them)
+    "ts_subsequence_match",    # ts family: ts_subsequence_sax (in, same z-norm stats + exact-int distance arithmetic); brute kernel≡expression pinned at tests/test_parity_edges.py
     "ivf_refine_iters",        # iteration: ivf_refine (in, same step kernel) + dedup_clusters (in, driver-loop)
     "knn_label_vote",          # knn_bruteforce (in) — label_vote EMBEDS its pipeline
-    "embed_quantize_int8",     # quantize kernel: ann_ivf_int8 (in, fused quantize+assign)
+    "embed_quantize_int8",     # quantize kernel: ann_ivf_pq (in, fused quantize+assign+encode via the same _quantize_np)
     "source_mix_sample",       # md5-ppm sampling family: train_split + source_cap_sample (in)
     "bigram_lm_score",         # shared _lm_tokens tokenizer: token_count (in); LM stream twin pytest
     "keyword_extract",         # shared _lm_tokens tokenizer: token_count (in); stream twin pytest
@@ -158,6 +163,7 @@ def load_all() -> dict[str, QueryDef]:
     import trisk_spark.functions.multimodal  # noqa: F401
     import trisk_spark.functions.dedup  # noqa: F401
     import trisk_spark.functions.similarity  # noqa: F401
+    import trisk_spark.functions.pq  # noqa: F401
     import trisk_spark.functions.sampling  # noqa: F401
     import trisk_spark.functions.timeseries  # noqa: F401
 
