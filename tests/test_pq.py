@@ -157,3 +157,57 @@ def test_adc_equals_full_int8_dot_on_reconstructions(spark):
     # themselves with zero reconstruction error
     for w in range(min(pqm.PQ_KSUB, cq.shape[0])):
         assert (codes[w] == w).all()
+
+
+def test_pq_store_adc_probe_equals_direct_query(spark, tmp_path):
+    # the persisted-index ADC probe must reproduce the one-plan
+    # ann_ivf_pq row-for-row: same routing, same codebook (rebuilt
+    # from the stored centroid model), same ADC cut, same exact
+    # re-rank
+    from trisk_spark.functions import ivf_store
+
+    path = str(tmp_path / "ivf")
+    ivf_store.write_index(spark, SF_DIR, path)
+    got = sorted(
+        (r.query_id, r.rank, r.neighbor_id, r.cosine_sim)
+        for r in ivf_store.probe_index_adc(spark, SF_DIR, path).collect()
+    )
+    want = sorted(
+        (r.query_id, r.rank, r.neighbor_id, r.cosine_sim)
+        for r in load_all()["ann_ivf_pq"].fn(spark, SF_DIR).collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_pq_store_adc_scan_is_partition_and_column_pruned(spark, tmp_path):
+    # the ADC probe's index scan must be pruned BOTH ways: routed
+    # list_id partitions only (PartitionFilters), and — the point of
+    # PQ — the 64-element qvec column must NOT be read (ReadSchema
+    # carries codes/recon_norm, 8 bytes of payload per row)
+    import re
+
+    from trisk_spark.functions import ivf_store
+    from trisk_spark.functions.similarity import N_PROBE_LISTS, N_PROBES
+
+    path = str(tmp_path / "ivf")
+    ivf_store.write_index(spark, SF_DIR, path)
+    probe = ivf_store.probe_index_adc(spark, SF_DIR, path)
+    plan = probe._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    m = re.search(
+        r"PartitionFilters: \[list_id#\d+ (?:INSET|IN \(?)([\d, ]+)", plan
+    )
+    assert m, f"index scan lost its list_id partition filter:\n{plan}"
+    assert len(m.group(1).split(",")) <= N_PROBES * N_PROBE_LISTS
+    scans = [
+        s for s in re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+        if "codes" in s
+    ]
+    assert scans, f"no index scan found in plan:\n{plan}"
+    for s in scans:
+        assert "qvec" not in s and "qnorm" not in s, (
+            f"ADC probe reads the int8 vectors it exists to avoid: {s}"
+        )

@@ -108,7 +108,7 @@ def test_readme_op_table_names_are_registered():
         "minhash_flag_stream", "min_label_components",
         "write_windows", "probe_store", "ts_brute_topk", "ts_sax_topk",
         "probe_index_stream", "probe_store_stream",
-        "semantic_flag_stream",
+        "semantic_flag_stream", "probe_index_adc",
     }
     missing = {
         c for c in cited

@@ -1936,3 +1936,65 @@ def test_semantic_flag_stream_equals_batch(spark):
     assert len(handles) == 1 and handles[0].is_cached
     handles[0].unpersist(blocking=True)
     assert not handles[0].is_cached
+
+
+def test_probe_index_stream_adc_equals_batch(spark, tmp_path):
+    """ADC flavor of the streaming probe path: arriving probe vectors
+    answered from the persisted PQ codes (8-byte reads from routed
+    partitions) must union to exactly the batch ``probe_index_adc``
+    image — same probe-independence argument as the int8 flavor."""
+    import os
+    import time as _time
+
+    from trisk_spark.functions import ivf_store
+    from trisk_spark.functions.similarity import N_PROBES
+
+    path = str(tmp_path / "ivf")
+    ivf_store.write_index(spark, SF, path)
+
+    probes_dir = str(tmp_path / "probes")
+    emb = table(spark, SF, "embeddings").where(F.col("vec_id") < N_PROBES)
+    rows = emb.collect()
+    for r in rows:
+        spark.createDataFrame(
+            [(r.vec_id, r.embedding)], "vec_id long, embedding array<float>"
+        ).coalesce(1).write.mode("append").parquet(probes_dir)
+    now = int(_time.time())
+    parts = sorted(
+        f for f in os.listdir(probes_dir)
+        if f.startswith("part-") and f.endswith(".parquet")
+    )
+    for i, fname in enumerate(parts):
+        os.utime(os.path.join(probes_dir, fname), times=(now + i, now + i))
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(probes_dir)
+    )
+
+    emitted = []
+    batches = []
+
+    def sink(bdf, bid):
+        got = bdf.collect()
+        if got:
+            batches.append(bid)
+        emitted.extend(got)
+
+    q = (
+        ivf_store.probe_index_stream(spark, stream, SF, path, sink, adc=True)
+        .option("checkpointLocation", checkpoint_dir("ivfprobeadc"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(batches) >= 2, "probes all landed in one micro-batch — vacuous"
+
+    got = sorted(
+        (r.query_id, r.rank, r.neighbor_id, r.cosine_sim) for r in emitted
+    )
+    want = sorted(
+        (r.query_id, r.rank, r.neighbor_id, r.cosine_sim)
+        for r in ivf_store.probe_index_adc(spark, SF, path).collect()
+    )
+    assert got == want and len(got) > 0

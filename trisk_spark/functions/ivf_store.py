@@ -35,29 +35,53 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from trisk_spark.catalog import table
+from trisk_spark.functions.pq import (
+    _adc_candidates,
+    _pq_codebook,
+    _quantize_assign_pq_gemm,
+)
 from trisk_spark.functions.similarity import (
+    _exact_rerank,
     _int8_candidates_and_rerank,
     _int8_centroid_model,
-    _quantize_assign_gemm,
     _route_probe_frame,
     _valid_embeddings,
 )
 
 
 def write_index(spark: SparkSession, sf_dir: str, path: str) -> None:
-    """Build and persist the int8 IVF index for the corpus at
-    ``sf_dir``: ``<path>/index`` holds (vec_id, qvec, qnorm) parquet
-    partitioned by list_id; ``<path>/centroids`` holds the K-row
-    centroid model. One kernel pass over the corpus; the partitioned
-    write shuffles nothing (each task writes its rows into per-list
-    directories)."""
+    """Build and persist the int8 IVF(+PQ) index for the corpus at
+    ``sf_dir``: ``<path>/index`` holds (vec_id, qvec, qnorm, codes,
+    recon_norm) parquet partitioned by list_id; ``<path>/centroids``
+    holds the K-row centroid model (whose first PQ_KSUB rows double as
+    the PQ codebook — no separate artifact). One fused kernel pass
+    over the corpus; the partitioned write shuffles nothing (each task
+    writes its rows into per-list directories). The single store
+    serves BOTH probe families: int8 candidate scoring
+    (``probe_index``, 64 B/row scanned) and ADC over PQ codes
+    (``probe_index_adc``, 8 B/row — parquet column pruning makes the
+    narrower read real, pinned by the ReadSchema test)."""
     emb = _valid_embeddings(table(spark, sf_dir, "embeddings"))
     cq, cn, cids, cents = _int8_centroid_model(spark, emb)
-    assign = _quantize_assign_gemm(spark, emb, cq, cn, cids)
+    assign = _quantize_assign_pq_gemm(
+        spark, emb, cq, cn, cids, _pq_codebook(cq), keep_qvec=True
+    )
     assign.write.mode("overwrite").partitionBy("list_id").parquet(
         f"{path}/index"
     )
     cents.write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def _stored_codebook(cents_rows):
+    """Rebuild the PQ codebook from the persisted centroid model: its
+    PQ_KSUB smallest-c_id rows' quantized vectors, reshaped — the same
+    seeding rule the writer used, so writer and prober always agree
+    without a second store artifact."""
+    import numpy as np
+
+    rows = sorted(cents_rows, key=lambda r: r.c_id)
+    cq = np.array([list(r.c_vec) for r in rows], dtype=np.int64)
+    return _pq_codebook(cq)
 
 
 def probe_frame(
@@ -107,12 +131,61 @@ def probe_index(spark: SparkSession, sf_dir: str, path: str) -> DataFrame:
     )
 
 
+def probe_frame_adc(
+    spark: SparkSession,
+    probe_emb: DataFrame,
+    corpus_emb: DataFrame,
+    path: str,
+) -> DataFrame:
+    """ADC probe over the persisted index — ``probe_frame``'s shape
+    with the int8 candidate scan replaced by the PQ lookup-table scan:
+    the pruned index read selects ONLY (vec_id, codes, recon_norm) —
+    8 bytes of payload per row instead of the 64-element qvec (parquet
+    column pruning; ReadSchema pinned) — and candidates come from
+    ``pq._adc_candidates`` before the same shared exact re-rank. The
+    codebook is rebuilt from the stored centroid model driver-side
+    (≤ K rows — the routing-decision collect class)."""
+    probe_emb = _valid_embeddings(probe_emb)
+    cents = spark.read.parquet(f"{path}/centroids")
+    cb = _stored_codebook(cents.collect())
+    qlists = _route_probe_frame(probe_emb, cents)
+    routed = sorted(
+        {r.list_id for r in qlists.select("list_id").distinct().collect()}
+    )
+    index = (
+        spark.read.parquet(f"{path}/index")
+        .select("vec_id", "codes", "recon_norm", "list_id")
+        .where(
+            F.col("list_id").isin([int(x) for x in routed])
+            if routed
+            else F.lit(False)
+        )
+    )
+    cand = _adc_candidates(spark, qlists, index, cb)
+    return _exact_rerank(corpus_emb, cand, probe_emb=probe_emb)
+
+
+def probe_index_adc(spark: SparkSession, sf_dir: str, path: str) -> DataFrame:
+    """ADC search over the PERSISTED index for the standard probe set
+    (vec_id < N_PROBES): returns the same (query_id, neighbor_id,
+    cosine_sim, rank) frame as ``ann_ivf_pq`` row-for-row
+    (pytest-pinned), reading 8-byte codes from routed partitions
+    only."""
+    from trisk_spark.functions.similarity import N_PROBES
+
+    emb = _valid_embeddings(table(spark, sf_dir, "embeddings"))
+    return probe_frame_adc(
+        spark, emb.where(F.col("vec_id") < N_PROBES), emb, path
+    )
+
+
 def probe_index_stream(
     spark: SparkSession,
     probes_stream: DataFrame,
     ref_sf_dir: str,
     path: str,
     sink,
+    adc: bool = False,
 ):
     """Streaming probe path over the persisted index — "answer ANN
     queries as they arrive": each micro-batch of probe vectors is
@@ -130,10 +203,16 @@ def probe_index_stream(
     ``sink(result_df, batch_id)`` receives each batch's (query_id,
     neighbor_id, cosine_sim, rank) frame. Returns the
     ``DataStreamWriter`` ready to ``.start()`` (caller sets
-    checkpoint/trigger)."""
+    checkpoint/trigger).
+
+    ``adc=True`` probes with the PQ lookup-table scan
+    (``probe_frame_adc``: 8-byte codes read from the routed
+    partitions) instead of the int8 candidate scan — same final frame
+    contract."""
     corpus = _valid_embeddings(table(spark, ref_sf_dir, "embeddings"))
+    engine = probe_frame_adc if adc else probe_frame
 
     def fb(batch_df: DataFrame, batch_id: int) -> None:
-        sink(probe_frame(spark, batch_df, corpus, path), batch_id)
+        sink(engine(spark, batch_df, corpus, path), batch_id)
 
     return probes_stream.writeStream.outputMode("append").foreachBatch(fb)

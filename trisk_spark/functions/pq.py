@@ -199,16 +199,25 @@ def _pq_encode_np(Q, cb):
 
 
 def _quantize_assign_pq_gemm(
-    spark: SparkSession, emb: DataFrame, cq, cn, cids, cb
+    spark: SparkSession,
+    emb: DataFrame,
+    cq,
+    cn,
+    cids,
+    cb,
+    keep_qvec: bool = False,
 ) -> DataFrame:
     """Fused quantize + IVF-assign + PQ-encode: raw validated
     embeddings in, ``(vec_id, list_id, code_s..., recon_norm)`` out —
     ONE Arrow pass over the scan (zero shuffle), extending
     ``similarity._quantize_assign_gemm`` (same quantizer, same exact
     int64 assignment arithmetic, same zero-code drop) with the PQ
-    encode gathers. The full int8 ``qvec`` never leaves the kernel —
-    the output row is the 8-byte PQ index row, the thing a 100 TB
-    store writes."""
+    encode gathers. By default the full int8 ``qvec`` never leaves the
+    kernel — the output row is the 8-byte PQ index row, the thing a
+    100 TB store writes. ``keep_qvec=True`` additionally emits
+    (qvec, qnorm) so one persisted index serves BOTH probe families
+    (int8 candidate scoring and ADC) — ``ivf_store.write_index``'s
+    shape; ADC probes column-prune the qvec away at read time."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import (
@@ -219,14 +228,18 @@ def _quantize_assign_pq_gemm(
     )
 
     model = spark.sparkContext.broadcast((cq, cn, cids, cb))
-    out_schema = StructType(
-        [
-            StructField("vec_id", LongType()),
-            StructField("list_id", LongType()),
-            StructField("codes", ArrayType(LongType())),
-            StructField("recon_norm", LongType()),
+    fields = [
+        StructField("vec_id", LongType()),
+        StructField("list_id", LongType()),
+        StructField("codes", ArrayType(LongType())),
+        StructField("recon_norm", LongType()),
+    ]
+    if keep_qvec:
+        fields += [
+            StructField("qvec", ArrayType(LongType())),
+            StructField("qnorm", LongType()),
         ]
-    )
+    out_schema = StructType(fields)
 
     def kern(batches):
         cq, cn, cids, cb = model.value
@@ -249,14 +262,16 @@ def _quantize_assign_pq_gemm(
             cos = dots / (np.sqrt(qn.astype(np.float64))[:, None] * cn[None, :])
             best = np.argmax(cos, axis=1)
             codes, recon = _pq_encode_np(q, cb)
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"].to_numpy()[keep],
-                    "list_id": cids[best],
-                    "codes": list(codes),
-                    "recon_norm": recon,
-                }
-            )
+            cols = {
+                "vec_id": pdf["vec_id"].to_numpy()[keep],
+                "list_id": cids[best],
+                "codes": list(codes),
+                "recon_norm": recon,
+            }
+            if keep_qvec:
+                cols["qvec"] = list(q)
+                cols["qnorm"] = qn
+            yield pd.DataFrame(cols)
 
     return emb.select("vec_id", "embedding").mapInPandas(kern, out_schema)
 
