@@ -211,3 +211,53 @@ def test_pq_store_adc_scan_is_partition_and_column_pruned(spark, tmp_path):
         assert "qvec" not in s and "qnorm" not in s, (
             f"ADC probe reads the int8 vectors it exists to avoid: {s}"
         )
+
+
+def test_cluster_cap_sample_oracle_parity_and_semantics(spark):
+    # library op (window-seatless, sax_store precedent): full DuckDB
+    # oracle parity at SF_DIR, plus the defining properties — no
+    # cluster exceeds the cap, ranks are 1..n within cluster, kept
+    # rows are a subset of the valid corpus
+    from trisk_spark.functions.sampling import (
+        CLUSTER_CAP,
+        cluster_cap_sample,
+        cluster_cap_sql,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/embeddings.parquet')"
+    )
+    sdf = cluster_cap_sample(spark, SF_DIR)
+    assert_matches_oracle(sdf, con, cluster_cap_sql())
+    rows = sdf.collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r.list_id, []).append(r.rank)
+    assert per and all(
+        sorted(v) == list(range(1, len(v) + 1)) and len(v) <= CLUSTER_CAP
+        for v in per.values()
+    )
+    # the cap binds on this corpus (otherwise the test is vacuous)
+    assert any(len(v) == CLUSTER_CAP for v in per.values())
+
+
+def test_cluster_cap_sample_plan_single_shuffle(spark):
+    # assignment is the broadcast-model kernel over the scan; the ONLY
+    # exchange is the list_id hash partitioning for the rank window
+    import re
+
+    from trisk_spark.functions.sampling import cluster_cap_sample
+    from .test_plans import no_auto_broadcast
+
+    with no_auto_broadcast(spark):
+        plan = cluster_cap_sample(spark, SF_DIR)._jdf.queryExecution(
+        ).explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("hashpartitioning(list_id") == 1, plan
+    assert len(re.findall(r"^\(\d+\) Exchange$", plan, re.M)) == 1, plan

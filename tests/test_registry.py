@@ -109,6 +109,7 @@ def test_readme_op_table_names_are_registered():
         "write_windows", "probe_store", "ts_brute_topk", "ts_sax_topk",
         "probe_index_stream", "probe_store_stream",
         "semantic_flag_stream", "probe_index_adc",
+        "cluster_cap_sample", "cluster_cap_sql", "ivf_store",
     }
     missing = {
         c for c in cited

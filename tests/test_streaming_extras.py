@@ -1451,11 +1451,12 @@ def test_ivf_assign_stream_mid_stream_restart_exactly_once(spark, tmp_path):
     same checkpoint with the rest arriving, writing the ivf_store
     layout (list_id-partitioned index + centroid model). The store must
     hold every valid vector EXACTLY once with the batch kernel's
-    assignment, and ``probe_index`` over the STREAM-BUILT store must
-    answer identically to the one-plan ``ann_ivf_int8`` query."""
+    assignment, and ``probe_index`` / ``probe_index_adc`` over the
+    STREAM-BUILT store must answer identically to the one-plan
+    ``ann_ivf_int8`` / ``ann_ivf_pq`` queries."""
     import pyarrow as pa
 
-    from trisk_spark.functions.ivf_store import probe_index
+    from trisk_spark.functions.ivf_store import probe_index, probe_index_adc
     from trisk_spark.functions.similarity import (
         _int8_centroid_model,
         _quantize_assign_gemm,
@@ -1532,6 +1533,17 @@ def test_ivf_assign_stream_mid_stream_restart_exactly_once(spark, tmp_path):
         for r in load_all()["ann_ivf_int8"].fn(spark, SF).collect()
     )
     assert probed == direct and len(probed) > 0
+    # and the streamed rows carry the PQ codes: the ADC probe answers
+    # from the same store identically to the one-plan ann_ivf_pq
+    probed_adc = sorted(
+        (r.query_id, r.rank, r.neighbor_id, r.cosine_sim)
+        for r in probe_index_adc(spark, SF, store).collect()
+    )
+    direct_pq = sorted(
+        (r.query_id, r.rank, r.neighbor_id, r.cosine_sim)
+        for r in load_all()["ann_ivf_pq"].fn(spark, SF).collect()
+    )
+    assert probed_adc == direct_pq and len(probed_adc) > 0
 
 
 def test_source_mix_stream_equals_batch(spark):

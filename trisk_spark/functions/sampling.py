@@ -488,3 +488,83 @@ def source_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("tokens_kept"),
         )
     )
+
+
+# ------------------------------------- cluster-balanced sampling ----
+
+#: per-semantic-cluster document cap for cluster_cap_sample
+CLUSTER_CAP = 12
+
+CLUSTER_CAP_SQL_TEMPLATE = """
+WITH {quant_corpus},
+{int8_model},
+ranked AS (
+  SELECT vec_id, list_id,
+    ROW_NUMBER() OVER (PARTITION BY list_id
+                       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+  FROM assign
+)
+SELECT vec_id, list_id, CAST(rn AS INT) AS rank
+FROM ranked WHERE rn <= {cap}
+"""
+
+
+def cluster_cap_sql(cap: int = CLUSTER_CAP) -> str:
+    """DuckDB oracle for ``cluster_cap_sample`` — composes the shared
+    int8 quantize/centroid/assign CTE fragments from
+    ``functions/similarity`` with the md5 rank-cap kernel
+    ``source_cap_sample`` uses (the q/qlists CTEs ride along unused)."""
+    from trisk_spark.functions.similarity import (
+        _INT8_MODEL_SQL,
+        _QUANT_CORPUS_SQL,
+    )
+
+    return CLUSTER_CAP_SQL_TEMPLATE.format(
+        quant_corpus=_QUANT_CORPUS_SQL,
+        int8_model=_INT8_MODEL_SQL,
+        cap=cap,
+    )
+
+
+def cluster_cap_sample(
+    spark: SparkSession, sf_dir: str, cap: int = CLUSTER_CAP
+) -> DataFrame:
+    """Semantic-diversity capped sampling — keep at most ``cap``
+    documents per embedding cluster: the cluster-balancing step an LLM
+    curation pipeline runs after dedup so no semantic neighborhood
+    (boilerplate families, template farms, topic floods) dominates the
+    mixture. Clusters are the IVF lists of the shared centroid model
+    (the exact assignment ``ann_ivf_int8``/``ann_ivf_pq`` index by);
+    the within-cluster choice is md5(vec_id) order — deterministic
+    across re-runs and backfills, no RNG (the ``source_cap_sample``
+    kernel keyed by cluster instead of source).
+
+    Plan: ONE fused Arrow pass assigns the scan (zero shuffle,
+    broadcast centroid model), then ONE shuffle on list_id for the
+    rank cap (spillable sort; only ids + the md5 key move). At 100 TB
+    a pathological mega-cluster costs a spilled sort, never memory —
+    and the assignment can be read back from the persisted
+    ``ivf_store`` index instead of recomputed (the store's list_id IS
+    this operator's partition key). Library function with a full
+    DuckDB oracle (``cluster_cap_sql``), pytest-gated
+    (tests/test_pq.py) — the sax_store precedent for r9-new surface
+    outside the driver window."""
+    from trisk_spark.functions.similarity import (
+        _int8_centroid_model,
+        _quantize_assign_gemm,
+        _valid_embeddings,
+    )
+
+    emb = _valid_embeddings(table(spark, sf_dir, "embeddings"))
+    cq, cn, cids, _cents = _int8_centroid_model(spark, emb)
+    assign = _quantize_assign_gemm(spark, emb, cq, cn, cids).select(
+        "vec_id", "list_id"
+    )
+    w = Window.partitionBy("list_id").orderBy(
+        F.md5(F.col("vec_id").cast("string")), "vec_id"
+    )
+    return (
+        assign.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= cap)
+        .select("vec_id", "list_id", F.col("rank").cast("int").alias("rank"))
+    )

@@ -498,26 +498,35 @@ def ivf_assign_stream(emb_stream: DataFrame, spark, ref_sf_dir: str) -> DataFram
     """Streaming IVF list assignment — "index new embeddings as they
     arrive": the centroid model is built ONCE from the reference corpus
     (the same N_CENTROIDS smallest-vec_id int8-quantized vectors as
-    ``ann_ivf_int8``, quantized driver-side) and each arriving raw
-    embedding flows through the SAME fused quantize+assign Arrow GEMM
-    kernel (``_quantize_assign_gemm`` — stateless map work, so the
-    identical kernel runs under Structured Streaming unchanged).
-    Append mode, zero shuffle, zero state; emits the FULL index row
-    (vec_id, qvec, qnorm, list_id), so sinking this stream partitioned
-    by list_id IS an incremental write of the ``functions/ivf_store``
-    layout — a store built by streaming ingest answers ``probe_index``
-    identically to the batch-built one (stream≡batch +
-    probe-over-streamed-store pytest-pinned)."""
+    ``ann_ivf_int8``, quantized driver-side; its first PQ_KSUB rows
+    double as the PQ codebook) and each arriving raw embedding flows
+    through the SAME fused quantize+assign+PQ-encode Arrow GEMM kernel
+    the batch store writer uses (``pq._quantize_assign_pq_gemm`` —
+    stateless map work, so the identical kernel runs under Structured
+    Streaming unchanged). Append mode, zero shuffle, zero state; emits
+    the FULL extended index row (vec_id, qvec, qnorm, codes,
+    recon_norm, list_id), so sinking this stream partitioned by
+    list_id IS an incremental write of the ``functions/ivf_store``
+    layout — a store built by streaming ingest answers BOTH
+    ``probe_index`` and ``probe_index_adc`` identically to the
+    batch-built one (stream≡batch + probe-over-streamed-store
+    pytest-pinned)."""
     from trisk_spark.catalog import table
+    from trisk_spark.functions.pq import (
+        _pq_codebook,
+        _quantize_assign_pq_gemm,
+    )
     from trisk_spark.functions.similarity import (
         _int8_centroid_model,
-        _quantize_assign_gemm,
         _valid_embeddings,
     )
 
     ref = _valid_embeddings(table(spark, ref_sf_dir, "embeddings"))
     cq, cn, cids, _cents = _int8_centroid_model(spark, ref)
-    return _quantize_assign_gemm(spark, _valid_embeddings(emb_stream), cq, cn, cids)
+    return _quantize_assign_pq_gemm(
+        spark, _valid_embeddings(emb_stream), cq, cn, cids,
+        _pq_codebook(cq), keep_qvec=True,
+    )
 
 
 def source_mix_stream(docs: DataFrame, spark, ref_sf_dir: str) -> DataFrame:
