@@ -435,3 +435,135 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     qlists = _route_probes_int8(emb, cents)
     cand = _adc_candidates(spark, qlists, index, cb)
     return _exact_rerank(emb, cand)
+
+
+# ------------------------------------------------ codebook training --
+
+PQ_TRAIN_ITERS = 2
+
+
+def _pq_partials_gemm(spark: SparkSession, emb: DataFrame, cb) -> DataFrame:
+    """E-step partials for one Lloyd iteration, fully map-side: each
+    Arrow batch quantizes + encodes its rows against the broadcast
+    codebook and emits ONLY the per-(subspace, code, dim) partial sums
+    (≤ PQ_M·ksub·PQ_DSUB rows per batch — a model-sized frame), plus
+    the batch's assignment counts and exact integer reconstruction
+    error on the dim-0 rows. The corpus never shuffles; the one
+    exchange downstream aggregates model-sized partials (the
+    ``ivf_refine`` partial-agg pattern applied to PQ)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    bc = spark.sparkContext.broadcast(cb)
+    out_schema = StructType(
+        [
+            StructField("s", LongType()),
+            StructField("code", LongType()),
+            StructField("dim", LongType()),
+            StructField("psum", LongType()),
+            StructField("pcnt", LongType()),
+            StructField("perr", LongType()),
+        ]
+    )
+
+    def kern(batches):
+        cb = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.array(list(pdf["embedding"]), dtype=np.float64)
+            q = _quantize_np(X)
+            qn = (q * q).sum(axis=1)
+            keep = qn > 0
+            if not keep.any():
+                continue
+            q = q[keep]
+            codes, _ = _pq_encode_np(q, cb)
+            rows = {"s": [], "code": [], "dim": [], "psum": [],
+                    "pcnt": [], "perr": []}
+            for s in range(PQ_M):
+                sub = q[:, s * PQ_DSUB:(s + 1) * PQ_DSUB]
+                diff = sub - cb[s][codes[:, s]]
+                err_by_code = np.zeros(cb[s].shape[0], dtype=np.int64)
+                np.add.at(err_by_code, codes[:, s], (diff * diff).sum(axis=1))
+                cnt = np.bincount(codes[:, s], minlength=cb[s].shape[0])
+                for w in np.nonzero(cnt)[0]:
+                    sel = sub[codes[:, s] == w]
+                    sums = sel.sum(axis=0)
+                    for d in range(PQ_DSUB):
+                        rows["s"].append(s)
+                        rows["code"].append(int(w))
+                        rows["dim"].append(d)
+                        rows["psum"].append(int(sums[d]))
+                        rows["pcnt"].append(int(cnt[w]) if d == 0 else 0)
+                        rows["perr"].append(
+                            int(err_by_code[w]) if d == 0 else 0
+                        )
+            yield pd.DataFrame(rows)
+
+    return emb.select("vec_id", "embedding").mapInPandas(kern, out_schema)
+
+
+def pq_train(
+    spark: SparkSession, sf_dir: str, iters: int = PQ_TRAIN_ITERS
+):
+    """Per-subspace Lloyd refinement of the PQ codebook — the training
+    step a production PQ index runs (FAISS trains each subspace's
+    codebook by k-means): seed from the deterministic centroid-model
+    codebook, then ``iters`` times (E) encode the corpus against the
+    broadcast codebook and (M) replace each codeword with the
+    integer-floored elementwise mean of its assigned subvectors
+    (floor-division toward -inf — deterministic; empty codewords keep
+    their previous value). Returns ``(codebook, errors)`` where
+    ``errors[i]`` is the exact integer total reconstruction error
+    BEFORE iteration i's update (errors[0] = the seeded codebook's).
+
+    Scale shape: each iteration is one map-only kernel pass over the
+    scan emitting model-sized partials + one partial-agg shuffle of
+    ≤ PQ_M·ksub·PQ_DSUB rows; only the 128-codeword model crosses the
+    driver between steps (the ``ivf_refine`` iteration contract).
+    Integer-floored means can perturb strict Lloyd monotonicity by
+    ±1 per dim, but the end-to-end error vs the seed is pinned
+    non-increasing in tests/test_pq.py."""
+    import numpy as np
+
+    emb = _valid_embeddings(table(spark, sf_dir, "embeddings"))
+    cq, cn, cids, cents, cb = _pq_model(spark, emb)
+    cb = cb.copy()
+    errors = []
+    for _ in range(iters):
+        parts = (
+            _pq_partials_gemm(spark, emb, cb)
+            .groupBy("s", "code")
+            .agg(
+                F.sum("pcnt").alias("cnt"),
+                F.sum("perr").alias("err"),
+                *[
+                    F.sum(F.expr(f"IF(dim = {d}, psum, 0)")).alias(f"m{d}")
+                    for d in range(PQ_DSUB)
+                ],
+            )
+            .collect()
+        )
+        errors.append(sum(r.err for r in parts))
+        for r in parts:
+            if r.cnt > 0:
+                cb[r.s][r.code] = np.array(
+                    [r[f"m{d}"] for d in range(PQ_DSUB)], dtype=np.int64
+                ) // r.cnt
+    return cb, errors
+
+
+def ann_search_pq(spark: SparkSession, sf_dir: str, codebook=None) -> DataFrame:
+    """Library form of ``ann_ivf_pq`` accepting a (possibly
+    Lloyd-refined) codebook; ``None`` uses the deterministic seeded
+    codebook (≡ the registered query)."""
+    emb = _valid_embeddings(table(spark, sf_dir, "embeddings"))
+    cq, cn, cids, cents, cb = _pq_model(spark, emb)
+    if codebook is not None:
+        cb = codebook
+    index = _quantize_assign_pq_gemm(spark, emb, cq, cn, cids, cb)
+    qlists = _route_probes_int8(emb, cents)
+    cand = _adc_candidates(spark, qlists, index, cb)
+    return _exact_rerank(emb, cand)
