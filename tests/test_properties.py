@@ -232,3 +232,75 @@ def test_pii_counts_equal_inserted_tags(text):
     assert n_ssn == red.count("<SSN>")
     assert n_ph == red.count("<PHONE>")
     assert n_ip == red.count("<IP>")
+
+
+# ------------------------------------------------------ PQ kernels --
+
+_int8_vec = st.lists(
+    st.integers(min_value=-127, max_value=127), min_size=64, max_size=64
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(_int8_vec, min_size=1, max_size=12),
+    st.lists(_int8_vec, min_size=1, max_size=16),
+)
+def test_pq_encode_matches_brute_argmin(rows, cwrows):
+    # the subspace-blocked encode must agree with a literal per-
+    # subspace brute-force argmin (ties to the smallest codeword id),
+    # and reconstruction norms with a literal reassembly — on ANY
+    # int8 matrix, not just the fixture corpus
+    import numpy as np
+
+    from trisk_spark.functions.pq import (
+        PQ_DSUB,
+        PQ_M,
+        _pq_codebook,
+        _pq_encode_np,
+    )
+
+    Q = np.array(rows, dtype=np.int64)
+    cq = np.array(cwrows, dtype=np.int64)
+    cb = _pq_codebook(cq)
+    codes, recon = _pq_encode_np(Q, cb)
+    for i in range(Q.shape[0]):
+        rec_parts = []
+        for s in range(PQ_M):
+            sub = Q[i, s * PQ_DSUB:(s + 1) * PQ_DSUB]
+            dists = [
+                int(((sub - cb[s][w]) ** 2).sum())
+                for w in range(cb.shape[1])
+            ]
+            want = min(range(len(dists)), key=lambda w: (dists[w], w))
+            assert codes[i, s] == want, (i, s, dists)
+            rec_parts.append(cb[s][codes[i, s]])
+        rec = np.concatenate(rec_parts)
+        assert int((rec * rec).sum()) == int(recon[i])
+
+
+@settings(max_examples=60, deadline=None)
+@given(_int8_vec, st.lists(_int8_vec, min_size=1, max_size=16))
+def test_pq_adc_identity_on_any_probe(probe, cwrows):
+    # ADC lookup-table sum == dot(probe, reconstruction) for every
+    # probe/codebook pair — the defining PQ identity, randomized
+    import numpy as np
+
+    from trisk_spark.functions.pq import (
+        PQ_DSUB,
+        PQ_M,
+        _pq_codebook,
+        _pq_encode_np,
+    )
+
+    p = np.array(probe, dtype=np.int64)
+    cq = np.array(cwrows, dtype=np.int64)
+    cb = _pq_codebook(cq)
+    codes, _ = _pq_encode_np(cq, cb)  # encode the codeword rows themselves
+    for i in range(cq.shape[0]):
+        lut = sum(
+            int(cb[s][codes[i, s]] @ p[s * PQ_DSUB:(s + 1) * PQ_DSUB])
+            for s in range(PQ_M)
+        )
+        rec = np.concatenate([cb[s][codes[i, s]] for s in range(PQ_M)])
+        assert lut == int(rec @ p)
