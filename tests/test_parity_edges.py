@@ -818,3 +818,21 @@ def test_curation_manifest_semantic_parity_on_hostile_corpus(
         )
     qd = QUERIES["curation_manifest_semantic"]
     assert_matches_oracle(qd.fn(spark, str(tmp_path)), con, qd.oracle)
+
+
+def test_cluster_cap_sample_parity_on_hostile_corpus(
+    spark, hostile_embeddings
+):
+    # the library op rides the same hostile corpus as the registered
+    # similarity family: degenerate embeddings (NULL vector/element,
+    # wrong length, zero and sub-scale vectors, NULL/negative vec_id)
+    # must be dropped or ranked identically by both engines
+    from trisk_spark.functions.sampling import (
+        cluster_cap_sample,
+        cluster_cap_sql,
+    )
+
+    sf_dir, con = hostile_embeddings
+    assert_matches_oracle(
+        cluster_cap_sample(spark, sf_dir), con, cluster_cap_sql()
+    )

@@ -299,3 +299,4 @@ def test_ann_search_pq_refined_codebook_end_to_end(spark):
         per.setdefault(r.query_id, set()).add(r.rank)
     assert len(per) == N_PROBES
     assert all(ranks == set(range(1, TOP_K + 1)) for ranks in per.values())
+
