@@ -836,3 +836,86 @@ def test_cluster_cap_sample_parity_on_hostile_corpus(
     assert_matches_oracle(
         cluster_cap_sample(spark, sf_dir), con, cluster_cap_sql()
     )
+
+
+def test_source_upsample_parity_and_epoch_semantics(spark):
+    # the repeat-epoch up-sampler (library op, like cluster_cap_sample):
+    # full DuckDB oracle parity, plus the defining properties — every
+    # doc appears at least once, copy_idx is dense 0..n-1, per-doc
+    # copies never exceed ceil(factor) <= MAX_EPOCHS, and at least one
+    # source actually repeats (non-vacuous on this corpus)
+    import math
+
+    from pyspark.sql import functions as F
+
+    from trisk_spark.catalog import table as _table
+    from trisk_spark.functions.sampling import (
+        MAX_EPOCHS,
+        SOURCE_UPSAMPLE_SQL,
+        source_upsample,
+        source_upsample_factors,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    sdf = source_upsample(spark, SF)
+    assert_matches_oracle(sdf, con, SOURCE_UPSAMPLE_SQL)
+
+    rows = sdf.collect()
+    per_doc: dict[int, list[int]] = {}
+    src_of: dict[int, str] = {}
+    for r in rows:
+        per_doc.setdefault(r.doc_id, []).append(r.copy_idx)
+        src_of[r.doc_id] = r.source
+    docs = _table(spark, SF, "documents").where(
+        F.col("doc_id").isNotNull() & F.col("source").isNotNull()
+    )
+    factors = {
+        r.source: r.factor
+        for r in source_upsample_factors(docs).collect()
+    }
+    assert set(per_doc) == {
+        r.doc_id for r in docs.select("doc_id").collect()
+    }, "a document vanished or appeared from nowhere"
+    for d, idxs in per_doc.items():
+        assert sorted(idxs) == list(range(len(idxs))), (d, idxs)
+        assert len(idxs) <= math.ceil(factors[src_of[d]]) <= MAX_EPOCHS
+    assert any(len(v) > 1 for v in per_doc.values()), (
+        "no source repeated — the fixture corpus makes this vacuous"
+    )
+
+
+def test_source_upsample_parity_on_hostile_corpus(spark, hostile_docs):
+    # NULL doc_id/source, empty text, NULL text: dropped or factored
+    # identically on both engines
+    from trisk_spark.functions.sampling import (
+        SOURCE_UPSAMPLE_SQL,
+        source_upsample,
+    )
+
+    sf_dir, con = hostile_docs
+    assert_matches_oracle(source_upsample(spark, sf_dir), con, SOURCE_UPSAMPLE_SQL)
+
+
+def test_source_upsample_plan_one_shuffle_broadcast_factors(spark):
+    # per-source token agg is the only exchange pair; the factors table
+    # joins back broadcast; the copy explosion is map-side Generate
+    import re
+
+    from trisk_spark.functions.sampling import source_upsample
+    from .test_plans import no_auto_broadcast
+
+    SF = "/root/testdata/sf0.001"
+    with no_auto_broadcast(spark):
+        plan = source_upsample(spark, SF)._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert re.findall(r"^\(\d+\) Generate$", plan, re.M), plan
+    assert plan.count("hashpartitioning(source") <= 2, plan

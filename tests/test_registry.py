@@ -110,7 +110,7 @@ def test_readme_op_table_names_are_registered():
         "probe_index_stream", "probe_store_stream",
         "semantic_flag_stream", "probe_index_adc",
         "cluster_cap_sample", "cluster_cap_sql", "ivf_store",
-        "pq_train", "ann_search_pq",
+        "pq_train", "ann_search_pq", "source_upsample",
     }
     missing = {
         c for c in cited

@@ -568,3 +568,116 @@ def cluster_cap_sample(
         .where(F.col("rank") <= cap)
         .select("vec_id", "list_id", F.col("rank").cast("int").alias("rank"))
     )
+
+
+# ------------------------------------------------ source up-sampling --
+
+#: repeat-epoch cap for source_upsample (LLaMA-style mixtures cap
+#: small-source repetition to bound memorization)
+MAX_EPOCHS = 4.0
+
+SOURCE_UPSAMPLE_SQL = f"""
+WITH d AS (
+  SELECT doc_id, source,
+    COALESCE(len(list_filter(string_split(text, ' '), w -> w <> '')), 0) AS n_tok,
+    {_PPM_SQL} AS ppm
+  FROM documents WHERE doc_id IS NOT NULL AND source IS NOT NULL
+),
+s AS (SELECT source, SUM(n_tok) AS tok FROM d GROUP BY source),
+m AS (SELECT MAX(tok) AS max_tok FROM s),
+f AS (
+  SELECT source,
+    CASE WHEN tok > 0
+         THEN LEAST({MAX_EPOCHS}, CAST(m.max_tok AS DOUBLE) / tok)
+         ELSE 1.0 END AS factor
+  FROM s CROSS JOIN m
+),
+c AS (
+  SELECT d.doc_id, d.source,
+    CAST(FLOOR(f.factor) AS BIGINT)
+      + CASE WHEN d.ppm < (f.factor - FLOOR(f.factor)) * {MIX_PPM}.0
+             THEN 1 ELSE 0 END AS n
+  FROM d JOIN f ON d.source = f.source
+)
+SELECT doc_id, source, CAST(g AS INT) AS copy_idx
+FROM (SELECT doc_id, source,
+        unnest(generate_series(0, n - 1)) AS g
+      FROM c)
+"""
+
+
+def source_upsample_factors(docs: DataFrame) -> DataFrame:
+    """Per-source repeat factors balancing every source toward the
+    LARGEST source's token mass, capped at MAX_EPOCHS: (source,
+    factor). Source-cardinality sized — the broadcast model of the
+    up-sampling stage (``source_mix_rates``' mirror image: rates
+    down-sample the oversized, factors repeat the undersized)."""
+    ws = F.filter(F.split("text", " "), lambda w: w != "")
+    d = docs.select(
+        "source", F.coalesce(F.size(ws), F.lit(0)).cast("bigint").alias("n_tok")
+    )
+    s = d.groupBy("source").agg(F.sum("n_tok").alias("tok"))
+    m = s.agg(F.max("tok").alias("max_tok"))
+    return s.crossJoin(F.broadcast(m)).select(
+        "source",
+        F.when(
+            F.col("tok") > 0,
+            F.least(
+                F.lit(MAX_EPOCHS), F.col("max_tok").cast("double") / F.col("tok")
+            ),
+        )
+        .otherwise(F.lit(1.0))
+        .alias("factor"),
+    )
+
+
+def source_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic repeat-epoch up-sampling — the other half of the
+    data-mixing stage (``source_mix_sample`` down-samples oversized
+    sources toward the budget; this REPEATS undersized sources toward
+    the largest source's token mass, the LLaMA/Pile-style epochs>1
+    mixture): each document of source s appears ``floor(factor_s)``
+    times plus one more iff its md5 ppm bucket falls under the
+    fractional part — no RNG, so re-runs and backfills materialize the
+    identical epoch plan. Emits one row per (doc_id, copy_idx);
+    ``copy_idx`` is the epoch index a downstream shuffler/packer keys
+    on.
+
+    Plan: one tiny shuffle aggregates per-source token masses; the
+    source-cardinality factors table joins back BROADCAST; the copy
+    explosion is a map-side ``posexplode(sequence(...))`` — at 100 TB
+    nothing corpus-sized shuffles and the explosion multiplies rows at
+    most MAX_EPOCHS×, bounded by the cap. Library function with a full
+    DuckDB oracle (pytest-gated), like ``cluster_cap_sample``.
+
+    Float determinism: token sums exact BIGINTs; factor is one double
+    division under LEAST; floor/frac/ppm-compare are the identical
+    IEEE ops both engines (the ``mix_keep_col`` contract)."""
+    docs = (
+        table(spark, sf_dir, "documents")
+        .where(F.col("doc_id").isNotNull() & F.col("source").isNotNull())
+    )
+    f = source_upsample_factors(docs)
+    ppm = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint") % MIX_PPM
+    )
+    n = (
+        F.floor("factor").cast("bigint")
+        + F.when(
+            ppm < (F.col("factor") - F.floor("factor")) * float(MIX_PPM),
+            F.lit(1),
+        ).otherwise(F.lit(0))
+    )
+    return (
+        docs.select("doc_id", "source")
+        .join(F.broadcast(f), "source")
+        .withColumn("n", n)
+        .select(
+            "doc_id", "source",
+            F.posexplode(F.sequence(F.lit(0), F.col("n") - 1)).alias(
+                "_pos", "copy_idx"
+            ),
+        )
+        .select("doc_id", "source", F.col("copy_idx").cast("int").alias("copy_idx"))
+    )
