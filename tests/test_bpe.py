@@ -1,0 +1,86 @@
+"""BPE merge training: replay-fold parity (the SQL-inexpressible
+iteration's oracle, stock_matchmaker precedent), the textbook worked
+example, hostile corpora, and determinism."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from trisk_spark.functions import bpe
+
+from .conftest import SF_DIR
+
+
+def _write_docs(tmp_path, texts):
+    docs = {
+        "doc_id": list(range(1, len(texts) + 1)),
+        "text": texts,
+        "lang": ["en"] * len(texts),
+        "source": ["fixture"] * len(texts),
+        "n_chars": [len(t) if t else 0 for t in texts],
+    }
+    pq.write_table(pa.table(docs), tmp_path / "documents.parquet")
+    return str(tmp_path)
+
+
+def test_bpe_train_matches_replay_on_corpus(spark):
+    # the distributed trainer must reproduce the pure-Python textbook
+    # fold merge-for-merge (same pairs, same order, same counts) on
+    # the real corpus's word counts
+    from trisk_spark.catalog import table
+
+    got = bpe.bpe_train(spark, SF_DIR, n_merges=12)
+    wc = {
+        r.word: r.cnt
+        for r in bpe.word_counts(table(spark, SF_DIR, "documents")).collect()
+    }
+    want = bpe.bpe_replay(wc, n_merges=12)
+    assert got == want
+    assert len(got) == 12, "corpus exhausted merges early — vacuous"
+
+
+def test_bpe_textbook_example(spark, tmp_path):
+    # Sennrich's worked example shape: 'low'×5 'lower'×2 'newest'×6
+    # 'widest'×3 — highest-count first merges are (e,s) then (es,t)
+    # then (est,</w>) with counts 9/9/9; ties break lexicographically
+    texts = [" ".join(["low"] * 5 + ["lower"] * 2
+                      + ["newest"] * 6 + ["widest"] * 3)]
+    sf = _write_docs(tmp_path, texts)
+    got = bpe.bpe_train(spark, sf, n_merges=3)
+    wc = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    assert got == bpe.bpe_replay(wc, n_merges=3)
+    assert got[0] == ("e", "s", 9)
+    assert got[1] == ("es", "t", 9)
+    assert got[2] == ("est", bpe.EOW, 9)
+
+
+def test_bpe_overlapping_pair_greedy_scan(spark, tmp_path):
+    # 'aaaa'×k: pair (a,a) counts 3k occurrences but greedy merging
+    # yields ['aa','aa','</w>'] — the fold must not double-merge
+    # through the just-merged symbol
+    sf = _write_docs(tmp_path, [" ".join(["aaaa"] * 4)])
+    got = bpe.bpe_train(spark, sf, n_merges=2)
+    want = bpe.bpe_replay({"aaaa": 4}, n_merges=2)
+    assert got == want
+    assert got[0] == ("a", "a", 12)          # 3 adjacent pairs × 4
+    # after the merge ['aa','aa','</w>']: (aa,aa) and (aa,</w>) tie at
+    # 4 — '<' sorts before 'a', so the lexicographic rule picks
+    # (aa,</w>) on both engines
+    assert got[1] == ("aa", bpe.EOW, 4)
+
+
+def test_bpe_hostile_docs_and_stop_rule(spark, tmp_path):
+    # NULL text, empty text, single chars: tokenizer drops them or
+    # they contribute no pairs; all-singleton corpora stop before
+    # n_merges (no pair reaches count 2)
+    sf = _write_docs(tmp_path, [None, "", "x y z", "q"])
+    got = bpe.bpe_train(spark, sf, n_merges=5)
+    # every word is one char + EOW: pairs like (x,</w>) have count 1
+    assert got == []
+
+
+def test_bpe_deterministic_across_runs(spark):
+    a = bpe.bpe_train(spark, SF_DIR, n_merges=6)
+    b = bpe.bpe_train(spark, SF_DIR, n_merges=6)
+    assert a == b and len(a) == 6

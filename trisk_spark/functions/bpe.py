@@ -1,0 +1,188 @@
+"""Distributed BPE merge training over the document corpus — the
+tokenizer-TRAINING step of a data pipeline (Sennrich et al., "Neural
+Machine Translation of Rare Words with Subword Units", ACL 2016;
+``text.bpe_token_estimate`` applies a trained tokenizer's pre-token
+regex, this LEARNS the merge table itself).
+
+Algorithm (classic BPE on the word-frequency table): words are
+character sequences plus an end-of-word marker; each iteration counts
+adjacent symbol pairs weighted by word frequency, picks the most
+frequent pair (ties broken lexicographically — deterministic, no RNG),
+and greedily merges its left-to-right non-overlapping occurrences in
+every word.
+
+Spark-first shape: the corpus is scanned ONCE (tokenize → explode →
+one shuffle on word) into the vocabulary-bounded word-count table;
+every training iteration then runs on that table only — a map-side
+pair explode, one pair-keyed partial-agg shuffle of
+vocabulary-bounded counts, and a single 1-row collect for the argmax
+(the loop-counter driver-contact class, like ``dedup_clusters``'s
+convergence check). The merge application is a pure JVM
+``F.aggregate`` left fold (provably equal to the greedy scan: a
+merged symbol is never string-equal to the merge's left side, so the
+fold can't cascade within an iteration); ``localCheckpoint`` cuts the
+growing lineage each round, the ``dedup_clusters`` iteration
+contract. At 100 TB the corpus scan dominates once and the loop cost
+is independent of corpus size — exactly how production BPE trainers
+work (they train on word counts, not raw text).
+
+Character semantics: ``F.split(word, '')`` yields codepoint strings —
+identical to Python's ``list(word)`` for the BMP text this corpus
+carries (the documents table is pinned pure-ASCII by
+tests/test_parity_edges.py's boundary guard); supplementary-plane
+text would need a byte-level alphabet first (the GPT-2 design), a
+parameter change not a plan change.
+
+Correctness: the SQL-inexpressible iteration is oracled by a
+pure-Python replay fold over the same word counts (the
+``stock_matchmaker`` precedent), plus the textbook worked example,
+hostile-corpus behavior, and determinism pins in tests/test_bpe.py.
+
+Reference: the reference engine has no tokenizer surface
+(beyond-reference mandate, SURVEY.md §7 step 7).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from trisk_spark.catalog import table
+
+N_BPE_MERGES = 20
+EOW = "</w>"
+
+
+def word_counts(docs: DataFrame) -> DataFrame:
+    """(word, cnt) over the corpus: the lowercase whitespace tokenizer
+    the LM family uses (``text._lm_tokens``), one explode + one
+    word-keyed shuffle with map-side combine. Vocabulary-bounded
+    output — everything downstream of this frame is corpus-size
+    independent."""
+    ws = F.filter(
+        F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), " "),
+        lambda w: w != "",
+    )
+    return (
+        docs.where(F.col("doc_id").isNotNull())
+        .select(F.explode(ws).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def _merge_fold(syms, left: str, right: str):
+    """Greedy left-to-right merge of adjacent (left, right) as a pure
+    column fold: append each symbol, except when the accumulator's
+    last element is ``left`` and the incoming symbol is ``right`` —
+    then replace the last element with the merged symbol. Equal to the
+    textbook greedy scan because ``left + right != left`` (nonempty
+    right), so a just-merged symbol can never re-match as ``left``
+    within the same pass."""
+    return F.aggregate(
+        syms,
+        F.expr("CAST(array() AS array<string>)"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (x == F.lit(right)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(left + right))
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_train(
+    spark: SparkSession,
+    sf_dir: str,
+    n_merges: int = N_BPE_MERGES,
+) -> list[tuple[str, str, int]]:
+    """Learn ``n_merges`` BPE merges from the documents corpus.
+    Returns the ordered merge table [(left, right, pair_count), ...] —
+    the driver-held write-once model a tokenizer ships (vocabulary =
+    alphabet + one entry per merge). Stops early if no pair occurs at
+    least twice (merging singletons is pure vocab bloat and the
+    textbook stopping rule)."""
+    docs = table(spark, sf_dir, "documents")
+    words = word_counts(docs).select(
+        F.concat(F.split("word", ""), F.array(F.lit(EOW))).alias("syms"),
+        "cnt",
+    )
+    words = words.localCheckpoint()
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        pairs = (
+            words.where(F.size("syms") >= 2)
+            .select(
+                F.explode(
+                    F.arrays_zip(
+                        F.slice("syms", 1, F.size("syms") - 1).alias("l"),
+                        F.slice(
+                            "syms", 2, F.size("syms") - 1
+                        ).alias("r"),
+                    )
+                ).alias("p"),
+                "cnt",
+            )
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("cnt").alias("n"))
+        )
+        best = pairs.orderBy(F.desc("n"), "l", "r").limit(1).collect()
+        if not best or best[0].n < 2:
+            break
+        left, right, n = best[0].l, best[0].r, int(best[0].n)
+        merges.append((left, right, n))
+        words = words.select(
+            _merge_fold(F.col("syms"), left, right).alias("syms"), "cnt"
+        ).localCheckpoint()
+    return merges
+
+
+def bpe_train_df(
+    spark: SparkSession, sf_dir: str, n_merges: int = N_BPE_MERGES
+) -> DataFrame:
+    """DataFrame image of the merge table: (rank, left, right,
+    pair_count) — rank is 1-based merge order."""
+    rows = [
+        (i + 1, l, r, n) for i, (l, r, n) in
+        enumerate(bpe_train(spark, sf_dir, n_merges))
+    ]
+    return spark.createDataFrame(
+        rows, "rank int, left string, right string, pair_count bigint"
+    )
+
+
+def bpe_replay(word_cnt: dict[str, int], n_merges: int = N_BPE_MERGES):
+    """Pure-Python oracle: textbook BPE (greedy-scan merge, max-count
+    pair, lexicographic ties, stop under count 2) over a word→count
+    dict. tests/test_bpe.py pins ``bpe_train`` against this fold on
+    the same word counts."""
+    words = [(list(w) + [EOW], c) for w, c in word_cnt.items()]
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, c in words:
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + c
+        if not counts:
+            break
+        (left, right), n = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        if n < 2:
+            break
+        merges.append((left, right, n))
+        merged = left + right
+        nxt = []
+        for syms, c in words:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            nxt.append((out, c))
+        words = nxt
+    return merges
