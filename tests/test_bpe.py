@@ -84,3 +84,78 @@ def test_bpe_deterministic_across_runs(spark):
     a = bpe.bpe_train(spark, SF_DIR, n_merges=6)
     b = bpe.bpe_train(spark, SF_DIR, n_merges=6)
     assert a == b and len(a) == 6
+
+
+def _replay_segment(texts_by_doc, merges):
+    # pure-Python: apply the ordered merges to each word's symbol list
+    out = {}
+    for doc_id, text in texts_by_doc.items():
+        words = [w for w in (text or "").lower().split(" ") if w != ""]
+        n_sub = 0
+        for w in words:
+            syms = list(w) + [bpe.EOW]
+            for left, right, _ in merges:
+                nxt, i = [], 0
+                while i < len(syms):
+                    if (
+                        i + 1 < len(syms)
+                        and syms[i] == left
+                        and syms[i + 1] == right
+                    ):
+                        nxt.append(left + right)
+                        i += 2
+                    else:
+                        nxt.append(syms[i])
+                        i += 1
+                syms = nxt
+            n_sub += len(syms)
+        out[doc_id] = (len(words), n_sub)
+    return out
+
+
+def test_bpe_segment_matches_replay(spark):
+    # the broadcast word→length model must reproduce a literal
+    # per-document application of the merge table
+    from trisk_spark.catalog import table
+    from pyspark.sql import functions as F
+
+    merges = bpe.bpe_train(spark, SF_DIR, n_merges=8)
+    got = {
+        r.doc_id: (r.n_words, r.n_bpe_tokens)
+        for r in bpe.bpe_segment(spark, SF_DIR, merges=merges).collect()
+    }
+    texts = {
+        r.doc_id: r.text
+        for r in table(spark, SF_DIR, "documents")
+        .where(F.col("doc_id").isNotNull())
+        .collect()
+    }
+    want = _replay_segment(texts, merges)
+    assert got == want
+    # merges actually compress: fewer BPE tokens than raw chars+EOW
+    raw = sum(
+        len(w) + 1
+        for t in texts.values()
+        for w in (t or "").lower().split(" ")
+        if w != ""
+    )
+    assert sum(v[1] for v in got.values()) < raw
+
+
+def test_bpe_segment_empty_and_null_docs(spark, tmp_path):
+    sf = _write_docs(tmp_path, [None, "", "ab ab"])
+    merges = bpe.bpe_train(spark, sf, n_merges=2)
+    got = {
+        r.doc_id: (r.n_words, r.n_bpe_tokens)
+        for r in bpe.bpe_segment(spark, sf, merges=merges).collect()
+    }
+    # docs 1/2 have zero words but must still appear with zero counts
+    assert got[1] == (0, 0) and got[2] == (0, 0)
+    assert got[3][0] == 2 and got[3][1] >= 2
+
+
+def test_bpe_segment_vocab_guard_fires(spark):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="vocabulary too large"):
+        bpe.bpe_segment(spark, SF_DIR, merges=[], max_vocab_rows=1)

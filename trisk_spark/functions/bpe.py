@@ -186,3 +186,61 @@ def bpe_replay(word_cnt: dict[str, int], n_merges: int = N_BPE_MERGES):
             nxt.append((out, c))
         words = nxt
     return merges
+
+
+#: ceiling on the vocabulary-sized segmentation broadcast (the
+#: LM_MAX_MODEL_ROWS contract: fail loud before the driver collects an
+#: unexpectedly corpus-sized "vocabulary")
+BPE_MAX_VOCAB_ROWS = 50_000_000
+
+
+def bpe_segment(
+    spark: SparkSession,
+    sf_dir: str,
+    merges: list[tuple[str, str, int]] | None = None,
+    max_vocab_rows: int = BPE_MAX_VOCAB_ROWS,
+) -> DataFrame:
+    """Apply a trained merge table to the corpus: per-document BPE
+    token counts (doc_id, n_words, n_bpe_tokens) — the real-tokenizer
+    upgrade of ``text.bpe_token_estimate``'s regex heuristic, and the
+    consumer that makes ``bpe_train`` end-to-end.
+
+    Distributed shape: segmentation is computed ONCE PER DISTINCT WORD
+    on the vocabulary-bounded word table (the merges applied as
+    ``n_merges`` chained JVM folds — constant expression depth, no
+    Python), then the corpus pass explodes tokens map-side and joins
+    the word→length model BROADCAST (size-guarded, the
+    ``LM_MAX_MODEL_ROWS`` contract), aggregating per doc. The corpus
+    never shuffles on anything but the final doc_id partial agg; at
+    100 TB the segmentation table is a write-once asset beside the
+    merge table."""
+    docs = table(spark, sf_dir, "documents").where(F.col("doc_id").isNotNull())
+    if merges is None:
+        merges = bpe_train(spark, sf_dir)
+    vocab = word_counts(docs)
+    n_vocab = vocab.count()
+    if n_vocab > max_vocab_rows:
+        raise ValueError(
+            f"BPE vocabulary too large to broadcast: {n_vocab} rows > "
+            f"{max_vocab_rows}; raise max_vocab_rows or pre-prune the "
+            "vocabulary"
+        )
+    syms = F.concat(F.split("word", ""), F.array(F.lit(EOW)))
+    for left, right, _ in merges:
+        syms = _merge_fold(syms, left, right)
+    seg = vocab.select("word", F.size(syms).alias("n_sub"))
+    ws = F.filter(
+        F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), " "),
+        lambda w: w != "",
+    )
+    toks = docs.select("doc_id", F.explode_outer(ws).alias("word"))
+    return (
+        toks.join(F.broadcast(seg), "word", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("word").alias("n_words"),
+            F.coalesce(F.sum("n_sub"), F.lit(0)).cast("bigint").alias(
+                "n_bpe_tokens"
+            ),
+        )
+    )
