@@ -2010,3 +2010,30 @@ def test_probe_index_stream_adc_equals_batch(spark, tmp_path):
         for r in ivf_store.probe_index_adc(spark, SF, path).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_source_upsample_stream_equals_batch(spark):
+    """Streaming epoch up-sampler: the exploded copy set under the
+    broadcast factors model must equal the batch pass exactly (same
+    md5 ppm fractional-copy test, same factors — model built from the
+    same corpus)."""
+    from trisk_spark.functions.sampling import source_upsample
+    from trisk_spark.streaming.queries import source_upsample_stream
+
+    stream = replay_stream(spark, SF, "documents", n_chunks=4, order_col="doc_id")
+    emitted = []
+    q = (
+        source_upsample_stream(stream, spark, SF)
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda bdf, bid: emitted.extend(bdf.collect()))
+        .option("checkpointLocation", checkpoint_dir("upsamplestream"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted((r.doc_id, r.source, r.copy_idx) for r in emitted)
+    want = sorted(
+        (r.doc_id, r.source, r.copy_idx)
+        for r in source_upsample(spark, SF).collect()
+    )
+    assert got == want and len(got) > 0

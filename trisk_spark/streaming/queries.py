@@ -705,3 +705,55 @@ def semantic_flag_stream(
         .select("vec_id")
         .dropDuplicates(["vec_id"])
     )
+
+
+def source_upsample_stream(docs: DataFrame, spark, ref_sf_dir: str) -> DataFrame:
+    """Streaming repeat-epoch up-sampler — ``source_mix_stream``'s
+    mirror for ``functions/sampling.source_upsample``: the per-source
+    repeat factors are computed ONCE from the reference corpus (the
+    write-once epochs model, source-cardinality sized) and each
+    arriving document explodes into its deterministic copies — a
+    stream-static broadcast join + map-side
+    ``posexplode(sequence(...))``, append mode, zero state, zero
+    shuffle on the stream side. Emits (doc_id, source, copy_idx);
+    sources unseen in the reference corpus have no factor and are
+    dropped (the batch inner-join semantics). Stream≡batch
+    pytest-pinned."""
+    from trisk_spark.catalog import table
+    from trisk_spark.functions.sampling import (
+        MIX_PPM,
+        source_upsample_factors,
+    )
+
+    ref = (
+        table(spark, ref_sf_dir, "documents")
+        .where(F.col("doc_id").isNotNull() & F.col("source").isNotNull())
+    )
+    factors = source_upsample_factors(ref)
+    d = docs.where(
+        F.col("doc_id").isNotNull() & F.col("source").isNotNull()
+    ).select("doc_id", "source")
+    ppm = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint") % MIX_PPM
+    )
+    n = (
+        F.floor("factor").cast("bigint")
+        + F.when(
+            ppm < (F.col("factor") - F.floor("factor")) * float(MIX_PPM),
+            F.lit(1),
+        ).otherwise(F.lit(0))
+    )
+    return (
+        d.join(F.broadcast(factors), "source")
+        .withColumn("n", n)
+        .select(
+            "doc_id", "source",
+            F.posexplode(F.sequence(F.lit(0), F.col("n") - 1)).alias(
+                "_pos", "copy_idx"
+            ),
+        )
+        .select(
+            "doc_id", "source", F.col("copy_idx").cast("int").alias("copy_idx")
+        )
+    )
