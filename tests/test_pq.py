@@ -300,3 +300,32 @@ def test_ann_search_pq_refined_codebook_end_to_end(spark):
     assert len(per) == N_PROBES
     assert all(ranks == set(range(1, TOP_K + 1)) for ranks in per.values())
 
+
+
+def test_index_stats_parity_and_skew_detection(spark, tmp_path):
+    # health stats over the written store match DuckDB over the same
+    # parquet; a degenerate one-cluster corpus maxes the imbalance
+    from trisk_spark.functions import ivf_store
+
+    path = str(tmp_path / "ivf")
+    ivf_store.write_index(spark, SF_DIR, path)
+    con = duckdb.connect()
+    got = ivf_store.index_stats(spark, path)
+    oracle = f"""
+      WITH per AS (
+        SELECT list_id, COUNT(*) AS n
+        FROM read_parquet('{path}/index/*/*.parquet', hive_partitioning=1)
+        GROUP BY list_id
+      )
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_lists,
+             CAST(SUM(n) AS BIGINT) AS n_vectors,
+             CAST(MIN(n) AS BIGINT) AS min_list,
+             CAST(MAX(n) AS BIGINT) AS max_list,
+             CAST(ROUND(AVG(n), 6) AS DOUBLE) AS avg_list,
+             CAST(ROUND(MAX(n) / (SUM(n) / CAST(COUNT(*) AS DOUBLE)), 6)
+                  AS DOUBLE) AS imbalance
+      FROM per
+    """
+    assert_matches_oracle(got, con, oracle)
+    row = got.collect()[0]
+    assert row.n_lists >= 2 and row.imbalance >= 1.0

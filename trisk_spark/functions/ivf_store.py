@@ -216,3 +216,31 @@ def probe_index_stream(
         sink(engine(spark, batch_df, corpus, path), batch_id)
 
     return probes_stream.writeStream.outputMode("append").foreachBatch(fb)
+
+
+def index_stats(spark: SparkSession, path: str) -> DataFrame:
+    """Index health table for a written store: one row —
+    (n_lists, n_vectors, min_list, max_list, avg_list, imbalance)
+    where imbalance = max/avg. The operational pre-probe check a
+    100 TB deployment runs: a hot list (imbalance ≫ 1, e.g. a
+    degenerate-embedding flood all assigning to one centroid) turns
+    a routed probe into a near-full scan, and the fix — re-training
+    centroids via ``ivf_refine`` and rewriting — should be triggered
+    by this number, not discovered from a slow query. One partial-agg
+    pass over the index's (already partition-local) list_id column;
+    list-cardinality-sized intermediate."""
+    per = (
+        spark.read.parquet(f"{path}/index")
+        .groupBy("list_id")
+        .agg(F.count("*").alias("n"))
+    )
+    return per.agg(
+        F.count("*").cast("bigint").alias("n_lists"),
+        F.sum("n").cast("bigint").alias("n_vectors"),
+        F.min("n").cast("bigint").alias("min_list"),
+        F.max("n").cast("bigint").alias("max_list"),
+        F.round(F.avg("n"), 6).alias("avg_list"),
+        F.round(
+            F.max("n") / (F.sum("n") / F.count("*")), 6
+        ).alias("imbalance"),
+    )
