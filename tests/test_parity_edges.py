@@ -919,3 +919,73 @@ def test_source_upsample_plan_one_shuffle_broadcast_factors(spark):
     assert "BroadcastHashJoin" in plan, plan
     assert re.findall(r"^\(\d+\) Generate$", plan, re.M), plan
     assert plan.count("hashpartitioning(source") <= 2, plan
+
+
+def test_training_plan_parity_and_composition_semantics(spark):
+    # the capstone composition (manifest − semantic dups − cluster-cap
+    # overflow + epochs): fully-composed oracle parity, plus the
+    # stage-subset and epoch invariants
+    import math
+
+    from trisk_spark.functions.sampling import (
+        MAX_EPOCHS,
+        training_plan,
+        training_plan_sql,
+    )
+    from trisk_spark.registry import load_all
+
+    SF = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    plan = training_plan(spark, SF)
+    assert_matches_oracle(plan, con, training_plan_sql())
+
+    rows = plan.collect()
+    assert rows, "empty plan — fixture corpus eliminated everything"
+    sem = {
+        r.doc_id
+        for r in load_all()["curation_manifest_semantic"].fn(spark, SF).collect()
+    }
+    assert {r.doc_id for r in rows} <= sem, (
+        "plan contains docs the semantic manifest removed"
+    )
+    for r in rows:
+        if r.split == "train":
+            assert 1 <= r.epochs <= math.ceil(MAX_EPOCHS)
+        else:
+            assert r.epochs == 1
+    assert any(r.epochs > 1 for r in rows if r.split == "train"), (
+        "no source repeated — epochs stage vacuous on this corpus"
+    )
+
+
+def test_training_plan_parity_on_hostile_union_corpus(
+    spark, hostile_docs, hostile_embeddings, tmp_path
+):
+    # both hostile tables at once, like the composed-manifest test:
+    # text edge cases on the documents side, degenerate vectors on the
+    # embeddings side (incl. the planted near-dup pair)
+    import shutil
+
+    from trisk_spark.functions.sampling import (
+        training_plan,
+        training_plan_sql,
+    )
+
+    docs_dir, _ = hostile_docs
+    emb_dir, _ = hostile_embeddings
+    shutil.copy(f"{docs_dir}/documents.parquet", tmp_path / "documents.parquet")
+    shutil.copy(
+        f"{emb_dir}/embeddings.parquet", tmp_path / "embeddings.parquet"
+    )
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{tmp_path}/{t}.parquet')"
+        )
+    assert_matches_oracle(
+        training_plan(spark, str(tmp_path)), con, training_plan_sql()
+    )

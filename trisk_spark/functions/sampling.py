@@ -549,6 +549,18 @@ def cluster_cap_sample(
     DuckDB oracle (``cluster_cap_sql``), pytest-gated
     (tests/test_pq.py) — the sax_store precedent for r9-new surface
     outside the driver window."""
+    return (
+        _cluster_ranked(spark, sf_dir)
+        .where(F.col("rank") <= cap)
+        .select("vec_id", "list_id", "rank")
+    )
+
+
+def _cluster_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, list_id, rank) — every valid embedding's IVF-list
+    assignment with its deterministic md5-order rank within the list.
+    ``cluster_cap_sample`` keeps rank ≤ cap; ``training_plan`` drops
+    rank > cap (the same frame read both ways)."""
     from trisk_spark.functions.similarity import (
         _int8_centroid_model,
         _quantize_assign_gemm,
@@ -563,10 +575,8 @@ def cluster_cap_sample(
     w = Window.partitionBy("list_id").orderBy(
         F.md5(F.col("vec_id").cast("string")), "vec_id"
     )
-    return (
-        assign.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= cap)
-        .select("vec_id", "list_id", F.col("rank").cast("int").alias("rank"))
+    return assign.select(
+        "vec_id", "list_id", F.row_number().over(w).cast("int").alias("rank")
     )
 
 
@@ -680,4 +690,135 @@ def source_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .select("doc_id", "source", F.col("copy_idx").cast("int").alias("copy_idx"))
+    )
+
+
+# ------------------------------------------------- training plan ----
+
+
+def training_plan_sql(cap: int = CLUSTER_CAP) -> str:
+    """DuckDB oracle for ``training_plan`` — the full composition:
+    the semantic curation manifest's CTE chain (SRP-LSH near-dup
+    pairs → transitive closure → losers), the IVF cluster-cap chain
+    (shared quantize/centroid/assign fragments + the md5 rank cap),
+    and the per-source epoch computation over the surviving train
+    split."""
+    from trisk_spark.functions.similarity import (
+        COSINE_LSH_NEAR_DUP_SQL,
+        _INT8_MODEL_SQL,
+        _QUANT_CORPUS_SQL,
+    )
+
+    return f"""
+WITH RECURSIVE cand AS ({COSINE_LSH_NEAR_DUP_SQL}),
+edges AS (
+  SELECT vec_a AS a, vec_b AS b FROM cand
+  UNION
+  SELECT vec_b, vec_a FROM cand
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+clusters AS (
+  SELECT a AS doc_id, LEAST(a, MIN(b)) AS component FROM reach GROUP BY a
+),
+sem_losers AS (SELECT doc_id FROM clusters WHERE component <> doc_id),
+{_QUANT_CORPUS_SQL},
+{_INT8_MODEL_SQL},
+cap_losers AS (
+  SELECT vec_id FROM (
+    SELECT vec_id,
+      ROW_NUMBER() OVER (PARTITION BY list_id
+                         ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+    FROM assign
+  ) WHERE rn > {cap}
+),
+manifest AS ({CURATION_MANIFEST_SQL}),
+m2 AS (
+  SELECT * FROM manifest
+  WHERE doc_id NOT IN (SELECT doc_id FROM sem_losers)
+    AND doc_id NOT IN (SELECT vec_id FROM cap_losers)
+),
+srcstats AS (
+  SELECT source, SUM(n_tokens) AS tok FROM m2
+  WHERE split = 'train' GROUP BY source
+),
+mx AS (SELECT MAX(tok) AS max_tok FROM srcstats),
+f AS (
+  SELECT source,
+    LEAST({MAX_EPOCHS}, CAST(mx.max_tok AS DOUBLE) / tok) AS factor
+  FROM srcstats CROSS JOIN mx
+)
+SELECT m2.doc_id, m2.source, m2.split, m2.n_tokens, m2.quality,
+  CAST(CASE WHEN m2.split = 'train'
+    THEN CAST(FLOOR(f.factor) AS BIGINT)
+      + CASE WHEN {_PPM_SQL.replace("doc_id", "m2.doc_id")}
+               < (f.factor - FLOOR(f.factor)) * {MIX_PPM}.0
+             THEN 1 ELSE 0 END
+    ELSE 1 END AS INT) AS epochs
+FROM m2 LEFT JOIN f ON m2.source = f.source
+"""
+
+
+def training_plan(
+    spark: SparkSession, sf_dir: str, cap: int = CLUSTER_CAP
+) -> DataFrame:
+    """THE training-run artifact — one frame that answers "which
+    documents, in which split, for how many epochs": the semantic
+    curation manifest (quality floor + token floor + exact dedup +
+    semantic near-dup removal + stable split), MINUS cluster-cap
+    overflow (no semantic neighborhood exceeds ``cap`` docs — the
+    diversity balance), PLUS a deterministic per-source epoch count
+    for train rows (undersized sources repeated toward the largest
+    surviving source's token mass, the ``source_upsample`` rule
+    computed over the MANIFEST's n_tokens — no second corpus scan;
+    val/test rows always epochs = 1).
+
+    Plan: each stage is its already-proven scale path (one-scan
+    manifest + 32-byte-hash shuffle; bucketed SRP pairs + label
+    propagation, ids only; fused assign + one list_id rank shuffle)
+    and the composition adds only id-sized anti joins plus a
+    source-cardinality broadcast for the epoch factors. Library
+    function with a fully-composed DuckDB oracle
+    (``training_plan_sql``), pytest-gated — the r9 library-op
+    precedent (``cluster_cap_sample``, ``source_upsample``)."""
+    m = curation_manifest_semantic(spark, sf_dir)
+    cap_losers = (
+        _cluster_ranked(spark, sf_dir)
+        .where(F.col("rank") > cap)
+        .select(F.col("vec_id").alias("doc_id"))
+    )
+    m2 = m.join(cap_losers, "doc_id", "left_anti")
+    s = (
+        m2.where(F.col("split") == "train")
+        .groupBy("source")
+        .agg(F.sum("n_tokens").alias("tok"))
+    )
+    mx = s.agg(F.max("tok").alias("max_tok"))
+    f = s.crossJoin(F.broadcast(mx)).select(
+        "source",
+        F.least(
+            F.lit(MAX_EPOCHS), F.col("max_tok").cast("double") / F.col("tok")
+        ).alias("factor"),
+    )
+    ppm = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint") % MIX_PPM
+    )
+    epochs = F.when(
+        F.col("split") == "train",
+        F.floor("factor").cast("bigint")
+        + F.when(
+            ppm < (F.col("factor") - F.floor("factor")) * float(MIX_PPM),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).otherwise(F.lit(1))
+    return (
+        m2.join(F.broadcast(f), "source", "left")
+        .select(
+            "doc_id", "source", "split", "n_tokens", "quality",
+            epochs.cast("int").alias("epochs"),
+        )
     )
