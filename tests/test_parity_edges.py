@@ -989,3 +989,37 @@ def test_training_plan_parity_on_hostile_union_corpus(
     assert_matches_oracle(
         training_plan(spark, str(tmp_path)), con, training_plan_sql()
     )
+
+
+def test_pack_plan_parity_and_packing_invariants(spark):
+    # plan → batches: composed-oracle parity plus the packing
+    # invariants — every train doc appears exactly `epochs` times,
+    # offsets are dense per shard, and no sequence offset reaches the
+    # capacity
+    from trisk_spark.functions.sampling import (
+        PACK_CAPACITY,
+        pack_plan,
+        pack_plan_sql,
+        training_plan,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    packed = pack_plan(spark, SF)
+    assert_matches_oracle(packed, con, pack_plan_sql())
+
+    rows = packed.collect()
+    copies: dict[int, int] = {}
+    for r in rows:
+        copies[r.doc_id] = copies.get(r.doc_id, 0) + 1
+        assert 0 <= r.seq_offset < PACK_CAPACITY
+    want = {
+        r.doc_id: r.epochs
+        for r in training_plan(spark, SF).collect()
+        if r.split == "train"
+    }
+    assert copies == want and any(v > 1 for v in want.values())

@@ -113,7 +113,8 @@ def test_readme_op_table_names_are_registered():
         "pq_train", "ann_search_pq", "source_upsample",
         "bpe_train", "bpe_train_df", "word_counts", "bpe_replay",
         "bpe_segment", "source_upsample_stream", "index_stats",
-        "training_plan", "training_plan_sql",
+        "training_plan", "training_plan_sql", "pack_plan",
+        "pack_plan_sql",
     }
     missing = {
         c for c in cited

@@ -696,21 +696,21 @@ def source_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------- training plan ----
 
 
-def training_plan_sql(cap: int = CLUSTER_CAP) -> str:
-    """DuckDB oracle for ``training_plan`` — the full composition:
-    the semantic curation manifest's CTE chain (SRP-LSH near-dup
-    pairs → transitive closure → losers), the IVF cluster-cap chain
-    (shared quantize/centroid/assign fragments + the md5 rank cap),
-    and the per-source epoch computation over the surviving train
-    split."""
+def _plan_ctes(cap: int = CLUSTER_CAP) -> str:
+    """The training-plan CTE chain (everything through the ``plan``
+    CTE, no leading WITH) — the full composition: the semantic
+    curation manifest's chain (SRP-LSH near-dup pairs → transitive
+    closure → losers), the IVF cluster-cap chain (shared
+    quantize/centroid/assign fragments + the md5 rank cap), and the
+    per-source epoch computation over the surviving train split.
+    Composed by ``training_plan_sql`` and ``pack_plan_sql``."""
     from trisk_spark.functions.similarity import (
         COSINE_LSH_NEAR_DUP_SQL,
         _INT8_MODEL_SQL,
         _QUANT_CORPUS_SQL,
     )
 
-    return f"""
-WITH RECURSIVE cand AS ({COSINE_LSH_NEAR_DUP_SQL}),
+    return f"""cand AS ({COSINE_LSH_NEAR_DUP_SQL}),
 edges AS (
   SELECT vec_a AS a, vec_b AS b FROM cand
   UNION
@@ -750,15 +750,24 @@ f AS (
   SELECT source,
     LEAST({MAX_EPOCHS}, CAST(mx.max_tok AS DOUBLE) / tok) AS factor
   FROM srcstats CROSS JOIN mx
-)
-SELECT m2.doc_id, m2.source, m2.split, m2.n_tokens, m2.quality,
-  CAST(CASE WHEN m2.split = 'train'
-    THEN CAST(FLOOR(f.factor) AS BIGINT)
-      + CASE WHEN {_PPM_SQL.replace("doc_id", "m2.doc_id")}
-               < (f.factor - FLOOR(f.factor)) * {MIX_PPM}.0
-             THEN 1 ELSE 0 END
-    ELSE 1 END AS INT) AS epochs
-FROM m2 LEFT JOIN f ON m2.source = f.source
+),
+plan AS (
+  SELECT m2.doc_id, m2.source, m2.split, m2.n_tokens, m2.quality,
+    CAST(CASE WHEN m2.split = 'train'
+      THEN CAST(FLOOR(f.factor) AS BIGINT)
+        + CASE WHEN {_PPM_SQL.replace("doc_id", "m2.doc_id")}
+                 < (f.factor - FLOOR(f.factor)) * {MIX_PPM}.0
+               THEN 1 ELSE 0 END
+      ELSE 1 END AS INT) AS epochs
+  FROM m2 LEFT JOIN f ON m2.source = f.source
+)"""
+
+
+def training_plan_sql(cap: int = CLUSTER_CAP) -> str:
+    """DuckDB oracle for ``training_plan`` (see ``_plan_ctes``)."""
+    return f"""
+WITH RECURSIVE {_plan_ctes(cap)}
+SELECT * FROM plan
 """
 
 
@@ -820,5 +829,84 @@ def training_plan(
         .select(
             "doc_id", "source", "split", "n_tokens", "quality",
             epochs.cast("int").alias("epochs"),
+        )
+    )
+
+
+def pack_plan_sql(
+    cap: int = CLUSTER_CAP, capacity: int = PACK_CAPACITY
+) -> str:
+    """DuckDB oracle for ``pack_plan``: the training-plan CTE chain,
+    the epoch explosion (``generate_series`` per train row), and the
+    per-shard running-sum packing window over (doc_id, copy_idx)
+    order."""
+    return f"""
+WITH RECURSIVE {_plan_ctes(cap)},
+copies AS (
+  SELECT doc_id, source, n_tokens,
+    unnest(generate_series(0, epochs - 1)) AS copy_idx
+  FROM plan WHERE split = 'train'
+),
+run AS (
+  SELECT doc_id, CAST(copy_idx AS INT) AS copy_idx, source, n_tokens,
+    SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id, copy_idx
+                        ROWS UNBOUNDED PRECEDING) - n_tokens AS start_off
+  FROM copies
+)
+SELECT doc_id, copy_idx, source, n_tokens,
+  CAST(start_off // {capacity} AS BIGINT) AS seq_id,
+  CAST(start_off % {capacity} AS BIGINT) AS seq_offset
+FROM run
+"""
+
+
+def pack_plan(
+    spark: SparkSession,
+    sf_dir: str,
+    cap: int = CLUSTER_CAP,
+    capacity: int = PACK_CAPACITY,
+) -> DataFrame:
+    """Plan → batches: materialize the ``training_plan``'s epoch
+    decisions into packed pretraining sequences — each train document
+    appears ``epochs`` times (copy_idx = epoch index), concatenated in
+    stable (doc_id, copy_idx) order within its source shard and
+    chopped into PACK_CAPACITY-token sequences (the ``sequence_pack``
+    kernel over the exploded plan). The output row IS the record a
+    training-data writer needs: which document copy lands in which
+    sequence at which offset. Deterministic end-to-end — the whole
+    chain from quality gates to batch layout re-materializes
+    identically on a backfill.
+
+    Plan: the epoch explosion is a map-side ``posexplode(sequence)``
+    (≤ MAX_EPOCHS× rows); packing is one shuffle on the shard key +
+    a spillable running-sum window — the proven ``sequence_pack``
+    shape. Library function with a fully-composed DuckDB oracle
+    (``pack_plan_sql``), pytest-gated."""
+    plan = training_plan(spark, sf_dir, cap)
+    copies = (
+        plan.where(F.col("split") == "train")
+        .select(
+            "doc_id", "source", "n_tokens",
+            F.posexplode(F.sequence(F.lit(0), F.col("epochs") - 1)).alias(
+                "_pos", "copy_idx"
+            ),
+        )
+        .select(
+            "doc_id", F.col("copy_idx").cast("int").alias("copy_idx"),
+            "source", "n_tokens",
+        )
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id", "copy_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("start_off")
+    return (
+        copies.select("doc_id", "copy_idx", "source", "n_tokens", start)
+        .select(
+            "doc_id", "copy_idx", "source", "n_tokens",
+            F.expr(f"start_off DIV {capacity}").alias("seq_id"),
+            (F.col("start_off") % capacity).cast("bigint").alias("seq_offset"),
         )
     )
