@@ -2037,3 +2037,97 @@ def test_source_upsample_stream_equals_batch(spark):
         for r in source_upsample(spark, SF).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_semantic_flag_stream_plan_has_no_stream_stream_join(spark):
+    """The arriving side must stay single-sided: norm is recomputed
+    in-row on the banded frame, never re-attached via a stateful
+    stream-stream self-join whose buffered state would grow with total
+    ingested volume (r9 review finding). The only join is the
+    stream-static band-index join."""
+    from trisk_spark.streaming.queries import semantic_flag_stream
+
+    stream = (
+        spark.readStream.schema(
+            spark.read.parquet(f"{SF}/embeddings.parquet").schema
+        ).parquet(SF)
+    )
+    handles: list = []
+    df = semantic_flag_stream(stream, spark, SF, index_out=handles)
+    plan = df._jdf.queryExecution().analyzed().toString()
+    for h in handles:
+        h.unpersist()
+    assert "StreamingRelation" in plan
+    # the analyzed plan must contain exactly ONE streaming relation —
+    # a self-join would scan the stream twice
+    assert plan.count("StreamingRelation") == 1, plan
+
+
+def test_semantic_flag_stream_ttl_variant_runs(spark):
+    """dedup_ttl switches the flag state to the watermarked
+    dropDuplicatesWithinWatermark — same flags on bounded input."""
+    from trisk_spark.streaming.queries import semantic_flag_stream
+
+    stream = replay_stream(spark, SF, "embeddings", n_chunks=2, order_col="vec_id")
+    handles: list = []
+    emitted = []
+    q = (
+        semantic_flag_stream(
+            stream, spark, SF, index_out=handles, dedup_ttl="10 minutes"
+        )
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda bdf, bid: emitted.extend(bdf.collect()))
+        .option("checkpointLocation", checkpoint_dir("semflagttl"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    for h in handles:
+        h.unpersist()
+    got = sorted(r.vec_id for r in emitted)
+    assert got and len(got) == len(set(got))
+
+
+def test_probe_store_stream_drops_malformed_windows(spark, tmp_path):
+    """An arriving probe window with the wrong length, a NULL element,
+    or a NULL user must be DROPPED, not z-normalized with the wrong
+    divisor and scored silently wrong (r9 review finding); valid rows
+    in the same batch still answer."""
+    from trisk_spark.functions import sax_store
+    from trisk_spark.functions.timeseries import TS_WINDOW
+
+    path = str(tmp_path / "sax")
+    sax_store.write_windows(spark, SF, path)
+    # one valid probe window reconstructed from the raw corpus
+    from trisk_spark.functions.timeseries import _ts_raw_windows
+
+    w_row = (
+        _ts_raw_windows(table(spark, SF, "events"))
+        .select("user_id", "w")
+        .first()
+    )
+    probes_dir = str(tmp_path / "probes")
+    rows = [
+        (int(w_row.user_id), [int(x) for x in w_row.w]),   # valid
+        (999, [1] * (TS_WINDOW - 4)),                      # wrong length
+        (998, [1] * (TS_WINDOW - 1) + [None]),             # NULL element
+        (None, [1] * TS_WINDOW),                           # NULL user
+    ]
+    spark.createDataFrame(
+        rows, "probe_user long, w array<bigint>"
+    ).coalesce(1).write.mode("overwrite").parquet(probes_dir)
+    stream = spark.readStream.schema("probe_user long, w array<bigint>").parquet(
+        probes_dir
+    )
+    emitted = []
+    q = (
+        sax_store.probe_store_stream(
+            spark, stream, path, lambda bdf, bid: emitted.extend(bdf.collect())
+        )
+        .option("checkpointLocation", checkpoint_dir("saxmalformed"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    users = {r.probe_user for r in emitted}
+    assert users == {int(w_row.user_id)}, users

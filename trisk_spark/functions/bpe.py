@@ -199,6 +199,7 @@ def bpe_segment(
     sf_dir: str,
     merges: list[tuple[str, str, int]] | None = None,
     max_vocab_rows: int = BPE_MAX_VOCAB_ROWS,
+    model_out: list | None = None,
 ) -> DataFrame:
     """Apply a trained merge table to the corpus: per-document BPE
     token counts (doc_id, n_words, n_bpe_tokens) — the real-tokenizer
@@ -217,18 +218,26 @@ def bpe_segment(
     docs = table(spark, sf_dir, "documents").where(F.col("doc_id").isNotNull())
     if merges is None:
         merges = bpe_train(spark, sf_dir)
-    vocab = word_counts(docs)
-    n_vocab = vocab.count()
+    syms = F.concat(F.split("word", ""), F.array(F.lit(EOW)))
+    for left, right, _ in merges:
+        syms = _merge_fold(syms, left, right)
+    # persist the segmentation table so the size guard's count and the
+    # broadcast join share ONE corpus tokenize+shuffle pass (an eager
+    # .count() on the unpersisted frame would recompute it — r9 review
+    # finding); pass ``model_out=[]`` to take ownership for unpersist
+    # (the minhash_flag_stream index_out contract), else it lives for
+    # the session like any write-once model asset
+    seg = word_counts(docs).select("word", F.size(syms).alias("n_sub")).persist()
+    if model_out is not None:
+        model_out.append(seg)
+    n_vocab = seg.count()
     if n_vocab > max_vocab_rows:
+        seg.unpersist()
         raise ValueError(
             f"BPE vocabulary too large to broadcast: {n_vocab} rows > "
             f"{max_vocab_rows}; raise max_vocab_rows or pre-prune the "
             "vocabulary"
         )
-    syms = F.concat(F.split("word", ""), F.array(F.lit(EOW)))
-    for left, right, _ in merges:
-        syms = _merge_fold(syms, left, right)
-    seg = vocab.select("word", F.size(syms).alias("n_sub"))
     ws = F.filter(
         F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), " "),
         lambda w: w != "",

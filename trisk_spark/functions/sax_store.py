@@ -41,6 +41,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from trisk_spark.catalog import table
 from trisk_spark.functions.timeseries import (
     N_TS_PROBES,
+    TS_WINDOW,
     _ts_raw_windows,
     attach_window_stats,
     sax_probe_rows,
@@ -115,8 +116,18 @@ def probe_store_stream(
     ``DataStreamWriter`` ready to ``.start()``."""
 
     def fb(batch_df: DataFrame, batch_id: int) -> None:
+        # validity gate for ARRIVING windows (the batch path guarantees
+        # size == TS_WINDOW by construction in _ts_raw_windows; a
+        # malformed producer row would otherwise z-normalize with the
+        # wrong divisor and score silently wrong — r9 review finding)
+        valid = batch_df.select("probe_user", "w").where(
+            F.col("probe_user").isNotNull()
+            & F.col("w").isNotNull()
+            & (F.size("w") == TS_WINDOW)
+            & ~F.exists("w", lambda x: x.isNull())
+        )
         probe_rows = (
-            attach_window_stats(batch_df.select("probe_user", "w"))
+            attach_window_stats(valid)
             .withColumn("word", sax_word_col())
             .select(
                 "probe_user",

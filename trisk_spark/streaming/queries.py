@@ -633,6 +633,7 @@ def semantic_flag_stream(
     spark,
     ref_sf_dir: str,
     index_out: list | None = None,
+    dedup_ttl: str | None = None,
 ) -> DataFrame:
     """Streaming SEMANTIC ingest-dedup flag — "is this arriving
     document's embedding a near-duplicate of anything already in the
@@ -650,9 +651,13 @@ def semantic_flag_stream(
     stream-static equi-join on (band_idx, bv), and candidates are
     VERIFIED in the join row: exact integer dot + the batch's
     cosine ≥ NEAR_DUP_COS test — band collision alone never flags.
-    ``dropDuplicates`` on vec_id emits each flag once. Append mode.
-    Stream≡batch pytest-pinned against the uncapped band∩cosine
-    image."""
+    ``dropDuplicates`` on vec_id emits each flag once (state: one
+    vec_id per flagged vector, unbounded by default; pass
+    ``dedup_ttl`` for the watermarked
+    ``dropDuplicatesWithinWatermark`` variant whose flag state
+    expires — the same escape hatch as ``minhash_flag_stream``).
+    Append mode. Stream≡batch pytest-pinned against the uncapped
+    band∩cosine image."""
     from trisk_spark.catalog import table
     from trisk_spark.functions.similarity import (
         NEAR_DUP_COS,
@@ -688,22 +693,30 @@ def semantic_flag_stream(
     arriving = (
         _valid_embeddings(emb_stream)
         .select("vec_id", _scaled(F.col("embedding")).alias("vec"))
-        .withColumn("norm", _dot(F.col("vec"), F.col("vec")))
-        .where(F.col("norm") > 0)
+        .where(_dot(F.col("vec"), F.col("vec")) > 0)
     )
     cos = _dot(F.col("vec"), F.col("ref_vec")).cast("double") / (
         F.sqrt(F.col("norm").cast("double"))
         * F.sqrt(F.col("ref_norm").cast("double"))
     )
-    return (
-        _srp_bands(arriving.select("vec_id", "vec"))
-        .join(
-            arriving.select("vec_id", "norm"), "vec_id"
-        )
+    # norm recomputed IN-ROW on the banded frame (the vec column rides
+    # every band row): 9 cheap JVM folds per vector instead of a
+    # stateful stream-stream self-join on vec_id, whose two buffered
+    # sides would grow with total ingested volume (r9 review finding)
+    flagged = (
+        _srp_bands(arriving)
+        .withColumn("norm", _dot(F.col("vec"), F.col("vec")))
         .join(ref_bands, ["band_idx", "bv"])
         .where((F.col("vec_id") != F.col("ref_id")) & (cos >= NEAR_DUP_COS))
         .select("vec_id")
-        .dropDuplicates(["vec_id"])
+    )
+    if dedup_ttl is None:
+        return flagged.dropDuplicates(["vec_id"])
+    return (
+        flagged.withColumn("ingest_ts", F.current_timestamp())
+        .withWatermark("ingest_ts", dedup_ttl)
+        .dropDuplicatesWithinWatermark(["vec_id"])
+        .select("vec_id")
     )
 
 
