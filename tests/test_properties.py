@@ -304,3 +304,53 @@ def test_pq_adc_identity_on_any_probe(probe, cwrows):
         )
         rec = np.concatenate([cb[s][codes[i, s]] for s in range(PQ_M)])
         assert lut == int(rec @ p)
+
+
+# ------------------------------------------- upsample epoch arithmetic --
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-(10**9), max_value=10**9),  # doc_id
+            st.integers(min_value=1, max_value=10**7),          # source tok
+        ),
+        min_size=1,
+        max_size=12,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_upsample_epoch_count_matches_duckdb(docs):
+    # the fractional-copy decision (60-bit md5 prefix -> ppm bucket vs
+    # (factor - floor(factor))·1e6) must agree with DuckDB's identical
+    # expression for ANY doc_id and token mass — the exact arithmetic
+    # source_upsample/training_plan/pack_plan all key epochs from
+    import math
+
+    from trisk_spark.functions.sampling import MAX_EPOCHS, MIX_PPM
+
+    max_tok = max(tok for _, tok in docs)
+    for doc_id, tok in docs:
+        factor = min(MAX_EPOCHS, max_tok / tok)
+        ppm, frac = duckdb.sql(
+            f"""SELECT CAST(CONCAT('0x', substr(md5(CAST({doc_id} AS VARCHAR)), 1, 15))
+                     AS BIGINT) % {MIX_PPM},
+                   LEAST({MAX_EPOCHS}, CAST({max_tok} AS DOUBLE) / {tok})"""
+        ).fetchone()
+        assert frac == factor  # identical IEEE double on both sides
+        # CAST to DOUBLE: a bare float literal parses as DECIMAL in
+        # DuckDB (overflows in the ppm multiply); the production SQL
+        # reads factor from a DOUBLE column
+        want_n = duckdb.sql(
+            f"""SELECT CAST(FLOOR(CAST({factor!r} AS DOUBLE)) AS BIGINT)
+                 + CASE WHEN CAST(CONCAT('0x', substr(md5(CAST({doc_id} AS VARCHAR)), 1, 15)) AS BIGINT) % {MIX_PPM}
+                          < (CAST({factor!r} AS DOUBLE)
+                             - FLOOR(CAST({factor!r} AS DOUBLE))) * {MIX_PPM}.0
+                        THEN 1 ELSE 0 END"""
+        ).fetchone()[0]
+        got_n = math.floor(factor) + (
+            1 if ppm < (factor - math.floor(factor)) * MIX_PPM else 0
+        )
+        assert got_n == want_n
+        assert 1 <= got_n <= math.ceil(MAX_EPOCHS)
