@@ -69,11 +69,19 @@ HEADLINE = [
     "source_mix_sample",
     "ts_subsequence_match",
     "ts_subsequence_sax",
-    # r9-new headline queries (baselines key from BENCH_r09 per the
+    # r9-new headline queries (baselines keyed from BENCH_r09 per the
     # new-op policy):
     "dedup_semantic",
     "curation_manifest_semantic",
     "ann_ivf_pq",
+    # r10-new headline queries (baselines key from BENCH_r10 per the
+    # new-op policy):
+    "cluster_cap_sample",
+    "source_upsample",
+    "pq_encode_trained",
+    "bpe_segment",
+    "training_plan",
+    "pack_plan",
 ]
 
 

@@ -329,3 +329,73 @@ def test_index_stats_parity_and_skew_detection(spark, tmp_path):
     assert_matches_oracle(got, con, oracle)
     row = got.collect()[0]
     assert row.n_lists >= 2 and row.imbalance >= 1.0
+
+
+def test_pq_ksub_above_16_production_shape(spark, monkeypatch):
+    # the production parameter (ksub up to 256, a full byte per code)
+    # must be a parameter change, not a plan change: widen the codebook
+    # past 16 and the kernels, identities, and the full search pipeline
+    # must hold unchanged (r9 VERDICT next-round #4)
+    import numpy as np
+
+    from trisk_spark.catalog import table
+    from trisk_spark.functions.similarity import (
+        N_PROBES,
+        TOP_K,
+        _int8_centroid_model,
+        _valid_embeddings,
+    )
+
+    monkeypatch.setattr(pqm, "PQ_KSUB", 32)
+    emb = _valid_embeddings(table(spark, SF_DIR, "embeddings"))
+    cq, cn, cids, cents = _int8_centroid_model(spark, emb)
+    cb = pqm._pq_codebook(cq)
+    assert cb.shape == (pqm.PQ_M, 32, pqm.PQ_DSUB)
+
+    codes, recon = pqm._pq_encode_np(cq, cb)
+    assert int(codes.max()) >= 16, "the widened codebook half is unused"
+    # codeword rows reconstruct themselves exactly (zero error), and
+    # every assignment is a true argmin vs brute force
+    for w in range(32):
+        rec = np.concatenate(
+            [cb[s][codes[w, s]] for s in range(pqm.PQ_M)]
+        )
+        assert (rec == cq[w]).all()
+    for i in range(cq.shape[0]):
+        for s in range(pqm.PQ_M):
+            sub = cq[i, s * pqm.PQ_DSUB:(s + 1) * pqm.PQ_DSUB]
+            d = ((cb[s] - sub) ** 2).sum(axis=1)
+            assert d[codes[i, s]] == d.min()
+
+    # the full ADC search pipeline accepts the wider codebook
+    rows = pqm.ann_search_pq(spark, SF_DIR, codebook=cb).collect()
+    per: dict[int, set[int]] = {}
+    for r in rows:
+        per.setdefault(r.query_id, set()).add(r.rank)
+    assert len(per) == N_PROBES
+    assert all(v == set(range(1, TOP_K + 1)) for v in per.values())
+
+
+def test_pq_train_lloyd_refine_shares_registered_path(spark):
+    # pq_encode_trained must BE pq_train's codebook applied by the
+    # shared fused kernel: re-derive it library-side and compare codes
+    import numpy as np
+
+    from trisk_spark.catalog import table
+    from trisk_spark.functions.similarity import _valid_embeddings
+
+    cb, errs = pqm.pq_train(spark, SF_DIR, iters=pqm.PQ_TRAIN_ITERS)
+    emb = _valid_embeddings(table(spark, SF_DIR, "embeddings"))
+    cq, cn, cids, cents, seed = pqm._pq_model(spark, emb)
+    assert not (cb == seed).all(), "training was a no-op on this corpus"
+    enc = pqm._quantize_assign_pq_gemm(spark, emb, cq, cn, cids, cb)
+    lib = sorted(
+        (r.vec_id, s, int(c))
+        for r in enc.collect()
+        for s, c in enumerate(r.codes)
+    )
+    reg = sorted(
+        (r.vec_id, r.subspace, r.code)
+        for r in load_all()["pq_encode_trained"].fn(spark, SF_DIR).collect()
+    )
+    assert lib == reg and len(lib) > 0

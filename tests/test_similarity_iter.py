@@ -4,6 +4,8 @@ fixed-T registered query lives in test_oracle_parity)."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from trisk_spark.functions import similarity as sim
 
 from .conftest import SF_DIR
@@ -276,3 +278,27 @@ def test_sax_store_probe_scan_is_partition_pruned(spark, tmp_path):
     assert n_probed < n_words_written, (
         "pruning is vacuous: the probe reads every written word"
     )
+
+
+def test_stream_probe_collects_are_ceiling_guarded(spark):
+    # r9 VERDICT #5: the per-batch probe collects in the store probe
+    # paths must fail LOUD past their row ceiling (a flooded probe
+    # topic must not become driver memory / an over-broadcast plan),
+    # and the check itself must be bounded (limit(cap+1), never a full
+    # materialization of the flood)
+    import pytest
+
+    from trisk_spark.functions import ivf_store, sax_store
+
+    df = spark.range(10).select(
+        F.col("id").alias("probe_user"), F.lit(1).alias("x")
+    )
+    # under the cap: passes through with every row intact
+    assert len(sax_store._collect_probe_rows(df, 10)) == 10
+    with pytest.raises(ValueError, match="probe micro-batch exceeds 9"):
+        sax_store._collect_probe_rows(df, 9)
+
+    emb = spark.range(10).select(F.col("id").alias("vec_id"))
+    ivf_store._check_probe_batch(emb, 10)  # at the cap: fine
+    with pytest.raises(ValueError, match="probe batch exceeds 9"):
+        ivf_store._check_probe_batch(emb, 9)

@@ -49,6 +49,28 @@ from trisk_spark.functions.similarity import (
 )
 
 
+#: Ceiling on a single probe batch through the store probe paths (the
+#: ``LM_MAX_MODEL_ROWS`` fail-loud contract): every probe row becomes
+#: N_PROBE_LISTS broadcast routing rows carrying its int8 qvec, so an
+#: unbounded arriving batch (a flooded probe topic) would silently grow
+#: the broadcast build. 100k probes × 64 int64s ≈ tens of MB broadcast
+#: — far above any sane batch, comfortably under the broadcast-build
+#: failure point. The check counts at most cap + 1 rows.
+MAX_PROBE_BATCH_ROWS = 100_000
+
+
+def _check_probe_batch(probe_emb: DataFrame, max_rows: int) -> None:
+    """RAISE if the probe frame exceeds ``max_rows`` rows (bounded
+    count: reads at most ``max_rows + 1``) — a flooded probe stream
+    fails loud instead of becoming an over-broadcast plan."""
+    if probe_emb.limit(max_rows + 1).count() > max_rows:
+        raise ValueError(
+            f"probe batch exceeds {max_rows} rows — refusing to route/"
+            "broadcast it; split the probe stream or raise "
+            "max_probe_rows"
+        )
+
+
 def write_index(spark: SparkSession, sf_dir: str, path: str) -> None:
     """Build and persist the int8 IVF(+PQ) index for the corpus at
     ``sf_dir``: ``<path>/index`` holds (vec_id, qvec, qnorm, codes,
@@ -89,6 +111,7 @@ def probe_frame(
     probe_emb: DataFrame,
     corpus_emb: DataFrame,
     path: str,
+    max_probe_rows: int = MAX_PROBE_BATCH_ROWS,
 ) -> DataFrame:
     """Top-K search over the PERSISTED index for an ARBITRARY
     (vec_id, embedding) probe frame: route it against the stored
@@ -98,8 +121,10 @@ def probe_frame(
     + exact-re-rank stages with ``corpus_emb`` supplying neighbor-side
     raw embeddings and ``probe_emb`` the query side. The shared engine
     of ``probe_index`` (batch query set) and ``probe_index_stream``
-    (per-micro-batch arriving probes)."""
+    (per-micro-batch arriving probes). The batch is capped at
+    ``max_probe_rows`` (fail-loud, bounded count)."""
     probe_emb = _valid_embeddings(probe_emb)
+    _check_probe_batch(probe_emb, max_probe_rows)
     cents = spark.read.parquet(f"{path}/centroids")
     qlists = _route_probe_frame(probe_emb, cents)
     routed = sorted(
@@ -136,6 +161,7 @@ def probe_frame_adc(
     probe_emb: DataFrame,
     corpus_emb: DataFrame,
     path: str,
+    max_probe_rows: int = MAX_PROBE_BATCH_ROWS,
 ) -> DataFrame:
     """ADC probe over the persisted index — ``probe_frame``'s shape
     with the int8 candidate scan replaced by the PQ lookup-table scan:
@@ -144,8 +170,10 @@ def probe_frame_adc(
     column pruning; ReadSchema pinned) — and candidates come from
     ``pq._adc_candidates`` before the same shared exact re-rank. The
     codebook is rebuilt from the stored centroid model driver-side
-    (≤ K rows — the routing-decision collect class)."""
+    (≤ K rows — the routing-decision collect class). The batch is
+    capped at ``max_probe_rows`` (fail-loud, bounded count)."""
     probe_emb = _valid_embeddings(probe_emb)
+    _check_probe_batch(probe_emb, max_probe_rows)
     cents = spark.read.parquet(f"{path}/centroids")
     cb = _stored_codebook(cents.collect())
     qlists = _route_probe_frame(probe_emb, cents)

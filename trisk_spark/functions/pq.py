@@ -441,6 +441,77 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PQ_TRAIN_ITERS = 2
 
+# Floor division toward -inf (numpy's // on int64) in DuckDB, whose
+# integer // truncates toward zero: subtract the Python-style modulus
+# first, then the exact division is safe under either convention.
+_FDIV_SQL = "((({a}) - ((({a}) % ({c}) + ({c})) % ({c}))) // ({c}))"
+
+
+def _enc_cte_sql(name: str, cb_cte: str, keep_sub: bool) -> str:
+    """Encode CTE against an arbitrary codebook CTE ``cb_cte`` (s,
+    cw_id, cw_vec): per (vector, subspace) the argmin-L2 codeword,
+    ties to the smallest cw_id — exact int64, the ``_PQ_ENC_SQL``
+    shape parameterized for the Lloyd chain. ``keep_sub`` carries the
+    subvector through for the M-step sums. MATERIALIZED: each e/cb CTE
+    is referenced twice downstream and DuckDB would otherwise inline
+    the chain exponentially."""
+    sub = f"list_slice(t.qvec, cb.s * {PQ_DSUB} + 1, cb.s * {PQ_DSUB} + {PQ_DSUB})"
+    cols = "vec_id, s, code" + (", sub" if keep_sub else "")
+    inner_sub = f", {sub} AS sub" if keep_sub else ""
+    return f"""{name} AS MATERIALIZED (
+  SELECT {cols} FROM (
+    SELECT t.vec_id, cb.s, cb.cw_id AS code{inner_sub},
+      ROW_NUMBER() OVER (PARTITION BY t.vec_id, cb.s ORDER BY
+        list_sum(list_transform(list_zip({sub}, cb.cw_vec),
+          p -> (p[1] - p[2]) * (p[1] - p[2]))) ASC,
+        cb.cw_id ASC) AS rn
+    FROM qn t CROSS JOIN {cb_cte} cb
+  ) WHERE rn = 1
+)"""
+
+
+def pq_encode_trained_sql(iters: int = PQ_TRAIN_ITERS) -> str:
+    """DuckDB oracle for ``pq_encode_trained``: replays ``iters``
+    integer-floored Lloyd steps — (E) encode the quantized corpus
+    against the current codebook, (M) replace each non-empty codeword
+    with the floor-toward--inf elementwise mean of its assigned
+    subvectors, empty codewords keep their value — from the
+    deterministic seed, then emits the final encode. Every quantity is
+    exact int64 arithmetic on both engines (sums bounded by
+    n_rows·127 ≪ 2^53; the floor-division emulation is exact), so the
+    driver hash gates the trained codebook itself, not just the
+    seed."""
+    parts = []
+    prev = "cb"  # the seeded codebook CTE from _PQ_CB_SQL
+    for i in range(1, iters + 1):
+        parts.append(_enc_cte_sql(f"e{i}", prev, keep_sub=True))
+        sums = ",\n    ".join(
+            f"SUM(sub[{d + 1}]) AS m{d}" for d in range(PQ_DSUB)
+        )
+        parts.append(f"""m{i} AS (
+  SELECT s, code, COUNT(*) AS cnt,
+    {sums}
+  FROM e{i} GROUP BY s, code
+)""")
+        upd = ", ".join(
+            _FDIV_SQL.format(a=f"m.m{d}", c="m.cnt") for d in range(PQ_DSUB)
+        )
+        parts.append(f"""cb{i} AS MATERIALIZED (
+  SELECT c.s, c.cw_id,
+    CASE WHEN m.cnt IS NULL THEN c.cw_vec ELSE [{upd}] END AS cw_vec
+  FROM {prev} c LEFT JOIN m{i} m ON m.s = c.s AND m.code = c.cw_id
+)""")
+        prev = f"cb{i}"
+    parts.append(_enc_cte_sql("ef", prev, keep_sub=False))
+    chain = ",\n".join(parts)
+    return f"""
+WITH {_QUANT_CORPUS_SQL},
+{_PQ_CB_SQL},
+{chain}
+SELECT vec_id, CAST(s AS INT) AS subspace, CAST(code AS INT) AS code
+FROM ef
+"""
+
 
 def _pq_partials_gemm(spark: SparkSession, emb: DataFrame, cb) -> DataFrame:
     """E-step partials for one Lloyd iteration, fully map-side: each
@@ -526,10 +597,18 @@ def pq_train(
     Integer-floored means can perturb strict Lloyd monotonicity by
     ±1 per dim, but the end-to-end error vs the seed is pinned
     non-increasing in tests/test_pq.py."""
-    import numpy as np
-
     emb = _valid_embeddings(table(spark, sf_dir, "embeddings"))
     cq, cn, cids, cents, cb = _pq_model(spark, emb)
+    return _lloyd_refine(spark, emb, cb, iters)
+
+
+def _lloyd_refine(spark: SparkSession, emb: DataFrame, cb, iters: int):
+    """The Lloyd loop of ``pq_train`` over a validated embedding frame
+    and a seed codebook — shared by ``pq_train`` and the registered
+    ``pq_encode_trained`` (which reuses the corpus frame and centroid
+    collect it already holds)."""
+    import numpy as np
+
     cb = cb.copy()
     errors = []
     for _ in range(iters):
@@ -553,6 +632,37 @@ def pq_train(
                     [r[f"m{d}"] for d in range(PQ_DSUB)], dtype=np.int64
                 ) // r.cnt
     return cb, errors
+
+
+@register("pq_encode_trained", oracle=pq_encode_trained_sql())
+def pq_encode_trained(
+    spark: SparkSession, sf_dir: str, iters: int = PQ_TRAIN_ITERS
+) -> DataFrame:
+    """Product-quantize the corpus against the TRAINED codebook — the
+    production-parameter path ``pq_encode`` seeds: ``iters``
+    integer-floored Lloyd steps (``pq_train``'s loop, measured 25%
+    reconstruction-error cut on this corpus) refine the deterministic
+    seed before the final encode, so the driver-gated row exercises
+    the trained model, not the degenerate seeding rule (r9 VERDICT
+    next-round #4).
+
+    Plan: training adds ``iters`` map-only partial-sum passes over the
+    scan (model-sized partials, one tiny partial-agg shuffle each —
+    the ``ivf_refine`` iteration contract); the final encode is the
+    same fused zero-shuffle Arrow pass as ``pq_encode``. Registered
+    form emits one scalar row per (vec_id, subspace)."""
+    emb = _valid_embeddings(table(spark, sf_dir, "embeddings"))
+    cq, cn, cids, cents, seed = _pq_model(spark, emb)
+    cb, _errors = _lloyd_refine(spark, emb, seed, iters)
+    enc = _quantize_assign_pq_gemm(spark, emb, cq, cn, cids, cb)
+    return enc.select(
+        "vec_id",
+        F.posexplode("codes").alias("subspace", "code"),
+    ).select(
+        "vec_id",
+        F.col("subspace").cast("int").alias("subspace"),
+        F.col("code").cast("int").alias("code"),
+    )
 
 
 def ann_search_pq(spark: SparkSession, sf_dir: str, codebook=None) -> DataFrame:

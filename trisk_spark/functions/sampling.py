@@ -526,6 +526,7 @@ def cluster_cap_sql(cap: int = CLUSTER_CAP) -> str:
     )
 
 
+@register("cluster_cap_sample", oracle=cluster_cap_sql())
 def cluster_cap_sample(
     spark: SparkSession, sf_dir: str, cap: int = CLUSTER_CAP
 ) -> DataFrame:
@@ -641,6 +642,7 @@ def source_upsample_factors(docs: DataFrame) -> DataFrame:
     )
 
 
+@register("source_upsample", oracle=SOURCE_UPSAMPLE_SQL)
 def source_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic repeat-epoch up-sampling — the other half of the
     data-mixing stage (``source_mix_sample`` down-samples oversized
@@ -657,8 +659,8 @@ def source_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     source-cardinality factors table joins back BROADCAST; the copy
     explosion is a map-side ``posexplode(sequence(...))`` — at 100 TB
     nothing corpus-sized shuffles and the explosion multiplies rows at
-    most MAX_EPOCHS×, bounded by the cap. Library function with a full
-    DuckDB oracle (pytest-gated), like ``cluster_cap_sample``.
+    most MAX_EPOCHS×, bounded by the cap. Driver-gated since r10 (full
+    DuckDB oracle), like ``cluster_cap_sample``.
 
     Float determinism: token sums exact BIGINTs; factor is one double
     division under LEAST; floor/frac/ppm-compare are the identical
@@ -771,6 +773,7 @@ SELECT * FROM plan
 """
 
 
+@register("training_plan", oracle=training_plan_sql())
 def training_plan(
     spark: SparkSession, sf_dir: str, cap: int = CLUSTER_CAP
 ) -> DataFrame:
@@ -789,10 +792,9 @@ def training_plan(
     manifest + 32-byte-hash shuffle; bucketed SRP pairs + label
     propagation, ids only; fused assign + one list_id rank shuffle)
     and the composition adds only id-sized anti joins plus a
-    source-cardinality broadcast for the epoch factors. Library
-    function with a fully-composed DuckDB oracle
-    (``training_plan_sql``), pytest-gated — the r9 library-op
-    precedent (``cluster_cap_sample``, ``source_upsample``)."""
+    source-cardinality broadcast for the epoch factors. Driver-gated
+    since r10 with its fully-composed DuckDB oracle
+    (``training_plan_sql``)."""
     m = curation_manifest_semantic(spark, sf_dir)
     cap_losers = (
         _cluster_ranked(spark, sf_dir)
@@ -860,6 +862,7 @@ FROM run
 """
 
 
+@register("pack_plan", oracle=pack_plan_sql())
 def pack_plan(
     spark: SparkSession,
     sf_dir: str,
@@ -880,8 +883,8 @@ def pack_plan(
     Plan: the epoch explosion is a map-side ``posexplode(sequence)``
     (≤ MAX_EPOCHS× rows); packing is one shuffle on the shard key +
     a spillable running-sum window — the proven ``sequence_pack``
-    shape. Library function with a fully-composed DuckDB oracle
-    (``pack_plan_sql``), pytest-gated."""
+    shape. Driver-gated since r10 with its fully-composed DuckDB oracle
+    (``pack_plan_sql``)."""
     plan = training_plan(spark, sf_dir, cap)
     copies = (
         plan.where(F.col("split") == "train")

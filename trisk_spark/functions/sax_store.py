@@ -51,6 +51,30 @@ from trisk_spark.functions.timeseries import (
     ts_sax_windows_gemm,
 )
 
+#: Ceiling on the per-micro-batch probe-row collect in
+#: ``probe_store_stream`` (the ``LM_MAX_MODEL_ROWS`` fail-loud
+#: contract): each probe row carries a TS_WINDOW-element array, so a
+#: misbehaving producer flooding the probe topic would otherwise become
+#: driver memory. 100k rows ≈ tens of MB driver-side — far above any
+#: sane probe batch, far below driver OOM. The collect itself is
+#: ``limit(cap + 1)``-bounded, so the guard caps driver memory even
+#: while detecting the overflow.
+MAX_STREAM_PROBE_ROWS = 100_000
+
+
+def _collect_probe_rows(df: DataFrame, max_rows: int):
+    """Bounded driver-side collect for a probe micro-batch: reads at
+    most ``max_rows + 1`` rows and RAISES if the batch exceeds the cap
+    (fail loud, never silently truncate a probe set)."""
+    rows = df.limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"probe micro-batch exceeds {max_rows} rows — refusing the "
+            "driver-side collect; split the probe stream or raise "
+            "max_probe_rows"
+        )
+    return rows
+
 
 def write_windows(spark: SparkSession, sf_dir: str, path: str) -> None:
     """Build and persist the SAX window index for the events corpus at
@@ -98,6 +122,7 @@ def probe_store_stream(
     probe_windows_stream: DataFrame,
     path: str,
     sink,
+    max_probe_rows: int = MAX_STREAM_PROBE_ROWS,
 ):
     """Streaming subsequence-pattern probes over the persisted window
     index — "screen this just-observed pattern against the stored
@@ -113,7 +138,11 @@ def probe_store_stream(
 
     ``sink(result_df, batch_id)`` receives each batch's (probe_user,
     match_user, match_seq, dist2, rank) frame. Returns the
-    ``DataStreamWriter`` ready to ``.start()``."""
+    ``DataStreamWriter`` ready to ``.start()``.
+
+    The per-batch probe collect is bounded by ``max_probe_rows``
+    (default ``MAX_STREAM_PROBE_ROWS``) and RAISES past it — a flooded
+    probe topic fails loud instead of becoming driver memory."""
 
     def fb(batch_df: DataFrame, batch_id: int) -> None:
         # validity gate for ARRIVING windows (the batch path guarantees
@@ -126,7 +155,7 @@ def probe_store_stream(
             & (F.size("w") == TS_WINDOW)
             & ~F.exists("w", lambda x: x.isNull())
         )
-        probe_rows = (
+        probe_rows = _collect_probe_rows(
             attach_window_stats(valid)
             .withColumn("word", sax_word_col())
             .select(
@@ -135,8 +164,8 @@ def probe_store_stream(
                 F.col("mu").alias("pmu"),
                 F.col("sd").alias("psd"),
                 F.col("word").alias("pword"),
-            )
-            .collect()
+            ),
+            max_probe_rows,
         )
         sink(_probe_rows_over_store(spark, probe_rows, path), batch_id)
 

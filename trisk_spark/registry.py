@@ -74,68 +74,77 @@ def register(name: str, oracle: str | None = None):
 # regardless of position stay oracle-gated by
 # tests/test_oracle_parity.py every round.
 #
-# r9 window: the 36 r8 sitters rotate back in (policy (a): nobody's
+# r10 window: the 39 r9 sitters rotate back in (policy (a): nobody's
 # last driver-green row goes older than one round), except
 # media_decode_resize (no-oracle) which keeps sitting on its hash-gated
 # checksum witness. Must-stays: stock_matchmaker (no oracle, no
-# hash-gated witness → never sits) and the two r9-new queries
-# (dedup_semantic, curation_manifest_semantic: new sole evidence, must
-# be in-window; the r9-new sax_store surface is library+pytest —
-# probe≡ts_subsequence_sax pinned). Twelve r8-greens also KEEP their
-# window seats because their in-window witnesses would be thin:
-# media_decode_checksum (the no-oracle sitter's witness), nexmark_q11
-# (only session-window query), wordcount_two_input (only
-# connect/CoFlatMap), async_enrich (only AsyncDataStream), fraud_alerts
-# (only BroadcastState), q3_emit_once_join (only emit-once semantics),
-# all_window_agg (only non-keyed window), asof_join (distinct
-# tagged-union kernel), sequence_pack (distinct packing kernel),
-# ts_subsequence_sax (the ts family's seat). Mid-r9 the two PQ queries
-# (pq_encode, ann_ivf_pq: new sole evidence, must be in-window) took
-# the seats of ann_ivf_int8 and ts_subsequence_match — both r8-green,
-# both with strong in-window witnesses (see their DEPRIORITIZED
-# lines), both rotating back r10.
-# Sitting out r9 — every one hash-green in r8 (CORRECTNESS_r08),
+# hash-gated witness → never sits), media_decode_checksum (the
+# no-oracle sitter's witness, enforced by test_registry), and the six
+# r10-new registrations (cluster_cap_sample, source_upsample,
+# bpe_segment, training_plan, pack_plan, pq_encode_trained: new sole
+# driver evidence — the r9 VERDICT's #1 demand). Three r9-greens KEEP
+# their seats because their capabilities are single-query (§2B
+# flagship rows): fraud_alerts (FD megaphone / BroadcastState),
+# nexmark_q11 (session windows), q3_emit_once_join (emit-once
+# semantics). The remaining unique-capability r9-greens
+# (all_window_agg, wordcount_two_input, cogroup_apply, asof_join,
+# async_enrich) sit this ONE round — seat arithmetic: 39 returning +
+# 2 permanent + 6 new + 3 keepers = 50 — on (a) their r9 driver-green
+# hash, (b) the every-round full-DuckDB-oracle pytest gate
+# (test_oracle_parity runs ALL registered oracles, sitters included),
+# and (c) the hostile-corpus parity families in test_parity_edges
+# (asof_join additionally: test_asof_stream_equals_batch). They rotate
+# back r11.
+# Sitting out r10 — every one hash-green in r9 (CORRECTNESS_r09),
 # witness noted:
 DEPRIORITIZED = [
-    "nexmark_q5",              # §2B Q5 sliding agg: sliding_count_window (in, sliding) + tumbling_window_agg (in)
-    "tpch_q5",                 # multi-join agg: tpch_q3, tpch_q10 (in)
-    "tpch_q6",                 # filter agg: nexmark_q2 (in, filter) + tpch_q1 (in, scan agg)
-    "tpch_q7",                 # multi-join agg: tpch_q3, tpch_q10 (in)
-    "tpch_q14",                # join + conditional agg: tpch_q3 (in)
-    "revenue_rollup",          # scan agg: tpch_q1 (in)
-    "props_rollup",            # scalar fns: token_count + url_normalize (in, scalar/string fns)
-    "source_quality_rollup",   # composes quality_score + lang_id + repetition_ratio (all in)
-    "ngram_counts",            # shingle counts: ngram_jaccard (in, same shingle kernel)
-    "semi_join_orders",        # semi-join kernel: decontaminate_flags (in, same kernel)
-    "split_rollup",            # md5-bucket rollup: train_split + source_cap_sample (in, same kernel)
-    "customers_without_orders",  # anti-join: curation_manifest_semantic (in, left-anti) + tpch family (in)
-    "top_orders_per_customer",   # window rank + join: tpch_q18 (in)
-    "keyed_running_reduce",    # KeyedStream.reduce: keyed_agg (in, keyed fold family)
-    "minby_maxby",             # minBy/maxBy: keyed_agg (in, same struct-MIN/MAX kernel)
-    "decimal_accumulators",    # BigDecimal accumulators: tpch_q1 (in, decimal scan agg)
-    "delta_trigger",           # triggers: continuous_trigger + purging_trigger (in)
-    "time_evictor_window",     # evictors: delta_evictor_window (in)
-    "count_window",            # count windows: sliding_count_window (in)
-    "interval_join",           # time-bounded join: nexmark_q8 (in, windowed equi-join)
-    "curation_manifest",       # curation_manifest_semantic (in) COMPOSES it wholesale
-    "dedup_minhash_lsh",       # dedup_clusters (in) composes its pair kernel; ngram_jaccard (in)
-    "dedup_simhash",           # token-level near-dup: dedup_bag (in)
-    "dedup_substring",         # rolling-hash winnowing: doc_fingerprint (in, same rolling-hash class)
-    "cosine_near_dup_exact",   # exact-cosine GEMM: knn_bruteforce (in, same kernel)
-    "cosine_near_dup_lsh",     # SRP-LSH pairs: dedup_semantic (in) COMPOSES cosine_lsh_pairs; ann_lsh_bucketed (in)
-    "ann_ivf",                 # centroid model + assign: ivf_refine (in, same kernel)
-    "ann_ivf_int8",            # r9-green seats yield to the two r9-new PQ queries: ann_ivf_pq (in) COMPOSES its entire pipeline — same _int8_centroid_model, same fused quantize+assign arithmetic, same _route_probes_int8 routing, same _exact_rerank tail (pq.py imports them)
-    "ts_subsequence_match",    # ts family: ts_subsequence_sax (in, same z-norm stats + exact-int distance arithmetic); brute kernel≡expression pinned at tests/test_parity_edges.py
-    "ivf_refine_iters",        # iteration: ivf_refine (in, same step kernel) + dedup_clusters (in, driver-loop)
-    "knn_label_vote",          # knn_bruteforce (in) — label_vote EMBEDS its pipeline
-    "embed_quantize_int8",     # quantize kernel: ann_ivf_pq (in, fused quantize+assign+encode via the same _quantize_np)
-    "source_mix_sample",       # md5-ppm sampling family: train_split + source_cap_sample (in)
-    "bigram_lm_score",         # shared _lm_tokens tokenizer: token_count (in); LM stream twin pytest
-    "keyword_extract",         # shared _lm_tokens tokenizer: token_count (in); stream twin pytest
-    "length_percentiles",      # doc-stats agg: quality_score (in, same stats family)
-    "doc_chunk",               # tokenizer: token_count (in, shared tokenizer)
-    "bpe_token_estimate",      # tokenizer: token_count (in, shared tokenizer)
-    "media_byte_features",     # multimodal map-side: media_metadata + media_frame_sample (in)
+    # ---- r9-green relational/streaming rows sitting one round ----
+    "nexmark_q1",              # map: props_rollup (in, scalar map exprs)
+    "nexmark_q2",              # filter: tpch_q6 (in, filter + agg)
+    "nexmark_q3",              # SQL join image: tpch_q5 + tpch_q7 (in)
+    "nexmark_q8",              # windowed equi-join: interval_join (in, time-bounded join)
+    "tpch_q1",                 # decimal scan agg: decimal_accumulators + revenue_rollup (in)
+    "tpch_q3",                 # multi-join agg: tpch_q5, tpch_q7, tpch_q14 (in)
+    "tpch_q10",                # multi-join agg: tpch_q5, tpch_q7 (in)
+    "tpch_q18",                # window rank + join: top_orders_per_customer (in)
+    "keyed_agg",               # keyed folds: keyed_running_reduce + minby_maxby (in)
+    "tumbling_window_agg",     # window aggs: nexmark_q5 (in, sliding) + count_window (in)
+    "all_window_agg",          # non-keyed window: r9 driver-green + every-round oracle pytest + hostile-events parity (see header)
+    "wordcount",               # flatMap + count: ngram_counts (in, explode/shingle count)
+    "wordcount_two_input",     # connect/CoFlatMap: r9 driver-green + oracle pytest + hostile-docs parity (see header)
+    "cogroup_apply",           # coGroup: r9 driver-green + oracle pytest + hostile-events parity (see header)
+    "sliding_count_window",    # count/sliding windows: count_window + nexmark_q5 (in)
+    "delta_evictor_window",    # evictors: time_evictor_window (in)
+    "continuous_trigger",      # triggers: delta_trigger (in)
+    "purging_trigger",         # triggers: delta_trigger (in)
+    "asof_join",               # tagged-union asof: interval_join (in, time-bounded family) + test_asof_stream_equals_batch pytest
+    "async_enrich",            # AsyncDataStream: r9 driver-green + oracle pytest + hostile-events parity (see header)
+    "token_count",             # tokenizer: doc_chunk + bpe_token_estimate + bpe_segment (in, shared tokenizer)
+    "quality_score",           # doc stats: length_percentiles + source_quality_rollup (in)
+    "lang_id",                 # source_quality_rollup (in) composes it
+    "doc_fingerprint",         # rolling hash: dedup_substring (in, same class)
+    "dedup_exact",             # md5 groupBy: dedup_minhash_lsh (in) + training_plan (in, composes exact dedup via the manifest)
+    "dedup_bag",               # token-level near-dup: dedup_simhash (in)
+    "ngram_jaccard",           # shingle kernel: ngram_counts + dedup_minhash_lsh (in)
+    "dedup_clusters",          # components: training_plan (in, composes the transitive closure) + dedup_minhash_lsh (in, pair kernel)
+    "decontaminate_flags",     # semi-join kernel: semi_join_orders (in)
+    "repetition_ratio",        # source_quality_rollup (in) composes it
+    "pii_redact",              # scalar regexes: props_rollup (in, scalar/string fns)
+    "url_normalize",           # scalar string fns: props_rollup (in)
+    "media_metadata",          # multimodal map-side: media_byte_features (in)
+    "media_frame_sample",      # multimodal map-side: media_byte_features (in)
+    "knn_bruteforce",          # exact GEMM: cosine_near_dup_exact + knn_label_vote (in, same kernel)
+    "dedup_semantic",          # training_plan (in) COMPOSES its whole chain; cosine_near_dup_lsh (in, SRP pairs)
+    "ann_lsh_bucketed",        # SRP bands: cosine_near_dup_lsh (in)
+    "ivf_refine",              # Lloyd step kernel: ann_ivf + ivf_refine_iters (in)
+    "pq_encode",               # seed encode: pq_encode_trained (in, same fused kernel — the seed IS iteration 0)
+    "ann_ivf_pq",              # ADC search: ann_ivf_int8 (in, composes routing + rerank) + pq_encode_trained (in, encode kernel)
+    "train_split",             # md5 split: split_rollup (in) + training_plan (in, composes the split)
+    "sequence_pack",           # packing kernel: pack_plan (in) composes it over the exploded plan
+    "source_cap_sample",       # md5 rank-cap: cluster_cap_sample (in, same kernel keyed by cluster) + split_rollup (in)
+    "curation_manifest_semantic",  # training_plan (in) COMPOSES it wholesale; curation_manifest (in)
+    "ts_subsequence_sax",      # ts family: ts_subsequence_match (in, same z-norm + exact-int distance arithmetic)
+    # ---- permanent sitter ----
     "media_decode_resize",     # NO_ORACLE_SITTER_WITNESS: media_decode_checksum (in)
 ]
 
@@ -161,6 +170,7 @@ def load_all() -> dict[str, QueryDef]:
     import trisk_spark.operators.async_io  # noqa: F401
     import trisk_spark.functions.text  # noqa: F401
     import trisk_spark.functions.multimodal  # noqa: F401
+    import trisk_spark.functions.bpe  # noqa: F401
     import trisk_spark.functions.dedup  # noqa: F401
     import trisk_spark.functions.similarity  # noqa: F401
     import trisk_spark.functions.pq  # noqa: F401
