@@ -212,7 +212,7 @@ _TEXT_FAMILY = [
     "dedup_clusters", "sequence_pack", "length_percentiles",
     "doc_chunk", "source_cap_sample", "curation_manifest",
     "bpe_token_estimate", "bigram_lm_score", "media_decode_checksum",
-    "keyword_extract", "source_mix_sample",
+    "keyword_extract", "source_mix_sample", "bpe_segment",
 ]
 
 
@@ -1023,3 +1023,42 @@ def test_pack_plan_parity_and_packing_invariants(spark):
         if r.split == "train"
     }
     assert copies == want and any(v > 1 for v in want.values())
+
+
+def test_pq_encode_trained_parity_on_hostile_corpus(
+    spark, hostile_embeddings
+):
+    # the Lloyd-replay oracle must survive degenerate corpora: with
+    # fewer valid rows than PQ_KSUB the codebook keeps LIMIT
+    # semantics, clusters can be empty (the keep-previous-codeword
+    # M-step branch on BOTH engines), and every floored mean must land
+    # on the same integer under numpy's floor-div vs the SQL shim
+    from trisk_spark.functions.pq import pq_encode_trained
+
+    sf_dir, con = hostile_embeddings
+    qd = QUERIES["pq_encode_trained"]
+    assert_matches_oracle(pq_encode_trained(spark, sf_dir), con, qd.oracle)
+
+
+def test_training_plan_family_parity_on_hostile_union_corpus(
+    spark, hostile_docs, hostile_embeddings, tmp_path
+):
+    # the composed plan artifacts read BOTH hostile tables at once
+    # (the curation_manifest_semantic union-corpus test extended to
+    # the full composition: semantic losers, cluster-cap overflow,
+    # epoch factors over the surviving train split, and the packed
+    # sequences)
+    import shutil
+
+    docs_dir, _ = hostile_docs
+    emb_dir, _ = hostile_embeddings
+    shutil.copy(f"{docs_dir}/documents.parquet", tmp_path / "documents.parquet")
+    shutil.copy(f"{emb_dir}/embeddings.parquet", tmp_path / "embeddings.parquet")
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{tmp_path}/{t}.parquet')"
+        )
+    for name in ("training_plan", "pack_plan"):
+        qd = QUERIES[name]
+        assert_matches_oracle(qd.fn(spark, str(tmp_path)), con, qd.oracle)

@@ -109,7 +109,7 @@ def test_readme_op_table_names_are_registered():
         "write_windows", "probe_store", "ts_brute_topk", "ts_sax_topk",
         "probe_index_stream", "probe_store_stream",
         "semantic_flag_stream", "probe_index_adc",
-        "cluster_cap_sample", "cluster_cap_sql", "ivf_store",
+        "cluster_cap_sample", "cluster_cap_sql", "ivf_store", "cluster_cap_stream",
         "pq_train", "ann_search_pq", "source_upsample",
         "bpe_train", "bpe_train_df", "word_counts", "bpe_replay",
         "bpe_segment_sql", "source_upsample_stream", "index_stats",

@@ -2131,3 +2131,90 @@ def test_probe_store_stream_drops_malformed_windows(spark, tmp_path):
     q.awaitTermination()
     users = {r.probe_user for r in emitted}
     assert users == {int(w_row.user_id)}, users
+
+
+def test_cluster_cap_stream_single_batch_equals_batch(spark):
+    """Streaming cluster-cap gate, one-batch replay: md5-within-batch
+    admission makes the single micro-batch reproduce the batch
+    sampler's (vec_id, list_id, rank) frame exactly."""
+    from trisk_spark.functions.sampling import cluster_cap_sample
+    from trisk_spark.streaming.queries import cluster_cap_stream, run_bounded
+
+    stream = replay_stream(
+        spark, SF, "embeddings", n_chunks=1, order_col="vec_id"
+    )
+    emitted = run_bounded(
+        cluster_cap_stream(stream, spark, SF),
+        checkpoint_dir("clustercapstream"),
+        mode="append",
+    )
+    got = sorted((r.vec_id, r.list_id, r.rank) for _, r in emitted)
+    want = sorted(
+        (r.vec_id, r.list_id, r.rank)
+        for r in cluster_cap_sample(spark, SF).collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_cluster_cap_stream_md5_order_restart_equals_batch(spark, tmp_path):
+    """Streaming cluster-cap gate across a MID-STREAM RESTART: two
+    waves arriving in global md5 order (the batch sampler's own order)
+    through the same checkpoint must admit exactly the batch sampler's
+    rows — the per-list counters survive the restart, nothing is
+    re-admitted, nothing is lost."""
+    import hashlib
+
+    import pyarrow as pa
+
+    from trisk_spark.functions.sampling import cluster_cap_sample
+    from trisk_spark.streaming.queries import cluster_cap_stream
+
+    rows = [
+        (r.vec_id, list(r.embedding) if r.embedding is not None else None,
+         r.label)
+        for r in spark.read.parquet(f"{SF}/embeddings.parquet").collect()
+    ]
+    rows.sort(
+        key=lambda t: (hashlib.md5(str(t[0]).encode()).hexdigest(), t[0])
+    )
+    schema = [
+        ("vec_id", pa.int64()),
+        ("embedding", pa.list_(pa.float32())),
+        ("label", pa.int32()),
+    ]
+    half = len(rows) // 2
+    src = _write_chunks(tmp_path, "ccap-src", schema, [rows[:half]])
+    ckpt = str(tmp_path / "ccap-ckpt")
+    spark_schema = spark.read.parquet(f"{SF}/embeddings.parquet").schema
+    emitted = []
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(spark_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            cluster_cap_stream(stream, spark, SF)
+            .writeStream.outputMode("append")
+            .foreachBatch(lambda bdf, bid: emitted.extend(bdf.collect()))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()  # wave 1 admitted, query stops
+    n_wave1 = len(emitted)
+    assert 0 < n_wave1, "wave 1 admitted nothing"
+    _write_chunks(tmp_path, "ccap-src", schema, [rows[half:]], start=1)
+    run_once()  # restart from the same checkpoint
+
+    got = sorted((r.vec_id, r.list_id, r.rank) for r in emitted)
+    want = sorted(
+        (r.vec_id, r.list_id, r.rank)
+        for r in cluster_cap_sample(spark, SF).collect()
+    )
+    assert got == want and n_wave1 < len(got), (
+        "restart re-admitted or dropped rows"
+    )

@@ -770,3 +770,85 @@ def source_upsample_stream(docs: DataFrame, spark, ref_sf_dir: str) -> DataFrame
             "doc_id", "source", F.col("copy_idx").cast("int").alias("copy_idx")
         )
     )
+
+
+def cluster_cap_stream(
+    emb_stream: DataFrame, spark, ref_sf_dir: str, cap: int | None = None
+) -> DataFrame:
+    """Streaming ingest-time cluster-cap gate — the online half of
+    ``sampling.cluster_cap_sample``: "admit this arriving embedding
+    only if its semantic cluster hasn't reached ``cap`` admitted
+    documents yet" — the diversity balance applied AT INGEST instead
+    of as a backfill sweep (the ``semantic_flag_stream`` deployment
+    story for cluster capping). Arriving raw vectors are IVF-assigned
+    by the SAME broadcast centroid model + fused Arrow kernel as the
+    batch sampler (stateless map work before the keyed state), then a
+    per-list admitted counter (``applyInPandasWithState`` ValueState
+    keyed by list_id — at most N_CENTROIDS keys, MODEL-bounded state
+    that never grows with the stream) admits the first ``cap``
+    arrivals per list. Emits (vec_id, list_id, rank) for admitted
+    rows, rank = admission index 1..cap, append mode.
+
+    Ordering contract: admission is arrival-order ACROSS micro-batches
+    and md5(vec_id)-order WITHIN a batch (the batch sampler's own
+    order), so a one-batch replay reproduces ``cluster_cap_sample``
+    EXACTLY, and so does any replay whose global arrival order is md5
+    order (both pytest-pinned, the second across a mid-stream
+    restart); under arbitrary arrival the same cap/rank invariants
+    hold with arrival deciding survivors — the online semantics an
+    ingest gate wants.
+
+    100 TB: the centroid model is a broadcast write-once asset; state
+    is ≤ N_CENTROIDS ints; the only stream-side exchange routes
+    id-sized (vec_id, list_id) pairs to their list's counter."""
+    import hashlib
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from trisk_spark.catalog import table
+    from trisk_spark.functions.sampling import CLUSTER_CAP
+    from trisk_spark.functions.similarity import (
+        _int8_centroid_model,
+        _quantize_assign_gemm,
+        _valid_embeddings,
+    )
+
+    cap = CLUSTER_CAP if cap is None else cap
+    ref = _valid_embeddings(table(spark, ref_sf_dir, "embeddings"))
+    cq, cn, cids, _cents = _int8_centroid_model(spark, ref)
+    assigned = _quantize_assign_gemm(
+        spark, _valid_embeddings(emb_stream), cq, cn, cids
+    ).select("vec_id", "list_id")
+
+    def admit(key, pdfs, state: GroupState):
+        (list_id,) = key
+        (n,) = state.get if state.exists else (0,)
+        chunks = [p for p in pdfs if len(p)]
+        out = []
+        if chunks and n < cap:
+            pdf = pd.concat(chunks, ignore_index=True)
+            # within-batch order = the batch sampler's md5 order
+            # (hashlib md5 of the decimal string == Spark's
+            # md5(CAST(vec_id AS STRING)))
+            md5 = pdf["vec_id"].map(
+                lambda v: hashlib.md5(str(int(v)).encode()).hexdigest()
+            )
+            for vid in pdf.assign(_m=md5).sort_values(["_m", "vec_id"])[
+                "vec_id"
+            ]:
+                if n >= cap:
+                    break
+                n += 1
+                out.append((int(vid), int(list_id), n))
+        state.update((n,))
+        if out:
+            yield pd.DataFrame(out, columns=["vec_id", "list_id", "rank"])
+
+    return assigned.groupBy("list_id").applyInPandasWithState(
+        admit,
+        outputStructType="vec_id long, list_id long, rank int",
+        stateStructType="n int",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
