@@ -654,3 +654,43 @@ def test_ts_sax_kernel_matches_expression_form(spark):
         for r in ts_windows(ev).withColumn("word", sax_word_col()).collect()
     }
     assert kern == expr and len(kern) > 0
+
+
+def test_pq_encode_trained_final_plan_is_map_only(spark):
+    # Lloyd training happens in model-sized partial-agg passes during
+    # DataFrame construction; the FINAL registered plan is the fused
+    # quantize+assign+encode Arrow kernel over the raw scan — zero
+    # Exchange, zero joins (the 100 TB claim: encoding against the
+    # trained codebook never shuffles the corpus)
+    import re
+
+    with no_auto_broadcast(spark):
+        plan = static_plan(spark, "pq_encode_trained")
+    assert not re.findall(r"^\(\d+\) Exchange$", plan, re.M), plan
+    assert "Join" not in plan, plan
+
+
+def test_bpe_segment_plan_broadcasts_vocab_model(spark):
+    # the corpus scoring pass joins the word→length segmentation model
+    # BROADCAST (vocabulary-sized, size-guarded) — never a corpus-wide
+    # word shuffle on the scoring side; the only exchanges are the
+    # vocabulary build and the final doc_id partial agg
+    import re
+
+    with no_auto_broadcast(spark):
+        plan = static_plan(spark, "bpe_segment")
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 1, plan
+    assert len(re.findall(r"^\(\d+\) Exchange$", plan, re.M)) <= 3, plan
+
+
+def test_training_plan_composition_join_policy(spark):
+    # the composed artifact keeps every stage's proven join policy: the
+    # epoch-factor and manifest model joins are broadcast; the id-sized
+    # anti joins may shuffle (correct at scale — loser sets can be
+    # corpus-fraction-sized, so forcing broadcast would be the bug);
+    # no non-broadcast cartesian anywhere
+    with no_auto_broadcast(spark):
+        plan = static_plan(spark, "training_plan")
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
