@@ -399,3 +399,60 @@ def test_pq_train_lloyd_refine_shares_registered_path(spark):
         for r in load_all()["pq_encode_trained"].fn(spark, SF_DIR).collect()
     )
     assert lib == reg and len(lib) > 0
+
+
+def test_plan_store_composes_identical_plans(spark, tmp_path):
+    # the persisted curation artifacts (manifest + cluster ranks) must
+    # compose the SAME training_plan / pack_plan row-for-row as the
+    # one-plan registered queries — the ivf_store probe≡query contract
+    # applied to the curation pipeline
+    from trisk_spark.functions.sampling import (
+        pack_plan_over_store,
+        training_plan_over_store,
+        write_plan_store,
+    )
+
+    path = str(tmp_path / "plan")
+    write_plan_store(spark, SF_DIR, path)
+    reg = load_all()
+    for name, over in (
+        ("training_plan", training_plan_over_store),
+        ("pack_plan", pack_plan_over_store),
+    ):
+        got = sorted(map(tuple, over(spark, path).collect()))
+        want = sorted(map(tuple, reg[name].fn(spark, SF_DIR).collect()))
+        assert got == want and len(got) > 0, name
+
+
+def test_plan_store_reads_are_pruned(spark, tmp_path):
+    # the store earns its keep structurally: the epoch-factor stats
+    # pass reads ONLY the split=train manifest partitions
+    # (PartitionFilters), and the cluster-ranks read column-prunes to
+    # (vec_id, rank) — list_id never leaves the parquet footer
+    import re
+
+    from trisk_spark.functions.sampling import (
+        training_plan_over_store,
+        write_plan_store,
+    )
+
+    path = str(tmp_path / "plan")
+    write_plan_store(spark, SF_DIR, path)
+    df = training_plan_over_store(spark, path)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert re.search(r"PartitionFilters: \[[^\]]*split[^\]]* = train", plan), (
+        f"stats pass lost its split partition filter:\n{plan}"
+    )
+    rank_scans = [
+        s for s in re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+        if "rank" in s
+    ]
+    assert rank_scans, f"no cluster_ranks scan found:\n{plan}"
+    for s in rank_scans:
+        assert "list_id" not in s, (
+            f"cluster_ranks read is not column-pruned: {s}"
+        )

@@ -796,12 +796,28 @@ def training_plan(
     since r10 with its fully-composed DuckDB oracle
     (``training_plan_sql``)."""
     m = curation_manifest_semantic(spark, sf_dir)
+    ranked = _cluster_ranked(spark, sf_dir)
+    return _epoch_plan(_drop_cap_losers(m, ranked, cap))
+
+
+def _drop_cap_losers(
+    manifest: DataFrame, ranked: DataFrame, cap: int
+) -> DataFrame:
+    """Manifest minus cluster-cap overflow: the id-sized left-anti join
+    shared by the one-plan ``training_plan`` and the store-composed
+    ``training_plan_over_store``."""
     cap_losers = (
-        _cluster_ranked(spark, sf_dir)
-        .where(F.col("rank") > cap)
+        ranked.where(F.col("rank") > cap)
         .select(F.col("vec_id").alias("doc_id"))
     )
-    m2 = m.join(cap_losers, "doc_id", "left_anti")
+    return manifest.join(cap_losers, "doc_id", "left_anti")
+
+
+def _epoch_plan(m2: DataFrame) -> DataFrame:
+    """The epoch tail of ``training_plan`` over a surviving manifest
+    frame: per-source token masses of the train split → capped repeat
+    factors (broadcast, source-cardinality) → deterministic md5-ppm
+    epoch counts per row (val/test pinned to 1)."""
     s = (
         m2.where(F.col("split") == "train")
         .groupBy("source")
@@ -885,7 +901,14 @@ def pack_plan(
     a spillable running-sum window — the proven ``sequence_pack``
     shape. Driver-gated since r10 with its fully-composed DuckDB oracle
     (``pack_plan_sql``)."""
-    plan = training_plan(spark, sf_dir, cap)
+    return _pack_sequences(training_plan(spark, sf_dir, cap), capacity)
+
+
+def _pack_sequences(plan: DataFrame, capacity: int) -> DataFrame:
+    """The packing tail of ``pack_plan`` over a training-plan frame:
+    epoch explosion (map-side ``posexplode(sequence)``) + the per-shard
+    running-sum window — shared by the one-plan query and the
+    store-composed ``pack_plan_over_store``."""
     copies = (
         plan.where(F.col("split") == "train")
         .select(
@@ -913,3 +936,54 @@ def pack_plan(
             (F.col("start_off") % capacity).cast("bigint").alias("seq_offset"),
         )
     )
+
+
+# ------------------------------------------------ plan-artifact store --
+
+
+def write_plan_store(spark: SparkSession, sf_dir: str, path: str) -> None:
+    """Persist the curation pipeline's two expensive artifacts — the
+    semantic curation manifest (``<path>/manifest``, parquet
+    partitioned by split) and the IVF cluster ranks
+    (``<path>/cluster_ranks``) — the write-once assets a 100 TB
+    deployment composes training runs FROM, instead of re-deriving the
+    SRP-LSH label propagation and the centroid assignment per run (the
+    ``ivf_store``/``sax_store`` store pattern applied to curation).
+    Partitioning by split makes the epoch-factor statistics pass a
+    partition-pruned read (it touches only ``split=train``); the ranks
+    table's consumers column-prune to (vec_id, rank). Both pinned by
+    tests/test_pq.py."""
+    m = curation_manifest_semantic(spark, sf_dir)
+    m.write.mode("overwrite").partitionBy("split").parquet(f"{path}/manifest")
+    _cluster_ranked(spark, sf_dir).write.mode("overwrite").parquet(
+        f"{path}/cluster_ranks"
+    )
+
+
+def training_plan_over_store(
+    spark: SparkSession, path: str, cap: int = CLUSTER_CAP
+) -> DataFrame:
+    """``training_plan`` composed from the persisted artifacts: reads
+    the manifest and cluster ranks written by ``write_plan_store`` and
+    applies the SAME anti-join + epoch tail (shared helpers), so
+    plan-over-store ≡ the one-plan registered query row-for-row
+    (pytest-pinned). Changing ``cap`` or the epoch policy re-plans
+    without touching a single corpus byte — the point of the store."""
+    m = spark.read.parquet(f"{path}/manifest").select(
+        "doc_id", "source", "split", "n_tokens", "quality"
+    )
+    ranked = spark.read.parquet(f"{path}/cluster_ranks").select(
+        "vec_id", "rank"
+    )
+    return _epoch_plan(_drop_cap_losers(m, ranked, cap))
+
+
+def pack_plan_over_store(
+    spark: SparkSession,
+    path: str,
+    cap: int = CLUSTER_CAP,
+    capacity: int = PACK_CAPACITY,
+) -> DataFrame:
+    """``pack_plan`` composed from the persisted artifacts (see
+    ``training_plan_over_store``)."""
+    return _pack_sequences(training_plan_over_store(spark, path, cap), capacity)
