@@ -354,3 +354,74 @@ def test_upsample_epoch_count_matches_duckdb(docs):
         )
         assert got_n == want_n
         assert 1 <= got_n <= math.ceil(MAX_EPOCHS)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.text(alphabet="abc", min_size=1, max_size=6),
+            st.integers(min_value=1, max_value=9),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_bpe_oracle_replace_equals_greedy_scan(word_rows):
+    """The bpe_segment oracle's novel move — greedy left-to-right BPE
+    merging as delimiter-wrapped string ``replace`` in DuckDB — must
+    equal the textbook greedy scan (``bpe_replay``) on ARBITRARY small
+    corpora, not just the shipped ones: tiny alphabets maximize
+    repeated/overlapping/self-adjacent pairs (aa+aa chains, merged
+    symbols re-pairing), exactly where a replace-based rewrite could
+    diverge from the scan."""
+    import duckdb
+
+    from trisk_spark.functions.bpe import EOW, bpe_replay, bpe_segment_sql
+
+    word_cnt: dict[str, int] = {}
+    for w, c in word_rows:
+        word_cnt[w] = word_cnt.get(w, 0) + c
+
+    n_merges = 6
+    merges = bpe_replay(word_cnt, n_merges=n_merges)
+    # apply the replay's merges with the textbook greedy scan
+    seg = {}
+    for w in word_cnt:
+        syms = list(w) + [EOW]
+        for left, right, _ in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == left
+                    and syms[i + 1] == right
+                ):
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        seg[w] = len(syms)
+
+    # one doc per distinct word, repeated cnt times — word_counts of
+    # this corpus is exactly word_cnt
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({i}, '{' '.join([w] * c)}')"
+            for i, (w, c) in enumerate(sorted(word_cnt.items()))
+        )
+        + ") AS t(doc_id, text)"
+    )
+    got = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(bpe_segment_sql(n_merges=n_merges)).fetchall()
+    }
+    want = {
+        i: (c, c * seg[w])
+        for i, (w, c) in enumerate(sorted(word_cnt.items()))
+    }
+    assert got == want
