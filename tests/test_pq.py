@@ -214,7 +214,7 @@ def test_pq_store_adc_scan_is_partition_and_column_pruned(spark, tmp_path):
 
 
 def test_cluster_cap_sample_oracle_parity_and_semantics(spark):
-    # library op (window-seatless, sax_store precedent): full DuckDB
+    # registered + driver-gated since r10: full DuckDB
     # oracle parity at SF_DIR, plus the defining properties — no
     # cluster exceeds the cap, ranks are 1..n within cluster, kept
     # rows are a subset of the valid corpus

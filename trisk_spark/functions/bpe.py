@@ -33,10 +33,13 @@ tests/test_parity_edges.py's boundary guard); supplementary-plane
 text would need a byte-level alphabet first (the GPT-2 design), a
 parameter change not a plan change.
 
-Correctness: the SQL-inexpressible iteration is oracled by a
+Correctness: the iteration is oracled TWO independent ways — a
 pure-Python replay fold over the same word counts (the
-``stock_matchmaker`` precedent), plus the textbook worked example,
-hostile-corpus behavior, and determinism pins in tests/test_bpe.py.
+``stock_matchmaker`` precedent; textbook worked example,
+hostile-corpus behavior, and determinism pins in tests/test_bpe.py),
+and, since r10, a full chained-CTE DuckDB SQL replay
+(``bpe_segment_sql``) that puts the registered ``bpe_segment`` under
+the driver's independent value-hash gate.
 
 Reference: the reference engine has no tokenizer surface
 (beyond-reference mandate, SURVEY.md §7 step 7).
