@@ -61,7 +61,12 @@ def test_driver_window_schemas_have_no_nested_columns(spark):
     embed_quantize_int8). Every driver-window query must therefore emit
     only scalar top-level columns; array-valued results register an
     exploded or digest form (the array-returning core stays a library
-    function). Schema-only — nothing executes."""
+    function). Only schemas are asserted, but CONSTRUCTING the frames
+    is not free: iterative queries (bpe_segment's merge training,
+    pq_encode_trained's Lloyd passes, the plan family's label
+    propagation) run their driver-loop jobs at DataFrame-build time,
+    so this test costs seconds per such query at sf0.001 — expected,
+    not a hang."""
     from pyspark.sql.types import ArrayType, MapType, StructType
 
     from .conftest import SF_DIR

@@ -276,6 +276,9 @@ def bpe_replay(word_cnt: dict[str, int], n_merges: int = N_BPE_MERGES):
 #: here.
 BPE_MAX_VOCAB_ROWS = 10_000_000
 
+#: the one auto-managed segmentation-model slot (see bpe_segment)
+_LAST_AUTO_SEG = None
+
 
 @register("bpe_segment", oracle=bpe_segment_sql())
 def bpe_segment(
@@ -309,11 +312,22 @@ def bpe_segment(
     # broadcast join share ONE corpus tokenize+shuffle pass (an eager
     # .count() on the unpersisted frame would recompute it — r9 review
     # finding); pass ``model_out=[]`` to take ownership for unpersist
-    # (the minhash_flag_stream index_out contract), else it lives for
-    # the session like any write-once model asset
+    # (the minhash_flag_stream index_out contract). Without ownership
+    # the module keeps ONE auto-managed model slot: building a new seg
+    # unpersists the previous call's (r10 review finding — N calls in a
+    # session would otherwise accumulate N cached vocabulary frames);
+    # an earlier returned DataFrame stays correct, it just recomputes.
     seg = word_counts(docs).select("word", F.size(syms).alias("n_sub")).persist()
     if model_out is not None:
         model_out.append(seg)
+    else:
+        global _LAST_AUTO_SEG
+        if _LAST_AUTO_SEG is not None:
+            try:
+                _LAST_AUTO_SEG.unpersist()
+            except Exception:
+                pass  # prior session/context already gone
+        _LAST_AUTO_SEG = seg
     n_vocab = seg.count()
     if n_vocab > max_vocab_rows:
         seg.unpersist()

@@ -62,7 +62,12 @@ MAX_PROBE_BATCH_ROWS = 100_000
 def _check_probe_batch(probe_emb: DataFrame, max_rows: int) -> None:
     """RAISE if the probe frame exceeds ``max_rows`` rows (bounded
     count: reads at most ``max_rows + 1``) — a flooded probe stream
-    fails loud instead of becoming an over-broadcast plan."""
+    fails loud instead of becoming an over-broadcast plan. Costs one
+    extra bounded job per probe batch — the deliberate price of
+    checking BEFORE the routing broadcast is built (the sibling
+    ``sax_store._collect_probe_rows`` guard folds the bound into its
+    existing collect instead, because that path materializes probe
+    rows driver-side anyway)."""
     if probe_emb.limit(max_rows + 1).count() > max_rows:
         raise ValueError(
             f"probe batch exceeds {max_rows} rows — refusing to route/"

@@ -39,6 +39,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from trisk_spark.catalog import table
+from trisk_spark.functions.ivf_store import MAX_PROBE_BATCH_ROWS
 from trisk_spark.functions.timeseries import (
     N_TS_PROBES,
     TS_WINDOW,
@@ -52,14 +53,14 @@ from trisk_spark.functions.timeseries import (
 )
 
 #: Ceiling on the per-micro-batch probe-row collect in
-#: ``probe_store_stream`` (the ``LM_MAX_MODEL_ROWS`` fail-loud
-#: contract): each probe row carries a TS_WINDOW-element array, so a
-#: misbehaving producer flooding the probe topic would otherwise become
-#: driver memory. 100k rows ≈ tens of MB driver-side — far above any
-#: sane probe batch, far below driver OOM. The collect itself is
-#: ``limit(cap + 1)``-bounded, so the guard caps driver memory even
-#: while detecting the overflow.
-MAX_STREAM_PROBE_ROWS = 100_000
+#: ``probe_store_stream``: each probe row carries a TS_WINDOW-element
+#: array, so a misbehaving producer flooding the probe topic would
+#: otherwise become driver memory. The cap value and fail-loud
+#: contract are shared with the ANN store's probe guard (ONE tunable
+#: for both stores — see ``ivf_store.MAX_PROBE_BATCH_ROWS`` for the
+#: sizing rationale); the collect here is ``limit(cap + 1)``-bounded,
+#: so the guard caps driver memory even while detecting the overflow.
+MAX_STREAM_PROBE_ROWS = MAX_PROBE_BATCH_ROWS
 
 
 def _collect_probe_rows(df: DataFrame, max_rows: int):
