@@ -119,7 +119,7 @@ def test_readme_op_table_names_are_registered():
         "bpe_train", "bpe_train_df", "word_counts", "bpe_replay",
         "bpe_segment_sql", "source_upsample_stream", "index_stats",
         "training_plan", "training_plan_sql", "pack_plan",
-        "pack_plan_sql", "write_plan_store", "training_plan_over_store",
+        "pack_plan_sql", "write_plan_store", "training_plan_over_store", "store_stats",
         "pack_plan_over_store",
     }
     missing = {

@@ -302,3 +302,38 @@ def test_stream_probe_collects_are_ceiling_guarded(spark):
     ivf_store._check_probe_batch(emb, 10)  # at the cap: fine
     with pytest.raises(ValueError, match="probe batch exceeds 9"):
         ivf_store._check_probe_batch(emb, 9)
+
+
+def test_sax_store_stats_parity_and_skew_detection(spark, tmp_path):
+    # the SAX store's health stats mirror ivf_store.index_stats:
+    # DuckDB parity over the written partitioned parquet, and the
+    # imbalance detector reads ≥ 1 with at least two words on this
+    # corpus (otherwise the word-pruning story is vacuous here)
+    import duckdb
+
+    from trisk_spark.functions import sax_store
+
+    from .conftest import assert_matches_oracle
+
+    path = str(tmp_path / "sax")
+    sax_store.write_windows(spark, SF_DIR, path)
+    con = duckdb.connect()
+    oracle = f"""
+      WITH per AS (
+        SELECT word, COUNT(*) AS n
+        FROM read_parquet('{path}/windows/*/*.parquet', hive_partitioning=1)
+        GROUP BY word
+      )
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_words,
+             CAST(SUM(n) AS BIGINT) AS n_windows,
+             CAST(MIN(n) AS BIGINT) AS min_word,
+             CAST(MAX(n) AS BIGINT) AS max_word,
+             CAST(ROUND(AVG(n), 6) AS DOUBLE) AS avg_word,
+             CAST(ROUND(MAX(n) / (SUM(n) / CAST(COUNT(*) AS DOUBLE)), 6)
+                  AS DOUBLE) AS imbalance
+      FROM per
+    """
+    got = sax_store.store_stats(spark, path)
+    assert_matches_oracle(got, con, oracle)
+    row = got.collect()[0]
+    assert row.n_words >= 2 and row.imbalance >= 1.0

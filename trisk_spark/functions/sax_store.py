@@ -173,3 +173,31 @@ def probe_store_stream(
     return probe_windows_stream.writeStream.outputMode("append").foreachBatch(
         fb
     )
+
+
+def store_stats(spark: SparkSession, path: str) -> DataFrame:
+    """Window-index health table — ``ivf_store.index_stats``'s mirror
+    for the SAX store: one row (n_words, n_windows, min_word,
+    max_word, avg_word, imbalance) over the persisted per-word
+    partition sizes. The operational pre-probe check: a hot word
+    (imbalance ≫ 1 — e.g. a flat-signal corpus collapsing onto few
+    SAX words) turns a word-pruned probe into a near-full scan, and
+    the fix (more PAA segments / a finer alphabet, then rewrite)
+    should be triggered by this number, not discovered from a slow
+    probe. One partial-agg pass over the (partition-local) word
+    column; word-cardinality-sized intermediate (≤ 256 rows)."""
+    per = (
+        spark.read.parquet(f"{path}/windows")
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+    return per.agg(
+        F.count("*").cast("bigint").alias("n_words"),
+        F.sum("n").cast("bigint").alias("n_windows"),
+        F.min("n").cast("bigint").alias("min_word"),
+        F.max("n").cast("bigint").alias("max_word"),
+        F.round(F.avg("n"), 6).alias("avg_word"),
+        F.round(
+            F.max("n") / (F.sum("n") / F.count("*")), 6
+        ).alias("imbalance"),
+    )
