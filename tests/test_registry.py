@@ -117,7 +117,7 @@ def test_readme_op_table_names_are_registered():
         "cluster_cap_sample", "cluster_cap_sql", "ivf_store", "cluster_cap_stream",
         "pq_train", "ann_search_pq", "source_upsample",
         "bpe_train", "bpe_train_df", "word_counts", "bpe_replay",
-        "bpe_segment_sql", "source_upsample_stream", "index_stats",
+        "bpe_segment_sql", "bpe_segment_stream", "source_upsample_stream", "index_stats",
         "training_plan", "training_plan_sql", "pack_plan",
         "pack_plan_sql", "write_plan_store", "training_plan_over_store", "store_stats",
         "pack_plan_over_store",

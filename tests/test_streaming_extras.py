@@ -2218,3 +2218,61 @@ def test_cluster_cap_stream_md5_order_restart_equals_batch(spark, tmp_path):
     assert got == want and n_wave1 < len(got), (
         "restart re-admitted or dropped rows"
     )
+
+
+def test_bpe_segment_stream_equals_batch(spark):
+    """Streaming BPE tokenize: the in-row merge-fold path must equal
+    the batch model-join path document-for-document (same learned
+    merge table, shared fold expression) — including out-of-vocab
+    handling being moot on a same-corpus replay."""
+    from trisk_spark.registry import load_all
+    from trisk_spark.streaming.queries import bpe_segment_stream, run_bounded
+
+    stream = replay_stream(spark, SF, "documents", n_chunks=3, order_col="doc_id")
+    emitted = run_bounded(
+        bpe_segment_stream(stream, spark, SF),
+        checkpoint_dir("bpesegstream"),
+        mode="append",
+    )
+    got = sorted((r.doc_id, r.n_words, r.n_bpe_tokens) for _, r in emitted)
+    want = sorted(
+        (r.doc_id, r.n_words, r.n_bpe_tokens)
+        for r in load_all()["bpe_segment"].fn(spark, SF).collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_bpe_segment_stream_handles_out_of_vocab_words(spark, tmp_path):
+    """An arriving word the reference vocabulary never saw must still
+    segment correctly (the in-row fold needs no model): check against
+    the pure-Python greedy scan under the same merges."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from trisk_spark.functions.bpe import EOW
+    from trisk_spark.streaming.queries import bpe_segment_stream, run_bounded
+
+    merges = [("a", "b", 9), ("ab", "c", 5), ("x", EOW, 3)]
+    docs = {
+        "doc_id": [1, 2],
+        "text": ["abc abx zzz", None],
+        "lang": ["en", "en"],
+        "source": ["f", "f"],
+        "n_chars": [11, 0],
+    }
+    src = tmp_path / "docs"
+    src.mkdir()
+    pq.write_table(pa.table(docs), src / "chunk-000.parquet")
+    stream = spark.readStream.schema(
+        spark.read.parquet(str(src)).schema
+    ).parquet(str(src))
+    emitted = run_bounded(
+        bpe_segment_stream(stream, spark, SF, merges=merges),
+        checkpoint_dir("bpesegoov"),
+        mode="append",
+    )
+    got = {r.doc_id: (r.n_words, r.n_bpe_tokens) for _, r in emitted}
+    # abc -> [ab,c,</w>] -> [abc? no: merge (ab,c) -> [abc,</w>]] = 2
+    # abx -> [ab,x,</w>] -> (x,</w>) -> [ab,x</w>] = 2
+    # zzz -> [z,z,z,</w>] = 4
+    assert got == {1: (3, 2 + 2 + 4), 2: (0, 0)}

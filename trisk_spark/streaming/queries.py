@@ -852,3 +852,46 @@ def cluster_cap_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def bpe_segment_stream(
+    docs: DataFrame, spark, ref_sf_dir: str, merges=None
+) -> DataFrame:
+    """Streaming BPE token counting — tokenize ARRIVING documents with
+    the merge table learned once from the reference corpus (the
+    write-once tokenizer asset; ``bpe_train``): emits (doc_id,
+    n_words, n_bpe_tokens) per arriving document, the streaming twin
+    of the registered ``bpe_segment``.
+
+    Where the batch path segments once per DISTINCT word and joins the
+    model back broadcast, the stream applies the merge folds IN-ROW
+    (the same ``_merge_fold`` JVM expressions chained ``n_merges``
+    deep inside a per-document ``aggregate`` over its tokens) — so
+    out-of-vocabulary arriving words segment correctly with ZERO
+    state, zero shuffle, and no model join at all; append mode. The
+    two paths are the same arithmetic by construction (shared fold
+    expression); stream≡batch pytest-pinned on the reference corpus
+    replay."""
+    from trisk_spark.functions.bpe import EOW, _merge_fold, bpe_train
+
+    if merges is None:
+        merges = bpe_train(spark, ref_sf_dir)
+
+    def bpe_len(word_col):
+        syms = F.concat(F.split(word_col, ""), F.array(F.lit(EOW)))
+        for left, right, _ in merges:
+            syms = _merge_fold(syms, left, right)
+        return F.size(syms).cast("bigint")
+
+    d = docs.where(F.col("doc_id").isNotNull())
+    ws = F.filter(
+        F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), " "),
+        lambda w: w != "",
+    )
+    return d.select(
+        "doc_id",
+        F.size(ws).cast("bigint").alias("n_words"),
+        F.aggregate(
+            ws, F.lit(0).cast("bigint"), lambda acc, w: acc + bpe_len(w)
+        ).alias("n_bpe_tokens"),
+    )
