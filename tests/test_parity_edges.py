@@ -1062,3 +1062,53 @@ def test_training_plan_family_parity_on_hostile_union_corpus(
     for name in ("training_plan", "pack_plan"):
         qd = QUERIES[name]
         assert_matches_oracle(qd.fn(spark, str(tmp_path)), con, qd.oracle)
+
+
+def test_curation_funnel_parity_and_monotonicity(spark):
+    # the funnel's full DuckDB oracle must match at SF_DIR, and the
+    # stages must be monotone non-increasing (a stage that GAINS rows
+    # means the composed filters diverged)
+    from trisk_spark.functions.sampling import (
+        curation_funnel,
+        curation_funnel_sql,
+    )
+
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('/root/testdata/sf0.001/{t}.parquet')"
+        )
+    sdf = curation_funnel(spark, "/root/testdata/sf0.001")
+    assert_matches_oracle(sdf, con, curation_funnel_sql())
+    r = sdf.collect()[0]
+    assert r.n_docs >= r.n_manifest >= r.n_after_semantic >= r.n_after_cap
+    assert r.n_after_cap == r.n_train + r.n_val + r.n_test
+    assert r.n_after_semantic < r.n_manifest or r.n_after_cap < r.n_after_semantic, (
+        "funnel is vacuous on this corpus: no stage removes anything"
+    )
+    assert r.train_tokens > 0
+
+
+def test_curation_funnel_parity_on_hostile_union_corpus(
+    spark, hostile_docs, hostile_embeddings, tmp_path
+):
+    import shutil
+
+    from trisk_spark.functions.sampling import (
+        curation_funnel,
+        curation_funnel_sql,
+    )
+
+    docs_dir, _ = hostile_docs
+    emb_dir, _ = hostile_embeddings
+    shutil.copy(f"{docs_dir}/documents.parquet", tmp_path / "documents.parquet")
+    shutil.copy(f"{emb_dir}/embeddings.parquet", tmp_path / "embeddings.parquet")
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{tmp_path}/{t}.parquet')"
+        )
+    assert_matches_oracle(
+        curation_funnel(spark, str(tmp_path)), con, curation_funnel_sql()
+    )

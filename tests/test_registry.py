@@ -120,6 +120,7 @@ def test_readme_op_table_names_are_registered():
         "bpe_segment_sql", "bpe_segment_stream", "source_upsample_stream", "index_stats",
         "training_plan", "training_plan_sql", "pack_plan",
         "pack_plan_sql", "write_plan_store", "training_plan_over_store", "store_stats",
+        "curation_funnel", "curation_funnel_sql",
         "pack_plan_over_store",
     }
     missing = {

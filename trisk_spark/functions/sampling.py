@@ -987,3 +987,74 @@ def pack_plan_over_store(
     """``pack_plan`` composed from the persisted artifacts (see
     ``training_plan_over_store``)."""
     return _pack_sequences(training_plan_over_store(spark, path, cap), capacity)
+
+
+CURATION_FUNNEL_SQL_TEMPLATE = """
+WITH RECURSIVE {plan_ctes}
+SELECT
+  CAST((SELECT COUNT(*) FROM documents
+        WHERE doc_id IS NOT NULL AND text IS NOT NULL) AS BIGINT)
+    AS n_docs,
+  CAST((SELECT COUNT(*) FROM manifest) AS BIGINT) AS n_manifest,
+  CAST((SELECT COUNT(*) FROM manifest
+        WHERE doc_id NOT IN (SELECT doc_id FROM sem_losers)) AS BIGINT)
+    AS n_after_semantic,
+  CAST((SELECT COUNT(*) FROM m2) AS BIGINT) AS n_after_cap,
+  CAST((SELECT COUNT(*) FROM m2 WHERE split = 'train') AS BIGINT) AS n_train,
+  CAST((SELECT COUNT(*) FROM m2 WHERE split = 'val') AS BIGINT) AS n_val,
+  CAST((SELECT COUNT(*) FROM m2 WHERE split = 'test') AS BIGINT) AS n_test,
+  CAST((SELECT COALESCE(SUM(n_tokens), 0) FROM m2 WHERE split = 'train')
+       AS BIGINT) AS train_tokens
+"""
+
+
+def curation_funnel_sql(cap: int = CLUSTER_CAP) -> str:
+    """DuckDB oracle for ``curation_funnel`` — stage counts read off
+    the same composed CTE chain the plan family uses."""
+    return CURATION_FUNNEL_SQL_TEMPLATE.format(plan_ctes=_plan_ctes(cap))
+
+
+def curation_funnel(
+    spark: SparkSession, sf_dir: str, cap: int = CLUSTER_CAP
+) -> DataFrame:
+    """Curation health report — ONE row tracing the pipeline's funnel:
+    raw documents → quality/dedup manifest → semantic-dedup survivors
+    → cluster-cap survivors, with the final per-split counts and the
+    surviving train token mass. The number an operator watches per
+    ingest wave: a collapsing stage (e.g. semantic losers suddenly
+    eating half the corpus — a template-farm flood) shows up here as a
+    funnel step-change before anyone debugs a bad trained model
+    downstream. Library op with a full DuckDB oracle
+    (``curation_funnel_sql``), pytest-gated — the store/stats surface
+    class (``index_stats``/``store_stats``).
+
+    Plan: every stage is the already-proven path; the counts are
+    partial-agg single-row frames crossed together broadcast — nothing
+    corpus-sized moves beyond what the stages themselves shuffle."""
+    docs = table(spark, sf_dir, "documents")
+    n_docs = docs.where(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    ).agg(F.count("*").cast("bigint").alias("n_docs"))
+    m = curation_manifest(spark, sf_dir)
+    msem = curation_manifest_semantic(spark, sf_dir)
+    m2 = _drop_cap_losers(msem, _cluster_ranked(spark, sf_dir), cap)
+    n_manifest = m.agg(F.count("*").cast("bigint").alias("n_manifest"))
+    n_sem = msem.agg(F.count("*").cast("bigint").alias("n_after_semantic"))
+    tail = m2.agg(
+        F.count("*").cast("bigint").alias("n_after_cap"),
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0))
+        .cast("bigint").alias("n_train"),
+        F.sum(F.when(F.col("split") == "val", 1).otherwise(0))
+        .cast("bigint").alias("n_val"),
+        F.sum(F.when(F.col("split") == "test", 1).otherwise(0))
+        .cast("bigint").alias("n_test"),
+        F.coalesce(
+            F.sum(F.when(F.col("split") == "train", F.col("n_tokens"))),
+            F.lit(0),
+        ).cast("bigint").alias("train_tokens"),
+    )
+    return (
+        n_docs.crossJoin(F.broadcast(n_manifest))
+        .crossJoin(F.broadcast(n_sem))
+        .crossJoin(F.broadcast(tail))
+    )
