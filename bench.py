@@ -82,6 +82,13 @@ HEADLINE = [
     "bpe_segment",
     "training_plan",
     "pack_plan",
+    # r11-new headline query (baseline keys from BENCH_r11 per the
+    # new-op policy). training_plan_over_store is deliberately NOT
+    # benched headline: its cost is write_plan_store (a once-per-corpus
+    # build, measured in PERF_NOTES) + a composition tail already
+    # covered by training_plan; timing the store rebuild per run would
+    # measure the artifact write, not a query.
+    "curation_funnel",
 ]
 
 
@@ -125,10 +132,20 @@ def main() -> None:
             }
     line = json.dumps(out)
     print(line)
-    # The driver's output capture keeps only the TAIL of the run and
-    # has clipped the head of this (long) line before (BENCH_r08
-    # "parsed: null"); persist the full JSON beside the repo so the
-    # numbers survive regardless of capture length.
+    # The driver's output capture keeps only the last ~2000 chars and
+    # the full per-query line is longer — it has been head-truncated
+    # mid-key before (BENCH_r08/r10 "parsed: null"). Print a COMPACT
+    # summary as the LAST line so the tail capture always holds one
+    # whole parseable JSON object; the full per-query numbers live in
+    # the committed BENCH_LOCAL_LATEST.json (identical run).
+    compact = dict(out)
+    compact.pop("queries", None)
+    compact.pop("vs_recorded", None)
+    compact["n_queries"] = len(timings)
+    compact["full"] = "BENCH_LOCAL_LATEST.json"
+    print(json.dumps(compact))
+    # Persist the full JSON beside the repo so the numbers survive
+    # regardless of capture length.
     try:
         with open(
             os.path.join(

@@ -159,3 +159,27 @@ def test_bpe_segment_vocab_guard_fires(spark):
 
     with _pytest.raises(ValueError, match="vocabulary too large"):
         bpe.bpe_segment(spark, SF_DIR, merges=[], max_vocab_rows=1)
+
+
+def test_bpe_train_early_stop_mid_run(spark, tmp_path):
+    # the stopping rule must fire MID-training, not only on degenerate
+    # corpora: "aa aa" yields exactly two count-2 merges — (a,</w>)
+    # first ('<' sorts before 'a' on the lexicographic tie), then
+    # (a,a</w>) — after which the word is a single symbol and every
+    # pair is gone; asking for 10 merges must return exactly those
+    # two, not pad with singleton merges (vocab bloat)
+    sf = _write_docs(tmp_path, ["aa aa"])
+    got = bpe.bpe_train(spark, sf, n_merges=10)
+    assert [(l, r) for l, r, _ in got] == [("a", bpe.EOW), ("a", "a" + bpe.EOW)]
+    assert all(n >= 2 for _, _, n in got)
+    assert got == bpe.bpe_replay({"aa": 2}, n_merges=10)
+
+
+def test_bpe_train_merge_ceiling_fails_loud(spark):
+    # BPE_MAX_MERGES guards the sequential-job chain: each merge is one
+    # Spark job, so an unbounded n_merges must be an explicit decision
+    # (sampled word counts + raised ceiling), not a silent 50k-job run
+    import pytest
+
+    with pytest.raises(ValueError, match="BPE_MAX_MERGES"):
+        bpe.bpe_train(spark, SF_DIR, n_merges=bpe.BPE_MAX_MERGES + 1)

@@ -1112,3 +1112,70 @@ def test_curation_funnel_parity_on_hostile_union_corpus(
     assert_matches_oracle(
         curation_funnel(spark, str(tmp_path)), con, curation_funnel_sql()
     )
+
+
+# ------------------- two-pass prefix sum / partial top-K (r11) --------
+# The r10 VERDICT's one named scale-killer: per-source running-sum
+# windows serialized a dominant source through one task. The fix is a
+# sharded two-pass prefix sum (sequence_pack/pack_plan) and a partial
+# top-K (source_cap_sample) that must be BIT-IDENTICAL to the single
+# plans — pinned here against the DuckDB oracle on the hostile corpus
+# (NULL sources exercise the null-safe offsets join; the
+# capacity-boundary docs exercise seq_id rollover across shards).
+
+
+def test_sequence_pack_sharded_matches_oracle_on_hostile(spark, hostile_docs):
+    sf_dir, con = hostile_docs
+    from trisk_spark.functions.sampling import sequence_pack
+
+    qd = QUERIES["sequence_pack"]
+    assert_matches_oracle(sequence_pack(spark, sf_dir, n_shards=4), con, qd.oracle)
+
+
+def test_source_cap_partial_topk_matches_oracle_on_hostile(spark, hostile_docs):
+    sf_dir, con = hostile_docs
+    from trisk_spark.functions.sampling import source_cap_sample
+
+    qd = QUERIES["source_cap_sample"]
+    assert_matches_oracle(
+        source_cap_sample(spark, sf_dir, shard_chars=1), con, qd.oracle
+    )
+
+
+def test_pack_plan_sharded_tail_matches_default(spark):
+    # the pack_plan packing tail through the sharded prefix sum ==
+    # the registered (driver-hash-green) default, row for row
+    from trisk_spark.functions.sampling import (
+        _doc_id_bounds,
+        _docs,
+        _pack_sequences,
+        PACK_CAPACITY,
+        training_plan,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    bounds = _doc_id_bounds(_docs(spark, sf))
+    plan = training_plan(spark, sf)
+    sharded = sorted(
+        map(tuple, _pack_sequences(plan, PACK_CAPACITY, bounds, n_shards=4).collect())
+    )
+    default = sorted(map(tuple, QUERIES["pack_plan"].fn(spark, sf).collect()))
+    assert sharded == default and len(sharded) > 0
+
+
+def test_pack_shard_fanout_engages_at_scale():
+    # the adaptive rule itself: small spans keep the single optimal
+    # window; a billion-id corpus fans ~1000-way; the offsets table
+    # stays bounded by PACK_MAX_SHARDS no matter the span
+    from trisk_spark.functions.sampling import (
+        PACK_MAX_SHARDS,
+        PACK_SHARD_MIN_SPAN,
+        _pack_n_shards,
+    )
+
+    assert _pack_n_shards(None, None) == 1          # empty corpus
+    assert _pack_n_shards(0, 4999) == 1             # sf0.1-sized
+    assert _pack_n_shards(0, PACK_SHARD_MIN_SPAN - 2) == 1
+    assert _pack_n_shards(0, 2 * PACK_SHARD_MIN_SPAN) == 2
+    assert _pack_n_shards(0, 10**9) > 900           # 1B docs: ~1000-way
+    assert _pack_n_shards(0, 10**15) == PACK_MAX_SHARDS  # offsets bounded

@@ -694,3 +694,52 @@ def test_training_plan_composition_join_policy(spark):
         plan = static_plan(spark, "training_plan")
     assert "CartesianProduct" not in plan, plan
     assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_sequence_pack_sharded_is_two_pass_prefix_sum(spark):
+    # the r11 scale fix: past PACK_SHARD_MIN_SPAN ids the packing
+    # prefix sum must (a) shuffle the corpus ONCE on (source, _shard)
+    # — a dominant source fans out instead of serializing one sorted
+    # task — (b) move only cell-sized PARTIAL sums for the offsets
+    # branch, and (c) attach offsets via a broadcast hash join (the
+    # null-safe keys still hash-join, never nested-loop)
+    import io
+    import re
+    from contextlib import redirect_stdout
+
+    from trisk_spark.functions.sampling import sequence_pack
+
+    with no_auto_broadcast(spark):
+        df = sequence_pack(spark, SF_DIR, n_shards=8)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+    assert re.search(r"hashpartitioning\(source#\d+, _shard#\d+", plan), plan
+    assert "partial_sum" in plan, "offsets branch lost map-side combine"
+    assert "BroadcastHashJoin" in plan, "offsets join is not broadcast-hash"
+    assert "NestedLoop" not in plan, "null-safe join degraded to nested loop"
+    assert "SinglePartition" not in plan
+
+
+def test_source_cap_partial_topk_plan_bounds_the_final_sort(spark):
+    # stage 1 must rank per (source, md5-prefix shard) — the corpus
+    # exchange carries BOTH keys — and Spark's WindowGroupLimit keeps
+    # only per-group top-K rows ahead of each shuffle, so the final
+    # per-source sort sees at most 16^chars × SOURCE_CAP rows
+    import io
+    import re
+    from contextlib import redirect_stdout
+
+    from trisk_spark.functions.sampling import source_cap_sample
+
+    with no_auto_broadcast(spark):
+        df = source_cap_sample(spark, SF_DIR, shard_chars=2)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+    exchanges = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert any("_w" in e and "source" in e for e in exchanges), plan
+    assert "WindowGroupLimit" in plan, "rank no longer prunes pre-shuffle"
+    assert "SinglePartition" not in plan

@@ -47,6 +47,8 @@ Reference: the reference engine has no tokenizer surface
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from trisk_spark.catalog import table
@@ -169,6 +171,20 @@ def _merge_fold(syms, left: str, right: str):
     )
 
 
+#: Ceiling on the training loop: each merge is one Spark job over the
+#: VOCABULARY-bounded word-count table (never the corpus) plus a 1-row
+#: argmax collect, so a production 50k-merge vocabulary would mean 50k
+#: sequential jobs — correct but latency-bound by job scheduling, not
+#: data. The industrial posture for large vocabularies (and what this
+#: loop's input already is) is: train on a bounded word-count sample
+#: (word_counts IS corpus-wide counts collapsed to distinct words —
+#: further cap it with a count floor / top-N for 100 TB corpora), keep
+#: n_merges under this ceiling per training run, and ship the merge
+#: table as a write-once asset. Fail loud past it rather than
+#: scheduling an unbounded job chain.
+BPE_MAX_MERGES = 4096
+
+
 def bpe_train(
     spark: SparkSession,
     sf_dir: str,
@@ -179,7 +195,21 @@ def bpe_train(
     the driver-held write-once model a tokenizer ships (vocabulary =
     alphabet + one entry per merge). Stops early if no pair occurs at
     least twice (merging singletons is pure vocab bloat and the
-    textbook stopping rule)."""
+    textbook stopping rule — pinned by
+    tests/test_bpe.py::test_bpe_train_early_stop_on_exhausted_pairs).
+
+    Scale posture: the loop runs on the vocabulary-bounded word-count
+    table — distinct words, not corpus rows — so corpus size only
+    affects the one word_counts pass; per-merge cost is job overhead.
+    ``n_merges`` is capped at BPE_MAX_MERGES (see its comment for the
+    sampled-word-counts strategy production vocabularies use)."""
+    if n_merges > BPE_MAX_MERGES:
+        raise ValueError(
+            f"n_merges={n_merges} > BPE_MAX_MERGES={BPE_MAX_MERGES}: "
+            "each merge is a sequential Spark job — train large "
+            "vocabularies on a capped word-count sample and raise the "
+            "ceiling deliberately"
+        )
     docs = table(spark, sf_dir, "documents")
     words = word_counts(docs).select(
         F.concat(F.split("word", ""), F.array(F.lit(EOW))).alias("syms"),
@@ -276,8 +306,16 @@ def bpe_replay(word_cnt: dict[str, int], n_merges: int = N_BPE_MERGES):
 #: here.
 BPE_MAX_VOCAB_ROWS = 10_000_000
 
-#: the one auto-managed segmentation-model slot (see bpe_segment)
-_LAST_AUTO_SEG = None
+#: Auto-managed segmentation-model slots, ONE per SparkSession, swaps
+#: guarded by a lock (r10 ADVICE: an unsynchronized single global let
+#: two concurrent bpe_segment calls — multi-threaded driver or two
+#: sessions sharing the module — unpersist each other's live model
+#: mid-query; results stayed correct but the persisted-model perf
+#: contract silently degraded to recompute). Keyed by id(session):
+#: bounded by live-session count, a new model for the same session
+#: still evicts its predecessor.
+_AUTO_SEG_LOCK = threading.Lock()
+_AUTO_SEG_BY_SESSION: dict[int, object] = {}
 
 
 @register("bpe_segment", oracle=bpe_segment_sql())
@@ -321,13 +359,14 @@ def bpe_segment(
     if model_out is not None:
         model_out.append(seg)
     else:
-        global _LAST_AUTO_SEG
-        if _LAST_AUTO_SEG is not None:
+        with _AUTO_SEG_LOCK:
+            prev = _AUTO_SEG_BY_SESSION.get(id(spark))
+            _AUTO_SEG_BY_SESSION[id(spark)] = seg
+        if prev is not None:
             try:
-                _LAST_AUTO_SEG.unpersist()
+                prev.unpersist()
             except Exception:
                 pass  # prior session/context already gone
-        _LAST_AUTO_SEG = seg
     n_vocab = seg.count()
     if n_vocab > max_vocab_rows:
         seg.unpersist()

@@ -74,76 +74,74 @@ def register(name: str, oracle: str | None = None):
 # regardless of position stay oracle-gated by
 # tests/test_oracle_parity.py every round.
 #
-# r10 window: the 39 r9 sitters rotate back in (policy (a): nobody's
-# last driver-green row goes older than one round), except
-# media_decode_resize (no-oracle) which keeps sitting on its hash-gated
-# checksum witness. Must-stays: stock_matchmaker (no oracle, no
-# hash-gated witness → never sits), media_decode_checksum (the
-# no-oracle sitter's witness, enforced by test_registry), and the six
-# r10-new registrations (cluster_cap_sample, source_upsample,
-# bpe_segment, training_plan, pack_plan, pq_encode_trained: new sole
-# driver evidence — the r9 VERDICT's #1 demand). Three r9-greens KEEP
-# their seats because their capabilities are single-query (§2B
-# flagship rows): fraud_alerts (FD megaphone / BroadcastState),
-# nexmark_q11 (session windows), q3_emit_once_join (emit-once
-# semantics). The remaining unique-capability r9-greens
-# (all_window_agg, wordcount_two_input, cogroup_apply, asof_join,
-# async_enrich) sit this ONE round — seat arithmetic: 39 returning +
-# 2 permanent + 6 new + 3 keepers = 50 — on (a) their r9 driver-green
-# hash, (b) the every-round full-DuckDB-oracle pytest gate
-# (test_oracle_parity runs ALL registered oracles, sitters included),
-# and (c) the hostile-corpus parity families in test_parity_edges
-# (asof_join additionally: test_asof_stream_equals_batch). They rotate
-# back r11.
-# Sitting out r10 — every one hash-green in r9 (CORRECTNESS_r09),
+# r11 window: the 45 oracle-bearing r10 sitters rotate back in (policy
+# (a): nobody's last driver-green row goes older than one round),
+# except media_decode_resize (no-oracle) which keeps sitting on its
+# hash-gated checksum witness. Must-stays: stock_matchmaker (no
+# oracle, no hash-gated witness → never sits), media_decode_checksum
+# (the no-oracle sitter's witness, enforced by test_registry), and the
+# two r11-new registrations (curation_funnel,
+# training_plan_over_store: new sole driver evidence — r10 VERDICT
+# "next round" #2/#4). ONE r10-green keeps its seat: fraud_alerts —
+# the only query whose §2 rows (BroadcastState / FD megaphone) have NO
+# kernel-class sibling anywhere in the registry, so it can never sit
+# with a witness. Seat arithmetic: 45 returning + 2 permanent + 2 new
+# + 1 keeper = 50. The other 47 r10-greens sit this ONE round on (a)
+# their r10 driver-green hash, (b) the every-round full-DuckDB-oracle
+# pytest gate (test_oracle_parity runs ALL registered oracles, sitters
+# included), and (c) the kernel-class witnesses noted per row below
+# (the r9/r10 precedent). They rotate back r12.
+# Sitting out r11 — every one hash-green in r10 (CORRECTNESS_r10),
 # witness noted:
 DEPRIORITIZED = [
-    # ---- r9-green relational/streaming rows sitting one round ----
-    "nexmark_q1",              # map: props_rollup (in, scalar map exprs)
-    "nexmark_q2",              # filter: tpch_q6 (in, filter + agg)
-    "nexmark_q3",              # SQL join image: tpch_q5 + tpch_q7 (in)
-    "nexmark_q8",              # windowed equi-join: interval_join (in, time-bounded join)
-    "tpch_q1",                 # decimal scan agg: decimal_accumulators + revenue_rollup (in)
-    "tpch_q3",                 # multi-join agg: tpch_q5, tpch_q7, tpch_q14 (in)
-    "tpch_q10",                # multi-join agg: tpch_q5, tpch_q7 (in)
-    "tpch_q18",                # window rank + join: top_orders_per_customer (in)
-    "keyed_agg",               # keyed folds: keyed_running_reduce + minby_maxby (in)
-    "tumbling_window_agg",     # window aggs: nexmark_q5 (in, sliding) + count_window (in)
-    "all_window_agg",          # non-keyed window: r9 driver-green + every-round oracle pytest + hostile-events parity (see header)
-    "wordcount",               # flatMap + count: ngram_counts (in, explode/shingle count)
-    "wordcount_two_input",     # connect/CoFlatMap: r9 driver-green + oracle pytest + hostile-docs parity (see header)
-    "cogroup_apply",           # coGroup: r9 driver-green + oracle pytest + hostile-events parity (see header)
-    "sliding_count_window",    # count/sliding windows: count_window + nexmark_q5 (in)
-    "delta_evictor_window",    # evictors: time_evictor_window (in)
-    "continuous_trigger",      # triggers: delta_trigger (in)
-    "purging_trigger",         # triggers: delta_trigger (in)
-    "asof_join",               # tagged-union asof: interval_join (in, time-bounded family) + test_asof_stream_equals_batch pytest
-    "async_enrich",            # AsyncDataStream: r9 driver-green + oracle pytest + hostile-events parity (see header)
-    "token_count",             # tokenizer: doc_chunk + bpe_token_estimate + bpe_segment (in, shared tokenizer)
-    "quality_score",           # doc stats: length_percentiles + source_quality_rollup (in)
-    "lang_id",                 # source_quality_rollup (in) composes it
-    "doc_fingerprint",         # rolling hash: dedup_substring (in, same class)
-    "dedup_exact",             # md5 groupBy: dedup_minhash_lsh (in) + training_plan (in, composes exact dedup via the manifest)
-    "dedup_bag",               # token-level near-dup: dedup_simhash (in)
-    "ngram_jaccard",           # shingle kernel: ngram_counts + dedup_minhash_lsh (in)
-    "dedup_clusters",          # components: training_plan (in, composes the transitive closure) + dedup_minhash_lsh (in, pair kernel)
-    "decontaminate_flags",     # semi-join kernel: semi_join_orders (in)
-    "repetition_ratio",        # source_quality_rollup (in) composes it
-    "pii_redact",              # scalar regexes: props_rollup (in, scalar/string fns)
-    "url_normalize",           # scalar string fns: props_rollup (in)
-    "media_metadata",          # multimodal map-side: media_byte_features (in)
-    "media_frame_sample",      # multimodal map-side: media_byte_features (in)
-    "knn_bruteforce",          # exact GEMM: cosine_near_dup_exact + knn_label_vote (in, same kernel)
-    "dedup_semantic",          # training_plan (in) COMPOSES its whole chain; cosine_near_dup_lsh (in, SRP pairs)
-    "ann_lsh_bucketed",        # SRP bands: cosine_near_dup_lsh (in)
-    "ivf_refine",              # Lloyd step kernel: ann_ivf + ivf_refine_iters (in)
-    "pq_encode",               # seed encode: pq_encode_trained (in, same fused kernel — the seed IS iteration 0)
-    "ann_ivf_pq",              # ADC search: ann_ivf_int8 (in, composes routing + rerank) + pq_encode_trained (in, encode kernel)
-    "train_split",             # md5 split: split_rollup (in) + training_plan (in, composes the split)
-    "sequence_pack",           # packing kernel: pack_plan (in) composes it over the exploded plan
-    "source_cap_sample",       # md5 rank-cap: cluster_cap_sample (in, same kernel keyed by cluster) + split_rollup (in)
-    "curation_manifest_semantic",  # training_plan (in) COMPOSES it wholesale; curation_manifest (in)
-    "ts_subsequence_sax",      # ts family: ts_subsequence_match (in, same z-norm + exact-int distance arithmetic)
+    # ---- r10-green rows sitting one round ----
+    "nexmark_q5",              # sliding window agg: tumbling_window_agg + sliding_count_window (in)
+    "nexmark_q11",             # session windows: tumbling_window_agg/sliding_count_window (in, same §2A window row) + session-fire timer pytest (test_streaming)
+    "tpch_q5",                 # multi-join agg: tpch_q3 + tpch_q10 (in)
+    "keyed_running_reduce",    # keyed folds: keyed_agg (in)
+    "top_orders_per_customer", # window rank + join: tpch_q18 (in)
+    "revenue_rollup",          # decimal agg: tpch_q1 (in)
+    "semi_join_orders",        # semi-join kernel: decontaminate_flags (in)
+    "customers_without_orders",  # anti-join kernel: curation_manifest_semantic (in, left-anti)
+    "tpch_q6",                 # filter + agg: nexmark_q2 (in, filter) + tpch_q1 (in, scan agg)
+    "tpch_q7",                 # multi-join agg: tpch_q3 + tpch_q10 (in)
+    "tpch_q14",                # conditional-agg join: tpch_q3 (in)
+    "decimal_accumulators",    # BigDecimal: tpch_q1 (in, decimal scan agg)
+    "props_rollup",            # scalar map/string fns: nexmark_q1 (in, map) + pii_redact + url_normalize (in)
+    "q3_emit_once_join",       # emit-once stateful join: nexmark_q3 (in, SQL image) + wordcount_two_input (in, CoProcess) + emit-once replay pytest (test_stateful)
+    "interval_join",           # time-bounded join: nexmark_q8 (in, windowed equi-join) + asof_join (in)
+    "minby_maxby",             # keyed folds: keyed_agg (in)
+    "count_window",            # count windows: sliding_count_window (in)
+    "time_evictor_window",     # evictors: delta_evictor_window (in)
+    "delta_trigger",           # triggers: continuous_trigger + purging_trigger (in)
+    "dedup_minhash_lsh",       # banded-LSH kernel: ann_lsh_bucketed (in, banded buckets) + ngram_jaccard (in, shingle kernel)
+    "dedup_simhash",           # token near-dup: dedup_bag (in) + doc_fingerprint (in, hash kernel)
+    "dedup_substring",         # winnowing: doc_fingerprint (in, rolling-hash class)
+    "ngram_counts",            # explode/shingle count: wordcount + ngram_jaccard (in)
+    "source_quality_rollup",   # composed of quality_score + lang_id + repetition_ratio (all in)
+    "length_percentiles",      # doc stats: quality_score (in)
+    "doc_chunk",               # tokenizer: token_count (in, shared tokenizer)
+    "bpe_token_estimate",      # tokenizer: token_count (in)
+    "bpe_segment",             # shared tokenizer + model broadcast: token_count (in) + lang_id (in, broadcast-model class) + bpe_replay oracle pytest (test_bpe, every round)
+    "bigram_lm_score",         # broadcast-model scoring: lang_id (in, n-gram model class)
+    "keyword_extract",         # tf/df scoring: wordcount (in) + lang_id (in, broadcast-model class)
+    "media_byte_features",     # multimodal map-side: media_metadata + media_frame_sample (in)
+    "cosine_near_dup_exact",   # blocked GEMM: knn_bruteforce (in, same kernel)
+    "cosine_near_dup_lsh",     # SRP-LSH pairs: ann_lsh_bucketed (in)
+    "ann_ivf",                 # IVF route+rerank: ivf_refine (in, centroid kernel) + ann_ivf_pq (in, routed search)
+    "knn_label_vote",          # exact GEMM top-k: knn_bruteforce (in)
+    "ivf_refine_iters",        # Lloyd iterations: ivf_refine (in, the step kernel)
+    "embed_quantize_int8",     # quantization: pq_encode (in, same family)
+    "ann_ivf_int8",            # routed int8 search: ann_ivf_pq (in, routing + rerank)
+    "pq_encode_trained",       # pq_encode (in, same fused kernel — the seed IS iteration 0)
+    "split_rollup",            # split kernel: train_split (in)
+    "curation_manifest",       # curation_manifest_semantic (in, composes it) + curation_funnel (in, counts its stages)
+    "source_mix_sample",       # md5-ppm keep kernel: train_split (in) + source_cap_sample (in, md5-order family)
+    "cluster_cap_sample",      # rank-cap kernel: source_cap_sample (in) + training_plan_over_store (in, composes the cap)
+    "source_upsample",         # epoch rule: training_plan_over_store (in, composes it)
+    "training_plan",           # training_plan_over_store (in, same tail over the stored chain) + curation_funnel (in, same CTE chain)
+    "pack_plan",               # packing kernel: sequence_pack (in) + training_plan_over_store (in, composes the plan)
+    "ts_subsequence_match",    # ts family: ts_subsequence_sax (in, same z-norm + exact-int distance arithmetic)
     # ---- permanent sitter ----
     "media_decode_resize",     # NO_ORACLE_SITTER_WITNESS: media_decode_checksum (in)
 ]
