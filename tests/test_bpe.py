@@ -25,12 +25,13 @@ def _write_docs(tmp_path, texts):
 
 
 def test_bpe_train_matches_replay_on_corpus(spark):
-    # the distributed trainer must reproduce the pure-Python textbook
-    # fold merge-for-merge (same pairs, same order, same counts) on
-    # the real corpus's word counts
+    # the DISTRIBUTED trainer (local_max_words=0 forces it — the
+    # default fast path would sidestep the loop under test) must
+    # reproduce the pure-Python textbook fold merge-for-merge (same
+    # pairs, same order, same counts) on the real corpus's word counts
     from trisk_spark.catalog import table
 
-    got = bpe.bpe_train(spark, SF_DIR, n_merges=12)
+    got = bpe.bpe_train(spark, SF_DIR, n_merges=12, local_max_words=0)
     wc = {
         r.word: r.cnt
         for r in bpe.word_counts(table(spark, SF_DIR, "documents")).collect()
@@ -38,6 +39,16 @@ def test_bpe_train_matches_replay_on_corpus(spark):
     want = bpe.bpe_replay(wc, n_merges=12)
     assert got == want
     assert len(got) == 12, "corpus exhausted merges early — vacuous"
+
+
+def test_bpe_train_fast_path_equals_distributed(spark):
+    # the driver-side fast path (vocab under BPE_TRAIN_LOCAL_MAX_WORDS
+    # collects the count table and folds in memory) and the
+    # distributed per-merge loop are the same algorithm — the
+    # crossover must be invisible in the merge table
+    fast = bpe.bpe_train(spark, SF_DIR, n_merges=12)
+    dist = bpe.bpe_train(spark, SF_DIR, n_merges=12, local_max_words=0)
+    assert fast == dist and len(fast) == 12
 
 
 def test_bpe_textbook_example(spark, tmp_path):

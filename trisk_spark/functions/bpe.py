@@ -184,11 +184,24 @@ def _merge_fold(syms, left: str, right: str):
 #: scheduling an unbounded job chain.
 BPE_MAX_MERGES = 4096
 
+#: Crossover for the driver-side training fast path: at or under this
+#: many DISTINCT words, the count table is collected (bounded
+#: limit+collect, the probe-cap idiom) and the merges computed as a
+#: pure-Python fold — one Spark job total instead of one per merge.
+#: The fold is O(n_merges × Σ|word|) with full pair recounts, so the
+#: cap sits where ~1 s of driver CPU beats n_merges × ~0.2 s of job
+#: overhead; past it the distributed loop amortizes its per-merge jobs
+#: over real data. Both paths are the SAME algorithm (bpe_replay ≡
+#: the fold ≡ the loop, equality-pinned in tests/test_bpe.py), so the
+#: crossover is invisible in results.
+BPE_TRAIN_LOCAL_MAX_WORDS = 8192
+
 
 def bpe_train(
     spark: SparkSession,
     sf_dir: str,
     n_merges: int = N_BPE_MERGES,
+    local_max_words: int = BPE_TRAIN_LOCAL_MAX_WORDS,
 ) -> list[tuple[str, str, int]]:
     """Learn ``n_merges`` BPE merges from the documents corpus.
     Returns the ordered merge table [(left, right, pair_count), ...] —
@@ -196,13 +209,19 @@ def bpe_train(
     alphabet + one entry per merge). Stops early if no pair occurs at
     least twice (merging singletons is pure vocab bloat and the
     textbook stopping rule — pinned by
-    tests/test_bpe.py::test_bpe_train_early_stop_on_exhausted_pairs).
+    tests/test_bpe.py::test_bpe_train_early_stop_mid_run).
 
-    Scale posture: the loop runs on the vocabulary-bounded word-count
-    table — distinct words, not corpus rows — so corpus size only
-    affects the one word_counts pass; per-merge cost is job overhead.
-    ``n_merges`` is capped at BPE_MAX_MERGES (see its comment for the
-    sampled-word-counts strategy production vocabularies use)."""
+    Scale posture: training NEVER touches corpus rows after the one
+    word_counts pass — everything downstream runs on the
+    vocabulary-bounded count table. Vocabularies at or under
+    ``local_max_words`` distinct words train driver-side in one
+    bounded collect + pure-Python fold (how production BPE trainers
+    work — they fold word counts in memory); larger vocabularies run
+    the distributed per-merge loop (one vocabulary-sized Spark job +
+    1-row argmax collect per merge), capped at BPE_MAX_MERGES (see its
+    comment for the sampled-word-counts strategy 50k-merge
+    vocabularies use). ``local_max_words=0`` forces the distributed
+    loop (tests pin it against the fold)."""
     if n_merges > BPE_MAX_MERGES:
         raise ValueError(
             f"n_merges={n_merges} > BPE_MAX_MERGES={BPE_MAX_MERGES}: "
@@ -211,6 +230,12 @@ def bpe_train(
             "ceiling deliberately"
         )
     docs = table(spark, sf_dir, "documents")
+    if local_max_words > 0:
+        sample = word_counts(docs).limit(local_max_words + 1).collect()
+        if len(sample) <= local_max_words:
+            return bpe_replay(
+                {r.word: int(r.cnt) for r in sample}, n_merges
+            )
     words = word_counts(docs).select(
         F.concat(F.split("word", ""), F.array(F.lit(EOW))).alias("syms"),
         "cnt",

@@ -67,7 +67,9 @@ def _check_probe_batch(probe_emb: DataFrame, max_rows: int) -> None:
     checking BEFORE the routing broadcast is built (the sibling
     ``sax_store._collect_probe_rows`` guard folds the bound into its
     existing collect instead, because that path materializes probe
-    rows driver-side anyway)."""
+    rows driver-side anyway). ``probe_index_stream`` persists each
+    micro-batch around the whole probe, so per-batch this count reads
+    the cache, not the batch's upstream lineage."""
     if probe_emb.limit(max_rows + 1).count() > max_rows:
         raise ValueError(
             f"probe batch exceeds {max_rows} rows — refusing to route/"
@@ -246,7 +248,19 @@ def probe_index_stream(
     engine = probe_frame_adc if adc else probe_frame
 
     def fb(batch_df: DataFrame, batch_id: int) -> None:
-        sink(engine(spark, batch_df, corpus, path), batch_id)
+        # Persist the arriving batch for the duration of the probe:
+        # the size guard's bounded count, the routing collect, and the
+        # candidate join each consume the probe frame, and without the
+        # cache every consumer re-executes the batch's upstream
+        # lineage (r10 ADVICE — one extra full lineage execution per
+        # micro-batch when the probe stream has expensive transforms).
+        # The sink materializes the result inside this call, so the
+        # unpersist is safe.
+        batch_df = batch_df.persist()
+        try:
+            sink(engine(spark, batch_df, corpus, path), batch_id)
+        finally:
+            batch_df.unpersist()
 
     return probes_stream.writeStream.outputMode("append").foreachBatch(fb)
 

@@ -149,11 +149,62 @@ def _pack_n_shards(lo: int | None, hi: int | None) -> int:
     return max(1, min(PACK_MAX_SHARDS, (hi - lo + 1) // PACK_SHARD_MIN_SPAN))
 
 
-def _doc_id_bounds(df: DataFrame) -> tuple[int | None, int | None]:
-    """(min, max) doc_id — a column-pruned scan of one bigint column
-    (parquet dictionary/stat pages make this the cheapest possible
-    pass); the only driver-side rows the two-pass prefix sum ever
-    collects beyond the cell-sized offsets frame."""
+#: Past this many parquet files, bounds come from the distributed agg
+#: instead of sequential driver-side footer reads.
+_FOOTER_MAX_FRAGMENTS = 64
+
+
+def _footer_doc_id_bounds(path: str) -> tuple[int | None, int | None] | None:
+    """(min, max) doc_id straight from the parquet FOOTER statistics —
+    zero Spark jobs, milliseconds, the metadata Spark's own planner
+    already reads. Bounds only steer the shard decision (a superset is
+    harmless — shards just sit empty), so footer stats are exactly
+    sufficient. Returns None when the answer can't be determined
+    (missing stats, non-parquet layout, or more than
+    _FOOTER_MAX_FRAGMENTS files — a 100k-file store would serialize
+    100k driver-side footer reads; the distributed agg is the right
+    tool there) → caller falls back to the one-column Spark agg."""
+    try:
+        import pyarrow.parquet as papq
+
+        ds = papq.ParquetDataset(path)
+        frags = ds.fragments
+        if len(frags) > _FOOTER_MAX_FRAGMENTS:
+            return None
+        lo: int | None = None
+        hi: int | None = None
+        for frag in frags:
+            md = frag.metadata
+            idx = {
+                md.schema.column(i).name: i for i in range(md.num_columns)
+            }.get("doc_id")
+            if idx is None:
+                return None
+            for g in range(md.num_row_groups):
+                col = md.row_group(g).column(idx)
+                if md.row_group(g).num_rows == 0:
+                    continue
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    return None
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+        return (lo, hi) if lo is None or isinstance(lo, int) else None
+    except Exception:
+        return None
+
+
+def _doc_id_bounds(
+    df: DataFrame, path: str | None = None
+) -> tuple[int | None, int | None]:
+    """(min, max) doc_id for the prefix-sum shard decision: parquet
+    footer stats when ``path`` is given (no job at all — keeps the
+    small-corpus plans at exactly their pre-r11 cost), else one
+    column-pruned agg over a single bigint column."""
+    if path is not None:
+        b = _footer_doc_id_bounds(path)
+        if b is not None:
+            return b
     r = df.agg(F.min("doc_id"), F.max("doc_id")).first()
     return (None, None) if r[0] is None else (int(r[0]), int(r[1]))
 
@@ -189,7 +240,16 @@ def _with_start_off(
     subtotals from a second column-pruned scan instead of re-sorting
     the corpus-sized exchange is deliberate: partial aggregation moves
     cell-sized rows; a reused exchange would still re-SORT the corpus
-    once per branch."""
+    once per branch.
+
+    Cardinality contract: ``source`` is a PROVENANCE column (tens to
+    low thousands of values — the training-mixture shard key), so the
+    offsets broadcast is ≤ n_sources × PACK_MAX_SHARDS ≈ 24 B cells —
+    KBs to low MBs. A key with ~10⁵+ values scattered across the full
+    id range would push the cell count toward the broadcast ceiling —
+    but such a key also never NEEDS the fan-out (its per-key windows
+    are already parallel): pass ``n_shards=1`` there, or shrink the
+    fan-out via ``n_shards``."""
     lo, hi = id_bounds
     if n_shards is None:
         n_shards = _pack_n_shards(lo, hi)
@@ -277,7 +337,8 @@ def sequence_pack(
     toks = F.size(F.filter(F.split("text", " "), lambda w: w != "")).cast("bigint")
     docs = _docs(spark, sf_dir)
     d = docs.select("doc_id", "source", toks.alias("n_tokens"))
-    out = _with_start_off(d, ["doc_id"], _doc_id_bounds(docs), n_shards)
+    bounds = _doc_id_bounds(docs, f"{sf_dir}/documents.parquet")
+    out = _with_start_off(d, ["doc_id"], bounds, n_shards)
     return out.select(
         "doc_id",
         "source",
@@ -332,7 +393,7 @@ def source_cap_sample(
     fan-out for tests."""
     docs = _docs(spark, sf_dir)
     if shard_chars is None:
-        lo, hi = _doc_id_bounds(docs)
+        lo, hi = _doc_id_bounds(docs, f"{sf_dir}/documents.parquet")
         span = 0 if lo is None else hi - lo + 1
         shard_chars = CAP_SHARD_CHARS if span >= PACK_SHARD_MIN_SPAN else 0
     d = docs.select(
@@ -1048,7 +1109,9 @@ def pack_plan(
     id bounds come from a column-pruned documents scan, NOT from
     re-executing the plan chain). Driver-gated since r10 with its
     fully-composed DuckDB oracle (``pack_plan_sql``)."""
-    bounds = _doc_id_bounds(_docs(spark, sf_dir))
+    bounds = _doc_id_bounds(
+        _docs(spark, sf_dir), f"{sf_dir}/documents.parquet"
+    )
     return _pack_sequences(
         training_plan(spark, sf_dir, cap), capacity, bounds
     )
@@ -1140,7 +1203,9 @@ def pack_plan_over_store(
     ``training_plan_over_store``); the prefix-sum shard decision reads
     its doc_id bounds from the stored manifest (cheap column-pruned
     parquet), never re-deriving the chain."""
-    bounds = _doc_id_bounds(spark.read.parquet(f"{path}/manifest"))
+    bounds = _doc_id_bounds(
+        spark.read.parquet(f"{path}/manifest"), f"{path}/manifest"
+    )
     return _pack_sequences(
         training_plan_over_store(spark, path, cap), capacity, bounds
     )

@@ -825,25 +825,34 @@ def cluster_cap_stream(
         (list_id,) = key
         (n,) = state.get if state.exists else (0,)
         chunks = [p for p in pdfs if len(p)]
-        out = []
+        taken = None
         if chunks and n < cap:
             pdf = pd.concat(chunks, ignore_index=True)
             # within-batch order = the batch sampler's md5 order
             # (hashlib md5 of the decimal string == Spark's
-            # md5(CAST(vec_id AS STRING)))
+            # md5(CAST(vec_id AS STRING))). Vectorized: at most
+            # cap - n rows can be admitted, so sort once and head()
+            # instead of a per-row Python loop over the whole batch
+            # (r10 ADVICE — a large micro-batch landing on one list
+            # paid O(batch) loop work for O(cap) output).
             md5 = pdf["vec_id"].map(
                 lambda v: hashlib.md5(str(int(v)).encode()).hexdigest()
             )
-            for vid in pdf.assign(_m=md5).sort_values(["_m", "vec_id"])[
-                "vec_id"
-            ]:
-                if n >= cap:
-                    break
-                n += 1
-                out.append((int(vid), int(list_id), n))
+            taken = (
+                pdf.assign(_m=md5)
+                .sort_values(["_m", "vec_id"])
+                .head(cap - n)
+            )
+            n += len(taken)
         state.update((n,))
-        if out:
-            yield pd.DataFrame(out, columns=["vec_id", "list_id", "rank"])
+        if taken is not None and len(taken):
+            yield pd.DataFrame(
+                {
+                    "vec_id": taken["vec_id"].astype("int64").to_numpy(),
+                    "list_id": int(list_id),
+                    "rank": range(n - len(taken) + 1, n + 1),
+                }
+            )
 
     return assigned.groupBy("list_id").applyInPandasWithState(
         admit,
