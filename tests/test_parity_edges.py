@@ -1179,3 +1179,49 @@ def test_pack_shard_fanout_engages_at_scale():
     assert _pack_n_shards(0, 2 * PACK_SHARD_MIN_SPAN) == 2
     assert _pack_n_shards(0, 10**9) > 900           # 1B docs: ~1000-way
     assert _pack_n_shards(0, 10**15) == PACK_MAX_SHARDS  # offsets bounded
+
+
+def test_shuffle_shards_parity_and_permutation(spark, hostile_docs):
+    # the epoch shuffle must match its DuckDB oracle on the hostile
+    # corpus (NULL/negative ids) AND be a true permutation: positions
+    # within each shard are exactly 1..len(shard)
+    sf_dir, con = hostile_docs
+    from trisk_spark.functions.sampling import (
+        SHUFFLE_SHARDS_SQL,
+        shuffle_shards,
+    )
+
+    sdf = shuffle_shards(spark, sf_dir)
+    assert_matches_oracle(sdf, con, SHUFFLE_SHARDS_SQL)
+    rows = sdf.collect()
+    by_shard: dict[int, list[int]] = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    assert len(rows) == len({r.doc_id for r in rows}), "doc duplicated"
+    for shard, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1)), shard
+
+
+def test_footer_bounds_match_agg_and_fall_back(spark, tmp_path):
+    # the zero-job footer-stats bounds must agree with the distributed
+    # agg on real corpora, and return None (-> fallback) when the
+    # column is missing or the path is not parquet
+    import pyarrow as pa
+    import pyarrow.parquet as pq2
+
+    from trisk_spark.functions.sampling import (
+        _doc_id_bounds,
+        _docs,
+        _footer_doc_id_bounds,
+    )
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        foot = _footer_doc_id_bounds(f"{sf}/documents.parquet")
+        agg = _doc_id_bounds(_docs(spark, sf))  # no path: pure agg
+        assert foot == agg and foot[0] is not None, sf
+    # missing column -> None
+    pq2.write_table(pa.table({"x": [1, 2]}), tmp_path / "nodoc.parquet")
+    assert _footer_doc_id_bounds(str(tmp_path / "nodoc.parquet")) is None
+    # non-parquet path -> None (exception swallowed, fallback signaled)
+    (tmp_path / "junk").write_text("not parquet")
+    assert _footer_doc_id_bounds(str(tmp_path / "junk")) is None

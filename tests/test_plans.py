@@ -743,3 +743,22 @@ def test_source_cap_partial_topk_plan_bounds_the_final_sort(spark):
     assert any("_w" in e and "source" in e for e in exchanges), plan
     assert "WindowGroupLimit" in plan, "rank no longer prunes pre-shuffle"
     assert "SinglePartition" not in plan
+
+
+def test_shuffle_shards_is_single_bounded_shuffle(spark):
+    # epoch shuffle: ONE exchange on the md5 shard key (uniform by
+    # construction — no degenerate key can concentrate rows), per-shard
+    # rank, never a global sort
+    import io
+    import re
+    from contextlib import redirect_stdout
+
+    from trisk_spark.functions.sampling import shuffle_shards
+
+    df = shuffle_shards(spark, SF_DIR)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1, plan
+    assert "SinglePartition" not in plan, "global sort: corpus serialized"

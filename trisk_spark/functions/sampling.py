@@ -1239,6 +1239,57 @@ def training_plan_over_store_query(
     return training_plan_over_store(spark, path, cap)
 
 
+# ------------------------------------------------ epoch shuffle ------
+
+#: shard fan-out of the deterministic training-order shuffle; bounds
+#: every per-shard sort at ~corpus/1024 rows and gives the reader 1024
+#: independently streamable files per epoch
+N_SHUFFLE_SHARDS = 1024
+
+SHUFFLE_SHARDS_SQL = f"""
+SELECT doc_id,
+  CAST(CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+       AS BIGINT) % {N_SHUFFLE_SHARDS} AS INT) AS shard,
+  CAST(ROW_NUMBER() OVER (
+    PARTITION BY CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                 AS BIGINT) % {N_SHUFFLE_SHARDS}
+    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS pos
+FROM documents WHERE doc_id IS NOT NULL
+"""
+
+
+def shuffle_shards(
+    spark: SparkSession, sf_dir: str, n_shards: int = N_SHUFFLE_SHARDS
+) -> DataFrame:
+    """Deterministic training-order shuffle — the step after
+    ``pack_plan``: a reproducible pseudo-random global permutation of
+    the corpus, materialized as (doc_id, shard, pos). A reader that
+    streams shards 0..n-1 in ``pos`` order visits documents in
+    md5(doc_id) order — statistically random with respect to every
+    corpus attribute, yet identical on every re-run/backfill (the
+    no-RNG contract of the whole sampling family; ``rand()`` would
+    reorder training data on every retry, destroying run
+    reproducibility).
+
+    Plan: shard assignment is a map-side md5 expression; ONE shuffle
+    on shard; each per-shard rank sorts ~corpus/n_shards rows
+    (spillable, all shards in parallel — the same bounded-sort story
+    as the two-pass packer, with the shard count a constant so no
+    degenerate key can concentrate rows: md5 spreads uniformly by
+    construction). Library op with a full DuckDB oracle
+    (``SHUFFLE_SHARDS_SQL``), pytest-gated — the r11 capacity-note
+    class."""
+    md5 = F.md5(F.col("doc_id").cast("string"))
+    shard = (
+        F.conv(F.substring(md5, 1, 15), 16, 10).cast("bigint") % n_shards
+    ).cast("int")
+    d = _docs(spark, sf_dir).select("doc_id", shard.alias("shard"), md5.alias("_m"))
+    w = Window.partitionBy("shard").orderBy("_m", "doc_id")
+    return d.select(
+        "doc_id", "shard", F.row_number().over(w).cast("bigint").alias("pos")
+    )
+
+
 CURATION_FUNNEL_SQL_TEMPLATE = """
 WITH RECURSIVE {plan_ctes}
 SELECT

@@ -91,6 +91,19 @@ def register(name: str, oracle: str | None = None):
 # pytest gate (test_oracle_parity runs ALL registered oracles, sitters
 # included), and (c) the kernel-class witnesses noted per row below
 # (the r9/r10 precedent). They rotate back r12.
+# CAPACITY NOTE: at 98 registered queries the rotation is exactly
+# saturated — 3 always-in (stock_matchmaker, media_decode_checksum,
+# fraud_alerts) + 1 permanent sitter (media_decode_resize) + 94
+# alternating over the 47 remaining seats (94 = 2 × 47). Registering a
+# 99th query therefore requires a mechanism, not just a seat: either a
+# sub-composition permanent-sitter class (an oracle-bearing query
+# wholly composed by an alternating query sits permanently, its
+# witness in-window every other round + the every-round oracle pytest
+# — e.g. sequence_pack ⊂ pack_plan, train_split ⊂ training_plan), or
+# retiring a redundant row to library-only status. Neither is invoked
+# yet; new r11 surface beyond the two seated registrations ships as
+# library functions with full oracles + pytest gates (the r9
+# sax_store precedent).
 # Sitting out r11 — every one hash-green in r10 (CORRECTNESS_r10),
 # witness noted:
 DEPRIORITIZED = [
