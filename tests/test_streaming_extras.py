@@ -2276,3 +2276,56 @@ def test_bpe_segment_stream_handles_out_of_vocab_words(spark, tmp_path):
     # abx -> [ab,x,</w>] -> (x,</w>) -> [ab,x</w>] = 2
     # zzz -> [z,z,z,</w>] = 4
     assert got == {1: (3, 2 + 2 + 4), 2: (0, 0)}
+
+
+def test_socket_text_stream_end_to_end(spark):
+    # socketTextStream END-TO-END against a real local TCP peer — the
+    # r10 VERDICT listed this row "untested-e2e (no peer in sandbox)",
+    # but localhost networking demonstrably works here (the dynamic-
+    # controller HTTP test), so the peer can be the test itself: serve
+    # lines from an ephemeral port, stream them through the socket
+    # source into a memory sink, assert arrival. Debug-source
+    # semantics (not replayable, no exactly-once) are the reference's
+    # own contract for this source.
+    import socket
+    import threading
+    import time
+
+    from trisk_spark.streaming.sources import socket_text_stream
+
+    lines = ["alpha beta", "gamma", "alpha"]
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+    done = threading.Event()
+
+    def serve():
+        conn, _ = srv.accept()
+        with conn:
+            conn.sendall(("\n".join(lines) + "\n").encode())
+            done.wait(30)  # keep the socket open until the query reads
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+    q = (
+        socket_text_stream(spark, "127.0.0.1", port)
+        .writeStream.format("memory")
+        .queryName("sock_e2e")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        got: set[str] = set()
+        deadline = time.time() + 45
+        while time.time() < deadline and got != set(lines):
+            got = {
+                r.value for r in spark.sql("SELECT * FROM sock_e2e").collect()
+            }
+            time.sleep(0.5)
+        assert got == set(lines), got
+    finally:
+        done.set()
+        q.stop()
+        srv.close()

@@ -1224,17 +1224,14 @@ def training_plan_over_store_query(
     row puts the 12×-cheaper composition path itself, not just the
     recompute, under independent value-hash evidence (r10 VERDICT
     "next round" #4). Self-contained: the store is (re)written inside
-    the query — at production scale the write is the once-per-corpus
-    step and every run pays only the composition."""
-    import os
-    import re
+    the query into a FRESH scratch dir (two sessions running the query
+    concurrently — driver + verify — must not race on one overwrite
+    path; the artifacts are a few MB at oracle scale and /tmp is
+    session-lifetime) — at production scale the write is the
+    once-per-corpus step and every run pays only the composition."""
     import tempfile
 
-    path = os.path.join(
-        tempfile.gettempdir(),
-        "trisk_plan_store",
-        re.sub(r"[^A-Za-z0-9_.-]", "_", sf_dir.strip("/")),
-    )
+    path = tempfile.mkdtemp(prefix="trisk_plan_store_")
     write_plan_store(spark, sf_dir, path)
     return training_plan_over_store(spark, path, cap)
 
