@@ -716,10 +716,30 @@ def test_sequence_pack_sharded_is_two_pass_prefix_sum(spark):
             df.explain("formatted")
         plan = buf.getvalue()
     assert re.search(r"hashpartitioning\(source#\d+, _shard#\d+", plan), plan
-    assert "partial_sum" in plan, "offsets branch lost map-side combine"
+    assert "partial_max" in plan, "offsets branch lost map-side combine"
     assert "BroadcastHashJoin" in plan, "offsets join is not broadcast-hash"
     assert "NestedLoop" not in plan, "null-safe join degraded to nested loop"
     assert "SinglePartition" not in plan
+
+
+def test_sequence_pack_sharded_executes_upstream_once(spark):
+    # the subtotal branch derives from the SAME exchange as the main
+    # branch — at runtime AQE must materialize the corpus
+    # scan+tokenize+shuffle exactly once (ReusedExchange), so
+    # pack_plan's upstream chain can never execute twice; this needed
+    # an explicit symmetric not-null on the shard key (see
+    # _with_start_off) because the join's inferred isnotnull otherwise
+    # breaks canonical stage equality
+    from trisk_spark.functions.sampling import sequence_pack
+
+    with no_auto_broadcast(spark):
+        df = sequence_pack(spark, SF_DIR, n_shards=8)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString().split(
+            "== Initial Plan =="
+        )[0]
+    assert plan.count("ReusedExchange") >= 1, plan
+    assert plan.count("FileScan") == 1, plan
 
 
 def test_source_cap_partial_topk_plan_bounds_the_final_sort(spark):

@@ -236,11 +236,14 @@ def _with_start_off(
     Shards are contiguous doc_id ranges, so within-source order is
     preserved across shards and the result is bit-identical to the
     single-window plan (equality + DuckDB-oracle pinned,
-    tests/test_plans.py / tests/test_parity_edges.py). Deriving
-    subtotals from a second column-pruned scan instead of re-sorting
-    the corpus-sized exchange is deliberate: partial aggregation moves
-    cell-sized rows; a reused exchange would still re-SORT the corpus
-    once per branch.
+    tests/test_plans.py / tests/test_parity_edges.py). Subtotals are
+    derived FROM the window output (max of the inclusive running sum
+    per cell), not from a second pass over ``d``: both branches then
+    share the one (source, shard) Exchange (ReusedExchange, pinned),
+    so ``d``'s upstream — the ENTIRE plan chain when called from
+    ``pack_plan`` — executes exactly once; the price is re-sorting
+    shuffled narrow rows on the subtotal branch, far cheaper than
+    re-deriving lineage.
 
     Cardinality contract: ``source`` is a PROVENANCE column (tens to
     low thousands of values — the training-mixture shard key), so the
@@ -264,8 +267,19 @@ def _with_start_off(
         )
     chunk = (hi - lo + 1 + n_shards - 1) // n_shards
     shard = F.expr(f"CAST((doc_id - {lo}) DIV {chunk} AS INT)")
-    dd = d.withColumn("_shard", shard)
-    sub = dd.groupBy("source", "_shard").agg(F.sum("n_tokens").alias("_sub"))
+    # the explicit (trivially-true) not-null keeps BOTH consumers of
+    # the exchange canonically identical — without it the join infers
+    # isnotnull(_shard) on the probe branch only and AQE's stage cache
+    # sees two different subtrees, executing the upstream twice
+    # (pinned: the runtime plan must reuse the corpus stage)
+    dd = d.withColumn("_shard", shard).where(F.col("_shard").isNotNull())
+    w_loc = (
+        Window.partitionBy("source", "_shard")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    loc = dd.withColumn("_run", F.sum("n_tokens").over(w_loc))
+    sub = loc.groupBy("source", "_shard").agg(F.max("_run").alias("_sub"))
     w_off = (
         Window.partitionBy("source")
         .orderBy("_shard")
@@ -278,14 +292,8 @@ def _with_start_off(
             "_off"
         ),
     )
-    w_loc = (
-        Window.partitionBy("source", "_shard")
-        .orderBy(*order_cols)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     return (
-        dd.withColumn("_run", F.sum("n_tokens").over(w_loc))
-        .join(
+        loc.join(
             F.broadcast(off),
             F.col("source").eqNullSafe(F.col("_osrc"))
             & (F.col("_shard") == F.col("_oshard")),
