@@ -2329,3 +2329,57 @@ def test_socket_text_stream_end_to_end(spark):
         done.set()
         q.stop()
         srv.close()
+
+
+def test_shuffle_shards_stream_single_batch_equals_batch(spark):
+    """Streaming epoch shuffle, one-batch replay: md5-within-batch
+    ordering makes the single micro-batch reproduce the batch
+    shuffle_shards (doc_id, shard, pos) frame exactly."""
+    from trisk_spark.functions.sampling import shuffle_shards
+    from trisk_spark.streaming.queries import (
+        run_bounded,
+        shuffle_shards_stream,
+    )
+
+    stream = replay_stream(spark, SF, "documents", n_chunks=1, order_col="doc_id")
+    emitted = run_bounded(
+        shuffle_shards_stream(stream),
+        checkpoint_dir("shufstream"),
+        mode="append",
+    )
+    got = sorted((r.doc_id, r.shard, r.pos) for _, r in emitted)
+    want = sorted(
+        (r.doc_id, r.shard, r.pos)
+        for r in shuffle_shards(spark, SF).collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_shuffle_shards_stream_multi_batch_permutation_invariants(spark):
+    """Arbitrary arrival (3 chunks): the online permutation must stay a
+    permutation — per-shard positions exactly 1..k, every document
+    assigned once, shard assignment identical to the batch op's md5
+    arithmetic."""
+    from trisk_spark.functions.sampling import shuffle_shards
+    from trisk_spark.streaming.queries import (
+        run_bounded,
+        shuffle_shards_stream,
+    )
+
+    stream = replay_stream(spark, SF, "documents", n_chunks=3, order_col="doc_id")
+    emitted = run_bounded(
+        shuffle_shards_stream(stream),
+        checkpoint_dir("shufstream3"),
+        mode="append",
+    )
+    rows = [r for _, r in emitted]
+    batch_shard = {
+        r.doc_id: r.shard for r in shuffle_shards(spark, SF).collect()
+    }
+    assert {r.doc_id for r in rows} == set(batch_shard) and rows
+    by_shard: dict[int, list[int]] = {}
+    for r in rows:
+        assert r.shard == batch_shard[r.doc_id], r
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for shard, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1)), shard

@@ -863,6 +863,76 @@ def cluster_cap_stream(
     )
 
 
+def shuffle_shards_stream(docs: DataFrame, n_shards: int | None = None) -> DataFrame:
+    """Streaming epoch-shuffle assignment — the ingest-time image of
+    ``sampling.shuffle_shards``: arriving documents get their
+    deterministic md5 shard map-side (JVM expression, identical
+    arithmetic to the batch op) and their ``pos`` from a per-shard
+    counter in keyed state (ValueState, ≤ n_shards keys — MODEL-bounded
+    state that never grows with the stream), so the training-order
+    permutation materializes as documents land instead of as a backfill
+    sweep.
+
+    Ordering contract (the ``cluster_cap_stream`` contract): positions
+    are arrival-order ACROSS micro-batches and (md5, doc_id)-order
+    WITHIN a batch, so a one-batch replay reproduces ``shuffle_shards``
+    EXACTLY (pytest-pinned) and any replay in global md5 order does
+    too; under arbitrary arrival the permutation invariants hold
+    (per-shard positions contiguous 1..k, no document duplicated) with
+    arrival deciding order — what an ingest-time shuffler wants.
+
+    100 TB: zero stream-side model; the only exchange routes id-sized
+    (doc_id, shard) pairs to their shard's counter."""
+    import hashlib
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from trisk_spark.functions.sampling import N_SHUFFLE_SHARDS
+
+    n_shards = N_SHUFFLE_SHARDS if n_shards is None else n_shards
+    md5 = F.md5(F.col("doc_id").cast("string"))
+    shard = (
+        F.conv(F.substring(md5, 1, 15), 16, 10).cast("bigint") % n_shards
+    ).cast("int")
+    d = docs.where(F.col("doc_id").isNotNull()).select(
+        "doc_id", shard.alias("shard")
+    )
+
+    def assign(key, pdfs, state: GroupState):
+        (shard_id,) = key
+        (n,) = state.get if state.exists else (0,)
+        chunks = [p for p in pdfs if len(p)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True)
+            # within-batch order = the batch op's md5 order (hashlib
+            # md5 of the decimal string == Spark md5(CAST AS STRING))
+            m = pdf["doc_id"].map(
+                lambda v: hashlib.md5(str(int(v)).encode()).hexdigest()
+            )
+            pdf = pdf.assign(_m=m).sort_values(["_m", "doc_id"])
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64").to_numpy(),
+                    "shard": int(shard_id),
+                    "pos": range(n + 1, n + 1 + len(pdf)),
+                }
+            )
+            n += len(pdf)
+            state.update((n,))
+            yield out
+        else:
+            state.update((n,))
+
+    return d.groupBy("shard").applyInPandasWithState(
+        assign,
+        outputStructType="doc_id long, shard int, pos long",
+        stateStructType="n long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def bpe_segment_stream(
     docs: DataFrame, spark, ref_sf_dir: str, merges=None
 ) -> DataFrame:
