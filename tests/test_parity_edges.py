@@ -1225,3 +1225,53 @@ def test_footer_bounds_match_agg_and_fall_back(spark, tmp_path):
     # non-parquet path -> None (exception swallowed, fallback signaled)
     (tmp_path / "junk").write_text("not parquet")
     assert _footer_doc_id_bounds(str(tmp_path / "junk")) is None
+
+
+def test_budget_trim_parity_and_boundary(spark, hostile_docs):
+    # global-ordered prefix trim: DuckDB oracle (the NAIVE global
+    # window) must match the bucketed two-pass plan bit-for-bit, on
+    # the hostile corpus too; and the budget semantics hold — kept
+    # tokens minus the boundary doc fit under the budget, dropping the
+    # boundary doc's worth, and no dropped doc outranks a kept one
+    import duckdb
+
+    from trisk_spark.functions.sampling import (
+        BUDGET_TRIM_SQL,
+        TRIM_BUDGET_TOKENS,
+        budget_trim,
+    )
+
+    sf_dir, con = hostile_docs
+    sdf = budget_trim(spark, sf_dir)
+    assert_matches_oracle(sdf, con, BUDGET_TRIM_SQL)
+
+    con2 = duckdb.connect()
+    con2.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    kept = budget_trim(spark, "/root/testdata/sf0.001").collect()
+    assert_matches_oracle(
+        budget_trim(spark, "/root/testdata/sf0.001"), con2, BUDGET_TRIM_SQL
+    )
+    total = sum(r.n_tokens for r in kept)
+    boundary = min(kept, key=lambda r: (r.quality, -r.doc_id))
+    assert total - boundary.n_tokens < TRIM_BUDGET_TOKENS <= total
+    # worst kept quality >= best dropped quality (ties by doc_id)
+    all_ids = {r.doc_id for r in kept}
+    from trisk_spark.functions.text import _SW_SQL
+
+    dropped_best = con2.execute(f"""
+      WITH scored AS (SELECT doc_id,
+        0.5*LEAST(len(ws)/64.0,1.0)
+        + 0.3*(1.0 - CAST(len(list_filter(ws, w -> w IN {_SW_SQL}))
+                     AS DOUBLE)/len(ws))
+        + 0.2*LEAST((CAST(length(text)-len(ws)+1 AS DOUBLE)/len(ws))/8.0,1.0) AS q
+        FROM (SELECT doc_id, text, list_filter(string_split(text,' '), w -> w <> '') AS ws
+              FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL)
+        WHERE len(ws) >= 1)
+      SELECT MAX(q) FROM scored WHERE doc_id NOT IN ({','.join(str(i) for i in all_ids)})
+    """).fetchone()[0]
+    assert dropped_best is None or dropped_best <= max(
+        r.quality for r in kept
+    ) + 1e-4

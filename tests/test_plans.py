@@ -782,3 +782,28 @@ def test_shuffle_shards_is_single_bounded_shuffle(spark):
     plan = buf.getvalue()
     assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1, plan
     assert "SinglePartition" not in plan, "global sort: corpus serialized"
+
+
+def test_budget_trim_buckets_keep_global_sort_off_the_corpus(spark):
+    # the global ordered prefix sum must run as K-way parallel bucket
+    # windows: the corpus-sized exchange partitions on the bucket key;
+    # the only SinglePartition window is the K-row offsets aggregate;
+    # offsets attach via broadcast hash join
+    import io
+    import re
+    from contextlib import redirect_stdout
+
+    from trisk_spark.functions.sampling import budget_trim
+
+    with no_auto_broadcast(spark):
+        df = budget_trim(spark, SF_DIR)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+    assert re.search(r"hashpartitioning\(_b#\d+", plan), plan
+    assert "BroadcastHashJoin" in plan, plan
+    # SinglePartition may appear ONLY once — the K-row offsets window
+    # above the bucket-level aggregate, never over corpus rows
+    assert plan.count("SinglePartition") <= 1, plan
+    assert "partial_max" in plan, "bucket subtotals lost map-side combine"

@@ -1244,6 +1244,104 @@ def training_plan_over_store_query(
     return training_plan_over_store(spark, path, cap)
 
 
+# ------------------------------------------------ budget trim --------
+
+#: token budget the trim fills (library default; callers parameterize)
+TRIM_BUDGET_TOKENS = 10_000
+
+#: quality-bucket fan-out of the global ordered prefix sum
+TRIM_QUALITY_BUCKETS = 64
+
+BUDGET_TRIM_SQL = f"""
+WITH scored AS (
+  SELECT doc_id,
+    CAST(len(ws) AS BIGINT) AS n_tokens,
+    0.5 * LEAST(len(ws) / 64.0, 1.0)
+      + 0.3 * (1.0 - CAST(len(list_filter(ws, w -> w IN {_SW_SQL})) AS DOUBLE) / len(ws))
+      + 0.2 * LEAST((CAST(length(text) - len(ws) + 1 AS DOUBLE) / len(ws)) / 8.0, 1.0)
+      AS q
+  FROM (SELECT doc_id, text,
+          list_filter(string_split(text, ' '), w -> w <> '') AS ws
+        FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL)
+  WHERE len(ws) >= 1
+),
+run AS (
+  SELECT doc_id, n_tokens, q,
+    SUM(n_tokens) OVER (ORDER BY q DESC, doc_id
+                        ROWS UNBOUNDED PRECEDING) - n_tokens AS start_off
+  FROM scored
+)
+SELECT doc_id, n_tokens, CAST(ROUND(q, 4) AS DOUBLE) AS quality
+FROM run WHERE start_off < {TRIM_BUDGET_TOKENS}
+"""
+
+
+def budget_trim(
+    spark: SparkSession,
+    sf_dir: str,
+    budget: int = TRIM_BUDGET_TOKENS,
+    n_buckets: int = TRIM_QUALITY_BUCKETS,
+) -> DataFrame:
+    """Token-budget trim — "fill B tokens with the best documents":
+    keep documents in quality order (the shared ``quality_expr``
+    score, ties by doc_id) until the running token total reaches the
+    budget; the document that crosses the boundary is kept (exclusive
+    prefix < B — fill, then stop). The curation stage that turns "we
+    can afford a 100B-token run" into a concrete document set,
+    deterministic across re-runs like the whole sampling family.
+
+    Plan: a GLOBAL ordered prefix sum — the serialize-through-one-task
+    shape — made scale-safe by the ``_with_start_off`` two-pass idea
+    keyed on QUALITY BUCKETS: the bucket index floor((1-q)·K) is a
+    deterministic order-preserving coarsening of the sort key, so
+    per-bucket running sums (corpus shuffles once on bucket, K-way
+    parallel sorted windows) plus broadcast cumulative bucket offsets
+    (K rows — the one SinglePartition window in the plan runs on the
+    K-row aggregate, never the corpus) reproduce the global window
+    bit-for-bit. Bucket arithmetic never reaches the oracle: the
+    DuckDB side IS the naive global window, so the equality is proved
+    against the semantics, not the trick."""
+    docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    ws = F.filter(F.split("text", " "), lambda w: w != "")
+    d = (
+        docs.select(
+            "doc_id",
+            F.size(ws).cast("bigint").alias("n_tokens"),
+            quality_expr(F.col("text")).alias("q"),
+        )
+        .where(F.col("n_tokens") >= 1)
+    )
+    b = (
+        F.greatest(
+            F.lit(0),
+            F.least(
+                F.lit(n_buckets - 1),
+                F.floor((F.lit(1.0) - F.col("q")) * n_buckets),
+            ),
+        )
+    ).cast("int")
+    dd = d.withColumn("_b", b).where(F.col("_b").isNotNull())
+    w_loc = (
+        Window.partitionBy("_b")
+        .orderBy(F.desc("q"), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    loc = dd.withColumn("_run", F.sum("n_tokens").over(w_loc))
+    sub = loc.groupBy("_b").agg(F.max("_run").alias("_sub"))
+    w_off = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    off = sub.select(
+        F.col("_b").alias("_ob"),
+        F.coalesce(F.sum("_sub").over(w_off), F.lit(0).cast("bigint")).alias(
+            "_off"
+        ),
+    )
+    return (
+        loc.join(F.broadcast(off), F.col("_b") == F.col("_ob"))
+        .where(F.col("_off") + F.col("_run") - F.col("n_tokens") < budget)
+        .select("doc_id", "n_tokens", F.round("q", 4).alias("quality"))
+    )
+
+
 # ------------------------------------------------ epoch shuffle ------
 
 #: shard fan-out of the deterministic training-order shuffle; bounds
