@@ -131,6 +131,21 @@ def main() -> None:
                 if base["queries"].get(n)
             }
     line = json.dumps(out)
+    # Persist the full JSON FIRST — a consumer that closes stdout
+    # early (e.g. `bench.py | head -1`) SIGPIPEs the later prints, and
+    # the snapshot must survive that (an r11 session committed a stale
+    # snapshot exactly this way).
+    try:
+        with open(
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "BENCH_LOCAL_LATEST.json",
+            ),
+            "w",
+        ) as f:
+            f.write(line + "\n")
+    except OSError:
+        pass  # read-only checkout: stdout still carries the result
     print(line)
     # The driver's output capture keeps only the last ~2000 chars and
     # the full per-query line is longer — it has been head-truncated
@@ -144,19 +159,6 @@ def main() -> None:
     compact["n_queries"] = len(timings)
     compact["full"] = "BENCH_LOCAL_LATEST.json"
     print(json.dumps(compact))
-    # Persist the full JSON beside the repo so the numbers survive
-    # regardless of capture length.
-    try:
-        with open(
-            os.path.join(
-                os.path.dirname(os.path.abspath(__file__)),
-                "BENCH_LOCAL_LATEST.json",
-            ),
-            "w",
-        ) as f:
-            f.write(line + "\n")
-    except OSError:
-        pass  # read-only checkout: stdout already carried the result
 
 
 if __name__ == "__main__":

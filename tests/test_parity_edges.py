@@ -1059,7 +1059,7 @@ def test_training_plan_family_parity_on_hostile_union_corpus(
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{tmp_path}/{t}.parquet')"
         )
-    for name in ("training_plan", "pack_plan"):
+    for name in ("training_plan", "pack_plan", "training_plan_over_store"):
         qd = QUERIES[name]
         assert_matches_oracle(qd.fn(spark, str(tmp_path)), con, qd.oracle)
 
@@ -1272,6 +1272,44 @@ def test_budget_trim_parity_and_boundary(spark, hostile_docs):
         WHERE len(ws) >= 1)
       SELECT MAX(q) FROM scored WHERE doc_id NOT IN ({','.join(str(i) for i in all_ids)})
     """).fetchone()[0]
-    assert dropped_best is None or dropped_best <= max(
+    # worst KEPT quality must beat (or tie) the best dropped quality —
+    # the prefix property; quality column is rounded to 4 decimals, so
+    # compare with that tolerance
+    assert dropped_best is None or dropped_best <= min(
         r.quality for r in kept
     ) + 1e-4
+
+
+def test_sequence_pack_forced_shards_on_empty_corpus(spark, tmp_path):
+    # explicit n_shards on a corpus with no usable ids must return the
+    # same empty frame as the default path, not throw on NoneType
+    # bounds (r11 review finding)
+    docs = {
+        "doc_id": [None, None],
+        "text": ["a b", "c d"],
+        "lang": ["en"] * 2,
+        "source": ["f"] * 2,
+        "n_chars": [3, 3],
+    }
+    pq.write_table(pa.table(docs), tmp_path / "documents.parquet")
+    from trisk_spark.functions.sampling import sequence_pack
+
+    assert sequence_pack(spark, str(tmp_path), n_shards=8).count() == 0
+
+
+def test_plan_store_query_memoizes_per_session(spark):
+    # repeat registered-query calls must reuse the (session, corpus)
+    # store instead of re-deriving the semantic chain — the store
+    # economics the docstring promises
+    from trisk_spark.functions.sampling import (
+        _PLAN_STORE_CACHE,
+        training_plan_over_store_query,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    a = sorted(map(tuple, training_plan_over_store_query(spark, sf).collect()))
+    path1 = _PLAN_STORE_CACHE[(id(spark), sf)][1]
+    b = sorted(map(tuple, training_plan_over_store_query(spark, sf).collect()))
+    path2 = _PLAN_STORE_CACHE[(id(spark), sf)][1]
+    assert a == b and len(a) > 0
+    assert path1 == path2, "store rebuilt instead of memoized"

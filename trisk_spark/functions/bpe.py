@@ -331,16 +331,49 @@ def bpe_replay(word_cnt: dict[str, int], n_merges: int = N_BPE_MERGES):
 #: here.
 BPE_MAX_VOCAB_ROWS = 10_000_000
 
-#: Auto-managed segmentation-model slots, ONE per SparkSession, swaps
-#: guarded by a lock (r10 ADVICE: an unsynchronized single global let
-#: two concurrent bpe_segment calls — multi-threaded driver or two
-#: sessions sharing the module — unpersist each other's live model
-#: mid-query; results stayed correct but the persisted-model perf
-#: contract silently degraded to recompute). Keyed by id(session):
-#: bounded by live-session count, a new model for the same session
-#: still evicts its predecessor.
+#: Auto-managed segmentation-model slots, ONE per SparkSession
+#: (r10 ADVICE: an unsynchronized single global let calls on
+#: DIFFERENT sessions unpersist each other's live model — that case is
+#: fixed by the per-session key; the swap itself is lock-guarded).
+#: Residual, documented: two CONCURRENT auto-managed calls on the SAME
+#: session still race — the later call evicts the earlier call's model
+#: while its query may still be running (correctness unaffected, the
+#: earlier query recomputes). Concurrent same-session callers must
+#: take ownership via ``model_out`` instead; serializing mid-flight
+#: queries would need per-model refcounts the single-slot design
+#: deliberately avoids. Entries whose session has been STOPPED are
+#: evicted on every swap — the stored DataFrame would otherwise pin
+#: the dead session object forever (r11 review finding), so the dict
+#: is genuinely bounded by live-session count.
 _AUTO_SEG_LOCK = threading.Lock()
-_AUTO_SEG_BY_SESSION: dict[int, object] = {}
+_AUTO_SEG_BY_SESSION: dict[int, tuple[SparkSession, object]] = {}
+
+
+def _session_stopped(sess: SparkSession) -> bool:
+    try:
+        return sess.sparkContext._jsc is None
+    except Exception:
+        return True
+
+
+def _auto_seg_swap(spark: SparkSession, seg) -> None:
+    """Install ``seg`` as the session's auto-managed model; unpersist
+    the displaced model and drop entries of stopped sessions (all
+    under the lock — eviction and swap must be atomic)."""
+    evicted = []
+    with _AUTO_SEG_LOCK:
+        for k, (sess, df) in list(_AUTO_SEG_BY_SESSION.items()):
+            if _session_stopped(sess):
+                _AUTO_SEG_BY_SESSION.pop(k)
+        prev = _AUTO_SEG_BY_SESSION.get(id(spark))
+        _AUTO_SEG_BY_SESSION[id(spark)] = (spark, seg)
+        if prev is not None:
+            evicted.append(prev[1])
+    for df in evicted:
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session/context already gone
 
 
 @register("bpe_segment", oracle=bpe_segment_sql())
@@ -384,14 +417,7 @@ def bpe_segment(
     if model_out is not None:
         model_out.append(seg)
     else:
-        with _AUTO_SEG_LOCK:
-            prev = _AUTO_SEG_BY_SESSION.get(id(spark))
-            _AUTO_SEG_BY_SESSION[id(spark)] = seg
-        if prev is not None:
-            try:
-                prev.unpersist()
-            except Exception:
-                pass  # prior session/context already gone
+        _auto_seg_swap(spark, seg)
     n_vocab = seg.count()
     if n_vocab > max_vocab_rows:
         seg.unpersist()

@@ -16,6 +16,8 @@ functions/dedup.py and functions/multimodal.py.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
 from trisk_spark.catalog import table
@@ -261,6 +263,11 @@ def _with_start_off(
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # an empty corpus has no bounds to shard on — the single-window
+    # path returns the same empty frame a forced n_shards would
+    # (r11 review: explicit n_shards>1 on (None, None) bounds threw)
+    if lo is None or hi is None:
+        n_shards = 1
     if n_shards <= 1:
         return d.withColumn(
             "start_off", F.sum("n_tokens").over(w_src) - F.col("n_tokens")
@@ -1219,6 +1226,21 @@ def pack_plan_over_store(
     )
 
 
+#: one plan-store scratch dir per (session, corpus) — repeat
+#: registered-query calls compose from the artifacts instead of
+#: re-deriving the semantic chain (the store economics); entries of
+#: stopped sessions are evicted on lookup (bpe._AUTO_SEG_BY_SESSION's
+#: bounding rule)
+_PLAN_STORE_LOCK = threading.Lock()
+_PLAN_STORE_CACHE: dict[tuple[int, str], tuple[SparkSession, str]] = {}
+
+
+def _bpe_session_stopped(sess: SparkSession) -> bool:
+    from trisk_spark.functions.bpe import _session_stopped
+
+    return _session_stopped(sess)
+
+
 @register("training_plan_over_store", oracle=training_plan_sql())
 def training_plan_over_store_query(
     spark: SparkSession, sf_dir: str, cap: int = CLUSTER_CAP
@@ -1231,16 +1253,29 @@ def training_plan_over_store_query(
     the contract (also equality-pinned at tests/test_pq.py), so this
     row puts the 12×-cheaper composition path itself, not just the
     recompute, under independent value-hash evidence (r10 VERDICT
-    "next round" #4). Self-contained: the store is (re)written inside
-    the query into a FRESH scratch dir (two sessions running the query
-    concurrently — driver + verify — must not race on one overwrite
-    path; the artifacts are a few MB at oracle scale and /tmp is
-    session-lifetime) — at production scale the write is the
-    once-per-corpus step and every run pays only the composition."""
+    "next round" #4). Self-contained but amortized: the store is
+    written into a fresh scratch dir ONCE per (session, corpus) —
+    repeat calls in one process (oracle-parity pytest, schema checks,
+    hostile runs) compose from the memoized artifacts, which is the
+    operational economics the store exists for; fresh dirs mean two
+    concurrent sessions (driver + verify) can never race one
+    overwrite path, and the cache assumes the corpus at ``sf_dir`` is
+    immutable for the session's lifetime (true for the driver corpora;
+    a new process always rebuilds)."""
     import tempfile
 
-    path = tempfile.mkdtemp(prefix="trisk_plan_store_")
-    write_plan_store(spark, sf_dir, path)
+    with _PLAN_STORE_LOCK:
+        for k, (sess, _p) in list(_PLAN_STORE_CACHE.items()):
+            if _bpe_session_stopped(sess):
+                _PLAN_STORE_CACHE.pop(k)
+        hit = _PLAN_STORE_CACHE.get((id(spark), sf_dir))
+    if hit is None:
+        path = tempfile.mkdtemp(prefix="trisk_plan_store_")
+        write_plan_store(spark, sf_dir, path)
+        with _PLAN_STORE_LOCK:
+            _PLAN_STORE_CACHE[(id(spark), sf_dir)] = (spark, path)
+    else:
+        path = hit[1]
     return training_plan_over_store(spark, path, cap)
 
 
@@ -1433,33 +1468,57 @@ def curation_funnel(
     (``curation_funnel_sql``); hostile-corpus parity in
     tests/test_parity_edges.py.
 
-    Plan: every stage is the already-proven path; the counts are
-    partial-agg single-row frames crossed together broadcast — nothing
-    corpus-sized moves beyond what the stages themselves shuffle."""
+    Plan: the manifest derives ONCE — the semantic-loser and cap-loser
+    id sets LEFT-join onto it as survival flags (id-sized broadcast
+    sides), so every stage count reads one conditional aggregation of
+    one frame instead of re-deriving the manifest per stage (the first
+    cut built m/msem/m2 as three separate compositions: 3 manifest
+    scans + 3 content-hash shuffles in the executed plan, measured).
+    The counts are partial-agg single-row frames crossed together
+    broadcast — nothing corpus-sized moves beyond what the stages
+    themselves shuffle."""
+    from trisk_spark.functions.similarity import dedup_semantic
+
     docs = table(spark, sf_dir, "documents")
     n_docs = docs.where(
         F.col("doc_id").isNotNull() & F.col("text").isNotNull()
     ).agg(F.count("*").cast("bigint").alias("n_docs"))
     m = curation_manifest(spark, sf_dir)
-    msem = curation_manifest_semantic(spark, sf_dir)
-    m2 = _drop_cap_losers(msem, _cluster_ranked(spark, sf_dir), cap)
-    n_manifest = m.agg(F.count("*").cast("bigint").alias("n_manifest"))
-    n_sem = msem.agg(F.count("*").cast("bigint").alias("n_after_semantic"))
-    tail = m2.agg(
-        F.count("*").cast("bigint").alias("n_after_cap"),
-        F.sum(F.when(F.col("split") == "train", 1).otherwise(0))
+    sem_losers = (
+        dedup_semantic(spark, sf_dir)
+        .where(F.col("component") != F.col("doc_id"))
+        .select("doc_id", F.lit(1).alias("_sem_lost"))
+    )
+    cap_losers = (
+        _cluster_ranked(spark, sf_dir)
+        .where(F.col("rank") > cap)
+        .select(F.col("vec_id").alias("doc_id"), F.lit(1).alias("_cap_lost"))
+    )
+    # id-sized sides, but NOT hint-broadcast: cap overflow can be a
+    # corpus-scale fraction of rows (every rank > cap), so AQE decides
+    # — broadcast when small, shuffle-hash on ids when not (the same
+    # posture as _drop_cap_losers' anti join)
+    flags = m.join(sem_losers, "doc_id", "left").join(
+        cap_losers, "doc_id", "left"
+    )
+    surv = F.col("_sem_lost").isNull() & F.col("_cap_lost").isNull()
+    tail = flags.agg(
+        F.count("*").cast("bigint").alias("n_manifest"),
+        F.sum(F.when(F.col("_sem_lost").isNull(), 1).otherwise(0))
+        .cast("bigint").alias("n_after_semantic"),
+        F.sum(F.when(surv, 1).otherwise(0)).cast("bigint").alias("n_after_cap"),
+        F.sum(F.when(surv & (F.col("split") == "train"), 1).otherwise(0))
         .cast("bigint").alias("n_train"),
-        F.sum(F.when(F.col("split") == "val", 1).otherwise(0))
+        F.sum(F.when(surv & (F.col("split") == "val"), 1).otherwise(0))
         .cast("bigint").alias("n_val"),
-        F.sum(F.when(F.col("split") == "test", 1).otherwise(0))
+        F.sum(F.when(surv & (F.col("split") == "test"), 1).otherwise(0))
         .cast("bigint").alias("n_test"),
         F.coalesce(
-            F.sum(F.when(F.col("split") == "train", F.col("n_tokens"))),
+            F.sum(F.when(surv & (F.col("split") == "train"), F.col("n_tokens"))),
             F.lit(0),
         ).cast("bigint").alias("train_tokens"),
     )
-    return (
-        n_docs.crossJoin(F.broadcast(n_manifest))
-        .crossJoin(F.broadcast(n_sem))
-        .crossJoin(F.broadcast(tail))
+    return n_docs.crossJoin(F.broadcast(tail)).select(
+        "n_docs", "n_manifest", "n_after_semantic", "n_after_cap",
+        "n_train", "n_val", "n_test", "train_tokens",
     )
