@@ -1313,3 +1313,38 @@ def test_plan_store_query_memoizes_per_session(spark):
     path2 = _PLAN_STORE_CACHE[(id(spark), sf)][1]
     assert a == b and len(a) > 0
     assert path1 == path2, "store rebuilt instead of memoized"
+
+
+def test_training_plan_budget_parity_on_hostile_union(
+    spark, hostile_docs, hostile_embeddings, tmp_path
+):
+    # the budget-constrained plan composes the full chain + the shared
+    # bucketed global-prefix kernel; the oracle is the plan CTEs + the
+    # NAIVE budget window, so hostile-union parity proves both the
+    # composition and the kernel at once. Boundary property: the
+    # epoch-weighted cost minus the boundary row fits under budget.
+    import shutil
+
+    from trisk_spark.functions.sampling import (
+        TRIM_BUDGET_TOKENS,
+        training_plan_budget,
+        training_plan_budget_sql,
+    )
+
+    docs_dir, _ = hostile_docs
+    emb_dir, _ = hostile_embeddings
+    shutil.copy(f"{docs_dir}/documents.parquet", tmp_path / "documents.parquet")
+    shutil.copy(f"{emb_dir}/embeddings.parquet", tmp_path / "embeddings.parquet")
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{tmp_path}/{t}.parquet')"
+        )
+    assert_matches_oracle(
+        training_plan_budget(spark, str(tmp_path)), con, training_plan_budget_sql()
+    )
+    kept = training_plan_budget(spark, "/root/testdata/sf0.001").collect()
+    assert kept
+    total = sum(r.n_tokens * r.epochs for r in kept)
+    boundary = min(kept, key=lambda r: (r.quality, -r.doc_id))
+    assert total - boundary.n_tokens * boundary.epochs < TRIM_BUDGET_TOKENS <= total

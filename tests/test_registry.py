@@ -121,7 +121,7 @@ def test_readme_op_table_names_are_registered():
         "training_plan", "training_plan_sql", "pack_plan",
         "pack_plan_sql", "write_plan_store", "training_plan_over_store", "store_stats",
         "curation_funnel", "curation_funnel_sql",
-        "shuffle_shards", "shuffle_shards_stream", "budget_trim",
+        "shuffle_shards", "shuffle_shards_stream", "budget_trim", "training_plan_budget", "training_plan_budget_sql",
         "pack_plan_over_store",
     }
     missing = {

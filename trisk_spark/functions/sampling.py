@@ -1346,6 +1346,24 @@ def budget_trim(
         )
         .where(F.col("n_tokens") >= 1)
     )
+    return _quality_budget_filter(d, "n_tokens", budget, n_buckets).select(
+        "doc_id", "n_tokens", F.round("q", 4).alias("quality")
+    )
+
+
+def _quality_budget_filter(
+    d: DataFrame, value_col: str, budget: int, n_buckets: int
+) -> DataFrame:
+    """Keep the quality-ordered prefix of ``d`` whose exclusive global
+    running sum of ``value_col`` is < ``budget`` — the bucketed
+    two-pass global prefix kernel shared by ``budget_trim`` and
+    ``training_plan_budget``. ``d`` must carry ``q`` (non-null double)
+    and ``doc_id`` (the tie-break); output keeps ``d``'s columns. The
+    bucket index floor((1-q)·K) is an order-preserving coarsening of
+    (q DESC), so K-way parallel per-bucket windows + broadcast
+    cumulative bucket offsets (K rows — the single SinglePartition
+    window in the plan) reproduce the naive global window
+    bit-for-bit."""
     b = (
         F.greatest(
             F.lit(0),
@@ -1361,7 +1379,7 @@ def budget_trim(
         .orderBy(F.desc("q"), "doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    loc = dd.withColumn("_run", F.sum("n_tokens").over(w_loc))
+    loc = dd.withColumn("_run", F.sum(value_col).over(w_loc))
     sub = loc.groupBy("_b").agg(F.max("_run").alias("_sub"))
     w_off = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
     off = sub.select(
@@ -1372,8 +1390,66 @@ def budget_trim(
     )
     return (
         loc.join(F.broadcast(off), F.col("_b") == F.col("_ob"))
-        .where(F.col("_off") + F.col("_run") - F.col("n_tokens") < budget)
-        .select("doc_id", "n_tokens", F.round("q", 4).alias("quality"))
+        .where(F.col("_off") + F.col("_run") - F.col(value_col) < budget)
+        .drop("_b", "_run", "_ob", "_off")
+    )
+
+
+def training_plan_budget_sql(
+    budget: int = TRIM_BUDGET_TOKENS, cap: int = CLUSTER_CAP
+) -> str:
+    """DuckDB oracle for ``training_plan_budget``: the full plan CTE
+    chain + the NAIVE global budget window over train rows (epoch-
+    weighted cost) — like BUDGET_TRIM_SQL, the oracle proves the
+    bucketed plan against the plain-window semantics."""
+    return f"""
+WITH RECURSIVE {_plan_ctes(cap)},
+trainrows AS (
+  SELECT doc_id, source, n_tokens, quality, epochs,
+    CAST(n_tokens * epochs AS BIGINT) AS cost
+  FROM plan WHERE split = 'train'
+),
+run AS (
+  SELECT doc_id, source, n_tokens, quality, epochs,
+    SUM(cost) OVER (ORDER BY quality DESC, doc_id
+                    ROWS UNBOUNDED PRECEDING) - cost AS start_off
+  FROM trainrows
+)
+SELECT doc_id, source, n_tokens, quality, epochs
+FROM run WHERE start_off < {budget}
+"""
+
+
+def training_plan_budget(
+    spark: SparkSession,
+    sf_dir: str,
+    budget: int = TRIM_BUDGET_TOKENS,
+    cap: int = CLUSTER_CAP,
+    n_buckets: int = TRIM_QUALITY_BUCKETS,
+) -> DataFrame:
+    """Budget-constrain the training plan itself — "we can afford B
+    train tokens": keep the plan's train rows in quality order (ties
+    by doc_id) until the EPOCH-WEIGHTED token cost (n_tokens × epochs
+    — what the run actually consumes) fills the budget; the boundary
+    row is kept (the ``budget_trim`` fill-then-stop rule). The last
+    knob of the plan family: manifest gates → semantic dedup → cluster
+    cap → epochs → budget, all deterministic end-to-end.
+
+    Plan: ``training_plan``'s proven chain + the shared
+    ``_quality_budget_filter`` kernel (quality-bucketed two-pass
+    global prefix sum — K-way parallel, the one SinglePartition window
+    touches K rows). The plan's ``quality`` is already the 4-decimal
+    rounded double, identical on both engines, so the order and the
+    bucket coarsening agree exactly. Library op, full DuckDB oracle
+    (``training_plan_budget_sql``) — the r11 capacity-note class."""
+    plan = training_plan(spark, sf_dir, cap)
+    d = plan.where(F.col("split") == "train").select(
+        "doc_id", "source", "n_tokens", "quality", "epochs",
+        (F.col("n_tokens") * F.col("epochs")).cast("bigint").alias("_cost"),
+        F.col("quality").alias("q"),
+    )
+    return _quality_budget_filter(d, "_cost", budget, n_buckets).select(
+        "doc_id", "source", "n_tokens", "quality", "epochs"
     )
 
 
