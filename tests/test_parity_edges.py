@@ -1348,3 +1348,76 @@ def test_training_plan_budget_parity_on_hostile_union(
     total = sum(r.n_tokens * r.epochs for r in kept)
     boundary = min(kept, key=lambda r: (r.quality, -r.doc_id))
     assert total - boundary.n_tokens * boundary.epochs < TRIM_BUDGET_TOKENS <= total
+
+
+def test_perplexity_buckets_parity_and_tiles(spark, hostile_docs, duck):
+    # CCNet head/middle/tail: the bucketed two-pass per-language rank
+    # must match the NAIVE per-language window oracle bit-for-bit, on
+    # the hostile corpus (NULL lang partition, solo-token ref doc) and
+    # on real corpora; tiles are balanced and monotone along the rank
+    from trisk_spark.functions.sampling import (
+        perplexity_buckets,
+        ppl_buckets_sql,
+    )
+
+    sf_dir, con = hostile_docs
+    assert_matches_oracle(perplexity_buckets(spark, sf_dir), con, ppl_buckets_sql())
+
+    sf = "/root/testdata/sf0.001"
+    assert_matches_oracle(perplexity_buckets(spark, sf), duck(sf), ppl_buckets_sql())
+
+    rows = perplexity_buckets(spark, sf).collect()
+    assert rows
+    by_lang: dict = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    order = {"head": 0, "middle": 1, "tail": 2}
+    for lang, rs in by_lang.items():
+        rs.sort(key=lambda r: r.lang_rank)
+        n = len(rs)
+        # ranks contiguous 1..n
+        assert [r.lang_rank for r in rs] == list(range(1, n + 1)), lang
+        # scores non-increasing along the rank
+        scores = [r.lm_score for r in rs]
+        assert all(a >= b for a, b in zip(scores, scores[1:])), lang
+        # buckets monotone head -> middle -> tail and balanced +-1
+        tiles = [order[r.bucket] for r in rs]
+        assert tiles == sorted(tiles), lang
+        sizes = [tiles.count(t) for t in (0, 1, 2)]
+        assert max(sizes) - min(sizes) <= 1, (lang, sizes)
+
+    # the materialization barrier must not change results
+    lazy = perplexity_buckets(spark, sf, materialize=False).collect()
+    assert sorted(map(tuple, lazy)) == sorted(map(tuple, rows))
+
+
+def test_canonical_by_quality_parity_and_argmax(spark, hostile_docs, duck):
+    # quality-aware canonical selection: struct-MAX argmax must match
+    # the oracle's ROW_NUMBER (q DESC, doc_id) exactly, incl. the
+    # hostile corpus's identical-text pair; the canonical is a member
+    # of its own cluster with the max quality, one per component
+    from trisk_spark.functions.dedup import _canonical_sql, canonical_by_quality
+
+    sf_dir, con = hostile_docs
+    assert_matches_oracle(canonical_by_quality(spark, sf_dir), con, _canonical_sql())
+
+    sf = "/root/testdata/sf0.001"
+    assert_matches_oracle(canonical_by_quality(spark, sf), duck(sf), _canonical_sql())
+
+    rows = canonical_by_quality(spark, sf).collect()
+    assert rows, "sf0.001 must contain near-duplicate clusters"
+    by_comp: dict = {}
+    for r in rows:
+        by_comp.setdefault(r.component, []).append(r)
+    for comp, members in by_comp.items():
+        canon = {r.canonical_id for r in members}
+        assert len(canon) == 1, comp
+        cid = canon.pop()
+        assert cid in {r.doc_id for r in members}, "canonical not a member"
+        flags = [r for r in members if r.is_canonical]
+        assert len(flags) == 1 and flags[0].doc_id == cid
+        best_q = max(r.quality for r in members)
+        assert flags[0].quality == best_q
+        # ties break by smallest doc_id
+        tied = [r.doc_id for r in members if r.quality == best_q]
+        assert cid == min(tied)

@@ -807,3 +807,30 @@ def test_budget_trim_buckets_keep_global_sort_off_the_corpus(spark):
     # above the bucket-level aggregate, never over corpus rows
     assert plan.count("SinglePartition") <= 1, plan
     assert "partial_max" in plan, "bucket subtotals lost map-side combine"
+
+
+def test_perplexity_buckets_rank_is_lang_bucket_parallel(spark):
+    # the per-language global rank must run as lang x K-way parallel
+    # bucket windows: the corpus-sized exchange partitions on
+    # (lang, coarse-bucket); offsets attach via broadcast hash join;
+    # SinglePartition appears only under the LM kernel's 1-row vocab
+    # aggregate, never a corpus window (materialize=False exposes the
+    # full lineage past the localCheckpoint barrier)
+    import re
+
+    from trisk_spark.functions.sampling import perplexity_buckets
+
+    with no_auto_broadcast(spark):
+        df = perplexity_buckets(spark, SF_DIR, materialize=False)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+    assert re.search(r"hashpartitioning\(lang#\d+, _cb#\d+", plan), plan
+    assert "BroadcastHashJoin" in plan, plan
+    # the two SinglePartition sites are the vocab 1-row aggregates of
+    # the twice-planned LM chain (collapsed at runtime by the
+    # checkpoint barrier); a corpus-ordered global window would add a
+    # SinglePartition *Sort* -- assert none exists
+    assert plan.count("SinglePartition") <= 2, plan
+    assert not re.search(r"Sort .*SinglePartition", plan), plan

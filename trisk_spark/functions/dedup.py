@@ -1075,3 +1075,101 @@ def minhash_bands(sig: DataFrame) -> DataFrame:
             )
         ).alias("band"),
     ).select("doc_id", "band.band_idx", "band.bh")
+
+
+# --------------------- quality-aware canonical selection (r11) -------
+
+def _canonical_sql() -> str:
+    """DuckDB oracle for ``canonical_by_quality``: the dedup_clusters
+    recursive closure + the shared quality expression (verbatim the
+    curation-manifest fragment) + a per-component argmax via
+    ROW_NUMBER over (q DESC, doc_id)."""
+    from trisk_spark.functions.text import _SW_SQL
+
+    return f"""
+WITH RECURSIVE cand AS ({MINHASH_LSH_PAIRS_SQL}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM cand
+  UNION
+  SELECT doc_b, doc_a FROM cand
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+comp AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS component FROM reach GROUP BY a),
+scored AS (
+  SELECT doc_id,
+    0.5 * LEAST(len(ws) / 64.0, 1.0)
+      + 0.3 * (1.0 - CAST(len(list_filter(ws, w -> w IN {_SW_SQL})) AS DOUBLE) / len(ws))
+      + 0.2 * LEAST((CAST(length(text) - len(ws) + 1 AS DOUBLE) / len(ws)) / 8.0, 1.0)
+      AS q
+  FROM (SELECT doc_id, text,
+          list_filter(string_split(text, ' '), w -> w <> '') AS ws
+        FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL)
+  WHERE len(ws) >= 1
+),
+m AS (SELECT c.doc_id, c.component, s.q
+      FROM comp c JOIN scored s ON c.doc_id = s.doc_id),
+best AS (
+  SELECT component, doc_id AS canonical_id FROM (
+    SELECT component, doc_id,
+      ROW_NUMBER() OVER (PARTITION BY component
+                         ORDER BY q DESC, doc_id) AS rn
+    FROM m) WHERE rn = 1
+)
+SELECT m.doc_id, m.component, b.canonical_id,
+  CAST(ROUND(m.q, 4) AS DOUBLE) AS quality,
+  m.doc_id = b.canonical_id AS is_canonical
+FROM m JOIN best b ON m.component = b.component
+"""
+
+
+def canonical_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection over the near-duplicate
+    clusters: instead of the min-doc_id keeper the manifests use, keep
+    each cluster's BEST member — highest shared ``quality_expr`` score,
+    ties by smallest doc_id. The production dedup refinement: when a
+    boilerplate page and its clean original collide in one cluster,
+    the clean original survives regardless of which was crawled first.
+    Returns every clustered member with its component, the chosen
+    canonical_id, and an is_canonical flag — downstream keeps the flag
+    or anti-joins the rest, exactly like the manifest's dup_rank.
+
+    Plan: ``dedup_clusters``'s banded-LSH + pointer-jumped components
+    (ids only), then quality attaches via ONE id-keyed join of the
+    id-sized cluster table against map-side scored rows (AQE decides
+    broadcast vs shuffle — clusters can be a corpus-scale fraction, so
+    no forced broadcast; the curation_funnel posture). The per-cluster
+    argmax is a partial-aggregatable struct MAX groupBy — no
+    per-component window sort, so one giant boilerplate cluster
+    partial-aggregates map-side instead of serializing through a
+    single task (max_by would be tie-nondeterministic; the struct
+    encodes (q DESC, doc_id ASC) exactly). Library op, full DuckDB
+    oracle (``_canonical_sql``) — the r11 capacity-note class."""
+    from trisk_spark.functions.text import quality_expr
+
+    comp = dedup_clusters(spark, sf_dir)
+    docs = table(spark, sf_dir, "documents").where(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    )
+    ws = F.filter(F.split("text", " "), lambda w: w != "")
+    scored = docs.select(
+        "doc_id", quality_expr(F.col("text")).alias("q")
+    ).where(F.size(ws) >= 1)
+    m = comp.join(scored, "doc_id")
+    # struct max = (q DESC, doc_id ASC): lexicographic max picks the
+    # best q, then the LARGEST -doc_id = smallest doc_id on ties
+    best = (
+        m.groupBy("component")
+        .agg(F.max(F.struct(F.col("q"), (-F.col("doc_id")).alias("nid"))).alias("b"))
+        .select("component", (-F.col("b.nid")).alias("canonical_id"))
+    )
+    return m.join(best, "component").select(
+        "doc_id",
+        "component",
+        "canonical_id",
+        F.round("q", 4).alias("quality"),
+        (F.col("doc_id") == F.col("canonical_id")).alias("is_canonical"),
+    )

@@ -1598,3 +1598,133 @@ def curation_funnel(
         "n_docs", "n_manifest", "n_after_semantic", "n_after_cap",
         "n_train", "n_val", "n_test", "train_tokens",
     )
+
+
+# ------------------------- perplexity-bucket assignment (CCNet) ------
+
+#: order-preserving coarsening of (lm_score DESC) for the two-pass
+#: global per-language rank: bucket = clamp(floor(-lm_score·K/CAP),
+#: 0, K-1). K bounds every per-bucket sort at ~1/K of a language and
+#: CAP only coarsens (scores below -CAP share the last bucket — the
+#: within-bucket rank still orders them exactly).
+PPL_RANK_BUCKETS = 64
+PPL_SCORE_CAP = 32.0
+PPL_TILES = 3
+
+PPL_BUCKETS_SQL = f"""
+WITH r AS (
+  SELECT s.doc_id, s.lang, s.lm_score,
+    ROW_NUMBER() OVER (PARTITION BY s.lang
+                       ORDER BY s.lm_score DESC, s.doc_id) AS rk,
+    COUNT(*) OVER (PARTITION BY s.lang) AS n
+  FROM ({{lm_sql}}) s
+)
+SELECT doc_id, lang, lm_score, CAST(rk AS BIGINT) AS lang_rank,
+  CASE ({PPL_TILES} * (rk - 1)) // n WHEN 0 THEN 'head'
+       WHEN 1 THEN 'middle' ELSE 'tail' END AS bucket
+FROM r
+"""
+
+
+def ppl_buckets_sql() -> str:
+    """DuckDB oracle for ``perplexity_buckets``: the bigram-LM kernel
+    with lang carried through its grouping (``_bigram_lm_sql(('lang',))``
+    — same grouping as the Spark kernel by construction), then the
+    NAIVE per-language global window — rank by (lm_score DESC, doc_id)
+    and tile = (3·(rank-1)) // n. Like BUDGET_TRIM_SQL, the oracle
+    proves the bucketed two-pass plan against the plain-window
+    semantics, so the coarsening trick never reaches the oracle."""
+    from trisk_spark.functions.text import _bigram_lm_sql
+
+    return PPL_BUCKETS_SQL.format(lm_sql=_bigram_lm_sql(("lang",)))
+
+
+def perplexity_buckets(
+    spark: SparkSession,
+    sf_dir: str,
+    n_rank_buckets: int = PPL_RANK_BUCKETS,
+    score_cap: float = PPL_SCORE_CAP,
+    materialize: bool = True,
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020, "CCNet:
+    Extracting High Quality Monolingual Datasets from Web Crawl
+    Data"): score every document with the reference bigram LM
+    (``text.bigram_lm_score``'s exact-grid kernel), rank documents
+    within their language by (lm_score DESC, doc_id), and assign the
+    classic head/middle/tail terciles — tile = (3·(rank-1)) // n_lang.
+    The curation stage after language ID: downstream keeps head+middle
+    (or reweights tails) per language. Deterministic end-to-end like
+    the whole sampling family: the LM score lives on an exact 1e-6
+    grid, ties break by doc_id, and the tile is integer arithmetic.
+
+    Plan: per-language global rank — the serialize-through-one-task
+    shape — made scale-safe by the ``budget_trim`` two-pass idea keyed
+    on SCORE BUCKETS: floor(-lm_score·K/CAP) is a deterministic
+    order-preserving coarsening of the sort key, so per-(lang, bucket)
+    row_numbers (corpus shuffles once on that pair, lang×K-way
+    parallel bounded sorts) plus broadcast per-language cumulative
+    bucket counts (lang×K rows) reproduce the naive per-language
+    window bit-for-bit. The LM model tables stay broadcast with the
+    kernel's fail-loud ceiling; lang rides the bigram explode so no
+    corpus join-back re-attaches it. Library op, full DuckDB oracle
+    (``ppl_buckets_sql``) — the r11 capacity-note class."""
+    from trisk_spark.functions.text import _lm_scored
+
+    scored = _lm_scored(_docs(spark, sf_dir), extra=("lang",))
+    cb = (
+        F.greatest(
+            F.lit(0),
+            F.least(
+                F.lit(n_rank_buckets - 1),
+                F.floor(-F.col("lm_score") * n_rank_buckets / score_cap),
+            ),
+        )
+    ).cast("int")
+    d = scored.select("doc_id", "lang", "lm_score", cb.alias("_cb"))
+    w_loc = Window.partitionBy("lang", "_cb").orderBy(
+        F.desc("lm_score"), "doc_id"
+    )
+    # localCheckpoint materializes the scored+ranked frame ONCE: both
+    # the probe side and the offsets aggregate consume it, and without
+    # the barrier each side would recompute the whole LM scoring chain
+    # (exchange reuse does not fire across AQE stages — the
+    # jaccard_pairs precedent). ~30 bytes/row of (id, lang, score,
+    # bucket, rank) — at any scale the materialization is far cheaper
+    # than a second pass over the bigram explode + model joins.
+    loc = d.withColumn("_rk", F.row_number().over(w_loc).cast("bigint"))
+    if materialize:  # False only to expose the full lineage to plan tests
+        loc = loc.localCheckpoint()
+    # bucket counts = max(row_number) over the already-windowed frame —
+    # no fresh count over d, so the offsets side adds only a lang×K-row
+    # aggregate on top of the checkpoint
+    cnt = loc.groupBy("lang", "_cb").agg(F.max("_rk").alias("_c"))
+    w_off = (
+        Window.partitionBy("lang")
+        .orderBy("_cb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_tot = Window.partitionBy("lang")
+    off = cnt.select(
+        F.col("lang").alias("_ol"),
+        F.col("_cb").alias("_ob"),
+        F.coalesce(F.sum("_c").over(w_off), F.lit(0))
+        .cast("bigint").alias("_off"),
+        F.sum("_c").over(w_tot).cast("bigint").alias("_n"),
+    )
+    # lang×K-row side — broadcast; eqNullSafe keeps the NULL-lang group
+    # (both engines window NULL as its own partition)
+    j = loc.join(
+        F.broadcast(off),
+        loc["lang"].eqNullSafe(F.col("_ol")) & (F.col("_cb") == F.col("_ob")),
+    ).select(
+        "doc_id", "lang", "lm_score",
+        (F.col("_off") + F.col("_rk")).alias("lang_rank"),
+        F.col("_n").alias("_n"),
+    )
+    tile = F.expr(f"({PPL_TILES} * (lang_rank - 1)) div _n")
+    return j.select(
+        "doc_id", "lang", "lm_score", "lang_rank",
+        F.when(tile == 0, F.lit("head"))
+        .when(tile == 1, F.lit("middle"))
+        .otherwise(F.lit("tail")).alias("bucket"),
+    )

@@ -714,15 +714,25 @@ def bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 LM_REF_MOD = 10  # reference slice: doc_id % LM_REF_MOD == 0
 
-BIGRAM_LM_SQL = f"""
+
+def _bigram_lm_sql(extra: tuple[str, ...] = ()) -> str:
+    """The bigram-LM oracle, parameterized by extra per-document key
+    columns carried through the scoring aggregate (e.g. ``lang`` for
+    the perplexity-bucket sampler). The extras ride the toks CTE and
+    the final GROUP BY, so the grouping on both engines is identical
+    BY CONSTRUCTION even if a corpus held duplicate doc_ids — the same
+    contract as the Spark kernel ``_lm_scored``."""
+    xs = "".join(f", {c}" for c in extra)
+    xb = "".join(f", b.{c}" for c in extra)
+    return f"""
 WITH toks AS (
-  SELECT doc_id,
+  SELECT doc_id{xs},
     list_filter(string_split(lower(coalesce(text, '')), ' '), w -> w <> '') AS t
   FROM documents WHERE doc_id IS NOT NULL
 ),
 bi AS (
-  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
-  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks)
+  SELECT doc_id{xs}, t[i] AS w1, t[i + 1] AS w2
+  FROM (SELECT doc_id{xs}, t, unnest(range(1, len(t))) AS i FROM toks)
 ),
 refbi AS (SELECT * FROM bi WHERE ((doc_id % {LM_REF_MOD}) + {LM_REF_MOD}) % {LM_REF_MOD} = 0),
 c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM refbi GROUP BY w1, w2),
@@ -733,7 +743,7 @@ vocab AS (
     WHERE ((doc_id % {LM_REF_MOD}) + {LM_REF_MOD}) % {LM_REF_MOD} = 0)
 ),
 scored AS (
-  SELECT b.doc_id,
+  SELECT b.doc_id{xb},
     CAST(ROUND(LN(CAST(coalesce(c12.c12, 0) + 1 AS DOUBLE)
                   / CAST(coalesce(c1.c1, 0) + vocab.v AS DOUBLE)), 6)
          AS DECIMAL(18, 6)) AS logp
@@ -744,15 +754,18 @@ scored AS (
   WHERE vocab.v > 0
 ),
 agg AS (
-  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+  SELECT doc_id{xs}, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
     CAST(SUM(logp) * 1000000 AS BIGINT) AS mu
-  FROM scored GROUP BY doc_id
+  FROM scored GROUP BY doc_id{xs}
 )
-SELECT doc_id, n_bigrams,
+SELECT doc_id{xs}, n_bigrams,
   CAST((mu - (((mu % n_bigrams) + n_bigrams) % n_bigrams)) // n_bigrams
        AS DOUBLE) / 1000000.0 AS lm_score
 FROM agg
 """
+
+
+BIGRAM_LM_SQL = _bigram_lm_sql()
 
 
 def _lm_tokens() -> "F.Column":
@@ -760,10 +773,12 @@ def _lm_tokens() -> "F.Column":
                     lambda w: w != "")
 
 
-def _lm_bigrams(docs: DataFrame) -> DataFrame:
-    """(doc_id, w1, w2) per adjacent token pair — map-side: the bigram
-    list is built inside the row by zipping the token array with its
-    own 1-shifted slice, then exploded; no join, no shuffle."""
+def _lm_bigrams(docs: DataFrame, extra: tuple[str, ...] = ()) -> DataFrame:
+    """(doc_id, *extra, w1, w2) per adjacent token pair — map-side: the
+    bigram list is built inside the row by zipping the token array with
+    its own 1-shifted slice, then exploded; no join, no shuffle. Extra
+    per-document key columns (e.g. ``lang``) ride the explode so
+    downstream grouping never needs a corpus-to-corpus join-back."""
     t = _lm_tokens()
     pairs = F.zip_with(
         F.expr("slice(t, 1, greatest(size(t) - 1, 0))"),
@@ -772,9 +787,12 @@ def _lm_bigrams(docs: DataFrame) -> DataFrame:
     )
     return (
         docs.where(F.col("doc_id").isNotNull())
-        .select("doc_id", t.alias("t"))
-        .select("doc_id", F.explode(pairs).alias("p"))
-        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .select("doc_id", *extra, t.alias("t"))
+        .select("doc_id", *extra, F.explode(pairs).alias("p"))
+        .select(
+            "doc_id", *extra,
+            F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"),
+        )
     )
 
 
@@ -810,7 +828,22 @@ def bigram_lm_score(
     the LM tables are built once from the reference slice and reused —
     exactly how a KenLM-based filter deploys."""
     docs = table(spark, sf_dir, "documents")
-    bi = _lm_bigrams(docs)
+    return _lm_scored(docs, max_model_rows=max_model_rows)
+
+
+def _lm_scored(
+    docs: DataFrame,
+    extra: tuple[str, ...] = (),
+    max_model_rows: int = LM_MAX_MODEL_ROWS,
+) -> DataFrame:
+    """The bigram-LM scoring kernel, shared by ``bigram_lm_score`` and
+    the perplexity-bucket sampler: (doc_id, *extra, n_bigrams,
+    lm_score) with the exact-decimal-grid mean documented above. Extra
+    key columns ride the bigram explode and the final grouping —
+    matching ``_bigram_lm_sql(extra)`` BY CONSTRUCTION (same grouping
+    on both engines even under duplicate doc_ids), and costing no
+    corpus join-back to re-attach them."""
+    bi = _lm_bigrams(docs, extra)
     ref = bi.where(F.pmod(F.col("doc_id"), F.lit(LM_REF_MOD)) == 0)
     c12 = ref.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
     # C(w1) = sum over w2 of C(w1, w2): aggregate the (small) c12 table
@@ -864,7 +897,7 @@ def bigram_lm_score(
         .join(F.broadcast(c1), ["w1"], "left")
         .crossJoin(F.broadcast(vocab))
         .where(F.col("v") > 0)
-        .select("doc_id", logp.alias("logp"))
+        .select("doc_id", *extra, logp.alias("logp"))
     )
     # Mean logp on the 1e-6 INTEGER grid: the decimal sum is exact, so
     # mu = sum * 1e6 is an exact BIGINT; the mean is floored to the
@@ -874,7 +907,7 @@ def bigram_lm_score(
     # cross-engine safe here — decimal-grid sums divided by small n hit
     # half-way doubles at real rates (sf0.01 doc 148: -126.297090/36 =
     # -3.5082525 exactly; Spark rounded the double down, DuckDB up).
-    agg = scored.groupBy("doc_id").agg(
+    agg = scored.groupBy("doc_id", *extra).agg(
         F.count("*").alias("n_bigrams"),
         (F.sum("logp") * 1000000).cast("bigint").alias("mu"),
     )
@@ -882,6 +915,7 @@ def bigram_lm_score(
     r = ((F.col("mu") % nb) + nb) % nb
     return agg.select(
         "doc_id",
+        *extra,
         "n_bigrams",
         (((F.col("mu") - r) / nb) / F.lit(1000000.0)).alias("lm_score"),
     )
