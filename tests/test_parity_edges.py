@@ -1421,3 +1421,54 @@ def test_canonical_by_quality_parity_and_argmax(spark, hostile_docs, duck):
         # ties break by smallest doc_id
         tied = [r.doc_id for r in members if r.quality == best_q]
         assert cid == min(tied)
+
+
+def test_gopher_rules_parity_and_crafted_lines(spark, hostile_docs, duck, tmp_path):
+    # Gopher rule flags: hostile corpus + a crafted multiline corpus
+    # (bullets, ellipses, symbols, non-alpha words — line shapes the
+    # synthetic corpus can't produce) must match the oracle exactly,
+    # and the composite gate must fire per-rule as designed
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from trisk_spark.functions.text import GOPHER_RULES_SQL, gopher_rules
+
+    sf_dir, con = hostile_docs
+    assert_matches_oracle(gopher_rules(spark, sf_dir), con, GOPHER_RULES_SQL)
+    assert_matches_oracle(
+        gopher_rules(spark, "/root/testdata/sf0.001"),
+        duck("/root/testdata/sf0.001"),
+        GOPHER_RULES_SQL,
+    )
+
+    good = "the quick brown fox jumps of and over the lazy dog " * 6
+    crafted = {
+        "doc_id": [1, 2, 3, 4, 5, 6],
+        "text": [
+            good,  # passes every rule
+            "- one\n- two\n- three\n" + good,  # bullet lines, under 90%... all 3 of 15ish lines? no: 3 bullet lines + 1 text line
+            "#### #### #### " + good,  # symbol ratio pushed up
+            "zz " * 60,  # no stopwords, fails stop_hits + alpha ok
+            "wait...\nmore...\nno...\n" + good,  # ellipsis lines
+            "123 456 789 " * 20 + good,  # non-alpha words dilute alpha_frac
+        ],
+        "lang": ["en"] * 6,
+        "source": ["c"] * 6,
+        "n_chars": [1, 2, 3, 4, 5, 6],
+    }
+    pq.write_table(pa.table(crafted), tmp_path / "documents.parquet")
+    con2 = duckdb.connect()
+    con2.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    sdf = gopher_rules(spark, str(tmp_path))
+    assert_matches_oracle(sdf, con2, GOPHER_RULES_SQL)
+    rows = {r.doc_id: r for r in sdf.collect()}
+    assert rows[1].passes
+    assert rows[2].bullet_line_frac and rows[2].bullet_line_frac > 0
+    assert rows[3].symbol_ratio > 0.1 and not rows[3].passes
+    assert rows[4].stop_hits == 0 and not rows[4].passes
+    assert rows[5].ellipsis_line_frac and rows[5].ellipsis_line_frac > 0
+    assert rows[6].alpha_word_frac < 1.0

@@ -1004,3 +1004,149 @@ def keyword_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("score", 6).alias("score"), "rank",
         )
     )
+
+
+# ------------------------- Gopher-rule quality flags (r11) -----------
+
+# Composite document-quality gate from Rae et al. 2021 ("Scaling
+# Language Models: ... Gopher") §A1.1 — the standard rule-based filter
+# a web-scale curation pipeline runs before model-based scoring. All
+# eight signals are in-row integer/ratio arithmetic, so the op is
+# map-only (scan-shaped at any scale) and every ratio is an exact
+# IEEE quotient of two integers — identical on both engines; the
+# `passes` conjunction compares the UNROUNDED values.
+
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 50, 100_000
+GOPHER_MIN_MWL, GOPHER_MAX_MWL = 3.0, 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MAX_BULLET_FRAC = 0.9
+GOPHER_MAX_ELLIPSIS_FRAC = 0.3
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_MIN_STOP_HITS = 2
+
+_SW_LIST_SQL = "['" + "', '".join(_STOPWORDS) + "']"
+
+GOPHER_RULES_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+    list_filter(string_split(coalesce(text, ''), ' '), w -> w <> '') AS ws,
+    list_filter(string_split(coalesce(text, ''), chr(10)), l -> l <> '') AS ls,
+    coalesce(text, '') AS t
+  FROM documents WHERE doc_id IS NOT NULL
+),
+m AS (
+  SELECT doc_id,
+    CAST(len(ws) AS BIGINT) AS n_words,
+    CASE WHEN len(ws) > 0 THEN
+      CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE) / len(ws)
+    END AS mwl,
+    CASE WHEN len(ws) > 0 THEN
+      CAST(length(t) - length(replace(t, '#', ''))
+           + (length(t) - length(replace(t, '...', ''))) // 3
+           + length(t) - length(replace(t, '…', '')) AS DOUBLE) / len(ws)
+    END AS sym,
+    CASE WHEN len(ws) > 0 THEN
+      CAST(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))
+           AS DOUBLE) / len(ws)
+    END AS alpha,
+    CAST(len(list_filter({_SW_LIST_SQL}, s -> list_contains(ws, s)))
+         AS BIGINT) AS stop_hits,
+    CASE WHEN len(ls) > 0 THEN
+      CAST(len(list_filter(ls, l -> l LIKE '- %' OR l LIKE '* %'
+                                    OR l LIKE '• %')) AS DOUBLE) / len(ls)
+    END AS bullet,
+    CASE WHEN len(ls) > 0 THEN
+      CAST(len(list_filter(ls, l -> l LIKE '%...' OR l LIKE '%…'))
+           AS DOUBLE) / len(ls)
+    END AS ellip
+  FROM base
+)
+SELECT doc_id, n_words,
+  CAST(ROUND(mwl, 4) AS DOUBLE) AS mean_word_len,
+  CAST(ROUND(sym, 4) AS DOUBLE) AS symbol_ratio,
+  CAST(ROUND(alpha, 4) AS DOUBLE) AS alpha_word_frac,
+  stop_hits,
+  CAST(ROUND(bullet, 4) AS DOUBLE) AS bullet_line_frac,
+  CAST(ROUND(ellip, 4) AS DOUBLE) AS ellipsis_line_frac,
+  (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+   AND mwl BETWEEN {GOPHER_MIN_MWL} AND {GOPHER_MAX_MWL}
+   AND sym <= {GOPHER_MAX_SYMBOL_RATIO}
+   AND coalesce(bullet, 0.0) <= {GOPHER_MAX_BULLET_FRAC}
+   AND coalesce(ellip, 0.0) <= {GOPHER_MAX_ELLIPSIS_FRAC}
+   AND alpha >= {GOPHER_MIN_ALPHA_FRAC}
+   AND stop_hits >= {GOPHER_MIN_STOP_HITS}) AS passes
+FROM m
+"""
+
+
+def gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule-based quality flags per document (Rae et al. 2021
+    §A1.1): word-count bounds, mean-word-length bounds, symbol-to-word
+    ratio ('#', '...', '…'), bullet-/ellipsis-line fractions,
+    alphabetic-word fraction, and distinct-stopword hits, plus the
+    composite ``passes`` gate. The rule filter that runs BEFORE
+    model-based scoring (``bigram_lm_score`` / ``perplexity_buckets``)
+    in a web-scale curation pipeline.
+
+    Plan: every signal is an in-row JVM expression over one scan —
+    zero shuffle, zero UDF; the ``passes`` conjunction evaluates the
+    unrounded exact int-ratio doubles, the displayed ratios round to
+    the house 4-decimal grid. Library op, full DuckDB oracle
+    (``GOPHER_RULES_SQL``) — the r11 capacity-note class."""
+    docs = table(spark, sf_dir, "documents").where(F.col("doc_id").isNotNull())
+    t = F.coalesce(F.col("text"), F.lit(""))
+    ws = F.filter(F.split(t, " "), lambda w: w != "")
+    ls = F.filter(F.split(t, "\n"), lambda line: line != "")
+    nw = F.size(ws)
+    nl = F.size(ls)
+    wchars = F.aggregate(ws, F.lit(0), lambda acc, w: acc + F.length(w))
+    n_sym = (
+        (F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit(""))))
+        + F.floor(
+            (F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))) / 3
+        )
+        + (F.length(t) - F.length(F.replace(t, F.lit("…"), F.lit(""))))
+    )
+    n_alpha = F.size(F.filter(ws, lambda w: w.rlike("[A-Za-z]")))
+    stop_hits = F.size(
+        F.filter(
+            F.array(*[F.lit(s) for s in _STOPWORDS]),
+            lambda s: F.array_contains(ws, s),
+        )
+    ).cast("bigint")
+    n_bullet = F.size(
+        F.filter(
+            ls,
+            lambda line: line.startswith("- ")
+            | line.startswith("* ")
+            | line.startswith("• "),
+        )
+    )
+    n_ellip = F.size(
+        F.filter(ls, lambda line: line.endswith("...") | line.endswith("…"))
+    )
+    mwl = F.when(nw > 0, wchars.cast("double") / nw)
+    sym = F.when(nw > 0, n_sym.cast("double") / nw)
+    alpha = F.when(nw > 0, n_alpha.cast("double") / nw)
+    bullet = F.when(nl > 0, n_bullet.cast("double") / nl)
+    ellip = F.when(nl > 0, n_ellip.cast("double") / nl)
+    passes = (
+        nw.cast("bigint").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+        & mwl.between(GOPHER_MIN_MWL, GOPHER_MAX_MWL)
+        & (sym <= GOPHER_MAX_SYMBOL_RATIO)
+        & (F.coalesce(bullet, F.lit(0.0)) <= GOPHER_MAX_BULLET_FRAC)
+        & (F.coalesce(ellip, F.lit(0.0)) <= GOPHER_MAX_ELLIPSIS_FRAC)
+        & (alpha >= GOPHER_MIN_ALPHA_FRAC)
+        & (stop_hits >= GOPHER_MIN_STOP_HITS)
+    )
+    return docs.select(
+        "doc_id",
+        nw.cast("bigint").alias("n_words"),
+        F.round(mwl, 4).alias("mean_word_len"),
+        F.round(sym, 4).alias("symbol_ratio"),
+        F.round(alpha, 4).alias("alpha_word_frac"),
+        stop_hits.alias("stop_hits"),
+        F.round(bullet, 4).alias("bullet_line_frac"),
+        F.round(ellip, 4).alias("ellipsis_line_frac"),
+        passes.alias("passes"),
+    )
