@@ -1472,3 +1472,36 @@ def test_gopher_rules_parity_and_crafted_lines(spark, hostile_docs, duck, tmp_pa
     assert rows[4].stop_hits == 0 and not rows[4].passes
     assert rows[5].ellipsis_line_frac and rows[5].ellipsis_line_frac > 0
     assert rows[6].alpha_word_frac < 1.0
+
+
+def test_contamination_report_parity_and_consistency(spark, hostile_docs, duck):
+    # per-source eval-overlap rollup must match the oracle (hostile:
+    # NULL source group, sub-shingle docs) and stay consistent with
+    # the flags it rolls up
+    from trisk_spark.functions.dedup import (
+        DECONTAM_BENCH_MAX_ID,
+        _contamination_report_sql,
+        contamination_report,
+        decontaminate_flags,
+    )
+
+    sf_dir, con = hostile_docs
+    assert_matches_oracle(
+        contamination_report(spark, sf_dir), con, _contamination_report_sql()
+    )
+    sf = "/root/testdata/sf0.001"
+    assert_matches_oracle(
+        contamination_report(spark, sf), duck(sf), _contamination_report_sql()
+    )
+    rows = contamination_report(spark, sf).collect()
+    flags = decontaminate_flags(spark, sf).collect()
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    n_eligible = docs.where(
+        docs.doc_id.isNotNull() & (docs.doc_id >= DECONTAM_BENCH_MAX_ID)
+    ).count()
+    assert sum(r.n_docs for r in rows) == n_eligible
+    assert sum(r.n_contaminated for r in rows) == len(flags)
+    assert sum(r.total_shared for r in rows) == sum(f.n_shared for f in flags)
+    for r in rows:
+        assert 0 <= r.n_contaminated <= r.n_docs
+        assert r.max_shared <= r.total_shared

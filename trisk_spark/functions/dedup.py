@@ -1173,3 +1173,69 @@ def canonical_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("q", 4).alias("quality"),
         (F.col("doc_id") == F.col("canonical_id")).alias("is_canonical"),
     )
+
+
+def _contamination_report_sql() -> str:
+    """DuckDB oracle for ``contamination_report``: the decontaminate
+    CTE + a per-source rollup over every checkable corpus document."""
+    return f"""
+WITH sh AS ({SHINGLES_SQL}),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < {DECONTAM_BENCH_MAX_ID}),
+hits AS (
+  SELECT s.doc_id, COUNT(*) AS n_shared
+  FROM sh s JOIN bench b ON s.shingle = b.shingle
+  WHERE s.doc_id >= {DECONTAM_BENCH_MAX_ID}
+  GROUP BY s.doc_id
+),
+corpus AS (
+  SELECT doc_id, source FROM documents
+  WHERE doc_id IS NOT NULL AND doc_id >= {DECONTAM_BENCH_MAX_ID}
+)
+SELECT c.source,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(COUNT(h.doc_id) AS BIGINT) AS n_contaminated,
+  CAST(ROUND(CAST(COUNT(h.doc_id) AS DOUBLE) / COUNT(*), 4) AS DOUBLE)
+    AS contamination_rate,
+  CAST(COALESCE(MAX(h.n_shared), 0) AS BIGINT) AS max_shared,
+  CAST(COALESCE(SUM(h.n_shared), 0) AS BIGINT) AS total_shared
+FROM corpus c LEFT JOIN hits h ON c.doc_id = h.doc_id
+GROUP BY c.source
+"""
+
+
+def contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source eval-contamination health report — the rollup an
+    operator watches after every ingest wave: how many of each
+    source's documents share >=1 benchmark shingle
+    (``decontaminate_flags``), the contamination rate, and the
+    worst/total evidence strength. A source whose rate jumps is
+    leaking eval data (or the benchmark set grew into it) and gets
+    gated before the next training plan.
+
+    Plan: ``decontaminate_flags``'s broadcast semi-join (benchmark
+    shingles are MBs vs a TB corpus), then ONE id-keyed left join of
+    id-sized flags against (doc_id, source) rows and a per-source
+    partial aggregate — output is source-cardinality-sized. Library
+    op, full DuckDB oracle — the r11 capacity-note class."""
+    flags = decontaminate_flags(spark, sf_dir)
+    corpus = (
+        table(spark, sf_dir, "documents")
+        .where(
+            F.col("doc_id").isNotNull()
+            & (F.col("doc_id") >= DECONTAM_BENCH_MAX_ID)
+        )
+        .select("doc_id", "source")
+    )
+    # flags are id-sized but can be a corpus-scale fraction of rows on
+    # a badly leaked corpus - AQE decides broadcast vs shuffle (the
+    # curation_funnel posture)
+    j = corpus.join(flags, "doc_id", "left")
+    return j.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.count("n_shared").cast("bigint").alias("n_contaminated"),
+        F.round(
+            F.count("n_shared").cast("double") / F.count("*"), 4
+        ).alias("contamination_rate"),
+        F.coalesce(F.max("n_shared"), F.lit(0)).cast("bigint").alias("max_shared"),
+        F.coalesce(F.sum("n_shared"), F.lit(0)).cast("bigint").alias("total_shared"),
+    )
