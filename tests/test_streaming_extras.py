@@ -2383,3 +2383,53 @@ def test_shuffle_shards_stream_multi_batch_permutation_invariants(spark):
         by_shard.setdefault(r.shard, []).append(r.pos)
     for shard, ps in by_shard.items():
         assert sorted(ps) == list(range(1, len(ps) + 1)), shard
+
+
+def test_ppl_bucket_stream_matches_batch_off_boundary(spark):
+    """Streaming perplexity bucketing: cutoffs trained from the batch
+    terciles, applied to the replayed reference corpus, must reproduce
+    the batch bucket for every document whose score differs from both
+    cutoffs (rank ties AT a boundary split by doc_id — invisible to a
+    threshold), and the threshold rule itself must hold exactly on
+    every emitted row."""
+    from trisk_spark.functions.sampling import perplexity_buckets
+    from trisk_spark.streaming.queries import ppl_bucket_stream, ppl_cutoffs
+
+    cuts = {
+        r.lang: (r.head_min, r.middle_min)
+        for r in ppl_cutoffs(spark, SF).collect()
+    }
+    stream = replay_stream(spark, SF, "documents", n_chunks=4, order_col="doc_id")
+    emitted = []
+    q = (
+        ppl_bucket_stream(stream, spark, SF)
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda bdf, bid: emitted.extend(bdf.collect()))
+        .option("checkpointLocation", checkpoint_dir("pplstream"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r.doc_id: r for r in emitted}
+    assert len(got) == len(emitted), "a doc_id emitted twice"
+    batch = {r.doc_id: r for r in perplexity_buckets(spark, SF).collect()}
+    assert set(got) == set(batch)
+    n_boundary = 0
+    for did, r in got.items():
+        b = batch[did]
+        assert (r.lang, r.lm_score) == (b.lang, b.lm_score)
+        hm, mm = cuts[r.lang]
+        want = (
+            "head"
+            if (hm is not None and r.lm_score >= hm)
+            else "middle"
+            if (mm is not None and r.lm_score >= mm)
+            else "tail"
+        )
+        assert r.bucket == want, (did, r.bucket, want)
+        if r.lm_score in (hm, mm):
+            n_boundary += 1  # threshold can't see rank tie-breaks here
+        else:
+            assert r.bucket == b.bucket, (did, r, b)
+    # the cutoffs are actual member scores, so boundary docs exist
+    assert n_boundary >= 2

@@ -257,6 +257,7 @@ def bigram_lm_stream(
     spark,
     ref_sf_dir: str,
     max_model_rows: int | None = None,
+    extra: tuple[str, ...] = (),
 ) -> DataFrame:
     """Streaming bigram-LM scoring — the deployment shape of
     ``functions/text.bigram_lm_score``: the LM count tables are built
@@ -269,7 +270,10 @@ def bigram_lm_stream(
     mean floored on the grid (stream≡batch pytest-pinned).
 
     At 100 TB the broadcast is vocabulary-bounded (counts, not corpus)
-    and scoring scales with the ingest scan alone."""
+    and scoring scales with the ingest scan alone. ``extra`` names
+    string key columns carried through the kernel unchanged (e.g.
+    ``lang`` for the perplexity bucketer) — the streaming mirror of the
+    batch kernel's ``_lm_scored(extra=...)``."""
     import math
     from collections.abc import Iterator
     from decimal import ROUND_HALF_UP, Decimal
@@ -321,9 +325,12 @@ def bigram_lm_stream(
         c1[w1] = c1.get(w1, 0) + c
     model = spark.sparkContext.broadcast((c12, c1, int(v)))
 
+    from pyspark.sql.types import StringType
+
     out_schema = StructType(
-        [
-            StructField("doc_id", LongType()),
+        [StructField("doc_id", LongType())]
+        + [StructField(c, StringType()) for c in extra]
+        + [
             StructField("n_bigrams", LongType()),
             StructField("mu", LongType()),
         ]
@@ -332,8 +339,11 @@ def bigram_lm_stream(
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         bc12, bc1, bv = model.value
         for pdf in batches:
-            out = {"doc_id": [], "n_bigrams": [], "mu": []}
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            out: dict = {"doc_id": [], "n_bigrams": [], "mu": []}
+            for c in extra:
+                out[c] = []
+            xcols = [pdf[c] for c in extra]
+            for doc_id, text, *xs in zip(pdf["doc_id"], pdf["text"], *xcols):
                 if doc_id is None or pd.isna(doc_id) or bv <= 0:
                     continue
                 toks = [w for w in (text or "").lower().split(" ") if w != ""]
@@ -360,15 +370,20 @@ def bigram_lm_stream(
                     )
                     mu += int(logp6.scaleb(6))
                 out["doc_id"].append(int(doc_id))
+                for c, x in zip(extra, xs):
+                    out[c].append(None if (x is None or pd.isna(x)) else str(x))
                 out["n_bigrams"].append(len(toks) - 1)
                 out["mu"].append(mu)
-            yield pd.DataFrame(out)
+            yield pd.DataFrame(out)[
+                ["doc_id", *extra, "n_bigrams", "mu"]
+            ]
 
-    scored = docs.select("doc_id", "text").mapInPandas(score, out_schema)
+    scored = docs.select("doc_id", *extra, "text").mapInPandas(score, out_schema)
     nb = F.col("n_bigrams")
     r = ((F.col("mu") % nb) + nb) % nb
     return scored.select(
         "doc_id",
+        *extra,
         "n_bigrams",
         (((F.col("mu") - r) / nb) / F.lit(1000000.0)).alias("lm_score"),
     )
@@ -974,3 +989,58 @@ def bpe_segment_stream(
             ws, F.lit(0).cast("bigint"), lambda acc, w: acc + bpe_len(w)
         ).alias("n_bpe_tokens"),
     )
+
+
+def ppl_cutoffs(spark, ref_sf_dir: str):
+    """Train the per-language tercile score cutoffs from the reference
+    corpus — the offline half of ``ppl_bucket_stream`` (CCNet trains
+    its perplexity quantile thresholds offline and applies them
+    online). Returns language-cardinality rows: (lang, head_min,
+    middle_min) = the minimum batch ``lm_score`` inside the head and
+    middle terciles of ``sampling.perplexity_buckets``."""
+    from trisk_spark.functions.sampling import perplexity_buckets
+
+    b = perplexity_buckets(spark, ref_sf_dir)
+    return b.groupBy("lang").agg(
+        F.min(F.when(F.col("bucket") == "head", F.col("lm_score"))).alias(
+            "head_min"
+        ),
+        F.min(F.when(F.col("bucket") == "middle", F.col("lm_score"))).alias(
+            "middle_min"
+        ),
+    )
+
+
+def ppl_bucket_stream(
+    docs: DataFrame, spark, ref_sf_dir: str, cutoffs: DataFrame | None = None
+) -> DataFrame:
+    """Streaming perplexity bucketing — the deployment shape of
+    ``sampling.perplexity_buckets``: per-language tercile CUTOFFS are
+    trained once from the reference corpus (``ppl_cutoffs``, the
+    write-once threshold asset), arriving documents are LM-scored by
+    the shared ``bigram_lm_stream`` kernel with ``lang`` riding the
+    batch, and the bucket is a threshold comparison against the
+    broadcast cutoff row — append mode, stateless, zero shuffle.
+
+    Semantics vs batch: batch terciles are global RANKS, which a
+    stream cannot compute (it never holds the full corpus); the
+    standard deployment applies trained thresholds instead. Assignment
+    agrees with the batch tercile for every document whose score
+    differs from both cutoffs — rank ties exactly AT a boundary split
+    by doc_id, which a threshold cannot see; languages absent from the
+    reference (no cutoff row, NULL thresholds) conservatively land in
+    'tail'. Both properties stream≡batch pytest-pinned."""
+    cuts = ppl_cutoffs(spark, ref_sf_dir) if cutoffs is None else cutoffs
+    scored = bigram_lm_stream(docs, spark, ref_sf_dir, extra=("lang",))
+    c = F.broadcast(
+        cuts.select(
+            F.col("lang").alias("_cl"), "head_min", "middle_min"
+        )
+    )
+    j = scored.join(c, scored["lang"].eqNullSafe(F.col("_cl")), "left")
+    bucket = (
+        F.when(F.col("lm_score") >= F.col("head_min"), F.lit("head"))
+        .when(F.col("lm_score") >= F.col("middle_min"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return j.select("doc_id", "lang", "lm_score", bucket.alias("bucket"))
