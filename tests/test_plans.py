@@ -834,3 +834,25 @@ def test_perplexity_buckets_rank_is_lang_bucket_parallel(spark):
     # SinglePartition *Sort* -- assert none exists
     assert plan.count("SinglePartition") <= 2, plan
     assert not re.search(r"Sort .*SinglePartition", plan), plan
+
+
+def test_canonical_by_quality_argmax_has_no_component_sort(spark):
+    # the per-cluster argmax must be a partial-aggregatable struct MAX
+    # (map-side combine), never a per-component window sort: one giant
+    # boilerplate cluster would serialize a window through one task
+    import re
+
+    from trisk_spark.functions.dedup import canonical_by_quality
+
+    df = canonical_by_quality(spark, SF_DIR)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "partial_max" in plan, "argmax lost map-side combine"
+    # no Window node may partition on the component key (the windows
+    # inside dedup_clusters' upstream run on shingle/bucket keys
+    # before the checkpoint barrier and never reach this plan)
+    for m in re.finditer(r"^\(\d+\) Window", plan, re.M):
+        seg = plan[m.start():m.start() + 400]
+        assert "component" not in seg, seg

@@ -425,3 +425,24 @@ def test_bpe_oracle_replace_equals_greedy_scan(word_rows):
         for i, (w, c) in enumerate(sorted(word_cnt.items()))
     }
     assert got == want
+
+
+@given(
+    n=st.integers(min_value=1, max_value=10_000),
+    k=st.integers(min_value=1, max_value=7),
+)
+@settings(max_examples=200, deadline=None)
+def test_tercile_formula_balanced_and_monotone(n, k):
+    """The perplexity-bucket tile formula tile = (k*(rank-1)) // n must
+    partition ranks 1..n into k contiguous runs whose sizes differ by
+    at most 1 and never skip a tile while earlier tiles are unfilled —
+    the pure-arithmetic contract both engines evaluate identically."""
+    tiles = [(k * (r - 1)) // n for r in range(1, n + 1)]
+    assert tiles == sorted(tiles), "tiles not monotone along the rank"
+    assert tiles[0] == 0 and max(tiles) <= k - 1
+    sizes = [tiles.count(t) for t in range(k)]
+    filled = [s for s in sizes if s]
+    assert max(filled) - min(filled) <= 1, (n, k, sizes)
+    # when n >= k every tile is non-empty
+    if n >= k:
+        assert all(sizes), (n, k, sizes)
