@@ -1505,3 +1505,54 @@ def test_contamination_report_parity_and_consistency(spark, hostile_docs, duck):
     for r in rows:
         assert 0 <= r.n_contaminated <= r.n_docs
         assert r.max_shared <= r.total_shared
+
+
+def test_line_dedup_parity_and_first_occurrence(spark, hostile_docs, tmp_path):
+    # in-doc duplicate-line removal: the in-row positional-filter must
+    # match the explode+window oracle on crafted multiline docs
+    # (duplicate lines, duplicate EMPTY lines, whitespace-only lines,
+    # NULL text) and keep first occurrences in order
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from trisk_spark.functions.text import LINE_DEDUP_SQL, line_dedup
+
+    sf_dir, con = hostile_docs
+    assert_matches_oracle(line_dedup(spark, sf_dir), con, LINE_DEDUP_SQL)
+
+    crafted = {
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": [
+            "alpha\nbeta\nalpha\ngamma\nbeta\nalpha",
+            "menu\nbody one\nmenu\nbody two\nmenu\nfooter\nfooter",
+            "a\n\nb\n\n\nc",  # duplicate empty lines collapse to one
+            None,
+            "solo",
+        ],
+        "lang": ["en"] * 5,
+        "source": ["c"] * 5,
+        "n_chars": [1, 2, 3, None, 4],
+    }
+    pq.write_table(pa.table(crafted), tmp_path / "documents.parquet")
+    con2 = duckdb.connect()
+    con2.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    sdf = line_dedup(spark, str(tmp_path))
+    assert_matches_oracle(sdf, con2, LINE_DEDUP_SQL)
+    rows = {r.doc_id: r for r in sdf.collect()}
+    assert rows[1].clean_text == "alpha\nbeta\ngamma" and rows[1].n_removed == 3
+    assert rows[2].clean_text == "menu\nbody one\nbody two\nfooter"
+    assert rows[3].clean_text == "a\n\nb\nc" and rows[3].n_removed == 2
+    assert rows[4].clean_text == "" and rows[4].n_lines == 1
+    assert rows[5].clean_text == "solo" and rows[5].n_removed == 0
+    # order-preserving first occurrence on every doc: recompute in pure
+    # python from the source texts
+    for did, text in zip(crafted["doc_id"], crafted["text"]):
+        seen: list = []
+        for line in (text or "").split("\n"):
+            if line not in seen:
+                seen.append(line)
+        assert rows[did].clean_text == "\n".join(seen), did

@@ -1150,3 +1150,63 @@ def gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ellip, 4).alias("ellipsis_line_frac"),
         passes.alias("passes"),
     )
+
+
+# --------------------- in-document duplicate-line removal (r11) ------
+
+# C4-style self-repetition cleanup (Raffel et al. 2020 use
+# three-sentence spans; the common open-pipeline variant dedupes
+# LINES): drop every line that repeats an EARLIER line of the same
+# document, keep first occurrences in order. The in-row complement of
+# the cross-document dedup family — boilerplate menus/footers repeated
+# inside one page disappear before they can distort token counts or
+# pair up in MinHash.
+
+LINE_DEDUP_SQL = """
+WITH base AS (
+  SELECT doc_id,
+    string_split(coalesce(text, ''), chr(10)) AS ls
+  FROM documents WHERE doc_id IS NOT NULL
+),
+lines AS (
+  SELECT doc_id, ls[i] AS l, i
+  FROM base, unnest(range(1, len(ls) + 1)) AS r(i)
+),
+firsts AS (
+  SELECT doc_id, l, i,
+    MIN(i) OVER (PARTITION BY doc_id, l) AS first_i
+  FROM lines
+)
+SELECT doc_id,
+  string_agg(l, chr(10) ORDER BY i) FILTER (WHERE i = first_i)
+    AS clean_text,
+  CAST(COUNT(*) AS BIGINT) AS n_lines,
+  CAST(COUNT(*) FILTER (WHERE i <> first_i) AS BIGINT) AS n_removed
+FROM firsts GROUP BY doc_id
+"""
+
+
+def line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-document duplicate-line removal (the C4-family
+    self-repetition cleanup): keep each document's FIRST occurrence of
+    every line, in order; report the line count and how many were
+    dropped. Runs before the cross-document dedup family so repeated
+    boilerplate inside one page can't distort token budgets or MinHash
+    signatures.
+
+    Plan: pure in-row JVM expressions — the keep test is a
+    positional-lambda filter (first array_position == own index), so
+    the op is map-only with ZERO shuffle at any scale; the oracle
+    proves the same semantics through an explode + window + ordered
+    string_agg, so the in-row trick is checked against the naive
+    relational form. Library op, full DuckDB oracle
+    (``LINE_DEDUP_SQL``) — the r11 capacity-note class."""
+    docs = table(spark, sf_dir, "documents").where(F.col("doc_id").isNotNull())
+    ls = F.split(F.coalesce(F.col("text"), F.lit("")), "\n")
+    kept = F.filter(ls, lambda line, i: F.array_position(ls, line) == i + 1)
+    return docs.select(
+        "doc_id",
+        F.concat_ws("\n", kept).alias("clean_text"),
+        F.size(ls).cast("bigint").alias("n_lines"),
+        (F.size(ls) - F.size(kept)).cast("bigint").alias("n_removed"),
+    )
