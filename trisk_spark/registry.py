@@ -104,6 +104,27 @@ def register(name: str, oracle: str | None = None):
 # yet; new r11 surface beyond the two seated registrations ships as
 # library functions with full oracles + pytest gates (the r9
 # sax_store precedent).
+# R12 REGISTRATION PLAN for the eight r11 library ops awaiting seats
+# (budget_trim, training_plan_budget, shuffle_shards,
+# perplexity_buckets, canonical_by_quality, gopher_rules,
+# contamination_report, line_dedup — each already carries a full
+# DuckDB oracle + hostile-corpus parity pytest): invoke the
+# permanent-composed-sitter class for FOUR wholly-composed rows —
+# sequence_pack ⊂ pack_plan, train_split ⊂ training_plan,
+# curation_manifest ⊂ curation_manifest_semantic/curation_funnel,
+# source_upsample ⊂ training_plan_over_store — each sits permanently
+# on (a) its composer's in-window hash gate every other round and (b)
+# the every-round test_oracle_parity full-oracle run. Seat arithmetic
+# after the flip: 3 always-in + 5 permanent sitters + (94 − 4 + 8) =
+# 98 alternating over 47 seats — 98 > 2×47, so ALSO register the
+# eight with the four CHEAPEST new rows (gopher_rules, line_dedup,
+# contamination_report, canonical_by_quality — sub-second or
+# kernel-overlapping) declared composed-or-witnessed where true, or
+# stage the registration over r12+r13 (register four per round; each
+# new registration must be IN-window its first round per the new-op
+# policy). The r12 session picks whichever split keeps every
+# freshness invariant; the arithmetic above is the constraint to
+# satisfy, not a prescription.
 # Sitting out r11 — every one hash-green in r10 (CORRECTNESS_r10),
 # witness noted:
 DEPRIORITIZED = [
