@@ -123,6 +123,9 @@ def test_readme_op_table_names_are_registered():
         "curation_funnel", "curation_funnel_sql",
         "shuffle_shards", "shuffle_shards_stream", "budget_trim", "training_plan_budget", "training_plan_budget_sql",
         "pack_plan_over_store",
+        "perplexity_buckets", "ppl_buckets_sql", "ppl_bucket_stream",
+        "ppl_cutoffs", "canonical_by_quality", "gopher_rules",
+        "contamination_report", "line_dedup", "passes",
     }
     missing = {
         c for c in cited
