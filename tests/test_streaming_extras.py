@@ -2433,3 +2433,29 @@ def test_ppl_bucket_stream_matches_batch_off_boundary(spark):
             assert r.bucket == b.bucket, (did, r, b)
     # the cutoffs are actual member scores, so boundary docs exist
     assert n_boundary >= 2
+
+
+def test_line_dedup_stream_equals_batch(spark):
+    """line_dedup is pure column expressions, so the identical plan
+    runs under Structured Streaming — the in-doc cleanup's stateless
+    streaming member (same proof shape as quantize_int8/pii_scrub)."""
+    from trisk_spark.functions.text import line_dedup, line_dedup_frame
+
+    stream = replay_stream(spark, SF, "documents", n_chunks=4, order_col="doc_id")
+    emitted = []
+    q = (
+        line_dedup_frame(stream.where(F.col("doc_id").isNotNull()))
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda bdf, bid: emitted.extend(bdf.collect()))
+        .option("checkpointLocation", checkpoint_dir("linededupstream"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r.doc_id: (r.clean_text, r.n_lines, r.n_removed) for r in emitted}
+    want = {
+        r.doc_id: (r.clean_text, r.n_lines, r.n_removed)
+        for r in line_dedup(spark, SF).collect()
+    }
+    assert got == want
+    assert len(got) == len(emitted), "a doc_id emitted twice"

@@ -1201,7 +1201,15 @@ def line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     string_agg, so the in-row trick is checked against the naive
     relational form. Library op, full DuckDB oracle
     (``LINE_DEDUP_SQL``) — the r11 capacity-note class."""
-    docs = table(spark, sf_dir, "documents").where(F.col("doc_id").isNotNull())
+    return line_dedup_frame(
+        table(spark, sf_dir, "documents").where(F.col("doc_id").isNotNull())
+    )
+
+
+def line_dedup_frame(docs: DataFrame) -> DataFrame:
+    """The line-dedup core over any (doc_id, text) frame — pure column
+    expressions, so the identical plan runs under Structured Streaming
+    (stream≡batch pytest-pinned, the quantize_int8 proof shape)."""
     ls = F.split(F.coalesce(F.col("text"), F.lit("")), "\n")
     kept = F.filter(ls, lambda line, i: F.array_position(ls, line) == i + 1)
     return docs.select(
