@@ -1521,18 +1521,29 @@ def test_line_dedup_parity_and_first_occurrence(spark, hostile_docs, tmp_path):
     sf_dir, con = hostile_docs
     assert_matches_oracle(line_dedup(spark, sf_dir), con, LINE_DEDUP_SQL)
 
+    from trisk_spark.functions.text import LINE_DEDUP_MAX_LINES
+
+    # doc 6 crosses the per-row CPU cap: duplicates BELOW the cap are
+    # removed, everything past it is kept verbatim (including a line
+    # that duplicates a pre-cap one)
+    over_cap = (
+        ["dup", "keep-a", "dup"]
+        + [f"l{i}" for i in range(LINE_DEDUP_MAX_LINES - 3)]
+        + ["dup", "tail-b", "tail-b"]
+    )
     crafted = {
-        "doc_id": [1, 2, 3, 4, 5],
+        "doc_id": [1, 2, 3, 4, 5, 6],
         "text": [
             "alpha\nbeta\nalpha\ngamma\nbeta\nalpha",
             "menu\nbody one\nmenu\nbody two\nmenu\nfooter\nfooter",
             "a\n\nb\n\n\nc",  # duplicate empty lines collapse to one
             None,
             "solo",
+            "\n".join(over_cap),
         ],
-        "lang": ["en"] * 5,
-        "source": ["c"] * 5,
-        "n_chars": [1, 2, 3, None, 4],
+        "lang": ["en"] * 6,
+        "source": ["c"] * 6,
+        "n_chars": [1, 2, 3, None, 4, 5],
     }
     pq.write_table(pa.table(crafted), tmp_path / "documents.parquet")
     con2 = duckdb.connect()
@@ -1548,11 +1559,18 @@ def test_line_dedup_parity_and_first_occurrence(spark, hostile_docs, tmp_path):
     assert rows[3].clean_text == "a\n\nb\nc" and rows[3].n_removed == 2
     assert rows[4].clean_text == "" and rows[4].n_lines == 1
     assert rows[5].clean_text == "solo" and rows[5].n_removed == 0
-    # order-preserving first occurrence on every doc: recompute in pure
-    # python from the source texts
+    # the over-cap doc: the pre-cap 'dup' duplicate is removed, the
+    # past-cap 'dup' and the duplicated 'tail-b' are kept verbatim
+    r6 = rows[6].clean_text.split("\n")
+    assert r6.count("dup") == 2 and r6.count("tail-b") == 2
+    assert rows[6].n_removed == 1 and rows[6].n_lines == len(over_cap)
+    # order-preserving first occurrence on every doc (python replay of
+    # the capped rule)
     for did, text in zip(crafted["doc_id"], crafted["text"]):
-        seen: list = []
-        for line in (text or "").split("\n"):
-            if line not in seen:
-                seen.append(line)
-        assert rows[did].clean_text == "\n".join(seen), did
+        seen: set = set()
+        out: list = []
+        for i, line in enumerate((text or "").split("\n")):
+            if i >= LINE_DEDUP_MAX_LINES or line not in seen:
+                out.append(line)
+            seen.add(line)
+        assert rows[did].clean_text == "\n".join(out), did

@@ -2459,3 +2459,50 @@ def test_line_dedup_stream_equals_batch(spark):
     }
     assert got == want
     assert len(got) == len(emitted), "a doc_id emitted twice"
+
+
+def test_ppl_bucket_stream_skips_sub_bigram_docs(spark, tmp_path):
+    """Documents with <2 tokens (empty, solo-token, NULL text) carry no
+    bigrams: the batch terciles omit them, and the stream kernel's
+    guard must too — a dropped guard would emit them with a degenerate
+    lm_score and bucket empty junk as 'head'."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from trisk_spark.functions.sampling import perplexity_buckets
+    from trisk_spark.streaming.queries import ppl_bucket_stream
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": [1, 2, 3, 4, 10],
+                "text": [
+                    "",
+                    "solo",
+                    "two words here and the of",
+                    None,
+                    "the of and a the of and a",
+                ],
+                "lang": ["en"] * 5,
+                "source": ["s"] * 5,
+                "n_chars": [0, 4, 10, None, 20],
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    sf = str(tmp_path)
+    batch = {r.doc_id: r.bucket for r in perplexity_buckets(spark, sf).collect()}
+    assert set(batch) == {3, 10}, "sub-bigram docs must be absent in batch"
+    stream = replay_stream(spark, sf, "documents", n_chunks=2, order_col="doc_id")
+    emitted = []
+    q = (
+        ppl_bucket_stream(stream, spark, sf)
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda bdf, bid: emitted.extend(bdf.collect()))
+        .option("checkpointLocation", checkpoint_dir("pplsubbigram"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r.doc_id: r.bucket for r in emitted}
+    assert got == batch

@@ -1162,7 +1162,17 @@ def gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 # inside one page disappear before they can distort token counts or
 # pair up in MinHash.
 
-LINE_DEDUP_SQL = """
+# Per-document line bound: the in-row keep test compares each line
+# against the array prefix (array_position), so an UNCAPPED document
+# costs O(n_lines²) string compares inside ONE task — the same in-row
+# blowup class SUBSTR_MAX_CHARS caps in the winnow (dedup.py). Only
+# the first LINE_DEDUP_MAX_LINES lines are deduplicated against each
+# other; lines past the cap are kept verbatim (identical cap in the
+# oracle). 4096² ≈ 16M bounded-length compares is a safe per-row
+# ceiling; any real page sits far below it.
+LINE_DEDUP_MAX_LINES = 4096
+
+LINE_DEDUP_SQL = f"""
 WITH base AS (
   SELECT doc_id,
     string_split(coalesce(text, ''), chr(10)) AS ls
@@ -1174,14 +1184,16 @@ lines AS (
 ),
 firsts AS (
   SELECT doc_id, l, i,
-    MIN(i) OVER (PARTITION BY doc_id, l) AS first_i
+    MIN(CASE WHEN i <= {LINE_DEDUP_MAX_LINES} THEN i END)
+      OVER (PARTITION BY doc_id, l) AS first_i
   FROM lines
 )
 SELECT doc_id,
-  string_agg(l, chr(10) ORDER BY i) FILTER (WHERE i = first_i)
-    AS clean_text,
+  string_agg(l, chr(10) ORDER BY i)
+    FILTER (WHERE i > {LINE_DEDUP_MAX_LINES} OR i = first_i) AS clean_text,
   CAST(COUNT(*) AS BIGINT) AS n_lines,
-  CAST(COUNT(*) FILTER (WHERE i <> first_i) AS BIGINT) AS n_removed
+  CAST(COUNT(*) FILTER (WHERE i <= {LINE_DEDUP_MAX_LINES} AND i <> first_i)
+       AS BIGINT) AS n_removed
 FROM firsts GROUP BY doc_id
 """
 
@@ -1209,12 +1221,26 @@ def line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def line_dedup_frame(docs: DataFrame) -> DataFrame:
     """The line-dedup core over any (doc_id, text) frame — pure column
     expressions, so the identical plan runs under Structured Streaming
-    (stream≡batch pytest-pinned, the quantize_int8 proof shape)."""
-    ls = F.split(F.coalesce(F.col("text"), F.lit("")), "\n")
-    kept = F.filter(ls, lambda line, i: F.array_position(ls, line) == i + 1)
-    return docs.select(
+    (stream≡batch pytest-pinned, the quantize_int8 proof shape). The
+    keep test runs only over the first LINE_DEDUP_MAX_LINES lines
+    (per-row CPU bound — see the cap comment); the tail is kept
+    verbatim."""
+    cap = LINE_DEDUP_MAX_LINES
+    d = docs.select(
         "doc_id",
-        F.concat_ws("\n", kept).alias("clean_text"),
+        F.split(F.coalesce(F.col("text"), F.lit("")), "\n").alias("_ls"),
+    )
+    ls = F.col("_ls")
+    head = F.slice(ls, 1, cap)
+    tail = F.expr(f"slice(_ls, {cap + 1}, greatest(size(_ls) - {cap}, 0))")
+    kept = F.filter(
+        head, lambda line, i: F.array_position(head, line) == i + 1
+    )
+    return d.select(
+        "doc_id",
+        F.concat_ws("\n", F.concat(kept, tail)).alias("clean_text"),
         F.size(ls).cast("bigint").alias("n_lines"),
-        (F.size(ls) - F.size(kept)).cast("bigint").alias("n_removed"),
+        (F.least(F.size(ls), F.lit(cap)) - F.size(kept))
+        .cast("bigint")
+        .alias("n_removed"),
     )

@@ -1029,7 +1029,15 @@ def ppl_bucket_stream(
     differs from both cutoffs — rank ties exactly AT a boundary split
     by doc_id, which a threshold cannot see; languages absent from the
     reference (no cutoff row, NULL thresholds) conservatively land in
-    'tail'. Both properties stream≡batch pytest-pinned."""
+    'tail'. Both properties stream≡batch pytest-pinned.
+
+    Setup cost: the ``cutoffs=None`` convenience path builds the
+    reference LM twice (once distributed inside the batch tercile
+    chain, once as ``bigram_lm_stream``'s driver-collected broadcast
+    dict) — fine for the test rig; a production deployment trains
+    ``ppl_cutoffs`` once, persists the lang-cardinality rows next to
+    the LM counts, and passes them via ``cutoffs`` so query start-up
+    costs one broadcast, not two model builds."""
     cuts = ppl_cutoffs(spark, ref_sf_dir) if cutoffs is None else cutoffs
     scored = bigram_lm_stream(docs, spark, ref_sf_dir, extra=("lang",))
     c = F.broadcast(
