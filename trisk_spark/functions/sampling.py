@@ -1666,8 +1666,13 @@ def perplexity_buckets(
     bucket counts (lang×K rows) reproduce the naive per-language
     window bit-for-bit. The LM model tables stay broadcast with the
     kernel's fail-loud ceiling; lang rides the bigram explode so no
-    corpus join-back re-attaches it. Library op, full DuckDB oracle
-    (``ppl_buckets_sql``) — the r11 capacity-note class."""
+    corpus join-back re-attaches it. Degenerate corpora (every doc the
+    same score — e.g. all-identical text that dedup would have removed
+    upstream) collapse the coarsening into one bucket and the plan
+    degrades to the naive per-language sort, never to a wrong answer —
+    the same worst-case posture as ``_quality_budget_filter``. Library
+    op, full DuckDB oracle (``ppl_buckets_sql``) — the r11
+    capacity-note class."""
     from trisk_spark.functions.text import _lm_scored
 
     scored = _lm_scored(_docs(spark, sf_dir), extra=("lang",))
