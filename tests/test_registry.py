@@ -125,7 +125,7 @@ def test_readme_op_table_names_are_registered():
         "pack_plan_over_store",
         "perplexity_buckets", "ppl_buckets_sql", "ppl_bucket_stream",
         "ppl_cutoffs", "canonical_by_quality", "gopher_rules",
-        "contamination_report", "line_dedup", "passes",
+        "contamination_report", "line_dedup", "line_dedup_frame", "passes",
     }
     missing = {
         c for c in cited
