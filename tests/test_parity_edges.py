@@ -1574,3 +1574,36 @@ def test_line_dedup_parity_and_first_occurrence(spark, hostile_docs, tmp_path):
                 out.append(line)
             seen.add(line)
         assert rows[did].clean_text == "\n".join(out), did
+
+
+def test_cross_split_leakage_parity_and_straddle(spark, hostile_docs, duck):
+    # near-dup pairs straddling splits: oracle parity (hostile incl.
+    # the identical-text pair) + python recompute from the pair and
+    # split ops it composes
+    from trisk_spark.functions.dedup import dedup_minhash_lsh
+    from trisk_spark.functions.sampling import (
+        cross_split_leakage,
+        cross_split_leakage_sql,
+        train_split,
+    )
+
+    sf_dir, con = hostile_docs
+    assert_matches_oracle(
+        cross_split_leakage(spark, sf_dir), con, cross_split_leakage_sql()
+    )
+    sf = "/root/testdata/sf0.001"
+    assert_matches_oracle(
+        cross_split_leakage(spark, sf), duck(sf), cross_split_leakage_sql()
+    )
+    rows = cross_split_leakage(spark, sf).collect()
+    assert rows, "sf0.001 must contain straddling near-dup pairs"
+    split = {r.doc_id: r.split for r in train_split(spark, sf).collect()}
+    want = {
+        (p.doc_a, p.doc_b, split[p.doc_a], split[p.doc_b])
+        for p in dedup_minhash_lsh(spark, sf).collect()
+        if split[p.doc_a] != split[p.doc_b]
+    }
+    got = {(r.doc_a, r.doc_b, r.split_a, r.split_b) for r in rows}
+    assert got == want
+    for r in rows:
+        assert r.split_a != r.split_b

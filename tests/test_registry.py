@@ -126,6 +126,7 @@ def test_readme_op_table_names_are_registered():
         "perplexity_buckets", "ppl_buckets_sql", "ppl_bucket_stream",
         "ppl_cutoffs", "canonical_by_quality", "gopher_rules",
         "contamination_report", "line_dedup", "line_dedup_frame", "passes",
+        "cross_split_leakage", "cross_split_leakage_sql",
     }
     missing = {
         c for c in cited

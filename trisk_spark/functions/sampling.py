@@ -1733,3 +1733,65 @@ def perplexity_buckets(
         .when(tile == 1, F.lit("middle"))
         .otherwise(F.lit("tail")).alias("bucket"),
     )
+
+
+# ----------------------- cross-split near-dup leakage (r11) ----------
+
+def cross_split_leakage_sql() -> str:
+    """DuckDB oracle for ``cross_split_leakage``: the MinHash-LSH pair
+    CTE + the shared split CASE on both pair ends."""
+    from trisk_spark.functions.dedup import MINHASH_LSH_PAIRS_SQL
+
+    return f"""
+WITH pairs AS ({MINHASH_LSH_PAIRS_SQL}),
+splits AS (
+  SELECT doc_id, {_SPLIT_CASE_SQL} AS split
+  FROM documents WHERE doc_id IS NOT NULL
+)
+SELECT p.doc_a, p.doc_b, sa.split AS split_a, sb.split AS split_b
+FROM pairs p
+JOIN splits sa ON p.doc_a = sa.doc_id
+JOIN splits sb ON p.doc_b = sb.doc_id
+WHERE sa.split <> sb.split
+"""
+
+
+def cross_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test near-duplicate leakage — the eval-hygiene check that
+    dedup ran BEFORE splitting: every MinHash-LSH near-dup pair whose
+    two ends land in DIFFERENT splits (a test document with a training
+    near-twin inflates eval scores exactly like benchmark
+    contamination, but is invisible to ``decontaminate_flags`` because
+    both ends are corpus documents). Empty result = the split is
+    leakage-clean at the near-dup level; each returned pair names the
+    offending documents and their splits so the keeper policy
+    (``canonical_by_quality`` / the manifests' dup_rank) can resolve
+    it.
+
+    Plan: ``dedup_minhash_lsh``'s banded pair generation (ids only,
+    bucket-capped — never all-pairs), then the map-side split column
+    attaches to each pair end via two id-keyed joins (pairs are
+    id-sized but can be a corpus-scale fraction on a duplicate-heavy
+    crawl, so no forced broadcast — AQE decides; the curation_funnel
+    posture). Library op, full DuckDB oracle
+    (``cross_split_leakage_sql``) — the r11 capacity-note class."""
+    from trisk_spark.functions.dedup import dedup_minhash_lsh
+
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    splits = (
+        _docs(spark, sf_dir)
+        .where(F.col("doc_id").isNotNull())
+        .select("doc_id", _split_col().alias("split"))
+    )
+    a = splits.select(
+        F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")
+    )
+    b = splits.select(
+        F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")
+    )
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .where(F.col("split_a") != F.col("split_b"))
+        .select("doc_a", "doc_b", "split_a", "split_b")
+    )
