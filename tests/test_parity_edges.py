@@ -1607,3 +1607,25 @@ def test_cross_split_leakage_parity_and_straddle(spark, hostile_docs, duck):
     assert got == want
     for r in rows:
         assert r.split_a != r.split_b
+
+
+def test_ngram_novelty_parity_and_bounds(spark, hostile_docs, duck):
+    # reference-slice novelty: shuffle-join membership must match the
+    # oracle on hostile (negative ids hit the pmod path; sub-shingle
+    # docs absent) and real corpora; ratios bounded and consistent
+    from trisk_spark.functions.dedup import (
+        NGRAM_NOVELTY_SQL,
+        NOVELTY_REF_MOD,
+        ngram_novelty,
+    )
+
+    sf_dir, con = hostile_docs
+    assert_matches_oracle(ngram_novelty(spark, sf_dir), con, NGRAM_NOVELTY_SQL)
+    sf = "/root/testdata/sf0.001"
+    assert_matches_oracle(ngram_novelty(spark, sf), duck(sf), NGRAM_NOVELTY_SQL)
+    rows = ngram_novelty(spark, sf).collect()
+    assert rows
+    for r in rows:
+        assert r.doc_id % NOVELTY_REF_MOD != 0, "reference docs must be absent"
+        assert 0 <= r.n_novel <= r.n_shingles
+        assert r.novelty == round(r.n_novel / r.n_shingles, 4)

@@ -1239,3 +1239,70 @@ def contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.max("n_shared"), F.lit(0)).cast("bigint").alias("max_shared"),
         F.coalesce(F.sum("n_shared"), F.lit(0)).cast("bigint").alias("total_shared"),
     )
+
+
+# --------------------------- reference novelty (r11) -----------------
+
+#: novelty reference slice — the same doc_id % 10 == 0 stand-in
+#: convention as the LM's reference corpus (text.LM_REF_MOD)
+NOVELTY_REF_MOD = 10
+
+NGRAM_NOVELTY_SQL = f"""
+WITH sh AS ({SHINGLES_SQL}),
+ref AS (
+  SELECT DISTINCT shingle FROM sh
+  WHERE ((doc_id % {NOVELTY_REF_MOD}) + {NOVELTY_REF_MOD}) % {NOVELTY_REF_MOD} = 0
+),
+nonref AS (
+  SELECT doc_id, shingle FROM sh
+  WHERE ((doc_id % {NOVELTY_REF_MOD}) + {NOVELTY_REF_MOD}) % {NOVELTY_REF_MOD} <> 0
+),
+j AS (
+  SELECT n.doc_id,
+    CASE WHEN r.shingle IS NULL THEN 1 ELSE 0 END AS novel
+  FROM nonref n LEFT JOIN ref r ON n.shingle = r.shingle
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+  CAST(SUM(novel) AS BIGINT) AS n_novel,
+  CAST(ROUND(CAST(SUM(novel) AS DOUBLE) / COUNT(*), 4) AS DOUBLE) AS novelty
+FROM j GROUP BY doc_id
+"""
+
+
+def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty vs the reference slice: the
+    fraction of a document's distinct shingles that appear NOWHERE in
+    the reference corpus (doc_id % NOVELTY_REF_MOD == 0 — the same
+    stand-in convention as the LM's reference slice). The
+    data-freshness / memorization proxy: novelty ~0 means the document
+    is re-hashing what the reference already covers; a novelty
+    collapse across an ingest wave means the crawler is re-crawling.
+
+    Plan: the deliberate contrast to ``decontaminate_flags`` — a
+    benchmark set is MBs and BROADCASTS, but a reference slice is a
+    corpus-scale fraction, so the membership test is a SHUFFLE hash
+    join on the 8-byte integer shingle ids (never a broadcast that
+    would fail at 100 TB), followed by a per-doc partial-agg count.
+    Library op, full DuckDB oracle (``NGRAM_NOVELTY_SQL``) — the r11
+    capacity-note class."""
+    docs = table(spark, sf_dir, "documents")
+    sh = shingles(docs)
+    mod = F.pmod(F.col("doc_id"), F.lit(NOVELTY_REF_MOD))
+    ref = sh.where(mod == 0).select("shingle").distinct()
+    nonref = sh.where(mod != 0)
+    j = nonref.join(
+        ref.select("shingle", F.lit(1).alias("_seen")), "shingle", "left"
+    )
+    return j.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_shingles"),
+        F.sum(F.when(F.col("_seen").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_novel"),
+        F.round(
+            F.sum(F.when(F.col("_seen").isNull(), 1).otherwise(0)).cast(
+                "double"
+            )
+            / F.count("*"),
+            4,
+        ).alias("novelty"),
+    )
