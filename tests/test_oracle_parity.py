@@ -68,3 +68,42 @@ def test_runs_and_stable_schema(spark, name):
     sdf = qd.fn(spark, SF_DIR)
     assert sdf.columns
     sdf.collect()  # must execute without error
+
+
+LIBRARY = None  # built lazily: load_library imports the op modules
+
+
+def _library():
+    global LIBRARY
+    if LIBRARY is None:
+        from trisk_spark.registry import load_library
+
+        LIBRARY = load_library()
+    return LIBRARY
+
+
+@pytest.mark.parametrize(
+    "name",
+    sorted(
+        [
+            "budget_trim", "training_plan_budget", "shuffle_shards",
+            "perplexity_buckets", "cross_split_leakage",
+            "canonical_by_quality", "contamination_report",
+            "ngram_novelty", "gopher_rules", "line_dedup",
+        ]
+    ),
+)
+def test_library_matches_duckdb(spark, duck, name):
+    """The library surface (full oracles, awaiting driver seats — the
+    registry's R12 REGISTRATION PLAN) gets the same every-round gate as
+    the registered window: exact DuckDB parity at sf0.001. A library op
+    whose oracle drifts fails here, not at registration time."""
+    qd = _library()[name]
+    assert qd.oracle, name
+    assert_matches_oracle(qd.fn(spark, SF_DIR), duck(SF_DIR), qd.oracle)
+
+
+def test_library_and_registry_are_disjoint():
+    lib = _library()
+    overlap = set(lib) & set(QUERIES)
+    assert not overlap, f"library ops already registered: {sorted(overlap)}"

@@ -104,27 +104,26 @@ def register(name: str, oracle: str | None = None):
 # yet; new r11 surface beyond the two seated registrations ships as
 # library functions with full oracles + pytest gates (the r9
 # sax_store precedent).
-# R12 REGISTRATION PLAN for the eight r11 library ops awaiting seats
-# (budget_trim, training_plan_budget, shuffle_shards,
-# perplexity_buckets, canonical_by_quality, gopher_rules,
-# contamination_report, line_dedup — each already carries a full
-# DuckDB oracle + hostile-corpus parity pytest): invoke the
+# R12 REGISTRATION PLAN for the TEN r11 library ops awaiting seats —
+# the full set lives in ``load_library()`` below (each entry already
+# carries a full DuckDB oracle, hostile-corpus parity pytest, AND the
+# every-round sf0.001 library gate in test_oracle_parity): invoke the
 # permanent-composed-sitter class for FOUR wholly-composed rows —
 # sequence_pack ⊂ pack_plan, train_split ⊂ training_plan,
 # curation_manifest ⊂ curation_manifest_semantic/curation_funnel,
 # source_upsample ⊂ training_plan_over_store — each sits permanently
 # on (a) its composer's in-window hash gate every other round and (b)
 # the every-round test_oracle_parity full-oracle run. Seat arithmetic
-# after the flip: 3 always-in + 5 permanent sitters + (94 − 4 + 8) =
-# 98 alternating over 47 seats — 98 > 2×47, so ALSO register the
-# eight with the four CHEAPEST new rows (gopher_rules, line_dedup,
-# contamination_report, canonical_by_quality — sub-second or
-# kernel-overlapping) declared composed-or-witnessed where true, or
-# stage the registration over r12+r13 (register four per round; each
-# new registration must be IN-window its first round per the new-op
-# policy). The r12 session picks whichever split keeps every
-# freshness invariant; the arithmetic above is the constraint to
-# satisfy, not a prescription.
+# after the flip: 3 always-in + 5 permanent sitters + (94 − 4 + 10) =
+# 100 alternating over 47 seats — 100 > 2×47, so ALSO declare the
+# cheapest kernel-overlapping new rows composed-or-witnessed where
+# true (gopher_rules/line_dedup are map-only scan kernels witnessed by
+# quality_score's class; cross_split_leakage ⊂ dedup_minhash_lsh +
+# train_split), or stage the registration over r12+r13 (register five
+# per round; each new registration must be IN-window its first round
+# per the new-op policy). The r12 session picks whichever split keeps
+# every freshness invariant; the arithmetic above is the constraint
+# to satisfy, not a prescription.
 # Sitting out r11 — every one hash-green in r10 (CORRECTNESS_r10),
 # witness noted:
 DEPRIORITIZED = [
@@ -213,3 +212,57 @@ def load_all() -> dict[str, QueryDef]:
     ordered = {n: q for n, q in REGISTRY.items() if n not in tail}
     ordered.update({n: REGISTRY[n] for n in DEPRIORITIZED if n in REGISTRY})
     return ordered
+
+
+def load_library() -> dict[str, QueryDef]:
+    """The LIBRARY surface: r11 ops with full DuckDB oracles awaiting
+    driver-window seats (the R12 REGISTRATION PLAN above). Shaped
+    exactly like ``load_all()`` entries — same (spark, sf_dir) →
+    DataFrame contract, same prepare() wrapping, oracle attached — so
+    registering one is moving it into a ``@register`` decorator and a
+    seat. NOT exposed through ``__spark_entry__.queries()``; gated
+    every round by tests/test_oracle_parity.py's library pass
+    instead."""
+    from trisk_spark.functions import dedup, sampling, text
+
+    entries: dict[str, tuple] = {
+        "budget_trim": (sampling.budget_trim, sampling.BUDGET_TRIM_SQL),
+        "training_plan_budget": (
+            sampling.training_plan_budget,
+            sampling.training_plan_budget_sql(),
+        ),
+        "shuffle_shards": (sampling.shuffle_shards, sampling.SHUFFLE_SHARDS_SQL),
+        "perplexity_buckets": (
+            sampling.perplexity_buckets,
+            sampling.ppl_buckets_sql(),
+        ),
+        "cross_split_leakage": (
+            sampling.cross_split_leakage,
+            sampling.cross_split_leakage_sql(),
+        ),
+        "canonical_by_quality": (
+            dedup.canonical_by_quality,
+            dedup._canonical_sql(),
+        ),
+        "contamination_report": (
+            dedup.contamination_report,
+            dedup._contamination_report_sql(),
+        ),
+        "ngram_novelty": (dedup.ngram_novelty, dedup.NGRAM_NOVELTY_SQL),
+        "gopher_rules": (text.gopher_rules, text.GOPHER_RULES_SQL),
+        "line_dedup": (text.line_dedup, text.LINE_DEDUP_SQL),
+    }
+
+    def wrap(fn):
+        def wrapped(spark: SparkSession, sf_dir: str, *a, **kw) -> DataFrame:
+            prepare(spark)
+            return fn(spark, sf_dir, *a, **kw)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        return wrapped
+
+    return {
+        n: QueryDef(n, wrap(fn), sql, fn.__doc__ or "")
+        for n, (fn, sql) in entries.items()
+    }
