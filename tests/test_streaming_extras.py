@@ -2506,3 +2506,26 @@ def test_ppl_bucket_stream_skips_sub_bigram_docs(spark, tmp_path):
     q.awaitTermination()
     got = {r.doc_id: r.bucket for r in emitted}
     assert got == batch
+
+
+def test_gopher_rules_stream_equals_batch(spark):
+    """gopher_rules is pure column expressions, so the identical plan
+    runs under Structured Streaming — the rule gate applies at ingest
+    (same proof shape as quantize_int8/line_dedup)."""
+    from trisk_spark.functions.text import gopher_rules, gopher_rules_frame
+
+    stream = replay_stream(spark, SF, "documents", n_chunks=4, order_col="doc_id")
+    emitted = []
+    q = (
+        gopher_rules_frame(stream.where(F.col("doc_id").isNotNull()))
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda bdf, bid: emitted.extend(bdf.collect()))
+        .option("checkpointLocation", checkpoint_dir("gopherstream"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r.doc_id: tuple(r)[1:] for r in emitted}
+    want = {r.doc_id: tuple(r)[1:] for r in gopher_rules(spark, SF).collect()}
+    assert got == want
+    assert len(got) == len(emitted), "a doc_id emitted twice"

@@ -1093,7 +1093,15 @@ def gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     unrounded exact int-ratio doubles, the displayed ratios round to
     the house 4-decimal grid. Library op, full DuckDB oracle
     (``GOPHER_RULES_SQL``) — the r11 capacity-note class."""
-    docs = table(spark, sf_dir, "documents").where(F.col("doc_id").isNotNull())
+    return gopher_rules_frame(
+        table(spark, sf_dir, "documents").where(F.col("doc_id").isNotNull())
+    )
+
+
+def gopher_rules_frame(docs: DataFrame) -> DataFrame:
+    """The Gopher-rule core over any (doc_id, text) frame — pure column
+    expressions, so the identical plan runs under Structured Streaming
+    (stream≡batch pytest-pinned, the quantize_int8 proof shape)."""
     t = F.coalesce(F.col("text"), F.lit(""))
     ws = F.filter(F.split(t, " "), lambda w: w != "")
     ls = F.filter(F.split(t, "\n"), lambda line: line != "")
