@@ -1629,3 +1629,47 @@ def test_ngram_novelty_parity_and_bounds(spark, hostile_docs, duck):
         assert r.doc_id % NOVELTY_REF_MOD != 0, "reference docs must be absent"
         assert 0 <= r.n_novel <= r.n_shingles
         assert r.novelty == round(r.n_novel / r.n_shingles, 4)
+
+
+def test_source_divergence_parity_and_drift(spark, hostile_docs, duck, tmp_path):
+    # per-source KL vs corpus: hostile parity (NULL-source group rides
+    # the null-safe joins), plus a crafted corpus where one source is
+    # plainly off-distribution and must dominate the ranking
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from trisk_spark.functions.sampling import (
+        SOURCE_DIVERGENCE_SQL,
+        source_divergence,
+    )
+
+    sf_dir, con = hostile_docs
+    assert_matches_oracle(
+        source_divergence(spark, sf_dir), con, SOURCE_DIVERGENCE_SQL
+    )
+    sf = "/root/testdata/sf0.001"
+    assert_matches_oracle(source_divergence(spark, sf), duck(sf), SOURCE_DIVERGENCE_SQL)
+    for r in source_divergence(spark, sf).collect():
+        # KL >= 0 up to the 1e-6 grid rounding (per-term round + floor)
+        assert r.kl_divergence >= -2e-6, r
+
+    on_dist = "the quick brown fox jumps of and over the lazy dog"
+    crafted = {
+        "doc_id": list(range(8)),
+        "text": [on_dist] * 6 + ["zz qq xx vv kk jj ww yy"] * 2,
+        "lang": ["en"] * 8,
+        "source": ["a", "a", "a", "b", "b", "b", "weird", "weird"],
+        "n_chars": [1] * 8,
+    }
+    pq.write_table(pa.table(crafted), tmp_path / "documents.parquet")
+    con2 = duckdb.connect()
+    con2.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    sdf = source_divergence(spark, str(tmp_path))
+    assert_matches_oracle(sdf, con2, SOURCE_DIVERGENCE_SQL)
+    kl = {r.source: r.kl_divergence for r in sdf.collect()}
+    assert kl["weird"] > kl["a"] and kl["weird"] > kl["b"]
+    assert kl["weird"] > 0.5  # plainly off-distribution

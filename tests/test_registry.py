@@ -127,7 +127,7 @@ def test_readme_op_table_names_are_registered():
         "ppl_cutoffs", "canonical_by_quality", "gopher_rules",
         "contamination_report", "line_dedup", "line_dedup_frame", "passes",
         "cross_split_leakage", "cross_split_leakage_sql",
-        "ngram_novelty", "gopher_rules_frame",
+        "ngram_novelty", "gopher_rules_frame", "source_divergence",
     }
     missing = {
         c for c in cited

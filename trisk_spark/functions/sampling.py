@@ -1795,3 +1795,110 @@ def cross_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("split_a") != F.col("split_b"))
         .select("doc_a", "doc_b", "split_a", "split_b")
     )
+
+
+# ----------------------- per-source distribution drift (r11) ---------
+
+# Data-mixture analysis: KL(source ‖ corpus) over lowercased unigram
+# distributions — the signal that a source drifted off-distribution
+# (an ingest wave of boilerplate, a language flip, a scraper bug)
+# BEFORE it perturbs the trained mixture. Exactness: each word's
+# ln((c_sw/N_s)/(c_w/N)) is ln of a double built from exact integer
+# counts by three correctly-rounded IEEE ops (identical on both
+# engines), ROUNDed to the 1e-6 grid and summed weighted by the exact
+# INTEGER count c_sw as DECIMAL (order-free); the per-source mean then
+# floors onto the grid exactly like lm_score. The bigint grid sum is
+# safe while N_s·|ln-term|·1e6 < 2^63 — ~3·10^11 tokens per source at
+# |ln| ≤ 30, beyond any single real source; past that widen to a
+# DECIMAL(38) grid.
+
+SOURCE_DIVERGENCE_SQL = """
+WITH toks AS (
+  SELECT source, unnest(list_filter(
+    string_split(lower(coalesce(text, '')), ' '), w -> w <> '')) AS w
+  FROM documents WHERE doc_id IS NOT NULL
+),
+sw AS (SELECT source, w, COUNT(*) AS c_sw FROM toks GROUP BY source, w),
+cw AS (SELECT w, SUM(c_sw) AS c_w FROM sw GROUP BY w),
+ns AS (SELECT source, SUM(c_sw) AS n_s FROM sw GROUP BY source),
+n AS (SELECT SUM(c_sw) AS n FROM sw),
+terms AS (
+  SELECT sw.source, sw.c_sw,
+    CAST(ROUND(LN((CAST(sw.c_sw AS DOUBLE) / ns.n_s)
+                  / (CAST(cw.c_w AS DOUBLE) / n.n)), 6)
+         AS DECIMAL(18, 6)) AS lr
+  FROM sw
+  JOIN cw ON sw.w = cw.w
+  JOIN ns ON sw.source IS NOT DISTINCT FROM ns.source
+  CROSS JOIN n
+),
+agg AS (
+  SELECT source,
+    CAST(SUM(c_sw) AS BIGINT) AS n_tokens,
+    CAST(COUNT(*) AS BIGINT) AS vocab,
+    CAST(SUM(c_sw * lr) * 1000000 AS BIGINT) AS mu
+  FROM terms GROUP BY source
+)
+SELECT source, n_tokens, vocab,
+  CAST((mu - (((mu % n_tokens) + n_tokens) % n_tokens)) // n_tokens
+       AS DOUBLE) / 1000000.0 AS kl_divergence
+FROM agg
+"""
+
+
+def source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram KL divergence from the corpus distribution —
+    KL(source ‖ corpus) = Σ_w (c_sw/N_s)·ln((c_sw/N_s)/(c_w/N)) on the
+    exact 1e-6 grid (see the exactness note above). The data-mixture
+    drift monitor: a source whose KL jumps between ingest waves went
+    off-distribution and gets inspected before ``source_mix_sample`` /
+    ``training_plan`` bake it into a run.
+
+    Plan: one token explode → (source, word) partial-agg counts (the
+    one corpus-sized shuffle); corpus word counts derive from that
+    vocabulary-sized table (no second corpus scan); the word-keyed
+    join of the two count tables is a SHUFFLE hash join (a 100 TB
+    vocabulary is far past broadcast range) while the per-source and
+    corpus totals are source-cardinality/1-row broadcasts; the final
+    per-source aggregate is partial-aggregatable decimal arithmetic.
+    Library op, full DuckDB oracle (``SOURCE_DIVERGENCE_SQL``) — the
+    r11 capacity-note class."""
+    from trisk_spark.functions.text import _lm_tokens
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("source", F.explode(_lm_tokens()).alias("w"))
+    sw = toks.groupBy("source", "w").agg(F.count("*").alias("c_sw"))
+    cw = sw.groupBy("w").agg(F.sum("c_sw").alias("c_w"))
+    ns = sw.groupBy("source").agg(F.sum("c_sw").alias("n_s"))
+    n = sw.agg(F.sum("c_sw").alias("n"))
+    lr = F.round(
+        F.log(
+            (F.col("c_sw").cast("double") / F.col("n_s"))
+            / (F.col("c_w").cast("double") / F.col("n"))
+        ),
+        6,
+    ).cast("decimal(18,6)")
+    terms = (
+        sw.join(cw, "w")
+        .join(
+            F.broadcast(ns.select(F.col("source").alias("_s"), "n_s")),
+            sw["source"].eqNullSafe(F.col("_s")),
+        )
+        .crossJoin(F.broadcast(n))
+        .select(sw["source"].alias("source"), "c_sw", lr.alias("lr"))
+    )
+    agg = terms.groupBy("source").agg(
+        F.sum("c_sw").cast("bigint").alias("n_tokens"),
+        F.count("*").cast("bigint").alias("vocab"),
+        (F.sum(F.col("c_sw") * F.col("lr")) * 1000000)
+        .cast("bigint")
+        .alias("mu"),
+    )
+    nt = F.col("n_tokens")
+    r = ((F.col("mu") % nt) + nt) % nt
+    return agg.select(
+        "source",
+        "n_tokens",
+        "vocab",
+        (((F.col("mu") - r) / nt) / F.lit(1000000.0)).alias("kl_divergence"),
+    )
