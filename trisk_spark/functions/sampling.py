@@ -1867,7 +1867,17 @@ def source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     toks = docs.select("source", F.explode(_lm_tokens()).alias("w"))
-    sw = toks.groupBy("source", "w").agg(F.count("*").alias("c_sw"))
+    # localCheckpoint materializes the (source, word) count table ONCE:
+    # four consumers (corpus counts, per-source totals, the grand
+    # total, and the scoring join) would otherwise each replay the
+    # corpus explode (exchange reuse does not fire across AQE stages —
+    # the jaccard_pairs precedent). The table is vocabulary×source-
+    # sized — far smaller than the corpus it summarizes.
+    sw = (
+        toks.groupBy("source", "w")
+        .agg(F.count("*").alias("c_sw"))
+        .localCheckpoint()
+    )
     cw = sw.groupBy("w").agg(F.sum("c_sw").alias("c_w"))
     ns = sw.groupBy("source").agg(F.sum("c_sw").alias("n_s"))
     n = sw.agg(F.sum("c_sw").alias("n"))
