@@ -1158,7 +1158,12 @@ def canonical_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = docs.select(
         "doc_id", quality_expr(F.col("text")).alias("q")
     ).where(F.size(ws) >= 1)
-    m = comp.join(scored, "doc_id")
+    # localCheckpoint materializes the (id, component, q) members ONCE:
+    # the argmax aggregate and the final member join both consume it,
+    # and without the barrier each side replays the quality scan + the
+    # id join (exchange reuse does not fire across AQE stages — the
+    # jaccard_pairs precedent). Clustered-member-sized narrow rows.
+    m = comp.join(scored, "doc_id").localCheckpoint()
     # struct max = (q DESC, doc_id ASC): lexicographic max picks the
     # best q, then the LARGEST -doc_id = smallest doc_id on ties
     best = (
