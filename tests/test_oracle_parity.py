@@ -90,7 +90,7 @@ def _library():
             "perplexity_buckets", "cross_split_leakage",
             "canonical_by_quality", "contamination_report",
             "ngram_novelty", "gopher_rules", "line_dedup",
-            "source_divergence",
+            "source_divergence", "minhash_jaccard_estimate",
         ]
     ),
 )

@@ -1673,3 +1673,32 @@ def test_source_divergence_parity_and_drift(spark, hostile_docs, duck, tmp_path)
     kl = {r.source: r.kl_divergence for r in sdf.collect()}
     assert kl["weird"] > kl["a"] and kl["weird"] > kl["b"]
     assert kl["weird"] > 0.5  # plainly off-distribution
+
+
+def test_minhash_estimate_parity_and_band_floor(spark, hostile_docs, duck):
+    # signature-agreement estimator: oracle parity, pair set identical
+    # to the registered candidate op, and every candidate agrees on at
+    # least one full band (that's what made it a candidate)
+    from trisk_spark.functions.dedup import (
+        N_PERMS,
+        ROWS_PER_BAND,
+        _minhash_estimate_sql,
+        dedup_minhash_lsh,
+        minhash_jaccard_estimate,
+    )
+
+    sf_dir, con = hostile_docs
+    assert_matches_oracle(
+        minhash_jaccard_estimate(spark, sf_dir), con, _minhash_estimate_sql()
+    )
+    sf = "/root/testdata/sf0.001"
+    assert_matches_oracle(
+        minhash_jaccard_estimate(spark, sf), duck(sf), _minhash_estimate_sql()
+    )
+    rows = minhash_jaccard_estimate(spark, sf).collect()
+    assert rows
+    cand = {(r.doc_a, r.doc_b) for r in dedup_minhash_lsh(spark, sf).collect()}
+    assert {(r.doc_a, r.doc_b) for r in rows} == cand
+    for r in rows:
+        assert ROWS_PER_BAND <= r.n_agree <= N_PERMS, r
+        assert r.est_jaccard == round(r.n_agree / N_PERMS, 4)

@@ -128,6 +128,7 @@ def test_readme_op_table_names_are_registered():
         "contamination_report", "line_dedup", "line_dedup_frame", "passes",
         "cross_split_leakage", "cross_split_leakage_sql",
         "ngram_novelty", "gopher_rules_frame", "source_divergence",
+        "minhash_jaccard_estimate",
     }
     missing = {
         c for c in cited

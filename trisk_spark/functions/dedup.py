@@ -271,7 +271,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
     """Core MinHash+LSH candidate-pair pipeline over any (doc_id, text)
     DataFrame — see dedup_minhash_lsh for the plan discussion."""
-    sig = minhash_signatures(docs)
+    return _pairs_from_signatures(minhash_signatures(docs))
+
+
+def _pairs_from_signatures(sig: DataFrame) -> DataFrame:
+    """Banding + capped in-bucket pair generation over a precomputed
+    signature frame — the post-signature half of ``minhash_lsh_pairs``,
+    shared with ``minhash_jaccard_estimate`` (which checkpoints the
+    signatures so pairs and the agreement join read them once)."""
     bands = sig.select(
         "doc_id",
         F.explode(
@@ -1310,4 +1317,82 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count("*"),
             4,
         ).alias("novelty"),
+    )
+
+
+# ---------------------- MinHash Jaccard estimation (r11) -------------
+
+def _minhash_estimate_sql() -> str:
+    """DuckDB oracle for ``minhash_jaccard_estimate``: the LSH pair CTE
+    + both signatures re-derived + the per-permutation agreement
+    count."""
+    matches = " + ".join(
+        f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END"
+        for i in range(N_PERMS)
+    )
+    return f"""
+WITH sh AS ({SHINGLES_SQL}),
+xs AS (SELECT doc_id, {_XM_SQL} AS xm FROM sh),
+sig AS (SELECT doc_id, {_SIG_COLS_SQL} FROM xs GROUP BY doc_id),
+bands AS (SELECT doc_id, {_BAND_COLS_SQL} FROM sig),
+{_CAPPED_SQL.format(cap=BUCKET_CAP)},
+cand AS (
+  {" UNION ALL ".join(
+    f"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM capped{b} a JOIN capped{b} b "
+    f"ON a.band{b} = b.band{b} AND a.doc_id < b.doc_id"
+    for b in range(N_BANDS)
+  )}
+),
+pairs AS (SELECT DISTINCT doc_a, doc_b FROM cand)
+SELECT p.doc_a, p.doc_b,
+  CAST({matches} AS BIGINT) AS n_agree,
+  CAST(ROUND(CAST({matches} AS DOUBLE) / {N_PERMS}, 4) AS DOUBLE)
+    AS est_jaccard
+FROM pairs p
+JOIN sig sa ON p.doc_a = sa.doc_id
+JOIN sig sb ON p.doc_b = sb.doc_id
+"""
+
+
+def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signature-agreement Jaccard estimate for every MinHash-LSH
+    candidate pair: est = (# permutations where min-hashes agree) /
+    N_PERMS — the textbook unbiased estimator (E[agree] = J). The
+    cheap ranking stage between banding and the exact shingle
+    verification (``ngram_jaccard``): at 100 TB you estimate from the
+    12-integer signatures you already built and reserve the exact
+    intersection join for pairs the estimate can't separate.
+
+    Plan: the signature pipeline runs ONCE (it already feeds the
+    banding); the estimate adds two id-keyed joins of the
+    candidate-pair list against the signature table (ids +
+    N_PERMS×8 bytes — narrow rows, AQE decides the join strategy) and
+    a purely map-side agreement count. Integer equality only — no
+    float hazard; est_jaccard is an exact small-rational double.
+    Library op, full DuckDB oracle (``_minhash_estimate_sql``) — the
+    r11 capacity-note class."""
+    docs = table(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs).localCheckpoint()
+    pairs = _pairs_from_signatures(sig)
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"h{i}").alias(f"a{i}") for i in range(N_PERMS)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"h{i}").alias(f"b{i}") for i in range(N_PERMS)],
+    )
+    agree = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(N_PERMS)
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            agree.cast("bigint").alias("n_agree"),
+            F.round(agree.cast("double") / N_PERMS, 4).alias("est_jaccard"),
+        )
     )
