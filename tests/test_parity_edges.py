@@ -1702,3 +1702,71 @@ def test_minhash_estimate_parity_and_band_floor(spark, hostile_docs, duck):
     for r in rows:
         assert ROWS_PER_BAND <= r.n_agree <= N_PERMS, r
         assert r.est_jaccard == round(r.n_agree / N_PERMS, 4)
+
+
+def test_bm25_parity_hostile_and_crafted_saturation(spark, hostile_docs, duck, tmp_path):
+    # BM25 retrieval: hostile corpus (zero seed-term hits → both
+    # engines must agree on the empty result), sf0.001, and a crafted
+    # corpus that exercises tf saturation, length normalization, and
+    # the (score, doc_id) tie-break — shapes the synthetic corpus
+    # can't isolate
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from trisk_spark.functions.text import (
+        BM25_QUERIES,
+        BM25_TOP_DOCS_SQL,
+        BM25_TOP_K,
+        bm25_top_docs,
+    )
+
+    sf_dir, con = hostile_docs
+    assert_matches_oracle(bm25_top_docs(spark, sf_dir), con, BM25_TOP_DOCS_SQL)
+    sf = "/root/testdata/sf0.001"
+    assert_matches_oracle(bm25_top_docs(spark, sf), duck(sf), BM25_TOP_DOCS_SQL)
+
+    pad = "filler words only " * 40  # no seed terms
+    crafted = {
+        "doc_id": [1, 2, 3, 4, 5, 6],
+        "text": [
+            "spark stream window",            # all 3 terms of query 1, short
+            "spark " * 10,                     # tf=10 single term, dl=10
+            "spark",                           # tf=1 single term, dl=1
+            "spark " * 10 + pad,               # tf=10 but LONG: length-normalized down
+            "spark stream window",             # exact duplicate of doc 1: score tie
+            None,                              # counts toward N/avgdl only
+        ],
+        "lang": ["en"] * 6,
+        "source": ["c"] * 6,
+        "n_chars": [0] * 6,
+    }
+    pq.write_table(pa.table(crafted), tmp_path / "documents.parquet")
+    con2 = duckdb.connect()
+    con2.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    sdf = bm25_top_docs(spark, str(tmp_path))
+    assert_matches_oracle(sdf, con2, BM25_TOP_DOCS_SQL)
+    rows = sorted(
+        (r for r in sdf.collect() if r.query_id == 1),
+        key=lambda r: r.rank,
+    )
+    assert len(rows) <= BM25_TOP_K
+    by_doc = {r.doc_id: r for r in rows}
+    # 3-term match outranks every single-term doc
+    assert rows[0].doc_id in (1, 5) and rows[0].n_terms == 3
+    # identical docs score identically; tie breaks on doc_id
+    assert by_doc[1].score == by_doc[5].score
+    assert by_doc[1].rank < by_doc[5].rank
+    # tf saturation: tf=10 beats tf=1 at comparable length, but not 10×
+    assert by_doc[2].score > by_doc[3].score
+    k1 = 1.2
+    assert by_doc[2].score < by_doc[3].score * (k1 + 1)
+    # length normalization: same tf, longer doc scores lower
+    assert by_doc[2].score > by_doc[4].score
+    # every emitted term count is within the query's arity
+    for r in sdf.collect():
+        assert 1 <= r.n_terms <= max(len(t) for t in BM25_QUERIES.values())
+        assert r.score > 0

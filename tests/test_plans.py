@@ -856,3 +856,31 @@ def test_canonical_by_quality_argmax_has_no_component_sort(spark):
     for m in re.finditer(r"^\(\d+\) Window", plan, re.M):
         seg = plan[m.start():m.start() + 400]
         assert "component" not in seg, seg
+
+
+def test_bm25_top_docs_filters_in_row_and_broadcasts_models(spark):
+    # the token array must be filtered IN-ROW against the literal
+    # seed-term set before the explode (no join, no shuffle for the
+    # filter — non-hit tokens never leave their row); df and the query
+    # expansion attach by broadcast; the 1-row corpus stats by
+    # broadcast nested-loop; the tf aggregate must partial-agg
+    import io
+    from contextlib import redirect_stdout
+
+    from trisk_spark.functions.text import bm25_top_docs
+
+    with no_auto_broadcast(spark):
+        df = bm25_top_docs(spark, SF_DIR)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+    assert "SortMergeJoin" not in plan, plan
+    # the seed filter is an in-row lambda compiled to a set probe
+    # (INSET), not a join
+    assert "filter(" in plan and "INSET" in plan, plan
+    # df join + query expansion join
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    # 1-row corpus stats cross join
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "partial_count" in plan, "tf aggregate lost map-side combine"

@@ -1252,3 +1252,204 @@ def line_dedup_frame(docs: DataFrame) -> DataFrame:
         .cast("bigint")
         .alias("n_removed"),
     )
+
+
+# ----------------------- BM25 lexical retrieval (r11) ----------------
+
+# Sparse/lexical counterpart to the dense ANN family (similarity.py):
+# rank documents against a fixed seed-query set with BM25 (Robertson &
+# Zaragoza 2009, the Lucene idf variant). The curation use case is
+# targeted domain mining — "find the corpus documents most like these
+# seed queries" — which a real pipeline runs next to embedding KNN
+# (e.g. DSIR-style importance selection seeds). Reference parity: the
+# reference's retrieval surface is dense-only, so this is a
+# beyond-reference op in the similarity-search family.
+#
+# Float determinism (the house contract, cf. the bigram-LM comment):
+# BM25 with k1 = 6/5 and b = 3/4 is arranged so BOTH factors of each
+# per-term contribution are functions of exact BIGINTs —
+#   idf  = ln((2N + 2) / (2·df + 1))          [Lucene: ln(1 + (N - df + .5)/(df + .5))]
+#   sat  = 44·tf·T / (20·tf·T + 6·T + 18·dl·N) [tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl)),
+#                                               avgdl = T/N, scaled by 20·T]
+# so each engine performs ONE correctly-rounded int→double conversion
+# per operand and ONE IEEE division per factor; the only cross-engine
+# wobble is ln's last ulp, collapsed by the house ROUND(·, 6) →
+# DECIMAL(18,6) → exact order-free SUM pattern. BIGINT bound:
+# 20·tf·T must stay under 2^63 — tf·T < 4.6e17, i.e. safe past a
+# 10-trillion-token corpus for any sane per-doc term frequency.
+BM25_TOP_K = 5
+BM25_QUERIES: dict[int, tuple[str, ...]] = {
+    1: ("spark", "stream", "window"),
+    2: ("join", "merge", "sort"),
+    3: ("customer", "order", "table"),
+    4: ("fast", "slow", "batch", "scan"),
+}
+
+
+def _bm25_sql() -> str:
+    vals = ", ".join(
+        f"({qid}, '{t}')" for qid, ts in sorted(BM25_QUERIES.items()) for t in ts
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+    list_filter(string_split(lower(coalesce(text, '')), ' '), w -> w <> '') AS t
+  FROM documents WHERE doc_id IS NOT NULL
+),
+stats AS (SELECT COUNT(*) AS n_docs, SUM(len(t)) AS total_len FROM base),
+queries(query_id, term) AS (VALUES {vals}),
+toks AS (SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM base),
+tf AS (
+  SELECT doc_id, term, dl, COUNT(*) AS tf FROM toks
+  WHERE term IN (SELECT DISTINCT term FROM queries)
+  GROUP BY doc_id, term, dl
+),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+    CAST(ROUND(
+      LN(CAST(2 * s.n_docs + 2 AS DOUBLE) / CAST(2 * df.df + 1 AS DOUBLE))
+      * (CAST(44 * tf.tf * s.total_len AS DOUBLE)
+         / CAST(20 * tf.tf * s.total_len + 6 * s.total_len
+                + 18 * tf.dl * s.n_docs AS DOUBLE)), 6)
+      AS DECIMAL(18, 6)) AS contrib
+  FROM tf
+  JOIN df ON tf.term = df.term
+  JOIN queries q ON tf.term = q.term
+  CROSS JOIN stats s
+),
+pair AS (
+  SELECT query_id, doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+    SUM(contrib) AS s
+  FROM scored GROUP BY query_id, doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, n_terms, s,
+    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY s DESC, doc_id) AS rank
+  FROM pair
+)
+SELECT CAST(query_id AS INT) AS query_id, doc_id, n_terms,
+  CAST(s AS DOUBLE) AS score, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {BM25_TOP_K}
+"""
+
+
+BM25_TOP_DOCS_SQL = _bm25_sql()
+
+
+def bm25_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-BM25_TOP_K documents per seed query under BM25 (k1 = 1.2,
+    b = 0.75, Lucene idf) — lexical retrieval for targeted domain
+    mining, the sparse twin of ``knn_bruteforce``'s dense top-k.
+
+    Plan: the token array is FILTERED IN-ROW against the literal
+    seed-term set (a compile-time constant — no join at all) before the
+    explode, so the explode emits and the (doc, term) tf aggregate
+    shuffles only seed-term HITS — at 100 TB the shuffle is hits-sized,
+    not corpus-sized, and the non-hit tokens never leave their row. df
+    aggregates the tf table (seed-term cardinality, tiny); df / query
+    expansion / corpus stats all reach the scoring rows by BROADCAST
+    (plan-pinned). The corpus-stats pass
+    (N docs, total tokens) is a second column-pruned scan of `text`
+    that partial-aggregates to ONE row — at scale it is a write-once
+    corpus asset, like the bigram LM's count tables. The per-query
+    top-k ranks a pair-sized table over a BM25_QUERIES-sized key space.
+    Library op, full DuckDB oracle (``BM25_TOP_DOCS_SQL``) — the r11
+    capacity-note class."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents").where(F.col("doc_id").isNotNull())
+    pair = bm25_pair_scores(spark, docs)
+    w = Window.partitionBy("query_id").orderBy(F.desc("s"), "doc_id")
+    return (
+        pair.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= BM25_TOP_K)
+        .select(
+            F.col("query_id").cast("int").alias("query_id"),
+            "doc_id", "n_terms",
+            F.col("s").cast("double").alias("score"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def bm25_pair_scores(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """The relational BM25 scoring stage over any (doc_id, text) frame:
+    (query_id, doc_id, n_terms, s DECIMAL) for every document holding
+    at least one seed term — ``bm25_top_docs`` ranks this;
+    ``streaming.queries.bm25_score_stream``'s in-row kernel is
+    stream≡batch pytest-pinned against it."""
+    qterms = spark.createDataFrame(
+        [(qid, t) for qid, ts in sorted(BM25_QUERIES.items()) for t in ts],
+        "query_id int, term string",
+    )
+    seed_terms = sorted({t for ts in BM25_QUERIES.values() for t in ts})
+
+    stats = docs.select(F.size(_lm_tokens()).alias("dl")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("dl").cast("bigint")).alias("total_len"),
+    )
+    toks = docs.select(
+        "doc_id",
+        F.size(_lm_tokens()).alias("dl"),
+        F.explode(
+            F.filter(_lm_tokens(), lambda w: w.isin(*seed_terms))
+        ).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term", "dl").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+
+    n, t_len, tfc, dfc, dl = (
+        F.col("n_docs"), F.col("total_len"),
+        F.col("tf"), F.col("df"), F.col("dl").cast("bigint"),
+    )
+    idf = F.log(
+        (F.lit(2) * n + F.lit(2)).cast("double")
+        / (F.lit(2) * dfc + F.lit(1)).cast("double")
+    )
+    sat = (F.lit(44) * tfc * t_len).cast("double") / (
+        F.lit(20) * tfc * t_len + F.lit(6) * t_len + F.lit(18) * dl * n
+    ).cast("double")
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(F.broadcast(qterms), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id", "doc_id",
+            F.round(idf * sat, 6).cast("decimal(18,6)").alias("contrib"),
+        )
+    )
+    return scored.groupBy("query_id", "doc_id").agg(
+        F.count("*").cast("bigint").alias("n_terms"),
+        F.sum("contrib").alias("s"),
+    )
+
+
+def bm25_model(spark: SparkSession, sf_dir: str) -> tuple[dict, int, int]:
+    """Train the BM25 scoring model from a reference corpus: the
+    seed-term document frequencies plus (N docs, total tokens) — the
+    write-once broadcast asset a streaming deployment scores against
+    (``bm25_score_stream``). Both collects are bounded: df has at most
+    |seed terms| rows, the stats row is 1."""
+    docs = table(spark, sf_dir, "documents").where(F.col("doc_id").isNotNull())
+    seed_terms = sorted({t for ts in BM25_QUERIES.values() for t in ts})
+    stats = docs.select(F.size(_lm_tokens()).alias("dl")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("dl").cast("bigint")).alias("total_len"),
+    ).collect()[0]
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(_lm_tokens(), lambda w: w.isin(*seed_terms))
+        ).alias("term"),
+    )
+    df_rows = (
+        toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+        .groupBy("term").agg(F.count("*").alias("df"))
+        .collect()
+    )
+    return (
+        {r["term"]: int(r["df"]) for r in df_rows},
+        int(stats["n_docs"]),
+        int(stats["total_len"] or 0),
+    )
