@@ -129,7 +129,8 @@ def test_readme_op_table_names_are_registered():
         "cross_split_leakage", "cross_split_leakage_sql",
         "ngram_novelty", "gopher_rules_frame", "source_divergence",
         "minhash_jaccard_estimate",
-        "bm25_top_docs", "bm25_top_docs_sql",
+        "bm25_top_docs", "bm25_top_docs_sql", "bm25_score_stream",
+        "bm25_model", "bm25_pair_scores",
     }
     missing = {
         c for c in cited

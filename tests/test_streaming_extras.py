@@ -2529,3 +2529,65 @@ def test_gopher_rules_stream_equals_batch(spark):
     want = {r.doc_id: tuple(r)[1:] for r in gopher_rules(spark, SF).collect()}
     assert got == want
     assert len(got) == len(emitted), "a doc_id emitted twice"
+
+
+def test_bm25_score_stream_equals_batch_pair_scores(spark):
+    """Streaming BM25: the in-row tf/score kernel over a same-corpus
+    replay must equal the batch relational path (explode + groupBy +
+    broadcast joins) document-for-document — same model, same exact
+    contribution arithmetic by construction."""
+    from trisk_spark.catalog import table as _table
+    from trisk_spark.functions.text import bm25_pair_scores
+    from trisk_spark.streaming.queries import bm25_score_stream, run_bounded
+
+    stream = replay_stream(spark, SF, "documents", n_chunks=3, order_col="doc_id")
+    emitted = run_bounded(
+        bm25_score_stream(stream, spark, SF),
+        checkpoint_dir("bm25stream"),
+        mode="append",
+    )
+    got = sorted((r.doc_id, r.query_id, r.n_terms, r.score) for _, r in emitted)
+    batch = bm25_pair_scores(
+        spark, _table(spark, SF, "documents").where(F.col("doc_id").isNotNull())
+    )
+    want = sorted(
+        (r.doc_id, r.query_id, r.n_terms, float(r.s))
+        for r in batch.collect()
+    )
+    assert len(got) > 0 and got == want
+
+
+def test_bm25_score_stream_skips_terms_absent_from_model(spark, tmp_path):
+    """A seed term the reference corpus never saw must be skipped on
+    arriving documents (no df row → conservative skip, mirroring the
+    batch inner join) while in-model terms still score."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from trisk_spark.streaming.queries import bm25_score_stream, run_bounded
+
+    # reference corpus: holds 'spark' and 'stream' but NO 'window'
+    ref = {
+        "doc_id": [1, 2],
+        "text": ["spark stream spark", "spark words here"],
+        "lang": ["en"] * 2,
+        "source": ["f"] * 2,
+        "n_chars": [18, 16],
+    }
+    pq.write_table(pa.table(ref), tmp_path / "documents.parquet")
+    from trisk_spark.functions.text import bm25_model
+
+    model = bm25_model(spark, str(tmp_path))
+    assert "window" not in model[0] and "spark" in model[0]
+
+    arriving = spark.createDataFrame(
+        [(10, "window window window spark", "en", "f", 26)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    scored = {
+        (r.doc_id, r.query_id): r
+        for r in bm25_score_stream(arriving, spark, str(tmp_path), model=model).collect()
+    }
+    # query 1 = (spark, stream, window): only 'spark' can contribute
+    r = scored[(10, 1)]
+    assert r.n_terms == 1 and r.score > 0

@@ -1052,3 +1052,87 @@ def ppl_bucket_stream(
         .otherwise(F.lit("tail"))
     )
     return j.select("doc_id", "lang", "lm_score", bucket.alias("bucket"))
+
+
+def bm25_score_stream(
+    docs: DataFrame, spark, ref_sf_dir: str, model=None
+) -> DataFrame:
+    """Streaming BM25 scoring — score ARRIVING documents against every
+    seed query under the df / corpus-stats model trained once from the
+    reference corpus (``text.bm25_model``, the write-once retrieval
+    asset): emits (doc_id, query_id, n_terms, score) per arriving
+    document per matching query, the streaming twin of the library
+    ``bm25_top_docs``.
+
+    Where the batch path explodes seed-term hits and joins df / stats
+    back broadcast, the stream computes every per-term tf IN-ROW
+    (size of a token-equality filter) and folds the contribution sum
+    per query inside the row — the seed-term and query sets are
+    compile-time constants, df and (N, T) are literals baked into the
+    expression, so scoring is stateless, append-mode, ZERO shuffle and
+    no join at all. Contribution arithmetic is the batch expression
+    verbatim (same exact-BIGINT idf/saturation operands, same
+    ROUND(·,6) → DECIMAL) so stream≡batch holds document-for-document
+    on a same-corpus replay (pytest-pinned against
+    ``bm25_pair_scores``). The global per-query top-k RANK is
+    batch-only by design — a stream never holds the full corpus; the
+    deployment pairs this scorer with a downstream windowed top-k or
+    threshold gate. A seed term the reference corpus never saw has no
+    df row and scores no arriving hit (conservative skip, like the
+    batch inner join)."""
+    from trisk_spark.functions.text import BM25_QUERIES, bm25_model
+
+    if model is None:
+        model = bm25_model(spark, ref_sf_dir)
+    dfd, n_docs, total_len = model
+
+    d = docs.where(F.col("doc_id").isNotNull())
+    toks = F.filter(
+        F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), " "),
+        lambda w: w != "",
+    )
+    dl = F.size(toks).cast("bigint")
+
+    def query_struct(qid: int, terms: tuple[str, ...]):
+        n_terms = F.lit(0).cast("bigint")
+        score = F.lit(0).cast("decimal(18,6)")
+        for term in terms:
+            if term not in dfd:
+                continue
+            # NB: capture via a factory, not a defaulted second lambda
+            # arg — pyspark reads lambda ARITY, and a 2-arg lambda is
+            # the (element, index) form
+            def _eq(t):
+                return lambda w: w == F.lit(t)
+
+            tf = F.size(F.filter(toks, _eq(term))).cast("bigint")
+            idf = F.log(
+                F.lit(2 * n_docs + 2).cast("double")
+                / F.lit(2 * dfd[term] + 1).cast("double")
+            )
+            sat = (F.lit(44) * tf * F.lit(total_len)).cast("double") / (
+                F.lit(20) * tf * F.lit(total_len)
+                + F.lit(6) * F.lit(total_len)
+                + F.lit(18) * dl * F.lit(n_docs)
+            ).cast("double")
+            hit = tf > 0
+            n_terms = n_terms + F.when(hit, F.lit(1)).otherwise(F.lit(0))
+            score = score + F.when(
+                hit, F.round(idf * sat, 6).cast("decimal(18,6)")
+            ).otherwise(F.lit(0).cast("decimal(18,6)"))
+        return F.struct(
+            F.lit(qid).cast("int").alias("query_id"),
+            n_terms.cast("bigint").alias("n_terms"),
+            score.cast("double").alias("score"),
+        )
+
+    arr = F.array(
+        *[query_struct(qid, ts) for qid, ts in sorted(BM25_QUERIES.items())]
+    )
+    hits = F.filter(arr, lambda s: s["n_terms"] > 0)
+    return d.select("doc_id", F.explode(hits).alias("q")).select(
+        "doc_id",
+        F.col("q.query_id").alias("query_id"),
+        F.col("q.n_terms").alias("n_terms"),
+        F.col("q.score").alias("score"),
+    )
