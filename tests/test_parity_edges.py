@@ -1770,3 +1770,50 @@ def test_bm25_parity_hostile_and_crafted_saturation(spark, hostile_docs, duck, t
     for r in sdf.collect():
         assert 1 <= r.n_terms <= max(len(t) for t in BM25_QUERIES.values())
         assert r.score > 0
+
+
+def test_dsir_weights_parity_and_discrimination(spark, hostile_docs, duck, tmp_path):
+    # DSIR importance weights: hostile corpus + sf0.001 parity, then a
+    # crafted corpus where the target slice (doc_id % 10 == 0) has a
+    # DISTINCT vocabulary — target-vocab documents must weigh positive
+    # (target_leaning), raw-vocab documents negative; the synthetic
+    # corpus is homogeneous so discrimination needs this fixture
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from trisk_spark.functions.sampling import dsir_weights, dsir_weights_sql
+
+    sf_dir, con = hostile_docs
+    assert_matches_oracle(dsir_weights(spark, sf_dir), con, dsir_weights_sql())
+    sf = "/root/testdata/sf0.001"
+    assert_matches_oracle(dsir_weights(spark, sf), duck(sf), dsir_weights_sql())
+
+    tgt = "quantum flux lattice boson hadron " * 8
+    raw = "menu login cart checkout footer " * 8
+    crafted = {
+        # ids 0,10,20 are the target slice; 1..4 raw
+        "doc_id": [0, 10, 20, 1, 2, 3, 4],
+        "text": [tgt, tgt, tgt + raw, raw, raw, tgt, raw + "quantum flux"],
+        "lang": ["en"] * 7,
+        "source": ["c"] * 7,
+        "n_chars": [0] * 7,
+    }
+    pq.write_table(pa.table(crafted), tmp_path / "documents.parquet")
+    con2 = duckdb.connect()
+    con2.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    sdf = dsir_weights(spark, str(tmp_path))
+    assert_matches_oracle(sdf, con2, dsir_weights_sql())
+    w = {r.doc_id: r for r in sdf.collect()}
+    # pure target-vocab docs lean target, pure raw-vocab docs lean raw
+    assert w[0].target_leaning and w[0].dsir_weight > 0
+    assert not w[1].target_leaning and w[1].dsir_weight < 0
+    # a RAW-slice doc written in target vocabulary is exactly what DSIR
+    # selects: it must out-weigh every boilerplate doc
+    assert w[3].target_leaning and w[3].dsir_weight > w[1].dsir_weight
+    # weight scales with evidence: full boilerplate beats a doc with a
+    # few target words mixed in... i.e. the mixed doc is LESS negative
+    assert w[4].dsir_weight > w[1].dsir_weight or w[4].target_leaning

@@ -884,3 +884,25 @@ def test_bm25_top_docs_filters_in_row_and_broadcasts_models(spark):
     # 1-row corpus stats cross join
     assert "BroadcastNestedLoopJoin" in plan, plan
     assert "partial_count" in plan, "tf aggregate lost map-side combine"
+
+
+def test_dsir_weights_model_is_broadcast_and_bucket_bounded(spark):
+    # the DSIR_BUCKETS-row model and its 1-row totals must reach the
+    # scoring bigrams by broadcast (a sort-merge join would shuffle
+    # every bigram of the corpus against the model); both the bucket
+    # counts and the per-doc sum must partial-agg map-side
+    import io
+    from contextlib import redirect_stdout
+
+    from trisk_spark.functions.sampling import dsir_weights
+
+    with no_auto_broadcast(spark):
+        df = dsir_weights(spark, SF_DIR)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "partial_sum" in plan and "partial_count" in plan, plan

@@ -1912,3 +1912,140 @@ def source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vocab",
         (((F.col("mu") - r) / nt) / F.lit(1000000.0)).alias("kl_divergence"),
     )
+
+
+# ------------------- DSIR importance weights (r11) -------------------
+
+# Data Selection with Importance Resampling (Xie et al. 2023): score
+# every document by the log-likelihood ratio of a TARGET hashed-bigram
+# model over a RAW one — the standard cheap alternative to training a
+# quality classifier. Target = the same deterministic reference slice
+# the bigram LM trains on (doc_id % LM_REF_MOD == 0, text.py); raw =
+# the rest of the corpus. Features are bigram occurrences hashed into
+# DSIR_BUCKETS buckets (the paper's hashed n-gram trick — the model is
+# BUCKETS-sized regardless of corpus vocabulary), add-1 smoothed.
+#
+# Float determinism: each occurrence's contribution is
+#   ln( ((ct+1)/(Tt+B)) * ((Tr+B)/(cr+1)) )
+# where every operand is an exact BIGINT→DOUBLE conversion and the
+# division/multiplication chain is written in the same order on both
+# engines (IEEE exact-rounded per op) — ONE ln per occurrence, 1-ulp
+# risk collapsed by the house ROUND(·,6) → DECIMAL(18,6) → exact
+# order-free SUM pattern (see text.py's bigram-LM comment).
+DSIR_BUCKETS = 4096
+
+
+def _dsir_sql() -> str:
+    from trisk_spark.functions.text import LM_REF_MOD
+
+    B, MOD = DSIR_BUCKETS, LM_REF_MOD
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(string_split(lower(coalesce(text, '')), ' '), w -> w <> '') AS t
+  FROM documents WHERE doc_id IS NOT NULL
+),
+bi AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks)
+),
+bk AS (
+  SELECT doc_id,
+    CAST(CONCAT('0x', substr(md5(w1 || ' ' || w2), 1, 15)) AS BIGINT) % {B} AS b,
+    ((doc_id % {MOD}) + {MOD}) % {MOD} = 0 AS is_target
+  FROM bi
+),
+m AS (
+  SELECT b,
+    CAST(COUNT(*) FILTER (WHERE is_target) AS BIGINT) AS ct,
+    CAST(COUNT(*) FILTER (WHERE NOT is_target) AS BIGINT) AS cr
+  FROM bk GROUP BY b
+),
+tot AS (SELECT SUM(ct) AS tt, SUM(cr) AS tr FROM m),
+scored AS (
+  SELECT bk.doc_id,
+    CAST(ROUND(LN(
+      (CAST(m.ct + 1 AS DOUBLE) / CAST(tot.tt + {B} AS DOUBLE))
+      * (CAST(tot.tr + {B} AS DOUBLE) / CAST(m.cr + 1 AS DOUBLE))), 6)
+      AS DECIMAL(18, 6)) AS contrib
+  FROM bk JOIN m ON bk.b = m.b CROSS JOIN tot
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+  CAST(SUM(contrib) AS DOUBLE) AS dsir_weight,
+  SUM(contrib) > 0 AS target_leaning
+FROM scored GROUP BY doc_id
+"""
+
+
+DSIR_WEIGHTS_SQL = None  # built lazily: text import at module top would cycle
+
+
+def dsir_weights_sql() -> str:
+    global DSIR_WEIGHTS_SQL
+    if DSIR_WEIGHTS_SQL is None:
+        DSIR_WEIGHTS_SQL = _dsir_sql()
+    return DSIR_WEIGHTS_SQL
+
+
+def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document DSIR importance weight (hashed-bigram target/raw
+    log-likelihood ratio) plus a ``target_leaning`` flag (weight > 0 —
+    the document looks more like the reference slice than the rest of
+    the corpus). Compose with ``budget_trim``/``training_plan`` to
+    select an importance-ranked subset.
+
+    Plan: ONE map-side bigram explode (in-row zip, no join) feeds both
+    the model and the scoring pass; the model is a DSIR_BUCKETS-row
+    aggregate (one bucket-keyed shuffle whose output is B rows
+    regardless of corpus size) that reaches the scoring rows by
+    BROADCAST with its 1-row totals; the per-doc sum partial-aggs on
+    doc_id. At 100 TB: two executions of the bigram lineage (model +
+    scoring — the bigram-LM precedent), a B-bounded model, zero
+    corpus-to-corpus joins. Library op, full DuckDB oracle
+    (``dsir_weights_sql()``) — the r11 capacity-note class."""
+    from trisk_spark.functions.text import LM_REF_MOD, _lm_bigrams
+
+    B = DSIR_BUCKETS
+    bi = _lm_bigrams(_docs(spark, sf_dir))
+    bk = bi.select(
+        "doc_id",
+        F.pmod(
+            F.conv(
+                F.substring(F.md5(F.concat_ws(" ", "w1", "w2")), 1, 15), 16, 10
+            ).cast("bigint"),
+            F.lit(B),
+        ).alias("b"),
+        (F.pmod(F.col("doc_id"), F.lit(LM_REF_MOD)) == 0).alias("is_target"),
+    )
+    m = bk.groupBy("b").agg(
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("ct"),
+        F.sum(F.when(F.col("is_target"), 0).otherwise(1))
+        .cast("bigint")
+        .alias("cr"),
+    )
+    tot = m.agg(F.sum("ct").alias("tt"), F.sum("cr").alias("tr"))
+    contrib = F.round(
+        F.log(
+            (
+                (F.col("ct") + F.lit(1)).cast("double")
+                / (F.col("tt") + F.lit(B)).cast("double")
+            )
+            * (
+                (F.col("tr") + F.lit(B)).cast("double")
+                / (F.col("cr") + F.lit(1)).cast("double")
+            )
+        ),
+        6,
+    ).cast("decimal(18,6)")
+    scored = (
+        bk.join(F.broadcast(m), "b")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", contrib.alias("contrib"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_bigrams"),
+        F.sum("contrib").cast("double").alias("dsir_weight"),
+        (F.sum("contrib") > 0).alias("target_leaning"),
+    )
