@@ -132,6 +132,7 @@ def test_readme_op_table_names_are_registered():
         "bm25_top_docs", "bm25_top_docs_sql", "bm25_score_stream",
         "bm25_model", "bm25_pair_scores",
         "dsir_weights", "dsir_weights_sql", "target_leaning",
+        "dsir_score_stream", "dsir_model",
     }
     missing = {
         c for c in cited

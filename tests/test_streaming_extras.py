@@ -2591,3 +2591,65 @@ def test_bm25_score_stream_skips_terms_absent_from_model(spark, tmp_path):
     # query 1 = (spark, stream, window): only 'spark' can contribute
     r = scored[(10, 1)]
     assert r.n_terms == 1 and r.score > 0
+
+
+def test_dsir_score_stream_equals_batch_exactly(spark):
+    """Streaming DSIR: hashlib-md5 bucketing + integer addition over
+    JVM-pre-rounded micro-contributions must equal the batch
+    relational path tuple-for-tuple on a same-corpus replay — the
+    model collect carries the batch ROUND(·,6) values verbatim, so
+    equality is exact, not approximate."""
+    from trisk_spark.functions.sampling import dsir_weights
+    from trisk_spark.streaming.queries import dsir_score_stream, run_bounded
+
+    stream = replay_stream(spark, SF, "documents", n_chunks=3, order_col="doc_id")
+    emitted = run_bounded(
+        dsir_score_stream(stream, spark, SF),
+        checkpoint_dir("dsirstream"),
+        mode="append",
+    )
+    got = sorted(
+        (r.doc_id, r.n_bigrams, r.dsir_weight, r.target_leaning)
+        for _, r in emitted
+    )
+    want = sorted(
+        (r.doc_id, r.n_bigrams, r.dsir_weight, r.target_leaning)
+        for r in dsir_weights(spark, SF).collect()
+    )
+    assert len(got) > 0 and got == want
+
+
+def test_dsir_score_stream_default_bucket_for_unseen_bigrams(spark, tmp_path):
+    """An arriving bigram hashing to a bucket the reference corpus
+    never populated must take the model's default (zero-count)
+    contribution — raw-leaning by construction when the raw slice
+    dominates — rather than being dropped or crashing."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from trisk_spark.functions.sampling import dsir_model
+    from trisk_spark.streaming.queries import dsir_score_stream
+
+    ref = {
+        "doc_id": [0, 1, 2, 3],
+        "text": ["aa bb aa bb", "cc dd cc dd", "cc dd", "cc dd cc"],
+        "lang": ["en"] * 4,
+        "source": ["f"] * 4,
+        "n_chars": [0] * 4,
+    }
+    pq.write_table(pa.table(ref), tmp_path / "documents.parquet")
+    model = dsir_model(spark, str(tmp_path))
+    contribs, default = model
+    assert len(contribs) > 0 and default != 0
+
+    arriving = spark.createDataFrame(
+        [(9, "zz yy xx ww vv uu", "en", "f", 17)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = dsir_score_stream(arriving, spark, str(tmp_path), model=model).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.n_bigrams == 5
+    # all five bigrams are (very likely) unseen → weight = 5 × default
+    assert abs(r.dsir_weight - 5 * default / 1e6) < 1e-9
+    assert r.target_leaning == (r.dsir_weight > 0)

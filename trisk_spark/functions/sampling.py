@@ -2049,3 +2049,86 @@ def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("contrib").cast("double").alias("dsir_weight"),
         (F.sum("contrib") > 0).alias("target_leaning"),
     )
+
+
+def dsir_model(spark: SparkSession, sf_dir: str):
+    """Train the DSIR scoring model from a reference corpus and
+    collect it driver-side for the streaming twin: a bucket →
+    contribution map in EXACT 1e-6 integer units, pre-rounded on the
+    JVM (the same ROUND(·,6) the batch op applies) so the stream sums
+    integers and reproduces batch scores bit-for-bit — no Python ln,
+    no cross-runtime rounding at score time. Returns
+    (contrib_micro: dict[int, int], default_micro: int) where the
+    default covers buckets with zero corpus occurrences (an arriving
+    bigram can hash anywhere). Bounded collects: DSIR_BUCKETS rows +
+    one default row."""
+    from trisk_spark.functions.text import LM_REF_MOD, _lm_bigrams
+
+    B = DSIR_BUCKETS
+    bi = _lm_bigrams(_docs(spark, sf_dir))
+    bk = bi.select(
+        F.pmod(
+            F.conv(
+                F.substring(F.md5(F.concat_ws(" ", "w1", "w2")), 1, 15), 16, 10
+            ).cast("bigint"),
+            F.lit(B),
+        ).alias("b"),
+        (F.pmod(F.col("doc_id"), F.lit(LM_REF_MOD)) == 0).alias("is_target"),
+    )
+    m = bk.groupBy("b").agg(
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("ct"),
+        F.sum(F.when(F.col("is_target"), 0).otherwise(1))
+        .cast("bigint")
+        .alias("cr"),
+    )
+    tot = m.agg(F.sum("ct").alias("tt"), F.sum("cr").alias("tr"))
+
+    def contrib_expr():
+        return F.round(
+            F.log(
+                (
+                    (F.col("ct") + F.lit(1)).cast("double")
+                    / (F.col("tt") + F.lit(B)).cast("double")
+                )
+                * (
+                    (F.col("tr") + F.lit(B)).cast("double")
+                    / (F.col("cr") + F.lit(1)).cast("double")
+                )
+            ),
+            6,
+        ).cast("decimal(18,6)")
+
+    rows = (
+        m.crossJoin(F.broadcast(tot))
+        .select("b", (contrib_expr() * F.lit(1000000)).cast("bigint").alias("c"))
+        .collect()
+    )
+    default_row = (
+        tot.select(
+            (
+                (
+                    F.round(
+                        F.log(
+                            (
+                                F.lit(1).cast("double")
+                                / (F.col("tt") + F.lit(B)).cast("double")
+                            )
+                            * (
+                                (F.col("tr") + F.lit(B)).cast("double")
+                                / F.lit(1).cast("double")
+                            )
+                        ),
+                        6,
+                    ).cast("decimal(18,6)")
+                )
+                * F.lit(1000000)
+            )
+            .cast("bigint")
+            .alias("c")
+        )
+        .collect()
+    )
+    default = int(default_row[0]["c"]) if default_row and default_row[0]["c"] is not None else 0
+    return {int(r["b"]): int(r["c"]) for r in rows}, default

@@ -1136,3 +1136,73 @@ def bm25_score_stream(
         F.col("q.n_terms").alias("n_terms"),
         F.col("q.score").alias("score"),
     )
+
+
+def dsir_score_stream(
+    docs: DataFrame, spark, ref_sf_dir: str, model=None
+) -> DataFrame:
+    """Streaming DSIR scoring — weigh ARRIVING documents by the
+    target/raw log-likelihood ratio under the hashed-bigram model
+    trained once from the reference corpus (``sampling.dsir_model``,
+    the write-once selection asset): emits (doc_id, n_bigrams,
+    dsir_weight, target_leaning) per arriving document with at least
+    one bigram, the streaming twin of the library
+    ``sampling.dsir_weights``.
+
+    Determinism is STRONGER than the bigram-LM twin's: the per-bucket
+    contributions arrive PRE-ROUNDED on the JVM in exact 1e-6 integer
+    units (dsir_model runs the batch ROUND(·,6) expression and
+    collects micro-ints), so the kernel is hashlib-md5 bucketing (hex
+    parity with Spark md5 — the cluster_cap_stream precedent) plus
+    INTEGER addition — no Python ln, no rounding at score time;
+    stream≡batch equality on a same-corpus replay is exact by
+    construction and pytest-pinned. A bigram hashing to a bucket the
+    reference corpus never populated takes the model's default
+    (zero-count) contribution — a case a same-corpus replay never
+    hits, exercised by its own test. Arrow-batched ``mapInPandas``,
+    append mode, ZERO shuffle, zero state; per-row Python cost is
+    O(bigrams) dict lookups (the batch op is the scale path — this is
+    the deployment gate shape)."""
+    import hashlib
+
+    import pandas as pd
+
+    from trisk_spark.functions.sampling import DSIR_BUCKETS, dsir_model
+
+    if model is None:
+        model = dsir_model(spark, ref_sf_dir)
+    contrib_micro, default_micro = model
+    B = DSIR_BUCKETS
+    bc = spark.sparkContext.broadcast((contrib_micro, default_micro))
+
+    out_schema = (
+        "doc_id long, n_bigrams long, dsir_weight double, "
+        "target_leaning boolean"
+    )
+
+    def score(batches):
+        cm, dm = bc.value
+        for pdf in batches:
+            out = {
+                "doc_id": [], "n_bigrams": [],
+                "dsir_weight": [], "target_leaning": [],
+            }
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if doc_id is None or pd.isna(doc_id):
+                    continue
+                toks = [w for w in (text or "").lower().split(" ") if w != ""]
+                if len(toks) < 2:
+                    continue
+                micro = 0
+                for a, b in zip(toks, toks[1:]):
+                    h = hashlib.md5(f"{a} {b}".encode()).hexdigest()
+                    micro += cm.get(int(h[:15], 16) % B, dm)
+                out["doc_id"].append(int(doc_id))
+                out["n_bigrams"].append(len(toks) - 1)
+                out["dsir_weight"].append(micro / 1e6)
+                out["target_leaning"].append(micro > 0)
+            yield pd.DataFrame(out)[
+                ["doc_id", "n_bigrams", "dsir_weight", "target_leaning"]
+            ]
+
+    return docs.select("doc_id", "text").mapInPandas(score, out_schema)
