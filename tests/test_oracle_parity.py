@@ -91,7 +91,7 @@ def _library():
             "canonical_by_quality", "contamination_report",
             "ngram_novelty", "gopher_rules", "line_dedup",
             "source_divergence", "minhash_jaccard_estimate",
-            "bm25_top_docs", "dsir_weights",
+            "bm25_top_docs", "dsir_weights", "embedding_health",
         ]
     ),
 )

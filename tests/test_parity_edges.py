@@ -1817,3 +1817,34 @@ def test_dsir_weights_parity_and_discrimination(spark, hostile_docs, duck, tmp_p
     # weight scales with evidence: full boilerplate beats a doc with a
     # few target words mixed in... i.e. the mixed doc is LESS negative
     assert w[4].dsir_weight > w[1].dsir_weight or w[4].target_leaning
+
+
+def test_embedding_health_parity_and_degenerate_counts(spark, hostile_embeddings, duck):
+    # the health report must agree with the oracle on the hostile
+    # corpus (whose degenerate shapes are exactly what it exists to
+    # count) AND attribute each planted defect to the right label
+    from trisk_spark.functions.similarity import EMB_HEALTH_SQL, embedding_health
+
+    sf_dir, con = hostile_embeddings
+    assert_matches_oracle(embedding_health(spark, sf_dir), con, EMB_HEALTH_SQL)
+    sf = "/root/testdata/sf0.001"
+    assert_matches_oracle(embedding_health(spark, sf), duck(sf), EMB_HEALTH_SQL)
+
+    h = {r.label: r for r in embedding_health(spark, sf_dir).collect()}
+    # label 1: NULL embedding (id 100) + NULL element (id 105) → 2 invalid
+    assert h[1].n_invalid == 2
+    # label 2: zero vector (id 101); the NULL-vec_id row is excluded
+    assert h[2].n_zero_norm == 1
+    # label 3: sub-scale vector floors to zero norm
+    assert h[3].n_zero_norm == 1
+    # label 4: wrong-length vector is VALID here but flagged by the
+    # ragged-dimension count
+    assert h[4].n_distinct_dims == 2 and h[4].n_invalid == 0
+    # label 0: empty vector → zero norm + ragged
+    assert h[0].n_zero_norm == 1 and h[0].n_distinct_dims == 2
+    # NULL label forms its own group
+    assert None in h and h[None].n_vecs == 1
+    # the driver corpus is unit-normalized: every label's mean norm
+    # sits on 1.0 at the 1e-6 grid
+    for r in embedding_health(spark, sf).collect():
+        assert abs(r.avg_norm - 1.0) < 1e-4 and r.n_invalid == 0

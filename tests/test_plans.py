@@ -906,3 +906,24 @@ def test_dsir_weights_model_is_broadcast_and_bucket_bounded(spark):
     assert "BroadcastHashJoin" in plan, plan
     assert "BroadcastNestedLoopJoin" in plan, plan
     assert "partial_sum" in plan and "partial_count" in plan, plan
+
+
+def test_embedding_health_is_single_label_shuffle(spark):
+    # map-only per-row norm fold into ONE label-keyed exchange with
+    # map-side partials — no join, no window, nothing corpus-sized
+    # moves
+    import io
+    import re
+    from contextlib import redirect_stdout
+
+    from trisk_spark.functions.similarity import embedding_health
+
+    with no_auto_broadcast(spark):
+        df = embedding_health(spark, SF_DIR)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+    assert "Join" not in plan, plan
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) <= 2, plan
+    assert "partial_" in plan, "health aggregate lost map-side combine"

@@ -1924,3 +1924,121 @@ def _exact_rerank(
         rerank.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= TOP_K)
     )
+
+
+# --------------------- embedding corpus health (r11) -----------------
+
+# Index-build preflight: the per-label corpus health report every ANN /
+# quantization / semantic-dedup stage should gate on before it spends a
+# cluster pass — NULL or ragged or NULL-element vectors (the rows
+# _VALID_EMB_SQL would silently drop), zero-scaled-norm vectors (rank
+# poison — see the validity-gate comment above), and the norm
+# distribution (min / floored-mean / max) that catches an unnormalized
+# or clipped batch before it skews every cosine.
+#
+# Float parity: norms ride the module's scaled-integer contract — the
+# squared norm is an exact BIGINT fold of FLOOR(x·1e6)² terms, the ONE
+# floating op per row is SQRT (IEEE-754 correctly rounded on BOTH
+# engines, unlike ln) on the identical correctly-rounded BIGINT→DOUBLE
+# conversion, immediately rounded back to integer micro-units; all
+# aggregates are then exact integer MIN/MAX/SUM with the house floored
+# mean. BIGINT bound: dim · (1e6·max|x|)² < 2^63 → |x| ≤ ~379 at
+# dim 64, far past any normalized embedding.
+
+EMB_HEALTH_SQL = f"""
+WITH base AS (
+  SELECT label, embedding,
+    (embedding IS NOT NULL
+     AND len(list_filter(embedding, x -> x IS NULL)) = 0) AS ok
+  FROM embeddings WHERE vec_id IS NOT NULL
+),
+v AS (
+  SELECT label, ok,
+    CASE WHEN ok THEN len(embedding) END AS dim,
+    -- coalesce: DuckDB list_sum([]) is NULL where Spark's aggregate
+    -- fold returns its 0 init — the empty-vector divergence class
+    CASE WHEN ok THEN CAST(coalesce(list_sum(list_transform(
+      {_SCALED_SQL.format(col='embedding')}, x -> x * x)), 0) AS BIGINT)
+    END AS n2
+  FROM base
+),
+n AS (
+  SELECT label, ok, dim, n2,
+    CASE WHEN ok THEN
+      CAST(ROUND(SQRT(CAST(n2 AS DOUBLE)), 0) AS BIGINT)
+    END AS nm
+  FROM v
+),
+agg AS (
+  SELECT label,
+    CAST(COUNT(*) AS BIGINT) AS n_vecs,
+    CAST(COUNT(*) FILTER (WHERE NOT ok) AS BIGINT) AS n_invalid,
+    CAST(COUNT(*) FILTER (WHERE ok AND n2 = 0) AS BIGINT) AS n_zero_norm,
+    CAST(COUNT(DISTINCT dim) AS BIGINT) AS n_distinct_dims,
+    MIN(nm) AS min_micro, MAX(nm) AS max_micro,
+    SUM(nm) AS mu, CAST(COUNT(*) FILTER (WHERE ok) AS BIGINT) AS n_ok
+  FROM n GROUP BY label
+)
+SELECT label, n_vecs, n_invalid, n_zero_norm, n_distinct_dims,
+  CAST(min_micro AS DOUBLE) / 1000000.0 AS min_norm,
+  CASE WHEN n_ok > 0 THEN
+    CAST((mu - (((mu % n_ok) + n_ok) % n_ok)) // n_ok AS DOUBLE) / 1000000.0
+  END AS avg_norm,
+  CAST(max_micro AS DOUBLE) / 1000000.0 AS max_norm
+FROM agg
+"""
+
+
+def embedding_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding-corpus health: invalid-vector / zero-norm /
+    ragged-dimension counts plus the exact-grid norm distribution —
+    the preflight gate for every index build (see the family comment).
+
+    Plan: map-only per-row expressions (in-row integer fold + one
+    sqrt) into ONE label-keyed partial-aggregating shuffle whose
+    output is label-cardinality rows — nothing else moves at any
+    corpus scale. Library op, full DuckDB oracle
+    (``EMB_HEALTH_SQL``) — the r11 capacity-note class."""
+    emb = table(spark, sf_dir, "embeddings").where(F.col("vec_id").isNotNull())
+    e = F.col("embedding")
+    ok = e.isNotNull() & (F.size(F.filter(e, lambda x: x.isNull())) == 0)
+    xi = _scaled(e)
+    n2 = F.aggregate(
+        xi, F.lit(0).cast("bigint"), lambda acc, v: acc + v * v
+    )
+    base = emb.select(
+        "label",
+        ok.alias("ok"),
+        F.when(ok, F.size(e)).alias("dim"),
+        F.when(ok, n2).alias("n2"),
+    ).select(
+        "label", "ok", "dim", "n2",
+        F.when(
+            F.col("ok"),
+            F.round(F.sqrt(F.col("n2").cast("double")), 0).cast("bigint"),
+        ).alias("nm"),
+    )
+    agg = base.groupBy("label").agg(
+        F.count("*").cast("bigint").alias("n_vecs"),
+        F.sum(F.when(~F.col("ok"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_invalid"),
+        F.sum(F.when(F.col("ok") & (F.col("n2") == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_zero_norm"),
+        F.countDistinct("dim").cast("bigint").alias("n_distinct_dims"),
+        F.min("nm").alias("min_micro"),
+        F.max("nm").alias("max_micro"),
+        F.sum("nm").alias("mu"),
+        F.sum(F.when(F.col("ok"), 1).otherwise(0)).cast("bigint").alias("n_ok"),
+    )
+    mu, nk = F.col("mu"), F.col("n_ok")
+    r = ((mu % nk) + nk) % nk
+    return agg.select(
+        "label", "n_vecs", "n_invalid", "n_zero_norm", "n_distinct_dims",
+        (F.col("min_micro").cast("double") / 1000000.0).alias("min_norm"),
+        F.when(nk > 0, ((mu - r) / nk).cast("double") / 1000000.0).alias(
+            "avg_norm"
+        ),
+        (F.col("max_micro").cast("double") / 1000000.0).alias("max_norm"),
+    )

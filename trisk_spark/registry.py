@@ -104,7 +104,7 @@ def register(name: str, oracle: str | None = None):
 # yet; new r11 surface beyond the two seated registrations ships as
 # library functions with full oracles + pytest gates (the r9
 # sax_store precedent).
-# R12 REGISTRATION PLAN for the FOURTEEN r11 library ops awaiting seats —
+# R12 REGISTRATION PLAN for the FIFTEEN r11 library ops awaiting seats —
 # the full set lives in ``load_library()`` below (each entry already
 # carries a full DuckDB oracle, hostile-corpus parity pytest, AND the
 # every-round sf0.001 library gate in test_oracle_parity): invoke the
@@ -114,8 +114,8 @@ def register(name: str, oracle: str | None = None):
 # source_upsample ⊂ training_plan_over_store — each sits permanently
 # on (a) its composer's in-window hash gate every other round and (b)
 # the every-round test_oracle_parity full-oracle run. Seat arithmetic
-# after the flip: 3 always-in + 5 permanent sitters + (94 − 4 + 14) =
-# 104 alternating over 47 seats — 104 > 2×47, so ALSO declare the
+# after the flip: 3 always-in + 5 permanent sitters + (94 − 4 + 15) =
+# 105 alternating over 47 seats — 105 > 2×47, so ALSO declare the
 # cheapest kernel-overlapping new rows composed-or-witnessed where
 # true (gopher_rules/line_dedup are map-only scan kernels witnessed by
 # quality_score's class; cross_split_leakage ⊂ dedup_minhash_lsh +
@@ -223,7 +223,7 @@ def load_library() -> dict[str, QueryDef]:
     seat. NOT exposed through ``__spark_entry__.queries()``; gated
     every round by tests/test_oracle_parity.py's library pass
     instead."""
-    from trisk_spark.functions import dedup, sampling, text
+    from trisk_spark.functions import dedup, sampling, similarity, text
 
     entries: dict[str, tuple] = {
         "budget_trim": (sampling.budget_trim, sampling.BUDGET_TRIM_SQL),
@@ -258,6 +258,7 @@ def load_library() -> dict[str, QueryDef]:
             sampling.SOURCE_DIVERGENCE_SQL,
         ),
         "dsir_weights": (sampling.dsir_weights, sampling.dsir_weights_sql()),
+        "embedding_health": (similarity.embedding_health, similarity.EMB_HEALTH_SQL),
         "gopher_rules": (text.gopher_rules, text.GOPHER_RULES_SQL),
         "line_dedup": (text.line_dedup, text.LINE_DEDUP_SQL),
         "bm25_top_docs": (text.bm25_top_docs, text.BM25_TOP_DOCS_SQL),
