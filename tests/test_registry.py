@@ -133,7 +133,7 @@ def test_readme_op_table_names_are_registered():
         "bm25_model", "bm25_pair_scores",
         "dsir_weights", "dsir_weights_sql", "target_leaning",
         "dsir_score_stream", "dsir_model",
-        "embedding_health", "emb_health_sql",
+        "embedding_health", "emb_health_sql", "embedding_health_frame",
     }
     missing = {
         c for c in cited

@@ -2653,3 +2653,40 @@ def test_dsir_score_stream_default_bucket_for_unseen_bigrams(spark, tmp_path):
     # all five bigrams are (very likely) unseen → weight = 5 × default
     assert abs(r.dsir_weight - 5 * default / 1e6) < 1e-9
     assert r.target_leaning == (r.dsir_weight > 0)
+
+
+def test_embedding_health_frame_runs_under_streaming(spark):
+    """The health aggregate must run UNCHANGED under Structured
+    Streaming (update mode, label-cardinality state): the final state
+    per label on a full replay equals the batch report exactly —
+    including the distinct-dimension count, which is why the frame
+    uses size(collect_set) instead of the unstreamable countDistinct."""
+    from trisk_spark.functions.similarity import (
+        embedding_health,
+        embedding_health_frame,
+    )
+    from trisk_spark.streaming.queries import final_state, run_bounded
+
+    stream = replay_stream(
+        spark, SF, "embeddings", n_chunks=3, order_col="vec_id"
+    )
+    emitted = run_bounded(
+        embedding_health_frame(stream.where(F.col("vec_id").isNotNull())),
+        checkpoint_dir("embhealthstream"),
+        mode="update",
+    )
+    got = {
+        r["label"]: tuple(r[c] for c in (
+            "n_vecs", "n_invalid", "n_zero_norm", "n_distinct_dims",
+            "min_norm", "avg_norm", "max_norm",
+        ))
+        for r in final_state(emitted, ["label"])
+    }
+    want = {
+        r.label: (
+            r.n_vecs, r.n_invalid, r.n_zero_norm, r.n_distinct_dims,
+            r.min_norm, r.avg_norm, r.max_norm,
+        )
+        for r in embedding_health(spark, SF).collect()
+    }
+    assert got == want and len(want) > 0

@@ -1999,7 +1999,17 @@ def embedding_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     output is label-cardinality rows — nothing else moves at any
     corpus scale. Library op, full DuckDB oracle
     (``EMB_HEALTH_SQL``) — the r11 capacity-note class."""
-    emb = table(spark, sf_dir, "embeddings").where(F.col("vec_id").isNotNull())
+    return embedding_health_frame(
+        table(spark, sf_dir, "embeddings").where(F.col("vec_id").isNotNull())
+    )
+
+
+def embedding_health_frame(emb: DataFrame) -> DataFrame:
+    """The health-report core over any (vec_id, embedding, label)
+    frame — pure column expressions plus one keyed aggregate, so the
+    identical plan runs under Structured Streaming in update mode with
+    label-cardinality state (stream≡batch pytest-pinned, the
+    quantize_int8 proof shape)."""
     e = F.col("embedding")
     ok = e.isNotNull() & (F.size(F.filter(e, lambda x: x.isNull())) == 0)
     xi = _scaled(e)
@@ -2026,7 +2036,10 @@ def embedding_health(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("ok") & (F.col("n2") == 0), 1).otherwise(0))
         .cast("bigint")
         .alias("n_zero_norm"),
-        F.countDistinct("dim").cast("bigint").alias("n_distinct_dims"),
+        # size(collect_set) ≡ countDistinct but runs under streaming
+        # update mode (distinct aggregates don't); set is bounded by
+        # the handful of distinct dims a corpus can hold
+        F.size(F.collect_set("dim")).cast("bigint").alias("n_distinct_dims"),
         F.min("nm").alias("min_micro"),
         F.max("nm").alias("max_micro"),
         F.sum("nm").alias("mu"),
