@@ -1987,22 +1987,12 @@ def dsir_weights_sql() -> str:
     return DSIR_WEIGHTS_SQL
 
 
-def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document DSIR importance weight (hashed-bigram target/raw
-    log-likelihood ratio) plus a ``target_leaning`` flag (weight > 0 —
-    the document looks more like the reference slice than the rest of
-    the corpus). Compose with ``budget_trim``/``training_plan`` to
-    select an importance-ranked subset.
-
-    Plan: ONE map-side bigram explode (in-row zip, no join) feeds both
-    the model and the scoring pass; the model is a DSIR_BUCKETS-row
-    aggregate (one bucket-keyed shuffle whose output is B rows
-    regardless of corpus size) that reaches the scoring rows by
-    BROADCAST with its 1-row totals; the per-doc sum partial-aggs on
-    doc_id. At 100 TB: two executions of the bigram lineage (model +
-    scoring — the bigram-LM precedent), a B-bounded model, zero
-    corpus-to-corpus joins. Library op, full DuckDB oracle
-    (``dsir_weights_sql()``) — the r11 capacity-note class."""
+def _dsir_buckets(spark: SparkSession, sf_dir: str):
+    """Shared DSIR model construction: (bk, m, tot, contrib) — the
+    bucketed bigram frame, the B-row per-bucket count table, its 1-row
+    totals, and the per-bucket contribution expression (to be selected
+    against m ⨯ tot). Used by the batch op and the model collector so
+    the arithmetic exists exactly once."""
     from trisk_spark.functions.text import LM_REF_MOD, _lm_bigrams
 
     B = DSIR_BUCKETS
@@ -2026,19 +2016,50 @@ def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cr"),
     )
     tot = m.agg(F.sum("ct").alias("tt"), F.sum("cr").alias("tr"))
-    contrib = F.round(
+    contrib = _dsir_contrib(
+        F.col("ct") + F.lit(1), F.col("cr") + F.lit(1)
+    )
+    return bk, m, tot, contrib
+
+
+def _dsir_contrib(ct_smoothed, cr_smoothed):
+    """ROUND(ln(((ct)/(Tt+B)) · ((Tr+B)/(cr))), 6) as DECIMAL(18,6) —
+    the single-ln exact-operand contribution (see the family comment);
+    callers pass the add-1-smoothed counts (or literal 1 for an
+    unpopulated bucket)."""
+    B = DSIR_BUCKETS
+    return F.round(
         F.log(
             (
-                (F.col("ct") + F.lit(1)).cast("double")
+                ct_smoothed.cast("double")
                 / (F.col("tt") + F.lit(B)).cast("double")
             )
             * (
                 (F.col("tr") + F.lit(B)).cast("double")
-                / (F.col("cr") + F.lit(1)).cast("double")
+                / cr_smoothed.cast("double")
             )
         ),
         6,
     ).cast("decimal(18,6)")
+
+
+def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document DSIR importance weight (hashed-bigram target/raw
+    log-likelihood ratio) plus a ``target_leaning`` flag (weight > 0 —
+    the document looks more like the reference slice than the rest of
+    the corpus). Compose with ``budget_trim``/``training_plan`` to
+    select an importance-ranked subset.
+
+    Plan: ONE map-side bigram explode (in-row zip, no join) feeds both
+    the model and the scoring pass; the model is a DSIR_BUCKETS-row
+    aggregate (one bucket-keyed shuffle whose output is B rows
+    regardless of corpus size) that reaches the scoring rows by
+    BROADCAST with its 1-row totals; the per-doc sum partial-aggs on
+    doc_id. At 100 TB: two executions of the bigram lineage (model +
+    scoring — the bigram-LM precedent), a B-bounded model, zero
+    corpus-to-corpus joins. Library op, full DuckDB oracle
+    (``dsir_weights_sql()``) — the r11 capacity-note class."""
+    bk, m, tot, contrib = _dsir_buckets(spark, sf_dir)
     scored = (
         bk.join(F.broadcast(m), "b")
         .crossJoin(F.broadcast(tot))
@@ -2062,73 +2083,19 @@ def dsir_model(spark: SparkSession, sf_dir: str):
     default covers buckets with zero corpus occurrences (an arriving
     bigram can hash anywhere). Bounded collects: DSIR_BUCKETS rows +
     one default row."""
-    from trisk_spark.functions.text import LM_REF_MOD, _lm_bigrams
-
-    B = DSIR_BUCKETS
-    bi = _lm_bigrams(_docs(spark, sf_dir))
-    bk = bi.select(
-        F.pmod(
-            F.conv(
-                F.substring(F.md5(F.concat_ws(" ", "w1", "w2")), 1, 15), 16, 10
-            ).cast("bigint"),
-            F.lit(B),
-        ).alias("b"),
-        (F.pmod(F.col("doc_id"), F.lit(LM_REF_MOD)) == 0).alias("is_target"),
-    )
-    m = bk.groupBy("b").agg(
-        F.sum(F.when(F.col("is_target"), 1).otherwise(0))
-        .cast("bigint")
-        .alias("ct"),
-        F.sum(F.when(F.col("is_target"), 0).otherwise(1))
-        .cast("bigint")
-        .alias("cr"),
-    )
-    tot = m.agg(F.sum("ct").alias("tt"), F.sum("cr").alias("tr"))
-
-    def contrib_expr():
-        return F.round(
-            F.log(
-                (
-                    (F.col("ct") + F.lit(1)).cast("double")
-                    / (F.col("tt") + F.lit(B)).cast("double")
-                )
-                * (
-                    (F.col("tr") + F.lit(B)).cast("double")
-                    / (F.col("cr") + F.lit(1)).cast("double")
-                )
-            ),
-            6,
-        ).cast("decimal(18,6)")
-
+    _, m, tot, contrib = _dsir_buckets(spark, sf_dir)
     rows = (
         m.crossJoin(F.broadcast(tot))
-        .select("b", (contrib_expr() * F.lit(1000000)).cast("bigint").alias("c"))
+        .select("b", (contrib * F.lit(1000000)).cast("bigint").alias("c"))
         .collect()
     )
-    default_row = (
-        tot.select(
-            (
-                (
-                    F.round(
-                        F.log(
-                            (
-                                F.lit(1).cast("double")
-                                / (F.col("tt") + F.lit(B)).cast("double")
-                            )
-                            * (
-                                (F.col("tr") + F.lit(B)).cast("double")
-                                / F.lit(1).cast("double")
-                            )
-                        ),
-                        6,
-                    ).cast("decimal(18,6)")
-                )
-                * F.lit(1000000)
-            )
-            .cast("bigint")
-            .alias("c")
-        )
-        .collect()
+    default_contrib = _dsir_contrib(F.lit(1), F.lit(1))
+    default_row = tot.select(
+        (default_contrib * F.lit(1000000)).cast("bigint").alias("c")
+    ).collect()
+    default = (
+        int(default_row[0]["c"])
+        if default_row and default_row[0]["c"] is not None
+        else 0
     )
-    default = int(default_row[0]["c"]) if default_row and default_row[0]["c"] is not None else 0
     return {int(r["b"]): int(r["c"]) for r in rows}, default
