@@ -1373,18 +1373,15 @@ def bm25_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def bm25_pair_scores(spark: SparkSession, docs: DataFrame) -> DataFrame:
-    """The relational BM25 scoring stage over any (doc_id, text) frame:
-    (query_id, doc_id, n_terms, s DECIMAL) for every document holding
-    at least one seed term — ``bm25_top_docs`` ranks this;
-    ``streaming.queries.bm25_score_stream``'s in-row kernel is
-    stream≡batch pytest-pinned against it."""
-    qterms = spark.createDataFrame(
-        [(qid, t) for qid, ts in sorted(BM25_QUERIES.items()) for t in ts],
-        "query_id int, term string",
-    )
+def _bm25_stats_tf_df(docs: DataFrame):
+    """Shared BM25 corpus passes over any (doc_id, text) frame:
+    (stats, tf, df) — the 1-row (N docs, total tokens) aggregate, the
+    hits-only (doc_id, term, dl) term frequencies (token array filtered
+    IN-ROW against the literal seed set before the explode), and the
+    seed-cardinality document frequencies derived from tf. Used by the
+    scoring stage and the model collector so grouping keys and the
+    duplicate-doc_id contract exist exactly once."""
     seed_terms = sorted({t for ts in BM25_QUERIES.values() for t in ts})
-
     stats = docs.select(F.size(_lm_tokens()).alias("dl")).agg(
         F.count("*").alias("n_docs"),
         F.sum(F.col("dl").cast("bigint")).alias("total_len"),
@@ -1398,6 +1395,20 @@ def bm25_pair_scores(spark: SparkSession, docs: DataFrame) -> DataFrame:
     )
     tf = toks.groupBy("doc_id", "term", "dl").agg(F.count("*").alias("tf"))
     df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    return stats, tf, df
+
+
+def bm25_pair_scores(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """The relational BM25 scoring stage over any (doc_id, text) frame:
+    (query_id, doc_id, n_terms, s DECIMAL) for every document holding
+    at least one seed term — ``bm25_top_docs`` ranks this;
+    ``streaming.queries.bm25_score_stream``'s in-row kernel is
+    stream≡batch pytest-pinned against it."""
+    qterms = spark.createDataFrame(
+        [(qid, t) for qid, ts in sorted(BM25_QUERIES.items()) for t in ts],
+        "query_id int, term string",
+    )
+    stats, tf, df = _bm25_stats_tf_df(docs)
 
     n, t_len, tfc, dfc, dl = (
         F.col("n_docs"), F.col("total_len"),
@@ -1430,24 +1441,13 @@ def bm25_model(spark: SparkSession, sf_dir: str) -> tuple[dict, int, int]:
     seed-term document frequencies plus (N docs, total tokens) — the
     write-once broadcast asset a streaming deployment scores against
     (``bm25_score_stream``). Both collects are bounded: df has at most
-    |seed terms| rows, the stats row is 1."""
+    |seed terms| rows (duplicate doc_ids count per (doc_id, dl) row,
+    the same contract as the scoring stage — shared builder), the
+    stats row is 1."""
     docs = table(spark, sf_dir, "documents").where(F.col("doc_id").isNotNull())
-    seed_terms = sorted({t for ts in BM25_QUERIES.values() for t in ts})
-    stats = docs.select(F.size(_lm_tokens()).alias("dl")).agg(
-        F.count("*").alias("n_docs"),
-        F.sum(F.col("dl").cast("bigint")).alias("total_len"),
-    ).collect()[0]
-    toks = docs.select(
-        "doc_id",
-        F.explode(
-            F.filter(_lm_tokens(), lambda w: w.isin(*seed_terms))
-        ).alias("term"),
-    )
-    df_rows = (
-        toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-        .groupBy("term").agg(F.count("*").alias("df"))
-        .collect()
-    )
+    stats_df, _, df = _bm25_stats_tf_df(docs)
+    stats = stats_df.collect()[0]
+    df_rows = df.collect()
     return (
         {r["term"]: int(r["df"]) for r in df_rows},
         int(stats["n_docs"]),
