@@ -446,3 +446,98 @@ def test_tercile_formula_balanced_and_monotone(n, k):
     # when n >= k every tile is non-empty
     if n >= k:
         assert all(sizes), (n, k, sizes)
+
+
+# ------------------------------------- BM25 exact-rational identity --
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    tf=st.integers(min_value=1, max_value=10_000),
+    dl=st.integers(min_value=1, max_value=1_000_000),
+    n=st.integers(min_value=1, max_value=10_000_000),
+    t=st.integers(min_value=1, max_value=10_000_000_000),
+    df=st.integers(min_value=1, max_value=10_000_000),
+)
+def test_bm25_integer_rearrangement_is_textbook_formula(tf, dl, n, t, df):
+    """The engine's all-BIGINT BM25 operands (text.py's family
+    comment: sat = 44·tf·T / (20·tf·T + 6·T + 18·dl·N), idf =
+    ln((2N+2)/(2df+1))) must BE the textbook Robertson/Lucene formula
+    at k1 = 1.2, b = 0.75 — the algebraic scaling by 20·T and the
+    (N+1)/(df+0.5) collapse proven over randomized operands, not just
+    the corpus the oracles run on."""
+    import math
+
+    from hypothesis import assume
+
+    assume(df <= n)
+    sat_int = (44 * tf * t) / (20 * tf * t + 6 * t + 18 * dl * n)
+    k1, b = 1.2, 0.75
+    avgdl = t / n
+    sat_txt = tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+    assert abs(sat_int - sat_txt) <= 1e-12 * max(1.0, sat_txt)
+    idf_int = math.log((2 * n + 2) / (2 * df + 1))
+    idf_txt = math.log(1 + (n - df + 0.5) / (df + 0.5))
+    assert abs(idf_int - idf_txt) <= 1e-12 * max(1.0, abs(idf_txt))
+    # saturation is bounded by k1+1 and monotone-increasing in tf
+    assert 0 < sat_int < k1 + 1
+    assert sat_int < (44 * (tf + 1) * t) / (20 * (tf + 1) * t + 6 * t + 18 * dl * n)
+
+
+# ---------------------------------------- DSIR contribution identity --
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    ct=st.integers(min_value=0, max_value=10_000_000),
+    cr=st.integers(min_value=0, max_value=10_000_000),
+    tt_extra=st.integers(min_value=0, max_value=1_000_000_000),
+    tr_extra=st.integers(min_value=0, max_value=1_000_000_000),
+)
+def test_dsir_contribution_is_log_likelihood_ratio(ct, cr, tt_extra, tr_extra):
+    """The single-ln product form ln(((ct+1)/(Tt+B))·((Tr+B)/(cr+1)))
+    (sampling.py's family comment) must equal log p_target − log p_raw
+    under add-1 smoothing over B buckets, and move the right way:
+    up in target evidence, down in raw evidence. Totals are generated
+    as count + extra so Tt ≥ ct, Tr ≥ cr by construction."""
+    import math
+
+    from trisk_spark.functions.sampling import DSIR_BUCKETS as B
+
+    tt, tr = ct + tt_extra, cr + tr_extra
+    one_ln = math.log(((ct + 1) / (tt + B)) * ((tr + B) / (cr + 1)))
+    two_ln = math.log((ct + 1) / (tt + B)) - math.log((cr + 1) / (tr + B))
+    assert abs(one_ln - two_ln) <= 1e-9 * max(1.0, abs(two_ln))
+    up = math.log(((ct + 2) / (tt + B)) * ((tr + B) / (cr + 1)))
+    down = math.log(((ct + 1) / (tt + B)) * ((tr + B) / (cr + 2)))
+    assert up > one_ln > down
+
+
+# ------------------------------------------- scaled-integer L2 norm --
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.floats(
+            min_value=-10.0, max_value=10.0,
+            allow_nan=False, allow_infinity=False,
+        ),
+        min_size=1,
+        max_size=64,
+    )
+)
+def test_scaled_integer_norm_tracks_true_l2(vec):
+    """embedding_health's norm — sqrt of the FLOOR(x·1e6)² BIGINT fold,
+    rounded back to micro-units — must sit within the flooring error
+    bound of the true L2 norm: per element the scaled value is off by
+    < 1 micro-unit, so the norm is off by < sqrt(dim) micro-units
+    (triangle inequality), plus the half-unit final rounding."""
+    import math
+
+    micro = [math.floor(x * 1_000_000) for x in vec]
+    n2 = sum(m * m for m in micro)
+    nm = round(math.sqrt(float(n2)))  # micro-units
+    true_norm = math.sqrt(sum(x * x for x in vec))
+    bound = math.sqrt(len(vec)) + 0.5  # micro-units
+    assert abs(nm - true_norm * 1_000_000) <= bound + 1e-6 * true_norm * 1e6
