@@ -2084,18 +2084,20 @@ def dsir_model(spark: SparkSession, sf_dir: str):
     bigram can hash anywhere). Bounded collects: DSIR_BUCKETS rows +
     one default row."""
     _, m, tot, contrib = _dsir_buckets(spark, sf_dir)
+    # the default (zero-count bucket) contribution rides the SAME job
+    # as the per-bucket rows — tt/tr are already bound there; a second
+    # tot.select().collect() would re-execute the whole corpus bigram
+    # lineage just to produce one derivable value
     rows = (
         m.crossJoin(F.broadcast(tot))
-        .select("b", (contrib * F.lit(1000000)).cast("bigint").alias("c"))
+        .select(
+            "b",
+            (contrib * F.lit(1000000)).cast("bigint").alias("c"),
+            (_dsir_contrib(F.lit(1), F.lit(1)) * F.lit(1000000))
+            .cast("bigint")
+            .alias("dc"),
+        )
         .collect()
     )
-    default_contrib = _dsir_contrib(F.lit(1), F.lit(1))
-    default_row = tot.select(
-        (default_contrib * F.lit(1000000)).cast("bigint").alias("c")
-    ).collect()
-    default = (
-        int(default_row[0]["c"])
-        if default_row and default_row[0]["c"] is not None
-        else 0
-    )
+    default = int(rows[0]["dc"]) if rows and rows[0]["dc"] is not None else 0
     return {int(r["b"]): int(r["c"]) for r in rows}, default

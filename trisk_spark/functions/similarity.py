@@ -2045,13 +2045,15 @@ def embedding_health_frame(emb: DataFrame) -> DataFrame:
         F.sum("nm").alias("mu"),
         F.sum(F.when(F.col("ok"), 1).otherwise(0)).cast("bigint").alias("n_ok"),
     )
-    mu, nk = F.col("mu"), F.col("n_ok")
-    r = ((mu % nk) + nk) % nk
+    nk = F.col("n_ok")
+    # `div` keeps the floored mean in EXACT bigint arithmetic (mu ≥ 0
+    # here, so div ≡ floor-div) — a double `/` would round mu first
+    # and drift off the oracle's `//` once mu passes 2^53 (≈9e9 valid
+    # unit-norm vectors under one label)
+    q = F.expr("(mu - ((mu % n_ok) + n_ok) % n_ok) div n_ok")
     return agg.select(
         "label", "n_vecs", "n_invalid", "n_zero_norm", "n_distinct_dims",
         (F.col("min_micro").cast("double") / 1000000.0).alias("min_norm"),
-        F.when(nk > 0, ((mu - r) / nk).cast("double") / 1000000.0).alias(
-            "avg_norm"
-        ),
+        F.when(nk > 0, q.cast("double") / 1000000.0).alias("avg_norm"),
         (F.col("max_micro").cast("double") / 1000000.0).alias("max_norm"),
     )

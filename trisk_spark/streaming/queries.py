@@ -1079,7 +1079,11 @@ def bm25_score_stream(
     deployment pairs this scorer with a downstream windowed top-k or
     threshold gate. A seed term the reference corpus never saw has no
     df row and scores no arriving hit (conservative skip, like the
-    batch inner join)."""
+    batch inner join). Duplicate-id contract: the stream scores each
+    arriving ROW; the batch path merges rows sharing a doc_id through
+    its groupBy — stream≡batch therefore assumes id-unique input, the
+    ingest invariant ``dedup_exact_stream`` enforces upstream (same
+    contract as every id-keyed op, cf. ``_bigram_lm_sql``'s note)."""
     from trisk_spark.functions.text import BM25_QUERIES, bm25_model
 
     if model is None:
@@ -1162,7 +1166,11 @@ def dsir_score_stream(
     hits, exercised by its own test. Arrow-batched ``mapInPandas``,
     append mode, ZERO shuffle, zero state; per-row Python cost is
     O(bigrams) dict lookups (the batch op is the scale path — this is
-    the deployment gate shape)."""
+    the deployment gate shape). Duplicate-id contract: scores each
+    arriving ROW, where batch ``dsir_weights`` merges duplicate
+    doc_ids in its groupBy — stream≡batch assumes id-unique input,
+    the ``dedup_exact_stream`` ingest invariant (cf.
+    ``bm25_score_stream``)."""
     import hashlib
 
     import pandas as pd
