@@ -2690,3 +2690,45 @@ def test_embedding_health_frame_runs_under_streaming(spark):
         for r in embedding_health(spark, SF).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_bm25_and_dsir_stream_duplicate_id_contract(spark, tmp_path):
+    """The documented duplicate-id contract, pinned executable: the
+    stream twins score each arriving ROW while the batch paths merge
+    rows sharing a doc_id — so on a duplicated id the stream emits
+    per-row results and the batch one merged row. Id-unique input
+    (the dedup_exact_stream ingest invariant) is what makes
+    stream≡batch exact."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from trisk_spark.functions.sampling import dsir_model, dsir_weights
+    from trisk_spark.functions.text import bm25_model, bm25_pair_scores
+    from trisk_spark.streaming.queries import bm25_score_stream, dsir_score_stream
+
+    docs = {
+        "doc_id": [1, 1, 2],
+        "text": ["spark stream", "spark spark spark", "merge sort"],
+        "lang": ["en"] * 3,
+        "source": ["f"] * 3,
+        "n_chars": [0] * 3,
+    }
+    pq.write_table(pa.table(docs), tmp_path / "documents.parquet")
+    sf = str(tmp_path)
+    frame = spark.createDataFrame(
+        list(zip(docs["doc_id"], docs["text"])), "doc_id long, text string"
+    )
+
+    got = bm25_score_stream(frame, spark, sf, model=bm25_model(spark, sf))
+    assert got.where(F.col("doc_id") == 1).count() == 2  # per-row
+    batch = bm25_pair_scores(
+        spark, frame.withColumn("lang", F.lit("en"))
+    )
+    assert (
+        batch.where(F.col("doc_id") == 1).select("query_id").distinct().count()
+        == batch.where(F.col("doc_id") == 1).count()
+    )  # merged: one row per (query, doc_id)
+
+    dgot = dsir_score_stream(frame, spark, sf, model=dsir_model(spark, sf))
+    assert dgot.where(F.col("doc_id") == 1).count() == 2
+    assert dsir_weights(spark, sf).where(F.col("doc_id") == 1).count() == 1
