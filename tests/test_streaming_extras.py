@@ -2622,8 +2622,10 @@ def test_dsir_score_stream_equals_batch_exactly(spark):
 def test_dsir_score_stream_default_bucket_for_unseen_bigrams(spark, tmp_path):
     """An arriving bigram hashing to a bucket the reference corpus
     never populated must take the model's default (zero-count)
-    contribution — raw-leaning by construction when the raw slice
-    dominates — rather than being dropped or crashing."""
+    contribution — ln((Tr+B)/(Tt+B)), i.e. unseen mass leans toward
+    the SMALLER model (normally the target slice, which holds ~1/10 of
+    the corpus) under add-1 smoothing — rather than being dropped or
+    crashing."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
