@@ -134,6 +134,7 @@ def test_readme_op_table_names_are_registered():
         "dsir_weights", "dsir_weights_sql", "target_leaning",
         "dsir_score_stream", "dsir_model",
         "embedding_health", "emb_health_sql", "embedding_health_frame",
+        "running_topk_stream",
     }
     missing = {
         c for c in cited

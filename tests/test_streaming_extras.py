@@ -2734,3 +2734,31 @@ def test_bm25_and_dsir_stream_duplicate_id_contract(spark, tmp_path):
     dgot = dsir_score_stream(frame, spark, sf, model=dsir_model(spark, sf))
     assert dgot.where(F.col("doc_id") == 1).count() == 2
     assert dsir_weights(spark, sf).where(F.col("doc_id") == 1).count() == 1
+
+
+def test_bm25_stream_plus_running_topk_equals_batch_ranking(spark):
+    """End-to-end streaming retrieval: bm25_score_stream into the
+    running_topk_stream leaderboard over a bounded replay must finish
+    on EXACTLY the batch bm25_top_docs ranking — scorer twin plus
+    rank state op reproduce the full batch operator."""
+    from trisk_spark.functions.text import bm25_top_docs
+    from trisk_spark.streaming.queries import bm25_score_stream, run_bounded
+    from trisk_spark.streaming.state import running_topk_stream
+
+    stream = replay_stream(spark, SF, "documents", n_chunks=3, order_col="doc_id")
+    scored = bm25_score_stream(stream, spark, SF).select(
+        "query_id", "doc_id", "score"
+    )
+    emitted = run_bounded(
+        running_topk_stream(scored),
+        checkpoint_dir("bm25topk"),
+        mode="update",
+    )
+    final: dict = {}
+    for _, r in emitted:  # last emission per (query, rank) wins
+        final[(r.query_id, r.rank)] = (r.doc_id, r.score)
+    want = {
+        (r.query_id, r.rank): (r.doc_id, r.score)
+        for r in bm25_top_docs(spark, SF).collect()
+    }
+    assert len(want) > 0 and final == want

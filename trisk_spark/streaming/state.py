@@ -28,6 +28,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     ArrayType,
     DoubleType,
+    IntegerType,
     LongType,
     StringType,
     StructField,
@@ -1182,5 +1183,81 @@ def ts_pattern_alert_stream(
         outputStructType=_TS_OUT,
         stateStructType=_TS_STATE,
         outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# --------------------------------------- running top-k leaderboard --
+
+# Generic keyed streaming top-k: the windowed-rank class Structured
+# Streaming has no native operator for (rank over a stream needs
+# state), kept as a bounded per-key leaderboard in GroupState — the
+# deployment partner the streaming retrieval scorers
+# (bm25_score_stream, dsir_score_stream) document pairing with. State
+# per key is EXACTLY k (id, score) pairs; every batch that touches a
+# key re-emits its full leaderboard (update semantics — the
+# final-state reduction per (key, rank) is the batch-comparable
+# image). Ordering is (score DESC, id ASC) on doubles; the 1e-6
+# decimal grid the scorers emit maps injectively to doubles at any
+# realistic score magnitude, so the stream order equals the batch
+# decimal order (pinned by the end-to-end bm25 test).
+
+TOPK_K = 5
+
+_TOPK_OUT = StructType(
+    [
+        StructField("query_id", IntegerType()),
+        StructField("doc_id", LongType()),
+        StructField("score", DoubleType()),
+        StructField("rank", IntegerType()),
+    ]
+)
+_TOPK_STATE = StructType(
+    [
+        StructField("ids", ArrayType(LongType())),
+        StructField("scores", ArrayType(DoubleType())),
+    ]
+)
+
+
+def _topk_fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+    k = TOPK_K
+    ids, scores = ([], [])
+    if state.exists:
+        ids, scores = list(state.get[0] or []), list(state.get[1] or [])
+    entries = {int(i): float(s) for i, s in zip(ids, scores)}
+    for pdf in pdfs:
+        for i, s in zip(pdf["doc_id"], pdf["score"]):
+            i, s = int(i), float(s)
+            # a doc re-arriving keeps its best score (id-unique input
+            # makes this moot; documented stream contract)
+            if i not in entries or s > entries[i]:
+                entries[i] = s
+    board = sorted(entries.items(), key=lambda e: (-e[1], e[0]))[:k]
+    state.update(([i for i, _ in board], [s for _, s in board]))
+    yield pd.DataFrame(
+        [
+            (key[0], i, s, r + 1)
+            for r, (i, s) in enumerate(board)
+        ],
+        columns=["query_id", "doc_id", "score", "rank"],
+    )
+
+
+def running_topk_stream(scored: DataFrame, k: int = TOPK_K) -> DataFrame:
+    """Running per-key top-k over a (query_id, doc_id, score) stream:
+    each batch merges its arrivals into the k-entry GroupState
+    leaderboard and re-emits the key's current ranking (update mode).
+    Composes with ``bm25_score_stream`` to reproduce the batch
+    ``bm25_top_docs`` ranking end-to-end on a bounded replay
+    (pytest-pinned); any (key, id, score) stream renamed to these
+    columns gets the same leaderboard."""
+    if k != TOPK_K:  # the state schema is fixed; k rides the constant
+        raise ValueError("running_topk_stream is pinned to TOPK_K")
+    return scored.groupBy("query_id").applyInPandasWithState(
+        _topk_fn,
+        outputStructType=_TOPK_OUT,
+        stateStructType=_TOPK_STATE,
+        outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
