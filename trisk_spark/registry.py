@@ -121,7 +121,15 @@ def register(name: str, oracle: str | None = None):
 # quality_score's class; cross_split_leakage ⊂ dedup_minhash_lsh +
 # train_split), or stage the registration over r12+r13 (register five
 # per round; each new registration must be IN-window its first round
-# per the new-op policy). The r12 session picks whichever split keeps
+# per the new-op policy). Seat-candidacy of the three late-r11 ops:
+# bm25_top_docs and dsir_weights are DISTINCT kernels (seed-filtered
+# lexical scoring; hashed-feature log-ratio model) with no in-window
+# sibling — prioritize them for seats; embedding_health is the
+# scan-agg health class (store_stats / source_quality_rollup
+# siblings) and can run witnessed. Their streaming twins
+# (bm25_score_stream + running_topk_stream, dsir_score_stream,
+# embedding_health_frame) are replay-pinned in pytest and need no
+# seats. The r12 session picks whichever split keeps
 # every freshness invariant; the arithmetic above is the constraint
 # to satisfy, not a prescription.
 # Sitting out r11 — every one hash-green in r10 (CORRECTNESS_r10),
