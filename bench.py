@@ -82,13 +82,19 @@ HEADLINE = [
     "bpe_segment",
     "training_plan",
     "pack_plan",
-    # r11-new headline query (baseline keys from BENCH_r11 per the
+    # r11-new headline query (baseline keyed from BENCH_r11 per the
     # new-op policy). training_plan_over_store is deliberately NOT
     # benched headline: its cost is write_plan_store (a once-per-corpus
     # build, measured in PERF_NOTES) + a composition tail already
     # covered by training_plan; timing the store rebuild per run would
     # measure the artifact write, not a query.
     "curation_funnel",
+    # r12-new registrations (baselines key from BENCH_r12 per the
+    # new-op policy — first driver bench):
+    "bm25_top_docs",
+    "dsir_weights",
+    "canonical_by_quality",
+    "source_divergence",
 ]
 
 

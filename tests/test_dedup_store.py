@@ -1,0 +1,201 @@
+"""Persisted MinHash dedup store (functions/dedup_store.py): partition
+pruning pinned, probe ceiling, write-time bucket cap, near-copy
+detection, stream ≡ batch. Oracle parity for ``dedup_incremental``
+lives in test_oracle_parity's library pass."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+from pyspark.sql import functions as F
+
+from trisk_spark.catalog import table
+from trisk_spark.functions import dedup_store
+from trisk_spark.functions.dedup import BUCKET_CAP, N_BANDS
+from trisk_spark.streaming.sources import checkpoint_dir
+
+from .conftest import SF_DIR
+
+
+def _corpus_split(spark):
+    docs = table(spark, SF_DIR, "documents").where(F.col("doc_id").isNotNull())
+    mod = dedup_store.DEDUP_ARRIVING_MOD
+    existing = docs.where(F.pmod(F.col("doc_id"), F.lit(mod)) != 0)
+    arriving = docs.where(F.pmod(F.col("doc_id"), F.lit(mod)) == 0)
+    return existing, arriving
+
+
+def test_probe_prunes_band_partitions(spark, tmp_path):
+    # the probe's bands read must carry a PartitionFilters entry on
+    # (band_idx, bucket), and a small probe must route to FEWER
+    # buckets than the store holds — otherwise the store is a full
+    # scan with extra steps
+    path = str(tmp_path / "store")
+    existing, arriving = _corpus_split(spark)
+    dedup_store.write_dedup_store(spark, existing, path)
+
+    few = arriving.orderBy("doc_id").limit(2)
+    out = dedup_store.probe_dedup_store(spark, few, path)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    scan = [
+        blk for blk in plan.split("\n\n")
+        if "bands" in blk and "PartitionFilters" in blk
+    ]
+    assert scan, f"bands scan lost its PartitionFilters:\n{plan}"
+    assert "band_idx" in scan[0] and "bucket" in scan[0], scan[0]
+
+    written = (
+        spark.read.parquet(f"{path}/bands")
+        .select("band_idx", "bucket")
+        .distinct()
+        .count()
+    )
+    sig = dedup_store.minhash_signatures_inrow(few)
+    bands_new = dedup_store.minhash_bands(sig).select(
+        F.col("band_idx").cast("int").alias("band_idx"),
+        "bh",
+    ).withColumn("bucket", dedup_store._bucket())
+    routed = dedup_store._routed_buckets_checked(bands_new, 10)
+    assert 0 < len(routed) < written, (
+        f"pruning is vacuous: {len(routed)} routed of {written} written"
+    )
+
+
+def test_probe_ceiling_and_empty_batch(spark, tmp_path):
+    # guard folded into the routing collect: fail loud past the cap;
+    # an empty arriving frame probes nothing and returns the schema
+    path = str(tmp_path / "store")
+    existing, arriving = _corpus_split(spark)
+    dedup_store.write_dedup_store(spark, existing, path)
+
+    with pytest.raises(ValueError, match="dedup probe batch exceeds 1 "):
+        dedup_store.probe_dedup_store(
+            spark, arriving.limit(5), path, max_probe_rows=1
+        )
+
+    empty = arriving.where(F.lit(False))
+    out = dedup_store.probe_dedup_store(spark, empty, path)
+    assert out.columns == ["doc_id", "dup_of", "n_agree", "est_jaccard", "is_dup"]
+    assert out.count() == 0
+
+
+def test_write_caps_degenerate_buckets(spark, tmp_path):
+    # a byte-identical flood (> BUCKET_CAP copies) maps every copy to
+    # the same (band_idx, bh); the WRITTEN store must hold at most
+    # BUCKET_CAP members per bucket (smallest doc_ids), so no future
+    # probe can fan out past the cap
+    n = BUCKET_CAP + 50
+    text = " ".join(f"w{i % 17}" for i in range(40))
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"), F.lit(text).alias("text")
+    )
+    path = str(tmp_path / "flood")
+    dedup_store.write_dedup_store(spark, docs, path)
+    per = (
+        spark.read.parquet(f"{path}/bands")
+        .groupBy("band_idx", "bh")
+        .count()
+    )
+    mx = per.agg(F.max("count").alias("m")).collect()[0]["m"]
+    assert mx == BUCKET_CAP, f"write-time cap missed: {mx}"
+    # and the kept members are the SMALLEST ids (deterministic rule)
+    kept = sorted(
+        r.doc_id
+        for r in spark.read.parquet(f"{path}/bands")
+        .where(F.col("band_idx") == 0)
+        .select("doc_id")
+        .distinct()
+        .collect()
+    )
+    assert kept == list(range(BUCKET_CAP))
+
+
+def test_near_copy_flags_against_store(spark, tmp_path):
+    # an arriving byte-copy of an existing document must flag is_dup
+    # with dup_of = that document and est_jaccard = 1.0; an arriving
+    # doc sharing no shingles must be absent from the result
+    text = " ".join(f"tok{i}" for i in range(60))
+    other = " ".join(f"zzz{i}" for i in range(60))
+    existing = spark.createDataFrame(
+        [(1, text), (2, other)], "doc_id long, text string"
+    )
+    arriving = spark.createDataFrame(
+        [(100, text), (200, " ".join(f"q{i}" for i in range(60)))],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "store")
+    dedup_store.write_dedup_store(spark, existing, path)
+    rows = {
+        r.doc_id: r
+        for r in dedup_store.probe_dedup_store(spark, arriving, path).collect()
+    }
+    assert set(rows) == {100}
+    assert rows[100].dup_of == 1
+    assert rows[100].n_agree == dedup_store.N_PERMS
+    assert rows[100].est_jaccard == 1.0 and rows[100].is_dup
+
+
+def test_dedup_probe_stream_equals_batch(spark, tmp_path):
+    """Arriving documents replayed across micro-batches must union to
+    exactly the one-batch probe image (probe independence), each batch
+    reading only its own routed buckets."""
+    import os
+    import time as _time
+
+    path = str(tmp_path / "store")
+    existing, arriving = _corpus_split(spark)
+    dedup_store.write_dedup_store(spark, existing, path)
+
+    arr_rows = arriving.select("doc_id", "text").orderBy("doc_id").limit(6).collect()
+    assert len(arr_rows) == 6
+    docs_dir = str(tmp_path / "arriving")
+    for r in arr_rows:
+        spark.createDataFrame(
+            [(r.doc_id, r.text)], "doc_id long, text string"
+        ).coalesce(1).write.mode("append").parquet(docs_dir)
+    now = int(_time.time())
+    parts = sorted(
+        f for f in os.listdir(docs_dir)
+        if f.startswith("part-") and f.endswith(".parquet")
+    )
+    for i, fname in enumerate(parts):
+        os.utime(os.path.join(docs_dir, fname), times=(now + i, now + i))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(docs_dir)
+    )
+
+    emitted = []
+    batches = []
+
+    def sink(bdf, bid):
+        # every batch materializes (the sink contract); most arriving
+        # docs have no near-dup, so count INVOCATIONS, not hits
+        batches.append(bid)
+        emitted.extend(bdf.collect())
+
+    q = (
+        dedup_store.dedup_probe_stream(spark, stream, path, sink)
+        .option("checkpointLocation", checkpoint_dir("dedupprobe"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(batches) >= 2, "arrivals all landed in one micro-batch — vacuous"
+
+    batch_img = dedup_store.probe_dedup_store(
+        spark,
+        spark.createDataFrame(
+            [(r.doc_id, r.text) for r in arr_rows], "doc_id long, text string"
+        ),
+        path,
+    ).collect()
+    key = lambda r: (r.doc_id, r.dup_of, r.n_agree, r.est_jaccard, r.is_dup)  # noqa: E731
+    assert sorted(map(key, emitted)) == sorted(map(key, batch_img))
+    assert len(batch_img) > 0, "no arriving doc collided — vacuous corpus split"

@@ -82,24 +82,30 @@ def _library():
     return LIBRARY
 
 
-@pytest.mark.parametrize(
-    "name",
-    sorted(
-        [
-            "budget_trim", "training_plan_budget", "shuffle_shards",
-            "perplexity_buckets", "cross_split_leakage",
-            "canonical_by_quality", "contamination_report",
-            "ngram_novelty", "gopher_rules", "line_dedup",
-            "source_divergence", "minhash_jaccard_estimate",
-            "bm25_top_docs", "dsir_weights", "embedding_health",
-        ]
-    ),
+LIBRARY_NAMES = sorted(
+    [
+        "budget_trim", "training_plan_budget", "shuffle_shards",
+        "perplexity_buckets", "cross_split_leakage",
+        "contamination_report", "ngram_novelty", "gopher_rules",
+        "line_dedup", "minhash_jaccard_estimate", "embedding_health",
+        "dedup_incremental",
+    ]
 )
+
+
+def test_library_parametrize_is_exhaustive():
+    # the literal list exists so collection stays Spark-free; it must
+    # track load_library() exactly or an op silently loses its gate
+    assert set(LIBRARY_NAMES) == set(_library())
+
+
+@pytest.mark.parametrize("name", LIBRARY_NAMES)
 def test_library_matches_duckdb(spark, duck, name):
     """The library surface (full oracles, awaiting driver seats — the
-    registry's R12 REGISTRATION PLAN) gets the same every-round gate as
-    the registered window: exact DuckDB parity at sf0.001. A library op
-    whose oracle drifts fails here, not at registration time."""
+    registry's R13 PLAN; four ops graduated to seats in r12) gets the
+    same every-round gate as the registered window: exact DuckDB parity
+    at sf0.001. A library op whose oracle drifts fails here, not at
+    registration time."""
     qd = _library()[name]
     assert qd.oracle, name
     assert_matches_oracle(qd.fn(spark, SF_DIR), duck(SF_DIR), qd.oracle)

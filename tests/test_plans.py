@@ -927,3 +927,40 @@ def test_embedding_health_is_single_label_shuffle(spark):
     assert "Join" not in plan, plan
     assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) <= 2, plan
     assert "partial_" in plan, "health aggregate lost map-side combine"
+
+
+def test_probe_frame_executes_probe_lineage_once(spark, tmp_path):
+    # r11 VERDICT #3: probe_frame must pay exactly ONE execution of the
+    # probe frame's upstream before the candidate stage (the former
+    # separate guard count + distinct-list collect paid ~3). An
+    # accumulator in the probe lineage counts rows processed: after
+    # probe_frame() returns (the routing collect has run), the count
+    # must equal one pass over the probes — not two, not three. The
+    # final result job legitimately re-executes the (per-micro-batch
+    # persisted, in streaming) lineage afterwards.
+    from pyspark.sql import functions as F
+
+    from trisk_spark.catalog import table
+    from trisk_spark.functions import ivf_store
+    from trisk_spark.functions.similarity import N_PROBES, _valid_embeddings
+
+    path = str(tmp_path / "ivf")
+    ivf_store.write_index(spark, SF_DIR, path)
+    emb = _valid_embeddings(table(spark, SF_DIR, "embeddings"))
+    probes_plain = emb.where(F.col("vec_id") < N_PROBES)
+    expected = probes_plain.count()
+    assert expected > 0
+    acc = spark.sparkContext.accumulator(0)
+
+    def tick(it):
+        for pdf in it:
+            acc.add(len(pdf))
+            yield pdf
+
+    probes = probes_plain.mapInPandas(tick, probes_plain.schema)
+    out = ivf_store.probe_frame(spark, probes, emb, path)
+    assert acc.value == expected, (
+        f"probe lineage executed {acc.value / expected:.1f}x before the "
+        "candidate stage — the guard/routing fold regressed"
+    )
+    assert out.count() > 0  # the probe still answers

@@ -52,6 +52,37 @@ def test_every_sitter_is_oracle_gated():
             )
 
 
+def test_composed_sitters_have_live_alternating_witnesses():
+    """Permanent composed sitters (r12 class): each must name at least
+    one registered, oracle-bearing composer that itself ALTERNATES —
+    i.e. is not a member of any permanent-sitter class — so the
+    composed kernel is driver-hash-gated every other round and no
+    circular witnessing (A sits on B, B sits on A, neither ever
+    checked) can arise."""
+    from trisk_spark.registry import (
+        COMPOSED_SITTER_WITNESS,
+        NO_ORACLE_SITTER_WITNESS,
+    )
+
+    reg = load_all()
+    permanent = set(COMPOSED_SITTER_WITNESS) | set(NO_ORACLE_SITTER_WITNESS)
+    for sitter, composers in COMPOSED_SITTER_WITNESS.items():
+        assert sitter in reg and sitter in DEPRIORITIZED, sitter
+        assert reg[sitter].oracle is not None, (
+            f"{sitter} is a COMPOSED sitter but has no oracle — it must "
+            "use NO_ORACLE_SITTER_WITNESS (always-in witness) instead"
+        )
+        for c in composers:
+            assert c in reg, f"{sitter}'s composer {c!r} is unregistered"
+            assert reg[c].oracle is not None, (
+                f"{sitter}'s composer {c!r} has no oracle"
+            )
+            assert c not in permanent, (
+                f"{sitter}'s composer {c!r} is itself a permanent sitter "
+                "— circular witnessing"
+            )
+
+
 def test_driver_window_schemas_have_no_nested_columns(spark):
     """Harness constraint discovered empirically in r7: the driver's
     canonicalizer sorts the result frame by every column before

@@ -284,8 +284,8 @@ def test_stream_probe_collects_are_ceiling_guarded(spark):
     # r9 VERDICT #5: the per-batch probe collects in the store probe
     # paths must fail LOUD past their row ceiling (a flooded probe
     # topic must not become driver memory / an over-broadcast plan),
-    # and the check itself must be bounded (limit(cap+1), never a full
-    # materialization of the flood)
+    # and the check itself must be bounded (folded into an existing
+    # bounded collect, never a full materialization of the flood)
     import pytest
 
     from trisk_spark.functions import ivf_store, sax_store
@@ -298,10 +298,16 @@ def test_stream_probe_collects_are_ceiling_guarded(spark):
     with pytest.raises(ValueError, match="probe micro-batch exceeds 9"):
         sax_store._collect_probe_rows(df, 9)
 
-    emb = spark.range(10).select(F.col("id").alias("vec_id"))
-    ivf_store._check_probe_batch(emb, 10)  # at the cap: fine
+    # ivf guard folded into the routing collect (r11 VERDICT #3): a
+    # qlists-shaped frame of 10 probes x N_PROBE_LISTS routing rows
+    n = 10 * sim.N_PROBE_LISTS
+    qlists = spark.range(n).select(
+        F.col("id").alias("query_id"), (F.col("id") % 3).alias("list_id")
+    )
+    # at the cap: fine, and the routed set comes back sorted
+    assert ivf_store._routed_lists_checked(qlists, 10) == [0, 1, 2]
     with pytest.raises(ValueError, match="probe batch exceeds 9"):
-        ivf_store._check_probe_batch(emb, 9)
+        ivf_store._routed_lists_checked(qlists, 9)
 
 
 def test_sax_store_stats_parity_and_skew_detection(spark, tmp_path):

@@ -1133,6 +1133,7 @@ FROM m JOIN best b ON m.component = b.component
 """
 
 
+@register("canonical_by_quality", oracle=_canonical_sql())
 def canonical_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware canonical selection over the near-duplicate
     clusters: instead of the min-doc_id keeper the manifests use, keep
@@ -1153,8 +1154,9 @@ def canonical_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-component window sort, so one giant boilerplate cluster
     partial-aggregates map-side instead of serializing through a
     single task (max_by would be tie-nondeterministic; the struct
-    encodes (q DESC, doc_id ASC) exactly). Library op, full DuckDB
-    oracle (``_canonical_sql``) — the r11 capacity-note class."""
+    encodes (q DESC, doc_id ASC) exactly). Registered r12 under the
+    driver's hash gate (the R12 registration plan) with its full
+    DuckDB oracle (``_canonical_sql``)."""
     from trisk_spark.functions.text import quality_expr
 
     comp = dedup_clusters(spark, sf_dir)

@@ -1,0 +1,407 @@
+"""Persisted MinHash-LSH dedup store: the write-once/incremental-probe
+half of the near-dup story that ``dedup_minhash_lsh`` executes in one
+plan and ``minhash_flag_stream`` approximates with a session-persisted
+frame ("at 100 TB a bucketed table, here a static frame" — THIS is
+that bucketed table).
+
+The 100 TB deployment pattern: the corpus's LSH band index and
+signature table are WRITTEN ONCE (``write_dedup_store``), and every
+ingest wave — a daily batch or a streaming micro-batch — is checked
+for near-duplicates against the existing corpus by reading ONLY the
+band buckets the arriving documents route to (``probe_dedup_store``):
+
+  * ``<path>/bands``: (doc_id, bh) parquet partitioned by (band_idx,
+    bucket) where bucket = md5(bh) mod N_STORE_BUCKETS — the partition
+    column is a refinement of band-hash equality (equal bh ⇒ equal
+    bucket), so pruning never changes semantics, only bytes read.
+    Bucket membership is HARD-CAPPED at the batch kernel's BUCKET_CAP
+    (smallest doc_ids, the ``_pairs_from_signatures`` rule) AT WRITE
+    TIME, so a degenerate mega-bucket corpus can never fan a probe out
+    quadratically — the cap is baked into the artifact.
+  * ``<path>/signatures``: the full (doc_id, h0..h{N_PERMS-1}) MinHash
+    signature table — the verification asset: band collision only
+    nominates; the probe VERIFIES every candidate pair by signature
+    agreement (``minhash_jaccard_estimate``'s exact-integer estimator)
+    before flagging.
+
+Arriving documents compute signatures ENTIRELY IN-ROW
+(``minhash_signatures_inrow`` — zero shuffle, streaming-safe), so the
+probe's only distributed work is the pruned band read, one broadcast
+equi-join against the (bounded) arriving band rows, and a
+candidate-sized signature join. The routing decision crosses the
+driver as ≤ N_BANDS × N_STORE_BUCKETS (band_idx, bucket) pairs — a
+fixed-size routing collect no matter how large the batch or corpus
+(the ``ivf_store`` routed-lists class), with the probe-size ceiling
+folded into the same single job (the ``_routed_lists_checked``
+pattern).
+
+Reference: the reference has no dedup store (beyond-reference mandate,
+SURVEY.md §7 step 7); the layout is the ``ivf_store``/``sax_store``
+partitioned-parquet store pattern applied to the shared MinHash
+kernels.
+"""
+
+from __future__ import annotations
+
+import atexit
+import threading
+from functools import reduce
+from operator import or_
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from trisk_spark.catalog import table
+from trisk_spark.functions.dedup import (
+    BUCKET_CAP,
+    MERSENNE,
+    N_BANDS,
+    N_PERMS,
+    SHINGLES_SQL,
+    _BAND_COLS_SQL,
+    _SIG_COLS_SQL,
+    _XM_SQL,
+    minhash_bands,
+    minhash_signatures,
+    minhash_signatures_inrow,
+)
+
+#: bands-table partition fan per band (directories = N_BANDS × this);
+#: a probe batch prunes to ≤ its own routed (band_idx, bucket) pairs
+N_STORE_BUCKETS = 64
+
+#: ceiling on a single probe batch (the ivf_store MAX_PROBE_BATCH_ROWS
+#: class): arriving band rows are BROADCAST into the candidate join,
+#: so an unbounded flooded batch would silently grow the broadcast
+#: build; the check is folded into the routing collect (one job)
+MAX_DEDUP_PROBE_ROWS = 100_000
+
+#: signature-agreement floor for is_dup: n_agree/N_PERMS ≥ 1/2 — the
+#: estimator's E[agree] = J, so this flags estimated Jaccard ≥ 0.5
+DUP_MIN_AGREE = N_PERMS // 2
+
+#: deterministic corpus split for the self-contained registered query:
+#: doc_id % MOD == 0 is the "arriving" wave (20%), the rest "existing"
+DEDUP_ARRIVING_MOD = 5
+
+_PROBE_SCHEMA = (
+    "doc_id bigint, dup_of bigint, n_agree bigint, "
+    "est_jaccard double, is_dup boolean"
+)
+
+
+def _bucket(col=None):
+    """Partition bucket of a band hash: md5(bh) reduced to
+    N_STORE_BUCKETS. Purely a refinement of bh equality — semantics
+    never see it, only the directory pruner — so the oracle SQL needs
+    no mirror."""
+    c = F.col("bh") if col is None else col
+    return (
+        F.pmod(
+            F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint"),
+            F.lit(N_STORE_BUCKETS),
+        )
+        .cast("int")
+        .alias("bucket")
+    )
+
+
+def write_dedup_store(spark: SparkSession, docs: DataFrame, path: str) -> None:
+    """Persist the dedup store for a (doc_id, text) corpus frame:
+    ``<path>/signatures`` (full MinHash table, the verify asset) and
+    ``<path>/bands`` (bucket-capped band rows, partitioned by
+    (band_idx, bucket) — the probe-prunable nomination asset).
+
+    The signature aggregate runs ONCE: it is written first and the
+    bands derive from the written parquet (the store write IS the
+    barrier — no cache, no second shingle pass). The write-time
+    BUCKET_CAP (≤ CAP smallest doc_ids per (band_idx, bh), the exact
+    ``_pairs_from_signatures``/oracle rule) bounds every future
+    probe's per-band fan-out forever; byte-identical floods beyond the
+    cap are dedup_exact's cheap path, same trade as the batch kernel."""
+    sig = minhash_signatures(docs.where(F.col("doc_id").isNotNull()))
+    sig.write.mode("overwrite").parquet(f"{path}/signatures")
+    sig_stored = spark.read.parquet(f"{path}/signatures")
+    w = Window.partitionBy("band_idx", "bh").orderBy("doc_id")
+    bands = (
+        minhash_bands(sig_stored)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= BUCKET_CAP)
+        .select("doc_id", "bh", F.col("band_idx").cast("int"), _bucket())
+    )
+    bands.write.mode("overwrite").partitionBy("band_idx", "bucket").parquet(
+        f"{path}/bands"
+    )
+
+
+def _routed_buckets_checked(
+    bands_new: DataFrame, max_probe_rows: int
+) -> list[tuple[int, int]]:
+    """ONE job over the arriving band rows: the routed (band_idx,
+    bucket) pairs AND the probe-size guard (the ivf_store
+    ``_routed_lists_checked`` fold). The collected set is ≤ N_BANDS ×
+    N_STORE_BUCKETS pairs regardless of batch or corpus size."""
+    row = bands_new.agg(
+        F.count("*").alias("n_rows"),
+        F.collect_set(F.struct("band_idx", "bucket")).alias("routes"),
+    ).collect()[0]
+    if row["n_rows"] > max_probe_rows * N_BANDS:
+        raise ValueError(
+            f"dedup probe batch exceeds {max_probe_rows} rows "
+            f"({row['n_rows']} band rows > {max_probe_rows} docs x "
+            f"{N_BANDS} bands) — refusing to broadcast it; split the "
+            "probe stream or raise max_probe_rows"
+        )
+    return sorted((r["band_idx"], r["bucket"]) for r in (row["routes"] or []))
+
+
+def probe_dedup_store(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    path: str,
+    max_probe_rows: int = MAX_DEDUP_PROBE_ROWS,
+) -> DataFrame:
+    """Check an ARRIVING (doc_id, text) wave against the persisted
+    corpus store: per arriving document with at least one band
+    collision, its BEST verified match — (doc_id, dup_of, n_agree,
+    est_jaccard, is_dup) where dup_of is the highest-agreement
+    existing document (ties to the smallest doc_id, the house struct
+    argmax) and is_dup flags estimated Jaccard ≥ 1/2. Within-wave
+    pairs are NOT generated — the contract is dedup against the
+    EXISTING corpus; run the wave through the batch kernel (or admit
+    it and let the next wave probe it) for intra-wave dups.
+
+    Plan: arriving signatures + bands in-row (zero shuffle, streaming
+    safe) → one fixed-size routing collect (guard folded in) → the
+    bands read PRUNED to the routed (band_idx, bucket) directories
+    (partition filters pinned in tests) → one equi-join on (band_idx,
+    bucket, bh) with the bounded arriving side explicitly BROADCAST →
+    id-distinct candidate pairs → signature verify: the corpus
+    signature table joins the candidate ids (AQE decides — candidates
+    can be CAP-fanned, so no forced broadcast; the curation_funnel
+    posture) and the bounded arriving signatures broadcast → one
+    struct-MAX argmax per arriving doc (partial-aggregatable, no
+    per-doc sort). Nothing corpus-sized moves except the pruned
+    bucket read."""
+    sig_new = minhash_signatures_inrow(
+        new_docs.where(F.col("doc_id").isNotNull())
+    )
+    bands_new = minhash_bands(sig_new).select(
+        F.col("doc_id").alias("new_id"),
+        F.col("band_idx").cast("int").alias("band_idx"),
+        "bh",
+        _bucket(),
+    )
+    routes = _routed_buckets_checked(bands_new, max_probe_rows)
+    if not routes:
+        return spark.createDataFrame([], _PROBE_SCHEMA)
+    pred = reduce(
+        or_,
+        [
+            (F.col("band_idx") == b) & (F.col("bucket") == k)
+            for b, k in routes
+        ],
+    )
+    store_bands = spark.read.parquet(f"{path}/bands").where(pred)
+    pairs = (
+        store_bands.join(F.broadcast(bands_new), ["band_idx", "bucket", "bh"])
+        .where(F.col("doc_id") != F.col("new_id"))
+        .select("new_id", F.col("doc_id").alias("dup_of"))
+        .distinct()
+    )
+    sig_store = spark.read.parquet(f"{path}/signatures").select(
+        F.col("doc_id").alias("dup_of"),
+        *[F.col(f"h{i}").alias(f"b{i}") for i in range(N_PERMS)],
+    )
+    sn = sig_new.select(
+        F.col("doc_id").alias("new_id"),
+        *[F.col(f"h{i}").alias(f"a{i}") for i in range(N_PERMS)],
+    )
+    agree = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(N_PERMS)
+    )
+    scored = (
+        pairs.join(sig_store, "dup_of")
+        .join(F.broadcast(sn), "new_id")
+        .select("new_id", "dup_of", agree.cast("bigint").alias("n_agree"))
+    )
+    # struct max = (n_agree DESC, dup_of ASC): lexicographic max picks
+    # the strongest match, then the LARGEST -dup_of = smallest id on
+    # ties (the canonical_by_quality argmax — partial-aggregatable)
+    best = scored.groupBy("new_id").agg(
+        F.max(
+            F.struct(F.col("n_agree"), (-F.col("dup_of")).alias("nid"))
+        ).alias("b")
+    )
+    return best.select(
+        F.col("new_id").alias("doc_id"),
+        (-F.col("b.nid")).alias("dup_of"),
+        F.col("b.n_agree").alias("n_agree"),
+        F.round(F.col("b.n_agree").cast("double") / N_PERMS, 4).alias(
+            "est_jaccard"
+        ),
+        (F.col("b.n_agree") >= DUP_MIN_AGREE).alias("is_dup"),
+    )
+
+
+def dedup_probe_stream(spark: SparkSession, docs_stream: DataFrame, path: str, sink):
+    """Streaming ingest-dedup over the PERSISTED store — the scale
+    path ``minhash_flag_stream`` documents: each micro-batch of
+    arriving documents probes the written band buckets with its OWN
+    static partition filter (``foreachBatch`` turns the batch into a
+    plain DataFrame, so the per-batch pruned read is exactly
+    ``probe_dedup_store`` — the ``probe_index_stream`` stream-static
+    pattern; a declarative stream-static join could not express the
+    data-dependent partition filter). Arriving docs are independent
+    rows, so the union of per-batch results equals the one-batch image
+    (stream≡batch pytest-pinned).
+
+    ``sink(result_df, batch_id)`` receives each batch's probe frame.
+    SINK CONTRACT (the probe_index_stream contract): the sink must
+    fully MATERIALIZE the result inside the call — the micro-batch
+    cache is dropped when the call returns. Returns the
+    ``DataStreamWriter`` ready to ``.start()``."""
+
+    def fb(batch_df: DataFrame, batch_id: int) -> None:
+        # persist: the routing collect and the verify join both
+        # consume the arriving batch (the probe_index_stream rule)
+        batch_df = batch_df.persist()
+        try:
+            sink(probe_dedup_store(spark, batch_df, path), batch_id)
+        finally:
+            batch_df.unpersist()
+
+    return docs_stream.writeStream.outputMode("append").foreachBatch(fb)
+
+
+# ------------------------------------------- registered-query image --
+
+def _dedup_incremental_sql() -> str:
+    """DuckDB oracle for ``dedup_incremental``: signatures over the
+    whole corpus, the deterministic existing/arriving split, the
+    write-time bucket cap on the EXISTING side, arriving-vs-existing
+    band collisions, signature-agreement verify, per-arriving-doc
+    argmax. Buckets are a partition refinement of bh equality and need
+    no mirror here."""
+    mod = DEDUP_ARRIVING_MOD
+    capped = ",\n".join(
+        f"""capped{b} AS (
+  SELECT doc_id, band{b} FROM (
+    SELECT doc_id, band{b},
+      row_number() OVER (PARTITION BY band{b} ORDER BY doc_id) AS rn
+    FROM bands_e)
+  WHERE rn <= {BUCKET_CAP})"""
+        for b in range(N_BANDS)
+    )
+    cand = " UNION ALL ".join(
+        f"SELECT a.doc_id AS new_id, e.doc_id AS dup_of FROM bands_a a "
+        f"JOIN capped{b} e ON a.band{b} = e.band{b}"
+        for b in range(N_BANDS)
+    )
+    matches = " + ".join(
+        f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END"
+        for i in range(N_PERMS)
+    )
+    return f"""
+WITH sh AS ({SHINGLES_SQL}),
+xs AS (SELECT doc_id, {_XM_SQL} AS xm FROM sh),
+sig AS (SELECT doc_id, {_SIG_COLS_SQL} FROM xs GROUP BY doc_id),
+exist AS (SELECT * FROM sig WHERE ((doc_id % {mod}) + {mod}) % {mod} <> 0),
+arrv AS (SELECT * FROM sig WHERE ((doc_id % {mod}) + {mod}) % {mod} = 0),
+bands_e AS (SELECT doc_id, {_BAND_COLS_SQL} FROM exist),
+bands_a AS (SELECT doc_id, {_BAND_COLS_SQL} FROM arrv),
+{capped},
+pairs AS (SELECT DISTINCT new_id, dup_of FROM ({cand})),
+scored AS (
+  SELECT p.new_id, p.dup_of, CAST({matches} AS BIGINT) AS n_agree
+  FROM pairs p
+  JOIN sig sa ON p.new_id = sa.doc_id
+  JOIN sig sb ON p.dup_of = sb.doc_id
+),
+best AS (
+  SELECT new_id, dup_of, n_agree,
+    ROW_NUMBER() OVER (PARTITION BY new_id
+                       ORDER BY n_agree DESC, dup_of) AS rn
+  FROM scored
+)
+SELECT new_id AS doc_id, dup_of, n_agree,
+  CAST(ROUND(CAST(n_agree AS DOUBLE) / {N_PERMS}, 4) AS DOUBLE)
+    AS est_jaccard,
+  n_agree >= {DUP_MIN_AGREE} AS is_dup
+FROM best WHERE rn = 1
+"""
+
+
+#: one dedup-store scratch dir per (session, corpus) — the plan-store
+#: cache pattern verbatim (lock + post-build setdefault so concurrent
+#: builders can't orphan a dir, stale-session eviction, atexit sweep)
+_DEDUP_STORE_LOCK = threading.Lock()
+_DEDUP_STORE_CACHE: dict[tuple[int, str], tuple[SparkSession, str]] = {}
+
+
+def _cleanup_dedup_stores() -> None:
+    import shutil
+
+    with _DEDUP_STORE_LOCK:
+        paths = [p for (_s, p) in _DEDUP_STORE_CACHE.values()]
+        _DEDUP_STORE_CACHE.clear()
+    for p in paths:
+        shutil.rmtree(p, ignore_errors=True)
+
+
+atexit.register(_cleanup_dedup_stores)
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup over the persisted store, self-
+    contained for the driver gate: split the corpus deterministically
+    (doc_id % {MOD} == 0 is the "arriving" wave, the rest the
+    "existing" corpus), build the store over the existing slice ONCE
+    per (session, corpus) into a scratch path (the plan-store
+    memoization — repeat calls probe the artifacts, the store
+    economics), and probe the arriving wave against it. The oracle
+    (``_dedup_incremental_sql``) derives both sides from the corpus
+    directly, so the row puts write→prune→probe→verify — the whole
+    store path — under independent value-hash evidence. Library op
+    with a full DuckDB oracle awaiting a driver seat (the registry's
+    R13 PLAN; strongest seat candidate — the store-probe kernel has no
+    registered sibling)."""
+    import shutil
+    import tempfile
+
+    from trisk_spark.functions.sampling import _bpe_session_stopped
+
+    docs = table(spark, sf_dir, "documents").where(F.col("doc_id").isNotNull())
+    mod = DEDUP_ARRIVING_MOD
+    existing = docs.where(F.pmod(F.col("doc_id"), F.lit(mod)) != 0)
+    arriving = docs.where(F.pmod(F.col("doc_id"), F.lit(mod)) == 0)
+
+    stale = []
+    with _DEDUP_STORE_LOCK:
+        for k, (sess, p) in list(_DEDUP_STORE_CACHE.items()):
+            if _bpe_session_stopped(sess):
+                _DEDUP_STORE_CACHE.pop(k)
+                stale.append(p)
+        hit = _DEDUP_STORE_CACHE.get((id(spark), sf_dir))
+    for p in stale:
+        shutil.rmtree(p, ignore_errors=True)
+    if hit is None:
+        path = tempfile.mkdtemp(prefix="trisk_dedup_store_")
+        write_dedup_store(spark, existing, path)
+        with _DEDUP_STORE_LOCK:
+            _sess, path_won = _DEDUP_STORE_CACHE.setdefault(
+                (id(spark), sf_dir), (spark, path)
+            )
+        if path_won != path:
+            shutil.rmtree(path, ignore_errors=True)
+        path = path_won
+    else:
+        path = hit[1]
+    return probe_dedup_store(spark, arriving, path)
+
+
+dedup_incremental.__doc__ = dedup_incremental.__doc__.replace(
+    "{MOD}", str(DEDUP_ARRIVING_MOD)
+)
+
+DEDUP_INCREMENTAL_SQL = _dedup_incremental_sql()

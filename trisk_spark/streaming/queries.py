@@ -815,9 +815,7 @@ def cluster_cap_stream(
 
     100 TB: the centroid model is a broadcast write-once asset; state
     is ≤ N_CENTROIDS ints; the only stream-side exchange routes
-    id-sized (vec_id, list_id) pairs to their list's counter."""
-    import hashlib
-
+    id-sized (vec_id, list_id, md5) triples to their list's counter."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -832,9 +830,17 @@ def cluster_cap_stream(
     cap = CLUSTER_CAP if cap is None else cap
     ref = _valid_embeddings(table(spark, ref_sf_dir, "embeddings"))
     cq, cn, cids, _cents = _int8_centroid_model(spark, ref)
+    # the within-batch ordering key is computed JVM-side BEFORE the
+    # state op and carried as an input column (r11 VERDICT #4: the
+    # per-row hashlib.md5 pandas map was Python work inside an
+    # otherwise Arrow-batched op); F.md5(CAST AS STRING) is the exact
+    # batch-sampler key
     assigned = _quantize_assign_gemm(
         spark, _valid_embeddings(emb_stream), cq, cn, cids
-    ).select("vec_id", "list_id")
+    ).select(
+        "vec_id", "list_id",
+        F.md5(F.col("vec_id").cast("string")).alias("_m"),
+    )
 
     def admit(key, pdfs, state: GroupState):
         (list_id,) = key
@@ -843,21 +849,13 @@ def cluster_cap_stream(
         taken = None
         if chunks and n < cap:
             pdf = pd.concat(chunks, ignore_index=True)
-            # within-batch order = the batch sampler's md5 order
-            # (hashlib md5 of the decimal string == Spark's
-            # md5(CAST(vec_id AS STRING))). Vectorized: at most
-            # cap - n rows can be admitted, so sort once and head()
-            # instead of a per-row Python loop over the whole batch
-            # (r10 ADVICE — a large micro-batch landing on one list
-            # paid O(batch) loop work for O(cap) output).
-            md5 = pdf["vec_id"].map(
-                lambda v: hashlib.md5(str(int(v)).encode()).hexdigest()
-            )
-            taken = (
-                pdf.assign(_m=md5)
-                .sort_values(["_m", "vec_id"])
-                .head(cap - n)
-            )
+            # within-batch order = the batch sampler's md5 order — the
+            # _m column arrives precomputed from the JVM. Vectorized:
+            # at most cap - n rows can be admitted, so sort once and
+            # head() instead of a per-row Python loop over the whole
+            # batch (r10 ADVICE — a large micro-batch landing on one
+            # list paid O(batch) loop work for O(cap) output).
+            taken = pdf.sort_values(["_m", "vec_id"]).head(cap - n)
             n += len(taken)
         state.update((n,))
         if taken is not None and len(taken):
@@ -897,9 +895,7 @@ def shuffle_shards_stream(docs: DataFrame, n_shards: int | None = None) -> DataF
     arrival deciding order — what an ingest-time shuffler wants.
 
     100 TB: zero stream-side model; the only exchange routes id-sized
-    (doc_id, shard) pairs to their shard's counter."""
-    import hashlib
-
+    (doc_id, shard, md5) triples to their shard's counter."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -910,8 +906,11 @@ def shuffle_shards_stream(docs: DataFrame, n_shards: int | None = None) -> DataF
     shard = (
         F.conv(F.substring(md5, 1, 15), 16, 10).cast("bigint") % n_shards
     ).cast("int")
+    # the ordering key rides along from the SAME JVM md5 the shard
+    # derives from (r11 VERDICT #4: no per-row Python hashing inside
+    # the state fn)
     d = docs.where(F.col("doc_id").isNotNull()).select(
-        "doc_id", shard.alias("shard")
+        "doc_id", shard.alias("shard"), md5.alias("_m")
     )
 
     def assign(key, pdfs, state: GroupState):
@@ -920,12 +919,9 @@ def shuffle_shards_stream(docs: DataFrame, n_shards: int | None = None) -> DataF
         chunks = [p for p in pdfs if len(p)]
         if chunks:
             pdf = pd.concat(chunks, ignore_index=True)
-            # within-batch order = the batch op's md5 order (hashlib
-            # md5 of the decimal string == Spark md5(CAST AS STRING))
-            m = pdf["doc_id"].map(
-                lambda v: hashlib.md5(str(int(v)).encode()).hexdigest()
-            )
-            pdf = pdf.assign(_m=m).sort_values(["_m", "doc_id"])
+            # within-batch order = the batch op's md5 order — the _m
+            # column arrives precomputed from the JVM
+            pdf = pdf.sort_values(["_m", "doc_id"])
             out = pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].astype("int64").to_numpy(),
