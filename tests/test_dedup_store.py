@@ -199,3 +199,89 @@ def test_dedup_probe_stream_equals_batch(spark, tmp_path):
     key = lambda r: (r.doc_id, r.dup_of, r.n_agree, r.est_jaccard, r.is_dup)  # noqa: E731
     assert sorted(map(key, emitted)) == sorted(map(key, batch_img))
     assert len(batch_img) > 0, "no arriving doc collided — vacuous corpus split"
+
+
+def test_append_equals_rebuild(spark, tmp_path):
+    """The ingest loop's write half: admitting a wave into the store
+    (append signatures + re-capped rewrite of ONLY the touched
+    buckets under dynamic partition overwrite) must produce artifacts
+    IDENTICAL to a from-scratch ``write_dedup_store`` over the union —
+    the cap rule is order-free, so incremental ≡ rebuild, including on
+    a degenerate bucket where the wave's ids displace existing ones."""
+    text = " ".join(f"w{i % 17}" for i in range(40))
+    # existing: ids 100.. (BUCKET_CAP of them, all identical text →
+    # one mega-bucket per band, exactly at the cap)
+    existing = spark.range(100, 100 + BUCKET_CAP).select(
+        F.col("id").alias("doc_id"), F.lit(text).alias("text")
+    )
+    # wave: 10 SMALLER ids with the same text (must displace the 10
+    # largest existing members under the smallest-ids cap rule) + 5
+    # fresh distinct docs (new buckets)
+    wave = spark.range(10).select(
+        F.col("id").alias("doc_id"), F.lit(text).alias("text")
+    ).unionByName(
+        spark.createDataFrame(
+            [(1000 + i, " ".join(f"fresh{i}x{j}" for j in range(40)))
+             for i in range(5)],
+            "doc_id long, text string",
+        )
+    )
+    inc, full = str(tmp_path / "inc"), str(tmp_path / "full")
+    dedup_store.write_dedup_store(spark, existing, inc)
+    dedup_store.append_dedup_store(spark, wave, inc)
+    dedup_store.write_dedup_store(spark, existing.unionByName(wave), full)
+
+    def snap(path, table_, cols):
+        return sorted(
+            tuple(r[c] for c in cols)
+            for r in spark.read.parquet(f"{path}/{table_}").collect()
+        )
+
+    bcols = ["doc_id", "band_idx", "bucket", "bh"]
+    assert snap(inc, "bands", bcols) == snap(full, "bands", bcols)
+    scols = ["doc_id"] + [f"h{i}" for i in range(dedup_store.N_PERMS)]
+    assert snap(inc, "signatures", scols) == snap(full, "signatures", scols)
+    # displacement actually happened: the 10 smallest wave ids are in,
+    # the 10 largest original members are out of the mega-bucket
+    mega_ids = {
+        r.doc_id
+        for r in spark.read.parquet(f"{inc}/bands")
+        .where(F.col("band_idx") == 0)
+        .select("doc_id")
+        .distinct()
+        .collect()
+        if r.doc_id < 1000
+    }
+    assert set(range(10)) <= mega_ids
+    assert not mega_ids & set(range(100 + BUCKET_CAP - 10, 100 + BUCKET_CAP))
+
+
+def test_ingest_wave_loop(spark, tmp_path):
+    """Two ingest waves: wave 1's near-copy of the corpus is flagged
+    and NOT admitted; wave 2's near-copy of a wave-1 ADMITTED doc is
+    flagged against the appended store — the loop actually closes."""
+    base = " ".join(f"b{i}" for i in range(60))
+    novel = " ".join(f"n{i}" for i in range(60))
+    path = str(tmp_path / "store")
+    dedup_store.write_dedup_store(
+        spark,
+        spark.createDataFrame([(1, base)], "doc_id long, text string"),
+        path,
+    )
+    wave1 = spark.createDataFrame(
+        [(10, base), (11, novel)], "doc_id long, text string"
+    )
+    r1 = {r.doc_id: r for r in dedup_store.ingest_wave(spark, wave1, path).collect()}
+    assert r1[10].is_dup and r1[10].dup_of == 1
+    assert 11 not in r1  # novel doc: no collision, admitted silently
+    stored = {
+        r.doc_id
+        for r in spark.read.parquet(f"{path}/signatures").select("doc_id").collect()
+    }
+    assert stored == {1, 11}, "dup admitted or novel doc dropped"
+
+    wave2 = spark.createDataFrame([(20, novel)], "doc_id long, text string")
+    r2 = {r.doc_id: r for r in dedup_store.ingest_wave(spark, wave2, path).collect()}
+    assert r2[20].is_dup and r2[20].dup_of == 11, (
+        "wave 2 did not collide with wave 1's admitted doc — append is vacuous"
+    )

@@ -88,7 +88,7 @@ LIBRARY_NAMES = sorted(
         "perplexity_buckets", "cross_split_leakage",
         "contamination_report", "ngram_novelty", "gopher_rules",
         "line_dedup", "minhash_jaccard_estimate", "embedding_health",
-        "dedup_incremental",
+        "dedup_incremental", "ann_recall",
     ]
 )
 

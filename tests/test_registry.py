@@ -166,6 +166,9 @@ def test_readme_op_table_names_are_registered():
         "dsir_score_stream", "dsir_model",
         "embedding_health", "emb_health_sql", "embedding_health_frame",
         "running_topk_stream",
+        "dedup_incremental", "write_dedup_store", "probe_dedup_store",
+        "append_dedup_store", "ingest_wave", "dedup_probe_stream",
+        "ann_recall", "recall_frame",
     }
     missing = {
         c for c in cited

@@ -343,3 +343,36 @@ def test_sax_store_stats_parity_and_skew_detection(spark, tmp_path):
     assert_matches_oracle(got, con, oracle)
     row = got.collect()[0]
     assert row.n_words >= 2 and row.imbalance >= 1.0
+
+
+def test_recall_frame_identity_and_store_probe(spark, tmp_path):
+    # recall of a result against itself is 1.0 for every probe (the
+    # estimator is sane), and the generic helper measures the
+    # persisted-store probe path too (probe_index ≡ ann_ivf_int8 is
+    # separately pinned, so its recall must equal the direct one)
+    from trisk_spark.functions import ivf_store
+    from trisk_spark.functions.similarity import (
+        N_PROBES,
+        ann_ivf_int8,
+        knn_bruteforce,
+        recall_frame,
+    )
+
+    brute = knn_bruteforce(spark, SF_DIR)
+    ident = recall_frame(brute, brute).collect()
+    assert len(ident) == N_PROBES
+    assert all(r.recall == 1.0 and r.n_hits == r.n_true for r in ident)
+
+    path = str(tmp_path / "ivf")
+    ivf_store.write_index(spark, SF_DIR, path)
+    via_store = {
+        r.query_id: (r.n_hits, r.recall)
+        for r in recall_frame(
+            brute, ivf_store.probe_index(spark, SF_DIR, path)
+        ).collect()
+    }
+    direct = {
+        r.query_id: (r.n_hits, r.recall)
+        for r in recall_frame(brute, ann_ivf_int8(spark, SF_DIR)).collect()
+    }
+    assert via_store == direct and len(direct) == N_PROBES

@@ -244,6 +244,98 @@ def probe_dedup_store(
     )
 
 
+def append_dedup_store(
+    spark: SparkSession, new_docs: DataFrame, path: str
+) -> None:
+    """ADMIT an arriving wave into the persisted store — the write
+    half of the ingest loop (probe → keep non-dups → append them so
+    the NEXT wave dedups against today's): append the wave's
+    signatures, and rewrite ONLY the band buckets the wave touches
+    with the bucket cap re-applied over old ∪ new members.
+
+    Equality contract (pytest-pinned): append(existing store, wave) ≡
+    ``write_dedup_store`` over existing ∪ wave, table-for-table — the
+    cap rule (BUCKET_CAP smallest doc_ids per (band_idx, bh)) is
+    order-free, so incremental admission and a from-scratch rebuild
+    produce byte-identical artifacts. Caller contract: the wave's
+    doc_ids are disjoint from the store's (admit each document once —
+    the probe step's job to ensure).
+
+    Plan: ONE signature aggregate over the wave (localCheckpoint — the
+    append write and the band derivation both consume it); the
+    touched-bucket set crosses the driver as ≤ N_BANDS ×
+    N_STORE_BUCKETS pairs (the routing-collect class); the rewrite
+    reads ONLY the touched partitions (pruned), unions the wave's band
+    rows, re-caps per (band_idx, bh), and writes back under DYNAMIC
+    partition overwrite — untouched buckets (the overwhelming majority
+    of a 100 TB store under a daily wave) are never read or written."""
+    sig_new = minhash_signatures(
+        new_docs.where(F.col("doc_id").isNotNull())
+    ).localCheckpoint()
+    sig_new.write.mode("append").parquet(f"{path}/signatures")
+    bands_new = minhash_bands(sig_new).select(
+        "doc_id", "bh", F.col("band_idx").cast("int").alias("band_idx"), _bucket()
+    )
+    routes = sorted(
+        (r["band_idx"], r["bucket"])
+        for r in bands_new.select("band_idx", "bucket").distinct().collect()
+    )
+    if not routes:
+        return
+    pred = reduce(
+        or_,
+        [(F.col("band_idx") == b) & (F.col("bucket") == k) for b, k in routes],
+    )
+    old = spark.read.parquet(f"{path}/bands").where(pred)
+    w = Window.partitionBy("band_idx", "bh").orderBy("doc_id")
+    merged = (
+        old.select("doc_id", "bh", "band_idx", "bucket")
+        .unionByName(bands_new)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= BUCKET_CAP)
+        .select("doc_id", "bh", "band_idx", "bucket")
+        # the rewrite READS the path it overwrites: materialize the
+        # merged buckets (touched-partition sized) BEFORE the write or
+        # Spark would plan a self-overwriting scan
+        .localCheckpoint()
+    )
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, "static")
+    spark.conf.set(key, "dynamic")
+    try:
+        merged.write.mode("overwrite").partitionBy("band_idx", "bucket").parquet(
+            f"{path}/bands"
+        )
+    finally:
+        spark.conf.set(key, prev)
+
+
+def ingest_wave(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    path: str,
+    max_probe_rows: int = MAX_DEDUP_PROBE_ROWS,
+) -> DataFrame:
+    """The full ingest loop in one call: PROBE the wave against the
+    store, ADMIT every document not flagged ``is_dup`` (append its
+    signatures + band rows so the NEXT wave dedups against it), and
+    return the probe report (materialized BEFORE the append — the
+    report describes the store the wave was judged against, not the
+    store it changed). Within-wave near-dups are admitted together
+    this wave and collide from the next wave on — the documented
+    batch-boundary semantics of every ingest-time gate here
+    (``cluster_cap_stream``'s arrival-order contract)."""
+    report = probe_dedup_store(
+        spark, new_docs, path, max_probe_rows
+    ).localCheckpoint()
+    flagged = report.where(F.col("is_dup")).select("doc_id")
+    admitted = new_docs.where(F.col("doc_id").isNotNull()).join(
+        F.broadcast(flagged), "doc_id", "left_anti"
+    )
+    append_dedup_store(spark, admitted, path)
+    return report
+
+
 def dedup_probe_stream(spark: SparkSession, docs_stream: DataFrame, path: str, sink):
     """Streaming ingest-dedup over the PERSISTED store — the scale
     path ``minhash_flag_stream`` documents: each micro-batch of

@@ -2057,3 +2057,69 @@ def embedding_health_frame(emb: DataFrame) -> DataFrame:
         F.when(nk > 0, q.cast("double") / 1000000.0).alias("avg_norm"),
         (F.col("max_micro").cast("double") / 1000000.0).alias("max_norm"),
     )
+
+
+# ------------------------- ANN recall metric (r12) --------------------
+
+# Index-quality gate: recall@k of the quantized routed search
+# (ann_ivf_int8 — the stored-index format every probe path scans)
+# against the exact brute-force top-k. The operational twin of
+# index_stats: a deployment re-trains centroids (ivf_refine) and
+# rewrites the index when THIS number drops, instead of discovering
+# recall loss from downstream quality drift. The pytest recall floor
+# (test_similarity_iter) pins a minimum; this op emits the measurement
+# as data. n_hits / n_true is an exact small-rational double on both
+# engines (n_true ≤ TOP_K), ROUND(·, 4) identical.
+ANN_RECALL_SQL = f"""
+WITH brute AS ({KNN_BRUTE_SQL}),
+approx AS ({ANN_IVF_INT8_SQL}),
+h AS (
+  SELECT b.query_id,
+    CAST(COUNT(*) AS BIGINT) AS n_true,
+    CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_hits
+  FROM brute b
+  LEFT JOIN approx a
+    ON b.query_id = a.query_id AND b.neighbor_id = a.neighbor_id
+  GROUP BY b.query_id
+)
+SELECT query_id, n_true, n_hits,
+  CAST(ROUND(CAST(n_hits AS DOUBLE) / n_true, 4) AS DOUBLE) AS recall
+FROM h
+"""
+
+
+def recall_frame(brute: DataFrame, approx: DataFrame) -> DataFrame:
+    """Per-query recall of ANY approximate top-k result frame against
+    ANY ground-truth frame (both (query_id, neighbor_id, ...)): the
+    generic helper behind ``ann_recall``, reusable against the
+    persisted-store probes (``probe_index`` / ``probe_index_adc``) or
+    an LSH variant. Both inputs are probe-sized (≤ N_PROBES × k rows),
+    so the join and the per-query aggregate are trivially small —
+    the cost of a recall measurement is running the two searches, as
+    it should be."""
+    a = approx.select("query_id", "neighbor_id", F.lit(1).alias("_hit"))
+    j = brute.select("query_id", "neighbor_id").join(
+        a, ["query_id", "neighbor_id"], "left"
+    )
+    per = j.groupBy("query_id").agg(
+        F.count("*").cast("bigint").alias("n_true"),
+        F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("bigint").alias("n_hits"),
+    )
+    return per.select(
+        "query_id", "n_true", "n_hits",
+        F.round(
+            F.col("n_hits").cast("double") / F.col("n_true"), 4
+        ).alias("recall"),
+    )
+
+
+def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@TOP_K of ``ann_ivf_int8`` vs ``knn_bruteforce`` per
+    probe query — see the family comment. Library op, full DuckDB
+    oracle (``ANN_RECALL_SQL``); the honest cost is one run of each
+    search (both already scale-shaped); the comparison itself is
+    probe-sized."""
+    return recall_frame(
+        knn_bruteforce(spark, sf_dir), ann_ivf_int8(spark, sf_dir)
+    )

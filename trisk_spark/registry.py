@@ -109,7 +109,7 @@ def register(name: str, oracle: str | None = None):
 # CAPACITY after this round: 102 registered = 3 always-in + 7
 # permanent sitters + 92 alternating over 47 seats/round (≤ 94 = 2×47,
 # 2 slack).
-# R13 PLAN for the TWELVE remaining library ops (load_library below;
+# R13 PLAN for the THIRTEEN remaining library ops (load_library below;
 # all full-oracle + every-round pytest-gated): the r12 sitters (this
 # list's 45 alternating rows) return r13 = 45 + 3 always-in = 48, so
 # TWO seats free — register two more (suggested: dedup_incremental,
@@ -284,6 +284,7 @@ def load_library() -> dict[str, QueryDef]:
             dedup_store.dedup_incremental,
             dedup_store.DEDUP_INCREMENTAL_SQL,
         ),
+        "ann_recall": (similarity.ann_recall, similarity.ANN_RECALL_SQL),
     }
 
     def wrap(fn):
