@@ -168,7 +168,7 @@ def test_readme_op_table_names_are_registered():
         "running_topk_stream",
         "dedup_incremental", "write_dedup_store", "probe_dedup_store",
         "append_dedup_store", "ingest_wave", "dedup_probe_stream",
-        "ann_recall", "recall_frame",
+        "ann_recall", "recall_frame", "append_index",
     }
     missing = {
         c for c in cited

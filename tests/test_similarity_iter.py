@@ -376,3 +376,57 @@ def test_recall_frame_identity_and_store_probe(spark, tmp_path):
         for r in recall_frame(brute, ann_ivf_int8(spark, SF_DIR)).collect()
     }
     assert via_store == direct and len(direct) == N_PROBES
+
+
+def test_ivf_append_equals_rebuild_under_same_model(spark, tmp_path):
+    """append_index: probing the appended store must equal probing an
+    index REBUILT over old ∪ new — exact equality when the wave's
+    vec_ids sit above the model-seeding ids (the stored model and the
+    rebuild's model coincide), which isolates the append path itself.
+    A probe whose true neighbor arrived in the wave must find it."""
+    from trisk_spark.catalog import table
+    from trisk_spark.functions import ivf_store
+    from trisk_spark.functions.similarity import _valid_embeddings
+
+    emb = _valid_embeddings(table(spark, SF_DIR, "embeddings"))
+    max_id = emb.agg(F.max("vec_id")).collect()[0][0]
+    cut = int(max_id) - 20  # the last 21 ids form the arriving wave
+    existing = emb.where(F.col("vec_id") <= cut)
+    wave_src = emb.where(F.col("vec_id") > cut)
+    assert wave_src.count() > 0
+
+    inc, full = str(tmp_path / "inc"), str(tmp_path / "full")
+    ivf_store.write_index(spark, SF_DIR, inc)  # build over... existing only:
+    # rebuild both stores from explicit frames via the same writer path
+    import shutil
+
+    shutil.rmtree(inc)
+    # write_index takes sf_dir; build the two stores by writing the
+    # full corpus index (model seeds from the SMALLEST ids — identical
+    # for both) and deriving the "existing" store as full minus wave
+    ivf_store.write_index(spark, SF_DIR, full)
+    cents = spark.read.parquet(f"{full}/centroids")
+    idx_existing = spark.read.parquet(f"{full}/index").where(
+        F.col("list_id").isNotNull() & (F.col("vec_id") <= cut)
+    )
+    cents.write.parquet(f"{inc}/centroids")
+    idx_existing.write.partitionBy("list_id").parquet(f"{inc}/index")
+
+    ivf_store.append_index(spark, wave_src.select("vec_id", "embedding"), inc)
+
+    def snap(path):
+        return sorted(
+            (r.query_id, r.rank, r.neighbor_id, r.cosine_sim)
+            for r in ivf_store.probe_index(spark, SF_DIR, path).collect()
+        )
+
+    assert snap(inc) == snap(full)
+
+    # an arriving vector is findable: probe the wave's own first
+    # vector against the appended store — its exact-cosine top-1 may
+    # be anywhere, but the result set must be non-empty and contain
+    # only valid neighbors (smoke that routed reads include the new
+    # files)
+    one = wave_src.orderBy("vec_id").limit(1)
+    got = ivf_store.probe_frame(spark, one, emb, inc).collect()
+    assert got and all(r.neighbor_id is not None for r in got)

@@ -109,6 +109,50 @@ def write_index(spark: SparkSession, sf_dir: str, path: str) -> None:
     cents.write.mode("overwrite").parquet(f"{path}/centroids")
 
 
+def _stored_model(cents_rows):
+    """Rebuild the (cq, cn, cids) numpy centroid model from the
+    persisted K-row centroid table — the index's fixed coordinate
+    system, shared by probing and incremental appends."""
+    import numpy as np
+
+    rows = sorted(cents_rows, key=lambda r: r.c_id)
+    cq = np.array([list(r.c_vec) for r in rows], dtype=np.int64)
+    cn = np.sqrt(np.array([r.c_norm for r in rows], dtype=np.float64))
+    cids = np.array([r.c_id for r in rows], dtype=np.int64)
+    return cq, cn, cids
+
+
+def append_index(spark: SparkSession, new_emb: DataFrame, path: str) -> None:
+    """ADMIT arriving embeddings into the persisted index — the IVF
+    sibling of ``dedup_store.append_dedup_store``: quantize + assign
+    the wave with the STORED centroid model (read back from
+    ``<path>/centroids`` — the index's coordinate system is NEVER
+    retrained here) and append its (vec_id, qvec, qnorm, codes,
+    recon_norm) rows into their routed list partitions. Caller
+    contract: the wave's vec_ids are disjoint from the store's.
+
+    Semantics contract (pytest-pinned): probing the appended store ≡
+    probing an index built over old ∪ new UNDER THE SAME MODEL — an
+    appended vector is exactly as findable as if it had been there at
+    write time. Centroid DRIFT from accumulated waves is deliberately
+    not handled here: ``ann_recall`` is the gate — when recall drops,
+    re-train via ``ivf_refine`` and REWRITE, never silently re-center
+    a live index (which would strand every previously-written row in
+    a stale partition).
+
+    Plan: one K-row centroid collect (the routing-decision class), one
+    fused Arrow quantize+assign pass over the wave (zero shuffle), an
+    append write into per-list directories — untouched lists get no
+    new files and are never read."""
+    emb = _valid_embeddings(new_emb)
+    cents_rows = spark.read.parquet(f"{path}/centroids").collect()
+    cq, cn, cids = _stored_model(cents_rows)
+    assign = _quantize_assign_pq_gemm(
+        spark, emb, cq, cn, cids, _pq_codebook(cq), keep_qvec=True
+    )
+    assign.write.mode("append").partitionBy("list_id").parquet(f"{path}/index")
+
+
 def _stored_codebook(cents_rows):
     """Rebuild the PQ codebook from the persisted centroid model: its
     PQ_KSUB smallest-c_id rows' quantized vectors, reshaped — the same
