@@ -285,3 +285,65 @@ def test_ingest_wave_loop(spark, tmp_path):
     assert r2[20].is_dup and r2[20].dup_of == 11, (
         "wave 2 did not collide with wave 1's admitted doc — append is vacuous"
     )
+
+
+def test_dedup_ingest_stream_loop(spark, tmp_path):
+    """Continuous admission: batch 2's duplicate of a batch-1 ADMITTED
+    doc must be flagged (the store advanced between batches), batch 1's
+    duplicate of the seed corpus is flagged and kept out, and the
+    store's final membership is exactly seed + admitted docs."""
+    import os
+    import time as _time
+
+    base = " ".join(f"s{i}" for i in range(60))
+    novel = " ".join(f"m{i}" for i in range(60))
+    path = str(tmp_path / "store")
+    dedup_store.write_dedup_store(
+        spark,
+        spark.createDataFrame([(1, base)], "doc_id long, text string"),
+        path,
+    )
+    # batch 1: dup-of-seed (10) + novel (11); batch 2: dup-of-11 (20)
+    waves = [[(10, base), (11, novel)], [(20, novel)]]
+    docs_dir = str(tmp_path / "waves")
+    for wave in waves:
+        spark.createDataFrame(
+            wave, "doc_id long, text string"
+        ).coalesce(1).write.mode("append").parquet(docs_dir)
+    now = int(_time.time())
+    parts = sorted(
+        f for f in os.listdir(docs_dir)
+        if f.startswith("part-") and f.endswith(".parquet")
+    )
+    assert len(parts) == 2
+    for i, fname in enumerate(parts):
+        os.utime(os.path.join(docs_dir, fname), times=(now + i, now + i))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_dir)
+    )
+
+    reports = []
+
+    def sink(bdf, bid):
+        reports.extend(bdf.collect())
+
+    q = (
+        dedup_store.dedup_ingest_stream(spark, stream, path, sink)
+        .option("checkpointLocation", checkpoint_dir("dedupingest"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    flags = {r.doc_id: r for r in reports}
+    assert flags[10].is_dup and flags[10].dup_of == 1
+    assert flags[20].is_dup and flags[20].dup_of == 11, (
+        "batch 2 did not collide with batch 1's admitted doc"
+    )
+    stored = {
+        r.doc_id
+        for r in spark.read.parquet(f"{path}/signatures").select("doc_id").collect()
+    }
+    assert stored == {1, 11}

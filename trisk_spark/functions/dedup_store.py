@@ -336,6 +336,39 @@ def ingest_wave(
     return report
 
 
+def dedup_ingest_stream(
+    spark: SparkSession, docs_stream: DataFrame, path: str, sink
+):
+    """The CONTINUOUS admission pipeline — ``ingest_wave`` per
+    micro-batch: each arriving batch is probed against the store,
+    its non-duplicates are ADMITTED (signatures appended, touched
+    buckets re-capped), and the probe report goes to ``sink``; batch
+    N+1 therefore dedups against everything admitted through batch N —
+    the exactly-once ingest-dedup loop a 100 TB deployment runs on the
+    document firehose. Within-batch near-dups are admitted together
+    and collide from the next batch on (the documented batch-boundary
+    semantics). Sink contract as ``dedup_probe_stream``; the report is
+    localCheckpoint-materialized by ``ingest_wave`` before the append,
+    so the sink may consume it lazily AFTER the store has moved.
+
+    NOTE on replay: admission WRITES to the store, so this stream is
+    effectively-once only if the checkpoint and the store advance
+    together — a replayed batch would re-append its survivors
+    (duplicate signature rows; band rows re-cap idempotently). Run it
+    with foreachBatch's batch_id de-dup (skip ids at or below the last
+    admitted id persisted beside the store) when exactly-once matters;
+    the replay test pins the happy path."""
+
+    def fb(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.persist()
+        try:
+            sink(ingest_wave(spark, batch_df, path), batch_id)
+        finally:
+            batch_df.unpersist()
+
+    return docs_stream.writeStream.outputMode("append").foreachBatch(fb)
+
+
 def dedup_probe_stream(spark: SparkSession, docs_stream: DataFrame, path: str, sink):
     """Streaming ingest-dedup over the PERSISTED store — the scale
     path ``minhash_flag_stream`` documents: each micro-batch of
