@@ -182,9 +182,20 @@ def probe_dedup_store(
     struct-MAX argmax per arriving doc (partial-aggregatable, no
     per-doc sort). Nothing corpus-sized moves except the pruned
     bucket read."""
-    sig_new = minhash_signatures_inrow(
+    # The EXPLODE+agg signature form, not the in-row one: foreachBatch
+    # hands the engine a plain DataFrame, so the shuffle is legal even
+    # on the streaming path, and the grouped MIN runs under whole-stage
+    # codegen while the in-row form pays 12 INTERPRETED array
+    # transforms per doc (measured 2x the whole probe at a 10k-doc
+    # wave; the two forms are value-identical, pytest-pinned in
+    # test_streaming_extras). localCheckpoint then materializes the wave's
+    # signatures ONCE for the three consumers (routing collect,
+    # candidate broadcast, verify broadcast) — wave-sized narrow rows
+    # (13 ints/doc), and without it each consumer replays the
+    # shingle explode (44 s vs 13 s at the 10k wave, PERF_NOTES r12).
+    sig_new = minhash_signatures(
         new_docs.where(F.col("doc_id").isNotNull())
-    )
+    ).localCheckpoint()
     bands_new = minhash_bands(sig_new).select(
         F.col("doc_id").alias("new_id"),
         F.col("band_idx").cast("int").alias("band_idx"),
