@@ -347,3 +347,48 @@ def test_dedup_ingest_stream_loop(spark, tmp_path):
         for r in spark.read.parquet(f"{path}/signatures").select("doc_id").collect()
     }
     assert stored == {1, 11}
+
+
+def test_dedup_store_stats_parity_and_saturation(spark, tmp_path):
+    # DuckDB parity over the written partitioned parquet (the
+    # sax_store stats precedent), and the saturation detector fires on
+    # a capped mega-bucket corpus
+    import duckdb
+
+    from .conftest import assert_matches_oracle
+
+    path = str(tmp_path / "store")
+    existing, _ = _corpus_split(spark)
+    dedup_store.write_dedup_store(spark, existing, path)
+    con = duckdb.connect()
+    oracle = f"""
+      WITH per AS (
+        SELECT band_idx, bh, COUNT(*) AS n
+        FROM read_parquet('{path}/bands/*/*/*.parquet', hive_partitioning=1)
+        GROUP BY band_idx, bh
+      ),
+      d AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM read_parquet('{path}/signatures/*.parquet'))
+      SELECT d.n_docs,
+        CAST(SUM(n) AS BIGINT) AS n_band_rows,
+        CAST(COUNT(*) AS BIGINT) AS n_buckets,
+        CAST(MIN(n) AS BIGINT) AS min_bucket,
+        CAST(MAX(n) AS BIGINT) AS max_bucket,
+        ROUND(AVG(n), 6) AS avg_bucket,
+        CAST(SUM(CASE WHEN n >= {BUCKET_CAP} THEN 1 ELSE 0 END) AS BIGINT)
+          AS saturated_buckets
+      FROM per CROSS JOIN d GROUP BY d.n_docs
+    """
+    assert_matches_oracle(dedup_store.dedup_store_stats(spark, path), con, oracle)
+
+    flood = str(tmp_path / "flood")
+    text = " ".join(f"w{i % 17}" for i in range(40))
+    dedup_store.write_dedup_store(
+        spark,
+        spark.range(BUCKET_CAP + 50).select(
+            F.col("id").alias("doc_id"), F.lit(text).alias("text")
+        ),
+        flood,
+    )
+    row = dedup_store.dedup_store_stats(spark, flood).collect()[0]
+    assert row.saturated_buckets == N_BANDS and row.max_bucket == BUCKET_CAP

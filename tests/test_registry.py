@@ -169,7 +169,7 @@ def test_readme_op_table_names_are_registered():
         "dedup_incremental", "write_dedup_store", "probe_dedup_store",
         "append_dedup_store", "ingest_wave", "dedup_probe_stream",
         "ann_recall", "recall_frame", "append_index",
-        "dedup_ingest_stream",
+        "dedup_ingest_stream", "dedup_store_stats",
     }
     missing = {
         c for c in cited

@@ -410,6 +410,42 @@ def dedup_probe_stream(spark: SparkSession, docs_stream: DataFrame, path: str, s
     return docs_stream.writeStream.outputMode("append").foreachBatch(fb)
 
 
+def dedup_store_stats(spark: SparkSession, path: str) -> DataFrame:
+    """Store health table — the ``ivf_store.index_stats`` image for
+    the dedup store: one row with (n_docs, n_band_rows, n_buckets,
+    min_bucket, max_bucket, avg_bucket, saturated_buckets) where a
+    saturated bucket sits AT the write-time cap. The operational
+    signal: saturated buckets mean the corpus holds ≥ BUCKET_CAP
+    near-identical documents per collision group there — probes
+    against those buckets pay the max fan-out, and a rising saturated
+    count says run the batch ``dedup_exact``/cluster sweep rather than
+    relying on ingest-time gating alone. One partial-agg pass over the
+    (already partition-local) band rows; bucket-cardinality-sized
+    intermediate."""
+    docs = spark.read.parquet(f"{path}/signatures").agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )
+    per = (
+        spark.read.parquet(f"{path}/bands")
+        .groupBy("band_idx", "bh")
+        .agg(F.count("*").alias("n"))
+    )
+    agg = per.agg(
+        F.sum("n").cast("bigint").alias("n_band_rows"),
+        F.count("*").cast("bigint").alias("n_buckets"),
+        F.min("n").cast("bigint").alias("min_bucket"),
+        F.max("n").cast("bigint").alias("max_bucket"),
+        F.round(F.avg("n"), 6).alias("avg_bucket"),
+        F.sum(F.when(F.col("n") >= BUCKET_CAP, 1).otherwise(0))
+        .cast("bigint")
+        .alias("saturated_buckets"),
+    )
+    return agg.crossJoin(F.broadcast(docs)).select(
+        "n_docs", "n_band_rows", "n_buckets", "min_bucket",
+        "max_bucket", "avg_bucket", "saturated_buckets",
+    )
+
+
 # ------------------------------------------- registered-query image --
 
 def _dedup_incremental_sql() -> str:
