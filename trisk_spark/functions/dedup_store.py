@@ -410,6 +410,39 @@ def dedup_probe_stream(spark: SparkSession, docs_stream: DataFrame, path: str, s
     return docs_stream.writeStream.outputMode("append").foreachBatch(fb)
 
 
+def compact_dedup_store(
+    spark: SparkSession, path: str, sig_files: int = 8
+) -> None:
+    """Post-ingest maintenance: every ``append_dedup_store`` /
+    ``dedup_ingest_stream`` micro-batch leaves one small parquet file
+    in ``signatures`` and in each touched band bucket — after N waves
+    a probe pays N file opens per routed bucket. Rewrite both tables
+    compacted (signatures into ``sig_files`` files; bands into ONE
+    file per (band_idx, bucket) partition via a partition-key
+    repartition) into fresh directories and SWAP them in with two
+    directory renames — readers started after the swap see the
+    compacted store; the contract is single-maintainer, no probe in
+    flight during the swap (the standard compaction discipline every
+    LSM-ish store has). Store CONTENT is untouched: probe ≡
+    pre-compact pytest-pinned."""
+    import os
+    import shutil
+
+    sig = spark.read.parquet(f"{path}/signatures").coalesce(max(1, sig_files))
+    sig.write.parquet(f"{path}/signatures_compact_tmp")
+    bands = spark.read.parquet(f"{path}/bands").repartition(
+        "band_idx", "bucket"
+    )
+    bands.write.partitionBy("band_idx", "bucket").parquet(
+        f"{path}/bands_compact_tmp"
+    )
+    for t in ("signatures", "bands"):
+        old = f"{path}/{t}_old"
+        os.rename(f"{path}/{t}", old)
+        os.rename(f"{path}/{t}_compact_tmp", f"{path}/{t}")
+        shutil.rmtree(old)
+
+
 def dedup_store_stats(spark: SparkSession, path: str) -> DataFrame:
     """Store health table — the ``ivf_store.index_stats`` image for
     the dedup store: one row with (n_docs, n_band_rows, n_buckets,
