@@ -303,21 +303,30 @@ def test_dedup_ingest_stream_loop(spark, tmp_path):
         spark.createDataFrame([(1, base)], "doc_id long, text string"),
         path,
     )
-    # batch 1: dup-of-seed (10) + novel (11); batch 2: dup-of-11 (20)
+    # batch 1: dup-of-seed (10) + novel (11); batch 2: dup-of-11 (20).
+    # Stagger mtimes by WAVE (diff the listing between writes) — part
+    # file names are random, so sorting by filename can flip the
+    # replay order and break the loop semantics under test
     waves = [[(10, base), (11, novel)], [(20, novel)]]
     docs_dir = str(tmp_path / "waves")
-    for wave in waves:
+
+    def _parts():
+        return {
+            f for f in os.listdir(docs_dir)
+            if f.startswith("part-") and f.endswith(".parquet")
+        }
+
+    now = int(_time.time())
+    seen: set[str] = set()
+    for i, wave in enumerate(waves):
         spark.createDataFrame(
             wave, "doc_id long, text string"
         ).coalesce(1).write.mode("append").parquet(docs_dir)
-    now = int(_time.time())
-    parts = sorted(
-        f for f in os.listdir(docs_dir)
-        if f.startswith("part-") and f.endswith(".parquet")
-    )
-    assert len(parts) == 2
-    for i, fname in enumerate(parts):
-        os.utime(os.path.join(docs_dir, fname), times=(now + i, now + i))
+        fresh = _parts() - seen
+        assert len(fresh) == 1
+        for fname in fresh:
+            os.utime(os.path.join(docs_dir, fname), times=(now + i, now + i))
+        seen |= fresh
     stream = (
         spark.readStream.schema("doc_id long, text string")
         .option("maxFilesPerTrigger", 1)
