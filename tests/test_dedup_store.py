@@ -55,7 +55,9 @@ def test_probe_prunes_band_partitions(spark, tmp_path):
         .distinct()
         .count()
     )
-    sig = dedup_store.minhash_signatures_inrow(few)
+    from trisk_spark.functions.dedup import minhash_signatures_inrow
+
+    sig = minhash_signatures_inrow(few)
     bands_new = dedup_store.minhash_bands(sig).select(
         F.col("band_idx").cast("int").alias("band_idx"),
         "bh",
@@ -377,7 +379,12 @@ def test_dedup_store_stats_parity_and_saturation(spark, tmp_path):
         GROUP BY band_idx, bh
       ),
       d AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs
-            FROM read_parquet('{path}/signatures/*.parquet'))
+            FROM read_parquet('{path}/signatures/*.parquet')),
+      u AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_unsigned_band_docs FROM (
+        SELECT DISTINCT doc_id
+        FROM read_parquet('{path}/bands/*/*/*.parquet', hive_partitioning=1)
+        WHERE doc_id NOT IN (
+          SELECT doc_id FROM read_parquet('{path}/signatures/*.parquet'))))
       SELECT d.n_docs,
         CAST(SUM(n) AS BIGINT) AS n_band_rows,
         CAST(COUNT(*) AS BIGINT) AS n_buckets,
@@ -385,8 +392,10 @@ def test_dedup_store_stats_parity_and_saturation(spark, tmp_path):
         CAST(MAX(n) AS BIGINT) AS max_bucket,
         ROUND(AVG(n), 6) AS avg_bucket,
         CAST(SUM(CASE WHEN n >= {BUCKET_CAP} THEN 1 ELSE 0 END) AS BIGINT)
-          AS saturated_buckets
-      FROM per CROSS JOIN d GROUP BY d.n_docs
+          AS saturated_buckets,
+        u.n_unsigned_band_docs
+      FROM per CROSS JOIN d CROSS JOIN u
+      GROUP BY d.n_docs, u.n_unsigned_band_docs
     """
     assert_matches_oracle(dedup_store.dedup_store_stats(spark, path), con, oracle)
 
@@ -452,3 +461,212 @@ def test_compact_preserves_content_and_cuts_files(spark, tmp_path):
         map(tuple, dedup_store.probe_dedup_store(spark, probe, path).collect())
     )
     assert after == before and len(after) > 0
+
+
+def test_ingest_stream_replay_guard(spark, tmp_path):
+    """Forced checkpoint replay: running the SAME ingest stream twice
+    against a fresh checkpoint (so Spark re-delivers every batch) must
+    leave zero duplicate signature rows and byte-identical band tables
+    — the persisted batch-id watermark skips already-admitted batches
+    (r12 VERDICT next-round #3)."""
+    import os
+    import time as _time
+
+    base = " ".join(f"r{i}" for i in range(60))
+    novel = " ".join(f"v{i}" for i in range(60))
+    path = str(tmp_path / "store")
+    dedup_store.write_dedup_store(
+        spark,
+        spark.createDataFrame([(1, base)], "doc_id long, text string"),
+        path,
+    )
+    waves = [[(10, base), (11, novel)], [(20, novel)]]
+    docs_dir = str(tmp_path / "waves")
+    now = int(_time.time())
+    seen: set[str] = set()
+    for i, wave in enumerate(waves):
+        spark.createDataFrame(
+            wave, "doc_id long, text string"
+        ).coalesce(1).write.mode("append").parquet(docs_dir)
+        fresh = {
+            f for f in os.listdir(docs_dir)
+            if f.startswith("part-") and f.endswith(".parquet")
+        } - seen
+        for fname in fresh:
+            os.utime(os.path.join(docs_dir, fname), times=(now + i, now + i))
+        seen |= fresh
+
+    def run(tag, sink):
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(docs_dir)
+        )
+        q = (
+            dedup_store.dedup_ingest_stream(spark, stream, path, sink)
+            .option("checkpointLocation", checkpoint_dir(tag))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    first_bids = []
+    run("ingestreplay1", lambda bdf, bid: first_bids.append(bid))
+    assert first_bids == [0, 1]
+    assert dedup_store.read_ingest_watermark(path) == 1
+
+    sig_snap = sorted(
+        map(tuple, spark.read.parquet(f"{path}/signatures").collect())
+    )
+    band_snap = sorted(
+        map(tuple, spark.read.parquet(f"{path}/bands").collect())
+    )
+
+    # fresh checkpoint → Spark replays batches 0 and 1; the watermark
+    # must swallow both (no probe, no append, no sink call)
+    replay_bids = []
+    run("ingestreplay2", lambda bdf, bid: replay_bids.append(bid))
+    assert replay_bids == [], "replayed batches reached the sink"
+
+    sigs = spark.read.parquet(f"{path}/signatures")
+    assert sorted(map(tuple, sigs.collect())) == sig_snap
+    dup_ids = (
+        sigs.groupBy("doc_id").count().where(F.col("count") > 1).count()
+    )
+    assert dup_ids == 0, "replay duplicated signature rows"
+    assert sorted(
+        map(tuple, spark.read.parquet(f"{path}/bands").collect())
+    ) == band_snap
+    row = dedup_store.dedup_store_stats(spark, path).collect()[0]
+    assert row.n_unsigned_band_docs == 0
+
+
+def test_ingest_loop_with_midstream_compaction(spark, tmp_path):
+    """wave → compact → wave: the loop's semantics must be identical
+    with a compaction between two waves (r12 VERDICT next-round #7) —
+    wave 2 still collides with wave 1's admitted doc through the
+    compacted artifacts, probe reports match the uncompacted twin
+    store, and stats stay consistent (files shrink, content identical,
+    zero unsigned docs)."""
+    base = " ".join(f"c{i}" for i in range(60))
+    novel = " ".join(f"k{i}" for i in range(60))
+    seed = spark.createDataFrame([(1, base)], "doc_id long, text string")
+    wave1 = spark.createDataFrame(
+        [(10, base), (11, novel)], "doc_id long, text string"
+    )
+    wave2 = spark.createDataFrame([(20, novel)], "doc_id long, text string")
+
+    compacted, plain = str(tmp_path / "cmp"), str(tmp_path / "pln")
+    reports = {}
+    for path in (compacted, plain):
+        dedup_store.write_dedup_store(spark, seed, path)
+        r1 = dedup_store.ingest_wave(spark, wave1, path).collect()
+        if path == compacted:
+            dedup_store.compact_dedup_store(spark, path, sig_files=1)
+        r2 = dedup_store.ingest_wave(spark, wave2, path).collect()
+        reports[path] = (sorted(map(tuple, r1)), sorted(map(tuple, r2)))
+
+    assert reports[compacted] == reports[plain]
+    flags = {r[0]: r for r in reports[compacted][1]}
+    assert flags[20][4] and flags[20][1] == 11, (
+        "post-compaction wave lost the wave-1 admission"
+    )
+    for path in (compacted, plain):
+        row = dedup_store.dedup_store_stats(spark, path).collect()[0]
+        assert row.n_unsigned_band_docs == 0
+    stats_c = dedup_store.dedup_store_stats(spark, compacted).collect()[0]
+    stats_p = dedup_store.dedup_store_stats(spark, plain).collect()[0]
+    assert tuple(stats_c) == tuple(stats_p)
+
+
+def test_compact_repairs_half_swapped_store(spark, tmp_path):
+    """Crash-state repair: simulate every interruption the swap
+    protocol can leave behind and assert compact-on-entry (and the
+    standalone repair) restores a consistent, probe-identical store."""
+    import os
+    import shutil
+
+    path = str(tmp_path / "store")
+    existing, arriving = _corpus_split(spark)
+    dedup_store.write_dedup_store(spark, existing, path)
+    probe = arriving.orderBy("doc_id").limit(3)
+    before = sorted(
+        map(tuple, dedup_store.probe_dedup_store(spark, probe, path).collect())
+    )
+
+    # stale tmp from a dead build beside a live dir → cleared, then a
+    # fresh compaction succeeds (the old code wedged on errorifexists)
+    os.makedirs(f"{path}/signatures_compact_tmp/garbage")
+    dedup_store.compact_dedup_store(spark, path, sig_files=1)
+    assert not os.path.exists(f"{path}/signatures_compact_tmp")
+    assert before == sorted(
+        map(tuple, dedup_store.probe_dedup_store(spark, probe, path).collect())
+    )
+
+    # crash between rename 1 and rename 2: live absent, _old + tmp
+    # present → repair must finish the swap forward
+    shutil.copytree(f"{path}/signatures", f"{path}/signatures_compact_tmp")
+    os.rename(f"{path}/signatures", f"{path}/signatures_old")
+    dedup_store.repair_dedup_store(path)
+    assert os.path.exists(f"{path}/signatures")
+    assert not os.path.exists(f"{path}/signatures_old")
+    assert before == sorted(
+        map(tuple, dedup_store.probe_dedup_store(spark, probe, path).collect())
+    )
+
+    # rollback state: live absent, only _old present
+    os.rename(f"{path}/bands", f"{path}/bands_old")
+    dedup_store.repair_dedup_store(path)
+    assert os.path.exists(f"{path}/bands")
+    assert before == sorted(
+        map(tuple, dedup_store.probe_dedup_store(spark, probe, path).collect())
+    )
+
+
+def test_object_store_paths_fail_loud(spark, tmp_path):
+    # rename-dependent entry points refuse object-store schemes
+    with pytest.raises(ValueError, match="atomic-rename"):
+        dedup_store.compact_dedup_store(spark, "s3://bucket/store")
+    with pytest.raises(ValueError, match="atomic-rename"):
+        dedup_store.dedup_ingest_stream(
+            spark, None, "s3a://bucket/store", lambda b, i: None
+        )
+
+
+def test_stats_detect_unsigned_band_docs(spark, tmp_path):
+    """The append crash window (bands written, signatures not) is the
+    one state a rebuild comparison can't see — n_unsigned_band_docs
+    must flag it, and re-running the wave's append (the documented
+    repair) must clear it without duplicating band rows."""
+    base = " ".join(f"u{i}" for i in range(60))
+    novel = " ".join(f"w{i}" for i in range(60))
+    path = str(tmp_path / "store")
+    dedup_store.write_dedup_store(
+        spark,
+        spark.createDataFrame([(1, base)], "doc_id long, text string"),
+        path,
+    )
+    wave = spark.createDataFrame([(7, novel)], "doc_id long, text string")
+    dedup_store.append_dedup_store(spark, wave, path)
+
+    # simulate the crash: strip doc 7's signature rows (bands stay)
+    kept = spark.read.parquet(f"{path}/signatures").where(
+        F.col("doc_id") != 7
+    ).localCheckpoint()
+    import shutil
+
+    shutil.rmtree(f"{path}/signatures")
+    kept.write.parquet(f"{path}/signatures")
+    row = dedup_store.dedup_store_stats(spark, path).collect()[0]
+    assert row.n_unsigned_band_docs == 1, "crash window undetected"
+
+    # repair = re-run the wave's append: band re-cap deduplicates, the
+    # signature lands once → consistent store, no duplicate band rows
+    dedup_store.append_dedup_store(spark, wave, path)
+    row = dedup_store.dedup_store_stats(spark, path).collect()[0]
+    assert row.n_unsigned_band_docs == 0
+    bands = spark.read.parquet(f"{path}/bands")
+    assert (
+        bands.groupBy("band_idx", "bh", "doc_id").count()
+        .where(F.col("count") > 1).count() == 0
+    ), "band replay stacked duplicate rows"

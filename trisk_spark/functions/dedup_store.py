@@ -24,9 +24,13 @@ band buckets the arriving documents route to (``probe_dedup_store``):
     agreement (``minhash_jaccard_estimate``'s exact-integer estimator)
     before flagging.
 
-Arriving documents compute signatures ENTIRELY IN-ROW
-(``minhash_signatures_inrow`` — zero shuffle, streaming-safe), so the
-probe's only distributed work is the pruned band read, one broadcast
+Arriving documents compute signatures with the explode+agg form
+(``minhash_signatures`` — one wave-sized grouped MIN under whole-stage
+codegen; ``foreachBatch`` hands the engine a plain DataFrame, so the
+shuffle is legal on the streaming path too, and the in-row form's 12
+interpreted array transforms per doc measured 2× the whole probe —
+the decision note inside ``probe_dedup_store``). The probe's only
+distributed work beyond that is the pruned band read, one broadcast
 equi-join against the (bounded) arriving band rows, and a
 candidate-sized signature join. The routing decision crosses the
 driver as ≤ N_BANDS × N_STORE_BUCKETS (band_idx, bucket) pairs — a
@@ -34,6 +38,18 @@ fixed-size routing collect no matter how large the batch or corpus
 (the ``ivf_store`` routed-lists class), with the probe-size ceiling
 folded into the same single job (the ``_routed_lists_checked``
 pattern).
+
+DURABILITY MODEL (single-maintainer, local/HDFS-rename filesystems):
+maintenance that swaps directories (``compact_dedup_store``) and the
+ingest watermark rely on atomic rename — true on POSIX and HDFS, NOT
+on S3-style object stores, where a deployment would put the swap
+behind a manifest table / conditional put. The constraint is enforced
+loudly: both entry points refuse ``scheme://`` paths other than
+``file:``. Crash windows that remain (append is two parquet writes;
+watermark lands after the append) are documented per-function with
+their detection (``dedup_store_stats``'s ``n_unsigned_band_docs``)
+and repair (re-run the wave's append — band re-cap deduplicates, so
+the repair is idempotent).
 
 Reference: the reference has no dedup store (beyond-reference mandate,
 SURVEY.md §7 step 7); the layout is the ``ivf_store``/``sax_store``
@@ -53,7 +69,6 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from trisk_spark.catalog import table
 from trisk_spark.functions.dedup import (
     BUCKET_CAP,
-    MERSENNE,
     N_BANDS,
     N_PERMS,
     SHINGLES_SQL,
@@ -62,7 +77,6 @@ from trisk_spark.functions.dedup import (
     _XM_SQL,
     minhash_bands,
     minhash_signatures,
-    minhash_signatures_inrow,
 )
 
 #: bands-table partition fan per band (directories = N_BANDS × this);
@@ -277,13 +291,27 @@ def append_dedup_store(
     touched-bucket set crosses the driver as ≤ N_BANDS ×
     N_STORE_BUCKETS pairs (the routing-collect class); the rewrite
     reads ONLY the touched partitions (pruned), unions the wave's band
-    rows, re-caps per (band_idx, bh), and writes back under DYNAMIC
-    partition overwrite — untouched buckets (the overwhelming majority
-    of a 100 TB store under a daily wave) are never read or written."""
+    rows, deduplicates on (band_idx, bh, doc_id) — so re-running a
+    wave's append is IDEMPOTENT for bands: a replayed wave can never
+    stack duplicate rows against BUCKET_CAP and evict distinct members
+    a rebuild would keep — re-caps per (band_idx, bh), and writes back
+    under DYNAMIC partition overwrite; untouched buckets (the
+    overwhelming majority of a 100 TB store under a daily wave) are
+    never read or written.
+
+    Crash ordering: BANDS ARE WRITTEN FIRST, signatures second. A
+    failure between the two writes leaves band rows whose doc_ids have
+    no signature row — an ALWAYS-detectable state
+    (``dedup_store_stats``'s ``n_unsigned_band_docs`` > 0; the reverse
+    order would be indistinguishable from legitimate cap eviction).
+    Repair: re-run the wave's append — the band re-cap deduplicates
+    (above) and the signature append then lands once. Signature-side
+    replay (re-running a FULLY-landed wave) is what duplicates
+    signature rows; the ingest watermark (``dedup_ingest_stream``)
+    exists to prevent exactly that."""
     sig_new = minhash_signatures(
         new_docs.where(F.col("doc_id").isNotNull())
     ).localCheckpoint()
-    sig_new.write.mode("append").parquet(f"{path}/signatures")
     bands_new = minhash_bands(sig_new).select(
         "doc_id", "bh", F.col("band_idx").cast("int").alias("band_idx"), _bucket()
     )
@@ -292,6 +320,8 @@ def append_dedup_store(
         for r in bands_new.select("band_idx", "bucket").distinct().collect()
     )
     if not routes:
+        # band-less wave (all-null shingles can't happen — every doc
+        # has ≥1 band) ⇒ empty wave: nothing to write on either table
         return
     pred = reduce(
         or_,
@@ -302,6 +332,7 @@ def append_dedup_store(
     merged = (
         old.select("doc_id", "bh", "band_idx", "bucket")
         .unionByName(bands_new)
+        .dropDuplicates(["band_idx", "bh", "doc_id"])
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= BUCKET_CAP)
         .select("doc_id", "bh", "band_idx", "bucket")
@@ -319,6 +350,7 @@ def append_dedup_store(
         )
     finally:
         spark.conf.set(key, prev)
+    sig_new.write.mode("append").parquet(f"{path}/signatures")
 
 
 def ingest_wave(
@@ -347,6 +379,49 @@ def ingest_wave(
     return report
 
 
+def _require_rename_fs(path: str, op: str) -> None:
+    """Fail loud on object-store paths: the watermark and the
+    compaction swap rely on atomic rename, which ``s3://``-style
+    stores do not provide (the module DURABILITY MODEL note). Local
+    paths and explicit ``file:`` URIs pass; HDFS deployments would
+    widen this to ``hdfs:`` after routing the os-level calls through
+    the Hadoop FS API."""
+    if "://" in path and not path.startswith("file://"):
+        raise ValueError(
+            f"{op} requires an atomic-rename filesystem (local/file:); "
+            f"got {path!r} — on object storage, front the store with a "
+            "manifest table / conditional-put swap instead"
+        )
+
+
+def _strip_file_scheme(path: str) -> str:
+    return path[len("file://"):] if path.startswith("file://") else path
+
+
+def read_ingest_watermark(path: str) -> int | None:
+    """Last fully-admitted streaming batch id, or None for a store
+    that has never been written by ``dedup_ingest_stream``."""
+    import os
+
+    p = f"{_strip_file_scheme(path)}/_last_admitted_batch_id"
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return int(f.read().strip())
+
+
+def _write_ingest_watermark(path: str, batch_id: int) -> None:
+    """Atomically persist the admitted-batch watermark beside the
+    store (write-temp + ``os.replace`` — atomic on POSIX)."""
+    import os
+
+    base = _strip_file_scheme(path)
+    tmp = f"{base}/_last_admitted_batch_id.tmp"
+    with open(tmp, "w") as f:
+        f.write(str(batch_id))
+    os.replace(tmp, f"{base}/_last_admitted_batch_id")
+
+
 def dedup_ingest_stream(
     spark: SparkSession, docs_stream: DataFrame, path: str, sink
 ):
@@ -362,18 +437,32 @@ def dedup_ingest_stream(
     localCheckpoint-materialized by ``ingest_wave`` before the append,
     so the sink may consume it lazily AFTER the store has moved.
 
-    NOTE on replay: admission WRITES to the store, so this stream is
-    effectively-once only if the checkpoint and the store advance
-    together — a replayed batch would re-append its survivors
-    (duplicate signature rows; band rows re-cap idempotently). Run it
-    with foreachBatch's batch_id de-dup (skip ids at or below the last
-    admitted id persisted beside the store) when exactly-once matters;
-    the replay test pins the happy path."""
+    REPLAY GUARD (admission writes to the store, so checkpoint replay
+    must not re-append): the last fully-admitted batch id is persisted
+    ATOMICALLY beside the store (``_last_admitted_batch_id``, the
+    foreachBatch batch-id de-dup pattern from the Structured Streaming
+    guide) immediately after the wave's append; a replayed batch with
+    ``batch_id`` ≤ the watermark is SKIPPED ENTIRELY — no probe, no
+    append, no sink call (the sink already saw, or chose to drop, that
+    batch id; sinks needing redelivery on replay keep their own
+    batch-id ledger — they receive ``batch_id`` for exactly that).
+    Forced-replay pytest pins zero duplicate signature rows. Remaining
+    crash window: a crash BETWEEN the append and the watermark write
+    replays one wave's signature append (bands re-cap idempotently);
+    detection = signature doc_id multiplicity, repair = dropDuplicates
+    rewrite of ``signatures`` — or run the store behind a
+    transactional table format at deployment scale."""
+    _require_rename_fs(path, "dedup_ingest_stream")
 
     def fb(batch_df: DataFrame, batch_id: int) -> None:
+        wm = read_ingest_watermark(path)
+        if wm is not None and batch_id <= wm:
+            return
         batch_df = batch_df.persist()
         try:
-            sink(ingest_wave(spark, batch_df, path), batch_id)
+            report = ingest_wave(spark, batch_df, path)
+            _write_ingest_watermark(path, batch_id)
+            sink(report, batch_id)
         finally:
             batch_df.unpersist()
 
@@ -410,6 +499,44 @@ def dedup_probe_stream(spark: SparkSession, docs_stream: DataFrame, path: str, s
     return docs_stream.writeStream.outputMode("append").foreachBatch(fb)
 
 
+def repair_dedup_store(path: str) -> None:
+    """Bring a store back to a consistent layout after a compaction
+    crash — called automatically on ``compact_dedup_store`` entry, and
+    callable standalone before reopening a store whose maintainer
+    died. Per table, the swap protocol below leaves exactly three
+    observable states, each repairable without data loss:
+
+      * live dir present           → nothing to do (stale ``_old`` /
+        ``_compact_tmp`` leftovers are deleted — a tmp is only swapped
+        in while the live dir is ABSENT, so a tmp beside a live dir is
+        a dead build from a failed compaction run);
+      * live dir absent, ``_old`` + ``_compact_tmp`` present → crashed
+        between rename 1 and 2: finish the swap (tmp → live), then
+        drop ``_old``;
+      * live dir absent, only ``_old`` present → crashed after a tmp
+        rename that never happened (impossible under the protocol) or
+        after ``_old``'s tmp was already swapped and re-crashed before
+        this repair's rmtree — roll back (``_old`` → live)."""
+    import os
+    import shutil
+
+    base = _strip_file_scheme(path)
+    for t in ("signatures", "bands"):
+        live, old, tmp = (
+            f"{base}/{t}",
+            f"{base}/{t}_old",
+            f"{base}/{t}_compact_tmp",
+        )
+        if os.path.exists(live):
+            shutil.rmtree(tmp, ignore_errors=True)
+            shutil.rmtree(old, ignore_errors=True)
+        elif os.path.exists(tmp) and os.path.exists(old):
+            os.rename(tmp, live)
+            shutil.rmtree(old, ignore_errors=True)
+        elif os.path.exists(old):
+            os.rename(old, live)
+
+
 def compact_dedup_store(
     spark: SparkSession, path: str, sig_files: int = 8
 ) -> None:
@@ -419,50 +546,71 @@ def compact_dedup_store(
     a probe pays N file opens per routed bucket. Rewrite both tables
     compacted (signatures into ``sig_files`` files; bands into ONE
     file per (band_idx, bucket) partition via a partition-key
-    repartition) into fresh directories and SWAP them in with two
-    directory renames — readers started after the swap see the
-    compacted store; the contract is single-maintainer, no probe in
-    flight during the swap (the standard compaction discipline every
-    LSM-ish store has). Store CONTENT is untouched: probe ≡
-    pre-compact pytest-pinned."""
+    repartition) into fresh directories and SWAP them in — readers
+    started after the swap see the compacted store; the contract is
+    single-maintainer, no probe in flight during the swap (the
+    standard compaction discipline every LSM-ish store has). Store
+    CONTENT is untouched: probe ≡ pre-compact pytest-pinned, including
+    with the compaction mid-stream between two ingest waves.
+
+    Crash safety (local/HDFS-rename filesystems ONLY — fail-loud
+    ``_require_rename_fs`` guard; see the module DURABILITY MODEL):
+    entry first repairs any half-swapped state from a previous crash
+    and clears stale tmp dirs (``repair_dedup_store``), tmp builds
+    write under ``mode("overwrite")`` so a dead build can never wedge
+    the next run, and the per-table swap follows a recovery order —
+    live → ``_old``, tmp → live, drop ``_old`` — whose every
+    intermediate state ``repair_dedup_store`` can finish or roll
+    back."""
     import os
     import shutil
 
+    _require_rename_fs(path, "compact_dedup_store")
+    repair_dedup_store(path)
+    base = _strip_file_scheme(path)
     sig = spark.read.parquet(f"{path}/signatures").coalesce(max(1, sig_files))
-    sig.write.parquet(f"{path}/signatures_compact_tmp")
+    sig.write.mode("overwrite").parquet(f"{path}/signatures_compact_tmp")
     bands = spark.read.parquet(f"{path}/bands").repartition(
         "band_idx", "bucket"
     )
-    bands.write.partitionBy("band_idx", "bucket").parquet(
+    bands.write.mode("overwrite").partitionBy("band_idx", "bucket").parquet(
         f"{path}/bands_compact_tmp"
     )
     for t in ("signatures", "bands"):
-        old = f"{path}/{t}_old"
-        os.rename(f"{path}/{t}", old)
-        os.rename(f"{path}/{t}_compact_tmp", f"{path}/{t}")
+        old = f"{base}/{t}_old"
+        os.rename(f"{base}/{t}", old)
+        os.rename(f"{base}/{t}_compact_tmp", f"{base}/{t}")
         shutil.rmtree(old)
 
 
 def dedup_store_stats(spark: SparkSession, path: str) -> DataFrame:
     """Store health table — the ``ivf_store.index_stats`` image for
     the dedup store: one row with (n_docs, n_band_rows, n_buckets,
-    min_bucket, max_bucket, avg_bucket, saturated_buckets) where a
-    saturated bucket sits AT the write-time cap. The operational
-    signal: saturated buckets mean the corpus holds ≥ BUCKET_CAP
-    near-identical documents per collision group there — probes
-    against those buckets pay the max fan-out, and a rising saturated
-    count says run the batch ``dedup_exact``/cluster sweep rather than
-    relying on ingest-time gating alone. One partial-agg pass over the
-    (already partition-local) band rows; bucket-cardinality-sized
-    intermediate."""
-    docs = spark.read.parquet(f"{path}/signatures").agg(
-        F.count("*").cast("bigint").alias("n_docs")
+    min_bucket, max_bucket, avg_bucket, saturated_buckets,
+    n_unsigned_band_docs) where a saturated bucket sits AT the
+    write-time cap. The operational signals: saturated buckets mean
+    the corpus holds ≥ BUCKET_CAP near-identical documents per
+    collision group there — probes against those buckets pay the max
+    fan-out, and a rising saturated count says run the batch
+    ``dedup_exact``/cluster sweep rather than relying on ingest-time
+    gating alone. ``n_unsigned_band_docs`` counts distinct band
+    doc_ids with NO signature row — 0 in every consistent store; > 0
+    is the signature of an append that crashed between its band
+    rewrite and its signature write (``append_dedup_store``'s
+    documented crash window; repair = re-run the wave's append).
+    One partial-agg pass over the (already partition-local) band rows
+    plus a distinct-ids anti-join against the signature ids —
+    id-column reads only, both sides column-pruned."""
+    sigs = spark.read.parquet(f"{path}/signatures")
+    docs = sigs.agg(F.count("*").cast("bigint").alias("n_docs"))
+    band_rows = spark.read.parquet(f"{path}/bands")
+    unsigned = (
+        band_rows.select("doc_id")
+        .distinct()
+        .join(sigs.select("doc_id"), "doc_id", "left_anti")
+        .agg(F.count("*").cast("bigint").alias("n_unsigned_band_docs"))
     )
-    per = (
-        spark.read.parquet(f"{path}/bands")
-        .groupBy("band_idx", "bh")
-        .agg(F.count("*").alias("n"))
-    )
+    per = band_rows.groupBy("band_idx", "bh").agg(F.count("*").alias("n"))
     agg = per.agg(
         F.sum("n").cast("bigint").alias("n_band_rows"),
         F.count("*").cast("bigint").alias("n_buckets"),
@@ -473,9 +621,14 @@ def dedup_store_stats(spark: SparkSession, path: str) -> DataFrame:
         .cast("bigint")
         .alias("saturated_buckets"),
     )
-    return agg.crossJoin(F.broadcast(docs)).select(
-        "n_docs", "n_band_rows", "n_buckets", "min_bucket",
-        "max_bucket", "avg_bucket", "saturated_buckets",
+    return (
+        agg.crossJoin(F.broadcast(docs))
+        .crossJoin(F.broadcast(unsigned))
+        .select(
+            "n_docs", "n_band_rows", "n_buckets", "min_bucket",
+            "max_bucket", "avg_bucket", "saturated_buckets",
+            "n_unsigned_band_docs",
+        )
     )
 
 

@@ -70,8 +70,14 @@ def _routed_lists_checked(qlists: DataFrame, max_probe_rows: int) -> list[int]:
     broadcast, and it now bounds the ACTUAL broadcast build — routing
     rows, each carrying an int8 qvec — not the probe-row proxy (a
     probe frame with duplicate vec_ids counts per row, as it should:
-    duplicates still occupy broadcast bytes). The 1-row result is
-    K-bounded (collect_set over ≤ N_CENTROIDS list ids)."""
+    duplicates still occupy broadcast bytes). The ceiling is therefore
+    ROUTING-ROW-DENOMINATED by design: against an index with fewer
+    than N_PROBE_LISTS centroids, each probe contributes fewer routing
+    rows, so up to N_PROBE_LISTS× more PROBES pass than
+    ``max_probe_rows`` names — the broadcast they build is the same
+    size either way, which is the resource the guard protects. The
+    1-row result is K-bounded (collect_set over ≤ N_CENTROIDS list
+    ids)."""
     row = qlists.agg(
         F.count("*").alias("n_rows"),
         F.collect_set("list_id").alias("lists"),
