@@ -84,11 +84,13 @@ def _library():
 
 LIBRARY_NAMES = sorted(
     [
+        # awaiting seats (the registry R14 PLAN)
         "budget_trim", "training_plan_budget", "shuffle_shards",
         "perplexity_buckets", "cross_split_leakage",
-        "contamination_report", "ngram_novelty", "gopher_rules",
-        "line_dedup", "minhash_jaccard_estimate", "embedding_health",
-        "dedup_incremental", "ann_recall",
+        "contamination_report", "ngram_novelty", "line_dedup",
+        # retired from the registered surface r13 (kernels gated by
+        # tpch_q3/q5/q7/q18); the full oracle still runs here
+        "tpch_q10",
     ]
 )
 

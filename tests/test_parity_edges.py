@@ -18,6 +18,10 @@ from trisk_spark.registry import load_all
 from .conftest import assert_matches_oracle
 
 QUERIES = load_all()
+# retired-to-library rows (tpch_q10) keep their plan/parity pins here
+from trisk_spark.registry import load_library  # noqa: E402
+
+QUERIES.update({n: q for n, q in load_library().items() if n not in QUERIES})
 
 _T0 = datetime.datetime(2024, 1, 1)
 

@@ -21,6 +21,10 @@ from trisk_spark.registry import load_all
 from .conftest import SF_DIR
 
 QUERIES = load_all()
+# retired-to-library rows (tpch_q10) keep their plan/parity pins here
+from trisk_spark.registry import load_library  # noqa: E402
+
+QUERIES.update({n: q for n, q in load_library().items() if n not in QUERIES})
 
 
 @contextmanager

@@ -456,3 +456,18 @@ def test_plan_store_reads_are_pruned(spark, tmp_path):
         assert "list_id" not in s, (
             f"cluster_ranks read is not column-pruned: {s}"
         )
+
+
+def test_pq_encode_is_trained_encode_at_zero_iters(spark):
+    """COMPOSED_SITTER_WITNESS pin (r13 flip): ``pq_encode`` is wholly
+    composed by ``pq_encode_trained`` — the seed IS iteration 0. Both
+    share _pq_model's deterministic seed codebook and the fused
+    _quantize_assign_pq_gemm encode; training with iters=0 must
+    reproduce the seed encode row-for-row, so the trained query's
+    driver hash gates the seed query's whole kernel."""
+    reg = load_all()
+    seed = sorted(map(tuple, reg["pq_encode"].fn(spark, SF_DIR).collect()))
+    zero = sorted(
+        map(tuple, pqm.pq_encode_trained(spark, SF_DIR, iters=0).collect())
+    )
+    assert seed == zero and len(seed) > 0

@@ -170,7 +170,8 @@ def test_readme_op_table_names_are_registered():
         "append_dedup_store", "ingest_wave", "dedup_probe_stream",
         "ann_recall", "recall_frame", "append_index",
         "dedup_ingest_stream", "dedup_store_stats",
-        "compact_dedup_store",
+        "compact_dedup_store", "n_unsigned_band_docs",
+        "repair_dedup_store",
     }
     missing = {
         c for c in cited

@@ -430,3 +430,28 @@ def test_ivf_append_equals_rebuild_under_same_model(spark, tmp_path):
     one = wave_src.orderBy("vec_id").limit(1)
     got = ivf_store.probe_frame(spark, one, emb, inc).collect()
     assert got and all(r.neighbor_id is not None for r in got)
+
+
+def test_ann_lsh_bucket_is_srp_sign_band_kernel(spark):
+    """COMPOSED_SITTER_WITNESS pin (r13 flip): ``ann_lsh_bucketed``'s
+    bucket kernel is the sign-of-coordinate banding kernel
+    ``cosine_near_dup_lsh`` drives through its driver hash
+    (srp_band_val) — same sign bits, bit order reversed, width 4: for
+    every embedding, _bucket(v) == rev4(srp_band_val(v, 0) & 0b1111).
+    The probe shape around it (broadcast query side, bucket equi-join,
+    row_number top-k) is ``ann_ivf``'s probe kernel with sign-bucket
+    routing instead of centroid routing — ann_ivf's driver hash gates
+    that half."""
+    from trisk_spark.catalog import table
+
+    emb = sim._valid_embeddings(table(spark, SF_DIR, "embeddings"))
+    rows = emb.select(
+        sim._bucket(F.col("embedding")).alias("b"),
+        (sim.srp_band_val(F.col("embedding"), 0) % 16).alias("s"),
+    ).collect()
+    assert len(rows) > 0
+
+    def rev4(x):
+        return sum(((x >> i) & 1) << (3 - i) for i in range(4))
+
+    assert all(r.b == rev4(r.s) for r in rows)

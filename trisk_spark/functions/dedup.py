@@ -1356,6 +1356,7 @@ JOIN sig sb ON p.doc_b = sb.doc_id
 """
 
 
+@register("minhash_jaccard_estimate", oracle=_minhash_estimate_sql())
 def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Signature-agreement Jaccard estimate for every MinHash-LSH
     candidate pair: est = (# permutations where min-hashes agree) /

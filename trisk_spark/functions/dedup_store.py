@@ -67,6 +67,7 @@ from operator import or_
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from trisk_spark.catalog import table
+from trisk_spark.registry import register
 from trisk_spark.functions.dedup import (
     BUCKET_CAP,
     N_BANDS,
@@ -710,6 +711,7 @@ def _cleanup_dedup_stores() -> None:
 atexit.register(_cleanup_dedup_stores)
 
 
+@register("dedup_incremental", oracle=_dedup_incremental_sql())
 def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental ingest dedup over the persisted store, self-
     contained for the driver gate: split the corpus deterministically
@@ -720,10 +722,10 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     economics), and probe the arriving wave against it. The oracle
     (``_dedup_incremental_sql``) derives both sides from the corpus
     directly, so the row puts write→prune→probe→verify — the whole
-    store path — under independent value-hash evidence. Library op
-    with a full DuckDB oracle awaiting a driver seat (the registry's
-    R13 PLAN; strongest seat candidate — the store-probe kernel has no
-    registered sibling)."""
+    store path — under independent value-hash evidence. Registered r13
+    (the r12 VERDICT's lead seat candidate — the store-probe kernel
+    has no registered sibling, so this row is the persisted store's
+    only possible driver-hash evidence)."""
     import shutil
     import tempfile
 

@@ -1989,6 +1989,7 @@ FROM agg
 """
 
 
+@register("embedding_health", oracle=EMB_HEALTH_SQL)
 def embedding_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding-corpus health: invalid-vector / zero-norm /
     ragged-dimension counts plus the exact-grid norm distribution —
@@ -2114,6 +2115,7 @@ def recall_frame(brute: DataFrame, approx: DataFrame) -> DataFrame:
     )
 
 
+@register("ann_recall", oracle=ANN_RECALL_SQL)
 def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@TOP_K of ``ann_ivf_int8`` vs ``knn_bruteforce`` per
     probe query — see the family comment. Library op, full DuckDB

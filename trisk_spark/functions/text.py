@@ -1079,6 +1079,7 @@ FROM m
 """
 
 
+@register("gopher_rules", oracle=GOPHER_RULES_SQL)
 def gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher rule-based quality flags per document (Rae et al. 2021
     §A1.1): word-count bounds, mean-word-length bounds, symbol-to-word

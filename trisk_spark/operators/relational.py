@@ -493,13 +493,20 @@ LIMIT 20
 """
 
 
-@register("tpch_q10", oracle=TPCH_Q10_SQL)
 def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 returned-item reporting: top-20 customers by lost
     revenue on returned items in one quarter. Plan: date filter pushes
     into the orders scan and returnflag into lineitem before their
     shuffle join; customer+nation broadcast onto the aggregate's output
-    side; top-k via TakeOrderedAndProject (no global sort)."""
+    side; top-k via TakeOrderedAndProject (no global sort).
+
+    RETIRED to library-only status in r13 (the registry's sanctioned
+    seat-freeing mechanism — r12 VERDICT next-round #2): every kernel
+    here is driver-hash-gated by the remaining relational rows
+    (filtered multi-join decimal agg: tpch_q5 + tpch_q7 + tpch_q3;
+    broadcast-dim top-k: tpch_q18 / top_orders_per_customer), and the
+    full oracle still runs every round via test_oracle_parity's
+    library pass (``load_library``)."""
     sfn = lambda n: table(spark, sf_dir, n)  # noqa: E731
     o = sfn("orders").where(
         (F.col("o_orderdate") >= F.lit("1996-01-01"))

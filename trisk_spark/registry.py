@@ -74,110 +74,118 @@ def register(name: str, oracle: str | None = None):
 # regardless of position stay oracle-gated by
 # tests/test_oracle_parity.py every round.
 #
-# r12 window: EXECUTES THE R12 REGISTRATION PLAN (r11 VERDICT "next
-# round" #1). The 47 r11 sitters rotate back in (policy (a)) MINUS
-# four flipped to the permanent-composed-sitter class = 43 returning.
-# Must-stays: stock_matchmaker (no oracle, no hash-gated witness →
-# never sits), media_decode_checksum (the no-oracle sitter's witness,
-# enforced by test_registry), fraud_alerts (sole BroadcastState / FD
-# megaphone evidence — no kernel-class sibling, never sits). FOUR new
+# r13 window: EXECUTES THE R13 PLAN (r12 VERDICT "next round" #1/#2),
+# widened by the two sanctioned seat-freeing mechanisms so FIVE
+# library ops seat instead of two. The r12 sitters rotate back in
+# (policy (a)) MINUS two flipped to the permanent-composed-sitter
+# class (verified wholly-composed in code this round, equality/kernel
+# pins in tests) MINUS one retired to library-only status:
+#   ann_lsh_bucketed ⊂ cosine_near_dup_lsh (the sign-of-coordinate
+#       banding kernel srp_band_val — bucket == rev4 of band 0's low
+#       bits, value-pinned in test_similarity_iter) + ann_ivf (the
+#       broadcast-probe/bucket-equi-join/row_number-top-k probe shape,
+#       with sign-bucket routing instead of centroid routing)
+#   pq_encode ⊂ pq_encode_trained (the seed IS iteration 0: same
+#       _pq_model seed codebook, same fused _quantize_assign_pq_gemm,
+#       same projection — pq_encode_trained(iters=0) ≡ pq_encode
+#       row-for-row, equality-pinned in test_pq)
+#   tpch_q10 RETIRED to library-only (load_library below): its kernels
+#       (filtered multi-join decimal agg, broadcast dims, top-k) are
+#       all driver-hash-gated by tpch_q3/q5/q7/q18, and its full
+#       oracle still runs every round via the library parity pass.
+# So 45 − 2 flips − 1 retired = 42 returning. Must-stays:
+# stock_matchmaker (no oracle, no hash-gated witness → never sits),
+# media_decode_checksum (the no-oracle sitter's witness, enforced by
+# test_registry), fraud_alerts (sole BroadcastState / FD megaphone
+# evidence — no kernel-class sibling, never sits). FIVE new
 # registrations take the freed seats, in-window their first round per
-# the new-op policy: bm25_top_docs + dsir_weights (the plan's priority
-# pair — distinct kernels) + canonical_by_quality + source_divergence.
-# Seat arithmetic: 43 returning + 3 always-in + 4 new = 50.
-# PERMANENT-COMPOSED-SITTER CLASS (invoked this round, per the plan):
-# an oracle-bearing query WHOLLY COMPOSED by an alternating query sits
-# permanently on (a) its composer's in-window hash gate every other
-# round and (b) the every-round test_oracle_parity full-oracle run.
-# SIX rows flip (the plan's four + two more verified wholly-composed
-# in code this round, freeing the seats the four new registrations
-# take):
-#   sequence_pack       ⊂ pack_plan (_with_start_off over the exploded plan)
-#   train_split         ⊂ training_plan_over_store (the manifest's split col)
-#   curation_manifest   ⊂ curation_manifest_semantic (its first stage) + curation_funnel
-#   source_upsample     ⊂ training_plan_over_store (_epoch_plan tail)
-#   training_plan       ⊂ training_plan_over_store (IDENTICAL oracle SQL;
-#                         shared _drop_cap_losers + _epoch_plan; store ≡
-#                         recompute equality-pinned in test_pq)
-#   cluster_cap_sample  ⊂ training_plan_over_store (_cluster_ranked +
-#                         the cap — complement side gates the id set)
-#                         + source_cap_sample (same md5 rank-cap kernel)
-# No circularity: every composer alternates (pack_plan phase A,
-# the store/manifest/funnel/cap composers phase B), so each flip's
-# composer is hash-gated every round on one phase or the other —
-# COMPOSED_SITTER_WITNESS below pins composers as non-sitters.
-# CAPACITY after this round: 102 registered = 3 always-in + 7
-# permanent sitters + 92 alternating over 47 seats/round (≤ 94 = 2×47,
-# 2 slack).
-# R13 PLAN for the THIRTEEN remaining library ops (load_library below;
-# all full-oracle + every-round pytest-gated): the r12 sitters (this
-# list's 45 alternating rows) return r13 = 45 + 3 always-in = 48, so
-# TWO seats free — register two more (suggested: dedup_incremental,
-# the r12-new persisted-store probe whose write→prune→probe→verify
-# kernel has NO registered sibling, + minhash_jaccard_estimate or
-# embedding_health; at two the pool is exactly saturated at 94). The
-# four r12-new ops sit r13 on kernel-class witnesses returning that
-# round (bm25_top_docs: keyword_extract tf/df + bigram_lm_score
-# broadcast-model class; dsir_weights: bigram_lm_score hashed-model
-# class; canonical_by_quality: minby_maxby struct-argmax +
-# dedup_minhash_lsh; source_divergence: ngram_counts count kernel +
-# bigram_lm_score grid arithmetic) — the keyword_extract/bigram_lm
-# precedent. Seating the remaining beyond r13 requires either
-# more verified composed flips or retiring redundant relational
-# extras to library-only status (both sanctioned above).
-# PRE-VALIDATED r12: every library op below was run against its
-# DuckDB oracle at the DRIVER'S sf0.01 scale this session (not just
-# the sf0.001 pytest gate) — all 13 hash-match, so any of them can
-# take a seat without registration-day surprises.
-# Sitting out r12 — every alternating row hash-green in r11
-# (CORRECTNESS_r11), witness noted:
+# the new-op policy: dedup_incremental (the persisted dedup store's
+# write→prune→probe→verify kernel — NO registered sibling, the r12
+# verdict's lead candidate) + ann_recall (the index-quality gate) +
+# minhash_jaccard_estimate + embedding_health + gopher_rules (all
+# pre-validated against DuckDB at the driver's sf0.01 in r12).
+# Seat arithmetic: 42 returning + 3 always-in + 5 new = 50.
+# CAPACITY after this round: 106 registered (102 − 1 retired + 5 new)
+# = 3 always-in + 8 permanent composed sitters + 1 no-oracle sitter +
+# 94 alternating over 47 seats/round — exactly saturated at the
+# 94 = 2×47 cap (policy (a) still holds: every alternating row is
+# in-window exactly every other round), so every FUTURE registration
+# needs a matching flip or retirement first.
+# R14 PLAN for the EIGHT remaining library ops (load_library below:
+# budget_trim, training_plan_budget, shuffle_shards,
+# perplexity_buckets, cross_split_leakage, contamination_report,
+# ngram_novelty, line_dedup — all full-oracle + every-round
+# pytest-gated): the 47 r13 sitters return r14 + 3 always-in = 50, so
+# ZERO seats free without further pool shrinkage. Sanctioned moves for
+# r14, arithmetic-checked: retire tpch_q7 and tpch_q14 to library-only
+# (both returning r14; kernels ≡ tpch_q3/q5's filtered multi-join
+# decimal agg, gated every round by the library oracle pass) → TWO r14
+# seats → register cross_split_leakage + line_dedup (the two with the
+# most distinct kernels: benchmark-shingle semi-join; in-row map-only
+# line filter). Pool then 94 − 2 + 2 = 94 (saturated), and r15 repeats
+# the trade from the other phase (candidates: revenue_rollup ⊂
+# tpch_q1's decimal scan-agg class; customers_without_orders'
+# left-anti ⊂ curation-manifest family) until the library drains.
+# The five r13-new ops sit r14 on in-window witnesses (all named
+# witnesses RETURN r14 because they sit r13 — checked against this
+# list): dedup_incremental/minhash_jaccard_estimate →
+# dedup_minhash_lsh (same signature+band kernels); ann_recall →
+# ann_ivf_int8 (the approximate side it drives verbatim) +
+# cosine_near_dup_exact (the exact-GEMM class of its brute side);
+# embedding_health → embed_quantize_int8 (same in-row norm fold);
+# gopher_rules → source_quality_rollup (same map-only doc-stats
+# class).
+# Sitting out r13 — every alternating row hash-green in r12
+# (CORRECTNESS_r12), witness noted ("(in)" = in the r13 window):
 DEPRIORITIZED = [
-    # ---- r11-green rows sitting one round ----
-    "nexmark_q1",              # map: props_rollup (in, scalar map exprs)
-    "nexmark_q2",              # filter: tpch_q6 (in, filter + agg)
-    "nexmark_q3",              # SQL join image: tpch_q5 + tpch_q7 (in) + q3_emit_once_join (in)
-    "nexmark_q8",              # windowed equi-join: interval_join (in, time-bounded join)
-    "tpch_q1",                 # decimal scan agg: decimal_accumulators + revenue_rollup (in)
-    "tpch_q3",                 # multi-join agg: tpch_q5, tpch_q7, tpch_q14 (in)
-    "tpch_q10",                # multi-join agg: tpch_q5, tpch_q7 (in)
-    "tpch_q18",                # window rank + join: top_orders_per_customer (in)
-    "keyed_agg",               # keyed folds: keyed_running_reduce + minby_maxby (in)
-    "tumbling_window_agg",     # window aggs: nexmark_q5 (in, sliding) + count_window (in)
-    "all_window_agg",          # non-keyed window: nexmark_q5 + count_window (in, same §2A window family) + hostile-events parity (test_parity_edges)
-    "wordcount",               # flatMap + count: ngram_counts (in, explode/shingle count)
-    "wordcount_two_input",     # connect/CoFlatMap: q3_emit_once_join (in, CoProcess class) + hostile-docs parity (test_parity_edges)
-    "cogroup_apply",           # coGroup: q3_emit_once_join (in, two-input keyed apply) + hostile-events parity (test_parity_edges)
-    "sliding_count_window",    # count/sliding windows: count_window + nexmark_q5 (in)
-    "delta_evictor_window",    # evictors: time_evictor_window (in)
-    "continuous_trigger",      # triggers: delta_trigger (in)
-    "purging_trigger",         # triggers: delta_trigger (in)
-    "asof_join",               # tagged-union asof: interval_join (in, time-bounded family) + test_asof_stream_equals_batch pytest
-    "async_enrich",            # AsyncDataStream: interval_join (in, ordered enrich image) + hostile-events parity (test_parity_edges)
-    "token_count",             # tokenizer: doc_chunk + bpe_token_estimate + bpe_segment (in, shared tokenizer)
-    "quality_score",           # doc stats: length_percentiles + source_quality_rollup (in)
-    "lang_id",                 # source_quality_rollup (in) composes it
-    "doc_fingerprint",         # rolling hash: dedup_substring (in, same class)
-    "dedup_exact",             # md5 groupBy: dedup_minhash_lsh (in) + pack_plan (in, composes exact dedup via the manifest chain)
-    "dedup_bag",               # token-level near-dup: dedup_simhash (in)
-    "ngram_jaccard",           # shingle kernel: ngram_counts + dedup_minhash_lsh (in)
-    "dedup_clusters",          # components: pack_plan (in, composes the transitive closure) + dedup_minhash_lsh (in, pair kernel)
-    "decontaminate_flags",     # semi-join kernel: semi_join_orders (in)
-    "repetition_ratio",        # source_quality_rollup (in) composes it
-    "pii_redact",              # scalar regexes: props_rollup (in, scalar/string fns)
-    "url_normalize",           # scalar string fns: props_rollup (in)
-    "media_metadata",          # multimodal map-side: media_byte_features (in)
-    "media_frame_sample",      # multimodal map-side: media_byte_features (in)
-    "knn_bruteforce",          # exact GEMM: cosine_near_dup_exact + knn_label_vote (in, same kernel)
-    "dedup_semantic",          # pack_plan (in) COMPOSES its whole chain via the manifest; cosine_near_dup_lsh (in, SRP pairs)
-    "ann_lsh_bucketed",        # SRP bands: cosine_near_dup_lsh (in)
-    "ivf_refine",              # Lloyd step kernel: ann_ivf + ivf_refine_iters (in)
-    "pq_encode",               # seed encode: pq_encode_trained (in, same fused kernel — the seed IS iteration 0)
-    "ann_ivf_pq",              # ADC search: ann_ivf_int8 (in, composes routing + rerank) + pq_encode_trained (in, encode kernel)
-    "source_cap_sample",       # md5 rank-cap: split_rollup (in) + source_mix_sample (in, md5-order family) + pack_plan (in, the cap via the plan chain)
-    "curation_manifest_semantic",  # pack_plan (in) COMPOSES it wholesale via training_plan's chain
-    "training_plan_over_store",    # pack_plan (in, IDENTICAL _drop_cap_losers + _epoch_plan tail over the same chain; store ≡ recompute equality-pinned in test_pq)
-    "curation_funnel",         # pack_plan (in, composes the manifest chain its stages count) + hostile-corpus parity (test_parity_edges)
-    "ts_subsequence_sax",      # ts family: ts_subsequence_match (in, same z-norm + exact-int distance arithmetic)
+    # ---- r12-green rows sitting one round ----
+    "nexmark_q5",              # sliding window agg: tumbling_window_agg + sliding_count_window (in)
+    "nexmark_q11",             # session windows: tumbling_window_agg/sliding_count_window (in, same §2A window row) + session-fire timer pytest (test_streaming)
+    "tpch_q5",                 # multi-join agg: tpch_q3 (in) + tpch_q18 (in, broadcast-dim join)
+    "keyed_running_reduce",    # keyed folds: keyed_agg (in)
+    "top_orders_per_customer", # window rank + join: tpch_q18 (in)
+    "revenue_rollup",          # decimal agg: tpch_q1 (in)
+    "semi_join_orders",        # semi-join kernel: decontaminate_flags (in)
+    "customers_without_orders",  # anti-join kernel: curation_manifest_semantic (in, left-anti)
+    "tpch_q6",                 # filter + agg: nexmark_q2 (in, filter) + tpch_q1 (in, scan agg)
+    "tpch_q7",                 # multi-join agg: tpch_q3 (in)
+    "tpch_q14",                # conditional-agg join: tpch_q3 (in)
+    "decimal_accumulators",    # BigDecimal: tpch_q1 (in, decimal scan agg)
+    "props_rollup",            # scalar map/string fns: nexmark_q1 (in, map) + pii_redact + url_normalize (in)
+    "q3_emit_once_join",       # emit-once stateful join: nexmark_q3 (in, SQL image) + wordcount_two_input (in, CoProcess) + emit-once replay pytest (test_stateful)
+    "interval_join",           # time-bounded join: nexmark_q8 (in, windowed equi-join) + asof_join (in)
+    "minby_maxby",             # keyed folds: keyed_agg (in)
+    "count_window",            # count windows: sliding_count_window (in)
+    "time_evictor_window",     # evictors: delta_evictor_window (in)
+    "delta_trigger",           # triggers: continuous_trigger + purging_trigger (in)
+    "dedup_minhash_lsh",       # banded-LSH kernel: dedup_incremental (in, same signature+band kernels through the persisted store) + ngram_jaccard (in, shingle kernel)
+    "dedup_simhash",           # token near-dup: dedup_bag (in) + doc_fingerprint (in, hash kernel)
+    "dedup_substring",         # winnowing: doc_fingerprint (in, rolling-hash class)
+    "canonical_by_quality",    # cluster argmax: dedup_clusters (in, the component chain it extends) + dedup_incremental (in, the same struct-MAX argmax in its probe verdict) + quality_score (in, the quality features)
+    "ngram_counts",            # explode/shingle count: wordcount + ngram_jaccard (in)
+    "source_quality_rollup",   # composed of quality_score + lang_id + repetition_ratio (all in)
+    "length_percentiles",      # doc stats: quality_score (in)
+    "doc_chunk",               # tokenizer: token_count (in, shared tokenizer)
+    "bpe_token_estimate",      # tokenizer: token_count (in)
+    "bigram_lm_score",         # broadcast-model scoring: lang_id (in, n-gram model class)
+    "keyword_extract",         # tf/df scoring: wordcount (in) + lang_id (in, broadcast-model class)
+    "bm25_top_docs",           # lexical retrieval: wordcount (in, token-count kernel) + lang_id (in, broadcast-model scoring class) + exact-rational scoring property pytest (test_properties, every round)
+    "media_byte_features",     # multimodal map-side: media_metadata + media_frame_sample (in)
+    "bpe_segment",             # shared tokenizer + model broadcast: token_count (in) + lang_id (in, broadcast-model class) + bpe_replay oracle pytest (test_bpe, every round)
+    "cosine_near_dup_exact",   # blocked GEMM: knn_bruteforce (in, same kernel)
+    "cosine_near_dup_lsh",     # SRP-LSH pairs: dedup_semantic (in, composes cosine_lsh_pairs — same SRP banding + in-bucket GEMM)
+    "ann_ivf",                 # IVF route+rerank: ivf_refine (in, centroid kernel) + ann_ivf_pq (in, routed search) + ann_recall (in, measures the same routed search)
+    "knn_label_vote",          # exact GEMM top-k: knn_bruteforce (in)
+    "ivf_refine_iters",        # Lloyd iterations: ivf_refine (in, the step kernel)
+    "embed_quantize_int8",     # quantization: ann_ivf_pq (in, same fused quantize+encode kernel)
+    "ann_ivf_int8",            # routed int8 search: ann_ivf_pq (in, routing + rerank) + ann_recall (in, drives it verbatim as the approximate side)
+    "pq_encode_trained",       # ann_ivf_pq (in, same _pq_model seed + fused encode kernel) + the pq_encode flip's iters=0 equality pytest (test_pq, every round)
+    "split_rollup",            # md5-split kernel: source_cap_sample (in, md5-order family) + curation_funnel (in, stage rollup over the same manifest chain)
+    "source_mix_sample",       # md5-ppm keep kernel: source_cap_sample (in, md5-order family)
+    "pack_plan",               # packing kernel: training_plan_over_store (in, composes the plan chain; store ≡ recompute equality-pinned in test_pq) + curation_funnel (in, same manifest chain)
+    "source_divergence",       # per-source KL: wordcount (in, the (source,word) count kernel) + lang_id (in, distribution-model class)
+    "dsir_weights",            # hashed-bigram importance: lang_id (in, hashed n-gram broadcast-model class) + integer-exact stream-twin pytest (test_streaming_extras, every round)
+    "ts_subsequence_match",    # ts family: ts_subsequence_sax (in, same z-norm + exact-int distance arithmetic)
     # ---- permanent sitters (composed class — witness = composer) ----
     "sequence_pack",           # COMPOSED_SITTER_WITNESS: pack_plan
     "train_split",             # COMPOSED_SITTER_WITNESS: training_plan_over_store
@@ -185,6 +193,8 @@ DEPRIORITIZED = [
     "source_upsample",         # COMPOSED_SITTER_WITNESS: training_plan_over_store
     "training_plan",           # COMPOSED_SITTER_WITNESS: training_plan_over_store (identical oracle)
     "cluster_cap_sample",      # COMPOSED_SITTER_WITNESS: training_plan_over_store + source_cap_sample
+    "ann_lsh_bucketed",        # COMPOSED_SITTER_WITNESS: cosine_near_dup_lsh + ann_ivf (r13 flip — kernel pins above)
+    "pq_encode",               # COMPOSED_SITTER_WITNESS: pq_encode_trained (r13 flip — iters=0 equality pin)
     # ---- permanent sitter (no-oracle class) ----
     "media_decode_resize",     # NO_ORACLE_SITTER_WITNESS: media_decode_checksum (in)
 ]
@@ -202,6 +212,11 @@ COMPOSED_SITTER_WITNESS: dict[str, tuple[str, ...]] = {
     "source_upsample": ("training_plan_over_store",),
     "training_plan": ("training_plan_over_store",),
     "cluster_cap_sample": ("training_plan_over_store", "source_cap_sample"),
+    # r13 flips — kernel identity machine-pinned:
+    # test_similarity_iter::test_ann_lsh_bucket_is_srp_sign_band_kernel
+    # and test_pq::test_pq_encode_is_trained_encode_at_zero_iters
+    "ann_lsh_bucketed": ("cosine_near_dup_lsh", "ann_ivf"),
+    "pq_encode": ("pq_encode_trained",),
 }
 
 # A no-oracle query may sit out ONLY with a named in-window witness
@@ -228,6 +243,7 @@ def load_all() -> dict[str, QueryDef]:
     import trisk_spark.functions.multimodal  # noqa: F401
     import trisk_spark.functions.bpe  # noqa: F401
     import trisk_spark.functions.dedup  # noqa: F401
+    import trisk_spark.functions.dedup_store  # noqa: F401
     import trisk_spark.functions.similarity  # noqa: F401
     import trisk_spark.functions.pq  # noqa: F401
     import trisk_spark.functions.sampling  # noqa: F401
@@ -240,22 +256,22 @@ def load_all() -> dict[str, QueryDef]:
 
 
 def load_library() -> dict[str, QueryDef]:
-    """The LIBRARY surface: ops with full DuckDB oracles awaiting
-    driver-window seats (the R13 PLAN above; bm25_top_docs,
-    dsir_weights, canonical_by_quality and source_divergence graduated
-    to ``@register`` seats in r12). Shaped exactly like ``load_all()``
-    entries — same (spark, sf_dir) → DataFrame contract, same
-    prepare() wrapping, oracle attached — so registering one is moving
-    it into a ``@register`` decorator and a seat. NOT exposed through
+    """The LIBRARY surface: ops with full DuckDB oracles but no
+    driver-window seat (the R14 PLAN above; dedup_incremental,
+    ann_recall, minhash_jaccard_estimate, embedding_health and
+    gopher_rules graduated to ``@register`` seats in r13 —
+    bm25_top_docs/dsir_weights/canonical_by_quality/source_divergence
+    did in r12). Also holds rows RETIRED from the registered surface
+    (tpch_q10, r13) whose kernels are driver-hash-gated by siblings:
+    retirement only moves the evidence channel, never removes the
+    oracle. Shaped exactly like ``load_all()`` entries — same
+    (spark, sf_dir) → DataFrame contract, same prepare() wrapping,
+    oracle attached — so registering one is moving it into a
+    ``@register`` decorator and a seat. NOT exposed through
     ``__spark_entry__.queries()``; gated every round by
     tests/test_oracle_parity.py's library pass instead."""
-    from trisk_spark.functions import (
-        dedup,
-        dedup_store,
-        sampling,
-        similarity,
-        text,
-    )
+    from trisk_spark.functions import dedup, sampling, text
+    from trisk_spark.operators import relational
 
     entries: dict[str, tuple] = {
         "budget_trim": (sampling.budget_trim, sampling.BUDGET_TRIM_SQL),
@@ -277,18 +293,8 @@ def load_library() -> dict[str, QueryDef]:
             dedup._contamination_report_sql(),
         ),
         "ngram_novelty": (dedup.ngram_novelty, dedup.NGRAM_NOVELTY_SQL),
-        "minhash_jaccard_estimate": (
-            dedup.minhash_jaccard_estimate,
-            dedup._minhash_estimate_sql(),
-        ),
-        "embedding_health": (similarity.embedding_health, similarity.EMB_HEALTH_SQL),
-        "gopher_rules": (text.gopher_rules, text.GOPHER_RULES_SQL),
         "line_dedup": (text.line_dedup, text.LINE_DEDUP_SQL),
-        "dedup_incremental": (
-            dedup_store.dedup_incremental,
-            dedup_store.DEDUP_INCREMENTAL_SQL,
-        ),
-        "ann_recall": (similarity.ann_recall, similarity.ANN_RECALL_SQL),
+        "tpch_q10": (relational.tpch_q10, relational.TPCH_Q10_SQL),
     }
 
     def wrap(fn):
