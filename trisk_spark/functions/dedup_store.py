@@ -120,6 +120,16 @@ def _bucket(col=None):
     )
 
 
+def _write_tasks(spark: SparkSession) -> int:
+    """Writer parallelism for the (band_idx, bucket)-partitioned band
+    table: the session's shuffle parallelism, capped at one task per
+    partition directory (a task per directory is the maximum useful —
+    beyond it extra tasks would sit empty, below it a writer commits
+    several directories serially)."""
+    conf = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    return max(1, min(conf, N_BANDS * N_STORE_BUCKETS))
+
+
 def write_dedup_store(spark: SparkSession, docs: DataFrame, path: str) -> None:
     """Persist the dedup store for a (doc_id, text) corpus frame:
     ``<path>/signatures`` (full MinHash table, the verify asset) and
@@ -143,7 +153,18 @@ def write_dedup_store(spark: SparkSession, docs: DataFrame, path: str) -> None:
         .where(F.col("rn") <= BUCKET_CAP)
         .select("doc_id", "bh", F.col("band_idx").cast("int"), _bucket())
     )
-    bands.write.mode("overwrite").partitionBy("band_idx", "bucket").parquet(
+    # Repartition BY THE WRITE'S PARTITION COLUMNS with an explicit
+    # task count (explicit so AQE cannot coalesce the post-window
+    # shuffle to one task — measured 3-4x on the write: a single task
+    # committing all N_BANDS x N_STORE_BUCKETS directories
+    # sequentially vs one parallel writer per directory). Each
+    # (band_idx, bucket) hashes to exactly one task, so every
+    # directory still gets exactly ONE file — the compact layout the
+    # probe's pruned read wants — and parallelism self-caps at the
+    # directory count however large the cluster conf is.
+    bands.repartition(
+        _write_tasks(spark), "band_idx", "bucket"
+    ).write.mode("overwrite").partitionBy("band_idx", "bucket").parquet(
         f"{path}/bands"
     )
 
@@ -220,14 +241,20 @@ def probe_dedup_store(
     routes = _routed_buckets_checked(bands_new, max_probe_rows)
     if not routes:
         return spark.createDataFrame([], _PROBE_SCHEMA)
-    pred = reduce(
-        or_,
-        [
-            (F.col("band_idx") == b) & (F.col("bucket") == k)
-            for b, k in routes
-        ],
-    )
-    store_bands = spark.read.parquet(f"{path}/bands").where(pred)
+    store_bands = spark.read.parquet(f"{path}/bands")
+    # A big wave routes to EVERY (band_idx, bucket) — the disjunction
+    # is then a tautology and only costs planner time (measured ~0.5 s
+    # of per-partition predicate evaluation at 192 dirs), so prune
+    # only when pruning can drop something.
+    if len(routes) < N_BANDS * N_STORE_BUCKETS:
+        pred = reduce(
+            or_,
+            [
+                (F.col("band_idx") == b) & (F.col("bucket") == k)
+                for b, k in routes
+            ],
+        )
+        store_bands = store_bands.where(pred)
     pairs = (
         store_bands.join(F.broadcast(bands_new), ["band_idx", "bucket", "bh"])
         .where(F.col("doc_id") != F.col("new_id"))
@@ -324,11 +351,18 @@ def append_dedup_store(
         # band-less wave (all-null shingles can't happen — every doc
         # has ≥1 band) ⇒ empty wave: nothing to write on either table
         return
-    pred = reduce(
-        or_,
-        [(F.col("band_idx") == b) & (F.col("bucket") == k) for b, k in routes],
-    )
-    old = spark.read.parquet(f"{path}/bands").where(pred)
+    old = spark.read.parquet(f"{path}/bands")
+    # tautology skip (the probe_dedup_store rule): a wave touching
+    # every (band_idx, bucket) makes the disjunction pure planner cost
+    if len(routes) < N_BANDS * N_STORE_BUCKETS:
+        pred = reduce(
+            or_,
+            [
+                (F.col("band_idx") == b) & (F.col("bucket") == k)
+                for b, k in routes
+            ],
+        )
+        old = old.where(pred)
     w = Window.partitionBy("band_idx", "bh").orderBy("doc_id")
     merged = (
         old.select("doc_id", "bh", "band_idx", "bucket")
@@ -337,6 +371,10 @@ def append_dedup_store(
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= BUCKET_CAP)
         .select("doc_id", "bh", "band_idx", "bucket")
+        # one writer task per touched directory (the write_dedup_store
+        # layout rule — explicit count so AQE can't serialize the
+        # rewrite into one task committing every touched bucket)
+        .repartition(_write_tasks(spark), "band_idx", "bucket")
         # the rewrite READS the path it overwrites: materialize the
         # merged buckets (touched-partition sized) BEFORE the write or
         # Spark would plan a self-overwriting scan
@@ -572,7 +610,7 @@ def compact_dedup_store(
     sig = spark.read.parquet(f"{path}/signatures").coalesce(max(1, sig_files))
     sig.write.mode("overwrite").parquet(f"{path}/signatures_compact_tmp")
     bands = spark.read.parquet(f"{path}/bands").repartition(
-        "band_idx", "bucket"
+        _write_tasks(spark), "band_idx", "bucket"
     )
     bands.write.mode("overwrite").partitionBy("band_idx", "bucket").parquet(
         f"{path}/bands_compact_tmp"
