@@ -91,6 +91,9 @@ LIBRARY_NAMES = sorted(
         # retired from the registered surface r13 (kernels gated by
         # tpch_q3/q5/q7/q18); the full oracle still runs here
         "tpch_q10",
+        # r13-new: the persisted SRP semantic store's probe kernel —
+        # lead R15 seat candidate (registry.py library note)
+        "semantic_incremental",
     ]
 )
 

@@ -172,6 +172,15 @@ def test_readme_op_table_names_are_registered():
         "dedup_ingest_stream", "dedup_store_stats",
         "compact_dedup_store", "n_unsigned_band_docs",
         "repair_dedup_store",
+        # r13: the persisted SRP semantic store (library op +
+        # helpers; semantic_incremental is load_library-gated until
+        # its R15 seat)
+        "semantic_incremental", "write_semantic_store",
+        "probe_semantic_store", "append_semantic_store",
+        "semantic_ingest_wave", "semantic_ingest_stream",
+        "semantic_probe_stream", "semantic_store_stats",
+        "compact_semantic_store", "n_unvectored_band_ids",
+        "storefs",
     }
     missing = {
         c for c in cited

@@ -67,6 +67,7 @@ from operator import or_
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from trisk_spark.catalog import table
+from trisk_spark.functions import storefs
 from trisk_spark.registry import register
 from trisk_spark.functions.dedup import (
     BUCKET_CAP,
@@ -418,47 +419,14 @@ def ingest_wave(
     return report
 
 
-def _require_rename_fs(path: str, op: str) -> None:
-    """Fail loud on object-store paths: the watermark and the
-    compaction swap rely on atomic rename, which ``s3://``-style
-    stores do not provide (the module DURABILITY MODEL note). Local
-    paths and explicit ``file:`` URIs pass; HDFS deployments would
-    widen this to ``hdfs:`` after routing the os-level calls through
-    the Hadoop FS API."""
-    if "://" in path and not path.startswith("file://"):
-        raise ValueError(
-            f"{op} requires an atomic-rename filesystem (local/file:); "
-            f"got {path!r} — on object storage, front the store with a "
-            "manifest table / conditional-put swap instead"
-        )
-
-
-def _strip_file_scheme(path: str) -> str:
-    return path[len("file://"):] if path.startswith("file://") else path
-
-
-def read_ingest_watermark(path: str) -> int | None:
-    """Last fully-admitted streaming batch id, or None for a store
-    that has never been written by ``dedup_ingest_stream``."""
-    import os
-
-    p = f"{_strip_file_scheme(path)}/_last_admitted_batch_id"
-    if not os.path.exists(p):
-        return None
-    with open(p) as f:
-        return int(f.read().strip())
-
-
-def _write_ingest_watermark(path: str, batch_id: int) -> None:
-    """Atomically persist the admitted-batch watermark beside the
-    store (write-temp + ``os.replace`` — atomic on POSIX)."""
-    import os
-
-    base = _strip_file_scheme(path)
-    tmp = f"{base}/_last_admitted_batch_id.tmp"
-    with open(tmp, "w") as f:
-        f.write(str(batch_id))
-    os.replace(tmp, f"{base}/_last_admitted_batch_id")
+# Durability machinery shared with semantic_store — extracted to
+# storefs.py (one implementation of the fail-loud FS gate, the atomic
+# watermark, and the swap/repair state machine); these aliases keep
+# this module's public surface and its tests unchanged.
+_require_rename_fs = storefs.require_rename_fs
+_strip_file_scheme = storefs.strip_file_scheme
+read_ingest_watermark = storefs.read_ingest_watermark
+_write_ingest_watermark = storefs.write_ingest_watermark
 
 
 def dedup_ingest_stream(
@@ -540,40 +508,12 @@ def dedup_probe_stream(spark: SparkSession, docs_stream: DataFrame, path: str, s
 
 def repair_dedup_store(path: str) -> None:
     """Bring a store back to a consistent layout after a compaction
-    crash — called automatically on ``compact_dedup_store`` entry, and
-    callable standalone before reopening a store whose maintainer
-    died. Per table, the swap protocol below leaves exactly three
-    observable states, each repairable without data loss:
-
-      * live dir present           → nothing to do (stale ``_old`` /
-        ``_compact_tmp`` leftovers are deleted — a tmp is only swapped
-        in while the live dir is ABSENT, so a tmp beside a live dir is
-        a dead build from a failed compaction run);
-      * live dir absent, ``_old`` + ``_compact_tmp`` present → crashed
-        between rename 1 and 2: finish the swap (tmp → live), then
-        drop ``_old``;
-      * live dir absent, only ``_old`` present → crashed after a tmp
-        rename that never happened (impossible under the protocol) or
-        after ``_old``'s tmp was already swapped and re-crashed before
-        this repair's rmtree — roll back (``_old`` → live)."""
-    import os
-    import shutil
-
-    base = _strip_file_scheme(path)
-    for t in ("signatures", "bands"):
-        live, old, tmp = (
-            f"{base}/{t}",
-            f"{base}/{t}_old",
-            f"{base}/{t}_compact_tmp",
-        )
-        if os.path.exists(live):
-            shutil.rmtree(tmp, ignore_errors=True)
-            shutil.rmtree(old, ignore_errors=True)
-        elif os.path.exists(tmp) and os.path.exists(old):
-            os.rename(tmp, live)
-            shutil.rmtree(old, ignore_errors=True)
-        elif os.path.exists(old):
-            os.rename(old, live)
+    crash — ``storefs.repair_store`` over this store's two tables; see
+    that docstring for the three observable crash states and their
+    repairs. Called automatically on ``compact_dedup_store`` entry,
+    and callable standalone before reopening a store whose maintainer
+    died."""
+    storefs.repair_store(path, ("signatures", "bands"))
 
 
 def compact_dedup_store(
@@ -600,13 +540,9 @@ def compact_dedup_store(
     the next run, and the per-table swap follows a recovery order —
     live → ``_old``, tmp → live, drop ``_old`` — whose every
     intermediate state ``repair_dedup_store`` can finish or roll
-    back."""
-    import os
-    import shutil
-
+    back (``storefs.swap_in_compacted``)."""
     _require_rename_fs(path, "compact_dedup_store")
     repair_dedup_store(path)
-    base = _strip_file_scheme(path)
     sig = spark.read.parquet(f"{path}/signatures").coalesce(max(1, sig_files))
     sig.write.mode("overwrite").parquet(f"{path}/signatures_compact_tmp")
     bands = spark.read.parquet(f"{path}/bands").repartition(
@@ -615,11 +551,7 @@ def compact_dedup_store(
     bands.write.mode("overwrite").partitionBy("band_idx", "bucket").parquet(
         f"{path}/bands_compact_tmp"
     )
-    for t in ("signatures", "bands"):
-        old = f"{base}/{t}_old"
-        os.rename(f"{base}/{t}", old)
-        os.rename(f"{base}/{t}_compact_tmp", f"{base}/{t}")
-        shutil.rmtree(old)
+    storefs.swap_in_compacted(path, ("signatures", "bands"))
 
 
 def dedup_store_stats(spark: SparkSession, path: str) -> DataFrame:

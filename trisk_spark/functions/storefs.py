@@ -1,0 +1,109 @@
+"""Shared durability machinery for the persisted-store family
+(``dedup_store``'s MinHash band store, ``semantic_store``'s SRP band
+store): the fail-loud filesystem gate, the atomic ingest watermark,
+and the crash-safe compaction swap/repair protocol. Extracted from
+``dedup_store`` (r12/r13) when the semantic store arrived — ONE
+implementation of the swap state machine, table names parameterized.
+
+DURABILITY MODEL (single-maintainer, local/HDFS-rename filesystems):
+maintenance that swaps directories and the ingest watermark rely on
+atomic rename — true on POSIX and HDFS, NOT on S3-style object
+stores, where a deployment would put the swap behind a manifest
+table / conditional put. The constraint is enforced loudly: every
+rename-dependent entry point calls ``require_rename_fs`` first.
+
+Reference: the reference has no persisted stores (beyond-reference
+mandate, SURVEY.md §7 step 7); this is repo-local machinery.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+
+def require_rename_fs(path: str, op: str) -> None:
+    """Fail loud on object-store paths: the watermark and the
+    compaction swap rely on atomic rename, which ``s3://``-style
+    stores do not provide (the module DURABILITY MODEL note). Local
+    paths and explicit ``file:`` URIs pass; HDFS deployments would
+    widen this to ``hdfs:`` after routing the os-level calls through
+    the Hadoop FS API."""
+    if "://" in path and not path.startswith("file://"):
+        raise ValueError(
+            f"{op} requires an atomic-rename filesystem (local/file:); "
+            f"got {path!r} — on object storage, front the store with a "
+            "manifest table / conditional-put swap instead"
+        )
+
+
+def strip_file_scheme(path: str) -> str:
+    return path[len("file://"):] if path.startswith("file://") else path
+
+
+def read_ingest_watermark(path: str) -> int | None:
+    """Last fully-admitted streaming batch id, or None for a store
+    that has never been written by an ingest stream."""
+    p = f"{strip_file_scheme(path)}/_last_admitted_batch_id"
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return int(f.read().strip())
+
+
+def write_ingest_watermark(path: str, batch_id: int) -> None:
+    """Atomically persist the admitted-batch watermark beside the
+    store (write-temp + ``os.replace`` — atomic on POSIX)."""
+    base = strip_file_scheme(path)
+    tmp = f"{base}/_last_admitted_batch_id.tmp"
+    with open(tmp, "w") as f:
+        f.write(str(batch_id))
+    os.replace(tmp, f"{base}/_last_admitted_batch_id")
+
+
+def repair_store(path: str, tables: tuple[str, ...]) -> None:
+    """Bring a store back to a consistent layout after a compaction
+    crash — called automatically on compaction entry, and callable
+    standalone before reopening a store whose maintainer died. Per
+    table, the swap protocol (``swap_in_compacted``) leaves exactly
+    three observable states, each repairable without data loss:
+
+      * live dir present           → nothing to do (stale ``_old`` /
+        ``_compact_tmp`` leftovers are deleted — a tmp is only swapped
+        in while the live dir is ABSENT, so a tmp beside a live dir is
+        a dead build from a failed compaction run);
+      * live dir absent, ``_old`` + ``_compact_tmp`` present → crashed
+        between rename 1 and 2: finish the swap (tmp → live), then
+        drop ``_old``;
+      * live dir absent, only ``_old`` present → crashed after a tmp
+        rename that never happened (impossible under the protocol) or
+        after ``_old``'s tmp was already swapped and re-crashed before
+        this repair's rmtree — roll back (``_old`` → live)."""
+    base = strip_file_scheme(path)
+    for t in tables:
+        live, old, tmp = (
+            f"{base}/{t}",
+            f"{base}/{t}_old",
+            f"{base}/{t}_compact_tmp",
+        )
+        if os.path.exists(live):
+            shutil.rmtree(tmp, ignore_errors=True)
+            shutil.rmtree(old, ignore_errors=True)
+        elif os.path.exists(tmp) and os.path.exists(old):
+            os.rename(tmp, live)
+            shutil.rmtree(old, ignore_errors=True)
+        elif os.path.exists(old):
+            os.rename(old, live)
+
+
+def swap_in_compacted(path: str, tables: tuple[str, ...]) -> None:
+    """Swap each table's freshly-built ``<t>_compact_tmp`` directory in
+    as the live ``<t>`` — the recovery-ordered rename sequence whose
+    every intermediate state ``repair_store`` can finish or roll back:
+    live → ``_old``, tmp → live, drop ``_old``."""
+    base = strip_file_scheme(path)
+    for t in tables:
+        old = f"{base}/{t}_old"
+        os.rename(f"{base}/{t}", old)
+        os.rename(f"{base}/{t}_compact_tmp", f"{base}/{t}")
+        shutil.rmtree(old)

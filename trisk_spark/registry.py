@@ -126,6 +126,11 @@ def register(name: str, oracle: str | None = None):
 # the trade from the other phase (candidates: revenue_rollup ⊂
 # tpch_q1's decimal scan-agg class; customers_without_orders'
 # left-anti ⊂ curation-manifest family) until the library drains.
+# r13 session addendum: semantic_incremental (the persisted SRP
+# semantic store, functions/semantic_store.py) joined the library —
+# it is the R15 LEAD seat candidate ahead of the queue above (its
+# store-probe kernel has no registered sibling, exactly
+# dedup_incremental's r12 position), so the r15 trade seats it first.
 # The five r13-new ops sit r14 on in-window witnesses (all named
 # witnesses RETURN r14 because they sit r13 — checked against this
 # list): dedup_incremental/minhash_jaccard_estimate →
@@ -270,7 +275,7 @@ def load_library() -> dict[str, QueryDef]:
     ``@register`` decorator and a seat. NOT exposed through
     ``__spark_entry__.queries()``; gated every round by
     tests/test_oracle_parity.py's library pass instead."""
-    from trisk_spark.functions import dedup, sampling, text
+    from trisk_spark.functions import dedup, sampling, semantic_store, text
     from trisk_spark.operators import relational
 
     entries: dict[str, tuple] = {
@@ -295,6 +300,15 @@ def load_library() -> dict[str, QueryDef]:
         "ngram_novelty": (dedup.ngram_novelty, dedup.NGRAM_NOVELTY_SQL),
         "line_dedup": (text.line_dedup, text.LINE_DEDUP_SQL),
         "tpch_q10": (relational.tpch_q10, relational.TPCH_Q10_SQL),
+        # r13-new: the persisted SRP semantic store's
+        # write→prune→probe→verify kernel — the embedding-space mirror
+        # of dedup_incremental and, like it in r12, the lead candidate
+        # for the next free seat (R15): the semantic store-probe
+        # kernel has no registered sibling.
+        "semantic_incremental": (
+            semantic_store.semantic_incremental,
+            semantic_store.SEMANTIC_INCREMENTAL_SQL,
+        ),
     }
 
     def wrap(fn):
