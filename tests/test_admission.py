@@ -1,0 +1,194 @@
+"""Composed admission pipeline (functions/admission.py): staged
+funnel semantics, loop closure across waves (both stores advance),
+the null-embedding contract, stream ≡ per-wave images, forced-replay
+guard. Each composed kernel carries its own oracle elsewhere
+(dedup_incremental / semantic_incremental / manifest quality SQL);
+these tests pin the three anti-joins that glue them."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from trisk_spark.functions import admission, dedup_store
+from trisk_spark.functions import semantic_store as S
+from trisk_spark.streaming.sources import checkpoint_dir
+
+_SCHEMA = "doc_id long, source string, text string, embedding array<double>"
+
+
+def _vec(flip: bool = False):
+    out = [
+        (0.3 + 0.01 * i) * (1.0 if (i * 7) % 3 else -1.0) for i in range(64)
+    ]
+    return [-x for x in out] if flip else out
+
+
+_E_BASE, _E_NOVEL = _vec(), _vec(flip=True)
+
+
+def _text(tag: str) -> str:
+    return " ".join(f"{tag}{i}" for i in range(60))
+
+
+T1, T2, T3, T4, T5 = (_text(t) for t in ("alpha", "beta", "gamma", "delta", "eps"))
+
+
+def _seed_stores(spark, tmp_path):
+    dpath, spath = str(tmp_path / "dstore"), str(tmp_path / "sstore")
+    dedup_store.write_dedup_store(
+        spark,
+        spark.createDataFrame([(1, T1)], "doc_id long, text string"),
+        dpath,
+    )
+    S.write_semantic_store(
+        spark,
+        spark.createDataFrame([(1, _E_BASE)], "vec_id long, embedding array<double>"),
+        spath,
+    )
+    return dpath, spath
+
+
+_WAVE1 = [
+    (13, "w", "x", _E_BASE),        # token floor fail — quality, even
+                                    # though its embedding dups the corpus
+    (10, "w", T1, _E_BASE),         # byte copy of doc 1 — dup_text
+    (11, "w", T2, _E_BASE),         # new text, corpus embedding — dup_semantic
+    (12, "w", T3, _E_NOVEL),        # novel on both axes — admitted
+]
+_WAVE2 = [
+    (20, "w", T3, _E_BASE),         # copy of wave-1 ADMITTED text — dup_text
+    (21, "w", T4, _E_NOVEL),        # embedding-dup of wave-1 admitted — dup_semantic
+    (22, "w", T5, None),            # NULL embedding: semantic gate un-probed,
+                                    # admitted to the dedup store only
+]
+
+
+def _stage_map(rows):
+    return {r.doc_id: (r.stage, r.dup_of) for r in rows}
+
+
+def _store_ids(spark, dpath, spath):
+    docs = {
+        r.doc_id
+        for r in spark.read.parquet(f"{dpath}/signatures").select("doc_id").collect()
+    }
+    vecs = {
+        r.vec_id
+        for r in spark.read.parquet(f"{spath}/vectors").select("vec_id").collect()
+    }
+    return docs, vecs
+
+
+def test_admission_wave_funnel_and_loop(spark, tmp_path):
+    dpath, spath = _seed_stores(spark, tmp_path)
+    w1 = spark.createDataFrame(_WAVE1, _SCHEMA)
+    r1 = _stage_map(admission.admission_wave(spark, w1, dpath, spath).collect())
+    assert r1 == {
+        13: ("quality", None),
+        10: ("dup_text", 1),
+        11: ("dup_semantic", 1),
+        12: ("admitted", None),
+    }
+    docs, vecs = _store_ids(spark, dpath, spath)
+    assert docs == {1, 12} and vecs == {1, 12}, (
+        "admission did not land in exactly both stores"
+    )
+
+    # the loop closes: wave 2 collides with wave 1's ADMISSIONS on
+    # both axes, and the null-embedding doc takes the documented path
+    w2 = spark.createDataFrame(_WAVE2, _SCHEMA)
+    r2 = _stage_map(admission.admission_wave(spark, w2, dpath, spath).collect())
+    assert r2 == {
+        20: ("dup_text", 12),
+        21: ("dup_semantic", 12),
+        22: ("admitted", None),
+    }
+    docs, vecs = _store_ids(spark, dpath, spath)
+    assert docs == {1, 12, 22}, "null-embedding doc missing from the dedup store"
+    assert vecs == {1, 12}, "a NULL embedding must not reach the semantic store"
+    row = S.semantic_store_stats(spark, spath).collect()[0]
+    assert row.n_unvectored_band_ids == 0
+    row = dedup_store.dedup_store_stats(spark, dpath).collect()[0]
+    assert row.n_unsigned_band_docs == 0
+
+
+def test_admission_stream_equals_waves_and_replay_guard(spark, tmp_path):
+    """The stream form must emit exactly the per-wave images (same
+    funnel verdicts batch by batch), and a forced checkpoint replay is
+    swallowed by the shared watermark — no sink calls, byte-identical
+    stores."""
+    import os
+    import time as _time
+
+    dpath, spath = _seed_stores(spark, tmp_path)
+    waves_dir = str(tmp_path / "waves")
+    now = int(_time.time())
+    seen: set[str] = set()
+    for i, wave in enumerate((_WAVE1, _WAVE2)):
+        spark.createDataFrame(wave, _SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(waves_dir)
+        fresh = {
+            f for f in os.listdir(waves_dir)
+            if f.startswith("part-") and f.endswith(".parquet")
+        } - seen
+        assert len(fresh) == 1
+        for fname in fresh:
+            os.utime(os.path.join(waves_dir, fname), times=(now + i, now + i))
+        seen |= fresh
+
+    def run(tag, sink):
+        stream = (
+            spark.readStream.schema(_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(waves_dir)
+        )
+        q = (
+            admission.admission_stream(spark, stream, dpath, spath, sink)
+            .option("checkpointLocation", checkpoint_dir(tag))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    per_batch: dict[int, dict] = {}
+
+    def sink(bdf, bid):
+        per_batch[bid] = _stage_map(bdf.collect())
+
+    run("admission1", sink)
+    assert per_batch == {
+        0: {
+            13: ("quality", None),
+            10: ("dup_text", 1),
+            11: ("dup_semantic", 1),
+            12: ("admitted", None),
+        },
+        1: {
+            20: ("dup_text", 12),
+            21: ("dup_semantic", 12),
+            22: ("admitted", None),
+        },
+    }
+    assert admission.storefs.read_ingest_watermark(dpath) == 1
+
+    docs_snap, vecs_snap = _store_ids(spark, dpath, spath)
+    sig_snap = sorted(
+        map(tuple, spark.read.parquet(f"{dpath}/signatures").collect())
+    )
+    vec_snap = sorted(
+        (r.vec_id, tuple(r.vec), r.norm)
+        for r in spark.read.parquet(f"{spath}/vectors").collect()
+    )
+
+    replays = []
+    run("admission2", lambda bdf, bid: replays.append(bid))
+    assert replays == [], "replayed batches reached the sink"
+    assert _store_ids(spark, dpath, spath) == (docs_snap, vecs_snap)
+    assert sorted(
+        map(tuple, spark.read.parquet(f"{dpath}/signatures").collect())
+    ) == sig_snap
+    assert sorted(
+        (r.vec_id, tuple(r.vec), r.norm)
+        for r in spark.read.parquet(f"{spath}/vectors").collect()
+    ) == vec_snap

@@ -181,6 +181,9 @@ def test_readme_op_table_names_are_registered():
         "semantic_probe_stream", "semantic_store_stats",
         "compact_semantic_store", "n_unvectored_band_ids",
         "storefs",
+        # r13: the composed admission pipeline over both stores
+        "admission_wave", "admission_stream", "doc_id",
+        "stage", "dup_of",
     }
     missing = {
         c for c in cited
