@@ -94,6 +94,9 @@ LIBRARY_NAMES = sorted(
         # r13-new: the persisted SRP semantic store's probe kernel —
         # lead R15 seat candidate (registry.py library note)
         "semantic_incremental",
+        # r13-new: the composed admission funnel (quality gate + both
+        # store probes + staging) under one value-hash
+        "admission_report",
     ]
 )
 

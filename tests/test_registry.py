@@ -182,7 +182,7 @@ def test_readme_op_table_names_are_registered():
         "compact_semantic_store", "n_unvectored_band_ids",
         "storefs",
         # r13: the composed admission pipeline over both stores
-        "admission_wave", "admission_stream", "doc_id",
+        "admission_wave", "admission_stream", "admission_report", "doc_id",
         "stage", "dup_of",
     }
     missing = {

@@ -14,11 +14,13 @@ expression (``sampling.MANIFEST_MIN_QUALITY`` /
 ``dedup_incremental``) and ``semantic_store.probe_semantic_store``
 (library-oracle-gated through ``semantic_incremental``), and the
 admissions are the append halves whose append ≡ rebuild contracts are
-pytest-pinned per store. The composition itself is pinned by
+pytest-pinned per store. The composition is pinned twice over:
 tests/test_admission.py (staged semantics, loop closure across waves,
-stream ≡ per-wave images, forced-replay guard) — an end-to-end DuckDB
-oracle is deliberately NOT duplicated here: each composed kernel
-already carries its own, and the glue is three anti-joins.
+stream ≡ per-wave images, forced-replay guard) AND the self-contained
+``admission_report`` library row, whose DuckDB oracle
+(``_admission_report_sql``) re-derives the ENTIRE funnel — quality
+gate, MinHash store probe, semantic store probe, anti-join chaining —
+from the corpus tables in one SQL statement.
 
 Input contract: one (doc_id, source, text, embedding) frame — the
 embedding column is the document's parallel embedding (the
@@ -37,14 +39,40 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from trisk_spark.catalog import table
 from trisk_spark.functions import storefs
+from trisk_spark.functions.dedup import (
+    _BAND_COLS_SQL,
+    _SIG_COLS_SQL,
+    BUCKET_CAP,
+    N_BANDS,
+    N_PERMS,
+    SHINGLES_SQL,
+)
 from trisk_spark.functions.dedup_store import (
+    DEDUP_ARRIVING_MOD,
+    DUP_MIN_AGREE,
     append_dedup_store,
     probe_dedup_store,
+)
+from trisk_spark.functions.dedup_store import (
+    corpus_store_path as _dedup_corpus_store_path,
 )
 from trisk_spark.functions.semantic_store import (
     append_semantic_store,
     probe_semantic_store,
+)
+from trisk_spark.functions.semantic_store import (
+    corpus_store_path as _sem_corpus_store_path,
+)
+from trisk_spark.functions.similarity import (
+    _COS_BAND_SQL,
+    _DOT_SQL,
+    _SCALED_SQL,
+    _VALID_EMB_SQL,
+    COS_NB_BANDS,
+    NEAR_DUP_COS,
+    VEC_BUCKET_CAP,
 )
 
 #: Funnel stages, in gate order.
@@ -69,6 +97,25 @@ def admission_wave(
     changed). Within-wave duplicates are admitted together this wave
     and collide from the next wave on — the documented batch-boundary
     semantics of every ingest gate here."""
+    report, s2 = _admission_verdicts(spark, batch, dedup_path, sem_path)
+    append_dedup_store(spark, s2.select("doc_id", "text"), dedup_path)
+    append_semantic_store(
+        spark, s2.select(F.col("doc_id").alias("vec_id"), "embedding"), sem_path
+    )
+    return report
+
+
+def _admission_verdicts(
+    spark: SparkSession,
+    batch: DataFrame,
+    dedup_path: str,
+    sem_path: str,
+) -> tuple[DataFrame, DataFrame]:
+    """The probe-only funnel: (report, survivors) for one wave judged
+    against the two stores — no writes. ``admission_wave`` appends the
+    survivors afterwards; the read-only ``admission_report`` library
+    row returns just the report (a repeat call must not mutate the
+    memoized stores it probes)."""
     from trisk_spark.functions.sampling import (
         MANIFEST_MIN_QUALITY,
         MANIFEST_MIN_TOKENS,
@@ -137,11 +184,7 @@ def admission_wave(
         )
         .localCheckpoint()  # judged against the PRE-append stores
     )
-    append_dedup_store(spark, s2.select("doc_id", "text"), dedup_path)
-    append_semantic_store(
-        spark, s2.select(F.col("doc_id").alias("vec_id"), "embedding"), sem_path
-    )
-    return report
+    return report, s2
 
 
 def admission_stream(
@@ -178,3 +221,185 @@ def admission_stream(
             batch_df.unpersist()
 
     return docs_stream.writeStream.outputMode("append").foreachBatch(fb)
+
+
+# ------------------------------------------- self-contained oracle --
+
+
+def _admission_report_sql() -> str:
+    """DuckDB oracle for ``admission_report``: the ENTIRE funnel in
+    one statement — the manifest quality/token gate on the arriving
+    slice, the MinHash store probe (the ``_dedup_incremental_sql``
+    chain with its arriving side restricted to quality survivors), the
+    semantic store probe (the ``_semantic_incremental_sql`` chain
+    restricted to text survivors), and the anti-join staging. Both
+    MODs are the shared arriving split; store-side caps mirror the
+    write-time caps. Buckets are partition refinements and need no
+    mirror."""
+    from trisk_spark.functions.sampling import (
+        MANIFEST_MIN_QUALITY,
+        MANIFEST_MIN_TOKENS,
+    )
+    from trisk_spark.functions.semantic_store import SEM_ARRIVING_MOD
+    from trisk_spark.functions.text import _SW_SQL
+
+    # one `mod` drives both probes' splits below — fail the import,
+    # not the hash gate, if the two store constants ever diverge
+    assert SEM_ARRIVING_MOD == DEDUP_ARRIVING_MOD
+    mod = DEDUP_ARRIVING_MOD
+    tcapped = ",\n".join(
+        f"""tcapped{b} AS (
+  SELECT doc_id, band{b} FROM (
+    SELECT doc_id, band{b},
+      row_number() OVER (PARTITION BY band{b} ORDER BY doc_id) AS rn
+    FROM tbands_e)
+  WHERE rn <= {BUCKET_CAP})"""
+        for b in range(N_BANDS)
+    )
+    tcand = " UNION ALL ".join(
+        f"SELECT a.doc_id AS new_id, e.doc_id AS dup_of FROM tbands_a a "
+        f"JOIN tcapped{b} e ON a.band{b} = e.band{b}"
+        for b in range(N_BANDS)
+    )
+    tmatches = " + ".join(
+        f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END"
+        for i in range(N_PERMS)
+    )
+    sex_bands = " UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band_idx, {_COS_BAND_SQL[b]} AS bv FROM sex"
+        for b in range(COS_NB_BANDS)
+    )
+    sar_bands = " UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band_idx, {_COS_BAND_SQL[b]} AS bv FROM sar"
+        for b in range(COS_NB_BANDS)
+    )
+    return f"""
+WITH adocs AS (
+  SELECT doc_id, text FROM documents
+  WHERE doc_id IS NOT NULL AND text IS NOT NULL
+    AND ((doc_id % {mod}) + {mod}) % {mod} = 0
+),
+agate AS (
+  SELECT doc_id,
+    (len(ws) >= {MANIFEST_MIN_TOKENS} AND COALESCE(
+       CASE WHEN len(ws) > 0 THEN
+         0.5 * LEAST(len(ws) / 64.0, 1.0)
+         + 0.3 * (1.0 - CAST(len(list_filter(ws, w -> w IN {_SW_SQL})) AS DOUBLE) / len(ws))
+         + 0.2 * LEAST((CAST(length(text) - len(ws) + 1 AS DOUBLE) / len(ws)) / 8.0, 1.0)
+       END, 0.0) >= {MANIFEST_MIN_QUALITY}) AS q_ok
+  FROM (SELECT doc_id, text,
+          list_filter(string_split(text, ' '), w -> w <> '') AS ws
+        FROM adocs)
+),
+s0 AS (SELECT doc_id FROM agate WHERE q_ok),
+sh AS ({SHINGLES_SQL}),
+xs AS (SELECT doc_id, shingle AS xm FROM sh),
+sig AS (SELECT doc_id, {_SIG_COLS_SQL} FROM xs GROUP BY doc_id),
+texist AS (SELECT * FROM sig
+           WHERE ((doc_id % {mod}) + {mod}) % {mod} <> 0),
+tarrv AS (SELECT g.* FROM sig g JOIN s0 ON g.doc_id = s0.doc_id),
+tbands_e AS (SELECT doc_id, {_BAND_COLS_SQL} FROM texist),
+tbands_a AS (SELECT doc_id, {_BAND_COLS_SQL} FROM tarrv),
+{tcapped},
+tpairs AS (SELECT DISTINCT new_id, dup_of FROM ({tcand})),
+tscored AS (
+  SELECT p.new_id, p.dup_of, CAST({tmatches} AS BIGINT) AS n_agree
+  FROM tpairs p
+  JOIN sig sa ON p.new_id = sa.doc_id
+  JOIN sig sb ON p.dup_of = sb.doc_id
+),
+tbest AS (
+  SELECT new_id, dup_of, n_agree,
+    ROW_NUMBER() OVER (PARTITION BY new_id
+                       ORDER BY n_agree DESC, dup_of) AS rn
+  FROM tscored
+),
+tflag AS (SELECT new_id AS doc_id, dup_of FROM tbest
+          WHERE rn = 1 AND n_agree >= {DUP_MIN_AGREE}),
+s1 AS (SELECT doc_id FROM s0
+       WHERE doc_id NOT IN (SELECT doc_id FROM tflag)),
+vsc AS (
+  SELECT vec_id, {_SCALED_SQL.format(col="embedding")} AS vec
+  FROM {_VALID_EMB_SQL} embeddings
+),
+vn AS (
+  SELECT * FROM (
+    SELECT vec_id, vec, {_DOT_SQL.format(a="vec", b="vec")} AS norm FROM vsc
+  ) WHERE norm > 0
+),
+sex AS (SELECT * FROM vn
+        WHERE ((vec_id % {mod}) + {mod}) % {mod} <> 0),
+sar AS (SELECT vn.* FROM vn JOIN s1 ON vn.vec_id = s1.doc_id),
+exb AS (
+  SELECT vec_id, band_idx, bv FROM (
+    SELECT vec_id, band_idx, bv,
+      row_number() OVER (PARTITION BY band_idx, bv ORDER BY vec_id) AS rn
+    FROM ({sex_bands})
+  ) WHERE rn <= {VEC_BUCKET_CAP}
+),
+arb AS ({sar_bands}),
+scand AS (
+  SELECT DISTINCT a.vec_id AS new_id, e.vec_id AS ref_id
+  FROM arb a JOIN exb e ON a.band_idx = e.band_idx AND a.bv = e.bv
+  WHERE e.vec_id <> a.vec_id
+),
+sscored AS (
+  SELECT c.new_id, c.ref_id,
+    CAST({_DOT_SQL.format(a="a.vec", b="e.vec")} AS DOUBLE)
+      / (SQRT(CAST(a.norm AS DOUBLE)) * SQRT(CAST(e.norm AS DOUBLE))) AS cos
+  FROM scand c
+  JOIN sar a ON a.vec_id = c.new_id
+  JOIN sex e ON e.vec_id = c.ref_id
+),
+sbest AS (
+  SELECT new_id, ref_id, cos,
+    ROW_NUMBER() OVER (PARTITION BY new_id
+                       ORDER BY cos DESC, ref_id) AS rk
+  FROM sscored
+),
+sflag AS (SELECT new_id AS doc_id, ref_id AS dup_of FROM sbest
+          WHERE rk = 1 AND cos >= {NEAR_DUP_COS}),
+s2 AS (SELECT doc_id FROM s1
+       WHERE doc_id NOT IN (SELECT doc_id FROM sflag))
+SELECT doc_id, 'quality' AS stage, CAST(NULL AS BIGINT) AS dup_of
+FROM agate WHERE NOT q_ok
+UNION ALL SELECT doc_id, 'dup_text' AS stage, dup_of FROM tflag
+UNION ALL SELECT doc_id, 'dup_semantic' AS stage, dup_of FROM sflag
+UNION ALL SELECT doc_id, 'admitted' AS stage, CAST(NULL AS BIGINT) AS dup_of
+FROM s2
+"""
+
+
+def admission_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed admission funnel as a self-contained, READ-ONLY
+    library row: the corpus's arriving slice (doc_id % MOD == 0, the
+    shared split of ``dedup_incremental`` / ``semantic_incremental``),
+    LEFT-joined with its parallel embeddings (documents without one
+    take the documented un-probed semantic path), judged against the
+    session-memoized existing-slice stores — which this row SHARES
+    with the two incremental ops (``corpus_store_path`` on each side),
+    so the library parity pass builds each store once. No appends: a
+    repeat call must not mutate the stores it probes. The oracle
+    (``_admission_report_sql``) re-derives the whole funnel from the
+    corpus tables, putting the quality gate, BOTH store probes, and
+    the anti-join staging under one value-hash."""
+    docs = table(spark, sf_dir, "documents").where(
+        F.col("doc_id").isNotNull()
+    )
+    arriving_docs = docs.where(
+        F.pmod(F.col("doc_id"), F.lit(DEDUP_ARRIVING_MOD)) == 0
+    ).select("doc_id", "text")
+    emb = table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    arriving = arriving_docs.join(emb, "doc_id", "left")
+    report, _s2 = _admission_verdicts(
+        spark,
+        arriving,
+        _dedup_corpus_store_path(spark, sf_dir),
+        _sem_corpus_store_path(spark, sf_dir),
+    )
+    return report
+
+
+ADMISSION_REPORT_SQL = _admission_report_sql()

@@ -696,15 +696,27 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the r12 VERDICT's lead seat candidate — the store-probe kernel
     has no registered sibling, so this row is the persisted store's
     only possible driver-hash evidence)."""
+    docs = table(spark, sf_dir, "documents").where(F.col("doc_id").isNotNull())
+    arriving = docs.where(
+        F.pmod(F.col("doc_id"), F.lit(DEDUP_ARRIVING_MOD)) == 0
+    )
+    return probe_dedup_store(
+        spark, arriving, corpus_store_path(spark, sf_dir)
+    )
+
+
+def corpus_store_path(spark: SparkSession, sf_dir: str) -> str:
+    """Path of the session-memoized scratch dedup store over the
+    corpus's EXISTING slice (doc_id % MOD != 0) — built once per
+    (session, corpus), the plan-store cache pattern (stale sessions
+    evicted + rmtree'd, ties resolved setdefault-under-lock, atexit
+    sweep). Shared by ``dedup_incremental`` and the composed
+    ``admission_report`` so the library parity pass builds the store
+    once, not per-op."""
     import shutil
     import tempfile
 
     from trisk_spark.functions.sampling import _bpe_session_stopped
-
-    docs = table(spark, sf_dir, "documents").where(F.col("doc_id").isNotNull())
-    mod = DEDUP_ARRIVING_MOD
-    existing = docs.where(F.pmod(F.col("doc_id"), F.lit(mod)) != 0)
-    arriving = docs.where(F.pmod(F.col("doc_id"), F.lit(mod)) == 0)
 
     stale = []
     with _DEDUP_STORE_LOCK:
@@ -715,19 +727,21 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         hit = _DEDUP_STORE_CACHE.get((id(spark), sf_dir))
     for p in stale:
         shutil.rmtree(p, ignore_errors=True)
-    if hit is None:
-        path = tempfile.mkdtemp(prefix="trisk_dedup_store_")
-        write_dedup_store(spark, existing, path)
-        with _DEDUP_STORE_LOCK:
-            _sess, path_won = _DEDUP_STORE_CACHE.setdefault(
-                (id(spark), sf_dir), (spark, path)
-            )
-        if path_won != path:
-            shutil.rmtree(path, ignore_errors=True)
-        path = path_won
-    else:
-        path = hit[1]
-    return probe_dedup_store(spark, arriving, path)
+    if hit is not None:
+        return hit[1]
+    docs = table(spark, sf_dir, "documents").where(F.col("doc_id").isNotNull())
+    existing = docs.where(
+        F.pmod(F.col("doc_id"), F.lit(DEDUP_ARRIVING_MOD)) != 0
+    )
+    path = tempfile.mkdtemp(prefix="trisk_dedup_store_")
+    write_dedup_store(spark, existing, path)
+    with _DEDUP_STORE_LOCK:
+        _sess, path_won = _DEDUP_STORE_CACHE.setdefault(
+            (id(spark), sf_dir), (spark, path)
+        )
+    if path_won != path:
+        shutil.rmtree(path, ignore_errors=True)
+    return path_won
 
 
 dedup_incremental.__doc__ = dedup_incremental.__doc__.replace(

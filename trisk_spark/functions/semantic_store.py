@@ -604,15 +604,25 @@ def semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     R15 seat candidate — the semantic store-probe kernel has no
     registered sibling, exactly the position ``dedup_incremental``
     held in r12."""
+    emb = table(spark, sf_dir, "embeddings")
+    arriving = emb.where(
+        F.pmod(F.col("vec_id"), F.lit(SEM_ARRIVING_MOD)) == 0
+    )
+    return probe_semantic_store(
+        spark, arriving, corpus_store_path(spark, sf_dir)
+    )
+
+
+def corpus_store_path(spark: SparkSession, sf_dir: str) -> str:
+    """Path of the session-memoized scratch semantic store over the
+    embedding corpus's EXISTING slice (vec_id % MOD != 0) — built once
+    per (session, corpus), the ``dedup_store.corpus_store_path``
+    pattern. Shared by ``semantic_incremental`` and the composed
+    ``admission_report``."""
     import shutil
     import tempfile
 
     from trisk_spark.functions.sampling import _bpe_session_stopped
-
-    emb = table(spark, sf_dir, "embeddings")
-    mod = SEM_ARRIVING_MOD
-    existing = emb.where(F.pmod(F.col("vec_id"), F.lit(mod)) != 0)
-    arriving = emb.where(F.pmod(F.col("vec_id"), F.lit(mod)) == 0)
 
     stale = []
     with _SEM_STORE_LOCK:
@@ -623,19 +633,21 @@ def semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         hit = _SEM_STORE_CACHE.get((id(spark), sf_dir))
     for p in stale:
         shutil.rmtree(p, ignore_errors=True)
-    if hit is None:
-        path = tempfile.mkdtemp(prefix="trisk_sem_store_")
-        write_semantic_store(spark, existing, path)
-        with _SEM_STORE_LOCK:
-            _sess, path_won = _SEM_STORE_CACHE.setdefault(
-                (id(spark), sf_dir), (spark, path)
-            )
-        if path_won != path:
-            shutil.rmtree(path, ignore_errors=True)
-        path = path_won
-    else:
-        path = hit[1]
-    return probe_semantic_store(spark, arriving, path)
+    if hit is not None:
+        return hit[1]
+    emb = table(spark, sf_dir, "embeddings")
+    existing = emb.where(
+        F.pmod(F.col("vec_id"), F.lit(SEM_ARRIVING_MOD)) != 0
+    )
+    path = tempfile.mkdtemp(prefix="trisk_sem_store_")
+    write_semantic_store(spark, existing, path)
+    with _SEM_STORE_LOCK:
+        _sess, path_won = _SEM_STORE_CACHE.setdefault(
+            (id(spark), sf_dir), (spark, path)
+        )
+    if path_won != path:
+        shutil.rmtree(path, ignore_errors=True)
+    return path_won
 
 
 semantic_incremental.__doc__ = semantic_incremental.__doc__.replace(

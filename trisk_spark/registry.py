@@ -275,7 +275,13 @@ def load_library() -> dict[str, QueryDef]:
     ``@register`` decorator and a seat. NOT exposed through
     ``__spark_entry__.queries()``; gated every round by
     tests/test_oracle_parity.py's library pass instead."""
-    from trisk_spark.functions import dedup, sampling, semantic_store, text
+    from trisk_spark.functions import (
+        admission,
+        dedup,
+        sampling,
+        semantic_store,
+        text,
+    )
     from trisk_spark.operators import relational
 
     entries: dict[str, tuple] = {
@@ -308,6 +314,14 @@ def load_library() -> dict[str, QueryDef]:
         "semantic_incremental": (
             semantic_store.semantic_incremental,
             semantic_store.SEMANTIC_INCREMENTAL_SQL,
+        ),
+        # r13-new: the composed admission funnel (quality gate + BOTH
+        # store probes + anti-join staging) under ONE value-hash;
+        # shares the memoized corpus stores with the two incremental
+        # ops above.
+        "admission_report": (
+            admission.admission_report,
+            admission.ADMISSION_REPORT_SQL,
         ),
     }
 
