@@ -109,6 +109,10 @@ HEADLINE = [
     "minhash_jaccard_estimate",
     "embedding_health",
     "gopher_rules",
+    # r14-new registrations (the R14 seat trade; baselines key from
+    # BENCH_r14 per the new-op policy — first driver bench):
+    "cross_split_leakage",
+    "line_dedup",
 ]
 
 

@@ -84,13 +84,15 @@ def _library():
 
 LIBRARY_NAMES = sorted(
     [
-        # awaiting seats (the registry R14 PLAN)
+        # awaiting seats (the registry R15/R16 queue;
+        # cross_split_leakage + line_dedup graduated to seats in r14)
         "budget_trim", "training_plan_budget", "shuffle_shards",
-        "perplexity_buckets", "cross_split_leakage",
-        "contamination_report", "ngram_novelty", "line_dedup",
-        # retired from the registered surface r13 (kernels gated by
-        # tpch_q3/q5/q7/q18); the full oracle still runs here
-        "tpch_q10",
+        "perplexity_buckets",
+        "contamination_report", "ngram_novelty",
+        # retired from the registered surface (tpch_q10 r13; tpch_q7 +
+        # tpch_q14 r14 — kernels gated by tpch_q3/q5/q18); the full
+        # oracles still run here
+        "tpch_q10", "tpch_q7", "tpch_q14",
         # r13-new: the persisted SRP semantic store's probe kernel —
         # lead R15 seat candidate (registry.py library note)
         "semantic_incremental",

@@ -1786,6 +1786,7 @@ WHERE sa.split <> sb.split
 """
 
 
+@register("cross_split_leakage", oracle=cross_split_leakage_sql())
 def cross_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/test near-duplicate leakage — the eval-hygiene check that
     dedup ran BEFORE splitting: every MinHash-LSH near-dup pair whose
@@ -1803,8 +1804,9 @@ def cross_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     attaches to each pair end via two id-keyed joins (pairs are
     id-sized but can be a corpus-scale fraction on a duplicate-heavy
     crawl, so no forced broadcast — AQE decides; the curation_funnel
-    posture). Library op, full DuckDB oracle
-    (``cross_split_leakage_sql``) — the r11 capacity-note class."""
+    posture). Registered + driver-hash-gated since r14 (the written R14
+    seat trade — tpch_q7/q14 retired to library); full DuckDB oracle
+    ``cross_split_leakage_sql``."""
     from trisk_spark.functions.dedup import dedup_minhash_lsh
 
     pairs = dedup_minhash_lsh(spark, sf_dir)

@@ -1207,6 +1207,7 @@ FROM firsts GROUP BY doc_id
 """
 
 
+@register("line_dedup", oracle=LINE_DEDUP_SQL)
 def line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """In-document duplicate-line removal (the C4-family
     self-repetition cleanup): keep each document's FIRST occurrence of
@@ -1220,8 +1221,9 @@ def line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the op is map-only with ZERO shuffle at any scale; the oracle
     proves the same semantics through an explode + window + ordered
     string_agg, so the in-row trick is checked against the naive
-    relational form. Library op, full DuckDB oracle
-    (``LINE_DEDUP_SQL``) — the r11 capacity-note class."""
+    relational form. Registered + driver-hash-gated since r14 (the
+    written R14 seat trade — tpch_q7/q14 retired to library); full
+    DuckDB oracle ``LINE_DEDUP_SQL``."""
     return line_dedup_frame(
         table(spark, sf_dir, "documents").where(F.col("doc_id").isNotNull())
     )

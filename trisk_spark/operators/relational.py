@@ -443,12 +443,18 @@ GROUP BY supp_nation, cust_nation, l_year
 """
 
 
-@register("tpch_q7", oracle=TPCH_Q7_SQL)
 def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 volume shipping: bilateral trade revenue by year between
     two nations (testdata names: NATION_1/NATION_2). Plan: both nation joins and supplier/customer broadcast
     (dims are 1/10th lineitem); the disjunctive nation pair filter prunes
-    before the big lineitem⋈orders shuffle; 3-key final agg is tiny."""
+    before the big lineitem⋈orders shuffle; 3-key final agg is tiny.
+
+    RETIRED to library-only status in r14 (the registry's sanctioned
+    seat-freeing mechanism — r13 VERDICT next-round #1): the filtered
+    multi-join decimal-agg kernel is driver-hash-gated by tpch_q3/
+    tpch_q5, the broadcast-dim join by tpch_q18, and the full oracle
+    still runs every round via test_oracle_parity's library pass
+    (``load_library``)."""
     sf = lambda n: table(spark, sf_dir, n)  # noqa: E731
     n1 = sf("nation").select(
         F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
@@ -544,12 +550,18 @@ WHERE l.l_shipdate >= DATE '1996-01-01' AND l.l_shipdate < DATE '1996-02-01'
 """
 
 
-@register("tpch_q14", oracle=TPCH_Q14_SQL)
 def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 promotion effect: percent of one month's revenue from
     PROMO parts — conditional aggregation through a join. Plan: the
     month filter pushes into the lineitem scan, part broadcasts, and the
-    single global agg combines both sums in one pass (no second scan)."""
+    single global agg combines both sums in one pass (no second scan).
+
+    RETIRED to library-only status in r14 (the registry's sanctioned
+    seat-freeing mechanism — r13 VERDICT next-round #1): the
+    conditional-agg-through-broadcast-join kernel is driver-hash-gated
+    by tpch_q3/tpch_q5 (filtered multi-join decimal agg class), and the
+    full oracle still runs every round via test_oracle_parity's library
+    pass (``load_library``)."""
     li = table(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit("1996-01-01"))
         & (F.col("l_shipdate") < F.lit("1996-02-01"))

@@ -74,123 +74,112 @@ def register(name: str, oracle: str | None = None):
 # regardless of position stay oracle-gated by
 # tests/test_oracle_parity.py every round.
 #
-# r13 window: EXECUTES THE R13 PLAN (r12 VERDICT "next round" #1/#2),
-# widened by the two sanctioned seat-freeing mechanisms so FIVE
-# library ops seat instead of two. The r12 sitters rotate back in
-# (policy (a)) MINUS two flipped to the permanent-composed-sitter
-# class (verified wholly-composed in code this round, equality/kernel
-# pins in tests) MINUS one retired to library-only status:
-#   ann_lsh_bucketed ⊂ cosine_near_dup_lsh (the sign-of-coordinate
-#       banding kernel srp_band_val — bucket == rev4 of band 0's low
-#       bits, value-pinned in test_similarity_iter) + ann_ivf (the
-#       broadcast-probe/bucket-equi-join/row_number-top-k probe shape,
-#       with sign-bucket routing instead of centroid routing)
-#   pq_encode ⊂ pq_encode_trained (the seed IS iteration 0: same
-#       _pq_model seed codebook, same fused _quantize_assign_pq_gemm,
-#       same projection — pq_encode_trained(iters=0) ≡ pq_encode
-#       row-for-row, equality-pinned in test_pq)
-#   tpch_q10 RETIRED to library-only (load_library below): its kernels
-#       (filtered multi-join decimal agg, broadcast dims, top-k) are
-#       all driver-hash-gated by tpch_q3/q5/q7/q18, and its full
+# r14 window: EXECUTES THE WRITTEN R14 PLAN (r13 VERDICT "next round"
+# #1). The r13 sitters rotate back in (policy (a)) MINUS two retired
+# to library-only status via the sanctioned seat-freeing mechanism:
+#   tpch_q7 RETIRED to library-only (load_library below): its filtered
+#       multi-join decimal-agg kernel is driver-hash-gated by
+#       tpch_q3/q5, its broadcast-dim joins by tpch_q18, and its full
 #       oracle still runs every round via the library parity pass.
-# So 45 − 2 flips − 1 retired = 42 returning. Must-stays:
+#   tpch_q14 RETIRED likewise: conditional-agg-through-broadcast-join
+#       ⊂ the same tpch_q3/q5 class; full oracle stays library-gated.
+# So 47 − 2 retired = 45 returning. Must-stays unchanged:
 # stock_matchmaker (no oracle, no hash-gated witness → never sits),
 # media_decode_checksum (the no-oracle sitter's witness, enforced by
 # test_registry), fraud_alerts (sole BroadcastState / FD megaphone
-# evidence — no kernel-class sibling, never sits). FIVE new
+# evidence — no kernel-class sibling, never sits). TWO new
 # registrations take the freed seats, in-window their first round per
-# the new-op policy: dedup_incremental (the persisted dedup store's
-# write→prune→probe→verify kernel — NO registered sibling, the r12
-# verdict's lead candidate) + ann_recall (the index-quality gate) +
-# minhash_jaccard_estimate + embedding_health + gopher_rules (all
-# pre-validated against DuckDB at the driver's sf0.01 in r12).
-# Seat arithmetic: 42 returning + 3 always-in + 5 new = 50.
-# CAPACITY after this round: 106 registered (102 − 1 retired + 5 new)
+# the new-op policy: cross_split_leakage (benchmark-shingle semi-join
+# over the banded pair kernel — the library op with the most distinct
+# unregistered kernel) + line_dedup (in-row map-only line filter;
+# zero-shuffle class with no registered sibling). Both carried full
+# DuckDB oracles through every round's library parity pass since r11.
+# Seat arithmetic: 45 returning + 3 always-in + 2 new = 50.
+# CAPACITY after this round: 106 registered (106 − 2 retired + 2 new)
 # = 3 always-in + 8 permanent composed sitters + 1 no-oracle sitter +
-# 94 alternating over 47 seats/round — exactly saturated at the
-# 94 = 2×47 cap (policy (a) still holds: every alternating row is
-# in-window exactly every other round), so every FUTURE registration
-# needs a matching flip or retirement first.
-# R14 PLAN for the EIGHT remaining library ops (load_library below:
-# budget_trim, training_plan_budget, shuffle_shards,
-# perplexity_buckets, cross_split_leakage, contamination_report,
-# ngram_novelty, line_dedup — all full-oracle + every-round
-# pytest-gated): the 47 r13 sitters return r14 + 3 always-in = 50, so
-# ZERO seats free without further pool shrinkage. Sanctioned moves for
-# r14, arithmetic-checked: retire tpch_q7 and tpch_q14 to library-only
-# (both returning r14; kernels ≡ tpch_q3/q5's filtered multi-join
-# decimal agg, gated every round by the library oracle pass) → TWO r14
-# seats → register cross_split_leakage + line_dedup (the two with the
-# most distinct kernels: benchmark-shingle semi-join; in-row map-only
-# line filter). Pool then 94 − 2 + 2 = 94 (saturated), and r15 repeats
-# the trade from the other phase (candidates: revenue_rollup ⊂
-# tpch_q1's decimal scan-agg class; customers_without_orders'
-# left-anti ⊂ curation-manifest family) until the library drains.
-# r13 session addendum: semantic_incremental (the persisted SRP
-# semantic store, functions/semantic_store.py) joined the library —
-# it is the R15 LEAD seat candidate ahead of the queue above (its
-# store-probe kernel has no registered sibling, exactly
-# dedup_incremental's r12 position), so the r15 trade seats it first.
-# The five r13-new ops sit r14 on in-window witnesses (all named
-# witnesses RETURN r14 because they sit r13 — checked against this
-# list): dedup_incremental/minhash_jaccard_estimate →
-# dedup_minhash_lsh (same signature+band kernels); ann_recall →
-# ann_ivf_int8 (the approximate side it drives verbatim) +
-# cosine_near_dup_exact (the exact-GEMM class of its brute side);
-# embedding_health → embed_quantize_int8 (same in-row norm fold);
-# gopher_rules → source_quality_rollup (same map-only doc-stats
-# class).
-# Sitting out r13 — every alternating row hash-green in r12
-# (CORRECTNESS_r12), witness noted ("(in)" = in the r13 window):
+# 94 alternating over 47 seats/round — still exactly saturated
+# (policy (a) holds: every alternating row in-window exactly every
+# other round), so every future registration needs a matching flip or
+# retirement from the PHASE THAT RETURNS that round.
+# R15 PLAN, arithmetic-checked: the 47 r14 sitters below return r15 +
+# 3 always-in = 50, zero free seats. A retirement only frees an r15
+# seat if the retiree is in the RETURNING phase (this list) — the r13
+# note's candidates (revenue_rollup, customers_without_orders) are
+# phase-B rows that sit r15 anyway, so they serve the R16 trade
+# instead (revenue_rollup ⊂ tpch_q1's decimal scan-agg class;
+# customers_without_orders' left-anti ⊂ the curation-manifest family).
+# Sanctioned R15 moves from THIS list: retire tpch_q3 (filtered
+# multi-join decimal agg ⊂ tpch_q5 + broadcast-dim top-k ⊂ tpch_q18 —
+# the tpch_q7/q10/q14 precedent, leaving q1/q5/q6/q18 as the
+# registered TPC-H rows) and retire knn_bruteforce (exact blocked-GEMM
+# top-k ⊂ cosine_near_dup_exact + knn_label_vote, same kernel) → TWO
+# r15 seats → register semantic_incremental (the persisted SRP
+# semantic store's write→prune→probe→verify kernel — NO registered
+# sibling, exactly dedup_incremental's r12 position: the LEAD seat) +
+# admission_report (the composed two-store admission funnel under one
+# value-hash). Pool then 94 − 2 + 2 = 94 (saturated); the library
+# queue after r15: budget_trim, training_plan_budget, shuffle_shards,
+# perplexity_buckets, contamination_report, ngram_novelty (+ retired
+# rows tpch_q7/q10/q14/q3/knn_bruteforce keeping their library
+# oracles).
+# The two r14-new ops sit r15 on in-window witnesses (both witnesses
+# are in THIS list, hence return r15 — checked): cross_split_leakage →
+# dedup_incremental (same signature+band pair kernel through the
+# persisted store) + ngram_jaccard (shingle kernel) +
+# decontaminate_flags (split-keyed semi-join class);
+# line_dedup → repetition_ratio (in-row array-expression text-stats
+# class) + token_count (shared in-row tokenizer split).
+# Sitting out r14 — every alternating row hash-green in r13
+# (CORRECTNESS_r13), witness noted ("(in)" = in the r14 window):
 DEPRIORITIZED = [
-    # ---- r12-green rows sitting one round ----
-    "nexmark_q5",              # sliding window agg: tumbling_window_agg + sliding_count_window (in)
-    "nexmark_q11",             # session windows: tumbling_window_agg/sliding_count_window (in, same §2A window row) + session-fire timer pytest (test_streaming)
-    "tpch_q5",                 # multi-join agg: tpch_q3 (in) + tpch_q18 (in, broadcast-dim join)
-    "keyed_running_reduce",    # keyed folds: keyed_agg (in)
-    "top_orders_per_customer", # window rank + join: tpch_q18 (in)
-    "revenue_rollup",          # decimal agg: tpch_q1 (in)
-    "semi_join_orders",        # semi-join kernel: decontaminate_flags (in)
-    "customers_without_orders",  # anti-join kernel: curation_manifest_semantic (in, left-anti)
-    "tpch_q6",                 # filter + agg: nexmark_q2 (in, filter) + tpch_q1 (in, scan agg)
-    "tpch_q7",                 # multi-join agg: tpch_q3 (in)
-    "tpch_q14",                # conditional-agg join: tpch_q3 (in)
-    "decimal_accumulators",    # BigDecimal: tpch_q1 (in, decimal scan agg)
-    "props_rollup",            # scalar map/string fns: nexmark_q1 (in, map) + pii_redact + url_normalize (in)
-    "q3_emit_once_join",       # emit-once stateful join: nexmark_q3 (in, SQL image) + wordcount_two_input (in, CoProcess) + emit-once replay pytest (test_stateful)
-    "interval_join",           # time-bounded join: nexmark_q8 (in, windowed equi-join) + asof_join (in)
-    "minby_maxby",             # keyed folds: keyed_agg (in)
-    "count_window",            # count windows: sliding_count_window (in)
-    "time_evictor_window",     # evictors: delta_evictor_window (in)
-    "delta_trigger",           # triggers: continuous_trigger + purging_trigger (in)
-    "dedup_minhash_lsh",       # banded-LSH kernel: dedup_incremental (in, same signature+band kernels through the persisted store) + ngram_jaccard (in, shingle kernel)
-    "dedup_simhash",           # token near-dup: dedup_bag (in) + doc_fingerprint (in, hash kernel)
-    "dedup_substring",         # winnowing: doc_fingerprint (in, rolling-hash class)
-    "canonical_by_quality",    # cluster argmax: dedup_clusters (in, the component chain it extends) + dedup_incremental (in, the same struct-MAX argmax in its probe verdict) + quality_score (in, the quality features)
-    "ngram_counts",            # explode/shingle count: wordcount + ngram_jaccard (in)
-    "source_quality_rollup",   # composed of quality_score + lang_id + repetition_ratio (all in)
-    "length_percentiles",      # doc stats: quality_score (in)
-    "doc_chunk",               # tokenizer: token_count (in, shared tokenizer)
-    "bpe_token_estimate",      # tokenizer: token_count (in)
-    "bigram_lm_score",         # broadcast-model scoring: lang_id (in, n-gram model class)
-    "keyword_extract",         # tf/df scoring: wordcount (in) + lang_id (in, broadcast-model class)
-    "bm25_top_docs",           # lexical retrieval: wordcount (in, token-count kernel) + lang_id (in, broadcast-model scoring class) + exact-rational scoring property pytest (test_properties, every round)
-    "media_byte_features",     # multimodal map-side: media_metadata + media_frame_sample (in)
-    "bpe_segment",             # shared tokenizer + model broadcast: token_count (in) + lang_id (in, broadcast-model class) + bpe_replay oracle pytest (test_bpe, every round)
-    "cosine_near_dup_exact",   # blocked GEMM: knn_bruteforce (in, same kernel)
-    "cosine_near_dup_lsh",     # SRP-LSH pairs: dedup_semantic (in, composes cosine_lsh_pairs — same SRP banding + in-bucket GEMM)
-    "ann_ivf",                 # IVF route+rerank: ivf_refine (in, centroid kernel) + ann_ivf_pq (in, routed search) + ann_recall (in, measures the same routed search)
-    "knn_label_vote",          # exact GEMM top-k: knn_bruteforce (in)
-    "ivf_refine_iters",        # Lloyd iterations: ivf_refine (in, the step kernel)
-    "embed_quantize_int8",     # quantization: ann_ivf_pq (in, same fused quantize+encode kernel)
-    "ann_ivf_int8",            # routed int8 search: ann_ivf_pq (in, routing + rerank) + ann_recall (in, drives it verbatim as the approximate side)
-    "pq_encode_trained",       # ann_ivf_pq (in, same _pq_model seed + fused encode kernel) + the pq_encode flip's iters=0 equality pytest (test_pq, every round)
-    "split_rollup",            # md5-split kernel: source_cap_sample (in, md5-order family) + curation_funnel (in, stage rollup over the same manifest chain)
-    "source_mix_sample",       # md5-ppm keep kernel: source_cap_sample (in, md5-order family)
-    "pack_plan",               # packing kernel: training_plan_over_store (in, composes the plan chain; store ≡ recompute equality-pinned in test_pq) + curation_funnel (in, same manifest chain)
-    "source_divergence",       # per-source KL: wordcount (in, the (source,word) count kernel) + lang_id (in, distribution-model class)
-    "dsir_weights",            # hashed-bigram importance: lang_id (in, hashed n-gram broadcast-model class) + integer-exact stream-twin pytest (test_streaming_extras, every round)
-    "ts_subsequence_match",    # ts family: ts_subsequence_sax (in, same z-norm + exact-int distance arithmetic)
+    # ---- r13-green rows sitting one round ----
+    "nexmark_q1",              # map: props_rollup (in, scalar map exprs)
+    "nexmark_q2",              # filter: tpch_q6 (in, filter + agg)
+    "nexmark_q3",              # SQL join image: tpch_q5 (in, multi-join) + q3_emit_once_join (in)
+    "nexmark_q8",              # windowed equi-join: interval_join (in, time-bounded join)
+    "tpch_q1",                 # decimal scan agg: decimal_accumulators + revenue_rollup (in)
+    "tpch_q3",                 # multi-join agg: tpch_q5 (in) + top_orders_per_customer (in, broadcast-dim top-k)
+    "keyed_agg",               # keyed folds: keyed_running_reduce + minby_maxby (in)
+    "tumbling_window_agg",     # window aggs: nexmark_q5 (in, sliding) + count_window (in)
+    "tpch_q18",                # window rank + join: top_orders_per_customer (in)
+    "all_window_agg",          # non-keyed window: nexmark_q5 + count_window (in, same §2A window family) + hostile-events parity (test_parity_edges)
+    "wordcount",               # flatMap + count: ngram_counts (in, explode/shingle count)
+    "wordcount_two_input",     # connect/CoFlatMap: q3_emit_once_join (in, CoProcess class) + hostile-docs parity (test_parity_edges)
+    "cogroup_apply",           # coGroup: q3_emit_once_join (in, two-input keyed apply) + hostile-events parity (test_parity_edges)
+    "sliding_count_window",    # count/sliding windows: count_window + nexmark_q5 (in)
+    "delta_evictor_window",    # evictors: time_evictor_window (in)
+    "continuous_trigger",      # triggers: delta_trigger (in)
+    "purging_trigger",         # triggers: delta_trigger (in)
+    "asof_join",               # tagged-union asof: interval_join (in, time-bounded family) + test_asof_stream_equals_batch pytest
+    "async_enrich",            # AsyncDataStream: interval_join (in, ordered enrich image) + hostile-events parity (test_parity_edges)
+    "token_count",             # tokenizer: doc_chunk + bpe_token_estimate + bpe_segment (in, shared tokenizer)
+    "quality_score",           # doc stats: length_percentiles + source_quality_rollup (in)
+    "lang_id",                 # source_quality_rollup (in) composes it
+    "doc_fingerprint",         # rolling hash: dedup_substring (in, same class)
+    "dedup_exact",             # md5 groupBy: dedup_minhash_lsh (in) + pack_plan (in, composes exact dedup via the manifest chain)
+    "dedup_bag",               # token-level near-dup: dedup_simhash (in)
+    "ngram_jaccard",           # shingle kernel: ngram_counts + dedup_minhash_lsh (in) + cross_split_leakage (in, pair chain)
+    "dedup_clusters",          # components: pack_plan (in, composes the transitive closure) + dedup_minhash_lsh (in, pair kernel)
+    "decontaminate_flags",     # semi-join kernel: semi_join_orders (in) + cross_split_leakage (in, split-keyed pair semi-join)
+    "minhash_jaccard_estimate",  # signature-agreement estimator: dedup_minhash_lsh (in, same signature+band kernels) + cross_split_leakage (in, composes the same pair chain)
+    "repetition_ratio",        # source_quality_rollup (in) composes it
+    "pii_redact",              # scalar regexes: props_rollup (in, scalar/string fns)
+    "url_normalize",           # scalar string fns: props_rollup (in)
+    "gopher_rules",            # map-only doc-stats class: source_quality_rollup (in)
+    "media_metadata",          # multimodal map-side: media_byte_features (in)
+    "media_frame_sample",      # multimodal map-side: media_byte_features (in)
+    "dedup_incremental",       # persisted-store probe: dedup_minhash_lsh (in, same signature+band kernels the store persists) + canonical_by_quality (in, the same struct-MAX argmax its probe verdict uses)
+    "knn_bruteforce",          # exact GEMM: cosine_near_dup_exact + knn_label_vote (in, same kernel)
+    "dedup_semantic",          # pack_plan (in) COMPOSES its whole chain via the manifest; cosine_near_dup_lsh (in, SRP pairs)
+    "ivf_refine",              # Lloyd step kernel: ann_ivf + ivf_refine_iters (in)
+    "embedding_health",        # in-row norm fold: embed_quantize_int8 (in, same kernel)
+    "ann_recall",              # recall gate: ann_ivf_int8 (in, the approximate side it drives verbatim) + cosine_near_dup_exact (in, the exact-GEMM class of its brute side)
+    "ann_ivf_pq",              # ADC search: ann_ivf_int8 (in, composes routing + rerank) + pq_encode_trained (in, encode kernel)
+    "source_cap_sample",       # md5 rank-cap: split_rollup (in) + source_mix_sample (in, md5-order family) + pack_plan (in, the cap via the plan chain)
+    "curation_manifest_semantic",  # pack_plan (in) COMPOSES it wholesale via training_plan's chain
+    "training_plan_over_store",    # pack_plan (in, IDENTICAL _drop_cap_losers + _epoch_plan tail over the same chain; store ≡ recompute equality-pinned in test_pq)
+    "curation_funnel",         # pack_plan (in, composes the manifest chain its stages count) + hostile-corpus parity (test_parity_edges)
+    "ts_subsequence_sax",      # ts family: ts_subsequence_match (in, same z-norm + exact-int distance arithmetic)
     # ---- permanent sitters (composed class — witness = composer) ----
     "sequence_pack",           # COMPOSED_SITTER_WITNESS: pack_plan
     "train_split",             # COMPOSED_SITTER_WITNESS: training_plan_over_store
@@ -262,25 +251,26 @@ def load_all() -> dict[str, QueryDef]:
 
 def load_library() -> dict[str, QueryDef]:
     """The LIBRARY surface: ops with full DuckDB oracles but no
-    driver-window seat (the R14 PLAN above; dedup_incremental,
-    ann_recall, minhash_jaccard_estimate, embedding_health and
-    gopher_rules graduated to ``@register`` seats in r13 —
+    driver-window seat (the R15 PLAN above; cross_split_leakage and
+    line_dedup graduated to ``@register`` seats in r14 —
+    dedup_incremental/ann_recall/minhash_jaccard_estimate/
+    embedding_health/gopher_rules did in r13,
     bm25_top_docs/dsir_weights/canonical_by_quality/source_divergence
-    did in r12). Also holds rows RETIRED from the registered surface
-    (tpch_q10, r13) whose kernels are driver-hash-gated by siblings:
-    retirement only moves the evidence channel, never removes the
-    oracle. Shaped exactly like ``load_all()`` entries — same
-    (spark, sf_dir) → DataFrame contract, same prepare() wrapping,
-    oracle attached — so registering one is moving it into a
-    ``@register`` decorator and a seat. NOT exposed through
-    ``__spark_entry__.queries()``; gated every round by
-    tests/test_oracle_parity.py's library pass instead."""
+    in r12). Also holds rows RETIRED from the registered surface
+    (tpch_q10 in r13; tpch_q7 and tpch_q14 in r14) whose kernels are
+    driver-hash-gated by siblings: retirement only moves the evidence
+    channel, never removes the oracle. Shaped exactly like
+    ``load_all()`` entries — same (spark, sf_dir) → DataFrame
+    contract, same prepare() wrapping, oracle attached — so
+    registering one is moving it into a ``@register`` decorator and a
+    seat. NOT exposed through ``__spark_entry__.queries()``; gated
+    every round by tests/test_oracle_parity.py's library pass
+    instead."""
     from trisk_spark.functions import (
         admission,
         dedup,
         sampling,
         semantic_store,
-        text,
     )
     from trisk_spark.operators import relational
 
@@ -295,17 +285,16 @@ def load_library() -> dict[str, QueryDef]:
             sampling.perplexity_buckets,
             sampling.ppl_buckets_sql(),
         ),
-        "cross_split_leakage": (
-            sampling.cross_split_leakage,
-            sampling.cross_split_leakage_sql(),
-        ),
         "contamination_report": (
             dedup.contamination_report,
             dedup._contamination_report_sql(),
         ),
         "ngram_novelty": (dedup.ngram_novelty, dedup.NGRAM_NOVELTY_SQL),
-        "line_dedup": (text.line_dedup, text.LINE_DEDUP_SQL),
         "tpch_q10": (relational.tpch_q10, relational.TPCH_Q10_SQL),
+        # r14-retired (the R14 seat trade): kernels driver-hash-gated
+        # by tpch_q3/q5/q18; full oracles keep running here.
+        "tpch_q7": (relational.tpch_q7, relational.TPCH_Q7_SQL),
+        "tpch_q14": (relational.tpch_q14, relational.TPCH_Q14_SQL),
         # r13-new: the persisted SRP semantic store's
         # write→prune→probe→verify kernel — the embedding-space mirror
         # of dedup_incremental and, like it in r12, the lead candidate
