@@ -51,6 +51,9 @@ def _seed_stores(spark, tmp_path):
 _WAVE1 = [
     (13, "w", "x", _E_BASE),        # token floor fail — quality, even
                                     # though its embedding dups the corpus
+    (14, "w", None, _E_BASE),       # NULL text — staged 'invalid', not
+                                    # silently dropped (r13 ADVICE: the
+                                    # report is a total accounting)
     (10, "w", T1, _E_BASE),         # byte copy of doc 1 — dup_text
     (11, "w", T2, _E_BASE),         # new text, corpus embedding — dup_semantic
     (12, "w", T3, _E_NOVEL),        # novel on both axes — admitted
@@ -85,6 +88,7 @@ def test_admission_wave_funnel_and_loop(spark, tmp_path):
     r1 = _stage_map(admission.admission_wave(spark, w1, dpath, spath).collect())
     assert r1 == {
         13: ("quality", None),
+        14: ("invalid", None),
         10: ("dup_text", 1),
         11: ("dup_semantic", 1),
         12: ("admitted", None),
@@ -160,6 +164,7 @@ def test_admission_stream_equals_waves_and_replay_guard(spark, tmp_path):
     assert per_batch == {
         0: {
             13: ("quality", None),
+            14: ("invalid", None),
             10: ("dup_text", 1),
             11: ("dup_semantic", 1),
             12: ("admitted", None),
@@ -192,3 +197,78 @@ def test_admission_stream_equals_waves_and_replay_guard(spark, tmp_path):
         (r.vec_id, tuple(r.vec), r.norm)
         for r in spark.read.parquet(f"{spath}/vectors").collect()
     ) == vec_snap
+    # the happy path leaves no intent dirs behind
+    import glob
+
+    assert glob.glob(f"{dpath}/_admission_intent_*") == []
+
+
+def test_admission_stream_heals_cross_append_crash(spark, tmp_path, monkeypatch):
+    """The r13 ADVICE window as a forced crash: the stream dies BETWEEN
+    the two appends (dedup landed, semantic did not, watermark
+    unwritten). A naive replay would re-probe, let the within-wave
+    near-dup pair cross-flag against its own first-attempt dedup
+    admissions, and permanently lose both semantic vectors. The intent
+    log must instead re-drive the appends from the first attempt's
+    verdicts: both vectors land, nothing double-appends, and the sink
+    receives the FIRST attempt's report."""
+    import time as _time
+
+    dpath, spath = _seed_stores(spark, tmp_path)
+    # 30/31: byte-identical text + identical novel embedding — a
+    # within-wave near-dup GROUP, novel vs the corpus, so the first
+    # attempt admits BOTH together (the batch-boundary contract)
+    wave = [(30, "w", T4, _E_NOVEL), (31, "w", T4, _E_NOVEL)]
+    waves_dir = str(tmp_path / "waves")
+    spark.createDataFrame(wave, _SCHEMA).coalesce(1).write.parquet(waves_dir)
+    now = int(_time.time())
+
+    def run(tag, sink):
+        stream = (
+            spark.readStream.schema(_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(waves_dir)
+        )
+        q = (
+            admission.admission_stream(spark, stream, dpath, spath, sink)
+            .option("checkpointLocation", checkpoint_dir(tag))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def dying_append(spark_, new_emb, path):
+        raise RuntimeError("injected crash between the two appends")
+
+    monkeypatch.setattr(admission, "append_semantic_store", dying_append)
+    crashed = []
+    try:
+        run("admissionheal", lambda bdf, bid: crashed.append(bid))
+        raise AssertionError("injected crash did not surface")
+    except Exception as e:  # StreamingQueryException wraps the injection
+        assert "injected crash" in str(e)
+    assert crashed == [], "sink ran despite the crash"
+    monkeypatch.undo()
+
+    # crash state: dedup has the pair, semantic does not, intent exists
+    docs, vecs = _store_ids(spark, dpath, spath)
+    assert docs == {1, 30, 31} and vecs == {1}
+    import glob
+
+    assert glob.glob(f"{dpath}/_admission_intent_*"), "intent missing"
+
+    # restart from the SAME checkpoint: the batch replays, the intent
+    # path re-drives both appends, the sink sees attempt 1's report
+    reports = {}
+    run("admissionheal", lambda bdf, bid: reports.update({bid: _stage_map(bdf.collect())}))
+    assert reports == {0: {30: ("admitted", None), 31: ("admitted", None)}}
+    docs, vecs = _store_ids(spark, dpath, spath)
+    assert docs == {1, 30, 31}, "replay re-probed and cross-flagged the pair"
+    assert vecs == {1, 30, 31}, "semantic vectors lost to the crash window"
+    # nothing double-appended, intent cleaned up, watermark advanced
+    drow = dedup_store.dedup_store_stats(spark, dpath).collect()[0]
+    assert drow.n_dup_signature_ids == 0 and drow.n_unsigned_band_docs == 0
+    srow = S.semantic_store_stats(spark, spath).collect()[0]
+    assert srow.n_dup_vector_ids == 0 and srow.n_unvectored_band_ids == 0
+    assert glob.glob(f"{dpath}/_admission_intent_*") == []
+    assert admission.storefs.read_ingest_watermark(dpath) == 0

@@ -184,6 +184,9 @@ def test_readme_op_table_names_are_registered():
         # r13: the composed admission pipeline over both stores
         "admission_wave", "admission_stream", "admission_report", "doc_id",
         "stage", "dup_of",
+        # r14: replay-repair machinery + the admission intent log
+        "repair_replayed_append", "n_dup_signature_ids",
+        "n_dup_vector_ids", "invalid",
     }
     missing = {
         c for c in cited

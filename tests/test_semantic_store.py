@@ -347,7 +347,9 @@ def test_stats_parity_saturation_and_crash_detection(spark, tmp_path):
         FROM read_parquet('{path}/bands/*/*/*.parquet', hive_partitioning=1)
         GROUP BY band_idx, bv
       ),
-      d AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs
+      d AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
+              CAST(COUNT(*) - COUNT(DISTINCT vec_id) AS BIGINT)
+                AS n_dup_vector_ids
             FROM read_parquet('{path}/vectors/*.parquet')),
       u AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_unvectored_band_ids FROM (
         SELECT DISTINCT vec_id
@@ -362,9 +364,10 @@ def test_stats_parity_saturation_and_crash_detection(spark, tmp_path):
         ROUND(AVG(n), 2) AS avg_bucket,
         CAST(SUM(CASE WHEN n >= {VEC_BUCKET_CAP} THEN 1 ELSE 0 END) AS BIGINT)
           AS saturated_buckets,
-        u.n_unvectored_band_ids
+        u.n_unvectored_band_ids,
+        d.n_dup_vector_ids
       FROM per CROSS JOIN d CROSS JOIN u
-      GROUP BY d.n_vecs, u.n_unvectored_band_ids
+      GROUP BY d.n_vecs, u.n_unvectored_band_ids, d.n_dup_vector_ids
     """
     assert_matches_oracle(S.semantic_store_stats(spark, path), con, oracle)
 
@@ -404,6 +407,46 @@ def test_stats_parity_saturation_and_crash_detection(spark, tmp_path):
         bands.groupBy("band_idx", "bv", "vec_id").count()
         .where(F.col("count") > 1).count() == 0
     ), "band replay stacked duplicate rows"
+
+
+def test_replayed_append_detect_and_repair(spark, tmp_path):
+    """The watermark crash window as CODE (r13 VERDICT next-round #3),
+    semantic side: a wave's append lands, the watermark write is
+    skipped, the batch replays — the wave vector is novel (its only
+    store match is itself, which the probe id-excludes), so it appends
+    a second time. Detection: ``n_dup_vector_ids`` > 0. Repair:
+    ``repair_replayed_append`` → stats clean AND probe ≡ a
+    never-crashed twin's."""
+    seed = spark.createDataFrame([(1, _BASE)], _EMB_SCHEMA)
+    wave = spark.createDataFrame([(99991, _NOVEL)], _EMB_SCHEMA)
+    path, twin = str(tmp_path / "store"), str(tmp_path / "twin")
+    for p in (path, twin):
+        S.write_semantic_store(spark, seed, p)
+        S.semantic_ingest_wave(spark, wave, p)
+    S.semantic_ingest_wave(spark, wave, path)  # the replay
+    row = S.semantic_store_stats(spark, path).collect()[0]
+    assert row.n_dup_vector_ids == 1, "replayed append undetected"
+    bands = spark.read.parquet(f"{path}/bands")
+    assert (
+        bands.groupBy("band_idx", "bv", "vec_id").count()
+        .where(F.col("count") > 1).count() == 0
+    ), "band replay stacked duplicate rows"
+
+    S.repair_replayed_append(spark, path)
+    row = S.semantic_store_stats(spark, path).collect()[0]
+    assert row.n_dup_vector_ids == 0
+    assert row.n_unvectored_band_ids == 0
+    assert row.n_vecs == 2
+    probe = spark.createDataFrame(
+        [(88881, _NOVEL), (88882, _BASE)], _EMB_SCHEMA
+    )
+    repaired = sorted(
+        map(tuple, S.probe_semantic_store(spark, probe, path).collect())
+    )
+    clean = sorted(
+        map(tuple, S.probe_semantic_store(spark, probe, twin).collect())
+    )
+    assert repaired == clean and len(repaired) > 0
 
 
 def test_compact_midstream_and_crash_repair(spark, tmp_path):

@@ -37,6 +37,9 @@ mandate, SURVEY.md §7 step 7); this composes the repo's own stores.
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from trisk_spark.catalog import table
@@ -75,8 +78,12 @@ from trisk_spark.functions.similarity import (
     VEC_BUCKET_CAP,
 )
 
-#: Funnel stages, in gate order.
-STAGES = ("quality", "dup_text", "dup_semantic", "admitted")
+#: Funnel stages, in gate order. 'invalid' = NULL text (nothing to
+#: judge — staged, not silently dropped, so the report is a TOTAL
+#: accounting of every identifiable document in the wave). Rows with
+#: NULL doc_id ARE dropped: a report keyed by doc_id cannot carry
+#: them (the one documented exclusion).
+STAGES = ("invalid", "quality", "dup_text", "dup_semantic", "admitted")
 
 
 def admission_wave(
@@ -87,11 +94,15 @@ def admission_wave(
 ) -> DataFrame:
     """Run one wave through the staged admission funnel and ADMIT the
     survivors into both stores. Returns the funnel report —
-    (doc_id, stage, dup_of): stage = 'quality' (failed the manifest
-    quality/token floor; dup_of NULL), 'dup_text' (MinHash-store probe
-    flagged is_dup; dup_of = the store document), 'dup_semantic'
+    (doc_id, stage, dup_of): stage = 'invalid' (NULL text — nothing to
+    judge; dup_of NULL), 'quality' (failed the manifest quality/token
+    floor; dup_of NULL), 'dup_text' (MinHash-store probe flagged
+    is_dup; dup_of = the store document), 'dup_semantic'
     (semantic-store probe flagged is_dup on a text-surviving doc;
-    dup_of = the store vector), or 'admitted'. The report is
+    dup_of = the store vector), or 'admitted'. The report is a TOTAL
+    accounting of the wave's identifiable documents (rows with NULL
+    doc_id are the one documented drop — a doc_id-keyed report cannot
+    carry them). The report is
     materialized BEFORE the appends (the ``ingest_wave`` rule: it
     describes the store the wave was judged against, not the store it
     changed). Within-wave duplicates are admitted together this wave
@@ -122,9 +133,12 @@ def _admission_verdicts(
     )
     from trisk_spark.functions.text import quality_expr
 
-    base = batch.where(
-        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
-    ).localCheckpoint()
+    keyed = batch.where(F.col("doc_id").isNotNull()).localCheckpoint()
+    invalid = keyed.where(F.col("text").isNull()).select(
+        "doc_id", F.lit("invalid").alias("stage"),
+        F.lit(None).cast("bigint").alias("dup_of"),
+    )
+    base = keyed.where(F.col("text").isNotNull())
     ws = F.filter(F.split("text", " "), lambda w: w != "")
     q = base.select(
         "doc_id",
@@ -165,7 +179,8 @@ def _admission_verdicts(
     ).localCheckpoint()
 
     report = (
-        quality_rej
+        invalid
+        .unionByName(quality_rej)
         .unionByName(
             flagged_t.select(
                 "doc_id", F.lit("dup_text").alias("stage"), "dup_of"
@@ -187,6 +202,14 @@ def _admission_verdicts(
     return report, s2
 
 
+def _intent_path(dedup_path: str, batch_id: int) -> str:
+    """The batch's durable intent directory, beside the dedup store
+    (the path the composed watermark already lives at)."""
+    return (
+        f"{storefs.strip_file_scheme(dedup_path)}/_admission_intent_{batch_id}"
+    )
+
+
 def admission_stream(
     spark: SparkSession,
     docs_stream: DataFrame,
@@ -194,17 +217,40 @@ def admission_stream(
     sem_path: str,
     sink,
 ):
-    """CONTINUOUS admission — ``admission_wave`` per micro-batch, with
-    the store-family replay guard: ONE batch-id watermark (persisted
-    beside the dedup store, the path that is always written) governs
-    the composed admission, written after BOTH appends land; a
-    replayed batch ≤ the watermark is skipped entirely. A crash
-    between the two appends replays the whole wave — the dedup store's
-    documented signature-replay window plus the semantic store's
-    vector-replay window, both band-idempotent and both detectable by
-    their stats cross-checks. Sink contract as the single-store
-    streams: fully materialize inside the call. Returns the
-    ``DataStreamWriter`` ready to ``.start()``."""
+    """CONTINUOUS admission — ``admission_wave`` per micro-batch, made
+    EXACTLY-ONCE across every crash window by a durable INTENT LOG on
+    top of the store-family batch-id watermark:
+
+      probe (read-only) → write the funnel report ATOMICALLY beside
+      the dedup store (``_admission_intent_<batch_id>``: tmp dir +
+      rename) → append dedup → append semantic → watermark → drop the
+      intent → sink.
+
+    Replay semantics by crash point:
+
+      * BEFORE the intent rename: nothing landed (probes are
+        read-only) — the replayed batch re-probes pristine stores,
+        the normal path;
+      * AFTER the intent, anywhere up to the watermark — including
+        BETWEEN the two appends, the window where a naive replay
+        would let within-wave near-dup groups cross-flag against
+        their own first-attempt dedup-store admissions and
+        permanently lose their semantic vectors (r13 ADVICE): the
+        replayed batch does NOT re-probe; it re-drives both appends
+        from the recorded verdicts, each behind a store-membership
+        anti-join, so first-attempt admissions never double-append,
+        missing ones land, and the sink receives the FIRST attempt's
+        report;
+      * AFTER the watermark: the batch is skipped entirely (the sink
+        already saw, or chose to drop, that batch id — sinks needing
+        redelivery keep their own batch-id ledger).
+
+    The membership anti-joins run ONLY on the replay path: the happy
+    path stays two probes + two appends + one report-sized intent
+    write, and a recovery replay pays one id-column scan per store
+    row table. Sink contract as the single-store streams: fully
+    materialize inside the call. Returns the ``DataStreamWriter``
+    ready to ``.start()``."""
     storefs.require_rename_fs(dedup_path, "admission_stream")
     storefs.require_rename_fs(sem_path, "admission_stream")
 
@@ -214,8 +260,60 @@ def admission_stream(
             return
         batch_df = batch_df.persist()
         try:
-            report = admission_wave(spark, batch_df, dedup_path, sem_path)
+            ipath = _intent_path(dedup_path, batch_id)
+            if os.path.exists(ipath):
+                # replay past a recorded intent: re-drive the appends
+                # from the first attempt's verdicts — never re-probe a
+                # store some of the wave already landed in
+                report = spark.read.parquet(ipath).localCheckpoint()
+                admitted = report.where(
+                    F.col("stage") == "admitted"
+                ).select("doc_id")
+                s2 = (
+                    batch_df.where(
+                        F.col("doc_id").isNotNull()
+                        & F.col("text").isNotNull()
+                    )
+                    .join(F.broadcast(admitted), "doc_id", "left_semi")
+                    .localCheckpoint()
+                )
+                sig_ids = spark.read.parquet(
+                    f"{dedup_path}/signatures"
+                ).select("doc_id")
+                append_dedup_store(
+                    spark,
+                    s2.select("doc_id", "text").join(
+                        sig_ids, "doc_id", "left_anti"
+                    ),
+                    dedup_path,
+                )
+                vec_ids = spark.read.parquet(
+                    f"{sem_path}/vectors"
+                ).select("vec_id")
+                append_semantic_store(
+                    spark,
+                    s2.select(
+                        F.col("doc_id").alias("vec_id"), "embedding"
+                    ).join(vec_ids, "vec_id", "left_anti"),
+                    sem_path,
+                )
+            else:
+                report, s2 = _admission_verdicts(
+                    spark, batch_df, dedup_path, sem_path
+                )
+                tmp = ipath + "_tmp"
+                report.write.mode("overwrite").parquet(tmp)
+                os.rename(tmp, ipath)
+                append_dedup_store(
+                    spark, s2.select("doc_id", "text"), dedup_path
+                )
+                append_semantic_store(
+                    spark,
+                    s2.select(F.col("doc_id").alias("vec_id"), "embedding"),
+                    sem_path,
+                )
             storefs.write_ingest_watermark(dedup_path, batch_id)
+            shutil.rmtree(ipath, ignore_errors=True)
             sink(report, batch_id)
         finally:
             batch_df.unpersist()
@@ -241,11 +339,20 @@ def _admission_report_sql() -> str:
         MANIFEST_MIN_TOKENS,
     )
     from trisk_spark.functions.semantic_store import SEM_ARRIVING_MOD
-    from trisk_spark.functions.text import _SW_SQL
+    from trisk_spark.functions.text import quality_sql
 
     # one `mod` drives both probes' splits below — fail the import,
     # not the hash gate, if the two store constants ever diverge
-    assert SEM_ARRIVING_MOD == DEDUP_ARRIVING_MOD
+    # (an explicit raise, not an assert: `python -O` strips asserts
+    # and a divergence would then silently split the oracle's
+    # semantic side on the wrong mod — r13 ADVICE)
+    if SEM_ARRIVING_MOD != DEDUP_ARRIVING_MOD:
+        raise ValueError(
+            "admission oracle needs SEM_ARRIVING_MOD == "
+            f"DEDUP_ARRIVING_MOD (got {SEM_ARRIVING_MOD} != "
+            f"{DEDUP_ARRIVING_MOD}): one arriving split drives both "
+            "store probes"
+        )
     mod = DEDUP_ARRIVING_MOD
     tcapped = ",\n".join(
         f"""tcapped{b} AS (
@@ -283,9 +390,7 @@ agate AS (
   SELECT doc_id,
     (len(ws) >= {MANIFEST_MIN_TOKENS} AND COALESCE(
        CASE WHEN len(ws) > 0 THEN
-         0.5 * LEAST(len(ws) / 64.0, 1.0)
-         + 0.3 * (1.0 - CAST(len(list_filter(ws, w -> w IN {_SW_SQL})) AS DOUBLE) / len(ws))
-         + 0.2 * LEAST((CAST(length(text) - len(ws) + 1 AS DOUBLE) / len(ws)) / 8.0, 1.0)
+         {quality_sql()}
        END, 0.0) >= {MANIFEST_MIN_QUALITY}) AS q_ok
   FROM (SELECT doc_id, text,
           list_filter(string_split(text, ' '), w -> w <> '') AS ws
@@ -361,7 +466,11 @@ sflag AS (SELECT new_id AS doc_id, ref_id AS dup_of FROM sbest
           WHERE rk = 1 AND cos >= {NEAR_DUP_COS}),
 s2 AS (SELECT doc_id FROM s1
        WHERE doc_id NOT IN (SELECT doc_id FROM sflag))
-SELECT doc_id, 'quality' AS stage, CAST(NULL AS BIGINT) AS dup_of
+SELECT doc_id, 'invalid' AS stage, CAST(NULL AS BIGINT) AS dup_of
+FROM documents
+WHERE doc_id IS NOT NULL AND text IS NULL
+  AND ((doc_id % {mod}) + {mod}) % {mod} = 0
+UNION ALL SELECT doc_id, 'quality' AS stage, CAST(NULL AS BIGINT) AS dup_of
 FROM agate WHERE NOT q_ok
 UNION ALL SELECT doc_id, 'dup_text' AS stage, dup_of FROM tflag
 UNION ALL SELECT doc_id, 'dup_semantic' AS stage, dup_of FROM sflag

@@ -46,10 +46,12 @@ on S3-style object stores, where a deployment would put the swap
 behind a manifest table / conditional put. The constraint is enforced
 loudly: both entry points refuse ``scheme://`` paths other than
 ``file:``. Crash windows that remain (append is two parquet writes;
-watermark lands after the append) are documented per-function with
-their detection (``dedup_store_stats``'s ``n_unsigned_band_docs``)
-and repair (re-run the wave's append — band re-cap deduplicates, so
-the repair is idempotent).
+watermark lands after the append) each have CODE for detection and
+repair: a crash between the two append writes shows as
+``dedup_store_stats``'s ``n_unsigned_band_docs`` > 0 (repair = re-run
+the wave's append — band re-cap deduplicates, so the repair is
+idempotent); a replay past a missed watermark write shows as
+``n_dup_signature_ids`` > 0 (repair = ``repair_replayed_append``).
 
 Reference: the reference has no dedup store (beyond-reference mandate,
 SURVEY.md §7 step 7); the layout is the ``ivf_store``/``sax_store``
@@ -456,9 +458,10 @@ def dedup_ingest_stream(
     Forced-replay pytest pins zero duplicate signature rows. Remaining
     crash window: a crash BETWEEN the append and the watermark write
     replays one wave's signature append (bands re-cap idempotently);
-    detection = signature doc_id multiplicity, repair = dropDuplicates
-    rewrite of ``signatures`` — or run the store behind a
-    transactional table format at deployment scale."""
+    detection = ``dedup_store_stats``'s ``n_dup_signature_ids`` > 0,
+    repair = ``repair_replayed_append`` (both code, forced-crash
+    pytest-pinned) — or run the store behind a transactional table
+    format at deployment scale."""
     _require_rename_fs(path, "dedup_ingest_stream")
 
     def fb(batch_df: DataFrame, batch_id: int) -> None:
@@ -516,6 +519,21 @@ def repair_dedup_store(path: str) -> None:
     storefs.repair_store(path, ("signatures", "bands"))
 
 
+def repair_replayed_append(spark: SparkSession, path: str) -> None:
+    """Repair the ingest stream's documented watermark crash window: a
+    crash BETWEEN a wave's append and its watermark write replays the
+    wave's signature append once (bands re-cap idempotently —
+    ``append_dedup_store``'s dropDuplicates rule — so only signatures
+    duplicate). Detection: ``dedup_store_stats``'s
+    ``n_dup_signature_ids`` > 0. Repair: dropDuplicates-by-doc_id
+    rewrite of ``signatures`` through the crash-safe swap protocol
+    (``storefs.repair_replayed_append``); replayed rows are
+    byte-identical per doc_id, so keeping any one is exact. Probe ≡
+    never-crashed twin pytest-pinned (test_dedup_store's forced-crash
+    replay)."""
+    storefs.repair_replayed_append(spark, path, "signatures", "doc_id")
+
+
 def compact_dedup_store(
     spark: SparkSession, path: str, sig_files: int = 8
 ) -> None:
@@ -569,11 +587,21 @@ def dedup_store_stats(spark: SparkSession, path: str) -> DataFrame:
     is the signature of an append that crashed between its band
     rewrite and its signature write (``append_dedup_store``'s
     documented crash window; repair = re-run the wave's append).
+    ``n_dup_signature_ids`` counts signature rows beyond the first per
+    doc_id — 0 in every consistent store; > 0 is the signature of a
+    wave's append REPLAYED past a missed watermark write
+    (``dedup_ingest_stream``'s documented crash window; repair =
+    ``repair_replayed_append``).
     One partial-agg pass over the (already partition-local) band rows
     plus a distinct-ids anti-join against the signature ids —
     id-column reads only, both sides column-pruned."""
     sigs = spark.read.parquet(f"{path}/signatures")
-    docs = sigs.agg(F.count("*").cast("bigint").alias("n_docs"))
+    docs = sigs.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        (F.count("*") - F.count_distinct(F.col("doc_id")))
+        .cast("bigint")
+        .alias("n_dup_signature_ids"),
+    )
     band_rows = spark.read.parquet(f"{path}/bands")
     unsigned = (
         band_rows.select("doc_id")
@@ -598,7 +626,7 @@ def dedup_store_stats(spark: SparkSession, path: str) -> DataFrame:
         .select(
             "n_docs", "n_band_rows", "n_buckets", "min_bucket",
             "max_bucket", "avg_bucket", "saturated_buckets",
-            "n_unsigned_band_docs",
+            "n_unsigned_band_docs", "n_dup_signature_ids",
         )
     )
 

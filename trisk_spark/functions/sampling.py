@@ -22,7 +22,7 @@ import threading
 from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
 from trisk_spark.catalog import table
-from trisk_spark.functions.text import _SW_SQL, quality_expr
+from trisk_spark.functions.text import quality_expr, quality_sql
 from trisk_spark.registry import register
 
 #: split thresholds over a 0-99 hash bucket: [0,80) train, [80,90) val,
@@ -449,9 +449,7 @@ scored AS (
     md5(lower(text)) AS content_md5,
     CAST(len(ws) AS BIGINT) AS n_tokens,
     {_SPLIT_CASE_SQL} AS split,
-    0.5 * LEAST(len(ws) / 64.0, 1.0)
-      + 0.3 * (1.0 - CAST(len(list_filter(ws, w -> w IN {_SW_SQL})) AS DOUBLE) / len(ws))
-      + 0.2 * LEAST((CAST(length(text) - len(ws) + 1 AS DOUBLE) / len(ws)) / 8.0, 1.0)
+    {quality_sql()}
       AS q
   FROM base WHERE len(ws) >= {MANIFEST_MIN_TOKENS}
 ),
@@ -1321,9 +1319,7 @@ BUDGET_TRIM_SQL = f"""
 WITH scored AS (
   SELECT doc_id,
     CAST(len(ws) AS BIGINT) AS n_tokens,
-    0.5 * LEAST(len(ws) / 64.0, 1.0)
-      + 0.3 * (1.0 - CAST(len(list_filter(ws, w -> w IN {_SW_SQL})) AS DOUBLE) / len(ws))
-      + 0.2 * LEAST((CAST(length(text) - len(ws) + 1 AS DOUBLE) / len(ws)) / 8.0, 1.0)
+    {quality_sql()}
       AS q
   FROM (SELECT doc_id, text,
           list_filter(string_split(text, ' '), w -> w <> '') AS ws

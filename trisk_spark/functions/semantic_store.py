@@ -399,8 +399,9 @@ def semantic_ingest_stream(
     call. Returns the ``DataStreamWriter`` ready to ``.start()``.
     Remaining crash window: a crash BETWEEN the append and the
     watermark write replays one wave's vector append (bands re-cap
-    idempotently); detection = vector vec_id multiplicity, repair =
-    dropDuplicates rewrite of ``vectors``."""
+    idempotently); detection = ``semantic_store_stats``'s
+    ``n_dup_vector_ids`` > 0, repair = ``repair_replayed_append``
+    (both code, forced-crash pytest-pinned)."""
     storefs.require_rename_fs(path, "semantic_ingest_stream")
 
     def fb(batch_df: DataFrame, batch_id: int) -> None:
@@ -442,6 +443,20 @@ def repair_semantic_store(path: str) -> None:
     storefs.repair_store(path, ("vectors", "bands"))
 
 
+def repair_replayed_append(spark: SparkSession, path: str) -> None:
+    """Repair the ingest stream's documented watermark crash window: a
+    crash BETWEEN a wave's append and its watermark write replays the
+    wave's vector append once (bands re-cap idempotently, so only
+    vectors duplicate). Detection: ``semantic_store_stats``'s
+    ``n_dup_vector_ids`` > 0. Repair: dropDuplicates-by-vec_id rewrite
+    of ``vectors`` through the crash-safe swap protocol
+    (``storefs.repair_replayed_append``); replayed rows are
+    byte-identical per vec_id, so keeping any one is exact. Probe ≡
+    never-crashed twin pytest-pinned (test_semantic_store's
+    forced-crash replay)."""
+    storefs.repair_replayed_append(spark, path, "vectors", "vec_id")
+
+
 def compact_semantic_store(
     spark: SparkSession, path: str, vec_files: int = 8
 ) -> None:
@@ -468,16 +483,25 @@ def compact_semantic_store(
 def semantic_store_stats(spark: SparkSession, path: str) -> DataFrame:
     """Store health table — the ``dedup_store_stats`` image: one row
     with (n_vecs, n_band_rows, n_buckets, min_bucket, max_bucket,
-    avg_bucket, saturated_buckets, n_unvectored_band_ids) where a
-    saturated bucket sits AT the write-time cap.
-    ``n_unvectored_band_ids`` counts distinct band vec_ids with NO
-    vector row — 0 in every consistent store; > 0 is the signature of
-    an append that crashed between its band rewrite and its vector
-    write. One partial-agg pass over the band rows plus a
-    distinct-ids anti-join against the vector ids — id-column reads
-    only, both sides column-pruned."""
+    avg_bucket, saturated_buckets, n_unvectored_band_ids,
+    n_dup_vector_ids) where a saturated bucket sits AT the write-time
+    cap. ``n_unvectored_band_ids`` counts distinct band vec_ids with
+    NO vector row — 0 in every consistent store; > 0 is the signature
+    of an append that crashed between its band rewrite and its vector
+    write. ``n_dup_vector_ids`` counts vector rows beyond the first
+    per vec_id — 0 in every consistent store; > 0 is the signature of
+    a wave's append REPLAYED past a missed watermark write
+    (``semantic_ingest_stream``'s documented crash window; repair =
+    ``repair_replayed_append``). One partial-agg pass over the band
+    rows plus a distinct-ids anti-join against the vector ids —
+    id-column reads only, both sides column-pruned."""
     vecs = spark.read.parquet(f"{path}/vectors")
-    n_vecs = vecs.agg(F.count("*").cast("bigint").alias("n_vecs"))
+    n_vecs = vecs.agg(
+        F.count("*").cast("bigint").alias("n_vecs"),
+        (F.count("*") - F.count_distinct(F.col("vec_id")))
+        .cast("bigint")
+        .alias("n_dup_vector_ids"),
+    )
     band_rows = spark.read.parquet(f"{path}/bands")
     unvectored = (
         band_rows.select("vec_id")

@@ -1,7 +1,8 @@
 """Shared durability machinery for the persisted-store family
 (``dedup_store``'s MinHash band store, ``semantic_store``'s SRP band
 store): the fail-loud filesystem gate, the atomic ingest watermark,
-and the crash-safe compaction swap/repair protocol. Extracted from
+the crash-safe compaction swap/repair protocol, and the
+replayed-append repair rewrite. Extracted from
 ``dedup_store`` (r12/r13) when the semantic store arrived — ONE
 implementation of the swap state machine, table names parameterized.
 
@@ -94,6 +95,49 @@ def repair_store(path: str, tables: tuple[str, ...]) -> None:
             shutil.rmtree(old, ignore_errors=True)
         elif os.path.exists(old):
             os.rename(old, live)
+
+
+def repair_replayed_append(
+    spark,
+    path: str,
+    table: str,
+    id_col: str | list[str],
+    files: int = 8,
+    partition_by: tuple[str, ...] = (),
+) -> None:
+    """Repair the documented watermark-window replay: a crash BETWEEN a
+    wave's row-table append and the ingest-watermark write replays that
+    wave once, duplicating its rows in the store's row table (bands
+    re-cap idempotently, so only the row table needs repair; the
+    per-store stats expose the damage as ``n_dup_signature_ids`` /
+    ``n_dup_vector_ids`` > 0). Replayed rows are BYTE-IDENTICAL per id
+    (same wave, same deterministic kernel), so the repair is a
+    ``dropDuplicates([id_col])`` rewrite — and it reuses the compaction
+    swap protocol verbatim: build ``<table>_compact_tmp``, then the
+    recovery-ordered rename swap, so a crash MID-REPAIR lands in a
+    state ``repair_store`` already knows how to finish or roll back.
+    Entry first repairs any half-swapped leftovers (repair-on-entry,
+    the compaction rule). ``id_col`` may be one column or a composite
+    key list (the bm25 store's postings dedupe on (term, doc_id));
+    ``partition_by`` preserves a partitioned table's directory layout
+    through the rewrite (one writer task per partition directory, the
+    write_dedup_store rule). Single-maintainer, rename-FS only —
+    fail-loud gate."""
+    require_rename_fs(path, "repair_replayed_append")
+    repair_store(path, (table,))
+    keys = [id_col] if isinstance(id_col, str) else list(id_col)
+    rows = spark.read.parquet(
+        f"{strip_file_scheme(path)}/{table}"
+    ).dropDuplicates(keys)
+    tmp = f"{strip_file_scheme(path)}/{table}_compact_tmp"
+    if partition_by:
+        conf = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+        rows.repartition(max(1, conf), *partition_by).write.mode(
+            "overwrite"
+        ).partitionBy(*partition_by).parquet(tmp)
+    else:
+        rows.coalesce(max(1, files)).write.mode("overwrite").parquet(tmp)
+    swap_in_compacted(path, (table,))
 
 
 def swap_in_compacted(path: str, tables: tuple[str, ...]) -> None:

@@ -42,6 +42,26 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STOPWORDS = ("the", "a", "of", "and")
 _SW_SQL = "('" + "', '".join(_STOPWORDS) + "')"
 
+
+def quality_sql(ws: str = "ws", text: str = "text") -> str:
+    """The combined quality score as a DuckDB SQL fragment over a
+    pre-split non-empty word-list column ``ws`` (the
+    ``list_filter(string_split(text, ' '), w -> w <> '')`` idiom) —
+    the ONE SQL mirror of ``quality_expr``, composed by every oracle
+    that gates on quality (``sampling.CURATION_MANIFEST_SQL``,
+    ``sampling.BUDGET_TRIM_SQL``, ``admission._admission_report_sql``)
+    so a formula tweak can never drift one oracle from the Spark gate
+    (r13 ADVICE). Caller guarantees ``len(ws) > 0`` (WHERE floor) or
+    wraps the fragment in its own CASE/COALESCE, as the admission
+    oracle does."""
+    return (
+        f"0.5 * LEAST(len({ws}) / 64.0, 1.0)\n"
+        f"      + 0.3 * (1.0 - CAST(len(list_filter({ws}, w -> w IN "
+        f"{_SW_SQL})) AS DOUBLE) / len({ws}))\n"
+        f"      + 0.2 * LEAST((CAST(length({text}) - len({ws}) + 1 "
+        f"AS DOUBLE) / len({ws})) / 8.0, 1.0)"
+    )
+
 QUALITY_SCORE_SQL = f"""
 SELECT
   doc_id,
