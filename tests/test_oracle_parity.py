@@ -99,6 +99,10 @@ LIBRARY_NAMES = sorted(
         # r13-new: the composed admission funnel (quality gate + both
         # store probes + staging) under one value-hash
         "admission_report",
+        # r14-new: the persisted BM25 inverted index — oracle is the
+        # whole-corpus BM25_TOP_DOCS_SQL (exact index ⇒ probe of
+        # write+append must equal the batch kernel row for row)
+        "bm25_incremental",
     ]
 )
 

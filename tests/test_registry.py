@@ -187,6 +187,14 @@ def test_readme_op_table_names_are_registered():
         # r14: replay-repair machinery + the admission intent log
         "repair_replayed_append", "n_dup_signature_ids",
         "n_dup_vector_ids", "invalid",
+        # r14: the persisted BM25 inverted-index store (library op +
+        # helpers; bm25_incremental is load_library-gated until its
+        # R16 seat)
+        "bm25_incremental", "write_bm25_store", "probe_bm25_store",
+        "append_bm25_store", "bm25_ingest_stream", "bm25_probe_stream",
+        "bm25_store_stats", "compact_bm25_store", "repair_stats",
+        "n_dup_doc_ids", "n_dup_postings", "n_unlisted_posting_docs",
+        "stats_lag", "max_term_postings", "doclens", "stats",
     }
     missing = {
         c for c in cited

@@ -118,10 +118,12 @@ def register(name: str, oracle: str | None = None):
 # sibling, exactly dedup_incremental's r12 position: the LEAD seat) +
 # admission_report (the composed two-store admission funnel under one
 # value-hash). Pool then 94 − 2 + 2 = 94 (saturated); the library
-# queue after r15: budget_trim, training_plan_budget, shuffle_shards,
-# perplexity_buckets, contamination_report, ngram_novelty (+ retired
-# rows tpch_q7/q10/q14/q3/knn_bruteforce keeping their library
-# oracles).
+# queue after r15: bm25_incremental (r14-new persisted BM25 inverted
+# index — R16 LEAD: the store's only possible independent hash row,
+# its kernels' registered sibling being bm25_top_docs), budget_trim,
+# training_plan_budget, shuffle_shards, perplexity_buckets,
+# contamination_report, ngram_novelty (+ retired rows
+# tpch_q7/q10/q14/q3/knn_bruteforce keeping their library oracles).
 # The two r14-new ops sit r15 on in-window witnesses (both witnesses
 # are in THIS list, hence return r15 — checked): cross_split_leakage →
 # dedup_incremental (same signature+band pair kernel through the
@@ -268,6 +270,7 @@ def load_library() -> dict[str, QueryDef]:
     instead."""
     from trisk_spark.functions import (
         admission,
+        bm25_store,
         dedup,
         sampling,
         semantic_store,
@@ -311,6 +314,16 @@ def load_library() -> dict[str, QueryDef]:
         "admission_report": (
             admission.admission_report,
             admission.ADMISSION_REPORT_SQL,
+        ),
+        # r14-new: the persisted BM25 inverted-index store — the
+        # incremental-lexical third member of the store family. The
+        # oracle is bm25_top_docs' own whole-corpus SQL: the index is
+        # exact, so write→append→route→pruned-probe→score must equal
+        # the one-plan batch kernel row for row (append ≡ rebuild is
+        # part of what the hash asserts). R16 seat queue.
+        "bm25_incremental": (
+            bm25_store.bm25_incremental,
+            bm25_store.BM25_INCREMENTAL_SQL,
         ),
     }
 
