@@ -103,6 +103,10 @@ LIBRARY_NAMES = sorted(
         # whole-corpus BM25_TOP_DOCS_SQL (exact index ⇒ probe of
         # write+append must equal the batch kernel row for row)
         "bm25_incremental",
+        # r14-new: the exact second-moment table behind PCA whitening
+        # (map-side Arrow GEMM partials into a constant 2,145-key
+        # shuffle; all-BIGINT values)
+        "embedding_gram",
     ]
 )
 

@@ -195,6 +195,13 @@ def test_readme_op_table_names_are_registered():
         "bm25_store_stats", "compact_bm25_store", "repair_stats",
         "n_dup_doc_ids", "n_dup_postings", "n_unlisted_posting_docs",
         "stats_lag", "max_term_postings", "doclens", "stats",
+        # r14: the embedding covariance / PCA whitening family
+        "embedding_gram", "pca_model", "pca_from_gram_rows",
+        "pca_project_frame",
+        # r14: the persisted moment store (incremental PCA preflight)
+        "write_gram_store", "append_gram_store", "gram_store_moments",
+        "pca_model_over_store", "gram_ingest_stream",
+        "compact_gram_store", "n_dup_wave_rows",
     }
     missing = {
         c for c in cited

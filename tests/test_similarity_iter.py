@@ -455,3 +455,114 @@ def test_ann_lsh_bucket_is_srp_sign_band_kernel(spark):
         return sum(((x >> i) & 1) << (3 - i) for i in range(4))
 
     assert all(r.b == rev4(r.s) for r in rows)
+
+
+# ------------------- embedding covariance / PCA (r14) -----------------
+
+
+def test_pca_basis_properties_and_projection_replay(spark):
+    """The driver-side eigh half of the PCA family (the gram table's
+    oracle parity lives in test_oracle_parity's library pass):
+    orthonormal basis, descending non-negative eigenvalues (up to eigh
+    noise), deterministic sign convention, and the distributed
+    projection must equal a pure-numpy replay on the same fitted
+    model. Variance accounting pins the covariance assembly: total
+    eigenvalue mass of a FULL basis equals the covariance trace."""
+    import numpy as np
+
+    from trisk_spark.catalog import table
+
+    k = 8
+    comps, vals, mu = sim.pca_model(spark, SF_DIR, k=k)
+    assert comps.shape == (k, sim.DIM) and vals.shape == (k,)
+    assert np.allclose(comps @ comps.T, np.eye(k), atol=1e-9)
+    assert all(vals[i] >= vals[i + 1] - 1e-12 for i in range(k - 1))
+    assert vals[-1] >= -1e-9
+    for c in comps:
+        assert c[int(np.argmax(np.abs(c)))] >= 0  # sign convention
+
+    # full-basis eigenvalue mass == covariance trace (exact-moment
+    # assembly check, independent of eigenvector order)
+    rows = sim.embedding_gram(spark, SF_DIR).collect()
+    comps_full, vals_full, _ = sim.pca_from_gram_rows(rows, k=sim.DIM)
+    n = next(int(r["g"]) for r in rows if r["i"] == -1 and r["j"] == -1)
+    s = float(sim.SCALE)
+    diag = {
+        r["i"]: float(r["g"]) for r in rows
+        if r["i"] == r["j"] and r["i"] >= 0
+    }
+    trace = sum(
+        diag[i] / (n * s * s) - (
+            next(
+                float(r["g"]) for r in rows
+                if r["i"] == i and r["j"] == sim.GRAM_SUM_J
+            ) / (n * s)
+        ) ** 2
+        for i in range(sim.DIM)
+    )
+    assert abs(vals_full.sum() - trace) < 1e-9
+
+    emb = table(spark, SF_DIR, "embeddings")
+    proj = {
+        r.vec_id: np.array(r.proj)
+        for r in sim.pca_project_frame(emb, comps, mu).collect()
+    }
+    sample = sim._valid_embeddings(emb).limit(64).collect()
+    X = np.array([r.embedding for r in sample])
+    want = (X - mu) @ comps.T
+    for row_i, r in enumerate(sample):
+        assert np.allclose(proj[r.vec_id], want[row_i], atol=1e-12)
+
+
+def test_pca_reconstruction_error_decreases_with_k(spark):
+    """More retained components can only shrink the mean squared
+    reconstruction error — the monotonicity that makes the basis a
+    usable whitening preflight (pick k where the tail flattens)."""
+    import numpy as np
+
+    from trisk_spark.catalog import table
+
+    rows = sim.embedding_gram(spark, SF_DIR).collect()
+    emb = table(spark, SF_DIR, "embeddings")
+    sample = sim._valid_embeddings(emb).limit(128).collect()
+    X = np.array([r.embedding for r in sample])
+    errs = []
+    for k in (2, 8, 32, sim.DIM):
+        comps, _vals, mu = sim.pca_from_gram_rows(rows, k=k)
+        rec = (X - mu) @ comps.T @ comps + mu
+        errs.append(float(((X - rec) ** 2).mean()))
+    assert all(errs[i] >= errs[i + 1] - 1e-12 for i in range(len(errs) - 1))
+    assert errs[-1] < 1e-18  # full basis reconstructs exactly
+
+
+def test_pca_gram_empty_and_hostile_vectors(spark):
+    """NULL / ragged / NULL-element vectors are excluded by the shared
+    validity gate before the moment pass (count row proves it), and an
+    all-invalid corpus fails loud at fit time."""
+    import pytest
+
+    emb = spark.createDataFrame(
+        [
+            (1, [0.5] * sim.DIM),
+            (2, None),
+            (3, [0.1] * 7),
+            (4, [None] + [0.2] * (sim.DIM - 1)),
+            (5, [-0.5] * sim.DIM),
+        ],
+        f"vec_id long, embedding array<double>",
+    )
+    rows = sim.embedding_gram_frame(emb).collect()
+    n = next(int(r["g"]) for r in rows if r["i"] == -1 and r["j"] == -1)
+    assert n == 2
+    # sums cancel exactly on the scaled grid: 0.5 and -0.5 per dim
+    assert all(
+        int(r["g"]) == 0
+        for r in rows
+        if r["j"] == sim.GRAM_SUM_J and r["i"] >= 0
+    )
+
+    bad = spark.createDataFrame(
+        [(1, None)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="no valid embeddings"):
+        sim.pca_from_gram_rows(sim.embedding_gram_frame(bad).collect())

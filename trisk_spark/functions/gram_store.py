@@ -1,0 +1,169 @@
+"""Persisted embedding moment store: the INCREMENTAL half of the PCA
+whitening preflight (``similarity.embedding_gram`` is the one-shot
+corpus pass; this maintains the same exact-integer moment table as
+waves land, so a 100 TB deployment re-fits its projection basis
+without ever rescanning the corpus).
+
+The state here is ADDITIVE (second moments sum), which admits a
+different — and simpler — crash-safe shape than the row stores'
+(dedup/semantic/bm25) membership tables: the store is an APPEND-ONLY
+table of batch-tagged constant-size partials,
+
+  * ``<path>/partials``: (wave_id, i, j, g) — each admitted wave
+    appends its OWN exact 2,145-row moment block (upper-triangle gram
+    + column sums at j = -1 + the valid count at (-1, -1), the
+    ``embedding_gram_frame`` layout). Reading the store folds the
+    blocks: ``moments`` = SUM(g) per (i, j) — a constant-size
+    aggregate however many waves landed.
+
+Why keep per-wave rows instead of updating 2,145 running sums in
+place? CRASH ACCOUNTING: an in-place additive update that replays is
+silently double-counted — indistinguishable from truth after the
+fact. Batch-tagged partials make every failure observable: a replayed
+wave duplicates its (wave_id, i, j) keys (``n_dup_wave_rows`` > 0,
+repaired by the shared dropDuplicates-rewrite protocol), and a
+half-landed wave cannot exist (one parquet append, job-level commit).
+``compact_gram_store`` folds history into a single base block when
+the wave count grows — the moment table is invariant (pytest-pinned).
+
+Reference: the reference has no embedding pipeline (beyond-reference
+mandate, SURVEY.md §7 step 7); the durability machinery is the shared
+``storefs`` protocol.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from trisk_spark.functions import storefs
+from trisk_spark.functions.similarity import (
+    embedding_gram_frame,
+    pca_from_gram_rows,
+)
+
+#: wave_id of the base block written by ``write_gram_store`` (stream
+#: batches use their non-negative batch_id; the base sits below them)
+BASE_WAVE_ID = -1
+
+
+def write_gram_store(spark: SparkSession, emb: DataFrame, path: str) -> None:
+    """Persist the moment store for an embedding corpus: one base
+    partial block (wave_id = BASE_WAVE_ID). The corpus-sized work is
+    the one Arrow GEMM pass; the artifact is 2,145 rows in one file."""
+    block = embedding_gram_frame(emb).select(
+        F.lit(BASE_WAVE_ID).cast("bigint").alias("wave_id"), "i", "j", "g"
+    )
+    block.coalesce(1).write.mode("overwrite").parquet(f"{path}/partials")
+
+
+def append_gram_store(
+    spark: SparkSession, new_emb: DataFrame, path: str, wave_id: int
+) -> None:
+    """ADMIT a wave: append its own exact partial block under
+    ``wave_id`` (caller supplies a unique id — the ingest stream uses
+    its batch_id; re-using an id is the replay the stats detect). A
+    wave with zero valid vectors appends nothing. One parquet append,
+    job-level commit: the block lands whole or not at all."""
+    block = embedding_gram_frame(new_emb).select(
+        F.lit(wave_id).cast("bigint").alias("wave_id"), "i", "j", "g"
+    ).localCheckpoint()
+    if block.limit(1).count() == 0:
+        return
+    block.coalesce(1).write.mode("append").parquet(f"{path}/partials")
+
+
+def gram_store_moments(spark: SparkSession, path: str) -> DataFrame:
+    """The folded moment table — (i, j, g) with g = SUM over every
+    landed block: identical to ``embedding_gram`` over the union of
+    everything admitted (additivity pytest-pinned). Constant-size
+    output; feeds ``pca_from_gram_rows`` unchanged."""
+    return (
+        spark.read.parquet(f"{path}/partials")
+        .groupBy("i", "j")
+        .agg(F.sum("g").cast("bigint").alias("g"))
+    )
+
+
+def pca_model_over_store(spark: SparkSession, path: str, k: int = 8):
+    """Fit the PCA basis from the persisted store — the incremental
+    twin of ``similarity.pca_model``: collect the constant-size folded
+    moments and eigh on the driver."""
+    return pca_from_gram_rows(gram_store_moments(spark, path).collect(), k)
+
+
+def gram_ingest_stream(
+    spark: SparkSession, emb_stream: DataFrame, path: str, sink
+):
+    """CONTINUOUS moment maintenance — ``append_gram_store`` per
+    micro-batch (wave_id = batch_id) behind the store-family batch-id
+    watermark: a replayed batch ≤ the watermark is skipped entirely.
+    ``sink(folded_moments_df, batch_id)`` receives the post-append
+    moment table (constant-size; materialize inside the call).
+    Remaining crash window: a crash between the append and the
+    watermark write replays one wave's block — detection =
+    ``gram_store_stats``'s ``n_dup_wave_rows`` > 0, repair =
+    ``repair_replayed_append`` (both code, forced-crash
+    pytest-pinned)."""
+    storefs.require_rename_fs(path, "gram_ingest_stream")
+
+    def fb(batch_df: DataFrame, batch_id: int) -> None:
+        wm = storefs.read_ingest_watermark(path)
+        if wm is not None and batch_id <= wm:
+            return
+        append_gram_store(spark, batch_df, path, batch_id)
+        storefs.write_ingest_watermark(path, batch_id)
+        sink(gram_store_moments(spark, path), batch_id)
+
+    return emb_stream.writeStream.outputMode("append").foreachBatch(fb)
+
+
+def repair_replayed_append(spark: SparkSession, path: str) -> None:
+    """Repair the watermark crash window: a replayed wave duplicated
+    its (wave_id, i, j) keys — dropDuplicates rewrite through the
+    crash-safe swap protocol (replayed rows are byte-identical per
+    key: same wave, same deterministic kernel). Moments ≡ a
+    never-crashed twin afterwards, pytest-pinned."""
+    storefs.repair_replayed_append(
+        spark, path, "partials", ["wave_id", "i", "j"]
+    )
+
+
+def compact_gram_store(spark: SparkSession, path: str) -> None:
+    """Fold history into a single base block (wave_id = BASE_WAVE_ID,
+    2,145 rows, one file) through the shared crash-safe swap — the
+    file-count maintenance after many waves. The folded moment table
+    is invariant (pytest-pinned); per-wave replay accounting resets
+    for compacted history, which is sound because the watermark that
+    outlives compaction already refuses every batch id ≤ it."""
+    storefs.require_rename_fs(path, "compact_gram_store")
+    storefs.repair_store(path, ("partials",))
+    base = storefs.strip_file_scheme(path)
+    folded = gram_store_moments(spark, path).select(
+        F.lit(BASE_WAVE_ID).cast("bigint").alias("wave_id"), "i", "j", "g"
+    )
+    folded.coalesce(1).write.mode("overwrite").parquet(
+        f"{base}/partials_compact_tmp"
+    )
+    storefs.swap_in_compacted(path, ("partials",))
+
+
+def gram_store_stats(spark: SparkSession, path: str) -> DataFrame:
+    """Store health — one row with (n_waves, n_rows, n_dup_wave_rows,
+    n_vecs). ``n_dup_wave_rows`` counts rows beyond the first per
+    (wave_id, i, j) — 0 in every consistent store; > 0 is a wave
+    replayed past a missed watermark write (repair =
+    ``repair_replayed_append``). ``n_vecs`` is the folded valid-vector
+    count — the number every moment consumer divides by."""
+    p = spark.read.parquet(f"{path}/partials")
+    agg = p.agg(
+        F.count_distinct("wave_id").cast("bigint").alias("n_waves"),
+        F.count("*").cast("bigint").alias("n_rows"),
+        (F.count("*") - F.count_distinct("wave_id", "i", "j"))
+        .cast("bigint")
+        .alias("n_dup_wave_rows"),
+        F.sum(
+            F.when((F.col("i") == -1) & (F.col("j") == -1), F.col("g"))
+            .otherwise(0)
+        ).cast("bigint").alias("n_vecs"),
+    )
+    return agg

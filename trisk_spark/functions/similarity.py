@@ -2125,3 +2125,192 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return recall_frame(
         knn_bruteforce(spark, sf_dir), ann_ivf_int8(spark, sf_dir)
     )
+
+
+# ------------------- embedding covariance / PCA (r14) -----------------
+
+# Second-moment pass for PCA whitening — the dimensionality-reduction
+# preflight a real pipeline runs before PQ/IVF (project onto the top
+# principal components so the quantizer spends its bits on directions
+# with variance; OPQ's zero-rotation ancestor). Split Spark-first the
+# only way that scales: the CORPUS-sized work is one exact-integer
+# second-moment aggregate (embedding_gram — map-side Arrow GEMM
+# partials into a 2,145-key shuffle, constant output no matter the
+# corpus); the eigendecomposition is a DRIVER-side 64x64 numpy eigh
+# (constant work — never distribute what fits in a register file);
+# the projection is one more map-only Arrow pass (pca_project_frame).
+#
+# Float parity: the gram/sum/count table is EXACT BIGINTs end to end
+# (the module's scaled-integer contract), so the library oracle
+# value-hashes it like any relational row. The eigh itself is
+# pytest-gated (orthonormality, descending eigenvalues, numpy-replay
+# projection equality) — eigenvector sign/order is not a cross-engine
+# contract, exactly like the PQ codebooks (bpe/pq precedent).
+# BIGINT bound (the _check_dot_bound class, enforced per Arrow batch
+# in exact Python ints): batch_rows x (1e6*max|x|)^2 < 2^63 — ~9.2e6
+# unit-norm rows per batch, far past any Arrow batch; the global
+# ANSI-mode SUM fails loud if a corpus ever exceeds ~9.2e18 total.
+
+#: marker coordinates for the non-gram rows of the moment table:
+#: (i, -1) rows carry column sums, (-1, -1) carries the valid count
+GRAM_SUM_J = -1
+
+EMB_GRAM_SQL = f"""
+WITH v AS (
+  SELECT {_SCALED_SQL.format(col='embedding')} AS x
+  FROM {_VALID_EMB_SQL} embeddings
+),
+idx AS (SELECT CAST(range AS INT) AS i FROM range(1, {DIM} + 1)),
+pairs AS (SELECT a.i AS i, b.i AS j FROM idx a JOIN idx b ON b.i >= a.i),
+gram AS (
+  SELECT CAST(p.i - 1 AS INT) AS i, CAST(p.j - 1 AS INT) AS j,
+    CAST(coalesce(SUM(x[p.i] * x[p.j]), 0) AS BIGINT) AS g
+  FROM v CROSS JOIN pairs p GROUP BY p.i, p.j
+),
+sums AS (
+  SELECT CAST(t.i - 1 AS INT) AS i, CAST(-1 AS INT) AS j,
+    CAST(coalesce(SUM(x[t.i]), 0) AS BIGINT) AS g
+  FROM v CROSS JOIN idx t GROUP BY t.i
+),
+cnt AS (SELECT CAST(-1 AS INT) AS i, CAST(-1 AS INT) AS j,
+        CAST(COUNT(*) AS BIGINT) AS g FROM v)
+SELECT i, j, g FROM gram
+UNION ALL SELECT i, j, g FROM sums
+UNION ALL SELECT i, j, g FROM cnt
+"""
+
+
+def _gram_partials(batches):
+    """mapInPandas kernel: per Arrow batch of scaled int64 vectors,
+    emit the batch's EXACT partial second moments — the upper-triangle
+    X^T X entries, the column sums (j = -1), and the row count
+    ((-1, -1)). numpy int64 matmul wraps silently past 2^63, so the
+    no-overflow precondition is checked per batch in exact Python ints
+    first (the _check_dot_bound discipline)."""
+    import numpy as np
+    import pandas as pd
+
+    iu = np.triu_indices(DIM)
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        x = np.stack(pdf["x"].to_numpy()).astype(np.int64)
+        a_max = int(np.abs(x).max()) if x.size else 0
+        if x.shape[0] * a_max * a_max >= 2**63:
+            raise OverflowError(
+                f"gram partial bound exceeded: {x.shape[0]} rows x "
+                f"max|x|={a_max} — rescale or shrink the Arrow batch "
+                "(numpy would silently wrap)"
+            )
+        g = x.T @ x
+        yield pd.DataFrame(
+            {
+                "i": np.concatenate(
+                    [iu[0], np.arange(DIM), [-1]]
+                ).astype("int32"),
+                "j": np.concatenate(
+                    [iu[1], np.full(DIM, -1), [-1]]
+                ).astype("int32"),
+                "g": np.concatenate(
+                    [g[iu], x.sum(axis=0), [x.shape[0]]]
+                ).astype("int64"),
+            }
+        )
+
+
+def embedding_gram_frame(emb: DataFrame) -> DataFrame:
+    """The exact second-moment table of any (vec_id, embedding) frame
+    over the module's scaled-int grid: (i, j, g) with the DIM*(DIM+1)/2
+    upper-triangle gram entries g = SUM(x_i * x_j), the column sums at
+    j = -1, and the valid-row count at (-1, -1) — everything a
+    downstream covariance/PCA needs, in one corpus pass. Plan:
+    map-side Arrow GEMM partials (each batch emits a constant 2,145
+    rows) into one 2,145-key partial-aggregating shuffle — output size
+    is CONSTANT in corpus size, the cheapest possible reduction
+    shape."""
+    xi = _scaled(F.col("embedding"))
+    rows = _valid_embeddings(emb).select(xi.alias("x"))
+    partials = rows.mapInPandas(_gram_partials, "i int, j int, g long")
+    return partials.groupBy("i", "j").agg(
+        F.sum("g").cast("bigint").alias("g")
+    )
+
+
+def embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``embedding_gram_frame`` over the corpus embeddings — the
+    library row (full DuckDB oracle ``EMB_GRAM_SQL``; every value an
+    exact BIGINT, so the hash gate is airtight). See the family
+    comment for why the corpus pass and the eigh are split."""
+    return embedding_gram_frame(
+        table(spark, sf_dir, "embeddings").where(F.col("vec_id").isNotNull())
+    )
+
+
+def pca_model(spark: SparkSession, sf_dir: str, k: int = 8):
+    """Fit the PCA basis from the corpus's moment table: collect the
+    CONSTANT-size gram frame (2,145 rows — the only driver crossing),
+    assemble the float covariance C = E[xx^T] - mu mu^T in original
+    (unscaled) units, and eigh it. Returns (components [k x DIM],
+    eigenvalues [k], mean [DIM]) with eigenvalues descending and each
+    component's sign fixed (largest-|coordinate| entry positive) so
+    the basis is deterministic given the matrix."""
+    rows = embedding_gram(spark, sf_dir).collect()
+    return pca_from_gram_rows(rows, k)
+
+
+def pca_from_gram_rows(rows, k: int = 8):
+    """The driver-side eigh over a collected moment table (see
+    ``pca_model``) — separated so tests and non-corpus callers can fit
+    from any gram frame."""
+    import numpy as np
+
+    n = g_sum = None
+    gram = np.zeros((DIM, DIM), dtype=np.float64)
+    sums = np.zeros(DIM, dtype=np.float64)
+    for r in rows:
+        if r["i"] == -1 and r["j"] == -1:
+            n = int(r["g"])
+        elif r["j"] == GRAM_SUM_J:
+            sums[r["i"]] = float(r["g"])
+        else:
+            gram[r["i"]][r["j"]] = gram[r["j"]][r["i"]] = float(r["g"])
+    if not n:
+        raise ValueError("pca_model: no valid embeddings in the corpus")
+    s = float(SCALE)
+    mu = sums / (n * s)
+    cov = gram / (n * s * s) - np.outer(mu, mu)
+    vals, vecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(vals)[::-1][:k]
+    comps = vecs[:, order].T.copy()
+    for c in comps:  # sign convention: largest-|coord| entry positive
+        if c[int(np.argmax(np.abs(c)))] < 0:
+            c *= -1.0
+    return comps, vals[order], mu
+
+
+def pca_project_frame(emb: DataFrame, components, mean) -> DataFrame:
+    """Project a (vec_id, embedding) frame onto a fitted basis:
+    (vec_id, proj array<double>) with proj = (x - mean) @ components^T
+    — one map-only Arrow GEMM pass, the model broadcast inside the
+    closure (k x DIM doubles — register-file sized). The scale path
+    for 'whiten before PQ/IVF': the projected frame feeds the existing
+    quantizer/index builders unchanged."""
+    import numpy as np
+    import pandas as pd
+
+    w = np.asarray(components, dtype=np.float64)
+    mu = np.asarray(mean, dtype=np.float64)
+
+    def kern(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            p = (x - mu) @ w.T
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "proj": list(p)}
+            )
+
+    return _valid_embeddings(emb).select("vec_id", "embedding").mapInPandas(
+        kern, "vec_id long, proj array<double>"
+    )

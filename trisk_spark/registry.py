@@ -120,10 +120,13 @@ def register(name: str, oracle: str | None = None):
 # value-hash). Pool then 94 − 2 + 2 = 94 (saturated); the library
 # queue after r15: bm25_incremental (r14-new persisted BM25 inverted
 # index — R16 LEAD: the store's only possible independent hash row,
-# its kernels' registered sibling being bm25_top_docs), budget_trim,
-# training_plan_budget, shuffle_shards, perplexity_buckets,
-# contamination_report, ngram_novelty (+ retired rows
-# tpch_q7/q10/q14/q3/knn_bruteforce keeping their library oracles).
+# its kernels' registered sibling being bm25_top_docs),
+# embedding_gram (r14-new all-BIGINT second-moment table — the PCA
+# preflight's corpus pass; sibling class embed_quantize_int8's
+# Arrow-GEMM kernels), budget_trim, training_plan_budget,
+# shuffle_shards, perplexity_buckets, contamination_report,
+# ngram_novelty (+ retired rows tpch_q7/q10/q14/q3/knn_bruteforce
+# keeping their library oracles).
 # The two r14-new ops sit r15 on in-window witnesses (both witnesses
 # are in THIS list, hence return r15 — checked): cross_split_leakage →
 # dedup_incremental (same signature+band pair kernel through the
@@ -274,6 +277,7 @@ def load_library() -> dict[str, QueryDef]:
         dedup,
         sampling,
         semantic_store,
+        similarity,
     )
     from trisk_spark.operators import relational
 
@@ -324,6 +328,15 @@ def load_library() -> dict[str, QueryDef]:
         "bm25_incremental": (
             bm25_store.bm25_incremental,
             bm25_store.BM25_INCREMENTAL_SQL,
+        ),
+        # r14-new: the exact second-moment table behind PCA whitening —
+        # the corpus-sized half of the dimensionality-reduction
+        # preflight (driver-side eigh + map-only projection are
+        # pytest-gated; eigenvector sign/order is not a cross-engine
+        # contract, the pq/bpe precedent). Every value an exact BIGINT.
+        "embedding_gram": (
+            similarity.embedding_gram,
+            similarity.EMB_GRAM_SQL,
         ),
     }
 
