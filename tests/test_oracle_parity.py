@@ -107,6 +107,9 @@ LIBRARY_NAMES = sorted(
         # (map-side Arrow GEMM partials into a constant 2,145-key
         # shuffle; all-BIGINT values)
         "embedding_gram",
+        # r14-new: the standardized-distance outlier gate over the
+        # same exact moments
+        "embedding_outliers",
     ]
 )
 

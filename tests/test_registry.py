@@ -202,6 +202,8 @@ def test_readme_op_table_names_are_registered():
         "write_gram_store", "append_gram_store", "gram_store_moments",
         "pca_model_over_store", "gram_ingest_stream",
         "compact_gram_store", "n_dup_wave_rows",
+        # r14: the standardized-distance outlier gate
+        "embedding_outliers",
     }
     missing = {
         c for c in cited

@@ -566,3 +566,44 @@ def test_pca_gram_empty_and_hostile_vectors(spark):
     )
     with pytest.raises(ValueError, match="no valid embeddings"):
         sim.pca_from_gram_rows(sim.embedding_gram_frame(bad).collect())
+
+
+def test_embedding_outliers_flags_planted_vector(spark):
+    """A crafted corpus with one far-out vector: the planted row must
+    be the ONLY flag, its dist2 must dwarf the inliers', and a
+    zero-variance dimension must contribute exactly 0 (the CASE guard)
+    — all on the exact-moment arithmetic the corpus oracle
+    value-hashes in test_oracle_parity's library pass."""
+    import numpy as np
+
+    rng = [(0.1 * ((i * 7) % 5 - 2)) for i in range(sim.DIM)]
+    rows = []
+    for vid in range(40):
+        v = [rng[i] * (1.0 + 0.01 * ((vid + i) % 7)) for i in range(sim.DIM)]
+        v[0] = 0.25  # dim 0 constant across the corpus → zero variance
+        rows.append((vid, v))
+    planted = [x * 40.0 for x in rng]
+    planted[0] = 0.25  # keep the constant dim constant
+    rows.append((999, planted))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.vec_id: r for r in sim.embedding_outliers_frame(emb).collect()}
+    assert len(out) == 41
+    flagged = {v for v, r in out.items() if r.is_outlier}
+    assert flagged == {999}
+    inlier_max = max(r.dist2 for v, r in out.items() if v != 999)
+    assert out[999].dist2 > 10 * inlier_max
+
+    # zero-variance dim contributes 0: a corpus where EVERY dim is
+    # constant yields dist2 == 0 for every vector
+    const = spark.createDataFrame(
+        [(i, [0.5] * sim.DIM) for i in range(5)],
+        "vec_id long, embedding array<double>",
+    )
+    res = sim.embedding_outliers_frame(const).collect()
+    assert all(r.dist2 == 0.0 and not r.is_outlier for r in res)
+
+    # empty/invalid corpus → empty frame, not an error
+    bad = spark.createDataFrame(
+        [(1, None)], "vec_id long, embedding array<double>"
+    )
+    assert sim.embedding_outliers_frame(bad).count() == 0

@@ -2314,3 +2314,121 @@ def pca_project_frame(emb: DataFrame, components, mean) -> DataFrame:
     return _valid_embeddings(emb).select("vec_id", "embedding").mapInPandas(
         kern, "vec_id long, proj array<double>"
     )
+
+
+# ------------------- embedding outlier gate (r14) ---------------------
+
+# Curation companion to the moment pass: flag vectors far from the
+# corpus distribution (embedding-service glitches, wrong-modality
+# rows, adversarial junk) BEFORE they poison centroids/codebooks —
+# the preflight SemDeDup/IVF runs next to embedding_health. The
+# statistic is the per-dimension standardized squared distance
+# dist2 = SUM_i ((x_i - mu_i) / sigma_i)^2 (~ chi-square(DIM) on
+# well-behaved corpora), computed WITHOUT ever forming mu/sigma as
+# intermediate truth: per dim, the z^2 term equals
+#   (n*x_i_s - S_i)^2 / (n*G_ii - S_i^2)
+# over the EXACT integer moments (S_i = SUM x_i_s, G_ii = SUM
+# x_i_s^2, n = valid count) — the numerator stays an exact BIGINT on
+# both engines, the two double conversions + square + divide are the
+# same IEEE sequence everywhere, and the house ROUND(·,6) → DECIMAL →
+# order-free SUM collapses the per-term ulp. Zero-variance dims
+# contribute 0 by CASE on both engines (a constant column carries no
+# outlier signal). The flag compares the rounded DECIMAL sum to a
+# literal, so the gate itself is exact.
+
+#: dist2 at/above which a vector is flagged: 2x the chi-square mean —
+#: the coarse preflight knob (callers parameterize the frame helper)
+OUTLIER_DIST2 = 2 * DIM
+
+EMB_OUTLIERS_SQL = f"""
+WITH v AS (
+  SELECT vec_id, {_SCALED_SQL.format(col='embedding')} AS x
+  FROM {_VALID_EMB_SQL} embeddings
+),
+idx AS (SELECT CAST(range AS INT) AS i FROM range(1, {DIM} + 1)),
+m AS (
+  SELECT t.i,
+    CAST(SUM(x[t.i]) AS BIGINT) AS s,
+    CAST(SUM(x[t.i] * x[t.i]) AS BIGINT) AS g,
+    CAST(COUNT(*) AS BIGINT) AS n
+  FROM v CROSS JOIN idx t GROUP BY t.i
+),
+terms AS (
+  SELECT v.vec_id,
+    CAST(ROUND(
+      CASE WHEN CAST(m.n AS DOUBLE) * CAST(m.g AS DOUBLE)
+                - CAST(m.s AS DOUBLE) * CAST(m.s AS DOUBLE) > 0
+      THEN (CAST(m.n * x[m.i] - m.s AS DOUBLE)
+            * CAST(m.n * x[m.i] - m.s AS DOUBLE))
+           / (CAST(m.n AS DOUBLE) * CAST(m.g AS DOUBLE)
+              - CAST(m.s AS DOUBLE) * CAST(m.s AS DOUBLE))
+      ELSE 0 END, 6) AS DECIMAL(28, 6)) AS c
+  FROM v CROSS JOIN m
+)
+SELECT vec_id,
+  CAST(SUM(c) AS DOUBLE) AS dist2,
+  SUM(c) >= {OUTLIER_DIST2} AS is_outlier
+FROM terms GROUP BY vec_id
+"""
+
+
+def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``embedding_outliers_frame`` over the corpus embeddings — the
+    library row (full DuckDB oracle ``EMB_OUTLIERS_SQL``)."""
+    return embedding_outliers_frame(
+        table(spark, sf_dir, "embeddings").where(F.col("vec_id").isNotNull())
+    )
+
+
+def embedding_outliers_frame(
+    emb: DataFrame, threshold: int = OUTLIER_DIST2
+) -> DataFrame:
+    """(vec_id, dist2, is_outlier) for every valid vector — see the
+    family comment for the exact arithmetic. Plan: the 129 moment
+    constants cross the driver once (the CONSTANT-size gram output:
+    64 sums + 64 diagonal entries + the count) and come back as a
+    64-row broadcast frame; the per-vector work is one posexplode →
+    broadcast equi-join on the dim index → per-term decimal contrib →
+    one vec_id-keyed partial-aggregating shuffle (the explode+agg
+    form deliberately — in-row 64-element lambda folds are
+    interpreted, the recorded house trap). Nothing corpus-sized
+    crosses the driver and the shuffle carries exactly DIM rows per
+    vector."""
+    spark = emb.sparkSession
+    rows = embedding_gram_frame(emb).collect()
+    n = next(
+        (int(r["g"]) for r in rows if r["i"] == -1 and r["j"] == -1), 0
+    )
+    if not n:
+        return spark.createDataFrame(
+            [], "vec_id bigint, dist2 double, is_outlier boolean"
+        )
+    sums = {r["i"]: int(r["g"]) for r in rows if r["j"] == GRAM_SUM_J and r["i"] >= 0}
+    diag = {r["i"]: int(r["g"]) for r in rows if r["i"] == r["j"] and r["i"] >= 0}
+    moments = spark.createDataFrame(
+        [(i, sums[i], diag[i], n) for i in range(DIM)],
+        "i int, s long, g long, n long",
+    )
+    xi = _scaled(F.col("embedding"))
+    exploded = _valid_embeddings(emb).select(
+        "vec_id", F.posexplode(xi).alias("i", "x")
+    )
+    num = (F.col("n") * F.col("x") - F.col("s")).cast("double")
+    den = (
+        F.col("n").cast("double") * F.col("g").cast("double")
+        - F.col("s").cast("double") * F.col("s").cast("double")
+    )
+    contrib = F.round(
+        F.when(den > 0, num * num / den).otherwise(F.lit(0.0)), 6
+    ).cast("decimal(28,6)")
+    per = (
+        exploded.join(F.broadcast(moments), "i")
+        .select("vec_id", contrib.alias("c"))
+        .groupBy("vec_id")
+        .agg(F.sum("c").alias("d"))
+    )
+    return per.select(
+        "vec_id",
+        F.col("d").cast("double").alias("dist2"),
+        (F.col("d") >= F.lit(threshold)).alias("is_outlier"),
+    )

@@ -338,6 +338,14 @@ def load_library() -> dict[str, QueryDef]:
             similarity.embedding_gram,
             similarity.EMB_GRAM_SQL,
         ),
+        # r14-new: the outlier gate over the same exact moments —
+        # per-vector standardized squared distance, every per-term
+        # contribution an identical IEEE sequence on both engines
+        # (integer numerators; the house ROUND→DECIMAL→SUM close).
+        "embedding_outliers": (
+            similarity.embedding_outliers,
+            similarity.EMB_OUTLIERS_SQL,
+        ),
     }
 
     def wrap(fn):
