@@ -180,3 +180,49 @@ def test_object_store_paths_fail_loud(spark):
         G.gram_ingest_stream(spark, None, "s3://bucket/store", None)
     with pytest.raises(ValueError, match="atomic-rename"):
         G.repair_replayed_append(spark, "s3://bucket/store")
+
+
+def test_outlier_score_stream_equals_batch(spark, tmp_path):
+    """Arriving vectors scored per micro-batch against the persisted
+    moments must union to the one-call batch image over the SAME
+    moments — foreachBatch runs the identical plan, so the equality is
+    exact, not approximate."""
+    from trisk_spark.functions.similarity import outlier_score_frame
+
+    emb, base, w1, w2 = _splits(spark)
+    path = str(tmp_path / "store")
+    G.write_gram_store(spark, emb, path)  # moments over the full corpus
+
+    arrivals_dir = str(tmp_path / "arrivals")
+    for w in (w1, w2):
+        w.select("vec_id", "embedding").coalesce(1).write.mode(
+            "append"
+        ).parquet(arrivals_dir)
+
+    got = []
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(arrivals_dir)
+    )
+    q = (
+        G.outlier_score_stream(
+            spark, stream, path,
+            lambda bdf, bid: got.extend(map(tuple, bdf.collect())),
+        )
+        .option("checkpointLocation", checkpoint_dir("gramscore"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    rows = G.gram_store_moments(spark, path).collect()
+    want = sorted(
+        map(
+            tuple,
+            outlier_score_frame(
+                w1.unionByName(w2).select("vec_id", "embedding"), rows
+            ).collect(),
+        )
+    )
+    assert sorted(got) == want and len(want) > 0

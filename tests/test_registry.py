@@ -202,8 +202,9 @@ def test_readme_op_table_names_are_registered():
         "write_gram_store", "append_gram_store", "gram_store_moments",
         "pca_model_over_store", "gram_ingest_stream",
         "compact_gram_store", "n_dup_wave_rows",
-        # r14: the standardized-distance outlier gate
-        "embedding_outliers",
+        # r14: the standardized-distance outlier gate + stream twin
+        "embedding_outliers", "outlier_score_frame",
+        "outlier_score_stream",
     }
     missing = {
         c for c in cited

@@ -117,6 +117,35 @@ def gram_ingest_stream(
     return emb_stream.writeStream.outputMode("append").foreachBatch(fb)
 
 
+def outlier_score_stream(
+    spark: SparkSession, emb_stream: DataFrame, path: str, sink
+):
+    """Streaming outlier gate over the persisted moment store — the
+    deployment loop: the store maintains the corpus moments as waves
+    land (``gram_ingest_stream``), and THIS scores ARRIVING vectors
+    against the store's CURRENT moments, read fresh per micro-batch (a
+    constant-size fold — two numbers per dimension — however large
+    the corpus behind it). ``foreachBatch`` hands the batch over as a
+    plain DataFrame, so the scoring is LITERALLY
+    ``similarity.outlier_score_frame`` — the identical plan the batch
+    op runs, stream ≡ batch exact by construction (the
+    ``dedup_probe_stream`` stream-static pattern). Read-only: this
+    never writes the store (pair it with ``gram_ingest_stream`` on
+    the maintainer side). Sink contract: fully materialize inside the
+    call."""
+    from trisk_spark.functions.similarity import outlier_score_frame
+
+    def fb(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.persist()
+        try:
+            rows = gram_store_moments(spark, path).collect()
+            sink(outlier_score_frame(batch_df, rows), batch_id)
+        finally:
+            batch_df.unpersist()
+
+    return emb_stream.writeStream.outputMode("append").foreachBatch(fb)
+
+
 def repair_replayed_append(spark: SparkSession, path: str) -> None:
     """Repair the watermark crash window: a replayed wave duplicated
     its (wave_id, i, j) keys — dropDuplicates rewrite through the

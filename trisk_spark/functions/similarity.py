@@ -2394,8 +2394,22 @@ def embedding_outliers_frame(
     interpreted, the recorded house trap). Nothing corpus-sized
     crosses the driver and the shuffle carries exactly DIM rows per
     vector."""
+    return outlier_score_frame(
+        emb, embedding_gram_frame(emb).collect(), threshold
+    )
+
+
+def outlier_score_frame(
+    emb: DataFrame, moment_rows, threshold: int = OUTLIER_DIST2
+) -> DataFrame:
+    """Score any (vec_id, embedding) frame against a GIVEN collected
+    moment table (the ``embedding_gram`` layout — from the one-shot
+    pass or a persisted ``gram_store`` fold): the scoring half of
+    ``embedding_outliers_frame``, separated so the streaming twin
+    (``gram_store.outlier_score_stream``) runs the IDENTICAL plan per
+    micro-batch against frozen-or-advancing store moments."""
     spark = emb.sparkSession
-    rows = embedding_gram_frame(emb).collect()
+    rows = moment_rows
     n = next(
         (int(r["g"]) for r in rows if r["i"] == -1 and r["j"] == -1), 0
     )
