@@ -110,6 +110,9 @@ LIBRARY_NAMES = sorted(
         # r14-new: the standardized-distance outlier gate over the
         # same exact moments
         "embedding_outliers",
+        # r14-new: hybrid more-like-this retrieval (RRF fusion of the
+        # BM25 keyword ranking and the dense cosine ranking)
+        "hybrid_retrieval",
     ]
 )
 

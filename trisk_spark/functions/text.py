@@ -954,6 +954,22 @@ def _lm_scored(
 
 KEYWORDS_K = 3
 
+def _kw_tf_df_n(docs: DataFrame):
+    """Shared keyword corpus passes over any (doc_id, text) frame:
+    the (doc_id, tok) term frequencies, the vocabulary document
+    frequencies derived from them, and the 1-row distinct-doc count —
+    ``keyword_extract`` ranks all docs over these; ``retrieval``'s
+    hybrid path ranks only its probe docs over the SAME corpus-wide
+    df/n (the formula must match the pinned oracle exactly)."""
+    toks = docs.where(F.col("doc_id").isNotNull()).select(
+        "doc_id", F.explode(_lm_tokens()).alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    n = tf.agg(F.countDistinct("doc_id").alias("n_docs"))
+    return tf, df, n
+
+
 KEYWORD_EXTRACT_SQL = f"""
 WITH toks AS (
   SELECT doc_id, unnest(list_filter(
@@ -997,12 +1013,7 @@ def keyword_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = table(spark, sf_dir, "documents")
-    toks = docs.where(F.col("doc_id").isNotNull()).select(
-        "doc_id", F.explode(_lm_tokens()).alias("tok")
-    )
-    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
-    df = tf.groupBy("tok").agg(F.count("*").alias("df"))
-    n = tf.agg(F.countDistinct("doc_id").alias("n_docs"))
+    tf, df, n = _kw_tf_df_n(docs)
     scored = (
         tf.join(F.broadcast(df), "tok")
         .crossJoin(F.broadcast(n))
@@ -1397,15 +1408,20 @@ def bm25_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bm25_stats_tf_df(docs: DataFrame):
+def _bm25_stats_tf_df(docs: DataFrame, seed_terms: list[str] | None = None):
     """Shared BM25 corpus passes over any (doc_id, text) frame:
     (stats, tf, df) — the 1-row (N docs, total tokens) aggregate, the
     hits-only (doc_id, term, dl) term frequencies (token array filtered
     IN-ROW against the literal seed set before the explode), and the
     seed-cardinality document frequencies derived from tf. Used by the
     scoring stage and the model collector so grouping keys and the
-    duplicate-doc_id contract exist exactly once."""
-    seed_terms = sorted({t for ts in BM25_QUERIES.values() for t in ts})
+    duplicate-doc_id contract exist exactly once. ``seed_terms``
+    defaults to the fixed BM25_QUERIES vocabulary; ``retrieval``'s
+    hybrid path passes its probe-derived keyword set (still a bounded
+    driver-held literal — the in-row pre-explode filter is the whole
+    scale trick and must survive any caller)."""
+    if seed_terms is None:
+        seed_terms = sorted({t for ts in BM25_QUERIES.values() for t in ts})
     stats = docs.select(F.size(_lm_tokens()).alias("dl")).agg(
         F.count("*").alias("n_docs"),
         F.sum(F.col("dl").cast("bigint")).alias("total_len"),
@@ -1422,17 +1438,25 @@ def _bm25_stats_tf_df(docs: DataFrame):
     return stats, tf, df
 
 
-def bm25_pair_scores(spark: SparkSession, docs: DataFrame) -> DataFrame:
+def bm25_pair_scores(
+    spark: SparkSession,
+    docs: DataFrame,
+    qterms: DataFrame | None = None,
+    seed_terms: list[str] | None = None,
+) -> DataFrame:
     """The relational BM25 scoring stage over any (doc_id, text) frame:
     (query_id, doc_id, n_terms, s DECIMAL) for every document holding
     at least one seed term — ``bm25_top_docs`` ranks this;
     ``streaming.queries.bm25_score_stream``'s in-row kernel is
-    stream≡batch pytest-pinned against it."""
-    qterms = spark.createDataFrame(
-        [(qid, t) for qid, ts in sorted(BM25_QUERIES.items()) for t in ts],
-        "query_id int, term string",
-    )
-    stats, tf, df = _bm25_stats_tf_df(docs)
+    stream≡batch pytest-pinned against it. Callers may supply their own
+    (query_id, term) frame + matching seed-term list (``retrieval``'s
+    probe-keyword queries); the default is the fixed BM25_QUERIES set."""
+    if qterms is None:
+        qterms = spark.createDataFrame(
+            [(qid, t) for qid, ts in sorted(BM25_QUERIES.items()) for t in ts],
+            "query_id int, term string",
+        )
+    stats, tf, df = _bm25_stats_tf_df(docs, seed_terms)
 
     n, t_len, tfc, dfc, dl = (
         F.col("n_docs"), F.col("total_len"),

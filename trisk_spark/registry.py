@@ -123,10 +123,12 @@ def register(name: str, oracle: str | None = None):
 # its kernels' registered sibling being bm25_top_docs),
 # embedding_gram (r14-new all-BIGINT second-moment table — the PCA
 # preflight's corpus pass; sibling class embed_quantize_int8's
-# Arrow-GEMM kernels), budget_trim, training_plan_budget,
-# shuffle_shards, perplexity_buckets, contamination_report,
-# ngram_novelty (+ retired rows tpch_q7/q10/q14/q3/knn_bruteforce
-# keeping their library oracles).
+# Arrow-GEMM kernels), hybrid_retrieval (r14-new lexical+dense RRF
+# fusion — the one op whose kernel spans BOTH retrieval families;
+# strong R16 candidate alongside bm25_incremental), budget_trim,
+# training_plan_budget, shuffle_shards, perplexity_buckets,
+# contamination_report, ngram_novelty (+ retired rows
+# tpch_q7/q10/q14/q3/knn_bruteforce keeping their library oracles).
 # The two r14-new ops sit r15 on in-window witnesses (both witnesses
 # are in THIS list, hence return r15 — checked): cross_split_leakage →
 # dedup_incremental (same signature+band pair kernel through the
@@ -275,6 +277,7 @@ def load_library() -> dict[str, QueryDef]:
         admission,
         bm25_store,
         dedup,
+        retrieval,
         sampling,
         semantic_store,
         similarity,
@@ -345,6 +348,15 @@ def load_library() -> dict[str, QueryDef]:
         "embedding_outliers": (
             similarity.embedding_outliers,
             similarity.EMB_OUTLIERS_SQL,
+        ),
+        # r14-new: hybrid more-like-this retrieval — RRF fusion of the
+        # BM25 keyword ranking and the exact dense cosine ranking per
+        # probe document (the lexical+vector composition both families
+        # lack alone; the whole three-stage derivation — keywords,
+        # BM25, knn — and the fusion under ONE value-hash).
+        "hybrid_retrieval": (
+            retrieval.hybrid_retrieval,
+            retrieval.HYBRID_RETRIEVAL_SQL,
         ),
     }
 
