@@ -113,6 +113,9 @@ LIBRARY_NAMES = sorted(
         # r14-new: hybrid more-like-this retrieval (RRF fusion of the
         # BM25 keyword ranking and the dense cosine ranking)
         "hybrid_retrieval",
+        # r14-new: per-list routing-drift gate for the frozen IVF
+        # model (arriving vs resident, smoothed KL, integer hot flag)
+        "ivf_drift_report",
     ]
 )
 

@@ -2446,3 +2446,163 @@ def outlier_score_frame(
         F.col("d").cast("double").alias("dist2"),
         (F.col("d") >= F.lit(threshold)).alias("is_outlier"),
     )
+
+
+# --------------------------- IVF routing-drift gate (r14) ------------
+
+# The operational trigger ivf_store's docs promise: the persisted index
+# deliberately NEVER re-centers (append_index assigns arriving waves
+# under the FROZEN centroid model; re-centering live would strand every
+# written row in a stale partition), so a deployment needs a NUMBER
+# that says "the arriving distribution no longer matches the resident
+# index — re-train and rewrite". ann_recall gates result QUALITY from
+# the probe side; THIS gates routing balance from the ingest side: a
+# drifted source floods a few lists (imbalance -> near-full probe
+# scans) long before recall visibly decays. Per model list: resident
+# members vs arriving members, the list's smoothed KL contribution
+# KL(arriving ‖ resident), and an exact-integer hot flag (at least one
+# arriving member AND smoothed arriving share > DRIFT_HOT_FACTOR x
+# resident share, decided by cross-multiplied BIGINTs — no float in
+# the decision).
+#
+# Smoothing is Jelinek-Mercer (shrink each share toward uniform by the
+# FRACTION lambda = 1/100: p = (99*(n/N) + 1/K) / 100), NOT add-one:
+# add-one's pseudo-count weighs 1/(N+K), so with a wave naturally
+# smaller than the residents (na << nr) every EMPTY list would compare
+# 1/(na+K) against 1/(nr+K) and report spurious drift — under JM an
+# empty (or share-matched) list has p_a = p_r exactly and contributes
+# exactly 0. With p = (99*n*K + N) / (100*N*K), every share is ONE
+# division of exact BIGINT products and the 100*N*K denominators
+# cancel from the ratio, so both engines compute identical doubles.
+
+DRIFT_ARRIVING_MOD = 5   # vec_id % MOD == 0 is the arriving wave
+DRIFT_HOT_FACTOR = 2
+
+
+def ivf_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Routing-drift report for the frozen int8 IVF model: build the
+    model over the EXISTING slice (vec_id % DRIFT_ARRIVING_MOD != 0 —
+    the store-family arriving convention), assign the WHOLE corpus
+    under it in one fused Arrow pass, and compare per-list resident vs
+    arriving membership. Returns one row per model list: (list_id,
+    n_resident, n_arriving, kl_contrib, is_hot) — SUM(kl_contrib) is
+    the corpus drift number, is_hot names the lists to blame.
+
+    Plan: the K-row model collect (routing-decision class), ONE
+    map-side quantize+assign pass over the scan, ONE K-key partial-agg
+    shuffle for the counts, then K-row broadcast joins (spine +
+    totals). Float discipline: smoothed shares are single divisions of
+    exact BIGINTs, the log-ratio is LN of ONE division of two exact
+    BIGINT products (house ROUND(.,6) -> DECIMAL close, the
+    source_divergence pattern), and the hot decision never touches a
+    float. LIBRARY op (full oracle ``IVF_DRIFT_SQL``); R16 seat
+    queue."""
+    emb = _valid_embeddings(table(spark, sf_dir, "embeddings"))
+    existing = emb.where(
+        F.pmod(F.col("vec_id"), F.lit(DRIFT_ARRIVING_MOD)) != 0
+    )
+    cq, cn, cids, cents = _int8_centroid_model(spark, existing)
+    k_m = len(cids)
+    asg = _quantize_assign_gemm(spark, emb, cq, cn, cids).select(
+        "list_id",
+        (F.pmod(F.col("vec_id"), F.lit(DRIFT_ARRIVING_MOD)) == 0).alias(
+            "arriving"
+        ),
+    )
+    counts = asg.groupBy("list_id").agg(
+        F.sum(F.when(~F.col("arriving"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_resident"),
+        F.sum(F.when(F.col("arriving"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_arriving"),
+    )
+    tot = counts.agg(
+        F.sum("n_resident").cast("bigint").alias("nr"),
+        F.sum("n_arriving").cast("bigint").alias("na"),
+    )
+    full = (
+        cents.select(F.col("c_id").alias("list_id"))
+        .join(F.broadcast(counts), "list_id", "left")
+        .na.fill({"n_resident": 0, "n_arriving": 0})
+        .crossJoin(F.broadcast(tot))
+    )
+    # JM-smoothed shares as integer-rational pairs: p_a has numerator
+    # a_num over denominator 100*na*K; the ratio p_a/p_r cancels the
+    # 100*K factors. BIGINT bound (ANSI fold throws past it):
+    # 6400 * n_arriving * nr < 2^63 — wave x corpus products to ~1.5e15.
+    a_num = F.lit(99) * F.col("n_arriving") * F.lit(k_m) + F.col("na")
+    r_num = F.lit(99) * F.col("n_resident") * F.lit(k_m) + F.col("nr")
+    p_a = a_num.cast("double") / (F.lit(100) * F.col("na") * F.lit(k_m))
+    lr = (
+        F.round(
+            F.log(
+                (a_num * F.col("nr")).cast("double")
+                / (F.col("na") * r_num).cast("double")
+            ),
+            6,
+        )
+        .cast("decimal(18,6)")
+    )
+    return full.select(
+        F.col("list_id").cast("bigint").alias("list_id"),
+        "n_resident",
+        "n_arriving",
+        F.round(p_a * lr.cast("double"), 6)
+        .cast("double")
+        .alias("kl_contrib"),
+        (
+            (F.col("n_arriving") > 0)
+            & (
+                a_num * F.col("nr")
+                > F.lit(DRIFT_HOT_FACTOR) * F.col("na") * r_num
+            )
+        ).alias("is_hot"),
+    )
+
+
+IVF_DRIFT_SQL = f"""
+WITH {_QUANT_CORPUS_SQL},
+dex AS (SELECT * FROM qn WHERE vec_id % {DRIFT_ARRIVING_MOD} <> 0),
+dcents AS (
+  SELECT vec_id AS c_id, qvec AS c_vec, qnorm AS c_norm FROM dex
+  ORDER BY vec_id LIMIT {N_CENTROIDS}
+),
+dk AS (SELECT COUNT(*) AS k_m FROM dcents),
+dasg AS (
+  SELECT qn.vec_id, (qn.vec_id % {DRIFT_ARRIVING_MOD} = 0) AS arriving,
+    -MAX({{'cos': CAST({_DOT_SQL.format(a="qn.qvec", b="c_vec")} AS DOUBLE)
+          / (SQRT(CAST(qn.qnorm AS DOUBLE)) * SQRT(CAST(c_norm AS DOUBLE))),
+         'nc': -c_id}}).nc AS list_id
+  FROM qn CROSS JOIN dcents
+  GROUP BY qn.vec_id, qn.qvec, qn.qnorm
+),
+dcounts AS (
+  SELECT list_id,
+    SUM(CASE WHEN NOT arriving THEN 1 ELSE 0 END) AS n_resident,
+    SUM(CASE WHEN arriving THEN 1 ELSE 0 END) AS n_arriving
+  FROM dasg GROUP BY list_id
+),
+dtot AS (SELECT SUM(n_resident) AS nr, SUM(n_arriving) AS na FROM dcounts),
+dfull AS (
+  SELECT c.c_id AS list_id,
+    COALESCE(d.n_resident, 0) AS n_resident,
+    COALESCE(d.n_arriving, 0) AS n_arriving,
+    t.nr, t.na, k.k_m
+  FROM dcents c
+  LEFT JOIN dcounts d ON d.list_id = c.c_id
+  CROSS JOIN dtot t CROSS JOIN dk k
+)
+SELECT CAST(list_id AS BIGINT) AS list_id,
+  CAST(n_resident AS BIGINT) AS n_resident,
+  CAST(n_arriving AS BIGINT) AS n_arriving,
+  CAST(ROUND(
+    (CAST(99 * n_arriving * k_m + na AS DOUBLE) / (100 * na * k_m))
+    * CAST(CAST(ROUND(LN(
+        CAST((99 * n_arriving * k_m + na) * nr AS DOUBLE)
+        / CAST(na * (99 * n_resident * k_m + nr) AS DOUBLE)), 6)
+      AS DECIMAL(18, 6)) AS DOUBLE), 6) AS DOUBLE) AS kl_contrib,
+  (n_arriving > 0 AND (99 * n_arriving * k_m + na) * nr
+    > {DRIFT_HOT_FACTOR} * na * (99 * n_resident * k_m + nr)) AS is_hot
+FROM dfull
+"""

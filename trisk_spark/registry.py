@@ -358,6 +358,15 @@ def load_library() -> dict[str, QueryDef]:
             retrieval.hybrid_retrieval,
             retrieval.HYBRID_RETRIEVAL_SQL,
         ),
+        # r14-new: the routing-drift gate for the frozen IVF model —
+        # per-list resident vs arriving membership, smoothed KL
+        # contribution, exact-integer hot flag (the re-train trigger
+        # ivf_store's append path defers to; ann_recall gates quality
+        # from the probe side, this gates balance from ingest).
+        "ivf_drift_report": (
+            similarity.ivf_drift_report,
+            similarity.IVF_DRIFT_SQL,
+        ),
     }
 
     def wrap(fn):
