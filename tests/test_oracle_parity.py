@@ -116,6 +116,9 @@ LIBRARY_NAMES = sorted(
         # r14-new: per-list routing-drift gate for the frozen IVF
         # model (arriving vs resident, smoothed KL, integer hot flag)
         "ivf_drift_report",
+        # r14-new: the hybrid probe served from BOTH persisted indexes
+        # (BM25 postings store + int8 IVF store + RRF fusion)
+        "hybrid_store_probe",
     ]
 )
 

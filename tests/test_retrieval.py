@@ -172,3 +172,60 @@ def test_probe_keyword_filter_reaches_scan(spark):
     plan = buf.getvalue()
     pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
     assert any(f"LessThan(doc_id,{N_PROBES})" in p for p in pushed), plan
+
+
+# ------------------- hybrid probe over the persisted stores ----------
+
+
+def test_store_probe_semantics(spark):
+    """The store-served hybrid: RRF arithmetic holds, self is excluded,
+    and the LEXICAL side equals the one-plan corpus ranking (the index
+    is exact, so store-probe ≡ kernel is a hard equality, not a
+    recall statement). The dense sides legitimately differ: exact knn
+    vs routed IVF."""
+    from trisk_spark.functions.retrieval import hybrid_store_probe
+
+    rows = hybrid_store_probe(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        lex = 1.0 / (RRF_C + r.lex_rank) if r.lex_rank is not None else 0.0
+        sem = 1.0 / (RRF_C + r.sem_rank) if r.sem_rank is not None else 0.0
+        assert r.rrf_score == round(lex + sem, 6)
+        assert r.doc_id != r.query_id
+        assert 1 <= r.fused_rank <= HYBRID_TOP_K
+
+    store_lex = {
+        (r.query_id, r.doc_id): r.lex_rank
+        for r in rows
+        if r.lex_rank is not None
+    }
+    corpus_lex = {
+        (r.query_id, r.doc_id): r.lex_rank
+        for r in hybrid_retrieval(spark, SF_DIR).collect()
+        if r.lex_rank is not None
+    }
+    # same ranking wherever both fusions kept the pair
+    common = set(store_lex) & set(corpus_lex)
+    assert common
+    assert all(store_lex[k] == corpus_lex[k] for k in common)
+
+
+def test_store_pair_is_memoized_and_complete(spark):
+    """corpus_stores_path builds BOTH index artifacts once per
+    (session, corpus) and returns the same scratch path on repeat
+    calls — the store economics the probe op depends on. (Each side's
+    pruned-read shape is pinned in its own suite: bucket
+    PartitionFilters in test_bm25_store, routed list_id filters in
+    test_similarity_iter/test_pq.)"""
+    import os
+
+    from trisk_spark.functions.retrieval import corpus_stores_path
+
+    p1 = corpus_stores_path(spark, SF_DIR)
+    p2 = corpus_stores_path(spark, SF_DIR)
+    assert p1 == p2
+    for sub in (
+        "bm25/postings", "bm25/doclens", "bm25/stats",
+        "ivf/index", "ivf/centroids",
+    ):
+        assert os.path.isdir(os.path.join(p1, sub)), sub

@@ -166,6 +166,7 @@ def probe_bm25_store(
     queries: dict[int, tuple[str, ...]] | None = None,
     top_k: int = BM25_TOP_K,
     max_postings: int = MAX_BM25_PROBE_POSTINGS,
+    exclude_self: bool = False,
 ) -> DataFrame:
     """Score a query set against the written index and return the
     per-query top-k — (query_id, doc_id, n_terms, score, rank), the
@@ -175,7 +176,10 @@ def probe_bm25_store(
     document frequency derives from the pruned read (a term's postings
     all share one bucket); N/avgdl come from the 1-row stats table.
     The hits frame is materialized once behind the fail-loud ceiling;
-    everything downstream of it is hits-sized."""
+    everything downstream of it is hits-sized. ``exclude_self`` drops
+    pairs whose doc_id equals the query_id BEFORE ranking — the
+    more-like-this convention (``retrieval.hybrid_store_probe``
+    queries by probe document id)."""
     queries = BM25_QUERIES if queries is None else queries
     terms = sorted({t for ts in queries.values() for t in ts})
     if not terms:
@@ -230,6 +234,8 @@ def probe_bm25_store(
             F.sum("contrib").alias("s"),
         )
     )
+    if exclude_self:
+        pair = pair.where(F.col("doc_id") != F.col("query_id"))
     w = Window.partitionBy("query_id").orderBy(F.desc("s"), "doc_id")
     return (
         pair.withColumn("rank", F.row_number().over(w))

@@ -42,6 +42,9 @@ the published formulas cited above.
 
 from __future__ import annotations
 
+import atexit
+import threading
+
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from trisk_spark.catalog import table
@@ -133,6 +136,16 @@ def hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             [], "query_id bigint, doc_id bigint, lex_rank int"
         )
 
+    return _rrf_fuse(lex, sem)
+
+
+def _rrf_fuse(lex: DataFrame, sem: DataFrame) -> DataFrame:
+    """RRF over two (query_id, doc_id, <side>_rank) frames: full-outer
+    join (both sides are ≤ probes × side-k rows — constant-size), the
+    two-term reciprocal sum in fixed order closed by ROUND(·, 6), and
+    the per-query fused rank. Shared by ``hybrid_retrieval`` (one-plan
+    corpus kernels) and ``hybrid_store_probe`` (persisted-index
+    probes)."""
     fused = lex.join(sem, ["query_id", "doc_id"], "full_outer")
     rrf = F.round(
         F.coalesce(
@@ -159,8 +172,12 @@ def hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-HYBRID_RETRIEVAL_SQL = f"""
-WITH hbase AS (
+# Shared oracle fragments: the lexical derivation (probe keywords ->
+# BM25 ranking with self excluded) and the RRF fusion tail expect a
+# ``sem`` CTE (query_id, doc_id, sem_rank) supplied by the dense side
+# — exact knn for ``hybrid_retrieval``, the routed int8-IVF mirror for
+# ``hybrid_store_probe``.
+_LEX_CTES = f"""hbase AS (
   SELECT doc_id,
     list_filter(string_split(lower(coalesce(text, '')), ' '), w -> w <> '') AS t
   FROM documents WHERE doc_id IS NOT NULL
@@ -215,8 +232,9 @@ lex AS (
         AS lex_rank
     FROM bpair
   ) WHERE lex_rank <= {LEX_SIDE_K}
-),
-ssc AS (
+)"""
+
+_DENSE_EXACT_CTES = f"""ssc AS (
   SELECT vec_id, {_SCALED_SQL.format(col="embedding")} AS vec
   FROM {_VALID_EMB_SQL} embeddings
 ),
@@ -241,8 +259,9 @@ sem AS (
                          ORDER BY cosine_sim DESC, doc_id) AS sem_rank
     FROM spairs
   ) WHERE sem_rank <= {TOP_K}
-),
-fused AS (
+)"""
+
+_FUSION_TAIL = f"""fused AS (
   SELECT COALESCE(l.query_id, m.query_id) AS query_id,
          COALESCE(l.doc_id, m.doc_id) AS doc_id,
          l.lex_rank, m.sem_rank,
@@ -262,3 +281,157 @@ FROM (
   FROM fused
 ) WHERE fr <= {HYBRID_TOP_K}
 """
+
+HYBRID_RETRIEVAL_SQL = (
+    "WITH " + _LEX_CTES + ",\n" + _DENSE_EXACT_CTES + ",\n" + _FUSION_TAIL
+)
+
+
+# ------------------- hybrid probe over the persisted stores ----------
+
+# Session-memoized scratch pair of indexes over the FULL corpus — the
+# dedup_incremental cache pattern (build once per (session, corpus);
+# repeat calls probe the artifacts: the store economics).
+_HYB_STORE_CACHE: dict[tuple[int, str], tuple[SparkSession, str]] = {}
+_HYB_STORE_LOCK = threading.Lock()
+
+
+def _cleanup_hyb_stores() -> None:
+    import shutil
+
+    with _HYB_STORE_LOCK:
+        paths = [p for (_s, p) in _HYB_STORE_CACHE.values()]
+        _HYB_STORE_CACHE.clear()
+    for p in paths:
+        shutil.rmtree(p, ignore_errors=True)
+
+
+atexit.register(_cleanup_hyb_stores)
+
+
+def corpus_stores_path(spark: SparkSession, sf_dir: str) -> str:
+    """Path of the session-memoized scratch pair of persisted indexes
+    over the corpus: ``<path>/bm25`` (the inverted-postings store) and
+    ``<path>/ivf`` (the int8 IVF index) — both over the FULL corpus,
+    built once per (session, corpus)."""
+    import shutil
+    import tempfile
+
+    from trisk_spark.catalog import table
+    from trisk_spark.functions import bm25_store, ivf_store
+    from trisk_spark.functions.sampling import _bpe_session_stopped
+
+    stale = []
+    with _HYB_STORE_LOCK:
+        for k, (sess, p) in list(_HYB_STORE_CACHE.items()):
+            if _bpe_session_stopped(sess):
+                _HYB_STORE_CACHE.pop(k)
+                stale.append(p)
+        hit = _HYB_STORE_CACHE.get((id(spark), sf_dir))
+    for p in stale:
+        shutil.rmtree(p, ignore_errors=True)
+    if hit is not None:
+        return hit[1]
+    path = tempfile.mkdtemp(prefix="trisk_hyb_store_")
+    docs = table(spark, sf_dir, "documents").where(F.col("doc_id").isNotNull())
+    bm25_store.write_bm25_store(spark, docs.select("doc_id", "text"), f"{path}/bm25")
+    ivf_store.write_index(spark, sf_dir, f"{path}/ivf")
+    with _HYB_STORE_LOCK:
+        _sess, path_won = _HYB_STORE_CACHE.setdefault(
+            (id(spark), sf_dir), (spark, path)
+        )
+    if path_won != path:
+        shutil.rmtree(path, ignore_errors=True)
+    return path_won
+
+
+def hybrid_store_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid more-like-this SERVED FROM THE PERSISTED INDEXES — the
+    deployment path: the same probe documents and fusion as
+    ``hybrid_retrieval``, but the lexical ranking comes from the BM25
+    inverted-postings store (bucket-pruned read, df from the pruned
+    postings, stats from the 1-row table) and the dense ranking from
+    the persisted int8 IVF index (routed ``list_id IN (...)`` partition
+    read + exact re-rank). One value-hash therefore covers BOTH stores'
+    write->route->pruned-read->score paths plus the fusion.
+
+    Oracle honesty: the lexical side's oracle is the whole-corpus BM25
+    derivation (the ``bm25_incremental`` precedent — the index is
+    EXACT, so store-probe ≡ one-plan kernel is part of what the hash
+    asserts); the dense side's oracle is the routed int8-IVF mirror
+    (``ann_ivf_int8``'s CTEs — approximate search, exactly derived).
+    LIBRARY op; R16 seat queue."""
+    from trisk_spark.functions.bm25_store import probe_bm25_store
+    from trisk_spark.functions.ivf_store import probe_index
+
+    path = corpus_stores_path(spark, sf_dir)
+
+    per_probe: dict[int, list[str]] = {}
+    for r in probe_keywords(spark, sf_dir):
+        per_probe.setdefault(int(r.doc_id), []).append(r.tok)
+    queries = {qid: tuple(sorted(ts)) for qid, ts in per_probe.items()}
+
+    lex = probe_bm25_store(
+        spark, f"{path}/bm25", queries, top_k=LEX_SIDE_K, exclude_self=True
+    ).select(
+        F.col("query_id").cast("bigint").alias("query_id"),
+        "doc_id",
+        F.col("rank").alias("lex_rank"),
+    )
+    sem = probe_index(spark, sf_dir, f"{path}/ivf").select(
+        "query_id",
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").alias("sem_rank"),
+    )
+    return _rrf_fuse(lex, sem)
+
+
+def _dense_store_ctes() -> str:
+    """The routed int8-IVF dense side as oracle CTEs ending in ``sem``
+    (query_id, doc_id, sem_rank) — ``ann_ivf_int8``'s derivation
+    (quantized corpus, K-centroid model, list assignment, probe
+    routing, in-list int8 candidates, exact re-rank), re-closed as a
+    rank CTE instead of that oracle's final SELECT."""
+    from trisk_spark.functions.similarity import (
+        ANN_CAND_K,
+        _EXACT_CTE_SQL,
+        _INT8_MODEL_SQL,
+        _QUANT_CORPUS_SQL,
+    )
+
+    return f"""{_QUANT_CORPUS_SQL},
+{_INT8_MODEL_SQL},
+cand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT ql.query_id, a.vec_id AS neighbor_id,
+      ROW_NUMBER() OVER (PARTITION BY ql.query_id ORDER BY
+        CAST({_DOT_SQL.format(a="p_qvec", b="a.qvec")} AS DOUBLE)
+          / (SQRT(CAST(p_qnorm AS DOUBLE)) * SQRT(CAST(a.qnorm AS DOUBLE))) DESC,
+        a.vec_id) AS crn
+    FROM qlists ql JOIN assign a ON ql.list_id = a.list_id
+    WHERE ql.query_id <> a.vec_id
+  ) WHERE crn <= {ANN_CAND_K}
+),
+{_EXACT_CTE_SQL},
+srerank AS (
+  SELECT c.query_id, c.neighbor_id AS doc_id,
+    CAST(ROUND(CAST({_DOT_SQL.format(a="p.vec", b="e.vec")} AS DOUBLE)
+         / (SQRT(CAST(p.norm AS DOUBLE)) * SQRT(CAST(e.norm AS DOUBLE))), 6)
+      AS DOUBLE) AS cosine_sim
+  FROM cand c
+  JOIN exact e ON c.neighbor_id = e.vec_id
+  JOIN exact p ON c.query_id = p.vec_id
+),
+sem AS (
+  SELECT query_id, doc_id, sem_rank FROM (
+    SELECT query_id, doc_id,
+      ROW_NUMBER() OVER (PARTITION BY query_id
+                         ORDER BY cosine_sim DESC, doc_id) AS sem_rank
+    FROM srerank
+  ) WHERE sem_rank <= {TOP_K}
+)"""
+
+
+HYBRID_STORE_SQL = (
+    "WITH " + _LEX_CTES + ",\n" + _dense_store_ctes() + ",\n" + _FUSION_TAIL
+)

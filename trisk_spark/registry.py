@@ -125,10 +125,15 @@ def register(name: str, oracle: str | None = None):
 # preflight's corpus pass; sibling class embed_quantize_int8's
 # Arrow-GEMM kernels), hybrid_retrieval (r14-new lexical+dense RRF
 # fusion — the one op whose kernel spans BOTH retrieval families;
-# strong R16 candidate alongside bm25_incremental), budget_trim,
-# training_plan_budget, shuffle_shards, perplexity_buckets,
-# contamination_report, ngram_novelty (+ retired rows
-# tpch_q7/q10/q14/q3/knn_bruteforce keeping their library oracles).
+# strong R16 candidate alongside bm25_incremental),
+# hybrid_store_probe (r14-new: the same fusion SERVED FROM both
+# persisted indexes — bucket-pruned BM25 postings + routed int8 IVF),
+# ivf_drift_report (r14-new: the frozen index's re-train trigger —
+# per-list arriving-vs-resident, JM-smoothed KL, integer hot flag),
+# budget_trim, training_plan_budget, shuffle_shards,
+# perplexity_buckets, contamination_report, ngram_novelty (+ retired
+# rows tpch_q7/q10/q14/q3/knn_bruteforce keeping their library
+# oracles).
 # The two r14-new ops sit r15 on in-window witnesses (both witnesses
 # are in THIS list, hence return r15 — checked): cross_split_leakage →
 # dedup_incremental (same signature+band pair kernel through the
@@ -366,6 +371,14 @@ def load_library() -> dict[str, QueryDef]:
         "ivf_drift_report": (
             similarity.ivf_drift_report,
             similarity.IVF_DRIFT_SQL,
+        ),
+        # r14-new: hybrid more-like-this SERVED FROM THE PERSISTED
+        # INDEXES — BM25 postings store (bucket-pruned) + int8 IVF
+        # store (routed partition read) + the shared RRF fusion under
+        # one value-hash; the deployment twin of hybrid_retrieval.
+        "hybrid_store_probe": (
+            retrieval.hybrid_store_probe,
+            retrieval.HYBRID_STORE_SQL,
         ),
     }
 
