@@ -272,3 +272,125 @@ def test_admission_stream_heals_cross_append_crash(spark, tmp_path, monkeypatch)
     assert srow.n_dup_vector_ids == 0 and srow.n_unvectored_band_ids == 0
     assert glob.glob(f"{dpath}/_admission_intent_*") == []
     assert admission.storefs.read_ingest_watermark(dpath) == 0
+
+
+def test_admission_wave_indexes_bm25(spark, tmp_path):
+    """Opt-in third store: every ADMITTED document (and only those)
+    lands in the BM25 postings index, wave after wave — admitted ⇒
+    lexically retrievable without a separate indexing pipeline. The
+    report must be byte-identical to the two-store form (the index is
+    an effect, never a gate)."""
+    from trisk_spark.functions import bm25_store as B
+
+    dpath, spath = _seed_stores(spark, tmp_path)
+    bpath = str(tmp_path / "bstore")
+    B.write_bm25_store(
+        spark,
+        spark.createDataFrame([(1, T1)], "doc_id long, text string"),
+        bpath,
+    )
+
+    r1 = admission.admission_wave(
+        spark, spark.createDataFrame(_WAVE1, _SCHEMA), dpath, spath, bpath
+    ).collect()
+    r2 = admission.admission_wave(
+        spark, spark.createDataFrame(_WAVE2, _SCHEMA), dpath, spath, bpath
+    ).collect()
+    admitted = {
+        r.doc_id for r in r1 + r2 if r.stage == "admitted"
+    }
+    indexed = {
+        r.doc_id
+        for r in spark.read.parquet(f"{bpath}/doclens").select("doc_id").collect()
+    }
+    assert indexed == {1} | admitted == {1, 12, 22}
+    stats = B.bm25_store_stats(spark, bpath).collect()[0]
+    assert stats.n_dup_doc_ids == 0 and stats.n_docs == 3
+    # stage verdicts unchanged by the third store (effect, not gate)
+    assert _stage_map(r2) == {
+        20: ("dup_text", 12),
+        21: ("dup_semantic", 12),
+        22: ("admitted", None),
+    }
+
+
+def test_admission_stream_heals_bm25_append_crash(
+    spark, tmp_path, monkeypatch
+):
+    """Crash AFTER both original appends but BEFORE the BM25 index
+    append (the widest three-store window): the intent replay must
+    re-drive all three appends behind their membership anti-joins —
+    the index catches up, nothing double-appends anywhere, the sink
+    sees attempt 1's report."""
+    import glob
+    from trisk_spark.functions import bm25_store as B
+
+    dpath, spath = _seed_stores(spark, tmp_path)
+    bpath = str(tmp_path / "bstore")
+    B.write_bm25_store(
+        spark,
+        spark.createDataFrame([(1, T1)], "doc_id long, text string"),
+        bpath,
+    )
+    wave = [(30, "w", T4, _E_NOVEL), (31, "w", T5, _E_NOVEL)]
+    waves_dir = str(tmp_path / "waves")
+    spark.createDataFrame(wave, _SCHEMA).coalesce(1).write.parquet(waves_dir)
+
+    def run(tag, sink):
+        stream = (
+            spark.readStream.schema(_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(waves_dir)
+        )
+        q = (
+            admission.admission_stream(
+                spark, stream, dpath, spath, sink, bm25_path=bpath
+            )
+            .option("checkpointLocation", checkpoint_dir(tag))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    real_append = B.append_bm25_store
+
+    def dying_append(spark_, new_docs, path):
+        raise RuntimeError("injected crash before the bm25 append")
+
+    monkeypatch.setattr(B, "append_bm25_store", dying_append)
+    crashed = []
+    try:
+        run("admbm25heal", lambda bdf, bid: crashed.append(bid))
+        raise AssertionError("injected crash did not surface")
+    except Exception as e:
+        assert "injected crash" in str(e)
+    assert crashed == []
+    monkeypatch.setattr(B, "append_bm25_store", real_append)
+
+    # crash state: both original stores advanced, the index did not
+    docs, vecs = _store_ids(spark, dpath, spath)
+    assert docs == {1, 30, 31} and vecs == {1, 30, 31}
+    assert {
+        r.doc_id
+        for r in spark.read.parquet(f"{bpath}/doclens").select("doc_id").collect()
+    } == {1}
+    assert glob.glob(f"{dpath}/_admission_intent_*"), "intent missing"
+
+    reports = {}
+    run(
+        "admbm25heal",
+        lambda bdf, bid: reports.update({bid: _stage_map(bdf.collect())}),
+    )
+    assert reports == {0: {30: ("admitted", None), 31: ("admitted", None)}}
+    assert {
+        r.doc_id
+        for r in spark.read.parquet(f"{bpath}/doclens").select("doc_id").collect()
+    } == {1, 30, 31}
+    stats = B.bm25_store_stats(spark, bpath).collect()[0]
+    assert stats.n_dup_doc_ids == 0
+    drow = dedup_store.dedup_store_stats(spark, dpath).collect()[0]
+    assert drow.n_dup_signature_ids == 0
+    srow = S.semantic_store_stats(spark, spath).collect()[0]
+    assert srow.n_dup_vector_ids == 0
+    assert glob.glob(f"{dpath}/_admission_intent_*") == []
+    assert admission.storefs.read_ingest_watermark(dpath) == 0

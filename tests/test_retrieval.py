@@ -229,3 +229,57 @@ def test_store_pair_is_memoized_and_complete(spark):
         "ivf/index", "ivf/centroids",
     ):
         assert os.path.isdir(os.path.join(p1, sub)), sub
+
+
+def test_hybrid_probe_stream_equals_batch(spark, tmp_path):
+    """Streaming hybrid serving: one arriving batch of the standard
+    probe documents through ``hybrid_probe_stream`` must equal
+    ``hybrid_store_probe`` row-for-row over the same store pair —
+    stream ≡ batch by construction (each side is literally its batch
+    engine under foreachBatch)."""
+    from pyspark.sql import functions as F
+
+    from trisk_spark.catalog import table
+    from trisk_spark.functions.retrieval import (
+        corpus_stores_path,
+        hybrid_probe_stream,
+        hybrid_store_probe,
+    )
+    from trisk_spark.functions.similarity import N_PROBES
+    from trisk_spark.streaming.sources import checkpoint_dir
+
+    path = corpus_stores_path(spark, SF_DIR)
+    probes = (
+        table(spark, SF_DIR, "documents")
+        .where(F.col("doc_id") < N_PROBES)
+        .join(
+            table(spark, SF_DIR, "embeddings").select(
+                F.col("vec_id").alias("doc_id"), "embedding"
+            ),
+            "doc_id",
+        )
+        .select("doc_id", "text", "embedding")
+    )
+    probes_dir = str(tmp_path / "probes")
+    probes.coalesce(1).write.parquet(probes_dir)
+
+    got: dict[int, set] = {}
+
+    def sink(bdf, bid):
+        got[bid] = {tuple(r) for r in bdf.collect()}
+
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, embedding array<double>"
+        ).parquet(probes_dir)
+    )
+    q = (
+        hybrid_probe_stream(spark, stream, SF_DIR, path, sink)
+        .option("checkpointLocation", checkpoint_dir("hybprobe"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    want = {tuple(r) for r in hybrid_store_probe(spark, SF_DIR).collect()}
+    assert got == {0: want}

@@ -91,6 +91,7 @@ def admission_wave(
     batch: DataFrame,
     dedup_path: str,
     sem_path: str,
+    bm25_path: str | None = None,
 ) -> DataFrame:
     """Run one wave through the staged admission funnel and ADMIT the
     survivors into both stores. Returns the funnel report —
@@ -107,12 +108,24 @@ def admission_wave(
     describes the store the wave was judged against, not the store it
     changed). Within-wave duplicates are admitted together this wave
     and collide from the next wave on — the documented batch-boundary
-    semantics of every ingest gate here."""
+    semantics of every ingest gate here.
+
+    ``bm25_path`` (opt-in) additionally indexes every admitted
+    document into the BM25 postings store — admitted ⇒ lexically
+    retrievable (``retrieval.hybrid_store_probe``'s serving side)
+    without a separate indexing pipeline re-reading the corpus. The
+    index is an EFFECT, never a gate: verdicts and the report are
+    byte-identical with or without it, so the ``admission_report``
+    oracle is unaffected."""
     report, s2 = _admission_verdicts(spark, batch, dedup_path, sem_path)
     append_dedup_store(spark, s2.select("doc_id", "text"), dedup_path)
     append_semantic_store(
         spark, s2.select(F.col("doc_id").alias("vec_id"), "embedding"), sem_path
     )
+    if bm25_path is not None:
+        from trisk_spark.functions.bm25_store import append_bm25_store
+
+        append_bm25_store(spark, s2.select("doc_id", "text"), bm25_path)
     return report
 
 
@@ -216,6 +229,7 @@ def admission_stream(
     dedup_path: str,
     sem_path: str,
     sink,
+    bm25_path: str | None = None,
 ):
     """CONTINUOUS admission — ``admission_wave`` per micro-batch, made
     EXACTLY-ONCE across every crash window by a durable INTENT LOG on
@@ -250,9 +264,21 @@ def admission_stream(
     write, and a recovery replay pays one id-column scan per store
     row table. Sink contract as the single-store streams: fully
     materialize inside the call. Returns the ``DataStreamWriter``
-    ready to ``.start()``."""
+    ready to ``.start()``.
+
+    ``bm25_path`` (opt-in, the ``admission_wave`` contract) makes the
+    BM25 postings store a THIRD append under the SAME intent/watermark
+    protocol: on replay its anti-join runs on the store's doclens ids
+    (a document is indexed ⇔ its doclens row landed). A crash INSIDE
+    ``append_bm25_store`` (postings landed, doclens not) is that
+    store's own documented window — ``bm25_store_stats`` detects it
+    (``n_dup_postings``) and ``repair_replayed_append`` repairs,
+    exactly as the dedup store's internal bands-first window is
+    handled by ITS stats/repair rather than re-described here."""
     storefs.require_rename_fs(dedup_path, "admission_stream")
     storefs.require_rename_fs(sem_path, "admission_stream")
+    if bm25_path is not None:
+        storefs.require_rename_fs(bm25_path, "admission_stream")
 
     def fb(batch_df: DataFrame, batch_id: int) -> None:
         wm = storefs.read_ingest_watermark(dedup_path)
@@ -297,6 +323,21 @@ def admission_stream(
                     ).join(vec_ids, "vec_id", "left_anti"),
                     sem_path,
                 )
+                if bm25_path is not None:
+                    from trisk_spark.functions.bm25_store import (
+                        append_bm25_store,
+                    )
+
+                    indexed = spark.read.parquet(
+                        f"{bm25_path}/doclens"
+                    ).select("doc_id")
+                    append_bm25_store(
+                        spark,
+                        s2.select("doc_id", "text").join(
+                            indexed, "doc_id", "left_anti"
+                        ),
+                        bm25_path,
+                    )
             else:
                 report, s2 = _admission_verdicts(
                     spark, batch_df, dedup_path, sem_path
@@ -312,6 +353,14 @@ def admission_stream(
                     s2.select(F.col("doc_id").alias("vec_id"), "embedding"),
                     sem_path,
                 )
+                if bm25_path is not None:
+                    from trisk_spark.functions.bm25_store import (
+                        append_bm25_store,
+                    )
+
+                    append_bm25_store(
+                        spark, s2.select("doc_id", "text"), bm25_path
+                    )
             storefs.write_ingest_watermark(dedup_path, batch_id)
             shutil.rmtree(ipath, ignore_errors=True)
             sink(report, batch_id)

@@ -435,3 +435,109 @@ sem AS (
 HYBRID_STORE_SQL = (
     "WITH " + _LEX_CTES + ",\n" + _dense_store_ctes() + ",\n" + _FUSION_TAIL
 )
+
+
+def batch_probe_keywords(
+    spark: SparkSession, probe_docs: DataFrame, ref_docs: DataFrame
+) -> list:
+    """Top-KEYWORDS_K distinctive terms for an ARBITRARY (doc_id, text)
+    probe frame, scored against the REFERENCE corpus's df/n assets (the
+    ``keyword_extract`` formula; at scale df/n are the write-once
+    broadcast asset, the probe side is batch-sized). Terms unseen in
+    the reference corpus drop out of the join — they could not retrieve
+    anything from an index built over that corpus anyway. Returns
+    driver rows (doc_id, tok) — probe-batch × KEYWORDS_K of them."""
+    from trisk_spark.functions.text import _lm_tokens
+
+    _tf, df, n = _kw_tf_df_n(ref_docs)
+    ptf = (
+        probe_docs.where(F.col("doc_id").isNotNull())
+        .select("doc_id", F.explode(_lm_tokens()).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "tok")
+    kw = (
+        ptf.join(F.broadcast(df), "tok")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score",
+            F.col("tf").cast("double") * F.col("n_docs") / F.col("df"),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= KEYWORDS_K)
+        .select("doc_id", "tok")
+    )
+    return kw.collect()
+
+
+def hybrid_probe_stream(
+    spark: SparkSession,
+    probes_stream: DataFrame,
+    ref_sf_dir: str,
+    path: str,
+    sink,
+):
+    """CONTINUOUS hybrid serving — "answer hybrid more-like-this
+    queries as they arrive": each micro-batch of probe documents
+    (doc_id, text, embedding) derives its keywords against the
+    reference corpus's df/n, probes the BM25 postings store
+    (bucket-pruned) and the persisted IVF index (routed partition
+    read) for THAT batch, and sinks the fused ranking. ``foreachBatch``
+    hands the batch over as a plain frame, so each side is literally
+    its batch engine (``probe_bm25_store`` / ``ivf_store.probe_frame``)
+    — stream ≡ batch by construction (pytest-pinned against
+    ``hybrid_store_probe`` over the same store pair). Probes are
+    independent rows: the union of per-batch results equals the
+    one-batch image. Batch size is bounded by the dense side's
+    fail-loud probe cap (``ivf_store.MAX_PROBE_BATCH_ROWS``); the
+    keyword collect is probe-batch × KEYWORDS_K rows. Read-only: never
+    writes either store (pair with ``admission_stream(bm25_path=...)``
+    / ``ivf_store.append_index`` on the maintainer side). Sink
+    contract: fully materialize inside the call."""
+    from trisk_spark.functions.bm25_store import probe_bm25_store
+    from trisk_spark.functions.ivf_store import probe_frame
+    from trisk_spark.functions.similarity import _valid_embeddings
+
+    ref_docs = table(spark, ref_sf_dir, "documents").where(
+        F.col("doc_id").isNotNull()
+    )
+    corpus_emb = _valid_embeddings(table(spark, ref_sf_dir, "embeddings"))
+
+    def fb(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.persist()
+        try:
+            per: dict[int, list] = {}
+            for r in batch_probe_keywords(
+                spark, batch_df.select("doc_id", "text"), ref_docs
+            ):
+                per.setdefault(int(r.doc_id), []).append(r.tok)
+            queries = {q: tuple(sorted(ts)) for q, ts in per.items()}
+            lex = probe_bm25_store(
+                spark,
+                f"{path}/bm25",
+                queries,
+                top_k=LEX_SIDE_K,
+                exclude_self=True,
+            ).select(
+                F.col("query_id").cast("bigint").alias("query_id"),
+                "doc_id",
+                F.col("rank").alias("lex_rank"),
+            )
+            sem = probe_frame(
+                spark,
+                batch_df.select(
+                    F.col("doc_id").alias("vec_id"), "embedding"
+                ),
+                corpus_emb,
+                f"{path}/ivf",
+            ).select(
+                "query_id",
+                F.col("neighbor_id").alias("doc_id"),
+                F.col("rank").alias("sem_rank"),
+            )
+            sink(_rrf_fuse(lex, sem), batch_id)
+        finally:
+            batch_df.unpersist()
+
+    return probes_stream.writeStream.outputMode("append").foreachBatch(fb)
