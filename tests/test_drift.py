@@ -92,3 +92,49 @@ def test_deterministic_across_runs(spark):
     a = {tuple(r) for r in ivf_drift_report(spark, SF_DIR).collect()}
     b = {tuple(r) for r in ivf_drift_report(spark, SF_DIR).collect()}
     assert a == b and a
+
+
+def test_drift_stream_equals_batch_image(spark, tmp_path):
+    """The deployment twin: an IVF store written over the existing
+    slice + the arriving slice streamed through drift_report_stream
+    must reproduce ivf_drift_report's one-plan image row-for-row (same
+    model rule, same assignment kernel, same shared formulas)."""
+    from trisk_spark.catalog import table
+    from trisk_spark.functions.ivf_store import (
+        drift_report_stream,
+        write_index,
+    )
+    from trisk_spark.streaming.sources import checkpoint_dir
+
+    emb = table(spark, SF_DIR, "embeddings")
+    exsf = tmp_path / "exsf"
+    exsf.mkdir()
+    emb.where(
+        F.pmod(F.col("vec_id"), F.lit(DRIFT_ARRIVING_MOD)) != 0
+    ).coalesce(1).write.parquet(str(exsf / "embeddings.parquet"))
+    ivf_path = str(tmp_path / "ivf")
+    write_index(spark, str(exsf), ivf_path)
+
+    probes_dir = str(tmp_path / "arriving")
+    emb.where(
+        F.pmod(F.col("vec_id"), F.lit(DRIFT_ARRIVING_MOD)) == 0
+    ).coalesce(1).write.parquet(probes_dir)
+
+    got: dict[int, set] = {}
+
+    def sink(bdf, bid):
+        got[bid] = {tuple(r) for r in bdf.collect()}
+
+    stream = spark.readStream.schema(
+        "vec_id long, embedding array<double>, label long"
+    ).parquet(probes_dir)
+    q = (
+        drift_report_stream(spark, stream, ivf_path, sink)
+        .option("checkpointLocation", checkpoint_dir("driftstream"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    want = {tuple(r) for r in ivf_drift_report(spark, SF_DIR).collect()}
+    assert got == {0: want}

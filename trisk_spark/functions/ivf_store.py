@@ -351,3 +351,57 @@ def index_stats(spark: SparkSession, path: str) -> DataFrame:
             F.max("n") / (F.sum("n") / F.count("*")), 6
         ).alias("imbalance"),
     )
+
+
+def drift_report_stream(
+    spark: SparkSession, emb_stream: DataFrame, path: str, sink
+):
+    """CONTINUOUS routing-drift monitoring over the persisted index —
+    the deployment twin of ``similarity.ivf_drift_report``: per
+    micro-batch, the arriving vectors are assigned under the STORED
+    centroid model (one fused Arrow pass, the ``append_index``
+    assignment) and compared against the index's CURRENT resident
+    per-list counts; ``sink(report_df, batch_id)`` receives one row
+    per model list (list_id, n_resident, n_arriving, kl_contrib,
+    is_hot — the shared ``drift_from_counts`` formulas). The number to
+    alert on BEFORE appending a drifted wave: a hot list here is the
+    re-train-and-rewrite trigger, and the read is a K-sized partial
+    aggregate over the (partition-local) list_id column plus the
+    batch-sized assignment — never a corpus rescan. Read-only: pair it
+    with an ingest maintainer. Sink contract: fully materialize inside
+    the call."""
+    from trisk_spark.functions.similarity import (
+        _quantize_assign_gemm,
+        _valid_embeddings,
+        drift_from_counts,
+    )
+
+    def fb(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.persist()
+        try:
+            cents_rows = spark.read.parquet(f"{path}/centroids").collect()
+            cq, cn, cids = _stored_model(cents_rows)
+            arriving = (
+                _quantize_assign_gemm(
+                    spark, _valid_embeddings(batch_df), cq, cn, cids
+                )
+                .groupBy("list_id")
+                .agg(F.count("*").cast("bigint").alias("n_arriving"))
+            )
+            resident = (
+                spark.read.parquet(f"{path}/index")
+                .groupBy("list_id")
+                .agg(F.count("*").cast("bigint").alias("n_resident"))
+            )
+            counts = (
+                resident.join(arriving, "list_id", "full_outer")
+                .na.fill({"n_resident": 0, "n_arriving": 0})
+            )
+            spine = spark.createDataFrame(
+                [(int(c),) for c in cids], "list_id bigint"
+            )
+            sink(drift_from_counts(spine, counts, len(cids)), batch_id)
+        finally:
+            batch_df.unpersist()
+
+    return emb_stream.writeStream.outputMode("append").foreachBatch(fb)

@@ -2517,13 +2517,26 @@ def ivf_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_arriving"),
     )
+    return drift_from_counts(
+        cents.select(F.col("c_id").alias("list_id")), counts, k_m
+    )
+
+
+def drift_from_counts(
+    spine: DataFrame, counts: DataFrame, k_m: int
+) -> DataFrame:
+    """The drift formulas over a (list_id, n_resident, n_arriving)
+    count frame and a model-list spine: JM-smoothed per-list KL
+    contribution + the exact-integer hot flag. Shared by the one-plan
+    ``ivf_drift_report`` (mod-split corpus) and the deployment twin
+    ``ivf_store.drift_report_stream`` (persisted-index residents vs an
+    arriving micro-batch)."""
     tot = counts.agg(
         F.sum("n_resident").cast("bigint").alias("nr"),
         F.sum("n_arriving").cast("bigint").alias("na"),
     )
     full = (
-        cents.select(F.col("c_id").alias("list_id"))
-        .join(F.broadcast(counts), "list_id", "left")
+        spine.join(F.broadcast(counts), "list_id", "left")
         .na.fill({"n_resident": 0, "n_arriving": 0})
         .crossJoin(F.broadcast(tot))
     )
