@@ -135,3 +135,97 @@ def test_admission_loop_sustains_rate(spark, tmp_path):
         "(composed funnel regression — check probe pruning and the "
         "append's touched-partition rewrite)"
     )
+
+
+# ---- hybrid serving loop (r14) ---------------------------------------
+
+#: probes/s floor for the store-served hybrid stream (per-batch keyword
+#: derivation + bucket-pruned BM25 probe + routed IVF probe + fusion).
+#: Measured 104 probes/s at 2 batches x 2,000 probes on this box's
+#: local[8] WHILE the full suite ran concurrently (2026-08-16) — the
+#: floor sits ~2.5x under that contended number. Like the admission
+#: gate, per-batch cost is dominated by fixed job fan-out at this tiny
+#: corpus; the gate catches REGRESSIONS in the composed serving plan
+#: (a probe losing its bucket/list pruning turns this into a full-store
+#: scan per batch), not peak rate.
+SERVE_BATCHES = 2
+SERVE_BATCH_PROBES_X = 4  # corpus replicas per batch
+SERVE_MIN_PPS = 40
+
+
+def test_hybrid_serving_sustains_rate(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from trisk_spark.catalog import table
+    from trisk_spark.functions.retrieval import (
+        HYBRID_TOP_K,
+        corpus_stores_path,
+        hybrid_probe_stream,
+    )
+    from trisk_spark.streaming.sources import checkpoint_dir
+
+    sf = "/root/testdata/sf0.001"
+    path = corpus_stores_path(spark, sf)
+    base = (
+        table(spark, sf, "documents")
+        .where(F.col("doc_id").isNotNull())
+        .join(
+            table(spark, sf, "embeddings").select(
+                F.col("vec_id").alias("doc_id"), "embedding"
+            ),
+            "doc_id",
+        )
+        .select("doc_id", "text", "embedding")
+        .localCheckpoint()
+    )
+    n_base = base.count()
+    pdir = str(tmp_path / "probes")
+    for b in range(SERVE_BATCHES):
+        batch = None
+        for k in range(SERVE_BATCH_PROBES_X):
+            # replicas with fresh ids: real corpus text (so keywords
+            # and lexical hits are genuine), never self-excluded
+            part = base.select(
+                (F.col("doc_id") + F.lit(100_000 * (b * 8 + k + 1))).alias(
+                    "doc_id"
+                ),
+                "text",
+                "embedding",
+            )
+            batch = part if batch is None else batch.union(part)
+        batch.coalesce(1).write.mode("append" if b else "overwrite").parquet(
+            pdir
+        )
+
+    out: dict[int, int] = {}
+
+    def sink(bdf, bid):
+        out[bid] = bdf.count()
+
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, embedding array<double>"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(pdir)
+    )
+    t0 = time.time()
+    q = (
+        hybrid_probe_stream(spark, stream, sf, path, sink)
+        .option("checkpointLocation", checkpoint_dir("hybserve"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    dt = time.time() - t0
+
+    m = n_base * SERVE_BATCH_PROBES_X
+    assert sorted(out) == list(range(SERVE_BATCHES))
+    for bid, n in out.items():
+        assert n == m * HYBRID_TOP_K, (bid, n)  # every probe answered
+    pps = SERVE_BATCHES * m / dt
+    assert pps >= SERVE_MIN_PPS, (
+        f"hybrid serving {pps:,.0f} probes/s < {SERVE_MIN_PPS:,} "
+        "(composed serving regression — check the postings bucket "
+        "prune and the IVF routed-list partition filter)"
+    )
