@@ -394,3 +394,46 @@ def test_admission_stream_heals_bm25_append_crash(
     assert srow.n_dup_vector_ids == 0
     assert glob.glob(f"{dpath}/_admission_intent_*") == []
     assert admission.storefs.read_ingest_watermark(dpath) == 0
+
+
+def test_takedown_wave_unadmits_across_all_stores(spark, tmp_path):
+    """Un-admit: after takedown_wave the three stores no longer know
+    the victims (band/vector/posting membership gone, loop-closure
+    reversed: a byte-copy of a taken-down doc is ADMITTED again), and
+    the surviving admissions still collide."""
+    from trisk_spark.functions import bm25_store as B
+
+    dpath, spath = _seed_stores(spark, tmp_path)
+    bpath = str(tmp_path / "bstore")
+    B.write_bm25_store(
+        spark,
+        spark.createDataFrame([(1, T1)], "doc_id long, text string"),
+        bpath,
+    )
+    r1 = admission.admission_wave(
+        spark, spark.createDataFrame(_WAVE1, _SCHEMA), dpath, spath, bpath
+    ).collect()
+    assert _stage_map(r1)[12] == ("admitted", None)
+
+    admission.takedown_wave(spark, [12], dpath, spath, bpath)
+    docs, vecs = _store_ids(spark, dpath, spath)
+    assert 12 not in docs and 12 not in vecs
+    assert 12 not in {
+        r.doc_id
+        for r in spark.read.parquet(f"{bpath}/doclens").select("doc_id").collect()
+    }
+
+    # a byte-copy of the taken-down doc re-admits (stores forgot it);
+    # a byte-copy of doc 1 (still resident) keeps colliding
+    redo = [(40, "w", T3, _E_NOVEL), (41, "w", T1, _E_BASE)]
+    r2 = _stage_map(
+        admission.admission_wave(
+            spark, spark.createDataFrame(redo, _SCHEMA), dpath, spath, bpath
+        ).collect()
+    )
+    assert r2[40] == ("admitted", None)
+    assert r2[41] == ("dup_text", 1)
+    # replaying the same takedown is a no-op across all three stores
+    admission.takedown_wave(spark, [12], dpath, spath, bpath)
+    docs2, vecs2 = _store_ids(spark, dpath, spath)
+    assert 40 in docs2 and 40 in vecs2

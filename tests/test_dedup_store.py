@@ -722,3 +722,174 @@ def test_stats_detect_unsigned_band_docs(spark, tmp_path):
         bands.groupBy("band_idx", "bh", "doc_id").count()
         .where(F.col("count") > 1).count() == 0
     ), "band replay stacked duplicate rows"
+
+
+# ------------------------------------------------ takedown (r14) -----
+
+
+def _snap(spark, path, table_, cols):
+    return sorted(
+        tuple(r[c] for r in [r] for c in cols)
+        for r in spark.read.parquet(f"{path}/{table_}").collect()
+    )
+
+
+def _takedown_corpus(spark):
+    """258 identical-text docs (ids 0..257 — two PAST the cap, so the
+    capped mega-buckets keep 0..255 and evict 256/257) plus three
+    distinct docs, one of which (9000) is a whole-bucket loner."""
+    text = " ".join(f"w{i % 17}" for i in range(40))
+    same = spark.range(0, BUCKET_CAP + 2).select(
+        F.col("id").alias("doc_id"), F.lit(text).alias("text")
+    )
+    distinct = spark.createDataFrame(
+        [(9000 + i, " ".join(f"lone{i}q{j}" for j in range(40)))
+         for i in range(3)],
+        "doc_id long, text string",
+    )
+    return same.unionByName(distinct)
+
+
+def test_delete_equals_rebuild_with_cap_reentrants(spark, tmp_path):
+    """delete ≡ write-without-victims, table-for-table — including the
+    cap re-entrants: deleting two IN-CAP members of a saturated bucket
+    must re-admit the two members the cap had evicted (a filter-only
+    deletion would leave the bucket under-filled vs a rebuild), and
+    deleting a loner doc must leave its buckets EMPTY (directory
+    cleared — the case dynamic partition overwrite cannot express)."""
+    corpus = _takedown_corpus(spark)
+    victims = [0, 1, 9000]
+    live, ref = str(tmp_path / "live"), str(tmp_path / "ref")
+    dedup_store.write_dedup_store(spark, corpus, live)
+    dedup_store.delete_from_dedup_store(spark, victims, live)
+    dedup_store.write_dedup_store(
+        spark, corpus.where(~F.col("doc_id").isin(victims)), ref
+    )
+
+    bcols = ["doc_id", "band_idx", "bucket", "bh"]
+    scols = ["doc_id"] + [f"h{i}" for i in range(dedup_store.N_PERMS)]
+    assert _snap(spark, live, "bands", bcols) == _snap(spark, ref, "bands", bcols)
+    assert _snap(spark, live, "signatures", scols) == _snap(
+        spark, ref, "signatures", scols
+    )
+    # the re-entrants really are back and the victims really are gone
+    band_ids = {t[0] for t in _snap(spark, live, "bands", ["doc_id"])}
+    assert {256, 257} <= band_ids
+    assert not {0, 1, 9000} & band_ids
+    row = dedup_store.dedup_store_stats(spark, live).collect()[0]
+    assert row.n_unsigned_band_docs == 0 and row.n_dup_signature_ids == 0
+    # probe over the deleted store ≡ probe over the rebuild
+    probe = spark.createDataFrame(
+        [(77_000, " ".join(f"w{i % 17}" for i in range(40)))],
+        "doc_id long, text string",
+    )
+    a = sorted(map(tuple, dedup_store.probe_dedup_store(spark, probe, live).collect()))
+    b = sorted(map(tuple, dedup_store.probe_dedup_store(spark, probe, ref).collect()))
+    assert a == b
+
+
+def test_delete_is_idempotent_and_validates(spark, tmp_path):
+    corpus = _takedown_corpus(spark)
+    live = str(tmp_path / "live")
+    dedup_store.write_dedup_store(spark, corpus, live)
+    dedup_store.delete_from_dedup_store(spark, [9001], live)
+    snap1 = _snap(spark, live, "bands", ["doc_id", "band_idx", "bucket", "bh"])
+    # replaying the same takedown is a no-op (victims already gone)
+    dedup_store.delete_from_dedup_store(spark, [9001], live)
+    assert _snap(spark, live, "bands", ["doc_id", "band_idx", "bucket", "bh"]) == snap1
+    # empty set: no-op; oversized set: fail-loud
+    dedup_store.delete_from_dedup_store(spark, [], live)
+    with pytest.raises(ValueError, match="takedown batch"):
+        dedup_store.delete_from_dedup_store(
+            spark, range(dedup_store.MAX_DELETE_IDS + 1), live
+        )
+
+
+def test_delete_heals_every_crash_window(spark, tmp_path, monkeypatch):
+    """Each intermediate crash state re-runs to completion from the
+    durable intent: (A) intent only; (B) touched directories cleared
+    but not rewritten; (C) bands rewritten, signature swap died. After
+    resume, the store is byte-identical to a never-crashed delete."""
+    import glob
+    import os
+    import shutil
+
+    corpus = _takedown_corpus(spark)
+    victims = [0, 1, 9000]
+    ref = str(tmp_path / "ref")
+    dedup_store.write_dedup_store(
+        spark, corpus.where(~F.col("doc_id").isin(victims)), ref
+    )
+    bcols = ["doc_id", "band_idx", "bucket", "bh"]
+    scols = ["doc_id"] + [f"h{i}" for i in range(dedup_store.N_PERMS)]
+
+    def fresh(tag):
+        p = str(tmp_path / tag)
+        dedup_store.write_dedup_store(spark, corpus, p)
+        return p
+
+    def write_intent(p):
+        tmp = f"{p}/_delete_intent_tmp"
+        spark.createDataFrame(
+            [(int(i),) for i in victims], "doc_id bigint"
+        ).coalesce(1).write.mode("overwrite").parquet(tmp)
+        os.rename(tmp, f"{p}/_delete_intent")
+
+    def assert_healed(p):
+        assert _snap(spark, p, "bands", bcols) == _snap(spark, ref, "bands", bcols)
+        assert _snap(spark, p, "signatures", scols) == _snap(
+            spark, ref, "signatures", scols
+        )
+        assert glob.glob(f"{p}/_delete_intent*") == []
+
+    # (A) intent landed, nothing else happened
+    pa = fresh("a")
+    write_intent(pa)
+    assert dedup_store.resume_pending_delete(spark, pa)
+    assert_healed(pa)
+
+    # (B) intent + exactly the victims' touched directories cleared
+    # (what a crash between the rmtree loop and the rewrite leaves)
+    pb = fresh("b")
+    write_intent(pb)
+    from trisk_spark.functions.dedup import minhash_bands
+
+    vsig = spark.read.parquet(f"{pb}/signatures").where(
+        F.col("doc_id").isin(victims)
+    )
+    routes = (
+        minhash_bands(vsig)
+        .select(
+            F.col("band_idx").cast("int").alias("band_idx"),
+            dedup_store._bucket(),
+        )
+        .select("band_idx", "bucket")
+        .distinct()
+        .collect()
+    )
+    assert routes
+    for r in routes:
+        shutil.rmtree(
+            f"{pb}/bands/band_idx={r['band_idx']}/bucket={r['bucket']}",
+            ignore_errors=True,
+        )
+    assert dedup_store.resume_pending_delete(spark, pb)
+    assert_healed(pb)
+
+    # (C) the signature swap itself dies mid-delete
+    pc = fresh("c")
+    from trisk_spark.functions import storefs as _sfs
+
+    real_swap = _sfs.swap_in_compacted
+
+    def dying_swap(path, tables):
+        raise RuntimeError("injected crash in the signature swap")
+
+    monkeypatch.setattr(_sfs, "swap_in_compacted", dying_swap)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        dedup_store.delete_from_dedup_store(spark, victims, pc)
+    monkeypatch.setattr(_sfs, "swap_in_compacted", real_swap)
+    assert os.path.exists(f"{pc}/_delete_intent")
+    assert dedup_store.resume_pending_delete(spark, pc)
+    assert_healed(pc)
+    assert not dedup_store.resume_pending_delete(spark, pc)  # nothing pending

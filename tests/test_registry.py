@@ -175,6 +175,16 @@ def test_readme_op_table_names_are_registered():
         # r13: the persisted SRP semantic store (library op +
         # helpers; semantic_incremental is load_library-gated until
         # its R15 seat)
+        # r14: hybrid retrieval family (library ops + serving helpers)
+        # and the IVF drift gate — library-oracle-gated until their
+        # R16 seats; bm25_path is admission's opt-in third-store param
+        "hybrid_retrieval", "hybrid_store_probe", "hybrid_probe_stream",
+        "corpus_stores_path", "ivf_drift_report", "drift_from_counts",
+        "bm25_path",
+        # r14: the store-family takedown verbs + their crash protocol
+        "delete_from_dedup_store", "delete_from_semantic_store",
+        "delete_from_bm25_store", "delete_from_index",
+        "resume_pending_delete", "_delete_intent", "takedown_wave",
         "semantic_incremental", "write_semantic_store",
         "probe_semantic_store", "append_semantic_store",
         "semantic_ingest_wave", "semantic_ingest_stream",

@@ -1,0 +1,200 @@
+"""Takedown (delete) across the persisted-store family: delete ≡
+rebuild-without-victims per store, emptied loner directories, crash
+resume from the durable intent. The dedup store's full crash matrix
+(cap re-entrants, every window) lives in test_dedup_store; these pin
+the semantic / bm25 / ivf mirrors."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from trisk_spark.functions import bm25_store as B
+from trisk_spark.functions import ivf_store as I
+from trisk_spark.functions import semantic_store as S
+from trisk_spark.functions import storefs
+
+from .conftest import SF_DIR
+
+
+def _snap(spark, path, table_, cols):
+    return sorted(
+        tuple(
+            tuple(v) if isinstance(v, list) else v
+            for v in (r[c] for c in cols)
+        )
+        for r in spark.read.parquet(f"{path}/{table_}").collect()
+    )
+
+
+# ------------------------------------------------ semantic store -----
+
+
+def _vec(seed: int, loner: bool = False):
+    if loner:
+        v = [0.001] * 64
+        v[seed % 64] = 0.9
+        return [float(x) for x in v]
+    # one shared direction: identical vectors -> identical SRP bands
+    return [float(0.3 + 0.001 * ((7 * k) % 5)) for k in range(64)]
+
+
+def test_semantic_delete_equals_rebuild_with_reentrants(spark, tmp_path):
+    from trisk_spark.functions.similarity import VEC_BUCKET_CAP
+
+    n_same = VEC_BUCKET_CAP + 2  # two past the cap -> two evictees
+    rows = [(i, _vec(0)) for i in range(n_same)]
+    rows += [(9000 + i, _vec(9000 + i, loner=True)) for i in range(3)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    victims = [0, 1, 9000]  # two in-cap members + one loner
+    live, ref = str(tmp_path / "live"), str(tmp_path / "ref")
+    S.write_semantic_store(spark, emb, live)
+    S.delete_from_semantic_store(spark, victims, live)
+    S.write_semantic_store(
+        spark, emb.where(~F.col("vec_id").isin(victims)), ref
+    )
+    bcols = ["vec_id", "band_idx", "bucket", "bv"]
+    assert _snap(spark, live, "bands", bcols) == _snap(spark, ref, "bands", bcols)
+    assert _snap(spark, live, "vectors", ["vec_id", "vec", "norm"]) == _snap(
+        spark, ref, "vectors", ["vec_id", "vec", "norm"]
+    )
+    band_ids = {t[0] for t in _snap(spark, live, "bands", ["vec_id"])}
+    # the two cap evictees re-entered; the victims are gone
+    assert {n_same - 2, n_same - 1} <= band_ids
+    assert not set(victims) & band_ids
+    row = S.semantic_store_stats(spark, live).collect()[0]
+    assert row.n_dup_vector_ids == 0 and row.n_unvectored_band_ids == 0
+
+
+def test_semantic_delete_crash_resume(spark, tmp_path, monkeypatch):
+    emb = spark.createDataFrame(
+        [(i, _vec(i, loner=True)) for i in range(30)],
+        "vec_id long, embedding array<double>",
+    )
+    live, ref = str(tmp_path / "live"), str(tmp_path / "ref")
+    S.write_semantic_store(spark, emb, live)
+    S.write_semantic_store(spark, emb.where(F.col("vec_id") >= 3), ref)
+
+    real_swap = storefs.swap_in_compacted
+    monkeypatch.setattr(
+        storefs, "swap_in_compacted",
+        lambda *a: (_ for _ in ()).throw(RuntimeError("injected")),
+    )
+    with pytest.raises(RuntimeError, match="injected"):
+        S.delete_from_semantic_store(spark, [0, 1, 2], live)
+    monkeypatch.setattr(storefs, "swap_in_compacted", real_swap)
+    assert os.path.exists(f"{live}/_delete_intent")
+    assert S.resume_pending_delete(spark, live)
+    bcols = ["vec_id", "band_idx", "bucket", "bv"]
+    assert _snap(spark, live, "bands", bcols) == _snap(spark, ref, "bands", bcols)
+    assert _snap(spark, live, "vectors", ["vec_id", "vec", "norm"]) == _snap(
+        spark, ref, "vectors", ["vec_id", "vec", "norm"]
+    )
+    assert glob.glob(f"{live}/_delete_intent*") == []
+
+
+# ------------------------------------------------ bm25 store ---------
+
+
+def test_bm25_delete_equals_rebuild_and_probes(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [(i, f"shared words here plus unique{i} token{i}") for i in range(20)]
+        + [(500, "lonely vocabulary nothing shares these")],
+        "doc_id long, text string",
+    )
+    victims = [0, 1, 500]
+    live, ref = str(tmp_path / "live"), str(tmp_path / "ref")
+    B.write_bm25_store(spark, docs, live)
+    B.delete_from_bm25_store(spark, victims, live)
+    B.write_bm25_store(
+        spark, docs.where(~F.col("doc_id").isin(victims)), ref
+    )
+    pcols = ["term", "doc_id", "tf", "dl", "bucket"]
+    assert _snap(spark, live, "postings", pcols) == _snap(spark, ref, "postings", pcols)
+    assert _snap(spark, live, "doclens", ["doc_id", "dl"]) == _snap(
+        spark, ref, "doclens", ["doc_id", "dl"]
+    )
+    assert _snap(spark, live, "stats", ["n_docs", "total_len"]) == _snap(
+        spark, ref, "stats", ["n_docs", "total_len"]
+    )
+    q = {1: ("shared", "unique2"), 2: ("lonely", "vocabulary")}
+    a = sorted(map(tuple, B.probe_bm25_store(spark, live, q).collect()))
+    b = sorted(map(tuple, B.probe_bm25_store(spark, ref, q).collect()))
+    assert a == b
+    assert not any(r[1] in victims for r in a)  # victims unretrievable
+    row = B.bm25_store_stats(spark, live).collect()[0]
+    assert row.n_dup_doc_ids == 0 and row.stats_lag == 0
+
+
+def test_bm25_delete_crash_resume(spark, tmp_path, monkeypatch):
+    docs = spark.createDataFrame(
+        [(i, f"common ground extra{i} filler{i}") for i in range(12)],
+        "doc_id long, text string",
+    )
+    live, ref = str(tmp_path / "live"), str(tmp_path / "ref")
+    B.write_bm25_store(spark, docs, live)
+    B.write_bm25_store(spark, docs.where(F.col("doc_id") >= 2), ref)
+
+    real_swap = storefs.swap_in_compacted
+    monkeypatch.setattr(
+        storefs, "swap_in_compacted",
+        lambda *a: (_ for _ in ()).throw(RuntimeError("injected")),
+    )
+    with pytest.raises(RuntimeError, match="injected"):
+        B.delete_from_bm25_store(spark, [0, 1], live)
+    monkeypatch.setattr(storefs, "swap_in_compacted", real_swap)
+    assert B.resume_pending_delete(spark, live)
+    pcols = ["term", "doc_id", "tf", "dl", "bucket"]
+    assert _snap(spark, live, "postings", pcols) == _snap(spark, ref, "postings", pcols)
+    assert _snap(spark, live, "stats", ["n_docs", "total_len"]) == _snap(
+        spark, ref, "stats", ["n_docs", "total_len"]
+    )
+    assert glob.glob(f"{live}/_delete_intent*") == []
+
+
+# ------------------------------------------------ ivf index ----------
+
+
+def test_ivf_delete_equals_rebuild_and_probe(spark, tmp_path):
+    """Victims chosen ABOVE the centroid-model id range, so the frozen
+    model is identical on both sides and delete ≡ rebuild is exact."""
+    import shutil
+    import tempfile
+
+    from trisk_spark.catalog import table
+    from trisk_spark.functions.similarity import N_CENTROIDS
+
+    emb = table(spark, SF_DIR, "embeddings")
+    victims = [r.vec_id for r in (
+        emb.where(F.col("vec_id") >= N_CENTROIDS)
+        .orderBy("vec_id").limit(5).collect()
+    )]
+    assert victims
+    live = str(tmp_path / "live")
+    I.write_index(spark, SF_DIR, live)
+    I.delete_from_index(spark, victims, live)
+
+    refsf = tempfile.mkdtemp(prefix="trisk_refsf_")
+    try:
+        emb.where(~F.col("vec_id").isin(victims)).coalesce(1).write.parquet(
+            f"{refsf}/embeddings.parquet"
+        )
+        ref = str(tmp_path / "ref")
+        I.write_index(spark, refsf, ref)
+        icols = ["vec_id", "qvec", "qnorm", "codes", "recon_norm", "list_id"]
+        assert _snap(spark, live, "index", icols) == _snap(spark, ref, "index", icols)
+        assert _snap(spark, live, "centroids", ["c_id", "c_vec", "c_norm"]) == _snap(
+            spark, ref, "centroids", ["c_id", "c_vec", "c_norm"]
+        )
+        # probing the deleted index never returns a victim
+        hits = I.probe_index(spark, SF_DIR, live).collect()
+        assert hits and not {r.neighbor_id for r in hits} & set(victims)
+        # replaying the takedown is a no-op
+        snap1 = _snap(spark, live, "index", icols)
+        I.delete_from_index(spark, victims, live)
+        assert _snap(spark, live, "index", icols) == snap1
+    finally:
+        shutil.rmtree(refsf, ignore_errors=True)

@@ -561,3 +561,38 @@ def admission_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ADMISSION_REPORT_SQL = _admission_report_sql()
+
+
+def takedown_wave(
+    spark: SparkSession,
+    doc_ids,
+    dedup_path: str,
+    sem_path: str,
+    bm25_path: str | None = None,
+) -> None:
+    """UN-ADMIT: remove documents from every store the admission loop
+    maintains — the right-to-be-forgotten counterpart of
+    ``admission_wave``. Composes the per-store takedown verbs
+    (``delete_from_dedup_store`` / ``delete_from_semantic_store`` /
+    ``delete_from_bm25_store``), each individually crash-safe behind
+    its own durable ``_delete_intent`` and per-store
+    ``resume_pending_delete``; a crash between stores leaves earlier
+    stores clean and later ones untouched — re-running the same
+    takedown converges (each per-store delete is a replay no-op once
+    its victims are gone). Deleted documents become RE-ADMITTABLE: the
+    next wave probes stores that no longer know them — the documented
+    takedown semantics (a tombstone that blocks re-admission is a
+    different, caller-side policy)."""
+    from trisk_spark.functions.bm25_store import delete_from_bm25_store
+    from trisk_spark.functions.dedup_store import delete_from_dedup_store
+    from trisk_spark.functions.semantic_store import (
+        delete_from_semantic_store,
+    )
+
+    ids = sorted({int(i) for i in doc_ids})
+    if not ids:
+        return
+    delete_from_dedup_store(spark, ids, dedup_path)
+    delete_from_semantic_store(spark, ids, sem_path)
+    if bm25_path is not None:
+        delete_from_bm25_store(spark, ids, bm25_path)

@@ -553,3 +553,108 @@ def bm25_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 BM25_INCREMENTAL_SQL = BM25_TOP_DOCS_SQL
+
+
+# ------------------------------------------------ takedown (r14) -----
+
+#: fail-loud ceiling on a single takedown batch (the dedup store's
+#: MAX_DELETE_IDS contract)
+MAX_DELETE_IDS = 100_000
+
+
+def delete_from_bm25_store(spark: SparkSession, doc_ids, path: str) -> None:
+    """TAKEDOWN — remove documents from the persisted inverted index so
+    no future probe can retrieve them. Postings are uncapped per-doc
+    facts, so delete ≡ ``write_bm25_store`` over the corpus WITHOUT the
+    victims is a plain filter per touched bucket (no re-derivation
+    needed — the one store where filtering IS rebuilding); loner
+    buckets are correctly emptied (directory cleared), doclens and the
+    1-row stats recompute through the crash-safe swap, and every crash
+    window resumes to completion from the durable ``_delete_intent``
+    (``resume_pending_delete``). Cost: one pushdown scan of the
+    victims' postings (routing — postings are bucketed by TERM, so
+    this is the one per-store scan a takedown pays), a rewrite of only
+    the touched bucket directories, a doclens rewrite (narrow
+    2-int-per-doc table), and a 1-row stats recompute."""
+    import os
+
+    storefs.require_rename_fs(path, "delete_from_bm25_store")
+    repair_bm25_store(path)
+    resume_pending_delete(spark, path)
+    ids = sorted({int(i) for i in doc_ids})
+    if len(ids) > MAX_DELETE_IDS:
+        raise ValueError(
+            f"takedown batch of {len(ids)} ids exceeds {MAX_DELETE_IDS} — "
+            "split it; the id set is a driver-held literal by design"
+        )
+    if not ids:
+        return
+    base = storefs.strip_file_scheme(path)
+    ipath = f"{base}/_delete_intent"
+    tmp = ipath + "_tmp"
+    spark.createDataFrame([(i,) for i in ids], "doc_id bigint").coalesce(
+        1
+    ).write.mode("overwrite").parquet(tmp)
+    os.rename(tmp, ipath)
+    _run_recorded_delete(spark, ids, path)
+
+
+def resume_pending_delete(spark: SparkSession, path: str) -> bool:
+    """Finish a takedown a crash interrupted (idempotent at every
+    crash point — the ``dedup_store`` contract). Returns True if there
+    was one to finish."""
+    import os
+
+    base = storefs.strip_file_scheme(path)
+    ipath = f"{base}/_delete_intent"
+    if not os.path.exists(ipath):
+        return False
+    ids = sorted(int(r.doc_id) for r in spark.read.parquet(ipath).collect())
+    _run_recorded_delete(spark, ids, path)
+    return True
+
+
+def _run_recorded_delete(spark: SparkSession, ids: list, path: str) -> None:
+    import shutil
+
+    base = storefs.strip_file_scheme(path)
+    postings = spark.read.parquet(f"{path}/postings")
+    buckets = sorted(
+        int(r["bucket"])
+        for r in postings.where(F.col("doc_id").isin(ids))
+        .select("bucket")
+        .distinct()
+        .collect()
+    )
+    if buckets:
+        kept = (
+            postings.where(F.col("bucket").isin(buckets))
+            .where(~F.col("doc_id").isin(ids))
+            .select("term", "doc_id", "tf", "dl", "bucket")
+            .repartition(_write_tasks(spark), "bucket")
+            .localCheckpoint()
+        )
+        for k in buckets:
+            shutil.rmtree(f"{base}/postings/bucket={k}", ignore_errors=True)
+        kept.write.mode("append").partitionBy("bucket").parquet(
+            f"{path}/postings"
+        )
+    doclens = spark.read.parquet(f"{path}/doclens")
+    if doclens.where(F.col("doc_id").isin(ids)).limit(1).count() > 0:
+        keep_dl = doclens.where(~F.col("doc_id").isin(ids)).localCheckpoint()
+        keep_dl.write.mode("overwrite").parquet(
+            f"{base}/doclens_compact_tmp"
+        )
+        storefs.swap_in_compacted(path, ("doclens",))
+    # stats recompute is unconditional while the intent exists: after
+    # the doclens swap a replay can no longer see the victims, but the
+    # stats row may still carry them
+    new_stats = spark.read.parquet(f"{path}/doclens").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.coalesce(F.sum("dl"), F.lit(0)).cast("bigint").alias("total_len"),
+    )
+    new_stats.coalesce(1).write.mode("overwrite").parquet(
+        f"{base}/stats_compact_tmp"
+    )
+    storefs.swap_in_compacted(path, ("stats",))
+    shutil.rmtree(f"{base}/_delete_intent", ignore_errors=True)

@@ -777,3 +777,143 @@ dedup_incremental.__doc__ = dedup_incremental.__doc__.replace(
 )
 
 DEDUP_INCREMENTAL_SQL = _dedup_incremental_sql()
+
+
+# ------------------------------------------------ takedown (r14) -----
+
+#: fail-loud ceiling on a single takedown batch: the id set travels as
+#: a driver-held literal (the broadcast-model class) and the routing
+#: collect is <= ids x N_BANDS pairs
+MAX_DELETE_IDS = 100_000
+
+
+def delete_from_dedup_store(spark: SparkSession, doc_ids, path: str) -> None:
+    """TAKEDOWN — the store family's third verb (write/append/DELETE):
+    remove documents from the persisted store so no future probe can
+    match against them. Semantics contract (pytest-pinned): delete ≡
+    ``write_dedup_store`` over the corpus WITHOUT the victims,
+    table-for-table — INCLUDING cap re-entrants: a bucket that was AT
+    BUCKET_CAP re-admits the members the victims had evicted, because
+    the touched buckets are RE-DERIVED from the kept signatures, not
+    merely filtered (filtering alone would silently under-fill capped
+    buckets vs a rebuild and shrink future candidate recall).
+
+    Cost model (the honest takedown economics at 100 TB): one
+    pushdown-pruned scan of the victims' signature rows (routing), one
+    full signature-table scan to re-derive ONLY the touched buckets'
+    membership (signatures are ~N_PERMS ints/doc — the narrow table,
+    never the corpus text), a rewrite of only the touched band
+    directories, and one signature rewrite through the crash-safe
+    ``storefs`` swap. Takedown waves are rare and id-sized; the
+    ceiling (MAX_DELETE_IDS) keeps the literal/route sets in the
+    broadcast class.
+
+    Crash safety: a durable ``_delete_intent`` lands first (tmp +
+    rename, the admission-stream protocol); the touched directories
+    are then cleared and rewritten from the kept signatures (a bucket
+    whose only members were victims stays correctly EMPTY — a dynamic
+    partition overwrite could not express that), the signature table
+    swaps last, and the intent drops. EVERY intermediate state re-runs
+    to completion from the recorded ids (``resume_pending_delete``,
+    called on entry here and by ``repair_dedup_store`` users): before
+    the signature swap the victims' signatures still exist so routing
+    recomputes; after it, routing finds no victims and the re-run just
+    clears the intent. Single-maintainer discipline, like compaction:
+    no probe in flight during the swap."""
+    import os
+
+    _require_rename_fs(path, "delete_from_dedup_store")
+    repair_dedup_store(path)
+    resume_pending_delete(spark, path)
+    ids = sorted({int(i) for i in doc_ids})
+    if len(ids) > MAX_DELETE_IDS:
+        raise ValueError(
+            f"takedown batch of {len(ids)} ids exceeds {MAX_DELETE_IDS} — "
+            "split it; the id set is a driver-held literal by design"
+        )
+    if not ids:
+        return
+    base = storefs.strip_file_scheme(path)
+    ipath = f"{base}/_delete_intent"
+    tmp = ipath + "_tmp"
+    spark.createDataFrame([(i,) for i in ids], "doc_id bigint").coalesce(
+        1
+    ).write.mode("overwrite").parquet(tmp)
+    os.rename(tmp, ipath)
+    _run_recorded_delete(spark, ids, path)
+
+
+def resume_pending_delete(spark: SparkSession, path: str) -> bool:
+    """Finish a takedown a crash interrupted: re-run the deletion from
+    the durable ``_delete_intent`` ids (idempotent at every crash
+    point — see ``delete_from_dedup_store``). Returns True if there
+    was one to finish."""
+    import os
+
+    base = storefs.strip_file_scheme(path)
+    ipath = f"{base}/_delete_intent"
+    if not os.path.exists(ipath):
+        return False
+    ids = sorted(int(r.doc_id) for r in spark.read.parquet(ipath).collect())
+    _run_recorded_delete(spark, ids, path)
+    return True
+
+
+def _run_recorded_delete(spark: SparkSession, ids: list, path: str) -> None:
+    import os
+    import shutil
+
+    base = storefs.strip_file_scheme(path)
+    sig = spark.read.parquet(f"{path}/signatures")
+    victims = sig.where(F.col("doc_id").isin(ids))
+    routes = sorted(
+        (r["band_idx"], r["bucket"])
+        for r in minhash_bands(victims)
+        .select(F.col("band_idx").cast("int").alias("band_idx"), _bucket())
+        .select("band_idx", "bucket")
+        .distinct()
+        .collect()
+    )
+    if routes:
+        keep_sig = sig.where(~F.col("doc_id").isin(ids))
+        if len(routes) < N_BANDS * N_STORE_BUCKETS:
+            pred = reduce(
+                or_,
+                [
+                    (F.col("band_idx") == b) & (F.col("bucket") == k)
+                    for b, k in routes
+                ],
+            )
+        else:
+            pred = F.lit(True)
+        w = Window.partitionBy("band_idx", "bh").orderBy("doc_id")
+        rebuilt = (
+            minhash_bands(keep_sig)
+            .select(
+                "doc_id", "bh",
+                F.col("band_idx").cast("int").alias("band_idx"), _bucket(),
+            )
+            .where(pred)
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= BUCKET_CAP)
+            .select("doc_id", "bh", "band_idx", "bucket")
+            .repartition(_write_tasks(spark), "band_idx", "bucket")
+            # materialize BEFORE clearing the directories it reads
+            # nothing from (source = signatures) but AFTER which the
+            # write must not replan against a half-cleared table
+            .localCheckpoint()
+        )
+        for b, k in routes:
+            shutil.rmtree(
+                f"{base}/bands/band_idx={b}/bucket={k}", ignore_errors=True
+            )
+        rebuilt.write.mode("append").partitionBy("band_idx", "bucket").parquet(
+            f"{path}/bands"
+        )
+    if victims.limit(1).count() > 0:
+        keep = sig.where(~F.col("doc_id").isin(ids))
+        keep.write.mode("overwrite").parquet(
+            f"{base}/signatures_compact_tmp"
+        )
+        storefs.swap_in_compacted(path, ("signatures",))
+    shutil.rmtree(f"{base}/_delete_intent", ignore_errors=True)

@@ -405,3 +405,96 @@ def drift_report_stream(
             batch_df.unpersist()
 
     return emb_stream.writeStream.outputMode("append").foreachBatch(fb)
+
+
+# ------------------------------------------------ takedown (r14) -----
+
+#: fail-loud ceiling on a single takedown batch (the dedup store's
+#: MAX_DELETE_IDS contract)
+MAX_DELETE_IDS = 100_000
+
+
+def delete_from_index(spark: SparkSession, vec_ids, path: str) -> None:
+    """TAKEDOWN — remove vectors from the persisted IVF index so no
+    future probe can return them. A list's membership is the
+    assignment under the FROZEN stored model, which deletion does not
+    change, so delete ≡ ``write_index`` over the corpus WITHOUT the
+    victims is a plain filter per touched list directory (the
+    bm25-store case: no caps, filtering IS rebuilding); a list whose
+    only members were victims is correctly emptied (directory
+    cleared). Crash-safe via the store-family durable
+    ``_delete_intent`` (``resume_pending_delete`` finishes any
+    interrupted state; before the rewrite the victims' rows still
+    route, after it the re-run finds nothing and clears the intent).
+    Cost: one pushdown scan of the index for the victims' list ids
+    (the per-store routing scan a takedown pays), then a rewrite of
+    only the touched list directories. The centroid model is NEVER
+    touched — it is the index's coordinate system, not per-document
+    state."""
+    import os
+
+    from trisk_spark.functions import storefs
+
+    storefs.require_rename_fs(path, "delete_from_index")
+    resume_pending_delete(spark, path)
+    ids = sorted({int(i) for i in vec_ids})
+    if len(ids) > MAX_DELETE_IDS:
+        raise ValueError(
+            f"takedown batch of {len(ids)} ids exceeds {MAX_DELETE_IDS} — "
+            "split it; the id set is a driver-held literal by design"
+        )
+    if not ids:
+        return
+    base = storefs.strip_file_scheme(path)
+    ipath = f"{base}/_delete_intent"
+    tmp = ipath + "_tmp"
+    spark.createDataFrame([(i,) for i in ids], "vec_id bigint").coalesce(
+        1
+    ).write.mode("overwrite").parquet(tmp)
+    os.rename(tmp, ipath)
+    _run_recorded_delete(spark, ids, path)
+
+
+def resume_pending_delete(spark: SparkSession, path: str) -> bool:
+    """Finish a takedown a crash interrupted (idempotent at every
+    crash point — the ``dedup_store`` contract). Returns True if there
+    was one to finish."""
+    import os
+
+    from trisk_spark.functions import storefs
+
+    base = storefs.strip_file_scheme(path)
+    ipath = f"{base}/_delete_intent"
+    if not os.path.exists(ipath):
+        return False
+    ids = sorted(int(r.vec_id) for r in spark.read.parquet(ipath).collect())
+    _run_recorded_delete(spark, ids, path)
+    return True
+
+
+def _run_recorded_delete(spark: SparkSession, ids: list, path: str) -> None:
+    import shutil
+
+    from trisk_spark.functions import storefs
+
+    base = storefs.strip_file_scheme(path)
+    index = spark.read.parquet(f"{path}/index")
+    lists = sorted(
+        int(r["list_id"])
+        for r in index.where(F.col("vec_id").isin(ids))
+        .select("list_id")
+        .distinct()
+        .collect()
+    )
+    if lists:
+        kept = (
+            index.where(F.col("list_id").isin(lists))
+            .where(~F.col("vec_id").isin(ids))
+            .localCheckpoint()
+        )
+        for li in lists:
+            shutil.rmtree(f"{base}/index/list_id={li}", ignore_errors=True)
+        kept.write.mode("append").partitionBy("list_id").parquet(
+            f"{path}/index"
+        )
+    shutil.rmtree(f"{base}/_delete_intent", ignore_errors=True)

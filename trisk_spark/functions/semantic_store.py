@@ -677,3 +677,119 @@ def corpus_store_path(spark: SparkSession, sf_dir: str) -> str:
 semantic_incremental.__doc__ = semantic_incremental.__doc__.replace(
     "{MOD}", str(SEM_ARRIVING_MOD)
 )
+
+
+# ------------------------------------------------ takedown (r14) -----
+
+#: fail-loud ceiling on a single takedown batch (the dedup store's
+#: MAX_DELETE_IDS contract)
+MAX_DELETE_IDS = 100_000
+
+
+def delete_from_semantic_store(spark: SparkSession, vec_ids, path: str) -> None:
+    """TAKEDOWN — remove vectors from the persisted semantic store so
+    no future probe can match against them; the embedding-space mirror
+    of ``dedup_store.delete_from_dedup_store`` with the identical
+    contract: delete ≡ ``write_semantic_store`` over the corpus
+    WITHOUT the victims, table-for-table, INCLUDING cap re-entrants
+    (touched (band_idx, bucket) directories are RE-DERIVED from the
+    kept vectors and re-capped, never merely filtered), loner buckets
+    correctly emptied (directory cleared), every crash window resumed
+    to completion from the durable ``_delete_intent``
+    (``resume_pending_delete``). Cost: one pushdown scan of the
+    victims' vector rows (routing), one vectors-table scan to re-band
+    the touched buckets (the narrow scaled-int table), a rewrite of
+    only the touched directories, one vectors rewrite through the
+    crash-safe swap."""
+    import os
+
+    storefs.require_rename_fs(path, "delete_from_semantic_store")
+    repair_semantic_store(path)
+    resume_pending_delete(spark, path)
+    ids = sorted({int(i) for i in vec_ids})
+    if len(ids) > MAX_DELETE_IDS:
+        raise ValueError(
+            f"takedown batch of {len(ids)} ids exceeds {MAX_DELETE_IDS} — "
+            "split it; the id set is a driver-held literal by design"
+        )
+    if not ids:
+        return
+    base = storefs.strip_file_scheme(path)
+    ipath = f"{base}/_delete_intent"
+    tmp = ipath + "_tmp"
+    spark.createDataFrame([(i,) for i in ids], "vec_id bigint").coalesce(
+        1
+    ).write.mode("overwrite").parquet(tmp)
+    os.rename(tmp, ipath)
+    _run_recorded_delete(spark, ids, path)
+
+
+def resume_pending_delete(spark: SparkSession, path: str) -> bool:
+    """Finish a takedown a crash interrupted (idempotent at every
+    crash point — the ``dedup_store`` contract). Returns True if there
+    was one to finish."""
+    import os
+
+    base = storefs.strip_file_scheme(path)
+    ipath = f"{base}/_delete_intent"
+    if not os.path.exists(ipath):
+        return False
+    ids = sorted(int(r.vec_id) for r in spark.read.parquet(ipath).collect())
+    _run_recorded_delete(spark, ids, path)
+    return True
+
+
+def _run_recorded_delete(spark: SparkSession, ids: list, path: str) -> None:
+    import shutil
+
+    base = storefs.strip_file_scheme(path)
+    vecs = spark.read.parquet(f"{path}/vectors")
+    victims = vecs.where(F.col("vec_id").isin(ids))
+    routes = sorted(
+        (r["band_idx"], r["bucket"])
+        for r in _srp_bands(victims.select("vec_id", "vec"))
+        .select(F.col("band_idx").cast("int").alias("band_idx"), _vbucket())
+        .select("band_idx", "bucket")
+        .distinct()
+        .collect()
+    )
+    if routes:
+        keep = vecs.where(~F.col("vec_id").isin(ids))
+        if len(routes) < COS_NB_BANDS * N_SEM_STORE_BUCKETS:
+            pred = reduce(
+                or_,
+                [
+                    (F.col("band_idx") == b) & (F.col("bucket") == k)
+                    for b, k in routes
+                ],
+            )
+        else:
+            pred = F.lit(True)
+        w = Window.partitionBy("band_idx", "bv").orderBy("vec_id")
+        rebuilt = (
+            _srp_bands(keep.select("vec_id", "vec"))
+            .select(
+                "vec_id", "bv",
+                F.col("band_idx").cast("int").alias("band_idx"), _vbucket(),
+            )
+            .where(pred)
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= VEC_BUCKET_CAP)
+            .select("vec_id", "bv", "band_idx", "bucket")
+            .repartition(_write_tasks(spark), "band_idx", "bucket")
+            .localCheckpoint()
+        )
+        for b, k in routes:
+            shutil.rmtree(
+                f"{base}/bands/band_idx={b}/bucket={k}", ignore_errors=True
+            )
+        rebuilt.write.mode("append").partitionBy("band_idx", "bucket").parquet(
+            f"{path}/bands"
+        )
+    if victims.limit(1).count() > 0:
+        keep_v = vecs.where(~F.col("vec_id").isin(ids))
+        keep_v.write.mode("overwrite").parquet(
+            f"{base}/vectors_compact_tmp"
+        )
+        storefs.swap_in_compacted(path, ("vectors",))
+    shutil.rmtree(f"{base}/_delete_intent", ignore_errors=True)

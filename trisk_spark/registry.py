@@ -141,6 +141,21 @@ def register(name: str, oracle: str | None = None):
 # decontaminate_flags (split-keyed semi-join class);
 # line_dedup → repetition_ratio (in-row array-expression text-stats
 # class) + token_count (shared in-row tokenizer split).
+# R16 SKETCH (arithmetic-checked; finalize next round): the r16
+# returning phase is THE R14 WINDOW below (it sits r15, returns r16).
+# It contains the two retirement candidates the r13 note already
+# named: revenue_rollup (decimal scan-agg ⊂ tpch_q1, which also
+# returns r16) and customers_without_orders (left-anti ⊂ the
+# curation-manifest family, hash-gated every round) → TWO r16 seats →
+# register bm25_incremental (R16 LEAD per the queue note: the BM25
+# store's only possible independent hash row) + hybrid_retrieval
+# (r14-new: the RRF fusion + probe-keyword kernels have no registered
+# sibling; its oracle spans keywords→BM25→knn→fusion under one hash).
+# Alternates if the verdict prefers: hybrid_store_probe (adds the
+# store-served read path on top of hybrid_retrieval's kernels),
+# ivf_drift_report (JM-smoothed KL — kernel-class sibling
+# source_divergence), embedding_gram. Pool stays 94 − 2 + 2 = 94
+# (saturated); retired rows keep their library oracles as always.
 # Sitting out r14 — every alternating row hash-green in r13
 # (CORRECTNESS_r13), witness noted ("(in)" = in the r14 window):
 DEPRIORITIZED = [
