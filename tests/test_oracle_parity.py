@@ -119,6 +119,9 @@ LIBRARY_NAMES = sorted(
         # r14-new: the hybrid probe served from BOTH persisted indexes
         # (BM25 postings store + int8 IVF store + RRF fusion)
         "hybrid_store_probe",
+        # r14-new: the takedown verb under value-hash evidence (probe
+        # of a post-delete store vs the victims-excluded derivation)
+        "dedup_takedown",
     ]
 )
 

@@ -198,3 +198,58 @@ def test_ivf_delete_equals_rebuild_and_probe(spark, tmp_path):
         assert _snap(spark, live, "index", icols) == snap1
     finally:
         shutil.rmtree(refsf, ignore_errors=True)
+
+
+# --------------------------------------- hash-gated takedown row -----
+
+
+def test_dedup_takedown_flips_verdict_on_fixture(spark, tmp_path):
+    """Non-vacuity for the dedup_takedown library row: an arriving doc
+    whose ONLY near-dup target is in the victim slice must flag is_dup
+    BEFORE the takedown and come back clean AFTER it — and the library
+    op's oracle must match on this fixture corpus too."""
+    import duckdb
+
+    from trisk_spark.functions import dedup_store as D
+    from .conftest import assert_matches_oracle
+
+    text_v = " ".join(f"victim{i % 19} words" for i in range(40))
+    filler = [
+        (i, " ".join(f"doc{i}w{j}" for j in range(40)))
+        # existing docs, NOT in the victim slice (id % 17 != 1)
+        for i in (2, 3, 4, 6, 7, 8, 9, 11)
+    ]
+    rows = filler + [
+        (18, text_v),          # existing AND victim (18 % 17 == 1)
+        (40, text_v + " x"),   # arriving (40 % 5 == 0): near-dup of 18 only
+        (45, "totally unrelated arriving content here now"),
+    ]
+    docs = {
+        "doc_id": [r[0] for r in rows],
+        "text": [r[1] for r in rows],
+        "lang": ["en"] * len(rows),
+        "source": ["fixture"] * len(rows),
+        "n_chars": [len(r[1]) for r in rows],
+    }
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.table(docs), f"{tmp_path}/documents.parquet")
+    sf = str(tmp_path)
+
+    # BEFORE (the incremental row, victims still resident): 40 dups 18
+    before = {r.doc_id: r for r in D.dedup_incremental(spark, sf).collect()}
+    assert before[40].is_dup and before[40].dup_of == 18
+
+    # AFTER the takedown: 40's only target is gone -> not a dup
+    after = {r.doc_id: r for r in D.dedup_takedown(spark, sf).collect()}
+    assert 40 not in after or not after[40].is_dup
+    # and the oracle agrees on this fixture corpus
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    assert_matches_oracle(
+        D.dedup_takedown(spark, sf), con, D.DEDUP_TAKEDOWN_SQL
+    )

@@ -633,13 +633,16 @@ def dedup_store_stats(spark: SparkSession, path: str) -> DataFrame:
 
 # ------------------------------------------- registered-query image --
 
-def _dedup_incremental_sql() -> str:
+def _dedup_incremental_sql(exist_extra: str = "") -> str:
     """DuckDB oracle for ``dedup_incremental``: signatures over the
     whole corpus, the deterministic existing/arriving split, the
     write-time bucket cap on the EXISTING side, arriving-vs-existing
     band collisions, signature-agreement verify, per-arriving-doc
     argmax. Buckets are a partition refinement of bh equality and need
-    no mirror here."""
+    no mirror here. ``exist_extra`` narrows the EXISTING side with an
+    extra predicate — ``dedup_takedown``'s oracle excludes the victim
+    slice, so the SAME derivation value-hashes a post-delete store
+    (delete ≡ rebuild is what makes the narrowed oracle exact)."""
     mod = DEDUP_ARRIVING_MOD
     capped = ",\n".join(
         f"""capped{b} AS (
@@ -663,7 +666,8 @@ def _dedup_incremental_sql() -> str:
 WITH sh AS ({SHINGLES_SQL}),
 xs AS (SELECT doc_id, {_XM_SQL} AS xm FROM sh),
 sig AS (SELECT doc_id, {_SIG_COLS_SQL} FROM xs GROUP BY doc_id),
-exist AS (SELECT * FROM sig WHERE ((doc_id % {mod}) + {mod}) % {mod} <> 0),
+exist AS (SELECT * FROM sig
+          WHERE ((doc_id % {mod}) + {mod}) % {mod} <> 0{exist_extra}),
 arrv AS (SELECT * FROM sig WHERE ((doc_id % {mod}) + {mod}) % {mod} = 0),
 bands_e AS (SELECT doc_id, {_BAND_COLS_SQL} FROM exist),
 bands_a AS (SELECT doc_id, {_BAND_COLS_SQL} FROM arrv),
@@ -917,3 +921,98 @@ def _run_recorded_delete(spark: SparkSession, ids: list, path: str) -> None:
         )
         storefs.swap_in_compacted(path, ("signatures",))
     shutil.rmtree(f"{base}/_delete_intent", ignore_errors=True)
+
+
+#: deterministic victim slice for the self-contained takedown row:
+#: EXISTING docs with doc_id % TAKEDOWN_VICTIM_MOD == 1 get deleted
+TAKEDOWN_VICTIM_MOD = 17
+
+DEDUP_TAKEDOWN_SQL = _dedup_incremental_sql(
+    exist_extra=(
+        f" AND ((doc_id % {TAKEDOWN_VICTIM_MOD}) + {TAKEDOWN_VICTIM_MOD})"
+        f" % {TAKEDOWN_VICTIM_MOD} <> 1"
+    )
+)
+
+_TAKEDOWN_STORE_LOCK = threading.Lock()
+_TAKEDOWN_STORE_CACHE: dict[tuple[int, str], tuple[SparkSession, str]] = {}
+
+
+def _cleanup_takedown_stores() -> None:
+    import shutil
+
+    with _TAKEDOWN_STORE_LOCK:
+        paths = [p for (_s, p) in _TAKEDOWN_STORE_CACHE.values()]
+        _TAKEDOWN_STORE_CACHE.clear()
+    for p in paths:
+        shutil.rmtree(p, ignore_errors=True)
+
+
+atexit.register(_cleanup_takedown_stores)
+
+
+def takedown_store_path(spark: SparkSession, sf_dir: str) -> str:
+    """Path of the session-memoized POST-TAKEDOWN scratch store: built
+    over the existing slice (doc_id % DEDUP_ARRIVING_MOD != 0), then
+    ``delete_from_dedup_store`` removes the deterministic victim slice
+    (doc_id % TAKEDOWN_VICTIM_MOD == 1) — its OWN cache, never the
+    ``corpus_store_path`` store other library rows share (mutating the
+    shared artifact would corrupt their memoized probes)."""
+    import shutil
+    import tempfile
+
+    from trisk_spark.functions.sampling import _bpe_session_stopped
+
+    stale = []
+    with _TAKEDOWN_STORE_LOCK:
+        for k, (sess, p) in list(_TAKEDOWN_STORE_CACHE.items()):
+            if _bpe_session_stopped(sess):
+                _TAKEDOWN_STORE_CACHE.pop(k)
+                stale.append(p)
+        hit = _TAKEDOWN_STORE_CACHE.get((id(spark), sf_dir))
+    for p in stale:
+        shutil.rmtree(p, ignore_errors=True)
+    if hit is not None:
+        return hit[1]
+    docs = table(spark, sf_dir, "documents").where(F.col("doc_id").isNotNull())
+    existing = docs.where(
+        F.pmod(F.col("doc_id"), F.lit(DEDUP_ARRIVING_MOD)) != 0
+    )
+    victims = sorted(
+        int(r.doc_id)
+        for r in existing.where(
+            F.pmod(F.col("doc_id"), F.lit(TAKEDOWN_VICTIM_MOD)) == 1
+        ).select("doc_id").collect()
+    )
+    path = tempfile.mkdtemp(prefix="trisk_takedown_store_")
+    write_dedup_store(spark, existing.select("doc_id", "text"), path)
+    delete_from_dedup_store(spark, victims, path)
+    with _TAKEDOWN_STORE_LOCK:
+        _sess, path_won = _TAKEDOWN_STORE_CACHE.setdefault(
+            (id(spark), sf_dir), (spark, path)
+        )
+    if path_won != path:
+        shutil.rmtree(path, ignore_errors=True)
+    return path_won
+
+
+def dedup_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Takedown under independent value-hash evidence: build the
+    existing-slice store, DELETE the deterministic victim slice
+    through the real ``delete_from_dedup_store`` path (intent,
+    touched-bucket re-derivation, signature swap), then probe the
+    arriving slice against the post-delete store. The oracle
+    (``DEDUP_TAKEDOWN_SQL``) derives the same answer from the corpus
+    with the victims EXCLUDED from the existing side — it matches iff
+    delete ≡ rebuild holds on the artifacts the probe actually reads,
+    so the takedown verb itself sits under the DuckDB hash gate, not
+    just pytest equality. LIBRARY op; R16/R17 seat queue."""
+    docs = table(spark, sf_dir, "documents").where(F.col("doc_id").isNotNull())
+    arriving = docs.where(
+        F.pmod(F.col("doc_id"), F.lit(DEDUP_ARRIVING_MOD)) == 0
+    )
+    return probe_dedup_store(
+        spark,
+        arriving.select("doc_id", "text"),
+        takedown_store_path(spark, sf_dir),
+    )

@@ -297,6 +297,7 @@ def load_library() -> dict[str, QueryDef]:
         admission,
         bm25_store,
         dedup,
+        dedup_store,
         retrieval,
         sampling,
         semantic_store,
@@ -394,6 +395,16 @@ def load_library() -> dict[str, QueryDef]:
         "hybrid_store_probe": (
             retrieval.hybrid_store_probe,
             retrieval.HYBRID_STORE_SQL,
+        ),
+        # r14-new: the takedown verb under independent value-hash
+        # evidence — build the existing-slice store, DELETE the
+        # deterministic victim slice through the real intent-logged
+        # path, probe the arriving slice; the oracle derives the same
+        # answer from the corpus with the victims excluded, so it
+        # matches iff delete ≡ rebuild holds on the probed artifacts.
+        "dedup_takedown": (
+            dedup_store.dedup_takedown,
+            dedup_store.DEDUP_TAKEDOWN_SQL,
         ),
     }
 
