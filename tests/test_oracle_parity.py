@@ -120,8 +120,10 @@ LIBRARY_NAMES = sorted(
         # (BM25 postings store + int8 IVF store + RRF fusion)
         "hybrid_store_probe",
         # r14-new: the takedown verb under value-hash evidence (probe
-        # of a post-delete store vs the victims-excluded derivation)
+        # of a post-delete store vs the victims-excluded derivation),
+        # on both band stores
         "dedup_takedown",
+        "semantic_takedown",
     ]
 )
 

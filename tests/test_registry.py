@@ -185,7 +185,7 @@ def test_readme_op_table_names_are_registered():
         "delete_from_dedup_store", "delete_from_semantic_store",
         "delete_from_bm25_store", "delete_from_index",
         "resume_pending_delete", "_delete_intent", "takedown_wave",
-        "dedup_takedown", "takedown_store_path",
+        "dedup_takedown", "semantic_takedown", "takedown_store_path",
         "semantic_incremental", "write_semantic_store",
         "probe_semantic_store", "append_semantic_store",
         "semantic_ingest_wave", "semantic_ingest_stream",

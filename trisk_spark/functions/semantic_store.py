@@ -528,14 +528,16 @@ def semantic_store_stats(spark: SparkSession, path: str) -> DataFrame:
 # ------------------------------------------- self-contained oracle --
 
 
-def _semantic_incremental_sql() -> str:
+def _semantic_incremental_sql(exist_extra: str = "") -> str:
     """DuckDB oracle for ``semantic_incremental``: scaled vectors +
     norms over the whole corpus, the deterministic existing/arriving
     split, the write-time bucket cap on the EXISTING side,
     arriving-vs-existing band collisions, exact integer-dot cosine
     verify, per-arriving-vector argmax. Buckets are a partition
     refinement of bv equality and need no mirror here (the
-    ``dedup_store`` oracle rule)."""
+    ``dedup_store`` oracle rule). ``exist_extra`` narrows the EXISTING
+    side — ``semantic_takedown``'s oracle excludes the victim slice
+    (the ``dedup_store._dedup_incremental_sql`` rule)."""
     mod = SEM_ARRIVING_MOD
     ex_bands = " UNION ALL ".join(
         f"SELECT vec_id, {b} AS band_idx, {_COS_BAND_SQL[b]} AS bv FROM ex"
@@ -555,7 +557,8 @@ n AS (
     SELECT vec_id, vec, {_DOT_SQL.format(a="vec", b="vec")} AS norm FROM sc
   ) WHERE norm > 0
 ),
-ex AS (SELECT * FROM n WHERE ((vec_id % {mod}) + {mod}) % {mod} <> 0),
+ex AS (SELECT * FROM n
+       WHERE ((vec_id % {mod}) + {mod}) % {mod} <> 0{exist_extra}),
 ar AS (SELECT * FROM n WHERE ((vec_id % {mod}) + {mod}) % {mod} = 0),
 exb AS (
   SELECT vec_id, band_idx, bv FROM (
@@ -793,3 +796,95 @@ def _run_recorded_delete(spark: SparkSession, ids: list, path: str) -> None:
         )
         storefs.swap_in_compacted(path, ("vectors",))
     shutil.rmtree(f"{base}/_delete_intent", ignore_errors=True)
+
+
+#: deterministic victim slice for the self-contained takedown row
+#: (the ``dedup_store.TAKEDOWN_VICTIM_MOD`` contract)
+TAKEDOWN_VICTIM_MOD = 17
+
+SEMANTIC_TAKEDOWN_SQL = _semantic_incremental_sql(
+    exist_extra=(
+        f" AND ((vec_id % {TAKEDOWN_VICTIM_MOD}) + {TAKEDOWN_VICTIM_MOD})"
+        f" % {TAKEDOWN_VICTIM_MOD} <> 1"
+    )
+)
+
+_TAKEDOWN_STORE_LOCK = threading.Lock()
+_TAKEDOWN_STORE_CACHE: dict[tuple[int, str], tuple[SparkSession, str]] = {}
+
+
+def _cleanup_takedown_stores() -> None:
+    import shutil
+
+    with _TAKEDOWN_STORE_LOCK:
+        paths = [p for (_s, p) in _TAKEDOWN_STORE_CACHE.values()]
+        _TAKEDOWN_STORE_CACHE.clear()
+    for p in paths:
+        shutil.rmtree(p, ignore_errors=True)
+
+
+atexit.register(_cleanup_takedown_stores)
+
+
+def takedown_store_path(spark: SparkSession, sf_dir: str) -> str:
+    """Path of the session-memoized POST-TAKEDOWN scratch semantic
+    store: built over the existing slice, then
+    ``delete_from_semantic_store`` removes the deterministic victim
+    slice — its OWN cache, never the shared ``corpus_store_path``
+    store (the ``dedup_store.takedown_store_path`` rule)."""
+    import shutil
+    import tempfile
+
+    from trisk_spark.functions.sampling import _bpe_session_stopped
+
+    stale = []
+    with _TAKEDOWN_STORE_LOCK:
+        for k, (sess, p) in list(_TAKEDOWN_STORE_CACHE.items()):
+            if _bpe_session_stopped(sess):
+                _TAKEDOWN_STORE_CACHE.pop(k)
+                stale.append(p)
+        hit = _TAKEDOWN_STORE_CACHE.get((id(spark), sf_dir))
+    for p in stale:
+        shutil.rmtree(p, ignore_errors=True)
+    if hit is not None:
+        return hit[1]
+    emb = table(spark, sf_dir, "embeddings")
+    existing = emb.where(
+        F.pmod(F.col("vec_id"), F.lit(SEM_ARRIVING_MOD)) != 0
+    )
+    victims = sorted(
+        int(r.vec_id)
+        for r in existing.where(
+            F.pmod(F.col("vec_id"), F.lit(TAKEDOWN_VICTIM_MOD)) == 1
+        ).select("vec_id").collect()
+    )
+    path = tempfile.mkdtemp(prefix="trisk_sem_takedown_store_")
+    write_semantic_store(spark, existing, path)
+    delete_from_semantic_store(spark, victims, path)
+    with _TAKEDOWN_STORE_LOCK:
+        _sess, path_won = _TAKEDOWN_STORE_CACHE.setdefault(
+            (id(spark), sf_dir), (spark, path)
+        )
+    if path_won != path:
+        shutil.rmtree(path, ignore_errors=True)
+    return path_won
+
+
+def semantic_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The semantic store's takedown verb under independent value-hash
+    evidence — the embedding-space mirror of
+    ``dedup_store.dedup_takedown``: build the existing-slice store,
+    DELETE the deterministic victim slice through the real
+    intent-logged path (touched-bucket re-derivation + vectors swap),
+    probe the arriving slice against the post-delete store. The oracle
+    (``SEMANTIC_TAKEDOWN_SQL``) derives the same answer with the
+    victims excluded from the existing side — it matches iff delete ≡
+    rebuild holds on the probed artifacts. LIBRARY op; R16/R17 seat
+    queue."""
+    emb = table(spark, sf_dir, "embeddings")
+    arriving = emb.where(
+        F.pmod(F.col("vec_id"), F.lit(SEM_ARRIVING_MOD)) == 0
+    )
+    return probe_semantic_store(
+        spark, arriving, takedown_store_path(spark, sf_dir)
+    )

@@ -406,6 +406,12 @@ def load_library() -> dict[str, QueryDef]:
             dedup_store.dedup_takedown,
             dedup_store.DEDUP_TAKEDOWN_SQL,
         ),
+        # r14-new: the semantic store's takedown verb under the same
+        # value-hash evidence (victims-excluded derivation).
+        "semantic_takedown": (
+            semantic_store.semantic_takedown,
+            semantic_store.SEMANTIC_TAKEDOWN_SQL,
+        ),
     }
 
     def wrap(fn):
