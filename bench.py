@@ -30,7 +30,11 @@ HEADLINE = [
     "nexmark_q8",
     "nexmark_q11",
     "tpch_q1",
-    "tpch_q3",
+    # tpch_q3 retired to library-only in r15 (kernels covered by
+    # q5/q18/top_orders_per_customer; full oracle still runs every
+    # round in test_oracle_parity's library pass) — dropped from the
+    # bench with its registry seat; its baseline entry stays for the
+    # record, as tpch_q10's did in r13
     "tpch_q5",
     # tpch_q10 retired to library-only in r13 (kernels covered by
     # q3/q5/q7/q18; full oracle still runs every round in
@@ -46,7 +50,10 @@ HEADLINE = [
     "dedup_simhash",
     "dedup_substring",
     "ngram_jaccard",
-    "knn_bruteforce",
+    # knn_bruteforce retired to library-only in r15 (exact-GEMM kernel
+    # covered by cosine_near_dup_exact/knn_label_vote; ann_recall still
+    # drives it verbatim inside its own benched time) — dropped with
+    # its seat; baseline entry stays for the record
     "ann_ivf",
     "cosine_near_dup_lsh",
     "interval_join",
@@ -109,10 +116,22 @@ HEADLINE = [
     "minhash_jaccard_estimate",
     "embedding_health",
     "gopher_rules",
-    # r14-new registrations (the R14 seat trade; baselines key from
-    # BENCH_r14 per the new-op policy — first driver bench):
+    # r14-new registrations (the R14 seat trade; baselines keyed from
+    # BENCH_r14 in r15 per the new-op policy):
     "cross_split_leakage",
     "line_dedup",
+    # r15-new registrations (the R15 seat trade; baselines key from
+    # BENCH_r15 per the new-op policy — first driver bench). Their
+    # times are honest end-to-end store economics like
+    # dedup_incremental's: semantic_incremental = one
+    # write_semantic_store build over the existing slice + the pruned
+    # probe of the arriving wave; admission_report = the composed
+    # funnel over BOTH memoized corpus stores (dedup store already
+    # built by dedup_incremental above, semantic store by
+    # semantic_incremental — the probe-only steady state is the
+    # smaller number in PERF_NOTES).
+    "semantic_incremental",
+    "admission_report",
 ]
 
 

@@ -94,6 +94,31 @@ def test_deterministic_across_runs(spark):
     assert a == b and a
 
 
+def test_empty_arriving_side_is_clean_zero_report(spark):
+    """na = 0 (an empty streaming micro-batch in drift_report_stream)
+    must yield kl_contrib EXACTLY 0 on every list and no hot flags —
+    not the Infinity/NaN the raw ·/(100·na·K) shares would produce
+    (r14 ADVICE low item)."""
+    import math
+
+    from trisk_spark.functions.similarity import drift_from_counts
+
+    k_m = 4
+    spine = spark.createDataFrame(
+        [(i,) for i in range(k_m)], "list_id bigint"
+    )
+    counts = spark.createDataFrame(
+        [(0, 10, 0), (1, 5, 0), (2, 0, 0)],
+        "list_id bigint, n_resident bigint, n_arriving bigint",
+    )
+    rows = drift_from_counts(spine, counts, k_m).collect()
+    assert len(rows) == k_m
+    for r in rows:
+        assert r.kl_contrib == 0.0 and math.isfinite(r.kl_contrib)
+        assert not r.is_hot
+        assert r.n_arriving == 0
+
+
 def test_drift_stream_equals_batch_image(spark, tmp_path):
     """The deployment twin: an IVF store written over the existing
     slice + the arriving slice streamed through drift_report_stream

@@ -226,3 +226,194 @@ def test_outlier_score_stream_equals_batch(spark, tmp_path):
         )
     )
     assert sorted(got) == want and len(want) > 0
+
+
+# ------------------------------------------------ takedown (r15) -----
+
+
+def test_delete_equals_rebuild_on_moment_table(spark, tmp_path):
+    """delete(victims) must fold to EXACTLY the one-shot pass over the
+    corpus WITHOUT the victims — the store family's delete ≡ rebuild
+    contract on its fourth member (the r14 VERDICT gap): moments are
+    additive exact BIGINTs, so the negated tombstone block cancels the
+    victims' contributions term-for-term."""
+    emb, base, w1, w2 = _splits(spark)
+    path = str(tmp_path / "store")
+    G.write_gram_store(spark, base, path)
+    G.append_gram_store(spark, w1, path, wave_id=0)
+    G.append_gram_store(spark, w2, path, wave_id=1)
+    victims = emb.where(F.col("vec_id") % 7 == 1)
+    assert victims.limit(1).count() > 0
+    G.delete_from_gram_store(spark, victims, path)
+    assert _moments(G.gram_store_moments(spark, path)) == _moments(
+        embedding_gram_frame(emb.where(~(F.col("vec_id") % 7 == 1)))
+    )
+    row = G.gram_store_stats(spark, path).collect()[0]
+    assert row.n_dup_wave_rows == 0
+    # the tombstone landed below every ingest id and the base block
+    assert row.n_waves == 4
+
+
+def test_delete_crash_resume_before_append(spark, tmp_path, monkeypatch):
+    """Crash after the intent commit but before the tombstone block
+    lands: resume appends from the recorded block — the victims'
+    vectors are NOT needed again (the composed takedown may already
+    have erased them from every row store)."""
+    import glob
+    import os
+
+    emb, base, w1, _w2 = _splits(spark)
+    path = str(tmp_path / "store")
+    G.write_gram_store(spark, base, path)
+    G.append_gram_store(spark, w1, path, wave_id=0)
+    victims = emb.where(F.col("vec_id") % 9 == 1)
+    want = _moments(
+        embedding_gram_frame(
+            base.union(w1).where(~(F.col("vec_id") % 9 == 1))
+        )
+    )
+
+    real = G._run_recorded_delete
+    monkeypatch.setattr(
+        G, "_run_recorded_delete",
+        lambda *a: (_ for _ in ()).throw(RuntimeError("injected")),
+    )
+    with pytest.raises(RuntimeError, match="injected"):
+        G.delete_from_gram_store(spark, victims, path)
+    monkeypatch.setattr(G, "_run_recorded_delete", real)
+    assert os.path.exists(f"{path}/_delete_intent")
+    assert G.resume_pending_delete(spark, path)
+    assert _moments(G.gram_store_moments(spark, path)) == want
+    assert glob.glob(f"{path}/_delete_intent*") == []
+
+
+def test_delete_crash_resume_after_append_no_double_subtract(
+    spark, tmp_path, monkeypatch
+):
+    """Crash after the tombstone block landed but before the intent
+    dropped: resume must see the landed wave_id and NOT subtract
+    again (the aggregate store's double-count hazard)."""
+    import glob
+    import shutil as _shutil
+
+    emb, base, w1, _w2 = _splits(spark)
+    path = str(tmp_path / "store")
+    G.write_gram_store(spark, base, path)
+    G.append_gram_store(spark, w1, path, wave_id=0)
+    victims = emb.where(F.col("vec_id") % 9 == 1)
+    want = _moments(
+        embedding_gram_frame(
+            base.union(w1).where(~(F.col("vec_id") % 9 == 1))
+        )
+    )
+
+    real_rmtree = _shutil.rmtree
+
+    def flaky(p, *a, **kw):
+        if str(p).endswith("_delete_intent"):
+            raise RuntimeError("injected pre-drop")
+        return real_rmtree(p, *a, **kw)
+
+    monkeypatch.setattr("shutil.rmtree", flaky)
+    with pytest.raises(RuntimeError, match="injected"):
+        G.delete_from_gram_store(spark, victims, path)
+    monkeypatch.setattr("shutil.rmtree", real_rmtree)
+    # block landed, intent still there
+    assert _moments(G.gram_store_moments(spark, path)) == want
+    assert G.resume_pending_delete(spark, path)
+    assert _moments(G.gram_store_moments(spark, path)) == want  # once
+    assert glob.glob(f"{path}/_delete_intent*") == []
+    row = G.gram_store_stats(spark, path).collect()[0]
+    assert row.n_dup_wave_rows == 0
+
+
+def test_takedown_flips_outlier_verdict(spark, tmp_path):
+    """The r14 VERDICT's fixture: a vector flagged ONLY because of the
+    victims' moments scores clean after the takedown. Construction
+    (exact on the scale grid — every value binary-representable):
+    30 cluster vectors jittered ±1/64 per dim (balanced, so the
+    per-dim variance is exactly u²) plus 90 victims at the exact
+    center, which SHRINK the variance to u²/4; a cluster member then
+    scores z² = 4 per dim = 256 ≥ the 2·DIM = 128 threshold (flagged)
+    against the victim-laden moments, and exactly 1 per dim = 64
+    (clean) once ``delete_from_gram_store`` subtracts the victims'
+    moments."""
+    from trisk_spark.functions.similarity import outlier_score_frame
+
+    u = 1.0 / 64.0  # binary-exact; scaled = 15625
+    cluster = [
+        (i, [0.5 + u * (1.0 if (i + k) % 2 == 0 else -1.0)
+             for k in range(DIM)])
+        for i in range(30)
+    ]
+    victims = [(1000 + i, [0.5] * DIM) for i in range(90)]
+    emb = spark.createDataFrame(
+        cluster + victims, "vec_id long, embedding array<double>"
+    )
+    victim_emb = spark.createDataFrame(
+        victims, "vec_id long, embedding array<double>"
+    )
+    probe = spark.createDataFrame(
+        cluster[:1], "vec_id long, embedding array<double>"
+    )
+    path = str(tmp_path / "store")
+    G.write_gram_store(spark, emb, path)
+
+    before = outlier_score_frame(
+        probe, G.gram_store_moments(spark, path).collect()
+    ).collect()[0]
+    assert before.is_outlier and before.dist2 == 4.0 * DIM
+
+    G.delete_from_gram_store(spark, victim_emb, path)
+    after = outlier_score_frame(
+        probe, G.gram_store_moments(spark, path).collect()
+    ).collect()[0]
+    assert not after.is_outlier and after.dist2 == 1.0 * DIM
+
+
+def test_takedown_wave_subtracts_gram_and_rerun_converges(spark, tmp_path):
+    """takedown_wave with a maintained gram_path: victims' moments are
+    subtracted alongside the row-store deletes, and a WHOLE-WAVE
+    re-run converges (the semantic-store membership gate empties, so
+    the aggregate store is not double-subtracted)."""
+    from trisk_spark.functions.admission import takedown_wave
+    from trisk_spark.functions.dedup_store import write_dedup_store
+    from trisk_spark.functions.semantic_store import write_semantic_store
+
+    def vec(i):
+        v = [0.001 * ((i + k) % 5) for k in range(DIM)]
+        v[i % DIM] = 0.8
+        return [float(x) for x in v]
+
+    ids = list(range(25))
+    docs = spark.createDataFrame(
+        [(i, f"document body {i} with words w{i} x{i}") for i in ids],
+        "doc_id long, text string",
+    )
+    emb = spark.createDataFrame(
+        [(i, vec(i)) for i in ids], "vec_id long, embedding array<double>"
+    )
+    dpath, spath, gpath = (
+        str(tmp_path / "d"), str(tmp_path / "s"), str(tmp_path / "g")
+    )
+    write_dedup_store(spark, docs, dpath)
+    write_semantic_store(spark, emb, spath)
+    G.write_gram_store(spark, emb, gpath)
+
+    victims = [3, 7, 11]
+    want = _moments(
+        embedding_gram_frame(emb.where(~F.col("vec_id").isin(victims)))
+    )
+    takedown_wave(
+        spark, victims, dpath, spath, gram_path=gpath, victim_emb=emb
+    )
+    assert _moments(G.gram_store_moments(spark, gpath)) == want
+    # re-run: row-store deletes are replay no-ops; the membership gate
+    # empties so the gram store is NOT double-subtracted
+    takedown_wave(
+        spark, victims, dpath, spath, gram_path=gpath, victim_emb=emb
+    )
+    assert _moments(G.gram_store_moments(spark, gpath)) == want
+    # fail-loud contract: gram_path without victim_emb
+    with pytest.raises(ValueError, match="victim_emb"):
+        takedown_wave(spark, [1], dpath, spath, gram_path=gpath)

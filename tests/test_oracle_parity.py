@@ -90,15 +90,9 @@ LIBRARY_NAMES = sorted(
         "perplexity_buckets",
         "contamination_report", "ngram_novelty",
         # retired from the registered surface (tpch_q10 r13; tpch_q7 +
-        # tpch_q14 r14 — kernels gated by tpch_q3/q5/q18); the full
-        # oracles still run here
-        "tpch_q10", "tpch_q7", "tpch_q14",
-        # r13-new: the persisted SRP semantic store's probe kernel —
-        # lead R15 seat candidate (registry.py library note)
-        "semantic_incremental",
-        # r13-new: the composed admission funnel (quality gate + both
-        # store probes + staging) under one value-hash
-        "admission_report",
+        # tpch_q14 r14; tpch_q3 + knn_bruteforce r15 — kernels gated
+        # by registered siblings); the full oracles still run here
+        "tpch_q10", "tpch_q7", "tpch_q14", "tpch_q3", "knn_bruteforce",
         # r14-new: the persisted BM25 inverted index — oracle is the
         # whole-corpus BM25_TOP_DOCS_SQL (exact index ⇒ probe of
         # write+append must equal the batch kernel row for row)

@@ -172,6 +172,10 @@ def test_readme_op_table_names_are_registered():
         "dedup_ingest_stream", "dedup_store_stats",
         "compact_dedup_store", "n_unsigned_band_docs",
         "repair_dedup_store",
+        # r15: retired to library-only (the R15 seat trade) — cited in
+        # the table as the exact-GEMM baseline the ANN variants are
+        # measured against
+        "knn_bruteforce",
         # r13: the persisted SRP semantic store (library op +
         # helpers; semantic_incremental is load_library-gated until
         # its R15 seat)
@@ -184,6 +188,7 @@ def test_readme_op_table_names_are_registered():
         # r14: the store-family takedown verbs + their crash protocol
         "delete_from_dedup_store", "delete_from_semantic_store",
         "delete_from_bm25_store", "delete_from_index",
+        "delete_from_gram_store",
         "resume_pending_delete", "_delete_intent", "takedown_wave",
         "dedup_takedown", "semantic_takedown", "takedown_store_path",
         "semantic_incremental", "write_semantic_store",

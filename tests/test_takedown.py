@@ -155,6 +155,158 @@ def test_bm25_delete_crash_resume(spark, tmp_path, monkeypatch):
     assert glob.glob(f"{live}/_delete_intent*") == []
 
 
+def test_bm25_delete_crash_after_staging_commit_resume(
+    spark, tmp_path, monkeypatch
+):
+    """Crash in the window the r14 code could NOT survive: the staging
+    is committed but no live bucket directory has been swapped yet.
+    Resume must finish purely from the durable staging."""
+    docs = spark.createDataFrame(
+        [(i, f"common ground extra{i} filler{i}") for i in range(12)],
+        "doc_id long, text string",
+    )
+    live, ref = str(tmp_path / "live"), str(tmp_path / "ref")
+    B.write_bm25_store(spark, docs, live)
+    B.write_bm25_store(spark, docs.where(F.col("doc_id") >= 2), ref)
+
+    real_complete = storefs.complete_staged_partition_swap
+
+    def flaky(path, table_, part_col):
+        # entry call sees no staging and passes; the post-staging call
+        # finds the committed root and dies before touching live data
+        if os.path.isdir(f"{storefs.strip_file_scheme(path)}/{table_}_staged_delete"):
+            raise RuntimeError("injected post-stage")
+        return real_complete(path, table_, part_col)
+
+    monkeypatch.setattr(storefs, "complete_staged_partition_swap", flaky)
+    with pytest.raises(RuntimeError, match="injected"):
+        B.delete_from_bm25_store(spark, [0, 1], live)
+    monkeypatch.setattr(storefs, "complete_staged_partition_swap", real_complete)
+    assert os.path.isdir(f"{live}/postings_staged_delete")
+    assert B.resume_pending_delete(spark, live)
+    pcols = ["term", "doc_id", "tf", "dl", "bucket"]
+    assert _snap(spark, live, "postings", pcols) == _snap(spark, ref, "postings", pcols)
+    assert _snap(spark, live, "doclens", ["doc_id", "dl"]) == _snap(
+        spark, ref, "doclens", ["doc_id", "dl"]
+    )
+    assert _snap(spark, live, "stats", ["n_docs", "total_len"]) == _snap(
+        spark, ref, "stats", ["n_docs", "total_len"]
+    )
+    assert glob.glob(f"{live}/_delete_intent*") == []
+    assert glob.glob(f"{live}/postings_staged_delete*") == []
+
+
+def test_bm25_delete_crash_mid_directory_swap_resume(
+    spark, tmp_path, monkeypatch
+):
+    """Crash AFTER a live bucket directory was destroyed but BEFORE its
+    staged kept rows were renamed in — the exact r14 data-loss hole
+    (kept rows then lived only in driver memory; now they are durable
+    in the committed staging and resume replays the swap)."""
+    docs = spark.createDataFrame(
+        [(i, f"common ground extra{i} filler{i}") for i in range(12)],
+        "doc_id long, text string",
+    )
+    live, ref = str(tmp_path / "live"), str(tmp_path / "ref")
+    B.write_bm25_store(spark, docs, live)
+    B.write_bm25_store(spark, docs.where(F.col("doc_id") >= 2), ref)
+
+    real_rename = os.rename
+
+    def flaky(src, dst):
+        # the staging COMMIT rename (src ..._staged_delete_tmp) passes;
+        # the first staged->live dir rename dies — at this point that
+        # bucket's live directory has already been rmtree'd
+        if "_staged_delete/" in str(src).replace(os.sep, "/"):
+            raise RuntimeError("injected mid-swap")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(storefs.os, "rename", flaky)
+    with pytest.raises(RuntimeError, match="injected"):
+        B.delete_from_bm25_store(spark, [0, 1], live)
+    monkeypatch.setattr(storefs.os, "rename", real_rename)
+    assert B.resume_pending_delete(spark, live)
+    pcols = ["term", "doc_id", "tf", "dl", "bucket"]
+    assert _snap(spark, live, "postings", pcols) == _snap(spark, ref, "postings", pcols)
+    assert _snap(spark, live, "stats", ["n_docs", "total_len"]) == _snap(
+        spark, ref, "stats", ["n_docs", "total_len"]
+    )
+    assert glob.glob(f"{live}/_delete_intent*") == []
+    assert glob.glob(f"{live}/postings_staged_delete*") == []
+
+
+def test_bm25_standalone_resume_after_partial_table_swap(
+    spark, tmp_path, monkeypatch
+):
+    """Crash INSIDE swap_in_compacted (live doclens already renamed to
+    _old, tmp not yet swapped in): a STANDALONE resume_pending_delete —
+    no delete entry point in front of it — must repair first and finish
+    (the r14 ADVICE low item: resume used to fail reading the missing
+    live table)."""
+    docs = spark.createDataFrame(
+        [(i, f"common ground extra{i} filler{i}") for i in range(12)],
+        "doc_id long, text string",
+    )
+    live, ref = str(tmp_path / "live"), str(tmp_path / "ref")
+    B.write_bm25_store(spark, docs, live)
+    B.write_bm25_store(spark, docs.where(F.col("doc_id") >= 2), ref)
+
+    def partial_swap(path, tables):
+        base = storefs.strip_file_scheme(path)
+        t = tables[0]
+        os.rename(f"{base}/{t}", f"{base}/{t}_old")
+        raise RuntimeError("injected partial swap")
+
+    monkeypatch.setattr(storefs, "swap_in_compacted", partial_swap)
+    with pytest.raises(RuntimeError, match="injected"):
+        B.delete_from_bm25_store(spark, [0, 1], live)
+    monkeypatch.undo()
+    assert not os.path.isdir(f"{live}/doclens")  # the damaged state
+    assert B.resume_pending_delete(spark, live)
+    pcols = ["term", "doc_id", "tf", "dl", "bucket"]
+    assert _snap(spark, live, "postings", pcols) == _snap(spark, ref, "postings", pcols)
+    assert _snap(spark, live, "doclens", ["doc_id", "dl"]) == _snap(
+        spark, ref, "doclens", ["doc_id", "dl"]
+    )
+    assert _snap(spark, live, "stats", ["n_docs", "total_len"]) == _snap(
+        spark, ref, "stats", ["n_docs", "total_len"]
+    )
+    assert glob.glob(f"{live}/_delete_intent*") == []
+
+
+def test_semantic_standalone_resume_after_partial_table_swap(
+    spark, tmp_path, monkeypatch
+):
+    """The semantic-store mirror: partial vectors swap (live renamed to
+    _old, crash before tmp lands), then standalone resume."""
+    emb = spark.createDataFrame(
+        [(i, _vec(i, loner=True)) for i in range(30)],
+        "vec_id long, embedding array<double>",
+    )
+    live, ref = str(tmp_path / "live"), str(tmp_path / "ref")
+    S.write_semantic_store(spark, emb, live)
+    S.write_semantic_store(spark, emb.where(F.col("vec_id") >= 3), ref)
+
+    def partial_swap(path, tables):
+        base = storefs.strip_file_scheme(path)
+        t = tables[0]
+        os.rename(f"{base}/{t}", f"{base}/{t}_old")
+        raise RuntimeError("injected partial swap")
+
+    monkeypatch.setattr(storefs, "swap_in_compacted", partial_swap)
+    with pytest.raises(RuntimeError, match="injected"):
+        S.delete_from_semantic_store(spark, [0, 1, 2], live)
+    monkeypatch.undo()
+    assert not os.path.isdir(f"{live}/vectors")  # the damaged state
+    assert S.resume_pending_delete(spark, live)
+    bcols = ["vec_id", "band_idx", "bucket", "bv"]
+    assert _snap(spark, live, "bands", bcols) == _snap(spark, ref, "bands", bcols)
+    assert _snap(spark, live, "vectors", ["vec_id", "vec", "norm"]) == _snap(
+        spark, ref, "vectors", ["vec_id", "vec", "norm"]
+    )
+    assert glob.glob(f"{live}/_delete_intent*") == []
+
+
 # ------------------------------------------------ ivf index ----------
 
 
@@ -198,6 +350,102 @@ def test_ivf_delete_equals_rebuild_and_probe(spark, tmp_path):
         assert _snap(spark, live, "index", icols) == snap1
     finally:
         shutil.rmtree(refsf, ignore_errors=True)
+
+
+def _ivf_synth_sf(tmp_path, name: str, drop_ids=()):
+    """Tiny synthetic embeddings corpus for cheap IVF crash tests:
+    vector i points at unit direction i % 64, ids spread across many
+    lists; the centroid model derives from the first N_CENTROIDS ids,
+    so victims above that range leave the frozen model identical on
+    both sides."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    drop = set(drop_ids)
+    ids = [i for i in range(120) if i not in drop]
+
+    def vec(i):
+        v = [0.001 * ((i + k) % 3) for k in range(64)]
+        v[i % 64] = 0.9
+        return [float(x) for x in v]
+
+    d = tmp_path / name
+    d.mkdir()
+    pq.write_table(
+        pa.table({
+            "vec_id": ids,
+            "embedding": [vec(i) for i in ids],
+            "label": [0] * len(ids),
+        }),
+        d / "embeddings.parquet",
+    )
+    return str(d)
+
+
+def test_ivf_delete_crash_mid_directory_swap_resume(
+    spark, tmp_path, monkeypatch
+):
+    """The IVF mirror of the bm25 mid-swap window (this store had NO
+    crash-resume test before r15): crash after a live list directory
+    was rmtree'd but before its staged kept rows renamed in; resume
+    replays the swap from the durable staging and ends ≡ rebuild."""
+    from trisk_spark.functions.similarity import N_CENTROIDS
+
+    victims = [100, 103, 107]
+    sf_full = _ivf_synth_sf(tmp_path, "full")
+    sf_kept = _ivf_synth_sf(tmp_path, "kept", drop_ids=victims)
+    assert min(victims) >= N_CENTROIDS
+    live, ref = str(tmp_path / "live"), str(tmp_path / "ref")
+    I.write_index(spark, sf_full, live)
+    I.write_index(spark, sf_kept, ref)
+
+    real_rename = os.rename
+
+    def flaky(src, dst):
+        if "_staged_delete/" in str(src).replace(os.sep, "/"):
+            raise RuntimeError("injected mid-swap")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(storefs.os, "rename", flaky)
+    with pytest.raises(RuntimeError, match="injected"):
+        I.delete_from_index(spark, victims, live)
+    monkeypatch.setattr(storefs.os, "rename", real_rename)
+    assert os.path.exists(f"{live}/_delete_intent")
+    assert I.resume_pending_delete(spark, live)
+    icols = ["vec_id", "qvec", "qnorm", "codes", "recon_norm", "list_id"]
+    assert _snap(spark, live, "index", icols) == _snap(spark, ref, "index", icols)
+    assert glob.glob(f"{live}/_delete_intent*") == []
+    assert glob.glob(f"{live}/index_staged_delete*") == []
+
+
+def test_ivf_delete_crash_after_staging_commit_resume(
+    spark, tmp_path, monkeypatch
+):
+    """Crash between the staging commit and the first directory swap:
+    resume finishes purely from the committed staging."""
+    victims = [100, 103, 107]
+    sf_full = _ivf_synth_sf(tmp_path, "full")
+    sf_kept = _ivf_synth_sf(tmp_path, "kept", drop_ids=victims)
+    live, ref = str(tmp_path / "live"), str(tmp_path / "ref")
+    I.write_index(spark, sf_full, live)
+    I.write_index(spark, sf_kept, ref)
+
+    real_complete = storefs.complete_staged_partition_swap
+
+    def flaky(path, table_, part_col):
+        if os.path.isdir(f"{storefs.strip_file_scheme(path)}/{table_}_staged_delete"):
+            raise RuntimeError("injected post-stage")
+        return real_complete(path, table_, part_col)
+
+    monkeypatch.setattr(storefs, "complete_staged_partition_swap", flaky)
+    with pytest.raises(RuntimeError, match="injected"):
+        I.delete_from_index(spark, victims, live)
+    monkeypatch.setattr(storefs, "complete_staged_partition_swap", real_complete)
+    assert os.path.isdir(f"{live}/index_staged_delete")
+    assert I.resume_pending_delete(spark, live)
+    icols = ["vec_id", "qvec", "qnorm", "codes", "recon_norm", "list_id"]
+    assert _snap(spark, live, "index", icols) == _snap(spark, ref, "index", icols)
+    assert glob.glob(f"{live}/index_staged_delete*") == []
 
 
 # --------------------------------------- hash-gated takedown row -----

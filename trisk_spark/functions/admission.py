@@ -44,6 +44,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from trisk_spark.catalog import table
 from trisk_spark.functions import storefs
+from trisk_spark.registry import register
 from trisk_spark.functions.dedup import (
     _BAND_COLS_SQL,
     _SIG_COLS_SQL,
@@ -528,9 +529,11 @@ FROM s2
 """
 
 
+@register("admission_report", oracle=_admission_report_sql())
 def admission_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed admission funnel as a self-contained, READ-ONLY
-    library row: the corpus's arriving slice (doc_id % MOD == 0, the
+    driver row (SEATED r15 — the executed R15 trade): the corpus's
+    arriving slice (doc_id % MOD == 0, the
     shared split of ``dedup_incremental`` / ``semantic_incremental``),
     LEFT-joined with its parallel embeddings (documents without one
     take the documented un-probed semantic path), judged against the
@@ -569,22 +572,43 @@ def takedown_wave(
     dedup_path: str,
     sem_path: str,
     bm25_path: str | None = None,
+    gram_path: str | None = None,
+    victim_emb: DataFrame | None = None,
 ) -> None:
     """UN-ADMIT: remove documents from every store the admission loop
     maintains — the right-to-be-forgotten counterpart of
     ``admission_wave``. Composes the per-store takedown verbs
     (``delete_from_dedup_store`` / ``delete_from_semantic_store`` /
-    ``delete_from_bm25_store``), each individually crash-safe behind
-    its own durable ``_delete_intent`` and per-store
-    ``resume_pending_delete``; a crash between stores leaves earlier
-    stores clean and later ones untouched — re-running the same
-    takedown converges (each per-store delete is a replay no-op once
-    its victims are gone). Deleted documents become RE-ADMITTABLE: the
-    next wave probes stores that no longer know them — the documented
-    takedown semantics (a tombstone that blocks re-admission is a
-    different, caller-side policy)."""
+    ``delete_from_bm25_store`` / ``delete_from_gram_store``), each
+    individually crash-safe behind its own durable ``_delete_intent``
+    and per-store ``resume_pending_delete``; a crash between stores
+    leaves earlier stores clean and later ones untouched — re-running
+    the same takedown converges (each row-store delete is a replay
+    no-op once its victims are gone). Deleted documents become
+    RE-ADMITTABLE: the next wave probes stores that no longer know
+    them — the documented takedown semantics (a tombstone that blocks
+    re-admission is a different, caller-side policy).
+
+    ``gram_path`` (opt-in, closing the r14 VERDICT's moment-store gap)
+    additionally subtracts the victims' second moments from a
+    maintained PCA/outlier moment store. Moments are aggregates, so
+    ids alone cannot re-derive what to subtract: the caller supplies
+    ``victim_emb`` — the victims' original (vec_id, embedding) rows
+    (fail-loud if omitted). The subtraction runs FIRST and only for
+    victims STILL MEMBERS of the semantic store's vectors table — the
+    admission loop's "admitted with an embedding" membership set, read
+    before the row-store deletes erase it — which is what makes a
+    WHOLE-WAVE re-run converge for the aggregate store too: once the
+    row stores forgot the victims, the membership filter empties and
+    the gram delete is a no-op rather than a double subtraction.
+    (Caveat, documented: a valid-but-zero-norm embedding is counted
+    by the gram kernel but never stored by the semantic store, so its
+    moments outlive a membership-gated takedown — degenerate vectors
+    should be kept out of a maintained gram store in the first
+    place.)"""
     from trisk_spark.functions.bm25_store import delete_from_bm25_store
     from trisk_spark.functions.dedup_store import delete_from_dedup_store
+    from trisk_spark.functions.gram_store import delete_from_gram_store
     from trisk_spark.functions.semantic_store import (
         delete_from_semantic_store,
     )
@@ -592,6 +616,30 @@ def takedown_wave(
     ids = sorted({int(i) for i in doc_ids})
     if not ids:
         return
+    if gram_path is not None:
+        if victim_emb is None:
+            raise ValueError(
+                "takedown_wave: gram_path given without victim_emb — the "
+                "moment store needs the victims' original embedding rows "
+                "to subtract (moments are aggregates; ids alone cannot "
+                "re-derive them)"
+            )
+        # one pushdown scan of the vectors table for the victim ids —
+        # the per-store routing scan every takedown pays; the result is
+        # id-sized (≤ MAX_DELETE_IDS, the driver-literal class)
+        member_ids = sorted(
+            int(r.vec_id)
+            for r in spark.read.parquet(f"{sem_path}/vectors")
+            .where(F.col("vec_id").isin(ids))
+            .select("vec_id")
+            .collect()
+        )
+        if member_ids:
+            delete_from_gram_store(
+                spark,
+                victim_emb.where(F.col("vec_id").isin(member_ids)),
+                gram_path,
+            )
     delete_from_dedup_store(spark, ids, dedup_path)
     delete_from_semantic_store(spark, ids, sem_path)
     if bm25_path is not None:

@@ -567,11 +567,17 @@ def delete_from_bm25_store(spark: SparkSession, doc_ids, path: str) -> None:
     no future probe can retrieve them. Postings are uncapped per-doc
     facts, so delete ≡ ``write_bm25_store`` over the corpus WITHOUT the
     victims is a plain filter per touched bucket (no re-derivation
-    needed — the one store where filtering IS rebuilding); loner
-    buckets are correctly emptied (directory cleared), doclens and the
-    1-row stats recompute through the crash-safe swap, and every crash
-    window resumes to completion from the durable ``_delete_intent``
-    (``resume_pending_delete``). Cost: one pushdown scan of the
+    needed — postings are uncapped facts, so filtering IS rebuilding);
+    loner buckets are correctly emptied (directory cleared), doclens
+    and the 1-row stats recompute through the crash-safe swap, and
+    every crash window resumes to completion from the durable
+    ``_delete_intent`` (``resume_pending_delete``). Because the kept
+    postings have no other durable source (unlike the band stores,
+    which re-derive from the signatures/vectors table swapped last),
+    they are STAGED durably via the ``storefs`` staged-partition
+    protocol before any live bucket directory is cleared — a crash
+    between the clear and the swap replays from the committed staging,
+    never from driver memory. Cost: one pushdown scan of the
     victims' postings (routing — postings are bucketed by TERM, so
     this is the one per-store scan a takedown pays), a rewrite of only
     the touched bucket directories, a doclens rewrite (narrow
@@ -601,23 +607,41 @@ def delete_from_bm25_store(spark: SparkSession, doc_ids, path: str) -> None:
 
 def resume_pending_delete(spark: SparkSession, path: str) -> bool:
     """Finish a takedown a crash interrupted (idempotent at every
-    crash point — the ``dedup_store`` contract). Returns True if there
-    was one to finish."""
+    crash point — the ``dedup_store`` contract). Self-sufficient at
+    every crash point: repairs any half-swapped doclens/stats FIRST
+    (a crash inside ``swap_in_compacted`` leaves the live table renamed
+    to ``_old`` — a standalone resume must not fail reading it), then
+    re-runs the recorded delete, whose own first step consumes any
+    committed postings staging. Returns True if there was one to
+    finish."""
     import os
 
     base = storefs.strip_file_scheme(path)
     ipath = f"{base}/_delete_intent"
     if not os.path.exists(ipath):
         return False
+    repair_bm25_store(path)
     ids = sorted(int(r.doc_id) for r in spark.read.parquet(ipath).collect())
     _run_recorded_delete(spark, ids, path)
     return True
 
 
 def _run_recorded_delete(spark: SparkSession, ids: list, path: str) -> None:
+    """The recorded-delete state machine, re-runnable from the durable
+    ``_delete_intent`` at every crash point. Postings go through the
+    ``storefs`` staged-partition protocol: kept rows of the touched
+    buckets are written DURABLY (staged dir committed by rename) before
+    any live bucket directory is destroyed, so a crash anywhere between
+    the clear and the swap resumes from the staging, never from memory
+    (the r14 hole: a localCheckpoint'ed kept frame is gone on crash,
+    and with the victims' rows already rmtree'd the re-run could no
+    longer identify the damaged buckets)."""
     import shutil
 
     base = storefs.strip_file_scheme(path)
+    # finish any committed-but-unswapped staging a prior crash left —
+    # AFTER this the live postings hold no half-cleared buckets
+    storefs.complete_staged_partition_swap(path, "postings", "bucket")
     postings = spark.read.parquet(f"{path}/postings")
     buckets = sorted(
         int(r["bucket"])
@@ -631,14 +655,12 @@ def _run_recorded_delete(spark: SparkSession, ids: list, path: str) -> None:
             postings.where(F.col("bucket").isin(buckets))
             .where(~F.col("doc_id").isin(ids))
             .select("term", "doc_id", "tf", "dl", "bucket")
-            .repartition(_write_tasks(spark), "bucket")
-            .localCheckpoint()
         )
-        for k in buckets:
-            shutil.rmtree(f"{base}/postings/bucket={k}", ignore_errors=True)
-        kept.write.mode("append").partitionBy("bucket").parquet(
-            f"{path}/postings"
+        storefs.stage_partition_delete(
+            spark, path, "postings", "bucket", buckets, kept,
+            write_tasks=_write_tasks(spark),
         )
+        storefs.complete_staged_partition_swap(path, "postings", "bucket")
     doclens = spark.read.parquet(f"{path}/doclens")
     if doclens.where(F.col("doc_id").isin(ids)).limit(1).count() > 0:
         keep_dl = doclens.where(~F.col("doc_id").isin(ids)).localCheckpoint()

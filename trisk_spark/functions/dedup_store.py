@@ -850,14 +850,19 @@ def delete_from_dedup_store(spark: SparkSession, doc_ids, path: str) -> None:
 def resume_pending_delete(spark: SparkSession, path: str) -> bool:
     """Finish a takedown a crash interrupted: re-run the deletion from
     the durable ``_delete_intent`` ids (idempotent at every crash
-    point — see ``delete_from_dedup_store``). Returns True if there
-    was one to finish."""
+    point — see ``delete_from_dedup_store``). Self-sufficient: repairs
+    any half-swapped signature table FIRST (a crash inside
+    ``swap_in_compacted`` leaves the live table renamed to ``_old``,
+    and a standalone resume must not fail reading it — previously only
+    the delete entry point ran the repair). Returns True if there was
+    one to finish."""
     import os
 
     base = storefs.strip_file_scheme(path)
     ipath = f"{base}/_delete_intent"
     if not os.path.exists(ipath):
         return False
+    repair_dedup_store(path)
     ids = sorted(int(r.doc_id) for r in spark.read.parquet(ipath).collect())
     _run_recorded_delete(spark, ids, path)
     return True

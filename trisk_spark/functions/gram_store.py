@@ -176,6 +176,109 @@ def compact_gram_store(spark: SparkSession, path: str) -> None:
     storefs.swap_in_compacted(path, ("partials",))
 
 
+def delete_from_gram_store(
+    spark: SparkSession, victim_emb: DataFrame, path: str
+) -> None:
+    """TAKEDOWN — the moment store's delete verb (closing the r14
+    VERDICT's "fourth member" gap: without it a takedown wave left
+    victims' second moments in the persisted blocks, so the PCA basis
+    and the outlier gate kept scoring against a corpus that still
+    "contained" deleted documents). Moments are additive exact
+    BIGINTs, so delete ≡ rebuild-without-victims is the append of ONE
+    NEGATED block: run the identical ``embedding_gram_frame`` kernel
+    over the victims' embedding rows, negate g, tag it with a fresh
+    tombstone wave_id (descending below BASE_WAVE_ID, disjoint from
+    every ingest batch id), and append — the fold then cancels the
+    victims' contributions term-for-term on the scaled-int grid
+    (exact, no float residue; delete ≡ rebuild pytest-pinned).
+
+    ``victim_emb`` must be the victims' ORIGINAL (vec_id, embedding)
+    rows — moments are aggregates, ids alone cannot re-derive what to
+    subtract — which is why the durable ``_delete_intent`` here
+    records the COMPUTED NEGATED BLOCK itself (2,145 rows, one file),
+    not the id list: resume never needs the victim vectors, which a
+    composed takedown may already have deleted from every row store.
+    Crash windows: before the intent rename — nothing happened, the
+    tmp build is discarded; after the rename — ``resume_pending_delete``
+    appends the recorded block iff its tombstone wave_id has not
+    landed (the block is one file, so the append commit is an atomic
+    move) and drops the intent. Exactly-once across WHOLE-CALL
+    replays is the caller's contract (``takedown_wave`` gates on
+    semantic-store membership); within a call, every crash resumes."""
+    import os
+    import shutil
+
+    storefs.require_rename_fs(path, "delete_from_gram_store")
+    storefs.repair_store(path, ("partials",))
+    resume_pending_delete(spark, path)
+    base = storefs.strip_file_scheme(path)
+    tomb = int(
+        spark.read.parquet(f"{path}/partials")
+        .agg(
+            F.least(
+                F.coalesce(F.min("wave_id"), F.lit(BASE_WAVE_ID)),
+                F.lit(BASE_WAVE_ID),
+            )
+        )
+        .collect()[0][0]
+    ) - 1
+    ipath = f"{base}/_delete_intent"
+    tmp = ipath + "_tmp"
+    embedding_gram_frame(victim_emb).select(
+        F.lit(tomb).cast("bigint").alias("wave_id"),
+        "i", "j",
+        (-F.col("g")).cast("bigint").alias("g"),
+    ).coalesce(1).write.mode("overwrite").parquet(tmp)
+    if spark.read.parquet(tmp).limit(1).count() == 0:
+        # no valid victim vectors -> nothing was ever admitted to
+        # subtract
+        shutil.rmtree(tmp, ignore_errors=True)
+        return
+    os.rename(tmp, ipath)
+    _run_recorded_delete(spark, path)
+
+
+def resume_pending_delete(spark: SparkSession, path: str) -> bool:
+    """Finish a takedown a crash interrupted — idempotent at every
+    crash point (the store-family contract): the intent holds the
+    negated block, so resume is self-sufficient even after the victim
+    vectors are gone from every row store. Repairs any half-swapped
+    partials table first (a crash inside a concurrent compaction swap
+    must not fail the read). Returns True if there was one to
+    finish."""
+    import os
+    import shutil
+
+    base = storefs.strip_file_scheme(path)
+    shutil.rmtree(f"{base}/_delete_intent_tmp", ignore_errors=True)
+    if not os.path.exists(f"{base}/_delete_intent"):
+        return False
+    storefs.repair_store(path, ("partials",))
+    _run_recorded_delete(spark, path)
+    return True
+
+
+def _run_recorded_delete(spark: SparkSession, path: str) -> None:
+    """Append the intent's negated block iff its tombstone wave_id has
+    not already landed (the one-file append commits atomically, so
+    landed-or-not is well defined), then drop the intent."""
+    import shutil
+
+    base = storefs.strip_file_scheme(path)
+    intent = spark.read.parquet(f"{base}/_delete_intent")
+    wid = int(intent.select("wave_id").first()["wave_id"])
+    landed = (
+        spark.read.parquet(f"{path}/partials")
+        .where(F.col("wave_id") == wid)
+        .limit(1)
+        .count()
+        > 0
+    )
+    if not landed:
+        intent.coalesce(1).write.mode("append").parquet(f"{path}/partials")
+    shutil.rmtree(f"{base}/_delete_intent", ignore_errors=True)
+
+
 def gram_store_stats(spark: SparkSession, path: str) -> DataFrame:
     """Store health — one row with (n_waves, n_rows, n_dup_wave_rows,
     n_vecs). ``n_dup_wave_rows`` counts rows beyond the first per

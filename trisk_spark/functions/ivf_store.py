@@ -424,8 +424,12 @@ def delete_from_index(spark: SparkSession, vec_ids, path: str) -> None:
     only members were victims is correctly emptied (directory
     cleared). Crash-safe via the store-family durable
     ``_delete_intent`` (``resume_pending_delete`` finishes any
-    interrupted state; before the rewrite the victims' rows still
-    route, after it the re-run finds nothing and clears the intent).
+    interrupted state) PLUS the ``storefs`` staged-partition protocol:
+    the kept rows of the touched lists have no other durable source
+    (the index IS the row table — there is no narrow sibling swapped
+    last to re-derive from), so they are staged durably (committed by
+    rename) BEFORE any live list directory is cleared, and a crash
+    anywhere between the clear and the swap resumes from the staging.
     Cost: one pushdown scan of the index for the victims' list ids
     (the per-store routing scan a takedown pays), then a rewrite of
     only the touched list directories. The centroid model is NEVER
@@ -473,11 +477,20 @@ def resume_pending_delete(spark: SparkSession, path: str) -> bool:
 
 
 def _run_recorded_delete(spark: SparkSession, ids: list, path: str) -> None:
+    """Re-runnable from the durable ``_delete_intent`` at every crash
+    point: kept rows of the touched lists are staged durably (the
+    ``storefs`` staged-partition protocol, committed by rename) BEFORE
+    any live ``list_id=`` directory is cleared, and the swap is driven
+    purely by staged-directory presence — so a crash mid-clear or
+    mid-swap replays from the staging, never from driver memory (the
+    r14 hole: a localCheckpoint'ed kept frame vanished on crash after
+    the live directories were already gone)."""
     import shutil
 
     from trisk_spark.functions import storefs
 
     base = storefs.strip_file_scheme(path)
+    storefs.complete_staged_partition_swap(path, "index", "list_id")
     index = spark.read.parquet(f"{path}/index")
     lists = sorted(
         int(r["list_id"])
@@ -487,14 +500,11 @@ def _run_recorded_delete(spark: SparkSession, ids: list, path: str) -> None:
         .collect()
     )
     if lists:
-        kept = (
-            index.where(F.col("list_id").isin(lists))
-            .where(~F.col("vec_id").isin(ids))
-            .localCheckpoint()
+        kept = index.where(F.col("list_id").isin(lists)).where(
+            ~F.col("vec_id").isin(ids)
         )
-        for li in lists:
-            shutil.rmtree(f"{base}/index/list_id={li}", ignore_errors=True)
-        kept.write.mode("append").partitionBy("list_id").parquet(
-            f"{path}/index"
+        storefs.stage_partition_delete(
+            spark, path, "index", "list_id", lists, kept
         )
+        storefs.complete_staged_partition_swap(path, "index", "list_id")
     shutil.rmtree(f"{base}/_delete_intent", ignore_errors=True)

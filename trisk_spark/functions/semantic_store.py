@@ -68,6 +68,7 @@ from pyspark.sql.types import (
 
 from trisk_spark.catalog import table
 from trisk_spark.functions import storefs
+from trisk_spark.registry import register
 from trisk_spark.functions.similarity import (
     _COS_BAND_SQL,
     _DOT_SQL,
@@ -616,6 +617,7 @@ def _cleanup_sem_stores() -> None:
 atexit.register(_cleanup_sem_stores)
 
 
+@register("semantic_incremental", oracle=SEMANTIC_INCREMENTAL_SQL)
 def semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental semantic ingest dedup over the persisted SRP store,
     self-contained for a driver gate: split the embedding corpus
@@ -626,11 +628,10 @@ def semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     wave against it. The oracle (``_semantic_incremental_sql``)
     derives both sides from the embeddings table directly, so the row
     puts write→prune→probe→verify — the whole semantic store path —
-    under independent value-hash evidence. LIBRARY op (full oracle
-    runs every round in test_oracle_parity's library pass); the lead
-    R15 seat candidate — the semantic store-probe kernel has no
-    registered sibling, exactly the position ``dedup_incremental``
-    held in r12."""
+    under independent value-hash evidence. SEATED r15 (the executed
+    R15 trade — the r13/r14 verdicts' lead candidate: the semantic
+    store-probe kernel has no registered sibling, exactly the
+    position ``dedup_incremental`` held in r12)."""
     emb = table(spark, sf_dir, "embeddings")
     arriving = emb.where(
         F.pmod(F.col("vec_id"), F.lit(SEM_ARRIVING_MOD)) == 0
@@ -729,14 +730,18 @@ def delete_from_semantic_store(spark: SparkSession, vec_ids, path: str) -> None:
 
 def resume_pending_delete(spark: SparkSession, path: str) -> bool:
     """Finish a takedown a crash interrupted (idempotent at every
-    crash point — the ``dedup_store`` contract). Returns True if there
-    was one to finish."""
+    crash point — the ``dedup_store`` contract). Self-sufficient:
+    repairs any half-swapped vectors table FIRST (a crash inside
+    ``swap_in_compacted`` leaves the live table renamed to ``_old``,
+    and a standalone resume must not fail reading it). Returns True if
+    there was one to finish."""
     import os
 
     base = storefs.strip_file_scheme(path)
     ipath = f"{base}/_delete_intent"
     if not os.path.exists(ipath):
         return False
+    repair_semantic_store(path)
     ids = sorted(int(r.vec_id) for r in spark.read.parquet(ipath).collect())
     _run_recorded_delete(spark, ids, path)
     return True

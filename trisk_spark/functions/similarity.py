@@ -122,9 +122,16 @@ FROM ranked WHERE rank <= {TOP_K}
 """
 
 
-@register("knn_bruteforce", oracle=KNN_BRUTE_SQL)
 def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-k for a probe set against the whole corpus.
+
+    RETIRED to library-only status in r15 (the registry's sanctioned
+    seat-freeing mechanism — r14 VERDICT next-round #1): the exact
+    blocked-GEMM top-k kernel is driver-hash-gated by
+    ``cosine_near_dup_exact`` and ``knn_label_vote`` (same kernel),
+    ``ann_recall`` drives it verbatim as its brute side, and the full
+    oracle still runs every round via test_oracle_parity's library
+    pass (``load_library``).
     Plan: the ≤N_PROBES probe vectors are driver-held and shipped as a
     broadcast model; the corpus is scanned ONCE through an
     Arrow-batched numpy kernel that scores every (probe, vector) pair
@@ -2530,7 +2537,12 @@ def drift_from_counts(
     contribution + the exact-integer hot flag. Shared by the one-plan
     ``ivf_drift_report`` (mod-split corpus) and the deployment twin
     ``ivf_store.drift_report_stream`` (persisted-index residents vs an
-    arriving micro-batch)."""
+    arriving micro-batch). An EMPTY arriving side (na = 0 — e.g. an
+    empty streaming micro-batch) is a clean no-drift report: every
+    kl_contrib is gated to exactly 0 rather than the Infinity/NaN the
+    raw ``·/(100·na·K)`` shares would produce (the hot flag needs no
+    gate — its ``n_arriving > 0`` conjunct is already false and its
+    decision arithmetic is division-free)."""
     tot = counts.agg(
         F.sum("n_resident").cast("bigint").alias("nr"),
         F.sum("n_arriving").cast("bigint").alias("na"),
@@ -2561,8 +2573,11 @@ def drift_from_counts(
         F.col("list_id").cast("bigint").alias("list_id"),
         "n_resident",
         "n_arriving",
-        F.round(p_a * lr.cast("double"), 6)
-        .cast("double")
+        F.when(
+            F.col("na") > 0,
+            F.round(p_a * lr.cast("double"), 6).cast("double"),
+        )
+        .otherwise(F.lit(0.0))
         .alias("kl_contrib"),
         (
             (F.col("n_arriving") > 0)

@@ -140,6 +140,75 @@ def repair_replayed_append(
     swap_in_compacted(path, (table,))
 
 
+def stage_partition_delete(
+    spark,
+    path: str,
+    table: str,
+    part_col: str,
+    part_vals,
+    kept_rows,
+    write_tasks: int | None = None,
+) -> None:
+    """Durably STAGE a partition-directory delete before any live data
+    is destroyed (the r14 bm25/ivf takedown hole: kept rows lived only
+    in a localCheckpoint, so a crash between the touched-directory
+    rmtree and the kept append lost non-victim rows with nothing
+    durable to resume from — unlike the band stores, whose kept state
+    re-derives from the signatures/vectors table swapped last).
+
+    Protocol: write ``kept_rows`` partitioned by ``part_col`` into
+    ``<table>_staged_delete_tmp`` (live table untouched — it is still
+    the read source), create an EMPTY marker directory for every
+    touched partition the write produced no rows for (a fully-victim
+    partition ends empty, and a parquet writer cannot express an empty
+    partition), then COMMIT the whole staging atomically by renaming
+    tmp → ``<table>_staged_delete``. Until the rename nothing live has
+    changed; after it, ``complete_staged_partition_swap`` can always
+    finish from durable state alone."""
+    base = strip_file_scheme(path)
+    tmp = f"{base}/{table}_staged_delete_tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    writer = (
+        kept_rows
+        if write_tasks is None
+        else kept_rows.repartition(max(1, write_tasks), part_col)
+    )
+    writer.write.mode("overwrite").partitionBy(part_col).parquet(tmp)
+    for v in part_vals:
+        os.makedirs(f"{tmp}/{part_col}={v}", exist_ok=True)
+    final = f"{base}/{table}_staged_delete"
+    shutil.rmtree(final, ignore_errors=True)
+    os.rename(tmp, final)
+
+
+def complete_staged_partition_swap(path: str, table: str, part_col: str) -> None:
+    """Finish a staged partition-directory delete — idempotent at every
+    crash point because it is driven purely by which staged directories
+    still exist: a staged ``<part_col>=v`` dir vanishes only AFTER its
+    live twin holds the kept rows. Per staged partition dir: clear the
+    live directory (it holds victim rows or is already gone), then
+    rename the staged content in; an EMPTY staged dir is the "this
+    partition ends empty" marker and is simply consumed after the
+    clear. Any uncommitted ``_tmp`` build is discarded (the routing +
+    staging re-run from the live table, which that crash never
+    touched). No-op when no staging was committed."""
+    base = strip_file_scheme(path)
+    staged_root = f"{base}/{table}_staged_delete"
+    shutil.rmtree(staged_root + "_tmp", ignore_errors=True)
+    if not os.path.isdir(staged_root):
+        return
+    for entry in sorted(os.listdir(staged_root)):
+        if not entry.startswith(f"{part_col}="):
+            continue
+        staged = f"{staged_root}/{entry}"
+        shutil.rmtree(f"{base}/{table}/{entry}", ignore_errors=True)
+        if any(os.scandir(staged)):
+            os.rename(staged, f"{base}/{table}/{entry}")
+        else:
+            os.rmdir(staged)
+    shutil.rmtree(staged_root, ignore_errors=True)
+
+
 def swap_in_compacted(path: str, tables: tuple[str, ...]) -> None:
     """Swap each table's freshly-built ``<t>_compact_tmp`` directory in
     as the live ``<t>`` — the recovery-ordered rename sequence whose

@@ -100,12 +100,20 @@ LIMIT 10
 """
 
 
-@register("tpch_q3", oracle=TPCH_Q3_SQL)
 def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shipping priority: top-10 highest-revenue BUILDING-segment orders.
     Plan: customer is the small side → broadcast into orders, then join
     lineitem on its natural key; top-k via TakeOrderedAndProject (no full
-    sort shuffle)."""
+    sort shuffle).
+
+    RETIRED to library-only status in r15 (the registry's sanctioned
+    seat-freeing mechanism — r14 VERDICT next-round #1, the
+    tpch_q7/q10/q14 precedent): the filtered multi-join decimal-agg
+    kernel is driver-hash-gated by tpch_q5, the broadcast-dim top-k by
+    tpch_q18/top_orders_per_customer, and the full oracle still runs
+    every round via test_oracle_parity's library pass
+    (``load_library``). q1/q5/q6/q18 remain the registered TPC-H
+    rows."""
     c = table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
     o = table(spark, sf_dir, "orders")
     li = table(spark, sf_dir, "lineitem")
