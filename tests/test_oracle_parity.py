@@ -93,6 +93,13 @@ LIBRARY_NAMES = sorted(
         # tpch_q14 r14; tpch_q3 + knn_bruteforce r15 — kernels gated
         # by registered siblings); the full oracles still run here
         "tpch_q10", "tpch_q7", "tpch_q14", "tpch_q3", "knn_bruteforce",
+        # r15-new: margin-based cross-corpus pair mining (ratio-margin
+        # best-match over the parity halves; both kNN directions +
+        # fusion under one hash)
+        "margin_pair_mining",
+        # r15-new: exactly-M quality-weighted sampling without
+        # replacement (Efraimidis-Spirakis keys, shared quality formula)
+        "weighted_sample",
         # r14-new: the persisted BM25 inverted index — oracle is the
         # whole-corpus BM25_TOP_DOCS_SQL (exact index ⇒ probe of
         # write+append must equal the batch kernel row for row)

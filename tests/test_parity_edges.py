@@ -1852,3 +1852,63 @@ def test_embedding_health_parity_and_degenerate_counts(spark, hostile_embeddings
     # sits on 1.0 at the 1e-6 grid
     for r in embedding_health(spark, sf).collect():
         assert abs(r.avg_norm - 1.0) < 1e-4 and r.n_invalid == 0
+
+
+def test_weighted_sample_is_weight_proportional_and_budgeted(
+    spark, tmp_path
+):
+    """Efraimidis-Spirakis properties on a two-class fixture: the
+    sample is EXACTLY M docs (the Bernoulli samplers can't promise
+    that), the high-quality class is overrepresented relative to its
+    population share, repeat runs are identical (no-RNG keys), the
+    top-M plans as TakeOrderedAndProject (never a global sort), and
+    the oracle agrees on the fixture corpus."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from trisk_spark.functions.sampling import (
+        WEIGHTED_SAMPLE_M,
+        weighted_sample,
+        WEIGHTED_SAMPLE_SQL,
+    )
+
+    from .conftest import assert_matches_oracle
+
+    rows = []
+    for i in range(300):  # high quality: 70 long distinct words
+        rows.append((i, " ".join(f"verylongword{i}x{j}" for j in range(70)), "hi"))
+    for i in range(300, 600):  # low quality: 8 short stopword-heavy words
+        rows.append((i, "the a of and the a " + f"w{i} x", "lo"))
+    docs = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows]),
+        "lang": pa.array(["en"] * len(rows)),
+        "source": pa.array([r[2] for r in rows]),
+        "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+    })
+    pq.write_table(docs, tmp_path / "documents.parquet")
+    sf = str(tmp_path)
+
+    out = weighted_sample(spark, sf).collect()
+    assert len(out) == WEIGHTED_SAMPLE_M  # the exact budget
+    n_hi = sum(1 for r in out if r.source == "hi")
+    # population is 50/50; quality weights (~0.9 vs ~0.2) must tilt
+    # the without-replacement draw decisively toward the hi class
+    assert n_hi > 0.6 * WEIGHTED_SAMPLE_M, n_hi
+    assert {r.rank for r in out} == set(range(1, WEIGHTED_SAMPLE_M + 1))
+
+    # determinism: md5-derived keys, no RNG anywhere
+    again = weighted_sample(spark, sf).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+    # scale shape: global top-M must be TakeOrderedAndProject
+    plan = weighted_sample(spark, sf)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan[:500]
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    assert_matches_oracle(weighted_sample(spark, sf), con, WEIGHTED_SAMPLE_SQL)

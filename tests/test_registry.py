@@ -176,6 +176,12 @@ def test_readme_op_table_names_are_registered():
         # the table as the exact-GEMM baseline the ANN variants are
         # measured against
         "knn_bruteforce",
+        # r15: margin-based pair mining (library op) + its shared kernel
+        "margin_pair_mining", "_gemm_topk", "margin_mine_stream",
+        "margin_mine_frame",
+        # r15: exactly-M weighted sampling (library op)
+        "weighted_sample", "weighted_sample_stream",
+        "weighted_keys_frame",
         # r13: the persisted SRP semantic store (library op +
         # helpers; semantic_incremental is load_library-gated until
         # its R15 seat)

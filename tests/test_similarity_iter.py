@@ -607,3 +607,79 @@ def test_embedding_outliers_flags_planted_vector(spark):
         [(1, None)], "vec_id long, embedding array<double>"
     )
     assert sim.embedding_outliers_frame(bad).count() == 0
+
+
+def test_margin_mining_suppresses_hub(spark, tmp_path):
+    """The ratio-margin criterion's defining property (Artetxe &
+    Schwenk): a HUB — close to everything on the opposite side — wins
+    the raw-cosine ranking but loses on margin, because its own dense
+    neighborhood inflates the denominator. Fixture: side A shares a
+    common direction c; side B holds the hub h = c (cos 0.8 to every
+    A vector) and a true match t whose similarity is specific to probe
+    0 (cos 0.66 to it, ~0.24 to the rest). Raw top-1 for probe 0 is h;
+    margin top-1 must be t, accepted. The DuckDB oracle must agree on
+    this fixture corpus too."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from .conftest import assert_matches_oracle
+
+    def vec(parts):
+        v = [0.0] * sim.DIM
+        for d, x in parts:
+            v[d] = x
+        return v
+
+    rows = [(0, vec([(1, 0.8), (2, 0.6)]))]            # probe x
+    rows += [
+        (2 + 2 * j, vec([(1, 0.8), (10 + j, 0.6)]))    # A fillers
+        for j in range(5)
+    ]
+    rows += [
+        (1, vec([(1, 1.0)])),                          # hub h = c
+        (3, vec([(1, 0.3), (2, 0.7), (40, 0.65)])),    # true match t
+        (5, vec([(50, 1.0)])),
+        (7, vec([(51, 1.0)])),
+        (9, vec([(52, 1.0)])),
+    ]
+    pq.write_table(
+        pa.table({
+            "vec_id": [r[0] for r in rows],
+            "embedding": [r[1] for r in rows],
+            "label": [0] * len(rows),
+        }),
+        tmp_path / "embeddings.parquet",
+    )
+    sf = str(tmp_path)
+
+    # raw-cosine top-1 for probe 0 is the hub...
+    from pyspark.sql import functions as F
+
+    emb = sim._valid_embeddings(
+        spark.read.parquet(f"{sf}/embeddings.parquet")
+    )
+    n = sim._with_norm(emb, "vec_id", "n").where(F.col("n_norm") > 0)
+    raw = sim._gemm_topk(
+        spark,
+        n.where(F.col("n_id") == 0),
+        n.where(F.pmod(F.col("n_id"), F.lit(2)) == 1),
+        1,
+    ).collect()
+    assert raw[0].neighbor_id == 1  # the hub wins on raw cosine
+
+    # ...but the margin ranking flips to the true match
+    out = {r.query_id: r for r in sim.margin_pair_mining(spark, sf).collect()}
+    assert out[0].match_id == 3 and out[0].accepted
+    assert out[0].margin > 1.06
+    # the A fillers legitimately keep the hub (it IS their best match)
+    assert all(out[2 + 2 * j].match_id == 1 for j in range(5))
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf}/embeddings.parquet')"
+    )
+    assert_matches_oracle(
+        sim.margin_pair_mining(spark, sf), con, sim.MARGIN_PAIR_SQL
+    )

@@ -2762,3 +2762,86 @@ def test_bm25_stream_plus_running_topk_equals_batch_ranking(spark):
         for r in bm25_top_docs(spark, SF).collect()
     }
     assert len(want) > 0 and final == want
+
+
+def test_weighted_sample_stream_reservoir_equals_batch(spark):
+    """The E-S reservoir twin: replaying the documents table in chunks
+    must leave the reservoir EXACTLY equal to the one-shot batch
+    top-M — keys are deterministic (md5-derived, no RNG) and top-M is
+    associative under merge, so this is tuple equality, not
+    approximation. Intermediate reservoirs must be monotone in key
+    quality (each batch can only improve the cut)."""
+    from trisk_spark.functions.sampling import (
+        weighted_sample,
+        weighted_sample_stream,
+    )
+
+    stream = replay_stream(spark, SF, "documents", n_chunks=4,
+                           order_col="doc_id")
+    seen: dict[int, list] = {}
+
+    def sink(df, bid):
+        seen[bid] = sorted(map(tuple, df.collect()))
+
+    q = (
+        weighted_sample_stream(spark, stream, sink)
+        .option("checkpointLocation", checkpoint_dir("wsamp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    assert len(seen) == 4
+    batch = sorted(map(tuple, weighted_sample(spark, SF).collect()))
+    assert seen[max(seen)] == batch
+    # the cut score (worst kept key) never degrades across batches
+    cuts = [min(t[4] for t in seen[b]) for b in sorted(seen) if seen[b]]
+    assert cuts == sorted(cuts)
+
+
+def test_margin_mine_stream_equals_batch_image(spark):
+    """Streaming margin mining over the static parity sides: the
+    probe set replayed in chunks must union to the registered batch
+    op's exact image (probes are independent; the sides are static)."""
+    from trisk_spark.functions.similarity import (
+        MARGIN_PROBE_MAX,
+        margin_pair_mining,
+    )
+    from trisk_spark.functions.similarity import margin_mine_stream
+    import os
+    import tempfile
+
+    # the batch op's probe set: even vec_id < MARGIN_PROBE_MAX
+    probes = (
+        table(spark, SF, "embeddings")
+        .where(
+            (F.pmod(F.col("vec_id"), F.lit(2)) == 0)
+            & (F.col("vec_id") < MARGIN_PROBE_MAX)
+        )
+        .select("vec_id", "embedding")
+    )
+    pdir = tempfile.mkdtemp(prefix="trisk-margin-probes-")
+    probes.repartitionByRange(3, F.col("vec_id")).write.mode(
+        "overwrite"
+    ).parquet(pdir)
+
+    got = []
+
+    def sink(df, bid):
+        got.extend(map(tuple, df.collect()))
+
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(pdir)
+    )
+    q = (
+        margin_mine_stream(spark, stream, SF, sink)
+        .option("checkpointLocation", checkpoint_dir("marginstream"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    want = sorted(map(tuple, margin_pair_mining(spark, SF).collect()))
+    assert sorted(got) == want and want

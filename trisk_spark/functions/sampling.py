@@ -2138,3 +2138,150 @@ def dsir_model(spark: SparkSession, sf_dir: str):
     )
     default = int(rows[0]["dc"]) if rows and rows[0]["dc"] is not None else 0
     return {int(r["b"]): int(r["c"]) for r in rows}, default
+
+
+# -------- quality-weighted sampling without replacement (r15) --------
+
+# Efraimidis & Spirakis, "Weighted random sampling with a reservoir"
+# (IPL 2006): drawing exactly M items WITHOUT replacement with
+# inclusion probability proportional to item weight reduces to a
+# top-M by the key u_i^(1/w_i) with u_i uniform — equivalently, in
+# log space, by ln(u_i)/w_i. The Bernoulli samplers above
+# (``mix_keep_col``'s rate test) hit a target rate in EXPECTATION;
+# this hits an exact budget M with weight-proportional selection —
+# the "pick exactly this many docs, favoring quality" primitive a
+# fixed-token-budget curation pass needs.
+#
+# Determinism (the house no-RNG idiom): u_i derives from the 60-bit
+# md5(doc_id) prefix reduced to an exact ppm bucket — u = (2·ppm+1) /
+# 2e6, strictly inside (0,1) so LN is finite. Float discipline: the
+# LN argument is ONE division of exact integers (identical doubles
+# both engines), LN is ROUND(·,6)-closed (the idf/drift pattern), the
+# weight is the ROUND(·,6)-closed shared quality formula
+# (``quality_expr`` ≡ ``quality_sql`` — the one-formula rule), and
+# the key is one more IEEE division of those closed doubles,
+# ROUND(·,6); ranking ties break on doc_id. Weight-zero docs are
+# excluded up front (their ES key is -inf: never sampled).
+#
+# Scale shape: map-only weight/key derivation, then a global top-M via
+# orderBy+limit — Spark plans TakeOrderedAndProject (per-partition
+# partial top-M, M-sized driver merge), NEVER a global sort; the
+# M-row rank window runs on the already-collected-size frame.
+
+WEIGHTED_SAMPLE_M = 200
+
+
+def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-M quality-weighted document sample (Efraimidis-Spirakis
+    without-replacement keys over the shared quality score) —
+    (doc_id, source, n_tokens, weight, es_key, rank). LIBRARY op
+    (full DuckDB oracle ``WEIGHTED_SAMPLE_SQL`` re-derives weights,
+    keys, and the top-M rank under one value-hash)."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents").where(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    )
+    keyed = weighted_keys_frame(docs)
+    top = keyed.orderBy(F.desc("es_key"), "doc_id").limit(WEIGHTED_SAMPLE_M)
+    w = Window.orderBy(F.desc("es_key"), "doc_id")
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+def weighted_keys_frame(docs: DataFrame) -> DataFrame:
+    """The map-only ES key derivation over any (doc_id, source, text)
+    frame — (doc_id, source, n_tokens, weight, es_key), weight-zero
+    docs excluded. Shared by the batch op (global top-M on top) and
+    ``weighted_sample_stream`` (per-batch keys merged into the
+    reservoir), so stream ≡ batch is exact by construction."""
+    ws = F.filter(F.split("text", " "), lambda w: w != "")
+    ppm = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint") % MIX_PPM
+    )
+    base = docs.select(
+        "doc_id",
+        "source",
+        F.size(ws).cast("bigint").alias("n_tokens"),
+        F.round(quality_expr(F.col("text")), 6).alias("weight"),
+        F.round(
+            F.log((F.lit(2) * ppm + 1).cast("double") / F.lit(2.0 * MIX_PPM)),
+            6,
+        ).alias("_ln_u"),
+    ).where(F.col("weight").isNotNull() & (F.col("weight") > 0))
+    return base.select(
+        "doc_id", "source", "n_tokens", "weight",
+        F.round(F.col("_ln_u") / F.col("weight"), 6).alias("es_key"),
+    )
+
+
+def weighted_sample_stream(
+    spark: SparkSession, docs_stream: DataFrame, sink,
+    m: int = WEIGHTED_SAMPLE_M,
+):
+    """The RESERVOIR the E-S paper is named for: a running exactly-M
+    weighted sample over everything that has arrived. Per micro-batch,
+    the batch's ES keys are derived by the IDENTICAL map-only plan
+    (``weighted_keys_frame``), its top-M taken distributed
+    (TakeOrderedAndProject — only M rows ever reach the driver), and
+    merged into the M-row driver-held reservoir (the broadcast-model
+    state class: M rows total, independent of stream length).
+    ``sink(reservoir_df, batch_id)`` receives the post-merge reservoir
+    with ranks after each batch. After replaying a corpus in any batch
+    split, the reservoir EQUALS the batch ``weighted_sample`` image —
+    keys are deterministic and top-M is associative under merge
+    (stream ≡ batch pytest-pinned). Sink contract: fully materialize
+    inside the call."""
+    holder: dict[str, list] = {"rows": []}
+
+    def fb(batch_df: DataFrame, batch_id: int) -> None:
+        batch_top = (
+            weighted_keys_frame(
+                batch_df.where(
+                    F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+                )
+            )
+            .orderBy(F.desc("es_key"), "doc_id")
+            .limit(m)
+            .collect()
+        )
+        merged = sorted(
+            holder["rows"] + [tuple(r) for r in batch_top],
+            key=lambda t: (-t[4], t[0]),
+        )[:m]
+        holder["rows"] = merged
+        out = spark.createDataFrame(
+            [t + (i + 1,) for i, t in enumerate(merged)],
+            "doc_id bigint, source string, n_tokens bigint, "
+            "weight double, es_key double, rank int",
+        )
+        sink(out, batch_id)
+
+    return docs_stream.writeStream.outputMode("append").foreachBatch(fb)
+
+
+WEIGHTED_SAMPLE_SQL = f"""
+WITH wsd AS (
+  SELECT doc_id, source, text,
+    list_filter(string_split(text, ' '), w -> w <> '') AS ws
+  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+),
+wsq AS (
+  SELECT doc_id, source, CAST(len(ws) AS BIGINT) AS n_tokens,
+    CAST(ROUND({quality_sql("ws", "text")}, 6) AS DOUBLE) AS weight,
+    {_PPM_SQL} AS ppm
+  FROM wsd WHERE len(ws) > 0
+),
+wsk AS (
+  SELECT doc_id, source, n_tokens, weight,
+    CAST(ROUND(
+      CAST(ROUND(LN(CAST(2 * ppm + 1 AS DOUBLE) / {2.0 * MIX_PPM}), 6)
+           AS DOUBLE) / weight, 6) AS DOUBLE) AS es_key
+  FROM wsq WHERE weight > 0
+)
+SELECT doc_id, source, n_tokens, weight, es_key, CAST(rk AS INT) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY es_key DESC, doc_id) AS rk
+  FROM wsk
+) WHERE rk <= {WEIGHTED_SAMPLE_M}
+"""

@@ -131,7 +131,9 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``cosine_near_dup_exact`` and ``knn_label_vote`` (same kernel),
     ``ann_recall`` drives it verbatim as its brute side, and the full
     oracle still runs every round via test_oracle_parity's library
-    pass (``load_library``).
+    pass (``load_library``). The broadcast-GEMM scorer lives in
+    ``_gemm_topk`` (factored out r15 so ``margin_pair_mining`` shares
+    the identical kernel).
     Plan: the ≤N_PROBES probe vectors are driver-held and shipped as a
     broadcast model; the corpus is scanned ONCE through an
     Arrow-batched numpy kernel that scores every (probe, vector) pair
@@ -141,6 +143,37 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     ROUND; rank prunes to k per query. At 100 TB this is the
     map-side-GEMM brute-force baseline every ANN variant is measured
     against."""
+    emb = _valid_embeddings(table(spark, sf_dir, "embeddings"))
+    n = _with_norm(emb, "vec_id", "n").where(F.col("n_norm") > 0)
+    return _gemm_topk(spark, n.where(F.col("n_id") < N_PROBES), n, TOP_K)
+
+
+#: fail-loud ceiling on a ``_gemm_topk`` probe set: every probe row
+#: ships in the broadcast model (the LM_MAX_MODEL_ROWS class)
+MAX_GEMM_TOPK_PROBES = 100_000
+
+
+def _gemm_topk(
+    spark: SparkSession,
+    probe_df: DataFrame,
+    corpus_df: DataFrame,
+    k: int,
+    max_probes: int = MAX_GEMM_TOPK_PROBES,
+) -> DataFrame:
+    """Exact cosine top-k of a bounded probe frame against a corpus
+    frame — the brute-force engine ``knn_bruteforce`` always was, with
+    the two sides parameterized (r15: ``margin_pair_mining`` scores
+    disjoint corpus halves through the identical kernel). Both inputs
+    are normed frames (``_with_norm`` layout: n_id, n_vec scaled-int,
+    n_norm > 0). Plan: the probes are driver-held and shipped as a
+    broadcast model (fail-loud past ``max_probes``); the corpus is
+    scanned ONCE through an Arrow-batched numpy kernel that scores
+    every (probe, vector) pair by exact int64 matmul (bit-identical to
+    the oracle's BIGINT fold). Rounding stays on the raw cosine before
+    ranking so it is byte-identical to the SQL ROUND; self-pairs
+    (probe id == corpus id) are excluded; rank ties break on
+    neighbor_id. Returns (query_id, neighbor_id, cosine_sim, rank ≤
+    k)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import Window
@@ -151,9 +184,13 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         StructType,
     )
 
-    emb = _valid_embeddings(table(spark, sf_dir, "embeddings"))
-    n = _with_norm(emb, "vec_id", "n").where(F.col("n_norm") > 0)
-    probes = n.where(F.col("n_id") < N_PROBES).orderBy("n_id").collect()
+    probes = probe_df.orderBy("n_id").limit(max_probes + 1).collect()
+    if len(probes) > max_probes:
+        raise ValueError(
+            f"_gemm_topk probe set exceeds {max_probes} rows — every "
+            "probe ships in the broadcast model; split the probe set "
+            "or raise max_probes"
+        )
     out_schema = StructType(
         [
             StructField("query_id", LongType()),
@@ -197,7 +234,7 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    pairs = n.mapInPandas(score, out_schema).select(
+    pairs = corpus_df.mapInPandas(score, out_schema).select(
         "query_id",
         "neighbor_id",
         F.round("cos_raw", 6).alias("cosine_sim"),
@@ -205,7 +242,7 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), "neighbor_id")
     return (
         pairs.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= TOP_K)
+        .where(F.col("rank") <= k)
     )
 
 
@@ -2634,3 +2671,237 @@ SELECT CAST(list_id AS BIGINT) AS list_id,
     > {DRIFT_HOT_FACTOR} * na * (99 * n_resident * k_m + nr)) AS is_hot
 FROM dfull
 """
+
+
+# ------------------- margin-based cross-corpus pair mining (r15) -----
+
+# The ratio-margin criterion of Artetxe & Schwenk, "Margin-based
+# Parallel Corpus Mining with Multilingual Sentence Embeddings" (ACL
+# 2019): a candidate pair's raw cosine is normalized by the average
+# similarity of each side's own k-nearest neighborhood in the OTHER
+# corpus —
+#
+#   margin(x, y) = cos(x, y) / ( avg_{z in NNk(x)} cos(x, z)/2
+#                              + avg_{z in NNk(y)} cos(y, z)/2 )
+#
+# — which suppresses hubs (a vector close to everything scores high
+# raw cosine but low margin) and is the standard mining rule behind
+# CCMatrix/LASER-style parallel-data pipelines. Here the two corpora
+# are the embedding table's deterministic parity halves (vec_id % 2 —
+# the house split convention; in deployment the sides are two real
+# corpora, e.g. two languages or two crawls).
+#
+# Scale shape: TWO broadcast-GEMM corpus scans through the shared
+# ``_gemm_topk`` kernel — the probe set (bounded, the driver-literal
+# class) vs side B, then the probes' candidate set (≤ probes × k ids,
+# the routing-decision collect class) vs side A — plus
+# candidate-count-sized joins. At 100 TB the scans swap for the
+# persisted IVF store's routed probes; the margin/fusion tail is
+# probe-sized either way.
+#
+# Float discipline (the house close): per-pair cosine is
+# ROUND(exact-int dot / (sqrt * sqrt), 6); each neighborhood half is
+# ONE IEEE division of an exact DECIMAL(18,6) sum (cast to double —
+# sums of k six-decimal values are far inside 2^53); the margin is one
+# more division of those closed doubles, ROUND(·, 6); every rank ties
+# on ids; the accept decision compares the ROUNDed margin.
+
+MARGIN_K = 4            # neighborhood size for both halves
+MARGIN_PROBE_MAX = 80   # A-side queries: even vec_id < this (40 probes)
+MARGIN_THRESHOLD = 1.06  # the A&S operating point
+
+
+def margin_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-scored best-match mining between the corpus's parity
+    halves: for each A-side probe, its side-B candidates' raw cosine
+    is re-scored by the ratio margin and the best candidate kept —
+    (query_id, match_id, cosine_sim, margin, accepted). LIBRARY op
+    (full DuckDB oracle ``MARGIN_PAIR_SQL`` re-derives probes,
+    both kNN directions, the neighborhood averages, AND the margin
+    fusion under one value-hash)."""
+    emb = _valid_embeddings(table(spark, sf_dir, "embeddings"))
+    n = _with_norm(emb, "vec_id", "n").where(F.col("n_norm") > 0)
+    side_a = n.where(F.pmod(F.col("n_id"), F.lit(2)) == 0)
+    side_b = n.where(F.pmod(F.col("n_id"), F.lit(2)) == 1)
+    probes = side_a.where(F.col("n_id") < MARGIN_PROBE_MAX)
+    return margin_mine_frame(spark, probes, side_a, side_b)
+
+
+def margin_mine_frame(
+    spark: SparkSession,
+    probes: DataFrame,
+    side_a: DataFrame,
+    side_b: DataFrame,
+) -> DataFrame:
+    """The margin-mining core over arbitrary normed frames
+    (``_with_norm`` layout): score ``probes`` against ``side_b``,
+    re-rank by the ratio margin with back-neighborhoods over
+    ``side_a``. Each probe's output depends only on (probe, the two
+    static sides), so a batch split of the probe set unions to the
+    one-batch image — the property ``margin_mine_stream`` rides
+    (stream ≡ batch pytest-pinned). Shared by the library row (probes
+    ⊆ side A) and the streaming twin (arriving external probes)."""
+    from pyspark.sql import Window
+
+    fwd = _gemm_topk(spark, probes, side_b, MARGIN_K).localCheckpoint()
+    cand_ids = sorted(
+        int(r.neighbor_id)
+        for r in fwd.select("neighbor_id").distinct().collect()
+    )  # <= probes x k ids — the routing-decision collect class
+    if not cand_ids:
+        return spark.createDataFrame(
+            [],
+            "query_id long, match_id long, cosine_sim double, "
+            "margin double, accepted boolean",
+        )
+    back = _gemm_topk(
+        spark, side_b.where(F.col("n_id").isin(cand_ids)), side_a, MARGIN_K
+    )
+
+    def half(df, key):
+        return df.groupBy(key).agg(
+            F.round(
+                F.sum(F.col("cosine_sim").cast("decimal(18,6)"))
+                .cast("double")
+                / F.lit(2 * MARGIN_K),
+                6,
+            ).alias(f"{key}_half")
+        )
+
+    qh = half(fwd, "query_id")
+    ch = half(
+        back.select(F.col("query_id").alias("cand_id"), "cosine_sim"),
+        "cand_id",
+    )
+    denom = F.col("query_id_half") + F.col("cand_id_half")
+    scored = (
+        fwd.join(F.broadcast(qh), "query_id")
+        .join(
+            F.broadcast(ch),
+            fwd["neighbor_id"] == ch["cand_id"],
+        )
+        .where(denom > 0)
+        .select(
+            "query_id",
+            F.col("neighbor_id").alias("match_id"),
+            "cosine_sim",
+            F.round(F.col("cosine_sim") / denom, 6).alias("margin"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("margin"), "match_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            "query_id", "match_id", "cosine_sim", "margin",
+            (F.col("margin") >= F.lit(MARGIN_THRESHOLD)).alias("accepted"),
+        )
+    )
+
+
+MARGIN_PAIR_SQL = f"""
+WITH msc AS (
+  SELECT vec_id, {_SCALED_SQL.format(col="embedding")} AS vec
+  FROM {_VALID_EMB_SQL} embeddings
+),
+mn AS (
+  SELECT * FROM (
+    SELECT vec_id, vec, {_DOT_SQL.format(a="vec", b="vec")} AS norm FROM msc
+  ) WHERE norm > 0
+),
+mva AS (SELECT * FROM mn WHERE ((vec_id % 2) + 2) % 2 = 0),
+mvb AS (SELECT * FROM mn WHERE ((vec_id % 2) + 2) % 2 = 1),
+mq AS (SELECT * FROM mva WHERE vec_id < {MARGIN_PROBE_MAX}),
+mfwd AS (
+  SELECT q.vec_id AS query_id, b.vec_id AS match_id,
+    CAST(ROUND(CAST({_DOT_SQL.format(a="q.vec", b="b.vec")} AS DOUBLE)
+         / (SQRT(CAST(q.norm AS DOUBLE)) * SQRT(CAST(b.norm AS DOUBLE))),
+         6) AS DOUBLE) AS cosine_sim
+  FROM mq q CROSS JOIN mvb b
+),
+mftop AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY cosine_sim DESC, match_id) AS rk
+    FROM mfwd
+  ) WHERE rk <= {MARGIN_K}
+),
+mcand AS (SELECT DISTINCT match_id FROM mftop),
+mback AS (
+  SELECT c.vec_id AS cand_id, a.vec_id AS nb_id,
+    CAST(ROUND(CAST({_DOT_SQL.format(a="c.vec", b="a.vec")} AS DOUBLE)
+         / (SQRT(CAST(c.norm AS DOUBLE)) * SQRT(CAST(a.norm AS DOUBLE))),
+         6) AS DOUBLE) AS cosine_sim
+  FROM mvb c JOIN mcand ON c.vec_id = mcand.match_id
+  CROSS JOIN mva a
+),
+mbtop AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY cand_id
+                ORDER BY cosine_sim DESC, nb_id) AS rk
+    FROM mback
+  ) WHERE rk <= {MARGIN_K}
+),
+mqh AS (
+  SELECT query_id, CAST(ROUND(
+    CAST(SUM(CAST(cosine_sim AS DECIMAL(18,6))) AS DOUBLE)
+      / {2 * MARGIN_K}, 6) AS DOUBLE) AS qhalf
+  FROM mftop GROUP BY query_id
+),
+mch AS (
+  SELECT cand_id, CAST(ROUND(
+    CAST(SUM(CAST(cosine_sim AS DECIMAL(18,6))) AS DOUBLE)
+      / {2 * MARGIN_K}, 6) AS DOUBLE) AS chalf
+  FROM mbtop GROUP BY cand_id
+),
+mm AS (
+  SELECT f.query_id, f.match_id, f.cosine_sim,
+    CAST(ROUND(f.cosine_sim / (qh.qhalf + ch.chalf), 6) AS DOUBLE) AS margin
+  FROM mftop f
+  JOIN mqh qh ON qh.query_id = f.query_id
+  JOIN mch ch ON ch.cand_id = f.match_id
+  WHERE qh.qhalf + ch.chalf > 0
+)
+SELECT query_id, match_id, cosine_sim, margin,
+  margin >= CAST({MARGIN_THRESHOLD} AS DOUBLE) AS accepted
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY margin DESC, match_id) AS rk2
+  FROM mm
+) WHERE rk2 = 1
+"""
+
+
+def margin_mine_stream(
+    spark: SparkSession, probes_stream: DataFrame, ref_sf_dir: str, sink
+):
+    """Streaming margin mining — "score arriving vectors for their
+    best cross-corpus match as they land": each micro-batch of
+    (vec_id, embedding) probe rows is normed and run through the
+    IDENTICAL ``margin_mine_frame`` core against the reference
+    corpus's static parity sides (the ``foreachBatch`` stream-static
+    pattern: the per-batch probe set is bounded, so the broadcast-GEMM
+    kernel's driver-literal contract holds per batch). Probes are
+    independent rows, so the union of per-batch results equals the
+    one-batch image (stream ≡ batch pytest-pinned).
+    ``sink(result_df, batch_id)`` receives each batch's (query_id,
+    match_id, cosine_sim, margin, accepted) frame; sink contract:
+    fully materialize inside the call."""
+    emb = _valid_embeddings(table(spark, ref_sf_dir, "embeddings"))
+    n = _with_norm(emb, "vec_id", "n").where(F.col("n_norm") > 0)
+    side_a = n.where(F.pmod(F.col("n_id"), F.lit(2)) == 0).localCheckpoint()
+    side_b = n.where(F.pmod(F.col("n_id"), F.lit(2)) == 1).localCheckpoint()
+
+    def fb(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.persist()
+        try:
+            probes = _with_norm(
+                _valid_embeddings(batch_df), "vec_id", "n"
+            ).where(F.col("n_norm") > 0)
+            sink(
+                margin_mine_frame(spark, probes, side_a, side_b), batch_id
+            )
+        finally:
+            batch_df.unpersist()
+
+    return probes_stream.writeStream.outputMode("append").foreachBatch(fb)

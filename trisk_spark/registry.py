@@ -318,6 +318,24 @@ def load_library() -> dict[str, QueryDef]:
             similarity.knn_bruteforce,
             similarity.KNN_BRUTE_SQL,
         ),
+        # r15-new: margin-based cross-corpus pair mining (the Artetxe
+        # & Schwenk ratio-margin criterion behind CCMatrix/LASER-style
+        # parallel-data pipelines) — both kNN directions through the
+        # shared _gemm_topk kernel, neighborhood averages, and the
+        # margin fusion + accept decision under ONE value-hash.
+        "margin_pair_mining": (
+            similarity.margin_pair_mining,
+            similarity.MARGIN_PAIR_SQL,
+        ),
+        # r15-new: exactly-M quality-weighted sampling without
+        # replacement (Efraimidis-Spirakis keys over the shared
+        # quality formula; the Bernoulli mix samplers hit a rate in
+        # expectation — this hits an exact budget, weight-proportional,
+        # via TakeOrderedAndProject).
+        "weighted_sample": (
+            sampling.weighted_sample,
+            sampling.WEIGHTED_SAMPLE_SQL,
+        ),
         # r14-new: the persisted BM25 inverted-index store — the
         # incremental-lexical third member of the store family. The
         # oracle is bm25_top_docs' own whole-corpus SQL: the index is
