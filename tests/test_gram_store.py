@@ -371,11 +371,15 @@ def test_takedown_flips_outlier_verdict(spark, tmp_path):
     assert not after.is_outlier and after.dist2 == 1.0 * DIM
 
 
-def test_takedown_wave_subtracts_gram_and_rerun_converges(spark, tmp_path):
+def test_takedown_wave_subtracts_gram_and_rerun_converges(
+    spark, tmp_path, monkeypatch
+):
     """takedown_wave with a maintained gram_path: victims' moments are
-    subtracted alongside the row-store deletes, and a WHOLE-WAVE
-    re-run converges (the semantic-store membership gate empties, so
-    the aggregate store is not double-subtracted)."""
+    subtracted alongside the row-store deletes; a crash BETWEEN the
+    gram delete and the dedup delete re-runs WITHOUT double-subtracting
+    (the deterministic victim-set tombstone — the window a
+    sem-membership gate would get wrong); and a full-wave re-run after
+    success also converges."""
     from trisk_spark.functions.admission import takedown_wave
     from trisk_spark.functions.dedup_store import write_dedup_store
     from trisk_spark.functions.semantic_store import write_semantic_store
@@ -404,12 +408,28 @@ def test_takedown_wave_subtracts_gram_and_rerun_converges(spark, tmp_path):
     want = _moments(
         embedding_gram_frame(emb.where(~F.col("vec_id").isin(victims)))
     )
+    # crash BETWEEN the gram delete and the dedup delete: the gram
+    # subtraction has landed, the row stores are untouched
+    import trisk_spark.functions.dedup_store as ds
+
+    real_dedup_delete = ds.delete_from_dedup_store
+    monkeypatch.setattr(
+        ds, "delete_from_dedup_store",
+        lambda *a: (_ for _ in ()).throw(RuntimeError("injected")),
+    )
+    with pytest.raises(RuntimeError, match="injected"):
+        takedown_wave(
+            spark, victims, dpath, spath, gram_path=gpath, victim_emb=emb
+        )
+    monkeypatch.setattr(ds, "delete_from_dedup_store", real_dedup_delete)
+    assert _moments(G.gram_store_moments(spark, gpath)) == want
+    # re-driving the whole wave must NOT subtract again (the same id
+    # set maps to the same landed tombstone)
     takedown_wave(
         spark, victims, dpath, spath, gram_path=gpath, victim_emb=emb
     )
     assert _moments(G.gram_store_moments(spark, gpath)) == want
-    # re-run: row-store deletes are replay no-ops; the membership gate
-    # empties so the gram store is NOT double-subtracted
+    # and a third, fully-successful re-run still converges
     takedown_wave(
         spark, victims, dpath, spath, gram_path=gpath, victim_emb=emb
     )
@@ -417,3 +437,13 @@ def test_takedown_wave_subtracts_gram_and_rerun_converges(spark, tmp_path):
     # fail-loud contract: gram_path without victim_emb
     with pytest.raises(ValueError, match="victim_emb"):
         takedown_wave(spark, [1], dpath, spath, gram_path=gpath)
+
+
+def test_delete_explicit_wave_id_must_be_tombstone_range(spark, tmp_path):
+    emb, base, _w1, _w2 = _splits(spark)
+    path = str(tmp_path / "store")
+    G.write_gram_store(spark, base, path)
+    with pytest.raises(ValueError, match="below"):
+        G.delete_from_gram_store(spark, emb.limit(2), path, wave_id=0)
+    # a legal explicit tombstone works and is replayable-once
+    G.delete_from_gram_store(spark, emb.limit(0), path, wave_id=-5)

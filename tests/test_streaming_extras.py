@@ -2845,3 +2845,56 @@ def test_margin_mine_stream_equals_batch_image(spark):
 
     want = sorted(map(tuple, margin_pair_mining(spark, SF).collect()))
     assert sorted(got) == want and want
+
+
+def test_weighted_sample_stream_restart_resumes_reservoir(spark, tmp_path):
+    """The durable-reservoir contract: a SECOND stream instance (fresh
+    closure — the restart image) with the same checkpoint + reservoir
+    path must resume from the persisted M rows, not an empty
+    reservoir, and end exactly at the batch image of the full corpus.
+    Without reservoir_path this restart would silently forget the
+    first run's batches (the documented caveat)."""
+    import os
+
+    from trisk_spark.functions.sampling import (
+        weighted_sample,
+        weighted_sample_stream,
+    )
+
+    docs = table(spark, SF, "documents").where(
+        F.col("doc_id").isNotNull()
+    ).select("doc_id", "text", "lang", "source", "n_chars")
+    half1 = docs.where(F.col("doc_id") % 2 == 0)
+    half2 = docs.where(F.col("doc_id") % 2 == 1)
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    rpath = str(tmp_path / "reservoir")
+    half1.coalesce(1).write.mode("overwrite").parquet(src)
+
+    seen = []
+
+    def sink(df, bid):
+        seen.append(sorted(map(tuple, df.collect())))
+
+    schema = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+
+    def run_once():
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", 1
+        ).parquet(src)
+        q = (
+            weighted_sample_stream(spark, stream, sink, reservoir_path=rpath)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()  # first instance: half 1 only
+    assert seen and os.path.exists(f"{rpath}/reservoir.csv")
+    half2.coalesce(1).write.mode("append").parquet(src)
+    seen.clear()
+    run_once()  # RESTART: fresh closure, processes only the new file
+    final = seen[-1]
+    batch = sorted(map(tuple, weighted_sample(spark, SF).collect()))
+    assert final == batch

@@ -501,3 +501,21 @@ def test_dedup_takedown_flips_verdict_on_fixture(spark, tmp_path):
     assert_matches_oracle(
         D.dedup_takedown(spark, sf), con, D.DEDUP_TAKEDOWN_SQL
     )
+
+
+def test_stage_partition_delete_refuses_to_overwrite_committed_staging(
+    spark, tmp_path
+):
+    """A committed staging may hold the only copy of kept rows for
+    already-cleared partitions — staging anew over it must fail loud,
+    never silently destroy it (consume via
+    complete_staged_partition_swap first)."""
+    path = str(tmp_path / "s")
+    df = spark.createDataFrame([(1, 0), (2, 1)], "x long, bucket int")
+    df.write.mode("overwrite").partitionBy("bucket").parquet(f"{path}/t")
+    storefs.stage_partition_delete(spark, path, "t", "bucket", [0], df)
+    with pytest.raises(RuntimeError, match="committed staging"):
+        storefs.stage_partition_delete(spark, path, "t", "bucket", [0], df)
+    storefs.complete_staged_partition_swap(path, "t", "bucket")
+    # consumed: staging anew is legal again
+    storefs.stage_partition_delete(spark, path, "t", "bucket", [0], df)

@@ -594,18 +594,19 @@ def takedown_wave(
     maintained PCA/outlier moment store. Moments are aggregates, so
     ids alone cannot re-derive what to subtract: the caller supplies
     ``victim_emb`` — the victims' original (vec_id, embedding) rows
-    (fail-loud if omitted). The subtraction runs FIRST and only for
-    victims STILL MEMBERS of the semantic store's vectors table — the
-    admission loop's "admitted with an embedding" membership set, read
-    before the row-store deletes erase it — which is what makes a
-    WHOLE-WAVE re-run converge for the aggregate store too: once the
-    row stores forgot the victims, the membership filter empties and
-    the gram delete is a no-op rather than a double subtraction.
-    (Caveat, documented: a valid-but-zero-norm embedding is counted
-    by the gram kernel but never stored by the semantic store, so its
-    moments outlive a membership-gated takedown — degenerate vectors
-    should be kept out of a maintained gram store in the first
-    place.)"""
+    (fail-loud if omitted). Whole-wave re-run convergence for the
+    AGGREGATE store cannot ride row membership (the first design here
+    gated on the semantic store's vectors table, which is wrong in
+    both crash directions: a crash between the gram delete and the
+    sem delete re-runs into a double subtraction, and reading
+    membership before the sem delete then crashing after it re-runs
+    into NO subtraction) — it rides ``delete_from_gram_store``'s
+    deterministic victim-set tombstone instead: the same id set maps
+    to the same tombstone wave_id, so a re-driven wave finds it
+    already landed and no-ops. Taking the SAME ids down a second time
+    after re-admission needs an explicit fresh wave_id passed straight
+    to ``delete_from_gram_store`` (the documented aggregate-store
+    contract)."""
     from trisk_spark.functions.bm25_store import delete_from_bm25_store
     from trisk_spark.functions.dedup_store import delete_from_dedup_store
     from trisk_spark.functions.gram_store import delete_from_gram_store
@@ -613,9 +614,19 @@ def takedown_wave(
         delete_from_semantic_store,
     )
 
+    from trisk_spark.functions.dedup_store import MAX_DELETE_IDS
+
     ids = sorted({int(i) for i in doc_ids})
     if not ids:
         return
+    if len(ids) > MAX_DELETE_IDS:
+        # preflight BEFORE any store mutates: the per-store deletes
+        # enforce the same ceiling, but only after earlier stores in
+        # the compose order have already been modified
+        raise ValueError(
+            f"takedown wave of {len(ids)} ids exceeds {MAX_DELETE_IDS} — "
+            "split it; the id set is a driver-held literal by design"
+        )
     if gram_path is not None:
         if victim_emb is None:
             raise ValueError(
@@ -624,22 +635,9 @@ def takedown_wave(
                 "to subtract (moments are aggregates; ids alone cannot "
                 "re-derive them)"
             )
-        # one pushdown scan of the vectors table for the victim ids —
-        # the per-store routing scan every takedown pays; the result is
-        # id-sized (≤ MAX_DELETE_IDS, the driver-literal class)
-        member_ids = sorted(
-            int(r.vec_id)
-            for r in spark.read.parquet(f"{sem_path}/vectors")
-            .where(F.col("vec_id").isin(ids))
-            .select("vec_id")
-            .collect()
+        delete_from_gram_store(
+            spark, victim_emb.where(F.col("vec_id").isin(ids)), gram_path
         )
-        if member_ids:
-            delete_from_gram_store(
-                spark,
-                victim_emb.where(F.col("vec_id").isin(member_ids)),
-                gram_path,
-            )
     delete_from_dedup_store(spark, ids, dedup_path)
     delete_from_semantic_store(spark, ids, sem_path)
     if bm25_path is not None:

@@ -177,7 +177,10 @@ def compact_gram_store(spark: SparkSession, path: str) -> None:
 
 
 def delete_from_gram_store(
-    spark: SparkSession, victim_emb: DataFrame, path: str
+    spark: SparkSession,
+    victim_emb: DataFrame,
+    path: str,
+    wave_id: int | None = None,
 ) -> None:
     """TAKEDOWN — the moment store's delete verb (closing the r14
     VERDICT's "fourth member" gap: without it a takedown wave left
@@ -202,9 +205,22 @@ def delete_from_gram_store(
     tmp build is discarded; after the rename — ``resume_pending_delete``
     appends the recorded block iff its tombstone wave_id has not
     landed (the block is one file, so the append commit is an atomic
-    move) and drops the intent. Exactly-once across WHOLE-CALL
-    replays is the caller's contract (``takedown_wave`` gates on
-    semantic-store membership); within a call, every crash resumes."""
+    move) and drops the intent.
+
+    WHOLE-CALL replays are also exactly-once: the tombstone wave_id
+    defaults to a DETERMINISTIC 60-bit md5 of the sorted victim id
+    set (mapped below BASE_WAVE_ID, disjoint from every ingest batch
+    id; distinct-set collisions are ~n²/2⁶¹ — negligible, and an
+    explicit ``wave_id`` overrides), so re-running the same delete — e.g. a composed
+    ``takedown_wave`` crashed between stores and re-driven — finds the
+    tombstone already landed and no-ops instead of double-subtracting
+    (an aggregate store cannot use row-membership for this the way the
+    row stores do). The corollary contract: deleting the SAME id set
+    a second time legitimately (victims re-admitted after a takedown,
+    then taken down again) needs an explicit fresh ``wave_id`` from
+    the caller's own takedown sequence — the default would treat it as
+    a replay."""
+    import hashlib
     import os
     import shutil
 
@@ -212,16 +228,26 @@ def delete_from_gram_store(
     storefs.repair_store(path, ("partials",))
     resume_pending_delete(spark, path)
     base = storefs.strip_file_scheme(path)
-    tomb = int(
-        spark.read.parquet(f"{path}/partials")
-        .agg(
-            F.least(
-                F.coalesce(F.min("wave_id"), F.lit(BASE_WAVE_ID)),
-                F.lit(BASE_WAVE_ID),
-            )
+    if wave_id is None:
+        ids = ",".join(
+            str(int(r.vec_id))
+            for r in victim_emb.select("vec_id")
+            .where(F.col("vec_id").isNotNull())
+            .distinct()
+            .orderBy("vec_id")
+            .collect()  # id-sized (the takedown driver-literal class)
         )
-        .collect()[0][0]
-    ) - 1
+        digest = int(hashlib.md5(ids.encode()).hexdigest()[:15], 16)
+        tomb = BASE_WAVE_ID - 1 - digest
+    else:
+        tomb = int(wave_id)
+        if tomb >= BASE_WAVE_ID:
+            raise ValueError(
+                f"explicit tombstone wave_id {tomb} must sit below "
+                f"BASE_WAVE_ID ({BASE_WAVE_ID}) — non-negative ids are "
+                "the ingest batch space and would corrupt replay "
+                "accounting"
+            )
     ipath = f"{base}/_delete_intent"
     tmp = ipath + "_tmp"
     embedding_gram_frame(victim_emb).select(

@@ -17,11 +17,13 @@ functions/dedup.py and functions/multimodal.py.
 from __future__ import annotations
 
 import atexit
+import os
 import threading
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
 from trisk_spark.catalog import table
+from trisk_spark.functions import storefs
 from trisk_spark.functions.text import quality_expr, quality_sql
 from trisk_spark.registry import register
 
@@ -2218,6 +2220,7 @@ def weighted_keys_frame(docs: DataFrame) -> DataFrame:
 def weighted_sample_stream(
     spark: SparkSession, docs_stream: DataFrame, sink,
     m: int = WEIGHTED_SAMPLE_M,
+    reservoir_path: str | None = None,
 ):
     """The RESERVOIR the E-S paper is named for: a running exactly-M
     weighted sample over everything that has arrived. Per micro-batch,
@@ -2231,10 +2234,50 @@ def weighted_sample_stream(
     split, the reservoir EQUALS the batch ``weighted_sample`` image —
     keys are deterministic and top-M is associative under merge
     (stream ≡ batch pytest-pinned). Sink contract: fully materialize
-    inside the call."""
-    holder: dict[str, list] = {"rows": []}
+    inside the call.
+
+    RESTART semantics: without ``reservoir_path`` the reservoir lives
+    only in this call's closure — a restarted query resumes the SOURCE
+    from its checkpoint (already-processed batches never replay) but
+    would start an empty reservoir, silently forgetting earlier
+    batches. Pass ``reservoir_path`` to persist the M-row reservoir
+    beside the checkpoint after every merge (CSV via tmp +
+    ``os.replace`` — atomic on POSIX, the ingest-watermark protocol;
+    rename-FS gate enforced) and reload it on the first batch after a
+    restart; merge idempotence makes the persist-then-checkpoint
+    ordering safe (a batch replayed because the crash hit before the
+    source checkpoint advances re-merges the same tuples — a no-op).
+    Restart-resume is pytest-pinned."""
+    import csv
+    import io
+
+    if reservoir_path is not None:
+        storefs.require_rename_fs(reservoir_path, "weighted_sample_stream")
+    holder: dict[str, object] = {"rows": [], "loaded": reservoir_path is None}
+
+    def _load() -> list:
+        p = storefs.strip_file_scheme(reservoir_path)
+        if not os.path.exists(f"{p}/reservoir.csv"):
+            return []
+        with open(f"{p}/reservoir.csv", newline="") as f:
+            return [
+                (int(r[0]), r[1], int(r[2]), float(r[3]), float(r[4]))
+                for r in csv.reader(f)
+            ]
+
+    def _persist(rows: list) -> None:
+        p = storefs.strip_file_scheme(reservoir_path)
+        os.makedirs(p, exist_ok=True)
+        buf = io.StringIO()
+        csv.writer(buf).writerows(rows)
+        with open(f"{p}/reservoir.csv.tmp", "w", newline="") as f:
+            f.write(buf.getvalue())
+        os.replace(f"{p}/reservoir.csv.tmp", f"{p}/reservoir.csv")
 
     def fb(batch_df: DataFrame, batch_id: int) -> None:
+        if not holder["loaded"]:
+            holder["rows"] = _load()
+            holder["loaded"] = True
         batch_top = (
             weighted_keys_frame(
                 batch_df.where(
@@ -2246,10 +2289,12 @@ def weighted_sample_stream(
             .collect()
         )
         merged = sorted(
-            holder["rows"] + [tuple(r) for r in batch_top],
+            set(holder["rows"]) | {tuple(r) for r in batch_top},
             key=lambda t: (-t[4], t[0]),
         )[:m]
         holder["rows"] = merged
+        if reservoir_path is not None:
+            _persist(merged)
         out = spark.createDataFrame(
             [t + (i + 1,) for i, t in enumerate(merged)],
             "doc_id bigint, source string, n_tokens bigint, "

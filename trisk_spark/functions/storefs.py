@@ -177,7 +177,15 @@ def stage_partition_delete(
     for v in part_vals:
         os.makedirs(f"{tmp}/{part_col}={v}", exist_ok=True)
     final = f"{base}/{table}_staged_delete"
-    shutil.rmtree(final, ignore_errors=True)
+    if os.path.isdir(final):
+        # a committed staging may hold the ONLY copy of kept rows for
+        # partitions whose live directories are already cleared —
+        # overwriting it would lose them; the caller must consume it
+        # (complete_staged_partition_swap) before staging anew
+        raise RuntimeError(
+            f"stage_partition_delete: committed staging {final!r} "
+            "already exists — run complete_staged_partition_swap first"
+        )
     os.rename(tmp, final)
 
 

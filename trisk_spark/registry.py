@@ -129,10 +129,14 @@ def register(name: str, oracle: str | None = None):
 # stays 94 − 2 + 2 = 94 (saturated); retired rows keep their library
 # oracles as always. The library queue after r16: embedding_gram,
 # embedding_outliers, hybrid_store_probe, ivf_drift_report,
-# dedup_takedown, semantic_takedown, budget_trim,
-# training_plan_budget, shuffle_shards, perplexity_buckets,
-# contamination_report, ngram_novelty (+ retired rows
-# tpch_q3/q7/q10/q14/knn_bruteforce/revenue_rollup/
+# dedup_takedown, semantic_takedown, margin_pair_mining (r15-new:
+# ratio-margin best-match — the one op whose kernel composes BOTH kNN
+# directions; sibling class knn_bruteforce's exact GEMM),
+# weighted_sample (r15-new: exactly-M E-S selection —
+# TakeOrderedAndProject class, sibling source_mix_sample's md5-ppm
+# family), budget_trim, training_plan_budget, shuffle_shards,
+# perplexity_buckets, contamination_report, ngram_novelty (+ retired
+# rows tpch_q3/q7/q10/q14/knn_bruteforce/revenue_rollup/
 # customers_without_orders keeping their library oracles).
 # Sitting out r15 — every alternating row hash-green in r14
 # (CORRECTNESS_r14), witness noted ("(in)" = in the r15 window):
