@@ -28,7 +28,11 @@ def test_ann_ivf_pq_recall_vs_exact(spark):
     # small margin of the int8 index (the IVF probe miss, not the PQ
     # approximation, should dominate — at sf0.001 all three index
     # variants measure identical 0.54), and never below a floor
-    reg = load_all()
+    # knn_bruteforce retired to library-only in r15 — fetch its QueryDef
+    # from the library surface (same fn/oracle contract)
+    from trisk_spark.registry import load_library
+
+    reg = {**load_all(), **load_library()}
     exact = _topk(spark, reg, "knn_bruteforce")
     ivf8 = _topk(spark, reg, "ann_ivf_int8")
     ivfpq = _topk(spark, reg, "ann_ivf_pq")

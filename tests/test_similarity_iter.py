@@ -70,9 +70,10 @@ def test_ann_ivf_int8_recall_vs_exact(spark):
     # against the exact brute-force top-10 within a small margin of the
     # float IVF's own recall (the IVF probe miss, not the quantization,
     # should dominate), and never below an absolute floor
-    from trisk_spark.registry import load_all
+    from trisk_spark.registry import load_all, load_library
 
-    reg = load_all()
+    # knn_bruteforce retired to library-only in r15 — same fn contract
+    reg = {**load_all(), **load_library()}
 
     def topk(name):
         out: dict[int, set[int]] = {}

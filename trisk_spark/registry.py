@@ -138,6 +138,22 @@ def register(name: str, oracle: str | None = None):
 # perplexity_buckets, contamination_report, ngram_novelty (+ retired
 # rows tpch_q3/q7/q10/q14/knn_bruteforce/revenue_rollup/
 # customers_without_orders keeping their library oracles).
+# R17 SKETCH (arithmetic-checked; finalize in r16): the r17 returning
+# phase is THE R15 WINDOW (it sits r16, returns r17). Sanctioned R17
+# moves from it: retire minhash_jaccard_estimate (signature-agreement
+# estimator ⊂ dedup_minhash_lsh's signature+band kernels +
+# cross_split_leakage's composed pair chain — both phase-B rows,
+# hash-gated every other round) and retire gopher_rules (map-only
+# doc-stats class ⊂ source_quality_rollup, phase-B) → TWO r17 seats →
+# register margin_pair_mining (r15-new LEAD: the ratio-margin fusion
+# + dual-kNN composition has no registered sibling; its oracle spans
+# both directions + fusion under one hash) + weighted_sample
+# (r15-new: exactly-M E-S without-replacement selection — no
+# registered sibling; the Bernoulli mix family only hits rates in
+# expectation). Alternates if the verdict prefers: embedding_gram,
+# hybrid_store_probe, ivf_drift_report, embedding_outliers. Pool
+# stays 94 − 2 + 2 = 94 (saturated); retired rows keep their library
+# oracles as always.
 # Sitting out r15 — every alternating row hash-green in r14
 # (CORRECTNESS_r14), witness noted ("(in)" = in the r15 window):
 DEPRIORITIZED = [
