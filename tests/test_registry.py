@@ -195,6 +195,8 @@ def test_readme_op_table_names_are_registered():
         "delete_from_dedup_store", "delete_from_semantic_store",
         "delete_from_bm25_store", "delete_from_index",
         "delete_from_gram_store",
+        # r15: IVF store maintenance verbs
+        "compact_ivf_index", "repair_ivf_index",
         "resume_pending_delete", "_delete_intent", "takedown_wave",
         "dedup_takedown", "semantic_takedown", "takedown_store_path",
         "semantic_incremental", "write_semantic_store",

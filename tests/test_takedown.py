@@ -519,3 +519,73 @@ def test_stage_partition_delete_refuses_to_overwrite_committed_staging(
     storefs.complete_staged_partition_swap(path, "t", "bucket")
     # consumed: staging anew is legal again
     storefs.stage_partition_delete(spark, path, "t", "bucket", [0], df)
+
+
+# --------------------------------------- ivf compaction (r15) --------
+
+
+def test_ivf_compact_preserves_probe_and_cuts_files(
+    spark, tmp_path, monkeypatch
+):
+    """compact_ivf_index: append waves + a takedown accumulate files;
+    compaction must cut the file count, leave probe results identical,
+    finish an INTERRUPTED takedown on entry (repair-on-entry), and a
+    crash inside its own swap must be repairable by repair_ivf_index."""
+    import glob
+
+    victims = [100, 103]
+    sf_full = _ivf_synth_sf(tmp_path, "full")
+    live = str(tmp_path / "live")
+    # build in three waves to accumulate per-wave files
+    from trisk_spark.catalog import table as _table
+
+    emb = _table(spark, sf_full, "embeddings")
+    exsf = _ivf_synth_sf(tmp_path, "ex", drop_ids=list(range(80, 120)))
+    I.write_index(spark, exsf, live)
+    I.append_index(
+        spark, emb.where((F.col("vec_id") >= 80) & (F.col("vec_id") < 100)), live
+    )
+    I.append_index(spark, emb.where(F.col("vec_id") >= 100), live)
+    I.delete_from_index(spark, victims, live)
+
+    def nfiles():
+        return len(glob.glob(f"{live}/index/**/*.parquet", recursive=True))
+
+    want = sorted(map(tuple, I.probe_index(spark, sf_full, live).collect()))
+    n_before = nfiles()
+    I.compact_ivf_index(spark, live)
+    assert nfiles() < n_before
+    assert sorted(map(tuple, I.probe_index(spark, sf_full, live).collect())) == want
+
+    # crash inside the compaction swap -> repair finishes/rolls back
+    real_swap = storefs.swap_in_compacted
+    monkeypatch.setattr(
+        storefs, "swap_in_compacted",
+        lambda *a: (_ for _ in ()).throw(RuntimeError("injected")),
+    )
+    with pytest.raises(RuntimeError, match="injected"):
+        I.compact_ivf_index(spark, live)
+    monkeypatch.setattr(storefs, "swap_in_compacted", real_swap)
+    I.repair_ivf_index(live)
+    assert sorted(map(tuple, I.probe_index(spark, sf_full, live).collect())) == want
+
+    # repair-on-entry consumes a pending takedown before compacting
+    more_victims = [107]
+    real_complete = storefs.complete_staged_partition_swap
+
+    def flaky(path, table_, part_col):
+        if os.path.isdir(
+            f"{storefs.strip_file_scheme(path)}/{table_}_staged_delete"
+        ):
+            raise RuntimeError("injected post-stage")
+        return real_complete(path, table_, part_col)
+
+    monkeypatch.setattr(storefs, "complete_staged_partition_swap", flaky)
+    with pytest.raises(RuntimeError, match="injected"):
+        I.delete_from_index(spark, more_victims, live)
+    monkeypatch.setattr(storefs, "complete_staged_partition_swap", real_complete)
+    I.compact_ivf_index(spark, live)  # finishes the takedown, then compacts
+    assert glob.glob(f"{live}/_delete_intent*") == []
+    hits = I.probe_index(spark, sf_full, live).collect()
+    assert hits and not {r.neighbor_id for r in hits} & set(victims + more_victims)
+    assert I.resume_pending_delete(spark, live) is False

@@ -407,6 +407,45 @@ def drift_report_stream(
     return emb_stream.writeStream.outputMode("append").foreachBatch(fb)
 
 
+def repair_ivf_index(path: str) -> None:
+    """``storefs.repair_store`` over the store's two tables — the
+    repair for a compaction swap a crash interrupted (live renamed to
+    ``_old``, tmp not yet in). Delete crash states are separate
+    machinery: ``resume_pending_delete`` finishes them from the
+    durable ``_delete_intent`` + committed staging."""
+    from trisk_spark.functions import storefs
+
+    storefs.repair_store(path, ("index", "centroids"))
+
+
+def compact_ivf_index(spark: SparkSession, path: str) -> None:
+    """Post-ingest maintenance — the ``compact_bm25_store`` image for
+    the IVF store, which accumulates one file per (append wave,
+    touched list) plus staged-swap leftovers as waves and takedowns
+    land: rewrite the index into one file per list partition through
+    the shared crash-safe ``storefs`` swap (repair-on-entry, including
+    finishing any interrupted takedown so the read never sees
+    half-cleared list directories; overwrite-mode tmp build;
+    recovery-ordered swap). The centroid model is K rows in one file,
+    written once — never compacted. Probe ≡ pre-compact
+    pytest-pinned. Local/HDFS-rename filesystems only (fail-loud)."""
+    from trisk_spark.functions import storefs
+
+    storefs.require_rename_fs(path, "compact_ivf_index")
+    repair_ivf_index(path)
+    resume_pending_delete(spark, path)
+    from trisk_spark.functions.similarity import N_CENTROIDS
+
+    conf = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    index = spark.read.parquet(f"{path}/index")
+    # one writer task per list directory (the dedup_store layout rule —
+    # explicit count so AQE can't serialize the 64-directory write)
+    index.repartition(max(1, min(conf, N_CENTROIDS)), "list_id").write.mode(
+        "overwrite"
+    ).partitionBy("list_id").parquet(f"{path}/index_compact_tmp")
+    storefs.swap_in_compacted(path, ("index",))
+
+
 # ------------------------------------------------ takedown (r14) -----
 
 #: fail-loud ceiling on a single takedown batch (the dedup store's
