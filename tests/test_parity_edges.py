@@ -1912,3 +1912,53 @@ def test_weighted_sample_is_weight_proportional_and_budgeted(
         f"read_parquet('{sf}/documents.parquet')"
     )
     assert_matches_oracle(weighted_sample(spark, sf), con, WEIGHTED_SAMPLE_SQL)
+
+
+def test_margin_and_weighted_sample_hostile_inputs(spark, tmp_path):
+    """Degenerate corpora must yield empty/clean frames, not errors or
+    NULL-ranked rows: all-invalid embeddings, a single-sided corpus
+    (side B empty -> no candidates), NULL/empty texts, and an empty
+    documents table."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from trisk_spark.functions.sampling import weighted_sample
+    from trisk_spark.functions.similarity import DIM, margin_pair_mining
+
+    # 1. embeddings: NULLs, wrong dims, zero vectors, and only EVEN ids
+    #    (side B empty) — margin mining must return an empty frame
+    emb = pa.table({
+        "vec_id": pa.array([0, 2, 4, 6], pa.int64()),
+        "embedding": [None, [0.0] * DIM, [1.0] * 3, [0.5] * DIM],
+        "label": pa.array([0] * 4, pa.int64()),
+    })
+    sf1 = tmp_path / "one_sided"
+    sf1.mkdir()
+    pq.write_table(emb, sf1 / "embeddings.parquet")
+    out = margin_pair_mining(spark, str(sf1))
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "query_id", "match_id", "cosine_sim", "margin", "accepted"
+    ]
+
+    # 2. documents: NULL text, empty text, whitespace-only — all carry
+    #    zero weight and must be excluded, leaving an empty sample
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": [None, "", "   "],
+        "lang": ["en"] * 3,
+        "source": ["s"] * 3,
+        "n_chars": pa.array([0, 0, 3], pa.int64()),
+    })
+    sf2 = tmp_path / "hostile_docs"
+    sf2.mkdir()
+    pq.write_table(docs, sf2 / "documents.parquet")
+    assert weighted_sample(spark, str(sf2)).count() == 0
+
+    # 3. fully empty tables
+    sf3 = tmp_path / "empty"
+    sf3.mkdir()
+    pq.write_table(docs.slice(0, 0), sf3 / "documents.parquet")
+    pq.write_table(emb.slice(0, 0), sf3 / "embeddings.parquet")
+    assert weighted_sample(spark, str(sf3)).count() == 0
+    assert margin_pair_mining(spark, str(sf3)).count() == 0
