@@ -100,6 +100,9 @@ LIBRARY_NAMES = sorted(
         # r15-new: exactly-M quality-weighted sampling without
         # replacement (Efraimidis-Spirakis keys, shared quality formula)
         "weighted_sample",
+        # r15-new: source×source near-dup overlap matrix (pair kernel
+        # + rollup + exact pair-density under one hash)
+        "source_overlap_matrix",
         # r14-new: the persisted BM25 inverted index — oracle is the
         # whole-corpus BM25_TOP_DOCS_SQL (exact index ⇒ probe of
         # write+append must equal the batch kernel row for row)

@@ -1962,3 +1962,67 @@ def test_margin_and_weighted_sample_hostile_inputs(spark, tmp_path):
     pq.write_table(emb.slice(0, 0), sf3 / "embeddings.parquet")
     assert weighted_sample(spark, str(sf3)).count() == 0
     assert margin_pair_mining(spark, str(sf3)).count() == 0
+
+
+def test_source_overlap_matrix_finds_planted_cross_source_dup(
+    spark, tmp_path
+):
+    """A near-identical document planted in TWO sources must surface as
+    exactly one cross-source row (n_pairs 1, both docs involved,
+    density over n_a·n_b), within-source duplication as a same-source
+    row (density over n·(n−1)/2), unrelated sources absent, and the
+    oracle must agree on the fixture corpus."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from trisk_spark.functions.dedup import (
+        SOURCE_OVERLAP_SQL,
+        source_overlap_matrix,
+    )
+
+    from .conftest import assert_matches_oracle
+
+    dup = " ".join(f"shared{i % 23} words here" for i in range(40))
+    rows = [
+        (1, dup, "web"),
+        (2, dup + " tail", "books"),          # cross-source near-dup
+        (3, dup + " other tail", "web"),      # within-source near-dup of 1
+    ]
+    rows += [
+        (10 + i, " ".join(f"u{10 + i}w{j}" for j in range(40)), "code")
+        for i in range(4)                      # unrelated source
+    ]
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows]),
+            "lang": pa.array(["en"] * len(rows)),
+            "source": pa.array([r[2] for r in rows]),
+            "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+        }),
+        tmp_path / "documents.parquet",
+    )
+    sf = str(tmp_path)
+    out = {
+        (r.source_a, r.source_b): r
+        for r in source_overlap_matrix(spark, sf).collect()
+    }
+    cross = out[("books", "web")]
+    # doc 2 (books) near-dups BOTH web docs 1 and 3 -> 2 cross pairs
+    assert cross.n_pairs == 2 and cross.n_docs_involved == 3
+    assert cross.n_docs_a == 1 and cross.n_docs_b == 2  # books=1, web=2
+    assert cross.pair_density == 1.0  # 2 pairs / (1*2) possible
+    within = out[("web", "web")]
+    assert within.n_pairs == 1  # docs 1 and 3
+    assert within.pair_density == 1.0  # 1 pair / C(2,2)=1 possible
+    assert not any("code" in k for k in out)
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    assert_matches_oracle(
+        source_overlap_matrix(spark, sf), con, SOURCE_OVERLAP_SQL
+    )

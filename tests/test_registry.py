@@ -181,6 +181,7 @@ def test_readme_op_table_names_are_registered():
         "margin_mine_frame",
         # r15: exactly-M weighted sampling (library op)
         "weighted_sample", "weighted_sample_stream",
+        "source_overlap_matrix",
         "weighted_keys_frame",
         # r13: the persisted SRP semantic store (library op +
         # helpers; semantic_incremental is load_library-gated until

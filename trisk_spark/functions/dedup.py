@@ -1399,3 +1399,147 @@ def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(agree.cast("double") / N_PERMS, 4).alias("est_jaccard"),
         )
     )
+
+
+# ----------------- cross-source near-dup overlap matrix (r15) --------
+
+# The curation question none of the per-document ops answer: HOW MUCH
+# of source A duplicates source B? A 100 TB corpus mixes crawls,
+# dumps, and curated sets that secretly overlap (the same page in two
+# crawls, a curated set scraped from the web slice already present) —
+# before setting mixture weights, the operator wants the source×source
+# near-dup structure, not a flat pair list. One row per unordered
+# source pair (same-source rows = within-source duplication):
+# verified-candidate pair count, distinct documents involved, both
+# sides' corpus totals, and pair_density = n_pairs / possible-pairs
+# (n·(n−1)/2 within a source, n_a·n_b across) — exact BIGINT
+# numerator/denominator, ONE IEEE division, ROUND(·,6) (the house
+# close).
+#
+# Scale shape: the capped banded MinHash pair kernel (ONE corpus
+# shuffle, ids only) → the pair frame is near-dup-sized, so it
+# BROADCASTS into the corpus-sized (doc_id, source) map (two map-side
+# joins, no corpus shuffle) → a source-pair-cardinality aggregate +
+# a source-cardinality totals broadcast. Nothing corpus-sized moves
+# after the kernel.
+
+SOURCE_OVERLAP_SQL = f"""
+WITH sh AS ({SHINGLES_SQL}),
+xs AS (SELECT doc_id, {_XM_SQL} AS xm FROM sh),
+sig AS (SELECT doc_id, {_SIG_COLS_SQL} FROM xs GROUP BY doc_id),
+bands AS (SELECT doc_id, {_BAND_COLS_SQL} FROM sig),
+{_CAPPED_SQL.format(cap=BUCKET_CAP)},
+cand AS (
+  {" UNION ALL ".join(
+    f"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM capped{b} a JOIN capped{b} b "
+    f"ON a.band{b} = b.band{b} AND a.doc_id < b.doc_id"
+    for b in range(N_BANDS)
+  )}
+),
+pr AS (SELECT DISTINCT doc_a, doc_b FROM cand),
+smap AS (
+  SELECT doc_id, source FROM documents
+  WHERE doc_id IS NOT NULL AND source IS NOT NULL
+),
+tot AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM smap GROUP BY source),
+spr AS (
+  SELECT LEAST(a.source, b.source) AS source_a,
+         GREATEST(a.source, b.source) AS source_b,
+         pr.doc_a, pr.doc_b
+  FROM pr JOIN smap a ON pr.doc_a = a.doc_id
+          JOIN smap b ON pr.doc_b = b.doc_id
+),
+agg AS (
+  SELECT source_a, source_b,
+    CAST(COUNT(*) AS BIGINT) AS n_pairs,
+    CAST(COUNT(DISTINCT doc) AS BIGINT) AS n_docs_involved
+  FROM (
+    SELECT source_a, source_b, doc_a AS doc FROM spr
+    UNION ALL SELECT source_a, source_b, doc_b AS doc FROM spr
+  ) GROUP BY source_a, source_b
+)
+SELECT agg.source_a, agg.source_b,
+  CAST(agg.n_pairs / 2 AS BIGINT) AS n_pairs,
+  agg.n_docs_involved,
+  ta.n_docs AS n_docs_a, tb.n_docs AS n_docs_b,
+  CAST(ROUND(
+    CAST(agg.n_pairs / 2 AS DOUBLE) /
+    CAST(CASE WHEN agg.source_a = agg.source_b
+         THEN ta.n_docs * (ta.n_docs - 1) / 2
+         ELSE ta.n_docs * tb.n_docs END AS DOUBLE), 6) AS DOUBLE)
+    AS pair_density
+FROM agg
+JOIN tot ta ON ta.source = agg.source_a
+JOIN tot tb ON tb.source = agg.source_b
+WHERE (CASE WHEN agg.source_a = agg.source_b
+       THEN ta.n_docs * (ta.n_docs - 1) / 2
+       ELSE ta.n_docs * tb.n_docs END) > 0
+"""
+
+
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source near-duplicate overlap matrix — one row per
+    unordered source pair with ≥1 verified MinHash+LSH candidate pair:
+    (source_a, source_b, n_pairs, n_docs_involved, n_docs_a, n_docs_b,
+    pair_density). LIBRARY op (full DuckDB oracle
+    ``SOURCE_OVERLAP_SQL`` re-derives the whole pair kernel AND the
+    rollup under one value-hash)."""
+    docs = table(spark, sf_dir, "documents").where(F.col("doc_id").isNotNull())
+    smap = docs.where(F.col("source").isNotNull()).select("doc_id", "source")
+    pairs = minhash_lsh_pairs(docs.select("doc_id", "text"))
+    spr = (
+        smap.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("source", "sa")
+        .join(F.broadcast(pairs), "doc_a")
+        .join(
+            smap.withColumnRenamed("doc_id", "doc_b")
+            .withColumnRenamed("source", "sb"),
+            "doc_b",
+        )
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+            "doc_a",
+            "doc_b",
+        )
+    )
+    both = spr.select(
+        "source_a", "source_b", F.col("doc_a").alias("doc")
+    ).unionAll(
+        spr.select("source_a", "source_b", F.col("doc_b").alias("doc"))
+    )
+    agg = both.groupBy("source_a", "source_b").agg(
+        (F.count("*") / 2).cast("bigint").alias("n_pairs"),
+        F.count_distinct("doc").cast("bigint").alias("n_docs_involved"),
+    )
+    tot = smap.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )
+    denom = F.when(
+        F.col("source_a") == F.col("source_b"),
+        (F.col("n_docs_a") * (F.col("n_docs_a") - 1) / 2).cast("bigint"),
+    ).otherwise(F.col("n_docs_a") * F.col("n_docs_b"))
+    return (
+        agg.join(
+            F.broadcast(tot.select(
+                F.col("source").alias("source_a"),
+                F.col("n_docs").alias("n_docs_a"),
+            )),
+            "source_a",
+        )
+        .join(
+            F.broadcast(tot.select(
+                F.col("source").alias("source_b"),
+                F.col("n_docs").alias("n_docs_b"),
+            )),
+            "source_b",
+        )
+        .where(denom > 0)
+        .select(
+            "source_a", "source_b", "n_pairs", "n_docs_involved",
+            "n_docs_a", "n_docs_b",
+            F.round(
+                F.col("n_pairs").cast("double") / denom.cast("double"), 6
+            ).alias("pair_density"),
+        )
+    )

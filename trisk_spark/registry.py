@@ -134,7 +134,10 @@ def register(name: str, oracle: str | None = None):
 # directions; sibling class knn_bruteforce's exact GEMM),
 # weighted_sample (r15-new: exactly-M E-S selection —
 # TakeOrderedAndProject class, sibling source_mix_sample's md5-ppm
-# family), budget_trim, training_plan_budget, shuffle_shards,
+# family), source_overlap_matrix (r15-new: source×source near-dup
+# rollup over dedup_minhash_lsh's own pair kernel — sitter-class
+# composition, its kernel hash-gated by that row every other round),
+# budget_trim, training_plan_budget, shuffle_shards,
 # perplexity_buckets, contamination_report, ngram_novelty (+ retired
 # rows tpch_q3/q7/q10/q14/knn_bruteforce/revenue_rollup/
 # customers_without_orders keeping their library oracles).
@@ -355,6 +358,14 @@ def load_library() -> dict[str, QueryDef]:
         "weighted_sample": (
             sampling.weighted_sample,
             sampling.WEIGHTED_SAMPLE_SQL,
+        ),
+        # r15-new: the source×source near-dup overlap matrix — the
+        # mixture-design preflight ("how much of source A duplicates
+        # source B"): the capped banded pair kernel + source rollup +
+        # exact-integer pair-density under ONE value-hash.
+        "source_overlap_matrix": (
+            dedup.source_overlap_matrix,
+            dedup.SOURCE_OVERLAP_SQL,
         ),
         # r14-new: the persisted BM25 inverted-index store — the
         # incremental-lexical third member of the store family. The
