@@ -132,6 +132,17 @@ HEADLINE = [
     # smaller number in PERF_NOTES).
     "semantic_incremental",
     "admission_report",
+    # r16-new registrations (the R16 seat trade; baselines key from
+    # BENCH_r16 per the new-op policy — first driver bench).
+    # bm25_incremental's time is honest end-to-end store economics
+    # like dedup_incremental's: one write_bm25_store build over the
+    # existing slice + append of the arriving slice + the pruned
+    # probe (build memoized per (session, corpus) — the probe-only
+    # steady state is the smaller number in PERF_NOTES).
+    # hybrid_retrieval derives keywords → BM25 → exact knn → RRF
+    # fusion from the raw tables in one plan (no store build).
+    "bm25_incremental",
+    "hybrid_retrieval",
 ]
 
 

@@ -447,3 +447,255 @@ def test_delete_explicit_wave_id_must_be_tombstone_range(spark, tmp_path):
         G.delete_from_gram_store(spark, emb.limit(2), path, wave_id=0)
     # a legal explicit tombstone works and is replayable-once
     G.delete_from_gram_store(spark, emb.limit(0), path, wave_id=-5)
+
+
+# ---------------- r16: compaction × delete replay accounting ----------
+
+
+def test_compact_preserves_tombstones_and_replay_guard(spark, tmp_path):
+    """r15 ADVICE (high), direction (b): compaction must PRESERVE
+    landed tombstone blocks (wave_id < BASE_WAVE_ID) instead of
+    folding them into the base — they are the durable replay guard,
+    so a re-driven same-id-set delete AFTER a compaction must still
+    find its tombstone landed and no-op instead of double-subtracting."""
+    emb, base, w1, w2 = _splits(spark)
+    path = str(tmp_path / "store")
+    G.write_gram_store(spark, base, path)
+    G.append_gram_store(spark, w1, path, wave_id=0)
+    G.append_gram_store(spark, w2, path, wave_id=1)
+    victims = emb.where(F.col("vec_id") % 7 == 1)
+    want = _moments(
+        embedding_gram_frame(emb.where(~(F.col("vec_id") % 7 == 1)))
+    )
+    G.delete_from_gram_store(spark, victims, path)
+    assert _moments(G.gram_store_moments(spark, path)) == want
+
+    G.compact_gram_store(spark, path)
+    # moment table invariant AND the tombstone block survived verbatim
+    assert _moments(G.gram_store_moments(spark, path)) == want
+    waves = sorted(
+        r.wave_id
+        for r in spark.read.parquet(f"{path}/partials")
+        .select("wave_id").distinct().collect()
+    )
+    assert len(waves) == 2 and waves[0] < G.BASE_WAVE_ID == waves[1]
+
+    # the replay guard across compaction: the identical delete call
+    # (same default tombstone) must no-op, not subtract again
+    G.delete_from_gram_store(spark, victims, path)
+    assert _moments(G.gram_store_moments(spark, path)) == want
+
+    # double compaction stays idempotent on both counts
+    G.compact_gram_store(spark, path)
+    assert _moments(G.gram_store_moments(spark, path)) == want
+    row = G.gram_store_stats(spark, path).collect()[0]
+    assert row.n_waves == 2 and row.n_dup_wave_rows == 0
+
+
+def test_compact_consumes_pending_delete_intent_first(
+    spark, tmp_path, monkeypatch
+):
+    """r15 ADVICE (high), direction (a): a compaction entered while a
+    ``_delete_intent`` is pending (crash after the tombstone append,
+    before the intent drop) must CONSUME the intent first — otherwise
+    the fold erases the landed tombstone row and the later
+    ``resume_pending_delete`` re-appends the negated block (double
+    subtraction)."""
+    import glob
+    import shutil as _shutil
+
+    emb, base, w1, _w2 = _splits(spark)
+    path = str(tmp_path / "store")
+    G.write_gram_store(spark, base, path)
+    G.append_gram_store(spark, w1, path, wave_id=0)
+    victims = emb.where(F.col("vec_id") % 9 == 1)
+    want = _moments(
+        embedding_gram_frame(
+            base.union(w1).where(~(F.col("vec_id") % 9 == 1))
+        )
+    )
+
+    # forced crash: tombstone lands, intent drop fails
+    real_rmtree = _shutil.rmtree
+
+    def flaky(p, *a, **kw):
+        if str(p).endswith("_delete_intent"):
+            raise RuntimeError("injected pre-drop")
+        return real_rmtree(p, *a, **kw)
+
+    monkeypatch.setattr("shutil.rmtree", flaky)
+    with pytest.raises(RuntimeError, match="injected"):
+        G.delete_from_gram_store(spark, victims, path)
+    monkeypatch.setattr("shutil.rmtree", real_rmtree)
+    assert glob.glob(f"{path}/_delete_intent") != []
+
+    # compaction with the intent pending: consumes it, keeps the
+    # moments exact, leaves no intent behind
+    G.compact_gram_store(spark, path)
+    assert _moments(G.gram_store_moments(spark, path)) == want
+    assert glob.glob(f"{path}/_delete_intent*") == []
+    # and a standalone resume afterwards finds nothing to do
+    assert not G.resume_pending_delete(spark, path)
+    assert _moments(G.gram_store_moments(spark, path)) == want
+
+
+def test_tombstone_wave_id_derivation(spark, tmp_path):
+    """seq=1 must reproduce the r15 default (bare-CSV digest) so
+    pre-sequence landed tombstones still guard replays; higher seqs
+    must differ; every derivation sits below BASE_WAVE_ID."""
+    emb, base, _w1, _w2 = _splits(spark)
+    ids = [3, 7, 11]
+    t1 = G.tombstone_wave_id(ids, 1)
+    t2 = G.tombstone_wave_id(ids, 2)
+    assert t1 != t2 and t1 < G.BASE_WAVE_ID and t2 < G.BASE_WAVE_ID
+    # unordered/duplicated input normalizes to the same id
+    assert G.tombstone_wave_id([11, 3, 7, 3], 1) == t1
+
+    # seq=1 ≡ the default path delete_from_gram_store derives itself
+    path = str(tmp_path / "store")
+    G.write_gram_store(spark, base, path)
+    vic_ids = sorted(
+        int(r.vec_id) for r in base.select("vec_id").limit(3).collect()
+    )
+    vic = emb.where(F.col("vec_id").isin(vic_ids))
+    G.delete_from_gram_store(spark, vic, path)
+    landed = {
+        r.wave_id
+        for r in spark.read.parquet(f"{path}/partials")
+        .select("wave_id").distinct().collect()
+    }
+    assert G.tombstone_wave_id(vic_ids, 1) in landed
+
+
+def test_takedown_wave_readmit_then_retakedown_converges(spark, tmp_path):
+    """The r15 VERDICT next-round #6 'Done' criterion: victims taken
+    down, RE-ADMITTED, then taken down AGAIN through the plain
+    ``takedown_wave`` API — no explicit wave_id anywhere — must
+    converge to the rebuild-without-victims image: the durable
+    takedown-sequence counter derives a fresh tombstone for the
+    second wave, and the dedup-membership gate scopes the
+    subtraction to what is actually re-admitted."""
+    from trisk_spark.functions.admission import takedown_wave
+    from trisk_spark.functions.dedup_store import (
+        append_dedup_store,
+        write_dedup_store,
+    )
+    from trisk_spark.functions.semantic_store import (
+        append_semantic_store,
+        write_semantic_store,
+    )
+
+    def vec(i):
+        v = [0.001 * ((i + k) % 5) for k in range(DIM)]
+        v[i % DIM] = 0.8
+        return [float(x) for x in v]
+
+    ids = list(range(25))
+    docs = spark.createDataFrame(
+        [(i, f"document body {i} with words w{i} x{i}") for i in ids],
+        "doc_id long, text string",
+    )
+    emb = spark.createDataFrame(
+        [(i, vec(i)) for i in ids], "vec_id long, embedding array<double>"
+    )
+    dpath, spath, gpath = (
+        str(tmp_path / "d"), str(tmp_path / "s"), str(tmp_path / "g")
+    )
+    write_dedup_store(spark, docs, dpath)
+    write_semantic_store(spark, emb, spath)
+    G.write_gram_store(spark, emb, gpath)
+
+    victims = [3, 7, 11]
+    want = _moments(
+        embedding_gram_frame(emb.where(~F.col("vec_id").isin(victims)))
+    )
+    takedown_wave(
+        spark, victims, dpath, spath, gram_path=gpath, victim_emb=emb
+    )
+    assert _moments(G.gram_store_moments(spark, gpath)) == want
+
+    # RE-ADMIT the victims into every store (the documented
+    # re-admittable semantics), moments return to the full corpus
+    vdocs = docs.where(F.col("doc_id").isin(victims))
+    vemb = emb.where(F.col("vec_id").isin(victims))
+    append_dedup_store(spark, vdocs, dpath)
+    append_semantic_store(spark, vemb, spath)
+    G.append_gram_store(spark, vemb, gpath, wave_id=99)
+    assert _moments(G.gram_store_moments(spark, gpath)) == _moments(
+        embedding_gram_frame(emb)
+    )
+
+    # SECOND takedown of the SAME id set — no explicit wave_id
+    takedown_wave(
+        spark, victims, dpath, spath, gram_path=gpath, victim_emb=emb
+    )
+    assert _moments(G.gram_store_moments(spark, gpath)) == want
+
+    # and a spurious THIRD run (nothing re-admitted) subtracts
+    # nothing: the membership gate finds no victim admitted
+    takedown_wave(
+        spark, victims, dpath, spath, gram_path=gpath, victim_emb=emb
+    )
+    assert _moments(G.gram_store_moments(spark, gpath)) == want
+    row = G.gram_store_stats(spark, gpath).collect()[0]
+    assert row.n_dup_wave_rows == 0
+
+
+def test_takedown_wave_pending_different_ids_fails_loud(
+    spark, tmp_path, monkeypatch
+):
+    """A pending takedown-wave intent for a DIFFERENT id set must
+    refuse a new wave (silently interleaving would hand the second
+    wave the first's crashed sequence slot); re-driving the ORIGINAL
+    id set to completion clears the way."""
+    import trisk_spark.functions.dedup_store as ds
+    from trisk_spark.functions.admission import takedown_wave
+    from trisk_spark.functions.dedup_store import write_dedup_store
+    from trisk_spark.functions.semantic_store import write_semantic_store
+
+    def vec(i):
+        v = [0.001 * ((i + k) % 5) for k in range(DIM)]
+        v[i % DIM] = 0.8
+        return [float(x) for x in v]
+
+    ids = list(range(12))
+    docs = spark.createDataFrame(
+        [(i, f"document body {i} with words w{i} x{i}") for i in ids],
+        "doc_id long, text string",
+    )
+    emb = spark.createDataFrame(
+        [(i, vec(i)) for i in ids], "vec_id long, embedding array<double>"
+    )
+    dpath, spath, gpath = (
+        str(tmp_path / "d"), str(tmp_path / "s"), str(tmp_path / "g")
+    )
+    write_dedup_store(spark, docs, dpath)
+    write_semantic_store(spark, emb, spath)
+    G.write_gram_store(spark, emb, gpath)
+
+    real = ds.delete_from_dedup_store
+    monkeypatch.setattr(
+        ds, "delete_from_dedup_store",
+        lambda *a: (_ for _ in ()).throw(RuntimeError("injected")),
+    )
+    with pytest.raises(RuntimeError, match="injected"):
+        takedown_wave(
+            spark, [2, 4], dpath, spath, gram_path=gpath, victim_emb=emb
+        )
+    monkeypatch.setattr(ds, "delete_from_dedup_store", real)
+
+    with pytest.raises(RuntimeError, match="DIFFERENT victim id set"):
+        takedown_wave(
+            spark, [5, 6], dpath, spath, gram_path=gpath, victim_emb=emb
+        )
+    # re-driving the pending wave completes and unblocks the next one
+    takedown_wave(
+        spark, [2, 4], dpath, spath, gram_path=gpath, victim_emb=emb
+    )
+    takedown_wave(
+        spark, [5, 6], dpath, spath, gram_path=gpath, victim_emb=emb
+    )
+    want = _moments(
+        embedding_gram_frame(emb.where(~F.col("vec_id").isin([2, 4, 5, 6])))
+    )
+    assert _moments(G.gram_store_moments(spark, gpath)) == want

@@ -90,9 +90,11 @@ LIBRARY_NAMES = sorted(
         "perplexity_buckets",
         "contamination_report", "ngram_novelty",
         # retired from the registered surface (tpch_q10 r13; tpch_q7 +
-        # tpch_q14 r14; tpch_q3 + knn_bruteforce r15 — kernels gated
-        # by registered siblings); the full oracles still run here
+        # tpch_q14 r14; tpch_q3 + knn_bruteforce r15; revenue_rollup +
+        # customers_without_orders r16 — kernels gated by registered
+        # siblings); the full oracles still run here
         "tpch_q10", "tpch_q7", "tpch_q14", "tpch_q3", "knn_bruteforce",
+        "revenue_rollup", "customers_without_orders",
         # r15-new: margin-based cross-corpus pair mining (ratio-margin
         # best-match over the parity halves; both kNN directions +
         # fusion under one hash)
@@ -103,10 +105,6 @@ LIBRARY_NAMES = sorted(
         # r15-new: source×source near-dup overlap matrix (pair kernel
         # + rollup + exact pair-density under one hash)
         "source_overlap_matrix",
-        # r14-new: the persisted BM25 inverted index — oracle is the
-        # whole-corpus BM25_TOP_DOCS_SQL (exact index ⇒ probe of
-        # write+append must equal the batch kernel row for row)
-        "bm25_incremental",
         # r14-new: the exact second-moment table behind PCA whitening
         # (map-side Arrow GEMM partials into a constant 2,145-key
         # shuffle; all-BIGINT values)
@@ -114,9 +112,6 @@ LIBRARY_NAMES = sorted(
         # r14-new: the standardized-distance outlier gate over the
         # same exact moments
         "embedding_outliers",
-        # r14-new: hybrid more-like-this retrieval (RRF fusion of the
-        # BM25 keyword ranking and the dense cosine ranking)
-        "hybrid_retrieval",
         # r14-new: per-list routing-drift gate for the frozen IVF
         # model (arriving vs resident, smoothed KL, integer hot flag)
         "ivf_drift_report",

@@ -2898,3 +2898,89 @@ def test_weighted_sample_stream_restart_resumes_reservoir(spark, tmp_path):
     final = seen[-1]
     batch = sorted(map(tuple, weighted_sample(spark, SF).collect()))
     assert final == batch
+
+
+def test_weighted_sample_stream_null_source_reservoir_roundtrip(
+    spark, tmp_path
+):
+    """r15 ADVICE (low): the reservoir CSV round-trip must NOT coerce
+    a NULL source to "" — under the old encoding a replayed batch
+    re-collected (doc_id, None, ...) which no longer equalled the
+    loaded (doc_id, "", ...) tuple, so one document occupied TWO of
+    the exactly-M slots and evicted a legitimate row. Forced here by
+    the worst case: a fresh-checkpoint restart replays the WHOLE
+    corpus into a loaded reservoir (merge idempotence), on a corpus
+    whose every source is NULL."""
+    from trisk_spark.functions.sampling import (
+        weighted_keys_frame,
+        weighted_sample_stream,
+    )
+
+    m = 10
+    docs = spark.createDataFrame(
+        [
+            (i, None, "quality text body " + " ".join(
+                f"w{i}k{k}" for k in range(5 + (i % 7))
+            ))
+            for i in range(40)
+        ],
+        "doc_id bigint, source string, text string",
+    )
+    src = str(tmp_path / "src")
+    rpath = str(tmp_path / "reservoir")
+    half1 = docs.where(F.col("doc_id") % 2 == 0)
+    half1.coalesce(1).write.mode("overwrite").parquet(src)
+
+    seen = []
+
+    def sink(df, bid):
+        seen.append([r.asDict() for r in df.collect()])
+
+    schema = "doc_id bigint, source string, text string"
+
+    def run_once(ckpt):
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", 1
+        ).parquet(src)
+        q = (
+            weighted_sample_stream(
+                spark, stream, sink, m=m, reservoir_path=rpath
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once(str(tmp_path / "ckpt1"))  # half 1, reservoir persisted
+    assert seen
+    docs.where(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    seen.clear()
+    # FRESH checkpoint: the second instance replays half 1 AND
+    # processes half 2, merging replayed tuples into the loaded
+    # reservoir — the exact collision the "" coercion corrupted
+    run_once(str(tmp_path / "ckpt2"))
+    final = seen[-1]
+
+    assert len(final) == m
+    assert len({r["doc_id"] for r in final}) == m, (
+        "one document must never occupy two reservoir slots"
+    )
+    assert all(r["source"] is None for r in final), (
+        "NULL source must round-trip as NULL, not ''"
+    )
+    # stream ≡ batch: equals the top-M of the one-plan key derivation
+    rows = weighted_keys_frame(docs).collect()
+    top = sorted(rows, key=lambda r: (-r.es_key, r.doc_id))[:m]
+    want = [
+        {
+            "doc_id": r.doc_id, "source": r.source,
+            "n_tokens": r.n_tokens, "weight": r.weight,
+            "es_key": r.es_key, "rank": i + 1,
+        }
+        for i, r in enumerate(top)
+    ]
+    got = sorted(final, key=lambda d: d["rank"])
+    assert got == want

@@ -566,6 +566,74 @@ def admission_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 ADMISSION_REPORT_SQL = _admission_report_sql()
 
 
+def _begin_gram_takedown(gram_path: str, ids: list[int]) -> int:
+    """Durably allocate (or re-read) the takedown-sequence number for
+    this wave — the machinery that lets ``takedown_wave`` take the
+    SAME id set down twice legitimately (victims re-admitted after a
+    prior takedown) with no caller-side bookkeeping, while keeping
+    crash re-drives exactly-once (r15 ADVICE).
+
+    Two small durable files beside the moment store:
+
+      * ``_takedown_seq`` — the last COMPLETED sequence number;
+      * ``_takedown_wave_intent`` — the in-flight wave's
+        ``"<ids-digest> <seq>"``, committed by ``os.replace``.
+
+    A fresh wave allocates seq = completed + 1 and records the intent
+    BEFORE any store mutates; a re-driven wave (crash anywhere in the
+    compose chain) finds its own intent — digest match — and REUSES
+    the recorded seq, so the gram tombstone derivation is identical
+    and the landed-check no-ops the subtraction. A pending intent for
+    a DIFFERENT id set fails loud: silently interleaving two waves
+    would let the second allocate the first's seq after its crash."""
+    import hashlib
+
+    base = storefs.strip_file_scheme(gram_path)
+    digest = hashlib.md5(
+        ",".join(str(i) for i in ids).encode()
+    ).hexdigest()
+    ipath = f"{base}/_takedown_wave_intent"
+    if os.path.exists(ipath):
+        with open(ipath) as f:
+            rec_digest, rec_seq = f.read().split()
+        if rec_digest != digest:
+            raise RuntimeError(
+                "takedown_wave: a pending takedown-wave intent for a "
+                "DIFFERENT victim id set exists beside the gram store "
+                f"({gram_path}) — re-drive that wave to completion "
+                "first (re-run takedown_wave with its id set), then "
+                "start this one"
+            )
+        return int(rec_seq)
+    seq_path = f"{base}/_takedown_seq"
+    completed = 0
+    if os.path.exists(seq_path):
+        with open(seq_path) as f:
+            completed = int(f.read().strip())
+    seq = completed + 1
+    tmp = ipath + "_tmp"
+    with open(tmp, "w") as f:
+        f.write(f"{digest} {seq}")
+    os.replace(tmp, ipath)
+    return seq
+
+
+def _complete_gram_takedown(gram_path: str, seq: int) -> None:
+    """Mark the wave complete: bump the durable completed-sequence
+    counter FIRST (``os.replace``), then drop the intent. A crash
+    between the two re-drives into all-no-ops and re-runs this pair
+    (the counter rewrite is idempotent)."""
+    base = storefs.strip_file_scheme(gram_path)
+    tmp = f"{base}/_takedown_seq.tmp"
+    with open(tmp, "w") as f:
+        f.write(str(int(seq)))
+    os.replace(tmp, f"{base}/_takedown_seq")
+    try:
+        os.remove(f"{base}/_takedown_wave_intent")
+    except FileNotFoundError:
+        pass
+
+
 def takedown_wave(
     spark: SparkSession,
     doc_ids,
@@ -601,15 +669,30 @@ def takedown_wave(
     sem delete re-runs into a double subtraction, and reading
     membership before the sem delete then crashing after it re-runs
     into NO subtraction) — it rides ``delete_from_gram_store``'s
-    deterministic victim-set tombstone instead: the same id set maps
-    to the same tombstone wave_id, so a re-driven wave finds it
-    already landed and no-ops. Taking the SAME ids down a second time
-    after re-admission needs an explicit fresh wave_id passed straight
-    to ``delete_from_gram_store`` (the documented aggregate-store
-    contract)."""
+    deterministic victim-set tombstone instead: the same id set AND
+    the same takedown-sequence number map to the same tombstone
+    wave_id, so a re-driven wave finds it already landed and no-ops.
+    Taking the SAME ids down a second time after re-admission needs
+    NO caller-side bookkeeping (r15 ADVICE closed): the wave
+    allocates a fresh sequence number from a durable per-gram-store
+    counter (``_begin_gram_takedown`` — intent recorded by rename
+    BEFORE any store mutates, counter bumped on completion), so a
+    genuine second takedown derives a fresh tombstone and subtracts,
+    while a crash re-drive re-reads its own intent's sequence and
+    converges. The fresh sequence is made safe against SPURIOUS
+    re-runs (same ids, never re-admitted) by gating the subtraction
+    set on current dedup-store membership — read once, before any
+    store of the wave mutates, which is the one place a membership
+    read is crash-clean (re-drives are governed by the recorded
+    intent and the landed tombstone, never by re-reading
+    membership). A pending wave intent for a different id set fails
+    loud rather than interleave."""
     from trisk_spark.functions.bm25_store import delete_from_bm25_store
     from trisk_spark.functions.dedup_store import delete_from_dedup_store
-    from trisk_spark.functions.gram_store import delete_from_gram_store
+    from trisk_spark.functions.gram_store import (
+        delete_from_gram_store,
+        tombstone_wave_id,
+    )
     from trisk_spark.functions.semantic_store import (
         delete_from_semantic_store,
     )
@@ -627,6 +710,7 @@ def takedown_wave(
             f"takedown wave of {len(ids)} ids exceeds {MAX_DELETE_IDS} — "
             "split it; the id set is a driver-held literal by design"
         )
+    seq = None
     if gram_path is not None:
         if victim_emb is None:
             raise ValueError(
@@ -635,10 +719,39 @@ def takedown_wave(
                 "to subtract (moments are aggregates; ids alone cannot "
                 "re-derive them)"
             )
-        delete_from_gram_store(
-            spark, victim_emb.where(F.col("vec_id").isin(ids)), gram_path
-        )
+        seq = _begin_gram_takedown(gram_path, ids)
+        # The subtraction set is victims ∩ CURRENT dedup-store
+        # membership (one pushdown-filtered scan of the id-literal
+        # against <dedup_path>/signatures — takedown-class cost).
+        # This is what makes the fresh-sequence design safe in BOTH
+        # legitimate directions: a spurious re-run after success
+        # finds no victim admitted and subtracts NOTHING (their
+        # moments are already gone), while a genuine re-takedown
+        # after re-admission finds them admitted and subtracts the
+        # re-admitted moments under the fresh tombstone. Membership
+        # is only ever read here — before any store of THIS wave
+        # mutates (a crashed wave re-drive reuses its intent's seq,
+        # and a landed tombstone no-ops regardless of what this
+        # recomputes), so the r15 membership-race is structurally
+        # absent.
+        present = [
+            int(r.doc_id)
+            for r in spark.read.parquet(f"{dedup_path}/signatures")
+            .select("doc_id")
+            .where(F.col("doc_id").isin(ids))
+            .distinct()
+            .collect()  # id-sized (the takedown driver-literal class)
+        ]
+        if present:
+            delete_from_gram_store(
+                spark,
+                victim_emb.where(F.col("vec_id").isin(present)),
+                gram_path,
+                wave_id=tombstone_wave_id(ids, seq),
+            )
     delete_from_dedup_store(spark, ids, dedup_path)
     delete_from_semantic_store(spark, ids, sem_path)
     if bm25_path is not None:
         delete_from_bm25_store(spark, ids, bm25_path)
+    if gram_path is not None:
+        _complete_gram_takedown(gram_path, seq)

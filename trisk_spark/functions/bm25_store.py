@@ -71,6 +71,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from trisk_spark.catalog import table
 from trisk_spark.functions import storefs
+from trisk_spark.registry import register
 from trisk_spark.functions.text import (
     BM25_QUERIES,
     BM25_TOP_DOCS_SQL,
@@ -536,6 +537,10 @@ def corpus_store_path(spark: SparkSession, sf_dir: str) -> str:
     return path_won
 
 
+BM25_INCREMENTAL_SQL = BM25_TOP_DOCS_SQL
+
+
+@register("bm25_incremental", oracle=BM25_INCREMENTAL_SQL)
 def bm25_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental lexical retrieval over the persisted index,
     self-contained for an oracle gate: build the index over the
@@ -546,13 +551,10 @@ def bm25_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole-corpus ``bm25_top_docs`` ROW FOR ROW, so the oracle is that
     query's own ``BM25_TOP_DOCS_SQL`` verbatim: one value-hash covers
     write → append → route → pruned probe → exact-rational scoring,
-    and append ≡ rebuild is part of what the hash asserts. Library op
-    (the registry's R16 queue; the store kernels' driver-hash sibling
-    is ``bm25_top_docs``, registered r12)."""
+    and append ≡ rebuild is part of what the hash asserts. SEATED in
+    r16 (the R16 seat trade, LEAD seat — the persisted BM25 store's
+    only possible independent driver-hash row)."""
     return probe_bm25_store(spark, corpus_store_path(spark, sf_dir))
-
-
-BM25_INCREMENTAL_SQL = BM25_TOP_DOCS_SQL
 
 
 # ------------------------------------------------ takedown (r14) -----

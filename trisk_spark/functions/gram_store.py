@@ -46,6 +46,32 @@ from trisk_spark.functions.similarity import (
 BASE_WAVE_ID = -1
 
 
+def _tombstone_from_csv(ids_csv: str, seq: int) -> int:
+    """Deterministic tombstone wave id from a sorted victim-id CSV and
+    a takedown-sequence number: a 60-bit md5 mapped below BASE_WAVE_ID
+    (disjoint from every ingest batch id). ``seq <= 1`` digests the
+    bare CSV — byte-identical to the r15 default, so tombstones landed
+    by pre-sequence stores still guard replays; higher sequences salt
+    the digest so a LEGITIMATE second takedown of the same id set
+    (victims re-admitted, then taken down again) subtracts again
+    instead of no-opping as a replay."""
+    import hashlib
+
+    key = ids_csv if seq <= 1 else f"{ids_csv}|takedown_seq={int(seq)}"
+    digest = int(hashlib.md5(key.encode()).hexdigest()[:15], 16)
+    return BASE_WAVE_ID - 1 - digest
+
+
+def tombstone_wave_id(ids, seq: int = 1) -> int:
+    """Public form of the tombstone derivation for composed callers
+    (``admission.takedown_wave`` threads its durable takedown-sequence
+    number through here): same id set + same seq → same tombstone
+    (replay no-op); same id set + fresh seq → fresh tombstone (real
+    second delete)."""
+    ids_csv = ",".join(str(int(i)) for i in sorted({int(i) for i in ids}))
+    return _tombstone_from_csv(ids_csv, seq)
+
+
 def write_gram_store(spark: SparkSession, emb: DataFrame, path: str) -> None:
     """Persist the moment store for an embedding corpus: one base
     partial block (wave_id = BASE_WAVE_ID). The corpus-sized work is
@@ -158,21 +184,52 @@ def repair_replayed_append(spark: SparkSession, path: str) -> None:
 
 
 def compact_gram_store(spark: SparkSession, path: str) -> None:
-    """Fold history into a single base block (wave_id = BASE_WAVE_ID,
-    2,145 rows, one file) through the shared crash-safe swap — the
-    file-count maintenance after many waves. The folded moment table
-    is invariant (pytest-pinned); per-wave replay accounting resets
-    for compacted history, which is sound because the watermark that
-    outlives compaction already refuses every batch id ≤ it."""
+    """Fold INGEST history into a single base block (wave_id =
+    BASE_WAVE_ID, 2,145 rows, one file) through the shared crash-safe
+    swap — the file-count maintenance after many waves. The folded
+    moment table is invariant (pytest-pinned); per-wave replay
+    accounting resets for compacted ingest history, which is sound
+    because the watermark that outlives compaction already refuses
+    every batch id ≤ it.
+
+    TWO exceptions guard the delete verb's replay accounting, which —
+    unlike ingest's — has NO watermark and rides tombstone-landed
+    checks instead (r15 ADVICE, both directions of the same hole):
+
+      * a pending ``_delete_intent`` is CONSUMED FIRST
+        (``resume_pending_delete``, mirroring ``compact_ivf_index``):
+        folding while an intent is outstanding would otherwise erase
+        a landed-but-not-yet-acknowledged tombstone row, and the
+        resume would re-append it — double subtraction;
+      * landed TOMBSTONE blocks (wave_id < BASE_WAVE_ID) are
+        PRESERVED VERBATIM through the fold, never absorbed into the
+        base block: they are the durable replay guard for
+        whole-call delete re-runs (a re-driven ``takedown_wave``
+        checks "has my tombstone landed?" — absorbing the row would
+        answer no and double-subtract). Their moments still cancel in
+        ``gram_store_moments``' fold exactly as before; the compacted
+        table is base + one 2,145-row block per takedown, which stays
+        file-count-bounded by takedowns, not by ingest waves."""
     storefs.require_rename_fs(path, "compact_gram_store")
     storefs.repair_store(path, ("partials",))
+    resume_pending_delete(spark, path)
     base = storefs.strip_file_scheme(path)
-    folded = gram_store_moments(spark, path).select(
-        F.lit(BASE_WAVE_ID).cast("bigint").alias("wave_id"), "i", "j", "g"
+    p = spark.read.parquet(f"{path}/partials")
+    folded = (
+        p.where(F.col("wave_id") >= BASE_WAVE_ID)
+        .groupBy("i", "j")
+        .agg(F.sum("g").cast("bigint").alias("g"))
+        .select(
+            F.lit(BASE_WAVE_ID).cast("bigint").alias("wave_id"),
+            "i", "j", "g",
+        )
     )
-    folded.coalesce(1).write.mode("overwrite").parquet(
-        f"{base}/partials_compact_tmp"
+    tombstones = p.where(F.col("wave_id") < BASE_WAVE_ID).select(
+        "wave_id", "i", "j", "g"
     )
+    folded.unionByName(tombstones).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{base}/partials_compact_tmp")
     storefs.swap_in_compacted(path, ("partials",))
 
 
@@ -217,10 +274,11 @@ def delete_from_gram_store(
     (an aggregate store cannot use row-membership for this the way the
     row stores do). The corollary contract: deleting the SAME id set
     a second time legitimately (victims re-admitted after a takedown,
-    then taken down again) needs an explicit fresh ``wave_id`` from
-    the caller's own takedown sequence — the default would treat it as
-    a replay."""
-    import hashlib
+    then taken down again) needs a fresh ``wave_id`` — the default
+    would treat it as a replay. ``admission.takedown_wave`` supplies
+    one automatically from a durable per-store takedown-sequence
+    counter (``tombstone_wave_id(ids, seq)``); direct callers driving
+    their own sequence pass ``wave_id`` explicitly."""
     import os
     import shutil
 
@@ -237,8 +295,7 @@ def delete_from_gram_store(
             .orderBy("vec_id")
             .collect()  # id-sized (the takedown driver-literal class)
         )
-        digest = int(hashlib.md5(ids.encode()).hexdigest()[:15], 16)
-        tomb = BASE_WAVE_ID - 1 - digest
+        tomb = _tombstone_from_csv(ids, seq=1)
     else:
         tomb = int(wave_id)
         if tomb >= BASE_WAVE_ID:

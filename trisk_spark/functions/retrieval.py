@@ -48,6 +48,7 @@ import threading
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from trisk_spark.catalog import table
+from trisk_spark.registry import register
 from trisk_spark.functions.similarity import (
     N_PROBES,
     TOP_K,
@@ -285,6 +286,14 @@ FROM (
 HYBRID_RETRIEVAL_SQL = (
     "WITH " + _LEX_CTES + ",\n" + _DENSE_EXACT_CTES + ",\n" + _FUSION_TAIL
 )
+
+# SEATED in r16 (the R16 seat trade): the RRF fusion + probe-keyword
+# kernels have no registered sibling, so this is their only possible
+# independent driver-hash row. Registration is post-hoc (not a
+# decorator) because the oracle CTEs are assembled below the function
+# body; the registry stores the same prepare()-wrapped contract a
+# decorator would produce.
+register("hybrid_retrieval", oracle=HYBRID_RETRIEVAL_SQL)(hybrid_retrieval)
 
 
 # ------------------- hybrid probe over the persisted stores ----------

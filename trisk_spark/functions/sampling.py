@@ -2256,12 +2256,22 @@ def weighted_sample_stream(
     holder: dict[str, object] = {"rows": [], "loaded": reservoir_path is None}
 
     def _load() -> list:
+        # a NULL source must round-trip as None, not coerce to "" (CSV
+        # has no native NULL): column 6 flags it (r15 ADVICE — the ""
+        # coercion made a reloaded tuple unequal to its replayed twin,
+        # so one doc held two reservoir slots after a restart)
         p = storefs.strip_file_scheme(reservoir_path)
         if not os.path.exists(f"{p}/reservoir.csv"):
             return []
         with open(f"{p}/reservoir.csv", newline="") as f:
             return [
-                (int(r[0]), r[1], int(r[2]), float(r[3]), float(r[4]))
+                (
+                    int(r[0]),
+                    None if len(r) > 5 and r[5] == "1" else r[1],
+                    int(r[2]),
+                    float(r[3]),
+                    float(r[4]),
+                )
                 for r in csv.reader(f)
             ]
 
@@ -2269,7 +2279,11 @@ def weighted_sample_stream(
         p = storefs.strip_file_scheme(reservoir_path)
         os.makedirs(p, exist_ok=True)
         buf = io.StringIO()
-        csv.writer(buf).writerows(rows)
+        csv.writer(buf).writerows(
+            (t[0], "" if t[1] is None else t[1], t[2], t[3], t[4],
+             "1" if t[1] is None else "0")
+            for t in rows
+        )
         with open(f"{p}/reservoir.csv.tmp", "w", newline="") as f:
             f.write(buf.getvalue())
         os.replace(f"{p}/reservoir.csv.tmp", f"{p}/reservoir.csv")
@@ -2288,10 +2302,14 @@ def weighted_sample_stream(
             .limit(m)
             .collect()
         )
-        merged = sorted(
-            set(holder["rows"]) | {tuple(r) for r in batch_top},
-            key=lambda t: (-t[4], t[0]),
-        )[:m]
+        # merge keyed BY doc_id, not by whole tuple: ES keys are
+        # deterministic per doc, so a replayed/reloaded twin is the
+        # same tuple — but keying on doc_id makes one doc occupying
+        # two slots structurally impossible even if a representation
+        # wobble (the r15 NULL-source CSV coercion) slips through
+        cand = {t[0]: t for t in holder["rows"]}
+        cand.update({(t := tuple(r))[0]: t for r in batch_top})
+        merged = sorted(cand.values(), key=lambda t: (-t[4], t[0]))[:m]
         holder["rows"] = merged
         if reservoir_path is not None:
             _persist(merged)

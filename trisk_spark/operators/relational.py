@@ -289,10 +289,12 @@ GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
 
-@register("revenue_rollup", oracle=REVENUE_ROLLUP_SQL)
 def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rollup aggregation (grouping sets — absent from the reference,
-    Spark superset). Plan: single expand + shuffle."""
+    Spark superset). Plan: single expand + shuffle. RETIRED to
+    library-only in r16 (the R16 seat trade): its decimal scan-agg
+    kernel is driver-hash-gated by ``tpch_q1``; the full oracle keeps
+    running in ``load_library``'s parity pass every round."""
     li = table(spark, sf_dir, "lineitem")
     revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
         "decimal(18,6)"
@@ -374,12 +376,14 @@ GROUP BY c_nationkey
 """
 
 
-@register("customers_without_orders", oracle=CUSTOMERS_NO_ORDERS_SQL)
 def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEFT ANTI join (NOT EXISTS): customers that never ordered,
     counted per nation. Anti join streams the probe side; only the
     custkey column of orders is read (column pruning through the anti
-    join)."""
+    join). RETIRED to library-only in r16 (the R16 seat trade): the
+    left-anti kernel is driver-hash-gated by the curation-manifest
+    family's anti-join staging every round; the full oracle keeps
+    running in ``load_library``'s parity pass."""
     cust = table(spark, sf_dir, "customer")
     orders = table(spark, sf_dir, "orders").select("o_custkey")
     return (

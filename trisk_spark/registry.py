@@ -74,149 +74,137 @@ def register(name: str, oracle: str | None = None):
 # regardless of position stay oracle-gated by
 # tests/test_oracle_parity.py every round.
 #
-# r15 window: EXECUTES THE WRITTEN R15 PLAN (r14 VERDICT "next round"
-# #1, arithmetic pre-checked last round). The r14 sitters rotate back
+# r16 window: EXECUTES THE WRITTEN R16 PLAN (r15 VERDICT "next round"
+# #1, arithmetic pre-checked last round). The r15 sitters rotate back
 # in (policy (a)) MINUS two retired to library-only status via the
-# sanctioned seat-freeing mechanism (the tpch_q7/q10/q14 precedent):
-#   tpch_q3 RETIRED to library-only (load_library below): its
-#       filtered multi-join decimal-agg kernel is driver-hash-gated
-#       by tpch_q5, its broadcast-dim top-k by tpch_q18 /
-#       top_orders_per_customer; full oracle stays library-gated.
-#       q1/q5/q6/q18 remain the registered TPC-H rows.
-#   knn_bruteforce RETIRED likewise: exact blocked-GEMM top-k ⊂
-#       cosine_near_dup_exact + knn_label_vote (same kernel), and
-#       ann_recall drives it verbatim as its brute side.
-# So 47 − 2 retired = 45 returning. Must-stays unchanged:
-# stock_matchmaker (no oracle, no hash-gated witness → never sits),
+# sanctioned seat-freeing mechanism (the tpch_q7/q10/q14 + r15
+# tpch_q3/knn_bruteforce precedent):
+#   revenue_rollup RETIRED to library-only (load_library below): its
+#       decimal scan-agg kernel is driver-hash-gated by tpch_q1 every
+#       other round (plus decimal_accumulators, same phase); the
+#       ROLLUP grouping-sets form keeps its full oracle library-gated
+#       every round in test_oracle_parity.
+#   customers_without_orders RETIRED likewise: the left-anti kernel
+#       is hash-gated by the curation-manifest family's anti-join
+#       staging (curation_manifest_semantic every other round;
+#       admission_report carries the same anti-join class).
+# So 47 - 2 retired = 45 returning. Must-stays unchanged:
+# stock_matchmaker (no oracle, no hash-gated witness -> never sits),
 # media_decode_checksum (the no-oracle sitter's witness, enforced by
 # test_registry), fraud_alerts (sole BroadcastState / FD megaphone
-# evidence — no kernel-class sibling, never sits). TWO new
+# evidence -- no kernel-class sibling, never sits). TWO new
 # registrations take the freed seats, in-window their first round per
-# the new-op policy: semantic_incremental (the persisted SRP semantic
-# store's write→prune→probe→verify kernel — NO registered sibling,
-# exactly dedup_incremental's r12 position: the LEAD seat) +
-# admission_report (the composed two-store admission funnel — quality
-# gate + both store probes + anti-join staging — under ONE
-# value-hash). Both carried full DuckDB oracles through every round's
-# library parity pass since r13.
+# the new-op policy: bm25_incremental (LEAD -- the persisted BM25
+# store's only possible independent hash row; its oracle is the
+# whole-corpus BM25_TOP_DOCS_SQL verbatim, so ONE value-hash covers
+# write -> append -> route -> pruned probe -> exact-rational scoring,
+# and append == rebuild is part of what the hash asserts) +
+# hybrid_retrieval (the RRF fusion + probe-keyword kernels have no
+# registered sibling; its oracle re-derives keywords -> BM25 -> knn
+# -> fusion from the raw tables under one hash). Both carried full
+# DuckDB oracles through every round's library parity pass since r14.
 # Seat arithmetic: 45 returning + 3 always-in + 2 new = 50.
-# CAPACITY after this round: 106 registered (106 − 2 retired + 2 new)
+# CAPACITY after this round: 106 registered (106 - 2 retired + 2 new)
 # = 3 always-in + 8 permanent composed sitters + 1 no-oracle sitter +
-# 94 alternating over 47 seats/round — still exactly saturated
+# 94 alternating over 47 seats/round -- still exactly saturated
 # (policy (a) holds), so every future registration needs a matching
 # flip or retirement from the PHASE THAT RETURNS that round.
-# The two r15-new seats sit r16 on in-window witnesses (both
-# witnesses are in THIS list, hence return r16 — checked):
-# semantic_incremental → cosine_near_dup_lsh (same SRP banding +
-# in-bucket cosine kernel) + canonical_by_quality (the same
-# struct-MAX argmax its probe verdict uses); admission_report →
-# dedup_minhash_lsh (the dedup probe kernel) + cosine_near_dup_lsh
-# (the semantic probe kernel) + source_quality_rollup (the composed
-# quality gate) + semi_join_orders (the anti-join staging class).
-# R16 PLAN, FINAL (arithmetic-checked; r14 VERDICT next-round #5):
-# the r16 returning phase is THIS list below (it sat r15). Sanctioned
-# R16 moves from it: retire revenue_rollup (decimal scan-agg ⊂
-# tpch_q1, which also returns r16) and retire customers_without_orders
-# (left-anti ⊂ the curation-manifest family, hash-gated every round)
-# → TWO r16 seats → register bm25_incremental (LEAD — the persisted
-# BM25 store's only possible independent hash row, its kernels'
-# registered sibling being bm25_top_docs; oracle is the whole-corpus
-# BM25_TOP_DOCS_SQL, so one hash covers write→append→route→pruned
-# probe→scoring) + hybrid_retrieval (the RRF fusion + probe-keyword
-# kernels have no registered sibling; its oracle spans
-# keywords→BM25→knn→fusion under one hash). Alternates if the verdict
-# prefers: hybrid_store_probe, ivf_drift_report, embedding_gram. Pool
-# stays 94 − 2 + 2 = 94 (saturated); retired rows keep their library
-# oracles as always. The library queue after r16: embedding_gram,
-# embedding_outliers, hybrid_store_probe, ivf_drift_report,
-# dedup_takedown, semantic_takedown, margin_pair_mining (r15-new:
-# ratio-margin best-match — the one op whose kernel composes BOTH kNN
-# directions; sibling class knn_bruteforce's exact GEMM),
-# weighted_sample (r15-new: exactly-M E-S selection —
-# TakeOrderedAndProject class, sibling source_mix_sample's md5-ppm
-# family), source_overlap_matrix (r15-new: source×source near-dup
-# rollup over dedup_minhash_lsh's own pair kernel — sitter-class
-# composition, its kernel hash-gated by that row every other round),
-# budget_trim, training_plan_budget, shuffle_shards,
-# perplexity_buckets, contamination_report, ngram_novelty (+ retired
-# rows tpch_q3/q7/q10/q14/knn_bruteforce/revenue_rollup/
-# customers_without_orders keeping their library oracles).
-# R17 SKETCH (arithmetic-checked; finalize in r16): the r17 returning
-# phase is THE R15 WINDOW (it sits r16, returns r17). Sanctioned R17
-# moves from it: retire minhash_jaccard_estimate (signature-agreement
-# estimator ⊂ dedup_minhash_lsh's signature+band kernels +
-# cross_split_leakage's composed pair chain — both phase-B rows,
-# hash-gated every other round) and retire gopher_rules (map-only
-# doc-stats class ⊂ source_quality_rollup, phase-B) → TWO r17 seats →
-# register margin_pair_mining (r15-new LEAD: the ratio-margin fusion
-# + dual-kNN composition has no registered sibling; its oracle spans
-# both directions + fusion under one hash) + weighted_sample
-# (r15-new: exactly-M E-S without-replacement selection — no
-# registered sibling; the Bernoulli mix family only hits rates in
-# expectation). Alternates if the verdict prefers: embedding_gram,
+# The two r15-new seats (semantic_incremental, admission_report) sit
+# r16 on in-window witnesses noted on their rows below -- every
+# witness is in the r16 window (checked).
+# R17 PLAN, FINAL (arithmetic-checked; r15 VERDICT next-round #5):
+# the r17 returning phase is THIS list below (it sits r16).
+# Sanctioned R17 moves from it: retire minhash_jaccard_estimate
+# (signature-agreement estimator, kernels gated by dedup_minhash_lsh's
+# signature+band kernels + cross_split_leakage's composed pair chain
+# -- both hash-gated every other round) and retire gopher_rules
+# (map-only doc-stats class, gated by source_quality_rollup) -> TWO
+# r17 seats -> register margin_pair_mining (r15-new LEAD: the
+# ratio-margin fusion + dual-kNN composition has no registered
+# sibling; its oracle spans both directions + neighborhood averages +
+# fusion under one hash) + weighted_sample (r15-new: exactly-M
+# Efraimidis-Spirakis without-replacement selection -- no registered
+# sibling; the Bernoulli mix family only hits rates in expectation).
+# Alternates if the verdict prefers: embedding_gram,
 # hybrid_store_probe, ivf_drift_report, embedding_outliers. Pool
-# stays 94 − 2 + 2 = 94 (saturated); retired rows keep their library
+# stays 94 - 2 + 2 = 94 (saturated); retired rows keep their library
 # oracles as always.
-# Sitting out r15 — every alternating row hash-green in r14
-# (CORRECTNESS_r14), witness noted ("(in)" = in the r15 window):
+# R18 SKETCH (arithmetic-check + finalize in r17): the r18 returning
+# phase is THE R16 WINDOW (it sits r17, returns r18). Sanctioned R18
+# moves from it: retire tpch_q6 (filter + scan-agg, kernels gated by
+# nexmark_q2 (filter pushdown) + tpch_q1 (decimal scan agg)) and
+# retire ngram_counts (explode/shingle count, gated by wordcount +
+# ngram_jaccard) -> TWO r18 seats -> register embedding_gram (the
+# exact second-moment table behind PCA whitening: all-BIGINT moments,
+# constant 2,145-key shuffle -- the gram/moment store's only possible
+# independent hash row now that its delete verb exists) +
+# hybrid_store_probe (hybrid more-like-this SERVED FROM BOTH
+# PERSISTED INDEXES -- BM25 postings store + int8 IVF store + the
+# shared RRF fusion; the deployment twin of the r16-seated
+# hybrid_retrieval). Alternates: ivf_drift_report,
+# embedding_outliers, source_overlap_matrix. Pool stays
+# 94 - 2 + 2 = 94 (saturated).
+# Sitting out r16 -- every alternating row hash-green in r15
+# (CORRECTNESS_r15), witness noted ("(in)" = in the r16 window):
 DEPRIORITIZED = [
-    # ---- r14-green rows sitting one round ----
-    "nexmark_q5",              # sliding window agg: tumbling_window_agg + sliding_count_window (in)
-    "nexmark_q11",             # session windows: tumbling_window_agg/sliding_count_window (in, same §2A window row) + session-fire timer pytest (test_streaming)
-    "tpch_q5",                 # multi-join agg: tpch_q18 (in, 3-table join + agg) + tpch_q1 (in, decimal agg)
-    "keyed_running_reduce",    # keyed folds: keyed_agg (in)
-    "top_orders_per_customer", # window rank + join: tpch_q18 (in)
-    "revenue_rollup",          # decimal agg: tpch_q1 (in)
-    "semi_join_orders",        # semi-join kernel: decontaminate_flags (in)
-    "customers_without_orders",  # anti-join kernel: curation_manifest_semantic (in, left-anti)
-    "tpch_q6",                 # filter + agg: nexmark_q2 (in, filter) + tpch_q1 (in, scan agg)
-    "decimal_accumulators",    # BigDecimal: tpch_q1 (in, decimal scan agg)
-    "props_rollup",            # scalar map/string fns: nexmark_q1 (in, map) + pii_redact + url_normalize (in)
-    "q3_emit_once_join",       # emit-once stateful join: nexmark_q3 (in, SQL image) + wordcount_two_input (in, CoProcess) + emit-once replay pytest (test_stateful)
-    "interval_join",           # time-bounded join: nexmark_q8 (in, windowed equi-join) + asof_join (in)
-    "minby_maxby",             # keyed folds: keyed_agg (in)
-    "count_window",            # count windows: sliding_count_window (in)
-    "time_evictor_window",     # evictors: delta_evictor_window (in)
-    "delta_trigger",           # triggers: continuous_trigger + purging_trigger (in)
-    "dedup_minhash_lsh",       # banded-LSH kernel: dedup_incremental (in, same signature+band kernels through the persisted store) + ngram_jaccard (in, shingle kernel)
-    "dedup_simhash",           # token near-dup: dedup_bag (in) + doc_fingerprint (in, hash kernel)
-    "dedup_substring",         # winnowing: doc_fingerprint (in, rolling-hash class)
-    "canonical_by_quality",    # cluster argmax: dedup_clusters (in, the component chain it extends) + dedup_incremental (in, the same struct-MAX argmax in its probe verdict) + quality_score (in, the quality features)
-    "ngram_counts",            # explode/shingle count: wordcount + ngram_jaccard (in)
-    "source_quality_rollup",   # composed of quality_score + lang_id + repetition_ratio (all in)
-    "length_percentiles",      # doc stats: quality_score (in)
-    "doc_chunk",               # tokenizer: token_count (in, shared tokenizer)
-    "bpe_token_estimate",      # tokenizer: token_count (in)
-    "bigram_lm_score",         # broadcast-model scoring: lang_id (in, n-gram model class)
-    "keyword_extract",         # tf/df scoring: wordcount (in) + lang_id (in, broadcast-model class)
-    "bm25_top_docs",           # lexical retrieval: wordcount (in, token-count kernel) + lang_id (in, broadcast-model scoring class) + exact-rational scoring property pytest (test_properties, every round)
-    "media_byte_features",     # multimodal map-side: media_metadata + media_frame_sample (in)
-    "bpe_segment",             # shared tokenizer + model broadcast: token_count (in) + lang_id (in, broadcast-model class) + bpe_replay oracle pytest (test_bpe, every round)
-    "cosine_near_dup_exact",   # blocked GEMM: ann_recall (in, drives the same exact-GEMM kernel verbatim as its brute side) + dedup_semantic (in, in-bucket exact GEMM)
-    "cosine_near_dup_lsh",     # SRP-LSH pairs: dedup_semantic (in, composes cosine_lsh_pairs — same SRP banding + in-bucket GEMM)
-    "ann_ivf",                 # IVF route+rerank: ivf_refine (in, centroid kernel) + ann_ivf_pq (in, routed search) + ann_recall (in, measures the same routed search)
-    "knn_label_vote",          # exact GEMM top-k: ann_recall (in, its brute side is the same exact-GEMM top-k kernel) + embedding_health (in, the shared norm fold)
-    "ivf_refine_iters",        # Lloyd iterations: ivf_refine (in, the step kernel)
-    "embed_quantize_int8",     # quantization: ann_ivf_pq (in, same fused quantize+encode kernel)
-    "ann_ivf_int8",            # routed int8 search: ann_ivf_pq (in, routing + rerank) + ann_recall (in, drives it verbatim as the approximate side)
-    "pq_encode_trained",       # ann_ivf_pq (in, same _pq_model seed + fused encode kernel) + the pq_encode flip's iters=0 equality pytest (test_pq, every round)
-    "split_rollup",            # md5-split kernel: source_cap_sample (in, md5-order family) + curation_funnel (in, stage rollup over the same manifest chain)
-    "source_mix_sample",       # md5-ppm keep kernel: source_cap_sample (in, md5-order family)
-    "pack_plan",               # packing kernel: training_plan_over_store (in, composes the plan chain; store ≡ recompute equality-pinned in test_pq) + curation_funnel (in, same manifest chain)
-    "source_divergence",       # per-source KL: wordcount (in, the (source,word) count kernel) + lang_id (in, distribution-model class)
-    "dsir_weights",            # hashed-bigram importance: lang_id (in, hashed n-gram broadcast-model class) + integer-exact stream-twin pytest (test_streaming_extras, every round)
-    "ts_subsequence_match",    # ts family: ts_subsequence_sax (in, same z-norm + exact-int distance arithmetic)
-    "cross_split_leakage",     # r14-seated, first sit: dedup_incremental (in, same signature+band pair kernel through the persisted store) + ngram_jaccard (in, shingle kernel) + decontaminate_flags (in, split-keyed semi-join class)
-    "line_dedup",              # r14-seated, first sit: repetition_ratio (in, in-row array-expression text stats) + token_count (in, shared in-row tokenizer split)
-    # ---- permanent sitters (composed class — witness = composer) ----
+    # ---- r15-green rows sitting one round ----
+    "nexmark_q1",              # map: props_rollup (in, scalar map exprs)
+    "nexmark_q2",              # filter: tpch_q6 (in, filter + agg)
+    "nexmark_q3",              # SQL join image: tpch_q5 (in, multi-join) + q3_emit_once_join (in)
+    "nexmark_q8",              # windowed equi-join: interval_join (in, time-bounded join)
+    "tpch_q1",                 # decimal scan agg: decimal_accumulators (in, BigDecimal accumulators over the same scan)
+    "keyed_agg",               # keyed folds: keyed_running_reduce + minby_maxby (in)
+    "tumbling_window_agg",     # window aggs: nexmark_q5 (in, sliding) + count_window (in)
+    "tpch_q18",                # window rank + join: top_orders_per_customer (in)
+    "all_window_agg",          # non-keyed window: nexmark_q5 + count_window (in, same S2A window family) + hostile-events parity (test_parity_edges)
+    "wordcount",               # flatMap + count: ngram_counts (in, explode/shingle count)
+    "wordcount_two_input",     # connect/CoFlatMap: q3_emit_once_join (in, CoProcess class) + hostile-docs parity (test_parity_edges)
+    "cogroup_apply",           # coGroup: q3_emit_once_join (in, two-input keyed apply) + hostile-events parity (test_parity_edges)
+    "sliding_count_window",    # count/sliding windows: count_window + nexmark_q5 (in)
+    "delta_evictor_window",    # evictors: time_evictor_window (in)
+    "continuous_trigger",      # triggers: delta_trigger (in)
+    "purging_trigger",         # triggers: delta_trigger (in)
+    "asof_join",               # tagged-union asof: interval_join (in, time-bounded family) + test_asof_stream_equals_batch pytest
+    "async_enrich",            # AsyncDataStream: interval_join (in, ordered enrich image) + hostile-events parity (test_parity_edges)
+    "token_count",             # tokenizer: doc_chunk + bpe_token_estimate + bpe_segment (in, shared tokenizer)
+    "quality_score",           # doc stats: length_percentiles + source_quality_rollup (in)
+    "lang_id",                 # source_quality_rollup (in) composes it
+    "doc_fingerprint",         # rolling hash: dedup_substring (in, same class)
+    "dedup_exact",             # md5 groupBy: dedup_minhash_lsh (in) + pack_plan (in, composes exact dedup via the manifest chain)
+    "dedup_bag",               # token-level near-dup: dedup_simhash (in)
+    "ngram_jaccard",           # shingle kernel: ngram_counts + dedup_minhash_lsh (in) + cross_split_leakage (in, pair chain)
+    "dedup_clusters",          # components: pack_plan (in, composes the transitive closure) + dedup_minhash_lsh (in, pair kernel)
+    "decontaminate_flags",     # semi-join kernel: semi_join_orders (in) + cross_split_leakage (in, split-keyed pair semi-join)
+    "minhash_jaccard_estimate",  # signature-agreement estimator: dedup_minhash_lsh (in, same signature+band kernels) + cross_split_leakage (in, composes the same pair chain)
+    "repetition_ratio",        # source_quality_rollup (in) composes it
+    "pii_redact",              # scalar regexes: props_rollup (in, scalar/string fns)
+    "url_normalize",           # scalar string fns: props_rollup (in)
+    "gopher_rules",            # map-only doc-stats class: source_quality_rollup (in)
+    "media_metadata",          # multimodal map-side: media_byte_features (in)
+    "media_frame_sample",      # multimodal map-side: media_byte_features (in)
+    "dedup_incremental",       # persisted-store probe: dedup_minhash_lsh (in, same signature+band kernels the store persists) + canonical_by_quality (in, the same struct-MAX argmax its probe verdict uses)
+    "dedup_semantic",          # pack_plan (in) COMPOSES its whole chain via the manifest; cosine_near_dup_lsh (in, SRP pairs)
+    "ivf_refine",              # Lloyd step kernel: ann_ivf + ivf_refine_iters (in)
+    "embedding_health",        # in-row norm fold: embed_quantize_int8 (in, same kernel)
+    "ann_recall",              # recall gate: ann_ivf_int8 (in, the approximate side it drives verbatim) + cosine_near_dup_exact (in, the exact-GEMM class of its brute side)
+    "ann_ivf_pq",              # ADC search: ann_ivf_int8 (in, composes routing + rerank) + pq_encode_trained (in, encode kernel)
+    "source_cap_sample",       # md5 rank-cap: split_rollup (in) + source_mix_sample (in, md5-order family) + pack_plan (in, the cap via the plan chain)
+    "curation_manifest_semantic",  # pack_plan (in) COMPOSES it wholesale via training_plan's chain
+    "training_plan_over_store",    # pack_plan (in, IDENTICAL _drop_cap_losers + _epoch_plan tail over the same chain; store == recompute equality-pinned in test_pq)
+    "curation_funnel",         # pack_plan (in, composes the manifest chain its stages count) + hostile-corpus parity (test_parity_edges)
+    "ts_subsequence_sax",      # ts family: ts_subsequence_match (in, same z-norm + exact-int distance arithmetic)
+    # ---- r15-seated rows, first sit (witnesses per the r15 plan) ----
+    "semantic_incremental",    # persisted SRP store probe: cosine_near_dup_lsh (in, same SRP banding + in-bucket cosine kernel) + canonical_by_quality (in, the same struct-MAX argmax its probe verdict uses)
+    "admission_report",        # composed funnel: dedup_minhash_lsh (in, the dedup probe kernel) + cosine_near_dup_lsh (in, the semantic probe kernel) + source_quality_rollup (in, the composed quality gate) + semi_join_orders (in, the anti-join staging class)
+    # ---- permanent sitters (composed class -- witness = composer) ----
     "sequence_pack",           # COMPOSED_SITTER_WITNESS: pack_plan
     "train_split",             # COMPOSED_SITTER_WITNESS: training_plan_over_store
     "curation_manifest",       # COMPOSED_SITTER_WITNESS: curation_manifest_semantic + curation_funnel
     "source_upsample",         # COMPOSED_SITTER_WITNESS: training_plan_over_store
     "training_plan",           # COMPOSED_SITTER_WITNESS: training_plan_over_store (identical oracle)
     "cluster_cap_sample",      # COMPOSED_SITTER_WITNESS: training_plan_over_store + source_cap_sample
-    "ann_lsh_bucketed",        # COMPOSED_SITTER_WITNESS: cosine_near_dup_lsh + ann_ivf (r13 flip — kernel pins above)
-    "pq_encode",               # COMPOSED_SITTER_WITNESS: pq_encode_trained (r13 flip — iters=0 equality pin)
+    "ann_lsh_bucketed",        # COMPOSED_SITTER_WITNESS: cosine_near_dup_lsh + ann_ivf (r13 flip -- kernel pins above)
+    "pq_encode",               # COMPOSED_SITTER_WITNESS: pq_encode_trained (r13 flip -- iters=0 equality pin)
     # ---- permanent sitter (no-oracle class) ----
     "media_decode_resize",     # NO_ORACLE_SITTER_WITNESS: media_decode_checksum (in)
 ]
@@ -267,6 +255,8 @@ def load_all() -> dict[str, QueryDef]:
     import trisk_spark.functions.admission  # noqa: F401
     import trisk_spark.functions.dedup  # noqa: F401
     import trisk_spark.functions.dedup_store  # noqa: F401
+    import trisk_spark.functions.bm25_store  # noqa: F401
+    import trisk_spark.functions.retrieval  # noqa: F401
     import trisk_spark.functions.semantic_store  # noqa: F401
     import trisk_spark.functions.similarity  # noqa: F401
     import trisk_spark.functions.pq  # noqa: F401
@@ -281,15 +271,17 @@ def load_all() -> dict[str, QueryDef]:
 
 def load_library() -> dict[str, QueryDef]:
     """The LIBRARY surface: ops with full DuckDB oracles but no
-    driver-window seat (the R16 PLAN above; semantic_incremental and
-    admission_report graduated to ``@register`` seats in r15,
+    driver-window seat (the R17 PLAN above; bm25_incremental and
+    hybrid_retrieval graduated to ``@register`` seats in r16,
+    semantic_incremental and admission_report in r15,
     cross_split_leakage and line_dedup in r14,
     dedup_incremental/ann_recall/minhash_jaccard_estimate/
     embedding_health/gopher_rules in r13,
     bm25_top_docs/dsir_weights/canonical_by_quality/source_divergence
     in r12). Also holds rows RETIRED from the registered surface
     (tpch_q10 in r13; tpch_q7 and tpch_q14 in r14; tpch_q3 and
-    knn_bruteforce in r15) whose kernels are
+    knn_bruteforce in r15; revenue_rollup and customers_without_orders
+    in r16) whose kernels are
     driver-hash-gated by siblings: retirement only moves the evidence
     channel, never removes the oracle. Shaped exactly like
     ``load_all()`` entries — same (spark, sf_dir) → DataFrame
@@ -299,7 +291,6 @@ def load_library() -> dict[str, QueryDef]:
     every round by tests/test_oracle_parity.py's library pass
     instead."""
     from trisk_spark.functions import (
-        bm25_store,
         dedup,
         dedup_store,
         retrieval,
@@ -367,15 +358,19 @@ def load_library() -> dict[str, QueryDef]:
             dedup.source_overlap_matrix,
             dedup.SOURCE_OVERLAP_SQL,
         ),
-        # r14-new: the persisted BM25 inverted-index store — the
-        # incremental-lexical third member of the store family. The
-        # oracle is bm25_top_docs' own whole-corpus SQL: the index is
-        # exact, so write→append→route→pruned-probe→score must equal
-        # the one-plan batch kernel row for row (append ≡ rebuild is
-        # part of what the hash asserts). R16 seat queue.
-        "bm25_incremental": (
-            bm25_store.bm25_incremental,
-            bm25_store.BM25_INCREMENTAL_SQL,
+        # r16-retired (the R16 seat trade): decimal scan-agg kernel
+        # driver-hash-gated by tpch_q1 / decimal_accumulators; the
+        # ROLLUP grouping-sets full oracle keeps running here.
+        "revenue_rollup": (
+            relational.revenue_rollup,
+            relational.REVENUE_ROLLUP_SQL,
+        ),
+        # r16-retired likewise: left-anti kernel hash-gated by the
+        # curation-manifest family's anti-join staging; full oracle
+        # keeps running here.
+        "customers_without_orders": (
+            relational.customers_without_orders,
+            relational.CUSTOMERS_NO_ORDERS_SQL,
         ),
         # r14-new: the exact second-moment table behind PCA whitening —
         # the corpus-sized half of the dimensionality-reduction
@@ -393,15 +388,6 @@ def load_library() -> dict[str, QueryDef]:
         "embedding_outliers": (
             similarity.embedding_outliers,
             similarity.EMB_OUTLIERS_SQL,
-        ),
-        # r14-new: hybrid more-like-this retrieval — RRF fusion of the
-        # BM25 keyword ranking and the exact dense cosine ranking per
-        # probe document (the lexical+vector composition both families
-        # lack alone; the whole three-stage derivation — keywords,
-        # BM25, knn — and the fusion under ONE value-hash).
-        "hybrid_retrieval": (
-            retrieval.hybrid_retrieval,
-            retrieval.HYBRID_RETRIEVAL_SQL,
         ),
         # r14-new: the routing-drift gate for the frozen IVF model —
         # per-list resident vs arriving membership, smoothed KL
