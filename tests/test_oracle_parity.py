@@ -123,6 +123,12 @@ LIBRARY_NAMES = sorted(
         # on both band stores
         "dedup_takedown",
         "semantic_takedown",
+        # r16-new: phrase + ordered-proximity retrieval (positional
+        # lexical semantics over in-row token arrays, all-integer)
+        "phrase_search",
+        # r16-new: per-source quality calibration on the integer ppm
+        # grid (within-source rank vs global-median verdict + flips)
+        "quality_calibrate",
     ]
 )
 

@@ -2026,3 +2026,283 @@ def test_source_overlap_matrix_finds_planted_cross_source_dup(
     assert_matches_oracle(
         source_overlap_matrix(spark, sf), con, SOURCE_OVERLAP_SQL
     )
+
+
+# ------------------- r16: phrase/proximity + quality calibration ------
+
+
+def test_phrase_search_planted_semantics(spark, tmp_path):
+    """Both counting semantics on a planted corpus: consecutive
+    matches outrank windowed ones, ordered-window matches require the
+    ORDER, the window bound is real, partial term sets never match,
+    and the probe document never retrieves itself. Oracle agrees on
+    the fixture corpus (the value-hash gate, non-vacuously)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from trisk_spark.functions.text import (
+        PHRASE_SEARCH_SQL,
+        phrase_search,
+    )
+
+    from .conftest import assert_matches_oracle
+
+    # doc 0 is the ONLY probe (ids 1..7 absent): phrase = tokens[2:5]
+    rows = [
+        (0, "pad pad alpha beta gamma tail tail tail"),
+        # exact consecutive, twice -> n_exact=2, rank 1
+        (100, "alpha beta gamma filler alpha beta gamma end"),
+        # exact consecutive, once -> rank 2
+        (101, "intro alpha beta gamma outro words here"),
+        # ordered within the 6-token window, never consecutive:
+        # alpha . beta . gamma spans 5 -> n_exact=0, n_prox=1, rank 3
+        (102, "alpha x beta y gamma closing words here"),
+        # all three terms inside a window but OUT OF ORDER -> no match
+        (103, "beta alpha gamma and then some more text"),
+        # in order but beta sits PAST the 6-token window -> no match
+        (104, "alpha f1 f2 f3 f4 f5 beta gamma more"),
+        # only two of the three terms -> no match
+        (105, "alpha beta delta epsilon zeta eta theta"),
+    ]
+    docs = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows]),
+        "lang": pa.array(["en"] * len(rows)),
+        "source": pa.array(["s"] * len(rows)),
+        "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+    })
+    pq.write_table(docs, tmp_path / "documents.parquet")
+    sf = str(tmp_path)
+
+    out = {r.doc_id: r for r in phrase_search(spark, sf).collect()}
+    assert set(out) == {100, 101, 102}, sorted(out)
+    assert all(r.phrase == "alpha beta gamma" for r in out.values())
+    assert (out[100].n_exact, out[100].rank) == (2, 1)
+    assert (out[101].n_exact, out[101].rank) == (1, 2)
+    assert (out[102].n_exact, out[102].n_prox, out[102].rank) == (0, 1, 3)
+    # a consecutive match IS a windowed match
+    assert all(r.n_prox >= r.n_exact for r in out.values())
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    assert_matches_oracle(phrase_search(spark, sf), con, PHRASE_SEARCH_SQL)
+
+
+def test_phrase_search_stream_equals_batch_image(spark, tmp_path):
+    """Arriving documents scanned per micro-batch against the frozen
+    watchlist must union to the batch kernel's image over the same
+    corpus (documents are independent rows)."""
+    from pyspark.sql import functions as F
+
+    from trisk_spark.functions.text import (
+        _phrase_probes,
+        phrase_search_frame,
+        phrase_search_stream,
+    )
+    from trisk_spark.streaming.sources import checkpoint_dir
+
+    from .conftest import SF_DIR
+
+    sf = SF_DIR
+    corpus = (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .where(F.col("doc_id").isNotNull())
+        .select("doc_id", "text")
+    )
+    pdir = str(tmp_path / "docs")
+    corpus.repartitionByRange(3, F.col("doc_id")).write.mode(
+        "overwrite"
+    ).parquet(pdir)
+
+    got = []
+
+    def sink(df, bid):
+        got.extend(map(tuple, df.collect()))
+
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(pdir)
+    )
+    q = (
+        phrase_search_stream(spark, stream, sf, sink)
+        .option("checkpointLocation", checkpoint_dir("phrasestream"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    probes = _phrase_probes(spark, sf)
+    want = sorted(
+        map(tuple, phrase_search_frame(spark, corpus, probes).collect())
+    )
+    assert sorted(got) == want and want
+
+
+def test_quality_calibrate_flips_and_exactness(spark, tmp_path):
+    """The calibration semantics on a skewed two-source corpus: a
+    boilerplate source whose EVERY doc fails the global median still
+    keeps its own top half under calibration (and a clean source's
+    bottom half loses its global pass) — the flip set is exactly what
+    a threshold choice decides about. Per-source keep counts are the
+    exact ceil(n/2) the rank test implies; a single-doc source keeps
+    its doc. Oracle agrees on the fixture corpus."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from trisk_spark.functions.text import (
+        QUALITY_CALIBRATE_SQL,
+        quality_calibrate,
+    )
+
+    from .conftest import assert_matches_oracle
+
+    rows = []
+    for i in range(100):  # clean: long distinct-word docs, quality varies
+        rows.append(
+            (i, " ".join(f"cleanword{i}x{j}" for j in range(40 + i % 40)),
+             "clean")
+        )
+    for i in range(100, 200):  # boiler: short stopword-heavy docs
+        rows.append(
+            (i, "the a of and " + " ".join(f"w{j}" for j in range(2 + i % 7)),
+             "boiler")
+        )
+    rows.append((500, " ".join(f"solo{j}" for j in range(30)), "solo"))
+    docs = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows]),
+        "lang": pa.array(["en"] * len(rows)),
+        "source": pa.array([r[2] for r in rows]),
+        "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+    })
+    pq.write_table(docs, tmp_path / "documents.parquet")
+    sf = str(tmp_path)
+
+    out = quality_calibrate(spark, sf).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r)
+
+    # every boiler doc fails the global gate; the clean class carries it
+    assert all(r.keep_global == 0 for r in by_src["boiler"])
+    # ...yet calibration keeps exactly its top half: the rank test
+    # 2*(rank-1) >= n-1 admits ceil(n/2) docs of every source
+    for src, rs in by_src.items():
+        n = len(rs)
+        assert sum(r.keep_calibrated for r in rs) == (n + 1) // 2, src
+    # flips exist in BOTH directions
+    assert any(r.flipped and r.keep_calibrated for r in by_src["boiler"])
+    assert any(r.flipped and not r.keep_calibrated for r in by_src["clean"])
+    # the single-doc source keeps its doc under calibration (rank 1 of 1)
+    solo = by_src["solo"][0]
+    assert (solo.src_rank, solo.src_n, solo.keep_calibrated) == (1, 1, 1)
+    # all-integer contract: no floats anywhere in the schema
+    schema = quality_calibrate(spark, sf).schema
+    assert all(f.dataType.typeName() in ("long", "integer", "string")
+               for f in schema.fields), schema
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    assert_matches_oracle(
+        quality_calibrate(spark, sf), con, QUALITY_CALIBRATE_SQL
+    )
+
+
+def test_phrase_and_calibrate_hostile_inputs(spark, tmp_path):
+    """Degenerate corpora must yield empty/clean frames, not errors:
+    NULL/empty/whitespace texts, a corpus with NO eligible probe doc
+    (phrase_search's probe set empty), duplicate terms inside a
+    phrase, and a corpus where every doc is word-less (calibration's
+    median over an empty quantized set)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from trisk_spark.functions.text import (
+        PHRASE_SEARCH_SQL,
+        QUALITY_CALIBRATE_SQL,
+        phrase_search,
+        quality_calibrate,
+    )
+
+    from .conftest import assert_matches_oracle
+
+    def write(rows, d):
+        docs = pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows]),
+            "lang": pa.array(["en"] * len(rows)),
+            "source": pa.array([r[2] for r in rows]),
+            "n_chars": pa.array(
+                [len(r[1]) if r[1] else 0 for r in rows], pa.int64()
+            ),
+        })
+        p = tmp_path / d
+        p.mkdir()
+        pq.write_table(docs, p / "documents.parquet")
+        return str(p)
+
+    # 1. no eligible probe (every doc_id < 8 has < 5 tokens or NULL
+    #    text) -> empty frame on both engines, schema intact
+    sf1 = write(
+        [(0, "too short", "s"), (1, None, "s"), (2, "   ", "s"),
+         (100, "alpha beta gamma delta epsilon zeta", "s")],
+        "noprobe",
+    )
+    out = phrase_search(spark, sf1)
+    assert out.count() == 0
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf1}/documents.parquet')"
+    )
+    assert_matches_oracle(out, con, PHRASE_SEARCH_SQL)
+
+    # 2. duplicate terms INSIDE the phrase (probe tokens[2:5] =
+    #    "dup dup tail") + hostile texts in the corpus
+    sf2 = write(
+        [(0, "pad pad dup dup tail after words pad", "s"),
+         (100, "dup dup tail exact match here pad pad", "s"),
+         (101, "dup x dup y tail windowed match pad", "s"),
+         (102, None, "s"), (103, "", "s")],
+        "dupterms",
+    )
+    got = {r.doc_id: r for r in phrase_search(spark, sf2).collect()}
+    assert got[100].n_exact == 1 and got[101].n_exact == 0
+    assert got[101].n_prox == 1
+    con2 = duckdb.connect()
+    con2.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf2}/documents.parquet')"
+    )
+    assert_matches_oracle(phrase_search(spark, sf2), con2, PHRASE_SEARCH_SQL)
+
+    # 3. calibration over an all-degenerate corpus (no doc has words)
+    #    -> empty frame, no NULL-median crash on either engine
+    sf3 = write(
+        [(0, None, "s"), (1, "", "s"), (2, "   ", "t")], "wordless"
+    )
+    out3 = quality_calibrate(spark, sf3)
+    assert out3.count() == 0
+    con3 = duckdb.connect()
+    con3.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf3}/documents.parquet')"
+    )
+    assert_matches_oracle(out3, con3, QUALITY_CALIBRATE_SQL)
+
+    # 4. single-doc corpus: the doc is its own median and source head
+    sf4 = write([(7, " ".join(f"w{i}" for i in range(20)), "only")], "one")
+    row = quality_calibrate(spark, sf4).collect()
+    assert len(row) == 1 and (
+        row[0].keep_global, row[0].keep_calibrated, row[0].flipped
+    ) == (1, 1, 0)

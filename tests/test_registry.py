@@ -183,6 +183,10 @@ def test_readme_op_table_names_are_registered():
         "weighted_sample", "weighted_sample_stream",
         "source_overlap_matrix",
         "weighted_keys_frame",
+        # r16: phrase/proximity retrieval + per-source quality
+        # calibration (library ops + shared kernels)
+        "phrase_search", "phrase_search_stream", "phrase_search_frame",
+        "quality_calibrate",
         # r13: the persisted SRP semantic store (library op +
         # helpers; semantic_incremental is load_library-gated until
         # its R15 seat)

@@ -1501,3 +1501,321 @@ def bm25_model(spark: SparkSession, sf_dir: str) -> tuple[dict, int, int]:
         int(stats["n_docs"]),
         int(stats["total_len"] or 0),
     )
+
+
+# ------------- phrase + ordered-proximity retrieval (r16) -------------
+
+# The positional half of the lexical retrieval family: BM25 above is
+# bag-of-words (term frequencies only — "scan" then "slow" anywhere),
+# while phrase and proximity queries need token POSITIONS ("row scan
+# slow" consecutively; or the three terms in order within a small
+# window — Lucene's PhraseQuery / sloppy-phrase, the capability a
+# positional inverted index exists for). The reference's retrieval
+# surface has neither (beyond-reference op, the bm25_top_docs
+# precedent).
+#
+# Scale shape — deliberately NOT a positional-postings build: the
+# probe phrases are a driver-held literal (≤ PHRASE_N_PROBES structs,
+# the BM25-keyword routing-decision class), so matching is ONE
+# map-only corpus scan with in-row array lambdas — counting consecutive
+# and windowed occurrences inside each row's own token array — and the
+# only shuffle is the hits-sized per-query top-k. At 100 TB this is a
+# full scan per probe SET (not per probe) with zero corpus shuffle; a
+# standing phrase workload would persist (term, doc_id, positions)
+# postings into the bm25 store's bucket layout instead — that store
+# twin is the sketched follow-up, not this op.
+#
+# Exactness: every emitted value is an exact BIGINT count or INT rank;
+# cross-engine floats never appear. The proximity semantics are the
+# deterministic greedy check (first w1 after the anchor within the
+# window, then any w2 after that w1 inside the same window) — greedy
+# is complete for an ordered 3-term match because a later w1 can only
+# shrink the room left for w2. DuckDB trap pinned in the oracle:
+# this DuckDB's list_position returns 0 (not NULL) for absent — the
+# guard is COALESCE(·,0) > 0, never IS NOT NULL.
+
+PHRASE_N_PROBES = 8   #: probe docs: doc_id < this
+PHRASE_OFF = 2        #: phrase = probe doc's tokens[OFF : OFF+LEN]
+PHRASE_LEN = 3
+PHRASE_WINDOW = 6     #: proximity window (ordered match within W tokens)
+PHRASE_TOP_K = 5
+
+
+def _phrase_probes(spark: SparkSession, sf_dir: str) -> list[tuple[int, list[str]]]:
+    """The deterministic probe set: each document with doc_id <
+    PHRASE_N_PROBES and ≥ OFF+LEN tokens contributes the PHRASE_LEN
+    consecutive tokens at offset PHRASE_OFF of its own lowercased
+    token list. Driver-held literal (≤ PHRASE_N_PROBES rows)."""
+    docs = table(spark, sf_dir, "documents").where(F.col("doc_id").isNotNull())
+    base = docs.select("doc_id", _lm_tokens().alias("t"))
+    need = PHRASE_OFF + PHRASE_LEN
+    return [
+        (int(r.doc_id), r.t[PHRASE_OFF:need])
+        for r in base.where(
+            (F.col("doc_id") < PHRASE_N_PROBES) & (F.size("t") >= need)
+        ).collect()  # ≤ PHRASE_N_PROBES rows (routing-decision class)
+    ]
+
+
+PHRASE_SEARCH_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+    list_filter(string_split(lower(coalesce(text, '')), ' '), w -> w <> '') AS t
+  FROM documents WHERE doc_id IS NOT NULL
+),
+probes AS (
+  SELECT CAST(doc_id AS INT) AS query_id,
+    t[{PHRASE_OFF + 1}] AS w0, t[{PHRASE_OFF + 2}] AS w1,
+    t[{PHRASE_OFF + 3}] AS w2
+  FROM base
+  WHERE doc_id < {PHRASE_N_PROBES} AND len(t) >= {PHRASE_OFF + PHRASE_LEN}
+),
+hits AS (
+  SELECT p.query_id, b.doc_id, concat_ws(' ', p.w0, p.w1, p.w2) AS phrase,
+    CAST(len(list_filter(range(1, len(b.t) - {PHRASE_LEN - 2}), k ->
+         b.t[k] = p.w0 AND b.t[k+1] = p.w1 AND b.t[k+2] = p.w2))
+         AS BIGINT) AS n_exact,
+    CAST(len(list_filter(range(1, len(b.t) + 1), k ->
+         b.t[k] = p.w0
+         AND COALESCE(list_position(b.t[k+1:k+{PHRASE_WINDOW - 1}], p.w1), 0) > 0
+         AND list_contains(
+               b.t[k + COALESCE(list_position(
+                     b.t[k+1:k+{PHRASE_WINDOW - 1}], p.w1), 0) + 1
+                   : k+{PHRASE_WINDOW - 1}],
+               p.w2))) AS BIGINT) AS n_prox
+  FROM probes p, base b
+  WHERE b.doc_id <> p.query_id
+)
+SELECT query_id, doc_id, phrase, n_exact, n_prox, CAST(rk AS INT) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        ORDER BY n_exact DESC, n_prox DESC, doc_id) AS rk
+      FROM hits WHERE n_prox > 0)
+WHERE rk <= {PHRASE_TOP_K}
+"""
+
+
+def phrase_search_frame(
+    spark: SparkSession,
+    corpus: DataFrame,
+    probes: list[tuple[int, list[str]]],
+) -> DataFrame:
+    """The map-only phrase/proximity kernel over any (doc_id, text)
+    frame against a literal probe list — shared by the batch op and
+    ``phrase_search_stream`` so stream ≡ batch is by construction.
+    Returns (query_id, doc_id, phrase, n_exact, n_prox) for every
+    (probe, doc) pair with an ordered-window match (n_prox ≥ n_exact
+    ≥ 0 always; a consecutive match is a windowed match)."""
+    if not probes:
+        return spark.createDataFrame(
+            [],
+            "query_id int, doc_id bigint, phrase string, "
+            "n_exact bigint, n_prox bigint",
+        )
+    base = corpus.where(F.col("doc_id").isNotNull()).select(
+        "doc_id", _lm_tokens().alias("t")
+    )
+    phr = F.array(*[
+        F.struct(
+            F.lit(q).cast("int").alias("query_id"),
+            *[F.lit(p[i]).alias(f"w{i}") for i in range(PHRASE_LEN)],
+        )
+        for q, p in probes
+    ])
+    t = F.col("t")
+
+    def exact_cnt(p):
+        ks = F.sequence(F.lit(1), F.size(t) - F.lit(PHRASE_LEN - 1))
+        hit = lambda k: (
+            (F.element_at(t, k) == p["w0"])
+            & (F.element_at(t, k + 1) == p["w1"])
+            & (F.element_at(t, k + 2) == p["w2"])
+        )
+        return (
+            F.when(F.size(t) >= PHRASE_LEN, F.size(F.filter(ks, hit)))
+            .otherwise(F.lit(0))
+        )
+
+    def prox_cnt(p):
+        ks = F.sequence(F.lit(1), F.size(t))
+
+        def hit(k):
+            rest = F.slice(t, k + 1, F.lit(PHRASE_WINDOW - 1))
+            j = F.array_position(rest, p["w1"])
+            rest2 = F.slice(t, k + j + 1, F.lit(PHRASE_WINDOW - 1) - j)
+            return (
+                (F.element_at(t, k) == p["w0"])
+                & (j > 0)
+                & F.array_contains(rest2, p["w2"])
+            )
+
+        return (
+            F.when(F.size(t) > 0, F.size(F.filter(ks, hit)))
+            .otherwise(F.lit(0))
+        )
+
+    return (
+        base.select(
+            "doc_id",
+            F.explode(
+                F.filter(
+                    F.transform(phr, lambda p: F.struct(
+                        p["query_id"].alias("query_id"),
+                        F.concat_ws(" ", p["w0"], p["w1"], p["w2"]).alias(
+                            "phrase"
+                        ),
+                        exact_cnt(p).cast("bigint").alias("n_exact"),
+                        prox_cnt(p).cast("bigint").alias("n_prox"),
+                    )),
+                    lambda c: c["n_prox"] > 0,
+                )
+            ).alias("h"),
+        )
+        .select("h.query_id", "doc_id", "h.phrase", "h.n_exact", "h.n_prox")
+        .where(F.col("doc_id") != F.col("query_id"))
+    )
+
+
+def phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-PHRASE_TOP_K documents per probe phrase, ranked by exact
+    consecutive occurrences then ordered-window (proximity ≤
+    PHRASE_WINDOW) occurrences then doc_id — Lucene-style phrase +
+    sloppy-phrase retrieval, the positional capability the BM25
+    bag-of-words family cannot express. LIBRARY op: full DuckDB
+    oracle (``PHRASE_SEARCH_SQL`` re-derives probes, both counts, and
+    the ranking from the raw table under one value-hash); all-integer
+    output."""
+    from pyspark.sql import Window
+
+    probes = _phrase_probes(spark, sf_dir)
+    docs = table(spark, sf_dir, "documents")
+    res = phrase_search_frame(spark, docs, probes)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("n_exact"), F.desc("n_prox"), "doc_id"
+    )
+    return (
+        res.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= PHRASE_TOP_K)
+        .select("query_id", "doc_id", "phrase", "n_exact", "n_prox", "rank")
+    )
+
+
+def phrase_search_stream(
+    spark: SparkSession, docs_stream: DataFrame, ref_sf_dir: str, sink
+):
+    """Streaming phrase matching — "flag arriving documents that
+    contain any watched phrase as they land": each micro-batch of
+    (doc_id, text) rows is scanned by the IDENTICAL map-only kernel
+    (``phrase_search_frame``) against the reference corpus's probe
+    phrases (derived once at stream build — the frozen watchlist).
+    Documents are independent rows, so the union of per-batch hit
+    frames equals the batch kernel's image over the same corpus
+    (stream ≡ batch pytest-pinned); ranking is per-batch policy and
+    deliberately not applied here. ``sink(hits_df, batch_id)``; sink
+    contract: fully materialize inside the call."""
+    probes = _phrase_probes(spark, ref_sf_dir)
+
+    def fb(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.persist()
+        try:
+            sink(phrase_search_frame(spark, batch_df, probes), batch_id)
+        finally:
+            batch_df.unpersist()
+
+    return docs_stream.writeStream.outputMode("append").foreachBatch(fb)
+
+
+# ------------- per-source quality calibration (r16) -------------------
+
+# Raw quality scores are not comparable across sources: a boilerplate-
+# heavy source's best documents can all sit below a clean source's
+# worst, so one global threshold silently empties some sources and
+# admits another's dregs wholesale (the per-source calibration step
+# DataComp/Dolma-class curation pipelines run before any global gate).
+# This op publishes, per document, its source-RELATIVE standing next
+# to the global-threshold verdict, and flags the documents where the
+# two disagree — the exact set a threshold choice is deciding about.
+#
+# Exactness: everything lives on the integer grid — quality is
+# FLOOR-quantized to ppm (floor is tie-free, unlike ROUND, whose
+# half-way cases split Spark's HALF_UP from DuckDB's half-even on
+# doubles — measured on sf0.1 before this design), the source-relative
+# standing is the exact (src_rank, src_n) pair with the median test
+# 2·(rank−1) ≥ n−1 done in integers, and the global median of BIGINT
+# ppms interpolates to an exactly-representable dyadic midpoint
+# (identical IEEE value on both engines regardless of formula order).
+#
+# Scale: one map-only quantization pass, ONE shuffle by source for the
+# rank window, and a broadcast 1-row median. A pathologically giant
+# source makes its window sort one task — the sharded two-pass
+# rank-via-count-below (the pack_plan prefix-sum lineage) is the
+# swap-in at that point; at registry scale the window is the right
+# plan.
+
+QUALITY_CALIBRATE_SQL = f"""
+WITH d AS (
+  SELECT doc_id, source, text,
+    list_filter(string_split(text, ' '), w -> w <> '') AS ws
+  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+),
+b AS (
+  SELECT doc_id, source,
+    CAST(FLOOR(({quality_sql("ws", "text")}) * 1000000.0) AS BIGINT)
+      AS quality_ppm
+  FROM d WHERE len(ws) > 0
+),
+m AS (SELECT quantile_cont(quality_ppm, 0.5) AS med FROM b),
+p AS (
+  SELECT doc_id, source, quality_ppm,
+    CAST(ROW_NUMBER() OVER (PARTITION BY source
+           ORDER BY quality_ppm, doc_id) AS BIGINT) AS src_rank,
+    CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS src_n
+  FROM b
+)
+SELECT p.doc_id, p.source, p.quality_ppm, p.src_rank, p.src_n,
+  CAST(p.quality_ppm >= m.med AS INT) AS keep_global,
+  CAST(2 * (p.src_rank - 1) >= p.src_n - 1 AS INT) AS keep_calibrated,
+  CAST((p.quality_ppm >= m.med) <> (2 * (p.src_rank - 1) >= p.src_n - 1)
+       AS INT) AS flipped
+FROM p CROSS JOIN m
+"""
+
+
+def quality_calibrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality calibration: each document's ppm-quantized
+    quality (the shared ``quality_expr`` formula — the one-formula
+    rule), its exact within-source standing (src_rank of src_n,
+    ascending), the global-median keep verdict, the source-median
+    (calibrated) keep verdict, and the flip flag where they disagree.
+    LIBRARY op: full DuckDB oracle (``QUALITY_CALIBRATE_SQL``);
+    all-integer output except the source name."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents").where(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    )
+    base = docs.select(
+        "doc_id",
+        "source",
+        F.floor(quality_expr(F.col("text")) * F.lit(1_000_000.0))
+        .cast("bigint")
+        .alias("quality_ppm"),
+    ).where(F.col("quality_ppm").isNotNull())
+    med = base.agg(F.percentile("quality_ppm", F.lit(0.5)).alias("med"))
+    w = Window.partitionBy("source").orderBy("quality_ppm", "doc_id")
+    cw = Window.partitionBy("source")
+    return (
+        base.withColumn("src_rank", F.row_number().over(w).cast("bigint"))
+        .withColumn("src_n", F.count("*").over(cw).cast("bigint"))
+        .crossJoin(F.broadcast(med))
+        .select(
+            "doc_id", "source", "quality_ppm", "src_rank", "src_n",
+            (F.col("quality_ppm") >= F.col("med"))
+            .cast("int").alias("keep_global"),
+            (2 * (F.col("src_rank") - 1) >= F.col("src_n") - 1)
+            .cast("int").alias("keep_calibrated"),
+        )
+        .withColumn(
+            "flipped",
+            (F.col("keep_global") != F.col("keep_calibrated")).cast("int"),
+        )
+    )

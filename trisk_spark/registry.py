@@ -142,8 +142,11 @@ def register(name: str, oracle: str | None = None):
 # PERSISTED INDEXES -- BM25 postings store + int8 IVF store + the
 # shared RRF fusion; the deployment twin of the r16-seated
 # hybrid_retrieval). Alternates: ivf_drift_report,
-# embedding_outliers, source_overlap_matrix. Pool stays
-# 94 - 2 + 2 = 94 (saturated).
+# embedding_outliers, source_overlap_matrix, plus the r16-new library
+# ops phrase_search (positional lexical retrieval -- no registered
+# sibling for phrase/proximity semantics) and quality_calibrate
+# (per-source rank calibration). Pool stays 94 - 2 + 2 = 94
+# (saturated).
 # Sitting out r16 -- every alternating row hash-green in r15
 # (CORRECTNESS_r15), witness noted ("(in)" = in the r16 window):
 DEPRIORITIZED = [
@@ -297,6 +300,7 @@ def load_library() -> dict[str, QueryDef]:
         sampling,
         semantic_store,
         similarity,
+        text,
     )
     from trisk_spark.operators import relational
 
@@ -421,6 +425,26 @@ def load_library() -> dict[str, QueryDef]:
         "semantic_takedown": (
             semantic_store.semantic_takedown,
             semantic_store.SEMANTIC_TAKEDOWN_SQL,
+        ),
+        # r16-new: phrase + ordered-proximity retrieval — the
+        # POSITIONAL half of the lexical family (BM25 is bag-of-words;
+        # this is Lucene PhraseQuery / sloppy-phrase semantics): exact
+        # consecutive-trigram counts + greedy ordered-window counts,
+        # both exact BIGINTs, probes derived from the corpus itself,
+        # ranking under ONE value-hash. Map-only corpus scan with
+        # in-row array lambdas — zero corpus shuffle.
+        "phrase_search": (text.phrase_search, text.PHRASE_SEARCH_SQL),
+        # r16-new: per-source quality calibration — each document's
+        # exact within-source standing vs the global-median verdict,
+        # with the flip set (the docs a threshold choice is actually
+        # deciding about). Entirely on the integer ppm grid: FLOOR
+        # quantization (tie-free, unlike ROUND whose half-way cases
+        # split Spark HALF_UP from DuckDB half-even — measured at
+        # sf0.1 before this design), integer rank tests, dyadic-exact
+        # BIGINT median.
+        "quality_calibrate": (
+            text.quality_calibrate,
+            text.QUALITY_CALIBRATE_SQL,
         ),
     }
 
