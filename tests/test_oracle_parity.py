@@ -126,6 +126,9 @@ LIBRARY_NAMES = sorted(
         # r16-new: phrase + ordered-proximity retrieval (positional
         # lexical semantics over in-row token arrays, all-integer)
         "phrase_search",
+        # r16-new: leakage-safe cluster-atomic train split (no near-dup
+        # pair straddles a split boundary, by construction)
+        "cluster_split",
         # r16-new: per-source quality calibration on the integer ppm
         # grid (within-source rank vs global-median verdict + flips)
         "quality_calibrate",

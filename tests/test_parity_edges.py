@@ -2306,3 +2306,82 @@ def test_phrase_and_calibrate_hostile_inputs(spark, tmp_path):
     assert len(row) == 1 and (
         row[0].keep_global, row[0].keep_calibrated, row[0].flipped
     ) == (1, 1, 0)
+
+
+def test_cluster_split_zero_straddling_and_moves(spark, tmp_path):
+    """The leakage-safe split's defining invariant on a planted
+    corpus: EVERY near-dup pair shares one split (zero straddling, by
+    construction — the thing cross_split_leakage would otherwise
+    measure), the moved set is exactly the docs whose cluster-canonical
+    bucket disagrees with their own, singletons keep their doc-level
+    assignment, and the oracle agrees on the fixture corpus."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from trisk_spark.functions.dedup import dedup_minhash_lsh
+    from trisk_spark.functions.sampling import (
+        CLUSTER_SPLIT_SQL,
+        cluster_split,
+        train_split,
+    )
+
+    from .conftest import assert_matches_oracle
+
+    # one large near-dup cluster with ids scattered across the md5
+    # bucket space (40 members: doc-level buckets are guaranteed to
+    # disagree somewhere), plus unrelated singleton docs
+    dup = " ".join(f"shared{i % 23} words here" for i in range(40))
+    cluster_ids = [7 * i + 1 for i in range(40)]
+    rows = [(i, dup + f" tail{i % 3}", "web") for i in cluster_ids]
+    singleton_ids = [1000 + i for i in range(20)]
+    rows += [
+        (i, " ".join(f"u{i}w{j}" for j in range(40)), "code")
+        for i in singleton_ids
+    ]
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows]),
+            "lang": pa.array(["en"] * len(rows)),
+            "source": pa.array([r[2] for r in rows]),
+            "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+        }),
+        tmp_path / "documents.parquet",
+    )
+    sf = str(tmp_path)
+
+    out = {r.doc_id: r for r in cluster_split(spark, sf).collect()}
+    assert set(out) == set(cluster_ids) | set(singleton_ids)
+
+    # ZERO straddling: every detected near-dup pair shares a split
+    pairs = dedup_minhash_lsh(spark, sf).collect()
+    assert pairs, "fixture must actually produce near-dup pairs"
+    assert all(
+        out[p.doc_a].split == out[p.doc_b].split for p in pairs
+    ), "a near-dup pair straddles the split — the invariant this op exists for"
+
+    # the naive doc-level split DOES straddle this cluster (the
+    # contamination being removed), and moved marks exactly the
+    # disagreement set
+    naive = {r.doc_id: r.split for r in train_split(spark, sf).collect()}
+    in_cluster = {naive[i] for i in cluster_ids if i in out}
+    assert len(in_cluster) > 1, "fixture cluster must straddle under md5"
+    assert any(out[i].moved for i in cluster_ids)
+    assert all(
+        bool(out[i].moved) == (out[i].split != naive[i]) for i in out
+    )
+    # singletons: canonical = own id, split = doc-level, never moved
+    for i in singleton_ids:
+        assert out[i].canonical_id == i and out[i].moved == 0
+        assert out[i].split == naive[i]
+    # cluster members all carry the canonical (min) member id
+    mn = min(i for i in cluster_ids if i in out)
+    assert all(out[i].canonical_id == mn for i in cluster_ids)
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    assert_matches_oracle(cluster_split(spark, sf), con, CLUSTER_SPLIT_SQL)

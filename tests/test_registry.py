@@ -184,9 +184,9 @@ def test_readme_op_table_names_are_registered():
         "source_overlap_matrix",
         "weighted_keys_frame",
         # r16: phrase/proximity retrieval + per-source quality
-        # calibration (library ops + shared kernels)
+        # calibration + cluster-atomic split (library ops + kernels)
         "phrase_search", "phrase_search_stream", "phrase_search_frame",
-        "quality_calibrate",
+        "quality_calibrate", "cluster_split",
         # r13: the persisted SRP semantic store (library op +
         # helpers; semantic_incremental is load_library-gated until
         # its R15 seat)

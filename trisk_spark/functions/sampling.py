@@ -31,15 +31,29 @@ from trisk_spark.registry import register
 #: [90,100) test — the standard 80/10/10.
 TRAIN_PCT, VAL_PCT = 80, 90
 
-_BUCKET_SQL = (
-    "CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) "
-    "AS BIGINT) % 100"
-)
+def _bucket_sql(col: str = "doc_id") -> str:
+    """The 0-99 md5 bucket as a DuckDB fragment over any id column —
+    parameterized so ``cluster_split`` can bucket the cluster
+    CANONICAL id with the identical arithmetic."""
+    return (
+        f"CAST(CONCAT('0x', substr(md5(CAST({col} AS VARCHAR)), 1, 15)) "
+        "AS BIGINT) % 100"
+    )
+
+
+_BUCKET_SQL = _bucket_sql()
 
 #: the split CASE, shared verbatim by every oracle that assigns splits
-_SPLIT_CASE_SQL = f"""CASE WHEN {_BUCKET_SQL} < {TRAIN_PCT} THEN 'train'
-       WHEN {_BUCKET_SQL} < {VAL_PCT} THEN 'val'
+def _split_case_sql(col: str = "doc_id") -> str:
+    """The bucket→label CASE as a DuckDB fragment over any id column
+    (the SQL half of ``_split_label``)."""
+    b = _bucket_sql(col)
+    return f"""CASE WHEN {b} < {TRAIN_PCT} THEN 'train'
+       WHEN {b} < {VAL_PCT} THEN 'val'
        ELSE 'test' END"""
+
+
+_SPLIT_CASE_SQL = _split_case_sql()
 
 
 def _bucket(doc_id: Column) -> Column:
@@ -51,17 +65,23 @@ def _bucket(doc_id: Column) -> Column:
     )
 
 
-def _split_col() -> Column:
-    """The engine half of ``_SPLIT_CASE_SQL`` — the ONE place the
-    bucket->label mapping lives (train_split, split_rollup, and
-    curation_manifest all use it, so a threshold change cannot
+def _split_label(id_col: Column) -> Column:
+    """The bucket→label mapping over ANY id column — the ONE place it
+    lives (train_split, split_rollup, curation_manifest, and
+    cluster_split all route through it, so a threshold change cannot
     desynchronize them)."""
-    b = _bucket(F.col("doc_id"))
+    b = _bucket(id_col)
     return (
         F.when(b < TRAIN_PCT, F.lit("train"))
         .when(b < VAL_PCT, F.lit("val"))
         .otherwise(F.lit("test"))
     )
+
+
+def _split_col() -> Column:
+    """``_split_label`` over the document's own id (the doc-level
+    split the md5 family uses)."""
+    return _split_label(F.col("doc_id"))
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2348,3 +2368,94 @@ FROM (
   FROM wsk
 ) WHERE rk <= {WEIGHTED_SAMPLE_M}
 """
+
+
+# -------------- leakage-safe (cluster-atomic) train split (r16) -------
+
+# ``train_split`` assigns splits by md5(doc_id) — stable and map-only,
+# but near-DUPLICATE documents draw independent buckets, so ~19 of
+# every 100 near-dup pairs straddle train/val|test: the eval set then
+# contains near-copies of training documents and the measurement
+# (``cross_split_leakage``) reports exactly that contamination. The
+# fix every serious pipeline applies (and the reason
+# cross_split_leakage exists as a gate) is CLUSTER-ATOMIC assignment:
+# hash the near-dup cluster's CANONICAL id, not the member's, so a
+# whole cluster lands on one side by construction — zero straddling
+# pairs, provable, not just measured.
+#
+# Scale shape: the near-dup component table (``dedup_clusters``'s
+# banded-LSH chain + pointer-jumped min-label propagation — the heavy
+# lifting, already scale-shaped and hash-gated on its own row) is
+# near-dup-doc-sized, i.e. a small fraction of the corpus; assignment
+# is one LEFT JOIN of the corpus id column against it plus map-only
+# md5 CASE expressions. ``moved`` marks the docs whose split CHANGED
+# vs the doc-level hash — the exact rows the naive split would have
+# leaked (or displaced).
+
+CLUSTER_SPLIT_SQL: str  # assigned below (composes dedup's pair SQL)
+
+
+def _cluster_split_sql() -> str:
+    from trisk_spark.functions.dedup import MINHASH_LSH_PAIRS_SQL
+
+    return f"""
+WITH RECURSIVE cand AS ({MINHASH_LSH_PAIRS_SQL}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM cand
+  UNION
+  SELECT doc_b, doc_a FROM cand
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+comp AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS component FROM reach GROUP BY a),
+d AS (SELECT doc_id FROM documents WHERE doc_id IS NOT NULL),
+j AS (
+  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS canonical_id
+  FROM d LEFT JOIN comp c USING (doc_id)
+)
+SELECT doc_id, canonical_id,
+  {_split_case_sql("canonical_id")} AS split,
+  CAST(({_split_case_sql("canonical_id")})
+       <> ({_split_case_sql("doc_id")}) AS INT) AS moved
+FROM j
+"""
+
+
+def cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test assignment: every document is
+    hashed by its near-dup cluster's CANONICAL id (the component min;
+    its own id for singletons), so no near-duplicate pair can straddle
+    a split boundary — the cluster-atomic counterpart of
+    ``train_split``, with ``moved`` flagging where the two disagree.
+    LIBRARY op: full DuckDB oracle (``CLUSTER_SPLIT_SQL`` re-derives
+    the pair kernel, the transitive closure, and both split CASEs
+    under one value-hash); the zero-straddling invariant is
+    pytest-pinned on a planted-duplicate fixture."""
+    from trisk_spark.functions.dedup import dedup_clusters
+
+    comp = dedup_clusters(spark, sf_dir).select(
+        "doc_id", F.col("component").alias("canonical_id")
+    )
+    j = (
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("canonical_id", "doc_id").alias("canonical_id"),
+        )
+    )
+    canon = _split_label(F.col("canonical_id"))
+    own = _split_label(F.col("doc_id"))
+    return j.select(
+        "doc_id",
+        "canonical_id",
+        canon.alias("split"),
+        (canon != own).cast("int").alias("moved"),
+    )
+
+
+CLUSTER_SPLIT_SQL = _cluster_split_sql()

@@ -434,6 +434,13 @@ def load_library() -> dict[str, QueryDef]:
         # ranking under ONE value-hash. Map-only corpus scan with
         # in-row array lambdas — zero corpus shuffle.
         "phrase_search": (text.phrase_search, text.PHRASE_SEARCH_SQL),
+        # r16-new: leakage-safe cluster-atomic train split — every doc
+        # hashed by its near-dup cluster's CANONICAL id so no near-dup
+        # pair straddles a split (train_split is doc-level md5 and
+        # leaks ~19% of pairs; cross_split_leakage MEASURES that,
+        # this REMOVES it by construction). Oracle composes the pair
+        # kernel + transitive closure + both split CASEs.
+        "cluster_split": (sampling.cluster_split, sampling.CLUSTER_SPLIT_SQL),
         # r16-new: per-source quality calibration — each document's
         # exact within-source standing vs the global-median verdict,
         # with the flip set (the docs a threshold choice is actually
