@@ -699,3 +699,89 @@ def test_takedown_wave_pending_different_ids_fails_loud(
         embedding_gram_frame(emb.where(~F.col("vec_id").isin([2, 4, 5, 6])))
     )
     assert _moments(G.gram_store_moments(spark, gpath)) == want
+
+
+def test_takedown_wave_pre_sequence_migration_guard(spark, tmp_path):
+    """r16 review finding: on a store migrated from the pre-sequence
+    (r15) era, seq=1's tombstone aliases the legacy bare-CSV digest —
+    so a landed legacy tombstone with no sequence counter must FAIL
+    LOUD (the crashed-re-drive and completed-then-re-admitted
+    histories are indistinguishable from store state) instead of
+    silently skipping the re-admitted victims' subtraction; after the
+    operator's ``ack_pre_sequence_takedown`` the wave allocates a
+    fresh sequence and subtracts."""
+    from trisk_spark.functions.admission import (
+        ack_pre_sequence_takedown,
+        takedown_wave,
+    )
+    from trisk_spark.functions.dedup_store import (
+        append_dedup_store,
+        delete_from_dedup_store,
+        write_dedup_store,
+    )
+    from trisk_spark.functions.semantic_store import (
+        append_semantic_store,
+        delete_from_semantic_store,
+        write_semantic_store,
+    )
+
+    def vec(i):
+        v = [0.001 * ((i + k) % 5) for k in range(DIM)]
+        v[i % DIM] = 0.8
+        return [float(x) for x in v]
+
+    ids = list(range(20))
+    docs = spark.createDataFrame(
+        [(i, f"document body {i} with words w{i} x{i}") for i in ids],
+        "doc_id long, text string",
+    )
+    emb = spark.createDataFrame(
+        [(i, vec(i)) for i in ids], "vec_id long, embedding array<double>"
+    )
+    dpath, spath, gpath = (
+        str(tmp_path / "d"), str(tmp_path / "s"), str(tmp_path / "g")
+    )
+    write_dedup_store(spark, docs, dpath)
+    write_semantic_store(spark, emb, spath)
+    G.write_gram_store(spark, emb, gpath)
+
+    victims = [2, 9]
+    want = _moments(
+        embedding_gram_frame(emb.where(~F.col("vec_id").isin(victims)))
+    )
+    # the r15-era flow: per-store deletes, NO wave sequencing
+    G.delete_from_gram_store(
+        spark, emb.where(F.col("vec_id").isin(victims)), gpath
+    )
+    delete_from_dedup_store(spark, victims, dpath)
+    delete_from_semantic_store(spark, victims, spath)
+    assert _moments(G.gram_store_moments(spark, gpath)) == want
+
+    # re-admit, then the first POST-upgrade wave: must refuse, not
+    # silently no-op the subtraction
+    vdocs = docs.where(F.col("doc_id").isin(victims))
+    vemb = emb.where(F.col("vec_id").isin(victims))
+    append_dedup_store(spark, vdocs, dpath)
+    append_semantic_store(spark, vemb, spath)
+    G.append_gram_store(spark, vemb, gpath, wave_id=50)
+    with pytest.raises(RuntimeError, match="PRE-SEQUENCE"):
+        takedown_wave(
+            spark, victims, dpath, spath, gram_path=gpath, victim_emb=emb
+        )
+    # nothing mutated by the refused wave
+    assert _moments(G.gram_store_moments(spark, gpath)) == _moments(
+        embedding_gram_frame(emb)
+    )
+
+    # operator ack (completed-takedown history) -> the wave subtracts
+    # under a fresh sequence and converges to the rebuild image
+    ack_pre_sequence_takedown(gpath)
+    takedown_wave(
+        spark, victims, dpath, spath, gram_path=gpath, victim_emb=emb
+    )
+    assert _moments(G.gram_store_moments(spark, gpath)) == want
+    # spurious re-run: membership gate finds nothing admitted
+    takedown_wave(
+        spark, victims, dpath, spath, gram_path=gpath, victim_emb=emb
+    )
+    assert _moments(G.gram_store_moments(spark, gpath)) == want

@@ -566,7 +566,27 @@ def admission_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 ADMISSION_REPORT_SQL = _admission_report_sql()
 
 
-def _begin_gram_takedown(gram_path: str, ids: list[int]) -> int:
+def ack_pre_sequence_takedown(gram_path: str) -> None:
+    """Migration acknowledgement for gram stores carrying a
+    PRE-SEQUENCE (r15-era) takedown tombstone: initializes the durable
+    ``_takedown_seq`` counter to 1 so the next ``takedown_wave``
+    allocates sequence 2 and its tombstone cannot alias the legacy
+    digest. Call this ONLY after confirming the landed legacy
+    tombstone belongs to a COMPLETED takedown (the victims were
+    deleted from the row stores before any re-admission); for a
+    CRASHED pre-sequence wave, finish it first — its gram subtraction
+    already landed, so run the per-store row deletes directly — and
+    ack afterwards."""
+    base = storefs.strip_file_scheme(gram_path)
+    tmp = f"{base}/_takedown_seq.tmp"
+    with open(tmp, "w") as f:
+        f.write("1")
+    os.replace(tmp, f"{base}/_takedown_seq")
+
+
+def _begin_gram_takedown(
+    spark: SparkSession, gram_path: str, ids: list[int]
+) -> int:
     """Durably allocate (or re-read) the takedown-sequence number for
     this wave — the machinery that lets ``takedown_wave`` take the
     SAME id set down twice legitimately (victims re-admitted after a
@@ -610,6 +630,40 @@ def _begin_gram_takedown(gram_path: str, ids: list[int]) -> int:
     if os.path.exists(seq_path):
         with open(seq_path) as f:
             completed = int(f.read().strip())
+    if completed == 0:
+        # PRE-SEQUENCE MIGRATION GUARD (r16 review finding): seq=1's
+        # tombstone is byte-identical to the r15-era bare-CSV digest
+        # (deliberately, so a crashed pre-upgrade wave re-driven here
+        # converges). The flip side: if a PRE-upgrade takedown of this
+        # exact id set COMPLETED and the victims were re-admitted, a
+        # seq=1 wave would find that legacy tombstone landed and
+        # silently skip the subtraction — a permanent privacy miss.
+        # The two histories are indistinguishable from store state
+        # (both leave the tombstone landed and the victims admitted),
+        # so a landed legacy tombstone on a store with NO sequence
+        # counter fails loud and hands the operator the decision.
+        from trisk_spark.functions.gram_store import tombstone_wave_id
+
+        bare = tombstone_wave_id(ids, 1)
+        landed = (
+            spark.read.parquet(f"{gram_path}/partials")
+            .where(F.col("wave_id") == bare)
+            .limit(1)
+            .count()
+            > 0
+        )
+        if landed:
+            raise RuntimeError(
+                "takedown_wave: a PRE-SEQUENCE (r15-era) tombstone for "
+                "exactly this victim id set is landed in the gram store "
+                f"({gram_path}) and no takedown-sequence counter exists, "
+                "so this wave cannot tell a crashed pre-upgrade re-drive "
+                "(subtraction already done — finish the row-store "
+                "deletes directly, then ack) from a completed takedown "
+                "whose victims were re-admitted (ack first, then re-run "
+                "this wave: it will subtract under a fresh sequence). "
+                "Ack = admission.ack_pre_sequence_takedown(gram_path)."
+            )
     seq = completed + 1
     tmp = ipath + "_tmp"
     with open(tmp, "w") as f:
@@ -719,7 +773,7 @@ def takedown_wave(
                 "to subtract (moments are aggregates; ids alone cannot "
                 "re-derive them)"
             )
-        seq = _begin_gram_takedown(gram_path, ids)
+        seq = _begin_gram_takedown(spark, gram_path, ids)
         # The subtraction set is victims ∩ CURRENT dedup-store
         # membership (one pushdown-filtered scan of the id-literal
         # against <dedup_path>/signatures — takedown-class cost).

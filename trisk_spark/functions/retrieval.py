@@ -291,9 +291,12 @@ HYBRID_RETRIEVAL_SQL = (
 # kernels have no registered sibling, so this is their only possible
 # independent driver-hash row. Registration is post-hoc (not a
 # decorator) because the oracle CTEs are assembled below the function
-# body; the registry stores the same prepare()-wrapped contract a
-# decorator would produce.
-register("hybrid_retrieval", oracle=HYBRID_RETRIEVAL_SQL)(hybrid_retrieval)
+# body; the module attribute is REBOUND to the wrapped form so direct
+# importers get the same prepare()-wrapped contract every
+# decorator-registered sibling exposes.
+hybrid_retrieval = register("hybrid_retrieval", oracle=HYBRID_RETRIEVAL_SQL)(
+    hybrid_retrieval
+)
 
 
 # ------------------- hybrid probe over the persisted stores ----------

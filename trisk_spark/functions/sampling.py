@@ -2279,19 +2279,23 @@ def weighted_sample_stream(
         # a NULL source must round-trip as None, not coerce to "" (CSV
         # has no native NULL): column 6 flags it (r15 ADVICE — the ""
         # coercion made a reloaded tuple unequal to its replayed twin,
-        # so one doc held two reservoir slots after a restart)
+        # so one doc held two reservoir slots after a restart). Legacy
+        # 5-column rows (pre-flag writer) stored BOTH None and "" as
+        # "" — decode "" as None there: null-source corpora are the
+        # documented case, an actual empty-STRING source is
+        # unrepresentable in that format either way.
         p = storefs.strip_file_scheme(reservoir_path)
         if not os.path.exists(f"{p}/reservoir.csv"):
             return []
+
+        def src(r):
+            if len(r) > 5:
+                return None if r[5] == "1" else r[1]
+            return None if r[1] == "" else r[1]
+
         with open(f"{p}/reservoir.csv", newline="") as f:
             return [
-                (
-                    int(r[0]),
-                    None if len(r) > 5 and r[5] == "1" else r[1],
-                    int(r[2]),
-                    float(r[3]),
-                    float(r[4]),
-                )
+                (int(r[0]), src(r), int(r[2]), float(r[3]), float(r[4]))
                 for r in csv.reader(f)
             ]
 

@@ -147,6 +147,21 @@ def register(name: str, oracle: str | None = None):
 # sibling for phrase/proximity semantics) and quality_calibrate
 # (per-source rank calibration). Pool stays 94 - 2 + 2 = 94
 # (saturated).
+# R17 BUILD CANDIDATE (sketched r16, deliberately NOT rushed into
+# this round): the persisted POSITIONAL postings store -- the
+# standing-workload path phrase_search's docstring promises: (term,
+# doc_id, positions array<int>) bucketed by md5(term) % 64 exactly
+# like the bm25 store, probe = driver-routed pruned read + 3-way
+# per-phrase join + position-set lambdas (n_exact = positions
+# intersected under shifts, n_prox = the exists-formulation, which
+# equals the in-row greedy semantics), full store verb set via the
+# existing storefs staged-partition protocol (positions are uncapped
+# per-doc facts like bm25 postings, so delete = filter-per-touched-
+# bucket with durable staging -- bm25_store._run_recorded_delete's
+# exact shape minus doclens/stats), and a phrase_incremental library
+# op whose oracle is PHRASE_SEARCH_SQL verbatim (exact index =>
+# write -> append -> route -> pruned probe must equal the one-plan
+# batch kernel row for row, the bm25_incremental precedent).
 # Sitting out r16 -- every alternating row hash-green in r15
 # (CORRECTNESS_r15), witness noted ("(in)" = in the r16 window):
 DEPRIORITIZED = [
