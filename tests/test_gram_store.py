@@ -785,3 +785,120 @@ def test_takedown_wave_pre_sequence_migration_guard(spark, tmp_path):
         spark, victims, dpath, spath, gram_path=gpath, victim_emb=emb
     )
     assert _moments(G.gram_store_moments(spark, gpath)) == want
+
+
+def test_migration_guard_survives_unrelated_waves(spark, tmp_path):
+    """r16 second-review finding: the pre-sequence guard must key on
+    the per-id-set completion LEDGER, not on 'counter == 0' — a
+    crashed r15-era takedown of set A re-driven AFTER an unrelated
+    post-upgrade wave of set B bumped the counter must still fail
+    loud instead of double-subtracting A under a fresh salted
+    tombstone. Also pins: ack never LOWERS an existing counter."""
+    from trisk_spark.functions import storefs
+    from trisk_spark.functions.admission import (
+        ack_pre_sequence_takedown,
+        takedown_wave,
+    )
+    from trisk_spark.functions.dedup_store import write_dedup_store
+    from trisk_spark.functions.semantic_store import write_semantic_store
+
+    def vec(i):
+        v = [0.001 * ((i + k) % 5) for k in range(DIM)]
+        v[i % DIM] = 0.8
+        return [float(x) for x in v]
+
+    ids = list(range(20))
+    docs = spark.createDataFrame(
+        [(i, f"document body {i} with words w{i} x{i}") for i in ids],
+        "doc_id long, text string",
+    )
+    emb = spark.createDataFrame(
+        [(i, vec(i)) for i in ids], "vec_id long, embedding array<double>"
+    )
+    dpath, spath, gpath = (
+        str(tmp_path / "d"), str(tmp_path / "s"), str(tmp_path / "g")
+    )
+    write_dedup_store(spark, docs, dpath)
+    write_semantic_store(spark, emb, spath)
+    G.write_gram_store(spark, emb, gpath)
+
+    set_a = [2, 9]
+    # the r15-era CRASHED wave of A: gram tombstone landed (bare
+    # digest), row-store deletes never ran, no sequence metadata
+    G.delete_from_gram_store(
+        spark, emb.where(F.col("vec_id").isin(set_a)), gpath
+    )
+    after_a = _moments(G.gram_store_moments(spark, gpath))
+
+    # an unrelated post-upgrade wave of B completes and bumps the
+    # counter + ledger
+    takedown_wave(
+        spark, [5, 6], dpath, spath, gram_path=gpath, victim_emb=emb
+    )
+    assert storefs.read_small_text(gpath, "_takedown_seq").strip() == "1"
+
+    # re-driving the crashed legacy wave of A must STILL fail loud
+    with pytest.raises(RuntimeError, match="PRE-SEQUENCE"):
+        takedown_wave(
+            spark, set_a, dpath, spath, gram_path=gpath, victim_emb=emb
+        )
+    # nothing subtracted twice by the refused wave
+    want_b = _moments(
+        embedding_gram_frame(emb.where(~F.col("vec_id").isin(set_a + [5, 6])))
+    )
+    assert _moments(G.gram_store_moments(spark, gpath)) == want_b
+
+    # ack on a store with a live counter never lowers it
+    storefs.write_small_text(gpath, "_takedown_seq", "3")
+    ack_pre_sequence_takedown(gpath)
+    assert storefs.read_small_text(gpath, "_takedown_seq").strip() == "3"
+    del after_a
+
+
+def test_takedown_wave_rejects_uncovering_victim_emb(spark, tmp_path):
+    """r16 second-review finding: when the membership gate proves
+    victims are admitted AND the semantic store holds their vectors,
+    a victim_emb that cannot cover them must FAIL LOUD before any
+    store mutates — silently subtracting an empty block while the row
+    deletes proceed would orphan the moments forever. Victims
+    admitted WITHOUT a vector are legitimately not required."""
+    from trisk_spark.functions.admission import takedown_wave
+    from trisk_spark.functions.dedup_store import write_dedup_store
+    from trisk_spark.functions.semantic_store import write_semantic_store
+
+    def vec(i):
+        v = [0.001 * ((i + k) % 5) for k in range(DIM)]
+        v[i % DIM] = 0.8
+        return [float(x) for x in v]
+
+    ids = list(range(15))
+    docs = spark.createDataFrame(
+        [(i, f"document body {i} with words w{i} x{i}") for i in ids],
+        "doc_id long, text string",
+    )
+    emb = spark.createDataFrame(
+        [(i, vec(i)) for i in ids], "vec_id long, embedding array<double>"
+    )
+    dpath, spath, gpath = (
+        str(tmp_path / "d"), str(tmp_path / "s"), str(tmp_path / "g")
+    )
+    write_dedup_store(spark, docs, dpath)
+    write_semantic_store(spark, emb, spath)
+    G.write_gram_store(spark, emb, gpath)
+
+    full = _moments(G.gram_store_moments(spark, gpath))
+    # victim_emb that omits victim 4's rows entirely
+    partial = emb.where(F.col("vec_id") != 4)
+    with pytest.raises(ValueError, match="missing embedding rows"):
+        takedown_wave(
+            spark, [3, 4], dpath, spath, gram_path=gpath, victim_emb=partial
+        )
+    # the refused wave mutated nothing
+    assert _moments(G.gram_store_moments(spark, gpath)) == full
+    # the same wave with covering rows converges
+    takedown_wave(
+        spark, [3, 4], dpath, spath, gram_path=gpath, victim_emb=emb
+    )
+    assert _moments(G.gram_store_moments(spark, gpath)) == _moments(
+        embedding_gram_frame(emb.where(~F.col("vec_id").isin([3, 4])))
+    )

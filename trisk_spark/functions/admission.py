@@ -567,21 +567,40 @@ ADMISSION_REPORT_SQL = _admission_report_sql()
 
 
 def ack_pre_sequence_takedown(gram_path: str) -> None:
-    """Migration acknowledgement for gram stores carrying a
-    PRE-SEQUENCE (r15-era) takedown tombstone: initializes the durable
-    ``_takedown_seq`` counter to 1 so the next ``takedown_wave``
-    allocates sequence 2 and its tombstone cannot alias the legacy
-    digest. Call this ONLY after confirming the landed legacy
-    tombstone belongs to a COMPLETED takedown (the victims were
-    deleted from the row stores before any re-admission); for a
-    CRASHED pre-sequence wave, finish it first — its gram subtraction
-    already landed, so run the per-store row deletes directly — and
-    ack afterwards."""
-    base = storefs.strip_file_scheme(gram_path)
-    tmp = f"{base}/_takedown_seq.tmp"
-    with open(tmp, "w") as f:
-        f.write("1")
-    os.replace(tmp, f"{base}/_takedown_seq")
+    """Migration acknowledgement for gram stores carrying PRE-SEQUENCE
+    (r15-era) takedown tombstones: records the durable store-wide
+    ``_pre_sequence_ack`` marker — after it, the migration guard
+    treats every LEGACY (bare-digest) tombstone as belonging to a
+    COMPLETED pre-upgrade takedown, so a re-admitted id set's next
+    wave allocates a fresh salted sequence and subtracts. Call this
+    ONLY once every crashed pre-upgrade wave has been finished (their
+    gram subtraction already landed, so finishing means running the
+    row-store deletes directly); acking with a legacy wave still
+    crashed converts its later re-drive into a double subtraction.
+    The sequence counter is RAISED to at least 1 and never lowered
+    (r16 review: an unconditional rewrite could regress a live
+    counter and recycle landed tombstone ids)."""
+    storefs.require_rename_fs(gram_path, "ack_pre_sequence_takedown")
+    cur = storefs.read_small_text(gram_path, _GRAM_SEQ)
+    completed = int(cur.strip()) if cur else 0
+    storefs.write_small_text(gram_path, _GRAM_SEQ, str(max(completed, 1)))
+    storefs.write_small_text(gram_path, _GRAM_ACK, "acked")
+
+
+#: durable small-file names beside the gram store (the storefs
+#: small-text protocol): last completed sequence number, the in-flight
+#: wave intent ("<digest> <seq>"), the completed-wave digest ledger
+#: (newline-separated), and the store-wide pre-sequence ack marker.
+_GRAM_SEQ = "_takedown_seq"
+_GRAM_INTENT = "_takedown_wave_intent"
+_GRAM_LEDGER = "_takedown_digests"
+_GRAM_ACK = "_pre_sequence_ack"
+
+
+def _gram_wave_digest(ids: list[int]) -> str:
+    import hashlib
+
+    return hashlib.md5(",".join(str(i) for i in ids).encode()).hexdigest()
 
 
 def _begin_gram_takedown(
@@ -593,11 +612,12 @@ def _begin_gram_takedown(
     prior takedown) with no caller-side bookkeeping, while keeping
     crash re-drives exactly-once (r15 ADVICE).
 
-    Two small durable files beside the moment store:
-
-      * ``_takedown_seq`` — the last COMPLETED sequence number;
-      * ``_takedown_wave_intent`` — the in-flight wave's
-        ``"<ids-digest> <seq>"``, committed by ``os.replace``.
+    Durable records beside the moment store (all via the storefs
+    small-text protocol): ``_takedown_seq`` (last COMPLETED sequence
+    number), ``_takedown_wave_intent`` (the in-flight wave's
+    ``"<ids-digest> <seq>"``), and ``_takedown_digests`` (one digest
+    line per wave COMPLETED through this machinery — the per-id-set
+    evidence the migration guard keys on).
 
     A fresh wave allocates seq = completed + 1 and records the intent
     BEFORE any store mutates; a re-driven wave (crash anywhere in the
@@ -605,17 +625,26 @@ def _begin_gram_takedown(
     the recorded seq, so the gram tombstone derivation is identical
     and the landed-check no-ops the subtraction. A pending intent for
     a DIFFERENT id set fails loud: silently interleaving two waves
-    would let the second allocate the first's seq after its crash."""
-    import hashlib
+    would let the second allocate the first's seq after its crash.
 
-    base = storefs.strip_file_scheme(gram_path)
-    digest = hashlib.md5(
-        ",".join(str(i) for i in ids).encode()
-    ).hexdigest()
-    ipath = f"{base}/_takedown_wave_intent"
-    if os.path.exists(ipath):
-        with open(ipath) as f:
-            rec_digest, rec_seq = f.read().split()
+    PRE-SEQUENCE MIGRATION GUARD (r16 review, both findings): seq=1's
+    tombstone is byte-identical to the r15-era bare-CSV digest
+    (deliberately, so a crashed pre-upgrade wave re-driven here
+    converges). The hazard is an id set whose PRE-upgrade takedown
+    COMPLETED and whose victims were re-admitted: a bare-aliasing
+    tombstone would silently skip the subtraction. The two histories
+    are indistinguishable from store state, so a fresh wave whose
+    bare tombstone is LANDED fails loud UNLESS (a) this exact id
+    set's digest is in the completion ledger (it went through THIS
+    machinery — its landed tombstone is accounted for and the new
+    seq is salted), or (b) the operator recorded the store-wide
+    pre-sequence ack. Keying on the ledger rather than on "counter
+    == 0" keeps the guard armed for a crashed legacy wave of set A
+    even after unrelated post-upgrade waves bump the counter."""
+    digest = _gram_wave_digest(ids)
+    intent = storefs.read_small_text(gram_path, _GRAM_INTENT)
+    if intent is not None:
+        rec_digest, rec_seq = intent.split()
         if rec_digest != digest:
             raise RuntimeError(
                 "takedown_wave: a pending takedown-wave intent for a "
@@ -625,23 +654,11 @@ def _begin_gram_takedown(
                 "start this one"
             )
         return int(rec_seq)
-    seq_path = f"{base}/_takedown_seq"
-    completed = 0
-    if os.path.exists(seq_path):
-        with open(seq_path) as f:
-            completed = int(f.read().strip())
-    if completed == 0:
-        # PRE-SEQUENCE MIGRATION GUARD (r16 review finding): seq=1's
-        # tombstone is byte-identical to the r15-era bare-CSV digest
-        # (deliberately, so a crashed pre-upgrade wave re-driven here
-        # converges). The flip side: if a PRE-upgrade takedown of this
-        # exact id set COMPLETED and the victims were re-admitted, a
-        # seq=1 wave would find that legacy tombstone landed and
-        # silently skip the subtraction — a permanent privacy miss.
-        # The two histories are indistinguishable from store state
-        # (both leave the tombstone landed and the victims admitted),
-        # so a landed legacy tombstone on a store with NO sequence
-        # counter fails loud and hands the operator the decision.
+    cur = storefs.read_small_text(gram_path, _GRAM_SEQ)
+    completed = int(cur.strip()) if cur else 0
+    ledger = storefs.read_small_text(gram_path, _GRAM_LEDGER) or ""
+    acked = storefs.read_small_text(gram_path, _GRAM_ACK) is not None
+    if digest not in ledger.split() and not acked:
         from trisk_spark.functions.gram_store import tombstone_wave_id
 
         bare = tombstone_wave_id(ids, 1)
@@ -656,8 +673,8 @@ def _begin_gram_takedown(
             raise RuntimeError(
                 "takedown_wave: a PRE-SEQUENCE (r15-era) tombstone for "
                 "exactly this victim id set is landed in the gram store "
-                f"({gram_path}) and no takedown-sequence counter exists, "
-                "so this wave cannot tell a crashed pre-upgrade re-drive "
+                f"({gram_path}) with no completion-ledger entry, so "
+                "this wave cannot tell a crashed pre-upgrade re-drive "
                 "(subtraction already done — finish the row-store "
                 "deletes directly, then ack) from a completed takedown "
                 "whose victims were re-admitted (ack first, then re-run "
@@ -665,25 +682,35 @@ def _begin_gram_takedown(
                 "Ack = admission.ack_pre_sequence_takedown(gram_path)."
             )
     seq = completed + 1
-    tmp = ipath + "_tmp"
-    with open(tmp, "w") as f:
-        f.write(f"{digest} {seq}")
-    os.replace(tmp, ipath)
+    storefs.write_small_text(gram_path, _GRAM_INTENT, f"{digest} {seq}")
     return seq
 
 
-def _complete_gram_takedown(gram_path: str, seq: int) -> None:
-    """Mark the wave complete: bump the durable completed-sequence
-    counter FIRST (``os.replace``), then drop the intent. A crash
-    between the two re-drives into all-no-ops and re-runs this pair
-    (the counter rewrite is idempotent)."""
-    base = storefs.strip_file_scheme(gram_path)
-    tmp = f"{base}/_takedown_seq.tmp"
-    with open(tmp, "w") as f:
-        f.write(str(int(seq)))
-    os.replace(tmp, f"{base}/_takedown_seq")
+def _complete_gram_takedown(gram_path: str, seq: int, ids: list[int]) -> None:
+    """Mark the wave complete, in replay-safe order: append the wave's
+    digest to the completion ledger FIRST (the migration guard's
+    per-id-set evidence), then raise the completed-sequence counter
+    (never lower it), then drop the intent. A crash between any two
+    steps re-drives into all-no-ops and re-runs this tail — every
+    step is idempotent (set-union append, monotone counter, tolerated
+    missing intent)."""
+    digest = _gram_wave_digest(ids)
+    ledger = storefs.read_small_text(gram_path, _GRAM_LEDGER) or ""
+    entries = ledger.split()
+    if digest not in entries:
+        entries.append(digest)
+        storefs.write_small_text(
+            gram_path, _GRAM_LEDGER, "\n".join(entries)
+        )
+    cur = storefs.read_small_text(gram_path, _GRAM_SEQ)
+    completed = int(cur.strip()) if cur else 0
+    storefs.write_small_text(
+        gram_path, _GRAM_SEQ, str(max(completed, int(seq)))
+    )
     try:
-        os.remove(f"{base}/_takedown_wave_intent")
+        os.remove(
+            f"{storefs.strip_file_scheme(gram_path)}/{_GRAM_INTENT}"
+        )
     except FileNotFoundError:
         pass
 
@@ -773,6 +800,7 @@ def takedown_wave(
                 "to subtract (moments are aggregates; ids alone cannot "
                 "re-derive them)"
             )
+        storefs.require_rename_fs(gram_path, "takedown_wave")
         seq = _begin_gram_takedown(spark, gram_path, ids)
         # The subtraction set is victims ∩ CURRENT dedup-store
         # membership (one pushdown-filtered scan of the id-literal
@@ -783,11 +811,16 @@ def takedown_wave(
         # moments are already gone), while a genuine re-takedown
         # after re-admission finds them admitted and subtracts the
         # re-admitted moments under the fresh tombstone. Membership
-        # is only ever read here — before any store of THIS wave
-        # mutates (a crashed wave re-drive reuses its intent's seq,
-        # and a landed tombstone no-ops regardless of what this
-        # recomputes), so the r15 membership-race is structurally
-        # absent.
+        # is read before any store of THIS wave mutates; a crashed
+        # wave re-drive reuses its intent's seq and a landed tombstone
+        # no-ops regardless of what this recomputes. OPERATIONAL
+        # CONTRACT (r16 review): victims must NOT be re-admitted while
+        # a takedown intent is pending — deleted documents become
+        # re-admittable when the wave COMPLETES (the intent's removal
+        # is the signal); re-admitting mid-crash makes the re-drive's
+        # no-op gram subtraction and its row deletes disagree about
+        # the re-admitted rows. (An id-overlap guard inside the
+        # admission verbs is the R17-queued hardening.)
         present = [
             int(r.doc_id)
             for r in spark.read.parquet(f"{dedup_path}/signatures")
@@ -797,15 +830,48 @@ def takedown_wave(
             .collect()  # id-sized (the takedown driver-literal class)
         ]
         if present:
-            delete_from_gram_store(
-                spark,
-                victim_emb.where(F.col("vec_id").isin(present)),
-                gram_path,
-                wave_id=tombstone_wave_id(ids, seq),
-            )
+            # Fail loud when the supplied frame cannot cover what the
+            # SEMANTIC store proves is admitted WITH A VECTOR (r16
+            # review): silently subtracting an empty/partial block
+            # while the row deletes proceed would orphan the present
+            # victims' moments forever. Victims admitted without an
+            # embedding legitimately have nothing to subtract and are
+            # not required here.
+            supplied = {
+                int(r.vec_id)
+                for r in victim_emb.select("vec_id")
+                .where(F.col("vec_id").isin(present))
+                .distinct()
+                .collect()
+            }
+            expected = {
+                int(r.vec_id)
+                for r in spark.read.parquet(f"{sem_path}/vectors")
+                .select("vec_id")
+                .where(F.col("vec_id").isin(present))
+                .distinct()
+                .collect()
+            }
+            missing = sorted(expected - supplied)
+            if missing:
+                raise ValueError(
+                    f"takedown_wave: victim_emb is missing embedding rows "
+                    f"for {len(missing)} admitted victim(s) the semantic "
+                    f"store holds vectors for (first: {missing[:5]}) — "
+                    "their moments are in the gram store and cannot be "
+                    "subtracted from ids alone; supply the victims' "
+                    "original (vec_id, embedding) rows"
+                )
+            if supplied:
+                delete_from_gram_store(
+                    spark,
+                    victim_emb.where(F.col("vec_id").isin(present)),
+                    gram_path,
+                    wave_id=tombstone_wave_id(ids, seq),
+                )
     delete_from_dedup_store(spark, ids, dedup_path)
     delete_from_semantic_store(spark, ids, sem_path)
     if bm25_path is not None:
         delete_from_bm25_store(spark, ids, bm25_path)
     if gram_path is not None:
-        _complete_gram_takedown(gram_path, seq)
+        _complete_gram_takedown(gram_path, seq, ids)

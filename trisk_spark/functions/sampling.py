@@ -2400,21 +2400,14 @@ CLUSTER_SPLIT_SQL: str  # assigned below (composes dedup's pair SQL)
 
 
 def _cluster_split_sql() -> str:
-    from trisk_spark.functions.dedup import MINHASH_LSH_PAIRS_SQL
+    # compose dedup's OWN closure query verbatim (one-definition rule,
+    # r16 review: re-inlining the cand/edges/reach CTEs here would let
+    # a clustering tweak silently drift this oracle from the engine
+    # side, which calls dedup_clusters directly)
+    from trisk_spark.functions.dedup import DEDUP_CLUSTERS_SQL
 
     return f"""
-WITH RECURSIVE cand AS ({MINHASH_LSH_PAIRS_SQL}),
-edges AS (
-  SELECT doc_a AS a, doc_b AS b FROM cand
-  UNION
-  SELECT doc_b, doc_a FROM cand
-),
-reach(a, b) AS (
-  SELECT a, b FROM edges
-  UNION
-  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
-),
-comp AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS component FROM reach GROUP BY a),
+WITH comp AS (SELECT * FROM ({DEDUP_CLUSTERS_SQL})),
 d AS (SELECT doc_id FROM documents WHERE doc_id IS NOT NULL),
 j AS (
   SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS canonical_id

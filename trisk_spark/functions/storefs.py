@@ -55,11 +55,31 @@ def read_ingest_watermark(path: str) -> int | None:
 def write_ingest_watermark(path: str, batch_id: int) -> None:
     """Atomically persist the admitted-batch watermark beside the
     store (write-temp + ``os.replace`` — atomic on POSIX)."""
+    write_small_text(path, "_last_admitted_batch_id", str(batch_id))
+
+
+def read_small_text(path: str, name: str) -> str | None:
+    """Read a durable small-text record beside the store, or None if
+    it has never been written — the generic form of the watermark
+    protocol (one file, one record, committed whole)."""
+    p = f"{strip_file_scheme(path)}/{name}"
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return f.read()
+
+
+def write_small_text(path: str, name: str, text: str) -> None:
+    """Atomically persist a small-text record beside the store
+    (write-temp + ``os.replace`` — atomic on POSIX). The one durable
+    small-file idiom every store-side counter/intent/ledger shares
+    (r16 review: three hand-rolled copies had drifted from the gate
+    discipline)."""
     base = strip_file_scheme(path)
-    tmp = f"{base}/_last_admitted_batch_id.tmp"
+    tmp = f"{base}/{name}.tmp"
     with open(tmp, "w") as f:
-        f.write(str(batch_id))
-    os.replace(tmp, f"{base}/_last_admitted_batch_id")
+        f.write(text)
+    os.replace(tmp, f"{base}/{name}")
 
 
 def repair_store(path: str, tables: tuple[str, ...]) -> None:
