@@ -113,9 +113,14 @@ HEADLINE = [
     # steady state is the smaller number in PERF_NOTES).
     "dedup_incremental",
     "ann_recall",
-    "minhash_jaccard_estimate",
+    # minhash_jaccard_estimate retired to library-only in r17 (kernels
+    # covered by dedup_minhash_lsh + cross_split_leakage; full oracle
+    # still runs every round in test_oracle_parity's library pass) —
+    # dropped from the bench with its registry seat; its baseline
+    # entry stays for the record, as tpch_q10's did in r13
     "embedding_health",
-    "gopher_rules",
+    # gopher_rules retired to library-only in r17 likewise (map-only
+    # doc-stats class covered by source_quality_rollup)
     # r14-new registrations (the R14 seat trade; baselines keyed from
     # BENCH_r14 in r15 per the new-op policy):
     "cross_split_leakage",
@@ -143,6 +148,14 @@ HEADLINE = [
     # fusion from the raw tables in one plan (no store build).
     "bm25_incremental",
     "hybrid_retrieval",
+    # r17-new registrations (the R17 seat trade; baselines key from
+    # BENCH_r17 per the new-op policy — first driver bench).
+    # margin_pair_mining runs two broadcast-GEMM corpus scans (probes
+    # vs side B, candidates vs side A) plus candidate-sized joins;
+    # weighted_sample is one map-only key derivation + a global top-M
+    # via TakeOrderedAndProject.
+    "margin_pair_mining",
+    "weighted_sample",
 ]
 
 

@@ -902,3 +902,119 @@ def test_takedown_wave_rejects_uncovering_victim_emb(spark, tmp_path):
     assert _moments(G.gram_store_moments(spark, gpath)) == _moments(
         embedding_gram_frame(emb.where(~F.col("vec_id").isin([3, 4])))
     )
+
+
+def test_migration_guard_catches_subset_derived_legacy_tombstone(
+    spark, tmp_path
+):
+    """r16 ADVICE (medium): the r15-era flow digested its bare
+    tombstone over victim_emb's distinct non-null vec_ids — a SUBSET
+    of the victim id set when some victims were admitted without an
+    embedding. A post-upgrade wave over the FULL id set must still
+    recognize that landed subset tombstone and fail loud (not
+    allocate seq=1 under a different digest and double-subtract the
+    embedded victims on a crashed pre-upgrade re-drive); after the
+    operator ack it subtracts under a fresh sequence and converges."""
+    from trisk_spark.functions.admission import (
+        ack_pre_sequence_takedown,
+        takedown_wave,
+    )
+    from trisk_spark.functions.dedup_store import (
+        append_dedup_store,
+        delete_from_dedup_store,
+        write_dedup_store,
+    )
+    from trisk_spark.functions.semantic_store import (
+        append_semantic_store,
+        delete_from_semantic_store,
+        write_semantic_store,
+    )
+
+    def vec(i):
+        v = [0.001 * ((i + k) % 5) for k in range(DIM)]
+        v[i % DIM] = 0.8
+        return [float(x) for x in v]
+
+    ids = list(range(12))
+    emb_ids = [i for i in ids if i != 7]  # victim 7 never embedded
+    docs = spark.createDataFrame(
+        [(i, f"document body {i} with words w{i} x{i}") for i in ids],
+        "doc_id long, text string",
+    )
+    emb = spark.createDataFrame(
+        [(i, vec(i)) for i in emb_ids],
+        "vec_id long, embedding array<double>",
+    )
+    dpath, spath, gpath = (
+        str(tmp_path / "d"), str(tmp_path / "s"), str(tmp_path / "g")
+    )
+    write_dedup_store(spark, docs, dpath)
+    write_semantic_store(spark, emb, spath)
+    G.write_gram_store(spark, emb, gpath)
+
+    victims = [2, 7]  # 7 has no embedding -> subset digest = {2}
+    # the r15-era flow: the gram tombstone lands digested over the
+    # EMBEDDED subset (delete_from_gram_store's wave_id=None path)
+    G.delete_from_gram_store(
+        spark, emb.where(F.col("vec_id").isin(victims)), gpath
+    )
+    delete_from_dedup_store(spark, victims, dpath)
+    delete_from_semantic_store(spark, victims, spath)
+    want_gone = _moments(
+        embedding_gram_frame(emb.where(~F.col("vec_id").isin(victims)))
+    )
+    assert _moments(G.gram_store_moments(spark, gpath)) == want_gone
+
+    # re-admit, then the first POST-upgrade wave over the FULL id set:
+    # must refuse — the subset-derived bare tombstone is landed with
+    # no ledger entry and no ack
+    vdocs = docs.where(F.col("doc_id").isin(victims))
+    vemb = emb.where(F.col("vec_id").isin(victims))
+    append_dedup_store(spark, vdocs, dpath)
+    append_semantic_store(spark, vemb, spath)
+    G.append_gram_store(spark, vemb, gpath, wave_id=50)
+    with pytest.raises(RuntimeError, match="PRE-SEQUENCE"):
+        takedown_wave(
+            spark, victims, dpath, spath, gram_path=gpath, victim_emb=emb
+        )
+    # nothing mutated by the refused wave
+    assert _moments(G.gram_store_moments(spark, gpath)) == _moments(
+        embedding_gram_frame(emb)
+    )
+
+    # operator ack -> fresh sequence, subtraction converges
+    ack_pre_sequence_takedown(gpath)
+    takedown_wave(
+        spark, victims, dpath, spath, gram_path=gpath, victim_emb=emb
+    )
+    assert _moments(G.gram_store_moments(spark, gpath)) == want_gone
+
+
+def test_ack_refuses_pending_wave_intent(spark, tmp_path):
+    """r16 ADVICE (low): acking the pre-sequence migration while a
+    POST-upgrade wave intent is pending is operationally ambiguous —
+    the ack must fail loud and direct the operator to re-drive that
+    wave first; after the intent clears, the ack lands."""
+    from trisk_spark.functions import storefs
+    from trisk_spark.functions.admission import ack_pre_sequence_takedown
+
+    def vec(i):
+        v = [0.001 * ((i + k) % 5) for k in range(DIM)]
+        v[i % DIM] = 0.8
+        return [float(x) for x in v]
+
+    emb = spark.createDataFrame(
+        [(i, vec(i)) for i in range(6)],
+        "vec_id long, embedding array<double>",
+    )
+    gpath = str(tmp_path / "g")
+    G.write_gram_store(spark, emb, gpath)
+    storefs.write_small_text(gpath, "_takedown_wave_intent", "deadbeef 1")
+    with pytest.raises(RuntimeError, match="intent .* is pending"):
+        ack_pre_sequence_takedown(gpath)
+    assert storefs.read_small_text(gpath, "_pre_sequence_ack") is None
+    import os
+
+    os.remove(f"{storefs.strip_file_scheme(gpath)}/_takedown_wave_intent")
+    ack_pre_sequence_takedown(gpath)
+    assert storefs.read_small_text(gpath, "_pre_sequence_ack") is not None

@@ -93,15 +93,15 @@ LIBRARY_NAMES = sorted(
         # tpch_q14 r14; tpch_q3 + knn_bruteforce r15; revenue_rollup +
         # customers_without_orders r16 — kernels gated by registered
         # siblings); the full oracles still run here
+        # (margin_pair_mining + weighted_sample graduated to @register
+        # seats in r17 — the executed R17 seat trade)
         "tpch_q10", "tpch_q7", "tpch_q14", "tpch_q3", "knn_bruteforce",
         "revenue_rollup", "customers_without_orders",
-        # r15-new: margin-based cross-corpus pair mining (ratio-margin
-        # best-match over the parity halves; both kNN directions +
-        # fusion under one hash)
-        "margin_pair_mining",
-        # r15-new: exactly-M quality-weighted sampling without
-        # replacement (Efraimidis-Spirakis keys, shared quality formula)
-        "weighted_sample",
+        # r17-retired (the R17 seat trade): kernels driver-hash-gated
+        # by dedup_minhash_lsh / cross_split_leakage and
+        # source_quality_rollup respectively; full oracles keep
+        # running here
+        "minhash_jaccard_estimate", "gopher_rules",
         # r15-new: source×source near-dup overlap matrix (pair kernel
         # + rollup + exact pair-density under one hash)
         "source_overlap_matrix",
@@ -126,6 +126,10 @@ LIBRARY_NAMES = sorted(
         # r16-new: phrase + ordered-proximity retrieval (positional
         # lexical semantics over in-row token arrays, all-integer)
         "phrase_search",
+        # r17-new: the same semantics served from the persisted
+        # positional postings store (oracle = PHRASE_SEARCH_SQL
+        # verbatim — exact index, probe ≡ batch kernel row for row)
+        "phrase_incremental",
         # r16-new: leakage-safe cluster-atomic train split (no near-dup
         # pair straddles a split boundary, by construction)
         "cluster_split",

@@ -579,8 +579,22 @@ def ack_pre_sequence_takedown(gram_path: str) -> None:
     crashed converts its later re-drive into a double subtraction.
     The sequence counter is RAISED to at least 1 and never lowered
     (r16 review: an unconditional rewrite could regress a live
-    counter and recycle landed tombstone ids)."""
+    counter and recycle landed tombstone ids). A pending POST-upgrade
+    wave intent fails loud first (r16 ADVICE): acking while a
+    sequenced wave is mid-crash is operationally ambiguous — that
+    wave must be re-driven to completion (re-run ``takedown_wave``
+    with its id set) before the store-wide legacy ack is recorded."""
     storefs.require_rename_fs(gram_path, "ack_pre_sequence_takedown")
+    intent = storefs.read_small_text(gram_path, _GRAM_INTENT)
+    if intent is not None:
+        raise RuntimeError(
+            "ack_pre_sequence_takedown: a takedown-wave intent "
+            f"({intent.split()[0]}) is pending beside the gram store "
+            f"({gram_path}) — re-drive that wave to completion (re-run "
+            "takedown_wave with its id set) before acking the "
+            "pre-sequence migration; acking mid-crash would blur which "
+            "machinery owns the in-flight subtraction"
+        )
     cur = storefs.read_small_text(gram_path, _GRAM_SEQ)
     completed = int(cur.strip()) if cur else 0
     storefs.write_small_text(gram_path, _GRAM_SEQ, str(max(completed, 1)))
@@ -604,7 +618,10 @@ def _gram_wave_digest(ids: list[int]) -> str:
 
 
 def _begin_gram_takedown(
-    spark: SparkSession, gram_path: str, ids: list[int]
+    spark: SparkSession,
+    gram_path: str,
+    ids: list[int],
+    embedded_ids: list[int] | None = None,
 ) -> int:
     """Durably allocate (or re-read) the takedown-sequence number for
     this wave — the machinery that lets ``takedown_wave`` take the
@@ -640,7 +657,20 @@ def _begin_gram_takedown(
     seq is salted), or (b) the operator recorded the store-wide
     pre-sequence ack. Keying on the ledger rather than on "counter
     == 0" keeps the guard armed for a crashed legacy wave of set A
-    even after unrelated post-upgrade waves bump the counter."""
+    even after unrelated post-upgrade waves bump the counter.
+
+    TWO legacy derivations are checked (r16 ADVICE, medium): the
+    full-id-set bare digest AND the EMBEDDED-SUBSET bare digest —
+    the r15-era ``takedown_wave`` handed ``delete_from_gram_store``
+    the victims' embedding rows and the ``wave_id=None`` path (still
+    live in gram_store.py) digests over the distinct non-null vec_ids
+    PRESENT in that frame, so a pre-upgrade wave whose victims were
+    not all embedded landed its tombstone under the subset CSV, which
+    the full-set check alone would miss (and a fresh salted sequence
+    would then double-subtract the embedded victims on a crashed
+    pre-upgrade re-drive). ``embedded_ids`` is that subset —
+    victim_emb's distinct non-null vec_ids ∩ ids, collected by the
+    caller before any store mutates."""
     digest = _gram_wave_digest(ids)
     intent = storefs.read_small_text(gram_path, _GRAM_INTENT)
     if intent is not None:
@@ -661,10 +691,14 @@ def _begin_gram_takedown(
     if digest not in ledger.split() and not acked:
         from trisk_spark.functions.gram_store import tombstone_wave_id
 
-        bare = tombstone_wave_id(ids, 1)
+        bares = {tombstone_wave_id(ids, 1)}
+        if embedded_ids:
+            # the r15-era subset derivation (see docstring) — only a
+            # DISTINCT digest adds a second candidate
+            bares.add(tombstone_wave_id(embedded_ids, 1))
         landed = (
             spark.read.parquet(f"{gram_path}/partials")
-            .where(F.col("wave_id") == bare)
+            .where(F.col("wave_id").isin(sorted(bares)))
             .limit(1)
             .count()
             > 0
@@ -693,7 +727,18 @@ def _complete_gram_takedown(gram_path: str, seq: int, ids: list[int]) -> None:
     (never lower it), then drop the intent. A crash between any two
     steps re-drives into all-no-ops and re-runs this tail — every
     step is idempotent (set-union append, monotone counter, tolerated
-    missing intent)."""
+    missing intent).
+
+    LEDGER GROWTH (r16 ADVICE, documented rather than compacted):
+    the digest ledger gains one 32-char md5 line per takedown wave
+    ever COMPLETED and is read/rewritten whole here — bounded by the
+    number of takedowns, not by corpus size (takedowns are rare
+    operational events; 10⁴ waves ≈ 330 KB). It must NOT be folded
+    into the store-wide ack marker during compaction: the ack asserts
+    "every PRE-upgrade wave finished", which a mechanical compaction
+    cannot know, while the per-id-set lines are exactly what lets the
+    guard distinguish a crashed legacy wave from a completed sequenced
+    one after any number of unrelated waves."""
     digest = _gram_wave_digest(ids)
     ledger = storefs.read_small_text(gram_path, _GRAM_LEDGER) or ""
     entries = ledger.split()
@@ -723,12 +768,14 @@ def takedown_wave(
     bm25_path: str | None = None,
     gram_path: str | None = None,
     victim_emb: DataFrame | None = None,
+    phrase_path: str | None = None,
 ) -> None:
     """UN-ADMIT: remove documents from every store the admission loop
     maintains — the right-to-be-forgotten counterpart of
     ``admission_wave``. Composes the per-store takedown verbs
     (``delete_from_dedup_store`` / ``delete_from_semantic_store`` /
-    ``delete_from_bm25_store`` / ``delete_from_gram_store``), each
+    ``delete_from_bm25_store`` / ``delete_from_phrase_store`` /
+    ``delete_from_gram_store``), each
     individually crash-safe behind its own durable ``_delete_intent``
     and per-store ``resume_pending_delete``; a crash between stores
     leaves earlier stores clean and later ones untouched — re-running
@@ -737,6 +784,13 @@ def takedown_wave(
     RE-ADMITTABLE: the next wave probes stores that no longer know
     them — the documented takedown semantics (a tombstone that blocks
     re-admission is a different, caller-side policy).
+
+    ``phrase_path`` (opt-in, r17 — the positional postings store):
+    clears the victims' phrase postings through
+    ``delete_from_phrase_store``'s staged-partition protocol, ordered
+    with the other row stores (after bm25, before the gram
+    completion marker) so a crash mid-wave leaves earlier stores
+    clean and the re-drive converges.
 
     ``gram_path`` (opt-in, closing the r14 VERDICT's moment-store gap)
     additionally subtracts the victims' second moments from a
@@ -770,6 +824,7 @@ def takedown_wave(
     loud rather than interleave."""
     from trisk_spark.functions.bm25_store import delete_from_bm25_store
     from trisk_spark.functions.dedup_store import delete_from_dedup_store
+    from trisk_spark.functions.phrase_store import delete_from_phrase_store
     from trisk_spark.functions.gram_store import (
         delete_from_gram_store,
         tombstone_wave_id,
@@ -801,7 +856,18 @@ def takedown_wave(
                 "re-derive them)"
             )
         storefs.require_rename_fs(gram_path, "takedown_wave")
-        seq = _begin_gram_takedown(spark, gram_path, ids)
+        # the embedded-victim subset feeds the migration guard's
+        # SECOND legacy-tombstone derivation (r16 ADVICE): a
+        # pre-sequence wave digested over exactly this set when not
+        # every victim had an embedding row. Read-only, id-sized.
+        embedded = sorted(
+            int(r.vec_id)
+            for r in victim_emb.select("vec_id")
+            .where(F.col("vec_id").isNotNull() & F.col("vec_id").isin(ids))
+            .distinct()
+            .collect()  # id-sized (the takedown driver-literal class)
+        )
+        seq = _begin_gram_takedown(spark, gram_path, ids, embedded)
         # The subtraction set is victims ∩ CURRENT dedup-store
         # membership (one pushdown-filtered scan of the id-literal
         # against <dedup_path>/signatures — takedown-class cost).
@@ -873,5 +939,12 @@ def takedown_wave(
     delete_from_semantic_store(spark, ids, sem_path)
     if bm25_path is not None:
         delete_from_bm25_store(spark, ids, bm25_path)
+    if phrase_path is not None:
+        # the positional postings store (r17): a row store of
+        # per-(term, doc) facts, so its delete is naturally
+        # idempotent under whole-wave re-drives and re-takedown after
+        # re-admission — it needs no sequence machinery, only its own
+        # durable _delete_intent (resume handled inside the verb)
+        delete_from_phrase_store(spark, ids, phrase_path)
     if gram_path is not None:
         _complete_gram_takedown(gram_path, seq, ids)

@@ -1356,11 +1356,15 @@ JOIN sig sb ON p.doc_b = sb.doc_id
 """
 
 
-@register("minhash_jaccard_estimate", oracle=_minhash_estimate_sql())
 def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Signature-agreement Jaccard estimate for every MinHash-LSH
     candidate pair: est = (# permutations where min-hashes agree) /
-    N_PERMS — the textbook unbiased estimator (E[agree] = J). The
+    N_PERMS — the textbook unbiased estimator (E[agree] = J).
+    RETIRED to library-only in r17 (the executed R17 seat trade): the
+    signature + band kernels are driver-hash-gated by
+    ``dedup_minhash_lsh`` and the composed pair chain by
+    ``cross_split_leakage`` every other round; the full oracle keeps
+    running every round in test_oracle_parity's library pass. The
     cheap ranking stage between banding and the exact shingle
     verification (``ngram_jaccard``): at 100 TB you estimate from the
     12-integer signatures you already built and reserve the exact

@@ -2373,6 +2373,15 @@ FROM (
 ) WHERE rk <= {WEIGHTED_SAMPLE_M}
 """
 
+# SEATED in r17 (the executed R17 seat trade): exactly-M
+# without-replacement selection has no registered sibling — the
+# Bernoulli mix family only hits rates in expectation. Registered
+# here (after the oracle constant) for the same reason as
+# similarity.margin_pair_mining; the rebind is the decorator form.
+weighted_sample = register(
+    "weighted_sample", oracle=WEIGHTED_SAMPLE_SQL
+)(weighted_sample)
+
 
 # -------------- leakage-safe (cluster-atomic) train split (r16) -------
 

@@ -2871,6 +2871,16 @@ FROM (
 ) WHERE rk2 = 1
 """
 
+# SEATED in r17 (the executed R17 seat trade, LEAD seat — the
+# ratio-margin fusion + dual-kNN composition has no registered
+# sibling). Registration happens here rather than at the def because
+# the oracle constant composes kernels defined above it; the rebind is
+# exactly what the decorator form does (register() returns the
+# prepare()-wrapped callable and the module attribute tracks it).
+margin_pair_mining = register(
+    "margin_pair_mining", oracle=MARGIN_PAIR_SQL
+)(margin_pair_mining)
+
 
 def margin_mine_stream(
     spark: SparkSession, probes_stream: DataFrame, ref_sf_dir: str, sink

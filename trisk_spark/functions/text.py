@@ -1110,9 +1110,13 @@ FROM m
 """
 
 
-@register("gopher_rules", oracle=GOPHER_RULES_SQL)
 def gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher rule-based quality flags per document (Rae et al. 2021
+    """RETIRED to library-only in r17 (the executed R17 seat trade):
+    the map-only doc-stats class is driver-hash-gated by
+    ``source_quality_rollup`` every other round; the full oracle keeps
+    running every round in test_oracle_parity's library pass.
+
+    Gopher rule-based quality flags per document (Rae et al. 2021
     §A1.1): word-count bounds, mean-word-length bounds, symbol-to-word
     ratio ('#', '...', '…'), bullet-/ellipsis-line fractions,
     alphabetic-word fraction, and distinct-stopword hits, plus the

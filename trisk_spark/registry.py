@@ -74,155 +74,150 @@ def register(name: str, oracle: str | None = None):
 # regardless of position stay oracle-gated by
 # tests/test_oracle_parity.py every round.
 #
-# r16 window: EXECUTES THE WRITTEN R16 PLAN (r15 VERDICT "next round"
-# #1, arithmetic pre-checked last round). The r15 sitters rotate back
-# in (policy (a)) MINUS two retired to library-only status via the
-# sanctioned seat-freeing mechanism (the tpch_q7/q10/q14 + r15
-# tpch_q3/knn_bruteforce precedent):
-#   revenue_rollup RETIRED to library-only (load_library below): its
-#       decimal scan-agg kernel is driver-hash-gated by tpch_q1 every
-#       other round (plus decimal_accumulators, same phase); the
-#       ROLLUP grouping-sets form keeps its full oracle library-gated
-#       every round in test_oracle_parity.
-#   customers_without_orders RETIRED likewise: the left-anti kernel
-#       is hash-gated by the curation-manifest family's anti-join
-#       staging (curation_manifest_semantic every other round;
-#       admission_report carries the same anti-join class).
+# r17 window: EXECUTES THE WRITTEN R17 PLAN (r16 VERDICT "next round"
+# #1; arithmetic pre-checked in r16 — the text below is that plan,
+# executed). The r16 sitters rotate back in (policy (a)) MINUS two
+# retired to library-only status via the sanctioned seat-freeing
+# mechanism (the tpch_q7/q10/q14 + tpch_q3/knn_bruteforce +
+# revenue_rollup/customers_without_orders precedent):
+#   minhash_jaccard_estimate RETIRED to library-only (load_library
+#       below): the signature + band kernels are driver-hash-gated by
+#       dedup_minhash_lsh every other round and the composed pair
+#       chain by cross_split_leakage (same phase); the full
+#       signature-agreement oracle keeps running every round in
+#       test_oracle_parity's library pass.
+#   gopher_rules RETIRED likewise: the map-only doc-stats class is
+#       hash-gated by source_quality_rollup (same phase); full oracle
+#       keeps running library-gated every round.
 # So 47 - 2 retired = 45 returning. Must-stays unchanged:
 # stock_matchmaker (no oracle, no hash-gated witness -> never sits),
 # media_decode_checksum (the no-oracle sitter's witness, enforced by
 # test_registry), fraud_alerts (sole BroadcastState / FD megaphone
 # evidence -- no kernel-class sibling, never sits). TWO new
 # registrations take the freed seats, in-window their first round per
-# the new-op policy: bm25_incremental (LEAD -- the persisted BM25
-# store's only possible independent hash row; its oracle is the
-# whole-corpus BM25_TOP_DOCS_SQL verbatim, so ONE value-hash covers
-# write -> append -> route -> pruned probe -> exact-rational scoring,
-# and append == rebuild is part of what the hash asserts) +
-# hybrid_retrieval (the RRF fusion + probe-keyword kernels have no
-# registered sibling; its oracle re-derives keywords -> BM25 -> knn
-# -> fusion from the raw tables under one hash). Both carried full
-# DuckDB oracles through every round's library parity pass since r14.
+# the new-op policy: margin_pair_mining (LEAD -- the ratio-margin
+# fusion + dual-kNN composition has no registered sibling; its oracle
+# spans both kNN directions, the neighborhood averages, and the
+# fusion + accept decision under one hash) + weighted_sample
+# (exactly-M Efraimidis-Spirakis without-replacement selection -- no
+# registered sibling; the Bernoulli mix family only hits rates in
+# expectation). Both carried full DuckDB oracles through every
+# round's library parity pass since r15.
 # Seat arithmetic: 45 returning + 3 always-in + 2 new = 50.
 # CAPACITY after this round: 106 registered (106 - 2 retired + 2 new)
 # = 3 always-in + 8 permanent composed sitters + 1 no-oracle sitter +
 # 94 alternating over 47 seats/round -- still exactly saturated
 # (policy (a) holds), so every future registration needs a matching
 # flip or retirement from the PHASE THAT RETURNS that round.
-# The two r15-new seats (semantic_incremental, admission_report) sit
-# r16 on in-window witnesses noted on their rows below -- every
-# witness is in the r16 window (checked).
-# R17 PLAN, FINAL (arithmetic-checked; r15 VERDICT next-round #5):
-# the r17 returning phase is THIS list below (it sits r16).
-# Sanctioned R17 moves from it: retire minhash_jaccard_estimate
-# (signature-agreement estimator, kernels gated by dedup_minhash_lsh's
-# signature+band kernels + cross_split_leakage's composed pair chain
-# -- both hash-gated every other round) and retire gopher_rules
-# (map-only doc-stats class, gated by source_quality_rollup) -> TWO
-# r17 seats -> register margin_pair_mining (r15-new LEAD: the
-# ratio-margin fusion + dual-kNN composition has no registered
-# sibling; its oracle spans both directions + neighborhood averages +
-# fusion under one hash) + weighted_sample (r15-new: exactly-M
-# Efraimidis-Spirakis without-replacement selection -- no registered
-# sibling; the Bernoulli mix family only hits rates in expectation).
-# Alternates if the verdict prefers: embedding_gram,
-# hybrid_store_probe, ivf_drift_report, embedding_outliers. Pool
-# stays 94 - 2 + 2 = 94 (saturated); retired rows keep their library
-# oracles as always.
-# R18 SKETCH (arithmetic-check + finalize in r17): the r18 returning
-# phase is THE R16 WINDOW (it sits r17, returns r18). Sanctioned R18
-# moves from it: retire tpch_q6 (filter + scan-agg, kernels gated by
-# nexmark_q2 (filter pushdown) + tpch_q1 (decimal scan agg)) and
-# retire ngram_counts (explode/shingle count, gated by wordcount +
-# ngram_jaccard) -> TWO r18 seats -> register embedding_gram (the
+# The two r16-new seats (bm25_incremental, hybrid_retrieval) sit r17
+# on in-window witnesses noted on their rows below -- every witness
+# is in the r17 window (checked).
+# R18 PLAN, FINAL (arithmetic-checked; r16 VERDICT next-round #7):
+# the r18 returning phase is THIS list below (it sits r17).
+# Sanctioned R18 moves from it: retire tpch_q6 (filter + scan-agg,
+# kernels gated by nexmark_q2 (filter pushdown) + tpch_q1 (decimal
+# scan agg) -- both in the r18 window) and retire ngram_counts
+# (explode/shingle count, gated by wordcount + ngram_jaccard, both in
+# the r18 window) -> TWO r18 seats -> register embedding_gram (the
 # exact second-moment table behind PCA whitening: all-BIGINT moments,
 # constant 2,145-key shuffle -- the gram/moment store's only possible
 # independent hash row now that its delete verb exists) +
 # hybrid_store_probe (hybrid more-like-this SERVED FROM BOTH
 # PERSISTED INDEXES -- BM25 postings store + int8 IVF store + the
 # shared RRF fusion; the deployment twin of the r16-seated
-# hybrid_retrieval). Alternates: ivf_drift_report,
-# embedding_outliers, source_overlap_matrix, plus the r16-new library
-# ops phrase_search (positional lexical retrieval -- no registered
-# sibling for phrase/proximity semantics) and quality_calibrate
-# (per-source rank calibration). Pool stays 94 - 2 + 2 = 94
-# (saturated).
-# R17 BUILD CANDIDATE (sketched r16, deliberately NOT rushed into
-# this round): the persisted POSITIONAL postings store -- the
-# standing-workload path phrase_search's docstring promises: (term,
+# hybrid_retrieval). Alternates if the r17 verdict prefers:
+# ivf_drift_report, embedding_outliers, source_overlap_matrix,
+# cluster_split, phrase_search. Pool stays 94 - 2 + 2 = 94
+# (saturated); retired rows keep their library oracles as always.
+# R19 SKETCH (arithmetic-check + finalize in r18): the r19 returning
+# phase is THE R17 WINDOW (it sits r18, returns r19). Sanctioned R19
+# moves from it: retire doc_chunk (fixed-stride chunking, kernels
+# gated by token_count + bpe_token_estimate (shared tokenizer) --
+# same phase) and retire length_percentiles (doc-stats percentile
+# class, gated by quality_score + source_quality_rollup -- same
+# phase) -> TWO r19 seats -> register cluster_split (leakage-safe
+# cluster-atomic split -- a first-class capability a real curation
+# user hits every run; its oracle composes the pair kernel +
+# transitive closure + both split CASEs under one hash, stronger
+# evidence than the doc-level train_split row it supersedes; r16
+# VERDICT next-round #6) + phrase_incremental (the r17-built
+# positional postings store's only possible independent hash row --
+# the bm25_incremental precedent: one value-hash covers write ->
+# append -> route -> pruned probe -> position-set counting, oracle =
+# PHRASE_SEARCH_SQL verbatim). Alternates: embedding_outliers,
+# ivf_drift_report, source_overlap_matrix, quality_calibrate. Pool
+# stays 94 - 2 + 2 = 94 (saturated).
+# R17 BUILD (executed this round, as sketched in r16): the persisted
+# POSITIONAL postings store (functions/phrase_store.py) -- (term,
 # doc_id, positions array<int>) bucketed by md5(term) % 64 exactly
-# like the bm25 store, probe = driver-routed pruned read + 3-way
-# per-phrase join + position-set lambdas (n_exact = positions
-# intersected under shifts, n_prox = the exists-formulation, which
-# equals the in-row greedy semantics), full store verb set via the
-# existing storefs staged-partition protocol (positions are uncapped
-# per-doc facts like bm25 postings, so delete = filter-per-touched-
-# bucket with durable staging -- bm25_store._run_recorded_delete's
-# exact shape minus doclens/stats), and a phrase_incremental library
-# op whose oracle is PHRASE_SEARCH_SQL verbatim (exact index =>
-# write -> append -> route -> pruned probe must equal the one-plan
-# batch kernel row for row, the bm25_incremental precedent).
-# Sitting out r16 -- every alternating row hash-green in r15
-# (CORRECTNESS_r15), witness noted ("(in)" = in the r16 window):
+# like the bm25 store, probe = driver-routed pruned read + per-phrase
+# position-set lambdas (n_exact = shift-intersection, n_prox = the
+# greedy exists-formulation, equal to the in-row kernel semantics),
+# full store verb set via the existing storefs staged-partition
+# protocol, takedown wired into admission.takedown_wave, and the
+# phrase_incremental library op whose oracle is PHRASE_SEARCH_SQL
+# verbatim (exact index => probe == batch kernel row for row).
+# Sitting out r17 -- every alternating row hash-green in r16
+# (CORRECTNESS_r16), witness noted ("(in)" = in the r17 window):
 DEPRIORITIZED = [
-    # ---- r15-green rows sitting one round ----
-    "nexmark_q1",              # map: props_rollup (in, scalar map exprs)
-    "nexmark_q2",              # filter: tpch_q6 (in, filter + agg)
-    "nexmark_q3",              # SQL join image: tpch_q5 (in, multi-join) + q3_emit_once_join (in)
-    "nexmark_q8",              # windowed equi-join: interval_join (in, time-bounded join)
-    "tpch_q1",                 # decimal scan agg: decimal_accumulators (in, BigDecimal accumulators over the same scan)
-    "keyed_agg",               # keyed folds: keyed_running_reduce + minby_maxby (in)
-    "tumbling_window_agg",     # window aggs: nexmark_q5 (in, sliding) + count_window (in)
-    "tpch_q18",                # window rank + join: top_orders_per_customer (in)
-    "all_window_agg",          # non-keyed window: nexmark_q5 + count_window (in, same S2A window family) + hostile-events parity (test_parity_edges)
-    "wordcount",               # flatMap + count: ngram_counts (in, explode/shingle count)
-    "wordcount_two_input",     # connect/CoFlatMap: q3_emit_once_join (in, CoProcess class) + hostile-docs parity (test_parity_edges)
-    "cogroup_apply",           # coGroup: q3_emit_once_join (in, two-input keyed apply) + hostile-events parity (test_parity_edges)
-    "sliding_count_window",    # count/sliding windows: count_window + nexmark_q5 (in)
-    "delta_evictor_window",    # evictors: time_evictor_window (in)
-    "continuous_trigger",      # triggers: delta_trigger (in)
-    "purging_trigger",         # triggers: delta_trigger (in)
-    "asof_join",               # tagged-union asof: interval_join (in, time-bounded family) + test_asof_stream_equals_batch pytest
-    "async_enrich",            # AsyncDataStream: interval_join (in, ordered enrich image) + hostile-events parity (test_parity_edges)
-    "token_count",             # tokenizer: doc_chunk + bpe_token_estimate + bpe_segment (in, shared tokenizer)
-    "quality_score",           # doc stats: length_percentiles + source_quality_rollup (in)
-    "lang_id",                 # source_quality_rollup (in) composes it
-    "doc_fingerprint",         # rolling hash: dedup_substring (in, same class)
-    "dedup_exact",             # md5 groupBy: dedup_minhash_lsh (in) + pack_plan (in, composes exact dedup via the manifest chain)
-    "dedup_bag",               # token-level near-dup: dedup_simhash (in)
-    "ngram_jaccard",           # shingle kernel: ngram_counts + dedup_minhash_lsh (in) + cross_split_leakage (in, pair chain)
-    "dedup_clusters",          # components: pack_plan (in, composes the transitive closure) + dedup_minhash_lsh (in, pair kernel)
-    "decontaminate_flags",     # semi-join kernel: semi_join_orders (in) + cross_split_leakage (in, split-keyed pair semi-join)
-    "minhash_jaccard_estimate",  # signature-agreement estimator: dedup_minhash_lsh (in, same signature+band kernels) + cross_split_leakage (in, composes the same pair chain)
-    "repetition_ratio",        # source_quality_rollup (in) composes it
-    "pii_redact",              # scalar regexes: props_rollup (in, scalar/string fns)
-    "url_normalize",           # scalar string fns: props_rollup (in)
-    "gopher_rules",            # map-only doc-stats class: source_quality_rollup (in)
-    "media_metadata",          # multimodal map-side: media_byte_features (in)
-    "media_frame_sample",      # multimodal map-side: media_byte_features (in)
-    "dedup_incremental",       # persisted-store probe: dedup_minhash_lsh (in, same signature+band kernels the store persists) + canonical_by_quality (in, the same struct-MAX argmax its probe verdict uses)
-    "dedup_semantic",          # pack_plan (in) COMPOSES its whole chain via the manifest; cosine_near_dup_lsh (in, SRP pairs)
-    "ivf_refine",              # Lloyd step kernel: ann_ivf + ivf_refine_iters (in)
-    "embedding_health",        # in-row norm fold: embed_quantize_int8 (in, same kernel)
-    "ann_recall",              # recall gate: ann_ivf_int8 (in, the approximate side it drives verbatim) + cosine_near_dup_exact (in, the exact-GEMM class of its brute side)
-    "ann_ivf_pq",              # ADC search: ann_ivf_int8 (in, composes routing + rerank) + pq_encode_trained (in, encode kernel)
-    "source_cap_sample",       # md5 rank-cap: split_rollup (in) + source_mix_sample (in, md5-order family) + pack_plan (in, the cap via the plan chain)
-    "curation_manifest_semantic",  # pack_plan (in) COMPOSES it wholesale via training_plan's chain
-    "training_plan_over_store",    # pack_plan (in, IDENTICAL _drop_cap_losers + _epoch_plan tail over the same chain; store == recompute equality-pinned in test_pq)
-    "curation_funnel",         # pack_plan (in, composes the manifest chain its stages count) + hostile-corpus parity (test_parity_edges)
-    "ts_subsequence_sax",      # ts family: ts_subsequence_match (in, same z-norm + exact-int distance arithmetic)
-    # ---- r15-seated rows, first sit (witnesses per the r15 plan) ----
-    "semantic_incremental",    # persisted SRP store probe: cosine_near_dup_lsh (in, same SRP banding + in-bucket cosine kernel) + canonical_by_quality (in, the same struct-MAX argmax its probe verdict uses)
-    "admission_report",        # composed funnel: dedup_minhash_lsh (in, the dedup probe kernel) + cosine_near_dup_lsh (in, the semantic probe kernel) + source_quality_rollup (in, the composed quality gate) + semi_join_orders (in, the anti-join staging class)
-    # ---- permanent sitters (composed class -- witness = composer) ----
+    # ---- r16-green rows sitting one round ----
+    "nexmark_q5",              # sliding window agg: tumbling_window_agg + sliding_count_window (in)
+    "nexmark_q11",             # session windows: tumbling_window_agg/sliding_count_window (in, same §2A window row) + session-fire timer pytest (test_streaming)
+    "tpch_q5",                 # multi-join agg: tpch_q18 (in, 3-table join + agg) + tpch_q1 (in, decimal agg)
+    "keyed_running_reduce",    # keyed folds: keyed_agg (in)
+    "top_orders_per_customer", # window rank + join: tpch_q18 (in)
+    "semi_join_orders",        # semi-join kernel: decontaminate_flags (in)
+    "tpch_q6",                 # filter + agg: nexmark_q2 (in, filter) + tpch_q1 (in, scan agg)
+    "decimal_accumulators",    # BigDecimal: tpch_q1 (in, decimal scan agg)
+    "props_rollup",            # scalar map/string fns: nexmark_q1 (in, map) + pii_redact + url_normalize (in)
+    "q3_emit_once_join",       # emit-once stateful join: nexmark_q3 (in, SQL image) + wordcount_two_input (in, CoProcess) + emit-once replay pytest (test_stateful)
+    "interval_join",           # time-bounded join: nexmark_q8 (in, windowed equi-join) + asof_join (in)
+    "minby_maxby",             # keyed folds: keyed_agg (in)
+    "count_window",            # count windows: sliding_count_window (in)
+    "time_evictor_window",     # evictors: delta_evictor_window (in)
+    "delta_trigger",           # triggers: continuous_trigger + purging_trigger (in)
+    "dedup_minhash_lsh",       # banded-LSH kernel: dedup_incremental (in, same signature+band kernels through the persisted store) + ngram_jaccard (in, shingle kernel)
+    "dedup_simhash",           # token near-dup: dedup_bag (in) + doc_fingerprint (in, hash kernel)
+    "dedup_substring",         # winnowing: doc_fingerprint (in, rolling-hash class)
+    "canonical_by_quality",    # cluster argmax: dedup_clusters (in, the component chain it extends) + dedup_incremental (in, the same struct-MAX argmax in its probe verdict) + quality_score (in, the quality features)
+    "ngram_counts",            # explode/shingle count: wordcount + ngram_jaccard (in)
+    "source_quality_rollup",   # composed of quality_score + lang_id + repetition_ratio (all in)
+    "length_percentiles",      # doc stats: quality_score (in)
+    "doc_chunk",               # tokenizer: token_count (in, shared tokenizer)
+    "bpe_token_estimate",      # tokenizer: token_count (in)
+    "bigram_lm_score",         # broadcast-model scoring: lang_id (in, n-gram model class)
+    "keyword_extract",         # tf/df scoring: wordcount (in) + lang_id (in, broadcast-model class)
+    "bm25_top_docs",           # lexical retrieval: wordcount (in, token-count kernel) + lang_id (in, broadcast-model scoring class) + exact-rational scoring property pytest (test_properties, every round)
+    "media_byte_features",     # multimodal map-side: media_metadata + media_frame_sample (in)
+    "bpe_segment",             # shared tokenizer + model broadcast: token_count (in) + lang_id (in, broadcast-model class) + bpe_replay oracle pytest (test_bpe, every round)
+    "cosine_near_dup_exact",   # blocked GEMM: ann_recall (in, drives the same exact-GEMM kernel verbatim as its brute side) + dedup_semantic (in, in-bucket exact GEMM)
+    "cosine_near_dup_lsh",     # SRP-LSH pairs: dedup_semantic (in, composes cosine_lsh_pairs — same SRP banding + in-bucket GEMM)
+    "ann_ivf",                 # IVF route+rerank: ivf_refine (in, centroid kernel) + ann_ivf_pq (in, routed search) + ann_recall (in, measures the same routed search)
+    "knn_label_vote",          # exact GEMM top-k: ann_recall (in, its brute side is the same exact-GEMM top-k kernel) + embedding_health (in, the shared norm fold)
+    "ivf_refine_iters",        # Lloyd iterations: ivf_refine (in, the step kernel)
+    "embed_quantize_int8",     # quantization: ann_ivf_pq (in, same fused quantize+encode kernel)
+    "ann_ivf_int8",            # routed int8 search: ann_ivf_pq (in, routing + rerank) + ann_recall (in, drives it verbatim as the approximate side)
+    "pq_encode_trained",       # ann_ivf_pq (in, same _pq_model seed + fused encode kernel) + the pq_encode flip's iters=0 equality pytest (test_pq, every round)
+    "split_rollup",            # md5-split kernel: source_cap_sample (in, md5-order family) + curation_funnel (in, stage rollup over the same manifest chain)
+    "source_mix_sample",       # md5-ppm keep kernel: source_cap_sample (in, md5-order family)
+    "pack_plan",               # packing kernel: training_plan_over_store (in, composes the plan chain; store ≡ recompute equality-pinned in test_pq) + curation_funnel (in, same manifest chain)
+    "source_divergence",       # per-source KL: wordcount (in, the (source,word) count kernel) + lang_id (in, distribution-model class)
+    "dsir_weights",            # hashed-bigram importance: lang_id (in, hashed n-gram broadcast-model class) + integer-exact stream-twin pytest (test_streaming_extras, every round)
+    "ts_subsequence_match",    # ts family: ts_subsequence_sax (in, same z-norm + exact-int distance arithmetic)
+    "cross_split_leakage",     # dedup_incremental (in, same signature+band pair kernel through the persisted store) + ngram_jaccard (in, shingle kernel) + decontaminate_flags (in, split-keyed semi-join class)
+    "line_dedup",              # repetition_ratio (in, in-row array-expression text stats) + token_count (in, shared in-row tokenizer split)
+    # ---- r16-seated rows, first sit (witnesses per the r16 plan) ----
+    "bm25_incremental",        # persisted BM25 store probe: wordcount (in, the token-count kernel) + lang_id (in, the broadcast-model scoring class) + dedup_incremental (in, the persisted-store pruned-probe routing class) + append ≡ rebuild + exact-scoring pytests (test_bm25_store + test_properties, every round)
+    "hybrid_retrieval",        # keywords → BM25 → kNN → RRF: ann_recall (in, the exact-GEMM top-k kernel of its kNN side) + wordcount + lang_id (in, the lexical scoring class) + hybrid_store_probe's full-fusion library oracle every round (test_oracle_parity)
+    # ---- permanent sitters (composed class — witness = composer) ----
     "sequence_pack",           # COMPOSED_SITTER_WITNESS: pack_plan
     "train_split",             # COMPOSED_SITTER_WITNESS: training_plan_over_store
     "curation_manifest",       # COMPOSED_SITTER_WITNESS: curation_manifest_semantic + curation_funnel
     "source_upsample",         # COMPOSED_SITTER_WITNESS: training_plan_over_store
     "training_plan",           # COMPOSED_SITTER_WITNESS: training_plan_over_store (identical oracle)
     "cluster_cap_sample",      # COMPOSED_SITTER_WITNESS: training_plan_over_store + source_cap_sample
-    "ann_lsh_bucketed",        # COMPOSED_SITTER_WITNESS: cosine_near_dup_lsh + ann_ivf (r13 flip -- kernel pins above)
-    "pq_encode",               # COMPOSED_SITTER_WITNESS: pq_encode_trained (r13 flip -- iters=0 equality pin)
+    "ann_lsh_bucketed",        # COMPOSED_SITTER_WITNESS: cosine_near_dup_lsh + ann_ivf (r13 flip — kernel pins above)
+    "pq_encode",               # COMPOSED_SITTER_WITNESS: pq_encode_trained (r13 flip — iters=0 equality pin)
     # ---- permanent sitter (no-oracle class) ----
     "media_decode_resize",     # NO_ORACLE_SITTER_WITNESS: media_decode_checksum (in)
 ]
@@ -311,6 +306,7 @@ def load_library() -> dict[str, QueryDef]:
     from trisk_spark.functions import (
         dedup,
         dedup_store,
+        phrase_store,
         retrieval,
         sampling,
         semantic_store,
@@ -351,24 +347,21 @@ def load_library() -> dict[str, QueryDef]:
             similarity.knn_bruteforce,
             similarity.KNN_BRUTE_SQL,
         ),
-        # r15-new: margin-based cross-corpus pair mining (the Artetxe
-        # & Schwenk ratio-margin criterion behind CCMatrix/LASER-style
-        # parallel-data pipelines) — both kNN directions through the
-        # shared _gemm_topk kernel, neighborhood averages, and the
-        # margin fusion + accept decision under ONE value-hash.
-        "margin_pair_mining": (
-            similarity.margin_pair_mining,
-            similarity.MARGIN_PAIR_SQL,
+        # (margin_pair_mining and weighted_sample graduated to
+        # ``@register`` seats in r17 — the executed R17 seat trade.)
+        # r17-retired (the R17 seat trade): the signature-agreement
+        # estimator's kernels are driver-hash-gated by
+        # dedup_minhash_lsh (signature + band) and cross_split_leakage
+        # (composed pair chain) every other round; the full oracle
+        # keeps running here.
+        "minhash_jaccard_estimate": (
+            dedup.minhash_jaccard_estimate,
+            dedup._minhash_estimate_sql(),
         ),
-        # r15-new: exactly-M quality-weighted sampling without
-        # replacement (Efraimidis-Spirakis keys over the shared
-        # quality formula; the Bernoulli mix samplers hit a rate in
-        # expectation — this hits an exact budget, weight-proportional,
-        # via TakeOrderedAndProject).
-        "weighted_sample": (
-            sampling.weighted_sample,
-            sampling.WEIGHTED_SAMPLE_SQL,
-        ),
+        # r17-retired likewise: the map-only doc-stats class is
+        # hash-gated by source_quality_rollup; full oracle keeps
+        # running here.
+        "gopher_rules": (text.gopher_rules, text.GOPHER_RULES_SQL),
         # r15-new: the source×source near-dup overlap matrix — the
         # mixture-design preflight ("how much of source A duplicates
         # source B"): the capped banded pair kernel + source rollup +
@@ -440,6 +433,17 @@ def load_library() -> dict[str, QueryDef]:
         "semantic_takedown": (
             semantic_store.semantic_takedown,
             semantic_store.SEMANTIC_TAKEDOWN_SQL,
+        ),
+        # r17-new: incremental phrase/proximity retrieval over the
+        # persisted POSITIONAL postings store (the r16-sketched r17
+        # build): oracle is PHRASE_SEARCH_SQL verbatim — the index is
+        # exact, so write → append → route → pruned probe →
+        # position-set counting must equal the one-plan batch kernel
+        # row for row under ONE value-hash (the bm25_incremental
+        # precedent). The R19 sketch's seat candidate.
+        "phrase_incremental": (
+            phrase_store.phrase_incremental,
+            phrase_store.PHRASE_INCREMENTAL_SQL,
         ),
         # r16-new: phrase + ordered-proximity retrieval — the
         # POSITIONAL half of the lexical family (BM25 is bag-of-words;
