@@ -437,3 +437,52 @@ def test_takedown_wave_unadmits_across_all_stores(spark, tmp_path):
     admission.takedown_wave(spark, [12], dpath, spath, bpath)
     docs2, vecs2 = _store_ids(spark, dpath, spath)
     assert 40 in docs2 and 40 in vecs2
+
+
+def test_admission_refuses_pending_takedown(spark, tmp_path, monkeypatch):
+    """The r16-queued admission-side guard: a wave must FAIL LOUD when
+    a target store carries a crashed takedown's durable
+    _delete_intent — re-admitting mid-crash would feed the re-driven
+    delete the just-re-admitted rows, and an append into a
+    staged-delete bucket would be lost at the swap. After the
+    operator finishes the takedown (resume_pending_delete), the same
+    wave admits normally. Both the overlap and the disjoint wording
+    are exercised."""
+    import pytest
+
+    dpath, spath = _seed_stores(spark, tmp_path)
+    w1 = spark.createDataFrame(_WAVE1, _SCHEMA)
+    admission.admission_wave(spark, w1, dpath, spath)
+
+    # crash a takedown of doc 12 INSIDE the dedup store's delete —
+    # the durable intent stays behind
+    real = dedup_store._run_recorded_delete
+    monkeypatch.setattr(
+        dedup_store, "_run_recorded_delete",
+        lambda *a: (_ for _ in ()).throw(RuntimeError("injected")),
+    )
+    with pytest.raises(RuntimeError, match="injected"):
+        dedup_store.delete_from_dedup_store(spark, [12], dpath)
+    monkeypatch.setattr(dedup_store, "_run_recorded_delete", real)
+
+    # a wave RE-ADMITTING the pending victim: refused, overlap named
+    w_re = spark.createDataFrame([(12, "w", T3, _E_NOVEL)], _SCHEMA)
+    with pytest.raises(RuntimeError, match="IN THIS WAVE"):
+        admission.admission_wave(spark, w_re, dpath, spath)
+    # a DISJOINT wave: refused too (the staged-swap hazard is
+    # id-independent)
+    w2 = spark.createDataFrame(_WAVE2, _SCHEMA)
+    with pytest.raises(RuntimeError, match="disjoint from this wave"):
+        admission.admission_wave(spark, w2, dpath, spath)
+    # neither refused wave mutated the stores
+    docs, _vecs = _store_ids(spark, dpath, spath)
+    assert docs == {1, 12}
+
+    # finish the takedown -> the wave admits normally
+    assert dedup_store.resume_pending_delete(spark, dpath)
+    r = _stage_map(
+        admission.admission_wave(spark, w_re, dpath, spath).collect()
+    )
+    assert r[12][0] in ("admitted", "dup_semantic")
+    docs, _vecs = _store_ids(spark, dpath, spath)
+    assert 12 in docs

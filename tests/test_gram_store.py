@@ -1018,3 +1018,59 @@ def test_ack_refuses_pending_wave_intent(spark, tmp_path):
     os.remove(f"{storefs.strip_file_scheme(gpath)}/_takedown_wave_intent")
     ack_pre_sequence_takedown(gpath)
     assert storefs.read_small_text(gpath, "_pre_sequence_ack") is not None
+
+
+def test_append_gram_refuses_pending_takedown_markers(
+    spark, tmp_path, monkeypatch
+):
+    """The moment-store side of the r16-queued admission guard:
+    appending while a takedown is mid-crash (a pending _delete_intent
+    OR a pending _takedown_wave_intent) must fail loud — the re-drive
+    and the append would disagree about the re-admitted vectors'
+    moments. After the takedown finishes, the append lands."""
+    from trisk_spark.functions import storefs
+
+    def vec(i):
+        v = [0.001 * ((i + k) % 5) for k in range(DIM)]
+        v[i % DIM] = 0.8
+        return [float(x) for x in v]
+
+    emb = spark.createDataFrame(
+        [(i, vec(i)) for i in range(8)],
+        "vec_id long, embedding array<double>",
+    )
+    gpath = str(tmp_path / "g")
+    G.write_gram_store(spark, emb, gpath)
+
+    # crash a gram delete AFTER its intent rename, BEFORE the append
+    real = G._run_recorded_delete
+    monkeypatch.setattr(
+        G, "_run_recorded_delete",
+        lambda *a: (_ for _ in ()).throw(RuntimeError("injected")),
+    )
+    with pytest.raises(RuntimeError, match="injected"):
+        G.delete_from_gram_store(
+            spark, emb.where(F.col("vec_id").isin([2])), gpath
+        )
+    monkeypatch.setattr(G, "_run_recorded_delete", real)
+    wave = spark.createDataFrame(
+        [(100, vec(100))], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(RuntimeError, match="_delete_intent"):
+        G.append_gram_store(spark, wave, gpath, wave_id=7)
+    assert G.resume_pending_delete(spark, gpath)
+
+    # a pending WAVE intent (composed takedown mid-crash) blocks too
+    storefs.write_small_text(gpath, "_takedown_wave_intent", "cafe 2")
+    with pytest.raises(RuntimeError, match="_takedown_wave_intent"):
+        G.append_gram_store(spark, wave, gpath, wave_id=7)
+    import os
+
+    os.remove(f"{storefs.strip_file_scheme(gpath)}/_takedown_wave_intent")
+    G.append_gram_store(spark, wave, gpath, wave_id=7)
+    want = _moments(
+        embedding_gram_frame(
+            emb.where(F.col("vec_id") != 2).unionByName(wave)
+        )
+    )
+    assert _moments(G.gram_store_moments(spark, gpath)) == want

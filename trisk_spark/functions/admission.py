@@ -87,6 +87,58 @@ from trisk_spark.functions.similarity import (
 STAGES = ("invalid", "quality", "dup_text", "dup_semantic", "admitted")
 
 
+def _require_no_pending_takedown(
+    spark: SparkSession, batch: DataFrame, stores: list[tuple[str, str]]
+) -> None:
+    """ADMISSION-SIDE TAKEDOWN GUARD (queued in r16, built r17):
+    refuse to admit while any target store carries a crashed
+    takedown's durable ``_delete_intent``. Re-admitting mid-crash is
+    the one ordering the takedown machinery cannot survive: the
+    re-driven delete removes whatever its recorded intent ids name —
+    including rows this wave just re-admitted — and for the
+    partitioned postings stores an append into a bucket whose staged
+    delete already COMMITTED is silently lost at the staged swap
+    (the staging, not the live directory, becomes that bucket). The
+    error names the overlap when the wave actually carries pending
+    victims (the id-overlap case the r16 review flagged); a disjoint
+    wave fails loud too — the staged-swap hazard is id-independent.
+    Repair: finish the takedown (per-store ``resume_pending_delete``,
+    or re-drive the composed ``takedown_wave``), then re-admit. Cost
+    when no takedown is in flight (always, outside crash recovery):
+    one os.path.exists per store, no jobs."""
+    import os
+
+    for path, label in stores:
+        ipath = f"{storefs.strip_file_scheme(path)}/_delete_intent"
+        if not os.path.exists(ipath):
+            continue
+        victims = [
+            int(r[0]) for r in spark.read.parquet(ipath).collect()
+        ]  # id-sized (the takedown driver-literal class)
+        overlap = (
+            batch.where(F.col("doc_id").isin(victims))
+            .select("doc_id")
+            .distinct()
+            .limit(6)
+            .collect()
+        )
+        ov = sorted(int(r.doc_id) for r in overlap)
+        raise RuntimeError(
+            f"admission refused: the {label} store ({path}) has a "
+            f"PENDING takedown intent for {len(victims)} id(s)"
+            + (
+                f", {len(ov)}+ of which are IN THIS WAVE "
+                f"(first: {ov[:5]})"
+                if ov
+                else " (disjoint from this wave, but an append into a "
+                "staged-delete bucket would be lost at the swap)"
+            )
+            + " — finish the takedown first (resume_pending_delete on "
+            "the store, or re-drive takedown_wave with its id set), "
+            "then re-admit"
+        )
+
+
 def admission_wave(
     spark: SparkSession,
     batch: DataFrame,
@@ -117,7 +169,17 @@ def admission_wave(
     without a separate indexing pipeline re-reading the corpus. The
     index is an EFFECT, never a gate: verdicts and the report are
     byte-identical with or without it, so the ``admission_report``
-    oracle is unaffected."""
+    oracle is unaffected.
+
+    ADMISSION-SIDE TAKEDOWN GUARD (the r16-queued r17 hardening): a
+    wave refuses to run while any target store carries a crashed
+    takedown's durable ``_delete_intent`` — re-admitting mid-crash is
+    the one ordering the takedown protocol cannot survive (see
+    ``_require_no_pending_takedown``)."""
+    stores = [(dedup_path, "dedup"), (sem_path, "semantic")]
+    if bm25_path is not None:
+        stores.append((bm25_path, "bm25"))
+    _require_no_pending_takedown(spark, batch, stores)
     report, s2 = _admission_verdicts(spark, batch, dedup_path, sem_path)
     append_dedup_store(spark, s2.select("doc_id", "text"), dedup_path)
     append_semantic_store(
@@ -287,6 +349,15 @@ def admission_stream(
             return
         batch_df = batch_df.persist()
         try:
+            # the admission-side takedown guard covers the stream's
+            # own append paths too (fresh AND replay re-drive): a
+            # crashed takedown must be finished before any admission
+            # append touches its store (one exists() per store per
+            # batch when nothing is pending)
+            stores = [(dedup_path, "dedup"), (sem_path, "semantic")]
+            if bm25_path is not None:
+                stores.append((bm25_path, "bm25"))
+            _require_no_pending_takedown(spark, batch_df, stores)
             ipath = _intent_path(dedup_path, batch_id)
             if os.path.exists(ipath):
                 # replay past a recorded intent: re-drive the appends

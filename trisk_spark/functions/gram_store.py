@@ -89,7 +89,30 @@ def append_gram_store(
     ``wave_id`` (caller supplies a unique id — the ingest stream uses
     its batch_id; re-using an id is the replay the stats detect). A
     wave with zero valid vectors appends nothing. One parquet append,
-    job-level commit: the block lands whole or not at all."""
+    job-level commit: the block lands whole or not at all.
+
+    TAKEDOWN GUARD (the r16-queued r17 hardening, moment-store side):
+    admitting while a takedown is mid-crash breaks the aggregate
+    accounting in a way no tombstone can repair — a pending
+    ``_delete_intent`` means a recorded negated block may or may not
+    have landed, and a pending ``_takedown_wave_intent`` means the
+    composed wave's membership-gated subtraction already read its
+    world; either way the re-drive and this append disagree about the
+    re-admitted vectors' moments. Fail loud; finish the takedown
+    first (``resume_pending_delete`` here / re-drive
+    ``takedown_wave``), exactly the row stores' admission-side
+    contract."""
+    import os
+
+    base = storefs.strip_file_scheme(path)
+    for marker in ("_delete_intent", "_takedown_wave_intent"):
+        if os.path.exists(f"{base}/{marker}"):
+            raise RuntimeError(
+                f"append_gram_store: a pending {marker} exists beside "
+                f"the gram store ({path}) — finish that takedown first "
+                "(resume_pending_delete / re-drive takedown_wave with "
+                "its id set), then admit this wave"
+            )
     block = embedding_gram_frame(new_emb).select(
         F.lit(wave_id).cast("bigint").alias("wave_id"), "i", "j", "g"
     ).localCheckpoint()
