@@ -486,3 +486,56 @@ def test_admission_refuses_pending_takedown(spark, tmp_path, monkeypatch):
     assert r[12][0] in ("admitted", "dup_semantic")
     docs, _vecs = _store_ids(spark, dpath, spath)
     assert 12 in docs
+
+
+def test_admission_refuses_mid_wave_takedown_crash(
+    spark, tmp_path, monkeypatch
+):
+    """r17 review: a takedown_wave crashed BETWEEN stores consumes the
+    per-store _delete_intent of every completed store, so only the
+    wave-level _takedown_wave_ids marker (written before any store
+    mutates, removed after the last) records the in-flight wave.
+    Admission must refuse on it; a takedown_wave for a DIFFERENT set
+    must refuse too; re-driving the recorded wave completes, removes
+    the marker, and admission resumes."""
+    import pytest
+
+    from trisk_spark.functions import semantic_store as sem
+
+    dpath, spath = _seed_stores(spark, tmp_path)
+    w1 = spark.createDataFrame(_WAVE1, _SCHEMA)
+    admission.admission_wave(spark, w1, dpath, spath)
+
+    # crash BETWEEN stores: dedup delete completes (its intent
+    # consumed), the semantic delete never starts
+    real = sem.delete_from_semantic_store
+    monkeypatch.setattr(
+        sem, "delete_from_semantic_store",
+        lambda *a: (_ for _ in ()).throw(RuntimeError("injected")),
+    )
+    with pytest.raises(RuntimeError, match="injected"):
+        admission.takedown_wave(spark, [12], dpath, spath)
+    monkeypatch.setattr(sem, "delete_from_semantic_store", real)
+    import glob
+
+    assert glob.glob(f"{dpath}/_delete_intent*") == [], (
+        "fixture broken: the dedup delete was supposed to COMPLETE"
+    )
+
+    # mid-crash re-admission refused via the wave marker
+    w_re = spark.createDataFrame([(12, "w", T3, _E_NOVEL)], _SCHEMA)
+    with pytest.raises(RuntimeError, match="IN THIS WAVE"):
+        admission.admission_wave(spark, w_re, dpath, spath)
+    # a different takedown wave refused too
+    with pytest.raises(RuntimeError, match="DIFFERENT"):
+        admission.takedown_wave(spark, [99], dpath, spath)
+
+    # re-drive the recorded wave -> completes, marker gone, admission
+    # resumes and the doc is re-admittable
+    admission.takedown_wave(spark, [12], dpath, spath)
+    r = _stage_map(
+        admission.admission_wave(spark, w_re, dpath, spath).collect()
+    )
+    assert r[12][0] == "admitted"
+    docs, vecs = _store_ids(spark, dpath, spath)
+    assert 12 in docs and 12 in vecs

@@ -1074,3 +1074,113 @@ def test_append_gram_refuses_pending_takedown_markers(
         )
     )
     assert _moments(G.gram_store_moments(spark, gpath)) == want
+
+
+def test_migration_guard_catches_membership_gated_legacy_tombstone(
+    spark, tmp_path
+):
+    """r17 review: the mid-r15 (f9ef826) takedown additionally gated
+    victim_emb on the SEMANTIC store's membership before the gram
+    delete, so a victim embedded in the gram store but never stored
+    by the semantic store (the documented zero-norm/degenerate class)
+    landed a tombstone digested over a THIRD subset. A post-upgrade
+    wave must recognize it and fail loud instead of double-subtracting
+    the member victims under a fresh seq=1 digest."""
+    from trisk_spark.functions.admission import (
+        ack_pre_sequence_takedown,
+        takedown_wave,
+    )
+    from trisk_spark.functions.dedup_store import (
+        append_dedup_store,
+        delete_from_dedup_store,
+        write_dedup_store,
+    )
+    from trisk_spark.functions.semantic_store import (
+        append_semantic_store,
+        delete_from_semantic_store,
+        write_semantic_store,
+    )
+
+    def vec(i):
+        v = [0.001 * ((i + k) % 5) for k in range(DIM)]
+        v[i % DIM] = 0.8
+        return [float(x) for x in v]
+
+    ids = list(range(12))
+    docs = spark.createDataFrame(
+        [(i, f"document body {i} with words w{i} x{i}") for i in ids],
+        "doc_id long, text string",
+    )
+    emb = spark.createDataFrame(
+        [(i, vec(i)) for i in ids], "vec_id long, embedding array<double>"
+    )
+    dpath, spath, gpath = (
+        str(tmp_path / "d"), str(tmp_path / "s"), str(tmp_path / "g")
+    )
+    write_dedup_store(spark, docs, dpath)
+    # victim 2 is in the GRAM store but NOT the semantic store (the
+    # admitted-without-stored-vector class the f9ef826 caveat names)
+    write_semantic_store(spark, emb.where(F.col("vec_id") != 2), spath)
+    G.write_gram_store(spark, emb, gpath)
+
+    victims = [2, 9]
+    # the f9ef826-era flow: gram delete over victim_emb ∩ sem
+    # membership = {9} only, then the row-store deletes; crash AFTER
+    # the gram tombstone landed = stop here (row stores keep victims)
+    G.delete_from_gram_store(
+        spark, emb.where(F.col("vec_id").isin([9])), gpath
+    )
+    after_crash = _moments(G.gram_store_moments(spark, gpath))
+
+    # re-driven on current code with the FULL id set: must fail loud —
+    # the landed tombstone is digested over the membership subset {9},
+    # which neither the full-set nor the embedded-subset candidate
+    # matches
+    with pytest.raises(RuntimeError, match="PRE-SEQUENCE"):
+        takedown_wave(
+            spark, victims, dpath, spath, gram_path=gpath, victim_emb=emb
+        )
+    # nothing double-subtracted by the refused wave
+    assert _moments(G.gram_store_moments(spark, gpath)) == after_crash
+
+    # operator path: finish the legacy wave's row deletes, ack, move on
+    delete_from_dedup_store(spark, victims, dpath)
+    delete_from_semantic_store(spark, victims, spath)
+    # clear the wave marker the refused post-upgrade wave left (it
+    # never completed; the legacy wave was finished BY HAND above)
+    import os
+
+    from trisk_spark.functions import storefs
+
+    os.remove(f"{storefs.strip_file_scheme(dpath)}/_takedown_wave_ids")
+    ack_pre_sequence_takedown(gpath)
+    # re-admit and take down again: subtracts under a fresh sequence.
+    # victim 2's moments were NEVER subtracted by the legacy wave (the
+    # era's documented caveat), so the store converges to: full corpus
+    # − 9's original moments − the re-admitted pair's moments.
+    append_dedup_store(
+        spark, docs.where(F.col("doc_id").isin(victims)), dpath
+    )
+    append_semantic_store(
+        spark, emb.where(F.col("vec_id").isin(victims)), spath
+    )
+    G.append_gram_store(
+        spark, emb.where(F.col("vec_id").isin(victims)), gpath, wave_id=50
+    )
+    takedown_wave(
+        spark, victims, dpath, spath, gram_path=gpath, victim_emb=emb
+    )
+    # the final fold: base − {9}(legacy wave) + {2,9}(the re-admit
+    # append) − {2,9}(the new sequenced wave) = base − {9}
+    want = {}
+    for r in embedding_gram_frame(emb).collect():
+        want[(r.i, r.j)] = r.g
+    for r in embedding_gram_frame(
+        emb.where(F.col("vec_id") == 9)
+    ).collect():
+        want[(r.i, r.j)] -= r.g
+    got = {
+        (i, j): g
+        for (i, j, g) in _moments(G.gram_store_moments(spark, gpath))
+    }
+    assert got == want

@@ -561,3 +561,61 @@ def test_object_store_paths_fail_loud(spark):
         P.compact_phrase_store(spark, "s3://bucket/store")
     with pytest.raises(ValueError, match="atomic-rename"):
         P.phrase_ingest_stream(spark, None, "s3://bucket/store", None)
+
+
+def test_append_and_ingest_refuse_pending_delete(
+    spark, tmp_path, monkeypatch
+):
+    """r17 review: this store is not among admission_wave's composed
+    targets, so its append verbs are its only admission path and must
+    carry the pending-takedown guard themselves — an append into a
+    bucket whose staged delete already committed would be LOST at the
+    staged swap (and with the watermark advanced, never re-ingested).
+    After resume_pending_delete the same wave appends normally."""
+    docs = spark.createDataFrame(
+        [(i, f"common ground extra{i} filler{i}") for i in range(10)],
+        "doc_id long, text string",
+    )
+    live = str(tmp_path / "live")
+    P.write_phrase_store(spark, docs, live)
+
+    real = P._run_recorded_delete
+    monkeypatch.setattr(
+        P, "_run_recorded_delete",
+        lambda *a: (_ for _ in ()).throw(RuntimeError("injected")),
+    )
+    with pytest.raises(RuntimeError, match="injected"):
+        P.delete_from_phrase_store(spark, [0, 1], live)
+    monkeypatch.setattr(P, "_run_recorded_delete", real)
+
+    wave = spark.createDataFrame(
+        [(100, "common ground fresh wave words")],
+        "doc_id long, text string",
+    )
+    with pytest.raises(RuntimeError, match="_delete_intent"):
+        P.append_phrase_store(spark, wave, live)
+
+    # the ingest stream's guard fires per batch BEFORE anything lands
+    wdir = str(tmp_path / "waves")
+    wave.coalesce(1).write.mode("overwrite").parquet(wdir)
+    stream = (
+        spark.readStream.schema("doc_id long, text string").parquet(wdir)
+    )
+    q = (
+        P.phrase_ingest_stream(spark, stream, live, lambda df, bid: None)
+        .option("checkpointLocation", checkpoint_dir("phraseguard"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="_delete_intent"):
+        q.awaitTermination()
+    assert storefs.read_ingest_watermark(live) is None
+
+    assert P.resume_pending_delete(spark, live)
+    P.append_phrase_store(spark, wave, live)
+    got = sorted(
+        r.doc_id
+        for r in spark.read.parquet(f"{live}/postings")
+        .select("doc_id").distinct().collect()
+    )
+    assert got == [2, 3, 4, 5, 6, 7, 8, 9, 100]

@@ -105,16 +105,30 @@ def _require_no_pending_takedown(
     Repair: finish the takedown (per-store ``resume_pending_delete``,
     or re-drive the composed ``takedown_wave``), then re-admit. Cost
     when no takedown is in flight (always, outside crash recovery):
-    one os.path.exists per store, no jobs."""
+    one os.path.exists per store, no jobs.
+
+    TWO marker classes are checked per store: the per-store
+    ``_delete_intent`` (a crash INSIDE that store's delete) and the
+    wave-level ``_takedown_wave_ids`` CSV (r17 review: the per-store
+    intents are consumed as each store completes, so a composed
+    ``takedown_wave`` crashed BETWEEN stores leaves no intent
+    anywhere — the wave marker, written before any store mutates and
+    removed after the last, is what survives that window)."""
     import os
 
     for path, label in stores:
+        victims = None
         ipath = f"{storefs.strip_file_scheme(path)}/_delete_intent"
-        if not os.path.exists(ipath):
+        if os.path.exists(ipath):
+            victims = [
+                int(r[0]) for r in spark.read.parquet(ipath).collect()
+            ]  # id-sized (the takedown driver-literal class)
+        else:
+            wave = storefs.read_small_text(path, _WAVE_IDS_MARKER)
+            if wave is not None:
+                victims = [int(x) for x in wave.strip().split(",") if x]
+        if victims is None:
             continue
-        victims = [
-            int(r[0]) for r in spark.read.parquet(ipath).collect()
-        ]  # id-sized (the takedown driver-literal class)
         overlap = (
             batch.where(F.col("doc_id").isin(victims))
             .select("doc_id")
@@ -681,6 +695,16 @@ _GRAM_INTENT = "_takedown_wave_intent"
 _GRAM_LEDGER = "_takedown_digests"
 _GRAM_ACK = "_pre_sequence_ack"
 
+#: durable WAVE-LEVEL takedown marker beside the DEDUP store (the
+#: wave's first mandatory store): the victim id CSV, written before
+#: any store of a ``takedown_wave`` mutates and removed only after
+#: the LAST store completes. Exists so a wave crashed BETWEEN stores
+#: — where every per-store ``_delete_intent`` is already consumed —
+#: still leaves a durable record the admission-side guard can see
+#: (r17 review: without it, mid-crash re-admission was admitted
+#: cleanly and then silently erased by the re-drive).
+_WAVE_IDS_MARKER = "_takedown_wave_ids"
+
 
 def _gram_wave_digest(ids: list[int]) -> str:
     import hashlib
@@ -692,7 +716,7 @@ def _begin_gram_takedown(
     spark: SparkSession,
     gram_path: str,
     ids: list[int],
-    embedded_ids: list[int] | None = None,
+    legacy_subsets: list[list[int]] | None = None,
 ) -> int:
     """Durably allocate (or re-read) the takedown-sequence number for
     this wave — the machinery that lets ``takedown_wave`` take the
@@ -730,18 +754,20 @@ def _begin_gram_takedown(
     == 0" keeps the guard armed for a crashed legacy wave of set A
     even after unrelated post-upgrade waves bump the counter.
 
-    TWO legacy derivations are checked (r16 ADVICE, medium): the
-    full-id-set bare digest AND the EMBEDDED-SUBSET bare digest —
-    the r15-era ``takedown_wave`` handed ``delete_from_gram_store``
-    the victims' embedding rows and the ``wave_id=None`` path (still
-    live in gram_store.py) digests over the distinct non-null vec_ids
-    PRESENT in that frame, so a pre-upgrade wave whose victims were
-    not all embedded landed its tombstone under the subset CSV, which
-    the full-set check alone would miss (and a fresh salted sequence
-    would then double-subtract the embedded victims on a crashed
-    pre-upgrade re-drive). ``embedded_ids`` is that subset —
-    victim_emb's distinct non-null vec_ids ∩ ids, collected by the
-    caller before any store mutates."""
+    EVERY deployed legacy derivation is checked (r16 ADVICE medium +
+    r17 review): the full-id-set bare digest, the EMBEDDED-SUBSET
+    digest (the r15-end ``takedown_wave`` handed the ``wave_id=None``
+    path victim_emb filtered only by ids, and that path — still live
+    in gram_store.py — digests over the frame's distinct non-null
+    vec_ids, so a wave whose victims were not all embedded landed
+    under the subset CSV), and the MEMBERSHIP-GATED subset digest
+    (the mid-r15 f9ef826 version additionally intersected with the
+    semantic store's vectors table). Missing any one would let a
+    crashed pre-upgrade re-drive allocate seq=1 under a different
+    digest and double-subtract. ``legacy_subsets`` carries the
+    subset candidates — collected by the caller before any store
+    mutates; only digests DISTINCT from the full set add
+    candidates."""
     digest = _gram_wave_digest(ids)
     intent = storefs.read_small_text(gram_path, _GRAM_INTENT)
     if intent is not None:
@@ -763,10 +789,12 @@ def _begin_gram_takedown(
         from trisk_spark.functions.gram_store import tombstone_wave_id
 
         bares = {tombstone_wave_id(ids, 1)}
-        if embedded_ids:
-            # the r15-era subset derivation (see docstring) — only a
-            # DISTINCT digest adds a second candidate
-            bares.add(tombstone_wave_id(embedded_ids, 1))
+        for subset in legacy_subsets or ():
+            # the r15-era subset derivations (see docstring) — a
+            # nonempty subset adds its candidate; duplicates collapse
+            # in the set
+            if subset:
+                bares.add(tombstone_wave_id(subset, 1))
         landed = (
             spark.read.parquet(f"{gram_path}/partials")
             .where(F.col("wave_id").isin(sorted(bares)))
@@ -917,6 +945,27 @@ def takedown_wave(
             f"takedown wave of {len(ids)} ids exceeds {MAX_DELETE_IDS} — "
             "split it; the id set is a driver-held literal by design"
         )
+    # WAVE-LEVEL durable marker (r17 review): the per-store intents
+    # vanish as each store completes, so a crash BETWEEN stores left
+    # nothing for the admission guard to key on. The marker lands
+    # beside the dedup store BEFORE any store mutates and is removed
+    # only after the last one; a re-drive with the same id set finds
+    # its own marker and proceeds, a different wave fails loud (the
+    # single-maintainer interleave rule, same as the gram intent).
+    storefs.require_rename_fs(dedup_path, "takedown_wave")
+    ids_csv = ",".join(str(i) for i in ids)
+    marker = storefs.read_small_text(dedup_path, _WAVE_IDS_MARKER)
+    if marker is not None and marker.strip() != ids_csv:
+        prev = marker.strip().split(",")
+        raise RuntimeError(
+            "takedown_wave: a pending takedown wave for a DIFFERENT "
+            f"victim id set ({len(prev)} id(s), first: {prev[:5]}) is "
+            f"recorded beside the dedup store ({dedup_path}) — re-drive "
+            "that wave to completion first (re-run takedown_wave with "
+            "its recorded id set), then start this one"
+        )
+    if marker is None:
+        storefs.write_small_text(dedup_path, _WAVE_IDS_MARKER, ids_csv)
     seq = None
     if gram_path is not None:
         if victim_emb is None:
@@ -927,10 +976,18 @@ def takedown_wave(
                 "re-derive them)"
             )
         storefs.require_rename_fs(gram_path, "takedown_wave")
-        # the embedded-victim subset feeds the migration guard's
-        # SECOND legacy-tombstone derivation (r16 ADVICE): a
-        # pre-sequence wave digested over exactly this set when not
-        # every victim had an embedding row. Read-only, id-sized.
+        # the legacy-subset candidates for the migration guard's
+        # bare-tombstone check (both read-only, id-sized):
+        #   * embedded = victim_emb's vec_ids ∩ ids — the r15-END
+        #     derivation (victim_emb.where(isin(ids)) straight into
+        #     the wave_id=None digest; r16 ADVICE, medium);
+        #   * embedded ∩ CURRENT sem-store membership — the mid-r15
+        #     (f9ef826) derivation, which ALSO gated on the semantic
+        #     store's vectors table (r17 review). A wave crashed in
+        #     that era never ran its row-store deletes, so current
+        #     membership reproduces the membership it digested over
+        #     (modulo unrelated deletes since — best-effort by
+        #     nature, like every legacy reconstruction here).
         embedded = sorted(
             int(r.vec_id)
             for r in victim_emb.select("vec_id")
@@ -938,7 +995,16 @@ def takedown_wave(
             .distinct()
             .collect()  # id-sized (the takedown driver-literal class)
         )
-        seq = _begin_gram_takedown(spark, gram_path, ids, embedded)
+        sem_member = {
+            int(r.vec_id)
+            for r in spark.read.parquet(f"{sem_path}/vectors")
+            .select("vec_id")
+            .where(F.col("vec_id").isin(ids))
+            .distinct()
+            .collect()  # id-sized (the takedown driver-literal class)
+        }
+        legacy_subsets = [embedded, sorted(set(embedded) & sem_member)]
+        seq = _begin_gram_takedown(spark, gram_path, ids, legacy_subsets)
         # The subtraction set is victims ∩ CURRENT dedup-store
         # membership (one pushdown-filtered scan of the id-literal
         # against <dedup_path>/signatures — takedown-class cost).
@@ -1019,3 +1085,12 @@ def takedown_wave(
         delete_from_phrase_store(spark, ids, phrase_path)
     if gram_path is not None:
         _complete_gram_takedown(gram_path, seq, ids)
+    # the wave is complete everywhere: drop the wave-level marker
+    # (idempotent — a re-drive that finds it already gone changed
+    # nothing; victims become re-admittable at THIS point)
+    try:
+        os.remove(
+            f"{storefs.strip_file_scheme(dedup_path)}/{_WAVE_IDS_MARKER}"
+        )
+    except FileNotFoundError:
+        pass

@@ -78,7 +78,12 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from trisk_spark.catalog import table
 from trisk_spark.functions import storefs
-from trisk_spark.functions.bm25_store import _bucket_col, _bucket_of
+from trisk_spark.functions.bm25_store import (
+    N_BM25_BUCKETS,
+    _bucket_col,
+    _bucket_of,
+    _write_tasks,
+)
 from trisk_spark.functions.text import (
     PHRASE_SEARCH_SQL,
     PHRASE_TOP_K,
@@ -87,10 +92,14 @@ from trisk_spark.functions.text import (
     _phrase_probes,
 )
 
-#: postings partition fan — same md5 routing as the bm25 store (the
-#: bucket expressions are IMPORTED from it, so the two lexical stores
-#: can never drift apart on routing)
-N_PHRASE_BUCKETS = 64
+#: postings partition fan — same md5 routing as the bm25 store: the
+#: bucket expressions AND the bucket-domain constant are IMPORTED from
+#: it (an alias, not a copy — r17 review: a redefined 64 would let the
+#: prune guard and the write fan silently desync from the real bucket
+#: domain if the bm25 constant ever changed), so the two lexical
+#: stores can never drift apart on routing. ``_write_tasks`` is shared
+#: for the same reason.
+N_PHRASE_BUCKETS = N_BM25_BUCKETS
 
 #: fail-loud ceiling on one probe's materialized postings rows (the
 #: MAX_BM25_PROBE_POSTINGS class)
@@ -105,9 +114,26 @@ PHRASE_ARRIVING_MOD = 5
 MAX_DELETE_IDS = 100_000
 
 
-def _write_tasks(spark: SparkSession) -> int:
-    conf = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-    return max(1, min(conf, N_PHRASE_BUCKETS))
+def _require_no_pending_delete(path: str, op: str) -> None:
+    """ADMISSION-SIDE TAKEDOWN GUARD, phrase-store side (r17 review:
+    this store is NOT among ``admission_wave``'s composed targets, so
+    its append verbs are its only admission path and must carry the
+    guard themselves). A pending ``_delete_intent`` means a crashed
+    takedown whose staged-partition swap may already be COMMITTED —
+    an append into a staged bucket would be silently LOST when
+    ``complete_staged_partition_swap`` clears the live directory and
+    renames the stale staging in. Fail loud; finish the takedown
+    (``resume_pending_delete``) first. Cost when no takedown is in
+    flight: one os.path.exists, no jobs."""
+    import os
+
+    if os.path.exists(f"{storefs.strip_file_scheme(path)}/_delete_intent"):
+        raise RuntimeError(
+            f"{op}: a pending takedown _delete_intent exists beside "
+            f"the phrase store ({path}) — finish it first "
+            "(resume_pending_delete), then admit this wave; an append "
+            "into a staged-delete bucket would be lost at the swap"
+        )
 
 
 def _wave_postings(docs: DataFrame) -> DataFrame:
@@ -159,9 +185,20 @@ def append_phrase_store(
     store's (a replayed wave is the documented watermark window —
     detected by ``n_dup_postings``, repaired by
     ``repair_replayed_append``)."""
+    _require_no_pending_delete(path, "append_phrase_store")
     postings = _wave_postings(new_docs).localCheckpoint()
     if postings.limit(1).count() == 0:
         return
+    _append_wave_postings(spark, postings, path)
+
+
+def _append_wave_postings(
+    spark: SparkSession, postings: DataFrame, path: str
+) -> None:
+    """The shared append tail over an already-materialized wave frame
+    (r17 review: the ingest stream checkpoints the wave for its sink —
+    recomputing it inside ``append_phrase_store`` paid the dominant
+    explode/group shuffle twice per micro-batch)."""
     postings.repartition(_write_tasks(spark), "bucket").write.mode(
         "append"
     ).partitionBy("bucket").parquet(f"{path}/postings")
@@ -287,10 +324,16 @@ def phrase_ingest_stream(
         wm = storefs.read_ingest_watermark(path)
         if wm is not None and batch_id <= wm:
             return
+        _require_no_pending_delete(path, "phrase_ingest_stream")
         batch_df = batch_df.persist()
         try:
+            # ONE wave derivation per batch: the checkpointed frame
+            # feeds both the append and the sink (r17 review — the
+            # first cut recomputed the explode/group shuffle inside
+            # append_phrase_store)
             wave = _wave_postings(batch_df).localCheckpoint()
-            append_phrase_store(spark, batch_df, path)
+            if wave.limit(1).count() > 0:
+                _append_wave_postings(spark, wave, path)
             storefs.write_ingest_watermark(path, batch_id)
             sink(wave, batch_id)
         finally:
