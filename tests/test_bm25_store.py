@@ -360,3 +360,44 @@ def test_object_store_paths_fail_loud(spark):
         B.repair_stats(spark, "s3://bucket/store")
     with pytest.raises(ValueError, match="atomic-rename"):
         B.bm25_ingest_stream(spark, None, "s3://bucket/store", None)
+
+
+def test_append_refuses_pending_delete(spark, tmp_path, monkeypatch):
+    """r17 review (the phrase-store finding's twin): a pending
+    takedown _delete_intent means the staged-partition swap may
+    already be committed — an append into a staged bucket would be
+    lost at the swap, so append_bm25_store and the ingest stream must
+    fail loud until the takedown is finished."""
+    docs = spark.createDataFrame(
+        [(i, f"common ground extra{i} filler{i}") for i in range(10)],
+        "doc_id long, text string",
+    )
+    live = str(tmp_path / "live")
+    B.write_bm25_store(spark, docs, live)
+
+    real = B._run_recorded_delete
+    monkeypatch.setattr(
+        B, "_run_recorded_delete",
+        lambda *a: (_ for _ in ()).throw(RuntimeError("injected")),
+    )
+    with pytest.raises(RuntimeError, match="injected"):
+        B.delete_from_bm25_store(spark, [0, 1], live)
+    monkeypatch.setattr(B, "_run_recorded_delete", real)
+
+    wave = spark.createDataFrame(
+        [(100, "common ground fresh wave words")],
+        "doc_id long, text string",
+    )
+    with pytest.raises(RuntimeError, match="_delete_intent"):
+        B.append_bm25_store(spark, wave, live)
+
+    assert B.resume_pending_delete(spark, live)
+    B.append_bm25_store(spark, wave, live)
+    got = sorted(
+        r.doc_id
+        for r in spark.read.parquet(f"{live}/doclens")
+        .select("doc_id").distinct().collect()
+    )
+    assert got == [2, 3, 4, 5, 6, 7, 8, 9, 100]
+    row = B.bm25_store_stats(spark, live).collect()[0]
+    assert row.stats_lag == 0 and row.n_dup_doc_ids == 0

@@ -128,8 +128,9 @@ LIBRARY_NAMES = sorted(
         "phrase_search",
         # r17-new: the same semantics served from the persisted
         # positional postings store (oracle = PHRASE_SEARCH_SQL
-        # verbatim — exact index, probe ≡ batch kernel row for row)
-        "phrase_incremental",
+        # verbatim — exact index, probe ≡ batch kernel row for row),
+        # and its takedown verb under the victims-excluded derivation
+        "phrase_incremental", "phrase_takedown",
         # r16-new: leakage-safe cluster-atomic train split (no near-dup
         # pair straddles a split boundary, by construction)
         "cluster_split",

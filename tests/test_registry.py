@@ -190,7 +190,8 @@ def test_readme_op_table_names_are_registered():
         # r17: the persisted positional postings store (library op +
         # verb set; phrase_incremental is load_library-gated until its
         # sketched R19 seat)
-        "phrase_incremental", "write_phrase_store", "append_phrase_store",
+        "phrase_incremental", "phrase_takedown",
+        "write_phrase_store", "append_phrase_store",
         "probe_phrase_store", "phrase_ingest_stream", "phrase_probe_stream",
         "compact_phrase_store", "phrase_store_stats",
         "delete_from_phrase_store", "phrase_path", "positions",

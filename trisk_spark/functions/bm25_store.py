@@ -268,7 +268,43 @@ def append_bm25_store(
     is the documented watermark window, detected by
     ``n_dup_doc_ids``/``n_dup_postings`` and repaired by
     ``repair_replayed_append``)."""
+    _require_no_pending_delete(path, "append_bm25_store")
     postings, doclens = _wave_postings_doclens(new_docs)
+    _append_wave(spark, postings, doclens, path)
+
+
+def _require_no_pending_delete(path: str, op: str) -> None:
+    """ADMISSION-SIDE TAKEDOWN GUARD, bm25 side (r17 review — the
+    phrase-store finding applies here identically): a pending
+    ``_delete_intent`` means a crashed takedown whose staged-partition
+    swap may already be COMMITTED, and an append into a staged bucket
+    would be silently lost when the swap clears the live directory.
+    The composed admission paths (``admission_wave`` /
+    ``admission_stream``) already guard at entry; this covers direct
+    callers and the ingest stream. The BAND stores deliberately do
+    not carry this verb-level guard: their deletes re-derive touched
+    buckets from the row tables at resume time, so a post-append
+    resume keeps appended rows — there is no staged-swap loss window
+    there, and the composed guard covers the semantic hazard."""
+    import os
+
+    if os.path.exists(f"{storefs.strip_file_scheme(path)}/_delete_intent"):
+        raise RuntimeError(
+            f"{op}: a pending takedown _delete_intent exists beside "
+            f"the bm25 store ({path}) — finish it first "
+            "(resume_pending_delete), then admit this wave; an append "
+            "into a staged-delete bucket would be lost at the swap"
+        )
+
+
+def _append_wave(
+    spark: SparkSession, postings: DataFrame, doclens: DataFrame, path: str
+) -> None:
+    """The shared append tail over already-derived wave frames (r17
+    review, the phrase-store finding's twin: the ingest stream
+    checkpoints doclens for its sink — recomputing both frames inside
+    ``append_bm25_store`` paid the dominant explode/group shuffle
+    twice per micro-batch)."""
     wave = doclens.agg(
         F.count("*").cast("bigint").alias("w_docs"),
         F.coalesce(F.sum("dl"), F.lit(0)).cast("bigint").alias("w_len"),
@@ -313,11 +349,16 @@ def bm25_ingest_stream(
         wm = storefs.read_ingest_watermark(path)
         if wm is not None and batch_id <= wm:
             return
+        _require_no_pending_delete(path, "bm25_ingest_stream")
         batch_df = batch_df.persist()
         try:
-            _postings, doclens = _wave_postings_doclens(batch_df)
+            # ONE wave derivation per batch: the frames feed both the
+            # append and the sink (r17 review — the first cut
+            # recomputed the explode/group shuffle inside
+            # append_bm25_store)
+            postings, doclens = _wave_postings_doclens(batch_df)
             doclens = doclens.localCheckpoint()
-            append_bm25_store(spark, batch_df, path)
+            _append_wave(spark, postings, doclens, path)
             storefs.write_ingest_watermark(path, batch_id)
             sink(doclens, batch_id)
         finally:

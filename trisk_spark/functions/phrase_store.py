@@ -592,6 +592,114 @@ def corpus_store_path(spark: SparkSession, sf_dir: str) -> str:
 
 PHRASE_INCREMENTAL_SQL = PHRASE_SEARCH_SQL
 
+#: deterministic victim slice for the self-contained takedown row
+#: (the dedup/semantic takedown convention): EXISTING docs with
+#: doc_id % TAKEDOWN_VICTIM_MOD == 1 get deleted
+TAKEDOWN_VICTIM_MOD = 17
+
+
+def _phrase_takedown_sql() -> str:
+    from trisk_spark.functions.text import _phrase_search_sql
+
+    m, v = PHRASE_ARRIVING_MOD, TAKEDOWN_VICTIM_MOD
+    return _phrase_search_sql(
+        # the store after write(existing) + delete(victims): scanned
+        # docs = existing slice minus the victim slice (victims ⊆
+        # existing, so the plain conjunction is exact); probes stay
+        # derived from the FULL corpus (the probe set is independent
+        # of the store's contents)
+        f" AND ((b.doc_id % {m}) + {m}) % {m} <> 0"
+        f" AND ((b.doc_id % {v}) + {v}) % {v} <> 1"
+    )
+
+
+PHRASE_TAKEDOWN_SQL = _phrase_takedown_sql()
+
+_TAKEDOWN_STORE_LOCK = threading.Lock()
+_TAKEDOWN_STORE_CACHE: dict[tuple[int, str], tuple[SparkSession, str]] = {}
+
+
+def _cleanup_takedown_stores() -> None:
+    import shutil
+
+    with _TAKEDOWN_STORE_LOCK:
+        paths = [p for (_s, p) in _TAKEDOWN_STORE_CACHE.values()]
+        _TAKEDOWN_STORE_CACHE.clear()
+    for p in paths:
+        shutil.rmtree(p, ignore_errors=True)
+
+
+atexit.register(_cleanup_takedown_stores)
+
+
+def takedown_store_path(spark: SparkSession, sf_dir: str) -> str:
+    """Path of the session-memoized POST-TAKEDOWN scratch index: built
+    over the existing slice, then ``delete_from_phrase_store`` removes
+    the deterministic victim slice through the real intent-logged
+    staged-partition path — its OWN cache, never the
+    ``corpus_store_path`` store ``phrase_incremental`` shares
+    (mutating a shared artifact would corrupt its memoized probe)."""
+    import shutil
+    import tempfile
+
+    from trisk_spark.functions.sampling import _bpe_session_stopped
+
+    stale = []
+    with _TAKEDOWN_STORE_LOCK:
+        for k, (sess, p) in list(_TAKEDOWN_STORE_CACHE.items()):
+            if _bpe_session_stopped(sess):
+                _TAKEDOWN_STORE_CACHE.pop(k)
+                stale.append(p)
+        hit = _TAKEDOWN_STORE_CACHE.get((id(spark), sf_dir))
+    for p in stale:
+        shutil.rmtree(p, ignore_errors=True)
+    if hit is not None:
+        return hit[1]
+    docs = table(spark, sf_dir, "documents").where(
+        F.col("doc_id").isNotNull()
+    )
+    existing = docs.where(
+        F.pmod(F.col("doc_id"), F.lit(PHRASE_ARRIVING_MOD)) != 0
+    )
+    victims = sorted(
+        int(r.doc_id)
+        for r in existing.where(
+            F.pmod(F.col("doc_id"), F.lit(TAKEDOWN_VICTIM_MOD)) == 1
+        ).select("doc_id").collect()
+    )  # id-sized (the takedown driver-literal class)
+    path = tempfile.mkdtemp(prefix="trisk_phrase_takedown_")
+    write_phrase_store(spark, existing, path)
+    delete_from_phrase_store(spark, victims, path)
+    with _TAKEDOWN_STORE_LOCK:
+        _sess, path_won = _TAKEDOWN_STORE_CACHE.setdefault(
+            (id(spark), sf_dir), (spark, path)
+        )
+    if path_won != path:
+        shutil.rmtree(path, ignore_errors=True)
+    return path_won
+
+
+def phrase_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The phrase store's takedown verb under independent value-hash
+    evidence (the ``dedup_takedown``/``semantic_takedown`` convention,
+    r17): build the existing-slice positional index, DELETE the
+    deterministic victim slice through the real
+    ``delete_from_phrase_store`` path (intent, staged-partition swap,
+    emptied loners), then run the full phrase probe against the
+    post-delete artifacts. The oracle (``PHRASE_TAKEDOWN_SQL``)
+    derives the same ranking from the corpus with the victims
+    EXCLUDED from the scanned side — it matches iff delete ≡ rebuild
+    holds on the postings the probe actually reads, so the takedown
+    verb itself sits under the DuckDB hash gate, not just pytest
+    equality. LIBRARY op."""
+    from trisk_spark.functions.text import _phrase_probes
+
+    return probe_phrase_store(
+        spark,
+        takedown_store_path(spark, sf_dir),
+        _phrase_probes(spark, sf_dir),
+    )
+
 
 def phrase_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental phrase/proximity retrieval over the persisted

@@ -1561,7 +1561,15 @@ def _phrase_probes(spark: SparkSession, sf_dir: str) -> list[tuple[int, list[str
     ]
 
 
-PHRASE_SEARCH_SQL = f"""
+def _phrase_search_sql(doc_extra: str = "") -> str:
+    """The phrase/proximity oracle, parameterized on an extra
+    document-side predicate (``doc_extra`` lands in the hits scan's
+    WHERE — the ``_dedup_incremental_sql(exist_extra=...)`` one-
+    definition precedent): probes always derive from the FULL base,
+    only the scanned corpus narrows. ``PHRASE_SEARCH_SQL`` is the
+    bare form; ``phrase_store.PHRASE_TAKEDOWN_SQL`` composes the
+    existing-minus-victims form from the same text."""
+    return f"""
 WITH base AS (
   SELECT doc_id,
     list_filter(string_split(lower(coalesce(text, '')), ' '), w -> w <> '') AS t
@@ -1588,7 +1596,7 @@ hits AS (
                    : k+{PHRASE_WINDOW - 1}],
                p.w2))) AS BIGINT) AS n_prox
   FROM probes p, base b
-  WHERE b.doc_id <> p.query_id
+  WHERE b.doc_id <> p.query_id{doc_extra}
 )
 SELECT query_id, doc_id, phrase, n_exact, n_prox, CAST(rk AS INT) AS rank
 FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
@@ -1596,6 +1604,9 @@ FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
       FROM hits WHERE n_prox > 0)
 WHERE rk <= {PHRASE_TOP_K}
 """
+
+
+PHRASE_SEARCH_SQL = _phrase_search_sql()
 
 
 def phrase_search_frame(

@@ -445,6 +445,16 @@ def load_library() -> dict[str, QueryDef]:
             phrase_store.phrase_incremental,
             phrase_store.PHRASE_INCREMENTAL_SQL,
         ),
+        # r17-new: the phrase store's takedown verb under independent
+        # value-hash evidence (the dedup/semantic takedown convention):
+        # write existing slice → delete the deterministic victim slice
+        # through the real staged-partition path → full probe; the
+        # oracle scans the corpus with the victims excluded, so the
+        # hash matches iff delete ≡ rebuild on the probed artifacts.
+        "phrase_takedown": (
+            phrase_store.phrase_takedown,
+            phrase_store.PHRASE_TAKEDOWN_SQL,
+        ),
         # r16-new: phrase + ordered-proximity retrieval — the
         # POSITIONAL half of the lexical family (BM25 is bag-of-words;
         # this is Lucene PhraseQuery / sloppy-phrase semantics): exact
