@@ -893,7 +893,12 @@ def test_takedown_wave_rejects_uncovering_victim_emb(spark, tmp_path):
         takedown_wave(
             spark, [3, 4], dpath, spath, gram_path=gpath, victim_emb=partial
         )
-    # the refused wave mutated nothing
+    # the refused wave mutated nothing AND stranded no wave marker
+    # (r17 second review: a validation failure must not wedge
+    # admission behind a marker)
+    from trisk_spark.functions import storefs as _sfs
+
+    assert _sfs.read_small_text(dpath, "_takedown_wave_ids") is None
     assert _moments(G.gram_store_moments(spark, gpath)) == full
     # the same wave with covering rows converges
     takedown_wave(
@@ -1143,16 +1148,16 @@ def test_migration_guard_catches_membership_gated_legacy_tombstone(
     # nothing double-subtracted by the refused wave
     assert _moments(G.gram_store_moments(spark, gpath)) == after_crash
 
+    # the REFUSED wave must not strand the wave-level marker (r17
+    # second review: a pure validation failure used to wedge all
+    # admission behind a marker no re-drive could clear cleanly)
+    from trisk_spark.functions import storefs
+
+    assert storefs.read_small_text(dpath, "_takedown_wave_ids") is None
+
     # operator path: finish the legacy wave's row deletes, ack, move on
     delete_from_dedup_store(spark, victims, dpath)
     delete_from_semantic_store(spark, victims, spath)
-    # clear the wave marker the refused post-upgrade wave left (it
-    # never completed; the legacy wave was finished BY HAND above)
-    import os
-
-    from trisk_spark.functions import storefs
-
-    os.remove(f"{storefs.strip_file_scheme(dpath)}/_takedown_wave_ids")
     ack_pre_sequence_takedown(gpath)
     # re-admit and take down again: subtracts under a fresh sequence.
     # victim 2's moments were NEVER subtracted by the legacy wave (the

@@ -1306,15 +1306,15 @@ def test_plan_store_query_memoizes_per_session(spark):
     # store instead of re-deriving the semantic chain — the store
     # economics the docstring promises
     from trisk_spark.functions.sampling import (
-        _PLAN_STORE_CACHE,
+        _PLAN_STORES,
         training_plan_over_store_query,
     )
 
     sf = "/root/testdata/sf0.001"
     a = sorted(map(tuple, training_plan_over_store_query(spark, sf).collect()))
-    path1 = _PLAN_STORE_CACHE[(id(spark), sf)][1]
+    path1 = _PLAN_STORES.peek(spark, sf)
     b = sorted(map(tuple, training_plan_over_store_query(spark, sf).collect()))
-    path2 = _PLAN_STORE_CACHE[(id(spark), sf)][1]
+    path2 = _PLAN_STORES.peek(spark, sf)
     assert a == b and len(a) > 0
     assert path1 == path2, "store rebuilt instead of memoized"
 

@@ -118,15 +118,34 @@ def _require_no_pending_takedown(
 
     for path, label in stores:
         victims = None
+        repair = None
         ipath = f"{storefs.strip_file_scheme(path)}/_delete_intent"
         if os.path.exists(ipath):
             victims = [
                 int(r[0]) for r in spark.read.parquet(ipath).collect()
             ]  # id-sized (the takedown driver-literal class)
+            repair = (
+                " — finish the takedown first (resume_pending_delete "
+                "on the store, or re-drive takedown_wave with its id "
+                "set), then re-admit"
+            )
         else:
             wave = storefs.read_small_text(path, _WAVE_IDS_MARKER)
             if wave is not None:
                 victims = [int(x) for x in wave.strip().split(",") if x]
+                # r17 second review: every per-store intent is already
+                # consumed in this state, so resume_pending_delete is
+                # a guaranteed no-op — only the full wave re-drive
+                # clears the marker (later stores in the compose order
+                # still hold the victims)
+                repair = (
+                    " — only re-driving the composed wave clears this "
+                    "(re-run takedown_wave with exactly the recorded "
+                    "id set; per-store resume_pending_delete is a "
+                    "no-op here, the per-store intents are already "
+                    "consumed and later stores still hold the "
+                    "victims), then re-admit"
+                )
         if victims is None:
             continue
         overlap = (
@@ -147,9 +166,7 @@ def _require_no_pending_takedown(
                 else " (disjoint from this wave, but an append into a "
                 "staged-delete bucket would be lost at the swap)"
             )
-            + " — finish the takedown first (resume_pending_delete on "
-            "the store, or re-drive takedown_wave with its id set), "
-            "then re-admit"
+            + repair
         )
 
 
@@ -947,11 +964,15 @@ def takedown_wave(
         )
     # WAVE-LEVEL durable marker (r17 review): the per-store intents
     # vanish as each store completes, so a crash BETWEEN stores left
-    # nothing for the admission guard to key on. The marker lands
-    # beside the dedup store BEFORE any store mutates and is removed
-    # only after the last one; a re-drive with the same id set finds
-    # its own marker and proceeds, a different wave fails loud (the
-    # single-maintainer interleave rule, same as the gram intent).
+    # nothing for the admission guard to key on. The DIFFERENT-wave
+    # check runs here (read-only), but the marker itself is written
+    # only AFTER every preflight below passes — a pure validation
+    # failure (victim_emb missing/uncovering, object-store path, a
+    # pending legacy tombstone, an interleaved gram intent) must not
+    # strand a marker that wedges all admission and every other
+    # takedown (the r17 second-review finding; the marker exists to
+    # record a wave that may have started MUTATING, and the first
+    # mutation is the gram delete / dedup delete below).
     storefs.require_rename_fs(dedup_path, "takedown_wave")
     ids_csv = ",".join(str(i) for i in ids)
     marker = storefs.read_small_text(dedup_path, _WAVE_IDS_MARKER)
@@ -964,9 +985,8 @@ def takedown_wave(
             "that wave to completion first (re-run takedown_wave with "
             "its recorded id set), then start this one"
         )
-    if marker is None:
-        storefs.write_small_text(dedup_path, _WAVE_IDS_MARKER, ids_csv)
     seq = None
+    gram_sub = None  # the subtraction set, decided before the marker
     if gram_path is not None:
         if victim_emb is None:
             raise ValueError(
@@ -1066,12 +1086,18 @@ def takedown_wave(
                     "original (vec_id, embedding) rows"
                 )
             if supplied:
-                delete_from_gram_store(
-                    spark,
-                    victim_emb.where(F.col("vec_id").isin(present)),
-                    gram_path,
-                    wave_id=tombstone_wave_id(ids, seq),
-                )
+                gram_sub = present
+    # every preflight passed — record the wave marker (idempotent on
+    # re-drive), then mutate. First mutation is the gram subtraction.
+    if marker is None:
+        storefs.write_small_text(dedup_path, _WAVE_IDS_MARKER, ids_csv)
+    if gram_sub is not None:
+        delete_from_gram_store(
+            spark,
+            victim_emb.where(F.col("vec_id").isin(gram_sub)),
+            gram_path,
+            wave_id=tombstone_wave_id(ids, seq),
+        )
     delete_from_dedup_store(spark, ids, dedup_path)
     delete_from_semantic_store(spark, ids, sem_path)
     if bm25_path is not None:

@@ -63,9 +63,7 @@ tokenizer are imported, not re-derived).
 
 from __future__ import annotations
 
-import atexit
 import hashlib
-import threading
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
@@ -268,33 +266,9 @@ def append_bm25_store(
     is the documented watermark window, detected by
     ``n_dup_doc_ids``/``n_dup_postings`` and repaired by
     ``repair_replayed_append``)."""
-    _require_no_pending_delete(path, "append_bm25_store")
+    storefs.require_no_pending_delete(path, "append_bm25_store", "bm25")
     postings, doclens = _wave_postings_doclens(new_docs)
     _append_wave(spark, postings, doclens, path)
-
-
-def _require_no_pending_delete(path: str, op: str) -> None:
-    """ADMISSION-SIDE TAKEDOWN GUARD, bm25 side (r17 review — the
-    phrase-store finding applies here identically): a pending
-    ``_delete_intent`` means a crashed takedown whose staged-partition
-    swap may already be COMMITTED, and an append into a staged bucket
-    would be silently lost when the swap clears the live directory.
-    The composed admission paths (``admission_wave`` /
-    ``admission_stream``) already guard at entry; this covers direct
-    callers and the ingest stream. The BAND stores deliberately do
-    not carry this verb-level guard: their deletes re-derive touched
-    buckets from the row tables at resume time, so a post-append
-    resume keeps appended rows — there is no staged-swap loss window
-    there, and the composed guard covers the semantic hazard."""
-    import os
-
-    if os.path.exists(f"{storefs.strip_file_scheme(path)}/_delete_intent"):
-        raise RuntimeError(
-            f"{op}: a pending takedown _delete_intent exists beside "
-            f"the bm25 store ({path}) — finish it first "
-            "(resume_pending_delete), then admit this wave; an append "
-            "into a staged-delete bucket would be lost at the swap"
-        )
 
 
 def _append_wave(
@@ -349,7 +323,9 @@ def bm25_ingest_stream(
         wm = storefs.read_ingest_watermark(path)
         if wm is not None and batch_id <= wm:
             return
-        _require_no_pending_delete(path, "bm25_ingest_stream")
+        storefs.require_no_pending_delete(
+            path, "bm25_ingest_stream", "bm25"
+        )
         batch_df = batch_df.persist()
         try:
             # ONE wave derivation per batch: the frames feed both the
@@ -515,27 +491,13 @@ def bm25_store_stats(spark: SparkSession, path: str) -> DataFrame:
 
 # ------------------------------------------- self-contained library --
 
-#: one bm25-store scratch dir per (session, corpus) — the plan-store
-#: cache pattern (lock + post-build setdefault, stale-session
-#: eviction, atexit sweep). Unlike the dedup/semantic caches this one
-#: memoizes the FULLY-BUILT store (write existing + append arriving):
-#: the append is part of the op under test, and a repeat call must
-#: probe, not re-append.
-_BM25_STORE_LOCK = threading.Lock()
-_BM25_STORE_CACHE: dict[tuple[int, str], tuple[SparkSession, str]] = {}
-
-
-def _cleanup_bm25_stores() -> None:
-    import shutil
-
-    with _BM25_STORE_LOCK:
-        paths = [p for (_s, p) in _BM25_STORE_CACHE.values()]
-        _BM25_STORE_CACHE.clear()
-    for p in paths:
-        shutil.rmtree(p, ignore_errors=True)
-
-
-atexit.register(_cleanup_bm25_stores)
+#: one bm25-store scratch dir per (session, corpus) — the shared
+#: ``storefs.ScratchStoreCache`` (r17 review consolidated the eight
+#: pasted copies). Unlike the dedup/semantic caches this one memoizes
+#: the FULLY-BUILT store (write existing + append arriving): the
+#: append is part of the op under test, and a repeat call must probe,
+#: not re-append.
+_BM25_STORES = storefs.ScratchStoreCache("trisk_bm25_store_")
 
 
 def corpus_store_path(spark: SparkSession, sf_dir: str) -> str:
@@ -543,39 +505,21 @@ def corpus_store_path(spark: SparkSession, sf_dir: str) -> str:
     corpus's existing slice (doc_id % MOD != 0), then the arriving
     slice APPENDED — built once per (session, corpus); repeat calls
     probe the artifacts (the store economics)."""
-    import shutil
-    import tempfile
 
-    from trisk_spark.functions.sampling import _bpe_session_stopped
-
-    stale = []
-    with _BM25_STORE_LOCK:
-        for k, (sess, p) in list(_BM25_STORE_CACHE.items()):
-            if _bpe_session_stopped(sess):
-                _BM25_STORE_CACHE.pop(k)
-                stale.append(p)
-        hit = _BM25_STORE_CACHE.get((id(spark), sf_dir))
-    for p in stale:
-        shutil.rmtree(p, ignore_errors=True)
-    if hit is not None:
-        return hit[1]
-    docs = table(spark, sf_dir, "documents").where(F.col("doc_id").isNotNull())
-    existing = docs.where(
-        F.pmod(F.col("doc_id"), F.lit(BM25_ARRIVING_MOD)) != 0
-    )
-    arriving = docs.where(
-        F.pmod(F.col("doc_id"), F.lit(BM25_ARRIVING_MOD)) == 0
-    )
-    path = tempfile.mkdtemp(prefix="trisk_bm25_store_")
-    write_bm25_store(spark, existing, path)
-    append_bm25_store(spark, arriving, path)
-    with _BM25_STORE_LOCK:
-        _sess, path_won = _BM25_STORE_CACHE.setdefault(
-            (id(spark), sf_dir), (spark, path)
+    def build(path: str) -> None:
+        docs = table(spark, sf_dir, "documents").where(
+            F.col("doc_id").isNotNull()
         )
-    if path_won != path:
-        shutil.rmtree(path, ignore_errors=True)
-    return path_won
+        existing = docs.where(
+            F.pmod(F.col("doc_id"), F.lit(BM25_ARRIVING_MOD)) != 0
+        )
+        arriving = docs.where(
+            F.pmod(F.col("doc_id"), F.lit(BM25_ARRIVING_MOD)) == 0
+        )
+        write_bm25_store(spark, existing, path)
+        append_bm25_store(spark, arriving, path)
+
+    return _BM25_STORES.get_or_build(spark, sf_dir, build)
 
 
 BM25_INCREMENTAL_SQL = BM25_TOP_DOCS_SQL

@@ -61,8 +61,6 @@ kernels.
 
 from __future__ import annotations
 
-import atexit
-import threading
 from functools import reduce
 from operator import or_
 
@@ -693,24 +691,10 @@ FROM best WHERE rn = 1
 """
 
 
-#: one dedup-store scratch dir per (session, corpus) — the plan-store
-#: cache pattern verbatim (lock + post-build setdefault so concurrent
-#: builders can't orphan a dir, stale-session eviction, atexit sweep)
-_DEDUP_STORE_LOCK = threading.Lock()
-_DEDUP_STORE_CACHE: dict[tuple[int, str], tuple[SparkSession, str]] = {}
-
-
-def _cleanup_dedup_stores() -> None:
-    import shutil
-
-    with _DEDUP_STORE_LOCK:
-        paths = [p for (_s, p) in _DEDUP_STORE_CACHE.values()]
-        _DEDUP_STORE_CACHE.clear()
-    for p in paths:
-        shutil.rmtree(p, ignore_errors=True)
-
-
-atexit.register(_cleanup_dedup_stores)
+#: one dedup-store scratch dir per (session, corpus) — the shared
+#: ``storefs.ScratchStoreCache`` (r17 review consolidated the eight
+#: pasted copies of the lock/evict/setdefault/atexit pattern)
+_DEDUP_STORES = storefs.ScratchStoreCache("trisk_dedup_store_")
 
 
 @register("dedup_incremental", oracle=_dedup_incremental_sql())
@@ -745,35 +729,17 @@ def corpus_store_path(spark: SparkSession, sf_dir: str) -> str:
     sweep). Shared by ``dedup_incremental`` and the composed
     ``admission_report`` so the library parity pass builds the store
     once, not per-op."""
-    import shutil
-    import tempfile
 
-    from trisk_spark.functions.sampling import _bpe_session_stopped
-
-    stale = []
-    with _DEDUP_STORE_LOCK:
-        for k, (sess, p) in list(_DEDUP_STORE_CACHE.items()):
-            if _bpe_session_stopped(sess):
-                _DEDUP_STORE_CACHE.pop(k)
-                stale.append(p)
-        hit = _DEDUP_STORE_CACHE.get((id(spark), sf_dir))
-    for p in stale:
-        shutil.rmtree(p, ignore_errors=True)
-    if hit is not None:
-        return hit[1]
-    docs = table(spark, sf_dir, "documents").where(F.col("doc_id").isNotNull())
-    existing = docs.where(
-        F.pmod(F.col("doc_id"), F.lit(DEDUP_ARRIVING_MOD)) != 0
-    )
-    path = tempfile.mkdtemp(prefix="trisk_dedup_store_")
-    write_dedup_store(spark, existing, path)
-    with _DEDUP_STORE_LOCK:
-        _sess, path_won = _DEDUP_STORE_CACHE.setdefault(
-            (id(spark), sf_dir), (spark, path)
+    def build(path: str) -> None:
+        docs = table(spark, sf_dir, "documents").where(
+            F.col("doc_id").isNotNull()
         )
-    if path_won != path:
-        shutil.rmtree(path, ignore_errors=True)
-    return path_won
+        existing = docs.where(
+            F.pmod(F.col("doc_id"), F.lit(DEDUP_ARRIVING_MOD)) != 0
+        )
+        write_dedup_store(spark, existing, path)
+
+    return _DEDUP_STORES.get_or_build(spark, sf_dir, build)
 
 
 dedup_incremental.__doc__ = dedup_incremental.__doc__.replace(
@@ -939,21 +905,7 @@ DEDUP_TAKEDOWN_SQL = _dedup_incremental_sql(
     )
 )
 
-_TAKEDOWN_STORE_LOCK = threading.Lock()
-_TAKEDOWN_STORE_CACHE: dict[tuple[int, str], tuple[SparkSession, str]] = {}
-
-
-def _cleanup_takedown_stores() -> None:
-    import shutil
-
-    with _TAKEDOWN_STORE_LOCK:
-        paths = [p for (_s, p) in _TAKEDOWN_STORE_CACHE.values()]
-        _TAKEDOWN_STORE_CACHE.clear()
-    for p in paths:
-        shutil.rmtree(p, ignore_errors=True)
-
-
-atexit.register(_cleanup_takedown_stores)
+_TAKEDOWN_STORES = storefs.ScratchStoreCache("trisk_takedown_store_")
 
 
 def takedown_store_path(spark: SparkSession, sf_dir: str) -> str:
@@ -963,42 +915,24 @@ def takedown_store_path(spark: SparkSession, sf_dir: str) -> str:
     (doc_id % TAKEDOWN_VICTIM_MOD == 1) — its OWN cache, never the
     ``corpus_store_path`` store other library rows share (mutating the
     shared artifact would corrupt their memoized probes)."""
-    import shutil
-    import tempfile
 
-    from trisk_spark.functions.sampling import _bpe_session_stopped
-
-    stale = []
-    with _TAKEDOWN_STORE_LOCK:
-        for k, (sess, p) in list(_TAKEDOWN_STORE_CACHE.items()):
-            if _bpe_session_stopped(sess):
-                _TAKEDOWN_STORE_CACHE.pop(k)
-                stale.append(p)
-        hit = _TAKEDOWN_STORE_CACHE.get((id(spark), sf_dir))
-    for p in stale:
-        shutil.rmtree(p, ignore_errors=True)
-    if hit is not None:
-        return hit[1]
-    docs = table(spark, sf_dir, "documents").where(F.col("doc_id").isNotNull())
-    existing = docs.where(
-        F.pmod(F.col("doc_id"), F.lit(DEDUP_ARRIVING_MOD)) != 0
-    )
-    victims = sorted(
-        int(r.doc_id)
-        for r in existing.where(
-            F.pmod(F.col("doc_id"), F.lit(TAKEDOWN_VICTIM_MOD)) == 1
-        ).select("doc_id").collect()
-    )
-    path = tempfile.mkdtemp(prefix="trisk_takedown_store_")
-    write_dedup_store(spark, existing.select("doc_id", "text"), path)
-    delete_from_dedup_store(spark, victims, path)
-    with _TAKEDOWN_STORE_LOCK:
-        _sess, path_won = _TAKEDOWN_STORE_CACHE.setdefault(
-            (id(spark), sf_dir), (spark, path)
+    def build(path: str) -> None:
+        docs = table(spark, sf_dir, "documents").where(
+            F.col("doc_id").isNotNull()
         )
-    if path_won != path:
-        shutil.rmtree(path, ignore_errors=True)
-    return path_won
+        existing = docs.where(
+            F.pmod(F.col("doc_id"), F.lit(DEDUP_ARRIVING_MOD)) != 0
+        )
+        victims = sorted(
+            int(r.doc_id)
+            for r in existing.where(
+                F.pmod(F.col("doc_id"), F.lit(TAKEDOWN_VICTIM_MOD)) == 1
+            ).select("doc_id").collect()
+        )
+        write_dedup_store(spark, existing.select("doc_id", "text"), path)
+        delete_from_dedup_store(spark, victims, path)
+
+    return _TAKEDOWN_STORES.get_or_build(spark, sf_dir, build)
 
 
 def dedup_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:

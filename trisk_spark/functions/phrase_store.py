@@ -71,9 +71,6 @@ derivation are imported, never re-derived).
 
 from __future__ import annotations
 
-import atexit
-import threading
-
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from trisk_spark.catalog import table
@@ -90,6 +87,7 @@ from trisk_spark.functions.text import (
     PHRASE_WINDOW,
     _lm_tokens,
     _phrase_probes,
+    _phrase_search_sql,
 )
 
 #: postings partition fan — same md5 routing as the bm25 store: the
@@ -112,28 +110,6 @@ PHRASE_ARRIVING_MOD = 5
 #: fail-loud ceiling on a single takedown batch (the store-family
 #: MAX_DELETE_IDS contract)
 MAX_DELETE_IDS = 100_000
-
-
-def _require_no_pending_delete(path: str, op: str) -> None:
-    """ADMISSION-SIDE TAKEDOWN GUARD, phrase-store side (r17 review:
-    this store is NOT among ``admission_wave``'s composed targets, so
-    its append verbs are its only admission path and must carry the
-    guard themselves). A pending ``_delete_intent`` means a crashed
-    takedown whose staged-partition swap may already be COMMITTED —
-    an append into a staged bucket would be silently LOST when
-    ``complete_staged_partition_swap`` clears the live directory and
-    renames the stale staging in. Fail loud; finish the takedown
-    (``resume_pending_delete``) first. Cost when no takedown is in
-    flight: one os.path.exists, no jobs."""
-    import os
-
-    if os.path.exists(f"{storefs.strip_file_scheme(path)}/_delete_intent"):
-        raise RuntimeError(
-            f"{op}: a pending takedown _delete_intent exists beside "
-            f"the phrase store ({path}) — finish it first "
-            "(resume_pending_delete), then admit this wave; an append "
-            "into a staged-delete bucket would be lost at the swap"
-        )
 
 
 def _wave_postings(docs: DataFrame) -> DataFrame:
@@ -185,7 +161,12 @@ def append_phrase_store(
     store's (a replayed wave is the documented watermark window —
     detected by ``n_dup_postings``, repaired by
     ``repair_replayed_append``)."""
-    _require_no_pending_delete(path, "append_phrase_store")
+    # this store is NOT among admission_wave's composed targets, so
+    # its append verbs are its only admission path and carry the
+    # guard themselves (r17 review)
+    storefs.require_no_pending_delete(
+        path, "append_phrase_store", "phrase"
+    )
     postings = _wave_postings(new_docs).localCheckpoint()
     if postings.limit(1).count() == 0:
         return
@@ -324,7 +305,9 @@ def phrase_ingest_stream(
         wm = storefs.read_ingest_watermark(path)
         if wm is not None and batch_id <= wm:
             return
-        _require_no_pending_delete(path, "phrase_ingest_stream")
+        storefs.require_no_pending_delete(
+            path, "phrase_ingest_stream", "phrase"
+        )
         batch_df = batch_df.persist()
         try:
             # ONE wave derivation per batch: the checkpointed frame
@@ -531,21 +514,7 @@ def _run_recorded_delete(spark: SparkSession, ids: list, path: str) -> None:
 #: stale-session eviction, atexit sweep); memoizes the FULLY-BUILT
 #: store (write existing + append arriving): the append is part of
 #: the op under test, and a repeat call must probe, not re-append.
-_PHRASE_STORE_LOCK = threading.Lock()
-_PHRASE_STORE_CACHE: dict[tuple[int, str], tuple[SparkSession, str]] = {}
-
-
-def _cleanup_phrase_stores() -> None:
-    import shutil
-
-    with _PHRASE_STORE_LOCK:
-        paths = [p for (_s, p) in _PHRASE_STORE_CACHE.values()]
-        _PHRASE_STORE_CACHE.clear()
-    for p in paths:
-        shutil.rmtree(p, ignore_errors=True)
-
-
-atexit.register(_cleanup_phrase_stores)
+_PHRASE_STORES = storefs.ScratchStoreCache("trisk_phrase_store_")
 
 
 def corpus_store_path(spark: SparkSession, sf_dir: str) -> str:
@@ -553,41 +522,21 @@ def corpus_store_path(spark: SparkSession, sf_dir: str) -> str:
     corpus's existing slice (doc_id % MOD != 0), then the arriving
     slice APPENDED — built once per (session, corpus); repeat calls
     probe the artifacts (the store economics)."""
-    import shutil
-    import tempfile
 
-    from trisk_spark.functions.sampling import _bpe_session_stopped
-
-    stale = []
-    with _PHRASE_STORE_LOCK:
-        for k, (sess, p) in list(_PHRASE_STORE_CACHE.items()):
-            if _bpe_session_stopped(sess):
-                _PHRASE_STORE_CACHE.pop(k)
-                stale.append(p)
-        hit = _PHRASE_STORE_CACHE.get((id(spark), sf_dir))
-    for p in stale:
-        shutil.rmtree(p, ignore_errors=True)
-    if hit is not None:
-        return hit[1]
-    docs = table(spark, sf_dir, "documents").where(
-        F.col("doc_id").isNotNull()
-    )
-    existing = docs.where(
-        F.pmod(F.col("doc_id"), F.lit(PHRASE_ARRIVING_MOD)) != 0
-    )
-    arriving = docs.where(
-        F.pmod(F.col("doc_id"), F.lit(PHRASE_ARRIVING_MOD)) == 0
-    )
-    path = tempfile.mkdtemp(prefix="trisk_phrase_store_")
-    write_phrase_store(spark, existing, path)
-    append_phrase_store(spark, arriving, path)
-    with _PHRASE_STORE_LOCK:
-        _sess, path_won = _PHRASE_STORE_CACHE.setdefault(
-            (id(spark), sf_dir), (spark, path)
+    def build(path: str) -> None:
+        docs = table(spark, sf_dir, "documents").where(
+            F.col("doc_id").isNotNull()
         )
-    if path_won != path:
-        shutil.rmtree(path, ignore_errors=True)
-    return path_won
+        existing = docs.where(
+            F.pmod(F.col("doc_id"), F.lit(PHRASE_ARRIVING_MOD)) != 0
+        )
+        arriving = docs.where(
+            F.pmod(F.col("doc_id"), F.lit(PHRASE_ARRIVING_MOD)) == 0
+        )
+        write_phrase_store(spark, existing, path)
+        append_phrase_store(spark, arriving, path)
+
+    return _PHRASE_STORES.get_or_build(spark, sf_dir, build)
 
 
 PHRASE_INCREMENTAL_SQL = PHRASE_SEARCH_SQL
@@ -599,8 +548,6 @@ TAKEDOWN_VICTIM_MOD = 17
 
 
 def _phrase_takedown_sql() -> str:
-    from trisk_spark.functions.text import _phrase_search_sql
-
     m, v = PHRASE_ARRIVING_MOD, TAKEDOWN_VICTIM_MOD
     return _phrase_search_sql(
         # the store after write(existing) + delete(victims): scanned
@@ -615,21 +562,9 @@ def _phrase_takedown_sql() -> str:
 
 PHRASE_TAKEDOWN_SQL = _phrase_takedown_sql()
 
-_TAKEDOWN_STORE_LOCK = threading.Lock()
-_TAKEDOWN_STORE_CACHE: dict[tuple[int, str], tuple[SparkSession, str]] = {}
-
-
-def _cleanup_takedown_stores() -> None:
-    import shutil
-
-    with _TAKEDOWN_STORE_LOCK:
-        paths = [p for (_s, p) in _TAKEDOWN_STORE_CACHE.values()]
-        _TAKEDOWN_STORE_CACHE.clear()
-    for p in paths:
-        shutil.rmtree(p, ignore_errors=True)
-
-
-atexit.register(_cleanup_takedown_stores)
+_PHRASE_TAKEDOWN_STORES = storefs.ScratchStoreCache(
+    "trisk_phrase_takedown_"
+)
 
 
 def takedown_store_path(spark: SparkSession, sf_dir: str) -> str:
@@ -639,44 +574,24 @@ def takedown_store_path(spark: SparkSession, sf_dir: str) -> str:
     staged-partition path — its OWN cache, never the
     ``corpus_store_path`` store ``phrase_incremental`` shares
     (mutating a shared artifact would corrupt its memoized probe)."""
-    import shutil
-    import tempfile
 
-    from trisk_spark.functions.sampling import _bpe_session_stopped
-
-    stale = []
-    with _TAKEDOWN_STORE_LOCK:
-        for k, (sess, p) in list(_TAKEDOWN_STORE_CACHE.items()):
-            if _bpe_session_stopped(sess):
-                _TAKEDOWN_STORE_CACHE.pop(k)
-                stale.append(p)
-        hit = _TAKEDOWN_STORE_CACHE.get((id(spark), sf_dir))
-    for p in stale:
-        shutil.rmtree(p, ignore_errors=True)
-    if hit is not None:
-        return hit[1]
-    docs = table(spark, sf_dir, "documents").where(
-        F.col("doc_id").isNotNull()
-    )
-    existing = docs.where(
-        F.pmod(F.col("doc_id"), F.lit(PHRASE_ARRIVING_MOD)) != 0
-    )
-    victims = sorted(
-        int(r.doc_id)
-        for r in existing.where(
-            F.pmod(F.col("doc_id"), F.lit(TAKEDOWN_VICTIM_MOD)) == 1
-        ).select("doc_id").collect()
-    )  # id-sized (the takedown driver-literal class)
-    path = tempfile.mkdtemp(prefix="trisk_phrase_takedown_")
-    write_phrase_store(spark, existing, path)
-    delete_from_phrase_store(spark, victims, path)
-    with _TAKEDOWN_STORE_LOCK:
-        _sess, path_won = _TAKEDOWN_STORE_CACHE.setdefault(
-            (id(spark), sf_dir), (spark, path)
+    def build(path: str) -> None:
+        docs = table(spark, sf_dir, "documents").where(
+            F.col("doc_id").isNotNull()
         )
-    if path_won != path:
-        shutil.rmtree(path, ignore_errors=True)
-    return path_won
+        existing = docs.where(
+            F.pmod(F.col("doc_id"), F.lit(PHRASE_ARRIVING_MOD)) != 0
+        )
+        victims = sorted(
+            int(r.doc_id)
+            for r in existing.where(
+                F.pmod(F.col("doc_id"), F.lit(TAKEDOWN_VICTIM_MOD)) == 1
+            ).select("doc_id").collect()
+        )  # id-sized (the takedown driver-literal class)
+        write_phrase_store(spark, existing, path)
+        delete_from_phrase_store(spark, victims, path)
+
+    return _PHRASE_TAKEDOWN_STORES.get_or_build(spark, sf_dir, build)
 
 
 def phrase_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -692,8 +607,6 @@ def phrase_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
     holds on the postings the probe actually reads, so the takedown
     verb itself sits under the DuckDB hash gate, not just pytest
     equality. LIBRARY op."""
-    from trisk_spark.functions.text import _phrase_probes
-
     return probe_phrase_store(
         spark,
         takedown_store_path(spark, sf_dir),

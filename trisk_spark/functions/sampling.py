@@ -1254,21 +1254,7 @@ def pack_plan_over_store(
 #: bounding rule) and their scratch dirs removed; every cached dir is
 #: removed at interpreter exit (r11 ADVICE: mkdtemp dirs leaked one
 #: store per process/corpus)
-_PLAN_STORE_LOCK = threading.Lock()
-_PLAN_STORE_CACHE: dict[tuple[int, str], tuple[SparkSession, str]] = {}
-
-
-def _cleanup_plan_stores() -> None:
-    import shutil
-
-    with _PLAN_STORE_LOCK:
-        paths = [p for (_s, p) in _PLAN_STORE_CACHE.values()]
-        _PLAN_STORE_CACHE.clear()
-    for p in paths:
-        shutil.rmtree(p, ignore_errors=True)
-
-
-atexit.register(_cleanup_plan_stores)
+_PLAN_STORES = storefs.ScratchStoreCache("trisk_plan_store_")
 
 
 def _bpe_session_stopped(sess: SparkSession) -> bool:
@@ -1298,34 +1284,9 @@ def training_plan_over_store_query(
     overwrite path, and the cache assumes the corpus at ``sf_dir`` is
     immutable for the session's lifetime (true for the driver corpora;
     a new process always rebuilds)."""
-    import shutil
-    import tempfile
-
-    stale = []
-    with _PLAN_STORE_LOCK:
-        for k, (sess, p) in list(_PLAN_STORE_CACHE.items()):
-            if _bpe_session_stopped(sess):
-                _PLAN_STORE_CACHE.pop(k)
-                stale.append(p)
-        hit = _PLAN_STORE_CACHE.get((id(spark), sf_dir))
-    for p in stale:
-        shutil.rmtree(p, ignore_errors=True)
-    if hit is None:
-        path = tempfile.mkdtemp(prefix="trisk_plan_store_")
-        write_plan_store(spark, sf_dir, path)
-        # re-check UNDER the lock after the build (r11 ADVICE: the
-        # unlocked build window let two concurrent same-session calls
-        # both miss and both build, orphaning the loser's dir):
-        # setdefault keeps the winner; the loser removes its own store
-        with _PLAN_STORE_LOCK:
-            _sess, path_won = _PLAN_STORE_CACHE.setdefault(
-                (id(spark), sf_dir), (spark, path)
-            )
-        if path_won != path:
-            shutil.rmtree(path, ignore_errors=True)
-        path = path_won
-    else:
-        path = hit[1]
+    path = _PLAN_STORES.get_or_build(
+        spark, sf_dir, lambda p: write_plan_store(spark, sf_dir, p)
+    )
     return training_plan_over_store(spark, path, cap)
 
 

@@ -52,8 +52,6 @@ kernels (``similarity.srp_band_val`` / ``_srp_bands`` / ``_dot``).
 
 from __future__ import annotations
 
-import atexit
-import threading
 from functools import reduce
 from operator import or_
 
@@ -600,21 +598,7 @@ SEMANTIC_INCREMENTAL_SQL = _semantic_incremental_sql()
 # Session-memoized scratch stores for the self-contained library row —
 # the dedup_incremental cache pattern (build once per (session,
 # corpus); repeat calls probe the artifacts, the store economics).
-_SEM_STORE_CACHE: dict[tuple[int, str], tuple[SparkSession, str]] = {}
-_SEM_STORE_LOCK = threading.Lock()
-
-
-def _cleanup_sem_stores() -> None:
-    import shutil
-
-    with _SEM_STORE_LOCK:
-        paths = [p for (_s, p) in _SEM_STORE_CACHE.values()]
-        _SEM_STORE_CACHE.clear()
-    for p in paths:
-        shutil.rmtree(p, ignore_errors=True)
-
-
-atexit.register(_cleanup_sem_stores)
+_SEM_STORES = storefs.ScratchStoreCache("trisk_sem_store_")
 
 
 @register("semantic_incremental", oracle=SEMANTIC_INCREMENTAL_SQL)
@@ -647,35 +631,15 @@ def corpus_store_path(spark: SparkSession, sf_dir: str) -> str:
     per (session, corpus), the ``dedup_store.corpus_store_path``
     pattern. Shared by ``semantic_incremental`` and the composed
     ``admission_report``."""
-    import shutil
-    import tempfile
 
-    from trisk_spark.functions.sampling import _bpe_session_stopped
-
-    stale = []
-    with _SEM_STORE_LOCK:
-        for k, (sess, p) in list(_SEM_STORE_CACHE.items()):
-            if _bpe_session_stopped(sess):
-                _SEM_STORE_CACHE.pop(k)
-                stale.append(p)
-        hit = _SEM_STORE_CACHE.get((id(spark), sf_dir))
-    for p in stale:
-        shutil.rmtree(p, ignore_errors=True)
-    if hit is not None:
-        return hit[1]
-    emb = table(spark, sf_dir, "embeddings")
-    existing = emb.where(
-        F.pmod(F.col("vec_id"), F.lit(SEM_ARRIVING_MOD)) != 0
-    )
-    path = tempfile.mkdtemp(prefix="trisk_sem_store_")
-    write_semantic_store(spark, existing, path)
-    with _SEM_STORE_LOCK:
-        _sess, path_won = _SEM_STORE_CACHE.setdefault(
-            (id(spark), sf_dir), (spark, path)
+    def build(path: str) -> None:
+        emb = table(spark, sf_dir, "embeddings")
+        existing = emb.where(
+            F.pmod(F.col("vec_id"), F.lit(SEM_ARRIVING_MOD)) != 0
         )
-    if path_won != path:
-        shutil.rmtree(path, ignore_errors=True)
-    return path_won
+        write_semantic_store(spark, existing, path)
+
+    return _SEM_STORES.get_or_build(spark, sf_dir, build)
 
 
 semantic_incremental.__doc__ = semantic_incremental.__doc__.replace(
@@ -814,21 +778,9 @@ SEMANTIC_TAKEDOWN_SQL = _semantic_incremental_sql(
     )
 )
 
-_TAKEDOWN_STORE_LOCK = threading.Lock()
-_TAKEDOWN_STORE_CACHE: dict[tuple[int, str], tuple[SparkSession, str]] = {}
-
-
-def _cleanup_takedown_stores() -> None:
-    import shutil
-
-    with _TAKEDOWN_STORE_LOCK:
-        paths = [p for (_s, p) in _TAKEDOWN_STORE_CACHE.values()]
-        _TAKEDOWN_STORE_CACHE.clear()
-    for p in paths:
-        shutil.rmtree(p, ignore_errors=True)
-
-
-atexit.register(_cleanup_takedown_stores)
+_SEM_TAKEDOWN_STORES = storefs.ScratchStoreCache(
+    "trisk_sem_takedown_store_"
+)
 
 
 def takedown_store_path(spark: SparkSession, sf_dir: str) -> str:
@@ -837,42 +789,22 @@ def takedown_store_path(spark: SparkSession, sf_dir: str) -> str:
     ``delete_from_semantic_store`` removes the deterministic victim
     slice — its OWN cache, never the shared ``corpus_store_path``
     store (the ``dedup_store.takedown_store_path`` rule)."""
-    import shutil
-    import tempfile
 
-    from trisk_spark.functions.sampling import _bpe_session_stopped
-
-    stale = []
-    with _TAKEDOWN_STORE_LOCK:
-        for k, (sess, p) in list(_TAKEDOWN_STORE_CACHE.items()):
-            if _bpe_session_stopped(sess):
-                _TAKEDOWN_STORE_CACHE.pop(k)
-                stale.append(p)
-        hit = _TAKEDOWN_STORE_CACHE.get((id(spark), sf_dir))
-    for p in stale:
-        shutil.rmtree(p, ignore_errors=True)
-    if hit is not None:
-        return hit[1]
-    emb = table(spark, sf_dir, "embeddings")
-    existing = emb.where(
-        F.pmod(F.col("vec_id"), F.lit(SEM_ARRIVING_MOD)) != 0
-    )
-    victims = sorted(
-        int(r.vec_id)
-        for r in existing.where(
-            F.pmod(F.col("vec_id"), F.lit(TAKEDOWN_VICTIM_MOD)) == 1
-        ).select("vec_id").collect()
-    )
-    path = tempfile.mkdtemp(prefix="trisk_sem_takedown_store_")
-    write_semantic_store(spark, existing, path)
-    delete_from_semantic_store(spark, victims, path)
-    with _TAKEDOWN_STORE_LOCK:
-        _sess, path_won = _TAKEDOWN_STORE_CACHE.setdefault(
-            (id(spark), sf_dir), (spark, path)
+    def build(path: str) -> None:
+        emb = table(spark, sf_dir, "embeddings")
+        existing = emb.where(
+            F.pmod(F.col("vec_id"), F.lit(SEM_ARRIVING_MOD)) != 0
         )
-    if path_won != path:
-        shutil.rmtree(path, ignore_errors=True)
-    return path_won
+        victims = sorted(
+            int(r.vec_id)
+            for r in existing.where(
+                F.pmod(F.col("vec_id"), F.lit(TAKEDOWN_VICTIM_MOD)) == 1
+            ).select("vec_id").collect()
+        )
+        write_semantic_store(spark, existing, path)
+        delete_from_semantic_store(spark, victims, path)
+
+    return _SEM_TAKEDOWN_STORES.get_or_build(spark, sf_dir, build)
 
 
 def semantic_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:

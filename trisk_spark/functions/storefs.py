@@ -19,8 +19,10 @@ mandate, SURVEY.md §7 step 7); this is repo-local machinery.
 
 from __future__ import annotations
 
+import atexit
 import os
 import shutil
+import threading
 
 
 def require_rename_fs(path: str, op: str) -> None:
@@ -248,3 +250,100 @@ def swap_in_compacted(path: str, tables: tuple[str, ...]) -> None:
         os.rename(f"{base}/{t}", old)
         os.rename(f"{base}/{t}_compact_tmp", f"{base}/{t}")
         shutil.rmtree(old)
+
+
+class ScratchStoreCache:
+    """Session-memoized scratch-store cache — THE one implementation
+    of the pattern every self-contained library store row needs (r17
+    review: eight hand-pasted copies of the lock/evict/setdefault/
+    atexit dance had accumulated across dedup/semantic/bm25/phrase/
+    plan stores; a bug in the pattern had to be fixed in eight
+    places). Semantics preserved verbatim from those copies:
+
+      * key = (id(spark), sf_dir): fresh dirs per session, so two
+        concurrent sessions (driver + verify) can never race one
+        overwrite path; the corpus at sf_dir is assumed immutable for
+        the session's lifetime (true for the driver corpora; a new
+        process always rebuilds).
+      * stale-session eviction on every lookup (a stopped session's
+        id() can be recycled — r12 lesson via ``_bpe_session_stopped``).
+      * build OUTSIDE the lock, then post-build ``setdefault`` — two
+        concurrent same-session calls may both build, but exactly one
+        wins and the loser removes its own dir (r11 ADVICE: the
+        unlocked window used to orphan the loser's store).
+      * every cached dir is removed at interpreter exit (r11 ADVICE:
+        mkdtemp dirs leaked one store per process/corpus).
+
+    ``build(path)`` must fully populate ``path``; it runs at most once
+    per winning (session, corpus) key."""
+
+    def __init__(self, prefix: str):
+        self._prefix = prefix
+        self._lock = threading.Lock()
+        self._cache: dict[tuple[int, str], tuple[object, str]] = {}
+        atexit.register(self.clear)
+
+    def clear(self) -> None:
+        with self._lock:
+            paths = [p for (_s, p) in self._cache.values()]
+            self._cache.clear()
+        for p in paths:
+            shutil.rmtree(p, ignore_errors=True)
+
+    def peek(self, spark, sf_dir: str) -> str | None:
+        """The cached path, or None — no eviction, no build (test
+        introspection hook)."""
+        with self._lock:
+            hit = self._cache.get((id(spark), sf_dir))
+        return None if hit is None else hit[1]
+
+    def get_or_build(self, spark, sf_dir: str, build) -> str:
+        import tempfile
+
+        # lazy: sampling imports storefs at module level (no cycle)
+        from trisk_spark.functions.sampling import _bpe_session_stopped
+
+        stale = []
+        with self._lock:
+            for k, (sess, p) in list(self._cache.items()):
+                if _bpe_session_stopped(sess):
+                    self._cache.pop(k)
+                    stale.append(p)
+            hit = self._cache.get((id(spark), sf_dir))
+        for p in stale:
+            shutil.rmtree(p, ignore_errors=True)
+        if hit is not None:
+            return hit[1]
+        path = tempfile.mkdtemp(prefix=self._prefix)
+        build(path)
+        with self._lock:
+            _sess, path_won = self._cache.setdefault(
+                (id(spark), sf_dir), (spark, path)
+            )
+        if path_won != path:
+            shutil.rmtree(path, ignore_errors=True)
+        return path_won
+
+
+def require_no_pending_delete(path: str, op: str, store_label: str) -> None:
+    """ADMISSION-SIDE TAKEDOWN GUARD for stores whose delete uses the
+    staged-partition protocol (bm25 postings, phrase postings): a
+    pending ``_delete_intent`` means a crashed takedown whose staging
+    may already be COMMITTED, and an append into a staged bucket would
+    be silently lost when ``complete_staged_partition_swap`` clears
+    the live directory and renames the stale staging in. Fail loud;
+    finish the takedown (that store's ``resume_pending_delete``)
+    first. ONE implementation (r17 review: the bm25 and phrase copies
+    differed only in the store name). Band stores deliberately do not
+    call this at verb level: their deletes re-derive touched buckets
+    from the row tables at resume time, so a post-append resume keeps
+    appended rows — no staged-swap loss window; the composed admission
+    guard covers their semantic hazard. Cost when no takedown is in
+    flight: one os.path.exists, no jobs."""
+    if os.path.exists(f"{strip_file_scheme(path)}/_delete_intent"):
+        raise RuntimeError(
+            f"{op}: a pending takedown _delete_intent exists beside "
+            f"the {store_label} store ({path}) — finish it first "
+            "(resume_pending_delete), then admit this wave; an append "
+            "into a staged-delete bucket would be lost at the swap"
+        )
