@@ -137,6 +137,11 @@ LIBRARY_NAMES = sorted(
         # r16-new: per-source quality calibration on the integer ppm
         # grid (within-source rank vs global-median verdict + flips)
         "quality_calibrate",
+        # r17-new: matrix-profile discovery (self-join mining, no
+        # probe) — the closest non-overlapping same-series window
+        # pair, the farthest-nearest-neighbor window, and motif's
+        # SAX-bucketed scale path
+        "ts_motif", "ts_discord", "ts_motif_sax",
     ]
 )
 

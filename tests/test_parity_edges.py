@@ -801,6 +801,125 @@ def test_ts_kernel_cents_overflow_guard_fires(spark):
         ts_candidate_distances_gemm(spark, raw, probe).collect()
 
 
+def test_ts_motif_discord_planted_and_hostile(spark, tmp_path):
+    """Matrix-profile discovery on a crafted corpus: a planted repeat
+    (two identical non-overlapping windows → the motif, exact dist2 0)
+    and a planted spike (→ the discord), amid hostile series shapes —
+    constant values (sd=0, every window excluded), too-few events (no
+    windows), too-few windows (no non-overlapping pair), NULL ids and
+    values, and GAPPED event ids (seq arithmetic over-admits pairs the
+    row-position exclusion zone must reject — rn, not seq, is the
+    overlap test). Value assertions AND full DuckDB parity."""
+    import duckdb as _duckdb
+
+    from trisk_spark.functions.timeseries import (
+        TS_DISCORD_SQL,
+        TS_MOTIF_SAX_SQL,
+        TS_MOTIF_SQL,
+        TS_WINDOW,
+        ts_discord,
+        ts_motif,
+        ts_motif_sax,
+    )
+
+    pattern = [(((i * 29) % 41) - 20) / 100.0 for i in range(TS_WINDOW)]
+    noise = lambda i: (((i * i * 13 + i * 7) % 101) - 50) / 100.0  # noqa: E731
+    rows = []
+    seqs7 = []
+    for i in range(90):  # user 7: the target series, gapped event ids
+        seq = 1000 + i * 7 + (i % 3)
+        seqs7.append(seq)
+        if 10 <= i < 10 + TS_WINDOW:
+            v = pattern[i - 10]
+        elif 50 <= i < 50 + TS_WINDOW:
+            v = pattern[i - 50]
+        elif 75 <= i < 79:
+            v = 80.0 + i  # the spike: no other stretch looks like it
+        else:
+            v = noise(i)
+        rows.append((seq, _T0 + datetime.timedelta(minutes=i), 7, "view", v))
+    rows += [(2000 + i, _T0, 1, "view", 3.25) for i in range(40)]  # constant
+    rows += [(3000 + i, _T0, 2, "view", noise(i)) for i in range(10)]  # <W
+    rows += [  # exactly W+5 events: windows exist, no pair is W apart
+        (4000 + i, _T0, 3, "view", noise(i + 17)) for i in range(TS_WINDOW + 5)
+    ]
+    rows += [(5000, _T0, None, "view", 1.0), (5001, _T0, 4, "view", None),
+             (None, _T0, 4, "view", 1.0)]
+    tab = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(tab, tmp_path / "events.parquet")
+    con = _duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmp_path}/events.parquet')"
+    )
+    sf = str(tmp_path)
+
+    motif = ts_motif(spark, sf)
+    assert_matches_oracle(motif, con, TS_MOTIF_SQL)
+    top = motif.orderBy("rank").first()
+    assert (top.user_id, top.seq_a, top.seq_b) == (7, seqs7[10], seqs7[50])
+    assert top.dist2 == 0.0
+
+    # the SAX-bucketed path can never prune an exact repeat (identical
+    # windows share a word by construction): planted pair stays rank 1
+    sax = ts_motif_sax(spark, sf)
+    assert_matches_oracle(sax, con, TS_MOTIF_SAX_SQL)
+    stop = sax.orderBy("rank").first()
+    assert (stop.user_id, stop.seq_a, stop.seq_b) == (7, seqs7[10], seqs7[50])
+    assert stop.dist2 == 0.0
+
+    discord = ts_discord(spark, sf)
+    assert_matches_oracle(discord, con, TS_DISCORD_SQL)
+    spike_covering = set(seqs7[75 - TS_WINDOW + 1 : 79])  # windows w/ a spike row
+    out = discord.orderBy("rank").collect()
+    # z-normalization bounds dist² at 64 (‖z‖² = W exactly on both
+    # sides) and flattens raw magnitude: spike windows place IN the
+    # top-5 but uncorrelated noise windows legitimately compete, so
+    # rank 1 is not pinned to the spike — presence + ordering are
+    assert any(r.seq in spike_covering for r in out)
+    assert [r.rank for r in out] == [1, 2, 3, 4, 5]
+    assert all(0.0 < r.dist2 < 64.0 for r in out)
+    assert out[0].dist2 > 10.0  # a real discord, not a near-match
+    # only user 7 can appear at all: 1 is constant, 2 short, 3 pairless
+    assert {r.user_id for r in out} == {7}
+    assert {r.user_id for r in motif.collect()} == {7}
+
+
+def test_ts_motif_windows_cap_guard_fires():
+    # the O(m²) pair kernel must refuse a series past
+    # TS_MOTIF_MAX_WINDOWS loudly (the _check_cents_bound pattern) —
+    # long series belong on the SAX-word pair-bucketed path
+    import numpy as np
+    import pandas as pd
+    import pytest as _pytest
+
+    from trisk_spark.functions.timeseries import (
+        TS_MOTIF_MAX_WINDOWS,
+        TS_WINDOW,
+        _ts_pair_topk_kernel,
+    )
+
+    n = TS_MOTIF_MAX_WINDOWS + 1
+    pdf = pd.DataFrame(
+        {
+            "user_id": np.full(n, 1, dtype=np.int64),
+            "seq": np.arange(n, dtype=np.int64),
+            "rn": np.arange(1, n + 1, dtype=np.int64),
+            "w": [[0] * TS_WINDOW] * n,
+        }
+    )
+    with _pytest.raises(OverflowError, match="TS_MOTIF_MAX_WINDOWS"):
+        _ts_pair_topk_kernel(discord=False)(pdf)
+
+
 def test_curation_manifest_semantic_parity_on_hostile_corpus(
     spark, hostile_docs, hostile_embeddings, tmp_path
 ):

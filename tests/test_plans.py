@@ -606,6 +606,39 @@ def test_ts_subsequence_windows_shuffle_once_and_broadcast_probes(spark):
     assert keys.count("user_id") == 1, keys
 
 
+def test_ts_motif_single_exchange_and_distributed_topk(spark):
+    # matrix-profile discovery must stay a ONE-shuffle plan: the
+    # window build's user_id hash partitioning is REUSED by the
+    # per-series pair kernel (FlatMapGroupsInPandas adds no second
+    # exchange), the global rank is a distributed TakeOrderedAndProject
+    # (never a full sort of the per-series survivors), and no join of
+    # any kind appears (pairs exist only inside the kernel)
+    import io
+    import re
+    from contextlib import redirect_stdout
+
+    from trisk_spark.functions.timeseries import ts_discord, ts_motif
+
+    from trisk_spark.functions.timeseries import ts_motif_sax
+
+    # ONE exchange for all three — including the sax path: its
+    # (user_id, word) grouping is satisfied by the window build's
+    # user_id hash partitioning (partitioning on a subset of the
+    # clustering keys clusters the groups), so the pair-set collapse
+    # is free of extra shuffles; no join anywhere (bucketing is a
+    # groupBy, not an equi-join)
+    for fn, want in ((ts_motif, 1), (ts_discord, 1), (ts_motif_sax, 1)):
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            fn(spark, SF_DIR).explain("formatted")
+        plan = buf.getvalue()
+        assert "Join" not in plan and "CartesianProduct" not in plan, plan
+        assert "TakeOrderedAndProject" in plan, plan
+        keys = re.findall(r"Arguments: hashpartitioning\((\w+)#", plan)
+        assert keys == ["user_id"] * want, (fn.__name__, keys)
+        assert "FlatMapGroupsInPandas" in plan, plan
+
+
 def test_ts_kernel_matches_expression_form(spark):
     # the numpy scoring kernel must be bit-identical to the JVM
     # expression form that the streaming twin's batch image uses —

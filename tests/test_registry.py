@@ -242,6 +242,9 @@ def test_readme_op_table_names_are_registered():
         # r14: the standardized-distance outlier gate + stream twin
         "embedding_outliers", "outlier_score_frame",
         "outlier_score_stream",
+        # r17: matrix-profile discovery (library ops + their oracle
+        # constants)
+        "ts_motif", "ts_discord", "ts_motif_sax",
     }
     missing = {
         c for c in cited

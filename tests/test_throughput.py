@@ -30,16 +30,21 @@ def test_matchmaker_sustains_reference_rate(spark):
 
 #: docs/s floor for the FULL dual-store funnel (quality gate + MinHash
 #: probe + SRP probe + both appends). Measured 218 docs/s on this
-#: box's local[32] at 3 waves x 2,000 docs (2026-08-15, calm box);
-#: the floor is ~2x headroom for the recorded ±15% box drift. The
-#: per-wave cost is dominated by fixed job fan-out (~9 s/wave at this
-#: tiny M), so production-sized waves amortize far better — this gate
-#: exists to catch REGRESSIONS in the composed loop's plan shape
-#: (e.g. an append losing its touched-partition pruning), not to
-#: measure peak rate.
+#: box's local[32] at 3 waves x 2,000 docs (2026-08-15, calm box),
+#: but an idle-box local[8] triple on 2026-08-16 spanned 95-154
+#: docs/s — the same-code post-load oscillation PERF_NOTES pins at
+#: 1.2-1.5x reaches this loop too, and the old floor of 100 sat
+#: INSIDE that envelope (it flaked in the r17 full-suite run on an
+#: untouched admission path). Floor = ~2x under the slow-phase 95.
+#: The per-wave cost is dominated by fixed job fan-out (~9 s/wave at
+#: this tiny M), so production-sized waves amortize far better — this
+#: gate exists to catch REGRESSIONS in the composed loop's plan shape
+#: (e.g. an append losing its touched-partition pruning, which turns
+#: a wave into a full-store scan at a small fraction of this rate),
+#: not to measure peak rate.
 ADMISSION_WAVES = 3
 ADMISSION_WAVE_DOCS = 2_000
-ADMISSION_MIN_DPS = 100
+ADMISSION_MIN_DPS = 50
 
 
 def test_admission_loop_sustains_rate(spark, tmp_path):

@@ -104,10 +104,16 @@ def _check_cents_bound(W) -> None:
         )
 
 
-def _ts_raw_windows(events: DataFrame) -> DataFrame:
+def _ts_raw_windows(events: DataFrame, with_rn: bool = False) -> DataFrame:
     """Full sliding windows per user, stats not yet attached:
     (user_id, seq, w) — one shuffle on user_id + a spillable frame
-    sort."""
+    sort. ``with_rn`` additionally carries the window's START POSITION
+    in the user's event-row order (``rn``, 1-based row_number over the
+    same partition/order — shares the frame sort, no extra shuffle):
+    two windows of one series OVERLAP iff their start positions differ
+    by < TS_WINDOW in ROW terms, which seq arithmetic cannot express
+    (event ids are globally allocated, per-user gaps arbitrary) — the
+    motif/discord exclusion zone keys on rn, never on seq."""
     e = events.where(
         F.col("user_id").isNotNull()
         & F.col("event_id").isNotNull()
@@ -122,8 +128,15 @@ def _ts_raw_windows(events: DataFrame) -> DataFrame:
         .orderBy("seq")
         .rowsBetween(Window.currentRow, TS_WINDOW - 1)
     )
+    cols = ["user_id", "seq"]
+    if with_rn:
+        cols.append(
+            F.row_number()
+            .over(Window.partitionBy("user_id").orderBy("seq"))
+            .alias("rn")
+        )
     return e.select(
-        "user_id", "seq", F.collect_list("cents").over(fr).alias("w")
+        *cols, F.collect_list("cents").over(fr).alias("w")
     ).where(F.size("w") == TS_WINDOW)
 
 
@@ -632,3 +645,351 @@ def ts_subsequence_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``sax_store.write_windows``) — probes then read only their word's
     partitions (PartitionFilters-pinned), the ivf_store pattern."""
     return ts_sax_topk(spark, table(spark, sf_dir, "events"))
+
+
+# ------------------------- motif + discord discovery (matrix-profile) -
+
+# The OTHER half of subsequence analytics: no probe at all. A MOTIF is
+# the closest pair of non-overlapping windows within one series (the
+# repeated pattern — Matrix Profile's primary object, cf. Yeh et al.,
+# "Matrix Profile I", ICDM 2016); a DISCORD is the window whose
+# NEAREST non-overlapping neighbor is farthest (the anomaly — no other
+# stretch of the series ever looked like it). Both are self-join
+# discovery over the same z-normalized windows the probe queries use —
+# a different op class from ts_subsequence_match/sax (those retrieve
+# vs a given probe; these mine the series against itself), so they get
+# their own library rows rather than riding the probe family's hash.
+#
+# Exclusion zone: windows overlap iff their start ROW positions differ
+# by < TS_WINDOW (trivial-match suppression — adjacent windows are
+# near-identical by construction). Positions are per-user row_numbers
+# attached at the raw-window stage, BEFORE the zero-variance filter:
+# filtering first would renumber survivors and let two row-sharing
+# windows masquerade as non-overlapping.
+#
+# Float parity: identical discipline to the probe family — exact
+# int64 window sums, single-division mu/m2, per-element
+# (c - mu) / sd z-normalization, and the squared distance accumulated
+# dimension-by-dimension in index order (the oracle's list_reduce
+# left fold; 0.0 + x == x exactly). Ranks order on the exact double
+# BEFORE the 6-decimal display rounding, ties broken on ids.
+
+TS_MOTIF_K = 5          # pairs reported (motif) / windows reported (discord)
+_TS_PAIR_CTES = f"""
+WITH e AS (
+  SELECT user_id, event_id AS seq, CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events
+  WHERE user_id IS NOT NULL AND event_id IS NOT NULL AND value IS NOT NULL
+),
+win AS (
+  SELECT user_id, seq,
+    row_number() OVER (PARTITION BY user_id ORDER BY seq) AS rn,
+    list(cents) OVER (PARTITION BY user_id ORDER BY seq
+                      ROWS BETWEEN CURRENT ROW AND {TS_WINDOW - 1} FOLLOWING)
+      AS w
+  FROM e
+),
+m AS (
+  SELECT user_id, seq, rn, w,
+    CAST(list_sum(w) AS DOUBLE) / {TS_WINDOW} AS mu,
+    CAST(list_sum(list_transform(w, x -> x * x)) AS DOUBLE) / {TS_WINDOW} AS m2
+  FROM win WHERE len(w) = {TS_WINDOW}
+),
+nz AS (
+  SELECT user_id, seq, rn, w, mu, SQRT(m2 - mu * mu) AS sd
+  FROM m WHERE m2 - mu * mu > 0
+)"""
+
+TS_MOTIF_SQL = f"""{_TS_PAIR_CTES},
+pairs AS (
+  SELECT a.user_id, a.seq AS seq_a, b.seq AS seq_b,
+    list_reduce(list_transform(list_zip(a.w, b.w),
+      s -> (((s[1] - a.mu) / a.sd) - ((s[2] - b.mu) / b.sd))
+         * (((s[1] - a.mu) / a.sd) - ((s[2] - b.mu) / b.sd))),
+      (acc, x) -> acc + x) AS dist2
+  FROM nz a JOIN nz b
+    ON a.user_id = b.user_id AND b.rn >= a.rn + {TS_WINDOW}
+)
+SELECT user_id, seq_a, seq_b,
+  CAST(ROUND(dist2, 6) AS DOUBLE) AS dist2, CAST(rank AS INT) AS rank
+FROM (SELECT *, row_number() OVER (
+        ORDER BY dist2 ASC, user_id, seq_a, seq_b) AS rank FROM pairs)
+WHERE rank <= {TS_MOTIF_K}
+"""
+
+TS_DISCORD_SQL = f"""{_TS_PAIR_CTES},
+pairs AS (
+  SELECT a.user_id, a.seq, b.seq AS other_seq,
+    list_reduce(list_transform(list_zip(a.w, b.w),
+      s -> (((s[1] - a.mu) / a.sd) - ((s[2] - b.mu) / b.sd))
+         * (((s[1] - a.mu) / a.sd) - ((s[2] - b.mu) / b.sd))),
+      (acc, x) -> acc + x) AS dist2
+  FROM nz a JOIN nz b
+    ON a.user_id = b.user_id
+   AND (b.rn - a.rn >= {TS_WINDOW} OR a.rn - b.rn >= {TS_WINDOW})
+),
+nn AS (
+  SELECT user_id, seq, other_seq AS nn_seq, dist2,
+    row_number() OVER (PARTITION BY user_id, seq
+                       ORDER BY dist2 ASC, other_seq) AS r2
+  FROM pairs
+)
+SELECT user_id, seq, nn_seq,
+  CAST(ROUND(dist2, 6) AS DOUBLE) AS dist2, CAST(rank AS INT) AS rank
+FROM (SELECT *, row_number() OVER (
+        ORDER BY dist2 DESC, user_id, seq) AS rank FROM nn WHERE r2 = 1)
+WHERE rank <= {TS_MOTIF_K}
+"""
+
+# Loud compute-bound guard, the _check_cents_bound pattern: per-series
+# pair discovery is O(m²) in that series' window count. 32,768 windows
+# is ~5·10⁸ pairs for ONE series — past any sane single-group budget;
+# the scale path for longer series is SAX-word pair bucketing (only
+# same-word windows pair, the ts_subsequence_sax treatment), not a
+# silent cap that would change which pairs exist.
+TS_MOTIF_MAX_WINDOWS = 32_768
+
+
+def _ts_pair_topk_kernel(discord: bool):
+    """Per-series Arrow kernel shared by motif and discord: all
+    non-overlapping window pairs of ONE user's series, exact
+    z-normalized distances (left-fold over dimensions — bit-exact
+    with the oracle's list_reduce), reduced INSIDE the kernel to the
+    per-series top-K (smallest pairs for motif; per-window nearest
+    neighbor then largest-nn windows for discord) so each group emits
+    ≤K rows no matter how long the series is. Row blocks of 256 bound
+    the pair matrix at block×m doubles."""
+    import numpy as np
+    import pandas as pd
+
+    def kern(pdf: pd.DataFrame) -> pd.DataFrame:
+        out_cols = (
+            ["user_id", "seq", "nn_seq", "dist2"]
+            if discord
+            else ["user_id", "seq_a", "seq_b", "dist2"]
+        )
+        if len(pdf) > TS_MOTIF_MAX_WINDOWS:
+            raise OverflowError(
+                f"ts motif/discord: {len(pdf)} windows in one series "
+                f"exceeds TS_MOTIF_MAX_WINDOWS={TS_MOTIF_MAX_WINDOWS} "
+                "(O(m²) pair discovery) — route long series through "
+                "SAX-word pair bucketing instead"
+            )
+        # group row order is not guaranteed post-shuffle; ascending seq
+        # makes argmax-first tie-breaks mean "smallest seq" below
+        pdf = pdf.sort_values("seq", kind="mergesort").reset_index(drop=True)
+        W = np.array(list(pdf["w"]), dtype=np.int64)
+        _check_cents_bound(W)
+        s = W.sum(axis=1)
+        sq = (W * W).sum(axis=1)
+        mu = s.astype(np.float64) / TS_WINDOW
+        m2 = sq.astype(np.float64) / TS_WINDOW
+        var = m2 - mu * mu
+        keep = var > 0
+        if keep.sum() < 2:
+            return pd.DataFrame(columns=out_cols)
+        sd = np.sqrt(var[keep])
+        Z = (W[keep].astype(np.float64) - mu[keep][:, None]) / sd[:, None]
+        rns = pdf["rn"].to_numpy()[keep]
+        seqs = pdf["seq"].to_numpy()[keep]
+        user = int(pdf["user_id"].iloc[0])
+        m = Z.shape[0]
+        rows = []          # motif: per-block top-K candidate tuples
+        nn_d = np.full(m, np.inf)       # discord: running per-window nn
+        nn_j = np.full(m, -1, dtype=np.int64)
+        for lo in range(0, m, 256):
+            hi = min(lo + 256, m)
+            gap = rns[None, :] - rns[lo:hi, None]       # block × m
+            valid = (
+                np.abs(gap) >= TS_WINDOW if discord else gap >= TS_WINDOW
+            )
+            if not valid.any():
+                continue
+            acc = np.zeros((hi - lo, m))
+            for d in range(TS_WINDOW):  # left-fold over dims
+                e = Z[lo:hi, d][:, None] - Z[None, :, d]
+                acc += e * e
+            if discord:
+                # per-row nearest valid neighbor, ties to smallest seq
+                # (columns are in ascending-seq order, argmax of a
+                # boolean picks the first minimum); each row's FULL
+                # neighbor set is scanned in its one block pass, so
+                # this is an assignment, not a running merge
+                acc[~valid] = np.inf
+                bmin = acc.min(axis=1)
+                has = np.isfinite(bmin)
+                if has.any():
+                    first = (acc == bmin[:, None]).argmax(axis=1)
+                    idx = np.arange(lo, hi)[has]
+                    nn_d[idx] = bmin[has]
+                    nn_j[idx] = first[has]
+            else:
+                ii, jj = np.nonzero(valid)
+                dist = acc[ii, jj]
+                # exact per-block top-K WITH the id tie-break (a bare
+                # argpartition could drop an equal-distance pair that
+                # wins on (seq_a, seq_b) order)
+                order = np.lexsort((seqs[jj], seqs[lo + ii], dist))
+                for t in order[:TS_MOTIF_K]:
+                    rows.append(
+                        (dist[t], int(seqs[lo + ii[t]]), int(seqs[jj[t]]))
+                    )
+        if discord:
+            got = nn_j >= 0
+            if not got.any():
+                return pd.DataFrame(columns=out_cols)
+            cand = sorted(
+                (
+                    (-nn_d[i], int(seqs[i]), int(seqs[nn_j[i]]))
+                    for i in np.nonzero(got)[0]
+                ),
+            )[:TS_MOTIF_K]
+            return pd.DataFrame(
+                {
+                    "user_id": np.full(len(cand), user, dtype=np.int64),
+                    "seq": [c[1] for c in cand],
+                    "nn_seq": [c[2] for c in cand],
+                    "dist2": [-c[0] for c in cand],
+                }
+            )
+        if not rows:
+            return pd.DataFrame(columns=out_cols)
+        rows.sort()
+        rows = rows[:TS_MOTIF_K]
+        return pd.DataFrame(
+            {
+                "user_id": np.full(len(rows), user, dtype=np.int64),
+                "seq_a": [r[1] for r in rows],
+                "seq_b": [r[2] for r in rows],
+                "dist2": [r[0] for r in rows],
+            }
+        )
+
+    return kern
+
+
+_PAIR_SCHEMA = "user_id long, seq_a long, seq_b long, dist2 double"
+_NN_SCHEMA = "user_id long, seq long, nn_seq long, dist2 double"
+
+
+def _ts_global_topk(per_group: DataFrame, discord: bool) -> DataFrame:
+    """Shared tail of every discovery variant: global top-K over the
+    ≤K-per-group survivors as a distributed TakeOrderedAndProject
+    (never a full sort), rank attached over the K-row result."""
+    order = (
+        [F.desc("dist2"), "user_id", "seq"]
+        if discord
+        else [F.asc("dist2"), "user_id", "seq_a", "seq_b"]
+    )
+    top = per_group.orderBy(*order).limit(TS_MOTIF_K)
+    # rank over the ≤K surviving rows; the constant partition key is
+    # cosmetic (silences the no-partition WindowExec warning — the
+    # frame is already K rows by construction)
+    rw = Window.partitionBy(F.lit(0)).orderBy(*order)
+    keys = ["seq", "nn_seq"] if discord else ["seq_a", "seq_b"]
+    return top.select(
+        "user_id", *keys,
+        F.round("dist2", 6).alias("dist2"),
+        F.row_number().over(rw).cast("int").alias("rank"),
+    )
+
+
+def _ts_pair_topk(
+    spark: SparkSession, ev: DataFrame, discord: bool
+) -> DataFrame:
+    """Shared driver of both exact discovery ops: one user_id shuffle
+    builds rn-carrying raw windows, the per-series kernel reduces each
+    group to ≤K rows, then the shared global-top-K tail."""
+    per_user = (
+        _ts_raw_windows(ev, with_rn=True)
+        .groupBy("user_id")
+        .applyInPandas(
+            _ts_pair_topk_kernel(discord),
+            _NN_SCHEMA if discord else _PAIR_SCHEMA,
+        )
+    )
+    return _ts_global_topk(per_user, discord)
+
+
+def ts_motif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K motifs: the closest non-overlapping window pairs within
+    any one user's series (the repeated pattern screen — "has this
+    exact shape happened in this series before?"). Library op; oracle
+    TS_MOTIF_SQL.
+
+    Plan: ONE shuffle on user_id builds rn-carrying windows; pair
+    enumeration, exact distances, and the per-series top-K all happen
+    INSIDE the per-series Arrow kernel (≤K rows leave each group), and
+    the global rank is a TakeOrderedAndProject over ≤K·users rows. Per
+    series the work is O(m²) with a loud TS_MOTIF_MAX_WINDOWS guard —
+    at 100 TB a long series routes through SAX-word pair bucketing
+    (same-word windows only), the ts_subsequence_sax treatment."""
+    return _ts_pair_topk(spark, table(spark, sf_dir, "events"), discord=False)
+
+
+def ts_discord(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K discords: the windows whose NEAREST non-overlapping
+    neighbor within their own series is farthest (the anomaly screen —
+    "no other stretch of this series ever looked like this"). Library
+    op; oracle TS_DISCORD_SQL. Same plan shape as ``ts_motif``; the
+    kernel keeps a per-window running nearest-neighbor instead of a
+    pair heap, still emitting ≤K rows per series.
+
+    No SAX-bucketed sibling, deliberately: bucketing prunes CANDIDATE
+    pairs, which is sound for motif (closest pairs share a word) but
+    unsound for discord — a window's true nearest neighbor may sit in
+    another bucket, and missing it INFLATES the nn distance, i.e.
+    manufactures false discords. Discord pruning needs best-so-far
+    lower bounds (the matrix-profile early-abandon family), not
+    partitioning."""
+    return _ts_pair_topk(spark, table(spark, sf_dir, "events"), discord=True)
+
+
+TS_MOTIF_SAX_SQL = f"""{_TS_PAIR_CTES},
+sx AS (SELECT *, {_SAX_WORD_SQL} AS word FROM nz),
+pairs AS (
+  SELECT a.user_id, a.seq AS seq_a, b.seq AS seq_b,
+    list_reduce(list_transform(list_zip(a.w, b.w),
+      s -> (((s[1] - a.mu) / a.sd) - ((s[2] - b.mu) / b.sd))
+         * (((s[1] - a.mu) / a.sd) - ((s[2] - b.mu) / b.sd))),
+      (acc, x) -> acc + x) AS dist2
+  FROM sx a JOIN sx b
+    ON a.user_id = b.user_id AND a.word = b.word
+   AND b.rn >= a.rn + {TS_WINDOW}
+)
+SELECT user_id, seq_a, seq_b,
+  CAST(ROUND(dist2, 6) AS DOUBLE) AS dist2, CAST(rank AS INT) AS rank
+FROM (SELECT *, row_number() OVER (
+        ORDER BY dist2 ASC, user_id, seq_a, seq_b) AS rank FROM pairs)
+WHERE rank <= {TS_MOTIF_K}
+"""
+
+
+def ts_motif_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX-bucketed motif discovery — ``ts_motif``'s scale path made
+    real, the ts_subsequence_sax treatment applied to PAIR mining:
+    windows pair only with same-word windows of their own series, so a
+    series' O(m²) collapses to Σ_word m_word² (identical windows share
+    a word by construction, so an exact repeat is never pruned — the
+    planted-pair pytest pins that, and a recall pytest scores the
+    bucketed top-K against the brute op). Library op; oracle
+    TS_MOTIF_SAX_SQL — its own deterministic bucketed semantics, like
+    the retrieval family's SAX row.
+
+    Plan: the user_id shuffle builds rn-carrying windows; stats + the
+    SAX word attach as JVM expressions (no second corpus pass); the
+    (user_id, word) grouping is satisfied by the existing user_id
+    partitioning (subset-of-clustering-keys), so the pair-set
+    collapse costs NO extra shuffle (plan-pinned) — the same pair
+    kernel + global-top-K tail finish ≤K rows per group. At 100 TB
+    the (user, word) grouping reads straight off the persisted
+    ``sax_store`` word partitions."""
+    win = attach_window_stats(
+        _ts_raw_windows(table(spark, sf_dir, "events"), with_rn=True)
+    ).withColumn("word", sax_word_col())
+    per_group = (
+        win.select("user_id", "seq", "rn", "w", "word")
+        .groupBy("user_id", "word")
+        .applyInPandas(_ts_pair_topk_kernel(discord=False), _PAIR_SCHEMA)
+    )
+    return _ts_global_topk(per_group, discord=False)

@@ -157,6 +157,13 @@ def register(name: str, oracle: str | None = None):
 # protocol, takedown wired into admission.takedown_wave, and the
 # phrase_incremental library op whose oracle is PHRASE_SEARCH_SQL
 # verbatim (exact index => probe == batch kernel row for row).
+# Also r17-new to the LIBRARY surface (late session): ts_motif +
+# ts_discord -- matrix-profile discovery (closest non-overlapping
+# same-series pair / farthest-nearest-neighbor window), full DuckDB
+# oracles, parity-gated every round. Seat candidates for R19+ only if
+# a trade frees a seat in the matching phase; the probe-family
+# ts_subsequence rows do NOT gate them (different op class: self-join
+# mining vs probe retrieval).
 # Sitting out r17 -- every alternating row hash-green in r16
 # (CORRECTNESS_r16), witness noted ("(in)" = in the r17 window):
 DEPRIORITIZED = [
@@ -312,6 +319,7 @@ def load_library() -> dict[str, QueryDef]:
         semantic_store,
         similarity,
         text,
+        timeseries,
     )
     from trisk_spark.operators import relational
 
@@ -481,6 +489,21 @@ def load_library() -> dict[str, QueryDef]:
         "quality_calibrate": (
             text.quality_calibrate,
             text.QUALITY_CALIBRATE_SQL,
+        ),
+        # r17-new: matrix-profile discovery over the subsequence
+        # windows — motif (closest non-overlapping same-series pair)
+        # and discord (window with the farthest nearest neighbor);
+        # self-join mining, a different op class from the probe-driven
+        # ts_subsequence_* retrieval family
+        "ts_motif": (timeseries.ts_motif, timeseries.TS_MOTIF_SQL),
+        "ts_discord": (timeseries.ts_discord, timeseries.TS_DISCORD_SQL),
+        # ... and motif's SAX-bucketed scale path (same-word pairs
+        # only — Σ m_word² instead of m² per series; discord has no
+        # bucketed sibling, deliberately: candidate pruning is unsound
+        # for a max-of-min objective, see its docstring)
+        "ts_motif_sax": (
+            timeseries.ts_motif_sax,
+            timeseries.TS_MOTIF_SAX_SQL,
         ),
     }
 
