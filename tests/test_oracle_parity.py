@@ -142,6 +142,9 @@ LIBRARY_NAMES = sorted(
         # pair, the farthest-nearest-neighbor window, and motif's
         # SAX-bucketed scale path
         "ts_motif", "ts_discord", "ts_motif_sax",
+        # r17-new: strict first-touch conversion funnel (ordered
+        # view → click → purchase, exact integer-µs waits)
+        "event_funnel",
     ]
 )
 

@@ -893,6 +893,80 @@ def test_ts_motif_discord_planted_and_hostile(spark, tmp_path):
     assert {r.user_id for r in motif.collect()} == {7}
 
 
+def test_event_funnel_strict_order_and_ties(spark, hostile_events, tmp_path):
+    """The funnel is STRICT first-touch: an out-of-order purchase
+    (before the user's first qualified click) never counts, and a
+    same-microsecond event does NOT convert (value-based strictly-after
+    — the only tie-deterministic rule cross-engine). Hand-computed
+    expectations on a crafted corpus, plus full parity there AND on the
+    shared hostile events fixture (NULL ids/ts/types, negative users)."""
+    import duckdb as _duckdb
+
+    from trisk_spark.functions.funnel import EVENT_FUNNEL_SQL, event_funnel
+
+    t = lambda s: _T0 + datetime.timedelta(seconds=s)  # noqa: E731
+    rows = [
+        # user 1: purchase BEFORE any click (must not count), then the
+        # ordered journey completes later: t1=2, t2=3, t3=4
+        (10, t(1), 1, "purchase", 1.0),
+        (11, t(2), 1, "view", 1.0),
+        (12, t(3), 1, "click", 1.0),
+        (13, t(4), 1, "purchase", 1.0),
+        # user 2: click in the SAME microsecond as the first view —
+        # not strictly after, so stage 2 is never reached even though
+        # a later purchase exists
+        (20, t(10), 2, "view", 1.0),
+        (21, t(10), 2, "click", 1.0),
+        (22, t(11), 2, "purchase", 1.0),
+        # user 3: clicks/purchases but NO view — reaches nothing
+        (30, t(20), 3, "click", 1.0),
+        (31, t(21), 3, "purchase", 1.0),
+        # user 4: view then click, purchase only BEFORE the click
+        (40, t(30), 4, "view", 1.0),
+        (41, t(31), 4, "purchase", 1.0),
+        (42, t(32), 4, "click", 1.0),
+        # hostile: NULLs never join the funnel
+        (50, None, 5, "view", 1.0),
+        (51, t(40), None, "view", 1.0),
+        (52, t(41), 5, None, 1.0),
+    ]
+    tab = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(tab, tmp_path / "events.parquet")
+    con = _duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmp_path}/events.parquet')"
+    )
+    sdf = event_funnel(spark, str(tmp_path))
+    assert_matches_oracle(sdf, con, EVENT_FUNNEL_SQL)
+    got = {r.stage: r for r in sdf.collect()}
+    # stage 1: users 1, 2, 4 (user 3 has no view; NULL rows dropped)
+    assert got["view"].n_users == 3 and got["view"].sum_wait_us == 0
+    # stage 2: users 1 and 4 (user 2's click ties the view µs)
+    assert got["click"].n_users == 2
+    assert got["click"].sum_wait_us == 3_000_000  # 1s (u1) + 2s (u4)
+    assert got["click"].avg_wait_us == 1_500_000
+    # stage 3: user 1 only (u4's purchase precedes its click; u2 never
+    # reached stage 2, so its purchase can't convert)
+    assert got["purchase"].n_users == 1
+    assert got["purchase"].sum_wait_us == 1_000_000
+
+    # the shared hostile fixture (NULL ts/user/type, negative users,
+    # ts ties at _T0) must hold parity too
+    sf_dir, hcon = hostile_events
+    assert_matches_oracle(
+        event_funnel(spark, sf_dir), hcon, EVENT_FUNNEL_SQL
+    )
+
+
 def test_ts_motif_windows_cap_guard_fires():
     # the O(m²) pair kernel must refuse a series past
     # TS_MOTIF_MAX_WINDOWS loudly (the _check_cents_bound pattern) —

@@ -639,6 +639,30 @@ def test_ts_motif_single_exchange_and_distributed_topk(spark):
         assert "FlatMapGroupsInPandas" in plan, plan
 
 
+def test_event_funnel_one_shuffle_no_join(spark):
+    # the funnel-as-3-joins formulation re-shuffles the corpus once
+    # per stage; this one must stay a single user_id exchange (the
+    # stage-reach tests are window lookbacks sharing one sort, the
+    # per-user agg reuses the partitioning, the rollup is one row)
+    import io
+    import re
+    from contextlib import redirect_stdout
+
+    from trisk_spark.functions.funnel import event_funnel
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        event_funnel(spark, SF_DIR).explain("formatted")
+    plan = buf.getvalue()
+    assert "Join" not in plan and "CartesianProduct" not in plan, plan
+    keys = re.findall(r"Arguments: hashpartitioning\((\w+)#", plan)
+    assert keys == ["user_id"], keys
+    # one corpus scan: the single-pass stack rollup, not per-stage
+    # aggs (formatted output repeats the node name in the detail
+    # section — the Location line appears once per actual scan)
+    assert plan.count("Location: InMemoryFileIndex") == 1, plan
+
+
 def test_ts_kernel_matches_expression_form(spark):
     # the numpy scoring kernel must be bit-identical to the JVM
     # expression form that the streaming twin's batch image uses —

@@ -245,6 +245,9 @@ def test_readme_op_table_names_are_registered():
         # r17: matrix-profile discovery (library ops + their oracle
         # constants)
         "ts_motif", "ts_discord", "ts_motif_sax",
+        # r17: strict first-touch conversion funnel (library op + its
+        # per-user-times half)
+        "event_funnel", "funnel_user_times",
     }
     missing = {
         c for c in cited

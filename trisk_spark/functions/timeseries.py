@@ -826,9 +826,17 @@ def _ts_pair_topk_kernel(discord: bool):
             else:
                 ii, jj = np.nonzero(valid)
                 dist = acc[ii, jj]
-                # exact per-block top-K WITH the id tie-break (a bare
-                # argpartition could drop an equal-distance pair that
-                # wins on (seq_a, seq_b) order)
+                if len(dist) > TS_MOTIF_K:
+                    # threshold-prefilter before the full-key sort: keep
+                    # every pair at or under the K-th smallest distance
+                    # (ties INCLUDED, so the id tie-break below still
+                    # sees every contender — a bare top-K argpartition
+                    # could drop an equal-distance pair that wins on
+                    # (seq_a, seq_b) order), then lexsort only the
+                    # survivors instead of O(P log P) over the block
+                    kth = np.partition(dist, TS_MOTIF_K - 1)[TS_MOTIF_K - 1]
+                    keep_m = dist <= kth
+                    ii, jj, dist = ii[keep_m], jj[keep_m], dist[keep_m]
                 order = np.lexsort((seqs[jj], seqs[lo + ii], dist))
                 for t in order[:TS_MOTIF_K]:
                     rows.append(

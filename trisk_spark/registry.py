@@ -159,11 +159,14 @@ def register(name: str, oracle: str | None = None):
 # verbatim (exact index => probe == batch kernel row for row).
 # Also r17-new to the LIBRARY surface (late session): ts_motif +
 # ts_discord -- matrix-profile discovery (closest non-overlapping
-# same-series pair / farthest-nearest-neighbor window), full DuckDB
+# same-series pair / farthest-nearest-neighbor window) + ts_motif_sax
+# (motif's SAX-word-bucketed scale path) + event_funnel (strict
+# first-touch conversion funnel over events) -- all with full DuckDB
 # oracles, parity-gated every round. Seat candidates for R19+ only if
 # a trade frees a seat in the matching phase; the probe-family
-# ts_subsequence rows do NOT gate them (different op class: self-join
-# mining vs probe retrieval).
+# ts_subsequence rows do NOT gate the discovery ops (different op
+# class: self-join mining vs probe retrieval), and no registered row
+# gates event_funnel's ordered-stage semantics.
 # Sitting out r17 -- every alternating row hash-green in r16
 # (CORRECTNESS_r16), witness noted ("(in)" = in the r17 window):
 DEPRIORITIZED = [
@@ -313,6 +316,7 @@ def load_library() -> dict[str, QueryDef]:
     from trisk_spark.functions import (
         dedup,
         dedup_store,
+        funnel,
         phrase_store,
         retrieval,
         sampling,
@@ -505,6 +509,10 @@ def load_library() -> dict[str, QueryDef]:
             timeseries.ts_motif_sax,
             timeseries.TS_MOTIF_SAX_SQL,
         ),
+        # r17-new: strict first-touch conversion funnel over the
+        # events stream (value-based strictly-after semantics, exact
+        # BIGINT µs waits, one corpus shuffle, no join)
+        "event_funnel": (funnel.event_funnel, funnel.EVENT_FUNNEL_SQL),
     }
 
     def wrap(fn):
