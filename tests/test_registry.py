@@ -246,8 +246,8 @@ def test_readme_op_table_names_are_registered():
         # constants)
         "ts_motif", "ts_discord", "ts_motif_sax",
         # r17: strict first-touch conversion funnel (library op + its
-        # per-user-times half)
-        "event_funnel", "funnel_user_times",
+        # per-user-times half + the streaming alerter twin)
+        "event_funnel", "funnel_user_times", "funnel_stream",
     }
     missing = {
         c for c in cited

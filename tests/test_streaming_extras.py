@@ -2984,3 +2984,38 @@ def test_weighted_sample_stream_null_source_reservoir_roundtrip(
     ]
     got = sorted(final, key=lambda d: d["rank"])
     assert got == want
+
+
+def test_funnel_stream_equals_batch_on_ordered_replay(spark):
+    """The streaming funnel alerter must emit EXACTLY the batch
+    ``funnel_user_times`` unpivoted under a ts-ordered multi-batch
+    replay (a time prefix can never later produce a smaller qualified
+    stage time), with at most one row per (user, stage) ever."""
+    from trisk_spark.catalog import table
+    from trisk_spark.functions.funnel import funnel_user_times
+    from trisk_spark.streaming.queries import funnel_stream
+    from trisk_spark.streaming.sources import checkpoint_dir, replay_stream
+
+    want = set()
+    for r in funnel_user_times(table(spark, SF, "events")).collect():
+        if r.t1 is not None:
+            want.add((r.user_id, "view", 1, r.t1, 0))
+        if r.t2 is not None:
+            want.add((r.user_id, "click", 2, r.t2, r.t2 - r.t1))
+        if r.t3 is not None:
+            want.add((r.user_id, "purchase", 3, r.t3, r.t3 - r.t2))
+    assert want  # non-vacuous: the corpus produces conversions
+
+    emitted = []
+    q = (
+        funnel_stream(replay_stream(spark, SF, "events", n_chunks=5))
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda bdf, bid: emitted.extend(bdf.collect()))
+        .option("checkpointLocation", checkpoint_dir("funnel"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {(r.user_id, r.stage, r.stage_idx, r.us, r.wait_us) for r in emitted}
+    assert len(got) == len(emitted), "a (user, stage) alert fired twice"
+    assert got == want

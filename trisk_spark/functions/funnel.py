@@ -95,10 +95,13 @@ def funnel_user_times(events: DataFrame) -> DataFrame:
     "strictly after" tests are window MINs over a value-based
     strictly-before RANGE frame on the µs key (tie-deterministic on
     both engines), all sharing one (user_id, us) sort."""
+    # non-stage event types can never move a stage min — dropping them
+    # before the shuffle (a pushdown-eligible IN filter) is semantics-
+    # free and cuts the exchanged volume to funnel events only
     e = events.where(
         F.col("user_id").isNotNull()
         & F.col("ts").isNotNull()
-        & F.col("event_type").isNotNull()
+        & F.col("event_type").isin(list(FUNNEL_STAGES))
     ).select("user_id", "event_type", F.unix_micros("ts").alias("us"))
     before = (
         Window.partitionBy("user_id")

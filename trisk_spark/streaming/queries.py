@@ -1210,3 +1210,99 @@ def dsir_score_stream(
             ]
 
     return docs.select("doc_id", "text").mapInPandas(score, out_schema)
+
+
+def funnel_stream(events: DataFrame) -> DataFrame:
+    """Streaming conversion-funnel alerter — the online half of
+    ``functions.funnel``: emit (user_id, stage, stage_idx, us,
+    wait_us) THE MOMENT a user reaches a funnel stage in order
+    (view → click → purchase, value-based strictly-after on exact
+    epoch µs — a same-microsecond click still does not convert).
+    Append mode; at most one row per (user, stage) ever.
+
+    Ordering contract (the ``cluster_cap_stream`` convention): under
+    ts-ordered replay the emitted rows are EXACTLY the batch
+    ``funnel_user_times`` unpivoted — each stage time is final the
+    moment it streams past, because a prefix in ts order can never
+    later produce a smaller qualified time (5-chunk ordered replay
+    pytest-pinned). Under arbitrary arrival the op keeps
+    first-touch ONLINE semantics: stages freeze once reached, and a
+    late-arriving earlier view cannot retroactively re-qualify clicks
+    that already streamed past (their rows are gone — exactly what a
+    live alerter wants, and the reason the batch op exists for
+    backfills).
+
+    100 TB: state is three nullable BIGINTs per user (user-cardinality
+    — the WC running-count class, far under the raw stream volume);
+    the only stream-side exchange routes id-sized (user_id, type, us)
+    triples to their user's state; all stage logic inside the state op
+    is vectorized column mins, no per-row Python."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from trisk_spark.functions.funnel import FUNNEL_STAGES
+
+    stages = tuple(FUNNEL_STAGES)
+    # non-stage types can never move a stage min: dropping them BEFORE
+    # the keyed exchange cuts the shuffled volume to funnel events and
+    # keeps users who never emit one out of the state store entirely
+    # (NoTimeout state would otherwise hold their all-null rows
+    # forever)
+    e = events.where(
+        F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("event_type").isin(*stages)
+    ).select("user_id", "event_type", F.unix_micros("ts").alias("us"))
+
+    def step(key, pdfs, state: GroupState):
+        (user,) = key
+        t = list(state.get) if state.exists else [None, None, None]
+        chunks = [p for p in pdfs if len(p)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True)
+            out = []
+            if t[0] is None:
+                vus = pdf.loc[pdf["event_type"] == stages[0], "us"]
+                if len(vus):
+                    t[0] = int(vus.min())
+                    out.append((stages[0], 1, t[0], 0))
+            if t[0] is not None and t[1] is None:
+                cus = pdf.loc[
+                    (pdf["event_type"] == stages[1]) & (pdf["us"] > t[0]),
+                    "us",
+                ]
+                if len(cus):
+                    t[1] = int(cus.min())
+                    out.append((stages[1], 2, t[1], t[1] - t[0]))
+            if t[1] is not None and t[2] is None:
+                pus = pdf.loc[
+                    (pdf["event_type"] == stages[2]) & (pdf["us"] > t[1]),
+                    "us",
+                ]
+                if len(pus):
+                    t[2] = int(pus.min())
+                    out.append((stages[2], 3, t[2], t[2] - t[1]))
+            state.update(tuple(t))
+            if out:
+                yield pd.DataFrame(
+                    {
+                        "user_id": int(user),
+                        "stage": [o[0] for o in out],
+                        "stage_idx": [o[1] for o in out],
+                        "us": [o[2] for o in out],
+                        "wait_us": [o[3] for o in out],
+                    }
+                )
+        else:
+            state.update(tuple(t))
+
+    return e.groupBy("user_id").applyInPandasWithState(
+        step,
+        outputStructType=(
+            "user_id long, stage string, stage_idx int, us long, "
+            "wait_us long"
+        ),
+        stateStructType="t1 long, t2 long, t3 long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
