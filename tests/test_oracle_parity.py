@@ -143,8 +143,9 @@ LIBRARY_NAMES = sorted(
         # SAX-bucketed scale path
         "ts_motif", "ts_discord", "ts_motif_sax",
         # r17-new: strict first-touch conversion funnel (ordered
-        # view → click → purchase, exact integer-µs waits)
-        "event_funnel",
+        # view → click → purchase, exact integer-µs waits) and cohort
+        # retention (first-active-day cohorts, day-1/day-7 returns)
+        "event_funnel", "user_retention",
     ]
 )
 

@@ -967,6 +967,63 @@ def test_event_funnel_strict_order_and_ties(spark, hostile_events, tmp_path):
     )
 
 
+def test_user_retention_cohorts_and_day_buckets(spark, hostile_events, tmp_path):
+    """Retention is exact integer epoch-day arithmetic: a return on
+    cohort_day+8 is NOT day-7 retention, a same-day second event is
+    not a return, and cohorts split by FIRST active day. Hand-computed
+    on a crafted corpus + parity there AND on the hostile fixture."""
+    import duckdb as _duckdb
+
+    from trisk_spark.functions.funnel import (
+        USER_RETENTION_SQL,
+        user_retention,
+    )
+
+    d = lambda k, s=0: _T0 + datetime.timedelta(days=k, seconds=s)  # noqa: E731
+    rows = [
+        # user 1: cohort day 0, returns day 1 AND day 7
+        (10, d(0), 1, "view", 1.0), (11, d(1), 1, "click", 1.0),
+        (12, d(7), 1, "view", 1.0),
+        # user 2: cohort day 0, two events SAME day then day 8 — no
+        # day-1, no day-7 (day 8 is not day 7)
+        (20, d(0), 2, "view", 1.0), (21, d(0, 60), 2, "click", 1.0),
+        (22, d(8), 2, "view", 1.0),
+        # user 3: cohort day 1 (different cohort), returns day 2
+        (30, d(1), 3, "view", 1.0), (31, d(2), 3, "purchase", 1.0),
+        # hostile NULLs stay out
+        (40, None, 4, "view", 1.0), (41, d(0), None, "view", 1.0),
+    ]
+    tab = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(tab, tmp_path / "events.parquet")
+    con = _duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmp_path}/events.parquet')"
+    )
+    sdf = user_retention(spark, str(tmp_path))
+    assert_matches_oracle(sdf, con, USER_RETENTION_SQL)
+    got = {r.cohort_day: r for r in sdf.collect()}
+    day0 = min(got)
+    assert sorted(got) == [day0, day0 + 1]
+    assert (got[day0].n_users, got[day0].retained_d1,
+            got[day0].retained_d7) == (2, 1, 1)
+    assert (got[day0 + 1].n_users, got[day0 + 1].retained_d1,
+            got[day0 + 1].retained_d7) == (1, 1, 0)
+
+    sf_dir, hcon = hostile_events
+    assert_matches_oracle(
+        user_retention(spark, sf_dir), hcon, USER_RETENTION_SQL
+    )
+
+
 def test_ts_motif_windows_cap_guard_fires():
     # the O(m²) pair kernel must refuse a series past
     # TS_MOTIF_MAX_WINDOWS loudly (the _check_cents_bound pattern) —

@@ -663,6 +663,29 @@ def test_event_funnel_one_shuffle_no_join(spark):
     assert plan.count("Location: InMemoryFileIndex") == 1, plan
 
 
+def test_user_retention_plan_shape(spark):
+    # two exchanges, deliberately: the distinct (user, day) build
+    # exchanges AFTER map-side partial dedup, then only the distinct
+    # pairs re-key to user_id for the cohort window — the docstring's
+    # density argument; a third corpus-keyed exchange or a join would
+    # mean the shape regressed
+    import io
+    import re
+    from contextlib import redirect_stdout
+
+    from trisk_spark.functions.funnel import user_retention
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        user_retention(spark, SF_DIR).explain("formatted")
+    plan = buf.getvalue()
+    assert "Join" not in plan and "CartesianProduct" not in plan, plan
+    keys = re.findall(r"Arguments: hashpartitioning\(([\w#L, ]+?), \d+\)", plan)
+    corpus_keyed = [k for k in keys if "user_id" in k]
+    assert len(corpus_keyed) == 2, keys
+    assert "HashAggregate" in plan  # map-side partial dedup exists
+
+
 def test_ts_kernel_matches_expression_form(spark):
     # the numpy scoring kernel must be bit-identical to the JVM
     # expression form that the streaming twin's batch image uses —

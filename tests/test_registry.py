@@ -248,6 +248,7 @@ def test_readme_op_table_names_are_registered():
         # r17: strict first-touch conversion funnel (library op + its
         # per-user-times half + the streaming alerter twin)
         "event_funnel", "funnel_user_times", "funnel_stream",
+        "user_retention",
     }
     missing = {
         c for c in cited

@@ -86,6 +86,92 @@ ORDER BY stage_idx
 """
 
 
+#: epoch-µs per day — retention buckets on integer epoch-DAYS (never
+#: engine date types: integer division of the µs key is tie-free and
+#: bit-identical everywhere, the integer-grid discipline; both
+#: engines TRUNCATE toward zero — Spark DIV and DuckDB // agree — so
+#: a hypothetical pre-1970 event would shift one day on both sides
+#: rather than diverge)
+_US_PER_DAY = 86_400_000_000
+
+USER_RETENTION_SQL = f"""
+WITH e AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // {_US_PER_DAY} AS day
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+w AS (
+  SELECT user_id, day,
+    MIN(day) OVER (PARTITION BY user_id) AS cohort_day
+  FROM e
+),
+u AS (
+  SELECT user_id, cohort_day,
+    MAX(CASE WHEN day = cohort_day + 1 THEN 1 ELSE 0 END) AS r1,
+    MAX(CASE WHEN day = cohort_day + 7 THEN 1 ELSE 0 END) AS r7
+  FROM w GROUP BY user_id, cohort_day
+)
+SELECT cohort_day, COUNT(*) AS n_users,
+  CAST(SUM(r1) AS BIGINT) AS retained_d1,
+  CAST(SUM(r7) AS BIGINT) AS retained_d7
+FROM u GROUP BY cohort_day ORDER BY cohort_day
+"""
+
+
+def user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention over the events stream: users cohorted by
+    their first active epoch-day, with day-1 and day-7 return counts —
+    the second classic user-journey rollup beside the funnel (funnel =
+    did they progress; retention = did they come back). Library op;
+    oracle USER_RETENTION_SQL. All-integer: epoch-day buckets are
+    truncating µs DIV, retained counts are sums of 0/1 flags.
+
+    Plan (two exchanges, deliberately): the distinct (user, day)
+    build exchanges on (user_id, day) AFTER map-side partial dedup —
+    on a dense stream (many events per user per day, time-clustered
+    files) that first exchange carries far fewer rows than the raw
+    corpus; the window MIN then needs a second exchange on user_id,
+    but it moves only the DISTINCT (user, day) pairs (users ×
+    calendar days — the op's natural output grain). Forcing one
+    exchange via repartition(user_id)+distinct would ship every RAW
+    row across the wire instead, which loses exactly when streams are
+    dense; the per-user flag agg and nothing else ride the second
+    exchange, and the final cohort rollup shuffles day-cardinality
+    rows. No join, no date types, no collect_set."""
+    e = (
+        table(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select(
+            "user_id",
+            # integer DIV (truncating, = DuckDB //), never double
+            # division: the µs key is near 2^53 where a double
+            # quotient can misround a day boundary
+            F.expr(f"unix_micros(ts) DIV {_US_PER_DAY}").alias("day"),
+        )
+        .distinct()
+    )
+    w = e.withColumn(
+        "cohort_day", F.min("day").over(Window.partitionBy("user_id"))
+    )
+    u = w.groupBy("user_id", "cohort_day").agg(
+        F.max(
+            F.when(F.col("day") == F.col("cohort_day") + 1, 1).otherwise(0)
+        ).alias("r1"),
+        F.max(
+            F.when(F.col("day") == F.col("cohort_day") + 7, 1).otherwise(0)
+        ).alias("r7"),
+    )
+    return (
+        u.groupBy("cohort_day")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum("r1").cast("bigint").alias("retained_d1"),
+            F.sum("r7").cast("bigint").alias("retained_d7"),
+        )
+        .orderBy("cohort_day")
+    )
+
+
 def funnel_user_times(events: DataFrame) -> DataFrame:
     """Per-user strict first-touch stage times (user_id, t1, t2, t3 as
     epoch µs, NULL where the user never reached the stage) — the

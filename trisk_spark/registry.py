@@ -513,6 +513,12 @@ def load_library() -> dict[str, QueryDef]:
         # events stream (value-based strictly-after semantics, exact
         # BIGINT µs waits, one corpus shuffle, no join)
         "event_funnel": (funnel.event_funnel, funnel.EVENT_FUNNEL_SQL),
+        # r17-new: cohort retention (first-active epoch-day cohorts,
+        # day-1/day-7 return counts, all-integer FLOOR-day buckets)
+        "user_retention": (
+            funnel.user_retention,
+            funnel.USER_RETENTION_SQL,
+        ),
     }
 
     def wrap(fn):
