@@ -141,7 +141,7 @@ LIBRARY_NAMES = sorted(
         # probe) — the closest non-overlapping same-series window
         # pair, the farthest-nearest-neighbor window, and motif's
         # SAX-bucketed scale path
-        "ts_motif", "ts_discord", "ts_motif_sax",
+        "ts_motif", "ts_discord", "ts_motif_sax", "ts_acf",
         # r17-new: strict first-touch conversion funnel (ordered
         # view → click → purchase, exact integer-µs waits) and cohort
         # retention (first-active-day cohorts, day-1/day-7 returns)

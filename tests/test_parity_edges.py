@@ -1024,6 +1024,55 @@ def test_user_retention_cohorts_and_day_buckets(spark, hostile_events, tmp_path)
     )
 
 
+def test_ts_acf_known_series_and_hostile(spark, hostile_events, tmp_path):
+    """ACF ground truth: an alternating ±a series of even length n has
+    exact rational autocorrelations r_k = (-1)^k (n-k)/n (mean exactly
+    zero, all moments exact integers). Also pins: constant series drop
+    (zero variance), n=3 series get lags 1-2 only (the n>k filter),
+    NULLs stay out — and parity on the shared hostile fixture, whose
+    half-cent values (0.125 → 12.5 cents) would split ROUND between
+    engines (Spark half-up vs DuckDB half-even): the op's FLOOR(x+0.5)
+    quantizer is the deterministic rule this test locks in."""
+    import duckdb as _duckdb
+
+    from trisk_spark.functions.timeseries import TS_ACF_SQL, ts_acf
+
+    rows = []
+    n = 20
+    for i in range(n):  # user 1: alternating ±1.00
+        rows.append((100 + i, _T0, 1, "view", 1.0 if i % 2 == 0 else -1.0))
+    rows += [(200 + i, _T0, 2, "view", 3.25) for i in range(10)]  # constant
+    rows += [(300 + i, _T0, 3, "view", float(i * i % 7)) for i in range(3)]
+    rows += [(400, _T0, None, "view", 1.0), (401, _T0, 4, "view", None),
+             (None, _T0, 4, "view", 1.0)]
+    tab = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(tab, tmp_path / "events.parquet")
+    con = _duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmp_path}/events.parquet')"
+    )
+    sdf = ts_acf(spark, str(tmp_path))
+    assert_matches_oracle(sdf, con, TS_ACF_SQL)
+    got = {(r.user_id, r.lag): r.acf for r in sdf.collect()}
+    for k in (1, 2, 3, 4):
+        want = ((-1) ** k) * (n - k) / n
+        assert abs(got[(1, k)] - want) < 1e-9, (k, got[(1, k)], want)
+    assert not any(u == 2 for u, _ in got)          # constant: dropped
+    assert {k for u, k in got if u == 3} == {1, 2}  # n=3: lags 1-2 only
+
+    sf_dir, hcon = hostile_events
+    assert_matches_oracle(ts_acf(spark, sf_dir), hcon, TS_ACF_SQL)
+
+
 def test_ts_motif_windows_cap_guard_fires():
     # the O(m²) pair kernel must refuse a series past
     # TS_MOTIF_MAX_WINDOWS loudly (the _check_cents_bound pattern) —

@@ -953,6 +953,165 @@ def ts_discord(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ts_pair_topk(spark, table(spark, sf_dir, "events"), discord=True)
 
 
+# ----------------------------- autocorrelation (seasonality screen) --
+
+# The third leg of the time-series family beside search (probe
+# retrieval) and discovery (motif/discord pair mining): per-series
+# SAMPLE AUTOCORRELATION at fixed small lags — the standard
+# seasonality / mean-reversion screen (r_k ≈ 1: trending; r_1 < 0:
+# mean-reverting tick series; a spike at lag k: period-k seasonality).
+#
+# Exactness (the embedding_gram treatment applied to ACF): the
+# centered estimator r_k = Σ(x_t−x̄)(x_{t+k}−x̄) / Σ(x_t−x̄)² is NOT
+# cross-engine safe as written — it sums products of doubles in
+# engine-chosen order. Expand it instead so ONLY exact BIGINT
+# aggregates cross the shuffle (order-free by exactness): n, S=Σx,
+# Q=Σx², and per lag C_k=Σ x_t·x_{t+k}, H_k=Σ_{t≤n−k} x_t,
+# T_k=Σ_{t>k} x_t. Then with mu = S/n (one double division),
+#   num_k = C_k − mu·(H_k + T_k) + (n−k)·mu·mu
+#   den   = Q − S·mu
+# — a FIXED sequence of correctly-rounded double ops from exact
+# integers, identical on both engines; ROUND(·,6) closes the display.
+# Overflow is loud on both sides: Spark's ANSI BIGINT sum throws,
+# DuckDB computes HUGEINT then the explicit BIGINT cast errors.
+
+TS_ACF_LAGS = (1, 2, 3, 4)
+
+_ACF_LAG_AGG_SQL = ",\n".join(
+    f"""    CAST(SUM(cents * lead{k}) AS BIGINT) AS c{k},
+    CAST(SUM(CASE WHEN lead{k} IS NOT NULL THEN cents END) AS BIGINT) AS h{k},
+    CAST(SUM(CASE WHEN lag{k} IS NOT NULL THEN cents END) AS BIGINT) AS t{k}"""
+    for k in TS_ACF_LAGS
+)
+_ACF_LEAD_COLS_SQL = ",\n".join(
+    f"""    lead(cents, {k}) OVER (PARTITION BY user_id ORDER BY seq)
+      AS lead{k},
+    lag(cents, {k}) OVER (PARTITION BY user_id ORDER BY seq) AS lag{k}"""
+    for k in TS_ACF_LAGS
+)
+_ACF_ROWS_SQL = " UNION ALL ".join(
+    f"""SELECT user_id, {k} AS lag,
+      (c{k} - mu * (h{k} + t{k}) + (n - {k}) * mu * mu) / den AS acf
+    FROM g WHERE n > {k}"""
+    for k in TS_ACF_LAGS
+)
+
+TS_ACF_SQL = f"""
+WITH e AS (
+  SELECT user_id, event_id AS seq,
+    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+  WHERE user_id IS NOT NULL AND event_id IS NOT NULL AND value IS NOT NULL
+),
+w AS (
+  SELECT user_id, cents,
+{_ACF_LEAD_COLS_SQL}
+  FROM e
+),
+a AS (
+  SELECT user_id,
+    COUNT(*) AS n,
+    CAST(SUM(cents) AS BIGINT) AS s,
+    CAST(SUM(cents * cents) AS BIGINT) AS q,
+{_ACF_LAG_AGG_SQL}
+  FROM w GROUP BY user_id
+),
+g AS (
+  SELECT *, CAST(s AS DOUBLE) / n AS mu,
+    CAST(q AS DOUBLE) - s * (CAST(s AS DOUBLE) / n) AS den
+  FROM a WHERE CAST(q AS DOUBLE) - s * (CAST(s AS DOUBLE) / n) > 0
+)
+SELECT user_id, CAST(lag AS INT) AS lag,
+  CAST(ROUND(acf, 6) AS DOUBLE) AS acf
+FROM ({_ACF_ROWS_SQL})
+ORDER BY user_id, lag
+"""
+
+
+def ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series sample autocorrelation at lags 1..4 over the events
+    value streams — the seasonality / mean-reversion screen beside the
+    family's search and discovery ops. Library op; oracle TS_ACF_SQL
+    (see the block comment above for the exact-BIGINT expansion that
+    makes the centered estimator cross-engine deterministic).
+
+    Plan: ONE shuffle on user_id; the per-lag lead/lag columns share
+    the same window sort; every aggregate crossing the partial-agg
+    boundary is an exact BIGINT (order-free), and the double work is a
+    fixed per-row expression on the user-cardinality result. Constant
+    output width (|lags| rows per user); zero-variance series drop on
+    both sides."""
+    ev = table(spark, sf_dir, "events")
+    e = ev.where(
+        F.col("user_id").isNotNull()
+        & F.col("event_id").isNotNull()
+        & F.col("value").isNotNull()
+    ).select(
+        "user_id",
+        F.col("event_id").alias("seq"),
+        # FLOOR(x·100 + 0.5), NOT ROUND: Spark ROUND is half-up-away-
+        # from-zero but DuckDB's is half-even, a latent family
+        # divergence the ≥16-event window ops never expose (no full
+        # window in any corpus carries a half-cent) — an n≥2 op meets
+        # hostile half-cents head-on and must pick one deterministic
+        # rule (halves round toward +∞ on both engines here)
+        F.floor(F.col("value") * 100 + F.lit(0.5))
+        .cast("bigint").alias("cents"),
+    )
+    wspec = Window.partitionBy("user_id").orderBy("seq")
+    cols = [F.col("user_id"), F.col("cents")]
+    for k in TS_ACF_LAGS:
+        cols.append(F.lead("cents", k).over(wspec).alias(f"lead{k}"))
+        cols.append(F.lag("cents", k).over(wspec).alias(f"lag{k}"))
+    w = e.select(*cols)
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").cast("bigint").alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).cast("bigint").alias("q"),
+    ]
+    for k in TS_ACF_LAGS:
+        aggs.append(
+            F.sum(F.col("cents") * F.col(f"lead{k}"))
+            .cast("bigint").alias(f"c{k}")
+        )
+        aggs.append(
+            F.sum(
+                F.when(F.col(f"lead{k}").isNotNull(), F.col("cents"))
+            ).cast("bigint").alias(f"h{k}")
+        )
+        aggs.append(
+            F.sum(
+                F.when(F.col(f"lag{k}").isNotNull(), F.col("cents"))
+            ).cast("bigint").alias(f"t{k}")
+        )
+    a = w.groupBy("user_id").agg(*aggs)
+    mu = F.col("s").cast("double") / F.col("n")
+    den = F.col("q").cast("double") - F.col("s") * mu
+    g = a.withColumn("mu", mu).withColumn("den", den).where(den > 0)
+    # ONE pass over the aggregate (a per-lag unionByName would
+    # re-execute the whole corpus aggregation once per lag): every
+    # lag's acf becomes a struct element, exploded and null-filtered
+    lag_structs = []
+    for k in TS_ACF_LAGS:
+        acf_k = (
+            F.col(f"c{k}")
+            - F.col("mu") * (F.col(f"h{k}") + F.col(f"t{k}"))
+            + (F.col("n") - F.lit(k)) * F.col("mu") * F.col("mu")
+        ) / F.col("den")
+        lag_structs.append(
+            F.struct(
+                F.lit(k).cast("int").alias("lag"),
+                F.when(F.col("n") > k, F.round(acf_k, 6)).alias("acf"),
+            )
+        )
+    return (
+        g.select("user_id", F.explode(F.array(*lag_structs)).alias("r"))
+        .where(F.col("r.acf").isNotNull())
+        .select("user_id", "r.lag", "r.acf")
+        .orderBy("user_id", "lag")
+    )
+
+
 TS_MOTIF_SAX_SQL = f"""{_TS_PAIR_CTES},
 sx AS (SELECT *, {_SAX_WORD_SQL} AS word FROM nz),
 pairs AS (

@@ -161,12 +161,14 @@ def register(name: str, oracle: str | None = None):
 # ts_discord -- matrix-profile discovery (closest non-overlapping
 # same-series pair / farthest-nearest-neighbor window) + ts_motif_sax
 # (motif's SAX-word-bucketed scale path) + event_funnel (strict
-# first-touch conversion funnel over events) -- all with full DuckDB
-# oracles, parity-gated every round. Seat candidates for R19+ only if
-# a trade frees a seat in the matching phase; the probe-family
-# ts_subsequence rows do NOT gate the discovery ops (different op
-# class: self-join mining vs probe retrieval), and no registered row
-# gates event_funnel's ordered-stage semantics.
+# first-touch conversion funnel over events, with funnel_stream as
+# its live-alerter twin) + user_retention (first-active-day cohorts,
+# day-1/day-7 returns) -- all with full DuckDB oracles, parity-gated
+# every round. Seat candidates for R19+ only if a trade frees a seat
+# in the matching phase; the probe-family ts_subsequence rows do NOT
+# gate the discovery ops (different op class: self-join mining vs
+# probe retrieval), and no registered row gates event_funnel's
+# ordered-stage or user_retention's cohort semantics.
 # Sitting out r17 -- every alternating row hash-green in r16
 # (CORRECTNESS_r16), witness noted ("(in)" = in the r17 window):
 DEPRIORITIZED = [
@@ -519,6 +521,10 @@ def load_library() -> dict[str, QueryDef]:
             funnel.user_retention,
             funnel.USER_RETENTION_SQL,
         ),
+        # r17-new: per-series autocorrelation at lags 1..4 (the
+        # seasonality screen; exact-BIGINT moment expansion makes the
+        # centered estimator cross-engine deterministic)
+        "ts_acf": (timeseries.ts_acf, timeseries.TS_ACF_SQL),
     }
 
     def wrap(fn):
