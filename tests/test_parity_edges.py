@@ -1030,9 +1030,10 @@ def test_ts_acf_known_series_and_hostile(spark, hostile_events, tmp_path):
     zero, all moments exact integers). Also pins: constant series drop
     (zero variance), n=3 series get lags 1-2 only (the n>k filter),
     NULLs stay out — and parity on the shared hostile fixture, whose
-    half-cent values (0.125 → 12.5 cents) would split ROUND between
-    engines (Spark half-up vs DuckDB half-even): the op's FLOOR(x+0.5)
-    quantizer is the deterministic rule this test locks in."""
+    half-cent values (0.125 → 12.5 cents) the ≥16-event window family
+    never quantizes (no full window forms around them) but an n≥2 op
+    does: scale-0 DOUBLE ROUND is half-away-from-zero on BOTH engines
+    (verified), and this test locks that agreement in."""
     import duckdb as _duckdb
 
     from trisk_spark.functions.timeseries import TS_ACF_SQL, ts_acf

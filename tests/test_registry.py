@@ -245,6 +245,7 @@ def test_readme_op_table_names_are_registered():
         # r17: matrix-profile discovery (library ops + their oracle
         # constants)
         "ts_motif", "ts_discord", "ts_motif_sax", "ts_acf",
+        "ts_acf_stream",
         # r17: strict first-touch conversion funnel (library op + its
         # per-user-times half + the streaming alerter twin)
         "event_funnel", "funnel_user_times", "funnel_stream",

@@ -3019,3 +3019,41 @@ def test_funnel_stream_equals_batch_on_ordered_replay(spark):
     got = {(r.user_id, r.stage, r.stage_idx, r.us, r.wait_us) for r in emitted}
     assert len(got) == len(emitted), "a (user, stage) alert fired twice"
     assert got == want
+
+
+def test_ts_acf_stream_converges_to_batch(spark):
+    """The running ACF monitor's LAST emission per (user, lag) must
+    equal the batch ts_acf (to its 6-decimal display rounding) after a
+    seq-ordered 5-chunk replay drains — the integer moment state makes
+    the running value exactly the batch value at end-of-stream."""
+    from trisk_spark.functions.timeseries import ts_acf
+    from trisk_spark.streaming.queries import ts_acf_stream
+    from trisk_spark.streaming.sources import checkpoint_dir, replay_stream
+
+    want = {(r.user_id, r.lag): r.acf for r in ts_acf(spark, SF).collect()}
+    assert want  # non-vacuous
+
+    emitted = []
+    # order_col=event_id: the op's moment math needs per-user SEQ
+    # order across batches — ts order only coincides with it on this
+    # corpus, so pin the property actually required
+    q = (
+        ts_acf_stream(
+            replay_stream(
+                spark, SF, "events", n_chunks=5, order_col="event_id"
+            )
+        )
+        .writeStream.outputMode("update")
+        .foreachBatch(lambda bdf, bid: emitted.append(bdf.collect()))
+        .option("checkpointLocation", checkpoint_dir("acf"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got: dict = {}
+    for batch in emitted:
+        for r in batch:  # later batches overwrite — last emission wins
+            got[(r.user_id, r.lag)] = r.acf
+    assert set(got) == set(want)
+    for key, acf in got.items():
+        assert abs(acf - want[key]) < 1e-6, (key, acf, want[key])

@@ -998,8 +998,7 @@ _ACF_ROWS_SQL = " UNION ALL ".join(
 
 TS_ACF_SQL = f"""
 WITH e AS (
-  SELECT user_id, event_id AS seq,
-    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+  SELECT user_id, event_id AS seq, CAST(ROUND(value * 100) AS BIGINT) AS cents
   FROM events
   WHERE user_id IS NOT NULL AND event_id IS NOT NULL AND value IS NOT NULL
 ),
@@ -1049,14 +1048,13 @@ def ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "user_id",
         F.col("event_id").alias("seq"),
-        # FLOOR(x·100 + 0.5), NOT ROUND: Spark ROUND is half-up-away-
-        # from-zero but DuckDB's is half-even, a latent family
-        # divergence the ≥16-event window ops never expose (no full
-        # window in any corpus carries a half-cent) — an n≥2 op meets
-        # hostile half-cents head-on and must pick one deterministic
-        # rule (halves round toward +∞ on both engines here)
-        F.floor(F.col("value") * 100 + F.lit(0.5))
-        .cast("bigint").alias("cents"),
+        # the house cents idiom; safe even on hostile half-cents —
+        # scale-0 DOUBLE ROUND is half-away-from-zero on BOTH engines
+        # (verified ±12.5 → ±13 in Spark and this DuckDB; the r16
+        # half-even caution applies to other rounding constructs, not
+        # this one), and an n≥2 op actually meets those rows where
+        # the ≥16-event window family never forms a full window
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
     )
     wspec = Window.partitionBy("user_id").orderBy("seq")
     cols = [F.col("user_id"), F.col("cents")]

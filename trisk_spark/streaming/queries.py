@@ -1306,3 +1306,108 @@ def funnel_stream(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def ts_acf_stream(events: DataFrame) -> DataFrame:
+    """Streaming autocorrelation monitor — the live half of
+    ``timeseries.ts_acf``: per arriving micro-batch, emit each touched
+    user's CURRENT lag-1..4 sample autocorrelation (the running
+    mean-reversion / seasonality screen a market-data pipeline keeps
+    on every instrument). Update-style emissions: one row per touched
+    (user, valid lag) per batch, full precision (the batch op rounds
+    to 6 decimals for its oracle hash; a monitor wants the raw
+    value) plus the running ``n`` for context.
+
+    Exactness: the state IS the batch op's integer moment set — n, S,
+    Q and per-lag cross products C_k, carried with two ≤4-element
+    integer buffers (the series' first and last ``max(lag)`` values,
+    which close H_k/T_k and the cross-batch C_k boundary pairs) — so
+    under seq-ordered replay the running moments equal the batch scan's
+    EXACTLY (integer sums are order-free; only within-user seq order
+    matters, and each batch sorts its own rows). The final emission
+    per (user, lag) therefore matches ``ts_acf`` to the fixed double
+    expression (stream≡batch pytest-pinned on a 5-chunk replay).
+
+    100 TB: state is 7 BIGINTs + ≤8 buffered ints per user
+    (user-cardinality, the WC-state class); the only stream-side
+    exchange routes (user_id, seq, cents) triples; the moment math is
+    deliberately exact-Python-int generator loops (no int64 overflow
+    cliff on products), O(rows) per touched user per batch."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from trisk_spark.functions.timeseries import TS_ACF_LAGS
+
+    max_k = max(TS_ACF_LAGS)
+    e = events.where(
+        F.col("user_id").isNotNull()
+        & F.col("event_id").isNotNull()
+        & F.col("value").isNotNull()
+    ).select(
+        "user_id",
+        F.col("event_id").alias("seq"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+
+    def step(key, pdfs, state: GroupState):
+        (user,) = key
+        if state.exists:
+            n, s, q, c1, c2, c3, c4, first, last = state.get
+            cks = [c1, c2, c3, c4]
+            first, last = list(first), list(last)
+        else:
+            n, s, q, cks, first, last = 0, 0, 0, [0, 0, 0, 0], [], []
+        chunks = [p for p in pdfs if len(p)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values("seq")
+            xs = [int(v) for v in pdf["cents"]]  # exact Python ints
+            z = last + xs
+            r = last
+            for i, k in enumerate(TS_ACF_LAGS):
+                cks[i] += sum(
+                    a * b for a, b in zip(z[:-k], z[k:])
+                ) - sum(a * b for a, b in zip(r[:-k], r[k:]))
+            n += len(xs)
+            s += sum(xs)
+            q += sum(v * v for v in xs)
+            first = (first + xs)[:max_k]
+            last = (last + xs)[-max_k:]
+            state.update(
+                (n, s, q, cks[0], cks[1], cks[2], cks[3], first, last)
+            )
+            out = []
+            den = float(q) - s * (float(s) / n) if n else 0.0
+            if den > 0:
+                mu = float(s) / n
+                for i, k in enumerate(TS_ACF_LAGS):
+                    if n > k:
+                        hk = s - sum(last[-k:])
+                        tk = s - sum(first[:k])
+                        acf = (
+                            cks[i] - mu * (hk + tk) + (n - k) * mu * mu
+                        ) / den
+                        out.append((k, acf))
+            if out:
+                yield pd.DataFrame(
+                    {
+                        "user_id": int(user),
+                        "lag": [o[0] for o in out],
+                        "acf": [o[1] for o in out],
+                        "n": n,
+                    }
+                )
+        else:
+            state.update(
+                (n, s, q, cks[0], cks[1], cks[2], cks[3], first, last)
+            )
+
+    return e.groupBy("user_id").applyInPandasWithState(
+        step,
+        outputStructType="user_id long, lag int, acf double, n long",
+        stateStructType=(
+            "n long, s long, q long, c1 long, c2 long, c3 long, "
+            "c4 long, first array<long>, last array<long>"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
