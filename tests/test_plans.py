@@ -619,8 +619,6 @@ def test_ts_motif_single_exchange_and_distributed_topk(spark):
 
     from trisk_spark.functions.timeseries import ts_discord, ts_motif
 
-    from trisk_spark.functions.timeseries import ts_motif_sax
-
     # ONE exchange for all three — including the sax path: its
     # (user_id, word) grouping is satisfied by the window build's
     # user_id hash partitioning (partitioning on a subset of the

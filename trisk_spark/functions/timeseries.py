@@ -104,6 +104,24 @@ def _check_cents_bound(W) -> None:
         )
 
 
+def events_cents(events: DataFrame) -> DataFrame:
+    """The family's shared events → (user_id, seq, cents) projection
+    (null filter, event_id as the per-user order key, the exact-cent
+    ROUND quantization). PARITY-CRITICAL: every oracle's ``e`` CTE
+    mirrors this exactly — one shared definition so a future change
+    cannot desynchronize the window ops, ts_acf, and the streaming
+    monitor."""
+    return events.where(
+        F.col("user_id").isNotNull()
+        & F.col("event_id").isNotNull()
+        & F.col("value").isNotNull()
+    ).select(
+        "user_id",
+        F.col("event_id").alias("seq"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+
+
 def _ts_raw_windows(events: DataFrame, with_rn: bool = False) -> DataFrame:
     """Full sliding windows per user, stats not yet attached:
     (user_id, seq, w) — one shuffle on user_id + a spillable frame
@@ -114,15 +132,7 @@ def _ts_raw_windows(events: DataFrame, with_rn: bool = False) -> DataFrame:
     by < TS_WINDOW in ROW terms, which seq arithmetic cannot express
     (event ids are globally allocated, per-user gaps arbitrary) — the
     motif/discord exclusion zone keys on rn, never on seq."""
-    e = events.where(
-        F.col("user_id").isNotNull()
-        & F.col("event_id").isNotNull()
-        & F.col("value").isNotNull()
-    ).select(
-        "user_id",
-        F.col("event_id").alias("seq"),
-        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
-    )
+    e = events_cents(events)
     fr = (
         Window.partitionBy("user_id")
         .orderBy("seq")
@@ -902,9 +912,7 @@ def _ts_global_topk(per_group: DataFrame, discord: bool) -> DataFrame:
     )
 
 
-def _ts_pair_topk(
-    spark: SparkSession, ev: DataFrame, discord: bool
-) -> DataFrame:
+def _ts_pair_topk(ev: DataFrame, discord: bool) -> DataFrame:
     """Shared driver of both exact discovery ops: one user_id shuffle
     builds rn-carrying raw windows, the per-series kernel reduces each
     group to ≤K rows, then the shared global-top-K tail."""
@@ -932,7 +940,7 @@ def ts_motif(spark: SparkSession, sf_dir: str) -> DataFrame:
     series the work is O(m²) with a loud TS_MOTIF_MAX_WINDOWS guard —
     at 100 TB a long series routes through SAX-word pair bucketing
     (same-word windows only), the ts_subsequence_sax treatment."""
-    return _ts_pair_topk(spark, table(spark, sf_dir, "events"), discord=False)
+    return _ts_pair_topk(table(spark, sf_dir, "events"), discord=False)
 
 
 def ts_discord(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -950,7 +958,7 @@ def ts_discord(spark: SparkSession, sf_dir: str) -> DataFrame:
     manufactures false discords. Discord pruning needs best-so-far
     lower bounds (the matrix-profile early-abandon family), not
     partitioning."""
-    return _ts_pair_topk(spark, table(spark, sf_dir, "events"), discord=True)
+    return _ts_pair_topk(table(spark, sf_dir, "events"), discord=True)
 
 
 # ----------------------------- autocorrelation (seasonality screen) --
@@ -1040,22 +1048,13 @@ def ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed per-row expression on the user-cardinality result. Constant
     output width (|lags| rows per user); zero-variance series drop on
     both sides."""
-    ev = table(spark, sf_dir, "events")
-    e = ev.where(
-        F.col("user_id").isNotNull()
-        & F.col("event_id").isNotNull()
-        & F.col("value").isNotNull()
-    ).select(
-        "user_id",
-        F.col("event_id").alias("seq"),
-        # the house cents idiom; safe even on hostile half-cents —
-        # scale-0 DOUBLE ROUND is half-away-from-zero on BOTH engines
-        # (verified ±12.5 → ±13 in Spark and this DuckDB; the r16
-        # half-even caution applies to other rounding constructs, not
-        # this one), and an n≥2 op actually meets those rows where
-        # the ≥16-event window family never forms a full window
-        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
-    )
+    # cents via the family's shared projection; safe even on hostile
+    # half-cents — scale-0 DOUBLE ROUND is half-away-from-zero on
+    # BOTH engines (verified ±12.5 → ±13 in Spark and this DuckDB;
+    # the r16 half-even caution applies to other rounding constructs,
+    # not this one), and an n≥2 op actually meets those rows where
+    # the ≥16-event window family never forms a full window
+    e = events_cents(table(spark, sf_dir, "events"))
     wspec = Window.partitionBy("user_id").orderBy("seq")
     cols = [F.col("user_id"), F.col("cents")]
     for k in TS_ACF_LAGS:

@@ -1293,8 +1293,9 @@ def funnel_stream(events: DataFrame) -> DataFrame:
                         "wait_us": [o[3] for o in out],
                     }
                 )
-        else:
-            state.update(tuple(t))
+        # no chunks: nothing changed — skip the state write (a fresh
+        # key would otherwise persist the all-null row the pre-filter
+        # comment promises never enters the store)
 
     return e.groupBy("user_id").applyInPandasWithState(
         step,
@@ -1336,18 +1337,10 @@ def ts_acf_stream(events: DataFrame) -> DataFrame:
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    from trisk_spark.functions.timeseries import TS_ACF_LAGS
+    from trisk_spark.functions.timeseries import TS_ACF_LAGS, events_cents
 
     max_k = max(TS_ACF_LAGS)
-    e = events.where(
-        F.col("user_id").isNotNull()
-        & F.col("event_id").isNotNull()
-        & F.col("value").isNotNull()
-    ).select(
-        "user_id",
-        F.col("event_id").alias("seq"),
-        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
-    )
+    e = events_cents(events)
 
     def step(key, pdfs, state: GroupState):
         (user,) = key
@@ -1396,10 +1389,8 @@ def ts_acf_stream(events: DataFrame) -> DataFrame:
                         "n": n,
                     }
                 )
-        else:
-            state.update(
-                (n, s, q, cks[0], cks[1], cks[2], cks[3], first, last)
-            )
+        # no chunks: nothing changed — skip the state write (update
+        # would mark the key dirty and re-persist an identical row)
 
     return e.groupBy("user_id").applyInPandasWithState(
         step,
