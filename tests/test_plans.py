@@ -617,7 +617,11 @@ def test_ts_motif_single_exchange_and_distributed_topk(spark):
     import re
     from contextlib import redirect_stdout
 
-    from trisk_spark.functions.timeseries import ts_discord, ts_motif
+    from trisk_spark.functions.timeseries import (
+        ts_discord,
+        ts_motif,
+        ts_motif_sax,
+    )
 
     # ONE exchange for all three — including the sax path: its
     # (user_id, word) grouping is satisfied by the window build's
