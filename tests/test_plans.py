@@ -302,13 +302,24 @@ def test_bigram_lm_scoring_joins_are_broadcast(spark):
 def test_substring_dedup_plan_is_bucketed_jvm_side(spark):
     # winnowed fingerprint selection must be pure map-side JVM array
     # algebra (no Python eval, no per-position explode-then-Window for
-    # selection) and the whole query must shuffle exactly twice: once
-    # on fingerprint (bucket + cap share that exchange), once on the
-    # (doc_a, doc_b) pair aggregate. No global sort anywhere.
+    # selection) and the whole query must shuffle KEYED DATA exactly
+    # twice: once on fingerprint (bucket + cap share that exchange),
+    # once on the (doc_a, doc_b) pair aggregate. No global sort
+    # anywhere. A narrow-scan round-robin spread (catalog.
+    # spread_narrow_scan — bounded bytes, absent on a real
+    # multi-split corpus) is the only other exchange allowed.
     import re
 
     plan = static_plan(spark, "dedup_substring")
-    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 2
+    exchanges = re.findall(
+        r"^\(\d+\) Exchange\n(?:[^\n]*\n)*?Arguments: (\w+)", plan, re.M
+    )
+    keyed = [e for e in exchanges if e.lower() == "hashpartitioning"]
+    spread = [
+        e for e in exchanges if e.lower() == "roundrobinpartitioning"
+    ]
+    assert len(keyed) == 2 and len(exchanges) == len(keyed) + len(spread)
+    assert len(spread) <= 1
     for marker in ("ArrowEvalPython", "BatchEvalPython", "FlatMapsInPandas",
                    "TakeOrderedAndProject"):
         assert marker not in plan

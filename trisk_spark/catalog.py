@@ -53,6 +53,42 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return _normalize_timestamps(df)
 
 
+#: Absolute ceiling on how many scan splits ``spread_narrow_scan`` will
+#: widen: a scan under this many splits holds at most ~16 ×
+#: maxPartitionBytes (a couple of GB at defaults), so the round-robin
+#: exchange it adds is bounded regardless of cluster size. A 100 TB
+#: table (thousands of splits) never qualifies and is returned as-is.
+SPREAD_MAX_PARTS = 16
+
+
+def spread_narrow_scan(df: DataFrame) -> DataFrame:
+    """Scale-adaptive fix for compute-heavy operators fed by a NARROW
+    scan (optimization guide §2.5 "input skew": one unsplittable file —
+    single-row-group parquet, gzip — serializes the whole tokenize/
+    fingerprint stage onto one task while the rest of the cluster
+    idles; the sanctioned remedy is "repartition immediately after the
+    read").
+
+    Round-robin repartition to ``defaultParallelism``, applied ONLY
+    when the scan has both fewer splits than cores and at most
+    ``SPREAD_MAX_PARTS`` splits (bounded bytes — see above), so the
+    added exchange is always small and a genuinely large input keeps
+    its natural fan-out with no exchange at all (pinned by
+    tests/test_plans.py::test_multi_row_group_file_fans_out_scan).
+    Round-robin is deterministic under retry (sort-before-repartition,
+    SPARK-23207) and every caller is row-order-free, so results are
+    unchanged. Streaming inputs don't expose a partition count and are
+    returned untouched."""
+    try:
+        n = df.rdd.getNumPartitions()
+        cores = df.sparkSession.sparkContext.defaultParallelism
+    except Exception:
+        return df  # streaming frame / Connect session: leave as-is
+    if 0 < n < cores and n <= SPREAD_MAX_PARTS:
+        return df.repartition(cores)
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every base table as a temp view for spark.sql() use."""
     for name in TABLES:

@@ -67,7 +67,7 @@ import hashlib
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from trisk_spark.catalog import table
+from trisk_spark.catalog import spread_narrow_scan, table
 from trisk_spark.functions import storefs
 from trisk_spark.registry import register
 from trisk_spark.functions.text import (
@@ -507,9 +507,9 @@ def corpus_store_path(spark: SparkSession, sf_dir: str) -> str:
     probe the artifacts (the store economics)."""
 
     def build(path: str) -> None:
-        docs = table(spark, sf_dir, "documents").where(
-            F.col("doc_id").isNotNull()
-        )
+        docs = spread_narrow_scan(
+            table(spark, sf_dir, "documents")
+        ).where(F.col("doc_id").isNotNull())
         existing = docs.where(
             F.pmod(F.col("doc_id"), F.lit(BM25_ARRIVING_MOD)) != 0
         )

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
-from trisk_spark.catalog import table
+from trisk_spark.catalog import spread_narrow_scan, table
 from trisk_spark.registry import register
 
 # ------------------------------------------------------- exact dedup --
@@ -265,7 +265,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     explosion can exceed the cap on a degenerate mega-bucket corpus;
     truncation keeps the CAP smallest doc_ids, mirrored exactly in the
     oracle SQL. Shuffled payload is 8-byte doc_ids, never text."""
-    return minhash_lsh_pairs(table(spark, sf_dir, "documents"))
+    return minhash_lsh_pairs(spread_narrow_scan(table(spark, sf_dir, "documents")))
 
 
 def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
@@ -445,32 +445,39 @@ def simhash_fingerprints(docs: DataFrame) -> DataFrame:
     ).cast("bigint")
     hx = toks.select("doc_id", x.alias("x"))
 
-    def pack_term(p: int):
-        t = F.lit(0).cast("bigint")
-        for f in range(FIELDS_PER_PACK):
-            j = p * FIELDS_PER_PACK + f
-            t = t + F.shiftright(F.col("x"), j).bitwiseAND(F.lit(1)) * (
-                1 << (FIELD_BITS * f)
-            )
-        return t
+    # The pack/vote/fingerprint expressions are generated as SQL
+    # strings and parsed in ONE F.expr call each (r17: the original
+    # per-op Column builders issued ~1,000 py4j round-trips per query
+    # — multi-second pure driver overhead; the parsed trees, and so
+    # the results and codegen, are identical).
+    def pack_term(p: int) -> str:
+        return " + ".join(
+            f"(shiftright(x, {p * FIELDS_PER_PACK + f}) & 1) "
+            f"* CAST({1 << (FIELD_BITS * f)} AS BIGINT)"
+            for f in range(FIELDS_PER_PACK)
+        )
 
     packs = hx.groupBy("doc_id").agg(
         F.count("*").alias("n"),
-        *[F.sum(pack_term(p)).alias(f"p{p}") for p in range(N_PACKS)],
+        *[
+            F.expr(f"sum({pack_term(p)})").alias(f"p{p}")
+            for p in range(N_PACKS)
+        ],
     )
 
-    def cnt(j: int):
+    def cnt(j: int) -> str:
         p, f = divmod(j, FIELDS_PER_PACK)
-        return F.shiftright(F.col(f"p{p}"), FIELD_BITS * f).bitwiseAND(
-            F.lit((1 << FIELD_BITS) - 1)
+        return (
+            f"(shiftright(p{p}, {FIELD_BITS * f}) "
+            f"& {(1 << FIELD_BITS) - 1})"
         )
 
-    fp = F.lit(0).cast("bigint")
-    for j in range(SIMHASH_BITS):
-        fp = fp + F.when(
-            2 * cnt(j) >= F.col("n"), F.lit(1 << j).cast("bigint")
-        ).otherwise(F.lit(0).cast("bigint"))
-    return packs.select("doc_id", fp.alias("fp"))
+    fp = " + ".join(
+        f"(CASE WHEN 2 * {cnt(j)} >= n THEN CAST({1 << j} AS BIGINT) "
+        "ELSE CAST(0 AS BIGINT) END)"
+        for j in range(SIMHASH_BITS)
+    )
+    return packs.select("doc_id", F.expr(fp).alias("fp"))
 
 
 def with_simhash_fp(df: DataFrame, text_col: str = "text", out: str = "fp") -> DataFrame:
@@ -545,7 +552,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     codegen'd bit_count on the pair — the Manku-et-al. design with the
     permuted-table sweep replaced by band blocking.
     """
-    return simhash_pairs(table(spark, sf_dir, "documents"))
+    return simhash_pairs(spread_narrow_scan(table(spark, sf_dir, "documents")))
 
 
 def simhash_pairs(docs: DataFrame) -> DataFrame:
@@ -665,7 +672,7 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     cut before the join, bounding per-shingle fan-out at CAP²/2; then
     the shared-shingle self-join on 8-byte integer ids and two broadcast
     joins against per-doc sizes."""
-    return jaccard_pairs(table(spark, sf_dir, "documents"))
+    return jaccard_pairs(spread_narrow_scan(table(spark, sf_dir, "documents")))
 
 
 def jaccard_pairs(docs: DataFrame) -> DataFrame:
@@ -756,9 +763,18 @@ def min_label_components(
         )
         .localCheckpoint()  # materialize: the loop re-reads this every round
     )
+    # Seed with round 1's result directly: component₀ = min(own id,
+    # min neighbor) is ONE grouped aggregate over the edge list —
+    # the identity-seeded first neighbor-min join would compute
+    # exactly this through two joins (measured r17: each loop round
+    # costs more in per-job planning than in data, so a round saved
+    # is the cheapest win available).
     labels = (
-        edges.select("a").distinct().select(
-            F.col("a").alias("doc_id"), F.col("a").alias("component")
+        edges.groupBy("a")
+        .agg(F.min("b").alias("nbr_min"))
+        .select(
+            F.col("a").alias("doc_id"),
+            F.least(F.col("a"), F.col("nbr_min")).alias("component"),
         )
     ).localCheckpoint()
     for _ in range(MAX_CC_ITERS):
@@ -769,6 +785,7 @@ def min_label_components(
         )
         stepped = labels.join(neigh, labels.doc_id == neigh.a, "left").select(
             "doc_id",
+            F.col("component").alias("old_component"),
             F.least(
                 F.col("component"), F.coalesce("nbr_min", "component")
             ).alias("component"),
@@ -781,21 +798,24 @@ def min_label_components(
         lut = stepped.select(
             F.col("doc_id").alias("c_id"), F.col("component").alias("c_comp")
         )
-        new_labels = (
+        # The convergence flag rides the SAME checkpointed frame (one
+        # action), so the old separate labels-vs-new-labels join +
+        # count per round collapses to a scan of the materialized
+        # id-sized result (r17: halves the loop's per-round job count).
+        new_full = (
             stepped.join(lut, stepped.component == lut.c_id, "left")
             .select(
                 "doc_id",
                 F.coalesce("c_comp", "component").alias("component"),
+                (
+                    F.coalesce("c_comp", "component")
+                    != F.col("old_component")
+                ).alias("changed"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .where(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_full.where(F.col("changed")).count()
+        labels = new_full.select("doc_id", "component")
         if changed == 0:
             break
     else:
@@ -977,7 +997,7 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage. At 100 TB: fingerprints/doc ~ len/W, buckets shard by
     fingerprint across the cluster, and the cap bounds the degenerate
     boilerplate-fingerprint bucket exactly like dedup_minhash_lsh."""
-    return substring_pairs(table(spark, sf_dir, "documents"))
+    return substring_pairs(spread_narrow_scan(table(spark, sf_dir, "documents")))
 
 
 def substring_pairs(docs: DataFrame, cap: int = BUCKET_CAP) -> DataFrame:

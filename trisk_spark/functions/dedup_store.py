@@ -66,7 +66,7 @@ from operator import or_
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from trisk_spark.catalog import table
+from trisk_spark.catalog import spread_narrow_scan, table
 from trisk_spark.functions import storefs
 from trisk_spark.registry import register
 from trisk_spark.functions.dedup import (
@@ -712,7 +712,9 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the r12 VERDICT's lead seat candidate — the store-probe kernel
     has no registered sibling, so this row is the persisted store's
     only possible driver-hash evidence)."""
-    docs = table(spark, sf_dir, "documents").where(F.col("doc_id").isNotNull())
+    docs = spread_narrow_scan(
+        table(spark, sf_dir, "documents")
+    ).where(F.col("doc_id").isNotNull())
     arriving = docs.where(
         F.pmod(F.col("doc_id"), F.lit(DEDUP_ARRIVING_MOD)) == 0
     )
@@ -731,9 +733,9 @@ def corpus_store_path(spark: SparkSession, sf_dir: str) -> str:
     once, not per-op."""
 
     def build(path: str) -> None:
-        docs = table(spark, sf_dir, "documents").where(
-            F.col("doc_id").isNotNull()
-        )
+        docs = spread_narrow_scan(
+            table(spark, sf_dir, "documents")
+        ).where(F.col("doc_id").isNotNull())
         existing = docs.where(
             F.pmod(F.col("doc_id"), F.lit(DEDUP_ARRIVING_MOD)) != 0
         )
@@ -917,9 +919,9 @@ def takedown_store_path(spark: SparkSession, sf_dir: str) -> str:
     shared artifact would corrupt their memoized probes)."""
 
     def build(path: str) -> None:
-        docs = table(spark, sf_dir, "documents").where(
-            F.col("doc_id").isNotNull()
-        )
+        docs = spread_narrow_scan(
+            table(spark, sf_dir, "documents")
+        ).where(F.col("doc_id").isNotNull())
         existing = docs.where(
             F.pmod(F.col("doc_id"), F.lit(DEDUP_ARRIVING_MOD)) != 0
         )
@@ -946,7 +948,9 @@ def dedup_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
     delete ≡ rebuild holds on the artifacts the probe actually reads,
     so the takedown verb itself sits under the DuckDB hash gate, not
     just pytest equality. LIBRARY op; R16/R17 seat queue."""
-    docs = table(spark, sf_dir, "documents").where(F.col("doc_id").isNotNull())
+    docs = spread_narrow_scan(
+        table(spark, sf_dir, "documents")
+    ).where(F.col("doc_id").isNotNull())
     arriving = docs.where(
         F.pmod(F.col("doc_id"), F.lit(DEDUP_ARRIVING_MOD)) == 0
     )

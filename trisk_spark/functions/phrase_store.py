@@ -73,7 +73,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from trisk_spark.catalog import table
+from trisk_spark.catalog import spread_narrow_scan, table
 from trisk_spark.functions import storefs
 from trisk_spark.functions.bm25_store import (
     N_BM25_BUCKETS,
@@ -524,9 +524,9 @@ def corpus_store_path(spark: SparkSession, sf_dir: str) -> str:
     probe the artifacts (the store economics)."""
 
     def build(path: str) -> None:
-        docs = table(spark, sf_dir, "documents").where(
-            F.col("doc_id").isNotNull()
-        )
+        docs = spread_narrow_scan(
+            table(spark, sf_dir, "documents")
+        ).where(F.col("doc_id").isNotNull())
         existing = docs.where(
             F.pmod(F.col("doc_id"), F.lit(PHRASE_ARRIVING_MOD)) != 0
         )
@@ -576,9 +576,9 @@ def takedown_store_path(spark: SparkSession, sf_dir: str) -> str:
     (mutating a shared artifact would corrupt its memoized probe)."""
 
     def build(path: str) -> None:
-        docs = table(spark, sf_dir, "documents").where(
-            F.col("doc_id").isNotNull()
-        )
+        docs = spread_narrow_scan(
+            table(spark, sf_dir, "documents")
+        ).where(F.col("doc_id").isNotNull())
         existing = docs.where(
             F.pmod(F.col("doc_id"), F.lit(PHRASE_ARRIVING_MOD)) != 0
         )

@@ -2014,7 +2014,9 @@ def _dsir_buckets(spark: SparkSession, sf_dir: str):
     from trisk_spark.functions.text import LM_REF_MOD, _lm_bigrams
 
     B = DSIR_BUCKETS
-    bi = _lm_bigrams(_docs(spark, sf_dir))
+    from trisk_spark.catalog import spread_narrow_scan
+
+    bi = _lm_bigrams(spread_narrow_scan(_docs(spark, sf_dir)))
     bk = bi.select(
         "doc_id",
         F.pmod(

@@ -64,7 +64,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from trisk_spark.catalog import table
+from trisk_spark.catalog import spread_narrow_scan, table
 from trisk_spark.functions import storefs
 from trisk_spark.registry import register
 from trisk_spark.functions.similarity import (
@@ -616,7 +616,7 @@ def semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     R15 trade — the r13/r14 verdicts' lead candidate: the semantic
     store-probe kernel has no registered sibling, exactly the
     position ``dedup_incremental`` held in r12)."""
-    emb = table(spark, sf_dir, "embeddings")
+    emb = spread_narrow_scan(table(spark, sf_dir, "embeddings"))
     arriving = emb.where(
         F.pmod(F.col("vec_id"), F.lit(SEM_ARRIVING_MOD)) == 0
     )
@@ -633,7 +633,7 @@ def corpus_store_path(spark: SparkSession, sf_dir: str) -> str:
     ``admission_report``."""
 
     def build(path: str) -> None:
-        emb = table(spark, sf_dir, "embeddings")
+        emb = spread_narrow_scan(table(spark, sf_dir, "embeddings"))
         existing = emb.where(
             F.pmod(F.col("vec_id"), F.lit(SEM_ARRIVING_MOD)) != 0
         )
@@ -791,7 +791,7 @@ def takedown_store_path(spark: SparkSession, sf_dir: str) -> str:
     store (the ``dedup_store.takedown_store_path`` rule)."""
 
     def build(path: str) -> None:
-        emb = table(spark, sf_dir, "embeddings")
+        emb = spread_narrow_scan(table(spark, sf_dir, "embeddings"))
         existing = emb.where(
             F.pmod(F.col("vec_id"), F.lit(SEM_ARRIVING_MOD)) != 0
         )
@@ -818,7 +818,7 @@ def semantic_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
     victims excluded from the existing side — it matches iff delete ≡
     rebuild holds on the probed artifacts. LIBRARY op; R16/R17 seat
     queue."""
-    emb = table(spark, sf_dir, "embeddings")
+    emb = spread_narrow_scan(table(spark, sf_dir, "embeddings"))
     arriving = emb.where(
         F.pmod(F.col("vec_id"), F.lit(SEM_ARRIVING_MOD)) == 0
     )

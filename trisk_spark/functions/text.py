@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from trisk_spark.catalog import table
+from trisk_spark.catalog import spread_narrow_scan, table
 from trisk_spark.registry import register
 
 # ------------------------------------------------------- token count --
@@ -1397,7 +1397,9 @@ def bm25_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan) with its full DuckDB oracle (``BM25_TOP_DOCS_SQL``)."""
     from pyspark.sql import Window
 
-    docs = table(spark, sf_dir, "documents").where(F.col("doc_id").isNotNull())
+    docs = spread_narrow_scan(
+        table(spark, sf_dir, "documents")
+    ).where(F.col("doc_id").isNotNull())
     pair = bm25_pair_scores(spark, docs)
     w = Window.partitionBy("query_id").orderBy(F.desc("s"), "doc_id")
     return (
