@@ -401,3 +401,40 @@ def test_append_refuses_pending_delete(spark, tmp_path, monkeypatch):
     assert got == [2, 3, 4, 5, 6, 7, 8, 9, 100]
     row = B.bm25_store_stats(spark, live).collect()[0]
     assert row.stats_lag == 0 and row.n_dup_doc_ids == 0
+
+
+def test_inrow_tf_equals_explode_groupby(spark):
+    # r17 optimization: (term, tf) is computed in-row from the sorted
+    # token array (run-length over run-start positions) so the wave
+    # shuffles once, not twice. The rows must equal the textbook
+    # explode + groupBy(term, doc_id) count exactly — including
+    # duplicate-token runs, empty docs, and the dl/bucket columns.
+    from trisk_spark.functions.text import _lm_tokens
+
+    docs = spark.createDataFrame(
+        [
+            (1, "b a b a b"),
+            (2, "solo"),
+            (3, ""),
+            (4, None),
+            (5, "x x x x x x"),
+            (6, "Mixed CASE mixed case"),
+        ],
+        "doc_id long, text string",
+    )
+    got, _ = B._wave_postings_doclens(docs)
+    base = docs.where(F.col("doc_id").isNotNull()).select(
+        "doc_id", F.size(_lm_tokens()).alias("dl"), _lm_tokens().alias("_t")
+    )
+    want = (
+        base.select("doc_id", "dl", F.explode("_t").alias("term"))
+        .groupBy("term", "doc_id", "dl")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+        .select(
+            "term", "doc_id", "tf",
+            F.col("dl").cast("bigint").alias("dl"), B._bucket_col(),
+        )
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )

@@ -114,7 +114,18 @@ def test_ann_ivf_int8_plan_shape(spark):
     # the SinglePartition collapse of the 64-row LOCAL centroid
     # relation into the routing array
     assert plan.count("hashpartitioning(query_id") == 2, plan
-    assert len(re.findall(r"^\(\d+\) Exchange$", plan, re.M)) <= 3, plan
+    # hash/single-partition exchanges only: the narrow-scan round-robin
+    # spread feeding the assignment GEMM (catalog.spread_narrow_scan —
+    # bounded, absent on a real multi-split corpus) is not a keyed
+    # corpus shuffle and is excluded from the pin
+    keyed = [
+        m
+        for m in re.findall(
+            r"^\(\d+\) Exchange\n(?:[^\n]*\n)*?Arguments: (\w+)", plan, re.M
+        )
+        if m.lower() != "roundrobinpartitioning"
+    ]
+    assert len(keyed) <= 3, plan
 
 
 def test_gemm_overflow_guard_fires_loudly(spark):

@@ -127,16 +127,41 @@ def _wave_postings_doclens(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     shuffle an inverted-index build inherently is, paid at write time
     so probes never pay it."""
     base = docs.where(F.col("doc_id").isNotNull()).select(
-        "doc_id", F.size(_lm_tokens()).alias("dl"), _lm_tokens().alias("_t")
+        "doc_id",
+        F.size(_lm_tokens()).alias("dl"),
+        F.array_sort(_lm_tokens()).alias("_ts"),
     )
     doclens = base.select("doc_id", F.col("dl").cast("bigint").alias("dl"))
+    # (term, tf) computed IN-ROW from the sorted token array (run-length
+    # over run-start positions) instead of explode + groupBy: the wave
+    # shuffles exactly ONCE (the bucket repartition at write) and the
+    # corpus-sized hash aggregation disappears — r17, value-identical
+    # rows (pytest-pinned) and 2-3x the build throughput. Shuffle-free,
+    # so the same expressions serve the ingest stream.
+    runs = base.select(
+        "doc_id", "dl", "_ts",
+        F.expr(
+            # sequence(1, 0) DESCENDS, so the empty-token case must
+            # short-circuit before the range is built (caught by the
+            # in-row ≡ explode+groupBy pin on an empty doc)
+            "CASE WHEN size(_ts) = 0 THEN array() ELSE "
+            "filter(sequence(1, size(_ts)), "
+            "i -> i = 1 OR element_at(_ts, i) != element_at(_ts, i - 1)) "
+            "END"
+        ).alias("_st"),
+    )
+    pairs = F.expr(
+        "transform(_st, (s, j) -> struct(element_at(_ts, s) AS term, "
+        "CAST(coalesce(try_element_at(_st, j + 2), size(_ts) + 1) - s "
+        "AS BIGINT) AS tf))"
+    )
     postings = (
-        base.select("doc_id", "dl", F.explode("_t").alias("term"))
-        .groupBy("term", "doc_id", "dl")
-        .agg(F.count("*").cast("bigint").alias("tf"))
+        runs.select("doc_id", "dl", F.explode(pairs).alias("p"))
         .select(
-            "term", "doc_id", "tf",
-            F.col("dl").cast("bigint").alias("dl"), _bucket_col(),
+            F.col("p.term").alias("term"), "doc_id",
+            F.col("p.tf").alias("tf"),
+            F.col("dl").cast("bigint").alias("dl"),
+            _bucket_col(F.col("p.term")),
         )
     )
     return postings, doclens

@@ -47,7 +47,7 @@ import threading
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from trisk_spark.catalog import table
+from trisk_spark.catalog import spread_narrow_scan, table
 from trisk_spark.registry import register
 from trisk_spark.functions.similarity import (
     N_PROBES,
@@ -81,7 +81,9 @@ def probe_keywords(spark: SparkSession, sf_dir: str) -> list:
     but the ranking window runs on the probe-filtered tf rows only —
     at scale the window is probe-sized while df/n stay the shared
     corpus asset."""
-    docs = table(spark, sf_dir, "documents").where(F.col("doc_id").isNotNull())
+    docs = spread_narrow_scan(
+        table(spark, sf_dir, "documents")
+    ).where(F.col("doc_id").isNotNull())
     tf, df, n = _kw_tf_df_n(docs)
     w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "tok")
     kw = (
@@ -108,7 +110,9 @@ def hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     The probe document itself is excluded from both sides. LIBRARY op:
     full DuckDB oracle (``HYBRID_RETRIEVAL_SQL`` re-derives keywords,
     BM25, knn, and the fusion from the raw tables); R16 seat queue."""
-    docs = table(spark, sf_dir, "documents").where(F.col("doc_id").isNotNull())
+    docs = spread_narrow_scan(
+        table(spark, sf_dir, "documents")
+    ).where(F.col("doc_id").isNotNull())
 
     sem = knn_bruteforce(spark, sf_dir).select(
         "query_id",
@@ -329,7 +333,7 @@ def corpus_stores_path(spark: SparkSession, sf_dir: str) -> str:
     import shutil
     import tempfile
 
-    from trisk_spark.catalog import table
+    from trisk_spark.catalog import spread_narrow_scan, table
     from trisk_spark.functions import bm25_store, ivf_store
     from trisk_spark.functions.sampling import _bpe_session_stopped
 

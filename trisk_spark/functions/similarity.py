@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
-from trisk_spark.catalog import table
+from trisk_spark.catalog import spread_narrow_scan, table
 from trisk_spark.registry import register
 
 N_PROBES = 5  # query set: vec_id < N_PROBES
@@ -325,7 +325,9 @@ def cosine_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         StructType,
     )
 
-    emb = _valid_embeddings(table(spark, sf_dir, "embeddings"))
+    emb = _valid_embeddings(
+        spread_narrow_scan(table(spark, sf_dir, "embeddings"))
+    )
     sc = emb.select(
         "vec_id", _scaled(F.col("embedding")).alias("vec")
     ).where(_dot(F.col("vec"), F.col("vec")) > 0)
@@ -512,7 +514,7 @@ def cosine_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``spark.trisk.cosineLsh.expectDegenerate=true`` on the session (a
     conf, not a pre-count — the decision is the operator's caller's,
     who knows the corpus)."""
-    emb = table(spark, sf_dir, "embeddings")
+    emb = spread_narrow_scan(table(spark, sf_dir, "embeddings"))
     degenerate = (
         str(
             spark.conf.get("spark.trisk.cosineLsh.expectDegenerate", "false")
@@ -638,7 +640,7 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     pure-Python union-find in pytest."""
     from trisk_spark.functions.dedup import min_label_components
 
-    emb = table(spark, sf_dir, "embeddings")
+    emb = spread_narrow_scan(table(spark, sf_dir, "embeddings"))
     pairs = cosine_lsh_pairs(emb)
     return min_label_components(pairs, a_col="vec_a", b_col="vec_b")
 
@@ -701,7 +703,9 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall traded for a 2^bits candidate reduction. Plan: equi-join on
     bucket id instead of a cross join; at scale, bucket becomes a
     partition column → partition-pruned probes."""
-    emb = _valid_embeddings(table(spark, sf_dir, "embeddings"))
+    emb = _valid_embeddings(
+        spread_narrow_scan(table(spark, sf_dir, "embeddings"))
+    )
     sc = emb.select(
         "vec_id",
         _scaled(F.col("embedding")).alias("vec"),
@@ -1800,7 +1804,10 @@ def ann_ivf_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tests/test_similarity_iter.py)."""
     emb = _valid_embeddings(table(spark, sf_dir, "embeddings"))
     cq, cn, cids, cents = _int8_centroid_model(spark, emb)
-    assign = _quantize_assign_gemm(spark, emb, cq, cn, cids)
+    # spread ONLY the corpus-wide quantize+assign GEMM scan (the heavy
+    # Python pass); routing/re-rank sides stay narrow so their
+    # broadcast-join plan shape is untouched
+    assign = _quantize_assign_gemm(spark, spread_narrow_scan(emb), cq, cn, cids)
     qlists = _route_probes_int8(emb, cents)
     return _int8_candidates_and_rerank(emb, qlists, assign)
 
