@@ -67,7 +67,7 @@ import hashlib
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from trisk_spark.catalog import spread_narrow_scan, table
+from trisk_spark.catalog import ckpt_eager, table
 from trisk_spark.functions import storefs
 from trisk_spark.registry import register
 from trisk_spark.functions.text import (
@@ -216,9 +216,13 @@ def probe_bm25_store(
     hits = spark.read.parquet(f"{path}/postings")
     if len(buckets) < N_BM25_BUCKETS:
         hits = hits.where(F.col("bucket").isin(buckets))
+    # LAZY checkpoint: the guard count below is the first action and
+    # materializes the pruned hits once for every downstream consumer
+    # (df aggregate, scoring join) — eager paid one extra scheduled
+    # job per probe (r17)
     hits = hits.where(F.col("term").isin(terms)).select(
         "term", "doc_id", "tf", "dl"
-    ).localCheckpoint()
+    ).localCheckpoint(eager=ckpt_eager())
     n_hits = hits.count()
     if n_hits > max_postings:
         raise ValueError(
@@ -532,9 +536,7 @@ def corpus_store_path(spark: SparkSession, sf_dir: str) -> str:
     probe the artifacts (the store economics)."""
 
     def build(path: str) -> None:
-        docs = spread_narrow_scan(
-            table(spark, sf_dir, "documents")
-        ).where(F.col("doc_id").isNotNull())
+        docs = table(spark, sf_dir, "documents").where(F.col("doc_id").isNotNull())
         existing = docs.where(
             F.pmod(F.col("doc_id"), F.lit(BM25_ARRIVING_MOD)) != 0
         )

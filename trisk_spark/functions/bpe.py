@@ -51,7 +51,7 @@ import threading
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from trisk_spark.catalog import table
+from trisk_spark.catalog import ckpt_eager, table
 from trisk_spark.registry import register
 
 N_BPE_MERGES = 20
@@ -264,9 +264,14 @@ def bpe_train(
             break
         left, right, n = best[0].l, best[0].r, int(best[0].n)
         merges.append((left, right, n))
+        # LAZY checkpoint: the next iteration's top-pair collect is the
+        # one job per merge and materializes this fold as a side
+        # effect; an eager checkpoint would add a second scheduling
+        # floor per merge round on a vocabulary-sized frame (r17 —
+        # min_label_components' loop finding applied here)
         words = words.select(
             _merge_fold(F.col("syms"), left, right).alias("syms"), "cnt"
-        ).localCheckpoint()
+        ).localCheckpoint(eager=ckpt_eager())
     return merges
 
 

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
-from trisk_spark.catalog import spread_narrow_scan, table
+from trisk_spark.catalog import ckpt_eager, spread_narrow_scan, table
 from trisk_spark.registry import register
 
 # ------------------------------------------------------- exact dedup --
@@ -763,6 +763,42 @@ def min_label_components(
         )
         .localCheckpoint()  # materialize: the loop re-reads this every round
     )
+    # The loop body runs with AQE OFF and the shuffle fan SIZED FROM
+    # THE EDGE COUNT (r17, guide §2.3 "make partitioning scale-adaptive
+    # — derive from input size"): the loop's frames are id-sized, and
+    # under AQE every one of its ~6 exchanges per round becomes a
+    # separately SCHEDULED stage-job, so an 11-round convergence paid
+    # ~70 job floors of pure scheduling over near-empty shuffles
+    # (profiled: ~92 AQE stage-jobs, ~55 ms wall each, task time ~0).
+    # With the fan pre-sized to the data (~500k edge rows — 8-16 MB —
+    # per partition, the coalesce target AQE would aim for anyway) a
+    # round is ONE job; measured 3.7 -> 2.9 s warm on the 11-round
+    # semantic graph, labels row-identical. A 100 TB edge list lands
+    # thousands of partitions from the same rule, so nothing here is
+    # local-mode tuning; the pairs kernel UPSTREAM (the corpus-sized
+    # work) keeps AQE — only the bounded label loop opts out.
+    spark = pairs.sparkSession
+    n_edges = edges.count()
+    loop_parts = max(1, min(n_edges // 500_000 + 1, 2048))
+    _loop_confs = {
+        "spark.sql.adaptive.enabled": "false",
+        "spark.sql.shuffle.partitions": str(loop_parts),
+    }
+    _saved = {k: spark.conf.get(k) for k in _loop_confs}
+    for k, v in _loop_confs.items():
+        spark.conf.set(k, v)
+    try:
+        labels = _label_loop(edges)
+    finally:
+        for k, v in _saved.items():
+            spark.conf.set(k, v)
+    return labels
+
+
+def _label_loop(edges: DataFrame) -> DataFrame:
+    """The seeded pointer-jumped min-label loop over a materialized
+    symmetric edge list (see ``min_label_components`` for semantics
+    and the execution-shape rationale)."""
     # Seed with round 1's result directly: component₀ = min(own id,
     # min neighbor) is ONE grouped aggregate over the edge list —
     # the identity-seeded first neighbor-min join would compute
@@ -802,6 +838,12 @@ def min_label_components(
         # action), so the old separate labels-vs-new-labels join +
         # count per round collapses to a scan of the materialized
         # id-sized result (r17: halves the loop's per-round job count).
+        # The checkpoint is LAZY: the `changed` count below is the
+        # round's ONE job and materializes it as a side effect — an
+        # eager checkpoint would run a separate materialization job
+        # first, paying the per-job scheduling floor twice per round
+        # (r17 A/B: 5.1 -> 4.4 s warm on the 11-round semantic graph,
+        # labels row-identical).
         new_full = (
             stepped.join(lut, stepped.component == lut.c_id, "left")
             .select(
@@ -812,7 +854,7 @@ def min_label_components(
                     != F.col("old_component")
                 ).alias("changed"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=ckpt_eager())
         )
         changed = new_full.where(F.col("changed")).count()
         labels = new_full.select("doc_id", "component")

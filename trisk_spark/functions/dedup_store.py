@@ -66,7 +66,7 @@ from operator import or_
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from trisk_spark.catalog import spread_narrow_scan, table
+from trisk_spark.catalog import ckpt_eager, table
 from trisk_spark.functions import storefs
 from trisk_spark.registry import register
 from trisk_spark.functions.dedup import (
@@ -230,9 +230,11 @@ def probe_dedup_store(
     # candidate broadcast, verify broadcast) — wave-sized narrow rows
     # (13 ints/doc), and without it each consumer replays the
     # shingle explode (44 s vs 13 s at the 10k wave, PERF_NOTES r12).
+    # LAZY: the routing collect is the wave's first action and
+    # materializes the signatures for all three consumers (r17)
     sig_new = minhash_signatures(
         new_docs.where(F.col("doc_id").isNotNull())
-    ).localCheckpoint()
+    ).localCheckpoint(eager=ckpt_eager())
     bands_new = minhash_bands(sig_new).select(
         F.col("doc_id").alias("new_id"),
         F.col("band_idx").cast("int").alias("band_idx"),
@@ -338,9 +340,12 @@ def append_dedup_store(
     replay (re-running a FULLY-landed wave) is what duplicates
     signature rows; the ingest watermark (``dedup_ingest_stream``)
     exists to prevent exactly that."""
+    # LAZY: the routing distinct-collect below is the first action
+    # and materializes the wave's signatures for the band merge and
+    # the final signature append (r17)
     sig_new = minhash_signatures(
         new_docs.where(F.col("doc_id").isNotNull())
-    ).localCheckpoint()
+    ).localCheckpoint(eager=ckpt_eager())
     bands_new = minhash_bands(sig_new).select(
         "doc_id", "bh", F.col("band_idx").cast("int").alias("band_idx"), _bucket()
     )
@@ -712,9 +717,7 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the r12 VERDICT's lead seat candidate — the store-probe kernel
     has no registered sibling, so this row is the persisted store's
     only possible driver-hash evidence)."""
-    docs = spread_narrow_scan(
-        table(spark, sf_dir, "documents")
-    ).where(F.col("doc_id").isNotNull())
+    docs = table(spark, sf_dir, "documents").where(F.col("doc_id").isNotNull())
     arriving = docs.where(
         F.pmod(F.col("doc_id"), F.lit(DEDUP_ARRIVING_MOD)) == 0
     )
@@ -733,9 +736,7 @@ def corpus_store_path(spark: SparkSession, sf_dir: str) -> str:
     once, not per-op."""
 
     def build(path: str) -> None:
-        docs = spread_narrow_scan(
-            table(spark, sf_dir, "documents")
-        ).where(F.col("doc_id").isNotNull())
+        docs = table(spark, sf_dir, "documents").where(F.col("doc_id").isNotNull())
         existing = docs.where(
             F.pmod(F.col("doc_id"), F.lit(DEDUP_ARRIVING_MOD)) != 0
         )
@@ -919,9 +920,7 @@ def takedown_store_path(spark: SparkSession, sf_dir: str) -> str:
     shared artifact would corrupt their memoized probes)."""
 
     def build(path: str) -> None:
-        docs = spread_narrow_scan(
-            table(spark, sf_dir, "documents")
-        ).where(F.col("doc_id").isNotNull())
+        docs = table(spark, sf_dir, "documents").where(F.col("doc_id").isNotNull())
         existing = docs.where(
             F.pmod(F.col("doc_id"), F.lit(DEDUP_ARRIVING_MOD)) != 0
         )
@@ -948,9 +947,7 @@ def dedup_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
     delete ≡ rebuild holds on the artifacts the probe actually reads,
     so the takedown verb itself sits under the DuckDB hash gate, not
     just pytest equality. LIBRARY op; R16/R17 seat queue."""
-    docs = spread_narrow_scan(
-        table(spark, sf_dir, "documents")
-    ).where(F.col("doc_id").isNotNull())
+    docs = table(spark, sf_dir, "documents").where(F.col("doc_id").isNotNull())
     arriving = docs.where(
         F.pmod(F.col("doc_id"), F.lit(DEDUP_ARRIVING_MOD)) == 0
     )

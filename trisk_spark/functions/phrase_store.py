@@ -73,7 +73,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from trisk_spark.catalog import spread_narrow_scan, table
+from trisk_spark.catalog import ckpt_eager, table
 from trisk_spark.functions import storefs
 from trisk_spark.functions.bm25_store import (
     N_BM25_BUCKETS,
@@ -212,9 +212,11 @@ def probe_phrase_store(
     hits = spark.read.parquet(f"{path}/postings")
     if len(buckets) < N_PHRASE_BUCKETS:
         hits = hits.where(F.col("bucket").isin(buckets))
+    # LAZY checkpoint: the guard count below is the first action and
+    # materializes the pruned hits once (the bm25_store probe rule, r17)
     hits = hits.where(F.col("term").isin(terms)).select(
         "term", "doc_id", "positions"
-    ).localCheckpoint()
+    ).localCheckpoint(eager=ckpt_eager())
     n_hits = hits.count()
     if n_hits > max_postings:
         raise ValueError(
@@ -524,9 +526,7 @@ def corpus_store_path(spark: SparkSession, sf_dir: str) -> str:
     probe the artifacts (the store economics)."""
 
     def build(path: str) -> None:
-        docs = spread_narrow_scan(
-            table(spark, sf_dir, "documents")
-        ).where(F.col("doc_id").isNotNull())
+        docs = table(spark, sf_dir, "documents").where(F.col("doc_id").isNotNull())
         existing = docs.where(
             F.pmod(F.col("doc_id"), F.lit(PHRASE_ARRIVING_MOD)) != 0
         )
@@ -576,9 +576,7 @@ def takedown_store_path(spark: SparkSession, sf_dir: str) -> str:
     (mutating a shared artifact would corrupt its memoized probe)."""
 
     def build(path: str) -> None:
-        docs = spread_narrow_scan(
-            table(spark, sf_dir, "documents")
-        ).where(F.col("doc_id").isNotNull())
+        docs = table(spark, sf_dir, "documents").where(F.col("doc_id").isNotNull())
         existing = docs.where(
             F.pmod(F.col("doc_id"), F.lit(PHRASE_ARRIVING_MOD)) != 0
         )

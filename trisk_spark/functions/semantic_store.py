@@ -64,7 +64,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from trisk_spark.catalog import spread_narrow_scan, table
+from trisk_spark.catalog import ckpt_eager, table
 from trisk_spark.functions import storefs
 from trisk_spark.registry import register
 from trisk_spark.functions.similarity import (
@@ -228,7 +228,9 @@ def probe_semantic_store(
     both engines, the ``_gemm_block_pairs`` exactness argument) → one
     struct-MAX argmax per arriving vector. Nothing corpus-sized moves
     except the pruned bucket read."""
-    arr = _normed(new_emb).localCheckpoint()
+    # LAZY: the routing collect right after is the wave's first
+    # action and materializes the normed wave for every consumer (r17)
+    arr = _normed(new_emb).localCheckpoint(eager=ckpt_eager())
     bands_new = _srp_bands(arr.select("vec_id", "vec")).select(
         F.col("vec_id").alias("new_id"),
         F.col("band_idx").cast("int").alias("band_idx"),
@@ -311,7 +313,9 @@ def append_semantic_store(
     the band re-cap deduplicates on (band_idx, bv, vec_id), so the
     repair is idempotent for bands and the vector append then lands
     once (under the ingest watermark's replay guard)."""
-    arr = _normed(new_emb).localCheckpoint()
+    # LAZY: the routing collect right after is the wave's first
+    # action and materializes the normed wave for every consumer (r17)
+    arr = _normed(new_emb).localCheckpoint(eager=ckpt_eager())
     bands_new = _srp_bands(arr.select("vec_id", "vec")).select(
         "vec_id", "bv", F.col("band_idx").cast("int").alias("band_idx"), _vbucket()
     )
@@ -616,7 +620,7 @@ def semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     R15 trade — the r13/r14 verdicts' lead candidate: the semantic
     store-probe kernel has no registered sibling, exactly the
     position ``dedup_incremental`` held in r12)."""
-    emb = spread_narrow_scan(table(spark, sf_dir, "embeddings"))
+    emb = table(spark, sf_dir, "embeddings")
     arriving = emb.where(
         F.pmod(F.col("vec_id"), F.lit(SEM_ARRIVING_MOD)) == 0
     )
@@ -633,7 +637,7 @@ def corpus_store_path(spark: SparkSession, sf_dir: str) -> str:
     ``admission_report``."""
 
     def build(path: str) -> None:
-        emb = spread_narrow_scan(table(spark, sf_dir, "embeddings"))
+        emb = table(spark, sf_dir, "embeddings")
         existing = emb.where(
             F.pmod(F.col("vec_id"), F.lit(SEM_ARRIVING_MOD)) != 0
         )
@@ -791,7 +795,7 @@ def takedown_store_path(spark: SparkSession, sf_dir: str) -> str:
     store (the ``dedup_store.takedown_store_path`` rule)."""
 
     def build(path: str) -> None:
-        emb = spread_narrow_scan(table(spark, sf_dir, "embeddings"))
+        emb = table(spark, sf_dir, "embeddings")
         existing = emb.where(
             F.pmod(F.col("vec_id"), F.lit(SEM_ARRIVING_MOD)) != 0
         )
@@ -818,7 +822,7 @@ def semantic_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
     victims excluded from the existing side — it matches iff delete ≡
     rebuild holds on the probed artifacts. LIBRARY op; R16/R17 seat
     queue."""
-    emb = spread_narrow_scan(table(spark, sf_dir, "embeddings"))
+    emb = table(spark, sf_dir, "embeddings")
     arriving = emb.where(
         F.pmod(F.col("vec_id"), F.lit(SEM_ARRIVING_MOD)) == 0
     )

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
-from trisk_spark.catalog import spread_narrow_scan, table
+from trisk_spark.catalog import ckpt_eager, spread_narrow_scan, table
 from trisk_spark.registry import register
 
 N_PROBES = 5  # query set: vec_id < N_PROBES
@@ -1271,7 +1271,11 @@ def ivf_refine_iterative(
             .otherwise(F.col("c_norm"))
             .alias("c_norm"),
             moved.alias("movement"),
-        ).localCheckpoint()
+            # LAZY: the eps aggregate below (or the next step's fold)
+            # is the step's one real job and materializes this K-row
+            # table as a side effect — eager added a second scheduled
+            # job per Lloyd step (r17, the components-loop finding)
+        ).localCheckpoint(eager=ckpt_eager())
         if eps is not None:
             mv = new_cents.agg(F.max("movement").alias("m")).first()["m"]
             if mv is not None and mv < eps:
@@ -1804,10 +1808,7 @@ def ann_ivf_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tests/test_similarity_iter.py)."""
     emb = _valid_embeddings(table(spark, sf_dir, "embeddings"))
     cq, cn, cids, cents = _int8_centroid_model(spark, emb)
-    # spread ONLY the corpus-wide quantize+assign GEMM scan (the heavy
-    # Python pass); routing/re-rank sides stay narrow so their
-    # broadcast-join plan shape is untouched
-    assign = _quantize_assign_gemm(spark, spread_narrow_scan(emb), cq, cn, cids)
+    assign = _quantize_assign_gemm(spark, emb, cq, cn, cids)
     qlists = _route_probes_int8(emb, cents)
     return _int8_candidates_and_rerank(emb, qlists, assign)
 
@@ -2750,7 +2751,12 @@ def margin_mine_frame(
     ⊆ side A) and the streaming twin (arriving external probes)."""
     from pyspark.sql import Window
 
-    fwd = _gemm_topk(spark, probes, side_b, MARGIN_K).localCheckpoint()
+    # LAZY: the candidate-id collect right below is the first action
+    # and materializes the forward top-k once for its three consumers
+    # (collect, qh, scored) — eager paid one extra scheduled job (r17)
+    fwd = _gemm_topk(spark, probes, side_b, MARGIN_K).localCheckpoint(
+        eager=ckpt_eager()
+    )
     cand_ids = sorted(
         int(r.neighbor_id)
         for r in fwd.select("neighbor_id").distinct().collect()
