@@ -786,11 +786,34 @@ def test_training_plan_composition_join_policy(spark):
     # epoch-factor and manifest model joins are broadcast; the id-sized
     # anti joins may shuffle (correct at scale — loser sets can be
     # corpus-fraction-sized, so forcing broadcast would be the bug);
-    # no non-broadcast cartesian anywhere
+    # no non-broadcast cartesian anywhere. materialize=False exposes
+    # the full lineage past the r17 epoch-tail checkpoint (the
+    # perplexity_buckets convention)
+    from trisk_spark.functions.sampling import training_plan
+
     with no_auto_broadcast(spark):
-        plan = static_plan(spark, "training_plan")
+        df = training_plan(spark, SF_DIR, materialize=False)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
     assert "CartesianProduct" not in plan, plan
     assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_training_plan_epoch_tail_materializes_manifest_once(spark):
+    # the r17 optimization: the epoch tail's three consumers (token-mass
+    # agg, max, factor join) must read ONE materialized survivors frame
+    # — without the checkpoint the plan duplicates the whole manifest +
+    # cluster-rank lineage 3x (documents scan + content-hash shuffle +
+    # Lloyd/GEMM branch each appear three times). Pin: the default plan
+    # scans NO parquet (all corpus work happens once, behind the
+    # checkpoint barrier) and the checkpointed RDD feeds every branch.
+    # Row-identity with the unmaterialized lineage is pinned by
+    # test_oracle_parity (the registered row) — values cannot drift.
+    plan = static_plan(spark, "training_plan")
+    assert "Scan ExistingRDD" in plan, plan
+    assert "Scan parquet" not in plan, plan
 
 
 def test_sequence_pack_sharded_is_two_pass_prefix_sum(spark):

@@ -22,7 +22,7 @@ import threading
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
-from trisk_spark.catalog import table
+from trisk_spark.catalog import ckpt_eager, table
 from trisk_spark.functions import storefs
 from trisk_spark.functions.text import quality_expr, quality_sql
 from trisk_spark.registry import register
@@ -1016,7 +1016,10 @@ SELECT * FROM plan
 
 @register("training_plan", oracle=training_plan_sql())
 def training_plan(
-    spark: SparkSession, sf_dir: str, cap: int = CLUSTER_CAP
+    spark: SparkSession,
+    sf_dir: str,
+    cap: int = CLUSTER_CAP,
+    materialize: bool = True,
 ) -> DataFrame:
     """THE training-run artifact — one frame that answers "which
     documents, in which split, for how many epochs": the semantic
@@ -1038,7 +1041,7 @@ def training_plan(
     (``training_plan_sql``)."""
     m = curation_manifest_semantic(spark, sf_dir)
     ranked = _cluster_ranked(spark, sf_dir)
-    return _epoch_plan(_drop_cap_losers(m, ranked, cap))
+    return _epoch_plan(_drop_cap_losers(m, ranked, cap), materialize)
 
 
 def _drop_cap_losers(
@@ -1054,11 +1057,26 @@ def _drop_cap_losers(
     return manifest.join(cap_losers, "doc_id", "left_anti")
 
 
-def _epoch_plan(m2: DataFrame) -> DataFrame:
+def _epoch_plan(m2: DataFrame, materialize: bool = True) -> DataFrame:
     """The epoch tail of ``training_plan`` over a surviving manifest
     frame: per-source token masses of the train split → capped repeat
     factors (broadcast, source-cardinality) → deterministic md5-ppm
-    epoch counts per row (val/test pinned to 1)."""
+    epoch counts per row (val/test pinned to 1).
+
+    localCheckpoint materializes the surviving manifest ONCE: three
+    consumers — the per-source token-mass aggregate ``s``, the
+    corpus-wide max ``mx`` (via ``s``), and the final factor join —
+    would otherwise each replay the ENTIRE m2 lineage (manifest
+    quality/tokenize/dedup chain + the Lloyd/GEMM cluster-rank branch;
+    exchange reuse does not fire because each consumer prunes m2 to a
+    different column set — measured 3× the manifest subtree in the
+    r17 pre-fix plan, operators 1-30 duplicated verbatim at 31-60).
+    ~40 B/row of (id, source, split, n_tokens, quality) — at any scale
+    the one materialization is far cheaper than two extra passes over
+    the SRP-pair + label-propagation + k-means chain. ``materialize=
+    False`` only to expose the full lineage to plan tests."""
+    if materialize:
+        m2 = m2.localCheckpoint(eager=ckpt_eager())
     s = (
         m2.where(F.col("split") == "train")
         .groupBy("source")
