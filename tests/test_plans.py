@@ -1017,7 +1017,7 @@ def test_dsir_weights_model_is_broadcast_and_bucket_bounded(spark):
     from trisk_spark.functions.sampling import dsir_weights
 
     with no_auto_broadcast(spark):
-        df = dsir_weights(spark, SF_DIR)
+        df = dsir_weights(spark, SF_DIR, materialize=False)
         buf = io.StringIO()
         with redirect_stdout(buf):
             df.explain("formatted")
@@ -1026,6 +1026,22 @@ def test_dsir_weights_model_is_broadcast_and_bucket_bounded(spark):
     assert "BroadcastHashJoin" in plan, plan
     assert "BroadcastNestedLoopJoin" in plan, plan
     assert "partial_sum" in plan and "partial_count" in plan, plan
+
+
+def test_dsir_weights_bigram_pass_runs_once(spark):
+    # the r17 optimization: the bigram explode + per-bigram md5 (the
+    # corpus-dominant CPU) must feed ONE materialized per-(doc, bucket)
+    # count frame consumed by both the model aggregate and the scoring
+    # join — without the checkpoint the static plan replays the whole
+    # md5 lineage twice (once per consumer). Pin: the default plan
+    # scans NO parquet (the one bigram pass sits behind the checkpoint
+    # barrier) and the duplicates collapse to counts BEFORE the wire
+    # (partial_count in the checkpointed subtree, asserted on the
+    # materialize=False lineage above). Row-identity with the
+    # unmaterialized lineage is pinned by test_oracle_parity.
+    plan = static_plan(spark, "dsir_weights")
+    assert "Scan ExistingRDD" in plan, plan
+    assert "Scan parquet" not in plan, plan
 
 
 def test_embedding_health_is_single_label_shuffle(spark):

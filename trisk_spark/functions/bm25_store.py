@@ -126,11 +126,12 @@ def _wave_postings_doclens(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     (term, doc_id, tf, dl, bucket) table — the ONE corpus-sized
     shuffle an inverted-index build inherently is, paid at write time
     so probes never pay it."""
+    # tokenize ONCE per row: dl derives from the sorted array (sort
+    # preserves length) — two _lm_tokens() references in one projection
+    # would each re-run the split (the _bm25_stats_tf_df r17 fix)
     base = docs.where(F.col("doc_id").isNotNull()).select(
-        "doc_id",
-        F.size(_lm_tokens()).alias("dl"),
-        F.array_sort(_lm_tokens()).alias("_ts"),
-    )
+        "doc_id", F.array_sort(_lm_tokens()).alias("_ts")
+    ).select("doc_id", F.size("_ts").alias("dl"), "_ts")
     doclens = base.select("doc_id", F.col("dl").cast("bigint").alias("dl"))
     # (term, tf) computed IN-ROW from the sorted token array (run-length
     # over run-start positions) instead of explode + groupBy: the wave

@@ -59,7 +59,8 @@ from trisk_spark.functions.similarity import (
 )
 from trisk_spark.functions.text import (
     KEYWORDS_K,
-    _kw_tf_df_n,
+    _kw_df_n,
+    _lm_tokens,
     bm25_pair_scores,
 )
 
@@ -80,14 +81,22 @@ def probe_keywords(spark: SparkSession, sf_dir: str) -> list:
     score (tf × n_docs / df over the corpus-wide df/n) and tie-break,
     but the ranking window runs on the probe-filtered tf rows only —
     at scale the window is probe-sized while df/n stay the shared
-    corpus asset."""
+    corpus asset. r17: df/n come from ``_kw_df_n`` (in-row distinct +
+    vocabulary-sized partial agg — the corpus-wide (doc, tok) tf
+    shuffle is GONE) and the probe tf explodes only the probe docs."""
     docs = spread_narrow_scan(
         table(spark, sf_dir, "documents")
     ).where(F.col("doc_id").isNotNull())
-    tf, df, n = _kw_tf_df_n(docs)
+    df, n = _kw_df_n(docs)
+    tf = (
+        docs.where(F.col("doc_id") < N_PROBES)
+        .select("doc_id", F.explode(_lm_tokens()).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
     w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "tok")
     kw = (
-        tf.where(F.col("doc_id") < N_PROBES)
+        tf
         .join(F.broadcast(df), "tok")
         .crossJoin(F.broadcast(n))
         .withColumn(
@@ -462,10 +471,10 @@ def batch_probe_keywords(
     broadcast asset, the probe side is batch-sized). Terms unseen in
     the reference corpus drop out of the join — they could not retrieve
     anything from an index built over that corpus anyway. Returns
-    driver rows (doc_id, tok) — probe-batch × KEYWORDS_K of them."""
-    from trisk_spark.functions.text import _lm_tokens
-
-    _tf, df, n = _kw_tf_df_n(ref_docs)
+    driver rows (doc_id, tok) — probe-batch × KEYWORDS_K of them.
+    r17: the reference corpus contributes ONLY its df/n assets
+    (``_kw_df_n`` — no corpus-wide (doc, tok) tf shuffle)."""
+    df, n = _kw_df_n(ref_docs)
     ptf = (
         probe_docs.where(F.col("doc_id").isNotNull())
         .select("doc_id", F.explode(_lm_tokens()).alias("tok"))

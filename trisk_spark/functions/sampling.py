@@ -2023,16 +2023,30 @@ def dsir_weights_sql() -> str:
     return DSIR_WEIGHTS_SQL
 
 
-def _dsir_buckets(spark: SparkSession, sf_dir: str):
-    """Shared DSIR model construction: (bk, m, tot, contrib) — the
-    bucketed bigram frame, the B-row per-bucket count table, its 1-row
-    totals, and the per-bucket contribution expression (to be selected
-    against m ⨯ tot). Used by the batch op and the model collector so
-    the arithmetic exists exactly once."""
+def _dsir_buckets(spark: SparkSession, sf_dir: str, materialize: bool = True):
+    """Shared DSIR model construction: (g, m, tot, contrib) — the
+    per-(doc, bucket) bigram COUNT frame, the B-row per-bucket count
+    table derived from it, its 1-row totals, and the per-bucket
+    contribution expression (to be selected against m ⨯ tot). Used by
+    the batch op and the model collector so the arithmetic exists
+    exactly once.
+
+    r17 shape (guide §2.3 aggregate-before-shuffle + §5 materialize the
+    reused intermediate): the bigram explode + per-bigram md5 — the
+    corpus-dominant CPU — used to run TWICE (the model aggregate and
+    the scoring join each replayed the whole lineage) and the scoring
+    side shuffled one row PER BIGRAM. Both consumers now read one
+    per-(doc_id, b) count aggregate ``g``: duplicates collapse map-side
+    before the shuffle (≤ min(bigrams, B) rows per doc cross the wire)
+    and a localCheckpoint materializes ``g`` once, so the md5 pass runs
+    exactly once per query. m's counts and the per-doc sums are
+    Σ c-weighted — value-identical (exact BIGINT counts, exact DECIMAL
+    contribs). ``materialize=False`` only to expose the full lineage to
+    plan tests (the training_plan convention)."""
     from trisk_spark.functions.text import LM_REF_MOD, _lm_bigrams
 
     B = DSIR_BUCKETS
-    from trisk_spark.catalog import spread_narrow_scan
+    from trisk_spark.catalog import ckpt_eager, spread_narrow_scan
 
     bi = _lm_bigrams(spread_narrow_scan(_docs(spark, sf_dir)))
     bk = bi.select(
@@ -2045,11 +2059,16 @@ def _dsir_buckets(spark: SparkSession, sf_dir: str):
         ).alias("b"),
         (F.pmod(F.col("doc_id"), F.lit(LM_REF_MOD)) == 0).alias("is_target"),
     )
-    m = bk.groupBy("b").agg(
-        F.sum(F.when(F.col("is_target"), 1).otherwise(0))
+    g = bk.groupBy("doc_id", "b", "is_target").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    if materialize:
+        g = g.localCheckpoint(eager=ckpt_eager())
+    m = g.groupBy("b").agg(
+        F.sum(F.when(F.col("is_target"), F.col("c")).otherwise(0))
         .cast("bigint")
         .alias("ct"),
-        F.sum(F.when(F.col("is_target"), 0).otherwise(1))
+        F.sum(F.when(F.col("is_target"), 0).otherwise(F.col("c")))
         .cast("bigint")
         .alias("cr"),
     )
@@ -2057,7 +2076,7 @@ def _dsir_buckets(spark: SparkSession, sf_dir: str):
     contrib = _dsir_contrib(
         F.col("ct") + F.lit(1), F.col("cr") + F.lit(1)
     )
-    return bk, m, tot, contrib
+    return g, m, tot, contrib
 
 
 def _dsir_contrib(ct_smoothed, cr_smoothed):
@@ -2082,31 +2101,35 @@ def _dsir_contrib(ct_smoothed, cr_smoothed):
 
 
 @register("dsir_weights", oracle=dsir_weights_sql())
-def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dsir_weights(
+    spark: SparkSession, sf_dir: str, materialize: bool = True
+) -> DataFrame:
     """Per-document DSIR importance weight (hashed-bigram target/raw
     log-likelihood ratio) plus a ``target_leaning`` flag (weight > 0 —
     the document looks more like the reference slice than the rest of
     the corpus). Compose with ``budget_trim``/``training_plan`` to
     select an importance-ranked subset.
 
-    Plan: ONE map-side bigram explode (in-row zip, no join) feeds both
-    the model and the scoring pass; the model is a DSIR_BUCKETS-row
-    aggregate (one bucket-keyed shuffle whose output is B rows
-    regardless of corpus size) that reaches the scoring rows by
-    BROADCAST with its 1-row totals; the per-doc sum partial-aggs on
-    doc_id. At 100 TB: two executions of the bigram lineage (model +
-    scoring — the bigram-LM precedent), a B-bounded model, zero
-    corpus-to-corpus joins. Registered r12 under the driver's hash
-    gate (the R12 registration plan) with its full DuckDB oracle
-    (``dsir_weights_sql()``)."""
-    bk, m, tot, contrib = _dsir_buckets(spark, sf_dir)
+    Plan (r17): ONE map-side bigram explode (in-row zip, no join) +
+    per-bigram md5, collapsed to per-(doc_id, bucket) COUNTS by a
+    map-side partial aggregate BEFORE the shuffle and materialized
+    once (localCheckpoint) for its two consumers — the DSIR_BUCKETS-row
+    model aggregate and the scoring join. The model reaches the scoring
+    rows by BROADCAST with its 1-row totals; the per-doc sum
+    partial-aggs on doc_id over Σ c·contrib (exact DECIMAL — identical
+    to summing per-bigram contribs). At 100 TB: ONE execution of the
+    bigram lineage, a count-compressed shuffle (≤ min(bigrams, B) rows
+    per doc), a B-bounded model, zero corpus-to-corpus joins.
+    Registered r12 under the driver's hash gate (the R12 registration
+    plan) with its full DuckDB oracle (``dsir_weights_sql()``)."""
+    g, m, tot, contrib = _dsir_buckets(spark, sf_dir, materialize)
     scored = (
-        bk.join(F.broadcast(m), "b")
+        g.join(F.broadcast(m), "b")
         .crossJoin(F.broadcast(tot))
-        .select("doc_id", contrib.alias("contrib"))
+        .select("doc_id", "c", (F.col("c") * contrib).alias("contrib"))
     )
     return scored.groupBy("doc_id").agg(
-        F.count("*").cast("bigint").alias("n_bigrams"),
+        F.sum("c").cast("bigint").alias("n_bigrams"),
         F.sum("contrib").cast("double").alias("dsir_weight"),
         (F.sum("contrib") > 0).alias("target_leaning"),
     )

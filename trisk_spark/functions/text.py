@@ -970,6 +970,33 @@ def _kw_tf_df_n(docs: DataFrame):
     return tf, df, n
 
 
+def _kw_df_n(docs: DataFrame):
+    """The keyword corpus ASSETS alone — (df, n) — without the
+    corpus-wide (doc_id, tok) tf shuffle ``_kw_tf_df_n`` pays to also
+    produce per-doc tf rows (guide §2.3/§2.4: shuffle fewer bytes,
+    remove shuffles outright). df counts docs per token, which is a
+    count over DISTINCT (doc, tok) — derived IN-ROW via array_distinct
+    so the explode emits each (doc, tok) once and the groupBy(tok)
+    partial-aggregates to vocabulary size before the wire; n (docs
+    holding ≥1 token) is a map-only 1-row count. Value-identical to
+    deriving both from the tf aggregate (``test_retrieval`` pins the
+    probe-keyword rows against the oracle formula); callers that rank
+    only a bounded probe set (``retrieval.probe_keywords``/
+    ``batch_probe_keywords``) use this + their own probe-sized tf,
+    while ``keyword_extract`` keeps the full tf pipeline it actually
+    ranks."""
+    base = docs.where(F.col("doc_id").isNotNull())
+    df = (
+        base.select(F.explode(F.array_distinct(_lm_tokens())).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("df"))
+    )
+    n = base.where(F.size(_lm_tokens()) > 0).agg(
+        F.count("*").alias("n_docs")
+    )
+    return df, n
+
+
 KEYWORD_EXTRACT_SQL = f"""
 WITH toks AS (
   SELECT doc_id, unnest(list_filter(
@@ -1432,11 +1459,15 @@ def _bm25_stats_tf_df(docs: DataFrame, seed_terms: list[str] | None = None):
         F.count("*").alias("n_docs"),
         F.sum(F.col("dl").cast("bigint")).alias("total_len"),
     )
-    toks = docs.select(
+    # the token array materializes ONCE per row in its own projection
+    # (the minhash whs precedent, dedup.py: an alias referenced twice
+    # keeps the CollapseProject boundary) — inlined, the size() and the
+    # filter() would each re-run the whole split per row
+    toks = docs.select("doc_id", _lm_tokens().alias("t")).select(
         "doc_id",
-        F.size(_lm_tokens()).alias("dl"),
+        F.size("t").alias("dl"),
         F.explode(
-            F.filter(_lm_tokens(), lambda w: w.isin(*seed_terms))
+            F.filter(F.col("t"), lambda w: w.isin(*seed_terms))
         ).alias("term"),
     )
     tf = toks.groupBy("doc_id", "term", "dl").agg(F.count("*").alias("tf"))
