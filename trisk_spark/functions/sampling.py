@@ -1244,7 +1244,15 @@ def training_plan_over_store(
     ranked = spark.read.parquet(f"{path}/cluster_ranks").select(
         "vec_id", "rank"
     )
-    return _epoch_plan(_drop_cap_losers(m, ranked, cap))
+    # materialize=False: the one-plan query's epoch-tail checkpoint
+    # exists to stop THREE replays of the semantic-chain lineage; here
+    # the lineage IS the cheap store artifacts, and the barrier would
+    # erase exactly the structure the store is for — the stats pass's
+    # split=train PartitionFilters and the (vec_id, rank) column-pruned
+    # ranks read (pinned by tests/test_pq.py::
+    # test_plan_store_reads_are_pruned, which caught the r17 epoch-tail
+    # commit regressing this to a Scan ExistingRDD plan).
+    return _epoch_plan(_drop_cap_losers(m, ranked, cap), materialize=False)
 
 
 def pack_plan_over_store(
