@@ -97,6 +97,25 @@ def spread_narrow_scan(df: DataFrame) -> DataFrame:
     return df
 
 
+def local_rows(spark: SparkSession, rows, schema: str) -> DataFrame:
+    """A driver-held list re-entering the plan as a ONE-partition local
+    frame. ``spark.createDataFrame(list, ...)`` fans even a 1-row list
+    across ``defaultParallelism`` Python-RDD partitions, so every
+    evaluation pays one JVM↔Python worker round trip PER PARTITION
+    (guide §4 — the boundary cost is per crossing, not per row); worse,
+    a downstream ``coalesce(1)`` serializes all of them into one task
+    (measured r17: a 1-row stats write cost 5.5 s that way — 32
+    sequential ~170 ms worker round trips — vs 0.2 s with one
+    partition). Every caller's rows are routing-decision-sized (query
+    terms, centroids, takedown ids, stats rows), so one partition is
+    also the right parallelism."""
+    if not rows:
+        return spark.createDataFrame([], schema)
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema
+    )
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every base table as a temp view for spark.sql() use."""
     for name in TABLES:

@@ -67,7 +67,7 @@ import hashlib
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from trisk_spark.catalog import ckpt_eager, table
+from trisk_spark.catalog import ckpt_eager, local_rows, table
 from trisk_spark.functions import storefs
 from trisk_spark.registry import register
 from trisk_spark.functions.text import (
@@ -232,7 +232,8 @@ def probe_bm25_store(
             "(near-zero idf anyway); drop it or raise max_postings"
         )
     df = hits.groupBy("term").agg(F.count("*").cast("bigint").alias("df"))
-    qterms = spark.createDataFrame(
+    qterms = local_rows(
+        spark,
         [(qid, t) for qid, ts in sorted(queries.items()) for t in ts],
         "query_id int, term string",
     )
@@ -320,7 +321,8 @@ def _append_wave(
     ).partitionBy("bucket").parquet(f"{path}/postings")
     doclens.write.mode("append").parquet(f"{path}/doclens")
     old = spark.read.parquet(f"{path}/stats").collect()[0]
-    new_stats = spark.createDataFrame(
+    new_stats = local_rows(
+        spark,
         [(
             int(old["n_docs"]) + int(wave["w_docs"]),
             int(old["total_len"]) + int(wave["w_len"]),
@@ -613,9 +615,9 @@ def delete_from_bm25_store(spark: SparkSession, doc_ids, path: str) -> None:
     base = storefs.strip_file_scheme(path)
     ipath = f"{base}/_delete_intent"
     tmp = ipath + "_tmp"
-    spark.createDataFrame([(i,) for i in ids], "doc_id bigint").coalesce(
-        1
-    ).write.mode("overwrite").parquet(tmp)
+    local_rows(spark, [(i,) for i in ids], "doc_id bigint").write.mode(
+        "overwrite"
+    ).parquet(tmp)
     os.rename(tmp, ipath)
     _run_recorded_delete(spark, ids, path)
 

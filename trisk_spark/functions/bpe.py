@@ -51,7 +51,7 @@ import threading
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from trisk_spark.catalog import ckpt_eager, table
+from trisk_spark.catalog import ckpt_eager, local_rows, table
 from trisk_spark.registry import register
 
 N_BPE_MERGES = 20
@@ -284,8 +284,8 @@ def bpe_train_df(
         (i + 1, l, r, n) for i, (l, r, n) in
         enumerate(bpe_train(spark, sf_dir, n_merges))
     ]
-    return spark.createDataFrame(
-        rows, "rank int, left string, right string, pair_count bigint"
+    return local_rows(
+        spark, rows, "rank int, left string, right string, pair_count bigint"
     )
 
 

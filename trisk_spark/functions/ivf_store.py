@@ -34,7 +34,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from trisk_spark.catalog import table
+from trisk_spark.catalog import local_rows, table
 from trisk_spark.functions.pq import (
     _adc_candidates,
     _pq_codebook,
@@ -397,8 +397,8 @@ def drift_report_stream(
                 resident.join(arriving, "list_id", "full_outer")
                 .na.fill({"n_resident": 0, "n_arriving": 0})
             )
-            spine = spark.createDataFrame(
-                [(int(c),) for c in cids], "list_id bigint"
+            spine = local_rows(
+                spark, [(int(c),) for c in cids], "list_id bigint"
             )
             sink(drift_from_counts(spine, counts, len(cids)), batch_id)
         finally:
@@ -491,9 +491,9 @@ def delete_from_index(spark: SparkSession, vec_ids, path: str) -> None:
     base = storefs.strip_file_scheme(path)
     ipath = f"{base}/_delete_intent"
     tmp = ipath + "_tmp"
-    spark.createDataFrame([(i,) for i in ids], "vec_id bigint").coalesce(
-        1
-    ).write.mode("overwrite").parquet(tmp)
+    local_rows(spark, [(i,) for i in ids], "vec_id bigint").write.mode(
+        "overwrite"
+    ).parquet(tmp)
     os.rename(tmp, ipath)
     _run_recorded_delete(spark, ids, path)
 

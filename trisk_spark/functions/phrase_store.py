@@ -73,7 +73,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from trisk_spark.catalog import ckpt_eager, table
+from trisk_spark.catalog import ckpt_eager, local_rows, table
 from trisk_spark.functions import storefs
 from trisk_spark.functions.bm25_store import (
     N_BM25_BUCKETS,
@@ -224,7 +224,8 @@ def probe_phrase_store(
             f"{max_postings} — a phrase word is degenerate-frequent; "
             "drop that phrase or raise max_postings"
         )
-    qterms = spark.createDataFrame(
+    qterms = local_rows(
+        spark,
         [
             (qid, slot, ws[slot], " ".join(ws))
             for qid, ws in sorted(probes)
@@ -451,9 +452,9 @@ def delete_from_phrase_store(
     base = storefs.strip_file_scheme(path)
     ipath = f"{base}/_delete_intent"
     tmp = ipath + "_tmp"
-    spark.createDataFrame([(i,) for i in ids], "doc_id bigint").coalesce(
-        1
-    ).write.mode("overwrite").parquet(tmp)
+    local_rows(spark, [(i,) for i in ids], "doc_id bigint").write.mode(
+        "overwrite"
+    ).parquet(tmp)
     os.rename(tmp, ipath)
     _run_recorded_delete(spark, ids, path)
 

@@ -47,7 +47,7 @@ import threading
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from trisk_spark.catalog import spread_narrow_scan, table
+from trisk_spark.catalog import local_rows, spread_narrow_scan, table
 from trisk_spark.registry import register
 from trisk_spark.functions.similarity import (
     N_PROBES,
@@ -131,7 +131,8 @@ def hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     rows = probe_keywords(spark, sf_dir)
     if rows:
-        qterms = spark.createDataFrame(
+        qterms = local_rows(
+            spark,
             [(int(r.doc_id), r.tok) for r in rows],
             "query_id bigint, term string",
         )

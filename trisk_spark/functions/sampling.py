@@ -22,7 +22,7 @@ import threading
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
-from trisk_spark.catalog import ckpt_eager, table
+from trisk_spark.catalog import ckpt_eager, local_rows, table
 from trisk_spark.functions import storefs
 from trisk_spark.functions.text import quality_expr, quality_sql
 from trisk_spark.registry import register
@@ -2349,7 +2349,8 @@ def weighted_sample_stream(
         holder["rows"] = merged
         if reservoir_path is not None:
             _persist(merged)
-        out = spark.createDataFrame(
+        out = local_rows(
+            spark,
             [t + (i + 1,) for i, t in enumerate(merged)],
             "doc_id bigint, source string, n_tokens bigint, "
             "weight double, es_key double, rank int",

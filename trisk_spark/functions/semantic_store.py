@@ -64,7 +64,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from trisk_spark.catalog import ckpt_eager, table
+from trisk_spark.catalog import ckpt_eager, local_rows, table
 from trisk_spark.functions import storefs
 from trisk_spark.registry import register
 from trisk_spark.functions.similarity import (
@@ -689,9 +689,9 @@ def delete_from_semantic_store(spark: SparkSession, vec_ids, path: str) -> None:
     base = storefs.strip_file_scheme(path)
     ipath = f"{base}/_delete_intent"
     tmp = ipath + "_tmp"
-    spark.createDataFrame([(i,) for i in ids], "vec_id bigint").coalesce(
-        1
-    ).write.mode("overwrite").parquet(tmp)
+    local_rows(spark, [(i,) for i in ids], "vec_id bigint").write.mode(
+        "overwrite"
+    ).parquet(tmp)
     os.rename(tmp, ipath)
     _run_recorded_delete(spark, ids, path)
 

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
-from trisk_spark.catalog import ckpt_eager, spread_narrow_scan, table
+from trisk_spark.catalog import ckpt_eager, local_rows, spread_narrow_scan, table
 from trisk_spark.registry import register
 
 N_PROBES = 5  # query set: vec_id < N_PROBES
@@ -1837,7 +1837,8 @@ def _int8_centroid_model(spark: SparkSession, emb: DataFrame):
     cnorm = (cq * cq).sum(axis=1)
     cn = np.sqrt(cnorm.astype(np.float64))
     cids = np.array([r.vec_id for r in raw_cents], dtype=np.int64)
-    cents = spark.createDataFrame(
+    cents = local_rows(
+        spark,
         [
             (int(c), [int(x) for x in v], int(n))
             for c, v, n in zip(cids, cq, cnorm)
@@ -2471,7 +2472,8 @@ def outlier_score_frame(
         )
     sums = {r["i"]: int(r["g"]) for r in rows if r["j"] == GRAM_SUM_J and r["i"] >= 0}
     diag = {r["i"]: int(r["g"]) for r in rows if r["i"] == r["j"] and r["i"] >= 0}
-    moments = spark.createDataFrame(
+    moments = local_rows(
+        spark,
         [(i, sums[i], diag[i], n) for i in range(DIM)],
         "i int, s long, g long, n long",
     )

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from trisk_spark.catalog import spread_narrow_scan, table
+from trisk_spark.catalog import local_rows, spread_narrow_scan, table
 from trisk_spark.registry import register
 
 # ------------------------------------------------------- token count --
@@ -1489,7 +1489,8 @@ def bm25_pair_scores(
     (query_id, term) frame + matching seed-term list (``retrieval``'s
     probe-keyword queries); the default is the fixed BM25_QUERIES set."""
     if qterms is None:
-        qterms = spark.createDataFrame(
+        qterms = local_rows(
+            spark,
             [(qid, t) for qid, ts in sorted(BM25_QUERIES.items()) for t in ts],
             "query_id int, term string",
         )

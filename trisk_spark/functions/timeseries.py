@@ -29,7 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
-from trisk_spark.catalog import table
+from trisk_spark.catalog import local_rows, table
 from trisk_spark.registry import register
 
 TS_WINDOW = 16     # subsequence length (events per window)
@@ -585,7 +585,8 @@ def sax_probe_rows(ev: DataFrame, n_probes: int = N_TS_PROBES) -> list:
 def sax_probes_df(spark: SparkSession, probe_rows) -> DataFrame:
     """The driver-held probe rows re-entering the plan as a local
     relation for the broadcast word equi-join."""
-    return spark.createDataFrame(
+    return local_rows(
+        spark,
         [
             (int(r.probe_user), [int(x) for x in r.pw], float(r.pmu),
              float(r.psd), int(r.pword))
