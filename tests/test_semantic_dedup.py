@@ -99,6 +99,9 @@ def test_min_label_components_raises_on_capped_exit(spark, monkeypatch):
     path_edges = spark.createDataFrame(
         [(i, i + 1) for i in range(8)], "doc_a long, doc_b long"
     )
+    # force the distributed loop (the driver fast path solves any
+    # graph under CC_DRIVER_MAX_EDGES exactly and never iterates)
+    monkeypatch.setattr(dedup, "CC_DRIVER_MAX_EDGES", -1)
     monkeypatch.setattr(dedup, "MAX_CC_ITERS", 1)
     with pytest.raises(RuntimeError, match="did not converge"):
         dedup.min_label_components(path_edges)
@@ -110,6 +113,33 @@ def test_min_label_components_raises_on_capped_exit(spark, monkeypatch):
         for r in dedup.min_label_components(path_edges).collect()
     }
     assert got == {(i, 0) for i in range(9)}
+
+
+def test_driver_components_fast_path_equals_label_loop(spark, monkeypatch):
+    # the r17 bounded-graph fast path (driver union-find under
+    # CC_DRIVER_MAX_EDGES) must reproduce the distributed min-label
+    # loop's fixpoint label-for-label — hostile graph: long chains
+    # (pointer-jump territory), a star, duplicate + self edges, both
+    # orientations, multiple components, non-contiguous ids
+    from trisk_spark.functions import dedup
+
+    edges = (
+        [(i, i + 1) for i in range(0, 40)]            # long chain 0..40
+        + [(1000 + i, 1000) for i in range(1, 9)]     # star at 1000
+        + [(77, 77), (2000, 2001), (2001, 2000)]      # self + dup both ways
+        + [(500_000_000_000 + i, 500_000_000_001 + i) for i in range(3)]
+    )
+    frame = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    fast = {
+        (r.doc_id, r.component)
+        for r in dedup.min_label_components(frame).collect()
+    }
+    monkeypatch.setattr(dedup, "CC_DRIVER_MAX_EDGES", -1)
+    loop = {
+        (r.doc_id, r.component)
+        for r in dedup.min_label_components(frame).collect()
+    }
+    assert fast == loop and len(fast) > 0
 
 
 def test_dedup_semantic_identical_corpus_single_cluster(spark, tmp_path):

@@ -717,6 +717,51 @@ def jaccard_pairs(docs: DataFrame) -> DataFrame:
 
 MAX_CC_ITERS = 25  # safety bound; label propagation needs ≤ diameter
 
+#: Edge-count bound under which connected components are solved EXACTLY
+#: on the driver (one collect + union-find) instead of the distributed
+#: label loop — the broadcast-join decision class (guide §3.1: ship the
+#: small side when it provably fits). 200k (a, b) id pairs ≈ 3 MB
+#: collected / ~0.3 s of pure-Python union-find worst case, and the
+#: returned label table re-enters the plan as a node-count-bounded
+#: local frame every consumer broadcast-joins. The label LOOP costs a
+#: per-round scheduled job regardless of data size (~0.25-0.3 s × ~11
+#: rounds on the sf0.1 graphs, task time ≈ 0), so below the bound the
+#: driver path is strictly faster; above it the distributed loop is the
+#: only memory-safe choice and runs exactly as before. A 100 TB corpus'
+#: edge list (≫ 200k) always takes the loop — nothing here is
+#: local-mode tuning, the bound is data-derived like an AQE broadcast
+#: decision.
+CC_DRIVER_MAX_EDGES = 200_000
+
+
+def _driver_components(edge_rows) -> list[tuple[int, int]]:
+    """Exact union-find (union-by-min + path compression) over collected
+    (a, b) id pairs: root of every set is its minimum member, so the
+    relabel below reproduces the loop's min-label fixpoint exactly
+    (labels = smallest id in the connected component)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edge_rows:
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    return sorted((v, find(v)) for v in parent)
+
 DEDUP_CLUSTERS_SQL = f"""
 WITH RECURSIVE cand AS ({MINHASH_LSH_PAIRS_SQL}),
 edges AS (
@@ -756,13 +801,32 @@ def min_label_components(
     along every edge, which forces every label to the component min.
     A capped exit without convergence raises instead of returning
     silently-wrong labels."""
-    edges = (
-        pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
-        .unionByName(
-            pairs.select(F.col(b_col).alias("a"), F.col(a_col).alias("b"))
+    # materialize the RAW pair list once (the loop/fast-path both
+    # re-read it; symmetrization reads the checkpoint, not the kernel)
+    raw = pairs.select(
+        F.col(a_col).alias("a"), F.col(b_col).alias("b")
+    ).localCheckpoint()
+    n_pairs = raw.count()
+    if n_pairs <= CC_DRIVER_MAX_EDGES:
+        # bounded-graph fast path (r17 optimization round): solve
+        # exactly on the driver — the collect is edge-count-bounded
+        # (see CC_DRIVER_MAX_EDGES) and replaces ~11 near-empty
+        # scheduled loop jobs with one; labels are identical to the
+        # loop's fixpoint (equivalence pytest-pinned on planted
+        # graphs, and every composed consumer stays oracle-gated).
+        from trisk_spark.catalog import local_rows
+
+        labels_rows = _driver_components(
+            (int(r["a"]), int(r["b"])) for r in raw.collect()
         )
-        .localCheckpoint()  # materialize: the loop re-reads this every round
-    )
+        return local_rows(
+            pairs.sparkSession,
+            labels_rows,
+            "doc_id bigint, component bigint",
+        )
+    edges = raw.unionByName(
+        raw.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint()  # materialize: the loop re-reads this every round
     # The loop body runs with AQE OFF and the shuffle fan SIZED FROM
     # THE EDGE COUNT (r17, guide §2.3 "make partitioning scale-adaptive
     # — derive from input size"): the loop's frames are id-sized, and
@@ -778,7 +842,7 @@ def min_label_components(
     # local-mode tuning; the pairs kernel UPSTREAM (the corpus-sized
     # work) keeps AQE — only the bounded label loop opts out.
     spark = pairs.sparkSession
-    n_edges = edges.count()
+    n_edges = 2 * n_pairs  # the symmetrized count, known without a job
     loop_parts = max(1, min(n_edges // 500_000 + 1, 2048))
     _loop_confs = {
         "spark.sql.adaptive.enabled": "false",
