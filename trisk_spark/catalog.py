@@ -97,6 +97,34 @@ def spread_narrow_scan(df: DataFrame) -> DataFrame:
     return df
 
 
+#: (gateway id, site key) → built Column tree(s); see cached_cols
+_COL_CACHE: dict[tuple[int, str], object] = {}
+
+
+def cached_cols(key: str, build):
+    """Memoize immutable unresolved-Column trees across calls.
+
+    Building a Column in classic PySpark is one py4j socket round trip
+    per function call (~0.4 ms); the shared kernels (shingle/minhash/
+    simhash/SRP/GEMM expression builders) assemble hundreds of nodes,
+    so every query that composes them pays 0.5-1.5 s of pure driver
+    plan-construction before any job runs (measured r17: 1,691 round
+    trips / 0.9 s for one minhash projection). Unresolved expressions
+    are immutable and frame-independent — the same tree can be bound
+    into any number of plans — so each site builds ONCE per JVM
+    gateway. The cache key includes the gateway id: a fresh JVM (only
+    spawned when a whole new gateway starts in this process) can never
+    see another gateway's dead object handles."""
+    from pyspark import SparkContext
+
+    k = (id(SparkContext._gateway), key)
+    hit = _COL_CACHE.get(k)
+    if hit is None:
+        hit = build()
+        _COL_CACHE[k] = hit
+    return hit
+
+
 def local_rows(spark: SparkSession, rows, schema: str) -> DataFrame:
     """A driver-held list re-entering the plan as a ONE-partition local
     frame. ``spark.createDataFrame(list, ...)`` fans even a 1-row list

@@ -256,7 +256,7 @@ def _admission_verdicts(
         (
             (F.size(ws) >= MANIFEST_MIN_TOKENS)
             & (
-                F.coalesce(quality_expr(F.col("text")), F.lit(0.0))
+                F.coalesce(quality_expr("text"), F.lit(0.0))
                 >= MANIFEST_MIN_QUALITY
             )
         ).alias("q_ok"),

@@ -20,7 +20,12 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
-from trisk_spark.catalog import ckpt_eager, spread_narrow_scan, table
+from trisk_spark.catalog import (
+    cached_cols,
+    ckpt_eager,
+    spread_narrow_scan,
+    table,
+)
 from trisk_spark.registry import register
 
 # ------------------------------------------------------- exact dedup --
@@ -126,41 +131,57 @@ SELECT DISTINCT doc_id, shingle FROM ({SHINGLES_RAW_SQL})
 """
 
 
+def _shingle_cols() -> tuple[Column, Column]:
+    """The two shingling projections as memoized Column trees (the
+    ``cached_cols`` treatment: ~200 py4j round trips built once per
+    JVM, not once per query)."""
+
+    def build():
+        ws = F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
+        whs = F.transform(
+            ws,
+            lambda w: F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast(
+                "bigint"
+            )
+            % MERSENNE,
+        )
+        wcol = F.col("whs")
+
+        def poly(i: Column) -> Column:
+            acc = F.element_at(wcol, i)
+            for k in range(1, SHINGLE_K):
+                acc = (acc * SHINGLE_C + F.element_at(wcol, i + k)) % MERSENNE
+            return acc
+
+        # when() guard, NOT greatest(…, 0): Spark's sequence(1, 0) is
+        # DESCENDING [1, 0], so a doc with < SHINGLE_K words (or NULL
+        # text, where size() is -1) would emit phantom NULL shingles
+        # that the oracle's range(1, 1) = [] never produces.
+        sh = F.when(
+            F.size(wcol) >= SHINGLE_K,
+            F.transform(
+                F.sequence(F.lit(1), F.size(wcol) - (SHINGLE_K - 1)), poly
+            ),
+        ).otherwise(F.array().cast("array<bigint>"))
+        return whs.alias("whs"), F.explode(sh).alias("shingle")
+
+    return cached_cols("dedup.shingles", build)
+
+
 def shingles(docs: DataFrame, distinct: bool = True) -> DataFrame:
     """Integer shingle ids per doc (Spark mirror of SHINGLES_SQL).
 
     ``distinct=False`` skips the dedup shuffle for consumers whose
     aggregate is duplicate-insensitive (MIN for minhash) — same result,
     one less exchange."""
-    ws = F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
-    whs = F.transform(
-        ws,
-        lambda w: F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("bigint")
-        % MERSENNE,
-    )
+    whs_col, shingle_col = _shingle_cols()
     # The word-hash array MUST be materialized in its own projection:
     # inlined, every element_at(whs, ...) re-evaluates the whole
     # list_transform (one md5 per word PER REFERENCE → O(K·n²) md5
     # calls per doc). As a standalone alias referenced K times,
     # CollapseProject keeps the boundary and it's hashed once per row.
-    base = docs.select("doc_id", whs.alias("whs"))
-    wcol = F.col("whs")
-
-    def poly(i: Column) -> Column:
-        acc = F.element_at(wcol, i)
-        for k in range(1, SHINGLE_K):
-            acc = (acc * SHINGLE_C + F.element_at(wcol, i + k)) % MERSENNE
-        return acc
-
-    # when() guard, NOT greatest(…, 0): Spark's sequence(1, 0) is
-    # DESCENDING [1, 0], so a doc with < SHINGLE_K words (or NULL text,
-    # where size() is -1) would emit phantom NULL shingles that the
-    # oracle's range(1, 1) = [] never produces.
-    sh = F.when(
-        F.size(wcol) >= SHINGLE_K,
-        F.transform(F.sequence(F.lit(1), F.size(wcol) - (SHINGLE_K - 1)), poly),
-    ).otherwise(F.array().cast("array<bigint>"))
-    out = base.select("doc_id", F.explode(sh).alias("shingle"))
+    base = docs.select("doc_id", whs_col)
+    out = base.select("doc_id", shingle_col)
     return out.distinct() if distinct else out
 
 
@@ -239,12 +260,16 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     # MIN is duplicate-insensitive → no distinct pass over the shingles.
     sh = shingles(docs, distinct=False)
     xs = sh.select("doc_id", F.col("shingle").alias("xm"))
-    return xs.groupBy("doc_id").agg(
-        *[
-            F.min((PERM_A[i] * F.col("xm") + PERM_B[i]) % MERSENNE).alias(f"h{i}")
+    aggs = cached_cols(
+        "dedup.sig_aggs",
+        lambda: [
+            F.min((PERM_A[i] * F.col("xm") + PERM_B[i]) % MERSENNE).alias(
+                f"h{i}"
+            )
             for i in range(N_PERMS)
-        ]
+        ],
     )
+    return xs.groupBy("doc_id").agg(*aggs)
 
 
 @register("dedup_minhash_lsh", oracle=MINHASH_LSH_PAIRS_SQL)
@@ -1188,9 +1213,9 @@ def minhash_signatures_inrow(docs: DataFrame) -> DataFrame:
 def minhash_bands(sig: DataFrame) -> DataFrame:
     """(doc_id, band_idx, bh) rows from a signature frame — the shared
     banding expression of the batch pipeline and the streaming flag."""
-    return sig.select(
-        "doc_id",
-        F.explode(
+    band_col = cached_cols(
+        "dedup.band_col",
+        lambda: F.explode(
             F.array(
                 *[
                     F.struct(
@@ -1198,7 +1223,9 @@ def minhash_bands(sig: DataFrame) -> DataFrame:
                         F.concat_ws(
                             "|",
                             *[
-                                F.col(f"h{b * ROWS_PER_BAND + r}").cast("string")
+                                F.col(f"h{b * ROWS_PER_BAND + r}").cast(
+                                    "string"
+                                )
                                 for r in range(ROWS_PER_BAND)
                             ],
                         ).alias("bh"),
@@ -1207,7 +1234,10 @@ def minhash_bands(sig: DataFrame) -> DataFrame:
                 ]
             )
         ).alias("band"),
-    ).select("doc_id", "band.band_idx", "band.bh")
+    )
+    return sig.select("doc_id", band_col).select(
+        "doc_id", "band.band_idx", "band.bh"
+    )
 
 
 # --------------------- quality-aware canonical selection (r11) -------
@@ -1291,7 +1321,7 @@ def canonical_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ws = F.filter(F.split("text", " "), lambda w: w != "")
     scored = docs.select(
-        "doc_id", quality_expr(F.col("text")).alias("q")
+        "doc_id", quality_expr("text").alias("q")
     ).where(F.size(ws) >= 1)
     # localCheckpoint materializes the (id, component, q) members ONCE:
     # the argmax aggregate and the final member join both consume it,

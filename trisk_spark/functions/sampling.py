@@ -509,7 +509,7 @@ def curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.lower("text")).alias("content_md5"),
         F.size(ws).cast("bigint").alias("n_tokens"),
         _split_col().alias("split"),
-        quality_expr(F.col("text")).alias("q"),
+        quality_expr("text").alias("q"),
     ).where(
         (F.col("n_tokens") >= MANIFEST_MIN_TOKENS)
         & (F.col("q") >= MANIFEST_MIN_QUALITY)
@@ -1377,7 +1377,7 @@ def budget_trim(
         docs.select(
             "doc_id",
             F.size(ws).cast("bigint").alias("n_tokens"),
-            quality_expr(F.col("text")).alias("q"),
+            quality_expr("text").alias("q"),
         )
         .where(F.col("n_tokens") >= 1)
     )
@@ -2237,7 +2237,7 @@ def weighted_keys_frame(docs: DataFrame) -> DataFrame:
         "doc_id",
         "source",
         F.size(ws).cast("bigint").alias("n_tokens"),
-        F.round(quality_expr(F.col("text")), 6).alias("weight"),
+        F.round(quality_expr("text"), 6).alias("weight"),
         F.round(
             F.log((F.lit(2) * ppm + 1).cast("double") / F.lit(2.0 * MIX_PPM)),
             6,

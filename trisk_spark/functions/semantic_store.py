@@ -138,8 +138,8 @@ def _normed(emb: DataFrame) -> DataFrame:
     (batch pairs, streaming flag, this store) starts from."""
     return (
         _valid_embeddings(emb)
-        .select("vec_id", _scaled(F.col("embedding")).alias("vec"))
-        .withColumn("norm", _dot(F.col("vec"), F.col("vec")))
+        .select("vec_id", _scaled("embedding").alias("vec"))
+        .withColumn("norm", _dot("vec", "vec"))
         .where(F.col("norm") > 0)
     )
 
@@ -266,7 +266,7 @@ def probe_semantic_store(
     arrv = arr.select(
         F.col("vec_id").alias("new_id"), "vec", "norm"
     )
-    cos = _dot(F.col("vec"), F.col("ref_vec")).cast("double") / (
+    cos = _dot("vec", "ref_vec").cast("double") / (
         F.sqrt(F.col("norm").cast("double"))
         * F.sqrt(F.col("ref_norm").cast("double"))
     )

@@ -19,7 +19,13 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
-from trisk_spark.catalog import ckpt_eager, local_rows, spread_narrow_scan, table
+from trisk_spark.catalog import (
+    cached_cols,
+    ckpt_eager,
+    local_rows,
+    spread_narrow_scan,
+    table,
+)
 from trisk_spark.registry import register
 
 N_PROBES = 5  # query set: vec_id < N_PROBES
@@ -50,20 +56,37 @@ def _valid_embeddings(emb: DataFrame, dim: int = DIM) -> DataFrame:
     """Engine half of the validity gate — mirrors ``_VALID_EMB_SQL``.
     ``dim`` is the expected vector length (default: this corpus's 64);
     reusable helpers taking arbitrary corpora thread their own."""
-    e = F.col("embedding")
-    return emb.where(
-        F.col("vec_id").isNotNull()
-        & e.isNotNull()
-        & (F.size(e) == dim)
-        & ~F.exists(e, lambda x: x.isNull())
-    )
+
+    def build() -> Column:
+        e = F.col("embedding")
+        return (
+            F.col("vec_id").isNotNull()
+            & e.isNotNull()
+            & (F.size(e) == dim)
+            & ~F.exists(e, lambda x: x.isNull())
+        )
+
+    return emb.where(cached_cols(f"sim.valid_emb.{dim}", build))
 
 
-def _scaled(col: Column) -> Column:
+def _scaled(col: Column | str) -> Column:
+    """Scaled-int vector expression; pass the column NAME where possible
+    — string inputs memoize the built tree (``cached_cols``: the
+    lambda-function nodes here cost several py4j round trips each, and
+    the similarity family builds these in every query)."""
+    if isinstance(col, str):
+        return cached_cols(f"sim.scaled.{col}", lambda: _scaled(F.col(col)))
     return F.transform(col, lambda x: F.floor(x.cast("double") * SCALE).cast("bigint"))
 
 
-def _dot(a: Column, b: Column) -> Column:
+def _dot(a: Column | str, b: Column | str) -> Column:
+    """Exact int64 dot expression; string inputs memoize (see _scaled)."""
+    if isinstance(a, str) and isinstance(b, str):
+        return cached_cols(
+            f"sim.dot.{a}.{b}", lambda: _dot(F.col(a), F.col(b))
+        )
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("bigint"), lambda acc, v: acc + v
     )
@@ -86,7 +109,7 @@ def _check_dot_bound(a_max: int, b_max: int, dim: int) -> None:
 
 
 def _with_norm(df: DataFrame, id_col: str, prefix: str) -> DataFrame:
-    sv = _scaled(F.col("embedding"))
+    sv = _scaled("embedding")
     return df.select(
         F.col(id_col).alias(f"{prefix}_id"),
         sv.alias(f"{prefix}_vec"),
@@ -329,8 +352,8 @@ def cosine_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         spread_narrow_scan(table(spark, sf_dir, "embeddings"))
     )
     sc = emb.select(
-        "vec_id", _scaled(F.col("embedding")).alias("vec")
-    ).where(_dot(F.col("vec"), F.col("vec")) > 0)
+        "vec_id", _scaled("embedding").alias("vec")
+    ).where(_dot("vec", "vec") > 0)
     blocks = (
         sc.select(
             (F.col("vec_id") / BLOCK_SIZE).cast("bigint").alias("block"),
@@ -445,10 +468,9 @@ def srp_band_val(vec_col: Column, b: int) -> Column:
 def _srp_bands(n: DataFrame) -> DataFrame:
     """Explode a (vec_id, vec) frame to one row per SRP band:
     (vec_id, vec, band_idx, bv) — map-side, in-row."""
-    return n.select(
-        "vec_id",
-        "vec",
-        F.explode(
+    band_col = cached_cols(
+        "sim.srp_bands",
+        lambda: F.explode(
             F.array(
                 *[
                     F.struct(
@@ -459,7 +481,10 @@ def _srp_bands(n: DataFrame) -> DataFrame:
                 ]
             )
         ).alias("band"),
-    ).select("vec_id", "vec", "band.band_idx", "band.bv")
+    )
+    return n.select("vec_id", "vec", band_col).select(
+        "vec_id", "vec", "band.band_idx", "band.bv"
+    )
 
 
 def _gemm_bucket_pairs(batches):
@@ -553,8 +578,8 @@ def cosine_lsh_pairs(
 
     n = (
         _valid_embeddings(emb, dim=dim)
-        .select("vec_id", _scaled(F.col("embedding")).alias("vec"))
-        .where(_dot(F.col("vec"), F.col("vec")) > 0)
+        .select("vec_id", _scaled("embedding").alias("vec"))
+        .where(_dot("vec", "vec") > 0)
     )
     bands = _srp_bands(n)
     if expect_degenerate:
@@ -708,10 +733,10 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sc = emb.select(
         "vec_id",
-        _scaled(F.col("embedding")).alias("vec"),
+        _scaled("embedding").alias("vec"),
         _bucket(F.col("embedding")).alias("bucket"),
     )
-    n = sc.withColumn("norm", _dot(F.col("vec"), F.col("vec"))).where(
+    n = sc.withColumn("norm", _dot("vec", "vec")).where(
         F.col("norm") > 0
     )
     q = n.where(F.col("vec_id") < N_PROBES).select(
@@ -728,7 +753,7 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
             F.round(
-                _dot(F.col("qvec"), F.col("vec")).cast("double")
+                _dot("qvec", "vec").cast("double")
                 / (
                     F.sqrt(F.col("qnorm").cast("double"))
                     * F.sqrt(F.col("norm").cast("double"))
@@ -937,8 +962,8 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _valid_embeddings(table(spark, sf_dir, "embeddings"))
     n = (
-        emb.select("vec_id", _scaled(F.col("embedding")).alias("vec"))
-        .withColumn("norm", _dot(F.col("vec"), F.col("vec")))
+        emb.select("vec_id", _scaled("embedding").alias("vec"))
+        .withColumn("norm", _dot("vec", "vec"))
         .where(F.col("norm") > 0)
     )
     cents = n.orderBy("vec_id").limit(N_CENTROIDS).select(
@@ -979,7 +1004,7 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
             F.round(
-                _dot(F.col("qvec"), F.col("vec")).cast("double")
+                _dot("qvec", "vec").cast("double")
                 / (
                     F.sqrt(F.col("qnorm").cast("double"))
                     * F.sqrt(F.col("norm").cast("double"))
@@ -1115,8 +1140,8 @@ def ivf_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-clustering."""
     emb = _valid_embeddings(table(spark, sf_dir, "embeddings"))
     n = (
-        emb.select("vec_id", _scaled(F.col("embedding")).alias("vec"))
-        .withColumn("norm", _dot(F.col("vec"), F.col("vec")))
+        emb.select("vec_id", _scaled("embedding").alias("vec"))
+        .withColumn("norm", _dot("vec", "vec"))
         .where(F.col("norm") > 0)
     )
     cents = n.orderBy("vec_id").limit(N_CENTROIDS).select(
@@ -1237,8 +1262,8 @@ def ivf_refine_iterative(
     driver, and the eps check collects one scalar per step."""
     emb = _valid_embeddings(table(spark, sf_dir, "embeddings"))
     n = (
-        emb.select("vec_id", _scaled(F.col("embedding")).alias("vec"))
-        .withColumn("norm", _dot(F.col("vec"), F.col("vec")))
+        emb.select("vec_id", _scaled("embedding").alias("vec"))
+        .withColumn("norm", _dot("vec", "vec"))
         .where(F.col("norm") > 0)
     )
     cents = (
@@ -1699,7 +1724,7 @@ def _quantized_corpus(emb: DataFrame) -> DataFrame:
     branches) with their exact int64 norm; zero-code vectors dropped
     like the exact path drops zero-norm ones."""
     qv = quantize_int8(emb).select("vec_id", "qvec")
-    return qv.withColumn("qnorm", _dot(F.col("qvec"), F.col("qvec"))).where(
+    return qv.withColumn("qnorm", _dot("qvec", "qvec")).where(
         F.col("qnorm") > 0
     )
 
@@ -1905,7 +1930,7 @@ def _int8_candidates_and_rerank(
     query-set-within-corpus shape)."""
     from pyspark.sql import Window
 
-    q_cos = _dot(F.col("p_qvec"), F.col("qvec")).cast("double") / (
+    q_cos = _dot("p_qvec", "qvec").cast("double") / (
         F.sqrt(F.col("p_qnorm").cast("double"))
         * F.sqrt(F.col("qnorm").cast("double"))
     )
@@ -1955,16 +1980,16 @@ def _exact_rerank(
             F.col("embedding").alias("p_emb"),
         )
         .join(F.broadcast(withe), "query_id")
-        .withColumn("e_vec", _scaled(F.col("e_emb")))
-        .withColumn("e_norm", _dot(F.col("e_vec"), F.col("e_vec")))
-        .withColumn("p_vec", _scaled(F.col("p_emb")))
-        .withColumn("p_norm", _dot(F.col("p_vec"), F.col("p_vec")))
+        .withColumn("e_vec", _scaled("e_emb"))
+        .withColumn("e_norm", _dot("e_vec", "e_vec"))
+        .withColumn("p_vec", _scaled("p_emb"))
+        .withColumn("p_norm", _dot("p_vec", "p_vec"))
         .where((F.col("e_norm") > 0) & (F.col("p_norm") > 0))
     )
     rerank = pairs.select(
         "query_id", "neighbor_id",
         F.round(
-            _dot(F.col("p_vec"), F.col("e_vec")).cast("double")
+            _dot("p_vec", "e_vec").cast("double")
             / (
                 F.sqrt(F.col("p_norm").cast("double"))
                 * F.sqrt(F.col("e_norm").cast("double"))
@@ -2281,7 +2306,7 @@ def embedding_gram_frame(emb: DataFrame) -> DataFrame:
     rows) into one 2,145-key partial-aggregating shuffle — output size
     is CONSTANT in corpus size, the cheapest possible reduction
     shape."""
-    xi = _scaled(F.col("embedding"))
+    xi = _scaled("embedding")
     rows = _valid_embeddings(emb).select(xi.alias("x"))
     partials = rows.mapInPandas(_gram_partials, "i int, j int, g long")
     return partials.groupBy("i", "j").agg(
@@ -2477,7 +2502,7 @@ def outlier_score_frame(
         [(i, sums[i], diag[i], n) for i in range(DIM)],
         "i int, s long, g long, n long",
     )
-    xi = _scaled(F.col("embedding"))
+    xi = _scaled("embedding")
     exploded = _valid_embeddings(emb).select(
         "vec_id", F.posexplode(xi).alias("i", "x")
     )

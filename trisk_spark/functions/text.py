@@ -11,7 +11,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from trisk_spark.catalog import local_rows, spread_narrow_scan, table
+from trisk_spark.catalog import (
+    cached_cols,
+    local_rows,
+    spread_narrow_scan,
+    table,
+)
 from trisk_spark.registry import register
 
 # ------------------------------------------------------- token count --
@@ -114,7 +119,7 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             4,
         ).alias("stopword_ratio"),
-        F.round(quality_expr(F.col("text")), 4).alias("quality_score"),
+        F.round(quality_expr("text"), 4).alias("quality_score"),
     )
 
 
@@ -651,7 +656,14 @@ def quality_expr(text_col):
     """The combined quality score as a single reusable Column (same
     formula as quality_score, unrounded): 0.5*token-count saturation +
     0.3*(1 - stopword ratio) + 0.2*word-length saturation. NULL for
-    word-less docs (guarded — under ANSI a bare /0 would throw)."""
+    word-less docs (guarded — under ANSI a bare /0 would throw).
+    String input memoizes the built tree (``cached_cols`` — the
+    stopword isin list alone is dozens of py4j round trips)."""
+    if isinstance(text_col, str):
+        return cached_cols(
+            f"text.quality.{text_col}",
+            lambda: quality_expr(F.col(text_col)),
+        )
     ws = F.filter(F.split(text_col, " "), lambda w: w != "")
     nt = F.size(ws)
     awl = (F.length(text_col) - nt + 1).cast("double") / nt
@@ -789,8 +801,13 @@ BIGRAM_LM_SQL = _bigram_lm_sql()
 
 
 def _lm_tokens() -> "F.Column":
-    return F.filter(F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), " "),
-                    lambda w: w != "")
+    return cached_cols(
+        "text.lm_tokens",
+        lambda: F.filter(
+            F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), " "),
+            lambda w: w != "",
+        ),
+    )
 
 
 def _lm_bigrams(docs: DataFrame, extra: tuple[str, ...] = ()) -> DataFrame:
@@ -1845,7 +1862,7 @@ def quality_calibrate(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = docs.select(
         "doc_id",
         "source",
-        F.floor(quality_expr(F.col("text")) * F.lit(1_000_000.0))
+        F.floor(quality_expr("text") * F.lit(1_000_000.0))
         .cast("bigint")
         .alias("quality_ppm"),
     ).where(F.col("quality_ppm").isNotNull())

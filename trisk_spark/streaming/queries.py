@@ -235,7 +235,7 @@ def curated_stream(docs: DataFrame) -> DataFrame:
         F.md5(F.lower("text")).alias("content_md5"),
         F.size(ws).cast("bigint").alias("n_tokens"),
         _split_col().alias("split"),
-        quality_expr(F.col("text")).alias("q"),
+        quality_expr("text").alias("q"),
     ).where(
         (F.col("n_tokens") >= MANIFEST_MIN_TOKENS)
         & (F.col("q") >= MANIFEST_MIN_QUALITY)
@@ -686,8 +686,8 @@ def semantic_flag_stream(
 
     ref = (
         _valid_embeddings(table(spark, ref_sf_dir, "embeddings"))
-        .select("vec_id", _scaled(F.col("embedding")).alias("vec"))
-        .where(_dot(F.col("vec"), F.col("vec")) > 0)
+        .select("vec_id", _scaled("embedding").alias("vec"))
+        .where(_dot("vec", "vec") > 0)
     )
     w = Window.partitionBy("band_idx", "bv").orderBy("vec_id")
     ref_bands = (
@@ -697,7 +697,7 @@ def semantic_flag_stream(
         .select(
             F.col("vec_id").alias("ref_id"),
             F.col("vec").alias("ref_vec"),
-            _dot(F.col("vec"), F.col("vec")).alias("ref_norm"),
+            _dot("vec", "vec").alias("ref_norm"),
             "band_idx",
             "bv",
         )
@@ -707,10 +707,10 @@ def semantic_flag_stream(
         index_out.append(ref_bands)
     arriving = (
         _valid_embeddings(emb_stream)
-        .select("vec_id", _scaled(F.col("embedding")).alias("vec"))
-        .where(_dot(F.col("vec"), F.col("vec")) > 0)
+        .select("vec_id", _scaled("embedding").alias("vec"))
+        .where(_dot("vec", "vec") > 0)
     )
-    cos = _dot(F.col("vec"), F.col("ref_vec")).cast("double") / (
+    cos = _dot("vec", "ref_vec").cast("double") / (
         F.sqrt(F.col("norm").cast("double"))
         * F.sqrt(F.col("ref_norm").cast("double"))
     )
@@ -720,7 +720,7 @@ def semantic_flag_stream(
     # sides would grow with total ingested volume (r9 review finding)
     flagged = (
         _srp_bands(arriving)
-        .withColumn("norm", _dot(F.col("vec"), F.col("vec")))
+        .withColumn("norm", _dot("vec", "vec"))
         .join(ref_bands, ["band_idx", "bv"])
         .where((F.col("vec_id") != F.col("ref_id")) & (cos >= NEAR_DUP_COS))
         .select("vec_id")
