@@ -51,7 +51,7 @@ import threading
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from trisk_spark.catalog import ckpt_eager, local_rows, table
+from trisk_spark.catalog import cached_cols, ckpt_eager, local_rows, table
 from trisk_spark.registry import register
 
 N_BPE_MERGES = 20
@@ -406,9 +406,23 @@ def bpe_segment(
     docs = table(spark, sf_dir, "documents").where(F.col("doc_id").isNotNull())
     if merges is None:
         merges = bpe_train(spark, sf_dir)
-    syms = F.concat(F.split("word", ""), F.array(F.lit(EOW)))
-    for left, right, _ in merges:
-        syms = _merge_fold(syms, left, right)
+
+    # The n_merges-deep nested fold is ~15 py4j round trips per level
+    # (~0.8 s of pure driver construction at 20 merges); the merge
+    # table is the cache key, so the same trained model segments with
+    # one build per JVM (cached_cols) and a different model — or the
+    # same pairs in a different order, which is a different greedy
+    # fold — can never alias.
+    def _build_syms():
+        syms = F.concat(F.split("word", ""), F.array(F.lit(EOW)))
+        for left, right, _ in merges:
+            syms = _merge_fold(syms, left, right)
+        return syms
+
+    syms = cached_cols(
+        "bpe.syms." + "|".join(f"{l}\x00{r}" for l, r, _ in merges),
+        _build_syms,
+    )
     # persist the segmentation table so the size guard's count and the
     # broadcast join share ONE corpus tokenize+shuffle pass (an eager
     # .count() on the unpersisted frame would recompute it — r9 review

@@ -1559,15 +1559,11 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 def quantize_int8(emb: DataFrame) -> DataFrame:
     """Core int8 quantizer over any validated (vec_id, embedding)
     DataFrame — batch or streaming (stateless map)."""
-    xs = F.transform("embedding", lambda x: x.cast("double"))
-    v = emb.select("vec_id", xs.alias("xs"))
-    s = v.withColumn(
-        "scale", F.array_max(F.transform("xs", lambda x: F.abs(x)))
-    )
-    m = F.lit(QUANT_BITS_MAX)
-    q = s.withColumn(
-        "qvec",
-        F.when(
+    def _build_quant_cols():
+        xs = F.transform("embedding", lambda x: x.cast("double"))
+        scale = F.array_max(F.transform("xs", lambda x: F.abs(x)))
+        m = F.lit(QUANT_BITS_MAX)
+        qvec = F.when(
             F.col("scale") > 0,
             F.transform(
                 "xs",
@@ -1575,18 +1571,25 @@ def quantize_int8(emb: DataFrame) -> DataFrame:
                     F.greatest(F.floor(x * m / F.col("scale")), -m), m
                 ).cast("bigint"),
             ),
-        ).otherwise(F.transform("xs", lambda x: F.lit(0).cast("bigint"))),
+        ).otherwise(F.transform("xs", lambda x: F.lit(0).cast("bigint")))
+        err = F.aggregate(
+            F.zip_with(
+                "xs",
+                "qvec",
+                lambda x, qv: (x - qv * F.col("scale") / m)
+                * (x - qv * F.col("scale") / m),
+            ),
+            F.lit(0.0),
+            lambda acc, e: acc + e,
+        )
+        return xs.alias("xs"), scale.alias("scale"), qvec.alias("qvec"), err
+
+    xs_col, scale_col, qvec_col, err = cached_cols(
+        "sim.quantize_int8", _build_quant_cols
     )
-    err = F.aggregate(
-        F.zip_with(
-            "xs",
-            "qvec",
-            lambda x, qv: (x - qv * F.col("scale") / m)
-            * (x - qv * F.col("scale") / m),
-        ),
-        F.lit(0.0),
-        lambda acc, e: acc + e,
-    )
+    v = emb.select("vec_id", xs_col)
+    s = v.withColumn("scale", scale_col)
+    q = s.withColumn("qvec", qvec_col)
     # FLOOR on the 1e-12 integer grid, not ROUND: both engines floor
     # the identical double, whereas a scale-9 ROUND on ~1e-6 values
     # hit cross-engine half-way artifacts on 12/500 corpus rows.

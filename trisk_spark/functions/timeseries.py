@@ -29,7 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
-from trisk_spark.catalog import local_rows, table
+from trisk_spark.catalog import cached_cols, local_rows, table
 from trisk_spark.registry import register
 
 TS_WINDOW = 16     # subsequence length (events per window)
@@ -452,24 +452,29 @@ def sax_word_col() -> Column:
     """The window's SAX word as one integer — base-ALPHABET digits of
     the z-normalized PAA symbols, mirroring ``_SAX_WORD_SQL`` exactly
     (same segment sums, same division order, same breakpoint
-    comparisons)."""
-    word = F.lit(0)
-    for s in range(SAX_SEGMENTS):
-        seg = F.slice(F.col("w"), s * SAX_SEG_LEN + 1, SAX_SEG_LEN)
-        paa = (
-            F.aggregate(seg, F.lit(0).cast("bigint"), lambda a, v: a + v)
-            .cast("double")
-            / SAX_SEG_LEN
-        )
-        z = (paa - F.col("mu")) / F.col("sd")
-        sym = (
-            F.when(z < SAX_BREAKS[0], 0)
-            .when(z < SAX_BREAKS[1], 1)
-            .when(z < SAX_BREAKS[2], 2)
-            .otherwise(3)
-        )
-        word = word + sym * (4 ** (SAX_SEGMENTS - 1 - s))
-    return word
+    comparisons). Built once per JVM (``cached_cols`` — ~SAX_SEGMENTS
+    × a dozen py4j round trips)."""
+
+    def build() -> Column:
+        word = F.lit(0)
+        for s in range(SAX_SEGMENTS):
+            seg = F.slice(F.col("w"), s * SAX_SEG_LEN + 1, SAX_SEG_LEN)
+            paa = (
+                F.aggregate(seg, F.lit(0).cast("bigint"), lambda a, v: a + v)
+                .cast("double")
+                / SAX_SEG_LEN
+            )
+            z = (paa - F.col("mu")) / F.col("sd")
+            sym = (
+                F.when(z < SAX_BREAKS[0], 0)
+                .when(z < SAX_BREAKS[1], 1)
+                .when(z < SAX_BREAKS[2], 2)
+                .otherwise(3)
+            )
+            word = word + sym * (4 ** (SAX_SEGMENTS - 1 - s))
+        return word
+
+    return cached_cols("ts.sax_word", build)
 
 
 def ts_sax_windows_gemm(
