@@ -11,6 +11,8 @@ all downstream code only sees DataFrames, so nothing else changes.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 TABLES = [
@@ -97,8 +99,11 @@ def spread_narrow_scan(df: DataFrame) -> DataFrame:
     return df
 
 
-#: (gateway id, site key) → built Column tree(s); see cached_cols
-_COL_CACHE: dict[tuple[int, str], object] = {}
+#: site key → built Column tree(s), valid only for _COL_CACHE_GATEWAY;
+#: see cached_cols
+_COL_CACHE: dict[str, object] = {}
+_COL_CACHE_GATEWAY: object | None = None
+_COL_CACHE_LOCK = threading.Lock()
 
 
 def cached_cols(key: str, build):
@@ -112,16 +117,30 @@ def cached_cols(key: str, build):
     trips / 0.9 s for one minhash projection). Unresolved expressions
     are immutable and frame-independent — the same tree can be bound
     into any number of plans — so each site builds ONCE per JVM
-    gateway. The cache key includes the gateway id: a fresh JVM (only
-    spawned when a whole new gateway starts in this process) can never
-    see another gateway's dead object handles."""
+    gateway. The cache holds the gateway OBJECT it was built against
+    and flushes whole when the identity changes (r17 ADVICE: keying by
+    ``id(gateway)`` could alias a dead gateway's recycled address and
+    serve Column trees wrapping dead JVM handles; a flush also drops
+    the dead trees instead of accumulating them). Lookup/insert are
+    lock-guarded with ``setdefault`` so two racing threads may both
+    build but exactly one tree wins (r17 ADVICE: the unsynchronized
+    dict made the double-build implicit)."""
     from pyspark import SparkContext
 
-    k = (id(SparkContext._gateway), key)
-    hit = _COL_CACHE.get(k)
+    global _COL_CACHE_GATEWAY
+    gw = SparkContext._gateway
+    with _COL_CACHE_LOCK:
+        if gw is not _COL_CACHE_GATEWAY:
+            _COL_CACHE.clear()
+            _COL_CACHE_GATEWAY = gw
+        hit = _COL_CACHE.get(key)
     if hit is None:
-        hit = build()
-        _COL_CACHE[k] = hit
+        built = build()
+        with _COL_CACHE_LOCK:
+            if gw is _COL_CACHE_GATEWAY:
+                hit = _COL_CACHE.setdefault(key, built)
+            else:
+                hit = built  # gateway turned over mid-build: don't poison
     return hit
 
 

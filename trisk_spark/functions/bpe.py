@@ -419,10 +419,17 @@ def bpe_segment(
             syms = _merge_fold(syms, left, right)
         return syms
 
-    syms = cached_cols(
-        "bpe.syms." + "|".join(f"{l}\x00{r}" for l, r, _ in merges),
-        _build_syms,
-    )
+    # Key = sha256 of the repr'd merge-pair tuple: repr is an
+    # unambiguous encoding (r17 ADVICE: the old '|'/'\x00' join let a
+    # symbol containing '|' collide two distinct merge tables and
+    # silently reuse the wrong greedy fold), and hashing bounds the key
+    # size however large a trained model grows.
+    import hashlib as _hashlib
+
+    _merge_key = _hashlib.sha256(
+        repr(tuple((l, r) for l, r, _ in merges)).encode("utf-8")
+    ).hexdigest()
+    syms = cached_cols("bpe.syms." + _merge_key, _build_syms)
     # persist the segmentation table so the size guard's count and the
     # broadcast join share ONE corpus tokenize+shuffle pass (an eager
     # .count() on the unpersisted frame would recompute it — r9 review

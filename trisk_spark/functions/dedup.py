@@ -841,8 +841,15 @@ def min_label_components(
         # graphs, and every composed consumer stays oracle-gated).
         from trisk_spark.catalog import local_rows
 
+        # NULL ids never reach here (the pairs kernels join/group on
+        # ids), but guard anyway so the two paths stay behavior-aligned
+        # (r17 ADVICE: int(None) raised on the driver while the loop
+        # path would drop the edge via join NULL semantics).
         labels_rows = _driver_components(
-            (int(r["a"]), int(r["b"])) for r in raw.collect()
+            (int(r["a"]), int(r["b"]))
+            for r in raw.where(
+                F.col("a").isNotNull() & F.col("b").isNotNull()
+            ).collect()
         )
         return local_rows(
             pairs.sparkSession,
