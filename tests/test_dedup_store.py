@@ -61,7 +61,10 @@ def test_probe_prunes_band_partitions(spark, tmp_path):
     bands_new = dedup_store.minhash_bands(sig).select(
         F.col("band_idx").cast("int").alias("band_idx"),
         "bh",
-    ).withColumn("bucket", dedup_store._bucket())
+    ).withColumn(
+        "bucket",
+        dedup_store._bucket(n_buckets=dedup_store._store_fan(path)),
+    )
     routed = dedup_store._routed_buckets_checked(bands_new, 10)
     assert 0 < len(routed) < written, (
         f"pruning is vacuous: {len(routed)} routed of {written} written"
@@ -201,6 +204,39 @@ def test_dedup_probe_stream_equals_batch(spark, tmp_path):
     key = lambda r: (r.doc_id, r.dup_of, r.n_agree, r.est_jaccard, r.is_dup)  # noqa: E731
     assert sorted(map(key, emitted)) == sorted(map(key, batch_img))
     assert len(batch_img) > 0, "no arriving doc collided — vacuous corpus split"
+
+
+def test_store_fan_is_corpus_derived_and_persisted(spark, tmp_path):
+    """The bands partition fan is derived from the corpus size at
+    write time (next pow2 of n_docs/4096, clamped [4, 65536]), persisted
+    beside the store, and read back by every verb — never a module
+    constant for a store that carries metadata (r18: 64 was oversized
+    at small corpora and a fixed constant at 100 TB)."""
+    import os
+
+    from trisk_spark.functions import storefs
+
+    assert storefs.derived_fan(0) == 4
+    assert storefs.derived_fan(4096) == 4
+    assert storefs.derived_fan(5 * 4096) == 8
+    assert storefs.derived_fan(400_000) == 128
+    assert storefs.derived_fan(10**9) == 65536  # clamped, still huge
+
+    path = str(tmp_path / "store")
+    existing, _ = _corpus_split(spark)
+    dedup_store.write_dedup_store(spark, existing, path)
+    fan = dedup_store._store_fan(path)
+    assert fan == storefs.derived_fan(existing.count())
+    mx = (
+        spark.read.parquet(f"{path}/bands")
+        .agg(F.max("bucket"))
+        .collect()[0][0]
+    )
+    assert mx < fan, "bucket values escaped the recorded fan"
+    # legacy fallback: a store without the metadata file reads the
+    # module constant, so pre-derivation stores stay readable
+    os.remove(f"{path}/_n_buckets")
+    assert dedup_store._store_fan(path) == dedup_store.N_STORE_BUCKETS
 
 
 def test_append_equals_rebuild(spark, tmp_path):

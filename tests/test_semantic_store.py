@@ -77,7 +77,7 @@ def test_probe_prunes_band_partitions(spark, tmp_path):
         S._normed(few).select("vec_id", "vec")
     ).select(
         F.col("band_idx").cast("int").alias("band_idx"), "bv"
-    ).withColumn("bucket", S._vbucket())
+    ).withColumn("bucket", S._vbucket(n_buckets=S._store_fan(path)))
     routed = S._routed_buckets_checked(bands_new, 10)
     assert 0 < len(routed) < written, (
         f"pruning is vacuous: {len(routed)} routed of {written} written"

@@ -178,7 +178,12 @@ def write_bm25_store(spark: SparkSession, docs: DataFrame, path: str) -> None:
         "overwrite"
     ).partitionBy("bucket").parquet(f"{path}/postings")
     doclens.write.mode("overwrite").parquet(f"{path}/doclens")
-    stats = doclens.agg(
+    # stats derive from the WRITTEN doclens parquet, not the doclens
+    # lineage: the lineage replays the whole corpus tokenize a third
+    # time just to sum two columns, while the written table is a
+    # 2-column scan (the write_dedup_store read-back rule; r18 —
+    # measured one full tokenize pass off the build).
+    stats = spark.read.parquet(f"{path}/doclens").agg(
         F.count("*").cast("bigint").alias("n_docs"),
         F.coalesce(F.sum("dl"), F.lit(0)).cast("bigint").alias("total_len"),
     )
@@ -299,6 +304,12 @@ def append_bm25_store(
     ``repair_replayed_append``)."""
     storefs.require_no_pending_delete(path, "append_bm25_store", "bm25")
     postings, doclens = _wave_postings_doclens(new_docs)
+    # LAZY checkpoint (the ingest stream already does this): doclens is
+    # consumed twice downstream (the guard aggregate, then the doclens
+    # append) and each consumption replays the wave tokenize; the
+    # checkpoint materializes the wave-sized (doc_id, dl) rows once at
+    # the guard aggregate (r18).
+    doclens = doclens.localCheckpoint(eager=ckpt_eager())
     _append_wave(spark, postings, doclens, path)
 
 

@@ -81,8 +81,14 @@ from trisk_spark.functions.dedup import (
     minhash_signatures,
 )
 
-#: bands-table partition fan per band (directories = N_BANDS × this);
-#: a probe batch prunes to ≤ its own routed (band_idx, bucket) pairs
+#: LEGACY bands-table partition fan per band (directories = N_BANDS ×
+#: this) — the read-side default for stores written before fans were
+#: derived. New stores persist a corpus-derived fan at write time
+#: (``storefs.derived_fan`` — next pow2 of n_docs/4096, clamped
+#: [4, 65536]) in ``_n_buckets`` beside the store: 64 was oversized at
+#: small corpora (192 near-empty directories; the partitioned-write
+#: commit and every probe's listing pay per directory) and a constant
+#: at 100 TB, where pruning wants more buckets.
 N_STORE_BUCKETS = 64
 
 #: ceiling on a single probe batch (the ivf_store MAX_PROBE_BATCH_ROWS
@@ -105,30 +111,37 @@ _PROBE_SCHEMA = (
 )
 
 
-def _bucket(col=None):
-    """Partition bucket of a band hash: md5(bh) reduced to
-    N_STORE_BUCKETS. Purely a refinement of bh equality — semantics
-    never see it, only the directory pruner — so the oracle SQL needs
-    no mirror."""
+def _bucket(col=None, n_buckets: int = N_STORE_BUCKETS):
+    """Partition bucket of a band hash: md5(bh) reduced to the store's
+    bucket fan. Purely a refinement of bh equality — semantics never
+    see it, only the directory pruner — so the oracle SQL needs no
+    mirror. ``n_buckets`` is the STORE'S recorded fan (``_store_fan``);
+    the default serves legacy stores and fan-free kernel twins."""
     c = F.col("bh") if col is None else col
     return (
         F.pmod(
             F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint"),
-            F.lit(N_STORE_BUCKETS),
+            F.lit(n_buckets),
         )
         .cast("int")
         .alias("bucket")
     )
 
 
-def _write_tasks(spark: SparkSession) -> int:
+def _store_fan(path: str) -> int:
+    """The store's persisted bucket fan, falling back to the legacy
+    constant for stores written before fans were derived."""
+    return storefs.read_store_fan(path, N_STORE_BUCKETS)
+
+
+def _write_tasks(spark: SparkSession, n_buckets: int = N_STORE_BUCKETS) -> int:
     """Writer parallelism for the (band_idx, bucket)-partitioned band
     table: the session's shuffle parallelism, capped at one task per
     partition directory (a task per directory is the maximum useful —
     beyond it extra tasks would sit empty, below it a writer commits
     several directories serially)."""
     conf = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-    return max(1, min(conf, N_BANDS * N_STORE_BUCKETS))
+    return max(1, min(conf, N_BANDS * n_buckets))
 
 
 def write_dedup_store(spark: SparkSession, docs: DataFrame, path: str) -> None:
@@ -147,12 +160,21 @@ def write_dedup_store(spark: SparkSession, docs: DataFrame, path: str) -> None:
     sig = minhash_signatures(docs.where(F.col("doc_id").isNotNull()))
     sig.write.mode("overwrite").parquet(f"{path}/signatures")
     sig_stored = spark.read.parquet(f"{path}/signatures")
+    # Derive the bucket fan from the corpus size (parquet-metadata
+    # count over the just-written table — no data scan) and persist it
+    # beside the store BEFORE any bucketed bytes exist; every later
+    # verb reads it back instead of trusting a module constant.
+    fan = storefs.derived_fan(sig_stored.count())
+    storefs.write_store_fan(path, fan)
     w = Window.partitionBy("band_idx", "bh").orderBy("doc_id")
     bands = (
         minhash_bands(sig_stored)
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= BUCKET_CAP)
-        .select("doc_id", "bh", F.col("band_idx").cast("int"), _bucket())
+        .select(
+            "doc_id", "bh", F.col("band_idx").cast("int"),
+            _bucket(n_buckets=fan),
+        )
     )
     # Repartition BY THE WRITE'S PARTITION COLUMNS with an explicit
     # task count (explicit so AQE cannot coalesce the post-window
@@ -164,7 +186,7 @@ def write_dedup_store(spark: SparkSession, docs: DataFrame, path: str) -> None:
     # probe's pruned read wants — and parallelism self-caps at the
     # directory count however large the cluster conf is.
     bands.repartition(
-        _write_tasks(spark), "band_idx", "bucket"
+        _write_tasks(spark, fan), "band_idx", "bucket"
     ).write.mode("overwrite").partitionBy("band_idx", "bucket").parquet(
         f"{path}/bands"
     )
@@ -232,6 +254,7 @@ def probe_dedup_store(
     # shingle explode (44 s vs 13 s at the 10k wave, PERF_NOTES r12).
     # LAZY: the routing collect is the wave's first action and
     # materializes the signatures for all three consumers (r17)
+    fan = _store_fan(path)
     sig_new = minhash_signatures(
         new_docs.where(F.col("doc_id").isNotNull())
     ).localCheckpoint(eager=ckpt_eager())
@@ -239,7 +262,7 @@ def probe_dedup_store(
         F.col("doc_id").alias("new_id"),
         F.col("band_idx").cast("int").alias("band_idx"),
         "bh",
-        _bucket(),
+        _bucket(n_buckets=fan),
     )
     routes = _routed_buckets_checked(bands_new, max_probe_rows)
     if not routes:
@@ -249,7 +272,7 @@ def probe_dedup_store(
     # is then a tautology and only costs planner time (measured ~0.5 s
     # of per-partition predicate evaluation at 192 dirs), so prune
     # only when pruning can drop something.
-    if len(routes) < N_BANDS * N_STORE_BUCKETS:
+    if len(routes) < N_BANDS * fan:
         pred = reduce(
             or_,
             [
@@ -343,11 +366,13 @@ def append_dedup_store(
     # LAZY: the routing distinct-collect below is the first action
     # and materializes the wave's signatures for the band merge and
     # the final signature append (r17)
+    fan = _store_fan(path)
     sig_new = minhash_signatures(
         new_docs.where(F.col("doc_id").isNotNull())
     ).localCheckpoint(eager=ckpt_eager())
     bands_new = minhash_bands(sig_new).select(
-        "doc_id", "bh", F.col("band_idx").cast("int").alias("band_idx"), _bucket()
+        "doc_id", "bh", F.col("band_idx").cast("int").alias("band_idx"),
+        _bucket(n_buckets=fan),
     )
     routes = sorted(
         (r["band_idx"], r["bucket"])
@@ -360,7 +385,7 @@ def append_dedup_store(
     old = spark.read.parquet(f"{path}/bands")
     # tautology skip (the probe_dedup_store rule): a wave touching
     # every (band_idx, bucket) makes the disjunction pure planner cost
-    if len(routes) < N_BANDS * N_STORE_BUCKETS:
+    if len(routes) < N_BANDS * fan:
         pred = reduce(
             or_,
             [
@@ -380,7 +405,7 @@ def append_dedup_store(
         # one writer task per touched directory (the write_dedup_store
         # layout rule — explicit count so AQE can't serialize the
         # rewrite into one task committing every touched bucket)
-        .repartition(_write_tasks(spark), "band_idx", "bucket")
+        .repartition(_write_tasks(spark, fan), "band_idx", "bucket")
         # the rewrite READS the path it overwrites: materialize the
         # merged buckets (touched-partition sized) BEFORE the write or
         # Spark would plan a self-overwriting scan
@@ -567,7 +592,7 @@ def compact_dedup_store(
     sig = spark.read.parquet(f"{path}/signatures").coalesce(max(1, sig_files))
     sig.write.mode("overwrite").parquet(f"{path}/signatures_compact_tmp")
     bands = spark.read.parquet(f"{path}/bands").repartition(
-        _write_tasks(spark), "band_idx", "bucket"
+        _write_tasks(spark, _store_fan(path)), "band_idx", "bucket"
     )
     bands.write.mode("overwrite").partitionBy("band_idx", "bucket").parquet(
         f"{path}/bands_compact_tmp"
@@ -842,19 +867,23 @@ def _run_recorded_delete(spark: SparkSession, ids: list, path: str) -> None:
     import shutil
 
     base = storefs.strip_file_scheme(path)
+    fan = _store_fan(path)
     sig = spark.read.parquet(f"{path}/signatures")
     victims = sig.where(F.col("doc_id").isin(ids))
     routes = sorted(
         (r["band_idx"], r["bucket"])
         for r in minhash_bands(victims)
-        .select(F.col("band_idx").cast("int").alias("band_idx"), _bucket())
+        .select(
+            F.col("band_idx").cast("int").alias("band_idx"),
+            _bucket(n_buckets=fan),
+        )
         .select("band_idx", "bucket")
         .distinct()
         .collect()
     )
     if routes:
         keep_sig = sig.where(~F.col("doc_id").isin(ids))
-        if len(routes) < N_BANDS * N_STORE_BUCKETS:
+        if len(routes) < N_BANDS * fan:
             pred = reduce(
                 or_,
                 [
@@ -869,13 +898,14 @@ def _run_recorded_delete(spark: SparkSession, ids: list, path: str) -> None:
             minhash_bands(keep_sig)
             .select(
                 "doc_id", "bh",
-                F.col("band_idx").cast("int").alias("band_idx"), _bucket(),
+                F.col("band_idx").cast("int").alias("band_idx"),
+                _bucket(n_buckets=fan),
             )
             .where(pred)
             .withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") <= BUCKET_CAP)
             .select("doc_id", "bh", "band_idx", "bucket")
-            .repartition(_write_tasks(spark), "band_idx", "bucket")
+            .repartition(_write_tasks(spark, fan), "band_idx", "bucket")
             # materialize BEFORE clearing the directories it reads
             # nothing from (source = signatures) but AFTER which the
             # write must not replan against a half-cleared table

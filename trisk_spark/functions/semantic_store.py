@@ -86,6 +86,9 @@ from trisk_spark.functions.similarity import (
 #: multiply directory count without adding selectivity on a skewed
 #: sign distribution (a hot bv is a hot bucket under ANY hash — the
 #: write-time VEC_BUCKET_CAP is the real degenerate-corpus guard).
+#: (LEGACY read-side default — new stores persist a corpus-derived fan
+#: at write time, ``storefs.derived_fan`` with the same [4, 65536]
+#: clamp, in ``_n_buckets`` beside the store; see dedup_store.)
 N_SEM_STORE_BUCKETS = 16
 
 #: Probe-size ceiling: the arriving side of the band join BROADCASTS,
@@ -106,30 +109,39 @@ _PROBE_SCHEMA = StructType(
 )
 
 
-def _vbucket(col=None):
-    """Partition bucket of a band value: md5(bv) reduced to
-    N_SEM_STORE_BUCKETS. Purely a refinement of bv equality —
-    semantics never see it, only the directory pruner — so the oracle
-    SQL needs no mirror (the ``dedup_store._bucket`` rule)."""
+def _vbucket(col=None, n_buckets: int = N_SEM_STORE_BUCKETS):
+    """Partition bucket of a band value: md5(bv) reduced to the store's
+    bucket fan. Purely a refinement of bv equality — semantics never
+    see it, only the directory pruner — so the oracle SQL needs no
+    mirror (the ``dedup_store._bucket`` rule). ``n_buckets`` is the
+    store's recorded fan; the default serves legacy stores."""
     c = F.col("bv") if col is None else col
     return (
         F.pmod(
             F.conv(
                 F.substring(F.md5(c.cast("string")), 1, 15), 16, 10
             ).cast("bigint"),
-            F.lit(N_SEM_STORE_BUCKETS),
+            F.lit(n_buckets),
         )
         .cast("int")
         .alias("bucket")
     )
 
 
-def _write_tasks(spark: SparkSession) -> int:
+def _store_fan(path: str) -> int:
+    """The store's persisted bucket fan, falling back to the legacy
+    constant for stores written before fans were derived."""
+    return storefs.read_store_fan(path, N_SEM_STORE_BUCKETS)
+
+
+def _write_tasks(
+    spark: SparkSession, n_buckets: int = N_SEM_STORE_BUCKETS
+) -> int:
     """Writer parallelism for the (band_idx, bucket)-partitioned band
     table — the ``dedup_store._write_tasks`` rule: the session's
     shuffle parallelism, capped at one task per partition directory."""
     conf = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-    return max(1, min(conf, COS_NB_BANDS * N_SEM_STORE_BUCKETS))
+    return max(1, min(conf, COS_NB_BANDS * n_buckets))
 
 
 def _normed(emb: DataFrame) -> DataFrame:
@@ -160,17 +172,25 @@ def write_semantic_store(spark: SparkSession, emb: DataFrame, path: str) -> None
     vecs = _normed(emb)
     vecs.write.mode("overwrite").parquet(f"{path}/vectors")
     stored = spark.read.parquet(f"{path}/vectors")
+    # Derive the bucket fan from the corpus size (parquet-metadata
+    # count — no data scan) and persist it beside the store BEFORE any
+    # bucketed bytes exist (the write_dedup_store rule).
+    fan = storefs.derived_fan(stored.count())
+    storefs.write_store_fan(path, fan)
     w = Window.partitionBy("band_idx", "bv").orderBy("vec_id")
     bands = (
         _srp_bands(stored.select("vec_id", "vec"))
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= VEC_BUCKET_CAP)
-        .select("vec_id", "bv", F.col("band_idx").cast("int"), _vbucket())
+        .select(
+            "vec_id", "bv", F.col("band_idx").cast("int"),
+            _vbucket(n_buckets=fan),
+        )
     )
     # one writer task per partition directory (the dedup_store layout
     # rule — explicit count so AQE can't serialize the write)
     bands.repartition(
-        _write_tasks(spark), "band_idx", "bucket"
+        _write_tasks(spark, fan), "band_idx", "bucket"
     ).write.mode("overwrite").partitionBy("band_idx", "bucket").parquet(
         f"{path}/bands"
     )
@@ -228,6 +248,7 @@ def probe_semantic_store(
     both engines, the ``_gemm_block_pairs`` exactness argument) → one
     struct-MAX argmax per arriving vector. Nothing corpus-sized moves
     except the pruned bucket read."""
+    fan = _store_fan(path)
     # LAZY: the routing collect right after is the wave's first
     # action and materializes the normed wave for every consumer (r17)
     arr = _normed(new_emb).localCheckpoint(eager=ckpt_eager())
@@ -235,7 +256,7 @@ def probe_semantic_store(
         F.col("vec_id").alias("new_id"),
         F.col("band_idx").cast("int").alias("band_idx"),
         "bv",
-        _vbucket(),
+        _vbucket(n_buckets=fan),
     )
     routes = _routed_buckets_checked(bands_new, max_probe_rows)
     if not routes:
@@ -243,7 +264,7 @@ def probe_semantic_store(
     store_bands = spark.read.parquet(f"{path}/bands")
     # tautology skip (the dedup_store rule): a wave touching every
     # (band_idx, bucket) makes the disjunction pure planner cost
-    if len(routes) < COS_NB_BANDS * N_SEM_STORE_BUCKETS:
+    if len(routes) < COS_NB_BANDS * fan:
         pred = reduce(
             or_,
             [
@@ -313,11 +334,13 @@ def append_semantic_store(
     the band re-cap deduplicates on (band_idx, bv, vec_id), so the
     repair is idempotent for bands and the vector append then lands
     once (under the ingest watermark's replay guard)."""
+    fan = _store_fan(path)
     # LAZY: the routing collect right after is the wave's first
     # action and materializes the normed wave for every consumer (r17)
     arr = _normed(new_emb).localCheckpoint(eager=ckpt_eager())
     bands_new = _srp_bands(arr.select("vec_id", "vec")).select(
-        "vec_id", "bv", F.col("band_idx").cast("int").alias("band_idx"), _vbucket()
+        "vec_id", "bv", F.col("band_idx").cast("int").alias("band_idx"),
+        _vbucket(n_buckets=fan),
     )
     routes = sorted(
         (r["band_idx"], r["bucket"])
@@ -327,7 +350,7 @@ def append_semantic_store(
         # empty wave (no valid nonzero-norm vectors): nothing to write
         return
     old = spark.read.parquet(f"{path}/bands")
-    if len(routes) < COS_NB_BANDS * N_SEM_STORE_BUCKETS:
+    if len(routes) < COS_NB_BANDS * fan:
         pred = reduce(
             or_,
             [
@@ -344,7 +367,7 @@ def append_semantic_store(
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= VEC_BUCKET_CAP)
         .select("vec_id", "bv", "band_idx", "bucket")
-        .repartition(_write_tasks(spark), "band_idx", "bucket")
+        .repartition(_write_tasks(spark, fan), "band_idx", "bucket")
         # the rewrite READS the path it overwrites: materialize the
         # merged buckets BEFORE the write (the append_dedup_store rule)
         .localCheckpoint()
@@ -475,7 +498,7 @@ def compact_semantic_store(
     vecs = spark.read.parquet(f"{path}/vectors").coalesce(max(1, vec_files))
     vecs.write.mode("overwrite").parquet(f"{path}/vectors_compact_tmp")
     bands = spark.read.parquet(f"{path}/bands").repartition(
-        _write_tasks(spark), "band_idx", "bucket"
+        _write_tasks(spark, _store_fan(path)), "band_idx", "bucket"
     )
     bands.write.mode("overwrite").partitionBy("band_idx", "bucket").parquet(
         f"{path}/bands_compact_tmp"
@@ -719,19 +742,23 @@ def _run_recorded_delete(spark: SparkSession, ids: list, path: str) -> None:
     import shutil
 
     base = storefs.strip_file_scheme(path)
+    fan = _store_fan(path)
     vecs = spark.read.parquet(f"{path}/vectors")
     victims = vecs.where(F.col("vec_id").isin(ids))
     routes = sorted(
         (r["band_idx"], r["bucket"])
         for r in _srp_bands(victims.select("vec_id", "vec"))
-        .select(F.col("band_idx").cast("int").alias("band_idx"), _vbucket())
+        .select(
+            F.col("band_idx").cast("int").alias("band_idx"),
+            _vbucket(n_buckets=fan),
+        )
         .select("band_idx", "bucket")
         .distinct()
         .collect()
     )
     if routes:
         keep = vecs.where(~F.col("vec_id").isin(ids))
-        if len(routes) < COS_NB_BANDS * N_SEM_STORE_BUCKETS:
+        if len(routes) < COS_NB_BANDS * fan:
             pred = reduce(
                 or_,
                 [
@@ -746,13 +773,14 @@ def _run_recorded_delete(spark: SparkSession, ids: list, path: str) -> None:
             _srp_bands(keep.select("vec_id", "vec"))
             .select(
                 "vec_id", "bv",
-                F.col("band_idx").cast("int").alias("band_idx"), _vbucket(),
+                F.col("band_idx").cast("int").alias("band_idx"),
+                _vbucket(n_buckets=fan),
             )
             .where(pred)
             .withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") <= VEC_BUCKET_CAP)
             .select("vec_id", "bv", "band_idx", "bucket")
-            .repartition(_write_tasks(spark), "band_idx", "bucket")
+            .repartition(_write_tasks(spark, fan), "band_idx", "bucket")
             .localCheckpoint()
         )
         for b, k in routes:

@@ -84,6 +84,40 @@ def write_small_text(path: str, name: str, text: str) -> None:
     os.replace(tmp, f"{base}/{name}")
 
 
+def derived_fan(
+    n_rows: int, rows_per_bucket: int = 4096, lo: int = 4, hi: int = 65536
+) -> int:
+    """SCALE-DERIVED bucket fan for a partitioned store table: the next
+    power of two of ``n_rows / rows_per_bucket``, clamped to [lo, hi].
+    The band stores' old fixed fan (64) was wrong at both ends — 192
+    near-empty directories for a 4k-doc corpus (the partitioned-write
+    commit and every probe's file listing pay per directory) and a
+    constant at 100 TB where pruning wants MORE buckets (guide §2.3
+    "make partitioning scale-adaptive — derive from input size"). The
+    fan is computed ONCE at store creation from the corpus row count,
+    persisted beside the store (``_n_buckets``), and every later verb
+    (probe/append/delete/compact) reads it back — a store's layout is
+    fixed at birth; growth is a compaction-time migration."""
+    q = max(1, (max(0, n_rows) + rows_per_bucket - 1) // rows_per_bucket)
+    fan = 1 << (q - 1).bit_length()
+    return max(lo, min(hi, fan))
+
+
+def read_store_fan(path: str, default: int) -> int:
+    """The store's persisted bucket fan (``_n_buckets``), or ``default``
+    for a store written before fans were derived (the legacy module
+    constant keeps those stores readable). One os read, no jobs."""
+    txt = read_small_text(path, "_n_buckets")
+    return default if txt is None else int(txt.strip())
+
+
+def write_store_fan(path: str, n_buckets: int) -> None:
+    """Persist the store's bucket fan (atomic small-text write). Lands
+    BEFORE the first partitioned table is written so any store with
+    bucketed data always carries its layout record."""
+    write_small_text(path, "_n_buckets", str(int(n_buckets)))
+
+
 def repair_store(path: str, tables: tuple[str, ...]) -> None:
     """Bring a store back to a consistent layout after a compaction
     crash — called automatically on compaction entry, and callable
