@@ -7,6 +7,8 @@ these tests pin the three anti-joins that glue them."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from trisk_spark.functions import admission, dedup_store
@@ -82,6 +84,7 @@ def _store_ids(spark, dpath, spath):
     return docs, vecs
 
 
+@pytest.mark.slow
 def test_admission_wave_funnel_and_loop(spark, tmp_path):
     dpath, spath = _seed_stores(spark, tmp_path)
     w1 = spark.createDataFrame(_WAVE1, _SCHEMA)
@@ -116,6 +119,7 @@ def test_admission_wave_funnel_and_loop(spark, tmp_path):
     assert row.n_unsigned_band_docs == 0
 
 
+@pytest.mark.slow
 def test_admission_stream_equals_waves_and_replay_guard(spark, tmp_path):
     """The stream form must emit exactly the per-wave images (same
     funnel verdicts batch by batch), and a forced checkpoint replay is
@@ -203,6 +207,7 @@ def test_admission_stream_equals_waves_and_replay_guard(spark, tmp_path):
     assert glob.glob(f"{dpath}/_admission_intent_*") == []
 
 
+@pytest.mark.slow
 def test_admission_stream_heals_cross_append_crash(spark, tmp_path, monkeypatch):
     """The r13 ADVICE window as a forced crash: the stream dies BETWEEN
     the two appends (dedup landed, semantic did not, watermark
@@ -274,6 +279,7 @@ def test_admission_stream_heals_cross_append_crash(spark, tmp_path, monkeypatch)
     assert admission.storefs.read_ingest_watermark(dpath) == 0
 
 
+@pytest.mark.slow
 def test_admission_wave_indexes_bm25(spark, tmp_path):
     """Opt-in third store: every ADMITTED document (and only those)
     lands in the BM25 postings index, wave after wave — admitted ⇒
@@ -314,6 +320,7 @@ def test_admission_wave_indexes_bm25(spark, tmp_path):
     }
 
 
+@pytest.mark.slow
 def test_admission_stream_heals_bm25_append_crash(
     spark, tmp_path, monkeypatch
 ):
@@ -396,6 +403,7 @@ def test_admission_stream_heals_bm25_append_crash(
     assert admission.storefs.read_ingest_watermark(dpath) == 0
 
 
+@pytest.mark.slow
 def test_takedown_wave_unadmits_across_all_stores(spark, tmp_path):
     """Un-admit: after takedown_wave the three stores no longer know
     the victims (band/vector/posting membership gone, loop-closure
@@ -439,6 +447,7 @@ def test_takedown_wave_unadmits_across_all_stores(spark, tmp_path):
     assert 40 in docs2 and 40 in vecs2
 
 
+@pytest.mark.slow
 def test_admission_refuses_pending_takedown(spark, tmp_path, monkeypatch):
     """The r16-queued admission-side guard: a wave must FAIL LOUD when
     a target store carries a crashed takedown's durable
@@ -488,6 +497,7 @@ def test_admission_refuses_pending_takedown(spark, tmp_path, monkeypatch):
     assert 12 in docs
 
 
+@pytest.mark.slow
 def test_admission_refuses_mid_wave_takedown_crash(
     spark, tmp_path, monkeypatch
 ):

@@ -15,6 +15,11 @@ Scenarios mirror SURVEY.md §2C:
 
 from __future__ import annotations
 
+import pytest as _pytest
+
+# nightly lane: reconfiguration-under-load sweeps
+pytestmark = _pytest.mark.slow
+
 import pytest
 from pyspark.sql import functions as F
 

@@ -371,6 +371,7 @@ def test_takedown_flips_outlier_verdict(spark, tmp_path):
     assert not after.is_outlier and after.dist2 == 1.0 * DIM
 
 
+@pytest.mark.slow
 def test_takedown_wave_subtracts_gram_and_rerun_converges(
     spark, tmp_path, monkeypatch
 ):
@@ -567,6 +568,7 @@ def test_tombstone_wave_id_derivation(spark, tmp_path):
     assert G.tombstone_wave_id(vic_ids, 1) in landed
 
 
+@pytest.mark.slow
 def test_takedown_wave_readmit_then_retakedown_converges(spark, tmp_path):
     """The r15 VERDICT next-round #6 'Done' criterion: victims taken
     down, RE-ADMITTED, then taken down AGAIN through the plain
@@ -641,6 +643,7 @@ def test_takedown_wave_readmit_then_retakedown_converges(spark, tmp_path):
     assert row.n_dup_wave_rows == 0
 
 
+@pytest.mark.slow
 def test_takedown_wave_pending_different_ids_fails_loud(
     spark, tmp_path, monkeypatch
 ):
@@ -701,6 +704,7 @@ def test_takedown_wave_pending_different_ids_fails_loud(
     assert _moments(G.gram_store_moments(spark, gpath)) == want
 
 
+@pytest.mark.slow
 def test_takedown_wave_pre_sequence_migration_guard(spark, tmp_path):
     """r16 review finding: on a store migrated from the pre-sequence
     (r15) era, seq=1's tombstone aliases the legacy bare-CSV digest —
@@ -787,6 +791,7 @@ def test_takedown_wave_pre_sequence_migration_guard(spark, tmp_path):
     assert _moments(G.gram_store_moments(spark, gpath)) == want
 
 
+@pytest.mark.slow
 def test_migration_guard_survives_unrelated_waves(spark, tmp_path):
     """r16 second-review finding: the pre-sequence guard must key on
     the per-id-set completion LEDGER, not on 'counter == 0' — a
@@ -909,6 +914,7 @@ def test_takedown_wave_rejects_uncovering_victim_emb(spark, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_migration_guard_catches_subset_derived_legacy_tombstone(
     spark, tmp_path
 ):
@@ -1081,6 +1087,7 @@ def test_append_gram_refuses_pending_takedown_markers(
     assert _moments(G.gram_store_moments(spark, gpath)) == want
 
 
+@pytest.mark.slow
 def test_migration_guard_catches_membership_gated_legacy_tombstone(
     spark, tmp_path
 ):

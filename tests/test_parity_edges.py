@@ -672,6 +672,7 @@ def test_bid_price_nan_inf_values(spark, tmp_path):
     assert all(q1[a] is None for a in (2, 3, 4, 6))
 
 
+@pytest.mark.slow
 def test_substring_dedup_caps_fingerprints_on_huge_documents(spark, tmp_path):
     # a multi-MB document must cost O(SUBSTR_MAX_CHARS) fingerprint
     # memory, not O(len): only the first cap-window is fingerprinted
@@ -1225,6 +1226,7 @@ def test_source_upsample_plan_one_shuffle_broadcast_factors(spark):
     assert plan.count("hashpartitioning(source") <= 2, plan
 
 
+@pytest.mark.slow
 def test_training_plan_parity_and_composition_semantics(spark):
     # the capstone composition (manifest − semantic dups − cluster-cap
     # overflow + epochs): fully-composed oracle parity, plus the
@@ -1295,6 +1297,7 @@ def test_training_plan_parity_on_hostile_union_corpus(
     )
 
 
+@pytest.mark.slow
 def test_pack_plan_parity_and_packing_invariants(spark):
     # plan → batches: composed-oracle parity plus the packing
     # invariants — every train doc appears exactly `epochs` times,
@@ -1344,6 +1347,7 @@ def test_pq_encode_trained_parity_on_hostile_corpus(
     assert_matches_oracle(pq_encode_trained(spark, sf_dir), con, qd.oracle)
 
 
+@pytest.mark.slow
 def test_training_plan_family_parity_on_hostile_union_corpus(
     spark, hostile_docs, hostile_embeddings, tmp_path
 ):
@@ -1368,6 +1372,7 @@ def test_training_plan_family_parity_on_hostile_union_corpus(
         assert_matches_oracle(qd.fn(spark, str(tmp_path)), con, qd.oracle)
 
 
+@pytest.mark.slow
 def test_curation_funnel_parity_and_monotonicity(spark):
     # the funnel's full DuckDB oracle must match at SF_DIR, and the
     # stages must be monotone non-increasing (a stage that GAINS rows
@@ -1394,6 +1399,7 @@ def test_curation_funnel_parity_and_monotonicity(spark):
     assert r.train_tokens > 0
 
 
+@pytest.mark.slow
 def test_curation_funnel_parity_on_hostile_union_corpus(
     spark, hostile_docs, hostile_embeddings, tmp_path
 ):

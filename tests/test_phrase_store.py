@@ -274,6 +274,7 @@ def test_replayed_append_detect_and_repair(spark, tmp_path):
     assert repaired == clean and len(repaired) > 0
 
 
+@pytest.mark.slow
 def test_probe_stream_equals_batch(spark, tmp_path):
     """Arriving PROBES scored per micro-batch must union to the
     one-call image — probes are independent rows."""
@@ -471,6 +472,7 @@ def test_delete_crash_mid_directory_swap_resume(spark, tmp_path, monkeypatch):
     assert glob.glob(f"{live}/postings_staged_delete*") == []
 
 
+@pytest.mark.slow
 def test_takedown_wave_clears_phrase_store_and_reconverges(
     spark, tmp_path, monkeypatch
 ):

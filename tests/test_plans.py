@@ -1128,3 +1128,66 @@ def test_source_divergence_counts_once_and_joins_word_shuffled(spark):
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
     assert "BroadcastNestedLoopJoin" in plan, plan  # 1-row grand total
     assert "partial_sum" in plan, "final aggregate lost map-side combine"
+
+
+def test_local_rows_frames_are_one_partition_and_broadcast_side(spark, tmp_path):
+    # the r17 local_rows mechanism, pinned (r18 — VERDICT scale
+    # hardening): a driver-held list enters the plan as ONE partition
+    # (createDataFrame over a list fans to defaultParallelism Python-RDD
+    # partitions, each a JVM<->Python round trip), and at its one real
+    # consumer class — the store probes' routing/query tables — it
+    # stays the BROADCAST side of the join, never a shuffled side
+    from pyspark.sql import functions as F
+
+    from trisk_spark.catalog import local_rows
+    from trisk_spark.functions import bm25_store
+
+    lf = local_rows(spark, [(1, "a"), (2, "b")], "query_id int, term string")
+    assert lf.rdd.getNumPartitions() == 1
+
+    # a real probe plan: qterms (local_rows) must feed a broadcast join
+    path = str(tmp_path / "bm")
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta tok{i} gamma") for i in range(30)],
+        "doc_id long, text string",
+    )
+    bm25_store.write_bm25_store(spark, docs, path)
+    out = bm25_store.probe_bm25_store(
+        spark, path, queries={1: ("alpha",), 2: ("beta", "tok3")}
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "Scan ExistingRDD" in plan, plan  # the local frames
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, (
+        "a bounded local frame reached a shuffle join:\n" + plan
+    )
+
+
+def test_cc_fast_path_never_collects_oversized_graphs(spark, monkeypatch):
+    # the driver components fast path is gated by a DATA-DERIVED edge
+    # bound (r18 pin — VERDICT scale hardening): above
+    # CC_DRIVER_MAX_EDGES the edge list must NEVER be collected (no
+    # truncation, no driver solve) — the distributed loop runs instead
+    # and still produces the exact min-label fixpoint
+    from pyspark.sql import functions as F
+
+    from trisk_spark.functions import dedup
+
+    def _boom(_rows):
+        raise AssertionError(
+            "_driver_components called above the edge bound"
+        )
+
+    monkeypatch.setattr(dedup, "CC_DRIVER_MAX_EDGES", 2)
+    monkeypatch.setattr(dedup, "_driver_components", _boom)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "doc_a long, doc_b long"
+    )  # 3 pairs > bound of 2 -> loop path
+    got = sorted(
+        (r.doc_id, r.component)
+        for r in dedup.min_label_components(pairs).collect()
+    )
+    assert got == [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4)]

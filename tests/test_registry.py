@@ -4,6 +4,8 @@ the contract loud."""
 
 from __future__ import annotations
 
+import pytest
+
 from trisk_spark.registry import DEPRIORITIZED, load_all
 
 WINDOW = 50
@@ -83,6 +85,7 @@ def test_composed_sitters_have_live_alternating_witnesses():
             )
 
 
+@pytest.mark.slow
 def test_driver_window_schemas_have_no_nested_columns(spark):
     """Harness constraint discovered empirically in r7: the driver's
     canonicalizer sorts the result frame by every column before

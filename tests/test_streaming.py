@@ -111,6 +111,7 @@ def test_wordcount_stream_running_counts(spark):
 # ------------------------- custom stateful (transformWithState) ------
 
 
+@pytest.mark.slow
 def test_matchmaker_stream_equals_batch(spark, events_stream):
     st.stateful_session_confs(spark)
     orders = stock_orders(events_stream())
@@ -145,6 +146,7 @@ def test_running_wordcount_tws(spark):
         seen[row.word] = row.cnt
 
 
+@pytest.mark.slow
 def test_emit_once_join_stream(spark, events_stream):
     st.stateful_session_confs(spark)
     from pyspark.sql import functions as F

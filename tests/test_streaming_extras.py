@@ -3,6 +3,11 @@ capture — the §2A rows beyond the core streaming suite."""
 
 from __future__ import annotations
 
+import pytest as _pytest
+
+# nightly lane: stream-vs-batch replay suites, many real micro-batch streams
+pytestmark = _pytest.mark.slow
+
 import pytest
 from pyspark.sql import functions as F
 

@@ -524,6 +524,7 @@ def test_stage_partition_delete_refuses_to_overwrite_committed_staging(
 # --------------------------------------- ivf compaction (r15) --------
 
 
+@pytest.mark.slow
 def test_ivf_compact_preserves_probe_and_cuts_files(
     spark, tmp_path, monkeypatch
 ):

@@ -5,6 +5,11 @@ two runs to tolerate a loaded machine."""
 
 from __future__ import annotations
 
+import pytest as _pytest
+
+# nightly lane: rate-sustaining by design (warm runs + timed windows)
+pytestmark = _pytest.mark.slow
+
 import time
 
 from trisk_spark.registry import load_all
