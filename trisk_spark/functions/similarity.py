@@ -843,6 +843,34 @@ def _cent_cos(c: Column) -> Column:
     )
 
 
+def _probe_top_lists() -> Column:
+    """The probe-routing projection — top N_PROBE_LISTS centroids of
+    the row's `cents` array by (cos DESC, c_id) — memoized: the tree
+    nests the 64-dim dot fold inside a transform lambda (hundreds of
+    py4j round trips per build) and is frame-independent: it names only
+    the `vec`/`norm`/`cents` columns and module constants, never data
+    (the centroid VALUES arrive through the `cents` column, so two
+    different centroid models can never alias). Shared by ``ann_ivf``'s
+    query routing and ``_route_probe_frame`` (ann_ivf_int8 / ivf_store
+    probes / streaming probe batches) — the r17 cached_cols batch's
+    one deferred site (r18, VERDICT item 5)."""
+    return cached_cols(
+        "similarity.probe_top_lists",
+        lambda: F.slice(
+            F.array_sort(
+                F.transform(
+                    "cents",
+                    lambda c: F.struct(
+                        (-_cent_cos(c)).alias("neg_cos"),
+                        c["c_id"].alias("c_id"),
+                    ),
+                )
+            ),
+            1, N_PROBE_LISTS,
+        ),
+    )
+
+
 def _with_cent_array(side: DataFrame, cents: DataFrame) -> DataFrame:
     """Attach the full centroid set to every row as ONE array column:
     centroids are collapsed to a single-row array-of-structs and
@@ -980,17 +1008,7 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     qtop = _with_cent_array(q, cents).select(
         F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec"),
         F.col("norm").alias("qnorm"),
-        F.slice(
-            F.array_sort(
-                F.transform(
-                    "cents",
-                    lambda c: F.struct(
-                        (-_cent_cos(c)).alias("neg_cos"), c["c_id"].alias("c_id")
-                    ),
-                )
-            ),
-            1, N_PROBE_LISTS,
-        ).alias("top"),
+        _probe_top_lists().alias("top"),
     )
     qlists = qtop.select(
         "query_id", "qvec", "qnorm",
@@ -1942,17 +1960,7 @@ def _route_probe_frame(probe_emb: DataFrame, cents: DataFrame) -> DataFrame:
     qtop = _with_cent_array(probes, cents).select(
         F.col("vec_id").alias("query_id"), F.col("vec").alias("p_qvec"),
         F.col("norm").alias("p_qnorm"),
-        F.slice(
-            F.array_sort(
-                F.transform(
-                    "cents",
-                    lambda c: F.struct(
-                        (-_cent_cos(c)).alias("neg_cos"), c["c_id"].alias("c_id")
-                    ),
-                )
-            ),
-            1, N_PROBE_LISTS,
-        ).alias("top"),
+        _probe_top_lists().alias("top"),
     )
     return qtop.select(
         "query_id", "p_qvec", "p_qnorm",
