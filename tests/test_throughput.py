@@ -260,14 +260,21 @@ TAKEDOWN_VICTIMS = 150
 TAKEDOWN_MIN_IPS = 3
 
 
-def test_takedown_wave_rate_and_blast_radius(spark, tmp_path):
+def test_takedown_wave_rate_and_blast_radius(spark, tmp_path, monkeypatch):
     import os
 
     from pyspark.sql import functions as F
 
-    from trisk_spark.functions import admission, dedup_store
+    from trisk_spark.functions import admission, dedup_store, storefs
     from trisk_spark.functions import gram_store as G
     from trisk_spark.functions import semantic_store as S
+
+    # Pin a 64-bucket fan for this fixture: the blast-radius assertion
+    # needs MORE directories than the 150 victims route to, and the
+    # corpus-derived fan for a 3,000-doc store (4 buckets -> 12 dirs)
+    # would make routing trivially total. The contract under test —
+    # takedown touches ONLY routed directories — is fan-independent.
+    monkeypatch.setattr(storefs, "derived_fan", lambda n, **kw: 64)
 
     def docs(lo, n):
         return spark.range(lo, lo + n).select(
@@ -340,7 +347,9 @@ def test_takedown_wave_rate_and_blast_radius(spark, tmp_path):
         )
         .select(
             F.col("band_idx").cast("int").alias("band_idx"),
-            dedup_store._bucket(),
+            # the STORE'S recorded fan, not the legacy default (r18:
+            # fans are corpus-derived and persisted at write time)
+            dedup_store._bucket(n_buckets=dedup_store._store_fan(dpath)),
         )
         .distinct()
         .collect()
