@@ -63,6 +63,7 @@ from trisk_spark.functions.dedup_store import (
     corpus_store_path as _dedup_corpus_store_path,
 )
 from trisk_spark.functions.semantic_store import (
+    _normed as _sem_normed,
     append_semantic_store,
     probe_semantic_store,
 )
@@ -267,18 +268,57 @@ def _admission_verdicts(
         F.lit(None).cast("bigint").alias("dup_of"),
     )
 
-    rep_t = probe_dedup_store(
-        spark, s0.select("doc_id", "text"), dedup_path
-    ).localCheckpoint(eager=ckpt_eager())
-    flagged_t = rep_t.where(F.col("is_dup")).select("doc_id", "dup_of")
-    s1 = s0.join(
-        F.broadcast(flagged_t.select("doc_id")), "doc_id", "left_anti"
-    ).localCheckpoint(eager=ckpt_eager())
+    # OVERLAP (r18, guide §2.6; VERDICT #6): the two probes are
+    # sequential BY DATA DEPENDENCY (the semantic probe consumes the
+    # text probe's survivors s1), but the semantic side's WAVE-NORM
+    # pass only needs the embeddings — so norm the PRE-text-probe
+    # superset s0 on a driver thread while the text probe's jobs run,
+    # then filter the normed superset to s1 (row-wise kernel, so
+    # filter-after-norm ≡ norm-after-filter, value-identical). The
+    # extra normed rows are the text-flagged docs — wave-bounded.
+    # Both concurrent jobs consume the LAZY s0 checkpoint; Spark's
+    # checkpoint state transitions are synchronized, so the worst case
+    # is the cheap quality-gate lineage computed once per job, never
+    # corruption. The pre-append report barrier below stays EAGER.
+    import threading
 
+    _norm_box: dict = {}
+
+    def _norm_superset() -> None:
+        try:
+            # EAGER: this checkpoint IS the overlapped job
+            _norm_box["df"] = _sem_normed(
+                s0.select(F.col("doc_id").alias("vec_id"), "embedding")
+            ).localCheckpoint()
+        except BaseException as e:  # noqa: BLE001 — re-raised at join
+            _norm_box["err"] = e
+
+    _t = threading.Thread(target=_norm_superset, daemon=True)
+    _t.start()
+    try:
+        rep_t = probe_dedup_store(
+            spark, s0.select("doc_id", "text"), dedup_path
+        ).localCheckpoint(eager=ckpt_eager())
+        flagged_t = rep_t.where(F.col("is_dup")).select("doc_id", "dup_of")
+        s1 = s0.join(
+            F.broadcast(flagged_t.select("doc_id")), "doc_id", "left_anti"
+        ).localCheckpoint(eager=ckpt_eager())
+    finally:
+        _t.join()
+    if "err" in _norm_box:
+        raise _norm_box["err"]
+    sem_wave = _norm_box["df"].join(
+        F.broadcast(
+            flagged_t.select(F.col("doc_id").alias("vec_id"))
+        ),
+        "vec_id",
+        "left_anti",
+    )
     rep_s = probe_semantic_store(
         spark,
         s1.select(F.col("doc_id").alias("vec_id"), "embedding"),
         sem_path,
+        pre_normed=sem_wave,
     ).localCheckpoint(eager=ckpt_eager())
     flagged_s = rep_s.where(F.col("is_dup")).select(
         F.col("vec_id").alias("doc_id"), "dup_of"

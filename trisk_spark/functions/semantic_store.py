@@ -222,6 +222,7 @@ def probe_semantic_store(
     new_emb: DataFrame,
     path: str,
     max_probe_rows: int = MAX_SEM_PROBE_ROWS,
+    pre_normed: DataFrame | None = None,
 ) -> DataFrame:
     """Check an ARRIVING (vec_id, embedding) wave against the
     persisted corpus store: per arriving vector with at least one band
@@ -250,8 +251,17 @@ def probe_semantic_store(
     except the pruned bucket read."""
     fan = _store_fan(path)
     # LAZY: the routing collect right after is the wave's first
-    # action and materializes the normed wave for every consumer (r17)
-    arr = _normed(new_emb).localCheckpoint(eager=ckpt_eager())
+    # action and materializes the normed wave for every consumer (r17).
+    # ``pre_normed`` (r18, the admission overlap): a caller that
+    # already holds the wave in ``_normed`` layout — e.g. the
+    # admission funnel, which norms the pre-text-probe superset
+    # CONCURRENTLY with the text probe and filters it to the
+    # survivors — skips the norm pass; the layout contract is exactly
+    # ``_normed``'s (vec_id, vec scaled-int, norm > 0).
+    if pre_normed is not None:
+        arr = pre_normed.localCheckpoint(eager=ckpt_eager())
+    else:
+        arr = _normed(new_emb).localCheckpoint(eager=ckpt_eager())
     bands_new = _srp_bands(arr.select("vec_id", "vec")).select(
         F.col("vec_id").alias("new_id"),
         F.col("band_idx").cast("int").alias("band_idx"),
