@@ -207,7 +207,9 @@ def test_admission_stream_equals_waves_and_replay_guard(spark, tmp_path):
     assert glob.glob(f"{dpath}/_admission_intent_*") == []
 
 
-@pytest.mark.slow
+# deliberately NOT slow-marked: the one default-lane test that
+# drives the composed funnel (_admission_verdicts + both appends)
+# end-to-end, so the budgeted CI run keeps admission coverage
 def test_admission_stream_heals_cross_append_crash(spark, tmp_path, monkeypatch):
     """The r13 ADVICE window as a forced crash: the stream dies BETWEEN
     the two appends (dedup landed, semantic did not, watermark
